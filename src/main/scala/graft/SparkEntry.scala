@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{ParityQueries, PipelineQueries, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query pairs a Spark implementation (built on the
+  * graft.operators / graft.dedup / graft.similarity / graft.functions
+  * modules) with an exact DuckDB oracle SQL. Column names and types match
+  * between the two by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Composite: scan → broadcast join → agg → top-k.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+
+  /** Headline queries for Bench (one per operator family — relational
+    * core, window/session analytics, dedup, similarity).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_segment", "q04_semi_join",
+    "q06_window_topk", "q07_rollup", "q13_scalar_functions",
+    "q17_running_sum", "q18_change_groups", "q21_tumbling_window",
+    "q22_session_window", "q28_retry_fixpoint",
+    "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk")
 }

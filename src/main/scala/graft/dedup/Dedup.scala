@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the point of each algorithm at 100 TB):
+  *  - exact: one hash-aggregate on a 16-byte key — shuffle moves
+  *    (fingerprint, min_id) after map-side combine, not documents.
+  *  - MinHash+LSH: signature computed in a single projection per doc
+  *    (no explode), then an explode only of k band keys per doc; the
+  *    candidate join shuffles (band_key, doc_id) pairs — never text.
+  *  - SimHash: one explode over tokens, one aggregation; join on the
+  *    64/16-bit code.
+  *  - n-gram Jaccard: exact verification on candidate pairs only (a
+  *    post-filter for LSH), via an explode + count join.
+  *  - embedding cosine: blocked by sign-bucket LSH so the self-join is
+  *    per-bucket, not O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → (keeper = min id, group size).
+    * `dropExactDuplicates` keeps one row per fingerprint.
+    */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(text).as("fingerprint"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  def dropExactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val keep = exactGroups(docs, id, text).select(col("keeper_id").as("__keep"))
+    docs.join(keep, id === col("__keep"), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one of
+    * `numBands` band keys (each of `rowsPerBand` minhashes over
+    * `shingleN`-gram shingles). Output (id_a < id_b) distinct.
+    */
+  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
+                        shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = numBands * rowsPerBand
+    val sig = docs.select(
+      id.as("doc_id"),
+      HashFunctions.minhashSignature(TextFunctions.shingles(text, shingleN), k).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(HashFunctions.bandKeys(col("sig"), numBands, rowsPerBand)).as("band_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash code (16-bit, from md5 nibbles of each token): per bit b, the
+    * sign of sum over tokens of (2*bit_b(md5(token)) - 1). Returned as a
+    * BIGINT code; equal codes = near-duplicate candidates.
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(TextFunctions.tokens(lower(text))).as("tok"))
+    val bitCols = (0 until bits).map { bIdx =>
+      val nib = HashFunctions.md5Nibble(col("tok"), bIdx / 4 + 1)
+      val bit = HashFunctions.nibbleBit(nib, bIdx % 4)
+      sum(bit * 2 - 1).as(s"__s$bIdx")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val code = (0 until bits).map { bIdx =>
+      when(col(s"__s$bIdx") >= 0, lit(1L << bIdx)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), code.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (id_a, id_b):
+    * |A ∩ B| / |A ∪ B| over distinct shingles. Used to verify LSH
+    * candidates; never run on the full cross product.
+    */
+  def ngramJaccard(docs: DataFrame, id: Column, text: Column,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(text, shingleN))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
+    * sign-bucket LSH (per-bucket self-join instead of O(n²)).
+    */
+  def embeddingNearDups(embs: DataFrame, id: Column, vec: Column,
+                        threshold: Double, bucketBits: Int = 4): DataFrame = {
+    val e = embs.select(id.as("vec_id"), vec.as("v"),
+      VectorFunctions.signBucket(vec, bucketBits).as("bucket"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+}

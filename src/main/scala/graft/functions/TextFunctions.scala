@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * All are pure `org.apache.spark.sql.functions` compositions — they stay
+  * inside whole-stage codegen (no UDFs), and every construct has an exact
+  * ANSI-SQL equivalent so the DuckDB oracle can verify them bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization with empty tokens dropped (portable:
+    * regexp split keeps leading/trailing empties differently across
+    * engines, so we filter explicitly).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles: join every n consecutive tokens with a space.
+    * Documents shorter than n tokens produce an empty shingle set (the
+    * guard also avoids `sequence(1, 0)` which Spark rejects).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Language-ID heuristic: score each candidate language by its stopword
+    * hit count in the token stream; highest count wins (ties broken by
+    * language code). N-gram/stopword heuristics are the standard cheap
+    * first pass before a model-based classifier.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "es" -> Seq("el", "la", "de", "y", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = tokens(lower(text))
+    langStopwords(lang).map(w => size(filter(toks, t => t === lit(w))).cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** Predicted language code (argmax of stopword score, ties → smaller
+    * code alphabetically). Implemented as max over (score, negated-rank)
+    * structs to stay codegen-friendly.
+    */
+  def langId(text: Column): Column = {
+    val langs = langStopwords.keys.toSeq.sorted
+    // max of struct(score, code) picks highest score; for equal scores it
+    // would pick the LAST code, so invert: compare on (score, reverse rank).
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(langs.size - i).as("r"), lit(l).as("code"))
+    }
+    greatest(scored: _*).getField("code")
+  }
+
+  /** Quality score in [0,1]: blends length, mean token length, stopword
+    * ratio and non-alphanumeric ratio — the usual cheap quality gates for
+    * web-scale corpus filtering.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val meanTokLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
+    val stopHits = langScore(text, "en").cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
+    val alnum = length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")).cast("double")
+    val punctRatio = when(nChar > 0, (nChar - alnum) / nChar).otherwise(lit(0.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    round(least(greatest(
+      lenScore * 0.4 + tokLenScore * 0.2 + stopRatio * 0.2 + (lit(1.0) - punctRatio) * 0.2,
+      lit(0.0)), lit(1.0)), 4)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — canonical exact-dedup key (differences in spacing/case do not
+    * change the fingerprint).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(lower(text)), " "))
+}

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `BinaryType`
+  * payloads with typed metadata structs.
+  *
+  * The real decoders (JPEG/PNG/audio codecs) are not available in this
+  * environment, so the decode kernels are STUBS with a deterministic fake
+  * (see [[FakeCodec]]). Everything around them — schemas, batch
+  * iteration, partition-level processing, feature extraction plumbing —
+  * is real Spark and is what matters at 100 TB: binary payloads never
+  * pass through a shuffle wider than needed, decode runs per-partition
+  * (`mapPartitions`-style via a deterministic projection here), and
+  * metadata lives in pruned-friendly struct columns.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),       // image | audio | video
+    StructField("payload", BinaryType, nullable = true),      // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** STUB CODEC — deterministic fake standing in for a real image/audio
+    * decoder. Derives stable pseudo-metadata purely from payload length,
+    * so tests and oracles are reproducible. Swap for a real codec by
+    * replacing these three functions; nothing else changes.
+    */
+  object FakeCodec {
+    def width(nBytes: Column): Column = (nBytes % 640 + 1).cast("long")
+    def height(nBytes: Column): Column = ((nBytes * 7) % 480 + 1).cast("long")
+    def frames(nBytes: Column): Column = (nBytes % 10 + 1).cast("long")
+  }
+
+  /** Decode metadata from a binary payload column (stubbed decode — the
+    * shape of the operation, i.e. scan → per-row kernel → struct-ish
+    * output, is the real thing). Stays in whole-stage codegen.
+    */
+  def fakeDecodeMeta(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val n = length(payload).cast("long")
+    df.select(id.as("doc_id"), n.as("n_bytes"),
+      FakeCodec.width(n).as("width"),
+      FakeCodec.height(n).as("height"),
+      FakeCodec.frames(n).as("n_frames"))
+  }
+
+  /** Frame sampling plumbing: explode a video payload into `n` evenly
+    * spaced frame records. The frame extraction itself is the stub
+    * (slices of the payload bytes); the Spark-side shape — one row per
+    * sampled frame, frame index column, bounded fan-out — is real.
+    */
+  def sampleFrames(df: DataFrame, id: Column, payload: Column, maxFrames: Int): DataFrame = {
+    val n = length(payload)
+    val nFrames = least((n % 10 + 1).cast("int"), lit(maxFrames))
+    df.select(id.as("media_id"), payload.as("__p"), nFrames.as("__nf"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("__nf") - 1)))
+      .withColumn("frame_bytes",
+        // stub "frame": a deterministic slice of the payload
+        expr("substring(__p, frame_idx * 8 + 1, 8)"))
+      .drop("__p", "__nf")
+  }
+}

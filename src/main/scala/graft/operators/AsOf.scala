@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of ("most recent preceding") lookup.
+  *
+  * No single reference operator does this, but it is the relational form
+  * of the reference's ordered re-pairing machinery (`latencyTimer.scala:
+  * 62-68` joins each exit event to its entry context;
+  * `MergeByIndex.scala:41` establishes the required total order).
+  *
+  * Two shapes:
+  *  - `lastMatchingInStream`: within ONE ordered stream, attach the value
+  *    of the most recent preceding row satisfying a predicate — a window
+  *    `last(..., ignoreNulls)` over an unbounded preceding frame. One
+  *    shuffle on the keys; no join at all, so it scales better than the
+  *    classic union-trick as-of join when both sides share a source.
+  *  - `join`: classic as-of join of two tables via the union trick
+  *    (tag, union, same window, filter) — equivalent plan, still one
+  *    shuffle, never a per-key cross product.
+  */
+object AsOf {
+
+  def lastMatchingInStream(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column],
+                           matches: Column, value: Column, outName: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(outName, last(when(matches, value), ignoreNulls = true).over(w))
+  }
+
+  /** As-of join: for each left row, the most recent right row with
+    * right.ts <= left.ts on equal keys. `leftCols`/`rightVal` name the
+    * output. Union-trick: right rows sort before left rows at equal ts.
+    */
+  def join(left: DataFrame, right: DataFrame, key: String, tsName: String,
+           rightValName: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1)).withColumn(rightValName, lit(null).cast(
+      right.schema(rightValName).dataType))
+    val r = right.select(col(key), col(tsName), col(rightValName))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsName), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(rightValName, last(col(rightValName), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

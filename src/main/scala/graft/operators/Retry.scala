@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retry with state evolution — driver-side iterative fixpoint.
+  *
+  * Capability of the reference's `Retry` / `Retry.concat`
+  * (`Retry.scala:42-53,84-95` in akka/akka-stream-contrib): wrap a flow
+  * `(in, state) => (Try[out], state)`; on failure compute new
+  * `(in, state)` attempts (possibly several) and re-inject, bounded by
+  * retry limits.
+  *
+  * Spark plans are DAGs, so the cycle becomes a bounded driver loop over
+  * DataFrames — the same pattern GraphX/Pregel uses. Each iteration is a
+  * full distributed job over only the still-failing rows; `attempt` must
+  * be a deterministic column transform producing nullable `value` /
+  * `error` columns (a UDF that never throws), exactly the reference's
+  * `Try[O]` as data. The result unions all successes plus rows exhausted
+  * after `maxRetries` (the reference's give-up passthrough).
+  */
+object Retry {
+
+  /** @param input     rows with at least the attempt-input columns
+    * @param attempt   adds/overwrites `value` (nullable) and `error`
+    *                  (null == success) for the current attempt
+    * @param retryWith transforms a failed row into its next attempt input
+    *                  (return fewer/more rows for drop/split semantics —
+    *                  the reference's `Retry.concat`)
+    * @param maxRetries bound on iterations (reference bounds buffers)
+    */
+  def fixpoint(input: DataFrame,
+               attempt: DataFrame => DataFrame,
+               retryWith: DataFrame => DataFrame,
+               maxRetries: Int): DataFrame = {
+    var pending = attempt(input.withColumn("attempt", lit(0)))
+    var done = pending.filter(col("error").isNull)
+    var i = 0
+    while (i < maxRetries) {
+      val failed = pending.filter(col("error").isNotNull)
+      // localCheckpoint truncates lineage: without it iteration i re-runs
+      // all previous attempts' plans (exponential at scale).
+      val next = retryWith(failed).withColumn("attempt", lit(i + 1)).localCheckpoint(eager = false)
+      pending = attempt(next)
+      done = done.unionByName(pending.filter(col("error").isNull))
+      i += 1
+    }
+    done.unionByName(pending.filter(col("error").isNotNull))
+  }
+}

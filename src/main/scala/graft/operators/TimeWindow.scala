@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregation (batch form; streaming in graft.streaming).
+  *
+  * Capability of the reference's `TimeWindow` (`TimeWindow.scala:33` in
+  * akka/akka-stream-contrib): aggregate elements per fixed time period and
+  * emit one result per period — and of `Pulse` (`Pulse.scala:24`): at most
+  * one element per interval.
+  *
+  * Spark-first mapping: event-time buckets. `window(ts, d)` (or its
+  * `date_trunc` special cases) is epoch-aligned, shuffles once on
+  * (bucket, keys), and Catalyst does partial aggregation map-side — the
+  * distributed generalization of conflate-then-pulse.
+  */
+object TimeWindow {
+
+  /** Tumbling window grouped dataset: group by the epoch-aligned bucket of
+    * `ts` (window start) plus extra keys. `windowStartName` column holds
+    * the bucket start timestamp.
+    */
+  def tumbling(df: DataFrame, ts: Column, duration: String, keys: Seq[Column],
+               windowStartName: String = "window_start"): RelationalGroupedDataset =
+    df.withColumn(windowStartName, window(ts, duration).getField("start"))
+      .groupBy((col(windowStartName) +: keys): _*)
+
+  /** Sliding window grouped dataset. */
+  def sliding(df: DataFrame, ts: Column, duration: String, slide: String, keys: Seq[Column],
+              windowStartName: String = "window_start"): RelationalGroupedDataset =
+    df.withColumn(windowStartName, window(ts, duration, slide).getField("start"))
+      .groupBy((col(windowStartName) +: keys): _*)
+
+  /** Pulse: at most one element per interval per key — the earliest row in
+    * each bucket (ties broken by `tiebreak`). One aggregate, no window
+    * function: min(struct(order, payload)) has full map-side combine.
+    */
+  def pulse(df: DataFrame, ts: Column, duration: String, keys: Seq[Column],
+            tiebreak: Column, payload: Seq[(String, Column)]): DataFrame = {
+    val bucket = window(ts, duration).getField("start").as("bucket_start")
+    val named = payload.map { case (n, c) => c.as(n) }
+    val packed = struct((Seq(ts.as("__ts"), tiebreak.as("__tb")) ++ named): _*)
+    val agg0 = df.groupBy((bucket +: keys): _*).agg(min(packed).as("__first"))
+    payload.foldLeft(agg0) { case (d, (n, _)) =>
+      d.withColumn(n, col("__first").getField(n))
+    }.drop("__first")
+  }
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.similarity.SimilaritySearch
+
+/** LLM-training-data pipeline operators as declared queries, each with an
+  * exact DuckDB oracle (md5-based hashing keeps MinHash/SimHash portable
+  * across engines — see [[graft.functions.HashFunctions]]).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB SQL fragment: whitespace tokens of `e` with empties dropped —
+    * exact dual of [[TextFunctions.tokens]].
+    */
+  private def sqlToks(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '\\s+'), t -> t <> '')"
+
+  /** DuckDB SQL fragment: word 3-gram shingles of column text —
+    * exact dual of [[TextFunctions.shingles]].
+    */
+  private val sqlShingles: String = {
+    val toks = sqlToks("text")
+    s"""CASE WHEN len($toks) >= 3
+          THEN list_transform(generate_series(1, len($toks) - 2),
+                 i -> array_to_string(($toks)[i:i+2], ' '))
+          ELSE [] END"""
+  }
+
+  private val langs = TextFunctions.langStopwords.keys.toSeq.sorted
+
+  def defs: Seq[(String, Q, Option[String])] = Seq(
+
+    ("p01_dedup_exact", (s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("fingerprint"))
+    }, Some(s"""
+      SELECT md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fingerprint,
+             min(doc_id) AS keeper_id, count(*) AS group_size
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    ("p02_token_stats", (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(col("text")).cast("double") /
+            TextFunctions.tokenCount(col("text")).cast("double"), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+             CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             round(CAST(length(text) AS DOUBLE) /
+                   CAST(len(${sqlToks("text")}) AS DOUBLE), 4) AS mean_tok_len
+      FROM documents ORDER BY doc_id""")),
+
+    ("p03_lang_id", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("predicted"))
+        .withColumn("correct", col("predicted") === col("lang"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val scoreCols = langs.map { l =>
+        val terms = TextFunctions.langStopwords(l)
+          .map(w => s"CAST(len(list_filter(toks, t -> t = '$w')) AS BIGINT)")
+          .mkString(" + ")
+        s"($terms) AS s_$l"
+      }.mkString(",\n               ")
+      // argmax with alphabetical tiebreak: first lang whose score >= all
+      // later langs' scores (langs are alphabetically sorted).
+      val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("\n                    ")
+      s"""
+      WITH toks AS (SELECT doc_id, lang, ${sqlToks("lower(text)")} AS toks FROM documents),
+      scored AS (SELECT doc_id, lang,
+               $scoreCols
+             FROM toks)
+      SELECT doc_id, lang,
+             CASE $caseArms
+                    ELSE '${langs.last}' END AS predicted,
+             (CASE $caseArms
+                    ELSE '${langs.last}' END) = lang AS correct
+      FROM scored ORDER BY doc_id"""
+    }),
+
+    ("p04_quality_score", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val en = TextFunctions.langStopwords("en")
+        .map(w => s"CAST(len(list_filter(ltoks, t -> t = '$w')) AS BIGINT)")
+        .mkString(" + ")
+      s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(${sqlToks("text")}) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_char,
+               CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS alnum,
+               ${sqlToks("lower(text)")} AS ltoks
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_tok, n_char, alnum,
+               CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN n_tok > 0 THEN CAST($en AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_char > 0 THEN (n_char - alnum) / n_char ELSE 0.0 END AS punct_ratio
+        FROM base)
+      SELECT doc_id,
+             round(least(greatest(
+               least(n_tok / 100.0, 1.0) * 0.4 +
+               (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               stop_ratio * 0.2 + (1.0 - punct_ratio) * 0.2,
+               0.0), 1.0), 4) AS quality
+      FROM m ORDER BY doc_id"""
+    }),
+
+    ("p05_minhash_pairs", (s, d) => {
+      Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"), col("text"),
+          shingleN = 3, numBands = 4, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH sh AS (SELECT doc_id, $sqlShingles AS shingles FROM documents),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(0, 7),
+                 i -> list_min(list_transform(shingles,
+                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+                 b -> CAST(b AS VARCHAR) || '|' ||
+                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
+        FROM sig)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("p06_simhash", (s, d) => {
+      Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"), bits = 16)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val sums = (0 until 16).map { b =>
+        val nib = s"(strpos('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1)"
+        val bit = s"CAST(floor($nib / ${1 << (b % 4)}) AS BIGINT) % 2"
+        s"sum($bit * 2 - 1) AS s_$b"
+      }.mkString(",\n               ")
+      val code = (0 until 16)
+        .map(b => s"(CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+      bits AS (SELECT doc_id,
+               $sums
+             FROM h GROUP BY 1)
+      SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+    }),
+
+    ("p07_ngram_jaccard", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("source"), col("doc_id").as("id_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramJaccard(docs, col("doc_id"), col("text"), pairs, shingleN = 3)
+        .filter(col("n_inter") > 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH sh0 AS (SELECT doc_id, source, $sqlShingles AS shingles FROM documents),
+      shd AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS sh FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+                FROM shd sa JOIN shd sb
+                  ON sa.source = sb.source AND sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, n_inter,
+             round(CAST(n_inter AS DOUBLE) /
+                   CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+                 JOIN sizes nb ON nb.doc_id = id_b
+      ORDER BY id_a, id_b""")),
+
+    ("p08_embedding_topk", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                        round(list_dot_product(cv, qv) /
+                              (sqrt(list_dot_product(cv, cv)) *
+                               sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM c, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    ("p09_ann_lsh", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.lshTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, bucketBits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        array_to_string(list_transform(embedding[1:4],
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+      scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        round(list_dot_product(c.v, qv) /
+                              (sqrt(list_dot_product(c.v, c.v)) *
+                               sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    ("p10_embedding_near_dups", (s, d) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          threshold = 0.9, bucketBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        array_to_string(list_transform(embedding[1:4],
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+                 FROM embeddings)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.v, c.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round(list_dot_product(a.v, c.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(c.v, c.v))), 6) >= 0.9
+      ORDER BY 1, 2""")),
+
+    ("p11_multimodal_features", (s, d) => {
+      graft.multimodal.Multimodal.fakeDecodeMeta(
+          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+             CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+  )
+}
