@@ -13,8 +13,23 @@ import graft.queries.{ParityQueries, PipelineQueries, Relational}
   */
 object SparkEntry {
 
+  /** Streaming executions of engine queries — same oracle as their batch
+    * twins, but run through Structured Streaming (file source → agg →
+    * memory sink, Trigger.AvailableNow).
+    */
+  private def streamingDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q30_streaming_window",
+      (s, d) => graft.streaming.StreamingQueries.tumblingWindow(s, d),
+      Some("""
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum("value"), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+    ("q31_streaming_dedup",
+      (s, d) => graft.streaming.StreamingQueries.exactDedup(s, d),
+      PipelineQueries.defs.find(_._1 == "p01_dedup_exact").flatMap(_._3)))
+
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs
+    Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++ streamingDefs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composite: scan → broadcast join → agg → top-k.

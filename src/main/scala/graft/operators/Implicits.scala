@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Extension-method DSL — the engine's operator vocabulary on
+  * `DataFrame`, mirroring the reference's implicit-class pattern
+  * (`Implicits.scala:19-95` in akka/akka-stream-contrib attaches
+  * `timed`/`measureLatency` to Source/Flow the same way).
+  *
+  * {{{
+  *   import graft.operators.Implicits._
+  *   events.sampleEveryNth(100, Seq($"event_id"))
+  *         .runningSum(Seq($"user_id"), Seq($"ts"), $"value")
+  * }}}
+  */
+object Implicits {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    def withRowIndex(orderCols: Seq[Column], name: String = "row_idx"): DataFrame =
+      GlobalIndex.withRowIndex(df, orderCols, name)
+
+    def sampleEveryNth(n: Int, orderCols: Seq[Column]): DataFrame =
+      Sample.everyNth(df, n, orderCols)
+
+    def sampleFraction(fraction: Double, seed: Long = 42L): DataFrame =
+      Sample.random(df, fraction, seed)
+
+    def runningSum(partitionCols: Seq[Column], orderCols: Seq[Column],
+                   value: Column, name: String = "running_sum"): DataFrame =
+      Accumulate.runningSum(df, partitionCols, orderCols, value, name)
+
+    def accumulate(partitionCols: Seq[Column], orderCols: Seq[Column],
+                   aggExpr: Column, name: String): DataFrame =
+      Accumulate.running(df, partitionCols, orderCols, aggExpr, name)
+
+    def changeGroups(partitionCols: Seq[Column], orderCols: Seq[Column],
+                     property: Column, name: String = "group_id"): DataFrame =
+      AccumulateWhileUnchanged.changeGroups(df, partitionCols, orderCols, property, name)
+
+    def sessionize(keys: Seq[Column], ts: Column, tiebreak: Column,
+                   gapMicros: Long): DataFrame =
+      Sessionize.byGap(df, keys, ts, tiebreak, gapMicros)
+
+    def mergeByIndex(others: Seq[DataFrame], idx: Column): DataFrame =
+      MergeByIndex(df +: others, idx)
+
+    def partitionWith(isLeft: Column, leftProj: Column, rightProj: Column): DataFrame =
+      Routing.partitionWith(df, isLeft, leftProj, rightProj)
+
+    def passThrough(out: Column, name: String = "out"): DataFrame =
+      Routing.passThrough(df, out, name)
+
+    def lastElementPerKey(keys: Seq[Column], orderCols: Seq[Column],
+                          payload: Seq[(String, Column)]): DataFrame =
+      LastElement.perKey(df, keys, orderCols, payload)
+
+    def pulse(ts: Column, duration: String, keys: Seq[Column], tiebreak: Column,
+              payload: Seq[(String, Column)]): DataFrame =
+      TimeWindow.pulse(df, ts, duration, keys, tiebreak, payload)
+
+    def gapFill(keys: Seq[String], ts: Column, stepSeconds: Int,
+                aggs: Seq[(String, Column)], fill: Map[String, Any]): DataFrame =
+      KeepAlive.gapFill(df, keys, ts, stepSeconds, aggs, fill)
+
+    def intervalBetween(predicate: Column, keys: Seq[Column], ts: Column,
+                        orderCols: Seq[Column]): DataFrame =
+      Timed.intervalBetween(df, predicate, keys, ts, orderCols)
+
+    def asOfLookup(keys: Seq[Column], orderCols: Seq[Column], matches: Column,
+                   value: Column, name: String): DataFrame =
+      AsOf.lastMatchingInStream(df, keys, orderCols, matches, value, name)
+
+    def observed(name: String, metrics: Column*): DataFrame =
+      Timed.observed(df, name, metrics)
+  }
+}

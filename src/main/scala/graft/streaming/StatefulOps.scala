@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming stateful operators (`flatMapGroupsWithState`-based).
+  *
+  * These carry the reference's per-stage mutable state semantics
+  * (SURVEY §1.1) into Structured Streaming: state lives in the state
+  * store (checkpointed, spillable, partitioned by key) instead of one
+  * JVM's heap — the 1000-executor version of a GraphStage's private vars.
+  */
+object StatefulOps {
+
+  /** Element for keyed change-grouping: (key, seq, property, payload). */
+  case class KeyedElement(key: Long, seq: Long, property: String, payload: Double)
+
+  /** An emitted unchanged-run. */
+  case class UnchangedGroup(key: Long, property: String, n: Long,
+                            minSeq: Long, maxSeq: Long, sumPayload: Double)
+
+  /** Open-run state per key. */
+  case class RunState(property: String, n: Long, minSeq: Long, maxSeq: Long,
+                      sumPayload: Double)
+
+  /** Streaming AccumulateWhileUnchanged
+    * (`AccumulateWhileUnchanged.scala:26-29` in akka/akka-stream-contrib):
+    * per key, buffer elements while `property` stays equal; emit the
+    * finished group when it changes, when the count cap is hit, or on
+    * processing-time timeout (the reference's maxElements/maxDuration
+    * flushes).
+    *
+    * Requires per-key in-order delivery of `seq` across micro-batches
+    * (within a batch we sort); out-of-order input across batches is the
+    * caller's watermarking problem, as with any ordered stateful op.
+    */
+  def accumulateWhileUnchanged(ds: Dataset[KeyedElement],
+                               maxElements: Option[Int] = None,
+                               timeoutMs: Option[Long] = None): Dataset[UnchangedGroup] = {
+    implicit val groupEnc: Encoder[UnchangedGroup] = Encoders.product[UnchangedGroup]
+    implicit val stateEnc: Encoder[RunState] = Encoders.product[RunState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    val timeoutConf =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def flush(st: RunState, key: Long): UnchangedGroup =
+      UnchangedGroup(key, st.property, st.n, st.minSeq, st.maxSeq, st.sumPayload)
+
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RunState, UnchangedGroup](
+        OutputMode.Append, timeoutConf) { (key, it, state: GroupState[RunState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(flush(_, key)).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = it.toSeq.sortBy(_.seq)
+          var cur = state.getOption
+          val out = Seq.newBuilder[UnchangedGroup]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if st.property == e.property &&
+                  maxElements.forall(st.n < _) =>
+                cur = Some(RunState(st.property, st.n + 1,
+                  math.min(st.minSeq, e.seq), math.max(st.maxSeq, e.seq),
+                  st.sumPayload + e.payload))
+              case Some(st) =>
+                out += flush(st, key)
+                cur = Some(RunState(e.property, 1L, e.seq, e.seq, e.payload))
+              case None =>
+                cur = Some(RunState(e.property, 1L, e.seq, e.seq, e.payload))
+            }
+          }
+          cur match {
+            case Some(st) =>
+              state.update(st)
+              timeoutMs.foreach(state.setTimeoutDuration)
+            case None => state.remove()
+          }
+          out.result().iterator
+        }
+      }
+  }
+
+  /** Streaming LastElement (`LastElement.scala:22,39`): per key, keep the
+    * latest element by `seq`; emits the current last on every batch
+    * (update-mode analog of the materialized `Future[Option[A]]`).
+    */
+  case class Last(key: Long, seq: Long, payload: Double)
+
+  def lastElementPerKey(ds: Dataset[KeyedElement]): Dataset[Last] = {
+    implicit val lastEnc: Encoder[Last] = Encoders.product[Last]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[Last, Last](GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val incoming = it.maxByOption(_.seq)
+        val best = (state.getOption ++ incoming.map(e => Last(key, e.seq, e.payload)))
+          .maxBy(_.seq)
+        state.update(best)
+        best
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("GlobalIndex assigns a dense deterministic 1..N index") {
+    val df = (1 to 1000).map(i => (i * 7 % 1000, s"v$i")).toDF("k", "v")
+    val idx = GlobalIndex.withRowIndex(df, Seq(col("k"), col("v")), "idx")
+    val got = idx.select("idx").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 1000L))
+    // index order matches (k, v) order
+    val pairs = idx.orderBy("idx").select("k").as[Int].collect()
+    assert(pairs.toSeq == pairs.toSeq.sorted.zip(pairs).map(_._2)) // sanity: collected in idx order
+    val expected = df.orderBy("k", "v").select("k").as[Int].collect()
+    assert(pairs.toSeq == expected.toSeq)
+  }
+
+  test("Sample.everyNth picks exactly rows n, 2n, ...") {
+    val df = (1 to 100).map(i => Tuple1(i)).toDF("i")
+    val got = Sample.everyNth(df, 10, Seq(col("i"))).select("i").as[Int].collect().sorted
+    assert(got.toSeq == (10 to 100 by 10))
+  }
+
+  test("changeGroups splits runs on property change") {
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "x"))
+      .toDF("k", "seq", "prop")
+    val g = AccumulateWhileUnchanged.changeGroups(df, Seq(col("k")), Seq(col("seq")), col("prop"))
+    val got = g.orderBy("k", "seq").select("group_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 2L, 3L, 1L))
+  }
+
+  test("AccumulateWhileUnchanged.groups caps runs at maxElements") {
+    val df = (1 to 7).map(i => (1, i, "a")).toDF("k", "seq", "prop")
+    val g = AccumulateWhileUnchanged.groups(df, Seq(col("k")), Seq(col("seq")),
+      col("prop"), col("seq"), maxElements = Some(3))
+    val sizes = g.select("n").as[Long].collect().sorted.toSeq
+    assert(sizes == Seq(1L, 3L, 3L))
+  }
+
+  test("Sessionize.byGap: gap >= threshold starts a new session") {
+    val df = Seq((1L, 0L, 1), (1L, 1000000L, 2), (1L, 3000000L, 3), (1L, 3500000L, 4))
+      .toDF("k", "us", "id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val s = Sessionize.byGap(df, Seq(col("k")), col("ts"), col("id"), gapMicros = 2000000L)
+    val got = s.orderBy("id").select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("LastElement.perKey picks the row maximal under the order") {
+    val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c")).toDF("k", "seq", "v")
+    val got = LastElement.perKey(df, Seq(col("k")), Seq(col("seq")), Seq("last_v" -> col("v")))
+      .orderBy("k").select("last_v").as[String].collect().toSeq
+    assert(got == Seq("b", "c"))
+  }
+
+  test("KeepAlive.gapFill fills missing buckets with the fill value") {
+    val df = Seq((1L, 0L, 1.0), (1L, 200L, 2.0)).toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = KeepAlive.gapFill(df, Seq("k"), col("ts"), 100,
+      Seq("n" -> count(lit(1))), Map("n" -> 0L))
+      .orderBy("bucket").select("n").as[Long].collect().toSeq
+    assert(got == Seq(1L, 0L, 1L))
+  }
+
+  test("Retry.fixpoint retries failures and carries give-ups") {
+    val input = Seq(3, 4, 10).toDF("id") // succeed if (id + attempt) % 7 == 3
+    val attempt = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("value", when((col("id") + col("attempt")) % 7 === 3, col("id")).cast("long"))
+      .withColumn("error", when(col("value").isNull, lit("fail")).cast("string"))
+    val out = Retry.fixpoint(input, attempt, identity, maxRetries = 4)
+    val rows = out.orderBy("id").select("id", "attempt", "error").collect()
+    // id=3: succeeds at attempt 0; id=10: (10+0)%7=3 → attempt 0; id=4: needs attempt 6 > 4 → gives up
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.isNullAt(2))).toSeq ==
+      Seq((3, 0, true), (4, 4, false), (10, 0, true)))
+  }
+
+  test("AsOf.join attaches the most recent right value at or before ts") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0")).toDF("k", "t", "tag")
+    val right = Seq((1L, 80L, 8.0), (1L, 150L, 15.0)).toDF("k", "t", "rv")
+    val got = AsOf.join(left, right, "k", "t", "rv")
+      .orderBy("t").select("tag", "rv").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq
+    assert(got == Seq(("l0", -1.0), ("l1", 8.0), ("l2", 15.0)))
+  }
+
+  test("MergeByIndex.monotonicViolations counts out-of-order rows") {
+    val ok = Seq((1L, "a"), (2L, "b"), (5L, "c")).toDF("idx", "v")
+    val bad = Seq((1L, "a"), (3L, "b"), (2L, "c")).toDF("idx", "v")
+    assert(MergeByIndex.monotonicViolations(ok, col("idx"), Seq(col("idx"))) == 0)
+    assert(MergeByIndex.monotonicViolations(bad, col("idx"), Seq(col("v"))) == 1)
+  }
+
+  test("Timed.timed returns result and wall time") {
+    val (n, ms) = Timed.timed(Seq(1, 2, 3).toDF("i"))(_.count())
+    assert(n == 3 && ms >= 0)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{PagedSource, ZipSource}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): File =
+    Files.createTempDirectory(prefix).toFile
+
+  test("FileTailSource emits appended bytes with byte-position offsets") {
+    val dir = tmpDir("tail")
+    val f = new File(dir, "log.txt")
+    Files.write(f.toPath, "hello".getBytes)
+
+    val stream = spark.readStream.format("graft.sources.FileTailSource")
+      .option("path", f.getAbsolutePath)
+      .option("maxChunkSize", "4")
+      .load()
+    val qn = "tail_out"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table(qn).as[(Long, Array[Byte])].collect().sortBy(_._1)
+      assert(new String(first.flatMap(_._2)) == "hello")
+      assert(first.map(_._1).toSeq == Seq(0L, 4L)) // 4-byte chunks
+
+      // append and expect a new batch from offset 5
+      val out = new FileOutputStream(f, true); out.write(" world".getBytes); out.close()
+      q.processAllAvailable()
+      val all = spark.table(qn).as[(Long, Array[Byte])].collect().sortBy(_._1)
+      assert(new String(all.flatMap(_._2)) == "hello world")
+    } finally q.stop()
+  }
+
+  test("DirectoryChangesSource emits Creation/Modification/Deletion") {
+    val dir = tmpDir("watch")
+    val a = new File(dir, "a.txt")
+    Files.write(a.toPath, "1".getBytes)
+
+    val stream = spark.readStream.format("graft.sources.DirectoryChangesSource")
+      .option("path", dir.getAbsolutePath)
+      .load()
+    val qn = "watch_out"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      def changes() = spark.table(qn).select("path", "change").as[(String, String)]
+        .collect().toSeq
+      assert(changes().contains((a.getAbsolutePath, "Creation")))
+
+      Files.write(a.toPath, "22".getBytes) // size change → Modification
+      val b = new File(dir, "b.txt"); Files.write(b.toPath, "x".getBytes)
+      q.processAllAvailable()
+      assert(changes().contains((a.getAbsolutePath, "Modification")))
+      assert(changes().contains((b.getAbsolutePath, "Creation")))
+
+      assert(a.delete())
+      q.processAllAvailable()
+      assert(changes().contains((a.getAbsolutePath, "Deletion")))
+    } finally q.stop()
+  }
+
+  test("PagedSource walks pages until nextKey is exhausted") {
+    // pages: key k has items [k*10, k*10+1], next key k+1, stops after 3
+    PagedSource.register("test_pages", k =>
+      PagedSource.Page(Seq(s"item${k * 10}", s"item${k * 10 + 1}"),
+        if (k < 2) Some(k + 1) else None))
+    val stream = spark.readStream.format("graft.sources.PagedSource")
+      .option("fetcher", "test_pages")
+      .option("firstKey", "0")
+      .load()
+    val qn = "paged_out"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      // allow a few triggers to drain all pages (one page per trigger)
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.table(qn).count() < 6 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val got = spark.table(qn).as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == Seq((0L, "item0"), (0L, "item1"), (1L, "item10"), (1L, "item11"),
+        (2L, "item20"), (2L, "item21")))
+    } finally q.stop()
+  }
+
+  test("ZipSource extracts entries, recursing into nested zips") {
+    val dir = tmpDir("zips")
+    // inner zip with one entry
+    val innerBytes = {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      z.putNextEntry(new ZipEntry("inner.txt")); z.write("nested!".getBytes); z.closeEntry()
+      z.close(); bos.toByteArray
+    }
+    val outer = new File(dir, "outer.zip")
+    val z = new ZipOutputStream(new FileOutputStream(outer))
+    z.putNextEntry(new ZipEntry("plain.txt")); z.write("top-level".getBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("sub.zip")); z.write(innerBytes); z.closeEntry()
+    z.close()
+
+    val df = ZipSource.read(spark, dir.getAbsolutePath + "/*.zip", chunkSize = 4)
+    val rows = df.collect().map(r => (r.getString(1), r.getBoolean(2),
+      r.getLong(3), new String(r.getAs[Array[Byte]]("data"))))
+    val plain = rows.filter(_._1 == "plain.txt").sortBy(_._3)
+    assert(plain.map(_._4).mkString == "top-level")
+    assert(plain.forall(!_._2))
+    val nested = rows.filter(_._1 == "inner.txt")
+    assert(nested.map(_._4).mkString == "nested!")
+    assert(nested.forall(_._2))
+  }
+}

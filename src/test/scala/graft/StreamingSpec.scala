@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.KeyedElement
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming accumulateWhileUnchanged flushes on property change across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    val out = StatefulOps.accumulateWhileUnchanged(input.toDS())
+    val q = out.writeStream.format("memory").queryName("awu_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(KeyedElement(1, 1, "a", 1.0), KeyedElement(1, 2, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("awu_out").count() == 0) // run still open
+
+      input.addData(KeyedElement(1, 3, "b", 3.0)) // property change → flush "a" run
+      q.processAllAvailable()
+      val flushed = spark.table("awu_out").as[StatefulOps.UnchangedGroup].collect()
+      assert(flushed.toSeq == Seq(StatefulOps.UnchangedGroup(1, "a", 2, 1, 2, 3.0)))
+
+      input.addData(KeyedElement(1, 4, "c", 4.0), KeyedElement(2, 1, "z", 9.0))
+      q.processAllAvailable()
+      val all = spark.table("awu_out").as[StatefulOps.UnchangedGroup].collect()
+      assert(all.map(_.property).sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("streaming accumulateWhileUnchanged caps runs at maxElements") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    val out = StatefulOps.accumulateWhileUnchanged(input.toDS(), maxElements = Some(2))
+    val q = out.writeStream.format("memory").queryName("awu_cap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 5).map(i => KeyedElement(1, i, "a", 1.0)): _*)
+      q.processAllAvailable()
+      val flushed = spark.table("awu_cap_out").as[StatefulOps.UnchangedGroup].collect()
+      assert(flushed.map(_.n).sorted.toSeq == Seq(2L, 2L)) // one run of 1 still open
+    } finally q.stop()
+  }
+
+  test("streaming lastElementPerKey tracks the max-seq element") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    val out = StatefulOps.lastElementPerKey(input.toDS())
+    val q = out.writeStream.format("memory").queryName("last_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(KeyedElement(1, 5, "a", 5.0), KeyedElement(1, 3, "a", 3.0))
+      q.processAllAvailable()
+      input.addData(KeyedElement(1, 4, "a", 4.0)) // older than 5 → keeps 5
+      q.processAllAvailable()
+      val last = spark.table("last_out").as[StatefulOps.Last].collect()
+        .groupBy(_.key).view.mapValues(_.maxBy(_.seq)).toMap
+      assert(last(1L) == StatefulOps.Last(1, 5, 5.0))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window equals the batch plan (q21)") {
+    val viaStream = graft.streaming.StreamingQueries.tumblingWindow(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("q21_tumbling_window")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.toSeq == b.toSeq)
+  }
+}
