@@ -40,11 +40,23 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = numBands * rowsPerBand
-    val sig = docs.select(
-      id.as("doc_id"),
-      HashFunctions.minhashSignature(TextFunctions.shingles(text, shingleN), k).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(HashFunctions.bandKeys(col("sig"), numBands, rowsPerBand)).as("band_key"))
+    // Aggregation-form MinHash: explode distinct shingles once, then one
+    // partial+final hash aggregate computing all k minima. Each md5 is
+    // evaluated exactly once per (shingle, salt) — the single-projection
+    // array form looks tidier but Catalyst's project collapsing inlines
+    // the shingle array into every lambda, recomputing it k*bands times.
+    // Docs with fewer than shingleN tokens drop out at the explode (no
+    // signature, no candidates), mirroring the oracle's len(shingles)>=1.
+    val sh = docs.select(id.as("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(text, shingleN))).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      concat_ws("|", (lit(b.toString) +: parts): _*)
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))

@@ -128,7 +128,8 @@ object PipelineQueries {
           shingleN = 3, numBands = 4, rowsPerBand = 2)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
-      WITH sh AS (SELECT doc_id, $sqlShingles AS shingles FROM documents),
+      WITH sh AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
+                  WHERE len($sqlShingles) >= 1),
       sig AS (
         SELECT doc_id, list_transform(generate_series(0, 7),
                  i -> list_min(list_transform(shingles,
