@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Session extensions registering graft's native expressions for SQL.
+  *
+  * Two entry points, both supported Spark extension mechanisms:
+  *  - config-time: `SparkSession.builder().withExtensions(new
+  *    GraftExtensions)` or `spark.sql.extensions=graft.GraftExtensions`
+  *  - runtime: `GraftExtensions.register(spark)` on an existing session
+  *    (what Verify/Bench use, since the driver owns the builder).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_similarity"),
+    cosineBuilder)
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", cosineBuilder, "built-in")
+}

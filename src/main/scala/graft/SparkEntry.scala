@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{ParityQueries, PipelineQueries, Relational}
+import graft.queries.{Extended, ParityQueries, PipelineQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
       PipelineQueries.defs.find(_._1 == "p01_dedup_exact").flatMap(_._3)))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++ streamingDefs
+    Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++
+      streamingDefs ++ Extended.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composite: scan → broadcast join → agg → top-k.

@@ -19,7 +19,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native fused expression (one loop, codegen'd;
+    * see [[CosineSimilarity]]). `cosineComposed` is the pure-built-in
+    * form; both produce bit-identical doubles.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bucket LSH key: the signs of the first `bits` components, as a
     * bit string. Random-hyperplane LSH with axis-aligned planes — a cheap,

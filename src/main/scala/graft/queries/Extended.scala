@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, Tables}
+import graft.functions.Aggregators
+
+/** Extended-surface queries: the SQL front-end (GROUPING SETS), typed
+  * Aggregator UDAF, scalar UDF, and the native cosine expression through
+  * SQL — each with a DuckDB oracle.
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // SQL front-end + GROUPING SETS (finer than cube/rollup)
+    ("q32_grouping_sets", (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rf, ls""")
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rf, ls""")),
+
+    // typed Aggregator (the reference's arbitrary (seed, aggregate) fold)
+    ("q33_typed_aggregator", (s, d) => {
+      val sumsq = udaf(Aggregators.SumSqCents)
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sumsq(col("value")).as("sum_sq_cents"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             CAST(sum(CAST(round("value" * 100) AS BIGINT) *
+                      CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_sq_cents,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // scalar Scala UDF (the reference's per-element user lambdas)
+    ("q34_scalar_udf", (s, d) => {
+      val rev = udf((x: String) => if (x == null) null else x.reverse)
+      Tables.events(s, d)
+        .select(col("event_id"), rev(col("event_type")).as("type_rev"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, reverse(event_type) AS type_rev
+      FROM events ORDER BY event_id""")),
+
+    // native Catalyst expression through the SQL registry
+    ("q35_cosine_sql", (s, d) => {
+      GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(cosine_similarity(a.embedding, b.embedding), 6) AS cos
+        FROM embeddings_v a JOIN embeddings_v b
+          ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 100
+        ORDER BY id_a""")
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 100
+      ORDER BY id_a"""))
+  )
+}

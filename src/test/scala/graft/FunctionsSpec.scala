@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native CosineSimilarity matches the composed built-in form bitwise") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id"), col("embedding").as("vb"))
+      .withColumn("vec_id", col("vec_id") + 1)
+    val j = a.join(b, "vec_id")
+    val diff = j.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("native"),
+      VectorFunctions.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("CosineSimilarity of a vector with itself is 1.0") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(10)
+    val vals = e.select(VectorFunctions.cosine(col("embedding"), col("embedding")))
+      .as[Double].collect()
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("tokens drops empties; shingles of short docs are empty") {
+    val df = Seq(("  a  b   c  ", 1), ("x y", 2)).toDF("t", "id")
+    val toks = df.select(TextFunctions.tokens(col("t"))).as[Seq[String]].collect()
+    assert(toks(0) == Seq("a", "b", "c"))
+    val sh = df.select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c") && sh(1).isEmpty)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(Tuple1("the quick fox and the lazy dog of doom")).toDF("t")
+    assert(df.select(TextFunctions.langId(col("t"))).as[String].head() == "en")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = df.select((TextFunctions.fingerprint(col("a")) ===
+      TextFunctions.fingerprint(col("b"))).as("eq")).as[Boolean].head()
+    assert(r)
+  }
+}
