@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,7 +42,8 @@ class FileTailSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new FileTailTable(properties.get("path"),
       Option(properties.get("maxChunkSize")).map(_.toInt).getOrElse(8192),
-      Option(properties.get("startingPosition")).map(_.toLong).getOrElse(0L))
+      Option(properties.get("startingPosition")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("maxChunksPerTrigger")).map(_.toLong))
 }
 
 object FileTailSource {
@@ -51,7 +52,8 @@ object FileTailSource {
     StructField("data", BinaryType, nullable = false)))
 }
 
-private[sources] class FileTailTable(path: String, maxChunkSize: Int, startingPosition: Long)
+private[sources] class FileTailTable(path: String, maxChunkSize: Int, startingPosition: Long,
+                                     maxChunksPerTrigger: Option[Long])
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"file_tail($path)"
@@ -62,7 +64,7 @@ private[sources] class FileTailTable(path: String, maxChunkSize: Int, startingPo
     () => new Scan {
       override def readSchema(): StructType = FileTailSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileTailStream(path, maxChunkSize, startingPosition)
+        new FileTailStream(path, maxChunkSize, startingPosition, maxChunksPerTrigger)
     }
 }
 
@@ -70,14 +72,36 @@ private[sources] case class BytePosition(pos: Long) extends Offset {
   override def json(): String = pos.toString
 }
 
-private[sources] class FileTailStream(path: String, maxChunkSize: Int, startingPosition: Long)
-    extends MicroBatchStream {
+private[sources] class FileTailStream(path: String, maxChunkSize: Int, startingPosition: Long,
+                                      maxChunksPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = BytePosition(startingPosition)
 
-  override def latestOffset(): Offset = {
+  private def fileLength: Long = {
     val f = new java.io.File(path)
-    BytePosition(math.max(if (f.exists()) f.length() else 0L, startingPosition))
+    math.max(if (f.exists()) f.length() else 0L, startingPosition)
+  }
+
+  override def latestOffset(): Offset = BytePosition(fileLength)
+
+  /** Admission control — the TokenThrottle capability
+    * (`TokenThrottle.scala:42-48` in akka/akka-stream-contrib): each
+    * trigger admits at most `maxChunksPerTrigger` chunks' worth of bytes,
+    * the micro-batch form of a token bucket (tokens = chunks per
+    * trigger interval).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxChunksPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BytePosition].pos
+    val len = fileLength
+    limit match {
+      case mr: ReadMaxRows =>
+        BytePosition(math.min(len, s + mr.maxRows() * maxChunkSize))
+      case _ => BytePosition(len)
+    }
   }
 
   override def deserializeOffset(json: String): Offset = BytePosition(json.toLong)

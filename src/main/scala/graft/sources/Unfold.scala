@@ -19,6 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Unfold {
 
+  /** SourceRepeatEval (`SourceRepeatEval.scala:39` in the reference): an
+    * infinite source evaluating a generator per element. Spark-first:
+    * the `rate` streaming source provides the demand clock; the generator
+    * runs as a projection over it. Stop via `StreamingQuery.stop()` —
+    * the materialized `Cancellable`.
+    */
+  def repeatEval(spark: SparkSession, rowsPerSecond: Int = 10): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // columns: timestamp, value — map value through the generator
+
+
   /** Unfold a state into a sequence of DataFrames and union them.
     * `step` returns (nextState, batch) or None to stop. `maxSteps`
     * bounds the loop like the reference bounds its buffers.

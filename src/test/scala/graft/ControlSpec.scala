@@ -1,0 +1,110 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Control, FeedbackLoop, Timed}
+
+class ControlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FeedbackLoop.iterate drains the feedback arc (collatz-ish)") {
+    // feedback: halve even numbers until all odd; emit odds each round
+    val init = Seq(8, 5, 12).toDF("n")
+    val out = FeedbackLoop.iterate(init, maxRounds = 10) { fb =>
+      (fb.filter(col("n") % 2 === 1), fb.filter(col("n") % 2 === 0).select((col("n") / 2).cast("int").as("n")))
+    }
+    assert(out.as[Int].collect().sorted.toSeq == Seq(1, 3, 5))
+  }
+
+  test("FeedbackLoop.iterate fails on overflow when asked") {
+    val init = Seq(1).toDF("n")
+    intercept[IllegalStateException] {
+      FeedbackLoop.iterate(init, maxRounds = 2, failOnOverflow = true) { fb =>
+        (fb.limit(0), fb) // never drains
+      }
+    }
+  }
+
+  test("FileTailSource admission control caps bytes per trigger") {
+    val dir = Files.createTempDirectory("tailac").toFile
+    val f = new File(dir, "x.bin")
+    Files.write(f.toPath, Array.fill[Byte](100)(1))
+    val stream = spark.readStream.format("graft.sources.FileTailSource")
+      .option("path", f.getAbsolutePath)
+      .option("maxChunkSize", "10")
+      .option("maxChunksPerTrigger", "3") // ≤30 bytes per batch
+      .load()
+    val qn = "tail_ac"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      def bytes(): Long = spark.table(qn)
+        .agg(coalesce(sum(length(col("data"))), lit(0L))).as[Long].head()
+      val deadline = System.currentTimeMillis() + 15000
+      while (bytes() < 100 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(bytes() == 100)
+      // at least 4 triggers were needed (100 bytes / 30-byte admissions)
+      assert(spark.table(qn).count() == 10) // 10-byte chunks
+    } finally q.stop()
+  }
+
+  test("Valve pauses and resumes a streaming query") {
+    val dir = Files.createTempDirectory("valve").toFile
+    val f = new File(dir, "v.bin")
+    Files.write(f.toPath, "abc".getBytes)
+    val qn = "valve_out"
+    val valve = new Control.Valve(() =>
+      spark.readStream.format("graft.sources.FileTailSource")
+        .option("path", f.getAbsolutePath).load()
+        .writeStream.format("memory").queryName(qn)
+        .trigger(Trigger.ProcessingTime(25)).start())
+    assert(valve.mode == "closed")
+    val q = valve.flipOpen()
+    assert(valve.mode == "open")
+    q.processAllAvailable()
+    assert(spark.table(qn).count() > 0)
+    valve.flipClosed()
+    assert(valve.mode == "closed" && !q.isActive)
+  }
+
+  test("DelayStrategy: linear backoff grows on failure and resets on success") {
+    val d = new Control.LinearIncreasingDelay(stepMs = 10, maxMs = 25)
+    assert(d.nextDelayMs(failed = true) == 10)
+    assert(d.nextDelayMs(failed = true) == 20)
+    assert(d.nextDelayMs(failed = true) == 25) // capped
+    assert(d.nextDelayMs(failed = false) == 0) // reset
+  }
+
+  test("observe metrics + TimingListener capture counts and wall time") {
+    val listener = Timed.withTimingListener(spark)
+    val df = Timed.observed(Seq(1, 2, 3).toDF("i"), "m",
+      Seq(count(lit(1)).as("rows"), sum(col("i")).as("total")))
+    df.collect()
+    val obs = df.queryExecution.observedMetrics("m")
+    assert(obs.getAs[Long]("rows") == 3 && obs.getAs[Long]("total") == 6)
+    assert(listener.timings.nonEmpty)
+  }
+
+  test("repeatEval generates elements from the rate clock") {
+    val gen = udf(() => "gen")
+    val df = graft.sources.Unfold.repeatEval(spark, rowsPerSecond = 100)
+      .withColumn("g", gen())
+    val qn = "repeat_out"
+    val q = df.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table(qn).count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(spark.table(qn).count() >= 5)
+      assert(spark.table(qn).select("g").distinct().as[String].head() == "gen")
+    } finally q.stop()
+  }
+}
