@@ -18,9 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM + codegen warmup on the smallest SF so the measured numbers
-    // reflect steady-state execution, not first-query class loading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JVM + whole-stage-codegen warmup: run every headline query once at
+    // the smallest SF so measured numbers reflect steady-state execution
+    // (first use of each plan shape pays one-time janino compilation).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -40,15 +40,14 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = numBands * rowsPerBand
-    // Aggregation-form MinHash: explode distinct shingles once, then one
-    // partial+final hash aggregate computing all k minima. Each md5 is
-    // evaluated exactly once per (shingle, salt) — the single-projection
-    // array form looks tidier but Catalyst's project collapsing inlines
-    // the shingle array into every lambda, recomputing it k*bands times.
-    // Docs with fewer than shingleN tokens drop out at the explode (no
-    // signature, no candidates), mirroring the oracle's len(shingles)>=1.
-    val sh = docs.select(id.as("doc_id"),
-      explode(array_distinct(TextFunctions.shingles(text, shingleN))).as("sh"))
+    // Aggregation-form MinHash: row-form shingles (codegen'd posexplode +
+    // lead, see TextFunctions.explodedShingles), then one partial+final
+    // hash aggregate computing all k minima — each md5 evaluated exactly
+    // once per (shingle, salt). Duplicate shingles don't affect min, so
+    // no distinct pass is needed. Docs with fewer than shingleN tokens
+    // drop out (no signature, no candidates), mirroring the oracle's
+    // len(shingles) >= 1 guard.
+    val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -88,8 +87,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(id.as("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(text, shingleN))).as("sh"))
+    val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
+      .dropDuplicates("doc_id", "sh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))

@@ -32,6 +32,26 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Row-form shingles: (doc_id, sh) with one row per n-gram — the hot-path
+    * form for dedup operators. `shingles` (the array form) evaluates its
+    * lambdas interpreted (HOFs are CodegenFallback), which dominates at
+    * scale; this form is posexplode + window `lead`, fully codegen'd.
+    * The window's shuffle is on doc_id — the same key the downstream
+    * signature aggregation needs, so Catalyst elides the second exchange:
+    * one shuffle total.
+    */
+  def explodedShingles(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"__t$j"))
+    val withLeads = tok.select((Seq(col("doc_id"), col("tok")) ++ leadCols): _*)
+    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"__t$j"))): _*).as("sh"))
+  }
+
   /** Language-ID heuristic: score each candidate language by its stopword
     * hit count in the token stream; highest count wins (ties broken by
     * language code). N-gram/stopword heuristics are the standard cheap
@@ -85,8 +105,10 @@ object TextFunctions {
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — canonical exact-dedup key (differences in spacing/case do not
-    * change the fingerprint).
+    * change the fingerprint). Implemented as a regex collapse rather than
+    * tokenize-and-join: identical output string, but pure codegen'd
+    * expressions instead of an interpreted HOF filter.
     */
   def fingerprint(text: Column): Column =
-    md5(array_join(tokens(lower(text)), " "))
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 }
