@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, MinHashSignature, TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -40,26 +40,39 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = numBands * rowsPerBand
-    // Aggregation-form MinHash: row-form shingles (codegen'd posexplode +
-    // lead, see TextFunctions.explodedShingles), then one partial+final
-    // hash aggregate computing all k minima — each md5 evaluated exactly
-    // once per (shingle, salt). Duplicate shingles don't affect min, so
-    // no distinct pass is needed. Docs with fewer than shingleN tokens
-    // drop out (no signature, no candidates), mirroring the oracle's
-    // len(shingles) >= 1 guard.
-    val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // Map-side MinHash: the native MinHashSignature expression computes
+    // all k salted-md5 minima per document inside the scan stage — no
+    // shingle explode, no pre-band shuffle. Docs with fewer than shingleN
+    // tokens get a NULL signature and drop out (no candidates), mirroring
+    // the oracle's len(shingles) >= 1 guard. The only shuffle in this
+    // operator is the (band_key, doc_id) LSH join itself.
+    val sig = docs.select(id.as("doc_id"),
+      MinHashSignature(text, shingleN, k).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
       concat_ws("|", (lit(b.toString) +: parts): _*)
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Bucket form instead of a self-join: ONE shuffle on band_key, then
+    // pairs generated inside each bucket (posexplode + suffix slice). The
+    // a.band_key = b.band_key self-join computes the signature scan twice
+    // (once per join side) and shuffles both; this computes it once.
+    // Within a bucket each doc appears at most once (band index is part
+    // of the key), so the suffix slice enumerates each unordered pair
+    // exactly once per shared band; distinct() dedups across bands.
+    // Skew note (100 TB): a band shared by m near-identical docs yields
+    // m²/2 pairs in both forms — cap with maxBucket to bound the worst
+    // bucket (standard LSH practice; None preserves exact semantics).
+    val buckets = banded.groupBy(col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
+      .select(col("id_x"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
   }
 

@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{MinHashSignature, TextFunctions}
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -16,10 +16,13 @@ object Prof {
       println(f"$n%-30s ${(System.nanoTime()-t0)/1e9}%.2f s  (rows=$r)")
     }
     time("warmup")(docs.count())
-    time("fingerprint proj")(docs.select(TextFunctions.fingerprint(col("text")).as("f")).count())
-    time("group only")(docs.groupBy(TextFunctions.fingerprint(col("text")).as("f")).agg(count(lit(1))).count())
-    time("p01 full (with orderBy)")(graft.SparkEntry.queries("p01_dedup_exact")(spark, d).count())
-    time("p01 again")(graft.SparkEntry.queries("p01_dedup_exact")(spark, d).count())
+    val sig = docs.select(col("doc_id"), MinHashSignature(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+    time("signature only")(sig.count())
+    time("signature only (again)")(sig.count())
+    time("tokenize only")(docs.select(TextFunctions.tokenCount(col("text")).as("n")).agg(sum("n")).count())
+    time("p05 full")(graft.SparkEntry.queries("p05_minhash_pairs")(spark, d).count())
+    time("p05 again")(graft.SparkEntry.queries("p05_minhash_pairs")(spark, d).count())
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{MinHashSignature, TextFunctions, VectorFunctions}
 
 class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -34,6 +34,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(toks(0) == Seq("a", "b", "c"))
     val sh = df.select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()
     assert(sh(0) == Seq("a b c") && sh(1).isEmpty)
+  }
+
+  test("native MinHashSignature matches the explode+min-aggregate form") {
+    val n = 3; val k = 8
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+    // Compositional reference: explode shingles, aggregate k salted minima.
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), n)).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+    val expected = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val native = docs.select(col("doc_id"),
+      MinHashSignature(col("text"), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
+    assert(native.count() == expected.count())
+    assert(native.exceptAll(expected).count() == 0)
+  }
+
+  test("MinHashSignature is NULL for docs shorter than n tokens") {
+    val df = Seq(("a b", 1), ("a b c d", 2)).toDF("t", "id")
+    val r = df.select(col("id"), MinHashSignature(col("t"), 3, 4).as("s"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1) && !r(1).isNullAt(1))
+    assert(r(1).getSeq[String](1).length == 4)
   }
 
   test("langId picks the language with most stopword hits") {
