@@ -16,9 +16,13 @@ import graft.Tables
   *  - counts / row_number are BIGINT on both sides;
   *  - every query has a total-order ORDER BY for deterministic output.
   *
-  * Scale notes: dimension sides of joins are explicitly `broadcast(...)`;
-  * aggregates rely on Catalyst's partial aggregation; top-k compiles to
-  * TakeOrderedAndProject (no global sort materialization).
+  * Scale notes: join sides that are bounded regardless of scale factor
+  * (nation = 25 rows, literal bucket tables, per-nation aggregates) are
+  * explicitly `broadcast(...)`; sides that grow with the data (customer,
+  * orders) are NOT hinted — AQE's runtime statistics pick broadcast at
+  * small SF and shuffle join at scale. Aggregates rely on Catalyst's
+  * partial aggregation; top-k compiles to TakeOrderedAndProject (no
+  * global sort materialization).
   */
 object Relational {
 
@@ -55,7 +59,8 @@ object Relational {
     ("q03_revenue_by_segment", (s, d) => {
       val c = Tables.customer(s, d); val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF — no broadcast hint; AQE decides.
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))

@@ -7,7 +7,7 @@ import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers:
+  * Three tiers:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *    Queries are broadcast (they are the small side by construction), so
   *    the scan side never shuffles: score + per-query top-k heap
@@ -16,6 +16,9 @@ import graft.functions.VectorFunctions
   *    candidates only from the query's bucket, turning the 100 TB scan
   *    into a bucket-pruned scan. Recall/bits tradeoff documented at the
   *    call site.
+  *  - `ivfTopK`: inverted-file index — coarse-quantize the corpus to
+  *    centroids once, probe `nprobe` lists per query. The scale path when
+  *    bucket skew or recall targets rule out pure sign-LSH.
   */
 object SimilaritySearch {
 
@@ -29,6 +32,48 @@ object SimilaritySearch {
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF-style top-k (inverted-file ANN): a coarse quantizer assigns every
+    * corpus vector to its nearest centroid in ONE broadcast pass (argmax
+    * is a map-side struct-max aggregate, so the shuffle moves one row per
+    * vector); each query probes its `nprobe` nearest centroids and scores
+    * only the vectors assigned to them. Centroids here are a deterministic
+    * corpus sample (`id % centroidStride == 0`) — the IVF structure is the
+    * point, not the quantizer training; swap in k-means centroids without
+    * touching the dataflow. At 100 TB the assignment is a single narrow
+    * scan and the search touches ~nprobe/nCentroids of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
+    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val cent = corpus.select(corpusId.as("centroid_id"), corpusVec.as("centv"))
+      .filter(corpusId % centroidStride === 0)
+    // Coarse assignment: argmax cosine over centroids via max(struct) —
+    // ties break to the smallest centroid_id (negated id in the struct),
+    // matching ORDER BY cos DESC, centroid_id in the oracle.
+    val asg = e.join(broadcast(cent))
+      .withColumn("ccos", round(VectorFunctions.cosine(col("cv"), col("centv")), 6))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cv")).as("cv"), // functionally dependent on the key
+        max(struct(col("ccos").as("c"), (lit(0L) - col("centroid_id")).as("nc"))).as("m"))
+      .select(col("neighbor_id"), col("cv"), (lit(0L) - col("m.nc")).as("centroid_id"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val probes = q.join(broadcast(cent))
+      .withColumn("ccos", round(VectorFunctions.cosine(col("qv"), col("centv")), 6))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = asg.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

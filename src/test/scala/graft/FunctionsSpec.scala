@@ -61,6 +61,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).getSeq[String](1).length == 4)
   }
 
+  test("ivfTopK never beats brute force and keeps contiguous ranks") {
+    import graft.similarity.SimilaritySearch
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = SimilaritySearch.ivfTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, centroidStride = 25, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("cos").as("ivf_cos"))
+    val bf = SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3)
+      .select(col("query_id"), col("rank"), col("cos").as("bf_cos"))
+    val j = ivf.join(bf, Seq("query_id", "rank")).collect()
+    assert(j.nonEmpty)
+    // At each rank, the approximate neighbor can't score above the exact one.
+    assert(j.forall(r => r.getAs[Double]("ivf_cos") <= r.getAs[Double]("bf_cos") + 1e-9))
+    val ranks = ivf.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select(col("rs")).as[Seq[Long]].collect()
+    assert(ranks.forall(rs => rs.sorted == (1L to rs.length)))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(Tuple1("the quick fox and the lazy dog of doom")).toDF("t")
     assert(df.select(TextFunctions.langId(col("t"))).as[String].head() == "en")
