@@ -75,6 +75,28 @@ object Extended {
                     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       WHERE a.vec_id < 100
-      ORDER BY id_a"""))
+      ORDER BY id_a""")),
+
+    // hot-key skew path: salted join + salted two-phase aggregation;
+    // semantics identical to the plain forms (the oracle is plain SQL)
+    ("q36_salted_revenue", (s, d) => {
+      import graft.operators.Skew
+      import graft.operators.Skew.SaltedAgg
+      // saltedJoin joins USING(key): align the key name across both sides.
+      val li = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
+      val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
+      Skew.saltedAgg(
+        Skew.saltedJoin(li, o.select(col("okey"), col("o_orderpriority")), Seq("okey"), salts = 8),
+        Seq("o_orderpriority"), salts = 8,
+        Seq(SaltedAgg.Sum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+          SaltedAgg.Count("n_items")))
+        .select(col("o_orderpriority"), round(col("revenue"), 2).as("revenue"), col("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -20,6 +20,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == expected.toSeq)
   }
 
+  test("saltedJoin equals the plain join for all supported join types") {
+    val probe = (1 to 500).map(i => (i % 7, i)).toDF("k", "pv")
+    val build = (0 to 4).map(i => (i, s"b$i")).toDF("k", "bv")
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val plain = probe.join(build, Seq("k"), jt)
+      val salted = Skew.saltedJoin(probe, build, Seq("k"), salts = 4, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, jt)
+      assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0, jt)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, Seq("k"), 4, "full_outer")
+    }
+  }
+
+  test("saltedAgg equals the plain aggregation") {
+    import Skew.SaltedAgg._
+    val df = (1 to 1000).map(i => (i % 3, i.toLong, i % 17)).toDF("k", "v", "g")
+    val salted = Skew.saltedAgg(df, Seq("k"), salts = 8, Seq(
+      Sum(col("v"), "sv"), Count("n"), Min(col("v"), "mn"),
+      Max(col("v"), "mx"), CollectSet(col("g"), "gs")))
+      .withColumn("gs", array_sort(col("gs")))
+    val plain = df.groupBy("k").agg(
+      sum("v").as("sv"), count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx"), array_sort(collect_set("g")).as("gs"))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("Sample.everyNth picks exactly rows n, 2n, ...") {
     val df = (1 to 100).map(i => Tuple1(i)).toDF("i")
     val got = Sample.everyNth(df, 10, Seq(col("i"))).select("i").as[Int].collect().sorted
