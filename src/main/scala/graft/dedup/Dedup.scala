@@ -94,6 +94,38 @@ object Dedup {
     sums.select(col("doc_id"), code.as("simhash"))
   }
 
+  /** SimHash near-duplicate candidate pairs: split each `bits`-bit code
+    * into `bands` equal bit-bands; docs sharing any band are candidates,
+    * kept when true hamming distance <= maxDist. Pigeonhole guarantee:
+    * with 4 bands over 16 bits, any pair within hamming 3 shares at least
+    * one untouched band, so recall at maxDist <= bands-1 is exact.
+    * Same one-shuffle bucket form as [[minhashCandidates]].
+    */
+  def simhashCandidates(docs: DataFrame, id: Column, text: Column,
+                        bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val codes = simhash(docs, id, text, bits)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).cast("string"))
+    }
+    val banded = codes.select(col("doc_id"), col("simhash"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val buckets = banded.groupBy(col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+      .select(col("x"), explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct shingles. Used to verify LSH
     * candidates; never run on the full cross product.
