@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale claims of COVERAGE.md, pinned so
+  * a refactor that silently breaks pushdown, pruning, or the one-shuffle
+  * dedup shape fails CI rather than a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  private def countExchanges(p: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p).length
+
+  test("q01 prunes the lineitem scan to the 5 needed columns") {
+    val scanCols = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+      }.head
+    assert(scanCols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"), s"scan reads: $scanCols")
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity".r.findFirstIn(p).isDefined,
+      s"quantity filter not pushed: $p")
+  }
+
+  test("q02 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q02_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q12 broadcasts its bounded side") {
+    val p = plan("q12_range_join")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("q01 aggregates with exactly one exchange (partial+final agg)") {
+    // groupBy → partial agg, one hash exchange, final agg; orderBy adds a
+    // range exchange. Anything more means partial aggregation broke.
+    val p = plan("q01_pricing_summary")
+    assert(countExchanges(p) == 2, s"expected agg+sort exchanges only:\n$p")
+  }
+
+  test("p05 minhash computes signatures map-side: no exchange before the first aggregate") {
+    val p = plan("p05_minhash_pairs")
+    // band groupBy + distinct + orderBy = 3 exchanges; the signature
+    // itself must not add one (no shingle explode shuffle).
+    assert(countExchanges(p) <= 3, s"extra shuffle in minhash plan:\n$p")
+    assert(!p.contains("Window"), s"minhash should not need a window:\n$p")
+  }
+
+  test("whole-stage codegen covers the dedup hot path") {
+    // AQE only reveals codegen stages in the final plan — execute first.
+    val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
+    df.collect() // count() would plan a different query; collect runs THIS one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    // "*(n) HashAggregate" markers = inside a WholeStageCodegen stage.
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      s"aggregation not codegen'd:\n$p")
+  }
+}
