@@ -26,7 +26,16 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
     ("q31_streaming_dedup",
       (s, d) => graft.streaming.StreamingQueries.exactDedup(s, d),
-      PipelineQueries.defs.find(_._1 == "p01_dedup_exact").flatMap(_._3)))
+      PipelineQueries.defs.find(_._1 == "p01_dedup_exact").flatMap(_._3)),
+    ("q37_stream_stream_join",
+      (s, d) => graft.streaming.StreamingQueries.clickToPurchase(s, d),
+      Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY 1, 2, 3""")))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++

@@ -69,6 +69,31 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Watermarked stream-stream inner join: each click joined to the same
+    * user's purchases within the following hour. Both sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark can expire join state — the requirement that
+    * makes stream-stream joins runnable on unbounded input. Oracle: the
+    * identical interval join as batch SQL.
+    */
+  def clickToPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("user_id") === col("b_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    runToMemory(joined, mode = "append")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** p01's exact-dedup grouping, executed via Structured Streaming. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
