@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature}
 
 /** Session extensions registering graft's native expressions for SQL.
   *
@@ -16,6 +16,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
+    e.injectFunction(GraftExtensions.minhashFunction)
   }
 }
 
@@ -31,8 +32,27 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_similarity"),
     cosineBuilder)
 
+  private val minhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "minhash_signature(text, n, k) takes 3 arguments (n, k integer literals)")
+    def lit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_signature: $what must be an integer literal, got $other")
+    }
+    MinHashSignature(exprs.head, lit(exprs(1), "n"), lit(exprs(2), "k"))
+  }
+
+  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "minhash_signature"),
+    minhashBuilder)
+
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", minhashBuilder, "built-in")
+  }
 }

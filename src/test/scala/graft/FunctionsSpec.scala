@@ -53,6 +53,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.exceptAll(expected).count() == 0)
   }
 
+  test("minhash_signature is callable from SQL") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, TestSpark.sf).limit(50).createOrReplaceTempView("docs_mh")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_signature(text, 3, 8) AS sig FROM docs_mh WHERE text IS NOT NULL")
+    val viaApi = Tables.documents(spark, TestSpark.sf).limit(50)
+      .select(col("doc_id"), MinHashSignature(col("text"), 3, 8).as("sig"))
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+  }
+
   test("MinHashSignature is NULL for docs shorter than n tokens") {
     val df = Seq(("a b", 1), ("a b c d", 2)).toDF("t", "id")
     val r = df.select(col("id"), MinHashSignature(col("t"), 3, 4).as("s"))
