@@ -52,6 +52,58 @@ object Multimodal {
       FakeCodec.frames(n).as("n_frames"))
   }
 
+  /** Typed record for the per-partition decode path. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Float])
+
+  /** Number of per-partition codec initializations since JVM start —
+    * exposed so tests can pin the amortization contract.
+    */
+  val codecInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-partition batched feature extraction — the `mapInPandas` shape
+    * in Scala: real decoders (JNI/native codecs) are expensive to
+    * initialize, so the kernel is constructed ONCE PER PARTITION and
+    * streamed over the rows, never re-created per row. The decode itself
+    * is the stub (a normalized byte histogram standing in for an image
+    * embedding); the partitioning, batch iteration, typed output schema,
+    * and init amortization are the real 100 TB plumbing. Output feeds
+    * directly into graft.similarity (an Array[Float] feature column).
+    */
+  def extractFeatures(df: DataFrame, id: Column, payload: Column,
+                      dim: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(id.cast("long").as("media_id"), payload.cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one codec per partition — swap for the real native decoder init
+        codecInits.incrementAndGet()
+        val codec = new FakeFeatureCodec(dim)
+        rows.map { case (mid, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          MediaFeatures(mid, b.length.toLong, codec.decode(b))
+        }
+      }
+      .toDF()
+  }
+
+  /** Stub feature codec: normalized histogram of byte values folded into
+    * `dim` buckets — deterministic, allocation-light, and shaped like a
+    * real embedding kernel (state held across rows, fixed-dim output).
+    */
+  final class FakeFeatureCodec(dim: Int) {
+    private val counts = new Array[Int](dim) // reused across rows
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      java.util.Arrays.fill(counts, 0)
+      var i = 0
+      while (i < bytes.length) { counts((bytes(i) & 0xff) % dim) += 1; i += 1 }
+      val n = math.max(bytes.length, 1).toFloat
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = counts(i) / n; i += 1 }
+      out
+    }
+  }
+
   /** Frame sampling plumbing: explode a video payload into `n` evenly
     * spaced frame records. The frame extraction itself is the stub
     * (slices of the payload bytes); the Spark-side shape — one row per

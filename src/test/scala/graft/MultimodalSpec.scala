@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("extractFeatures keeps one row per record with a fixed-dim unit-sum vector") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(100)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(docs, col("doc_id"), col("payload"), dim = 16)
+    assert(feats.columns.toSeq == Seq("media_id", "n_bytes", "features"))
+    assert(feats.count() == docs.count())
+    val rows = feats.as[(Long, Long, Array[Float])].collect()
+    assert(rows.forall(_._3.length == 16))
+    // histogram of a non-empty payload is a probability vector
+    assert(rows.filter(_._2 > 0).forall(r => math.abs(r._3.sum - 1.0f) < 1e-3))
+  }
+
+  test("extractFeatures initializes the codec once per partition, not per row") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(4)
+    Multimodal.codecInits.set(0)
+    Multimodal.extractFeatures(docs, col("doc_id"), col("payload")).count()
+    val inits = Multimodal.codecInits.get()
+    assert(inits <= 8, s"codec constructed $inits times for 4 partitions") // AQE may retry/split
+    assert(inits >= 1)
+  }
+
+  test("extractFeatures output feeds the similarity operators") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(docs, col("doc_id"), col("payload"))
+    val topk = graft.similarity.SimilaritySearch.bruteForceTopK(
+      feats, col("media_id"), col("features"),
+      feats.filter(col("media_id") < 3), col("media_id"), col("features"), k = 2)
+    val got = topk.collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Long]("rank") <= 2))
+  }
+
+  test("sampleFrames emits bounded, indexed frame rows") {
+    val df = Seq((1L, Array.fill[Byte](100)(7)), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, col("media_id"), col("payload"), maxFrames = 3)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("frame_idx").as("mx")).collect().map(r =>
+      r.getAs[Long]("media_id") -> (r.getAs[Long]("n"), r.getAs[Int]("mx"))).toMap
+    assert(byId(1L)._1 == 1L) // 100 % 10 + 1 = 1 frame
+    assert(byId(2L)._1 == 1L) // empty payload still yields 1 (index 0) frame
+    assert(frames.filter(col("frame_idx") < 0).count() == 0)
+  }
+}
