@@ -20,6 +20,24 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization regex (GPT-2 family): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. Lookahead-free so the same pattern runs under Java regex
+    * (Spark) and RE2 (DuckDB oracle) with identical matches.
+    */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** LLM-style token segmentation: the regex pre-tokenizer's pieces.
+    * (The merge step of real BPE is vocabulary-dependent; piece counts
+    * from the pre-tokenizer are the standard cheap proxy for token
+    * budgeting at corpus scale.)
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Word n-gram shingles: join every n consecutive tokens with a space.
     * Documents shorter than n tokens produce an empty shingle set (the
     * guard also avoids `sequence(1, 0)` which Spark rejects).

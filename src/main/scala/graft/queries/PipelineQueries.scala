@@ -335,6 +335,25 @@ object PipelineQueries {
         ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
       WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
       ORDER BY 1, 2"""
+    }),
+
+    ("p14_bpe_tokens", (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          size(array_distinct(TextFunctions.bpeTokens(col("text")))).cast("long")
+            .as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      // DuckDB single-quoted strings take backslashes literally; only
+      // the quote chars of the contraction alternatives need doubling.
+      val pat = TextFunctions.bpePattern.replace("'", "''")
+      s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+             CAST(len(list_distinct(regexp_extract_all(text, '$pat')))
+                  AS BIGINT) AS n_distinct
+      FROM documents ORDER BY doc_id"""
     })
   )
 }

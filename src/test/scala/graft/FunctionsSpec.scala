@@ -95,6 +95,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(TextFunctions.langId(col("t"))).as[String].head() == "en")
   }
 
+  test("bpeTokens segments contractions, words, digits, punct, spaces") {
+    val df = Seq(Tuple1("I'll pay 42 dollars, ok?")).toDF("t")
+    val toks = df.select(TextFunctions.bpeTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("I", "'ll", " pay", " 42", " dollars", ",", " ok", "?"))
+    assert(toks.mkString == "I'll pay 42 dollars, ok?") // lossless segmentation
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
     val r = df.select((TextFunctions.fingerprint(col("a")) ===
