@@ -94,6 +94,33 @@ object Dedup {
     sums.select(col("doc_id"), code.as("simhash"))
   }
 
+  /** Winnowing document fingerprints (rolling-hash selection): hash every
+    * word `shingleN`-gram, slide a `window`-wide frame over the hash
+    * sequence, keep each full window's minimum — the classic guarantee
+    * that any shared run of window+shingleN-1 tokens between two
+    * documents yields at least one shared fingerprint. One shuffle: the
+    * n-gram window, the selection frame, and the dedup all key on doc_id.
+    */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         shingleN: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(id.as("doc_id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until shingleN).map(j => lead(col("tok"), j).over(wOrd).as(s"__t$j"))
+    val sh = tok.select((Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
+      .filter(col(s"__t${shingleN - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (col("tok") +: (1 until shingleN).map(j => col(s"__t$j"))): _*)).as("h"))
+    val frame = wOrd.rowsBetween(Window.currentRow, window - 1)
+    sh.select(col("doc_id"),
+        min(col("h")).over(frame).as("fingerprint"),
+        count(lit(1)).over(frame).as("__cnt"))
+      .filter(col("__cnt") === window)
+      .select(col("doc_id"), col("fingerprint"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate candidate pairs: split each `bits`-bit code
     * into `bands` equal bit-bands; docs sharing any band are candidates,
     * kept when true hamming distance <= maxDist. Pigeonhole guarantee:

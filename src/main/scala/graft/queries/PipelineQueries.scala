@@ -354,6 +354,25 @@ object PipelineQueries {
              CAST(len(list_distinct(regexp_extract_all(text, '$pat')))
                   AS BIGINT) AS n_distinct
       FROM documents ORDER BY doc_id"""
-    })
+    }),
+
+    ("p15_winnow_fingerprints", (s, d) => {
+      Dedup.winnowFingerprints(Tables.documents(s, d), col("doc_id"), col("text"),
+          shingleN = 3, window = 4)
+        .orderBy(col("doc_id"), col("fingerprint"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      s0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> {'pos': i, 'sh': array_to_string(toks[i:i+2], ' ')})) AS u
+             FROM t WHERE len(toks) >= 3),
+      h AS (SELECT doc_id, u.pos AS pos, md5(u.sh) AS h FROM s0),
+      m AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+              count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+            FROM h)
+      SELECT DISTINCT doc_id, fingerprint FROM m WHERE cnt = 4
+      ORDER BY doc_id, fingerprint"""))
   )
 }

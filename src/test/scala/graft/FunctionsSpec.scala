@@ -102,6 +102,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(toks.mkString == "I'll pay 42 dollars, ok?") // lossless segmentation
   }
 
+  test("winnowing guarantees a shared fingerprint for a shared token run") {
+    import graft.dedup.Dedup
+    // window=4, shingleN=3 → any shared run of 6+ tokens must collide.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"unique one two three $shared"),
+      (2L, s"$shared other words entirely here now")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(df, col("doc_id"), col("text"), 3, 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
     val r = df.select((TextFunctions.fingerprint(col("a")) ===
