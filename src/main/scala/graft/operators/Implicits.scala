@@ -74,5 +74,35 @@ object Implicits {
 
     def observed(name: String, metrics: Column*): DataFrame =
       Timed.observed(df, name, metrics)
+
+    // — skew mitigation —
+
+    def saltedJoin(build: DataFrame, keys: Seq[String], salts: Int,
+                   joinType: String = "inner"): DataFrame =
+      Skew.saltedJoin(df, build, keys, salts, joinType)
+
+    def saltedAgg(keys: Seq[String], salts: Int,
+                  aggs: Seq[Skew.SaltedAgg]): DataFrame =
+      Skew.saltedAgg(df, keys, salts, aggs)
+
+    // — training-data pipeline vocabulary —
+
+    def dropExactDuplicates(id: Column, text: Column): DataFrame =
+      graft.dedup.Dedup.dropExactDuplicates(df, id, text)
+
+    def minhashCandidates(id: Column, text: Column, shingleN: Int = 3,
+                          numBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+      graft.dedup.Dedup.minhashCandidates(df, id, text, shingleN, numBands, rowsPerBand)
+
+    def simhashCandidates(id: Column, text: Column, bits: Int = 16,
+                          bands: Int = 4, maxDist: Int = 3): DataFrame =
+      graft.dedup.Dedup.simhashCandidates(df, id, text, bits, bands, maxDist)
+
+    def winnowFingerprints(id: Column, text: Column, shingleN: Int = 3,
+                           window: Int = 4): DataFrame =
+      graft.dedup.Dedup.winnowFingerprints(df, id, text, shingleN, window)
+
+    def extractMediaFeatures(id: Column, payload: Column, dim: Int = 16): DataFrame =
+      graft.multimodal.Multimodal.extractFeatures(df, id, payload, dim)
   }
 }

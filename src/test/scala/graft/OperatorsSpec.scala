@@ -20,6 +20,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == expected.toSeq)
   }
 
+  test("the DSL exposes the pipeline vocabulary end-to-end") {
+    import graft.operators.Implicits._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(100)
+    assert(docs.dropExactDuplicates(col("doc_id"), col("text")).count() > 0)
+    assert(docs.winnowFingerprints(col("doc_id"), col("text")).count() > 0)
+    assert(docs.extractMediaFeatures(col("doc_id"), col("text").cast("binary"))
+      .count() == docs.count())
+    val probe = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
+    val build = (0 to 4).map(i => (i, s"b$i")).toDF("k", "b")
+    assert(probe.saltedJoin(build, Seq("k"), 4).count() == 100)
+  }
+
   test("saltedJoin equals the plain join for all supported join types") {
     val probe = (1 to 500).map(i => (i % 7, i)).toDF("k", "pv")
     val build = (0 to 4).map(i => (i, s"b$i")).toDF("k", "bv")
