@@ -33,6 +33,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful ops run unchanged on the RocksDB state store (scale path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.streaming.StreamingConfig.scaleState(spark)
+    try {
+      val input = MemoryStream[KeyedElement]
+      val out = StatefulOps.accumulateWhileUnchanged(input.toDS())
+      val q = out.writeStream.format("memory").queryName("awu_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(KeyedElement(1, 1, "a", 1.0), KeyedElement(1, 2, "a", 2.0))
+        q.processAllAvailable()
+        input.addData(KeyedElement(1, 3, "b", 3.0))
+        q.processAllAvailable()
+        val flushed = spark.table("awu_rocks").as[StatefulOps.UnchangedGroup].collect()
+        assert(flushed.toSeq == Seq(StatefulOps.UnchangedGroup(1, "a", 2, 1, 2, 3.0)))
+        // prove the query really used RocksDB, not the default provider
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        val mem = q.lastProgress.stateOperators(0).customMetrics
+        assert(mem.containsKey("rocksdbSstFileSize") || mem.containsKey("rocksdbTotalMemoryUsage"),
+          s"no rocksdb metrics: ${mem.keySet()}")
+      } finally q.stop()
+    } finally graft.streaming.StreamingConfig.defaultState(spark)
+  }
+
   test("streaming accumulateWhileUnchanged caps runs at maxElements") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
