@@ -20,6 +20,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == expected.toSeq)
   }
 
+  test("partitioned parquet sink prunes, bounds files, and round-trips") {
+    import graft.sources.Sinks
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+    Sinks.writePartitionedParquet(docs, out, Seq("lang"),
+      maxRecordsPerFile = 50, sortCols = Seq(col("doc_id")))
+    // hive-style partition dirs exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("lang=")) && dirs.nonEmpty)
+    // file size bound respected
+    val files = dirs.flatMap(d => new java.io.File(s"$out/$d").listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 50, s"${f.getName} has $n rows")
+    }
+    // round-trip equality and partition pruning on read
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "lang filter did not become a partition filter")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("the DSL exposes the pipeline vocabulary end-to-end") {
     import graft.operators.Implicits._
     val docs = Tables.documents(spark, TestSpark.sf).limit(100)
