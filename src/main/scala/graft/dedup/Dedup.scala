@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFunctions, MinHashSignature, TextFunctions, VectorFunctions}
+import graft.functions.{MinHashSignature, SimHash, TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -78,21 +78,14 @@ object Dedup {
 
   /** SimHash code (16-bit, from md5 nibbles of each token): per bit b, the
     * sign of sum over tokens of (2*bit_b(md5(token)) - 1). Returned as a
-    * BIGINT code; equal codes = near-duplicate candidates.
+    * BIGINT code; equal codes = near-duplicate candidates. Computed
+    * map-side by the native [[SimHash]] expression — no per-token rows
+    * (see its scaladoc for the scale argument); docs with no tokens drop
+    * out, matching the explode+aggregate form.
     */
-  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
-    val tok = docs.select(id.as("doc_id"), explode(TextFunctions.tokens(lower(text))).as("tok"))
-    val bitCols = (0 until bits).map { bIdx =>
-      val nib = HashFunctions.md5Nibble(col("tok"), bIdx / 4 + 1)
-      val bit = HashFunctions.nibbleBit(nib, bIdx % 4)
-      sum(bit * 2 - 1).as(s"__s$bIdx")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val code = (0 until bits).map { bIdx =>
-      when(col(s"__s$bIdx") >= 0, lit(1L << bIdx)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), code.as("simhash"))
-  }
+  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame =
+    docs.select(id.as("doc_id"), SimHash(text, bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Winnowing document fingerprints (rolling-hash selection): hash every
     * word `shingleN`-gram, slide a `window`-wide frame over the hash

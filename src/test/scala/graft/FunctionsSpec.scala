@@ -53,6 +53,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.exceptAll(expected).count() == 0)
   }
 
+  test("native SimHash matches the explode+sum-aggregate form") {
+    import graft.functions.{HashFunctions, SimHash}
+    val bits = 16
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+    val bitCols = (0 until bits).map { b =>
+      val nib = HashFunctions.md5Nibble(col("tok"), b / 4 + 1)
+      sum(HashFunctions.nibbleBit(nib, b % 4) * 2 - 1).as(s"__s$b")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val code = (0 until bits).map { b =>
+      when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expected = sums.select(col("doc_id"), code.as("simhash"))
+    val native = docs.select(col("doc_id"), SimHash(col("text"), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    assert(native.count() == expected.count())
+    assert(native.exceptAll(expected).count() == 0)
+  }
+
   test("minhash_signature is callable from SQL") {
     GraftExtensions.register(spark)
     Tables.documents(spark, TestSpark.sf).limit(50).createOrReplaceTempView("docs_mh")
