@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash}
 
 /** Session extensions registering graft's native expressions for SQL.
   *
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
+    e.injectFunction(GraftExtensions.simhashFunction)
   }
 }
 
@@ -48,11 +49,28 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "minhash_signature"),
     minhashBuilder)
 
+  private val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "simhash(text, bits) takes 2 arguments (bits an integer literal)")
+    val bits = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"simhash: bits must be an integer literal, got $other")
+    }
+    SimHash(exprs.head, bits)
+  }
+
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[SimHash].getCanonicalName, "simhash"),
+    simhashBuilder)
+
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash", simhashBuilder, "built-in")
   }
 }

@@ -84,6 +84,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaApi).count() == 0)
   }
 
+  test("simhash is callable from SQL") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, TestSpark.sf).limit(50).createOrReplaceTempView("docs_sh")
+    val viaSql = spark.sql("SELECT doc_id, simhash(text, 16) AS c FROM docs_sh")
+    val viaApi = Tables.documents(spark, TestSpark.sf).limit(50)
+      .select(col("doc_id"), graft.functions.SimHash(col("text"), 16).as("c"))
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+  }
+
   test("MinHashSignature is NULL for docs shorter than n tokens") {
     val df = Seq(("a b", 1), ("a b c d", 2)).toDF("t", "id")
     val r = df.select(col("id"), MinHashSignature(col("t"), 3, 4).as("s"))
