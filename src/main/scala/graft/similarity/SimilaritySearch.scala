@@ -53,9 +53,63 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
-    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
     val cent = corpus.select(corpusId.as("centroid_id"), corpusVec.as("centv"))
       .filter(corpusId % centroidStride === 0)
+    ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, cent, k, nprobe)
+  }
+
+  /** IVF with k-means-trained centroids (see [[kmeansCentroids]]) — the
+    * production quantizer; same search dataflow as [[ivfTopK]].
+    */
+  def ivfTopKTrained(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, nCentroids: Int, iters: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      kmeansCentroids(corpus, corpusId, corpusVec, nCentroids, iters), k, nprobe)
+
+  /** Spherical k-means (Lloyd) over an embedding column, all DataFrame
+    * ops: assignment is a broadcast pass with the native cosine (argmax
+    * via struct-max, one row per vector shuffled); the update step
+    * averages UNIT-normalized vectors per cluster (the spherical-k-means
+    * mean direction, which makes the cosine objective monotone
+    * non-decreasing — pinned in the spec). Deterministic: init = the k
+    * lowest-id vectors, ties in assignment break to the smallest
+    * centroid id. Bounded driver loop with lineage truncation per
+    * iteration, like Retry.fixpoint. Clusters that lose all members drop
+    * out (standard Lloyd behavior).
+    */
+  def kmeansCentroids(corpus: DataFrame, id: Column, vec: Column,
+                      k: Int, iters: Int): DataFrame = {
+    val e = corpus.select(id.cast("long").as("vid"), vec.as("v"))
+    // unit-normalized exploded form, computed once and reused every iter
+    val ex = e.select(col("vid"), posexplode(col("v")).as(Seq("pos", "x")))
+    val norms = ex.groupBy(col("vid")).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val exn = ex.join(norms, "vid")
+      .select(col("vid"), col("pos"), (col("x") / col("nrm")).as("x"))
+      .localCheckpoint()
+    var cents = e.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("centroid_id"), col("v").cast("array<double>").as("centv"))
+    for (_ <- 1 to iters) {
+      val asg = e.join(broadcast(cents))
+        .withColumn("cos", VectorFunctions.cosine(col("v"), col("centv")))
+        .groupBy(col("vid"))
+        .agg(max(struct(col("cos").as("c"), (lit(0L) - col("centroid_id")).as("nc"))).as("m"))
+        .select(col("vid"), (lit(0L) - col("m.nc")).as("cid"))
+      cents = exn.join(asg, "vid")
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("centv"))
+        .select(col("cid").as("centroid_id"), col("centv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  private def ivfTopKWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
     // Coarse assignment: argmax cosine over centroids via max(struct) —
     // ties break to the smallest centroid_id (negated id in the struct),
     // matching ORDER BY cos DESC, centroid_id in the oracle.

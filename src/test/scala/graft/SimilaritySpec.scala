@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.similarity.SimilaritySearch
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def embeddings = Tables.embeddings(spark, TestSpark.sf)
+
+  /** Mean over vectors of the best cosine to any centroid — the spherical
+    * k-means objective.
+    */
+  private def objective(cents: DataFrame): Double =
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(cents))
+      .withColumn("cos", VectorFunctions.cosine(col("v"), col("centv")))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
+      .agg(avg(col("best"))).as[Double].head()
+
+  test("kmeansCentroids is deterministic and improves the cosine objective") {
+    val init = embeddings.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centv"))
+    val trained = SimilaritySearch.kmeansCentroids(
+      embeddings, col("vec_id"), col("embedding"), k = 8, iters = 3)
+    assert(trained.count() <= 8 && trained.count() > 0)
+    assert(trained.select(size(col("centv"))).distinct().as[Int].head() == 64)
+    // determinism
+    val again = SimilaritySearch.kmeansCentroids(
+      embeddings, col("vec_id"), col("embedding"), k = 8, iters = 3)
+    assert(trained.exceptAll(again).count() == 0)
+    // Lloyd on unit-normalized means: objective must not get worse
+    assert(objective(trained) >= objective(init) - 1e-9,
+      s"objective regressed: ${objective(init)} -> ${objective(trained)}")
+  }
+
+  test("ivfTopKTrained returns contiguous ranks bounded by brute force") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val ivf = SimilaritySearch.ivfTopKTrained(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, nCentroids = 8, iters = 2)
+      .select(col("query_id"), col("rank"), col("cos").as("ivf_cos"))
+    val bf = SimilaritySearch.bruteForceTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3)
+      .select(col("query_id"), col("rank"), col("cos").as("bf_cos"))
+    val j = ivf.join(bf, Seq("query_id", "rank")).collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getAs[Double]("ivf_cos") <= r.getAs[Double]("bf_cos") + 1e-9))
+    val ranks = ivf.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select(col("rs")).as[Seq[Long]].collect()
+    assert(ranks.forall(rs => rs.sorted == (1L to rs.length)))
+  }
+}
