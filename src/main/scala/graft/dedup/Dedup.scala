@@ -122,7 +122,7 @@ object Dedup {
     * Same one-shuffle bucket form as [[minhashCandidates]].
     */
   def simhashCandidates(docs: DataFrame, id: Column, text: Column,
-                        bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+                        bits: Int = 48, bands: Int = 4, maxDist: Int = 3): DataFrame = {
     require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1

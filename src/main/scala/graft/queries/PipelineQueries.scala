@@ -307,18 +307,22 @@ object PipelineQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // 48-bit codes / 12-bit bands: 16-bit codes give only 16 bucket
+    // values per 4-bit band — quadratic candidate blow-up. 12-bit bands
+    // (4096 buckets) keep buckets near-singleton while the pigeonhole
+    // guarantee (maxDist 3 < 4 bands) is unchanged.
     ("p13_simhash_candidates", (s, d) => {
       Dedup.simhashCandidates(Tables.documents(s, d), col("doc_id"), col("text"),
-          bits = 16, bands = 4, maxDist = 3)
+          bits = 48, bands = 4, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     }, Some {
-      val sums = (0 until 16).map { b =>
+      val sums = (0 until 48).map { b =>
         val nib = s"(strpos('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1)"
         val bit = s"CAST(floor($nib / ${1 << (b % 4)}) AS BIGINT) % 2"
         s"sum($bit * 2 - 1) AS s_$b"
       }.mkString(",\n               ")
-      val code = (0 until 16)
-        .map(b => s"(CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END)")
+      val code = (0 until 48)
+        .map(b => s"(CASE WHEN s_$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
         .mkString(" + ")
       s"""
       WITH tok AS (SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok FROM documents),
@@ -327,7 +331,7 @@ object PipelineQueries {
                $sums
              FROM h GROUP BY 1),
       codes AS (SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits),
-      bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS bv
+      bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS bv
                 FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t)
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
