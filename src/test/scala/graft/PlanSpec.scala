@@ -59,6 +59,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"minhash should not need a window:\n$p")
   }
 
+  test("q36 salting reaches the shuffle keys") {
+    val p = plan("q36_salted_revenue")
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+      s"__salt not in any exchange key:\n$p")
+  }
+
+  test("p12 IVF keeps centroid work broadcast and exchanges bounded") {
+    val p = plan("p12_ann_ivf")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(countExchanges(p) <= 5, s"IVF plan shuffles too much:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
