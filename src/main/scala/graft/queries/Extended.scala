@@ -97,6 +97,41 @@ object Extended {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // full outer join (both null-extended sides exercised: customer
+    // restricted so some order custkeys have no customer row)
+    ("q38_full_outer_join", (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("custkey"))
+    }, Some("""
+      SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                       FROM orders GROUP BY 1) o
+        ON c_custkey = o_custkey
+      ORDER BY 1""")),
+
+    // JSON columns: typed from_json parse (schema-pruned at scale), agg
+    ("q39_json_extract", (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
