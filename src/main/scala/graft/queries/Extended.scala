@@ -132,6 +132,26 @@ object Extended {
       SELECT event_type, count(*) AS n,
              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // analytic window functions not covered elsewhere: lead + ntile
+    ("q40_lead_ntile", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          ntile(4).over(wAll).cast("long").as("price_quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS price_quartile
+      FROM orders WHERE o_custkey <= 50
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }
