@@ -144,6 +144,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
   }
 
+  test("text and dedup kernels tolerate null, empty, and whitespace-only input") {
+    import graft.dedup.Dedup
+    import graft.functions.SimHash
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   \t  "), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+    // native expressions: null/empty/whitespace → NULL, never a crash
+    val r = df.select(col("doc_id"),
+      MinHashSignature(col("text"), 3, 4).as("mh"),
+      SimHash(col("text"), 16).as("sh"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+      TextFunctions.fingerprint(col("text")).as("fp")).orderBy("doc_id").collect()
+    assert(r.take(3).forall(row => row.isNullAt(1) && row.isNullAt(2)))
+    assert(!r(3).isNullAt(1) && !r(3).isNullAt(2))
+    // operators drop degenerate docs instead of failing
+    assert(Dedup.simhash(df, col("doc_id"), col("text")).count() == 1)
+    assert(Dedup.minhashCandidates(df, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.winnowFingerprints(df, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.exactGroups(df.filter(col("text").isNotNull),
+      col("doc_id"), col("text")).count() == 3)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
     val r = df.select((TextFunctions.fingerprint(col("a")) ===
