@@ -94,6 +94,37 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Streaming near-duplicate suppression: because the MinHash signature
+    * is computed map-side (stateless — [[graft.functions.MinHashSignature]]),
+    * online fuzzy dedup reduces to `dropDuplicates` on the signature with
+    * state bounded by the watermark. Matching on the FULL signature (all
+    * k minhashes) collapses exact duplicates and very-high-Jaccard
+    * near-duplicates with no false drops — the precision-first online
+    * variant; the recall-first any-band variant needs cross-band
+    * coordination and belongs in the batch LSH pass
+    * ([[graft.dedup.Dedup.minhashCandidates]]). First-wins semantics
+    * (arrival order, like any online dedup); signature state expires
+    * after `horizon`, so state is bounded on unbounded input.
+    */
+  def minhashStreamingDedup(docs: org.apache.spark.sql.DataFrame, id: org.apache.spark.sql.Column,
+                            text: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column,
+                            horizon: String, shingleN: Int = 3,
+                            numBands: Int = 4, rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame = {
+    import graft.functions.MinHashSignature
+    val k = numBands * rowsPerBand
+    val sig = docs.select(id.as("doc_id"), ts.as("ts"),
+      MinHashSignature(text, shingleN, k).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+      concat_ws("|", (lit(b.toString) +: parts): _*)
+    }
+    sig.withColumn("band_key", concat_ws("#", bandCols: _*))
+      .withWatermark("ts", horizon)
+      .dropDuplicates("band_key")
+      .select(col("doc_id"), col("ts"))
+  }
+
   /** p01's exact-dedup grouping, executed via Structured Streaming. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StatefulOps
@@ -30,6 +31,31 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val all = spark.table("awu_out").as[StatefulOps.UnchangedGroup].collect()
       assert(all.map(_.property).sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("streaming minhash dedup suppresses near-duplicates first-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.StreamingQueries.minhashStreamingDedup(
+      df, col("doc_id"), col("text"), col("ts"), horizon = "1 hour")
+    val q = out.writeStream.format("memory").queryName("mh_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", t),
+        (2L, "a completely different document about spark engines", t))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "the quick brown fox jumps over the lazy dog", t), // dup of 1 → dropped
+        (4L, "yet another unique text with many novel tokens here", t))
+      q.processAllAvailable()
+      val kept = spark.table("mh_dedup").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 2L, 4L), s"kept: ${kept.toSeq}")
     } finally q.stop()
   }
 
