@@ -87,6 +87,23 @@ object Dedup {
     docs.select(id.as("doc_id"), SimHash(text, bits).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** End-to-end fuzzy dedup: MinHash-LSH candidates → exact n-gram
+    * Jaccard verification → drop every document dominated by a
+    * smaller-id near-duplicate (greedy min-id keeper). Returns the
+    * surviving rows of `docs`. The expensive exact comparison runs ONLY
+    * on LSH candidates — the standard two-phase shape that keeps fuzzy
+    * dedup near-linear at corpus scale.
+    */
+  def fuzzyDedup(docs: DataFrame, id: Column, text: Column,
+                 threshold: Double, shingleN: Int = 3,
+                 numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand)
+    val verified = ngramJaccard(docs, id, text, cand, shingleN)
+      .filter(col("jaccard") >= threshold)
+    val dropIds = verified.select(col("id_b").as("__drop")).distinct()
+    docs.join(dropIds, id === col("__drop"), "left_anti")
+  }
+
   /** Winnowing document fingerprints (rolling-hash selection): hash every
     * word `shingleN`-gram, slide a `window`-wide frame over the hash
     * sequence, keep each full window's minimum — the classic guarantee
