@@ -18,6 +18,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Sinks {
 
+  /** Compact a parquet directory's small files into ~`targetFileMB`
+    * files. Small-file sprawl (streaming sinks, over-parallel writers)
+    * taxes every later scan with per-file open cost and driver-side
+    * listing; periodic compaction is standard table maintenance. Output
+    * file count = ceil(bytes / target); rewrite goes through a temp dir
+    * then swaps, so a crash leaves the original intact.
+    */
+  def compactParquet(df: DataFrame, path: String, targetFileMB: Int = 256): Unit = {
+    val spark = df.sparkSession
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileMB.toLong * 1048576 - 1) /
+      (targetFileMB.toLong * 1048576)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+  }
+
   def writePartitionedParquet(df: DataFrame, path: String,
                               partitionCols: Seq[String],
                               maxRecordsPerFile: Long = 5000000L,

@@ -48,6 +48,23 @@ class OperatorsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("compactParquet merges small files and preserves data") {
+    import graft.sources.Sinks
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.repartition(16).write.option("maxRecordsPerFile", 20).parquet(out)
+    def parquetFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 16)
+    val before = spark.read.parquet(out).orderBy("doc_id").collect()
+    Sinks.compactParquet(spark.read.parquet(out), out, targetFileMB = 256)
+    assert(parquetFiles == 1, s"expected 1 compacted file, got $parquetFiles")
+    val after = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(after.toSeq == before.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+  }
+
   test("the DSL exposes the pipeline vocabulary end-to-end") {
     import graft.operators.Implicits._
     val docs = Tables.documents(spark, TestSpark.sf).limit(100)
