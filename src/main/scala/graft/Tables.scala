@@ -27,7 +27,7 @@ object Tables {
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's TimestampType
     * (microseconds) does not accept. We read nanos as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[session]] builders)
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in the session builders)
     * and truncate to microseconds — exactly what DuckDB's parquet reader
     * does, so oracle comparisons line up.
     */

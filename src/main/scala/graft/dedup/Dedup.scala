@@ -12,8 +12,8 @@ import graft.functions.{MinHashSignature, SimHash, TextFunctions, VectorFunction
   *  - MinHash+LSH: signature computed in a single projection per doc
   *    (no explode), then an explode only of k band keys per doc; the
   *    candidate join shuffles (band_key, doc_id) pairs — never text.
-  *  - SimHash: one explode over tokens, one aggregation; join on the
-  *    64/16-bit code.
+  *  - SimHash: code computed in a single projection per doc (native
+  *    expression, no per-token rows); candidates via bit-band buckets.
   *  - n-gram Jaccard: exact verification on candidate pairs only (a
   *    post-filter for LSH), via an explode + count join.
   *  - embedding cosine: blocked by sign-bucket LSH so the self-join is
@@ -79,7 +79,7 @@ object Dedup {
   /** SimHash code (16-bit, from md5 nibbles of each token): per bit b, the
     * sign of sum over tokens of (2*bit_b(md5(token)) - 1). Returned as a
     * BIGINT code; equal codes = near-duplicate candidates. Computed
-    * map-side by the native [[SimHash]] expression — no per-token rows
+    * map-side by the native [[graft.functions.SimHash]] expression — no per-token rows
     * (see its scaladoc for the scale argument); docs with no tokens drop
     * out, matching the explode+aggregate form.
     */

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are identical to the compositional form (explode shingles →
   * `min(md5(concat(salt, shingle)))` aggregate): same whitespace
   * tokenization as [[TextFunctions.tokens]] (Java regex `\s+`, empties
-  * dropped), same `"$i:" + shingle` salting, same lowercase-hex md5, and
+  * dropped), same salt-prefix `i:` salting, same lowercase-hex md5, and
   * byte-wise unsigned digest comparison — which orders exactly like the
   * hex strings DuckDB's `list_min(md5(...))` compares. Documents with
   * fewer than `n` tokens return NULL (no signature → no candidates),

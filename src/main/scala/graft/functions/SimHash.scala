@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * narrow pass — tokenize (lowercased, same `\s+` split as
   * [[TextFunctions.tokens]]), md5 each token, and for bit b accumulate
   * sign votes from hex-nibble bIdx/4 bit bIdx%4 of the digest, exactly
-  * the arithmetic of [[HashFunctions.md5Nibble]]/[[nibbleBit]] — so the
+  * the arithmetic of [[HashFunctions.md5Nibble]]/[[HashFunctions.nibbleBit]] — so the
   * result is bit-identical to the explode + 16-sum aggregate form and to
   * the DuckDB oracle. Duplicate tokens vote multiply, like the explode.
   * NULL for documents with no tokens (the aggregate form drops them).

@@ -21,9 +21,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 object Control {
 
-  /** Valve: pause = stop the query (state lives in the checkpoint), resume
-    * = restart from the same checkpoint. Exactly-once sources make this
-    * lossless — the Spark analog of a closed valve backpressuring.
+  /** Valve: pause stops the query (state lives in the checkpoint) and
+    * resume restarts from the same checkpoint. Exactly-once sources make
+    * this lossless — the Spark analog of a closed valve backpressuring.
     */
   final class Valve(start: () => StreamingQuery) {
     private var current: Option[StreamingQuery] = None

@@ -12,7 +12,7 @@ import graft.functions.VectorFunctions
   *    Queries are broadcast (they are the small side by construction), so
   *    the scan side never shuffles: score + per-query top-k heap
   *    (`Window` + `row_number` after AQE-coalesced partial top-k).
-  *  - `lshTopK`: sign-bucket LSH (see [[VectorFunctions.signBucket]]) —
+  *  - `lshTopK`: sign-bucket LSH (see `VectorFunctions.signBucket`) —
   *    candidates only from the query's bucket, turning the 100 TB scan
   *    into a bucket-pruned scan. Recall/bits tradeoff documented at the
   *    call site.
