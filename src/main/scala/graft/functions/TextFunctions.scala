@@ -125,8 +125,11 @@ object TextFunctions {
     * text — canonical exact-dedup key (differences in spacing/case do not
     * change the fingerprint). Implemented as a regex collapse rather than
     * tokenize-and-join: identical output string, but pure codegen'd
-    * expressions instead of an interpreted HOF filter.
+    * expressions instead of an interpreted HOF filter. Edge whitespace is
+    * stripped by regex, not `trim()` — trim removes only ASCII spaces, so
+    * leading tabs/newlines would survive the collapse as a leading space
+    * and break the tokenize-and-join equivalence.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(regexp_replace(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+", " "))
 }

@@ -130,7 +130,7 @@ object Extended {
         .orderBy(col("event_type"))
     }, Some("""
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY 1 ORDER BY 1""")),
 

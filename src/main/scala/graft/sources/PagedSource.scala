@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,25 +82,31 @@ private[sources] case class PageKey(key: Long) extends Offset {
 }
 
 private[sources] class PagedStream(fetcherName: String, firstKey: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def fetch = PagedSource.fetcher(fetcherName)
   // pages fetched between latestOffset calls, keyed by page key
   private val cache = new ConcurrentHashMap[Long, PagedSource.Page]()
 
   override def initialOffset(): Offset = PageKey(firstKey)
 
-  // The cursor advances one page per batch construction — latestOffset is
-  // called exactly once when the engine plans the next micro-batch, which
-  // makes self-advancing the idiomatic admission control for a linked-page
-  // walk (the reference emits page-by-page the same way).
-  @volatile private var cursor: Long = firstKey
-
-  override def latestOffset(): Offset = {
-    if (cursor == -1L) return PageKey(-1L)
-    val page = cache.computeIfAbsent(cursor, k => fetch(k))
-    cursor = page.nextKey.getOrElse(-1L)
-    PageKey(cursor)
+  // Admission control: advance exactly one page per trigger FROM THE
+  // ENGINE-PROVIDED start offset (the committed position). Deriving the
+  // cursor from `startOffset` instead of instance state makes restart
+  // exact — a re-instantiated stream resumes from the checkpointed
+  // offset, never behind it (a private cursor seeded at firstKey would
+  // re-emit every page after the committed point on restart).
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[PageKey].key
+    if (s == -1L) return PageKey(-1L)
+    val page = cache.computeIfAbsent(s, k => fetch(k))
+    PageKey(page.nextKey.getOrElse(-1L))
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
 
   override def commit(end: Offset): Unit = ()
 

@@ -22,21 +22,44 @@ object Sinks {
     * files. Small-file sprawl (streaming sinks, over-parallel writers)
     * taxes every later scan with per-file open cost and driver-side
     * listing; periodic compaction is standard table maintenance. Output
-    * file count = ceil(bytes / target); rewrite goes through a temp dir
-    * then swaps, so a crash leaves the original intact.
+    * file count = ceil(bytes / target).
+    *
+    * Crash safety: the rewrite lands in a temp dir, then swaps via
+    * original→backup rename, tmp→original rename, backup delete — at any
+    * crash point either the original or the complete new copy exists
+    * under a recoverable name (a delete-then-rename swap would have a
+    * window where the table path is simply gone).
+    *
+    * Hive-partitioned layouts (`key=value` subdirectories) are rejected:
+    * a flat read+repartition+write would silently flatten the directory
+    * structure and lose partition pruning for every downstream reader.
+    * Compact each leaf partition directory instead.
     */
   def compactParquet(df: DataFrame, path: String, targetFileMB: Int = 256): Unit = {
     val spark = df.sparkSession
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionDirs = fs.listStatus(hadoopPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compactParquet: $path contains hive-style partition directories " +
+        s"(e.g. ${partitionDirs.head.getPath.getName}); compact each leaf " +
+        "partition instead — flattening would lose partition pruning")
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (bytes + targetFileMB.toLong * 1048576 - 1) /
       (targetFileMB.toLong * 1048576)).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(hadoopPath, backup))
+      throw new java.io.IOException(s"compactParquet: rename $path -> $backup failed")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(backup, hadoopPath) // roll back; original untouched
+      throw new java.io.IOException(s"compactParquet: rename $tmp -> $path failed")
+    }
+    fs.delete(backup, true)
   }
 
   def writePartitionedParquet(df: DataFrame, path: String,

@@ -103,8 +103,14 @@ object StreamingQueries {
     * variant; the recall-first any-band variant needs cross-band
     * coordination and belongs in the batch LSH pass
     * ([[graft.dedup.Dedup.minhashCandidates]]). First-wins semantics
-    * (arrival order, like any online dedup); signature state expires
-    * after `horizon`, so state is bounded on unbounded input.
+    * (arrival order, like any online dedup). State boundedness:
+    * `dropDuplicatesWithinWatermark` evicts a signature's state once the
+    * watermark passes its event time + `horizon` — plain
+    * `dropDuplicates("band_key")` would keep every signature forever
+    * (StreamingDeduplicateExec only evicts when the event-time column is
+    * part of the key set). The semantic trade: duplicates are suppressed
+    * only within the `horizon` window, which is exactly the reference
+    * semantics an online dedup with finite memory can promise.
     */
   def minhashStreamingDedup(docs: org.apache.spark.sql.DataFrame, id: org.apache.spark.sql.Column,
                             text: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column,
@@ -121,7 +127,7 @@ object StreamingQueries {
     }
     sig.withColumn("band_key", concat_ws("#", bandCols: _*))
       .withWatermark("ts", horizon)
-      .dropDuplicates("band_key")
+      .dropDuplicatesWithinWatermark("band_key")
       .select(col("doc_id"), col("ts"))
   }
 

@@ -161,8 +161,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Dedup.simhash(df, col("doc_id"), col("text")).count() == 1)
     assert(Dedup.minhashCandidates(df, col("doc_id"), col("text")).count() == 0)
     assert(Dedup.winnowFingerprints(df, col("doc_id"), col("text")).count() == 0)
+    // "" and "   \t  " both normalize to "" (tokenize-and-join equivalence),
+    // so they share a fingerprint group: 2 groups, not 3.
     assert(Dedup.exactGroups(df.filter(col("text").isNotNull),
-      col("doc_id"), col("text")).count() == 3)
+      col("doc_id"), col("text")).count() == 2)
   }
 
   test("fingerprint is whitespace/case insensitive") {
@@ -170,5 +172,33 @@ class FunctionsSpec extends AnyFunSuite {
     val r = df.select((TextFunctions.fingerprint(col("a")) ===
       TextFunctions.fingerprint(col("b"))).as("eq")).as[Boolean].head()
     assert(r)
+  }
+
+  test("fingerprint strips non-space edge whitespace (tabs/newlines)") {
+    // trim() only removes ASCII spaces; the regex edge-strip must make
+    // "\thello\n world" hash identically to "hello world" and to the
+    // tokenize-and-join form the oracle uses.
+    val df = Seq(("\thello\n  world\r\n", "hello world")).toDF("a", "b")
+    val r = df.select(
+      TextFunctions.fingerprint(col("a")).as("fa"),
+      TextFunctions.fingerprint(col("b")).as("fb"),
+      md5(array_join(TextFunctions.tokens(lower(col("a"))), " ")).as("joined"))
+      .head()
+    assert(r.getString(0) == r.getString(1) && r.getString(0) == r.getString(2))
+  }
+
+  test("CosineSimilarity is NULL on length mismatch and null elements, like the composed form") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "va", "vb")
+    val r = df.select(col("id"),
+      VectorFunctions.cosine(col("va"), col("vb")).as("native"),
+      VectorFunctions.cosineComposed(col("va"), col("vb")).as("composed"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2)) // length mismatch
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2)) // null element
+    assert(!r(2).isNullAt(1) && r(2).getDouble(1) == r(2).getDouble(2))
   }
 }
