@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * the complete bucket sequence per key with `sequence()` + `explode`
   * (distributed, no driver loop), left-join observed aggregates, fill the
   * holes. The streaming analog (processing-time timeout emitting
-  * synthetic rows) lives in graft.streaming.StatefulOps.
+  * synthetic rows) is [[graft.streaming.StatefulOps.keepAlive]].
   */
 object KeepAlive {
 

@@ -84,6 +84,68 @@ object StatefulOps {
       }
   }
 
+  /** A keep-alive output row: pass-through data or a synthetic heartbeat. */
+  case class Heartbeat(key: Long, seq: Long, property: String, payload: Double,
+                       synthetic: Boolean)
+
+  /** Keep-alive state: the element heartbeats extrapolate from, plus how
+    * many heartbeats this idle period has already emitted.
+    */
+  case class KeepAliveState(lastSeq: Long, lastProperty: String,
+                            lastPayload: Double, beats: Long)
+
+  /** Streaming KeepAliveConcat (`KeepAliveConcat.scala:54-61,73-74` in
+    * akka/akka-stream-contrib): pass elements through; when a key's input
+    * goes idle past `idleMs`, inject extrapolated elements so downstream
+    * keeps a base rate.
+    *
+    * Spark-first mapping: `flatMapGroupsWithState` with
+    * `ProcessingTimeTimeout` — data batches pass rows through and re-arm
+    * the per-key timer; a timeout fires a synthetic row extrapolated from
+    * the last real element and re-arms, up to `failoverSize` consecutive
+    * heartbeats (the reference's keepAliveFailoverSize buffer bound —
+    * without it an abandoned key would heartbeat forever and its state
+    * would never be reclaimed). New real data resets the budget. Timeouts
+    * are evaluated per micro-batch, so heartbeat spacing is
+    * max(idleMs, trigger interval) — the documented processing-time
+    * granularity delta of the micro-batch model.
+    *
+    * `extrapolate` maps (last payload, heartbeat index 1..failoverSize) to
+    * the synthetic payload; the default repeats the last value (the
+    * reference's scaladoc example). Synthetic rows carry seq = lastSeq
+    * and synthetic=true so downstream can tell them apart.
+    */
+  def keepAlive(ds: Dataset[KeyedElement], idleMs: Long, failoverSize: Int = 1,
+                extrapolate: (Double, Long) => Double = (p, _) => p): Dataset[Heartbeat] = {
+    implicit val outEnc: Encoder[Heartbeat] = Encoders.product[Heartbeat]
+    implicit val stEnc: Encoder[KeepAliveState] = Encoders.product[KeepAliveState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeepAliveState, Heartbeat](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          state.getOption match {
+            case Some(st) if st.beats < failoverSize =>
+              state.update(st.copy(beats = st.beats + 1))
+              state.setTimeoutDuration(idleMs)
+              Iterator.single(Heartbeat(key, st.lastSeq, st.lastProperty,
+                extrapolate(st.lastPayload, st.beats + 1), synthetic = true))
+            case _ =>
+              state.remove() // budget exhausted: stop heartbeating, free the state
+              Iterator.empty
+          }
+        } else {
+          val elems = it.toSeq.sortBy(_.seq)
+          elems.lastOption.foreach { last =>
+            state.update(KeepAliveState(last.seq, last.property, last.payload, 0L))
+            state.setTimeoutDuration(idleMs)
+          }
+          elems.iterator.map(e =>
+            Heartbeat(e.key, e.seq, e.property, e.payload, synthetic = false))
+        }
+      }
+  }
+
   /** Streaming LastElement (`LastElement.scala:22,39`): per key, keep the
     * latest element by `seq`; emits the current last on every batch
     * (update-mode analog of the materialized `Future[Option[A]]`).

@@ -117,6 +117,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming keepAlive injects bounded synthetic heartbeats for idle keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    val out = StatefulOps.keepAlive(input.toDS(), idleMs = 300, failoverSize = 2)
+    // NOTE: with ProcessingTimeTimeout, shouldRunAnotherBatch is always
+    // true, so the engine self-drives batches (servicing the timers) and
+    // processAllAvailable would never quiesce — poll the sink instead.
+    val q = out.writeStream.format("memory").queryName("ka_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    def rows(): Seq[StatefulOps.Heartbeat] =
+      spark.table("ka_out").as[StatefulOps.Heartbeat].collect().toSeq
+    def awaitRows(pred: Seq[StatefulOps.Heartbeat] => Boolean,
+                  timeoutMs: Long): Seq[StatefulOps.Heartbeat] = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      var cur = rows()
+      while (!pred(cur) && System.currentTimeMillis < deadline) {
+        Thread.sleep(200); cur = rows()
+      }
+      cur
+    }
+    try {
+      input.addData(KeyedElement(1, 1, "a", 5.0))
+      // pass-through row arrives first
+      val pass = awaitRows(_.exists(h => h.key == 1 && !h.synthetic), 30000)
+      assert(pass.contains(StatefulOps.Heartbeat(1, 1, "a", 5.0, synthetic = false)))
+
+      // idle key → synthetic heartbeats, capped at failoverSize=2
+      val withBeats = awaitRows(_.count(h => h.key == 1 && h.synthetic) >= 2, 30000)
+      val beats = withBeats.filter(h => h.key == 1 && h.synthetic)
+      assert(beats.length == 2, s"expected 2 heartbeats, got $beats")
+      assert(beats.forall(h => h.property == "a" && h.payload == 5.0 && h.seq == 1))
+
+      // budget exhausted → several more idle intervals add nothing
+      Thread.sleep(1500)
+      assert(rows().count(h => h.key == 1 && h.synthetic) == 2)
+    } finally q.stop()
+  }
+
   test("streaming tumbling window equals the batch plan (q21)") {
     val viaStream = graft.streaming.StreamingQueries.tumblingWindow(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("q21_tumbling_window")(spark, TestSpark.sf)
