@@ -28,23 +28,56 @@ object Retry {
     *                  (return fewer/more rows for drop/split semantics —
     *                  the reference's `Retry.concat`)
     * @param maxRetries bound on iterations (reference bounds buffers)
+    * @param delay     optional pacing between retry rounds — the
+    *                  reference's documented DelayFlow use ("delay the
+    *                  retries", `DelayFlow.scala:36-47`); consulted once
+    *                  per round with failed=true, so
+    *                  `LinearIncreasingDelay` yields linear backoff
+    * @param retriesLimit cap on CUMULATIVE retried rows across rounds —
+    *                  the reference's `Retry.concat` retriesLimit, which
+    *                  fails the stage on overflow
+    *                  (`Retry.scala:234-239,263-268`) rather than
+    *                  silently degrading
+    * @param sleep     injectable for tests; defaults to Thread.sleep
+    *
+    * Each round counts the still-failing rows (one extra lightweight job
+    * over the lineage-truncated checkpoint) — that count drives early
+    * exit when everything succeeded, the overflow check, and the backoff
+    * pacing.
     */
   def fixpoint(input: DataFrame,
                attempt: DataFrame => DataFrame,
                retryWith: DataFrame => DataFrame,
-               maxRetries: Int): DataFrame = {
+               maxRetries: Int,
+               delay: Option[Control.DelayStrategy] = None,
+               retriesLimit: Option[Long] = None,
+               sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)): DataFrame = {
     var pending = attempt(input.withColumn("attempt", lit(0)))
     var done = pending.filter(col("error").isNull)
+    var retriedTotal = 0L
     var i = 0
-    while (i < maxRetries) {
+    var drained = false
+    while (i < maxRetries && !drained) {
       val failed = pending.filter(col("error").isNotNull)
-      // localCheckpoint truncates lineage: without it iteration i re-runs
-      // all previous attempts' plans (exponential at scale).
-      val next = retryWith(failed).withColumn("attempt", lit(i + 1)).localCheckpoint(eager = false)
-      pending = attempt(next)
-      done = done.unionByName(pending.filter(col("error").isNull))
-      i += 1
+      val nFailed = failed.count()
+      if (nFailed == 0) {
+        drained = true // fixpoint reached: nothing left to retry
+      } else {
+        retriedTotal += nFailed
+        retriesLimit.foreach { lim =>
+          if (retriedTotal > lim) throw new IllegalStateException(
+            s"Retry.fixpoint: cumulative retries $retriedTotal exceed retriesLimit $lim")
+        }
+        delay.foreach(d => sleep(d.nextDelayMs(failed = true)))
+        // localCheckpoint truncates lineage: without it iteration i re-runs
+        // all previous attempts' plans (exponential at scale).
+        val next = retryWith(failed).withColumn("attempt", lit(i + 1)).localCheckpoint(eager = false)
+        pending = attempt(next)
+        done = done.unionByName(pending.filter(col("error").isNull))
+        i += 1
+      }
     }
-    done.unionByName(pending.filter(col("error").isNotNull))
+    if (drained) done
+    else done.unionByName(pending.filter(col("error").isNotNull))
   }
 }

@@ -55,6 +55,62 @@ class ControlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TokenThrottleSource admits items only while the dynamic token feed lasts") {
+    import graft.sources.TokenThrottleSource
+    val feed = TokenThrottleSource.register("tt_items", (0 until 10).map(i => s"e$i"))
+    val stream = spark.readStream.format("graft.sources.TokenThrottleSource")
+      .option("items", "tt_items").option("tokens", "tt_items").load()
+    val qn = "tt_out"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      def n(): Long = spark.table(qn).count()
+      def awaitN(target: Long): Long = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (n() < target && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        n()
+      }
+      Thread.sleep(500) // triggers fire, but no tokens → nothing admitted
+      assert(n() == 0)
+      feed.add(3)
+      assert(awaitN(3) == 3)
+      Thread.sleep(500) // tokens exhausted → admission stalls at 3
+      assert(n() == 3)
+      feed.add(4)
+      assert(awaitN(7) == 7)
+      // order preserved: exactly the first 7 items, in index order
+      assert(spark.table(qn).orderBy(col("idx")).select("item").as[String]
+        .collect().toSeq == (0 until 7).map(i => s"e$i"))
+    } finally q.stop()
+  }
+
+  test("TokenThrottleSource charges cost(elem) tokens per element") {
+    import graft.sources.TokenThrottleSource
+    val feed = TokenThrottleSource.register("tt_cost", (0 until 5).map(i => s"c$i"),
+      cost = s => if (s == "c2") 3L else 1L)
+    val stream = spark.readStream.format("graft.sources.TokenThrottleSource")
+      .option("items", "tt_cost").option("tokens", "tt_cost").load()
+    val qn = "tt_cost_out"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      def n(): Long = spark.table(qn).count()
+      def awaitN(target: Long): Long = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (n() < target && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        n()
+      }
+      feed.add(4) // c0+c1 cost 2; c2 costs 3 > 2 remaining → blocks (no skip-ahead)
+      assert(awaitN(2) == 2)
+      Thread.sleep(500)
+      assert(n() == 2)
+      feed.add(1) // bucket back to 3 → c2 admitted; c3 unaffordable at 0
+      assert(awaitN(3) == 3)
+      Thread.sleep(500)
+      assert(n() == 3)
+    } finally q.stop()
+  }
+
   test("Valve pauses and resumes a streaming query") {
     val dir = Files.createTempDirectory("valve").toFile
     val f = new File(dir, "v.bin")
@@ -80,6 +136,35 @@ class ControlSpec extends AnyFunSuite {
     assert(d.nextDelayMs(failed = true) == 20)
     assert(d.nextDelayMs(failed = true) == 25) // capped
     assert(d.nextDelayMs(failed = false) == 0) // reset
+  }
+
+  test("Retry.fixpoint paces rounds with the DelayStrategy (linear backoff)") {
+    import graft.operators.Retry
+    val recorded = scala.collection.mutable.ArrayBuffer[Long]()
+    // row 1 succeeds on attempt 3, row 2 immediately
+    val input = Seq((1, 3), (2, 0)).toDF("id", "succeeds_at")
+    val attempt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", when(col("succeeds_at") <= col("attempt"), col("id")))
+        .withColumn("error", when(col("succeeds_at") > col("attempt"), lit("boom")))
+    val out = Retry.fixpoint(input, attempt, identity, maxRetries = 5,
+      delay = Some(new Control.LinearIncreasingDelay(stepMs = 10, maxMs = 100)),
+      sleep = ms => recorded += ms)
+    assert(out.filter(col("error").isNull).count() == 2)
+    assert(out.filter(col("error").isNotNull).count() == 0)
+    // one delay per retry round while failures remained, growing linearly;
+    // no delay recorded once the failed set drained (early exit)
+    assert(recorded.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("Retry.fixpoint fails on cumulative retriesLimit overflow") {
+    import graft.operators.Retry
+    val input = Seq(1, 2, 3).toDF("id")
+    val attempt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", lit(null).cast("int")).withColumn("error", lit("always"))
+    val ex = intercept[IllegalStateException] {
+      Retry.fixpoint(input, attempt, identity, maxRetries = 5, retriesLimit = Some(4))
+    }
+    assert(ex.getMessage.contains("retriesLimit")) // 3+3 = 6 > 4 in round 2
   }
 
   test("observe metrics + TimingListener capture counts and wall time") {
