@@ -28,4 +28,44 @@ object Aggregators {
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** One scored candidate for bounded top-k selection. */
+  case class Scored(cos: Double, neighbor_id: Long)
+
+  /** Bounded top-k buffer (kept sorted best-first, length ≤ k). */
+  case class TopKBuf(items: Seq[Scored])
+
+  /** Bounded top-k by (cos DESC, neighbor_id ASC) — the two-phase rank
+    * for similarity search. As a typed Aggregator it runs under
+    * ObjectHashAggregate with map-side PARTIAL aggregation: every scan
+    * partition reduces its candidates into a ≤k buffer locally, and the
+    * shuffle moves one k-row buffer per (query, partition) instead of
+    * every scored candidate. A `row_number().over(partitionBy(query))`
+    * rank funnels ALL of a query's candidates into a single task — the
+    * straggler this replaces for brute-force top-k with few queries over
+    * a huge corpus.
+    *
+    * Merge is order-insensitive (positional merge of two sorted bounded
+    * lists), so results are deterministic regardless of shuffle order —
+    * identical output to the window form, including tie-breaks.
+    */
+  class TopK(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.neighbor_id < b.neighbor_id)
+
+    private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
+      if (buf.length >= k && !better(x, buf.last)) buf
+      else {
+        val (before, after) = buf.span(better(_, x))
+        ((before :+ x) ++ after).take(k)
+      }
+
+    override def zero: TopKBuf = TopKBuf(Seq.empty)
+    override def reduce(b: TopKBuf, a: Scored): TopKBuf = TopKBuf(insert(b.items, a))
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
+      TopKBuf(b2.items.foldLeft(b1.items)(insert))
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
 }

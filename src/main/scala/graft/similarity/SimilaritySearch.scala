@@ -3,15 +3,14 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions
+import graft.functions.{Aggregators, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Three tiers:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *    Queries are broadcast (they are the small side by construction), so
-  *    the scan side never shuffles: score + per-query top-k heap
-  *    (`Window` + `row_number` after AQE-coalesced partial top-k).
+  *    the scan side never shuffles for scoring.
   *  - `lshTopK`: sign-bucket LSH (see `VectorFunctions.signBucket`) —
   *    candidates only from the query's bucket, turning the 100 TB scan
   *    into a bucket-pruned scan. Recall/bits tradeoff documented at the
@@ -19,8 +18,30 @@ import graft.functions.VectorFunctions
   *  - `ivfTopK`: inverted-file index — coarse-quantize the corpus to
   *    centroids once, probe `nprobe` lists per query. The scale path when
   *    bucket skew or recall targets rule out pure sign-LSH.
+  *
+  * All tiers rank with a TWO-PHASE top-k ([[Aggregators.TopK]], an
+  * ObjectHashAggregate with map-side partial aggregation): each scan
+  * partition reduces to a ≤k buffer per query locally, the shuffle moves
+  * only those buffers, and the final merge per query touches
+  * partitions × k rows — never all scored candidates in one task, which
+  * is what a `row_number().over(partitionBy(query_id))` window would do
+  * to a query with a huge candidate set.
   */
 object SimilaritySearch {
+
+  /** Two-phase per-query top-k rank over a scored candidate set with
+    * columns (query_id, neighbor_id, cos). Output adds `rank` (1-based,
+    * by cos DESC then neighbor_id ASC) — identical to the window-rank
+    * form, minus its one-task-per-query funnel.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new Aggregators.TopK(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("__p", "__x")))
+      .select(col("query_id"), col("__x.neighbor_id").as("neighbor_id"),
+        col("__x.cos").as("cos"), (col("__p") + 1).cast("long").as("rank"))
+  }
 
   /** Exact top-k neighbors per query. `queries` must be small (driver
     * broadcasts it). Excludes self-matches. Ranks by rounded cosine
@@ -33,11 +54,7 @@ object SimilaritySearch {
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style top-k (inverted-file ANN): a coarse quantizer assigns every
@@ -129,11 +146,7 @@ object SimilaritySearch {
     val scored = asg.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed top-k: identical output shape, but candidates are only
@@ -149,10 +162,6 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 }

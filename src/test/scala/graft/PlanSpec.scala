@@ -71,6 +71,17 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges(p) <= 5, s"IVF plan shuffles too much:\n$p")
   }
 
+  test("p08 top-k ranks via partial ObjectHashAggregate, not a per-query window") {
+    val p = plan("p08_embedding_topk")
+    // Two-phase top-k: map-side partial buffers, one exchange on
+    // query_id, final merge — never all candidates of a query in one
+    // window task.
+    assert(!p.contains("Window"), s"window rank reintroduced:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"typed top-k aggregate missing:\n$p")
+    assert("(?i)partial_topk".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) top-k phase in plan:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
