@@ -21,6 +21,9 @@ import graft.functions.{MinHashSignature, SimHash, TextFunctions, VectorFunction
   */
 object Dedup {
 
+  // unique observe-metric names (observe() rejects duplicate names in a plan)
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact dedup groups: fingerprint → (keeper = min id, group size).
     * `dropExactDuplicates` keeps one row per fingerprint.
     */
@@ -36,9 +39,19 @@ object Dedup {
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * `numBands` band keys (each of `rowsPerBand` minhashes over
     * `shingleN`-gram shingles). Output (id_a < id_b) distinct.
+    *
+    * `maxBucket` caps each bucket at its `maxBucket` smallest doc ids
+    * (deterministic), bounding the worst bucket's pair blow-up at
+    * m·(m-1)/2 → maxBucket·(maxBucket-1)/2 — the standard LSH hot-bucket
+    * mitigation for a band shared by m near-identical documents. The
+    * docs dropped per bucket are counted in an `observe` metric
+    * (`minhash_lsh_N.capped_docs`, readable via QueryExecutionListener /
+    * [[graft.operators.Timed.withTimingListener]]) so capping is never
+    * silent. Default None preserves exact all-pairs semantics.
     */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
-                        shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                        shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val k = numBands * rowsPerBand
     // Map-side MinHash: the native MinHashSignature expression computes
     // all k salted-md5 minima per document inside the scan stage — no
@@ -62,11 +75,19 @@ object Dedup {
     // of the key), so the suffix slice enumerates each unordered pair
     // exactly once per shared band; distinct() dedups across bands.
     // Skew note (100 TB): a band shared by m near-identical docs yields
-    // m²/2 pairs in both forms — cap with maxBucket to bound the worst
-    // bucket (standard LSH practice; None preserves exact semantics).
-    val buckets = banded.groupBy(col("band_key"))
+    // m²/2 pairs in both forms — maxBucket bounds the worst bucket.
+    val full = banded.groupBy(col("band_key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+    val buckets = maxBucket match {
+      case None => full
+      case Some(m) =>
+        full.select(col("band_key"),
+            slice(array_sort(col("ids")), 1, m).as("ids"),
+            greatest(size(col("ids")) - m, lit(0)).as("__capped"))
+          .observe(s"minhash_lsh_${Dedup.obsId.incrementAndGet()}",
+            sum(col("__capped")).as("capped_docs"))
+    }
     buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_x")), col("ids"))
       .select(col("id_x"),
@@ -96,8 +117,9 @@ object Dedup {
     */
   def fuzzyDedup(docs: DataFrame, id: Column, text: Column,
                  threshold: Double, shingleN: Int = 3,
-                 numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand)
+                 numBands: Int = 4, rowsPerBand: Int = 2,
+                 maxBucket: Option[Int] = None): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand, maxBucket)
     val verified = ngramJaccard(docs, id, text, cand, shingleN)
       .filter(col("jaccard") >= threshold)
     val dropIds = verified.select(col("id_b").as("__drop")).distinct()
@@ -139,7 +161,8 @@ object Dedup {
     * Same one-shuffle bucket form as [[minhashCandidates]].
     */
   def simhashCandidates(docs: DataFrame, id: Column, text: Column,
-                        bits: Int = 48, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+                        bits: Int = 48, bands: Int = 4, maxDist: Int = 3,
+                        maxBucket: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
@@ -150,9 +173,20 @@ object Dedup {
     }
     val banded = codes.select(col("doc_id"), col("simhash"),
       explode(array(bandKeys: _*)).as("band_key"))
-    val buckets = banded.groupBy(col("band_key"))
+    val full = banded.groupBy(col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
       .filter(size(col("xs")) > 1)
+    // same hot-bucket cap as minhashCandidates: keep the maxBucket
+    // smallest (doc_id, code) structs per bucket, count what was dropped
+    val buckets = maxBucket match {
+      case None => full
+      case Some(m) =>
+        full.select(col("band_key"),
+            slice(array_sort(col("xs")), 1, m).as("xs"),
+            greatest(size(col("xs")) - m, lit(0)).as("__capped"))
+          .observe(s"simhash_lsh_${Dedup.obsId.incrementAndGet()}",
+            sum(col("__capped")).as("capped_docs"))
+    }
     buckets
       .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
       .select(col("x"), explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))

@@ -177,10 +177,37 @@ class OperatorsSpec extends AnyFunSuite {
     val bad = Seq((1L, "a"), (3L, "b"), (2L, "c")).toDF("idx", "v")
     assert(MergeByIndex.monotonicViolations(ok, col("idx"), Seq(col("idx"))) == 0)
     assert(MergeByIndex.monotonicViolations(bad, col("idx"), Seq(col("v"))) == 1)
+    // equal indices are violations (strictly-increasing contract)
+    val dup = Seq((1L, "a"), (1L, "b"), (1L, "c")).toDF("idx", "v")
+    assert(MergeByIndex.monotonicViolations(dup, col("idx"), Seq(col("v"))) == 2)
+    // violations scattered across a range-partitioned input — exercises
+    // the per-partition pass + driver-side boundary stitch
+    val big = (0 until 1000).map(i =>
+      (i.toLong, if (i % 100 == 0 && i > 0) i - 5L else i.toLong)).toDF("ord", "idx")
+    assert(MergeByIndex.monotonicViolations(big, col("idx"), Seq(col("ord"))) == 9)
   }
 
   test("Timed.timed returns result and wall time") {
     val (n, ms) = Timed.timed(Seq(1, 2, 3).toDF("i"))(_.count())
     assert(n == 3 && ms >= 0)
+  }
+
+  test("minhashCandidates maxBucket caps the hot-bucket pair blow-up") {
+    import graft.dedup.Dedup
+    // adversarial corpus: 40 identical docs share every band bucket
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "all of these documents carry exactly identical text content"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+    assert(uncapped.count() == 40L * 39 / 2) // full m^2/2 blow-up
+    val capped = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+      maxBucket = Some(8))
+    assert(capped.count() == 8L * 7 / 2) // bounded by the cap
+    // cap keeps the SMALLEST ids, so min-id keeper semantics survive
+    assert(capped.agg(max(col("id_b"))).as[Long].head() == 8L)
+    // fuzzyDedup under the cap still keeps exactly one of the identical docs
+    val kept = Dedup.fuzzyDedup(docs, col("doc_id"), col("text"),
+      threshold = 0.5, maxBucket = Some(8))
+    assert(kept.select(min(col("doc_id"))).as[Long].head() == 1L)
   }
 }
