@@ -8,11 +8,39 @@ import org.apache.spark.sql.SparkSession
   * expression evaluated, rows serialized to the sink boundary) without
   * writing bytes — unlike count(), under which Catalyst prunes the entire
   * select list of projection-shaped queries.
+  *
+  * The driver's sf parquet is one file with one row group per table, so
+  * every scan would get exactly ONE task no matter how many cores exist —
+  * the bench would measure a single-task scan floor, not the engine.
+  * Before timing, each table is re-materialized (once, outside the timed
+  * region) into a multi-file layout sized ~128 KB/file up to `cpus`
+  * files — the local-scale analog of the row-group-sized layout a real
+  * deployment maintains with [[graft.sources.Sinks]]. `maxPartitionBytes`
+  * / `openCostInBytes` are sized to the small local files for the same
+  * reason (at 100 TB the defaults are right; at 11 MB they'd pack all
+  * files back into one split).
   */
 object Bench {
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Rewrite `sfDir` tables into `cpus`-way multi-file parquet under a
+    * temp dir; returns the new dir. Nanos timestamps pass through as
+    * longs (same values [[Tables.events]] expects).
+    */
+  private def rematerialize(spark: SparkSession, sfDir: String, cpus: Int): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_").toString
+    Tables.names.foreach { t =>
+      val src = new java.io.File(s"$sfDir/$t.parquet")
+      val nFiles = math.max(1L, math.min(cpus.toLong, src.length() / (128L << 10))).toInt
+      val df = spark.read.parquet(src.getPath)
+      (if (nFiles > 1) df.repartition(nFiles) else df)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,8 +52,13 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split sizing for the small local files (see scaladoc): without
+      // this, file packing undoes the multi-file layout below
+      .config("spark.sql.files.maxPartitionBytes", (512L << 10).toString)
+      .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val benchDir = rematerialize(spark, sfDir, cpus.toInt)
     // JVM + whole-stage-codegen warmup: run every headline query once at
     // the smallest SF so measured numbers reflect steady-state execution
     // (first use of each plan shape pays one-time janino compilation).
@@ -40,7 +73,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try materialize(fn(spark, benchDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(1)
