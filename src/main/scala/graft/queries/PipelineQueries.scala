@@ -311,6 +311,43 @@ object PipelineQueries {
     // values per 4-bit band — quadratic candidate blow-up. 12-bit bands
     // (4096 buckets) keep buckets near-singleton while the pigeonhole
     // guarantee (maxDist 3 < 4 bands) is unchanged.
+    // PQ/ADC in exact micro-unit integers: every distance is
+    // round(1e6·||a−b||²) computed from the same three list_dot_product
+    // folds in both engines, so encode argmins and ADC sums are BIGINT
+    // arithmetic — no float merge-order hazard anywhere in the compare.
+    ("p17_ann_pq", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.pqTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, codeStride = 25)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM e CROSS JOIN js),
+      cb AS (SELECT vec_id AS code_id, j, sv AS cw FROM sub WHERE vec_id % 25 = 0),
+      d AS (SELECT s.vec_id, s.j, cb.code_id,
+                   CAST(round((list_dot_product(s.sv, s.sv)
+                             - 2.0 * list_dot_product(s.sv, cb.cw)
+                             + list_dot_product(cb.cw, cb.cw)) * 1000000) AS BIGINT) AS d2
+            FROM sub s JOIN cb ON s.j = cb.j),
+      enc AS (SELECT vec_id, j, code_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, code_id) AS rn FROM d)
+              WHERE rn = 1),
+      qt AS (SELECT vec_id AS query_id, j, code_id, d2 AS qd2
+             FROM d WHERE vec_id < 20),
+      scored AS (SELECT query_id, enc.vec_id AS neighbor_id,
+                        CAST(sum(qd2) AS BIGINT) AS approx_d2_u6
+                 FROM enc JOIN qt ON enc.j = qt.j AND enc.code_id = qt.code_id
+                 WHERE enc.vec_id <> qt.query_id
+                 GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_d2_u6, neighbor_id) AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, approx_d2_u6, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     ("p13_simhash_candidates", (s, d) => {
       Dedup.simhashCandidates(Tables.documents(s, d), col("doc_id"), col("text"),
           bits = 48, bands = 4, maxDist = 3)

@@ -149,6 +149,78 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization ANN (PQ/ADC — the next compression tier after
+    * IVF): split each `dim`-vector into `numSubspaces` subvectors,
+    * quantize every subvector to its nearest codeword from a per-subspace
+    * codebook, and score query→vector distance as the SUM of precomputed
+    * per-subspace query→codeword distances (asymmetric distance
+    * computation). Codebooks here are a deterministic corpus sample
+    * (`id % codeStride == 0`), like [[ivfTopK]]'s coarse quantizer — the
+    * PQ dataflow is the point; k-means sub-quantizers slot in without
+    * touching it.
+    *
+    * Scale shape (100 TB): codebooks and the per-query ADC tables are
+    * tiny and broadcast; encoding is one narrow shuffle of
+    * (vector, subspace, code) rows; after encoding the raw vectors are
+    * NEVER touched again — the search side joins `numSubspaces` longs per
+    * vector against a broadcast table, which is the whole point of PQ
+    * (≈32 bytes/vector instead of 4·dim).
+    *
+    * Determinism/oracle: distances are exact micro-unit integers —
+    * `round(1e6 · ||a−b||²)` with `||a−b||² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩`
+    * over the same left-to-right double fold as DuckDB's
+    * `list_dot_product` — so ADC sums are order-independent BIGINT
+    * arithmetic in both engines, immune to float merge order. Output:
+    * (query_id, neighbor_id, approx_d2_u6, rank), rank by approx distance
+    * ASC then neighbor_id, via the same two-phase [[Aggregators.TopK]].
+    */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val sub = dim / numSubspaces
+    // (id, j, sv): subspace-j slice of the vector, widened to double
+    def subvecs(df: DataFrame, idC: Column, vecC: Column, idName: String): DataFrame = {
+      val pieces = (0 until numSubspaces).map { j =>
+        struct(lit(j).as("j"),
+          transform(slice(vecC, j * sub + 1, sub), x => x.cast("double")).as("sv"))
+      }
+      df.select(idC.as(idName), explode(array(pieces: _*)).as("__s"))
+        .select(col(idName), col("__s.j").as("j"), col("__s.sv").as("sv"))
+    }
+    // micro-unit squared L2 via three dot folds (bit-identical to the
+    // DuckDB list_dot_product form)
+    def l2u6(a: Column, b: Column): Column =
+      round((VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
+        VectorFunctions.dot(b, b)) * lit(1e6)).cast("long")
+    val cb = subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec, "code_id")
+      .withColumnRenamed("sv", "cw")
+    // encode: nearest codeword per (vector, subspace); ties → smallest
+    // code_id via min(struct). One row per (vector, subspace) shuffled.
+    val enc = subvecs(corpus, corpusId, corpusVec, "neighbor_id")
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", l2u6(col("sv"), col("cw")))
+      .groupBy(col("neighbor_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("m"))
+      .select(col("neighbor_id"), col("j"), col("m.code_id").as("code_id"))
+    // ADC table: query → every codeword distance, per subspace
+    val qt = subvecs(queries, queryId, queryVec, "query_id")
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("qd2", l2u6(col("sv"), col("cw")))
+      .select(col("query_id"), col("j"), col("code_id"), col("qd2"))
+    val scored = enc.join(broadcast(qt), Seq("j", "code_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2")).as("approx"))
+      // TopK ranks by cos DESC; negate so smallest distance ranks first
+      // (integers ≤ ~2^40 are exact in double)
+      .withColumn("cos", (lit(0L) - col("approx")).cast("double"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0.0) - col("cos")).cast("long").as("approx_d2_u6"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: identical output shape, but candidates are only
     * corpus vectors sharing the query's sign bucket.
     */

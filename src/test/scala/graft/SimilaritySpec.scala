@@ -39,6 +39,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"objective regressed: ${objective(init)} -> ${objective(trained)}")
   }
 
+  test("pqTopK: exact on codebook members, sane approximation elsewhere") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val pq = SimilaritySearch.pqTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64)
+    val rows = pq.collect()
+    assert(rows.length == 5 * 5)
+    // contiguous 1..k ranks per query, distances non-decreasing in rank
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val ds = sorted.map(_.getAs[Long]("approx_d2_u6")).toSeq
+      assert(ds == ds.sorted)
+    }
+    // a codebook vector encodes to itself: its ADC self-distance from a
+    // duplicate query vector is ~0, so vec 0's duplicate must rank first.
+    // vec_id 0 is a codeword (0 % 25 == 0); query with its exact vector
+    // under a different id.
+    val dup = embeddings.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val self = SimilaritySearch.pqTopK(embeddings, col("vec_id"), col("embedding"),
+      dup, col("vec_id"), col("embedding"), k = 1, dim = 64).collect()
+    assert(self.length == 1)
+    assert(self.head.getAs[Long]("neighbor_id") == 0L)
+    assert(self.head.getAs[Long]("approx_d2_u6") <= 1L)
+    // determinism (micro-unit integer arithmetic → bit-stable)
+    assert(pq.exceptAll(SimilaritySearch.pqTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 5, dim = 64))
+      .count() == 0)
+  }
+
   test("ivfTopKTrained returns contiguous ranks bounded by brute force") {
     val q = embeddings.filter(col("vec_id") < 5)
     val ivf = SimilaritySearch.ivfTopKTrained(embeddings, col("vec_id"), col("embedding"),
