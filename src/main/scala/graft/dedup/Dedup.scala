@@ -114,6 +114,14 @@ object Dedup {
     * surviving rows of `docs`. The expensive exact comparison runs ONLY
     * on LSH candidates — the standard two-phase shape that keeps fuzzy
     * dedup near-linear at corpus scale.
+    *
+    * Semantics (deliberate): every `id_b` of a verified pair is dropped,
+    * even when its dominating `id_a` was itself dropped — pair-local
+    * domination, one pass, no iteration. A chain a–b, b–c therefore
+    * keeps only `a` even without a verified a–c pair. When true
+    * cluster-granular retention is wanted (keep exactly one doc per
+    * connected near-dup cluster, judged over the whole cluster rather
+    * than per pair), use [[clusterDedup]].
     */
   def fuzzyDedup(docs: DataFrame, id: Column, text: Column,
                  threshold: Double, shingleN: Int = 3,
@@ -124,6 +132,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     val dropIds = verified.select(col("id_b").as("__drop")).distinct()
     docs.join(dropIds, id === col("__drop"), "left_anti")
+  }
+
+  /** Connected components over an undirected edge list `(id_a, id_b)` —
+    * min-label propagation as a bounded driver loop: every node starts
+    * labeled with its own id; each round every node takes the min of its
+    * own and its neighbors' labels; fixpoint = every node carries the min
+    * id of its component.
+    *
+    * Scale shape: each round shuffles only (endpoint, label) pairs — the
+    * edge list, never document payloads — and lineage is truncated per
+    * round (same bounded-loop pattern as `Retry.fixpoint` /
+    * `kmeansCentroids`). Rounds to converge = max component diameter;
+    * near-dup clusters are near-cliques (diameter ≤ 2–3), so the loop is
+    * constant-round in practice. For adversarial long-chain graphs the
+    * log-round large-star/small-star variant drops into the same
+    * dataflow. Returns (node, label).
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin.select(col("src").as("node"), col("nbr_min")), Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any strictly smaller" == "changed"
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") < col("o.label")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-granular fuzzy dedup: same LSH → exact-verify pipeline as
+    * [[fuzzyDedup]], but verified pairs are treated as edges of a
+    * near-dup graph, components are resolved with
+    * [[connectedComponents]], and exactly the min-id doc of each cluster
+    * is kept. Differs from the greedy form on docs that appear only as
+    * `id_a`: e.g. edges (1,3),(2,3) — greedy keeps 1 AND 2; clustering
+    * puts {1,2,3} in one component and keeps only 1.
+    *
+    * Returns one row per input doc: (doc_id, keeper_id, kept) — the full
+    * cluster assignment, so callers can keep, re-weight, or audit.
+    */
+  def clusterDedup(docs: DataFrame, id: Column, text: Column,
+                   threshold: Double, shingleN: Int = 3,
+                   numBands: Int = 4, rowsPerBand: Int = 2,
+                   maxBucket: Option[Int] = None, maxIters: Int = 20): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand, maxBucket)
+    val edges = ngramJaccard(docs, id, text, cand, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(edges, maxIters)
+      .select(col("node").as("doc_id"), col("label").as("__keeper"))
+    docs.select(id.cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__keeper"), col("doc_id")).as("keeper_id"))
+      .withColumn("kept", col("keeper_id") === col("doc_id"))
   }
 
   /** Winnowing document fingerprints (rolling-hash selection): hash every

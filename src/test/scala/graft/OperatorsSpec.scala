@@ -192,6 +192,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 3 && ms >= 0)
   }
 
+  test("connectedComponents labels each node with its component min") {
+    import graft.dedup.Dedup
+    val edges = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain: propagation must cross the whole diameter
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(cl.toSeq == Seq(1L))
+  }
+
+  test("clusterDedup keeps exactly one doc per near-dup cluster") {
+    import graft.dedup.Dedup
+    val docs = (1 to 12).map(i =>
+      (i.toLong, "same exact text for every document here yes")).toDF("doc_id", "text")
+    val out = Dedup.clusterDedup(docs, col("doc_id"), col("text"), threshold = 0.5)
+    assert(out.count() == 12)
+    assert(out.filter(col("kept")).select(col("doc_id")).as[Long].collect().toSeq == Seq(1L))
+    assert(out.select(countDistinct(col("keeper_id"))).as[Long].head() == 1L)
+  }
+
   test("minhashCandidates maxBucket caps the hot-bucket pair blow-up") {
     import graft.dedup.Dedup
     // adversarial corpus: 40 identical docs share every band bucket
