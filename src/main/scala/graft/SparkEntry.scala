@@ -73,5 +73,6 @@ object SparkEntry {
     "q06_window_topk", "q07_rollup", "q13_scalar_functions",
     "q17_running_sum", "q18_change_groups", "q21_tumbling_window",
     "q22_session_window", "q28_retry_fixpoint",
-    "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk")
+    "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
+    "p17_ann_pq")
 }

@@ -189,11 +189,12 @@ object SimilaritySearch {
       df.select(idC.as(idName), explode(array(pieces: _*)).as("__s"))
         .select(col(idName), col("__s.j").as("j"), col("__s.sv").as("sv"))
     }
-    // micro-unit squared L2 via three dot folds (bit-identical to the
-    // DuckDB list_dot_product form)
-    def l2u6(a: Column, b: Column): Column =
-      round((VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
-        VectorFunctions.dot(b, b)) * lit(1e6)).cast("long")
+    // micro-unit squared L2 — fused native expression, bit-identical to
+    // round((dot(a,a) − 2·dot(a,b) + dot(b,b))·1e6) over the shared
+    // left-to-right folds (see graft.functions.L2SqMicro); one codegen
+    // loop instead of three CodegenFallback HOF folds in the
+    // corpus×codebook hot path
+    def l2u6(a: Column, b: Column): Column = graft.functions.L2SqMicro(a, b)
     val cb = subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec, "code_id")
       .withColumnRenamed("sv", "cw")
     // encode: nearest codeword per (vector, subspace); ties → smallest

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{MinHashSignature, TextFunctions, VectorFunctions}
@@ -19,6 +20,32 @@ class FunctionsSpec extends AnyFunSuite {
       VectorFunctions.cosineComposed(col("va"), col("vb")).as("composed"))
       .filter(col("native") =!= col("composed"))
     assert(diff.count() == 0)
+  }
+
+  test("native L2SqMicro matches the composed round(dot)-form bitwise") {
+    import graft.functions.L2SqMicro
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id"), col("embedding").as("vb"))
+      .withColumn("vec_id", col("vec_id") + 1)
+    def composed(x: Column, y: Column): Column =
+      round((VectorFunctions.dot(x, x) - lit(2.0) * VectorFunctions.dot(x, y) +
+        VectorFunctions.dot(y, y)) * lit(1e6)).cast("long")
+    val j = a.join(b, "vec_id")
+    val diff = j.select(
+      L2SqMicro(col("va"), col("vb")).as("native"),
+      composed(col("va"), col("vb")).as("c"))
+      .filter(col("native") =!= col("c"))
+    assert(diff.count() == 0)
+    // self-distance is exactly 0; null contract matches the composed form
+    val self = e.select(L2SqMicro(col("embedding"), col("embedding"))).as[Long].collect()
+    assert(self.forall(_ == 0L))
+    val nulls = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "va", "vb")
+      .select(L2SqMicro(col("va"), col("vb"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
   }
 
   test("CosineSimilarity of a vector with itself is 1.0") {

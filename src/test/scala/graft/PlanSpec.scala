@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
       s"no partial (map-side) top-k phase in plan:\n$p")
   }
 
+  test("p17 PQ keeps codebooks and ADC tables broadcast; rank is two-phase") {
+    val p = plan("p17_ann_pq")
+    // codebook joins (encode + query tables) and the ADC join are all
+    // broadcast; the only hash exchanges are the encode argmin, the
+    // per-(query,neighbor) sum, the top-k, and the output sort.
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), s"PQ rank must not use a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"two-phase top-k missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PQ plan:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
