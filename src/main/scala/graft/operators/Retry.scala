@@ -40,10 +40,10 @@ object Retry {
     *                  silently degrading
     * @param sleep     injectable for tests; defaults to Thread.sleep
     *
-    * Each round counts the still-failing rows (one extra lightweight job
-    * over the lineage-truncated checkpoint) — that count drives early
-    * exit when everything succeeded, the overflow check, and the backoff
-    * pacing.
+    * Early exit needs only "any rows still failing?", so each round runs
+    * a short-circuit existence probe (`isEmpty` = take(1), touches ~one
+    * partition). Only `retriesLimit` accounting needs an exact count; the
+    * full count job runs per round only when that limit is set.
     */
   def fixpoint(input: DataFrame,
                attempt: DataFrame => DataFrame,
@@ -59,15 +59,18 @@ object Retry {
     var drained = false
     while (i < maxRetries && !drained) {
       val failed = pending.filter(col("error").isNotNull)
-      val nFailed = failed.count()
-      if (nFailed == 0) {
-        drained = true // fixpoint reached: nothing left to retry
-      } else {
-        retriedTotal += nFailed
-        retriesLimit.foreach { lim =>
+      val anyFailed = retriesLimit match {
+        case Some(lim) =>
+          val n = failed.count()
+          retriedTotal += n
           if (retriedTotal > lim) throw new IllegalStateException(
             s"Retry.fixpoint: cumulative retries $retriedTotal exceed retriesLimit $lim")
-        }
+          n > 0
+        case None => !failed.isEmpty
+      }
+      if (!anyFailed) {
+        drained = true // fixpoint reached: nothing left to retry
+      } else {
         delay.foreach(d => sleep(d.nextDelayMs(failed = true)))
         // localCheckpoint truncates lineage: without it iteration i re-runs
         // all previous attempts' plans (exponential at scale).
