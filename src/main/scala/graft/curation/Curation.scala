@@ -1,0 +1,77 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling and budget capping. Both are pure column programs — no
+  * `rand()`, no driver state — so runs are exactly reproducible across
+  * clusters, retries, and engines (the property that matters when a
+  * sample defines a training set).
+  */
+object Curation {
+
+  /** Uniform hash of `key` into [0, 10000): the first 6 hex nibbles of
+    * md5, mod 10⁴ — the standard deterministic "dice roll" for
+    * reproducible sampling (same key → same decision everywhere).
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 10000
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * falls under its stratum's rate (in 1e-4 granularity). Strata whose
+    * value is absent from `rates` get `defaultRate`.
+    *
+    * Scale shape: a map-side filter — no shuffle, no sampleBy/rand
+    * non-determinism, pushdown-friendly. This is how a 100 TB corpus is
+    * down/up-weighted per domain reproducibly: the decision is a pure
+    * function of (key, stratum), so re-runs and late-arriving partitions
+    * agree.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (acc, (s, r)) => when(stratum === s, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+
+  /** Cap each group (source, domain, language …) at a token budget:
+    * rows are admitted in `order` until the group's cumulative `tokens`
+    * exceeds `budget`; the first over-budget row and everything after it
+    * are dropped. Output adds `cum_tokens` (the running total including
+    * the row itself).
+    *
+    * Scale shape: one hash shuffle on the group key, then a running-sum
+    * window WITHIN each group partition — no global window. Skewed
+    * groups are bounded by the budget itself on the output side; the
+    * window scan of a huge input group is the inherent cost of exact
+    * sequential capping (for approximate capping, stratifiedSample the
+    * group to ~budget first).
+    */
+  def tokenBudgetPerGroup(df: DataFrame, group: Column, order: Column,
+                          tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic weighted interleave tag: assigns each row a mixture
+    * bucket from its key hash, e.g. weights Seq("web" -> 0.8,
+    * "code" -> 0.2) tag ~80% of rows "web". The dual of
+    * [[stratifiedSample]]: sampling drops rows, interleaving routes
+    * them. Weights must sum to ≤ 1; the remainder tags NULL (dropped by
+    * a downstream filter if unwanted).
+    */
+  def interleaveTag(key: Column, weights: Seq[(String, Double)]): Column = {
+    val b = hashBucket(key)
+    val (expr, _) = weights.foldLeft((lit(null).cast("string"), 0L)) {
+      case ((acc, lo), (tag, w)) =>
+        val hi = lo + (w * 10000).toLong
+        (when(b >= lo && b < hi, lit(tag)).otherwise(acc), hi)
+    }
+    expr
+  }
+}

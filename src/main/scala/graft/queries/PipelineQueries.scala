@@ -505,6 +505,55 @@ object PipelineQueries {
              coalesce(c.keeper, d.doc_id) AS keeper_id,
              coalesce(c.keeper, d.doc_id) = d.doc_id AS kept
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // deterministic stratified sampling: the md5-bucket "dice roll" is a
+    // pure function of doc_id, so both engines agree row by row — no
+    // rand(), reproducible across reruns (what a training-set sample
+    // needs). The oracle parses the same 6 md5 nibbles positionally.
+    ("p19_stratified_sample", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.stratifiedSample(docs, col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"),
+          graft.curation.Curation.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      s"""
+      WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      b AS (SELECT doc_id, lang,
+              CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+                  + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 10000
+                   AS BIGINT) AS bucket
+            FROM h)
+      SELECT doc_id, lang, bucket FROM b
+      WHERE bucket < CASE WHEN lang = 'en' THEN 5000
+                          WHEN lang = 'de' THEN 2000
+                          ELSE 1000 END
+      ORDER BY doc_id"""
+    }),
+
+    // per-source token budget: admit docs in doc_id order until the
+    // source's cumulative token count crosses the budget — exact
+    // sequential capping, one shuffle on source, in-partition window.
+    ("p20_token_budget", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.tokenBudgetPerGroup(
+          docs.select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 700L)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                        CAST(len(${sqlToks("text")}) AS BIGINT) AS n FROM documents),
+      c AS (SELECT doc_id, source,
+                   CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS BIGINT) AS cum_tokens
+            FROM t)
+      SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 700
+      ORDER BY doc_id"""))
   )
 }
