@@ -93,6 +93,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in PQ plan:\n$p")
   }
 
+  test("p19 stratified sample is a map-side filter: no hash shuffle, pruned scan") {
+    val q = SparkEntry.queries("p19_stratified_sample")(spark, TestSpark.sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the only exchange is the output orderBy's range partitioning — the
+    // sampling decision itself must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), s"sampling shuffled:\n$p")
+    val scanCols = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }.head
+    assert(scanCols == Set("doc_id", "lang"), s"scan reads: $scanCols")
+  }
+
+  test("p20 token budget: one hash exchange on the group key, windows in-partition") {
+    val p = plan("p20_token_budget")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      s"no per-group exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"budget window should shuffle once, on the group key:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
