@@ -307,6 +307,52 @@ object PipelineQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // two-stage ANN: PQ shortlist (k·refine from codes alone) → exact
+    // cosine rerank on candidates only. Oracle = p17's CTE chain with a
+    // rerank tail.
+    ("p21_ann_pq_rerank", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.pqTopKRerank(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, codeStride = 25, refine = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM e CROSS JOIN js),
+      cb AS (SELECT vec_id AS code_id, j, sv AS cw FROM sub WHERE vec_id % 25 = 0),
+      d AS (SELECT s.vec_id, s.j, cb.code_id,
+                   CAST(round((list_dot_product(s.sv, s.sv)
+                             - 2.0 * list_dot_product(s.sv, cb.cw)
+                             + list_dot_product(cb.cw, cb.cw)) * 1000000) AS BIGINT) AS d2
+            FROM sub s JOIN cb ON s.j = cb.j),
+      enc AS (SELECT vec_id, j, code_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, code_id) AS rn FROM d)
+              WHERE rn = 1),
+      qt AS (SELECT vec_id AS query_id, j, code_id, d2 AS qd2
+             FROM d WHERE vec_id < 20),
+      approx AS (SELECT query_id, enc.vec_id AS neighbor_id, sum(qd2) AS a
+                 FROM enc JOIN qt ON enc.j = qt.j AND enc.code_id = qt.code_id
+                 WHERE enc.vec_id <> qt.query_id
+                 GROUP BY 1, 2),
+      shortlist AS (SELECT query_id, neighbor_id FROM
+                      (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY a, neighbor_id) AS rn FROM approx)
+                    WHERE rn <= 20),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+      rr AS (SELECT s.query_id, s.neighbor_id,
+                    round(list_dot_product(c.v, qv) /
+                          (sqrt(list_dot_product(c.v, c.v)) *
+                           sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM shortlist s JOIN e c ON s.neighbor_id = c.vec_id
+                  JOIN q ON s.query_id = q.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM rr)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // 48-bit codes / 12-bit bands: 16-bit codes give only 16 bucket
     // values per 4-bit band — quadratic candidate blow-up. 12-bit bands
     // (4096 buckets) keep buckets near-singleton while the pigeonhole

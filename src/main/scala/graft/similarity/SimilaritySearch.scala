@@ -222,6 +222,34 @@ object SimilaritySearch {
         (lit(0.0) - col("cos")).cast("long").as("approx_d2_u6"), col("rank"))
   }
 
+  /** PQ shortlist + exact rerank — the standard two-stage ANN recall
+    * fix: [[pqTopK]] produces a `k · refine` candidate shortlist per
+    * query from codes alone (cheap at 100 TB), then the exact cosine
+    * re-scores ONLY those candidates and keeps the true top-k.
+    *
+    * Scale shape: the shortlist (queries × k·refine id pairs) is
+    * broadcast against the corpus scan, so exact vectors are read for
+    * candidates only and nothing large shuffles; final rank is the same
+    * two-phase top-k. With `refine` large enough to cover the corpus
+    * this degenerates to exact brute force (pinned in SimilaritySpec).
+    * Output matches [[bruteForceTopK]]: (query_id, neighbor_id, cos,
+    * rank).
+    */
+  def pqTopKRerank(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25,
+                   refine: Int = 4): DataFrame = {
+    val shortlist = pqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+        k * refine, dim, numSubspaces, codeStride)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val scored = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+  }
+
   /** LSH-bucketed top-k: identical output shape, but candidates are only
     * corpus vectors sharing the query's sign bucket.
     */

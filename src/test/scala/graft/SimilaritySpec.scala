@@ -70,6 +70,26 @@ class SimilaritySpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("pqTopKRerank with full-corpus refine equals exact brute force") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    // refine large enough that the shortlist covers the whole corpus →
+    // the rerank must reproduce brute force bit-for-bit
+    val rr = SimilaritySearch.pqTopKRerank(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, dim = 64, refine = 1000)
+    val bf = SimilaritySearch.bruteForceTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3)
+    assert(rr.exceptAll(bf).count() == 0 && bf.exceptAll(rr).count() == 0)
+    // at practical refine the exact rerank's scores are still bounded by
+    // brute force rank-for-rank
+    val pr = SimilaritySearch.pqTopKRerank(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, dim = 64, refine = 4)
+      .select(col("query_id"), col("rank"), col("cos").as("pq_cos"))
+    val j = pr.join(bf.select(col("query_id"), col("rank"), col("cos").as("bf_cos")),
+      Seq("query_id", "rank")).collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getAs[Double]("pq_cos") <= r.getAs[Double]("bf_cos") + 1e-9))
+  }
+
   test("ivfTopKTrained returns contiguous ranks bounded by brute force") {
     val q = embeddings.filter(col("vec_id") < 5)
     val ivf = SimilaritySearch.ivfTopKTrained(embeddings, col("vec_id"), col("embedding"),
