@@ -600,6 +600,93 @@ object PipelineQueries {
                         AS BIGINT) AS cum_tokens
             FROM t)
       SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 700
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Gopher-style repetition gates: duplicate-2-gram fraction (array
+    // form, no shuffle) + top-token share (two-level agg). Default
+    // thresholds flag ~38% of the synthetic corpus.
+    ("p22_repetition_filter", (s, d) => {
+      graft.text.CorpusOps.repetitionStats(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t)-1),
+                      i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END AS s FROM toks),
+      dup AS (SELECT doc_id, CASE WHEN len(s) > 0
+                THEN round(CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                           / CAST(len(s) AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_ngram_frac FROM sh),
+      tc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2),
+      md AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+                      AS top_tok_frac FROM cnt GROUP BY 1)
+      SELECT d.doc_id, dup.dup_ngram_frac,
+             coalesce(md.top_tok_frac, 0.0) AS top_tok_frac,
+             (dup.dup_ngram_frac > 0.2 OR coalesce(md.top_tok_frac, 0.0) > 0.1)
+               AS repetitive
+      FROM documents d JOIN dup ON d.doc_id = dup.doc_id
+           LEFT JOIN md ON d.doc_id = md.doc_id
+      ORDER BY d.doc_id""")),
+
+    // benchmark decontamination: training docs (doc_id % 97 != 0)
+    // sharing any 3-gram shingle with the eval split (doc_id % 97 == 0).
+    // Eval shingle hashes are broadcast; only md5s move.
+    ("p23_decontam", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusOps.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t)-2),
+                      i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS s FROM toks),
+      ev AS (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh WHERE doc_id % 97 <> 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (h)
+               GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""")),
+
+    // corpus vocabulary: global top-20 tokens by term frequency with
+    // document frequency — two-level agg + TakeOrderedAndProject.
+    ("p24_vocab_topk", (s, d) => {
+      graft.text.CorpusOps.vocabTopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), k = 20)
+    }, Some(s"""
+      WITH tc AS (SELECT doc_id, unnest(${sqlToks("text")}) AS token FROM documents),
+      stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+                FROM tc GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rank
+            FROM stats)
+      SELECT CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf,
+             CAST(df_docs AS BIGINT) AS df_docs
+      FROM r WHERE rank <= 20 ORDER BY rank""")),
+
+    // pattern scrubbing (the PII-redaction dataflow, exercised with
+    // denylist terms that actually occur in the synthetic corpus; the
+    // PII regex library itself is spec-tested on crafted text).
+    ("p25_scrub", (s, d) => {
+      graft.text.CorpusOps.scrub(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          Seq("engine" -> "\\b(spark|flink)\\b", "entity" -> "\\bcustomer\\b"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '\b(spark|flink)\b', '[ENGINE]', 'g'),
+               '\bcustomer\b', '[ENTITY]', 'g') AS clean_text,
+             CAST(len(regexp_extract_all(text, '\b(spark|flink)\b')) AS BIGINT)
+               AS n_engine,
+             CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
+               AS n_entity
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-hygiene operators for training-data pipelines: repetition
+  * filtering, eval-set decontamination, vocabulary statistics, and
+  * pattern scrubbing. These are the standard pre-training gates applied
+  * after dedup (see [[graft.dedup.Dedup]]) and before mixing (see
+  * [[graft.curation.Curation]]).
+  *
+  * Scale design:
+  *  - repetitionStats: the duplicate-n-gram fraction is computed from
+  *    the shingle ARRAY in the scan projection (`array_distinct`, pure
+  *    codegen — no explode, no shuffle); only the top-token mode needs
+  *    rows, and its two-level aggregate shuffles (doc_id, token) pairs
+  *    with map-side combine — never text.
+  *  - decontaminate: training shingles are hashed map-side and
+  *    semi-joined against the DISTINCT eval-set shingle hashes — the
+  *    eval side is tiny by construction (benchmarks are MBs, corpora are
+  *    TBs), so Spark broadcasts it and the training scan never shuffles.
+  *  - vocabTopK: two-level hash aggregate (token, doc) → token with
+  *    partial combine, then a TakeOrderedAndProject for the global
+  *    top-k — no full sort.
+  *  - scrub: a pure per-row projection (regexp_replace/regexp_count),
+  *    fully codegen'd, zero shuffles.
+  */
+object CorpusOps {
+
+  /** Per-document repetition statistics (the Gopher-style repetition
+    * gates): fraction of duplicate `n`-gram shingles and the most
+    * frequent token's share of all tokens. Documents with no tokens
+    * report 0.0 for both.
+    *
+    * Output: (doc_id, dup_ngram_frac, top_tok_frac, repetitive) where
+    * `repetitive` = dup_ngram_frac > `maxDupNgramFrac` OR
+    * top_tok_frac > `maxTopTokFrac`.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column, n: Int = 2,
+                      maxDupNgramFrac: Double = 0.2,
+                      maxTopTokFrac: Double = 0.1): DataFrame = {
+    val sh = TextFunctions.shingles(text, n)
+    val base = docs.select(id.as("doc_id"),
+      when(size(sh) > 0,
+        round((size(sh) - size(array_distinct(sh))).cast("double") /
+          size(sh).cast("double"), 4))
+        .otherwise(lit(0.0)).as("dup_ngram_frac"),
+      TextFunctions.tokens(text).as("__toks"))
+    // token mode: two-level aggregate, (doc, tok) counts then per-doc max
+    val toks = base.select(col("doc_id"), explode(col("__toks")).as("tok"))
+    val mode = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_tok").cast("double"), 4)
+          .as("top_tok_frac"))
+    base.drop("__toks").join(mode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_ngram_frac"),
+        coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
+      .withColumn("repetitive",
+        col("dup_ngram_frac") > maxDupNgramFrac || col("top_tok_frac") > maxTopTokFrac)
+  }
+
+  /** Eval-set decontamination: flag training documents sharing any
+    * `n`-gram shingle with the evaluation corpus — the standard
+    * benchmark-leakage gate before pre-training. Shingles are compared
+    * by md5 so only 16-byte hashes move, never text; `evalDocs` is
+    * distinct-reduced and broadcast (eval sets are small by
+    * construction).
+    *
+    * Output: one row per training document — (doc_id, n_hits,
+    * contaminated) with n_hits = number of DISTINCT leaked shingles
+    * (0 / false for clean documents).
+    */
+  def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
+                    evalDocs: DataFrame, evalText: Column, n: Int = 3): DataFrame = {
+    val trainSh = TextFunctions
+      .explodedShingles(train, trainId, trainText, n)
+      .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+    val evalSh = evalDocs.select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val hits = trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(trainId.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Corpus vocabulary top-k: the `k` most frequent whitespace tokens
+    * with total term frequency and document frequency — the input to
+    * tokenizer-vocabulary construction and frequency-based filtering.
+    * Rank breaks ties by token (ascending) for determinism.
+    *
+    * Output: (rank, token, tf, df_docs), rank 1-based by tf DESC.
+    */
+  def vocabTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("token"))
+    val stats = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_docs"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k) // TakeOrderedAndProject — no global sort
+    // k rows: the rank window over them is driver-scale by construction
+    import org.apache.spark.sql.expressions.Window
+    stats.withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
+          .cast("long"))
+      .select(col("rank"), col("token"), col("tf"), col("df_docs"))
+  }
+
+  /** Common PII patterns for [[scrub]] (lookahead-free so the same
+    * regex runs identically under Java regex and RE2).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "(\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Pattern scrubbing: replace every match of each named pattern with
+    * `[<NAME>]` and report per-pattern match counts — the PII-redaction /
+    * denylist-removal step. A pure projection (regexp_replace +
+    * regexp_count), fully codegen'd; patterns are applied in order, and
+    * counts are measured against the ORIGINAL text so overlapping
+    * patterns report what they saw, not what survived earlier
+    * replacements.
+    *
+    * Output: (doc_id, clean_text, n_<name> per pattern).
+    */
+  def scrub(docs: DataFrame, id: Column, text: Column,
+            patterns: Seq[(String, String)] = piiPatterns): DataFrame = {
+    val cleaned = patterns.foldLeft(text) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"[${name.toUpperCase}]")
+    }
+    val counts = patterns.map { case (name, re) =>
+      regexp_count(text, lit(re)).cast("long").as(s"n_$name")
+    }
+    docs.select((Seq(id.as("doc_id"), cleaned.as("clean_text")) ++ counts): _*)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats flags repeated text and passes diverse text") {
+    val docs = Seq(
+      (1L, "a a a a a a"),            // one token repeated: top_tok_frac 1.0
+      (2L, "w x y z q r s t u v"),    // all distinct
+      (3L, "ab cd ab cd ab cd"),      // repeated bigrams
+      (4L, "")).toDF("id", "text")    // empty: both fractions 0
+    val out = CorpusOps.repetitionStats(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // 5 bigrams, 1 distinct -> dup frac 0.8; 6/6 of tokens are the mode
+    assert(out(1L) == (0.8, 1.0, true))
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.1 && !out(2L)._3)
+    // "ab cd ab cd ab cd": 5 bigrams, 2 distinct -> dup frac 0.6
+    assert(out(3L)._1 == 0.6 && out(3L)._3)
+    assert(out(4L) == (0.0, 0.0, false))
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
+      (2L, "totally different words here"),
+      (3L, "quick brown fox quick brown fox")).toDF("id", "text") // 2 distinct leaks
+    val eval_ = Seq((100L, "a quick brown fox runs")).toDF("id", "text")
+    val out = CorpusOps.decontaminate(train, col("id"), col("text"),
+        eval_, col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (0L, false))
+    // doc 3 shares "quick brown fox" and "brown fox quick"? only the
+    // former exists in eval; distinct hit count stays 1
+    assert(out(3L) == (1L, true))
+  }
+
+  test("vocabTopK ranks by tf with token tiebreak and exact df") {
+    val docs = Seq(
+      (1L, "b b a c"), (2L, "b a"), (3L, "c")).toDF("id", "text")
+    val out = CorpusOps.vocabTopK(docs, col("id"), col("text"), k = 2).collect()
+    // tf: b=3, a=2, c=2 -> top2 = b, then a (tie with c broken by token)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "b" && out(0).getLong(2) == 3 && out(0).getLong(3) == 2)
+    assert(out(1).getString(1) == "a" && out(1).getLong(2) == 2 && out(1).getLong(3) == 2)
+  }
+
+  test("scrub redacts PII patterns and counts against original text") {
+    val docs = Seq(
+      (1L, "mail bob@example.com or call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii at all")).toDF("id", "text")
+    val out = CorpusOps.scrub(docs, col("id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val clean = out(1L).getString(1)
+    assert(!clean.contains("bob@example.com") && clean.contains("[EMAIL]"))
+    assert(!clean.contains("555-123-4567") && clean.contains("[PHONE]"))
+    assert(!clean.contains("10.0.0.1") && clean.contains("[IPV4]"))
+    assert(out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1 && out(1L).getLong(4) == 1)
+    assert(out(2L).getString(1) == "no pii at all")
+    assert(out(2L).getLong(2) == 0 && out(2L).getLong(3) == 0 && out(2L).getLong(4) == 0)
+  }
+}
