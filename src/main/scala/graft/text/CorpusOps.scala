@@ -11,15 +11,20 @@ import graft.functions.TextFunctions
   * [[graft.curation.Curation]]).
   *
   * Scale design:
-  *  - repetitionStats: the duplicate-n-gram fraction is computed from
-  *    the shingle ARRAY in the scan projection (`array_distinct`, pure
-  *    codegen — no explode, no shuffle); only the top-token mode needs
-  *    rows, and its two-level aggregate shuffles (doc_id, token) pairs
-  *    with map-side combine — never text.
-  *  - decontaminate: training shingles are hashed map-side and
-  *    semi-joined against the DISTINCT eval-set shingle hashes — the
-  *    eval side is tiny by construction (benchmarks are MBs, corpora are
-  *    TBs), so Spark broadcasts it and the training scan never shuffles.
+  *  - repetitionStats: both statistics are computed in ROW form from
+  *    codegen'd explodes ([[TextFunctions.explodedShingles]] for the
+  *    duplicate-n-gram fraction, a token explode for the mode) feeding
+  *    two-level aggregates with map-side combine — shuffles move
+  *    (doc_id, token/shingle) counts, never text. The array-form
+  *    `shingles`/`array_distinct` composition would be interpreted
+  *    (HOFs are CodegenFallback) and re-evaluated per reference —
+  *    measured 10× slower at sf0.1.
+  *  - decontaminate: training shingles are hashed and joined against the
+  *    DISTINCT eval-set shingle hashes — the eval side is tiny by
+  *    construction (benchmarks are MBs, corpora are TBs), so Spark
+  *    broadcasts it; the training side pays ONE doc-keyed shuffle (the
+  *    shingle window), which Catalyst reuses for the per-doc distinct —
+  *    no all-pairs join, no second exchange (pinned in PlanSpec).
   *  - vocabTopK: two-level hash aggregate (token, doc) → token with
   *    partial combine, then a TakeOrderedAndProject for the global
   *    top-k — no full sort.
@@ -40,23 +45,29 @@ object CorpusOps {
   def repetitionStats(docs: DataFrame, id: Column, text: Column, n: Int = 2,
                       maxDupNgramFrac: Double = 0.2,
                       maxTopTokFrac: Double = 0.1): DataFrame = {
-    val sh = TextFunctions.shingles(text, n)
-    val base = docs.select(id.as("doc_id"),
-      when(size(sh) > 0,
-        round((size(sh) - size(array_distinct(sh))).cast("double") /
-          size(sh).cast("double"), 4))
-        .otherwise(lit(0.0)).as("dup_ngram_frac"),
-      TextFunctions.tokens(text).as("__toks"))
+    // duplicate-fraction from shingle rows: (doc, sh) counts, then
+    // per-doc (total, distinct); docs with no shingles surface as NULL
+    // and coalesce to 0.0 below
+    val dup = TextFunctions.explodedShingles(docs, id, text, n)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("nd"))
+      .select(col("doc_id"),
+        round((col("total") - col("nd")).cast("double") /
+          col("total").cast("double"), 4).as("dup_ngram_frac"))
     // token mode: two-level aggregate, (doc, tok) counts then per-doc max
-    val toks = base.select(col("doc_id"), explode(col("__toks")).as("tok"))
-    val mode = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val mode = docs
+      .select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
       .select(col("doc_id"),
         round(col("top_c").cast("double") / col("n_tok").cast("double"), 4)
           .as("top_tok_frac"))
-    base.drop("__toks").join(mode, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_ngram_frac"),
+    docs.select(id.as("doc_id"))
+      .join(dup, Seq("doc_id"), "left").join(mode, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"),
         coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
       .withColumn("repetitive",
         col("dup_ngram_frac") > maxDupNgramFrac || col("top_tok_frac") > maxTopTokFrac)

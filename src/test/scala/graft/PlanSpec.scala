@@ -113,6 +113,32 @@ class PlanSpec extends AnyFunSuite {
       s"budget window should shuffle once, on the group key:\n$p")
   }
 
+  test("p21 PQ rerank broadcasts the shortlist and queries; rank is two-phase") {
+    val p = plan("p21_ann_pq_rerank")
+    // exact-rerank joins must both be broadcast (shortlist and queries
+    // are tiny); the corpus side must never sort-merge
+    assert(!p.contains("SortMergeJoin"), s"rerank sort-merged:\n$p")
+    assert("partial_topk".r.findAllIn(p).nonEmpty, s"rank not two-phase:\n$p")
+    assert(!p.contains("Window"), s"one-task-per-query window crept in:\n$p")
+  }
+
+  test("p23 decontamination: eval shingles broadcast, one train-side shuffle") {
+    val p = plan("p23_decontam")
+    // train side: the shingle window's doc_id exchange is reused by the
+    // per-doc distinct; eval side: one exchange for its global distinct.
+    // Anything more means text/token rows are shuffling twice.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly 2 hash exchanges (train window + eval distinct):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"eval set must broadcast, not sort-merge:\n$p")
+  }
+
+  test("p25 scrub is a pure projection: no shuffle, no join") {
+    val p = plan("p25_scrub")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"scrub should be map-side only:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
