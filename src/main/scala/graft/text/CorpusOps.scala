@@ -144,7 +144,8 @@ object CorpusOps {
       regexp_replace(acc, re, s"[${name.toUpperCase}]")
     }
     val counts = patterns.map { case (name, re) =>
-      regexp_count(text, lit(re)).cast("long").as(s"n_$name")
+      // null text -> 0 matches (not null), so downstream sums stay exact
+      coalesce(regexp_count(text, lit(re)).cast("long"), lit(0L)).as(s"n_$name")
     }
     docs.select((Seq(id.as("doc_id"), cleaned.as("clean_text")) ++ counts): _*)
   }

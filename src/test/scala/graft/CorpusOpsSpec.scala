@@ -65,4 +65,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L).getString(1) == "no pii at all")
     assert(out(2L).getLong(2) == 0 && out(2L).getLong(3) == 0 && out(2L).getLong(4) == 0)
   }
+
+  test("all operators tolerate null text") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val rep = CorpusOps.repetitionStats(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep(2L) == 0.0 && rep.size == 2)
+    val dec = CorpusOps.decontaminate(docs, col("id"), col("text"),
+        Seq((9L, "a b c")).toDF("id", "text"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dec(1L) && !dec(2L))
+    assert(CorpusOps.vocabTopK(docs, col("id"), col("text"), 10).count() == 3)
+    val s = CorpusOps.scrub(docs, col("id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(s(2L).isNullAt(1) && s(2L).getLong(2) == 0)
+  }
 }

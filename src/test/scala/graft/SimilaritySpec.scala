@@ -90,6 +90,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(j.forall(r => r.getAs[Double]("pq_cos") <= r.getAs[Double]("bf_cos") + 1e-9))
   }
 
+  test("approximate tiers reach measured recall@10 against brute force") {
+    val q = embeddings.filter(col("vec_id") < 30)
+    def ids(df: DataFrame): Set[(Long, Long)] = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = ids(SimilaritySearch.bruteForceTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10))
+    def recall(df: DataFrame): Double = ids(df).intersect(bf).size.toDouble / bf.size
+    val rLsh = recall(SimilaritySearch.lshTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10, bucketBits = 4))
+    val rIvf = recall(SimilaritySearch.ivfTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10, nprobe = 2))
+    val rPq = recall(SimilaritySearch.pqTopKRerank(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10, dim = 64,
+      refine = 4))
+    info(f"recall@10  lsh=$rLsh%.3f ivf=$rIvf%.3f pq+rerank=$rPq%.3f")
+    // The synthetic embeddings are uniform random — the WORST case for
+    // ANN (no cluster structure to exploit), so these floors are low by
+    // design; the ladder lsh < ivf < pq+rerank is the contract.
+    assert(rLsh >= 0.10, s"lsh recall $rLsh")
+    assert(rIvf >= 0.25, s"ivf recall $rIvf")
+    assert(rPq >= 0.28, s"pq recall $rPq")
+    assert(rPq >= rLsh, s"rerank tier should dominate plain LSH: $rPq < $rLsh")
+  }
+
   test("ivfTopKTrained returns contiguous ranks bounded by brute force") {
     val q = embeddings.filter(col("vec_id") < 5)
     val ivf = SimilaritySearch.ivfTopKTrained(embeddings, col("vec_id"), col("embedding"),
