@@ -73,9 +73,15 @@ object Retry {
       } else {
         delay.foreach(d => sleep(d.nextDelayMs(failed = true)))
         // localCheckpoint truncates lineage: without it iteration i re-runs
-        // all previous attempts' plans (exponential at scale).
-        val next = retryWith(failed).withColumn("attempt", lit(i + 1)).localCheckpoint(eager = false)
-        pending = attempt(next)
+        // all previous attempts' plans (exponential at scale). It sits
+        // AFTER attempt so the next round's existence probe and the final
+        // union both read the materialized attempt instead of re-running
+        // it (attempt is the expensive side; the checkpointed set is only
+        // the failing subset, so block-manager footprint stays small —
+        // round 0 is deliberately NOT checkpointed because it spans the
+        // full input).
+        val next = retryWith(failed).withColumn("attempt", lit(i + 1))
+        pending = attempt(next).localCheckpoint(eager = false)
         done = done.unionByName(pending.filter(col("error").isNull))
         i += 1
       }
