@@ -687,6 +687,53 @@ object PipelineQueries {
                AS n_engine,
              CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
                AS n_entity
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // end-to-end STREAMING curation: scrub -> token/quality gates ->
+    // exact dedup, run on the Structured Streaming engine (file source,
+    // AvailableNow) and checked against the batch oracle below — the
+    // parity proof that gate composition doesn't change results between
+    // live ingest and backfill.
+    ("p26_streaming_curation", (s, d) => {
+      graft.streaming.StreamingQueries.curationPipeline(s, d,
+        Seq("engine" -> "\\b(spark|flink)\\b", "entity" -> "\\bcustomer\\b"),
+        minTokens = 20L, maxTokens = 200L, minQuality = 0.5)
+    }, Some {
+      val en = TextFunctions.langStopwords("en")
+        .map(w => s"CAST(len(list_filter(ltoks, t -> t = '$w')) AS BIGINT)")
+        .mkString(" + ")
+      s"""
+      WITH sc AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '\\b(spark|flink)\\b', '[ENGINE]', 'g'),
+                 '\\bcustomer\\b', '[ENTITY]', 'g') AS ct
+        FROM documents),
+      base AS (
+        SELECT doc_id, ct,
+               CAST(len(${sqlToks("ct")}) AS DOUBLE) AS n_tok,
+               CAST(length(ct) AS DOUBLE) AS n_char,
+               CAST(length(regexp_replace(ct, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS alnum,
+               ${sqlToks("lower(ct)")} AS ltoks
+        FROM sc),
+      m AS (
+        SELECT doc_id, ct, n_tok,
+               CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN n_tok > 0 THEN CAST($en AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_char > 0 THEN (n_char - alnum) / n_char ELSE 0.0 END AS punct_ratio
+        FROM base),
+      q AS (
+        SELECT doc_id, ct, n_tok,
+               round(least(greatest(
+                 least(n_tok / 100.0, 1.0) * 0.4 +
+                 (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+                 stop_ratio * 0.2 + (1.0 - punct_ratio) * 0.2,
+                 0.0), 1.0), 4) AS quality
+        FROM m),
+      kept AS (SELECT * FROM q WHERE n_tok BETWEEN 20 AND 200 AND quality >= 0.5)
+      SELECT md5(array_to_string(${sqlToks("lower(ct)")}, ' ')) AS fingerprint,
+             min(doc_id) AS keeper_id, count(*) AS group_size
+      FROM kept GROUP BY 1 ORDER BY 1"""
+    })
   )
 }

@@ -139,4 +139,33 @@ object StreamingQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
     runToMemory(agg).orderBy(col("fingerprint"))
   }
+
+  /** End-to-end streaming corpus curation — the composition a live
+    * ingest pipeline runs, in ONE streaming query: denylist scrub →
+    * token-count + quality gates (all stateless, map-side) → exact
+    * dedup (min-id per fingerprint, the only stateful step). Everything
+    * upstream of the aggregate stays in the scan stage, so the
+    * streaming state is one row per distinct fingerprint — identical
+    * state shape to [[exactDedup]] regardless of how many gates are
+    * composed in front.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String,
+                       patterns: Seq[(String, String)],
+                       minTokens: Long, maxTokens: Long,
+                       minQuality: Double): DataFrame = {
+    import graft.functions.TextFunctions
+    val clean = patterns.foldLeft(col("text")) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"[${name.toUpperCase}]")
+    }
+    val gated = documentsStream(spark, sfDir)
+      .select(col("doc_id"), clean.as("ct"))
+      .withColumn("n_tok", TextFunctions.tokenCount(col("ct")))
+      .withColumn("quality", TextFunctions.qualityScore(col("ct")))
+      .filter(col("n_tok").between(minTokens, maxTokens) &&
+        col("quality") >= minQuality)
+    val agg = gated
+      .groupBy(TextFunctions.fingerprint(col("ct")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    runToMemory(agg).orderBy(col("fingerprint"))
+  }
 }
