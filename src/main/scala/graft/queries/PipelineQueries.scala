@@ -734,6 +734,30 @@ object PipelineQueries {
       SELECT md5(array_to_string(${sqlToks("lower(ct)")}, ' ')) AS fingerprint,
              min(doc_id) AS keeper_id, count(*) AS group_size
       FROM kept GROUP BY 1 ORDER BY 1"""
-    })
+    }),
+
+    // Johnson-Lindenstrauss projection 64 -> 16 (md5-derived Achlioptas
+    // signs, native codegen expression); flattened to rows for the
+    // engine-portable compare.
+    ("p27_random_projection", (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.RandomProjection(col("embedding"), 16, 42L))
+            .as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
+        .orderBy(col("vec_id"), col("j"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+      sg AS (SELECT j, k,
+               CASE WHEN (strpos('0123456789abcdef',
+                        substr(md5('42:' || j || ':' || k), 1, 1)) - 1) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS s
+             FROM js CROSS JOIN ks),
+      sr AS (SELECT j, list(s ORDER BY k) AS srow FROM sg GROUP BY j)
+      SELECT vec_id, CAST(j AS BIGINT) AS j,
+             round(list_dot_product(v, srow) / sqrt(16.0), 6) AS y
+      FROM e CROSS JOIN sr ORDER BY vec_id, j"""))
   )
 }

@@ -114,6 +114,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rPq >= rLsh, s"rerank tier should dominate plain LSH: $rPq < $rLsh")
   }
 
+  test("randomProjection preserves pairwise cosine structure and feeds ANN") {
+    import graft.functions.{RandomProjection, VectorFunctions}
+    val proj = embeddings.select(col("vec_id"),
+      RandomProjection(col("embedding"), 16, 42L).as("pv"))
+    // shape + determinism
+    assert(proj.select(size(col("pv"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    assert(proj.exceptAll(embeddings.select(col("vec_id"),
+      RandomProjection(col("embedding"), 16, 42L).as("pv"))).count() == 0)
+    // JL property: projected cosines track original cosines (loose bound
+    // appropriate for m=16) over sampled pairs
+    val orig = embeddings.select(col("vec_id"), col("embedding"))
+    val pairs = orig.toDF("ida", "va").join(orig.toDF("idb", "vb"),
+        col("ida") + 1 === col("idb"))
+      .join(proj.toDF("ida", "pa"), "ida")
+      .join(proj.toDF("idb", "pb"), "idb")
+      .select(VectorFunctions.cosine(col("va"), col("vb")).as("c0"),
+        VectorFunctions.cosine(col("pa"), col("pb")).as("c1"))
+      .limit(50).collect()
+    val meanAbsErr = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+      .sum / pairs.length
+    assert(meanAbsErr < 0.35, f"JL cosine drift $meanAbsErr%.3f")
+    // projected vectors run through the ANN stack unchanged
+    val topk = SimilaritySearch.bruteForceTopK(proj, col("vec_id"), col("pv"),
+      proj.filter(col("vec_id") < 3), col("vec_id"), col("pv"), k = 2)
+    assert(topk.count() > 0)
+    // null element -> null projection (malformed-embedding contract)
+    val bad = Seq((1L, Seq[java.lang.Double](1.0, null))).toDF("id", "v")
+    assert(bad.select(RandomProjection(col("v"), 4, 1L)).head().isNullAt(0))
+  }
+
   test("ivfTopKTrained returns contiguous ranks bounded by brute force") {
     val q = embeddings.filter(col("vec_id") < 5)
     val ivf = SimilaritySearch.ivfTopKTrained(embeddings, col("vec_id"), col("embedding"),
