@@ -79,4 +79,26 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
   }
+
+  /** Bucketed table write — co-location paid ONCE at write time: rows
+    * are hash-distributed into `nBuckets` files per the bucket columns,
+    * so every later join or aggregation keyed on them scans pre-shuffled
+    * data and plans NO exchange (pinned in PlanSpec). This is the 100 TB
+    * answer for fact-to-fact joins where neither side broadcasts and a
+    * per-query shuffle of either would dominate the job: bucket both
+    * sides with the SAME key and bucket count. `sortCols` additionally
+    * sorts within each bucket file (run-length-friendly layout, and
+    * sort-merge join can read it pre-sorted).
+    *
+    * Requires a catalog table (bucketing metadata lives in the
+    * catalog, not the files) — hence `saveAsTable`, not `parquet(path)`.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, nBuckets: Int,
+                         bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && nBuckets > 0, "need bucket columns and buckets > 0")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

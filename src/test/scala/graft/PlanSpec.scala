@@ -146,6 +146,25 @@ class PlanSpec extends AnyFunSuite {
       s"scrub should be map-side only:\n$p")
   }
 
+  test("bucketed tables join with no exchange: co-location paid at write time") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+    graft.sources.Sinks.writeBucketedTable(a, "graft_bucket_a", 4, Seq("k"), Seq("k"))
+    graft.sources.Sinks.writeBucketedTable(b, "graft_bucket_b", 4, Seq("k"), Seq("k"))
+    // force the non-broadcast path: the point is fact-to-fact joins
+    // where neither side fits in memory
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(j.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
