@@ -36,6 +36,32 @@ object Dedup {
     docs.join(keep, id === col("__keep"), "left_semi")
   }
 
+  /** Incremental exact dedup for rolling corpus ingest: drop rows of
+    * `docs` whose fingerprint already exists in `history` (a table with
+    * a `fingerprint` column — every previously admitted document), then
+    * keep one row per fingerprint within the batch (min id). Output =
+    * the surviving rows WITH their `fingerprint` column, so the caller
+    * appends exactly that column back to the history table — replaying
+    * the same batch then yields zero survivors (idempotent re-ingest,
+    * pinned in OperatorsSpec).
+    *
+    * Scale shape: the anti-join and keeper aggregate shuffle 16-byte
+    * md5 keys, never text. At 100 TB keep the history table BUCKETED on
+    * `fingerprint` ([[graft.sources.Sinks.writeBucketedTable]]) — the
+    * history side of the anti-join then scans pre-shuffled buckets and
+    * plans no exchange for it; only the (small) incoming batch moves.
+    */
+  def incrementalDedup(docs: DataFrame, id: Column, text: Column,
+                       history: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fingerprint", TextFunctions.fingerprint(text))
+      .withColumn("__id", id)
+    val fresh = fp.join(history.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    val keep = fresh.groupBy(col("fingerprint")).agg(min(col("__id")).as("__keep"))
+    fresh.join(keep, Seq("fingerprint"))
+      .filter(col("__id") === col("__keep"))
+      .drop("__id", "__keep")
+  }
+
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * `numBands` band keys (each of `rowsPerBand` minhashes over
     * `shingleN`-gram shingles). Output (id_a < id_b) distinct.

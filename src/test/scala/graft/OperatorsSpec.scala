@@ -232,4 +232,21 @@ class OperatorsSpec extends AnyFunSuite {
       threshold = 0.5, maxBucket = Some(8))
     assert(kept.select(min(col("doc_id"))).as[Long].head() == 1L)
   }
+
+  test("incrementalDedup is cross-batch exact and idempotent on replay") {
+    import graft.dedup.Dedup
+    val empty = Seq.empty[String].toDF("fingerprint")
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "Alpha  beta"))
+      .toDF("doc_id", "text") // 3 is a whitespace/case dup of 1
+    val s1 = Dedup.incrementalDedup(b1, col("doc_id"), col("text"), empty)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val hist = s1.select("fingerprint")
+    // batch 2: one doc dups batch 1 across the batch boundary, one is new
+    val b2 = Seq((10L, "alpha beta"), (11L, "delta")).toDF("doc_id", "text")
+    val s2 = Dedup.incrementalDedup(b2, col("doc_id"), col("text"), hist)
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // replaying an ingested batch admits nothing
+    val hist2 = hist.union(s2.select("fingerprint"))
+    assert(Dedup.incrementalDedup(b2, col("doc_id"), col("text"), hist2).count() == 0)
+  }
 }
