@@ -758,6 +758,25 @@ object PipelineQueries {
       sr AS (SELECT j, list(s ORDER BY k) AS srow FROM sg GROUP BY j)
       SELECT vec_id, CAST(j AS BIGINT) AS j,
              round(list_dot_product(v, srow) / sqrt(16.0), 6) AS y
-      FROM e CROSS JOIN sr ORDER BY vec_id, j"""))
+      FROM e CROSS JOIN sr ORDER BY vec_id, j""")),
+
+    // corpus-relative rare-token fraction (the integer-exact
+    // LM-perplexity proxy): tokens with unigram probability < 1/100.
+    ("p28_rare_tokens", (s, d) => {
+      graft.text.CorpusOps.rareTokenFraction(
+          Tables.documents(s, d), col("doc_id"), col("text"), rareFactor = 100L)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tc AS (SELECT doc_id, unnest(${sqlToks("text")}) AS token FROM documents),
+      tf AS (SELECT token, count(*) AS tf FROM tc GROUP BY 1),
+      tot AS (SELECT sum(tf) AS total FROM tf)
+      SELECT tc.doc_id,
+             CAST(sum(CASE WHEN tf.tf * 100 < tot.total THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+             count(*) AS n_tokens,
+             round(CAST(sum(CASE WHEN tf.tf * 100 < tot.total THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 4) AS rare_frac
+      FROM tc JOIN tf USING (token) CROSS JOIN tot
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

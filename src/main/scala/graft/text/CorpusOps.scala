@@ -120,6 +120,38 @@ object CorpusOps {
       .select(col("rank"), col("token"), col("tf"), col("df_docs"))
   }
 
+  /** Corpus-relative rare-token fraction per document — the cheap
+    * stand-in for LM-perplexity quality filtering (CCNet-style):
+    * documents dominated by tokens rare IN THIS CORPUS are the
+    * unusual/noisy ones. A token is rare iff
+    * `tf(token) · rareFactor < total_corpus_tokens` (unigram probability
+    * below 1/rareFactor). Deliberately an INTEGER statistic with one
+    * final division — a `-mean log p` float sum would be
+    * summation-order-dependent across partitionings and libm
+    * implementations, and this engine's correctness gate is bit-exact
+    * cross-engine hashes.
+    *
+    * Scale shape: token frequencies are a two-level hash aggregate; the
+    * per-doc score joins token rows to frequencies on the token key and
+    * re-aggregates by doc — shuffles move (token/doc_id, count) pairs,
+    * never text. Output: (doc_id, n_rare, n_tokens, rare_frac).
+    */
+  def rareTokenFraction(docs: DataFrame, id: Column, text: Column,
+                        rareFactor: Long = 100L): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("__total"))
+    toks.join(tf, Seq("token"))
+      .join(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tf") * rareFactor < col("__total"), 1L).otherwise(0L))
+          .as("n_rare"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("rare_frac",
+        round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
   /** Common PII patterns for [[scrub]] (lookahead-free so the same
     * regex runs identically under Java regex and RE2).
     */

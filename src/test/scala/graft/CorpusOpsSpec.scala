@@ -66,6 +66,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L).getLong(2) == 0 && out(2L).getLong(3) == 0 && out(2L).getLong(4) == 0)
   }
 
+  test("rareTokenFraction scores corpus-relative rarity") {
+    // "zzz" appears once in 12 corpus tokens -> p = 1/12 < 1/10 (rare at
+    // factor 10); every other token appears 3+ times
+    val docs = Seq(
+      (1L, "common words common words zzz"),
+      (2L, "common words common words"),
+      (3L, "common words common")).toDF("id", "text")
+    val out = CorpusOps.rareTokenFraction(docs, col("id"), col("text"), rareFactor = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == (1L, 5L, 0.2))
+    assert(out(2L) == (0L, 4L, 0.0))
+    assert(out(3L) == (0L, 3L, 0.0))
+  }
+
   test("all operators tolerate null text") {
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     val rep = CorpusOps.repetitionStats(docs, col("id"), col("text"))
