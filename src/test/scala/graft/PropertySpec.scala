@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Aggregators
+
+/** Property-based checks for the pure kernels that every ANN/dedup
+  * result rides on. These run the aggregation logic directly (no Spark
+  * jobs) so scalacheck can push hundreds of adversarial cases through.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val scoredGen: Gen[List[Aggregators.Scored]] =
+    Gen.listOf(for {
+      // coarse cos grid so ties actually happen
+      c <- Gen.chooseNum(-5, 5).map(_ / 10.0)
+      id <- Gen.chooseNum(0L, 30L)
+    } yield Aggregators.Scored(c, id))
+
+  /** The window-rank reference: full sort by (cos DESC, id ASC), take k
+    * (duplicates kept, exactly like the aggregator).
+    */
+  private def naiveTopK(xs: List[Aggregators.Scored], k: Int): List[Aggregators.Scored] =
+    xs.sortBy(s => (-s.cos, s.neighbor_id)).take(k)
+
+  test("TopK equals the sort-based rank for any input and any partitioning") {
+    val kGen = Gen.chooseNum(1, 6)
+    check(Prop.forAll(scoredGen, kGen, Gen.chooseNum(1, 5)) { (xs, k, nParts) =>
+      val agg = new Aggregators.TopK(k)
+      // split into nParts partitions, reduce each, then merge in order
+      val parts = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      merged.items.toList == naiveTopK(xs, k)
+    })
+  }
+
+  test("TopK merge is order-insensitive and the buffer stays bounded") {
+    val kGen = Gen.chooseNum(1, 6)
+    check(Prop.forAll(scoredGen, scoredGen, kGen) { (a, b, k) =>
+      val agg = new Aggregators.TopK(k)
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      val ab = agg.merge(ba, bb)
+      val ba2 = agg.merge(bb, ba)
+      ab.items == ba2.items && ab.items.size <= k &&
+        ba.items.size <= k && bb.items.size <= k
+    })
+  }
+
+  test("fingerprint is whitespace- and case-insensitive for random texts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "Beta", "GAMMA", "d", "ee", "zz9")
+    val ws = Vector(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    def doc(): String = Seq.fill(1 + rnd.nextInt(6))(words(rnd.nextInt(words.size)))
+      .mkString(" ")
+    def mangle(s: String): String =
+      ws(rnd.nextInt(ws.size)) +
+        s.split(" ").map(w => if (rnd.nextBoolean()) w.toUpperCase else w.toLowerCase)
+          .mkString(ws(rnd.nextInt(ws.size))) + ws(rnd.nextInt(ws.size))
+    val pairs = Seq.fill(200)(doc()).map(d => (d, mangle(d))).toDF("a", "b")
+    val diff = pairs.filter(
+      graft.functions.TextFunctions.fingerprint(col("a")) =!=
+        graft.functions.TextFunctions.fingerprint(col("b"))).count()
+    assert(diff == 0)
+  }
+}
