@@ -165,4 +165,31 @@ class StreamingSpec extends AnyFunSuite {
     val b = viaBatch.collect().map(_.toString).sorted
     assert(s.toSeq == b.toSeq)
   }
+
+  test("dead-letter routing splits failures per batch and replay recovers them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DeadLetter
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
+    // Try-as-data attempt: ids divisible by 3 fail on first attempt
+    val attempt = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("value", when(col("id") % 3 =!= 0, col("id") * 10))
+        .withColumn("error", when(col("id") % 3 === 0, lit("mod3")))
+    val input = MemoryStream[Long]
+    input.addData(1L to 9L: _*)
+    val q = DeadLetter.run(input.toDF().toDF("id"), attempt,
+      s"$dir/out", s"$dir/dlq", s"$dir/ckpt")
+    q.awaitTermination()
+    val ok = spark.read.parquet(s"$dir/out").select("id").as[Long].collect().sorted
+    val dead = spark.read.parquet(s"$dir/dlq").select("id").as[Long].collect().sorted
+    assert(ok.toSeq == Seq(1L, 2L, 4L, 5L, 7L, 8L))
+    assert(dead.toSeq == Seq(3L, 6L, 9L))
+    assert(spark.read.parquet(s"$dir/dlq").columns.contains("batch_id"))
+    // replay through the batch fixpoint with a retryWith that repairs
+    // every dead letter (+1 makes each id indivisible by 3)
+    val replayed = DeadLetter.replay(spark, s"$dir/dlq",
+      attempt, failed => failed.withColumn("id", col("id") + 1), maxRetries = 2)
+    assert(replayed.filter(col("error").isNull).count() == 3)
+  }
 }
