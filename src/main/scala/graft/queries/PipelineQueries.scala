@@ -777,6 +777,34 @@ object PipelineQueries {
              round(CAST(sum(CASE WHEN tf.tf * 100 < tot.total THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE), 4) AS rare_frac
       FROM tc JOIN tf USING (token) CROSS JOIN tot
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // video-frame sampling plumbing: bounded per-record fan-out with
+    // frame index + deterministic stub frame bytes (payload slices).
+    ("p29_frame_sample", (s, d) => {
+      graft.multimodal.Multimodal.sampleFrames(
+          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"),
+          maxFrames = 3)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          // binary columns don't survive the pandas-side compare; an md5
+          // hex digest pins the same bytes as a portable string
+          md5(col("frame_bytes")).as("frame_md5"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                 FROM documents),
+      f AS (SELECT doc_id, text,
+                   unnest(generate_series(0, least(n % 10 + 1, 3) - 1)) AS frame_idx
+            FROM b),
+      -- ASCII corpus: byte slices == char slices, so the VARCHAR
+      -- substring hashes/measures identically to Spark's binary slice
+      fr AS (SELECT doc_id, frame_idx,
+                    substring(text, CAST(frame_idx * 8 + 1 AS BIGINT), 8) AS fb
+             FROM f)
+      SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             md5(fb) AS frame_md5,
+             CAST(octet_length(encode(fb)) AS BIGINT) AS frame_len
+      FROM fr ORDER BY media_id, frame_idx"""))
   )
 }
