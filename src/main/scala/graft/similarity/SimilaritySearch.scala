@@ -127,15 +127,29 @@ object SimilaritySearch {
                           queries: DataFrame, queryId: Column, queryVec: Column,
                           cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
-    // Coarse assignment: argmax cosine over centroids via max(struct) —
-    // ties break to the smallest centroid_id (negated id in the struct),
-    // matching ORDER BY cos DESC, centroid_id in the oracle.
-    val asg = e.join(broadcast(cent))
+    // Coarse assignment: argmax cosine over centroids. The argmax is a
+    // max over a PACKED long — (ccos_u6 + 1e6) << 21 | (2^21-1 - idx)
+    // with idx the dense centroid index ordered by centroid_id — so max
+    // picks the highest cosine then the SMALLEST centroid_id, matching
+    // ORDER BY cos DESC, centroid_id in the oracle. Packing (instead of
+    // max(struct) + first(cv)) keeps the aggregate a codegen
+    // HashAggregate over NARROW rows: the old form planned a
+    // SortAggregate whose buffer dragged a copy of the vector through
+    // every corpus × centroid row; the vector now rejoins by key after
+    // the argmax.
+    val wc = Window.orderBy(col("centroid_id"))
+    val centIdx = cent.withColumn("idx", row_number().over(wc).cast("long") - 1)
+    val asgKey = e.join(broadcast(centIdx))
       .withColumn("ccos", round(VectorFunctions.cosine(col("cv"), col("centv")), 6))
+      .select(col("neighbor_id"),
+        ((round(col("ccos") * 1e6, 0).cast("long") + lit(1000000L)) * lit(1L << 21) +
+          (lit((1L << 21) - 1) - col("idx"))).as("packed"))
       .groupBy(col("neighbor_id"))
-      .agg(first(col("cv")).as("cv"), // functionally dependent on the key
-        max(struct(col("ccos").as("c"), (lit(0L) - col("centroid_id")).as("nc"))).as("m"))
-      .select(col("neighbor_id"), col("cv"), (lit(0L) - col("m.nc")).as("centroid_id"))
+      .agg(max(col("packed")).as("m"))
+      .withColumn("idx", lit((1L << 21) - 1) - col("m") % lit(1L << 21))
+      .join(broadcast(centIdx.select(col("idx"), col("centroid_id"))), Seq("idx"))
+      .select(col("neighbor_id"), col("centroid_id"))
+    val asg = e.join(asgKey, Seq("neighbor_id"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)

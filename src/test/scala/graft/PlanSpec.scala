@@ -69,6 +69,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p12_ann_ivf")
     assert(p.contains("BroadcastExchange"), p)
     assert(countExchanges(p) <= 5, s"IVF plan shuffles too much:\n$p")
+    // assignment argmax must be the packed-long HashAggregate, not a
+    // vector-dragging SortAggregate
+    assert(!p.contains("SortAggregate"), s"IVF assignment sort-aggregates:\n$p")
   }
 
   test("p08 top-k ranks via partial ObjectHashAggregate, not a per-query window") {
