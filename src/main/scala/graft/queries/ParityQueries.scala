@@ -44,11 +44,17 @@ object ParityQueries {
 
     // AccumulateWhileUnchanged — AccumulateWhileUnchanged.scala:26-29
     ("q18_change_groups", (s, d) => {
+      // event_type is CONSTANT within a change-group by construction, so
+      // it belongs in the grouping keys — as min(event_type) it would be
+      // a string-buffered aggregate, which demotes the whole aggregate
+      // to SortAggregate (string buffers aren't hash-agg mutable)
       AccumulateWhileUnchanged.changeGroups(Tables.events(s, d),
           Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("event_type"))
-        .groupBy(col("user_id"), col("group_id"))
-        .agg(min(col("event_type")).as("event_type"), count(lit(1)).as("n"),
+        .groupBy(col("user_id"), col("group_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
           min(col("event_id")).as("min_event_id"), max(col("event_id")).as("max_event_id"))
+        .select(col("user_id"), col("group_id"), col("event_type"), col("n"),
+          col("min_event_id"), col("max_event_id"))
         .orderBy(col("user_id"), col("group_id"))
     }, Some("""
       WITH g AS (
@@ -60,9 +66,9 @@ object ParityQueries {
         SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS group_id
         FROM g)
-      SELECT user_id, group_id, min(event_type) AS event_type, count(*) AS n,
+      SELECT user_id, group_id, event_type, count(*) AS n,
              min(event_id) AS min_event_id, max(event_id) AS max_event_id
-      FROM g2 GROUP BY 1, 2 ORDER BY 1, 2""")),
+      FROM g2 GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
 
     // MergeByIndex — MergeByIndex.scala:41 (N-way ordered merge)
     ("q19_merge_by_index", (s, d) => {

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: sweep every declared query's physical plan for scale
+  * anti-patterns — unpartitioned (global) windows, SortAggregates,
+  * cartesian products, nested-loop joins — and print one line per
+  * offender. Streaming queries (which must actually run) are skipped.
+  *
+  * Accepted findings (each deliberate, documented at the operator):
+  *  - p08/p12/p28/q12 NestedLoop: broadcast all-pairs scoring /
+  *    centroid assignment / one-row scalar / range predicate — the
+  *    non-equi broadcast join IS the intended plan.
+  *  - p12/p24 globalWindow: dense-index windows over bounded tiny sets
+  *    (centroid list, post-limit top-20).
+  *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
+  *    through the buffer — inherent to last-element/pulse semantics;
+  *    partial sort-agg still shuffles one row per key per partition.
+  *  - q40 globalWindow: global lead/ntile demo semantics.
+  * Anything NEW this tool prints is a regression to investigate.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val skip = Set("q30_streaming_window", "q31_streaming_dedup",
+      "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip.contains(name)) {
+        try {
+          val p = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+          // a window with NO partition columns prints its first argument
+          // as an ordering spec (".. ASC/DESC NULLS ..") — partitioned
+          // windows lead with bare partition columns
+          val flags = Seq(
+            "globalWindow" -> "windowspecdefinition\\([^,)]*(ASC|DESC)".r
+              .findFirstIn(p).isDefined,
+            "SortAggregate" -> p.contains("SortAggregate"),
+            "Cartesian" -> p.contains("CartesianProduct"),
+            "NestedLoop" -> p.contains("BroadcastNestedLoopJoin"))
+            .collect { case (f, true) => f }
+          if (flags.nonEmpty) println(s"[audit] $name: ${flags.mkString(", ")}")
+        } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage}") }
+      }
+    }
+    println("[audit] done")
+    spark.stop()
+  }
+}
