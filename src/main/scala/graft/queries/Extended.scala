@@ -152,6 +152,40 @@ object Extended {
              CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
                   AS BIGINT) AS price_quartile
       FROM orders WHERE o_custkey <= 50
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // PIVOT (wide conditional aggregation) with an explicit value list —
+    // the deterministic-schema form a production pipeline uses (an
+    // inferred list would scan once just to learn the columns)
+    ("q41_pivot", (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+             round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+             round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+             round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // exact interpolated percentiles per group (both engines use the
+    // same p·(n-1) linear-interpolation definition)
+    ("q42_percentiles", (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
