@@ -186,6 +186,28 @@ object Extended {
              round(quantile_cont(value, 0.5), 4) AS p50,
              round(quantile_cont(value, 0.9), 4) AS p90,
              count(*) AS n
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // sliding (overlapping) time windows: 1 h window every 30 min — each
+    // event lands in exactly 2 windows. Oracle: explicit 2-bucket unnest
+    // (both engines' buckets align on 30-min boundaries from a midnight
+    // epoch origin).
+    ("q43_sliding_window", (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+            .getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }, Some("""
+      WITH w AS (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                 AS window_start
+        FROM events)
+      SELECT window_start, event_type, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
