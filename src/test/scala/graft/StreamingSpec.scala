@@ -192,4 +192,26 @@ class StreamingSpec extends AnyFunSuite {
       attempt, failed => failed.withColumn("id", col("id") + 1), maxRetries = 2)
     assert(replayed.filter(col("error").isNull).count() == 3)
   }
+
+  test("rowLatencySink records per-row sink latency distributions per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val stats = scala.collection.mutable.ArrayBuffer[graft.operators.Timed.LatencyStats]()
+    val sunk = new java.util.concurrent.atomic.AtomicLong(0)
+    val base = System.currentTimeMillis() - 5000 // rows "ingested" 5 s ago
+    val input = MemoryStream[(Long, Timestamp)]
+    input.addData((1L, new Timestamp(base)), (2L, new Timestamp(base + 1000)))
+    val q = input.toDF().toDF("id", "ingest_ts").writeStream
+      .foreachBatch(graft.operators.Timed.rowLatencySink("ingest_ts",
+        (b, _) => { sunk.addAndGet(b.count()); () })(s => { stats += s; () }))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sunk.get() == 2)
+    assert(stats.map(_.n).sum == 2)
+    val s = stats.head
+    assert(s.minMs >= 3000 && s.maxMs >= s.p95Ms && s.p95Ms >= s.minMs)
+    assert(s.avgMs >= s.minMs && s.avgMs <= s.maxMs)
+  }
 }
