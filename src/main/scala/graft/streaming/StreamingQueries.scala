@@ -140,6 +140,25 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("fingerprint"))
   }
 
+  /** q22's sessionization executed on the streaming engine via
+    * `session_window` — merge-on-overlap session state, the streaming
+    * dual of the batch gaps-and-islands form. Boundary semantics agree:
+    * a session window is [first_ts, last_ts + gap), so an event at
+    * exactly gap distance falls outside and opens a new session, which
+    * is the batch rule `gap >= timeout`.
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("min_event_id"), col("max_event_id"))
+    runToMemory(agg).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** End-to-end streaming corpus curation — the composition a live
     * ingest pipeline runs, in ONE streaming query: denylist scrub →
     * token-count + quality gates (all stateless, map-side) → exact
