@@ -233,6 +233,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.select(min(col("doc_id"))).as[Long].head() == 1L)
   }
 
+  test("approximate sketches track exact aggregates (the fixed-memory scale path)") {
+    // at 100 TB, HLL / KLL sketches replace exact distinct/percentile
+    // when tolerance allows: single pass, fixed memory, mergeable
+    // partials — pin that Spark's built-ins stay inside tolerance here
+    val ev = Tables.events(spark, TestSpark.sf)
+    val exactD = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    val approxD = ev.agg(approx_count_distinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL drift: $approxD vs $exactD")
+    val exactP = ev.agg(expr("percentile(value, 0.5)")).head.getDouble(0)
+    val approxP = ev.agg(expr("percentile_approx(value, 0.5, 1000)")).head.getDouble(0)
+    assert(math.abs(approxP - exactP) / math.max(math.abs(exactP), 1e-9) < 0.1,
+      s"percentile drift: $approxP vs $exactP")
+  }
+
   test("incrementalDedup is cross-batch exact and idempotent on replay") {
     import graft.dedup.Dedup
     val empty = Seq.empty[String].toDF("fingerprint")
