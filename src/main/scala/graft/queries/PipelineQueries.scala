@@ -805,6 +805,73 @@ object PipelineQueries {
       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
              md5(fb) AS frame_md5,
              CAST(octet_length(encode(fb)) AS BIGINT) AS frame_len
-      FROM fr ORDER BY media_id, frame_idx"""))
+      FROM fr ORDER BY media_id, frame_idx""")),
+
+    // THE end-to-end batch corpus build, composed as ONE declarative
+    // plan: exact dedup (keep min-id) -> repetition + length gates ->
+    // deterministic stratified sample by language -> per-source token
+    // budget. Every stage is an existing operator; Catalyst optimizes
+    // across their boundaries (this is the composability the library
+    // exists for).
+    ("p30_corpus_build", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = Dedup.dropExactDuplicates(docs, col("doc_id"), col("text"))
+      val rep = graft.text.CorpusOps.repetitionStats(deduped, col("doc_id"), col("text"))
+      val gated = deduped
+        .join(rep.filter(!col("repetitive")).select(col("doc_id")), Seq("doc_id"))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .filter(col("n_tokens").between(20, 200))
+      val sampled = graft.curation.Curation.stratifiedSample(gated, col("lang"),
+        col("doc_id"), Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1)
+      graft.curation.Curation.tokenBudgetPerGroup(
+          sampled.select(col("doc_id"), col("source"), col("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 700L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      s"""
+      WITH f AS (SELECT doc_id, lang, source,
+                        md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp,
+                        ${sqlToks("text")} AS t
+                 FROM documents),
+      keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY 1),
+      dd AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.k),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t)-1),
+                      i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END AS s FROM dd),
+      dup AS (SELECT doc_id, CASE WHEN len(s) > 0
+                THEN round(CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                           / CAST(len(s) AS DOUBLE), 4)
+                ELSE 0.0 END AS dupf FROM sh),
+      tc AS (SELECT doc_id, unnest(t) AS tok FROM dd),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2),
+      md AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+                      AS topf FROM cnt GROUP BY 1),
+      gated AS (SELECT dd.doc_id, dd.lang, dd.source,
+                       CAST(len(dd.t) AS BIGINT) AS n_tokens
+                FROM dd JOIN dup ON dd.doc_id = dup.doc_id
+                     LEFT JOIN md ON dd.doc_id = md.doc_id
+                WHERE NOT (dup.dupf > 0.2 OR coalesce(md.topf, 0.0) > 0.1)
+                  AND len(dd.t) BETWEEN 20 AND 200),
+      h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM gated),
+      b AS (SELECT doc_id, lang, source, n_tokens,
+                   CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+                       + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 10000
+                        AS BIGINT) AS bucket
+            FROM h),
+      samp AS (SELECT * FROM b
+               WHERE bucket < CASE WHEN lang = 'en' THEN 5000
+                                   WHEN lang = 'de' THEN 2000
+                                   ELSE 1000 END),
+      c AS (SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                        AS BIGINT) AS cum_tokens
+            FROM samp)
+      SELECT doc_id, source, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 700 ORDER BY doc_id"""
+    })
   )
 }
