@@ -225,6 +225,29 @@ object Extended {
       SELECT make_timestamp(min(us)) AS session_start, user_id,
              count(*) AS n_events,
              min(event_id) AS min_event_id, max(event_id) AS max_event_id
-      FROM z GROUP BY user_id, session_id ORDER BY user_id, session_start"""))
+      FROM z GROUP BY user_id, session_id ORDER BY user_id, session_start""")),
+
+    // LATERAL correlated derived table (per-row top-n subquery) — the
+    // ANSI form of top-n-per-group, planned by Spark as a rewritten
+    // window/join, by DuckDB natively
+    ("q45_lateral_topn", (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 100
+      ORDER BY c.c_custkey, t.o_orderkey"""))
   )
 }
