@@ -248,6 +248,23 @@ object Extended {
         WHERE o.o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       WHERE c.c_custkey <= 100
-      ORDER BY c.c_custkey, t.o_orderkey"""))
+      ORDER BY c.c_custkey, t.o_orderkey""")),
+
+    // array aggregation: collect_set + array_sort + array_join — emitted
+    // as a joined string because engines (and the compare harness) don't
+    // share an array wire format; the sort makes the set deterministic
+    ("q46_array_agg", (s, d) => {
+      Tables.orders(s, d).filter(col("o_custkey") <= 200)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey,
+             array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+               AS priorities,
+             count(*) AS n_orders
+      FROM orders WHERE o_custkey <= 200 GROUP BY 1 ORDER BY 1"""))
   )
 }
