@@ -34,7 +34,14 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_").toString
     Tables.names.foreach { t =>
       val src = new java.io.File(s"$sfDir/$t.parquet")
-      val nFiles = math.max(1L, math.min(cpus.toLong, src.length() / (128L << 10))).toInt
+      // leaf-file byte total: File.length() on a parquet DIRECTORY returns
+      // the ~4 KB directory entry, which would silently force nFiles=1
+      val bytes = {
+        val p = new org.apache.hadoop.fs.Path(src.getPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      }
+      val nFiles = math.max(1L, math.min(cpus.toLong, bytes / (128L << 10))).toInt
       val df = spark.read.parquet(src.getPath)
       (if (nFiles > 1) df.repartition(nFiles) else df)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")

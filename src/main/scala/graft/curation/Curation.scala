@@ -50,10 +50,19 @@ object Curation {
     * window scan of a huge input group is the inherent cost of exact
     * sequential capping (for approximate capping, stratifiedSample the
     * group to ~budget first).
+    *
+    * The frame is ROWS-based, so each row carries its own running total
+    * even when `order` has ties (the default RANGE frame would admit or
+    * drop tied rows as a block). `(order, tiebreak*)` should form a
+    * unique key per group for a deterministic admission sequence;
+    * without one, tied rows are admitted in an arbitrary but
+    * budget-respecting order.
     */
   def tokenBudgetPerGroup(df: DataFrame, group: Column, order: Column,
-                          tokens: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(order)
+                          tokens: Column, budget: Long,
+                          tiebreak: Column*): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(tokens).over(w))
       .filter(col("cum_tokens") <= budget)
   }

@@ -197,6 +197,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still shrinking) — component diameter exceeds " +
+          s"maxIters; raise maxIters (rounds needed = max diameter)")
     labels
   }
 

@@ -37,10 +37,12 @@ object MergeByIndex {
     * columns, range-repartition and sort within partitions (same
     * distributed sort as [[GlobalIndex.withRowIndex]]), then a single
     * streaming pass per partition counting in-partition violations plus
-    * each partition's first/last index — only one tiny row per partition
-    * reaches the driver, where adjacent-partition boundaries are checked.
-    * Null indices are skipped, matching the lag form (a null on either
-    * side of `>=` never counted).
+    * each partition's first/last row index — only one tiny row per
+    * partition reaches the driver, where adjacent-partition boundaries
+    * are checked. Exactly the lag form's null semantics: only ADJACENT
+    * rows are compared, and a pair with a null index on either side is
+    * never a violation (a null row breaks the chain rather than carrying
+    * the previous value forward).
     */
   def monotonicViolations(df: DataFrame, idx: Column, orderCols: Seq[Column]): Long = {
     val spark = df.sparkSession
@@ -49,27 +51,39 @@ object MergeByIndex {
     val sorted = pruned.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val iIdx = sorted.schema.fieldIndex("__idx")
+    // per partition: (pid, in-partition violations, first-row idx,
+    // last-row idx, nonEmpty) — first/last are the partition's literal
+    // boundary rows (null-valued if that row's index is null), so the
+    // driver can check exactly the one adjacent pair per boundary.
     val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prev: java.lang.Long = null // previous ROW's index, null if null-valued
       var first: java.lang.Long = null
       var last: java.lang.Long = null
+      var nonEmpty = false
       var viol = 0L
       it.foreach { r =>
-        if (!r.isNullAt(iIdx)) {
-          val v = r.getLong(iIdx)
-          if (last != null && last >= v) viol += 1
-          if (first == null) first = v
-          last = v
-        }
+        val v: java.lang.Long =
+          if (r.isNullAt(iIdx)) null else java.lang.Long.valueOf(r.getLong(iIdx))
+        if (!nonEmpty) first = v
+        if (nonEmpty && prev != null && v != null && prev >= v) viol += 1
+        prev = v
+        last = v
+        nonEmpty = true
       }
-      Iterator.single((pid, viol, Option(first).map(_.toLong), Option(last).map(_.toLong)))
+      Iterator.single((pid, viol, first, last, nonEmpty))
     }.collect().sortBy(_._1)
     var total = stats.map(_._2).sum
-    // boundary check: last non-null index seen so far vs next partition's
-    // first (partitions with no non-null index carry the previous last)
-    var carry: Option[Long] = None
-    stats.foreach { case (_, _, first, lastOpt) =>
-      for (c <- carry; f <- first) if (c >= f) total += 1
-      if (lastOpt.isDefined) carry = lastOpt
+    // boundary pairs: previous non-empty partition's LAST row vs this
+    // partition's FIRST row (empty partitions don't interrupt adjacency;
+    // a null boundary row never counts, same as lag)
+    var carry: java.lang.Long = null
+    var haveCarry = false
+    stats.foreach { case (_, _, first, last, nonEmpty) =>
+      if (nonEmpty) {
+        if (haveCarry && carry != null && first != null && carry >= first) total += 1
+        carry = last
+        haveCarry = true
+      }
     }
     total
   }

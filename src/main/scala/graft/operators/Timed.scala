@@ -91,8 +91,13 @@ object Timed {
     (batch: DataFrame, id: Long) => {
       val b = batch.persist()
       try {
+        // rows with a null eventTs have no latency: exclude them from the
+        // population so `n` matches the min/avg/p95/max distribution
+        // (count(lit(1)) would count them, and an all-null batch would
+        // report n>0 with no stats)
         val lat = b.select(
-          (unix_millis(current_timestamp()) - unix_millis(col(eventTs))).as("ms"))
+            (unix_millis(current_timestamp()) - unix_millis(col(eventTs))).as("ms"))
+          .filter(col("ms").isNotNull)
         val row = lat.agg(count(lit(1)), min(col("ms")), avg(col("ms")),
           expr("percentile(ms, 0.95)"), max(col("ms"))).head()
         if (!row.isNullAt(1))

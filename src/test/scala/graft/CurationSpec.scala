@@ -40,6 +40,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set(("a", 1L, 40L), ("a", 2L, 80L), ("b", 1L, 90L)))
   }
 
+  test("tokenBudgetPerGroup counts tied order values row by row") {
+    // two rows tied on order, each 60 tokens, budget 100: a RANGE frame
+    // would give both cum=120 and drop both; the ROWS frame admits
+    // exactly one (deterministically, with the tiebreak)
+    val docs = Seq(("a", 1L, 10L, 60L), ("a", 1L, 11L, 60L)).toDF("src", "ord", "id", "n")
+    val out = Curation.tokenBudgetPerGroup(docs, col("src"), col("ord"),
+        col("n"), budget = 100L, col("id"))
+      .select(col("id"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 60L)))
+  }
+
   test("interleaveTag routes every row to at most one tag by weight") {
     val rows = (1 to 4000).map(_.toLong).toDF("id")
     val tagged = rows.select(col("id"),

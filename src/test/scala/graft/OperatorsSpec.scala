@@ -187,6 +187,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeByIndex.monotonicViolations(big, col("idx"), Seq(col("ord"))) == 9)
   }
 
+  test("monotonicViolations: a null index breaks the chain (lag semantics)") {
+    // [5, null, 3]: lag-form compares only adjacent rows, and a null on
+    // either side never counts — so 5 vs 3 are NOT compared
+    val gap = Seq(("a", Some(5L)), ("b", None), ("c", Some(3L)))
+      .toDF("ord", "idx")
+    assert(MergeByIndex.monotonicViolations(gap, col("idx"), Seq(col("ord"))) == 0)
+    // the same values adjacent DO count
+    val adj = Seq(("a", Some(5L)), ("b", Some(3L)), ("c", None)).toDF("ord", "idx")
+    assert(MergeByIndex.monotonicViolations(adj, col("idx"), Seq(col("ord"))) == 1)
+  }
+
   test("Timed.timed returns result and wall time") {
     val (n, ms) = Timed.timed(Seq(1, 2, 3).toDF("i"))(_.count())
     assert(n == 3 && ms >= 0)
@@ -202,6 +213,15 @@ class OperatorsSpec extends AnyFunSuite {
     val chain = (1L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val cl = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
     assert(cl.toSeq == Seq(1L))
+  }
+
+  test("connectedComponents fails loudly when maxIters < component diameter") {
+    import graft.dedup.Dedup
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("clusterDedup keeps exactly one doc per near-dup cluster") {

@@ -214,4 +214,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.minMs >= 3000 && s.maxMs >= s.p95Ms && s.p95Ms >= s.minMs)
     assert(s.avgMs >= s.minMs && s.avgMs <= s.maxMs)
   }
+
+  test("rowLatencySink excludes null-timestamp rows from the population") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val stats = scala.collection.mutable.ArrayBuffer[graft.operators.Timed.LatencyStats]()
+    val sunk = new java.util.concurrent.atomic.AtomicLong(0)
+    val base = System.currentTimeMillis() - 5000
+    val input = MemoryStream[(Long, Option[Timestamp])]
+    // 2 timed rows + 1 untimed row: n must be 2, not 3
+    input.addData((1L, Some(new Timestamp(base))),
+      (2L, Some(new Timestamp(base + 1000))), (3L, None))
+    val q = input.toDF().toDF("id", "ingest_ts").writeStream
+      .foreachBatch(graft.operators.Timed.rowLatencySink("ingest_ts",
+        (b, _) => { sunk.addAndGet(b.count()); () })(s => { stats += s; () }))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sunk.get() == 3)     // the sink still gets every row
+    assert(stats.map(_.n).sum == 2) // the distribution counts only timed rows
+    // an all-null batch records no stats row at all
+    val stats2 = scala.collection.mutable.ArrayBuffer[graft.operators.Timed.LatencyStats]()
+    val input2 = MemoryStream[(Long, Option[Timestamp])]
+    input2.addData((1L, None), (2L, None))
+    val q2 = input2.toDF().toDF("id", "ingest_ts").writeStream
+      .foreachBatch(graft.operators.Timed.rowLatencySink("ingest_ts",
+        (_, _) => ())(s => { stats2 += s; () }))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(stats2.isEmpty)
+  }
 }
