@@ -201,8 +201,98 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still shrinking) — component diameter exceeds " +
-          s"maxIters; raise maxIters (rounds needed = max diameter)")
+          s"maxIters; raise maxIters (rounds needed = max diameter), or use " +
+          s"connectedComponentsStar (log-round) for long-chain graphs")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * — the log-round variant for graphs whose diameter makes plain
+    * min-label propagation (O(diameter) rounds) too slow. Each round:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at the minimum among them.
+    *
+    * Both steps preserve connectivity and monotonically pull edges toward
+    * the component minimum; the edge set converges to star graphs
+    * (node → component min) in O(log diameter) rounds. Fixpoint is
+    * detected with an order-independent (count, xxhash64-xor) signature
+    * of the canonical edge set — cheap per round; correctness of the
+    * final labels is what the oracle checks, the signature only decides
+    * when to stop iterating.
+    *
+    * Scale shape: each round is two hash shuffles of (endpoint, min)
+    * pairs — same footprint as one min-label round, never document
+    * payloads — with lineage truncated per round. Returns (node, label)
+    * for every node that appears in `edges`, like
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // canonical orientation (u > v), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    var e = canon(edges.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v")))
+      .localCheckpoint()
+    val nodes = edges.select(col("id_a").cast("long").as("node"))
+      .unionByName(edges.select(col("id_b").cast("long").as("node")))
+      .distinct()
+      .localCheckpoint()
+
+    // order-independent set signature: count + XOR of per-edge hashes
+    // (xor, not sum — ANSI mode faults a sum overflow, xor can't)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("u"), col("v")).as("__h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // large-star: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // Emitted pairs satisfy v > u ≥ m, so they are already canonical.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star (on canonical u > v edges): m = min(N≤(u)); emit (b, m)
+    // for every smaller neighbor b plus (u, m). v ≥ m throughout, so
+    // after dropping self-loops the pairs are canonical.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val rewire = cur.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+      val selfEdge = mins.select(col("u"), col("m").as("v"))
+      rewire.unionByName(selfEdge)
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds — " +
+          s"expected O(log diameter); raise maxIters")
+    // converged edges are stars (node → component min); roots and
+    // isolated-after-self-loop nodes label themselves
+    nodes.join(e.select(col("u").as("node"), col("v").as("__l")), Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(min(col("__l")).as("__m"))
+      .select(col("node"), coalesce(col("__m"), col("node")).as("label"))
   }
 
   /** Cluster-granular fuzzy dedup: same LSH → exact-verify pipeline as
@@ -219,12 +309,18 @@ object Dedup {
   def clusterDedup(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, shingleN: Int = 3,
                    numBands: Int = 4, rowsPerBand: Int = 2,
-                   maxBucket: Option[Int] = None, maxIters: Int = 20): DataFrame = {
+                   maxBucket: Option[Int] = None, maxIters: Int = 20,
+                   starCC: Boolean = false): DataFrame = {
     val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand, maxBucket)
     val edges = ngramJaccard(docs, id, text, cand, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comp = connectedComponents(edges, maxIters)
+    // near-dup graphs are near-cliques (diameter ≤ 2–3): min-label
+    // converges in that many rounds and shuffles less per round, so it is
+    // the default; starCC switches to the log-round variant for corpora
+    // whose dup graphs chain (e.g. drifting boilerplate)
+    val comp = (if (starCC) connectedComponentsStar(edges, maxIters)
+                else connectedComponents(edges, maxIters))
       .select(col("node").as("doc_id"), col("label").as("__keeper"))
     docs.select(id.cast("long").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")

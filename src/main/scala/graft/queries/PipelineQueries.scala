@@ -34,6 +34,55 @@ object PipelineQueries {
 
   private val langs = TextFunctions.langStopwords.keys.toSeq.sorted
 
+  /** Oracle for cluster-granular dedup (p18 + p31): each doc's component
+    * min over the verified near-dup graph by recursive reachability —
+    * the fixpoint BOTH connected-components variants (min-label and
+    * large-star/small-star) reach, so one oracle pins both dataflows.
+    */
+  private lazy val clusterDedupOracle: String = s"""
+      WITH RECURSIVE sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
+                   WHERE len($sqlShingles) >= 1),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(0, 7),
+                 i -> list_min(list_transform(shingles,
+                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh0),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+                 b -> CAST(b AS VARCHAR) || '|' ||
+                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
+        FROM sig),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      inter AS (SELECT id_a, id_b, count(*) AS n_inter
+                FROM cand JOIN shd sa ON id_a = sa.doc_id
+                          JOIN shd sb ON id_b = sb.doc_id AND sa.sh = sb.sh
+                GROUP BY 1, 2),
+      ver AS (SELECT c.id_a, c.id_b,
+                round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+                      CAST(na.n_sh + nb.n_sh - coalesce(n_inter, 0) AS DOUBLE), 6) AS j
+              FROM cand c
+              LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+              JOIN sizes na ON c.id_a = na.doc_id
+              JOIN sizes nb ON c.id_b = nb.doc_id),
+      edges AS (SELECT id_a AS a, id_b AS b FROM ver WHERE j >= 0.5
+                UNION ALL
+                SELECT id_b AS a, id_a AS b FROM ver WHERE j >= 0.5),
+      reach(src, node) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      comp AS (SELECT src AS doc_id, min(node) AS keeper FROM reach GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(c.keeper, d.doc_id) AS keeper_id,
+             coalesce(c.keeper, d.doc_id) = d.doc_id AS kept
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""
+
   def defs: Seq[(String, Q, Option[String])] = Seq(
 
     ("p01_dedup_exact", (s, d) => {
@@ -509,49 +558,18 @@ object PipelineQueries {
       Dedup.clusterDedup(Tables.documents(s, d), col("doc_id"), col("text"),
           threshold = 0.5, shingleN = 3, numBands = 4, rowsPerBand = 2)
         .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH RECURSIVE sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
-                   WHERE len($sqlShingles) >= 1),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(0, 7),
-                 i -> list_min(list_transform(shingles,
-                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-        FROM sh0),
-      bands AS (
-        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
-                 b -> CAST(b AS VARCHAR) || '|' ||
-                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
-        FROM sig),
-      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-      shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
-      inter AS (SELECT id_a, id_b, count(*) AS n_inter
-                FROM cand JOIN shd sa ON id_a = sa.doc_id
-                          JOIN shd sb ON id_b = sb.doc_id AND sa.sh = sb.sh
-                GROUP BY 1, 2),
-      ver AS (SELECT c.id_a, c.id_b,
-                round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
-                      CAST(na.n_sh + nb.n_sh - coalesce(n_inter, 0) AS DOUBLE), 6) AS j
-              FROM cand c
-              LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
-              JOIN sizes na ON c.id_a = na.doc_id
-              JOIN sizes nb ON c.id_b = nb.doc_id),
-      edges AS (SELECT id_a AS a, id_b AS b FROM ver WHERE j >= 0.5
-                UNION ALL
-                SELECT id_b AS a, id_a AS b FROM ver WHERE j >= 0.5),
-      reach(src, node) AS (
-        SELECT DISTINCT a, a FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-      comp AS (SELECT src AS doc_id, min(node) AS keeper FROM reach GROUP BY 1)
-      SELECT d.doc_id,
-             coalesce(c.keeper, d.doc_id) AS keeper_id,
-             coalesce(c.keeper, d.doc_id) = d.doc_id AS kept
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-      ORDER BY d.doc_id""")),
+    }, Some(clusterDedupOracle)),
+
+    // the same cluster dedup resolved with the log-round
+    // large-star/small-star components instead of min-label propagation:
+    // identical labels by construction (both reach component minima), so
+    // the identical oracle pins the alternative dataflow end to end
+    ("p31_cluster_dedup_star", (s, d) => {
+      Dedup.clusterDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+          threshold = 0.5, shingleN = 3, numBands = 4, rowsPerBand = 2,
+          starCC = true)
+        .orderBy(col("doc_id"))
+    }, Some(clusterDedupOracle)),
 
     // deterministic stratified sampling: the md5-bucket "dice roll" is a
     // pure function of doc_id, so both engines agree row by row — no

@@ -215,6 +215,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cl.toSeq == Seq(1L))
   }
 
+  test("connectedComponentsStar matches min-label CC and handles long chains") {
+    import graft.dedup.Dedup
+    // long chain (diameter 199): log-round convergence — min-label would
+    // need ~200 rounds, the star variant must finish well under 15
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starLabels = Dedup.connectedComponentsStar(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starLabels.size == 200 && starLabels.values.forall(_ == 1L))
+    // pseudo-random multi-component graph: labels must equal min-label CC
+    val edges = (0L until 60L).map(i => (i, (i * i * 7 + 3) % 60))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minl = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == minl)
+    // self-loop-only input: every node labels itself
+    val selfOnly = Seq((4L, 4L), (9L, 9L)).toDF("id_a", "id_b")
+    val sl = Dedup.connectedComponentsStar(selfOnly)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sl == Map(4L -> 4L, 9L -> 9L))
+  }
+
   test("connectedComponents fails loudly when maxIters < component diameter") {
     import graft.dedup.Dedup
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
