@@ -67,6 +67,74 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Concat-and-chunk sequence packing — the standard LLM-pretraining
+    * layout: within each group (source, shard …), documents are laid
+    * end-to-end in `order` into one virtual token stream, and that
+    * stream is cut into fixed `seqLen` training sequences; documents may
+    * straddle a cut. Adds, per row:
+    *
+    *  - `seq_id`     first training sequence the doc lands in
+    *  - `seq_offset` token offset of the doc inside that sequence
+    *  - `n_seqs`     how many sequences the doc spans (0 for an empty doc)
+    *
+    * Exact integer arithmetic throughout (`div`, `%`) so results are
+    * reproducible bit-for-bit across engines and reruns.
+    *
+    * Scale shape: identical to [[tokenBudgetPerGroup]] — one hash
+    * shuffle on the group key, a ROWS running sum within each group
+    * partition, then pure per-row projection; nothing global. `(order,
+    * tiebreak*)` must be a unique key per group (same contract as
+    * tokenBudgetPerGroup).
+    */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+                    tokens: Column, seqLen: Long,
+                    tiebreak: Column*): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(group).orderBy(order +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__n", tokens.cast("long"))
+      .withColumn("__cp", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__cp div ${seqLen}L"))
+      .withColumn("seq_offset", col("__cp") % seqLen)
+      .withColumn("n_seqs",
+        when(col("__n") === 0, lit(0L))
+          .otherwise(expr(s"(__cp + __n - 1) div ${seqLen}L") - col("seq_id") + 1))
+      .drop("__n", "__cp")
+  }
+
+  /** Square-root temperature mixing (α = 0.5): re-balance a corpus so
+    * over-represented groups are down-sampled toward weights
+    * ∝ √(group size) — the standard flattening between proportional
+    * (α = 1) and uniform (α = 0) used for multi-source / multilingual
+    * training mixes. Each group's admission rate is
+    * `min(1, target_g / n_g)` with `target_g = targetTotal·w_g / Σw`,
+    * `w_g = ⌊√n_g⌋`, evaluated in INTEGER arithmetic (floor sqrt, floor
+    * divisions, 1e-4 rate granularity) so Spark and any oracle compute
+    * bit-identical thresholds; admission itself is the deterministic
+    * [[hashBucket]] dice roll per key.
+    *
+    * The group histogram is collected to the driver: mixture domains
+    * (source, language) are low-cardinality BY DEFINITION of a mixing
+    * policy — this is config-sized data, not a data-sized collect. The
+    * filter itself stays a map-side column program: one small agg job to
+    * build the CASE thresholds, then a shuffle-free scan.
+    */
+  def temperatureMixSqrt(df: DataFrame, group: Column, key: Column,
+                         targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val weights = counts.map { case (g, n) => (g, n, math.sqrt(n.toDouble).toLong) }
+    val sumW = weights.map(_._3).sum
+    val thresholds = weights.map { case (g, n, wgt) =>
+      val target = targetTotal * wgt / math.max(1L, sumW)
+      (g, math.min(10000L, 10000L * target / n))
+    }
+    val threshold = thresholds.foldLeft(lit(0L)) {
+      case (acc, (g, t)) => when(group === lit(g), lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+
   /** Deterministic weighted interleave tag: assigns each row a mixture
     * bucket from its key hash, e.g. weights Seq("web" -> 0.8,
     * "code" -> 0.2) tag ~80% of rows "web". The dual of

@@ -34,6 +34,16 @@ object PipelineQueries {
 
   private val langs = TextFunctions.langStopwords.keys.toSeq.sorted
 
+  /** DuckDB SQL: hash bucket in [0, 10000) from an md5-hex column `m` —
+    * exact dual of [[graft.curation.Curation.hashBucket]] (first 6
+    * nibbles, base-16, mod 10⁴), parsed positionally.
+    */
+  private def sqlBucketFromMd5(m: String): String = {
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    s"""CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+            + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 10000 AS BIGINT)"""
+  }
+
   /** Oracle for cluster-granular dedup (p18 + p31): each doc's component
     * min over the verified near-dup graph by recursive reachability —
     * the fixpoint BOTH connected-components variants (min-label and
@@ -582,22 +592,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           graft.curation.Curation.hashBucket(col("doc_id")).as("bucket"))
         .orderBy(col("doc_id"))
-    }, Some {
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-      s"""
+    }, Some(s"""
       WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
-      b AS (SELECT doc_id, lang,
-              CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
-                  + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 10000
-                   AS BIGINT) AS bucket
+      b AS (SELECT doc_id, lang, ${sqlBucketFromMd5("m")} AS bucket
             FROM h)
       SELECT doc_id, lang, bucket FROM b
       WHERE bucket < CASE WHEN lang = 'en' THEN 5000
                           WHEN lang = 'de' THEN 2000
                           ELSE 1000 END
-      ORDER BY doc_id"""
-    }),
+      ORDER BY doc_id""")),
 
     // per-source token budget: admit docs in doc_id order until the
     // source's cumulative token count crosses the budget — exact
@@ -890,6 +893,63 @@ object PipelineQueries {
             FROM samp)
       SELECT doc_id, source, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 700 ORDER BY doc_id"""
-    })
+    }),
+
+    // concat-and-chunk sequence packing: documents laid end-to-end per
+    // source, cut into 512-token training sequences; docs may straddle a
+    // cut. Pure integer window arithmetic — both engines agree exactly.
+    ("p32_sequence_pack", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.packSequences(
+          docs.select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), seqLen = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM t)
+      SELECT doc_id, source, n_tokens,
+             CAST(cp // 512 AS BIGINT) AS seq_id,
+             CAST(cp % 512 AS BIGINT) AS seq_offset,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+                  ELSE (cp + n_tokens - 1) // 512 - cp // 512 + 1 END
+                  AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id""")),
+
+    // square-root temperature mixing (α = 0.5) over languages: admission
+    // thresholds derived from the lang histogram in pure integer
+    // arithmetic (floor sqrt / floor div / 1e-4 rate grains), admission
+    // by the same md5 dice roll as p19 — engines agree row by row.
+    ("p33_temperature_mix", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.temperatureMixSqrt(docs, col("lang"), col("doc_id"),
+          targetTotal = 250L)
+        .select(col("doc_id"), col("lang"),
+          graft.curation.Curation.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT lang, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wgt FROM cnt),
+      tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS sw FROM w),
+      th AS (SELECT lang, n,
+               (250 * wgt) // (CASE WHEN sw < 1 THEN 1 ELSE sw END) AS tgt
+             FROM w, tot),
+      t2 AS (SELECT lang,
+               CASE WHEN (10000 * tgt) // n > 10000 THEN 10000
+                    ELSE (10000 * tgt) // n END AS thresh FROM th),
+      h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      b AS (SELECT doc_id, lang, ${sqlBucketFromMd5("m")} AS bucket FROM h)
+      SELECT b.doc_id, b.lang, b.bucket
+      FROM b JOIN t2 USING(lang)
+      WHERE b.bucket < t2.thresh
+      ORDER BY b.doc_id"""))
   )
 }

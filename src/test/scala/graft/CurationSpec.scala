@@ -52,6 +52,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set((10L, 60L)))
   }
 
+  test("packSequences lays docs end-to-end and cuts fixed-length sequences") {
+    // group a: 300+300+300 tokens at seqLen 512 → doc2 straddles the cut
+    val docs = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L),
+      ("b", 1L, 0L), ("b", 2L, 600L)).toDF("src", "id", "n")
+    val out = Curation.packSequences(docs, col("src"), col("id"), col("n"), 512L)
+      .select(col("src"), col("id"), col("seq_id"), col("seq_offset"), col("n_seqs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("a", 1L, 0L, 0L, 1L),   // [0, 300)
+      ("a", 2L, 0L, 300L, 2L), // [300, 600) spans seqs 0-1
+      ("a", 3L, 1L, 88L, 1L),  // [600, 900) inside seq 1
+      ("b", 1L, 0L, 0L, 0L),   // empty doc spans nothing
+      ("b", 2L, 0L, 0L, 2L)))  // [0, 600) spans seqs 0-1
+  }
+
+  test("temperatureMixSqrt downsamples large groups toward sqrt weights") {
+    // 100 "big" + 4 "small" rows, target 20: w = (10, 2), Σw = 12,
+    // targets = (16, 3), thresholds = (1600, 7500)
+    val rows = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Curation.temperatureMixSqrt(rows, col("grp"), col("id"), 20L)
+      .collect().map(r => r.getLong(0)).toSet
+    val expected = rows.select(col("id"), col("grp"),
+        Curation.hashBucket(col("id")).as("b"))
+      .filter((col("grp") === "big" && col("b") < 1600) ||
+        (col("grp") === "small" && col("b") < 7500))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected && kept.nonEmpty)
+    // a target larger than the corpus admits everything (rates clamp at 1)
+    val all = Curation.temperatureMixSqrt(rows, col("grp"), col("id"), 100000L)
+    assert(all.count() == 104)
+  }
+
   test("interleaveTag routes every row to at most one tag by weight") {
     val rows = (1 to 4000).map(_.toLong).toDF("id")
     val tagged = rows.select(col("id"),
