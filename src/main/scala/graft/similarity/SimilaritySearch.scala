@@ -123,23 +123,21 @@ object SimilaritySearch {
     cents
   }
 
-  private def ivfTopKWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-                          queries: DataFrame, queryId: Column, queryVec: Column,
-                          cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
-    // Coarse assignment: argmax cosine over centroids. The argmax is a
-    // max over a PACKED long — (ccos_u6 + 1e6) << 21 | (2^21-1 - idx)
-    // with idx the dense centroid index ordered by centroid_id — so max
-    // picks the highest cosine then the SMALLEST centroid_id, matching
-    // ORDER BY cos DESC, centroid_id in the oracle. Packing (instead of
-    // max(struct) + first(cv)) keeps the aggregate a codegen
-    // HashAggregate over NARROW rows: the old form planned a
-    // SortAggregate whose buffer dragged a copy of the vector through
-    // every corpus × centroid row; the vector now rejoins by key after
-    // the argmax.
+  /** Coarse IVF assignment: every corpus vector → its nearest centroid.
+    * The argmax is a max over a PACKED long — (ccos_u6 + 1e6) << 21 |
+    * (2^21-1 - idx) with idx the dense centroid index ordered by
+    * centroid_id — so max picks the highest cosine then the SMALLEST
+    * centroid_id, matching ORDER BY cos DESC, centroid_id in the oracle.
+    * Packing (instead of max(struct) + first(cv)) keeps the aggregate a
+    * codegen HashAggregate over NARROW rows: the struct form planned a
+    * SortAggregate whose buffer dragged a copy of the vector through
+    * every corpus × centroid row; callers rejoin the vector by key.
+    * Returns (neighbor_id, centroid_id).
+    */
+  private def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     val wc = Window.orderBy(col("centroid_id"))
     val centIdx = cent.withColumn("idx", row_number().over(wc).cast("long") - 1)
-    val asgKey = e.join(broadcast(centIdx))
+    e.join(broadcast(centIdx))
       .withColumn("ccos", round(VectorFunctions.cosine(col("cv"), col("centv")), 6))
       .select(col("neighbor_id"),
         ((round(col("ccos") * 1e6, 0).cast("long") + lit(1000000L)) * lit(1L << 21) +
@@ -149,14 +147,27 @@ object SimilaritySearch {
       .withColumn("idx", lit((1L << 21) - 1) - col("m") % lit(1L << 21))
       .join(broadcast(centIdx.select(col("idx"), col("centroid_id"))), Seq("idx"))
       .select(col("neighbor_id"), col("centroid_id"))
-    val asg = e.join(asgKey, Seq("neighbor_id"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+  }
+
+  /** Per-query probe lists: the `nprobe` nearest centroids (cos DESC,
+    * centroid_id tiebreak). Returns (query_id, qv, centroid_id).
+    */
+  private def probeCentroids(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val probes = q.join(broadcast(cent))
+    q.join(broadcast(cent))
       .withColumn("ccos", round(VectorFunctions.cosine(col("qv"), col("centv")), 6))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
+  }
+
+  private def ivfTopKWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val asg = e.join(coarseAssign(e, cent), Seq("neighbor_id"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val probes = probeCentroids(q, cent, nprobe)
     val scored = asg.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
@@ -191,6 +202,31 @@ object SimilaritySearch {
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,
              k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25): DataFrame = {
+    val (enc, qt) = pqEncodeAndAdc(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dim, numSubspaces, codeStride)
+    val scored = enc.join(broadcast(qt), Seq("j", "code_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2")).as("approx"))
+      // TopK ranks by cos DESC; negate so smallest distance ranks first
+      // (integers ≤ ~2^40 are exact in double)
+      .withColumn("cos", (lit(0L) - col("approx")).cast("double"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0.0) - col("cos")).cast("long").as("approx_d2_u6"), col("rank"))
+  }
+
+  /** The two PQ index artifacts: `enc` — every corpus vector as
+    * `numSubspaces` codebook codes (neighbor_id, j, code_id) — and `qt`
+    * — the per-query ADC table (query_id, j, code_id, qd2) holding the
+    * micro-unit distance from each query subvector to EVERY codeword.
+    * Shared by [[pqTopK]] (scan all codes) and [[ivfPqTopK]] (scan only
+    * probed inverted lists).
+    */
+  private def pqEncodeAndAdc(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                             queries: DataFrame, queryId: Column, queryVec: Column,
+                             dim: Int, numSubspaces: Int,
+                             codeStride: Int): (DataFrame, DataFrame) = {
     require(dim % numSubspaces == 0,
       s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
     val sub = dim / numSubspaces
@@ -238,12 +274,41 @@ object SimilaritySearch {
       .join(broadcast(cb), Seq("j"))
       .withColumn("qd2", l2u6(col("sv"), col("cw")))
       .select(col("query_id"), col("j"), col("code_id"), col("qd2"))
-    val scored = enc.join(broadcast(qt), Seq("j", "code_id"))
+    (enc, qt)
+  }
+
+  /** IVF-PQ — the production composition of the two index tiers: the
+    * coarse quantizer ([[coarseAssign]]) prunes the search to `nprobe`
+    * inverted lists per query, and PQ codes ([[pqEncodeAndAdc]]) score
+    * the surviving candidates with broadcast ADC lookups. At 100 TB this
+    * is the standard billion-vector layout: the scan side carries
+    * ~nprobe/nCentroids of the corpus as `numSubspaces` longs per
+    * vector — raw vectors are touched only at index build. With `nprobe`
+    * ≥ the centroid count the list pruning admits everything and the
+    * result equals [[pqTopK]] exactly (pinned in SimilaritySpec). Output
+    * matches [[pqTopK]]: (query_id, neighbor_id, approx_d2_u6, rank).
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25,
+                centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
+    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val cent = corpus.select(corpusId.as("centroid_id"), corpusVec.as("centv"))
+      .filter(corpusId % centroidStride === 0)
+    val asgKey = coarseAssign(e, cent)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val probes = probeCentroids(q, cent, nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val (enc, qt) = pqEncodeAndAdc(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dim, numSubspaces, codeStride)
+    // codes ⋈ list assignment (key join), pruned by broadcast probes,
+    // scored by broadcast ADC rows — the corpus side never shuffles wide
+    val scored = enc.join(asgKey, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qt), Seq("query_id", "j", "code_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("qd2")).as("approx"))
-      // TopK ranks by cos DESC; negate so smallest distance ranks first
-      // (integers ≤ ~2^40 are exact in double)
       .withColumn("cos", (lit(0L) - col("approx")).cast("double"))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
       .select(col("query_id"), col("neighbor_id"),

@@ -159,4 +159,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("rs")).as[Seq[Long]].collect()
     assert(ranks.forall(rs => rs.sorted == (1L to rs.length)))
   }
+
+  test("ivfPqTopK degenerates to pqTopK when every list is probed") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    // nprobe ≥ centroid count → coarse pruning admits the whole corpus,
+    // so the composed index must equal plain PQ exactly
+    val full = SimilaritySearch.ivfPqTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64, nprobe = 1000000)
+    val pq = SimilaritySearch.pqTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64)
+    assert(full.exceptAll(pq).count() == 0 && pq.exceptAll(full).count() == 0)
+    // the pruned form returns contiguous ranks and a subset of some list
+    val pruned = SimilaritySearch.ivfPqTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64, nprobe = 2)
+    val ranks = pruned.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select(col("rs")).as[Seq[Long]].collect()
+    assert(ranks.nonEmpty && ranks.forall(rs => rs.sorted == (1L to rs.length)))
+  }
 }
