@@ -74,5 +74,6 @@ object SparkEntry {
     "q17_running_sum", "q18_change_groups", "q21_tumbling_window",
     "q22_session_window", "q28_retry_fixpoint",
     "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
-    "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection")
+    "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection",
+    "p32_sequence_pack", "p34_ann_ivfpq")
 }
