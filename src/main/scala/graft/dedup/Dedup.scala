@@ -328,6 +328,64 @@ object Dedup {
       .withColumn("kept", col("keeper_id") === col("doc_id"))
   }
 
+  /** Corpus-level chunk dedup — the fixed-granularity form of CCNet /
+    * RefinedWeb line-level dedup: every document is cut into consecutive
+    * `chunkTokens`-token chunks, each chunk is fingerprinted, and only
+    * the FIRST occurrence corpus-wide of each fingerprint is kept
+    * (first = smallest (doc_id, chunk_idx), the deterministic
+    * keep-earliest rule). Returns one row per input doc:
+    * (doc_id, n_chunks, n_kept, dup_chunk_frac, text_dedup) where
+    * `text_dedup` is the doc's surviving chunks rejoined in order —
+    * boilerplate that repeats across the corpus disappears from every
+    * doc but its first.
+    *
+    * Scale shape: chunking is a map-side HOF projection (no shuffle);
+    * first-occurrence election is ONE hash shuffle of (16-byte md5,
+    * packed position) with map-side combine; the verdict joins back by
+    * fingerprint and reassembly is one doc-keyed aggregate — chunk text
+    * moves through the two key joins, never whole documents. The
+    * election min runs over a PACKED long `doc_id·2²⁰ + idx` (not a
+    * struct, which would demote the aggregate to SortAggregate) —
+    * requiring idx < 2²⁰ chunks/doc and doc_id < 2⁴³; ANSI arithmetic
+    * faults loudly if either is exceeded.
+    */
+  def chunkDedup(docs: DataFrame, id: Column, text: Column,
+                 chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val ch = chunkTokens
+    val base = docs.select(id.cast("long").as("doc_id"),
+      TextFunctions.tokens(text).as("t"))
+    val chunks = base.filter(size(col("t")) >= 1)
+      .withColumn("n_ch", expr(s"cast((size(t) + ${ch - 1}) div $ch as int)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_ch), i -> array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '))"))
+        .as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
+        md5(col("chunk").cast("binary")).as("f"))
+      .withColumn("packed", col("doc_id") * lit(1L << 20) + col("idx"))
+    val firsts = chunks.groupBy(col("f")).agg(min(col("packed")).as("p"))
+    val agg = chunks.join(firsts, Seq("f"))
+      .withColumn("kept", col("packed") === col("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        // collect_list drops nulls, so only kept chunks enter; struct
+        // sort orders by idx — same sorted-array-agg trick as q46
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("text_dedup"))
+      .withColumn("dup_chunk_frac",
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_chunks").cast("double"), 4))
+    base.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dup_chunk_frac"), lit(0.0)).as("dup_chunk_frac"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Winnowing document fingerprints (rolling-hash selection): hash every
     * word `shingleN`-gram, slide a `window`-wide frame over the hash
     * sequence, keep each full window's minimum — the classic guarantee

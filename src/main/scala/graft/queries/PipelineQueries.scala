@@ -1012,6 +1012,42 @@ object PipelineQueries {
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY approx_d2_u6, neighbor_id) AS rank FROM scored)
       SELECT query_id, neighbor_id, approx_d2_u6, CAST(rank AS BIGINT) AS rank
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // corpus-level chunk dedup (line-level dedup at fixed 8-token
+    // granularity): first occurrence of each chunk fingerprint wins
+    // corpus-wide; every doc's text is reassembled from its surviving
+    // chunks. ~5% of chunk instances in the synthetic corpus are
+    // cross-doc repeats.
+    ("p35_chunk_dedup", (s, d) => {
+      Dedup.chunkDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+          chunkTokens = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      ch AS (SELECT doc_id,
+               unnest(generate_series(0, CAST((len(t)+7)//8 AS BIGINT) - 1)) AS idx, t
+             FROM t WHERE len(t) >= 1),
+      c2 AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+               array_to_string(t[idx*8+1 : idx*8+8], ' ') AS chunk FROM ch),
+      fp AS (SELECT doc_id, idx, chunk, md5(chunk) AS f FROM c2),
+      firsts AS (SELECT f, min(doc_id * 1048576 + idx) AS p FROM fp GROUP BY 1),
+      k AS (SELECT fp.doc_id, fp.idx, fp.chunk,
+              (fp.doc_id * 1048576 + fp.idx) = firsts.p AS kept
+            FROM fp JOIN firsts USING (f)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx)
+                  AS text_dedup
+              FROM k GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(a.n_chunks, 0) AS n_chunks,
+             coalesce(a.n_kept, 0) AS n_kept,
+             CASE WHEN coalesce(a.n_chunks, 0) = 0 THEN 0.0
+                  ELSE round(1.0 - CAST(a.n_kept AS DOUBLE) /
+                             CAST(a.n_chunks AS DOUBLE), 4) END AS dup_chunk_frac,
+             coalesce(a.text_dedup, '') AS text_dedup
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""))
   )
 }

@@ -247,6 +247,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("chunkDedup keeps the first corpus-wide occurrence of each chunk") {
+    import graft.dedup.Dedup
+    // chunks of 2 tokens: doc 1 = [a b][c d], doc 2 = [c d][e f] (its
+    // first chunk repeats doc 1's second), doc 3 = [a b][a b] (repeats
+    // doc 1's first AND itself), doc 4 empty
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b a b"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 0L, ""),
+      (4L, 0L, 0L, "")))
+  }
+
   test("clusterDedup keeps exactly one doc per near-dup cluster") {
     import graft.dedup.Dedup
     val docs = (1 to 12).map(i =>

@@ -168,6 +168,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("p32 sequence pack: one hash exchange on the group key, window in-partition") {
+    val p = plan("p32_sequence_pack")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      s"no per-group exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"packing should shuffle once, on the group key:\n$p")
+  }
+
+  test("p35 chunk dedup: election + reassembly shuffles only, no cartesian") {
+    val p = plan("p35_chunk_dedup")
+    // fingerprint election (f), doc reassembly (doc_id), plus the
+    // fingerprint verdict join — chunking itself must stay map-side
+    assert(countExchanges(p) <= 4, s"extra shuffle in chunk dedup plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"chunk dedup must not plan a cartesian:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
