@@ -265,6 +265,32 @@ object Extended {
              array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
                AS priorities,
              count(*) AS n_orders
-      FROM orders WHERE o_custkey <= 200 GROUP BY 1 ORDER BY 1"""))
+      FROM orders WHERE o_custkey <= 200 GROUP BY 1 ORDER BY 1""")),
+
+    // value-RANGE window frame (vs q43's row/bucket forms): per user, a
+    // rolling 10-minute sum/count over event time — the frame bound is a
+    // VALUE offset on the epoch-second order key, so peers at the same
+    // second enter the frame as a block in both engines. Epoch seconds
+    // derived by integer floor in both (Spark timestamp→long cast;
+    // DuckDB epoch_us // 1e6).
+    ("q47_time_range_window", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-599, 0)
+      Tables.events(s, d)
+        .withColumn("es", col("ts").cast("long"))
+        .select(col("event_id"), col("user_id"), col("es"),
+          round(sum(col("value")).over(w), 2).as("sum_10m"),
+          count(lit(1)).over(w).as("n_10m"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es, "value"
+                 FROM events)
+      SELECT event_id, user_id, CAST(es AS BIGINT) AS es,
+             round(sum("value") OVER w, 2) AS sum_10m,
+             CAST(count(*) OVER w AS BIGINT) AS n_10m
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+                          RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
   )
 }

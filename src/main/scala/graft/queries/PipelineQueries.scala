@@ -1048,6 +1048,26 @@ object PipelineQueries {
                              CAST(a.n_chunks AS DOUBLE), 4) END AS dup_chunk_frac,
              coalesce(a.text_dedup, '') AS text_dedup
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // deterministic mixture interleave: every doc routed to a weighted
+    // mixture bucket off the same md5 dice roll as sampling — the
+    // routing dual of p19 (drop) and p33 (rebalance)
+    ("p36_interleave", (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          coalesce(graft.curation.Curation.interleaveTag(col("doc_id"),
+            Seq("web" -> 0.6, "code" -> 0.3)), lit("rest")).as("mix_tag"),
+          graft.curation.Curation.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      b AS (SELECT doc_id, ${sqlBucketFromMd5("m")} AS bucket FROM h)
+      SELECT doc_id,
+             CASE WHEN bucket >= 0 AND bucket < 6000 THEN 'web'
+                  WHEN bucket >= 6000 AND bucket < 9000 THEN 'code'
+                  ELSE 'rest' END AS mix_tag,
+             bucket
+      FROM b ORDER BY doc_id"""))
   )
 }
