@@ -35,7 +35,26 @@ object SparkEntry {
         ON c.user_id = p.user_id
        AND c.event_type = 'click' AND p.event_type = 'purchase'
        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-      ORDER BY 1, 2, 3""")))
+      ORDER BY 1, 2, 3""")),
+    ("q48_streaming_chunk_election",
+      (s, d) => graft.streaming.StreamingQueries.chunkElection(s, d),
+      Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                 FROM documents),
+      ch AS (SELECT doc_id,
+               unnest(generate_series(0, CAST((len(t)+7)//8 AS BIGINT) - 1)) AS idx, t
+             FROM t WHERE len(t) >= 1),
+      c2 AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+               array_to_string(t[idx*8+1 : idx*8+8], ' ') AS chunk FROM ch),
+      fp AS (SELECT doc_id, idx, md5(chunk) AS f FROM c2),
+      g AS (SELECT f AS fingerprint, min(doc_id * 1048576 + idx) AS p,
+                   count(*) AS n FROM fp GROUP BY 1)
+      SELECT fingerprint,
+             CAST(p // 1048576 AS BIGINT) AS keeper_doc,
+             CAST(p % 1048576 AS BIGINT) AS keeper_idx,
+             CAST(n AS BIGINT) AS n_instances
+      FROM g ORDER BY fingerprint""")))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++

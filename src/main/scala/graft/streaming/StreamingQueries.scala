@@ -140,6 +140,36 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("fingerprint"))
   }
 
+  /** p35's first-occurrence chunk election executed on the streaming
+    * engine: documents stream in, fixed-token chunks explode map-side
+    * (stateless, in the scan stage), and the keeper election is the same
+    * order-independent min over the packed (doc_id · 2²⁰ + idx) position
+    * as the batch operator — so the result is batch-identical no matter
+    * how ingest slices into micro-batches. Streaming state is one row
+    * per distinct chunk fingerprint.
+    */
+  def chunkElection(spark: SparkSession, sfDir: String,
+                    chunkTokens: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    val ch = chunkTokens
+    val chunks = documentsStream(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("n_ch", expr(s"cast((size(t) + ${ch - 1}) div $ch as int)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_ch), i -> array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '))"))
+        .as(Seq("idx", "chunk")))
+    val agg = chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("fingerprint"))
+      .agg(min(col("doc_id") * lit(1L << 20) + col("idx").cast("long")).as("p"),
+        count(lit(1)).as("n_instances"))
+      .select(col("fingerprint"),
+        expr(s"p div ${1L << 20}L").as("keeper_doc"),
+        (col("p") % lit(1L << 20)).as("keeper_idx"),
+        col("n_instances"))
+    runToMemory(agg).orderBy(col("fingerprint"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:
