@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *    non-equi broadcast join IS the intended plan.
   *  - p12/p24 globalWindow: dense-index windows over bounded tiny sets
   *    (centroid list, post-limit top-20).
+  *  - p34 globalWindow + NestedLoop: IVF-PQ inherits exactly p12's
+  *    centroid-index window and broadcast assignment joins.
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.
@@ -27,7 +29,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val skip = Set("q30_streaming_window", "q31_streaming_dedup",
-      "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation")
+      "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation",
+      "q44_streaming_session", "q48_streaming_chunk_election")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

@@ -68,6 +68,31 @@ class CurationSpec extends AnyFunSuite {
       ("b", 2L, 0L, 0L, 2L)))  // [0, 600) spans seqs 0-1
   }
 
+  test("packSequences matches a sequential per-group reference on random input") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      (s"g${rnd.nextInt(5)}", i.toLong, rnd.nextInt(200).toLong)
+    }
+    val out = Curation.packSequences(rows.toDF("g", "id", "n"),
+        col("g"), col("id"), col("n"), 128L)
+      .select(col("g"), col("id"), col("n"),
+        col("seq_id"), col("seq_offset"), col("n_seqs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var cp = 0L
+      rs.sortBy(_._2).map { case (_, id, n) =>
+        val seqId = cp / 128
+        val off = cp % 128
+        val nSeqs = if (n == 0) 0L else (cp + n - 1) / 128 - seqId + 1
+        val t = (g, id, n, seqId, off, nSeqs)
+        cp += n
+        t
+      }
+    }.toSet
+    assert(out == ref)
+  }
+
   test("temperatureMixSqrt downsamples large groups toward sqrt weights") {
     // 100 "big" + 4 "small" rows, target 20: w = (10, 2), Σw = 12,
     // targets = (16, 3), thresholds = (1600, 7500)
