@@ -38,6 +38,12 @@ object Retry {
     *                  fails the stage on overflow
     *                  (`Retry.scala:234-239,263-268`) rather than
     *                  silently degrading
+    * @param bufferLimit cap on accumulated SUCCESS rows awaiting
+    *                  emission — the reference's `Retry.concat`
+    *                  bufferLimit (elements queued for downstream,
+    *                  `Retry.scala:263-268`); fails on overflow. Checked
+    *                  per round from the same counting job economics as
+    *                  retriesLimit (only when set)
     * @param sleep     injectable for tests; defaults to Thread.sleep
     *
     * Early exit needs only "any rows still failing?", so each round runs
@@ -51,9 +57,15 @@ object Retry {
                maxRetries: Int,
                delay: Option[Control.DelayStrategy] = None,
                retriesLimit: Option[Long] = None,
+               bufferLimit: Option[Long] = None,
                sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)): DataFrame = {
     var pending = attempt(input.withColumn("attempt", lit(0)))
     var done = pending.filter(col("error").isNull)
+    bufferLimit.foreach { lim =>
+      val n = done.count()
+      if (n > lim) throw new IllegalStateException(
+        s"Retry.fixpoint: buffered successes $n exceed bufferLimit $lim")
+    }
     var retriedTotal = 0L
     var i = 0
     var drained = false
@@ -83,6 +95,11 @@ object Retry {
         val next = retryWith(failed).withColumn("attempt", lit(i + 1))
         pending = attempt(next).localCheckpoint(eager = false)
         done = done.unionByName(pending.filter(col("error").isNull))
+        bufferLimit.foreach { lim =>
+          val n = done.count()
+          if (n > lim) throw new IllegalStateException(
+            s"Retry.fixpoint: buffered successes $n exceed bufferLimit $lim")
+        }
         i += 1
       }
     }

@@ -167,6 +167,21 @@ class ControlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("retriesLimit")) // 3+3 = 6 > 4 in round 2
   }
 
+  test("Retry.fixpoint fails on bufferLimit overflow and passes under it") {
+    import graft.operators.Retry
+    val input = Seq(1, 2, 3).toDF("id")
+    // every row succeeds immediately: 3 buffered successes up front
+    val attempt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", col("id")).withColumn("error", lit(null).cast("string"))
+    val ex = intercept[IllegalStateException] {
+      Retry.fixpoint(input, attempt, identity, maxRetries = 2, bufferLimit = Some(2))
+    }
+    assert(ex.getMessage.contains("bufferLimit"))
+    val ok = Retry.fixpoint(input, attempt, identity, maxRetries = 2,
+      bufferLimit = Some(3))
+    assert(ok.count() == 3)
+  }
+
   test("observe metrics + TimingListener capture counts and wall time") {
     val listener = Timed.withTimingListener(spark)
     val df = Timed.observed(Seq(1, 2, 3).toDF("i"), "m",
