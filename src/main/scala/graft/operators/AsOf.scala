@@ -33,9 +33,19 @@ object AsOf {
   /** As-of join: for each left row, the most recent right row with
     * right.ts <= left.ts on equal keys. `leftCols`/`rightVal` name the
     * output. Union-trick: right rows sort before left rows at equal ts.
+    *
+    * `tolerance` (same arithmetic as the ts column, e.g. seconds for an
+    * epoch-long ts) bounds how stale the match may be — the
+    * `merge_asof(tolerance=...)` semantics: a preceding right row older
+    * than `left.ts - tolerance` yields null instead. The window carries
+    * the matched row's ts in a struct alongside the value, so tolerance
+    * is a pure post-filter — still ONE shuffle, no join. Right-side ties
+    * at equal (key, ts) are the caller's to resolve (pre-aggregate to
+    * one row per (key, ts)) — the window picks an arbitrary peer
+    * otherwise.
     */
   def join(left: DataFrame, right: DataFrame, key: String, tsName: String,
-           rightValName: String): DataFrame = {
+           rightValName: String, tolerance: Option[Column] = None): DataFrame = {
     val l = left.withColumn("__side", lit(1)).withColumn(rightValName, lit(null).cast(
       right.schema(rightValName).dataType))
     val r = right.select(col(key), col(tsName), col(rightValName))
@@ -43,9 +53,17 @@ object AsOf {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(tsName), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn(rightValName, last(col(rightValName), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__side")
+    val matched = unioned.withColumn("__m",
+      last(when(col("__side") === 0,
+          struct(col(tsName).as("rts"), col(rightValName).as("rv"))),
+        ignoreNulls = true).over(w))
+    val valid = tolerance match {
+      case Some(tol) =>
+        col("__m").isNotNull && (col(tsName) - col("__m.rts") <= tol)
+      case None => col("__m").isNotNull
+    }
+    matched.filter(col("__side") === 1)
+      .withColumn(rightValName, when(valid, col("__m.rv")))
+      .drop("__side", "__m")
   }
 }

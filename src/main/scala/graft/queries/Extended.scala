@@ -291,6 +291,40 @@ object Extended {
              CAST(count(*) OVER w AS BIGINT) AS n_10m
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
                           RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // as-of join WITH tolerance (merge_asof semantics): each purchase
+    // gets the most recent preceding error's value for its user, but
+    // only if that error is at most 30 minutes old — staler matches are
+    // nulled. Right side pre-aggregated to one row per (user, second)
+    // for tie determinism; still the one-shuffle union-trick plan.
+    ("q49_asof_tolerance", (s, d) => {
+      import graft.operators.AsOf
+      val ev = Tables.events(s, d).withColumn("es", col("ts").cast("long"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("es"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("es"))
+        .agg(max(col("value")).as("err_value"))
+      AsOf.join(purchases, errors, "user_id", "es", "err_value",
+          tolerance = Some(lit(1800L)))
+        .select(col("event_id"), col("user_id"), col("es"), col("err_value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es
+                 FROM events WHERE event_type = 'purchase'),
+      e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es,
+                   max("value") AS err_value
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      m AS (SELECT p.event_id, p.user_id, p.es,
+              (SELECT max(e.es) FROM e
+               WHERE e.user_id = p.user_id AND e.es <= p.es) AS rts
+            FROM p)
+      SELECT m.event_id, m.user_id, CAST(m.es AS BIGINT) AS es,
+             CASE WHEN rts IS NOT NULL AND m.es - rts <= 1800
+                  THEN (SELECT e.err_value FROM e
+                        WHERE e.user_id = m.user_id AND e.es = rts) END
+               AS err_value
+      FROM m ORDER BY event_id"""))
   )
 }

@@ -172,6 +172,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("l0", -1.0), ("l1", 8.0), ("l2", 15.0)))
   }
 
+  test("AsOf.join tolerance nulls matches older than the bound") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 500L, "l3")).toDF("k", "t", "tag")
+    val right = Seq((1L, 80L, 8.0), (1L, 150L, 15.0)).toDF("k", "t", "rv")
+    val got = AsOf.join(left, right, "k", "t", "rv", tolerance = Some(lit(60L)))
+      .orderBy("t").select("tag", "rv").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq
+    // l1@100: match 80 (gap 20 ≤ 60) → 8.0; l2@200: match 150 (gap 50) →
+    // 15.0; l3@500: match 150 (gap 350 > 60) → null
+    assert(got == Seq(("l1", 8.0), ("l2", 15.0), ("l3", -1.0)))
+  }
+
   test("MergeByIndex.monotonicViolations counts out-of-order rows") {
     val ok = Seq((1L, "a"), (2L, "b"), (5L, "c")).toDF("idx", "v")
     val bad = Seq((1L, "a"), (3L, "b"), (2L, "c")).toDF("idx", "v")
