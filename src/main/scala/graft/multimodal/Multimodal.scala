@@ -92,16 +92,52 @@ object Multimodal {
     */
   final class FakeFeatureCodec(dim: Int) {
     private val counts = new Array[Int](dim) // reused across rows
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    private def fill(bytes: Array[Byte]): Unit = {
       java.util.Arrays.fill(counts, 0)
       var i = 0
       while (i < bytes.length) { counts((bytes(i) & 0xff) % dim) += 1; i += 1 }
+    }
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      fill(bytes)
       val n = math.max(bytes.length, 1).toFloat
       val out = new Array[Float](dim)
-      i = 0
+      var i = 0
       while (i < dim) { out(i) = counts(i) / n; i += 1 }
       out
     }
+    /** Raw integer counts — the exact form for cross-engine scoring. */
+    def decodeCounts(bytes: Array[Byte]): Array[Long] = {
+      fill(bytes)
+      val out = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { out(i) = counts(i).toLong; i += 1 }
+      out
+    }
+  }
+
+  /** Typed record for the integer-histogram decode path. */
+  case class MediaHistogram(media_id: Long, n_bytes: Long, hist: Array[Long])
+
+  /** [[extractFeatures]]'s integer twin: the same once-per-partition
+    * codec, but emitting RAW bucket counts (Array[Long]) instead of a
+    * normalized float vector — the form downstream similarity scoring
+    * can rank in exact integer arithmetic, immune to float division
+    * differences across engines.
+    */
+  def extractHistogram(df: DataFrame, id: Column, payload: Column,
+                       dim: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(id.cast("long").as("media_id"), payload.cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        codecInits.incrementAndGet()
+        val codec = new FakeFeatureCodec(dim)
+        rows.map { case (mid, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          MediaHistogram(mid, b.length.toLong, codec.decodeCounts(b))
+        }
+      }
+      .toDF()
   }
 
   /** Frame sampling plumbing: explode a video payload into `n` evenly

@@ -1068,6 +1068,41 @@ object PipelineQueries {
                   WHEN bucket >= 6000 AND bucket < 9000 THEN 'code'
                   ELSE 'rest' END AS mix_tag,
              bucket
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // multimodal → similarity composition: per-partition histogram
+    // decode (the amortized-codec kernel) feeding integer dot-product
+    // top-k through the same two-phase rank as the ANN tiers — media
+    // similarity search end to end, exact in both engines because the
+    // score is a BIGINT dot product of raw bucket counts.
+    ("p37_media_search", (s, d) => {
+      import graft.multimodal.Multimodal
+      val feats = Multimodal.extractHistogram(
+        Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
+      val c = feats.select(col("media_id").as("neighbor_id"), col("hist").as("cv"))
+      val q = feats.filter(col("media_id") < 10)
+        .select(col("media_id").as("query_id"), col("hist").as("qv"))
+      val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", expr(
+          "cast(aggregate(zip_with(cv, qv, (x, y) -> x * y), 0L, (a, b) -> a + b) as double)"))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      SimilaritySearch.rankTopK(scored, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cos").cast("long").as("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH vec AS (SELECT doc_id,
+        list_transform(generate_series(0, 15), j ->
+          CAST(len(list_filter(generate_series(1, length(text)),
+                 i -> ord(substr(text, i, 1)) % 16 = j)) AS BIGINT)) AS v
+       FROM documents),
+      q AS (SELECT doc_id AS query_id, v AS qv FROM vec WHERE doc_id < 10),
+      scored AS (SELECT query_id, c.doc_id AS neighbor_id,
+                   CAST(list_dot_product(c.v, qv) AS BIGINT) AS dot
+                 FROM vec c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id) AS rank FROM scored)
+      SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

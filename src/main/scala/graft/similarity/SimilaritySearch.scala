@@ -32,9 +32,11 @@ object SimilaritySearch {
   /** Two-phase per-query top-k rank over a scored candidate set with
     * columns (query_id, neighbor_id, cos). Output adds `rank` (1-based,
     * by cos DESC then neighbor_id ASC) — identical to the window-rank
-    * form, minus its one-task-per-query funnel.
+    * form, minus its one-task-per-query funnel. Public so callers with
+    * their own scoring (e.g. multimodal histogram dot products) rank
+    * through the same scale-safe path.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new Aggregators.TopK(k))
     scored.groupBy(col("query_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("tk"))

@@ -20,6 +20,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.filter(_._2 > 0).forall(r => math.abs(r._3.sum - 1.0f) < 1e-3))
   }
 
+  test("extractHistogram counts every payload byte into its bucket") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(100)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val h = Multimodal.extractHistogram(docs, col("doc_id"), col("payload"), dim = 16)
+    assert(h.columns.toSeq == Seq("media_id", "n_bytes", "hist"))
+    val rows = h.as[(Long, Long, Array[Long])].collect()
+    assert(rows.forall(_._3.length == 16))
+    // counts partition the payload exactly: sum == byte length
+    assert(rows.forall(r => r._3.sum == r._2))
+  }
+
   test("extractFeatures initializes the codec once per partition, not per row") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(200)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
