@@ -68,4 +68,63 @@ object Aggregators {
     override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
+
+  /** Count-min sketch cells: depth × width Long matrix, row-major. */
+  case class CMSketch(cells: Array[Long])
+
+  /** Count-min sketch over a token stream — frequency estimation in
+    * FIXED memory (depth·width longs) regardless of vocabulary size, the
+    * sketch that keeps heavy-hitter state bounded where an exact
+    * `groupBy(token)` holds one row per distinct token (unbounded
+    * streaming state; billions of cells at 100 TB).
+    *
+    * Row `j`'s bucket for a token is the first 24 bits of
+    * `md5("j:" + token)` mod `width` — pure md5 arithmetic, so BOTH the
+    * SQL estimate expression and an oracle can recompute the exact same
+    * sketch (see p38). `estimate(tok) = min over rows of cell[j][bucket]`
+    * never under-counts (classic CM guarantee, pinned in PropertySpec);
+    * merge is elementwise add, so partial aggregation and shuffle order
+    * cannot change the result.
+    */
+  class CountMin(width: Int, depth: Int)
+      extends Aggregator[String, CMSketch, CMSketch] {
+    require(width > 0 && depth > 0, s"width/depth must be positive: $width/$depth")
+
+    override def zero: CMSketch = CMSketch(new Array[Long](width * depth))
+    override def reduce(b: CMSketch, tok: String): CMSketch = {
+      var j = 0
+      while (j < depth) {
+        b.cells(j * width + CountMin.bucket(j, tok, width)) += 1
+        j += 1
+      }
+      b
+    }
+    override def merge(a: CMSketch, b: CMSketch): CMSketch = {
+      var i = 0
+      while (i < a.cells.length) { a.cells(i) += b.cells(i); i += 1 }
+      a
+    }
+    override def finish(r: CMSketch): CMSketch = r
+    override def bufferEncoder: Encoder[CMSketch] = Encoders.product[CMSketch]
+    override def outputEncoder: Encoder[CMSketch] = Encoders.product[CMSketch]
+  }
+
+  object CountMin {
+    private val digests = ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 24 bits of md5("j:tok") mod width — identical to the SQL
+      * form `conv(substring(md5('j:tok'), 1, 6), 16, 10) % width`.
+      */
+    def bucket(j: Int, tok: String, width: Int): Int = {
+      val md = digests.get()
+      md.reset()
+      val d = md.digest(s"$j:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)) % width
+    }
+
+    /** Exact JVM-side estimate from a finished sketch (for tests). */
+    def estimate(cells: Array[Long], tok: String, width: Int, depth: Int): Long =
+      (0 until depth).map(j => cells(j * width + bucket(j, tok, width))).min
+  }
 }

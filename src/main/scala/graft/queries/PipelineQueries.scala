@@ -1103,6 +1103,57 @@ object PipelineQueries {
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY dot DESC, neighbor_id) AS rank FROM scored)
       SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // count-min sketch heavy hitters: token frequencies estimated from a
+    // FIXED 4×64-cell sketch (vs unbounded per-token groupBy state); the
+    // sketch is pure md5 arithmetic, so the oracle rebuilds the exact
+    // cells and the never-under-count guarantee is visible in the
+    // (est, exact) pairs.
+    ("p38_heavy_hitters", (s, d) => {
+      import graft.functions.Aggregators
+      val width = 64
+      val depth = 4
+      val cm = udaf(new Aggregators.CountMin(width, depth))
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = toks.agg(cm(col("tok")).as("sk")).select(col("sk.cells").as("sk"))
+      val probes = Seq("table", "value", "the", "a", "row", "scan")
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("__exact"))
+      val est = sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
+        .withColumn("est", least((0 until depth).map { j =>
+          element_at(col("sk"),
+            (expr(s"cast(conv(substring(md5(cast(concat('$j:', token) as binary)), 1, 6), 16, 10) as bigint)")
+              % width + j * width + 1).cast("int"))
+        }: _*))
+      est.join(exact, col("token") === col("tok"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("__exact"), lit(0L)).as("exact"))
+        .orderBy(col("token"))
+    }, Some {
+      val bucketOf = (e: String) => {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+        s"""CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+               + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 64 AS BIGINT)"""
+      }
+      s"""
+      WITH toks AS (SELECT unnest(${sqlToks("text")}) AS tok FROM documents),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      tb AS (SELECT j, ${bucketOf("CAST(j AS VARCHAR) || ':' || tok")} AS bucket
+             FROM toks CROSS JOIN js),
+      cnt AS (SELECT j, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+      probes AS (SELECT unnest(['table', 'value', 'the', 'a', 'row', 'scan']) AS token),
+      pb AS (SELECT token, j,
+               ${bucketOf("CAST(j AS VARCHAR) || ':' || token")} AS bucket
+             FROM probes CROSS JOIN js),
+      est AS (SELECT token, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+              FROM pb LEFT JOIN cnt USING (j, bucket) GROUP BY 1),
+      ex AS (SELECT tok, count(*) AS c2 FROM toks
+             WHERE tok IN ('table', 'value', 'the', 'a', 'row', 'scan') GROUP BY 1)
+      SELECT e.token, e.est, CAST(coalesce(ex.c2, 0) AS BIGINT) AS exact
+      FROM est e LEFT JOIN ex ON e.token = ex.tok
+      ORDER BY e.token"""
+    })
   )
 }

@@ -55,6 +55,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CountMin never under-counts and merges order-insensitively") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    check(Prop.forAll(tokGen, Gen.chooseNum(1, 4)) { (xs, nParts) =>
+      val agg = new Aggregators.CountMin(8, 2)
+      val parts = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val single = xs.foldLeft(agg.zero)(agg.reduce)
+      val exact = xs.groupBy(identity).map { case (t, l) => t -> l.size.toLong }
+      merged.cells.sameElements(single.cells) &&
+        exact.forall { case (t, c) =>
+          Aggregators.CountMin.estimate(merged.cells, t, 8, 2) >= c
+        }
+    })
+  }
+
   test("fingerprint is whitespace- and case-insensitive for random texts") {
     val spark = TestSpark.spark
     import spark.implicits._
