@@ -54,7 +54,11 @@ object SparkEntry {
              CAST(p // 1048576 AS BIGINT) AS keeper_doc,
              CAST(p % 1048576 AS BIGINT) AS keeper_idx,
              CAST(n AS BIGINT) AS n_instances
-      FROM g ORDER BY fingerprint""")))
+      FROM g ORDER BY fingerprint""")),
+    ("q50_streaming_heavy_hitters",
+      (s, d) => graft.streaming.StreamingQueries.heavyHitters(s, d,
+        Seq("table", "value", "the", "a", "row", "scan")),
+      Some(PipelineQueries.heavyHittersOracle)))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++

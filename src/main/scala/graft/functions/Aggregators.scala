@@ -126,5 +126,19 @@ object Aggregators {
     /** Exact JVM-side estimate from a finished sketch (for tests). */
     def estimate(cells: Array[Long], tok: String, width: Int, depth: Int): Long =
       (0 until depth).map(j => cells(j * width + bucket(j, tok, width))).min
+
+    /** Column-side estimate over a flattened cells array — the same
+      * md5-bucket arithmetic as [[bucket]], evaluated in codegen.
+      */
+    def estimateCol(sk: org.apache.spark.sql.Column,
+                    token: org.apache.spark.sql.Column,
+                    width: Int, depth: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      least((0 until depth).map { j =>
+        val b = conv(substring(md5(concat(lit(s"$j:"), token).cast("binary")), 1, 6),
+          16, 10).cast("long") % width
+        element_at(sk, (b + j * width + 1).cast("int"))
+      }: _*)
+    }
   }
 }

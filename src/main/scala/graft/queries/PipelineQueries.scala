@@ -1122,22 +1122,26 @@ object PipelineQueries {
       val exact = toks.filter(col("tok").isin(probes: _*))
         .groupBy(col("tok")).agg(count(lit(1)).as("__exact"))
       val est = sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
-        .withColumn("est", least((0 until depth).map { j =>
-          element_at(col("sk"),
-            (expr(s"cast(conv(substring(md5(cast(concat('$j:', token) as binary)), 1, 6), 16, 10) as bigint)")
-              % width + j * width + 1).cast("int"))
-        }: _*))
+        .withColumn("est",
+          Aggregators.CountMin.estimateCol(col("sk"), col("token"), width, depth))
       est.join(exact, col("token") === col("tok"), "left")
         .select(col("token"), col("est"),
           coalesce(col("__exact"), lit(0L)).as("exact"))
         .orderBy(col("token"))
-    }, Some {
-      val bucketOf = (e: String) => {
-        val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
-        s"""CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
-               + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 64 AS BIGINT)"""
-      }
-      s"""
+    }, Some(heavyHittersOracle))
+  )
+
+  /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the
+    * exact sketch cells from the same md5-bucket arithmetic and takes
+    * the per-row min — batch and streaming executions both match it.
+    */
+  lazy val heavyHittersOracle: String = {
+    val bucketOf = (e: String) => {
+      val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+      s"""CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+             + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 64 AS BIGINT)"""
+    }
+    s"""
       WITH toks AS (SELECT unnest(${sqlToks("text")}) AS tok FROM documents),
       js AS (SELECT unnest(generate_series(0, 3)) AS j),
       tb AS (SELECT j, ${bucketOf("CAST(j AS VARCHAR) || ':' || tok")} AS bucket
@@ -1154,6 +1158,5 @@ object PipelineQueries {
       SELECT e.token, e.est, CAST(coalesce(ex.c2, 0) AS BIGINT) AS exact
       FROM est e LEFT JOIN ex ON e.token = ex.tok
       ORDER BY e.token"""
-    })
-  )
+  }
 }

@@ -170,6 +170,35 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("fingerprint"))
   }
 
+  /** p38's count-min heavy hitters on the streaming engine — the state
+    * story the sketch exists for: the stream folds every token into a
+    * FIXED depth×width cell matrix (one buffer row of streaming state,
+    * ~2 KB, vs one state row per distinct token for an exact groupBy),
+    * and the elementwise-add merge makes the result independent of
+    * micro-batch slicing. Probe estimates and exact counts are resolved
+    * batch-side from the finished sketch (the exact counts run as a
+    * second tiny-state streaming aggregate over the 6 probe tokens).
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   probes: Seq[String], width: Int = 64,
+                   depth: Int = 4): DataFrame = {
+    import graft.functions.{Aggregators, TextFunctions}
+    val cm = udaf(new Aggregators.CountMin(width, depth))
+    val toks = documentsStream(spark, sfDir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val sk = runToMemory(toks.agg(cm(col("tok")).as("sk")))
+      .select(col("sk.cells").as("sk"))
+    val exact = runToMemory(toks.filter(col("tok").isin(probes: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__exact")))
+    sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
+      .withColumn("est",
+        Aggregators.CountMin.estimateCol(col("sk"), col("token"), width, depth))
+      .join(exact, col("token") === col("tok"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("__exact"), lit(0L)).as("exact"))
+      .orderBy(col("token"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:
