@@ -1128,7 +1128,27 @@ object PipelineQueries {
         .select(col("token"), col("est"),
           coalesce(col("__exact"), lit(0L)).as("exact"))
         .orderBy(col("token"))
-    }, Some(heavyHittersOracle))
+    }, Some(heavyHittersOracle)),
+
+    // Z-order (Morton) codes over (user_id, event-time): the pure
+    // per-row interleave that [[graft.sources.Sinks.writeZOrdered]]
+    // clusters file layout by — computed here as a query so both engines
+    // pin the bit arithmetic exactly (16 bits per dimension).
+    ("p39_zorder", (s, d) => {
+      import graft.functions.ZOrderCode
+      Tables.events(s, d)
+        .withColumn("es", col("ts").cast("long"))
+        .select(col("event_id"), col("user_id"), col("es"),
+          ZOrderCode(col("user_id") % 65536, col("es") % 65536, 16).as("z"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es
+                 FROM events)
+      SELECT event_id, user_id, CAST(es AS BIGINT) AS es,
+             CAST(list_sum(list_transform(generate_series(0, 15), b ->
+               ((((user_id % 65536) >> b) & 1) << (2*b)) +
+               ((((es % 65536) >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
+      FROM e ORDER BY event_id"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

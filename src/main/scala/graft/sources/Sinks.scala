@@ -101,4 +101,23 @@ object Sinks {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Z-ordered layout write — multi-dimensional clustering paid once at
+    * write time (the OPTIMIZE ZORDER technique): rows are
+    * range-partitioned and sorted by the Morton interleave of two keys,
+    * so each parquet file covers a compact rectangle in (x, y) space and
+    * its min/max column statistics prune scans filtered on EITHER key —
+    * where sorting by (x, y) lexicographically prunes only x. `nFiles`
+    * bounds the range partitioning; the Z-code column itself is dropped
+    * from the files (it is a pure function of the keys, recomputable).
+    */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    bits: Int = 20, nFiles: Int = 64): Unit = {
+    val z = graft.functions.ZOrderCode(x, y, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -147,6 +147,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ranks.forall(rs => rs.sorted == (1L to rs.length)))
   }
 
+  test("native ZOrderCode interleaves bits; adjacent keys stay adjacent") {
+    import graft.functions.ZOrderCode
+    // known values: x=0b11, y=0b01 at 2 bits → z = x0@0, y0@1, x1@2, y1@3
+    // = 1 + 2 + 4 + 0 = 7
+    assert(ZOrderCode.interleave(3L, 1L, 2) == 7L)
+    assert(ZOrderCode.interleave(0L, 0L, 16) == 0L)
+    // codegen expression matches the JVM kernel on a value sweep
+    val df = spark.range(200).select(col("id"),
+      ZOrderCode(col("id") * 37 % 1024, col("id") * 91 % 1024, 10).as("z"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 200L).foreach { i =>
+      assert(got(i) == ZOrderCode.interleave(i * 37 % 1024, i * 91 % 1024, 10))
+    }
+    // null propagates
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(ZOrderCode(col("x"), col("y"), 8)).head()
+    assert(n.isNullAt(0))
+    // locality: interleaved code of close points differs in low bits only
+    val a = ZOrderCode.interleave(100, 200, 16)
+    val b = ZOrderCode.interleave(101, 201, 16)
+    assert((a ^ b) < 16)
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(Tuple1("the quick fox and the lazy dog of doom")).toDF("t")
     assert(df.select(TextFunctions.langId(col("t"))).as[String].head() == "en")

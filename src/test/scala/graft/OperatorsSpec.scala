@@ -48,6 +48,30 @@ class OperatorsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("writeZOrdered lays files out as disjoint Morton intervals") {
+    import graft.sources.Sinks
+    import graft.functions.ZOrderCode
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(4096).select((col("id") % 64).as("x"),
+      expr("id div 64").as("y"))
+    Sinks.writeZOrdered(grid, out, col("x"), col("y"), bits = 6, nFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4096)
+    // each file must cover a z-interval disjoint from every other file —
+    // the property min/max stats pruning rides on
+    val ivals = back
+      .withColumn("z", ZOrderCode(col("x"), col("y"), 6))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ivals.length > 1)
+    ivals.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $ivals")
+      case _ => ()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("compactParquet merges small files and preserves data") {
     import graft.sources.Sinks
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
