@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash, ZOrderCode}
 
 /** Session extensions registering graft's native expressions for SQL.
   *
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
     e.injectFunction(GraftExtensions.simhashFunction)
+    e.injectFunction(GraftExtensions.zorderFunction)
   }
 }
 
@@ -64,6 +65,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash].getCanonicalName, "simhash"),
     simhashBuilder)
 
+  private val zorderBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "zorder_code(x, y, bits) takes 3 arguments (bits an integer literal)")
+    val bits = exprs(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"zorder_code: bits must be an integer literal, got $other")
+    }
+    ZOrderCode(exprs.head, exprs(1), bits)
+  }
+
+  val zorderFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_code"),
+    new ExpressionInfo(classOf[ZOrderCode].getCanonicalName, "zorder_code"),
+    zorderBuilder)
+
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -72,5 +89,7 @@ object GraftExtensions {
       "minhash_signature", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_code", zorderBuilder, "built-in")
   }
 }

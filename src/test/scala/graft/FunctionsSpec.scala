@@ -170,6 +170,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert((a ^ b) < 16)
   }
 
+  test("zorder_code is callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val z = spark.sql("SELECT zorder_code(CAST(3 AS BIGINT), CAST(1 AS BIGINT), 2) AS z")
+      .head().getLong(0)
+    assert(z == 7L)
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(Tuple1("the quick fox and the lazy dog of doom")).toDF("t")
     assert(df.select(TextFunctions.langId(col("t"))).as[String].head() == "en")
