@@ -168,6 +168,52 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q06 rank filter plans partial+final WindowGroupLimit (map-side top-k)") {
+    // Spark's InferWindowGroupLimit turns rank<=k into a group limit
+    // BEFORE the shuffle: each map task keeps k rows per group, so the
+    // window task never sees a group's full candidate set. This is the
+    // optimizer doing what Aggregators.TopK does for the ANN tiers.
+    val p = plan("q06_window_topk")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"no map-side window group limit:\n$p")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined,
+      s"no final window group limit:\n$p")
+  }
+
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Sinks.writePartitionedParquet(
+      Tables.events(spark, TestSpark.sf), out, Seq("event_type"))
+    // the DPP cost heuristic compares byte sizes, which rejects KB-scale
+    // test tables — disable the stats estimate so the test pins the plan
+    // MECHANICS (filter → duplicated as a dynamic partition filter on the
+    // fact scan); at real scale the heuristic passes on its own
+    val conf = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val fact = spark.read.parquet(out)
+      // dim must come from a real source: a filtered LocalRelation is
+      // constant-folded away, leaving no selective predicate for DPP
+      Seq(("purchase", 1L), ("error", 2L), ("click", 3L)).toDF("etype", "w")
+        .write.mode("overwrite").parquet(s"$out.dim")
+      val dim = spark.read.parquet(s"$out.dim").filter(col("w") === 1L)
+      val j = fact.join(dim, col("event_type") === col("etype"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression"),
+        s"dim filter did not become a dynamic partition filter:\n$p")
+      assert(j.collect().map(_.getString(0)).toSeq == Seq("purchase"))
+    } finally {
+      spark.conf.set(conf, old)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out.dim"))
+    }
+  }
+
   test("p32 sequence pack: one hash exchange on the group key, window in-partition") {
     val p = plan("p32_sequence_pack")
     assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
