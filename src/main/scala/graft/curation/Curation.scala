@@ -117,7 +117,8 @@ object Curation {
     * (source, language) are low-cardinality BY DEFINITION of a mixing
     * policy — this is config-sized data, not a data-sized collect. The
     * filter itself stays a map-side column program: one small agg job to
-    * build the CASE thresholds, then a shuffle-free scan.
+    * build the CASE thresholds, then a shuffle-free scan. Rows whose
+    * group value is null match no threshold and are dropped.
     */
   def temperatureMixSqrt(df: DataFrame, group: Column, key: Column,
                          targetTotal: Long): DataFrame = {

@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   *    (centroid list, post-limit top-20).
   *  - p34 globalWindow + NestedLoop: IVF-PQ inherits exactly p12's
   *    centroid-index window and broadcast assignment joins.
+  *  - p37 NestedLoop: p08's broadcast all-pairs scoring shape over the
+  *    media histograms (non-equi self-exclusion join).
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.
