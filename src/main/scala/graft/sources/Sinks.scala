@@ -102,6 +102,32 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Idempotent `foreachBatch` wrapper — the exactly-once completion for
+    * non-transactional stores: Structured Streaming guarantees at-least-
+    * once batch delivery (after a crash the last batch REPLAYS with the
+    * same batchId), so a sink that records committed batch ids and skips
+    * replays makes the pipeline end-to-end exactly-once as long as the
+    * wrapped write is atomic-or-restartable. The commit marker is
+    * written AFTER the write lands — a crash between the two replays the
+    * batch (at-least-once into the store, never lost), which is the
+    * correct failure side for an idempotent or transactional `write`.
+    *
+    * Use: `writeStream.foreachBatch(Sinks.idempotentForeachBatch(dir)(write))`.
+    */
+  def idempotentForeachBatch(commitDir: String)(
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) => {
+      val dir = new org.apache.hadoop.fs.Path(commitDir)
+      val fs = dir.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dir, id.toString)
+      if (!fs.exists(marker)) {
+        write(batch, id)
+        fs.mkdirs(dir)
+        fs.create(marker, true).close()
+      }
+    }
+
   /** Z-ordered layout write — multi-dimensional clustering paid once at
     * write time (the OPTIMIZE ZORDER technique): rows are
     * range-partitioned and sorted by the Morton interleave of two keys,

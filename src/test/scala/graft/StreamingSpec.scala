@@ -215,6 +215,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.avgMs >= s.minMs && s.avgMs <= s.maxMs)
   }
 
+  test("idempotentForeachBatch writes each batch id exactly once") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit").toString
+    val writes = new java.util.concurrent.atomic.AtomicLong(0)
+    val sink = Sinks.idempotentForeachBatch(dir)((_, _) => { writes.incrementAndGet(); () })
+    val batch = spark.range(3).toDF()
+    sink(batch, 0L)
+    sink(batch, 0L) // crash-replay of the same batch id: must be skipped
+    sink(batch, 1L)
+    assert(writes.get() == 2)
+    // markers recorded for both committed ids
+    val markers = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(markers == Set("0", "1"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("rowLatencySink excludes null-timestamp rows from the population") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
