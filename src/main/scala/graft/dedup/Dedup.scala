@@ -346,23 +346,16 @@ object Dedup {
     * moves through the two key joins, never whole documents. The
     * election min runs over a PACKED long `doc_id·2²⁰ + idx` (not a
     * struct, which would demote the aggregate to SortAggregate) —
-    * requiring idx < 2²⁰ chunks/doc and doc_id < 2⁴³; ANSI arithmetic
-    * faults loudly if either is exceeded.
+    * requiring idx < 2²⁰ chunks/doc and 0 ≤ doc_id < 2⁴³, which
+    * [[chunkRows]] enforces with a loud per-row error (plain arithmetic
+    * would overflow only near the doc_id bound and silently mis-elect
+    * otherwise).
     */
   def chunkDedup(docs: DataFrame, id: Column, text: Column,
                  chunkTokens: Int = 8): DataFrame = {
-    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
-    val ch = chunkTokens
     val base = docs.select(id.cast("long").as("doc_id"),
       TextFunctions.tokens(text).as("t"))
-    val chunks = base.filter(size(col("t")) >= 1)
-      .withColumn("n_ch", expr(s"cast((size(t) + ${ch - 1}) div $ch as int)"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, n_ch), i -> array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '))"))
-        .as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
-        md5(col("chunk").cast("binary")).as("f"))
-      .withColumn("packed", col("doc_id") * lit(1L << 20) + col("idx"))
+    val chunks = chunkRows(docs, id, text, chunkTokens)
     val firsts = chunks.groupBy(col("f")).agg(min(col("packed")).as("p"))
     val agg = chunks.join(firsts, Seq("f"))
       .withColumn("kept", col("packed") === col("p"))
@@ -384,6 +377,39 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dup_chunk_frac"), lit(0.0)).as("dup_chunk_frac"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Shared chunk expansion for [[chunkDedup]] and its streaming twin
+    * (`StreamingQueries.chunkElection`) — ONE definition so the two
+    * executions stay bit-identical by construction. Emits one row per
+    * `chunkTokens`-token chunk: (doc_id, idx, chunk, f = md5(chunk),
+    * packed = doc_id·2²⁰ + idx). Pure projections (map-side, streaming-
+    * safe). The packed-position bounds (idx < 2²⁰, 0 ≤ doc_id < 2⁴³)
+    * are ENFORCED with a per-row raise_error — out-of-bounds keys would
+    * otherwise alias another document's position and silently corrupt
+    * the first-occurrence election.
+    */
+  private[graft] def chunkRows(docs: DataFrame, id: Column, text: Column,
+                               chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val ch = chunkTokens
+    docs.select(id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("n_ch", expr(s"cast((size(t) + ${ch - 1}) div $ch as int)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_ch), i -> array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '))"))
+        .as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
+        md5(col("chunk").cast("binary")).as("f"))
+      .withColumn("packed",
+        when(col("idx") < lit(1L << 20) &&
+            col("doc_id").between(0L, (1L << 43) - 1),
+          col("doc_id") * lit(1L << 20) + col("idx"))
+          .otherwise(raise_error(concat(
+            lit("chunkRows: packed-position bounds exceeded (doc_id "),
+            col("doc_id"), lit(", chunk idx "), col("idx"),
+            lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
+            .cast("long")))
   }
 
   /** Winnowing document fingerprints (rolling-hash selection): hash every

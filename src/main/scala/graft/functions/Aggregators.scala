@@ -140,5 +140,24 @@ object Aggregators {
         element_at(sk, (b + j * width + 1).cast("int"))
       }: _*)
     }
+
+    /** Shared (token, est, exact) probe report for p38 and its streaming
+      * twin — ONE definition so batch and streaming scoring stay
+      * identical. `sk` must be a single-row frame with the flattened
+      * cells in column `sk`; `exact` must carry (tok, __exact) rows for
+      * whatever probes have nonzero exact counts.
+      */
+    def probeReport(sk: org.apache.spark.sql.DataFrame,
+                    exact: org.apache.spark.sql.DataFrame,
+                    probes: Seq[String], width: Int,
+                    depth: Int): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
+        .withColumn("est", estimateCol(col("sk"), col("token"), width, depth))
+        .join(exact, col("token") === col("tok"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("__exact"), lit(0L)).as("exact"))
+        .orderBy(col("token"))
+    }
   }
 }

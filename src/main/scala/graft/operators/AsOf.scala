@@ -43,6 +43,12 @@ object AsOf {
     * at equal (key, ts) are the caller's to resolve (pre-aggregate to
     * one row per (key, ts)) — the window picks an arbitrary peer
     * otherwise.
+    *
+    * Null-value semantics (pinned in OperatorsSpec): the match is the
+    * most recent right ROW — if that row's value column is null, the
+    * result is null. A null-valued right row therefore SHADOWS earlier
+    * non-null values, exactly like merge_asof; it is not skipped the way
+    * a bare `last(value, ignoreNulls)` carry would.
     */
   def join(left: DataFrame, right: DataFrame, key: String, tsName: String,
            rightValName: String, tolerance: Option[Column] = None): DataFrame = {

@@ -56,17 +56,15 @@ object MergeByIndex {
     // boundary rows (null-valued if that row's index is null), so the
     // driver can check exactly the one adjacent pair per boundary.
     val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var prev: java.lang.Long = null // previous ROW's index, null if null-valued
       var first: java.lang.Long = null
-      var last: java.lang.Long = null
+      var last: java.lang.Long = null // previous ROW's index, null if null-valued
       var nonEmpty = false
       var viol = 0L
       it.foreach { r =>
         val v: java.lang.Long =
           if (r.isNullAt(iIdx)) null else java.lang.Long.valueOf(r.getLong(iIdx))
         if (!nonEmpty) first = v
-        if (nonEmpty && prev != null && v != null && prev >= v) viol += 1
-        prev = v
+        if (nonEmpty && last != null && v != null && last >= v) viol += 1
         last = v
         nonEmpty = true
       }

@@ -61,11 +61,15 @@ object Retry {
                sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)): DataFrame = {
     var pending = attempt(input.withColumn("attempt", lit(0)))
     var done = pending.filter(col("error").isNull)
-    bufferLimit.foreach { lim =>
-      val n = done.count()
-      if (n > lim) throw new IllegalStateException(
-        s"Retry.fixpoint: buffered successes $n exceed bufferLimit $lim")
+    // driver-side running tally: each round counts only ITS successes
+    // (recounting the accumulated union would re-scan every prior round)
+    var buffered = 0L
+    def checkBuffer(roundSuccesses: DataFrame): Unit = bufferLimit.foreach { lim =>
+      buffered += roundSuccesses.count()
+      if (buffered > lim) throw new IllegalStateException(
+        s"Retry.fixpoint: buffered successes $buffered exceed bufferLimit $lim")
     }
+    checkBuffer(done)
     var retriedTotal = 0L
     var i = 0
     var drained = false
@@ -94,12 +98,9 @@ object Retry {
         // full input).
         val next = retryWith(failed).withColumn("attempt", lit(i + 1))
         pending = attempt(next).localCheckpoint(eager = false)
-        done = done.unionByName(pending.filter(col("error").isNull))
-        bufferLimit.foreach { lim =>
-          val n = done.count()
-          if (n > lim) throw new IllegalStateException(
-            s"Retry.fixpoint: buffered successes $n exceed bufferLimit $lim")
-        }
+        val roundDone = pending.filter(col("error").isNull)
+        done = done.unionByName(roundDone)
+        checkBuffer(roundDone)
         i += 1
       }
     }

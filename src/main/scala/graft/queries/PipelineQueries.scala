@@ -1121,13 +1121,7 @@ object PipelineQueries {
       val probes = Seq("table", "value", "the", "a", "row", "scan")
       val exact = toks.filter(col("tok").isin(probes: _*))
         .groupBy(col("tok")).agg(count(lit(1)).as("__exact"))
-      val est = sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
-        .withColumn("est",
-          Aggregators.CountMin.estimateCol(col("sk"), col("token"), width, depth))
-      est.join(exact, col("token") === col("tok"), "left")
-        .select(col("token"), col("est"),
-          coalesce(col("__exact"), lit(0L)).as("exact"))
-        .orderBy(col("token"))
+      Aggregators.CountMin.probeReport(sk, exact, probes, width, depth)
     }, Some(heavyHittersOracle)),
 
     // Z-order (Morton) codes over (user_id, event-time): the pure

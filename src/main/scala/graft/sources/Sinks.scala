@@ -123,7 +123,8 @@ object Sinks {
       val marker = new org.apache.hadoop.fs.Path(dir, id.toString)
       if (!fs.exists(marker)) {
         write(batch, id)
-        fs.mkdirs(dir)
+        // create() makes missing parents; marker lands strictly AFTER
+        // the write, so a crash between the two replays (never loses)
         fs.create(marker, true).close()
       }
     }

@@ -150,19 +150,14 @@ object StreamingQueries {
     */
   def chunkElection(spark: SparkSession, sfDir: String,
                     chunkTokens: Int = 8): DataFrame = {
-    import graft.functions.TextFunctions
-    val ch = chunkTokens
-    val chunks = documentsStream(spark, sfDir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 1)
-      .withColumn("n_ch", expr(s"cast((size(t) + ${ch - 1}) div $ch as int)"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, n_ch), i -> array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '))"))
-        .as(Seq("idx", "chunk")))
+    // the chunk expansion + packed position come from the SAME
+    // Dedup.chunkRows definition the batch operator uses — the
+    // batch-identical guarantee is by construction, not by copy
+    val chunks = graft.dedup.Dedup.chunkRows(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"), chunkTokens)
     val agg = chunks
-      .groupBy(md5(col("chunk").cast("binary")).as("fingerprint"))
-      .agg(min(col("doc_id") * lit(1L << 20) + col("idx").cast("long")).as("p"),
-        count(lit(1)).as("n_instances"))
+      .groupBy(col("f").as("fingerprint"))
+      .agg(min(col("packed")).as("p"), count(lit(1)).as("n_instances"))
       .select(col("fingerprint"),
         expr(s"p div ${1L << 20}L").as("keeper_doc"),
         (col("p") % lit(1L << 20)).as("keeper_idx"),
@@ -190,13 +185,8 @@ object StreamingQueries {
       .select(col("sk.cells").as("sk"))
     val exact = runToMemory(toks.filter(col("tok").isin(probes: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("__exact")))
-    sk.select(explode(array(probes.map(lit(_)): _*)).as("token"), col("sk"))
-      .withColumn("est",
-        Aggregators.CountMin.estimateCol(col("sk"), col("token"), width, depth))
-      .join(exact, col("token") === col("tok"), "left")
-      .select(col("token"), col("est"),
-        coalesce(col("__exact"), lit(0L)).as("exact"))
-      .orderBy(col("token"))
+    // scoring comes from the SAME probeReport definition as p38
+    Aggregators.CountMin.probeReport(sk, exact, probes, width, depth)
   }
 
   /** q22's sessionization executed on the streaming engine via

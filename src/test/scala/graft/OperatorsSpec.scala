@@ -196,6 +196,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("l0", -1.0), ("l1", 8.0), ("l2", 15.0)))
   }
 
+  test("AsOf.join matches the most recent ROW: a null-valued row shadows") {
+    // merge_asof semantics: the ts=150 row matches even though its value
+    // is null — it is not skipped in favor of the older non-null row
+    val left = Seq((1L, 200L, "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, 80L, Some(8.0)), (1L, 150L, Option.empty[Double]))
+      .toDF("k", "t", "rv")
+    val got = AsOf.join(left, right, "k", "t", "rv").select("rv").head()
+    assert(got.isNullAt(0))
+  }
+
   test("AsOf.join tolerance nulls matches older than the bound") {
     val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 500L, "l3")).toDF("k", "t", "tag")
     val right = Seq((1L, 80L, 8.0), (1L, 150L, 15.0)).toDF("k", "t", "rv")
