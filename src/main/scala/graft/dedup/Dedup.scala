@@ -31,6 +31,33 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("group_size"))
 
+  /** Exact dedup with a keeper PREFERENCE: among exact duplicates the
+    * doc from the highest-priority source wins (lowest `priority` rank),
+    * tie-broken by min id — "keep the curated copy, drop the crawl
+    * mirror". The election min runs over a packed long
+    * `priority·2⁴³ + id` (codegen HashAggregate, no struct buffer),
+    * with the bounds (0 ≤ priority < 2²⁰, 0 ≤ id < 2⁴³) enforced by a
+    * per-row loud error like [[chunkRows]].
+    */
+  def exactGroupsPreferring(docs: DataFrame, id: Column, text: Column,
+                            priority: Column): DataFrame = {
+    val packed = when(
+        priority.cast("long").between(0L, (1L << 20) - 1) &&
+          id.cast("long").between(0L, (1L << 43) - 1),
+        priority.cast("long") * lit(1L << 43) + id.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("exactGroupsPreferring: packed-key bounds exceeded (priority "),
+        priority.cast("long"), lit(", id "), id.cast("long"),
+        lit(") — need 0 <= priority < 2^20 and 0 <= id < 2^43")))
+        .cast("long"))
+    docs.groupBy(TextFunctions.fingerprint(text).as("fingerprint"))
+      .agg(min(packed).as("p"), count(lit(1)).as("group_size"))
+      .select(col("fingerprint"),
+        (col("p") % lit(1L << 43)).as("keeper_id"),
+        expr(s"p div ${1L << 43}L").as("keeper_priority"),
+        col("group_size"))
+  }
+
   def dropExactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val keep = exactGroups(docs, id, text).select(col("keeper_id").as("__keep"))
     docs.join(keep, id === col("__keep"), "left_semi")

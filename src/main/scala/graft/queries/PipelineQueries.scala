@@ -1142,7 +1142,68 @@ object PipelineQueries {
              CAST(list_sum(list_transform(generate_series(0, 15), b ->
                ((((user_id % 65536) >> b) & 1) << (2*b)) +
                ((((es % 65536) >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
-      FROM e ORDER BY event_id"""))
+      FROM e ORDER BY event_id""")),
+
+    // winnow-probed decontamination: p23's gate but both sides probe
+    // winnow-SELECTED fingerprints (~1/window the probes); the coarser
+    // guarantee catches shared runs of >= window+n-1 tokens.
+    ("p40_winnow_decontam", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusOps.decontaminateWinnow(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+          n = 3, window = 4)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      s0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> {'pos': i, 'sh': array_to_string(toks[i:i+2], ' ')})) AS u
+             FROM t WHERE len(toks) >= 3),
+      h AS (SELECT doc_id, u.pos AS pos, md5(u.sh) AS h FROM s0),
+      m AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+              count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+            FROM h),
+      w AS (SELECT DISTINCT doc_id, fingerprint FROM m WHERE cnt = 4),
+      ew AS (SELECT DISTINCT fingerprint FROM w WHERE doc_id % 97 = 0),
+      tw AS (SELECT doc_id, fingerprint FROM w WHERE doc_id % 97 <> 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits FROM tw JOIN ew USING (fingerprint)
+               GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(h2.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h2.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h2 ON d.doc_id = h2.doc_id
+      WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""")),
+
+    // priority-aware exact dedup: among exact duplicates the copy from
+    // the preferred source wins regardless of id. The corpus is the
+    // documents table unioned with a simulated re-crawl mirror
+    // (doc_id + 10000, priority 0 beats the originals' 1), so the
+    // keeper election demonstrably follows priority, not min-id.
+    ("p41_priority_dedup", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"), lit(1L).as("prio"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          col("text"), lit(0L).as("prio")))
+      Dedup.exactGroupsPreferring(corpus, col("doc_id"), col("text"), col("prio"))
+        .orderBy(col("fingerprint"))
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, text, 1 AS prio FROM documents
+                 UNION ALL
+                 SELECT doc_id + 10000, text, 0 FROM documents),
+      f AS (SELECT doc_id, prio,
+              md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fingerprint
+            FROM c),
+      g AS (SELECT fingerprint,
+              min(prio * 8796093022208 + doc_id) AS p,
+              count(*) AS group_size
+            FROM f GROUP BY 1)
+      SELECT fingerprint,
+             CAST(p % 8796093022208 AS BIGINT) AS keeper_id,
+             CAST(p // 8796093022208 AS BIGINT) AS keeper_priority,
+             CAST(group_size AS BIGINT) AS group_size
+      FROM g ORDER BY fingerprint"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

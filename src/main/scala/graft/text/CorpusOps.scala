@@ -98,6 +98,30 @@ object CorpusOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
+    * sides probe winnow-SELECTED fingerprints
+    * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram
+    * — ~1/window the fingerprints moved and broadcast, at the cost of a
+    * coarser guarantee: a shared run of ≥ window+n-1 tokens is always
+    * caught (the winnowing guarantee — both docs select a common
+    * minimum in the shared window), but a single isolated shared n-gram
+    * may not be. The right trade at 100 TB when the contamination
+    * definition is "a meaningful shared passage", not "any 3 words".
+    */
+  def decontaminateWinnow(train: DataFrame, trainId: Column, trainText: Column,
+                          evalDocs: DataFrame, evalId: Column, evalText: Column,
+                          n: Int = 3, window: Int = 4): DataFrame = {
+    import graft.dedup.Dedup
+    val trainFp = Dedup.winnowFingerprints(train, trainId, trainText, n, window)
+    val evalFp = Dedup.winnowFingerprints(evalDocs, evalId, evalText, n, window)
+      .select(col("fingerprint")).distinct()
+    val hits = trainFp.join(broadcast(evalFp), Seq("fingerprint"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(trainId.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Corpus vocabulary top-k: the `k` most frequent whitespace tokens
     * with total term frequency and document frequency — the input to
     * tokenizer-vocabulary construction and frequency-based filtering.

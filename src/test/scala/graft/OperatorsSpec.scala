@@ -292,6 +292,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("exactGroupsPreferring elects by priority, then id") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (5L, "same text here", 1L),   // lower id, worse priority
+      (9L, "same text here", 0L),   // better priority wins despite id
+      (7L, "other text", 1L)
+    ).toDF("id", "text", "prio")
+    val out = Dedup.exactGroupsPreferring(docs, col("id"), col("text"), col("prio"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((9L, 0L, 2L), (7L, 1L, 1L)))
+    // out-of-bounds priority fails loudly, never mis-elects
+    val bad = Seq((1L, "x", -1L)).toDF("id", "text", "prio")
+    val e = intercept[Exception] {
+      Dedup.exactGroupsPreferring(bad, col("id"), col("text"), col("prio")).collect()
+    }
+    assert(e.getMessage.contains("bounds exceeded"))
+  }
+
+  test("decontaminateWinnow catches a shared run of window+n-1 tokens") {
+    import graft.text.CorpusOps
+    // run of 6 tokens (= window 4 + n 3 - 1) shared between train doc 1
+    // and the eval doc → the winnowing guarantee says at least one
+    // common selected fingerprint exists
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val train = Seq(
+      (1L, s"intro words then $shared and a tail"),
+      (2L, "completely different content with no overlap at all ok")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"$shared closing remark")).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminateWinnow(train, col("doc_id"), col("text"),
+        eval_, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(2L))
+  }
+
   test("chunkDedup keeps the first corpus-wide occurrence of each chunk") {
     import graft.dedup.Dedup
     // chunks of 2 tokens: doc 1 = [a b][c d], doc 2 = [c d][e f] (its
