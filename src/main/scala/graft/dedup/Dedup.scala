@@ -83,10 +83,43 @@ object Dedup {
     val fp = docs.withColumn("fingerprint", TextFunctions.fingerprint(text))
       .withColumn("__id", id)
     val fresh = fp.join(history.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    dedupWithin(fresh)
+  }
+
+  /** In-batch keeper election shared by the incremental-dedup variants:
+    * one row per fingerprint (min `__id`), `__id`/`__keep` dropped.
+    */
+  private def dedupWithin(fresh: DataFrame): DataFrame = {
     val keep = fresh.groupBy(col("fingerprint")).agg(min(col("__id")).as("__keep"))
     fresh.join(keep, Seq("fingerprint"))
       .filter(col("__id") === col("__keep"))
       .drop("__id", "__keep")
+  }
+
+  /** [[incrementalDedup]] with a Bloom prefilter over the history — the
+    * 100 TB acceleration for rolling ingest against a huge admitted-set:
+    * a driver-built Bloom filter of the history fingerprints (a few
+    * hundred MB even for billions of rows at 1% fpp) splits the batch
+    * map-side into DEFINITELY-new rows (the Bloom's no-false-negative
+    * guarantee — they skip the anti-join entirely) and possible
+    * duplicates (expected ≈ true-dups + fpp·batch), so only that sliver
+    * shuffles against the history table. The possible-duplicates still
+    * go through the EXACT anti-join, so results are identical to
+    * [[incrementalDedup]] row for row (pinned in OperatorsSpec) — the
+    * filter buys traffic, never correctness.
+    */
+  def incrementalDedupBloom(docs: DataFrame, id: Column, text: Column,
+                            history: DataFrame, expectedItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    val bloom = history.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((f: String) => f != null && bc.value.mightContainString(f))
+    val fp = docs.withColumn("fingerprint", TextFunctions.fingerprint(text))
+      .withColumn("__id", id)
+    val definitelyNew = fp.filter(!mightContain(col("fingerprint")))
+    val maybeDup = fp.filter(mightContain(col("fingerprint")))
+      .join(history.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    dedupWithin(definitelyNew.unionByName(maybeDup))
   }
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of

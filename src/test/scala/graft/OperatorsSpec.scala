@@ -405,4 +405,21 @@ class OperatorsSpec extends AnyFunSuite {
     val hist2 = hist.union(s2.select("fingerprint"))
     assert(Dedup.incrementalDedup(b2, col("doc_id"), col("text"), hist2).count() == 0)
   }
+
+  test("incrementalDedupBloom equals the exact form row for row") {
+    import graft.dedup.Dedup
+    // history: 200 fingerprints; batch: 100 replays + 100 new + in-batch dups
+    val history = Dedup.incrementalDedup(
+      (0L until 200L).map(i => (i, s"hist doc number $i")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq.empty[String].toDF("fingerprint"))
+      .select("fingerprint")
+    val batch = ((0L until 100L).map(i => (1000 + i, s"hist doc number $i")) ++
+      (0L until 100L).map(i => (2000 + i, s"new doc number ${i / 2}")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), history)
+    val bloomed = Dedup.incrementalDedupBloom(batch, col("doc_id"), col("text"),
+      history, expectedItems = 200L)
+    assert(bloomed.exceptAll(exact).count() == 0 && exact.exceptAll(bloomed).count() == 0)
+    assert(exact.count() == 50) // the 50 distinct genuinely-new texts
+  }
 }
