@@ -58,7 +58,10 @@ object SparkEntry {
     ("q50_streaming_heavy_hitters",
       (s, d) => graft.streaming.StreamingQueries.heavyHitters(s, d,
         Seq("table", "value", "the", "a", "row", "scan")),
-      Some(PipelineQueries.heavyHittersOracle)))
+      Some(PipelineQueries.heavyHittersOracle)),
+    ("q51_streaming_ann",
+      (s, d) => graft.streaming.StreamingQueries.embeddingTopK(s, d),
+      PipelineQueries.defs.find(_._1 == "p08_embedding_topk").flatMap(_._3)))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++

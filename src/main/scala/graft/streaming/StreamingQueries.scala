@@ -28,6 +28,11 @@ object StreamingQueries {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  private val rawEmbeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   /** Streaming read of the events table (nanos → microsecond timestamps,
     * same truncation as [[graft.Tables.events]]).
     */
@@ -45,6 +50,11 @@ object StreamingQueries {
     spark.readStream.schema(rawDocumentsSchema)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/documents.parque[t]")
+
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(rawEmbeddingsSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/embeddings.parque[t]")
 
   /** Run a streaming aggregation to a memory sink and return the final
     * table. AvailableNow processes the whole input then stops — the
@@ -163,6 +173,30 @@ object StreamingQueries {
         (col("p") % lit(1L << 20)).as("keeper_idx"),
         col("n_instances"))
     runToMemory(agg).orderBy(col("fingerprint"))
+  }
+
+  /** p08's brute-force similarity search on the streaming engine: the
+    * corpus STREAMS past a broadcast query set, each micro-batch scores
+    * its vectors map-side, and the per-query top-k is the same
+    * [[graft.functions.Aggregators.TopK]] bounded buffer running as
+    * streaming state — ≤ k rows per query held across batches, the
+    * live-index-refresh shape (vectors can keep arriving; the top-k is
+    * always current). Order-independent merge ⇒ batch-identical results
+    * under any micro-batch slicing.
+    */
+  def embeddingTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions
+    val corpus = embeddingsStream(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    runToMemory(graft.similarity.SimilaritySearch.rankTopK(scored, k))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** p38's count-min heavy hitters on the streaming engine — the state
