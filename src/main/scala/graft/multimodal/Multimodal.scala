@@ -140,6 +140,26 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize — the missing quarter of the decode / feature-extract /
+    * resize / frame-sample family: a real implementation decodes,
+    * resamples to targetW×targetH, and re-encodes inside the
+    * per-partition codec ([[extractFeatures]]'s kernel); the stub keeps
+    * the leading targetW·targetH payload bytes so the Spark-side shape —
+    * binary in, smaller binary out, meta recomputed, all codegen
+    * projections — is real and oracle-checkable. Output:
+    * (media_id, n_bytes_in, n_bytes_out, resized, width, height).
+    */
+  def resizeStub(df: DataFrame, id: Column, payload: Column,
+                 targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target $targetW x $targetH")
+    val out = substring(payload, 1, targetW * targetH)
+    df.select(id.cast("long").as("media_id"),
+      length(payload).cast("long").as("n_bytes_in"),
+      length(out).cast("long").as("n_bytes_out"),
+      out.as("resized"),
+      lit(targetW.toLong).as("width"), lit(targetH.toLong).as("height"))
+  }
+
   /** Frame sampling plumbing: explode a video payload into `n` evenly
     * spaced frame records. The frame extraction itself is the stub
     * (slices of the payload bytes); the Spark-side shape — one row per

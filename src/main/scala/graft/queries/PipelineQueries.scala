@@ -1203,7 +1203,26 @@ object PipelineQueries {
              CAST(p % 8796093022208 AS BIGINT) AS keeper_id,
              CAST(p // 8796093022208 AS BIGINT) AS keeper_priority,
              CAST(group_size AS BIGINT) AS group_size
-      FROM g ORDER BY fingerprint"""))
+      FROM g ORDER BY fingerprint""")),
+
+    // stubbed media resize (decode→resample→re-encode shape; the stub
+    // keeps the leading target-size bytes): binary in, smaller binary
+    // out, meta recomputed — payloads compared via md5 like p29's frame
+    // digests (ASCII corpus ⇒ byte slice == char slice in both engines).
+    ("p42_resize", (s, d) => {
+      graft.multimodal.Multimodal.resizeStub(
+          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"),
+          targetW = 16, targetH = 8)
+        .select(col("media_id"), col("n_bytes_in"), col("n_bytes_out"),
+          md5(col("resized")).as("payload_md5"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+             CAST(octet_length(encode(substr(text, 1, 128))) AS BIGINT) AS n_bytes_out,
+             md5(substr(text, 1, 128)) AS payload_md5,
+             CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

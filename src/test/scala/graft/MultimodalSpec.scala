@@ -53,6 +53,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_.getAs[Long]("rank") <= 2))
   }
 
+  test("resizeStub bounds the payload and recomputes meta") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val r = Multimodal.resizeStub(docs, col("doc_id"), col("payload"), 16, 8)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val nIn = row.getAs[Long]("n_bytes_in")
+      val nOut = row.getAs[Long]("n_bytes_out")
+      assert(nOut == math.min(nIn, 128L))
+      assert(row.getAs[Array[Byte]]("resized").length == nOut)
+      assert(row.getAs[Long]("width") == 16L && row.getAs[Long]("height") == 8L)
+    }
+  }
+
   test("sampleFrames emits bounded, indexed frame rows") {
     val df = Seq((1L, Array.fill[Byte](100)(7)), (2L, Array.emptyByteArray))
       .toDF("media_id", "payload")
