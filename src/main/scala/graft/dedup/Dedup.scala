@@ -388,6 +388,29 @@ object Dedup {
       .withColumn("kept", col("keeper_id") === col("doc_id"))
   }
 
+  /** Winnow-candidate near-dup pairs — the plagiarism-detection
+    * modality: doc pairs sharing at least `minShared` winnow-SELECTED
+    * fingerprints ([[winnowFingerprints]]). Complements MinHash-LSH
+    * (p05): LSH finds globally-similar docs, winnowing finds docs
+    * sharing VERBATIM PASSAGES (any common run of ≥ window+shingleN-1
+    * tokens yields a shared fingerprint) even when overall similarity is
+    * low. One fingerprint-keyed self-join moving (fingerprint, doc_id)
+    * pairs — never text — then a pair-keyed count; the same hot-key
+    * caveat as LSH bands applies to ubiquitous boilerplate fingerprints
+    * (pre-filter them by document frequency if a corpus has any).
+    */
+  def winnowCandidates(docs: DataFrame, id: Column, text: Column,
+                       shingleN: Int = 3, window: Int = 4,
+                       minShared: Int = 2): DataFrame = {
+    val w = winnowFingerprints(docs, id, text, shingleN, window)
+    w.select(col("fingerprint"), col("doc_id").as("id_a"))
+      .join(w.select(col("fingerprint"), col("doc_id").as("id_b")), Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Corpus-level chunk dedup — the fixed-granularity form of CCNet /
     * RefinedWeb line-level dedup: every document is cut into consecutive
     * `chunkTokens`-token chunks, each chunk is fingerprinted, and only

@@ -1222,7 +1222,34 @@ object PipelineQueries {
              CAST(octet_length(encode(substr(text, 1, 128))) AS BIGINT) AS n_bytes_out,
              md5(substr(text, 1, 128)) AS payload_md5,
              CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // winnow-candidate pairs: docs sharing >= 2 selected fingerprints —
+    // the verbatim-passage dual of p05's MinHash-LSH global similarity.
+    ("p43_winnow_pairs", (s, d) => {
+      Dedup.winnowCandidates(Tables.documents(s, d), col("doc_id"), col("text"),
+          shingleN = 3, window = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      s0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> {'pos': i, 'sh': array_to_string(toks[i:i+2], ' ')})) AS u
+             FROM t WHERE len(toks) >= 3),
+      h AS (SELECT doc_id, u.pos AS pos, md5(u.sh) AS h FROM s0),
+      m AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+              count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+            FROM h),
+      w AS (SELECT DISTINCT doc_id, fingerprint FROM m WHERE cnt = 4),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM w a JOIN w b ON a.fingerprint = b.fingerprint
+                                  AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM pairs WHERE n_shared >= 2 ORDER BY id_a, id_b"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the
