@@ -395,14 +395,26 @@ object Dedup {
     * sharing VERBATIM PASSAGES (any common run of ≥ window+shingleN-1
     * tokens yields a shared fingerprint) even when overall similarity is
     * low. One fingerprint-keyed self-join moving (fingerprint, doc_id)
-    * pairs — never text — then a pair-keyed count; the same hot-key
-    * caveat as LSH bands applies to ubiquitous boilerplate fingerprints
-    * (pre-filter them by document frequency if a corpus has any).
+    * pairs — never text — then a pair-keyed count. The same hot-key
+    * blow-up as LSH bands applies to ubiquitous boilerplate
+    * fingerprints: `maxDocFreq` drops any fingerprint appearing in more
+    * than that many docs BEFORE the self-join (the m²/2 mitigation,
+    * mirroring minhashCandidates' maxBucket) — a fingerprint that
+    * common is boilerplate, not evidence of pairwise copying.
     */
   def winnowCandidates(docs: DataFrame, id: Column, text: Column,
                        shingleN: Int = 3, window: Int = 4,
-                       minShared: Int = 2): DataFrame = {
-    val w = winnowFingerprints(docs, id, text, shingleN, window)
+                       minShared: Int = 2,
+                       maxDocFreq: Option[Int] = None): DataFrame = {
+    val w0 = winnowFingerprints(docs, id, text, shingleN, window)
+    val w = maxDocFreq match {
+      case Some(m) =>
+        val hot = w0.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > m)
+          .select(col("fingerprint"))
+        w0.join(hot, Seq("fingerprint"), "left_anti")
+      case None => w0
+    }
     w.select(col("fingerprint"), col("doc_id").as("id_a"))
       .join(w.select(col("fingerprint"), col("doc_id").as("id_b")), Seq("fingerprint"))
       .filter(col("id_a") < col("id_b"))

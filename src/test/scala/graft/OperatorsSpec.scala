@@ -292,6 +292,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("winnowCandidates finds shared-passage pairs; maxDocFreq bounds boilerplate") {
+    import graft.dedup.Dedup
+    val passage = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$passage plus some unique tail words here"),
+      (2L, s"different head matter then $passage again"),
+      (3L, "entirely unrelated text with no shared passage at all ok fine")
+    ).toDF("doc_id", "text")
+    // the winnowing guarantee promises >= 1 shared selected fingerprint
+    // for a shared run of window+n-1 tokens — assert at minShared = 1
+    val pairs = Dedup.winnowCandidates(docs, col("doc_id"), col("text"),
+        minShared = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // adversarial boilerplate: every doc identical → m²/2 pairs uncapped,
+    // zero once the shared fingerprints exceed the doc-frequency cap
+    val boiler = (1L to 10L).map(i => (i, passage)).toDF("doc_id", "text")
+    val uncapped = Dedup.winnowCandidates(boiler, col("doc_id"), col("text"),
+      minShared = 1)
+    assert(uncapped.count() == 45)
+    val capped = Dedup.winnowCandidates(boiler, col("doc_id"), col("text"),
+      minShared = 1, maxDocFreq = Some(5))
+    assert(capped.count() == 0)
+  }
+
   test("exactGroupsPreferring elects by priority, then id") {
     import graft.dedup.Dedup
     val docs = Seq(
