@@ -26,7 +26,7 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
     ("q31_streaming_dedup",
       (s, d) => graft.streaming.StreamingQueries.exactDedup(s, d),
-      PipelineQueries.defs.find(_._1 == "p01_dedup_exact").flatMap(_._3)),
+      Some(sharedOracle("p01_dedup_exact"))),
     ("q37_stream_stream_join",
       (s, d) => graft.streaming.StreamingQueries.clickToPurchase(s, d),
       Some("""
@@ -61,7 +61,16 @@ object SparkEntry {
       Some(PipelineQueries.heavyHittersOracle)),
     ("q51_streaming_ann",
       (s, d) => graft.streaming.StreamingQueries.embeddingTopK(s, d),
-      PipelineQueries.defs.find(_._1 == "p08_embedding_topk").flatMap(_._3)))
+      Some(sharedOracle("p08_embedding_topk"))))
+
+  /** Oracle shared with a batch query, resolved loudly: a rename of the
+    * referenced entry must fail here, not silently deregister the
+    * streaming twin from the correctness gate.
+    */
+  private def sharedOracle(name: String): String =
+    PipelineQueries.defs.find(_._1 == name).flatMap(_._3)
+      .getOrElse(throw new IllegalStateException(
+        s"shared oracle: no oracle SQL found for '$name'"))
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++

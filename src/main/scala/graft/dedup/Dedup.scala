@@ -41,13 +41,15 @@ object Dedup {
     */
   def exactGroupsPreferring(docs: DataFrame, id: Column, text: Column,
                             priority: Column): DataFrame = {
-    val packed = when(
+    val packed = when(priority.isNull || id.isNull, lit(null).cast("long"))
+      .when(
         priority.cast("long").between(0L, (1L << 20) - 1) &&
           id.cast("long").between(0L, (1L << 43) - 1),
         priority.cast("long") * lit(1L << 43) + id.cast("long"))
       .otherwise(raise_error(concat(
         lit("exactGroupsPreferring: packed-key bounds exceeded (priority "),
-        priority.cast("long"), lit(", id "), id.cast("long"),
+        coalesce(priority.cast("string"), lit("null")), lit(", id "),
+        coalesce(id.cast("string"), lit("null")),
         lit(") — need 0 <= priority < 2^20 and 0 <= id < 2^43")))
         .cast("long"))
     docs.groupBy(TextFunctions.fingerprint(text).as("fingerprint"))
@@ -119,7 +121,11 @@ object Dedup {
     val definitelyNew = fp.filter(!mightContain(col("fingerprint")))
     val maybeDup = fp.filter(mightContain(col("fingerprint")))
       .join(history.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-    dedupWithin(definitelyNew.unionByName(maybeDup))
+    // persist the survivors: the two prefilter branches and
+    // dedupWithin's two uses would otherwise re-scan and re-hash the
+    // batch once per consumer — with the cache the batch-side cost
+    // matches the exact path's, which is the point of the prefilter
+    dedupWithin(definitelyNew.unionByName(maybeDup).persist())
   }
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of
@@ -448,8 +454,7 @@ object Dedup {
     */
   def chunkDedup(docs: DataFrame, id: Column, text: Column,
                  chunkTokens: Int = 8): DataFrame = {
-    val base = docs.select(id.cast("long").as("doc_id"),
-      TextFunctions.tokens(text).as("t"))
+    val base = docs.select(id.cast("long").as("doc_id"))
     val chunks = chunkRows(docs, id, text, chunkTokens)
     val firsts = chunks.groupBy(col("f")).agg(min(col("packed")).as("p"))
     val agg = chunks.join(firsts, Seq("f"))
@@ -497,12 +502,17 @@ object Dedup {
       .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
         md5(col("chunk").cast("binary")).as("f"))
       .withColumn("packed",
-        when(col("idx") < lit(1L << 20) &&
-            col("doc_id").between(0L, (1L << 43) - 1),
-          col("doc_id") * lit(1L << 20) + col("idx"))
+        // null ids propagate as null (min ignores them — the old
+        // arithmetic's behavior); only genuinely out-of-bounds values
+        // fail, and the message coalesces so it is never itself null
+        when(col("doc_id").isNull, lit(null).cast("long"))
+          .when(col("idx") < lit(1L << 20) &&
+              col("doc_id").between(0L, (1L << 43) - 1),
+            col("doc_id") * lit(1L << 20) + col("idx"))
           .otherwise(raise_error(concat(
             lit("chunkRows: packed-position bounds exceeded (doc_id "),
-            col("doc_id"), lit(", chunk idx "), col("idx"),
+            coalesce(col("doc_id").cast("string"), lit("null")),
+            lit(", chunk idx "), col("idx").cast("string"),
             lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
             .cast("long")))
   }

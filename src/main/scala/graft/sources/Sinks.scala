@@ -112,6 +112,13 @@ object Sinks {
     * batch (at-least-once into the store, never lost), which is the
     * correct failure side for an idempotent or transactional `write`.
     *
+    * CONTRACT: `commitDir` is scoped to ONE query and ONE checkpoint
+    * incarnation. Markers are keyed by batchId alone, and batch ids
+    * restart from 0 when a checkpointLocation is reset — reusing the old
+    * commitDir then makes every new id collide with a stale marker and
+    * silently skips every batch. Resetting the checkpoint REQUIRES a
+    * fresh commitDir (and two queries must never share one).
+    *
     * Use: `writeStream.foreachBatch(Sinks.idempotentForeachBatch(dir)(write))`.
     */
   def idempotentForeachBatch(commitDir: String)(
@@ -140,7 +147,19 @@ object Sinks {
     */
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
                     bits: Int = 20, nFiles: Int = 64): Unit = {
-    val z = graft.functions.ZOrderCode(x, y, bits)
+    import org.apache.spark.sql.functions._
+    // ZOrderCode uses only the low `bits` of each key, so an
+    // out-of-range key would silently WRAP (distant values sharing low
+    // bits land in the same file — clustering quietly destroyed).
+    // Fail loudly instead; callers mask or bucketize first (%, div, or
+    // quantile rank into [0, 2^bits)).
+    val bound = 1L << bits
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long").between(0L, bound - 1), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"writeZOrdered: $name key out of [0, 2^$bits): "),
+          coalesce(c.cast("string"), lit("null")))).cast("long"))
+    val z = graft.functions.ZOrderCode(checked(x, "x"), checked(y, "y"), bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
