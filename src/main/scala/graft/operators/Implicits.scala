@@ -104,5 +104,32 @@ object Implicits {
 
     def extractMediaFeatures(id: Column, payload: Column, dim: Int = 16): DataFrame =
       graft.multimodal.Multimodal.extractFeatures(df, id, payload, dim)
+
+    def chunkDedup(id: Column, text: Column, chunkTokens: Int = 8): DataFrame =
+      graft.dedup.Dedup.chunkDedup(df, id, text, chunkTokens)
+
+    def clusterDedup(id: Column, text: Column, threshold: Double,
+                     starCC: Boolean = false): DataFrame =
+      graft.dedup.Dedup.clusterDedup(df, id, text, threshold, starCC = starCC)
+
+    def winnowCandidates(id: Column, text: Column, minShared: Int = 2,
+                         maxDocFreq: Option[Int] = None): DataFrame =
+      graft.dedup.Dedup.winnowCandidates(df, id, text,
+        minShared = minShared, maxDocFreq = maxDocFreq)
+
+    def packSequences(group: Column, order: Column, tokens: Column,
+                      seqLen: Long): DataFrame =
+      graft.curation.Curation.packSequences(df, group, order, tokens, seqLen)
+
+    def temperatureMixSqrt(group: Column, key: Column, targetTotal: Long): DataFrame =
+      graft.curation.Curation.temperatureMixSqrt(df, group, key, targetTotal)
+
+    def tokenBudgetPerGroup(group: Column, order: Column, tokens: Column,
+                            budget: Long): DataFrame =
+      graft.curation.Curation.tokenBudgetPerGroup(df, group, order, tokens, budget)
+
+    def asOfJoin(right: DataFrame, key: String, tsName: String,
+                 rightValName: String, tolerance: Option[Column] = None): DataFrame =
+      AsOf.join(df, right, key, tsName, rightValName, tolerance)
   }
 }

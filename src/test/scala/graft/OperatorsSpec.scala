@@ -99,6 +99,20 @@ class OperatorsSpec extends AnyFunSuite {
     val probe = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
     val build = (0 to 4).map(i => (i, s"b$i")).toDF("k", "b")
     assert(probe.saltedJoin(build, Seq("k"), 4).count() == 100)
+    // round-3 vocabulary
+    assert(docs.chunkDedup(col("doc_id"), col("text")).count() == docs.count())
+    assert(docs.winnowCandidates(col("doc_id"), col("text"), minShared = 1)
+      .columns.toSeq == Seq("id_a", "id_b", "n_shared"))
+    val withN = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    assert(withN.packSequences(col("source"), col("doc_id"), col("n"), 512L)
+      .columns.contains("seq_id"))
+    assert(withN.tokenBudgetPerGroup(col("source"), col("doc_id"), col("n"), 700L)
+      .columns.contains("cum_tokens"))
+    assert(docs.temperatureMixSqrt(col("lang"), col("doc_id"), 50L).count() > 0)
+    val left = Seq((1L, 10L, "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.5)).toDF("k", "t", "rv")
+    assert(left.asOfJoin(right, "k", "t", "rv").head().getDouble(3) == 1.5)
   }
 
   test("saltedJoin equals the plain join for all supported join types") {
