@@ -61,7 +61,11 @@ object SparkEntry {
       Some(PipelineQueries.heavyHittersOracle)),
     ("q51_streaming_ann",
       (s, d) => graft.streaming.StreamingQueries.embeddingTopK(s, d),
-      Some(sharedOracle("p08_embedding_topk"))))
+      Some(sharedOracle("p08_embedding_topk"))),
+    ("q52_streaming_sample",
+      (s, d) => graft.streaming.StreamingQueries.stratifiedSample(s, d,
+        Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1),
+      Some(sharedOracle("p19_stratified_sample"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

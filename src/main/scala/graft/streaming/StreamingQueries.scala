@@ -199,6 +199,25 @@ object StreamingQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** p19's deterministic stratified sample on the streaming engine — the
+    * STATELESS end of the spectrum (vs the aggregates above): the
+    * md5-bucket dice roll is a pure map-side filter in the scan stage,
+    * so the streaming query holds zero state, admits rows identically to
+    * the batch plan no matter how ingest is sliced, and runs in append
+    * mode. This is how a 100 TB live ingest keeps a reproducible
+    * per-stratum sample without ever reconciling against batch.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val sampled = graft.curation.Curation.stratifiedSample(
+        documentsStream(spark, sfDir), col("lang"), col("doc_id"),
+        rates, defaultRate)
+      .select(col("doc_id"), col("lang"),
+        graft.curation.Curation.hashBucket(col("doc_id")).as("bucket"))
+    runToMemory(sampled, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** p38's count-min heavy hitters on the streaming engine — the state
     * story the sketch exists for: the stream folds every token into a
     * FIXED depth×width cell matrix (one buffer row of streaming state,

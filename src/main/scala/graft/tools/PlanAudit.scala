@@ -33,7 +33,8 @@ object PlanAudit {
     val skip = Set("q30_streaming_window", "q31_streaming_dedup",
       "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation",
       "q44_streaming_session", "q48_streaming_chunk_election",
-      "q50_streaming_heavy_hitters", "q51_streaming_ann")
+      "q50_streaming_heavy_hitters", "q51_streaming_ann",
+      "q52_streaming_sample")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {
