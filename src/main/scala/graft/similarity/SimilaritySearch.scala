@@ -182,9 +182,9 @@ object SimilaritySearch {
     * codebook, and score query→vector distance as the SUM of precomputed
     * per-subspace query→codeword distances (asymmetric distance
     * computation). Codebooks here are a deterministic corpus sample
-    * (`id % codeStride == 0`), like [[ivfTopK]]'s coarse quantizer — the
-    * PQ dataflow is the point; k-means sub-quantizers slot in without
-    * touching it.
+    * (`id % codeStride == 0`), like [[ivfTopK]]'s coarse quantizer;
+    * [[pqTopKTrained]] swaps in per-subspace k-means codebooks
+    * ([[pqTrainCodebooks]]) over the identical dataflow.
     *
     * Scale shape (100 TB): codebooks and the per-query ADC tables are
     * tiny and broadcast; encoding is one narrow shuffle of
@@ -206,12 +206,36 @@ object SimilaritySearch {
              k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25): DataFrame = {
     val (enc, qt) = pqEncodeAndAdc(corpus, corpusId, corpusVec,
       queries, queryId, queryVec, dim, numSubspaces, codeStride)
+    adcRank(enc, qt, k)
+  }
+
+  /** [[pqTopK]] with LEARNED per-subspace codebooks
+    * ([[pqTrainCodebooks]]) instead of the stride sample — lower
+    * quantization error at identical index size and search cost (the
+    * search dataflow is byte-for-byte the same; only the broadcast
+    * codebook rows differ). Training is index-build time, amortized over
+    * every query.
+    */
+  def pqTopKTrained(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, dim: Int, numSubspaces: Int = 4, nCodes: Int = 32,
+                    iters: Int = 2): DataFrame = {
+    val cb = pqTrainCodebooks(corpus, corpusId, corpusVec, dim, numSubspaces, nCodes, iters)
+    val (enc, qt) = pqEncodeAndAdcWith(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dim, numSubspaces, cb)
+    adcRank(enc, qt, k)
+  }
+
+  /** Shared ADC scoring + rank: codes ⋈ broadcast ADC table, BIGINT sum
+    * per (query, neighbor), two-phase top-k. TopK ranks by cos DESC;
+    * distances are negated so the smallest ranks first (micro-unit
+    * integers ≤ ~2^40 are exact in double).
+    */
+  private def adcRank(enc: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val scored = enc.join(broadcast(qt), Seq("j", "code_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("qd2")).as("approx"))
-      // TopK ranks by cos DESC; negate so smallest distance ranks first
-      // (integers ≤ ~2^40 are exact in double)
       .withColumn("cos", (lit(0L) - col("approx")).cast("double"))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
       .select(col("query_id"), col("neighbor_id"),
@@ -232,49 +256,112 @@ object SimilaritySearch {
     require(dim % numSubspaces == 0,
       s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
     val sub = dim / numSubspaces
-    // (id, j, sv): subspace-j slice of the vector, widened to double
-    def subvecs(df: DataFrame, idC: Column, vecC: Column, idName: String): DataFrame = {
-      val pieces = (0 until numSubspaces).map { j =>
-        struct(lit(j).as("j"),
-          transform(slice(vecC, j * sub + 1, sub), x => x.cast("double")).as("sv"))
-      }
-      df.select(idC.as(idName), explode(array(pieces: _*)).as("__s"))
-        .select(col(idName), col("__s.j").as("j"), col("__s.sv").as("sv"))
-    }
-    // micro-unit squared L2 — fused native expression, bit-identical to
-    // round((dot(a,a) − 2·dot(a,b) + dot(b,b))·1e6) over the shared
-    // left-to-right folds (see graft.functions.L2SqMicro); one codegen
-    // loop instead of three CodegenFallback HOF folds in the
-    // corpus×codebook hot path
-    def l2u6(a: Column, b: Column): Column = graft.functions.L2SqMicro(a, b)
-    val cb = subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec, "code_id")
+    val cb = subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec,
+        "code_id", numSubspaces, sub)
       .withColumnRenamed("sv", "cw")
-    // Dense per-subspace code index, ordered by code_id. The codebook is
-    // tiny (it gets broadcast), so the one-task-per-j window is free —
-    // and it buys the encode aggregate below a PRIMITIVE key: min over
-    // a packed long is a codegen HashAggregate, where min(struct(d2,
-    // code_id)) plans a SortAggregate that sorts the full
-    // corpus × codebook distance stream (measured 4× slower at sf0.1).
+    pqEncodeAndAdcWith(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      dim, numSubspaces, cb)
+  }
+
+  /** (id, j, sv): subspace-j slice of the vector, widened to double. */
+  private def subvecs(df: DataFrame, idC: Column, vecC: Column, idName: String,
+                      numSubspaces: Int, sub: Int): DataFrame = {
+    val pieces = (0 until numSubspaces).map { j =>
+      struct(lit(j).as("j"),
+        transform(slice(vecC, j * sub + 1, sub), x => x.cast("double")).as("sv"))
+    }
+    df.select(idC.as(idName), explode(array(pieces: _*)).as("__s"))
+      .select(col(idName), col("__s.j").as("j"), col("__s.sv").as("sv"))
+  }
+
+  /** Nearest codeword per (row, subspace) over a codebook (j, code_id,
+    * cw): min over a PACKED long — micro-unit L2 (see
+    * [[graft.functions.L2SqMicro]]) << 21 | dense idx ordered by
+    * code_id — so the argmin is a codegen HashAggregate with the
+    * (d2, code_id) tie-break, where min(struct(d2, code_id)) would plan
+    * a SortAggregate that sorts the full rows × codebook distance stream
+    * (measured 4× slower at sf0.1). The codebook is tiny (it gets
+    * broadcast), so the one-task-per-j index window is free. Micro-unit
+    * d2 up to 2^42 packs losslessly (unit-scale embeddings are ~2^27).
+    * Returns (idName, j, code_id).
+    */
+  private def assignCodes(subs: DataFrame, cb: DataFrame, idName: String): DataFrame = {
     val wcb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("j")).orderBy(col("code_id"))
     val cbIdx = cb.withColumn("idx", row_number().over(wcb).cast("long") - 1)
-    // packed = d2 << 21 | idx: idx ordered by code_id keeps the oracle's
-    // (d2, code_id) tie-break; micro-unit d2 up to 2^42 fits losslessly
-    // (unit-scale embeddings are ~2^27).
-    val enc = subvecs(corpus, corpusId, corpusVec, "neighbor_id")
-      .join(broadcast(cbIdx), Seq("j"))
+    subs.join(broadcast(cbIdx), Seq("j"))
       .withColumn("packed",
-        l2u6(col("sv"), col("cw")) * lit(1L << 21) + col("idx"))
-      .groupBy(col("neighbor_id"), col("j"))
+        graft.functions.L2SqMicro(col("sv"), col("cw")) * lit(1L << 21) + col("idx"))
+      .groupBy(col(idName), col("j"))
       .agg(min(col("packed")).as("m"))
       .withColumn("idx", col("m") % lit(1L << 21))
       .join(broadcast(cbIdx.select(col("j"), col("idx"), col("code_id"))),
         Seq("j", "idx"))
-      .select(col("neighbor_id"), col("j"), col("code_id"))
-    // ADC table: query → every codeword distance, per subspace
-    val qt = subvecs(queries, queryId, queryVec, "query_id")
+      .select(col(idName), col("j"), col("code_id"))
+  }
+
+  /** Per-subspace k-means (Lloyd, L2 — the PQ training objective)
+    * codebooks over an embedding column. Returns (j, code_id, cw), the
+    * same schema the stride sample produces, so trained codebooks slot
+    * into [[pqEncodeAndAdcWith]] unchanged.
+    *
+    * Deterministic, like [[kmeansCentroids]]: init = the subvectors of
+    * the `nCodes` lowest-id corpus vectors (code_id = that vector's id),
+    * assignment ties break to the smallest code_id (packed-long argmin in
+    * [[assignCodes]] — micro-unit integer distances, so the argmin is
+    * bit-stable), update = coordinate mean of assigned subvectors.
+    * Codewords that lose all members drop out (standard Lloyd). Bounded
+    * driver loop with lineage truncation per iteration; the exploded
+    * subvector set is localCheckpoint'd once and reused every iteration,
+    * so training scans the corpus once. All shuffles are keyed on
+    * (j, code_id, pos) — cardinality numSubspaces × nCodes × sub, never
+    * corpus-sized rows wider than one subvector.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       dim: Int, numSubspaces: Int, nCodes: Int,
+                       iters: Int): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val sub = dim / numSubspaces
+    val e = corpus.select(corpusId.cast("long").as("vid"), corpusVec.as("v"))
+    val subs = subvecs(e, col("vid"), col("v"), "vid", numSubspaces, sub)
+      .localCheckpoint()
+    var cb = subvecs(e.orderBy(col("vid")).limit(nCodes), col("vid"), col("v"),
+        "code_id", numSubspaces, sub)
+      .withColumnRenamed("sv", "cw")
+    for (_ <- 1 to iters) {
+      val asg = assignCodes(subs, cb, "vid")
+      cb = subs.join(asg, Seq("vid", "j"))
+        .select(col("j"), col("code_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("code_id"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("j"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("cw"))
+        .select(col("j"), col("code_id"), col("cw"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** [[pqEncodeAndAdc]] against an explicit codebook (j, code_id, cw) —
+    * shared by the stride-sampled and k-means-trained quantizers.
+    */
+  private def pqEncodeAndAdcWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                                 queries: DataFrame, queryId: Column, queryVec: Column,
+                                 dim: Int, numSubspaces: Int,
+                                 cb: DataFrame): (DataFrame, DataFrame) = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val sub = dim / numSubspaces
+    val enc = assignCodes(
+      subvecs(corpus, corpusId, corpusVec, "neighbor_id", numSubspaces, sub),
+      cb, "neighbor_id")
+    // ADC table: query → every codeword distance, per subspace —
+    // micro-unit L2 via the fused native expression (one codegen loop
+    // instead of three CodegenFallback HOF folds)
+    val qt = subvecs(queries, queryId, queryVec, "query_id", numSubspaces, sub)
       .join(broadcast(cb), Seq("j"))
-      .withColumn("qd2", l2u6(col("sv"), col("cw")))
+      .withColumn("qd2", graft.functions.L2SqMicro(col("sv"), col("cw")))
       .select(col("query_id"), col("j"), col("code_id"), col("qd2"))
     (enc, qt)
   }
@@ -294,17 +381,45 @@ object SimilaritySearch {
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 k: Int, dim: Int, numSubspaces: Int = 4, codeStride: Int = 25,
                 centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
-    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
     val cent = corpus.select(corpusId.as("centroid_id"), corpusVec.as("centv"))
       .filter(corpusId % centroidStride === 0)
+    val (enc, qt) = pqEncodeAndAdc(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dim, numSubspaces, codeStride)
+    ivfPqWith(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      cent, enc, qt, k, nprobe)
+  }
+
+  /** [[ivfPqTopK]] with BOTH quantizers learned: spherical-k-means coarse
+    * centroids ([[kmeansCentroids]]) for the inverted lists and
+    * per-subspace L2-k-means codebooks ([[pqTrainCodebooks]]) for the
+    * codes — the reference-grade billion-vector layout. Search dataflow
+    * identical to [[ivfPqTopK]]; training is index-build time.
+    */
+  def ivfPqTopKTrained(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       queries: DataFrame, queryId: Column, queryVec: Column,
+                       k: Int, dim: Int, numSubspaces: Int = 4, nCodes: Int = 32,
+                       nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cent = kmeansCentroids(corpus, corpusId, corpusVec, nCentroids, iters)
+    val cb = pqTrainCodebooks(corpus, corpusId, corpusVec, dim, numSubspaces, nCodes, iters)
+    val (enc, qt) = pqEncodeAndAdcWith(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, dim, numSubspaces, cb)
+    ivfPqWith(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      cent, enc, qt, k, nprobe)
+  }
+
+  /** Shared IVF-PQ search: codes ⋈ list assignment (key join), pruned by
+    * broadcast probes, scored by broadcast ADC rows — the corpus side
+    * never shuffles wide.
+    */
+  private def ivfPqWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        queries: DataFrame, queryId: Column, queryVec: Column,
+                        cent: DataFrame, enc: DataFrame, qt: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
+    val e = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
     val asgKey = coarseAssign(e, cent)
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
     val probes = probeCentroids(q, cent, nprobe)
       .select(col("query_id"), col("centroid_id"))
-    val (enc, qt) = pqEncodeAndAdc(corpus, corpusId, corpusVec,
-      queries, queryId, queryVec, dim, numSubspaces, codeStride)
-    // codes ⋈ list assignment (key join), pruned by broadcast probes,
-    // scored by broadcast ADC rows — the corpus side never shuffles wide
     val scored = enc.join(asgKey, Seq("neighbor_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -160,6 +160,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.forall(rs => rs.sorted == (1L to rs.length)))
   }
 
+  test("trained PQ codebooks dominate the stride sample: quantization error and recall") {
+    val q = embeddings.filter(col("vec_id") < 30)
+    def ids(df: DataFrame): Set[(Long, Long)] = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = ids(SimilaritySearch.bruteForceTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10))
+    def recall(df: DataFrame): Double = ids(df).intersect(bf).size.toDouble / bf.size
+    // nCodes matches the stride sample's codebook size (stride 25 over
+    // the sf0.001 corpus) so the comparison is at EQUAL index size
+    val nCodes = embeddings.filter(col("vec_id") % 25 === 0).count().toInt
+    val rSampled = recall(SimilaritySearch.pqTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10, dim = 64))
+    val rTrained = recall(SimilaritySearch.pqTopKTrained(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 10, dim = 64,
+      nCodes = nCodes, iters = 2))
+    info(f"recall@10  pq-sampled=$rSampled%.3f pq-trained=$rTrained%.3f (codebook $nCodes)")
+    assert(rTrained >= rSampled,
+      f"trained codebooks must not lose recall: $rTrained%.3f < $rSampled%.3f")
+    // the training objective itself: mean quantization error (micro-unit
+    // min L2² to the nearest codeword, per subvector) must not be worse
+    // than the stride sample's at equal codebook size
+    def subv(df: DataFrame, idName: String): DataFrame = {
+      val pieces = (0 until 4).map(j => struct(lit(j).as("j"),
+        transform(slice(col("embedding"), j * 16 + 1, 16), x => x.cast("double")).as("sv")))
+      df.select(col("vec_id").as(idName), explode(array(pieces: _*)).as("s"))
+        .select(col(idName), col("s.j").as("j"), col("s.sv").as("sv"))
+    }
+    val subs = subv(embeddings, "vid")
+    def qerr(cb: DataFrame): Double = subs.join(broadcast(cb), Seq("j"))
+      .withColumn("d2", graft.functions.L2SqMicro(col("sv"), col("cw")))
+      .groupBy(col("vid"), col("j")).agg(min(col("d2")).as("m"))
+      .agg(avg(col("m"))).as[Double].head()
+    val eSampled = qerr(subv(embeddings.filter(col("vec_id") % 25 === 0), "code_id")
+      .withColumnRenamed("sv", "cw"))
+    val eTrained = qerr(SimilaritySearch.pqTrainCodebooks(embeddings, col("vec_id"),
+      col("embedding"), dim = 64, numSubspaces = 4, nCodes = nCodes, iters = 2))
+    info(f"mean quantization error  sampled=$eSampled%.0f trained=$eTrained%.0f (u6)")
+    assert(eTrained <= eSampled,
+      f"k-means codebooks must reduce quantization error: $eTrained%.0f > $eSampled%.0f")
+    // determinism: identical training runs produce identical codebooks
+    val cb1 = SimilaritySearch.pqTrainCodebooks(embeddings, col("vec_id"),
+      col("embedding"), dim = 64, numSubspaces = 4, nCodes = 8, iters = 2)
+    val cb2 = SimilaritySearch.pqTrainCodebooks(embeddings, col("vec_id"),
+      col("embedding"), dim = 64, numSubspaces = 4, nCodes = 8, iters = 2)
+    assert(cb1.exceptAll(cb2).count() == 0 && cb2.exceptAll(cb1).count() == 0)
+    assert(cb1.select(size(col("cw"))).distinct().as[Int].head() == 16)
+  }
+
+  test("ivfPqTopKTrained returns contiguous ranks and matches trained PQ when fully probed") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val full = SimilaritySearch.ivfPqTopKTrained(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 5, dim = 64,
+      nCodes = 16, nCentroids = 8, iters = 2, nprobe = 1000000)
+    val pq = SimilaritySearch.pqTopKTrained(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64, nCodes = 16, iters = 2)
+    assert(full.exceptAll(pq).count() == 0 && pq.exceptAll(full).count() == 0)
+    val pruned = SimilaritySearch.ivfPqTopKTrained(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 5, dim = 64,
+      nCodes = 16, nCentroids = 8, iters = 2, nprobe = 2)
+    val ranks = pruned.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select(col("rs")).as[Seq[Long]].collect()
+    assert(ranks.nonEmpty && ranks.forall(rs => rs.sorted == (1L to rs.length)))
+  }
+
   test("ivfPqTopK degenerates to pqTopK when every list is probed") {
     val q = embeddings.filter(col("vec_id") < 5)
     // nprobe ≥ centroid count → coarse pruning admits the whole corpus,
