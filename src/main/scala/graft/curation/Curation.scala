@@ -119,11 +119,22 @@ object Curation {
     * filter itself stays a map-side column program: one small agg job to
     * build the CASE thresholds, then a shuffle-free scan. Rows whose
     * group value is null match no threshold and are dropped.
+    *
+    * `maxGroups` guards that contract: a miskeyed call (`group` set to a
+    * document id) would otherwise silently collect the corpus to the
+    * driver. The histogram collect is capped at `maxGroups + 1` rows —
+    * one extra row is proof of violation — and fails loudly, like every
+    * other contract check in the engine (chunkRows, writeZOrdered).
     */
   def temperatureMixSqrt(df: DataFrame, group: Column, key: Column,
-                         targetTotal: Long): DataFrame = {
+                         targetTotal: Long, maxGroups: Int = 100000): DataFrame = {
     val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .limit(maxGroups + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.length <= maxGroups,
+      s"temperatureMixSqrt: group column has more than $maxGroups distinct values — " +
+        "this is a per-source mixing policy, not a per-row one; check the group key " +
+        "or raise maxGroups explicitly")
     val weights = counts.map { case (g, n) => (g, n, math.sqrt(n.toDouble).toLong) }
     val sumW = weights.map(_._3).sum
     val thresholds = weights.map { case (g, n, wgt) =>

@@ -112,7 +112,7 @@ object Dedup {
     */
   def incrementalDedupBloom(docs: DataFrame, id: Column, text: Column,
                             history: DataFrame, expectedItems: Long,
-                            fpp: Double = 0.01): DataFrame = {
+                            fpp: Double = 0.01): ManagedDedup = {
     val bloom = history.stat.bloomFilter("fingerprint", expectedItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((f: String) => f != null && bc.value.mightContainString(f))
@@ -125,8 +125,20 @@ object Dedup {
     // dedupWithin's two uses would otherwise re-scan and re-hash the
     // batch once per consumer — with the cache the batch-side cost
     // matches the exact path's, which is the point of the prefilter
-    dedupWithin(definitelyNew.unionByName(maybeDup).persist())
+    val survivors = definitelyNew.unionByName(maybeDup).persist()
+    ManagedDedup(dedupWithin(survivors),
+      () => { survivors.unpersist(); bc.destroy() })
   }
+
+  /** The deduplicated batch plus its resource release. The operator's
+    * target scenario is a long-running rolling ingest — one call per
+    * arriving batch — so the cached survivor partitions and the
+    * broadcast Bloom filter MUST be freed between batches or they
+    * accumulate until executors evict under memory pressure. Call
+    * `release()` once `result` has been consumed (written, counted,
+    * unioned into history); the plan must not be re-executed afterwards.
+    */
+  final case class ManagedDedup(result: DataFrame, release: () => Unit)
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * `numBands` band keys (each of `rowsPerBand` minhashes over

@@ -92,6 +92,11 @@ object Aggregators {
 
     override def zero: CMSketch = CMSketch(new Array[Long](width * depth))
     override def reduce(b: CMSketch, tok: String): CMSketch = {
+      // null tokens are skipped, matching the SQL side: estimateCol and
+      // the oracle both propagate null through md5(NULL) → NULL, so
+      // counting a null here would silently inflate the buckets of the
+      // literal string "null" (s"$j:$tok" interpolation) and diverge
+      if (tok == null) return b
       var j = 0
       while (j < depth) {
         b.cells(j * width + CountMin.bucket(j, tok, width)) += 1

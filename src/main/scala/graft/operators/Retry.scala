@@ -39,11 +39,29 @@ object Retry {
     *                  (`Retry.scala:234-239,263-268`) rather than
     *                  silently degrading
     * @param bufferLimit cap on accumulated SUCCESS rows awaiting
-    *                  emission — the reference's `Retry.concat`
-    *                  bufferLimit (elements queued for downstream,
-    *                  `Retry.scala:263-268`); fails on overflow. Checked
-    *                  per round from the same counting job economics as
+    *                  emission — the analogue of the reference's
+    *                  `Retry.concat` bufferLimit (elements queued for
+    *                  downstream, `Retry.scala:263-268`); fails on
+    *                  overflow. Semantic delta, deliberate: fixpoint
+    *                  emits NOTHING until it returns, so every success
+    *                  from round 0 onward counts toward the cap — where
+    *                  the reference only counts elements downstream has
+    *                  not yet consumed. A caller mapping the reference
+    *                  knob 1:1 must size it for TOTAL successes, not
+    *                  in-flight backlog (3 immediate successes trip
+    *                  limit 2 — pinned in ControlSpec). Checked per round
+    *                  from the same counting job economics as
     *                  retriesLimit (only when set)
+    * @param roundTimeoutMs wall-clock watchdog per retry round — the
+    *                  reference's `akka.stream.contrib.retry-timeout`
+    *                  (`Retry.scala:192-193`, default 5 s,
+    *                  `reference.conf:8-14`), which fails a stuck retry
+    *                  cycle instead of hanging forever. When set, each
+    *                  round's driver actions (existence probe, attempt
+    *                  jobs, counts, the inter-round delay) run under a
+    *                  deadline; on overrun the round's Spark job group is
+    *                  cancelled and the fixpoint fails loudly, like the
+    *                  volume limits
     * @param sleep     injectable for tests; defaults to Thread.sleep
     *
     * Early exit needs only "any rows still failing?", so each round runs
@@ -58,7 +76,34 @@ object Retry {
                delay: Option[Control.DelayStrategy] = None,
                retriesLimit: Option[Long] = None,
                bufferLimit: Option[Long] = None,
+               roundTimeoutMs: Option[Long] = None,
                sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)): DataFrame = {
+    // Watchdog: run one round's blocking work under a deadline. The body
+    // executes on a separate thread carrying its own job group, so a
+    // timeout can cancel exactly this round's Spark jobs (a hung
+    // executor/task keeps the driver action blocked forever otherwise)
+    // and fail the fixpoint instead of hanging it.
+    def withRoundTimeout[A](body: => A): A = roundTimeoutMs match {
+      case None => body
+      case Some(ms) =>
+        val sc = input.sparkSession.sparkContext
+        val group = s"graft-retry-watchdog-${java.util.UUID.randomUUID()}"
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fut = Future {
+          sc.setJobGroup(group, "Retry.fixpoint round", interruptOnCancel = true)
+          try body finally sc.clearJobGroup()
+        }
+        try Await.result(fut, ms.millis)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(group)
+            throw new IllegalStateException(
+              s"Retry.fixpoint: retry round exceeded roundTimeoutMs=$ms — " +
+                "a stuck attempt job was cancelled (reference retry-timeout semantics)")
+        }
+    }
     var pending = attempt(input.withColumn("attempt", lit(0)))
     var done = pending.filter(col("error").isNull)
     // driver-side running tally: each round counts only ITS successes
@@ -73,7 +118,7 @@ object Retry {
     var retriedTotal = 0L
     var i = 0
     var drained = false
-    while (i < maxRetries && !drained) {
+    while (i < maxRetries && !drained) withRoundTimeout {
       val failed = pending.filter(col("error").isNotNull)
       val anyFailed = retriesLimit match {
         case Some(lim) =>

@@ -153,12 +153,17 @@ object Sinks {
     // bits land in the same file — clustering quietly destroyed).
     // Fail loudly instead; callers mask or bucketize first (%, div, or
     // quantile rank into [0, 2^bits)).
+    // Null keys are NOT range violations: ZOrderCode is null-tolerant
+    // (null in → null z-code), and repartitionByRange sorts nulls first,
+    // so null-keyed rows get a defined placement — clustered together in
+    // the lowest file — instead of aborting the write.
     val bound = 1L << bits
     def checked(c: Column, name: String): Column =
-      when(c.cast("long").between(0L, bound - 1), c.cast("long"))
+      when(c.isNull, lit(null).cast("long"))
+        .when(c.cast("long").between(0L, bound - 1), c.cast("long"))
         .otherwise(raise_error(concat(
           lit(s"writeZOrdered: $name key out of [0, 2^$bits): "),
-          coalesce(c.cast("string"), lit("null")))).cast("long"))
+          c.cast("string"))).cast("long"))
     val z = graft.functions.ZOrderCode(checked(x, "x"), checked(y, "y"), bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))

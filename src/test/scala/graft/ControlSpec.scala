@@ -182,6 +182,34 @@ class ControlSpec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  test("Retry.fixpoint roundTimeoutMs fails a stuck retry round loudly") {
+    import graft.operators.Retry
+    val input = Seq(1, 2, 3).toDF("id")
+    // rows keep failing, and from attempt 1 on the attempt job hangs:
+    // a per-row UDF sleep far beyond the watchdog deadline
+    val stall = udf { (attempt: Int) =>
+      if (attempt >= 1) Thread.sleep(30000L)
+      "always"
+    }
+    val attempt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", lit(null).cast("int"))
+        .withColumn("error", stall(col("attempt")))
+    val t0 = System.nanoTime()
+    val ex = intercept[IllegalStateException] {
+      Retry.fixpoint(input, attempt, identity, maxRetries = 3,
+        roundTimeoutMs = Some(2000L))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(ex.getMessage.contains("roundTimeoutMs"))
+    // the watchdog fired and cancelled instead of waiting out the 30 s sleeps
+    assert(elapsedMs < 25000L, s"watchdog took ${elapsedMs}ms")
+    // and a healthy run under the same timeout is untouched
+    val fine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", col("id")).withColumn("error", lit(null).cast("string"))
+    assert(Retry.fixpoint(input, fine, identity, maxRetries = 3,
+      roundTimeoutMs = Some(30000L)).count() == 3)
+  }
+
   test("observe metrics + TimingListener capture counts and wall time") {
     val listener = Timed.withTimingListener(spark)
     val df = Timed.observed(Seq(1, 2, 3).toDF("i"), "m",

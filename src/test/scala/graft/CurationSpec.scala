@@ -109,6 +109,11 @@ class CurationSpec extends AnyFunSuite {
     // a target larger than the corpus admits everything (rates clamp at 1)
     val all = Curation.temperatureMixSqrt(rows, col("grp"), col("id"), 100000L)
     assert(all.count() == 104)
+    // miskeyed group (per-row key) must fail loudly, not collect the corpus
+    val ex = intercept[IllegalArgumentException] {
+      Curation.temperatureMixSqrt(rows, col("id"), col("id"), 20L, maxGroups = 50)
+    }
+    assert(ex.getMessage.contains("distinct values"))
   }
 
   test("interleaveTag routes every row to at most one tag by weight") {

@@ -70,6 +70,21 @@ class OperatorsSpec extends AnyFunSuite {
       case _ => ()
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    // null keys are a defined placement (clustered, nulls-first), not a
+    // range violation; genuinely out-of-range keys still fail loudly
+    val out2 = java.nio.file.Files.createTempDirectory("graft_zorder_null").toString
+    val withNulls = spark.range(64).select(
+      when(col("id") % 8 === 0, lit(null)).otherwise(col("id") % 64).as("x"),
+      expr("id div 8").as("y"))
+    Sinks.writeZOrdered(withNulls, out2, col("x"), col("y"), bits = 6, nFiles = 4)
+    assert(spark.read.parquet(out2).count() == 64)
+    assert(spark.read.parquet(out2).filter(col("x").isNull).count() == 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+    val bad = spark.range(4).select((col("id") + 100).as("x"), col("id").as("y"))
+    val ex = intercept[Exception] {
+      Sinks.writeZOrdered(bad, out2, col("x"), col("y"), bits = 6, nFiles = 2)
+    }
+    assert(ex.getMessage != null)
   }
 
   test("compactParquet merges small files and preserves data") {
@@ -456,9 +471,16 @@ class OperatorsSpec extends AnyFunSuite {
       (0L until 100L).map(i => (2000 + i, s"new doc number ${i / 2}")))
       .toDF("doc_id", "text")
     val exact = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), history)
-    val bloomed = Dedup.incrementalDedupBloom(batch, col("doc_id"), col("text"),
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val managed = Dedup.incrementalDedupBloom(batch, col("doc_id"), col("text"),
       history, expectedItems = 200L)
+    val bloomed = managed.result
     assert(bloomed.exceptAll(exact).count() == 0 && exact.exceptAll(bloomed).count() == 0)
     assert(exact.count() == 50) // the 50 distinct genuinely-new texts
+    // rolling-ingest contract: release() leaves no lingering cached RDDs
+    // behind (the round-3 leak — survivors stayed persisted per batch)
+    managed.release()
+    val lingering = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(lingering.isEmpty, s"cached RDDs leaked by incrementalDedupBloom: $lingering")
   }
 }

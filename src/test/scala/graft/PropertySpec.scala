@@ -71,6 +71,16 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CountMin skips null tokens, matching the SQL null-propagation side") {
+    val agg = new Aggregators.CountMin(8, 2)
+    val withNulls = List("null", null, "a", null, "null")
+    val b = withNulls.foldLeft(agg.zero)(agg.reduce)
+    val withoutNulls = List("null", "a", "null").foldLeft(agg.zero)(agg.reduce)
+    // a null token must not inflate the buckets of the literal "null"
+    assert(b.cells.sameElements(withoutNulls.cells))
+    assert(Aggregators.CountMin.estimate(b.cells, "null", 8, 2) == 2L)
+  }
+
   test("fingerprint is whitespace- and case-insensitive for random texts") {
     val spark = TestSpark.spark
     import spark.implicits._
