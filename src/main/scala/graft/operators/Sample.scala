@@ -28,10 +28,47 @@ object Sample {
       .drop("__idx")
   }
 
-  /** Random sample with expected step `maxStep/2` — the reference's
-    * `Sample.random(maxStep)` keeps ~1/(maxStep/2) of elements; we expose
-    * the equivalent keep-fraction directly. Deterministic under `seed`.
+  /** Random sample at an equivalent keep-fraction — the rate-matched
+    * mapping of the reference's `Sample.random(maxStep)` (mean step
+    * (maxStep+1)/2 → keep ≈ 2/(maxStep+1)). Deterministic under `seed`.
+    *
+    * SEMANTIC DELTA, deliberate: the reference draws each gap uniformly
+    * from [1, maxStep] (`Sample.scala:32-35`), so any `maxStep`
+    * consecutive elements contain ≥1 emission; Bernoulli matches the
+    * RATE but not that gap bound (a long dry stretch has positive
+    * probability). Use [[randomStep]] when the per-window guarantee
+    * matters.
     */
   def random(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.filter(rand(seed) < fraction)
+
+  /** Step-exact random sample: EXACTLY one element from every aligned
+    * window of `maxStep` consecutive elements (under the total order
+    * `orderCols`), at a seeded pseudo-random in-window offset — the
+    * distributed form of the reference's bounded-gap guarantee
+    * (`Sample.scala:32-35`: step ∈ [1, maxStep] ⇒ ≥1 emission per
+    * maxStep elements). Each window's offset is the md5 dice roll of
+    * (window, seed) — same key, same decision everywhere, and plain SQL
+    * (`conv(substr(md5(...)))`), so an oracle recomputes it exactly.
+    *
+    * Deltas vs the reference, documented: emission positions are
+    * per-window independent draws, so consecutive emissions are
+    * [1, 2·maxStep−1] apart (the reference's sequential walk bounds gaps
+    * at maxStep); keep rate is exactly 1/maxStep (reference ≈
+    * 2/(maxStep+1)). A trailing partial window emits iff its drawn
+    * offset lands inside it.
+    *
+    * Scale shape: one [[GlobalIndex]] pass, then a map-side codegen
+    * filter — no extra shuffle, no per-element state.
+    */
+  def randomStep(df: DataFrame, maxStep: Int, orderCols: Seq[Column],
+                 seed: Long = 42L): DataFrame = {
+    require(maxStep > 0, s"max step for a random sampling must be > 0, got $maxStep")
+    val w = expr(s"(__idx - 1) div $maxStep")
+    val offset = conv(substring(md5(concat_ws(":", w, lit(seed))), 1, 6), 16, 10)
+      .cast("long") % maxStep
+    GlobalIndex.withRowIndex(df, orderCols, "__idx")
+      .filter((col("__idx") - 1) % maxStep === offset)
+      .drop("__idx")
+  }
 }

@@ -233,6 +233,27 @@ object ParityQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
             FROM tagged)
       SELECT event_id, user_id, last_click_id FROM w
-      WHERE event_type = 'purchase' ORDER BY event_id"""))
+      WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // Sample.random(maxStep) — Sample.scala:32-35, step-exact variant:
+    // exactly one seeded emission per aligned 100-element window. The
+    // oracle recomputes the same md5 dice roll from the same 6 nibbles.
+    ("q54_sample_random_step", (s, d) => {
+      Sample.randomStep(Tables.events(s, d), 100, Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }, Some {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(win AS VARCHAR) || ':42'), $i, 1)) - 1)"
+      s"""
+      WITH t AS (SELECT event_id, user_id, event_type,
+                   row_number() OVER (ORDER BY event_id) AS rn FROM events),
+      w AS (SELECT *, CAST((rn - 1) // 100 AS BIGINT) AS win,
+                      CAST((rn - 1) % 100 AS BIGINT) AS pos FROM t),
+      o AS (SELECT *, CAST((${nib(1)} * 1048576 + ${nib(2)} * 65536 + ${nib(3)} * 4096
+                          + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 100 AS BIGINT)
+                      AS off FROM w)
+      SELECT event_id, user_id, event_type FROM o
+      WHERE pos = off ORDER BY event_id"""})
   )
 }

@@ -163,6 +163,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == (10 to 100 by 10))
   }
 
+  test("Sample.randomStep emits exactly one element per maxStep window (sweep 2..10)") {
+    val df = (1 to 97).map(i => Tuple1(i)).toDF("i")
+    for (maxStep <- 2 to 10) {
+      val got = Sample.randomStep(df, maxStep, Seq(col("i"))).select("i").as[Int]
+        .collect().sorted.toSeq
+      // the reference's bounded-gap guarantee, per aligned window: every
+      // COMPLETE window of maxStep consecutive elements emits exactly one
+      val byWindow = (1 to 97).groupBy(i => (i - 1) / maxStep)
+      byWindow.foreach { case (w, members) =>
+        val emitted = got.count(members.contains)
+        if (members.size == maxStep)
+          assert(emitted == 1, s"maxStep=$maxStep window $w emitted $emitted")
+        else assert(emitted <= 1, s"partial window $w emitted $emitted")
+      }
+      // determinism under the seed
+      val again = Sample.randomStep(df, maxStep, Seq(col("i"))).select("i").as[Int]
+        .collect().sorted.toSeq
+      assert(got == again)
+    }
+    // a different seed draws different in-window offsets (9 windows of
+    // 10 — coincidence on all of them would be a broken hash)
+    val a = Sample.randomStep(df, 10, Seq(col("i"))).select("i").as[Int].collect().toSeq
+    val b = Sample.randomStep(df, 10, Seq(col("i")), seed = 7L)
+      .select("i").as[Int].collect().toSeq
+    assert(a.sorted != b.sorted)
+  }
+
   test("changeGroups splits runs on property change") {
     val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "x"))
       .toDF("k", "seq", "prop")
