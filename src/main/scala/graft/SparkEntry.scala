@@ -65,7 +65,11 @@ object SparkEntry {
     ("q52_streaming_sample",
       (s, d) => graft.streaming.StreamingQueries.stratifiedSample(s, d,
         Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1),
-      Some(sharedOracle("p19_stratified_sample"))))
+      Some(sharedOracle("p19_stratified_sample"))),
+    ("q53_tail_read",
+      (s, d) => graft.streaming.StreamingQueries.tailReadDocuments(s, d),
+      Some("""
+      SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

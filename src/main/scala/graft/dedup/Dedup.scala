@@ -140,6 +140,20 @@ object Dedup {
     */
   final case class ManagedDedup(result: DataFrame, release: () => Unit)
 
+  /** The per-band LSH keys of a k-minhash signature: band b's key is
+    * `b|min_{b·r}|…|min_{b·r+r-1}` — band index prefixed so keys from
+    * different bands never collide. Shared by the batch candidate
+    * generator, the precision-first streaming dedup (full-signature
+    * concat), and the recall-first streaming candidates, so the three
+    * agree on banding by construction.
+    */
+  private[graft] def bandKeyCols(sig: Column, numBands: Int,
+                                 rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
+      concat_ws("|", (lit(b.toString) +: parts): _*)
+    }
+
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * `numBands` band keys (each of `rowsPerBand` minhashes over
     * `shingleN`-gram shingles). Output (id_a < id_b) distinct.
@@ -166,11 +180,8 @@ object Dedup {
     val sig = docs.select(id.as("doc_id"),
       MinHashSignature(text, shingleN, k).as("sig"))
       .filter(col("sig").isNotNull)
-    val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
-      concat_ws("|", (lit(b.toString) +: parts): _*)
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*)).as("band_key"))
     // Bucket form instead of a self-join: ONE shuffle on band_key, then
     // pairs generated inside each bucket (posexplode + suffix slice). The
     // a.band_key = b.band_key self-join computes the signature scan twice

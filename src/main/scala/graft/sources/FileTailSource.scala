@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -74,14 +74,25 @@ private[sources] case class BytePosition(pos: Long) extends Offset {
 
 private[sources] class FileTailStream(path: String, maxChunkSize: Int, startingPosition: Long,
                                       maxChunksPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = BytePosition(startingPosition)
 
-  private def fileLength: Long = {
+  private def rawFileLength: Long = {
     val f = new java.io.File(path)
     math.max(if (f.exists()) f.length() else 0L, startingPosition)
   }
+
+  // Trigger.AvailableNow contract: snapshot the end position once at
+  // query start; every batch (even under admission control) stops there,
+  // so the run drains deterministically and terminates even if the file
+  // keeps growing underneath.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(rawFileLength)
+
+  private def fileLength: Long =
+    availableNowCap.getOrElse(rawFileLength)
 
   override def latestOffset(): Offset = BytePosition(fileLength)
 

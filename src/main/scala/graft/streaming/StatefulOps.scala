@@ -146,6 +146,75 @@ object StatefulOps {
       }
   }
 
+  /** One exploded LSH band row: a document's key for one band. */
+  case class BandedDoc(bandKey: String, docId: Long, ts: java.sql.Timestamp)
+
+  /** A cross-document collision in one band: `earlierId` arrived first. */
+  case class BandMatch(bandKey: String, earlierId: Long, laterId: Long)
+
+  /** A document held in a band's state. */
+  case class SeenDoc(id: Long, tsMs: Long)
+
+  case class BandState(seen: List[SeenDoc])
+
+  /** Recall-first streaming LSH: emit a match whenever a document shares
+    * ANY band with a previously seen document — across micro-batches —
+    * the online form of [[graft.dedup.Dedup.minhashCandidates]]'s
+    * any-band semantics. The precision-first
+    * [[StreamingQueries.minhashStreamingDedup]] keys state on the FULL
+    * concatenated signature, so it only collapses docs agreeing on every
+    * band; this operator keys state on each band independently and
+    * catches partial-signature matches the full-signature form misses.
+    *
+    * State boundedness (the 100 TB story): one state row per band key,
+    * holding ≤ `maxPerBand` (docId, ts) entries (the hot-band analog of
+    * the batch `maxBucket` cap — docs beyond the cap still match against
+    * the held set but are not added, so a pathological band costs
+    * O(maxPerBand) memory and O(maxPerBand) emissions per arrival, never
+    * m²). Entries older than `horizonMs` are pruned against the
+    * watermark and an event-time timeout reclaims idle bands entirely —
+    * matching is promised only within the horizon, exactly what an
+    * online dedup with finite memory can promise.
+    *
+    * The same (a, b) pair surfaces once per shared band; downstream
+    * `distinct` on (earlierId, laterId) collapses multi-band agreement,
+    * same as the batch operator's final distinct.
+    *
+    * Input must carry a watermark on `ts` (the wrapper applies it);
+    * within a batch, arrival order is (ts, docId) — deterministic under
+    * replay.
+    */
+  def lshBandMatches(ds: Dataset[BandedDoc], horizonMs: Long,
+                     maxPerBand: Int = 64): Dataset[BandMatch] = {
+    implicit val outEnc: Encoder[BandMatch] = Encoders.product[BandMatch]
+    implicit val stEnc: Encoder[BandState] = Encoders.product[BandState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.groupByKey(_.bandKey)
+      .flatMapGroupsWithState[BandState, BandMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove() // no arrival within horizon: reclaim the band
+          Iterator.empty
+        } else {
+          val wm = state.getCurrentWatermarkMs()
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            .filter(_.tsMs + horizonMs > wm)
+          val out = Seq.newBuilder[BandMatch]
+          it.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+            seen.foreach(s => out += BandMatch(key, s.id, d.docId))
+            if (seen.size < maxPerBand) seen = seen :+ SeenDoc(d.docId, d.ts.getTime)
+          }
+          if (seen.nonEmpty) {
+            state.update(BandState(seen))
+            // newest entry + horizon is strictly past the watermark by the
+            // pruning filter above, as setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(seen.map(_.tsMs).max + horizonMs)
+          } else state.remove()
+          out.result().iterator
+        }
+      }
+  }
+
   /** Streaming LastElement (`LastElement.scala:22,39`): per key, keep the
     * latest element by `seq`; emits the current last on every batch
     * (update-mode analog of the materialized `Future[Option[A]]`).

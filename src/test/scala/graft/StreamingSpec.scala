@@ -59,6 +59,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming any-band LSH matches partial signatures across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.{BandedDoc, BandMatch}
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[BandedDoc]
+    val banded = input.toDS().withWatermark("ts", "1 hour").as[BandedDoc]
+    val out = StatefulOps.lshBandMatches(banded, horizonMs = 3600000L, maxPerBand = 2)
+    val q = out.writeStream.format("memory").queryName("band_out")
+      .outputMode(OutputMode.Append).start()
+    def matches() = spark.table("band_out").as[BandMatch].collect().toSet
+    try {
+      // doc 1's four bands arrive in batch 1
+      input.addData(BandedDoc("k1", 1, t), BandedDoc("k2", 1, t),
+        BandedDoc("k3", 1, t), BandedDoc("k4", 1, t))
+      q.processAllAvailable()
+      assert(matches().isEmpty)
+
+      // doc 2 (next batch) agrees with doc 1 on ONLY band k1 — the
+      // full-signature dropDuplicates key ("k1#k2#k3#k4" vs
+      // "k1#x2#x3#x4") differs, so minhashStreamingDedup would keep
+      // both and report nothing; the any-band form finds the match.
+      input.addData(BandedDoc("k1", 2, t), BandedDoc("x2", 2, t),
+        BandedDoc("x3", 2, t), BandedDoc("x4", 2, t))
+      q.processAllAvailable()
+      assert(matches() == Set(BandMatch("k1", 1, 2)))
+
+      // maxPerBand = 2: band k1 now holds docs {1, 2}. Doc 3 matches
+      // both but is NOT added (cap); doc 4 then matches 1 and 2 only.
+      input.addData(BandedDoc("k1", 3, t))
+      q.processAllAvailable()
+      input.addData(BandedDoc("k1", 4, t))
+      q.processAllAvailable()
+      assert(matches() == Set(BandMatch("k1", 1, 2), BandMatch("k1", 1, 3),
+        BandMatch("k1", 2, 3), BandMatch("k1", 1, 4), BandMatch("k1", 2, 4)))
+    } finally q.stop()
+  }
+
+  test("streaming any-band LSH evicts band state past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.{BandedDoc, BandMatch}
+    val input = MemoryStream[BandedDoc]
+    val banded = input.toDS().withWatermark("ts", "1 hour").as[BandedDoc]
+    val out = StatefulOps.lshBandMatches(banded, horizonMs = 3600000L)
+    val q = out.writeStream.format("memory").queryName("band_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(BandedDoc("e1", 1, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's horizon (wm → 12:00)
+      input.addData(BandedDoc("e2", 99, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // doc 2 shares band e1 but doc 1 is outside the horizon → no match
+      input.addData(BandedDoc("e1", 2, Timestamp.valueOf("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("band_evict").as[BandMatch].collect().isEmpty)
+    } finally q.stop()
+  }
+
+  test("minhashStreamingCandidates surfaces cross-batch near-dups end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.StreamingQueries.minhashStreamingCandidates(
+      df, col("doc_id"), col("text"), col("ts"), horizonMs = 3600000L)
+    val q = out.writeStream.format("memory").queryName("mh_cand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", t),
+        (2L, "a completely different document about spark engines", t))
+      q.processAllAvailable()
+      input.addData((3L, "the quick brown fox jumps over the lazy dog", t))
+      q.processAllAvailable()
+      val pairs = spark.table("mh_cand")
+        .select("earlierId", "laterId").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)), s"pairs: $pairs")
+    } finally q.stop()
+  }
+
   test("stateful ops run unchanged on the RocksDB state store (scale path)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -164,6 +251,16 @@ class StreamingSpec extends AnyFunSuite {
     val s = viaStream.collect().map(_.toString).sorted
     val b = viaBatch.collect().map(_.toString).sorted
     assert(s.toSeq == b.toSeq)
+  }
+
+  test("tail-read of the documents fixture round-trips every byte (q53)") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val viaTail = graft.streaming.StreamingQueries.tailReadDocuments(spark, TestSpark.sf)
+    val direct = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val t = viaTail.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val d = direct.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(t.nonEmpty && t.toSeq == d.toSeq)
   }
 
   test("dead-letter routing splits failures per batch and replay recovers them") {
