@@ -647,4 +647,60 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space by nearest centroid, then inside each
+    * cluster drop every vector whose cosine to a SMALLER-id cluster-mate
+    * reaches `threshold` (min-id keeper, same election rule as the
+    * engine's other dedups). Complements [[embeddingNearDups]]: sign-
+    * bucket LSH finds near-identical vectors; centroid partitioning
+    * groups by meaning, the published recipe for pruning semantically
+    * redundant (not byte-near) training data.
+    *
+    * Returns one row per input vector: (vec_id, centroid_id, kept).
+    *
+    * Scale shape: assignment is the IVF coarse step
+    * ([[graft.similarity.SimilaritySearch.coarseAssign]] — broadcast
+    * centroids, packed-long argmax HashAggregate, no struct SortAgg);
+    * the pair scan is a self-join co-partitioned on centroid_id, so the
+    * quadratic term is per-cluster, never corpus-wide — cluster size is
+    * governed by k, exactly how SemDeDup bounds its pairwise pass. A
+    * pathological hot cluster is capped by `maxCluster`: only the cap
+    * smallest ids act as dominators (deterministic, the [[minhashCandidates]]
+    * `maxBucket` rule), bounding the join at m·cap rows.
+    *
+    * `centroids`: (centroid_id, centv) — [[graft.similarity.SimilaritySearch.kmeansCentroids]]
+    * output, or any fixed seed set (the oracle-expressible instance p44
+    * uses the lowest-id vectors; the trained path is spec-pinned).
+    * Cosines compare at `round(cos, 6)` so the boundary is engine-
+    * reproducible.
+    */
+  def semanticDedup(vectors: DataFrame, id: Column, vec: Column,
+                    centroids: DataFrame, threshold: Double,
+                    maxCluster: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors.select(id.cast("long").as("vec_id"), vec.as("v"))
+    val asg = graft.similarity.SimilaritySearch.coarseAssign(
+        e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), centroids)
+      .select(col("neighbor_id").as("vec_id"), col("centroid_id"))
+    val m = e.join(asg, "vec_id")
+    val dominators = maxCluster match {
+      case None => m
+      case Some(cap) =>
+        val w = Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))
+        m.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val dups = m.select(col("vec_id"), col("v"), col("centroid_id"))
+      .join(dominators.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("centroid_id").as("b_cid")),
+        col("centroid_id") === col("b_cid") && col("b_id") < col("vec_id"))
+      .filter(round(VectorFunctions.cosine(col("v"), col("bv")), 6) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    m.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
 }

@@ -131,5 +131,12 @@ object Implicits {
     def asOfJoin(right: DataFrame, key: String, tsName: String,
                  rightValName: String, tolerance: Option[Column] = None): DataFrame =
       AsOf.join(df, right, key, tsName, rightValName, tolerance)
+
+    def semanticDedup(id: Column, vec: Column, centroids: DataFrame,
+                      threshold: Double, maxCluster: Option[Int] = None): DataFrame =
+      graft.dedup.Dedup.semanticDedup(df, id, vec, centroids, threshold, maxCluster)
+
+    def bigramPerplexity(id: Column, text: Column): DataFrame =
+      graft.text.CorpusOps.bigramPerplexity(df, id, text)
   }
 }

@@ -1249,7 +1249,67 @@ object PipelineQueries {
                                   AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
-      FROM pairs WHERE n_shared >= 2 ORDER BY id_a, id_b"""))
+      FROM pairs WHERE n_shared >= 2 ORDER BY id_a, id_b""")),
+
+    // SemDeDup semantic dedup — nearest-centroid partition + in-cluster
+    // min-id cosine domination. The oracle-expressible instance seeds
+    // centroids from the 8 lowest-id vectors (the trained-kmeans path is
+    // pinned in OperatorsSpec/SimilaritySpec); assignment tiebreak is
+    // cos DESC, centroid_id ASC — identical to coarseAssign's packing.
+    ("p44_semantic_dedup", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").cast("array<double>").as("centv"))
+      Dedup.semanticDedup(e, col("vec_id"), col("embedding"), cents,
+          threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+                 FROM embeddings WHERE vec_id < 8),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      asg AS (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_dot_product(v, centv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6) DESC,
+                centroid_id) AS rn
+              FROM e, c),
+      a2 AS (SELECT e.vec_id, v, centroid_id FROM asg JOIN e USING (vec_id) WHERE rn = 1),
+      dups AS (SELECT DISTINCT a.vec_id
+               FROM a2 a JOIN a2 b ON a.centroid_id = b.centroid_id
+                                   AND b.vec_id < a.vec_id
+               WHERE round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)
+      SELECT a2.vec_id, centroid_id, (dups.vec_id IS NULL) AS kept
+      FROM a2 LEFT JOIN dups ON a2.vec_id = dups.vec_id
+      ORDER BY a2.vec_id""")),
+
+    // Bigram-LM perplexity quality scoring — the corpus' own add-one-
+    // smoothed 2-gram model; per-bigram -ln P truncated ONCE to integer
+    // micro-units so the per-doc sum is order-independent (integer-exact
+    // rule). Oracle recomputes the identical integer arithmetic.
+    ("p45_perplexity", (s, d) => {
+      graft.text.CorpusOps.bigramPerplexity(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t2)),
+      u1 AS (SELECT unnest(toks) AS w FROM t2),
+      c1 AS (SELECT w AS w1, count(*) AS c1 FROM u1 GROUP BY 1),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      v AS (SELECT count(DISTINCT w) AS vocab FROM u1),
+      sc AS (SELECT doc_id,
+               CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) /
+                 CAST(c1.c1 + vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nll_micro
+             FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
+             round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

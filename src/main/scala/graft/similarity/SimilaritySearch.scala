@@ -136,7 +136,7 @@ object SimilaritySearch {
     * every corpus × centroid row; callers rejoin the vector by key.
     * Returns (neighbor_id, centroid_id).
     */
-  private def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     val wc = Window.orderBy(col("centroid_id"))
     val centIdx = cent.withColumn("idx", row_number().over(wc).cast("long") - 1)
     e.join(broadcast(centIdx))

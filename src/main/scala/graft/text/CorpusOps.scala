@@ -205,4 +205,61 @@ object CorpusOps {
     }
     docs.select((Seq(id.as("doc_id"), cleaned.as("clean_text")) ++ counts): _*)
   }
+
+  /** Per-document bigram-LM negative log-likelihood against the corpus'
+    * own language model — the in-engine form of the CCNet/KenLM
+    * perplexity quality filter (Wenzek et al. 2020 train a 5-gram model
+    * and drop high-perplexity documents; an add-one-smoothed bigram
+    * model is the honest vocabulary-complete version expressible without
+    * an external model artifact):
+    *
+    *   P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    *   nll(doc)   = mean over the doc's bigrams of -ln P(w2 | w1)
+    *
+    * Determinism: each bigram's -ln P is a function of three INTEGERS
+    * (c12, c1, V); it is scaled to micro-units and truncated to a LONG
+    * once, and the per-doc aggregate is an integer sum — order-
+    * independent, so the result is bit-identical across partitionings,
+    * retries, and engines (the repo's integer-exact-stats rule). The
+    * final nll/ppl are derived from that integer sum.
+    *
+    * Scale shape: bigrams are formed MAP-SIDE from the token array (a
+    * `transform` over indices — no per-token explode before counting);
+    * the LM is two vocabulary-bounded count aggregates; scoring joins
+    * each doc's bigrams to the counts on their natural keys (AQE handles
+    * the Zipf skew of hot bigrams). Nothing is collected to the driver —
+    * V rides along as a broadcast one-row cross join.
+    *
+    * Output: one row per document with ≥ 2 tokens —
+    * (doc_id, n_bigrams, nll, ppl), nll = round(Σ_micro / n / 1e6, 6),
+    * ppl = round(exp(nll), 3).
+    */
+  def bigramPerplexity(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unigrams = toks.select(explode(col("toks")).as("w"))
+    val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val vocab = unigrams.agg(countDistinct(col("w")).as("vocab"))
+    // -ln P in integer micro-units: one double op chain per DISTINCT
+    // (c12, c1, V) triple, truncated once, then summed exactly
+    val scored = bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("c12") + 1).cast("double") /
+          (col("c1") + col("vocab")).cast("double")) * 1e6, 0)
+          .cast("long").as("nll_micro"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
+        round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
+  }
 }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   *    centroid-index window and broadcast assignment joins.
   *  - p37 NestedLoop: p08's broadcast all-pairs scoring shape over the
   *    media histograms (non-equi self-exclusion join).
+  *  - p44 globalWindow + NestedLoop: p12's centroid-index window
+  *    (bounded by k) and broadcast centroid-assignment join; the
+  *    quadratic pass itself is an equi-join on centroid_id.
+  *  - p45 NestedLoop: the one-row vocab-size scalar rides a broadcast
+  *    cross join (BuildRight of a single row).
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.
@@ -34,7 +39,7 @@ object PlanAudit {
       "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation",
       "q44_streaming_session", "q48_streaming_chunk_election",
       "q50_streaming_heavy_hitters", "q51_streaming_ann",
-      "q52_streaming_sample")
+      "q52_streaming_sample", "q53_tail_read")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

@@ -81,6 +81,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, 3L, 0.0))
   }
 
+  test("bigramPerplexity scores docs against the corpus bigram LM, integer-exact") {
+    // corpus: c(a,b)=3, c(b,a)=1, c(x,y)=1; c1: a=3, b=3, x=1, y=1; V=4
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),       // (a,b)
+      (3L, "x y"),       // (x,y)
+      (4L, "solo"),      // < 2 tokens: excluded
+      (5L, "")).toDF("id", "text")
+    val out = CorpusOps.bigramPerplexity(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // P(b|a) = (3+1)/(3+4) = 4/7 → -ln = 0.5596158 → 559616 micro
+    assert(out(2L) == ((1L, 0.559616, 1.75)))
+    // P(y|x) = (1+1)/(1+4) = 2/5 → -ln = 0.9162907 → 916291 micro
+    assert(out(3L) == ((1L, 0.916291, 2.5)))
+    // doc 1: (559616 + 1252763 + 559616) / 3 / 1e6; -ln(2/7) = 1.2527630
+    assert(out(1L)._1 == 3L && out(1L)._2 == 0.790665)
+  }
+
   test("all operators tolerate null text") {
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     val rep = CorpusOps.repetitionStats(docs, col("id"), col("text"))

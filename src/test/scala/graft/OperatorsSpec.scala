@@ -436,6 +436,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.select(countDistinct(col("keeper_id"))).as[Long].head() == 1L)
   }
 
+  test("semanticDedup drops in-cluster cosine-dominated vectors, min-id keeper") {
+    import graft.dedup.Dedup
+    // 2-d vectors, two obvious clusters around the axes
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),    // cluster 0 seed
+      (1L, Array(0.0f, 1.0f)),    // cluster 1 seed
+      (2L, Array(0.95f, 0.05f)),  // cos(·,0) ≈ 0.9986 → dropped
+      (3L, Array(0.1f, 0.9f)),    // cos(·,1) ≈ 0.9939 → dropped
+      (4L, Array(0.6f, 0.8f)),    // cluster 1, no mate ≥ 0.9 → kept
+      (5L, Array(0.05f, 0.95f)),  // cos(·,1) ≈ 0.9986 → dropped
+      (6L, Array(0.7f, 0.714f))   // cluster 1, cos(·,4) ≈ 0.9913 → dropped
+    ).toDF("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centv"))
+    def keptSet(maxCluster: Option[Int]) =
+      Dedup.semanticDedup(e, col("vec_id"), col("embedding"), cents,
+          threshold = 0.9, maxCluster = maxCluster)
+        .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(keptSet(None) == Set(0L, 1L, 4L))
+    // cap = 1: only the smallest id per cluster dominates, so 6 (whose
+    // only dominator was 4) survives while 2/3/5 still fall to the seeds
+    assert(keptSet(Some(1)) == Set(0L, 1L, 4L, 6L))
+
+    // trained-centroid path: every cluster's smallest id must be kept
+    val trained = graft.similarity.SimilaritySearch.kmeansCentroids(
+      e, col("vec_id"), col("embedding"), k = 2, iters = 2)
+    val out = Dedup.semanticDedup(e, col("vec_id"), col("embedding"),
+      trained, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 7)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3, s"cluster min id must be kept: ${rows.toSeq}")
+    }
+  }
+
   test("minhashCandidates maxBucket caps the hot-bucket pair blow-up") {
     import graft.dedup.Dedup
     // adversarial corpus: 40 identical docs share every band bucket
