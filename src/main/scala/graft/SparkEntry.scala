@@ -69,7 +69,10 @@ object SparkEntry {
     ("q53_tail_read",
       (s, d) => graft.streaming.StreamingQueries.tailReadDocuments(s, d),
       Some("""
-      SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")))
+      SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")),
+    ("q56_streaming_perplexity",
+      (s, d) => graft.streaming.StreamingQueries.perplexityScoring(s, d),
+      Some(sharedOracle("p45_perplexity"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -118,5 +121,5 @@ object SparkEntry {
     "q22_session_window", "q28_retry_fixpoint",
     "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
     "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection",
-    "p32_sequence_pack", "p34_ann_ivfpq")
+    "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity")
 }

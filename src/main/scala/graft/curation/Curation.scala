@@ -163,4 +163,36 @@ object Curation {
     }
     expr
   }
+
+  /** Exactly-k deterministic sample per group — the distributed
+    * reservoir: keep each group's `k` smallest md5 dice rolls.
+    * Complements [[stratifiedSample]] (rate-based, count varies with
+    * group size) when the contract is a fixed quota per stratum — eval
+    * set carving, per-language probe sets, balanced audits.
+    *
+    * Scale shape: ranking reuses the ANN ladder's two-phase bounded
+    * top-k ([[graft.similarity.SimilaritySearch.rankTopK]] /
+    * `Aggregators.TopK`): every scan partition reduces to a ≤k buffer
+    * per group map-side and the shuffle moves one bounded buffer per
+    * (group, partition) — NO per-group global sort, so a group with a
+    * billion rows costs the same shuffle as one with a thousand. A
+    * `row_number` window form would funnel each group into one task.
+    *
+    * Determinism across engines: the roll is the first 13 hex chars of
+    * `md5(key)` read as a 52-bit integer — exactly representable in the
+    * aggregator's double score, so Spark's (score, id) order is
+    * bit-identical to SQL `ORDER BY substr(md5(key), 1, 13), key`.
+    *
+    * Output: (group, key, rank) with rank 1..k by roll order.
+    */
+  def sampleExactPerGroup(df: DataFrame, group: Column, key: Column,
+                          k: Int): DataFrame = {
+    val roll = conv(substring(md5(key.cast("long").cast("string")), 1, 13),
+      16, 10).cast("double")
+    val scored = df.select(group.as("query_id"),
+      key.cast("long").as("neighbor_id"), (lit(0d) - roll).as("cos"))
+    graft.similarity.SimilaritySearch.rankTopK(scored, k)
+      .select(col("query_id").as("group"), col("neighbor_id").as("key"),
+        col("rank"))
+  }
 }

@@ -138,5 +138,8 @@ object Implicits {
 
     def bigramPerplexity(id: Column, text: Column): DataFrame =
       graft.text.CorpusOps.bigramPerplexity(df, id, text)
+
+    def sampleExactPerGroup(group: Column, key: Column, k: Int): DataFrame =
+      graft.curation.Curation.sampleExactPerGroup(df, group, key, k)
   }
 }

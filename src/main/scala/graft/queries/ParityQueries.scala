@@ -254,6 +254,61 @@ object ParityQueries {
                           + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 100 AS BIGINT)
                       AS off FROM w)
       SELECT event_id, user_id, event_type FROM o
-      WHERE pos = off ORDER BY event_id"""})
+      WHERE pos = off ORDER BY event_id"""}),
+
+    // ZipInputStreamSource — ZipInputStreamSource.scala:49: the zip
+    // extraction path under the oracle gate (the q53 pattern applied to
+    // the second readable source). Fixture: documents sharded into 4
+    // archives by doc_id % 4, shard 3 riding INSIDE a nested inner.zip
+    // (exercises the recursion); entries chunked at 256 B and
+    // reassembled with an in-plan fold, so chunk offsets, ordering, and
+    // every extracted byte are hash-checked against an independent md5
+    // recompute in DuckDB.
+    ("q55_zip_read", (s, d) => {
+      val dir = zipFixture(s, d)
+      graft.sources.ZipSource.read(s, s"$dir/archive_*.zip", chunkSize = 256)
+        .groupBy(col("archive"), col("entry"), col("nested"))
+        .agg(array_sort(collect_list(struct(col("chunkOffset"), col("data")))).as("cs"))
+        .select(col("entry").cast("long").as("doc_id"),
+          md5(aggregate(col("cs"), lit(Array.emptyByteArray),
+            (acc, x) => concat(acc, x.getField("data")))).as("text_md5"),
+          col("nested"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, md5(text) AS text_md5, (doc_id % 4 = 3) AS nested
+      FROM documents ORDER BY doc_id"""))
   )
+
+  /** q55's fixture: the documents table re-materialized as zip archives
+    * (driver-side test scaffolding, bounded by the verify-scale corpus —
+    * NOT part of the operator under test). Shards 0-2 are plain
+    * archives; shard 3's entries live inside a nested inner.zip.
+    */
+  private def zipFixture(s: SparkSession, d: String): String = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_zip_${Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (shard <- 0 until 4) {
+      val zos = new ZipOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve(s"archive_$shard.zip")))
+      val mine = docs.filter(_._1 % 4 == shard)
+      def write(z: ZipOutputStream): Unit = mine.foreach { case (id, text) =>
+        z.putNextEntry(new ZipEntry(id.toString))
+        z.write(text.getBytes("UTF-8")); z.closeEntry()
+      }
+      if (shard == 3) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val inner = new ZipOutputStream(bos)
+        write(inner); inner.close()
+        zos.putNextEntry(new ZipEntry("inner.zip"))
+        zos.write(bos.toByteArray); zos.closeEntry()
+      } else write(zos)
+      zos.close()
+    }
+    dir.toString
+  }
 }

@@ -1309,7 +1309,25 @@ object PipelineQueries {
       SELECT doc_id, count(*) AS n_bigrams,
              round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
              round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
-      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+      FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // Exactly-k deterministic sample per group — distributed reservoir
+    // via the ANN ladder's two-phase bounded top-k (k smallest md5 dice
+    // rolls per group; no per-group global sort). The 13-hex-char roll
+    // is a 52-bit integer, exactly representable in the aggregator's
+    // double score, so Spark's order is bit-identical to the oracle's
+    // ORDER BY substr(md5(key), 1, 13).
+    ("p46_sample_exact_k", (s, d) => {
+      graft.curation.Curation.sampleExactPerGroup(
+          Tables.documents(s, d), col("lang"), col("doc_id"), k = 25)
+        .orderBy(col("group"), col("rank"))
+    }, Some("""
+      SELECT lang AS "group", doc_id AS "key", rn AS rank FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 25 ORDER BY "group", rank"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

@@ -315,6 +315,25 @@ object StreamingQueries {
     runToMemory(parsed, mode = "append").orderBy(col("doc_id"))
   }
 
+  /** p45's perplexity scoring on the streaming engine — the model-
+    * artifact deployment shape: the bigram LM is trained BATCH-side on
+    * the corpus snapshot ([[graft.text.CorpusOps.bigramLm]], three
+    * static count DataFrames), and the document stream scores against
+    * it via stream-static joins. Bigram formation is the same shared
+    * [[graft.text.CorpusOps.bigramRows]] projection (map-side, in the
+    * scan stage), so streaming scores are batch-identical by
+    * construction; streaming state is the per-doc (count, integer
+    * micro-unit sum) pair — order-independent, slice-independent.
+    */
+  def perplexityScoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val lm = CorpusOps.bigramLm(
+      graft.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val bg = CorpusOps.bigramRows(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"))
+    runToMemory(CorpusOps.scoreBigrams(bg, lm)).orderBy(col("doc_id"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:

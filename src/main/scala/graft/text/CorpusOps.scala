@@ -234,32 +234,62 @@ object CorpusOps {
     * (doc_id, n_bigrams, nll, ppl), nll = round(Σ_micro / n / 1e6, 6),
     * ppl = round(exp(nll), 3).
     */
-  def bigramPerplexity(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+  def bigramPerplexity(docs: DataFrame, id: Column, text: Column): DataFrame =
+    scoreBigrams(bigramRows(docs, id, text), bigramLm(docs, id, text))
+
+  /** The trained model artifact: bigram counts, unigram counts, and the
+    * vocabulary size, each a DataFrame so the scorer can join them
+    * batch-side or stream-static (the deployment shape: train once on
+    * the corpus snapshot, score forever against the frozen counts).
+    */
+  final case class BigramLm(c12: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  /** Map-side bigram formation: (doc_id, w1, w2) rows from the token
+    * array — a `transform` over indices, no pre-count explode state.
+    * SHARED by the batch scorer and the streaming twin, so their bigram
+    * semantics cannot drift (the chunkRows rule).
+    */
+  private[graft] def bigramRows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bigrams = toks.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val unigrams = toks.select(explode(col("toks")).as("w"))
-    val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
-    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val vocab = unigrams.agg(countDistinct(col("w")).as("vocab"))
-    // -ln P in integer micro-units: one double op chain per DISTINCT
-    // (c12, c1, V) triple, truncated once, then summed exactly
-    val scored = bigrams
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+
+  /** Train the add-one bigram LM: two vocabulary-bounded count
+    * aggregates plus the vocab size (kept as a one-row DataFrame — no
+    * driver collect).
+    */
+  private[graft] def bigramLm(docs: DataFrame, id: Column, text: Column): BigramLm = {
+    val unigrams = docs.select(TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(col("toks")).as("w"))
+    BigramLm(
+      c12 = bigramRows(docs, id, text)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1")),
+      vocab = unigrams.agg(countDistinct(col("w")).as("vocab")))
+  }
+
+  /** Score bigram rows against a trained [[BigramLm]] and aggregate per
+    * document. -ln P is computed in integer micro-units (one double op
+    * chain per row, truncated once) so the per-doc sum is an exact,
+    * order-independent integer aggregate — see [[bigramPerplexity]].
+    */
+  private[graft] def scoreBigrams(bigrams: DataFrame, lm: BigramLm): DataFrame =
+    bigrams
+      .join(lm.c12, Seq("w1", "w2"))
+      .join(lm.c1, Seq("w1"))
+      .crossJoin(broadcast(lm.vocab))
       .select(col("doc_id"),
         round(-log((col("c12") + 1).cast("double") /
           (col("c1") + col("vocab")).cast("double")) * 1e6, 0)
           .cast("long").as("nll_micro"))
-    scored.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
-  }
 }

@@ -39,7 +39,7 @@ object PlanAudit {
       "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation",
       "q44_streaming_session", "q48_streaming_chunk_election",
       "q50_streaming_heavy_hitters", "q51_streaming_ann",
-      "q52_streaming_sample", "q53_tail_read")
+      "q52_streaming_sample", "q53_tail_read", "q56_streaming_perplexity")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

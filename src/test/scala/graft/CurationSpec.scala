@@ -8,6 +8,29 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("sampleExactPerGroup draws exactly k per group, reservoir-stable") {
+    val rows = (1L to 30L).map(i => (i, "a")) ++ (31L to 40L).map(i => (i, "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Curation.sampleExactPerGroup(df, col("lang"), col("doc_id"), k = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly min(k, |group|) rows per group, ranks dense from 1
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("a").length == 25 && byGroup("b").length == 10)
+    byGroup.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length))
+    }
+    // reservoir property: dropping rows the sample did NOT pick leaves
+    // the sample unchanged (hash order is global, not corpus-relative)
+    val picked = out.filter(_._1 == "a").map(_._2).toSet
+    val dropped = (1L to 30L).filterNot(picked).take(5).toSet
+    val again = Curation.sampleExactPerGroup(
+        df.filter(!col("doc_id").isin(dropped.toSeq: _*)),
+        col("lang"), col("doc_id"), k = 25)
+      .filter(col("group") === "a")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.filter(_._1 == "a").map(t => (t._2, t._3)).toSet)
+  }
+
   test("stratifiedSample is deterministic and tracks per-stratum rates") {
     val rows = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")

@@ -253,6 +253,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  test("streaming perplexity scoring equals the batch plan (q56 vs p45)") {
+    val viaStream = graft.streaming.StreamingQueries.perplexityScoring(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p45_perplexity")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("tail-read of the documents fixture round-trips every byte (q53)") {
     import org.apache.spark.sql.functions.{col, md5}
     val viaTail = graft.streaming.StreamingQueries.tailReadDocuments(spark, TestSpark.sf)
