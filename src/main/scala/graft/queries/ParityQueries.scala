@@ -276,8 +276,59 @@ object ParityQueries {
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, md5(text) AS text_md5, (doc_id % 4 = 3) AS nested
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // DirectoryChanges — DirectoryChanges.java:60: the directory-diff
+    // source under the oracle gate. The snapshot diff must report each
+    // fixture shard exactly once as a Creation; the event's path then
+    // keys a binaryFile join and the file bytes are digest-compared
+    // against DuckDB's ordered string_agg recompute — so both the
+    // change detection AND the bytes it points at are hash-checked.
+    ("q57_dirwatch_read", (s, d) => {
+      val dir = dirFixture(s, d)
+      val events = s.readStream.format("graft.sources.DirectoryChangesSource")
+        .option("path", dir).load()
+      val created = graft.streaming.StreamingQueries
+        .runToMemory(events, mode = "append")
+        .select(col("path"), col("change"))
+      val files = s.read.format("binaryFile").load(s"$dir/shard_*.txt")
+        .select(regexp_replace(col("path"), "^file:", "").as("fpath"),
+          md5(col("content")).as("file_md5"))
+      created.join(files, col("fpath") === col("path"))
+        .select(regexp_extract(col("path"), "shard_(\\d+)\\.txt", 1)
+          .cast("long").as("shard"), col("change"), col("file_md5"))
+        .orderBy(col("shard"))
+    }, Some("""
+      WITH l AS (SELECT doc_id % 64 AS shard, doc_id,
+                        doc_id || ',' || md5(text) || chr(10) AS line
+                 FROM documents)
+      SELECT shard, 'Creation' AS change,
+             md5(string_agg(line, '' ORDER BY doc_id)) AS file_md5
+      FROM l GROUP BY shard ORDER BY shard"""))
   )
+
+  /** q57's fixture dir: documents sharded into 64 files
+    * (`shard_<n>.txt`, n = doc_id % 64), each a sorted run of
+    * `doc_id,md5(text)\n` lines. Cleaned and rewritten per call so the
+    * directory diff sees exactly these files.
+    */
+  private def dirFixture(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_watch_${Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    val old = java.nio.file.Files.list(dir)
+    try old.forEach(p => java.nio.file.Files.delete(p)) finally old.close()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._1 % 64).foreach { case (shard, rows) =>
+      val content = rows.sortBy(_._1)
+        .map { case (id, h) => s"$id,$h\n" }.mkString
+      java.nio.file.Files.write(dir.resolve(s"shard_$shard.txt"),
+        content.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
 
   /** q55's fixture: the documents table re-materialized as zip archives
     * (driver-side test scaffolding, bounded by the verify-scale corpus —

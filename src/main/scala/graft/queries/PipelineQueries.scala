@@ -1327,7 +1327,81 @@ object PipelineQueries {
                row_number() OVER (PARTITION BY lang
                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
         FROM documents) t
-      WHERE rn <= 25 ORDER BY "group", rank"""))
+      WHERE rn <= 25 ORDER BY "group", rank""")),
+
+    // End-to-end curation v2 — the round-4 vocabulary composed in ONE
+    // declarative plan (Catalyst optimizes the whole pipeline; the
+    // oracle recomputes every stage): MinHash-LSH fuzzy dedup (corpus-
+    // wide candidates + Jaccard verify) ∩ bigram-LM perplexity gate
+    // (nll ≤ 3.41 ≈ corpus median — LM trained on the FULL corpus, the
+    // CCNet shape) → exactly-15-per-language reservoir quota.
+    ("p47_corpus_build2", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val surv = Dedup.fuzzyDedup(docs, col("doc_id"), col("text"),
+        threshold = 0.5, shingleN = 3, numBands = 4, rowsPerBand = 2)
+      val ppl = graft.text.CorpusOps.bigramPerplexity(
+        docs, col("doc_id"), col("text"))
+      val gated = surv.join(
+        ppl.filter(col("nll") <= 3.41).select("doc_id"), "doc_id")
+      graft.curation.Curation.sampleExactPerGroup(
+          gated, col("lang"), col("doc_id"), k = 15)
+        .orderBy(col("group"), col("rank"))
+    }, Some(s"""
+      WITH sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
+                   WHERE len($sqlShingles) >= 1),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(0, 7),
+                 i -> list_min(list_transform(shingles,
+                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh0),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+                 b -> CAST(b AS VARCHAR) || '|' ||
+                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
+        FROM sig),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      inter AS (SELECT id_a, id_b, count(*) AS n_inter
+                FROM cand JOIN shd sa ON id_a = sa.doc_id
+                          JOIN shd sb ON id_b = sb.doc_id AND sa.sh = sb.sh
+                GROUP BY 1, 2),
+      ver AS (SELECT c.id_a, c.id_b,
+                round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+                      CAST(na.n_sh + nb.n_sh - coalesce(n_inter, 0) AS DOUBLE), 6) AS j
+              FROM cand c
+              LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+              JOIN sizes na ON c.id_a = na.doc_id
+              JOIN sizes nb ON c.id_b = nb.doc_id),
+      dropids AS (SELECT DISTINCT id_b FROM ver WHERE j >= 0.5),
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bgr AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t2)),
+      u1 AS (SELECT unnest(toks) AS w FROM t2),
+      c1 AS (SELECT w AS w1, count(*) AS c1 FROM u1 GROUP BY 1),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY 1, 2),
+      v AS (SELECT count(DISTINCT w) AS vocab FROM u1),
+      sc AS (SELECT doc_id,
+               CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) /
+                 CAST(c1.c1 + vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS nll_micro
+             FROM bgr JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+      nll AS (SELECT doc_id, round(sum(nll_micro) / count(*) / 1e6, 6) AS nll
+              FROM sc GROUP BY 1),
+      keep AS (SELECT doc_id, lang FROM documents
+               WHERE doc_id NOT IN (SELECT id_b FROM dropids)
+                 AND doc_id IN (SELECT doc_id FROM nll WHERE nll.nll <= 3.41)),
+      r AS (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+            FROM keep)
+      SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
+      WHERE rn <= 15 ORDER BY "group", rank"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

@@ -22,6 +22,8 @@ import org.apache.spark.sql.SparkSession
   *    quadratic pass itself is an equi-join on centroid_id.
   *  - p45 NestedLoop: the one-row vocab-size scalar rides a broadcast
   *    cross join (BuildRight of a single row).
+  *  - p47 NestedLoop: inherits p45's one-row vocab cross join (the
+  *    perplexity gate inside the composed pipeline).
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.
@@ -39,7 +41,8 @@ object PlanAudit {
       "q37_stream_stream_join", "q22_session_window", "p26_streaming_curation",
       "q44_streaming_session", "q48_streaming_chunk_election",
       "q50_streaming_heavy_hitters", "q51_streaming_ann",
-      "q52_streaming_sample", "q53_tail_read", "q56_streaming_perplexity")
+      "q52_streaming_sample", "q53_tail_read", "q56_streaming_perplexity",
+      "q57_dirwatch_read")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

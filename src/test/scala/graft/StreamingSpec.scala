@@ -168,6 +168,24 @@ class StreamingSpec extends AnyFunSuite {
         assert(mem.containsKey("rocksdbSstFileSize") || mem.containsKey("rocksdbTotalMemoryUsage"),
           s"no rocksdb metrics: ${mem.keySet()}")
       } finally q.stop()
+
+      // the any-band LSH state (List-valued buffer) on RocksDB too
+      import java.sql.Timestamp
+      import graft.streaming.StatefulOps.{BandedDoc, BandMatch}
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      val bin = MemoryStream[BandedDoc]
+      val banded = bin.toDS().withWatermark("ts", "1 hour").as[BandedDoc]
+      val bq = StatefulOps.lshBandMatches(banded, horizonMs = 3600000L)
+        .writeStream.format("memory").queryName("band_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        bin.addData(BandedDoc("r1", 1, t))
+        bq.processAllAvailable()
+        bin.addData(BandedDoc("r1", 2, t))
+        bq.processAllAvailable()
+        assert(spark.table("band_rocks").as[BandMatch].collect().toSet ==
+          Set(BandMatch("r1", 1, 2)))
+      } finally bq.stop()
     } finally graft.streaming.StreamingConfig.defaultState(spark)
   }
 
