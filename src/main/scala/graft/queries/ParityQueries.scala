@@ -304,7 +304,38 @@ object ParityQueries {
                  FROM documents)
       SELECT shard, 'Creation' AS change,
              md5(string_agg(line, '' ORDER BY doc_id)) AS file_md5
-      FROM l GROUP BY shard ORDER BY shard"""))
+      FROM l GROUP BY shard ORDER BY shard""")),
+
+    // PagedSource — PagedSource.scala:40: the keyed page walk under the
+    // oracle gate (completes source-oracle coverage: every readable
+    // DSv2 source is now hash-checked). A fetcher pages the documents
+    // table 50-at-a-time in doc_id order; the stream walks page keys
+    // one admission-controlled trigger at a time, and the oracle pins
+    // BOTH the items and which page each landed on — a skipped,
+    // repeated, or re-ordered page breaks the match.
+    ("q58_paged_read", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val pages = docs.grouped(50).toVector
+      val fname = s"verify_docs_${Integer.toHexString(d.hashCode)}"
+      graft.sources.PagedSource.register(fname, k => {
+        val i = k.toInt
+        graft.sources.PagedSource.Page(
+          pages(i).map { case (id, h) => s"$id,$h" },
+          if (i + 1 < pages.length) Some(i + 1L) else None)
+      })
+      val stream = s.readStream.format("graft.sources.PagedSource")
+        .option("fetcher", fname).load()
+      graft.streaming.StreamingQueries.runToMemoryPolling(stream)
+        .select(col("page_key"),
+          split(col("item"), ",").getItem(0).cast("long").as("doc_id"),
+          split(col("item"), ",").getItem(1).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 50 AS BIGINT) AS page_key,
+             doc_id, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** q57's fixture dir: documents sharded into 64 files

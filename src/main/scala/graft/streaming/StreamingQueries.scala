@@ -68,6 +68,20 @@ object StreamingQueries {
     agg.sparkSession.table(name)
   }
 
+  /** Like [[runToMemory]] but drives the query with a short
+    * processing-time trigger until `processAllAvailable` reports no
+    * further progress — for sources that advance one admission-
+    * controlled step per trigger (PagedSource's page walk), where
+    * AvailableNow's single offset snapshot would stop after one step.
+    */
+  def runToMemoryPolling(df: DataFrame, mode: String = "append"): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.ProcessingTime(10)).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** q21's tumbling-window aggregation, executed via Structured
     * Streaming. Oracle: identical SQL to q21.
     */
