@@ -215,6 +215,76 @@ object StatefulOps {
       }
   }
 
+  /** A vector already assigned to its nearest centroid (assignment is a
+    * stateless map-side step — see
+    * [[StreamingQueries.semanticStreamingDedup]]).
+    */
+  case class AssignedVec(centroidId: Long, vecId: Long, vec: Array[Double],
+                         ts: java.sql.Timestamp)
+
+  /** Per-vector verdict: kept, or dropped as a duplicate of `dupOf`
+    * (-1 when kept).
+    */
+  case class SemanticVerdict(vecId: Long, centroidId: Long, kept: Boolean,
+                             dupOf: Long)
+
+  case class SeenVec(id: Long, v: Array[Double])
+
+  case class ClusterState(seen: List[SeenVec])
+
+  /** Streaming SemDeDup — the online form of
+    * [[graft.dedup.Dedup.semanticDedup]]: state per centroid holds the
+    * cluster's KEPT representatives (the live dedup index); an arriving
+    * vector is dropped when its cosine to any held representative
+    * reaches `threshold` (first-arrival-wins, the online analog of the
+    * batch min-id election — identical results when arrival order is id
+    * order). Cosines compare at round-half-up 6 dp, the batch
+    * operator's boundary rule.
+    *
+    * State boundedness: ≤ `maxPerCluster` representatives per centroid
+    * (beyond the cap a vector is still judged against the held set but
+    * not added — the [[lshBandMatches]] cap rule); no eviction, because
+    * the representative set IS the product (dedup coverage would decay
+    * with a horizon). At 100 TB the memory bound is
+    * k · maxPerCluster · dim doubles across the state store's
+    * partitions — sized by the same k that bounds the batch operator's
+    * quadratic pass.
+    */
+  def semanticStreamingDedup(ds: Dataset[AssignedVec], threshold: Double,
+                             maxPerCluster: Int = 1024): Dataset[SemanticVerdict] = {
+    implicit val outEnc: Encoder[SemanticVerdict] = Encoders.product[SemanticVerdict]
+    implicit val stEnc: Encoder[ClusterState] = Encoders.product[ClusterState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.centroidId)
+      .flatMapGroupsWithState[ClusterState, SemanticVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var seen = state.getOption.map(_.seen).getOrElse(Nil)
+        val out = Seq.newBuilder[SemanticVerdict]
+        it.toSeq.sortBy(a => (a.ts.getTime, a.vecId)).foreach { a =>
+          seen.find(s => cos6(s.v, a.vec) >= threshold) match {
+            case Some(dom) =>
+              out += SemanticVerdict(a.vecId, key, kept = false, dupOf = dom.id)
+            case None =>
+              out += SemanticVerdict(a.vecId, key, kept = true, dupOf = -1L)
+              if (seen.size < maxPerCluster) seen = seen :+ SeenVec(a.vecId, a.vec)
+          }
+        }
+        if (seen.nonEmpty) state.update(ClusterState(seen))
+        out.result().iterator
+      }
+  }
+
+  /** Cosine at round-half-up 6 dp — the comparison rule of the batch
+    * operator's `round(cosine(v, w), 6)`.
+    */
+  private[streaming] def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Streaming LastElement (`LastElement.scala:22,39`): per key, keep the
     * latest element by `seq`; emits the current last on every batch
     * (update-mode analog of the materialized `Future[Option[A]]`).

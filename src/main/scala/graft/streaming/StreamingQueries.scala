@@ -183,6 +183,44 @@ object StreamingQueries {
     StatefulOps.lshBandMatches(banded, horizonMs, maxPerBand)
   }
 
+  /** Streaming SemDeDup end-to-end: nearest-centroid assignment runs
+    * MAP-SIDE against the collected centroid artifact (broadcast-sized
+    * by k, same argmax rule as the batch coarse assign: highest
+    * round(cos, 6), tie → smallest centroid_id), and the per-cluster
+    * first-wins election is [[StatefulOps.semanticStreamingDedup]]'s
+    * bounded state. `centroids`: (centroid_id, centv) — kmeans output
+    * or a fixed seed set, frozen at query start (the model-artifact
+    * deployment shape, like [[perplexityScoring]]).
+    */
+  def semanticStreamingDedup(vectors: DataFrame, id: org.apache.spark.sql.Column,
+                             vec: org.apache.spark.sql.Column,
+                             ts: org.apache.spark.sql.Column,
+                             centroids: DataFrame, threshold: Double,
+                             maxPerCluster: Int = 1024): org.apache.spark.sql.Dataset[StatefulOps.SemanticVerdict] = {
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val typed = vectors.select(id.cast("long").as("_1"),
+        vec.cast("array<double>").as("_2"), ts.cast("timestamp").as("_3"))
+      .as[(Long, Array[Double], java.sql.Timestamp)]
+    val assigned = typed.map { case (i, v, t) =>
+      // cents is sorted by centroid_id, so strict > keeps the SMALLEST
+      // id on a 6-dp tie — the batch packed-argmax rule
+      var best = -1L
+      var bestCos = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val c = StatefulOps.cos6(cv, v)
+        if (c > bestCos) { best = cid; bestCos = c }
+      }
+      StatefulOps.AssignedVec(best, i, v, t)
+    }
+    StatefulOps.semanticStreamingDedup(assigned, threshold, maxPerCluster)
+  }
+
   /** p01's exact-dedup grouping, executed via Structured Streaming. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions

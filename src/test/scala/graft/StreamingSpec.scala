@@ -121,6 +121,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup matches the batch election across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.SemanticVerdict
+    // the OperatorsSpec semanticDedup fixture, fed in id order across
+    // two batches — first-wins then equals the batch min-id election
+    val vecs = Map(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0), 2L -> Array(0.95, 0.05),
+      3L -> Array(0.1, 0.9), 4L -> Array(0.6, 0.8), 5L -> Array(0.05, 0.95),
+      6L -> Array(0.7, 0.714))
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "centv")
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Array[Double], Timestamp)]
+    val df = input.toDF().toDF("vec_id", "embedding", "ts")
+    val out = graft.streaming.StreamingQueries.semanticStreamingDedup(
+      df, col("vec_id"), col("embedding"), col("ts"), cents, threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("sem_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L to 3L).map(i => (i, vecs(i), t)): _*)
+      q.processAllAvailable()
+      input.addData((4L to 6L).map(i => (i, vecs(i), t)): _*)
+      q.processAllAvailable()
+      val got = spark.table("sem_stream").as[SemanticVerdict].collect()
+        .map(v => v.vecId -> ((v.kept, v.dupOf))).toMap
+      assert(got.filter(_._2._1).keySet == Set(0L, 1L, 4L)) // batch kept set
+      assert(got(2L)._2 == 0L && got(3L)._2 == 1L &&
+        got(5L)._2 == 1L && got(6L)._2 == 4L)
+    } finally q.stop()
+  }
+
   test("minhashStreamingCandidates surfaces cross-batch near-dups end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
