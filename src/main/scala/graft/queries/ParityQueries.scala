@@ -321,7 +321,8 @@ object ParityQueries {
       val fname = s"verify_docs_${Integer.toHexString(d.hashCode)}"
       graft.sources.PagedSource.register(fname, k => {
         val i = k.toInt
-        graft.sources.PagedSource.Page(
+        if (i >= pages.length) graft.sources.PagedSource.Page(Nil, None)
+        else graft.sources.PagedSource.Page(
           pages(i).map { case (id, h) => s"$id,$h" },
           if (i + 1 < pages.length) Some(i + 1L) else None)
       })

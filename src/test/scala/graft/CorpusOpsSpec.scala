@@ -114,5 +114,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val s = CorpusOps.scrub(docs, col("id"), col("text")).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(s(2L).isNullAt(1) && s(2L).getLong(2) == 0)
+    // null text has no bigrams: silently excluded, like < 2 tokens
+    val ppl = CorpusOps.bigramPerplexity(docs, col("id"), col("text"))
+    assert(ppl.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 }

@@ -81,6 +81,18 @@ class PropertySpec extends AnyFunSuite {
     assert(Aggregators.CountMin.estimate(b.cells, "null", 8, 2) == 2L)
   }
 
+  test("13-hex md5 rolls are exactly double-representable (p46 premise)") {
+    // sampleExactPerGroup scores TopK with roll.toDouble; the order is
+    // bit-identical to the SQL oracle ONLY if no roll loses precision
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val v = java.lang.Long.parseLong(hex, 16)
+      v.toDouble.toLong == v
+    })
+  }
+
   test("fingerprint is whitespace- and case-insensitive for random texts") {
     val spark = TestSpark.spark
     import spark.implicits._
