@@ -114,7 +114,9 @@ object Retry {
       if (buffered > lim) throw new IllegalStateException(
         s"Retry.fixpoint: buffered successes $buffered exceed bufferLimit $lim")
     }
-    checkBuffer(done)
+    // round 0's buffer count is a Spark action too — a hung first
+    // attempt must hit the same watchdog as every later round
+    withRoundTimeout(checkBuffer(done))
     var retriedTotal = 0L
     var i = 0
     var drained = false

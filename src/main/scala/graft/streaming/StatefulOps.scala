@@ -201,8 +201,12 @@ object StatefulOps {
             .filter(_.tsMs + horizonMs > wm)
           val out = Seq.newBuilder[BandMatch]
           it.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
-            seen.foreach(s => out += BandMatch(key, s.id, d.docId))
-            if (seen.size < maxPerBand) seen = seen :+ SeenDoc(d.docId, d.ts.getTime)
+            // an at-least-once redelivery (or duplicate input row) must
+            // not self-match or burn a second state slot — mirror the
+            // batch operator's strict id_a < id_b pair rule
+            seen.foreach(s => if (s.id != d.docId) out += BandMatch(key, s.id, d.docId))
+            if (seen.size < maxPerBand && !seen.exists(_.id == d.docId))
+              seen = seen :+ SeenDoc(d.docId, d.ts.getTime)
           }
           if (seen.nonEmpty) {
             state.update(BandState(seen))
@@ -261,7 +265,11 @@ object StatefulOps {
         var seen = state.getOption.map(_.seen).getOrElse(Nil)
         val out = Seq.newBuilder[SemanticVerdict]
         it.toSeq.sortBy(a => (a.ts.getTime, a.vecId)).foreach { a =>
-          seen.find(s => cos6(s.v, a.vec) >= threshold) match {
+          if (seen.exists(_.id == a.vecId)) {
+            // at-least-once redelivery of a kept representative: re-emit
+            // its verdict idempotently, never mark it a dup of itself
+            out += SemanticVerdict(a.vecId, key, kept = true, dupOf = -1L)
+          } else seen.find(s => cos6(s.v, a.vec) >= threshold) match {
             case Some(dom) =>
               out += SemanticVerdict(a.vecId, key, kept = false, dupOf = dom.id)
             case None =>

@@ -277,15 +277,22 @@ object CorpusOps {
     * document. -ln P is computed in integer micro-units (one double op
     * chain per row, truncated once) so the per-doc sum is an exact,
     * order-independent integer aggregate — see [[bigramPerplexity]].
+    *
+    * The count joins are LEFT joins with 0-coalesce: a bigram (or a w1
+    * context) the frozen LM never saw scores at its add-one-smoothed
+    * probability (c12=0 → P = 1/(c1+V); w1 also unseen → P = 1/V) —
+    * unseen text scores HIGH perplexity, which is what the filter
+    * exists to catch. When scoring the training corpus itself every
+    * count is present, so the self-corpus oracles are unaffected.
     */
   private[graft] def scoreBigrams(bigrams: DataFrame, lm: BigramLm): DataFrame =
     bigrams
-      .join(lm.c12, Seq("w1", "w2"))
-      .join(lm.c1, Seq("w1"))
+      .join(lm.c12, Seq("w1", "w2"), "left")
+      .join(lm.c1, Seq("w1"), "left")
       .crossJoin(broadcast(lm.vocab))
       .select(col("doc_id"),
-        round(-log((col("c12") + 1).cast("double") /
-          (col("c1") + col("vocab")).cast("double")) * 1e6, 0)
+        round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")) * 1e6, 0)
           .cast("long").as("nll_micro"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("s"))

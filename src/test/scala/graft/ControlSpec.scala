@@ -210,6 +210,24 @@ class ControlSpec extends AnyFunSuite {
       roundTimeoutMs = Some(30000L)).count() == 3)
   }
 
+  test("Retry.fixpoint watchdog also covers the round-0 buffer count") {
+    import graft.operators.Retry
+    val input = Seq(1, 2, 3).toDF("id")
+    // attempt 0 itself hangs; with bufferLimit set, the first Spark
+    // action is the round-0 checkBuffer count — it must run under the
+    // same deadline as every later round
+    val stall = udf { (_: Int) => { Thread.sleep(30000L); null.asInstanceOf[String] } }
+    val attempt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("value", col("id")).withColumn("error", stall(col("attempt")))
+    val t0 = System.nanoTime()
+    val ex = intercept[IllegalStateException] {
+      Retry.fixpoint(input, attempt, identity, maxRetries = 3,
+        bufferLimit = Some(100L), roundTimeoutMs = Some(2000L))
+    }
+    assert(ex.getMessage.contains("roundTimeoutMs"))
+    assert((System.nanoTime() - t0) / 1000000L < 25000L)
+  }
+
   test("observe metrics + TimingListener capture counts and wall time") {
     val listener = Timed.withTimingListener(spark)
     val df = Timed.observed(Seq(1, 2, 3).toDF("i"), "m",

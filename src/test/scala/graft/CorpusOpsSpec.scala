@@ -101,6 +101,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1L)._1 == 3L && out(1L)._2 == 0.790665)
   }
 
+  test("frozen-LM scoring add-one-smooths unseen bigrams and contexts") {
+    // LM trained on {a b, x y}: c1 = {a:1, b:1, x:1, y:1}, V = 4
+    val train = Seq((1L, "a b"), (2L, "x y")).toDF("id", "text")
+    val lm = CorpusOps.bigramLm(train, col("id"), col("text"))
+    // new docs: (a,q) unseen bigram, seen context a -> P = 1/(1+4);
+    //           (z,q) unseen context -> P = 1/(0+4)
+    val fresh = Seq((10L, "a q"), (11L, "z q")).toDF("id", "text")
+    val out = CorpusOps.scoreBigrams(
+        CorpusOps.bigramRows(fresh, col("id"), col("text")), lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(10L) == ((1L, 1.609438))) // -ln(1/5), micro-truncated
+    assert(out(11L) == ((1L, 1.386294))) // -ln(1/4)
+  }
+
   test("all operators tolerate null text") {
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     val rep = CorpusOps.repetitionStats(docs, col("id"), col("text"))

@@ -98,6 +98,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming any-band LSH is redelivery-safe: no self-match, no burnt slot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.{BandedDoc, BandMatch}
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[BandedDoc]
+    val banded = input.toDS().withWatermark("ts", "1 hour").as[BandedDoc]
+    val out = StatefulOps.lshBandMatches(banded, horizonMs = 3600000L, maxPerBand = 2)
+    val q = out.writeStream.format("memory").queryName("band_redeliver")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(BandedDoc("d1", 1, t))
+      q.processAllAvailable()
+      // at-least-once redelivery of doc 1: no BandMatch(d1, 1, 1), and
+      // the duplicate must not burn the second maxPerBand slot
+      input.addData(BandedDoc("d1", 1, t))
+      q.processAllAvailable()
+      assert(spark.table("band_redeliver").as[BandMatch].collect().isEmpty)
+      input.addData(BandedDoc("d1", 2, t))
+      q.processAllAvailable()
+      input.addData(BandedDoc("d1", 3, t)) // slot 2 went to doc 2, not the dup
+      q.processAllAvailable()
+      assert(spark.table("band_redeliver").as[BandMatch].collect().toSet ==
+        Set(BandMatch("d1", 1, 2), BandMatch("d1", 1, 3), BandMatch("d1", 2, 3)))
+    } finally q.stop()
+  }
+
   test("streaming any-band LSH evicts band state past the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -151,6 +179,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.filter(_._2._1).keySet == Set(0L, 1L, 4L)) // batch kept set
       assert(got(2L)._2 == 0L && got(3L)._2 == 1L &&
         got(5L)._2 == 1L && got(6L)._2 == 4L)
+      // redelivery of kept vec 0: re-emitted kept, never a dup of itself
+      input.addData((0L, vecs(0L), t))
+      q.processAllAvailable()
+      val redelivered = spark.table("sem_stream").as[SemanticVerdict].collect()
+        .filter(_.vecId == 0L)
+      assert(redelivered.length == 2 && redelivered.forall(v => v.kept && v.dupOf == -1L))
     } finally q.stop()
   }
 
