@@ -266,11 +266,14 @@ object CorpusOps {
     val unigrams = docs.select(TextFunctions.tokens(text).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(col("toks")).as("w"))
+    val c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     BigramLm(
       c12 = bigramRows(docs, id, text)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
-      c1 = unigrams.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1")),
-      vocab = unigrams.agg(countDistinct(col("w")).as("vocab")))
+      c1 = c1,
+      // |vocab| = number of distinct unigrams = c1's row count — a tiny
+      // agg over the count table instead of a second corpus scan
+      vocab = c1.agg(count(lit(1)).as("vocab")))
   }
 
   /** Score bigram rows against a trained [[BigramLm]] and aggregate per
