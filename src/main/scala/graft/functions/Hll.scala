@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HyperLogLog distinct counting — the cardinality sketch
+  * beside [[Aggregators.CountMin]]'s frequency sketch (Flajolet et al.
+  * 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+  * estimation algorithm").
+  *
+  * Spark-first: the sketch IS a groupBy — register index and rank are
+  * pure codegen projections of `md5(key)` (no UDAF, no custom state),
+  * `max(rank)` per (group, register) is an ordinary partial-aggregating
+  * HashAggregate, and the estimate folds the dense register array with
+  * a HOF. At 100 TB the shuffle moves at most `groups × m` register
+  * rows — the map-side max has already collapsed everything else.
+  *
+  * Engine-reproducible by construction (unlike the engine-private
+  * `approx_count_distinct` HLL++): the hash is the first 60 bits of
+  * md5, the rank is `remBits + 1 - length(bin(rem))` — string-exact
+  * integer arithmetic any SQL engine can replay, so the DuckDB oracle
+  * rebuilds the registers bit-for-bit (the CountMin oracle rule).
+  *
+  * `p` index bits → m = 2^p registers (default 6 → 64 registers,
+  * ~13% standard error); the remaining 60−p bits feed the rank. Small-
+  * range correction applies below 2.5·m with empty registers (linear
+  * counting), matching the published estimator.
+  */
+object Hll {
+
+  /** Approximate distinct `key` count per `group`:
+    * (group, approx_distinct, exact-free — pair with a countDistinct
+    * column when auditing accuracy). Estimate rounded to 2 dp.
+    */
+  def distinctPerGroup(df: DataFrame, group: Column, key: Column,
+                       p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val remBits = 60 - p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val rem = h.bitwiseAND(lit((1L << remBits) - 1))
+    val rank = when(rem === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    val regs = df
+      .select(group.as("grp"), shiftright(h, remBits).as("idx"), rank.as("rank"))
+      .groupBy(col("grp"), col("idx")).agg(max(col("rank")).as("r"))
+    // dense m-register array in index order, absent registers = 0 — the
+    // fold order is fixed so the double sum is engine-reproducible
+    val dense = regs.groupBy(col("grp"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("r")))).as("mp"))
+      .select(col("grp"),
+        transform(sequence(lit(0L), lit((m - 1).toLong)),
+          i => coalesce(element_at(col("mp"), i), lit(0))).as("dense"))
+    val s = aggregate(col("dense"), lit(0.0d),
+      (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
+    val zeros = size(filter(col("dense"), r => r === 0)).cast("double")
+    val raw = lit(alpha * m * m) / s
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    dense.select(col("grp").as("group"), round(est, 2).as("approx_distinct"))
+  }
+}

@@ -1401,7 +1401,48 @@ object PipelineQueries {
                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
             FROM keep)
       SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
-      WHERE rn <= 15 ORDER BY "group", rank"""))
+      WHERE rn <= 15 ORDER BY "group", rank""")),
+
+    // Deterministic HyperLogLog — per-language vocabulary cardinality.
+    // The oracle rebuilds the registers bit-for-bit from the same
+    // md5-derived integer arithmetic (60-bit hash, 6-bit index,
+    // length(bin(rem)) rank — string-exact in both engines) and audits
+    // the estimate against the exact distinct count.
+    ("p48_hll_distinct", (s, d) => {
+      import graft.functions.TextFunctions
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val approx = graft.functions.Hll.distinctPerGroup(toks, col("lang"), col("w"))
+      val exact = toks.groupBy(col("lang").as("group"))
+        .agg(countDistinct(col("w")).as("exact_distinct"))
+      approx.join(exact, "group").orderBy(col("group"))
+    }, Some(s"""
+      WITH toks AS (SELECT lang, unnest(${sqlToks("text")}) AS w FROM documents),
+      h AS (SELECT lang, CAST(list_sum(list_transform(generate_series(1, 15),
+              i -> CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)
+                   << (4*(15-i)))) AS BIGINT) AS v
+            FROM toks),
+      r AS (SELECT lang, v >> 54 AS idx,
+              CASE WHEN (v & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                   ELSE 55 - length(bin(v & ((1::BIGINT << 54) - 1))) END AS rank
+            FROM h),
+      regs AS (SELECT lang, idx, max(rank) AS r FROM r GROUP BY 1, 2),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      grid AS (SELECT lang, i FROM langs, unnest(generate_series(0, 63)) AS t(i)),
+      dense AS (SELECT g.lang, g.i, coalesce(regs.r, 0) AS reg
+                FROM grid g LEFT JOIN regs ON g.lang = regs.lang AND g.i = regs.idx),
+      folded AS (SELECT lang,
+                   list_sum(list_transform(list(reg ORDER BY i), x -> 2.0 ** (-x))) AS s,
+                   len(list_filter(list(reg ORDER BY i), x -> x = 0)) AS zeros
+                 FROM dense GROUP BY 1),
+      est AS (SELECT lang, CASE WHEN (0.709 * 64 * 64 / s) <= 160.0 AND zeros > 0
+                                THEN 64.0 * ln(64.0 / zeros)
+                                ELSE 0.709 * 64 * 64 / s END AS e
+              FROM folded),
+      ex AS (SELECT lang, count(DISTINCT w) AS exact_distinct FROM toks GROUP BY 1)
+      SELECT est.lang AS "group", round(e, 2) AS approx_distinct,
+             CAST(exact_distinct AS BIGINT) AS exact_distinct
+      FROM est JOIN ex USING (lang) ORDER BY "group""""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

@@ -9,6 +9,26 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("HLL distinct estimate tracks exact cardinality within 3 sigma") {
+    import graft.functions.Hll
+    // m = 64 registers → standard error ~1.04/sqrt(64) = 13%
+    val rows = Seq(100, 1000, 5000).flatMap(n =>
+      (1 to n).map(i => (s"g$n", s"key_${n}_$i"))) ++
+      (1 to 20).map(i => (s"g20", s"key_20_$i")) // small-range branch
+    val df = rows.toDF("grp", "k")
+    val est = Hll.distinctPerGroup(df, col("grp"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq(20 -> "g20", 100 -> "g100", 1000 -> "g1000", 5000 -> "g5000").foreach {
+      case (n, g) =>
+        val rel = math.abs(est(g) - n) / n
+        assert(rel < 0.4, s"$g: est ${est(g)} vs $n (rel $rel)")
+    }
+    // determinism: same input, same estimate, bit for bit
+    val again = Hll.distinctPerGroup(df, col("grp"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == est)
+  }
+
   test("native CosineSimilarity matches the composed built-in form bitwise") {
     val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
     val a = e.select(col("vec_id"), col("embedding").as("va"))
