@@ -72,7 +72,10 @@ object SparkEntry {
       SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")),
     ("q56_streaming_perplexity",
       (s, d) => graft.streaming.StreamingQueries.perplexityScoring(s, d),
-      Some(sharedOracle("p45_perplexity"))))
+      Some(sharedOracle("p45_perplexity"))),
+    ("q59_streaming_hll",
+      (s, d) => graft.streaming.StreamingQueries.hllDistinct(s, d),
+      Some(sharedOracle("p48_hll_distinct"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

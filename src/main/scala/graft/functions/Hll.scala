@@ -57,12 +57,66 @@ object Hll {
       .select(col("grp"),
         transform(sequence(lit(0L), lit((m - 1).toLong)),
           i => coalesce(element_at(col("mp"), i), lit(0))).as("dense"))
-    val s = aggregate(col("dense"), lit(0.0d),
+    dense.select(col("grp").as("group"),
+      round(estimate(col("dense"), p), 2).as("approx_distinct"))
+  }
+
+  /** The published estimator over a dense m-register array column —
+    * harmonic mean with small-range linear counting. Fold order is the
+    * array order, so the double arithmetic is engine-reproducible.
+    * SHARED by the declarative batch path and the streaming Aggregator
+    * twin, so their estimates cannot drift.
+    */
+  private[graft] def estimate(dense: Column, p: Int): Column = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val s = aggregate(dense, lit(0.0d),
       (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
-    val zeros = size(filter(col("dense"), r => r === 0)).cast("double")
+    val zeros = size(filter(dense, r => r === 0)).cast("double")
     val raw = lit(alpha * m * m) / s
-    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+    when(raw <= lit(2.5 * m) && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
-    dense.select(col("grp").as("group"), round(est, 2).as("approx_distinct"))
+  }
+
+  /** Register buffer for the streaming twin. */
+  case class HllBuf(regs: Seq[Int])
+
+  /** HLL registers as a typed Aggregator — the STREAMING form: one
+    * fixed m-int buffer per group as streaming state (the CountMin q50
+    * state shape), elementwise-max merge so results are independent of
+    * micro-batch slicing and identical to the declarative batch
+    * registers (same md5-derived integer arithmetic, JVM-side).
+    */
+  class RegisterAgg(p: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, HllBuf, HllBuf] {
+    private val m = 1 << p
+    private val remBits = 60 - p
+
+    override def zero: HllBuf = HllBuf(Seq.fill(m)(0))
+    override def reduce(b: HllBuf, key: String): HllBuf = {
+      if (key == null) return b // SQL md5(NULL) -> NULL propagation
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      val idx = (v >>> remBits).toInt
+      val rem = v & ((1L << remBits) - 1)
+      val rank =
+        if (rem == 0L) remBits + 1
+        // length(bin(rem)) = 64 - numberOfLeadingZeros(rem) for rem > 0
+        else remBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rank > b.regs(idx)) HllBuf(b.regs.updated(idx, rank)) else b
+    }
+    override def merge(a: HllBuf, b: HllBuf): HllBuf =
+      HllBuf(a.regs.lazyZip(b.regs).map(math.max))
+    override def finish(r: HllBuf): HllBuf = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[HllBuf] =
+      org.apache.spark.sql.Encoders.product[HllBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[HllBuf] =
+      org.apache.spark.sql.Encoders.product[HllBuf]
   }
 }

@@ -386,6 +386,32 @@ object StreamingQueries {
     runToMemory(CorpusOps.scoreBigrams(bg, lm)).orderBy(col("doc_id"))
   }
 
+  /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
+    * the sketch-state story beside count-min (q50): the stream folds
+    * every token into ONE fixed m-int register buffer per language
+    * ([[graft.functions.Hll.RegisterAgg]]), elementwise-max merge makes
+    * the registers independent of micro-batch slicing and identical to
+    * the declarative batch registers (same md5-derived integer
+    * arithmetic), and the estimate is the SAME shared fold
+    * ([[graft.functions.Hll.estimate]]). The exact-distinct audit
+    * column joins from the batch table (count DISTINCT is not a
+    * streaming aggregate), mirroring q50's exact-count resolution.
+    */
+  def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {
+    import graft.functions.{Hll, TextFunctions}
+    val ra = udaf(new Hll.RegisterAgg(p))
+    val toks = documentsStream(spark, sfDir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+    val regs = runToMemory(toks.groupBy(col("lang")).agg(ra(col("w")).as("hb")))
+      .select(col("lang").as("group"),
+        round(Hll.estimate(col("hb.regs"), p), 2).as("approx_distinct"))
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("lang").as("group"))
+      .agg(countDistinct(col("w")).as("exact_distinct"))
+    regs.join(exact, "group").orderBy(col("group"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:

@@ -338,6 +338,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  test("streaming HLL registers equal the batch sketch (q59 vs p48)") {
+    val viaStream = graft.streaming.StreamingQueries.hllDistinct(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p48_hll_distinct")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("streaming perplexity scoring equals the batch plan (q56 vs p45)") {
     val viaStream = graft.streaming.StreamingQueries.perplexityScoring(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p45_perplexity")(spark, TestSpark.sf)
