@@ -1442,7 +1442,50 @@ object PipelineQueries {
       ex AS (SELECT lang, count(DISTINCT w) AS exact_distinct FROM toks GROUP BY 1)
       SELECT est.lang AS "group", round(e, 2) AS approx_distinct,
              CAST(exact_distinct AS BIGINT) AS exact_distinct
-      FROM est JOIN ex USING (lang) ORDER BY "group""""))
+      FROM est JOIN ex USING (lang) ORDER BY "group"""")),
+
+    // BM25 ranked retrieval — the lexical sibling of the ANN ladder.
+    // The oracle recomputes idf/tf normalization with the identical
+    // double op chain, truncates to micro-longs, and ranks the integer
+    // sums; rank ties break by doc_id in both engines.
+    ("p49_bm25_topk", (s, d) => {
+      graft.text.CorpusOps.bm25TopK(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          queries = Seq(
+            ("q_hash_join", Seq("hash", "join", "merge")),
+            ("q_window", Seq("window", "sort", "order")),
+            ("q_scan", Seq("vector", "scan", "filter"))),
+          k = 15)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      stats AS (SELECT count(*) AS n,
+                  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM
+              (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS token FROM t)
+             WHERE token IN ('hash', 'join', 'merge', 'window', 'sort',
+                             'order', 'vector', 'scan', 'filter')
+             GROUP BY 1, 2, 3),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      q(qid, token) AS (VALUES
+        ('q_hash_join', 'hash'), ('q_hash_join', 'join'), ('q_hash_join', 'merge'),
+        ('q_window', 'window'), ('q_window', 'sort'), ('q_window', 'order'),
+        ('q_scan', 'vector'), ('q_scan', 'scan'), ('q_scan', 'filter')),
+      sc AS (SELECT qid, tf.doc_id AS doc_id,
+               CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+                 (tf * (1.2 + 1)) /
+                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6, 0)
+                 AS BIGINT) AS m
+             FROM tf JOIN df USING (token) JOIN q USING (token), stats),
+      agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+              FROM sc GROUP BY 1, 2)
+      SELECT qid, rank, doc_id, score_micro FROM (
+        SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_micro DESC, doc_id) AS rank
+        FROM agg) r
+      WHERE rank <= 15 ORDER BY qid, rank"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

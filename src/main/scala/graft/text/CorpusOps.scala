@@ -206,6 +206,78 @@ object CorpusOps {
     docs.select((Seq(id.as("doc_id"), cleaned.as("clean_text")) ++ counts): _*)
   }
 
+  /** BM25 ranked retrieval over the corpus — the lexical counterpart to
+    * the ANN ladder ([[graft.similarity.SimilaritySearch]]), and the
+    * workhorse for retrieval-shaped pipeline jobs (finding the training
+    * documents most relevant to an eval prompt, quality probes, targeted
+    * decontamination). Okapi BM25 (Robertson & Zaragoza 2009; Lucene's
+    * non-negative idf form):
+    *
+    *   idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Determinism: each (query, doc, term) contribution is ONE double op
+    * chain over integer inputs (tf, df, N, dl, sum_dl), scaled to
+    * micro-units and cast to LONG once; the per-doc score is the integer
+    * sum of those longs — order-independent across partitionings and
+    * engines (the integer-exact-stats rule).
+    *
+    * Scale shape: the query vocabulary is a literal IN-list, so the
+    * term filter sits map-side on the exploded scan — only rows whose
+    * token IS a query term ever shuffle (query-vocabulary-bounded per
+    * document, not corpus-vocabulary-bounded). df and the (N, sum_dl)
+    * corpus stats are tiny aggregates broadcast back, and the per-query
+    * rank runs through the two-phase bounded
+    * [[graft.functions.Aggregators.TopK]] — a query term matching
+    * millions of documents never funnels them into one task.
+    *
+    * Output: (qid, rank, doc_id, score_micro), rank 1-based by score
+    * DESC then doc_id ASC; documents sharing no term with a query are
+    * absent (their BM25 score is 0 by definition).
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: Seq[(String, Seq[String])], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+    // corpus length stats: a second column-pruned scan rather than an
+    // aggregate over the exploded term rows, so the term filter below
+    // stays adjacent to the main scan
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "term")
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+            (col("sum_dl").cast("double") / col("n_docs")))) * 1e6, 0)
+          .cast("long").as("m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("m")).as("score_micro"))
+    graft.similarity.SimilaritySearch.rankTopK(
+        contrib.select(col("qid").as("query_id"),
+          col("doc_id").as("neighbor_id"),
+          col("score_micro").cast("double").as("cos")), k)
+      .select(col("query_id").as("qid"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
+  }
+
   /** Per-document bigram-LM negative log-likelihood against the corpus'
     * own language model — the in-engine form of the CCNet/KenLM
     * perplexity quality filter (Wenzek et al. 2020 train a 5-gram model

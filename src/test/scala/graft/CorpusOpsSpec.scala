@@ -115,6 +115,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(11L) == ((1L, 1.386294))) // -ln(1/4)
   }
 
+  test("bm25TopK matches an independent BM25 computation and ranks correctly") {
+    val docs = Seq(
+      (1L, "hash join hash"),
+      (2L, "join merge"),
+      (3L, "sort order sort order"),
+      (4L, "hash")).toDF("id", "text")
+    val out = CorpusOps.bm25TopK(docs, col("id"), col("text"),
+        queries = Seq(("qA", Seq("hash", "join"))), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent recompute straight from the Okapi formula
+    val N = 4.0; val avgdl = 10.0 / 4; val k1 = 1.2; val b = 0.75
+    def idf(df: Int) = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    def m(tf: Int, df: Int, dl: Int): Long =
+      math.round(idf(df) * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b + b * dl / avgdl)) * 1e6)
+    val s1 = m(2, 2, 3) + m(1, 2, 3) // doc1: hash tf=2, join tf=1, dl=3
+    val s2 = m(1, 2, 2)              // doc2: join tf=1, dl=2
+    val s4 = m(1, 2, 1)              // doc4: hash tf=1, dl=1
+    val expected = Seq((1L, s1), (2L, s2), (4L, s4))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => ("qA", i + 1L, id, s) }
+    assert(out.toSeq == expected)
+    // doc3 shares no query term: absent, not scored 0
+    assert(!out.exists(_._3 == 3L))
+  }
+
+  test("bm25TopK breaks score ties by doc_id and tolerates null text") {
+    val docs = Seq(
+      (11L, "merge merge"), (10L, "merge merge"), // identical -> tied score
+      (12L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = CorpusOps.bm25TopK(docs, col("id"), col("text"),
+        queries = Seq(("q", Seq("merge"))), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq == Seq(10L, 11L)) // tie -> id ascending
+    assert(out(0)._3 == out(1)._3 && out(0)._3 > 0)
+  }
+
   test("all operators tolerate null text") {
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     val rep = CorpusOps.repetitionStats(docs, col("id"), col("text"))
