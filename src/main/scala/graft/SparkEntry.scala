@@ -75,7 +75,13 @@ object SparkEntry {
       Some(sharedOracle("p45_perplexity"))),
     ("q59_streaming_hll",
       (s, d) => graft.streaming.StreamingQueries.hllDistinct(s, d),
-      Some(sharedOracle("p48_hll_distinct"))))
+      Some(sharedOracle("p48_hll_distinct"))),
+    ("q60_streaming_bm25",
+      (s, d) => graft.streaming.StreamingQueries.bm25TopK(s, d),
+      Some(sharedOracle("p49_bm25_topk"))),
+    ("q61_streaming_quantiles",
+      (s, d) => graft.streaming.StreamingQueries.histQuantiles(s, d),
+      Some(sharedOracle("p50_hist_quantiles"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

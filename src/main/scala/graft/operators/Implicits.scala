@@ -141,5 +141,19 @@ object Implicits {
 
     def sampleExactPerGroup(group: Column, key: Column, k: Int): DataFrame =
       graft.curation.Curation.sampleExactPerGroup(df, group, key, k)
+
+    def hllDistinctPerGroup(group: Column, key: Column, p: Int = 6): DataFrame =
+      graft.functions.Hll.distinctPerGroup(df, group, key, p)
+
+    def bm25TopK(id: Column, text: Column,
+                 queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame =
+      graft.text.CorpusOps.bm25TopK(df, id, text, queries, k)
+
+    def histQuantilesPerGroup(group: Column, value: Column,
+                              quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                              lo: Double = 0.0, hi: Double = 512.0,
+                              bins: Int = 64): DataFrame =
+      graft.functions.Histogram.quantilesPerGroup(df, group, value,
+        quantiles, lo, hi, bins)
   }
 }

@@ -1451,11 +1451,7 @@ object PipelineQueries {
     ("p49_bm25_topk", (s, d) => {
       graft.text.CorpusOps.bm25TopK(Tables.documents(s, d),
           col("doc_id"), col("text"),
-          queries = Seq(
-            ("q_hash_join", Seq("hash", "join", "merge")),
-            ("q_window", Seq("window", "sort", "order")),
-            ("q_scan", Seq("vector", "scan", "filter"))),
-          k = 15)
+          queries = graft.text.CorpusOps.bm25DemoQueries, k = 15)
         .orderBy(col("qid"), col("rank"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
@@ -1485,7 +1481,36 @@ object PipelineQueries {
                row_number() OVER (PARTITION BY qid
                  ORDER BY score_micro DESC, doc_id) AS rank
         FROM agg) r
-      WHERE rank <= 15 ORDER BY qid, rank"""))
+      WHERE rank <= 15 ORDER BY qid, rank""")),
+
+    // Fixed-bin histogram quantile sketch — bounded-state rank
+    // statistics beside count-min (p38) and HLL (p48). The oracle
+    // rebuilds the bin counts with the identical clamped-floor binning
+    // and interpolates with the same double op chain.
+    ("p50_hist_quantiles", (s, d) => {
+      graft.functions.Histogram.quantilesPerGroup(
+          Tables.events(s, d), col("event_type"), col("value"),
+          quantiles = Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 512.0, bins = 64)
+        .orderBy(col("group"), col("quantile"))
+    }, Some("""
+      WITH b AS (SELECT event_type,
+                   least(greatest(CAST(floor((value - 0.0e0) / 8.0e0) AS BIGINT),
+                     0), 63) AS bin
+                 FROM events WHERE value IS NOT NULL),
+      cnt AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      cum AS (SELECT event_type, bin, c,
+                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS cum
+              FROM cnt),
+      q(q) AS (VALUES (0.5e0), (0.9e0), (0.99e0)),
+      sel AS (SELECT event_type, q, n, bin, c, cum,
+                greatest(CAST(ceil(q * n) AS BIGINT), 1) AS t
+              FROM cum JOIN tot USING (event_type) CROSS JOIN q)
+      SELECT event_type AS "group", q AS quantile, n,
+             round(0.0e0 + 8.0e0 * (bin + CAST(t - (cum - c) AS DOUBLE) /
+               CAST(c AS DOUBLE)), 4) AS est
+      FROM sel WHERE cum >= t AND cum - c < t ORDER BY "group", quantile"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

@@ -412,6 +412,84 @@ object StreamingQueries {
     regs.join(exact, "group").orderBy(col("group"))
   }
 
+  /** p49's BM25 retrieval on the streaming engine — the frozen-stats
+    * deployment shape (the q56 frozen-LM pattern): df and the (N,
+    * sum_dl) corpus stats are trained ONCE batch-side from the corpus
+    * snapshot and broadcast (df pivoted to one row — bounded by the
+    * query vocabulary); the stream then scores each arriving document
+    * entirely MAP-SIDE (per-term tf from its own token array, the
+    * shared [[graft.text.CorpusOps.bm25Micro]] contribution, integer
+    * sum over the query's terms), so the only streaming aggregation is
+    * the bounded per-query top-k buffer
+    * ([[graft.functions.Aggregators.TopK]], ≤ k rows of state per
+    * query — the q51 live-index shape). Self-corpus stats make the
+    * result identical to batch p49, so the oracle is shared.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 15,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.text.CorpusOps
+    val queries = CorpusOps.bm25DemoQueries
+    val terms = queries.flatMap(_._2).distinct
+    val termIdx = terms.zipWithIndex.toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toksB = docs.select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val stats = toksB.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val dfRow = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*)).distinct()
+      .groupBy().pivot("term", terms).agg(count(lit(1)))
+      .select(terms.map(t => col(s"`$t`").as(s"__df_${termIdx(t)}")): _*)
+    val frozen = broadcast(stats.crossJoin(dfRow))
+
+    val stream = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .crossJoin(frozen)
+    // per-term contribution, all map-side; a term absent from the whole
+    // corpus has null df and contributes 0 (batch has no row for it)
+    def contribution(t: String): org.apache.spark.sql.Column = {
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("long")
+      val dfc = col(s"__df_${termIdx(t)}")
+      when(dfc.isNotNull,
+        CorpusOps.bm25Micro(tf, dfc, col("dl"),
+          col("n_docs"), col("sum_dl"), k1, b)).otherwise(lit(0L))
+    }
+    val perQ = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.distinct.map(contribution).reduce(_ + _).as("score_micro"))
+    }
+    val scored = stream
+      .select(col("doc_id").as("neighbor_id"), explode(array(perQ: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("neighbor_id"),
+        col("qs.score_micro").cast("double").as("cos"))
+      .where(col("cos") > 0) // no shared term -> absent, like batch
+    runToMemory(graft.similarity.SimilaritySearch.rankTopK(scored, k))
+      .select(col("query_id").as("qid"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** p50's histogram quantile sketch on the streaming engine — one
+    * fixed bins-long buffer per group as streaming state
+    * ([[graft.functions.Histogram.HistAgg]]), elementwise-add merge so
+    * results are independent of micro-batch slicing and identical to
+    * the declarative batch counts; the interpolation is the SAME shared
+    * estimator ([[graft.functions.Histogram.estimateQuantiles]]).
+    */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Histogram
+    val ha = udaf(new Histogram.HistAgg(0.0, 512.0, 64))
+    val regs = runToMemory(
+      eventsStream(spark, sfDir).where(col("value").isNotNull)
+        .groupBy(col("event_type").as("grp")).agg(ha(col("value")).as("hb")))
+    Histogram.estimateQuantiles(
+        regs.select(col("grp"), col("hb.bins").as("dense")),
+        Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 512.0, bins = 64)
+      .orderBy(col("group"), col("quantile"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:

@@ -262,12 +262,8 @@ object CorpusOps {
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
-        round(log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
-            (col("sum_dl").cast("double") / col("n_docs")))) * 1e6, 0)
-          .cast("long").as("m"))
+        bm25Micro(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("sum_dl"), k1, b).as("m"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("m")).as("score_micro"))
     graft.similarity.SimilaritySearch.rankTopK(
@@ -277,6 +273,29 @@ object CorpusOps {
       .select(col("query_id").as("qid"), col("rank"),
         col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
   }
+
+  /** The demo query set shared by the batch oracle entry (p49) and its
+    * streaming twin (q60) — ONE definition so the two executions rank
+    * the same retrieval workload.
+    */
+  val bm25DemoQueries: Seq[(String, Seq[String])] = Seq(
+    ("q_hash_join", Seq("hash", "join", "merge")),
+    ("q_window", Seq("window", "sort", "order")),
+    ("q_scan", Seq("vector", "scan", "filter")))
+
+  /** One term's micro-unit BM25 contribution — the single double op
+    * chain over integer inputs, truncated to LONG once. SHARED by the
+    * batch ranker and the streaming twin so their scoring cannot drift
+    * (the chunkRows rule).
+    */
+  private[graft] def bm25Micro(tf: Column, df: Column, dl: Column,
+                               nDocs: Column, sumDl: Column,
+                               k1: Double, b: Double): Column =
+    round(log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+      (tf * lit(k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl /
+        (sumDl.cast("double") / nDocs))) * 1e6, 0)
+      .cast("long")
 
   /** Per-document bigram-LM negative log-likelihood against the corpus'
     * own language model — the in-engine form of the CCNet/KenLM

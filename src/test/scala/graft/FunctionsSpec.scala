@@ -264,6 +264,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) == r.getString(1) && r.getString(0) == r.getString(2))
   }
 
+  test("histogram quantiles interpolate inside the crossing bin, exactly") {
+    import graft.functions.Histogram
+    // values 1..100 over [0,100) in 10 bins: value 100 clamps into bin 9
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val out = Histogram.quantilesPerGroup(df, col("grp"), col("v"),
+        quantiles = Seq(0.5, 1.0), lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // p50: target 50, bins 0..4 hold 1..49 (cum 49), bin 5 holds 50..59
+    //  -> est = 10 * (5 + (50-49)/10) = 51.0
+    assert(out(0.5) == ((100L, 51.0)))
+    // p100: target 100, bin 9 holds 90..100 (11 values, cumBefore 89)
+    //  -> est = 10 * (9 + (100-89)/11) = 100.0
+    assert(out(1.0) == ((100L, 100.0)))
+  }
+
+  test("histogram clamps out-of-range values to the edge bins") {
+    import graft.functions.Histogram
+    val df = Seq(("g", -5.0), ("g", 0.0), ("g", 999.0)).toDF("grp", "v")
+    val out = Histogram.quantilesPerGroup(df, col("grp"), col("v"),
+        quantiles = Seq(1.0), lo = 0.0, hi = 10.0, bins = 10)
+      .collect()
+    // target 3 lands in the last bin (999 clamped there): est = 10.0
+    assert(out.length == 1 && out(0).getLong(2) == 3L && out(0).getDouble(3) == 10.0)
+  }
+
   test("CosineSimilarity is NULL on length mismatch and null elements, like the composed form") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),

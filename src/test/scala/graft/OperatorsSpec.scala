@@ -128,6 +128,14 @@ class OperatorsSpec extends AnyFunSuite {
     val left = Seq((1L, 10L, "l")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.5)).toDF("k", "t", "rv")
     assert(left.asOfJoin(right, "k", "t", "rv").head().getDouble(3) == 1.5)
+    // round-4 vocabulary
+    assert(docs.hllDistinctPerGroup(col("lang"), col("doc_id"))
+      .columns.toSeq == Seq("group", "approx_distinct"))
+    assert(docs.bm25TopK(col("doc_id"), col("text"),
+      Seq(("q", Seq("the", "a"))), k = 3).count() <= 3)
+    assert(docs.select(col("lang"), col("n_chars").cast("double").as("v"))
+      .histQuantilesPerGroup(col("lang"), col("v"), hi = 4096.0)
+      .columns.toSeq == Seq("group", "quantile", "n", "est"))
   }
 
   test("saltedJoin equals the plain join for all supported join types") {

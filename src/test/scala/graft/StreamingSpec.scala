@@ -346,6 +346,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.toSeq == b.toSeq)
   }
 
+  test("streaming BM25 with frozen stats equals the batch ranker (q60 vs p49)") {
+    val viaStream = graft.streaming.StreamingQueries.bm25TopK(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p49_bm25_topk")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
+  test("streaming histogram quantiles equal the batch sketch (q61 vs p50)") {
+    val viaStream = graft.streaming.StreamingQueries.histQuantiles(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p50_hist_quantiles")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("streaming perplexity scoring equals the batch plan (q56 vs p45)") {
     val viaStream = graft.streaming.StreamingQueries.perplexityScoring(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p45_perplexity")(spark, TestSpark.sf)
