@@ -130,5 +130,6 @@ object SparkEntry {
     "q22_session_window", "q28_retry_fixpoint",
     "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
     "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection",
-    "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity")
+    "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity",
+    "p49_bm25_topk", "p50_hist_quantiles")
 }

@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
   *    cross join (BuildRight of a single row).
   *  - p47 NestedLoop: inherits p45's one-row vocab cross join (the
   *    perplexity gate inside the composed pipeline).
+  *  - p49 NestedLoop: the one-row (N, sum_dl) corpus-stats scalar rides
+  *    a broadcast cross join, p45's accepted one-row shape.
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.
