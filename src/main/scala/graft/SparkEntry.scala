@@ -81,7 +81,10 @@ object SparkEntry {
       Some(sharedOracle("p49_bm25_topk"))),
     ("q61_streaming_quantiles",
       (s, d) => graft.streaming.StreamingQueries.histQuantiles(s, d),
-      Some(sharedOracle("p50_hist_quantiles"))))
+      Some(sharedOracle("p50_hist_quantiles"))),
+    ("q62_streaming_weighted_sample",
+      (s, d) => graft.streaming.StreamingQueries.weightedSample(s, d),
+      Some(sharedOracle("p51_weighted_sample"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -195,4 +195,47 @@ object Curation {
       .select(col("query_id").as("group"), col("neighbor_id").as("key"),
         col("rank"))
   }
+
+  /** Exactly-k WEIGHTED sample per group without replacement —
+    * Efraimidis & Spirakis's A-ES reservoir ("Weighted random sampling
+    * with a reservoir", IPL 2006): each row draws the deterministic
+    * 52-bit md5 roll as its uniform u ∈ (0, 1] and ranks by
+    * `ln(u) / weight` DESC — the classic u^(1/w) reservoir key in LOG
+    * space, deliberately: `pow`'s libm implementations differ across
+    * engines, while ln and division are bit-reproducible (the p45
+    * rule). Inclusion probability rises with weight (w → ∞ drives the
+    * key toward its 0⁻ maximum), giving quality-weighted corpus
+    * sampling (weight = quality score, token count, dedup priority…)
+    * that is reproducible across engines and reruns.
+    *
+    * Scale shape: the key is a map-side projection; the top-k per
+    * group rides the shared two-phase bounded TopK
+    * ([[graft.similarity.SimilaritySearch.rankTopK]]) — no per-group
+    * global sort, ≤ k rows per (group, partition) shuffle. Weights
+    * must be > 0: non-positive weights fail loudly (the engine's loud-
+    * contract rule), because silently dropping them would bias the
+    * sample.
+    */
+  def sampleWeightedPerGroup(df: DataFrame, group: Column, key: Column,
+                             weight: Column, k: Int): DataFrame = {
+    val scored = df.select(group.as("query_id"),
+      key.cast("long").as("neighbor_id"), aesKey(key, weight).as("cos"))
+    graft.similarity.SimilaritySearch.rankTopK(scored, k)
+      .select(col("query_id").as("group"), col("neighbor_id").as("key"),
+        col("rank"))
+  }
+
+  /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —
+    * SHARED by the batch sampler and the streaming twin so their
+    * sampling decisions cannot drift (the chunkRows rule).
+    */
+  private[graft] def aesKey(key: Column, weight: Column): Column = {
+    val roll = conv(substring(md5(key.cast("long").cast("string")), 1, 13),
+      16, 10).cast("long")
+    val u = (roll + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    when(weight > 0, log(u) / weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("sampleWeightedPerGroup: weight must be > 0, got "),
+        weight.cast("string"))))
+  }
 }

@@ -93,7 +93,9 @@ object Histogram {
     * `bins`-long buffer per group as streaming state, elementwise-add
     * merge so results are independent of micro-batch slicing and
     * identical to the declarative batch counts (same clamped-floor
-    * binning, JVM-side).
+    * binning, JVM-side). Callers must filter null values first (the
+    * primitive Double input would silently unbox a null to 0.0 and bin
+    * it at `lo` — q61 filters, matching the batch form's isNotNull).
     */
   class HistAgg(lo: Double, hi: Double, nbins: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Double, HistBuf, HistBuf] {

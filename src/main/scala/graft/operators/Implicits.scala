@@ -142,6 +142,10 @@ object Implicits {
     def sampleExactPerGroup(group: Column, key: Column, k: Int): DataFrame =
       graft.curation.Curation.sampleExactPerGroup(df, group, key, k)
 
+    def sampleWeightedPerGroup(group: Column, key: Column, weight: Column,
+                               k: Int): DataFrame =
+      graft.curation.Curation.sampleWeightedPerGroup(df, group, key, weight, k)
+
     def hllDistinctPerGroup(group: Column, key: Column, p: Int = 6): DataFrame =
       graft.functions.Hll.distinctPerGroup(df, group, key, p)
 

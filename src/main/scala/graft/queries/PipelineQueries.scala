@@ -1510,7 +1510,34 @@ object PipelineQueries {
       SELECT event_type AS "group", q AS quantile, n,
              round(0.0e0 + 8.0e0 * (bin + CAST(t - (cum - c) AS DOUBLE) /
                CAST(c AS DOUBLE)), 4) AS est
-      FROM sel WHERE cum >= t AND cum - c < t ORDER BY "group", quantile"""))
+      FROM sel WHERE cum >= t AND cum - c < t ORDER BY "group", quantile""")),
+
+    // Weighted reservoir (A-ES) — exactly-k per group, inclusion odds
+    // proportional-ish to weight (n_chars here), deterministic via the
+    // md5 roll. The oracle rebuilds the 52-bit roll nibble-by-nibble
+    // (the p48 trick) and ranks by the identical log-space key.
+    ("p51_weighted_sample", (s, d) => {
+      graft.curation.Curation.sampleWeightedPerGroup(
+          Tables.documents(s, d), col("lang"), col("doc_id"),
+          col("n_chars"), k = 25)
+        .orderBy(col("group"), col("rank"))
+    }, Some("""
+      WITH r AS (SELECT lang, doc_id, n_chars,
+                   CAST(list_sum(list_transform(generate_series(1, 13),
+                     i -> CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                          AS BIGINT) << (4*(13-i)))) AS BIGINT) AS roll
+                 FROM documents),
+      s AS (SELECT lang, doc_id,
+              ln(CAST(roll + 1 AS DOUBLE) / 4503599627370496.0) /
+                CAST(n_chars AS DOUBLE) AS es
+            FROM r),
+      rk AS (SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY es DESC, doc_id) AS rn
+             FROM s)
+      SELECT lang AS "group", doc_id AS "key", rn AS rank FROM rk
+      WHERE rn <= 25 ORDER BY "group", rank"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

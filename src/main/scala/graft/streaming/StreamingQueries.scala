@@ -490,6 +490,24 @@ object StreamingQueries {
       .orderBy(col("group"), col("quantile"))
   }
 
+  /** p51's weighted reservoir on the streaming engine — the A-ES key
+    * is a map-side projection of each arriving document (md5 roll →
+    * ln(u)/weight, shared semantics with the batch form), and the
+    * exactly-k reservoir per group is the bounded TopK buffer as
+    * streaming state (≤ k rows per group — a true streaming reservoir:
+    * any prefix of the stream holds that prefix's exact-k sample).
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val stream = documentsStream(spark, sfDir)
+    val scored = stream.select(col("lang").as("query_id"),
+      col("doc_id").as("neighbor_id"),
+      graft.curation.Curation.aesKey(col("doc_id"), col("n_chars")).as("cos"))
+    runToMemory(graft.similarity.SimilaritySearch.rankTopK(scored, k))
+      .select(col("query_id").as("group"), col("neighbor_id").as("key"),
+        col("rank"))
+      .orderBy(col("group"), col("rank"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:

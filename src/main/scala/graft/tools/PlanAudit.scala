@@ -45,7 +45,8 @@ object PlanAudit {
       "q50_streaming_heavy_hitters", "q51_streaming_ann",
       "q52_streaming_sample", "q53_tail_read", "q56_streaming_perplexity",
       "q57_dirwatch_read", "q58_paged_read", "q59_streaming_hll",
-      "q60_streaming_bm25", "q61_streaming_quantiles")
+      "q60_streaming_bm25", "q61_streaming_quantiles",
+      "q62_streaming_weighted_sample")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

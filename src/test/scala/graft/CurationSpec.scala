@@ -139,6 +139,40 @@ class CurationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("distinct values"))
   }
 
+  test("sampleWeightedPerGroup matches an independent A-ES recompute") {
+    val rows = (1L to 40L).map(i => ("g", i, i * 100L)).toDF("grp", "id", "w")
+    val out = Curation.sampleWeightedPerGroup(rows, col("grp"), col("id"),
+        col("w"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // independent recompute: 52-bit md5 roll -> u -> ln(u)/w, top-10
+    def es(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val roll = java.lang.Long.parseLong(hex, 16)
+      math.log((roll + 1).toDouble / 4503599627370496.0) / w.toDouble
+    }
+    val expected = (1L to 40L).map(i => (i, es(i, i * 100L)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), r) => (id, r + 1L) }
+    assert(out.toSeq == expected)
+  }
+
+  test("sampleWeightedPerGroup favors heavy weights and rejects w <= 0") {
+    // one row with overwhelming weight: its key ~0- beats every other
+    val rows = ((1L to 50L).map(i => ("g", i, 10L)) :+ (("g", 99L, (1L << 40))))
+      .toDF("grp", "id", "w")
+    val top = Curation.sampleWeightedPerGroup(rows, col("grp"), col("id"),
+      col("w"), k = 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 99L)
+    val bad = Seq(("g", 1L, 0L)).toDF("grp", "id", "w")
+    val ex = intercept[Exception] {
+      Curation.sampleWeightedPerGroup(bad, col("grp"), col("id"),
+        col("w"), k = 1).collect()
+    }
+    assert(ex.getMessage.contains("weight must be > 0"))
+  }
+
   test("interleaveTag routes every row to at most one tag by weight") {
     val rows = (1 to 4000).map(_.toLong).toDF("id")
     val tagged = rows.select(col("id"),

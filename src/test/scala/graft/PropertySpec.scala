@@ -71,6 +71,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("HistAgg counts every value once and merges slice-independently") {
+    val vGen = Gen.listOf(Gen.chooseNum(-50.0, 150.0))
+    check(Prop.forAll(vGen, Gen.chooseNum(1, 4)) { (xs, nParts) =>
+      val agg = new graft.functions.Histogram.HistAgg(0.0, 100.0, 10)
+      val parts = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val single = xs.foldLeft(agg.zero)(agg.reduce)
+      merged.bins == single.bins &&
+        merged.bins.sum == xs.size && // clamping loses nothing
+        merged.bins.length == 10
+    })
+  }
+
   test("CountMin skips null tokens, matching the SQL null-propagation side") {
     val agg = new Aggregators.CountMin(8, 2)
     val withNulls = List("null", null, "a", null, "null")

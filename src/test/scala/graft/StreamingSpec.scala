@@ -362,6 +362,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.toSeq == b.toSeq)
   }
 
+  test("streaming weighted reservoir equals the batch sampler (q62 vs p51)") {
+    val viaStream = graft.streaming.StreamingQueries.weightedSample(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p51_weighted_sample")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("streaming perplexity scoring equals the batch plan (q56 vs p45)") {
     val viaStream = graft.streaming.StreamingQueries.perplexityScoring(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p45_perplexity")(spark, TestSpark.sf)
