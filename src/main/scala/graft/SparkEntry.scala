@@ -84,7 +84,10 @@ object SparkEntry {
       Some(sharedOracle("p50_hist_quantiles"))),
     ("q62_streaming_weighted_sample",
       (s, d) => graft.streaming.StreamingQueries.weightedSample(s, d),
-      Some(sharedOracle("p51_weighted_sample"))))
+      Some(sharedOracle("p51_weighted_sample"))),
+    ("q63_streaming_decontam",
+      (s, d) => graft.streaming.StreamingQueries.decontaminate(s, d),
+      Some(sharedOracle("p23_decontam"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

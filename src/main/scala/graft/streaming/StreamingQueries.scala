@@ -508,6 +508,38 @@ object StreamingQueries {
       .orderBy(col("group"), col("rank"))
   }
 
+  /** p23's eval-set decontamination gate on the streaming engine —
+    * ZERO-STATE: the eval split's distinct shingle hashes are reduced
+    * batch-side to ONE broadcast array row (eval sets are small by
+    * construction — p23's own premise), and each arriving training
+    * document computes its leak count entirely MAP-SIDE as
+    * `size(array_intersect(own distinct shingle hashes, eval set))` —
+    * an append-mode projection with no streaming aggregation and no
+    * state, so results are slice-independent by construction. The
+    * batch form instead joins exploded hashes (the right shape when
+    * the training side dominates and per-shingle rows must never
+    * inflate memory); the shared oracle pins the two semantically
+    * identical.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    val batch = graft.Tables.documents(spark, sfDir)
+    val evalArr = batch.filter(col("doc_id") % 97 === 0)
+      .select(explode(TextFunctions.shingles(col("text"), n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+      .agg(collect_list(col("h")).as("__eval"))
+    val gated = documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), array_distinct(
+        transform(TextFunctions.shingles(col("text"), n), s => md5(s))).as("hs"))
+      .crossJoin(broadcast(evalArr))
+      .select(col("doc_id"),
+        coalesce(size(array_intersect(col("hs"), col("__eval"))), lit(0))
+          .cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+    runToMemory(gated, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** q22's sessionization executed on the streaming engine via
     * `session_window` — merge-on-overlap session state, the streaming
     * dual of the batch gaps-and-islands form. Boundary semantics agree:

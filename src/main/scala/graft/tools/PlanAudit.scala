@@ -46,7 +46,7 @@ object PlanAudit {
       "q52_streaming_sample", "q53_tail_read", "q56_streaming_perplexity",
       "q57_dirwatch_read", "q58_paged_read", "q59_streaming_hll",
       "q60_streaming_bm25", "q61_streaming_quantiles",
-      "q62_streaming_weighted_sample")
+      "q62_streaming_weighted_sample", "q63_streaming_decontam")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {

@@ -370,6 +370,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.toSeq == b.toSeq)
   }
 
+  test("streaming zero-state decontamination equals the batch gate (q63 vs p23)") {
+    val viaStream = graft.streaming.StreamingQueries.decontaminate(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p23_decontam")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("streaming perplexity scoring equals the batch plan (q56 vs p45)") {
     val viaStream = graft.streaming.StreamingQueries.perplexityScoring(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p45_perplexity")(spark, TestSpark.sf)
