@@ -703,4 +703,103 @@ object Dedup {
       .select(col("vec_id"), col("centroid_id"),
         not(coalesce(col("__dup"), lit(false))).as("kept"))
   }
+
+  /** Cross-source duplication matrix: for every pair of sources, the
+    * number of distinct `shingleN`-gram shingles they share and the
+    * overlap coefficient |A∩B| / min(|A|,|B|) — the corpus-provenance
+    * diagnostic that tells a curation pipeline which crawl sources are
+    * mirroring each other before it decides what to keep.
+    *
+    * Scale shape: shingles reduce to 16-byte md5 keys map-side, then ONE
+    * shuffle builds the per-shingle source list (bucket form — the
+    * a.h = b.h self-join would compute and shuffle the shingle scan
+    * twice); pairs are generated inside each bucket. A shingle present
+    * in m sources yields m·(m-1)/2 pairs — boilerplate present in ALL
+    * sources is the hot key, so `maxSourceFreq` drops shingles shared by
+    * more than that many sources (they carry no pair-discrimination
+    * signal anyway), with the drop count surfaced via `observe`
+    * (`source_overlap_N.capped_shingles`) so capping is never silent.
+    * Output: (source_a < source_b, n_shared, overlap).
+    */
+  def sourceOverlap(docs: DataFrame, source: Column, id: Column, text: Column,
+                    shingleN: Int = 3,
+                    maxSourceFreq: Option[Int] = None): DataFrame = {
+    val sh = TextFunctions.explodedShingles(
+        docs, struct(id.as("i"), source.as("s")), text, shingleN)
+      .select(col("doc_id.s").as("source"), md5(col("sh")).as("h"))
+      .distinct()
+    val pruned = maxSourceFreq match {
+      case None => sh
+      case Some(cap) =>
+        val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("__nsrc"))
+          .observe(s"source_overlap_${Dedup.obsId.incrementAndGet()}",
+            sum(when(col("__nsrc") > cap, lit(1L)).otherwise(lit(0L)))
+              .as("capped_shingles"))
+        sh.join(freq.filter(col("__nsrc") <= cap).select(col("h")),
+          Seq("h"), "left_semi")
+    }
+    val sizes = pruned.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val buckets = pruned.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    val shared = buckets
+      .select(posexplode(col("srcs")).as(Seq("i", "src_x")), col("srcs"))
+      .select(col("src_x").as("source_a"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs")))).as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("__n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("__n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__n_a"), col("__n_b")).cast("double"), 6).as("overlap"))
+  }
+
+  /** Directed n-gram containment for candidate pairs (id_a, id_b):
+    * containment_a = |A∩B|/|A| and containment_b = |A∩B|/|B| over
+    * distinct shingles. Symmetric Jaccard misses subset duplicates — a
+    * short doc fully embedded in a long one has high containment but low
+    * Jaccard (|A∩B|/|A∪B| shrinks as the superset grows) — and those
+    * quote-embedded / concatenated-page duplicates are common in crawled
+    * corpora. Verify-on-candidates-only like [[ngramJaccard]]; never run
+    * on the full cross product.
+    */
+  def ngramContainment(docs: DataFrame, id: Column, text: Column,
+                       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
+      .dropDuplicates("doc_id", "sh")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 6).as("containment_a"),
+        round(col("n_inter").cast("double") / col("n_b").cast("double"), 6).as("containment_b"))
+  }
+
+  /** Containment dedup: LSH candidates → exact containment verify → drop
+    * the CONTAINED side (the smaller shingle set — it is the one inside
+    * the other; |A| < |B| forces containment_a ≥ containment_b). Equal
+    * sizes tie-break to dropping the larger id, so the rule is
+    * deterministic. Keeps supersets: dropping the long page that quotes
+    * a short doc would lose novel text.
+    */
+  def containmentDedup(docs: DataFrame, id: Column, text: Column,
+                       threshold: Double, shingleN: Int = 3,
+                       numBands: Int = 4, rowsPerBand: Int = 2,
+                       maxBucket: Option[Int] = None): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand, maxBucket)
+    val drops = ngramContainment(docs, id, text, cand, shingleN)
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(when(col("n_a") < col("n_b"), col("id_a"))
+        .when(col("n_b") < col("n_a"), col("id_b"))
+        .otherwise(col("id_b")).as("__drop"))
+      .distinct()
+    docs.join(drops, id === col("__drop"), "left_anti")
+  }
 }

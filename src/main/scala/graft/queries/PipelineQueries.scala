@@ -1537,7 +1537,79 @@ object PipelineQueries {
                  ORDER BY es DESC, doc_id) AS rn
              FROM s)
       SELECT lang AS "group", doc_id AS "key", rn AS rank FROM rk
-      WHERE rn <= 25 ORDER BY "group", rank"""))
+      WHERE rn <= 25 ORDER BY "group", rank""")),
+
+    // Cross-source duplication matrix — which crawl sources mirror each
+    // other, by distinct shared shingles and overlap coefficient.
+    ("p52_source_overlap", (s, d) => {
+      Dedup.sourceOverlap(Tables.documents(s, d), col("source"),
+          col("doc_id"), col("text"), shingleN = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH sh0 AS (SELECT source, doc_id, $sqlShingles AS shingles FROM documents),
+      shd AS (SELECT DISTINCT source, md5(sh) AS h
+              FROM (SELECT source, unnest(shingles) AS sh FROM sh0)),
+      sizes AS (SELECT source, count(*) AS n FROM shd GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_shared
+                FROM shd a JOIN shd b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+             round(CAST(n_shared AS DOUBLE) /
+                   CAST(least(na.n, nb.n) AS DOUBLE), 6) AS overlap
+      FROM pairs JOIN sizes na ON na.source = source_a
+                 JOIN sizes nb ON nb.source = source_b
+      ORDER BY source_a, source_b""")),
+
+    // Directed containment on same-source candidate pairs — the subset-
+    // duplicate signal symmetric Jaccard (p07) dilutes away.
+    ("p53_containment", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("source"), col("doc_id").as("id_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramContainment(docs, col("doc_id"), col("text"), pairs, shingleN = 3)
+        .filter(col("n_inter") > 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH sh0 AS (SELECT doc_id, source, $sqlShingles AS shingles FROM documents),
+      shd AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS sh FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+                FROM shd sa JOIN shd sb
+                  ON sa.source = sb.source AND sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, n_inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+             round(CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS containment_a,
+             round(CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE), 6) AS containment_b
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+                 JOIN sizes nb ON nb.doc_id = id_b
+      ORDER BY id_a, id_b""")),
+
+    // Per-source unigram KL divergence from the corpus distribution —
+    // the mixture-curation drift score; micro-unit truncation keeps the
+    // per-source sum order-independent (p45's integer-exact rule).
+    ("p54_source_kl", (s, d) => {
+      graft.text.CorpusOps.sourceKlDivergence(
+          Tables.documents(s, d), col("source"), col("text"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH u AS (SELECT source, unnest(${sqlToks("text")}) AS tok FROM documents),
+      st AS (SELECT source, tok, count(*) AS n_st FROM u GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      ct AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+      terms AS (SELECT source, n_s,
+                  CAST(round((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                    ln((CAST(n_st AS DOUBLE) * CAST(n AS DOUBLE)) /
+                       (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE))) * 1e6, 0)
+                    AS BIGINT) AS kl_micro
+                FROM st JOIN ns USING (source) JOIN ct USING (tok), tot)
+      SELECT source, max(n_s) AS n_tokens,
+             round(sum(kl_micro) / 1e6, 6) AS kl
+      FROM terms GROUP BY 1 ORDER BY source"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

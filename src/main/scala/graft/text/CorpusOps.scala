@@ -393,4 +393,38 @@ object CorpusOps {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
+
+  /** Per-source unigram KL divergence from the corpus-wide token
+    * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —
+    * the drift score that tells mixture curation which sources are
+    * token-distribution outliers (boilerplate farms, non-prose dumps)
+    * before their weights are set.
+    *
+    * Scale shape: ONE shuffle builds the (source, token) counts; the
+    * corpus-wide token counts, per-source totals, and the grand total
+    * all derive from that table by further partial aggregation — no
+    * second corpus scan (the vocab-size rule). Per-term contributions
+    * truncate ONCE to integer micro-units so the per-source sum is
+    * order-independent (integer-exact rule); only tokens present in the
+    * source contribute (p_s(t) = 0 terms vanish), so the sum is over
+    * the source's own vocabulary, never the corpus cross product.
+    */
+  def sourceKlDivergence(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val st = docs
+      .select(source.as("source"), explode(TextFunctions.tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+    val ns = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+    val tot = st.agg(sum(col("n_st")).as("n"))
+    st.join(ns, Seq("source")).join(ct, Seq("tok")).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        round((col("n_st").cast("double") / col("n_s").cast("double")) *
+          log((col("n_st").cast("double") * col("n").cast("double")) /
+            (col("n_s").cast("double") * col("n_t").cast("double"))) * 1e6, 0)
+          .cast("long").as("kl_micro"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("kl_micro")).as("s"))
+      .select(col("source"), col("n_tokens"),
+        round(col("s") / 1e6, 6).as("kl"))
+  }
 }

@@ -169,4 +169,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val ppl = CorpusOps.bigramPerplexity(docs, col("id"), col("text"))
     assert(ppl.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("sourceKlDivergence scores distribution drift against the corpus") {
+    // corpus token counts: x:4, y:4, z:4 (N = 12)
+    val docs = Seq(
+      (1L, "a", "x y x y"), // matches half the corpus: KL = ln(1.5)
+      (2L, "b", "x y x y"),
+      (3L, "c", "z z z z")) // all mass on the corpus-1/3 token: KL = ln(3)
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceKlDivergence(docs, col("source"), col("text"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // micro-truncated: 2·round(0.5·ln(1.5)·1e6)/1e6 and round(ln(3)·1e6)/1e6
+    assert(out == Seq(("a", 4L, 0.405466), ("b", 4L, 0.405466), ("c", 4L, 1.098612)))
+    // a uniform corpus (every source = the corpus distribution) scores 0
+    val flat = Seq((1L, "a", "x y"), (2L, "b", "x y"))
+      .toDF("doc_id", "source", "text")
+    val zeros = CorpusOps.sourceKlDivergence(flat, col("source"), col("text"))
+      .select("kl").as[Double].collect()
+    assert(zeros.forall(_ == 0.0), zeros.toSeq.toString)
+  }
 }

@@ -554,4 +554,53 @@ class OperatorsSpec extends AnyFunSuite {
     val lingering = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(lingering.isEmpty, s"cached RDDs leaked by incrementalDedupBloom: $lingering")
   }
+
+  test("sourceOverlap counts shared distinct shingles; maxSourceFreq drops boilerplate") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps"),
+      (2L, "s2", "the quick brown fox sleeps"),
+      (3L, "s3", "nothing in common whatsoever here"),
+      (4L, "s1", "xx yy zz"), (5L, "s2", "xx yy zz"), (6L, "s3", "xx yy zz"))
+      .toDF("doc_id", "source", "text")
+    val full = Dedup.sourceOverlap(docs, col("source"), col("doc_id"), col("text"))
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // s1/s2 share "the quick brown" + "quick brown fox" + the boilerplate
+    // "xx yy zz"; s3 shares only the boilerplate with either
+    assert(full.toSeq == Seq(("s1", "s2", 3L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+    // capping at 2 sources drops the shared-by-all-3 boilerplate shingle
+    val capped = Dedup.sourceOverlap(docs, col("source"), col("doc_id"), col("text"),
+        maxSourceFreq = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(capped.toSeq == Seq(("s1", "s2", 2L)))
+    // overlap coefficient uses the post-cap min set size: 2 / min(3, 3)
+    val ov = Dedup.sourceOverlap(docs, col("source"), col("doc_id"), col("text"),
+        maxSourceFreq = Some(2))
+      .select(col("overlap")).as[Double].head()
+    assert(math.abs(ov - 2.0 / 3.0) < 1e-5, s"overlap: $ov")
+  }
+
+  test("ngramContainment flags the subset duplicate Jaccard dilutes away") {
+    import graft.dedup.Dedup
+    val contained = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, contained + " lambda"), // superset: one extra token
+      (2L, contained),
+      (3L, "totally unrelated words with zero shared trigram shingles anywhere"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainment(docs, col("doc_id"), col("text"), pairs)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    // doc2 (8 shingles) is fully inside doc1 (9 shingles):
+    // containment_b = 1.0 while Jaccard is only 8/9
+    assert(out.head == (1L, 2L, 8L, 0.888889, 1.0))
+    assert(out(1)._3 == 0L) // disjoint pair: zero intersection
+    // containmentDedup drops the CONTAINED side (doc2), keeps the superset
+    val kept = Dedup.containmentDedup(docs, col("doc_id"), col("text"),
+      threshold = 0.95)
+    assert(kept.select(col("doc_id")).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }
