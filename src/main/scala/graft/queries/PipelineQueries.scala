@@ -1609,7 +1609,25 @@ object PipelineQueries {
                 FROM st JOIN ns USING (source) JOIN ct USING (tok), tot)
       SELECT source, max(n_s) AS n_tokens,
              round(sum(kl_micro) / 1e6, 6) AS kl
-      FROM terms GROUP BY 1 ORDER BY source"""))
+      FROM terms GROUP BY 1 ORDER BY source""")),
+
+    // Inverted-index artifact — df/cf + doc_id-ordered posting lists
+    // (full postings here; the stopword-ceiling prune is spec-pinned —
+    // this corpus' tiny synthetic vocab makes any absolute df cap
+    // degenerate at one SF or the other).
+    ("p55_inverted_index", (s, d) => {
+      graft.text.CorpusOps.invertedIndex(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("tok"))
+    }, Some(s"""
+      WITH u AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok FROM documents),
+      tf AS (SELECT tok, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             array_to_string(list_transform(
+               list_sort(list({'doc_id': doc_id, 'tf': tf})),
+               e -> CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.tf AS VARCHAR)), ',')
+               AS postings
+      FROM tf GROUP BY 1 ORDER BY tok"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

@@ -394,6 +394,33 @@ object CorpusOps {
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
 
+  /** Inverted-index build: one row per token with document frequency,
+    * collection frequency, and the doc_id-ordered posting list
+    * ("doc_id:tf" entries) — the retrieval artifact BM25/boolean search
+    * is served from (build once batch-side, broadcast or bucket-join it
+    * thereafter; p49 computes df on the fly, this materializes it).
+    *
+    * Scale shape: ONE (token, doc_id) tf shuffle, then one token-keyed
+    * aggregation. The hot key is the stopword tier — "the" appears in
+    * every document, so its posting list is the corpus row count;
+    * `maxDf` prunes tokens whose df exceeds the ceiling AFTER counting
+    * (stopword postings carry no ranking signal — BM25's idf term is
+    * ~0 there), bounding every emitted list. Posting order is numeric
+    * doc_id via a struct sort, not string order.
+    */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    maxDf: Option[Long] = None): DataFrame = {
+    val tf = docs
+      .select(id.cast("long").as("doc_id"), explode(TextFunctions.tokens(text)).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val idx = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))), ",")
+          .as("postings"))
+    maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide token
     * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —
     * the drift score that tells mixture curation which sources are

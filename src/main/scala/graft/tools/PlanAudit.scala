@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   *    perplexity gate inside the composed pipeline).
   *  - p49 NestedLoop: the one-row (N, sum_dl) corpus-stats scalar rides
   *    a broadcast cross join, p45's accepted one-row shape.
+  *  - p54 NestedLoop: the one-row grand-total scalar rides a broadcast
+  *    cross join, p45's accepted one-row shape.
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
   *    through the buffer — inherent to last-element/pulse semantics;
   *    partial sort-agg still shuffles one row per key per partition.

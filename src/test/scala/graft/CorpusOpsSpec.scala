@@ -189,4 +189,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("kl").as[Double].collect()
     assert(zeros.forall(_ == 0.0), zeros.toSeq.toString)
   }
+
+  test("invertedIndex orders postings numerically and prunes the stopword tier") {
+    val docs = Seq((10L, "the cat"), (2L, "the the dog"), (1L, "the"))
+      .toDF("id", "text")
+    val idx = CorpusOps.invertedIndex(docs, col("id"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // numeric doc order: 2 before 10 (string order would put "10" first)
+    assert(idx("the") == (3L, 4L, "1:1,2:2,10:1"))
+    assert(idx("cat") == (1L, 1L, "10:1"))
+    // df ceiling drops the stopword tier, keeps the content terms
+    val pruned = CorpusOps.invertedIndex(docs, col("id"), col("text"), maxDf = Some(2))
+      .select("tok").as[String].collect().sorted
+    assert(pruned.toSeq == Seq("cat", "dog"))
+  }
 }
