@@ -87,7 +87,10 @@ object SparkEntry {
       Some(sharedOracle("p51_weighted_sample"))),
     ("q63_streaming_decontam",
       (s, d) => graft.streaming.StreamingQueries.decontaminate(s, d),
-      Some(sharedOracle("p23_decontam"))))
+      Some(sharedOracle("p23_decontam"))),
+    ("q64_streaming_source_kl",
+      (s, d) => graft.streaming.StreamingQueries.sourceKl(s, d),
+      Some(sharedOracle("p54_source_kl"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -397,6 +397,54 @@ object StreamingQueries {
     * column joins from the batch table (count DISTINCT is not a
     * streaming aggregate), mirroring q50's exact-count resolution.
     */
+  /** p54's source-drift KL on the streaming engine — the frozen-
+    * reference deployment shape (the q56/q60 model-artifact pattern):
+    * the corpus vocabulary and its token counts are trained ONCE
+    * batch-side; the stream then maintains ONE fixed `|vocab|+1`-long
+    * count buffer per source ([[graft.functions.KlDrift.CountsAgg]] —
+    * OOV tokens bucket into the last slot, so state is bounded by the
+    * reference artifact regardless of what arrives; elementwise-add
+    * merge ⇒ slice-independent). The KL arithmetic is rebuilt from the
+    * final buffers with the IDENTICAL Catalyst expression as the batch
+    * operator (same micro-unit truncation, same rounding engine), so
+    * the twin hash-matches p54's oracle — OOV counts enter the token
+    * total but carry no term, which on the training corpus itself is
+    * vacuous (every token is in-vocabulary) and in live drift
+    * monitoring is the documented frozen-reference semantics.
+    */
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{KlDrift, TextFunctions}
+    val sp = spark; import sp.implicits._
+    val ref = graft.Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("tok")).collect()
+    val vocab = ref.map(_.getString(0)).toSeq
+    val nT = ref.map(_.getLong(1))
+    val nTotal = nT.sum
+    val ca = udaf(new KlDrift.CountsAgg(vocab))
+    val counts = runToMemory(
+      documentsStream(spark, sfDir)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .groupBy(col("source")).agg(ca(col("toks")).as("cb")))
+    val refDf = broadcast(vocab.indices.map(i => (i, nT(i))).toDF("i", "n_t"))
+    counts
+      .select(col("source"),
+        aggregate(col("cb.counts"), lit(0L), _ + _).as("n_s"),
+        posexplode(col("cb.counts")).as(Seq("i", "n_st")))
+      .where(col("n_st") > 0 && col("i") < lit(vocab.size))
+      .join(refDf, "i")
+      .select(col("source"), col("n_s"),
+        round((col("n_st").cast("double") / col("n_s").cast("double")) *
+          log((col("n_st").cast("double") * lit(nTotal).cast("double")) /
+            (col("n_s").cast("double") * col("n_t").cast("double"))) * 1e6, 0)
+          .cast("long").as("kl_micro"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("kl_micro")).as("s"))
+      .select(col("source"), col("n_tokens"), round(col("s") / 1e6, 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {
     import graft.functions.{Hll, TextFunctions}
     val ra = udaf(new Hll.RegisterAgg(p))

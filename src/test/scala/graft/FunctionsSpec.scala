@@ -303,4 +303,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2)) // null element
     assert(!r(2).isNullAt(1) && r(2).getDouble(1) == r(2).getDouble(2))
   }
+
+  test("KlDrift.CountsAgg buckets OOV into the bounded last slot") {
+    import graft.functions.KlDrift
+    val ca = udaf(new KlDrift.CountsAgg(Seq("a", "b")))
+    val df = Seq(("s1", Seq("a", "a", "zz")), ("s1", Seq("b", "qq")),
+      ("s2", Seq("b"))).toDF("src", "toks")
+    val out = df.groupBy(col("src")).agg(ca(col("toks")).as("cb"))
+      .select(col("src"), col("cb.counts")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // buffer length is |vocab|+1 no matter the stream's vocabulary:
+    // in-vocab counts in order, every unknown token in the last slot
+    assert(out("s1") == Seq(2L, 1L, 2L))
+    assert(out("s2") == Seq(0L, 1L, 0L))
+  }
 }
