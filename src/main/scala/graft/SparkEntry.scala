@@ -90,7 +90,17 @@ object SparkEntry {
       Some(sharedOracle("p23_decontam"))),
     ("q64_streaming_source_kl",
       (s, d) => graft.streaming.StreamingQueries.sourceKl(s, d),
-      Some(sharedOracle("p54_source_kl"))))
+      Some(sharedOracle("p54_source_kl"))),
+    ("q65_streaming_index_stats",
+      (s, d) => graft.streaming.StreamingQueries.indexStats(s, d),
+      Some("""
+      WITH u AS (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '')) AS tok
+                 FROM documents),
+      tf AS (SELECT tok, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY 1 ORDER BY tok""")))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -140,5 +150,5 @@ object SparkEntry {
     "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
     "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection",
     "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity",
-    "p49_bm25_topk", "p50_hist_quantiles")
+    "p49_bm25_topk", "p50_hist_quantiles", "p52_source_overlap", "p54_source_kl")
 }

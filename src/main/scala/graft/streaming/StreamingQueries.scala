@@ -412,13 +412,22 @@ object StreamingQueries {
     * vacuous (every token is in-vocabulary) and in live drift
     * monitoring is the documented frozen-reference semantics.
     */
-  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+  def sourceKl(spark: SparkSession, sfDir: String,
+               maxVocab: Int = 1 << 20): DataFrame = {
     import graft.functions.{KlDrift, TextFunctions}
     val sp = spark; import sp.implicits._
-    val ref = graft.Tables.documents(spark, sfDir)
+    val refAgg = graft.Tables.documents(spark, sfDir)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
-      .orderBy(col("tok")).collect()
+    // the reference distribution is a driver-built artifact — count
+    // before collecting and fail loudly on an unbounded vocabulary
+    // (the temperatureMixSqrt rule: no silent corpus-sized collects);
+    // production callers pass a top-V vocabulary instead
+    val v = refAgg.count()
+    require(v <= maxVocab,
+      s"sourceKl: reference vocabulary has $v tokens > maxVocab=$maxVocab — " +
+        "train the drift monitor on a bounded top-V vocabulary artifact")
+    val ref = refAgg.orderBy(col("tok")).collect()
     val vocab = ref.map(_.getString(0)).toSeq
     val nT = ref.map(_.getLong(1))
     val nTotal = nT.sum
@@ -443,6 +452,32 @@ object StreamingQueries {
       .agg(max(col("n_s")).as("n_tokens"), sum(col("kl_micro")).as("s"))
       .select(col("source"), col("n_tokens"), round(col("s") / 1e6, 6).as("kl"))
       .orderBy(col("source"))
+  }
+
+  /** p55's inverted-index STATISTICS maintained incrementally on the
+    * streaming engine: df and cf per token as a single streaming
+    * aggregation with bounded state (two longs per token). Each
+    * arriving document pre-reduces to its own (token, tf) pairs
+    * MAP-SIDE (distinct tokens × occurrence counts from its token
+    * array — no per-occurrence rows reach the state store), so df is a
+    * plain `count` (each doc contributes each token once) and cf a
+    * plain `sum` — both order-independent, slice-independent counts.
+    * Posting LISTS are deliberately not streamed: per-token postings
+    * grow with the corpus (unbounded state), so the artifact's list
+    * body stays a batch build (p55) while the stats stay live — the
+    * standard index-maintenance split.
+    */
+  def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val perDoc = documentsStream(spark, sfDir)
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(explode(transform(array_distinct(col("toks")),
+        t => struct(t.as("tok"),
+          size(filter(col("toks"), x => x === t)).cast("long").as("tf")))).as("e"))
+      .select(col("e.tok").as("tok"), col("e.tf").as("tf"))
+    runToMemory(perDoc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))
+      .orderBy(col("tok"))
   }
 
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {

@@ -85,6 +85,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CountsAgg merges slice-independently and never grows past vocab+1") {
+    val vocab = Seq("a", "b", "c")
+    val tokGen = Gen.listOf(Gen.listOf(Gen.oneOf("a", "b", "c", "zz", "qq")))
+    check(Prop.forAll(tokGen, Gen.chooseNum(1, 4)) { (docs, nParts) =>
+      val agg = new graft.functions.KlDrift.CountsAgg(vocab)
+      val parts = docs.grouped(math.max(1, (docs.size + nParts - 1) / nParts)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val single = docs.foldLeft(agg.zero)(agg.reduce)
+      merged.counts == single.counts &&
+        merged.counts.length == vocab.size + 1 && // OOV bounded: one slot
+        merged.counts.sum == docs.map(_.size).sum // every token lands somewhere
+    })
+  }
+
   test("CountMin skips null tokens, matching the SQL null-propagation side") {
     val agg = new Aggregators.CountMin(8, 2)
     val withNulls = List("null", null, "a", null, "null")
