@@ -727,29 +727,34 @@ object Dedup {
     val sh = TextFunctions.explodedShingles(
         docs, struct(id.as("i"), source.as("s")), text, shingleN)
       .select(col("doc_id.s").as("source"), md5(col("sh")).as("h"))
-      .distinct()
-    val pruned = maxSourceFreq match {
-      case None => sh
-      case Some(cap) =>
-        val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("__nsrc"))
-          .observe(s"source_overlap_${Dedup.obsId.incrementAndGet()}",
-            sum(when(col("__nsrc") > cap, lit(1L)).otherwise(lit(0L)))
-              .as("capped_shingles"))
-        sh.join(freq.filter(col("__nsrc") <= cap).select(col("h")),
-          Seq("h"), "left_semi")
+    // ONE corpus-sized shuffle: per-shingle DISTINCT source sets
+    // (collect_set dedups inside the aggregate — no separate distinct
+    // pass). Every downstream branch (per-source sizes, the pair
+    // generation) derives from this same aggregation, so the expensive
+    // scan+shingle exchange is planned once and REUSED, not recomputed
+    // per branch — the derived aggregates shuffle only (source|pair,
+    // count) rows.
+    val buckets = sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val kept = maxSourceFreq match {
+      case None => buckets
+      case Some(cap) => buckets
+        .observe(s"source_overlap_${Dedup.obsId.incrementAndGet()}",
+          sum(when(size(col("srcs")) > cap, lit(1L)).otherwise(lit(0L)))
+            .as("capped_shingles"))
+        .filter(size(col("srcs")) <= cap)
     }
-    val sizes = pruned.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val buckets = pruned.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) > 1)
-    val shared = buckets
+    val sizes = kept.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = kept.filter(size(col("srcs")) > 1)
       .select(posexplode(col("srcs")).as(Seq("i", "src_x")), col("srcs"))
       .select(col("src_x").as("source_a"),
         explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs")))).as("source_b"))
       .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_shared"))
+    // per-source set sizes are bounded by the source universe: broadcast
     shared
-      .join(sizes.select(col("source").as("source_a"), col("n").as("__n_a")), Seq("source_a"))
-      .join(sizes.select(col("source").as("source_b"), col("n").as("__n_b")), Seq("source_b"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("__n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("__n_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("__n_a"), col("__n_b")).cast("double"), 6).as("overlap"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object KlDrift {
 
-  final case class CountsBuf(counts: Seq[Long])
+  final case class CountsBuf(counts: Array[Long])
 
   /** Per-group token counts over the frozen vocabulary (input = one
     * document's token array; index lookup is a broadcast-sized map in
@@ -22,20 +22,27 @@ object KlDrift {
     * contribute to the source's token total but carry no KL term —
     * the frozen-reference semantics, surfaced rather than silently
     * dropped.
+    *
+    * reduce/merge mutate the buffer array in place — a copy-per-row
+    * buffer is O(|vocab|) per DOCUMENT, which at a production-sized
+    * vocabulary (2^20) would dominate the aggregation; the typed
+    * Aggregator contract permits in-place buffer mutation.
     */
   class CountsAgg(vocab: Seq[String])
       extends org.apache.spark.sql.expressions.Aggregator[Seq[String], CountsBuf, CountsBuf] {
     private val index: Map[String, Int] = vocab.zipWithIndex.toMap
     private val oov = vocab.size
 
-    override def zero: CountsBuf = CountsBuf(Seq.fill(vocab.size + 1)(0L))
+    override def zero: CountsBuf = CountsBuf(Array.ofDim[Long](vocab.size + 1))
     override def reduce(b: CountsBuf, toks: Seq[String]): CountsBuf = {
-      val a = b.counts.toArray
-      if (toks != null) toks.foreach { t => a(index.getOrElse(t, oov)) += 1L }
-      CountsBuf(a.toSeq)
+      if (toks != null) toks.foreach { t => b.counts(index.getOrElse(t, oov)) += 1L }
+      b
     }
-    override def merge(a: CountsBuf, b: CountsBuf): CountsBuf =
-      CountsBuf(a.counts.lazyZip(b.counts).map(_ + _))
+    override def merge(a: CountsBuf, b: CountsBuf): CountsBuf = {
+      var i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      a
+    }
     override def finish(r: CountsBuf): CountsBuf = r
     override def bufferEncoder: Encoder[CountsBuf] = Encoders.product[CountsBuf]
     override def outputEncoder: Encoder[CountsBuf] = Encoders.product[CountsBuf]

@@ -94,7 +94,7 @@ class PropertySpec extends AnyFunSuite {
       val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
         .foldLeft(agg.zero)(agg.merge)
       val single = docs.foldLeft(agg.zero)(agg.reduce)
-      merged.counts == single.counts &&
+      merged.counts.sameElements(single.counts) &&
         merged.counts.length == vocab.size + 1 && // OOV bounded: one slot
         merged.counts.sum == docs.map(_.size).sum // every token lands somewhere
     })
