@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional trailing query names restrict the dump (local iteration);
-    // the driver passes exactly (sfDir, outDir) and dumps everything
+    // the driver passes exactly (sfDir, outDir) and dumps everything.
+    // Unknown names fail loudly — a typo that silently dumps nothing
+    // would leave a stale previous dump to pass the oracle compare.
     val only = args.drop(2).toSet
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -611,12 +611,16 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard for a set of candidate pairs (id_a, id_b):
-    * |A ∩ B| / |A ∪ B| over distinct shingles. Used to verify LSH
-    * candidates; never run on the full cross product.
+  /** Shared verify core for the pairwise shingle measures: for every
+    * candidate pair, (n_inter, n_a, n_b) over distinct shingles. ALL
+    * joins preserve the input pairs — a doc with fewer than shingleN
+    * tokens has no shingles and no sizes row, and an inner join there
+    * would silently swallow the pair (indistinguishable from "not a
+    * candidate"); instead such sides surface as n = 0 and the measures
+    * built on top return null for them.
     */
-  def ngramJaccard(docs: DataFrame, id: Column, text: Column,
-                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+  private def pairShingleStats(docs: DataFrame, id: Column, text: Column,
+                               pairs: DataFrame, shingleN: Int): DataFrame = {
     val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
       .dropDuplicates("doc_id", "sh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -625,14 +629,28 @@ object Dedup {
       .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"),
+        Seq("id_a"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"),
+        Seq("id_b"), "left")
+      .na.fill(0L, Seq("n_inter", "n_a", "n_b"))
   }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (id_a, id_b):
+    * |A ∩ B| / |A ∪ B| over distinct shingles. Used to verify LSH
+    * candidates; never run on the full cross product. Pairs where a
+    * side has no shingles (doc shorter than shingleN tokens) are kept
+    * with a null jaccard rather than silently dropped.
+    */
+  def ngramJaccard(docs: DataFrame, id: Column, text: Column,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    pairShingleStats(docs, id, text, pairs, shingleN)
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_inter") > 0,
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
 
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
     * sign-bucket LSH (per-bucket self-join instead of O(n²)).
@@ -766,39 +784,42 @@ object Dedup {
     * short doc fully embedded in a long one has high containment but low
     * Jaccard (|A∩B|/|A∪B| shrinks as the superset grows) — and those
     * quote-embedded / concatenated-page duplicates are common in crawled
-    * corpora. Verify-on-candidates-only like [[ngramJaccard]]; never run
-    * on the full cross product.
+    * corpora. Verify-on-candidates-only like [[ngramJaccard]] (same
+    * shared core); never run on the full cross product. A side with no
+    * shingles keeps its pair row with a null containment.
     */
   def ngramContainment(docs: DataFrame, id: Column, text: Column,
-                       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = TextFunctions.explodedShingles(docs, id, text, shingleN)
-      .dropDuplicates("doc_id", "sh")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+                       pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    pairShingleStats(docs, id, text, pairs, shingleN)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
-        round(col("n_inter").cast("double") / col("n_a").cast("double"), 6).as("containment_a"),
-        round(col("n_inter").cast("double") / col("n_b").cast("double"), 6).as("containment_b"))
-  }
+        when(col("n_a") > 0, round(col("n_inter").cast("double") /
+          col("n_a").cast("double"), 6)).as("containment_a"),
+        when(col("n_b") > 0, round(col("n_inter").cast("double") /
+          col("n_b").cast("double"), 6)).as("containment_b"))
 
-  /** Containment dedup: LSH candidates → exact containment verify → drop
+  /** Containment dedup: candidates → exact containment verify → drop
     * the CONTAINED side (the smaller shingle set — it is the one inside
     * the other; |A| < |B| forces containment_a ≥ containment_b). Equal
     * sizes tie-break to dropping the larger id, so the rule is
     * deterministic. Keeps supersets: dropping the long page that quotes
     * a short doc would lose novel text.
+    *
+    * Candidates come from WINNOW fingerprints, not MinHash-LSH: in the
+    * extreme-subset regime this operator exists for (10 tokens inside a
+    * 10k-token page) the pair's Jaccard is ~0, so Jaccard-tuned LSH
+    * bands essentially never collide — while winnowing guarantees a
+    * shared fingerprint for ANY shared run of ≥ window+shingleN-1
+    * tokens regardless of the documents' overall similarity.
+    * `minShared` defaults to 1 here (a short contained doc may carry
+    * only one selected fingerprint); precision is restored by the exact
+    * verify that follows.
     */
   def containmentDedup(docs: DataFrame, id: Column, text: Column,
                        threshold: Double, shingleN: Int = 3,
-                       numBands: Int = 4, rowsPerBand: Int = 2,
-                       maxBucket: Option[Int] = None): DataFrame = {
-    val cand = minhashCandidates(docs, id, text, shingleN, numBands, rowsPerBand, maxBucket)
+                       window: Int = 4, minShared: Int = 1,
+                       maxDocFreq: Option[Int] = None): DataFrame = {
+    val cand = winnowCandidates(docs, id, text, shingleN, window, minShared, maxDocFreq)
+      .select(col("id_a"), col("id_b"))
     val drops = ngramContainment(docs, id, text, cand, shingleN)
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .select(when(col("n_a") < col("n_b"), col("id_a"))

@@ -30,10 +30,12 @@ object KlDrift {
     */
   class CountsAgg(vocab: Seq[String])
       extends org.apache.spark.sql.expressions.Aggregator[Seq[String], CountsBuf, CountsBuf] {
+    // only the index map is retained — methods never touch the vocab
+    // Seq, so the serialized closure ships each vocabulary string once
     private val index: Map[String, Int] = vocab.zipWithIndex.toMap
     private val oov = vocab.size
 
-    override def zero: CountsBuf = CountsBuf(Array.ofDim[Long](vocab.size + 1))
+    override def zero: CountsBuf = CountsBuf(Array.ofDim[Long](oov + 1))
     override def reduce(b: CountsBuf, toks: Seq[String]): CountsBuf = {
       if (toks != null) toks.foreach { t => b.counts(index.getOrElse(t, oov)) += 1L }
       b

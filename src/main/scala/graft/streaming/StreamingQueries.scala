@@ -419,15 +419,15 @@ object StreamingQueries {
     val refAgg = graft.Tables.documents(spark, sfDir)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
-    // the reference distribution is a driver-built artifact — count
-    // before collecting and fail loudly on an unbounded vocabulary
-    // (the temperatureMixSqrt rule: no silent corpus-sized collects);
-    // production callers pass a top-V vocabulary instead
-    val v = refAgg.count()
-    require(v <= maxVocab,
-      s"sourceKl: reference vocabulary has $v tokens > maxVocab=$maxVocab — " +
+    // the reference distribution is a driver-built artifact — the
+    // limit bounds what can ever reach the driver (≤ maxVocab+1 rows),
+    // and one extra row is proof of overflow, failing loudly in the
+    // same single pass (the temperatureMixSqrt rule: no silent
+    // corpus-sized collects); production callers pass a top-V artifact
+    val ref = refAgg.orderBy(col("tok")).limit(maxVocab + 1).collect()
+    require(ref.length <= maxVocab,
+      s"sourceKl: reference vocabulary exceeds maxVocab=$maxVocab — " +
         "train the drift monitor on a bounded top-V vocabulary artifact")
-    val ref = refAgg.orderBy(col("tok")).collect()
     val vocab = ref.map(_.getString(0)).toSeq
     val nT = ref.map(_.getLong(1))
     val nTotal = nT.sum
@@ -437,20 +437,29 @@ object StreamingQueries {
         .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
         .groupBy(col("source")).agg(ca(col("toks")).as("cb")))
     val refDf = broadcast(vocab.indices.map(i => (i, nT(i))).toDF("i", "n_t"))
-    counts
-      .select(col("source"),
-        aggregate(col("cb.counts"), lit(0L), _ + _).as("n_s"),
-        posexplode(col("cb.counts")).as(Seq("i", "n_st")))
+    // the per-source base row is built BEFORE the in-vocab term filter:
+    // a source streaming 100% out-of-vocabulary tokens is the MOST
+    // drifted one and must still appear (n_tokens counts everything
+    // including OOV; its in-vocab KL sum is empty → 0). Sources with
+    // zero tokens produce no batch rows and none here (n_s > 0 guard).
+    val base = counts
+      .select(col("source").as("__src"), // renamed: joined back against
+        aggregate(col("cb.counts"), lit(0L), _ + _).as("n_s")) // the same memory table
+      .where(col("n_s") > 0)
+    val terms = counts
+      .select(col("source"), posexplode(col("cb.counts")).as(Seq("i", "n_st")))
       .where(col("n_st") > 0 && col("i") < lit(vocab.size))
       .join(refDf, "i")
-      .select(col("source"), col("n_s"),
+      .join(broadcast(base), col("source") === col("__src"))
+      .select(col("source"),
         round((col("n_st").cast("double") / col("n_s").cast("double")) *
           log((col("n_st").cast("double") * lit(nTotal).cast("double")) /
             (col("n_s").cast("double") * col("n_t").cast("double"))) * 1e6, 0)
           .cast("long").as("kl_micro"))
-      .groupBy(col("source"))
-      .agg(max(col("n_s")).as("n_tokens"), sum(col("kl_micro")).as("s"))
-      .select(col("source"), col("n_tokens"), round(col("s") / 1e6, 6).as("kl"))
+      .groupBy(col("source")).agg(sum(col("kl_micro")).as("s"))
+    base.join(terms, col("__src") === col("source"), "left")
+      .select(col("__src").as("source"), col("n_s").as("n_tokens"),
+        round(coalesce(col("s"), lit(0L)) / 1e6, 6).as("kl"))
       .orderBy(col("source"))
   }
 
@@ -469,11 +478,20 @@ object StreamingQueries {
     */
   def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // per-doc (token, tf) via sort + run-length boundaries — O(n log n)
+    // per document (the distinct×filter form is O(distinct·n), which a
+    // 10k-token doc turns into ~10^8 comparisons in the scan stage)
     val perDoc = documentsStream(spark, sfDir)
-      .select(TextFunctions.tokens(col("text")).as("toks"))
-      .select(explode(transform(array_distinct(col("toks")),
-        t => struct(t.as("tok"),
-          size(filter(col("toks"), x => x === t)).cast("long").as("tf")))).as("e"))
+      .select(array_sort(TextFunctions.tokens(col("text"))).as("srt"))
+      .where(size(col("srt")) > 0) // sequence(0, -1) would descend
+      .select(col("srt"), filter(sequence(lit(0), size(col("srt")) - 1),
+        i => (i === 0) ||
+          element_at(col("srt"), i + 1) =!= element_at(col("srt"), i)).as("st"))
+      .select(explode(zip_with(col("st"),
+        concat(slice(col("st"), lit(2), size(col("st")) - 1),
+          array(size(col("srt")))),
+        (s, e) => struct(element_at(col("srt"), s + 1).as("tok"),
+          (e - s).cast("long").as("tf")))).as("e"))
       .select(col("e.tok").as("tok"), col("e.tf").as("tf"))
     runToMemory(perDoc.groupBy(col("tok"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))

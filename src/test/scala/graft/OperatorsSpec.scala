@@ -602,5 +602,23 @@ class OperatorsSpec extends AnyFunSuite {
     val kept = Dedup.containmentDedup(docs, col("doc_id"), col("text"),
       threshold = 0.95)
     assert(kept.select(col("doc_id")).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the regime the operator exists for: a 12-token doc inside a
+    // 53-token page has Jaccard ~ 10/51 (Jaccard-tuned LSH bands would
+    // essentially never collide) but containment_b = 1.0 — the winnow
+    // candidate generator guarantees the pair surfaces
+    val short = contained + " lambda mu"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq((10L, filler + " " + short), (11L, short)).toDF("doc_id", "text")
+    val kept2 = Dedup.containmentDedup(docs2, col("doc_id"), col("text"),
+      threshold = 0.9)
+    assert(kept2.select(col("doc_id")).as[Long].collect().toSeq == Seq(10L))
+    // a pair whose side is shorter than shingleN tokens is preserved
+    // with null containment, not silently swallowed by the size join
+    val tiny = Seq((1L, "just two"), (2L, "three little tokens here"))
+      .toDF("doc_id", "text")
+    val st = Dedup.ngramContainment(tiny, col("doc_id"), col("text"),
+      Seq((1L, 2L)).toDF("id_a", "id_b")).collect().head
+    assert(st.getLong(2) == 0L && st.getLong(3) == 0L) // n_inter, n_a
+    assert(st.isNullAt(5) && st.getDouble(6) == 0.0)   // c_a null, c_b 0
   }
 }
