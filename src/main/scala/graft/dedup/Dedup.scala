@@ -775,7 +775,13 @@ object Dedup {
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("__n_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
-          least(col("__n_a"), col("__n_b")).cast("double"), 6).as("overlap"))
+          least(col("__n_a"), col("__n_b")).cast("double"), 6).as("overlap"),
+        // directional shares: "90% of A's shingles also appear in B"
+        // reads mirroring direction the symmetric coefficient hides
+        round(col("n_shared").cast("double") / col("__n_a").cast("double"), 6)
+          .as("share_a"),
+        round(col("n_shared").cast("double") / col("__n_b").cast("double"), 6)
+          .as("share_b"))
   }
 
   /** Directed n-gram containment for candidate pairs (id_a, id_b):

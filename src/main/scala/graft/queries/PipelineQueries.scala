@@ -1557,7 +1557,9 @@ object PipelineQueries {
                 GROUP BY 1, 2)
       SELECT source_a, source_b, n_shared,
              round(CAST(n_shared AS DOUBLE) /
-                   CAST(least(na.n, nb.n) AS DOUBLE), 6) AS overlap
+                   CAST(least(na.n, nb.n) AS DOUBLE), 6) AS overlap,
+             round(CAST(n_shared AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS share_a,
+             round(CAST(n_shared AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS share_b
       FROM pairs JOIN sizes na ON na.source = source_a
                  JOIN sizes nb ON nb.source = source_b
       ORDER BY source_a, source_b""")),
