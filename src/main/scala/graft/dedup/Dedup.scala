@@ -737,7 +737,14 @@ object Dedup {
     * more than that many sources (they carry no pair-discrimination
     * signal anyway), with the drop count surfaced via `observe`
     * (`source_overlap_N.capped_shingles`) so capping is never silent.
-    * Output: (source_a < source_b, n_shared, overlap).
+    * Output: (source_a < source_b, n_shared, overlap, share_a, share_b).
+    *
+    * Scale contract (stated, not hidden): the output matrix — and the
+    * per-shingle source set the aggregation buffers — are bounded by
+    * the SOURCE UNIVERSE, and the matrix is O(S²) in the worst case.
+    * The operator therefore assumes a modest S (≲ 10⁴ crawl sources /
+    * domains-of-interest); for web-scale universes, group sources into
+    * families first — an S²-sized answer is the wrong question there.
     */
   def sourceOverlap(docs: DataFrame, source: Column, id: Column, text: Column,
                     shingleN: Int = 3,
