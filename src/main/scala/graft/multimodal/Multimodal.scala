@@ -175,4 +175,33 @@ object Multimodal {
         expr("substring(__p, frame_idx * 8 + 1, 8)"))
       .drop("__p", "__nf")
   }
+
+  /** Perceptual-hash (average-hash) dedup over the decoded feature
+    * histogram — the image-dedup primitive: bit j of the code is set
+    * iff bucket j is at or above the histogram mean, so media with the
+    * same CONTENT distribution collide on one `dim`-bit code even when
+    * their bytes differ, and election proceeds exactly like exact-text
+    * dedup (min-id keeper per code). The threshold compares
+    * `hist[j]·dim ≥ Σhist` in integers — no division, so the code is
+    * bit-identical across engines. With a real codec the histogram
+    * becomes pixel luminance and this is textbook aHash; the
+    * distributed shape (decode per partition, map-side code, ONE
+    * election shuffle on the code) is unchanged.
+    */
+  def perceptualHashGroups(df: DataFrame, id: Column, payload: Column,
+                           dim: Int = 16): DataFrame = {
+    val h = extractHistogram(df, id, payload, dim)
+      .withColumn("__tot", expr("aggregate(hist, 0L, (a, b) -> a + b)"))
+      .withColumn("phash", expr(
+        s"""aggregate(zip_with(hist, sequence(0, ${dim - 1}),
+              (c, j) -> CASE WHEN c * $dim >= __tot
+                             THEN shiftleft(1L, cast(j AS int)) ELSE 0L END),
+            0L, (a, b) -> a + b)"""))
+      .select(col("media_id"), col("phash"))
+    val groups = h.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    h.join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("keeper_id"),
+        (col("media_id") === col("keeper_id")).as("kept"), col("group_size"))
+  }
 }

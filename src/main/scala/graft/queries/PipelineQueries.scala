@@ -1629,7 +1629,33 @@ object PipelineQueries {
                list_sort(list({'doc_id': doc_id, 'tf': tf})),
                e -> CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.tf AS VARCHAR)), ',')
                AS postings
-      FROM tf GROUP BY 1 ORDER BY tok"""))
+      FROM tf GROUP BY 1 ORDER BY tok""")),
+
+    // Perceptual-hash (average-hash) media dedup — same-content byte
+    // distributions collide on a 16-bit code; min-id keeper election.
+    ("p56_phash_dedup", (s, d) => {
+      graft.multimodal.Multimodal.perceptualHashGroups(
+          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      WITH vec AS (SELECT doc_id,
+        list_transform(generate_series(0, 15), j ->
+          CAST(len(list_filter(generate_series(1, length(text)),
+                 i -> ord(substr(text, i, 1)) % 16 = j)) AS BIGINT)) AS v
+       FROM documents),
+      coded AS (SELECT doc_id AS media_id,
+                  CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                    CASE WHEN v[j+1] * 16 >= list_sum(v)
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+                    AS phash
+                FROM vec),
+      grp AS (SELECT phash, min(media_id) AS keeper_id,
+                count(*) AS group_size
+              FROM coded GROUP BY 1)
+      SELECT media_id, phash, keeper_id,
+             media_id = keeper_id AS kept, group_size
+      FROM coded JOIN grp USING (phash)
+      ORDER BY media_id"""))
   )
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the

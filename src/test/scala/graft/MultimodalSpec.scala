@@ -79,4 +79,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(2L)._1 == 1L) // empty payload still yields 1 (index 0) frame
     assert(frames.filter(col("frame_idx") < 0).count() == 0)
   }
+
+  test("perceptualHashGroups collides same-content media and elects min id") {
+    // docs 1 and 2 are byte PERMUTATIONS (identical content histogram,
+    // different bytes — exact dedup would keep both); doc 3 differs
+    val docs = Seq((1L, "aabbcc"), (2L, "ccbbaa"), (3L, "zzzzzzzz"))
+      .toDF("id", "text")
+    val out = graft.multimodal.Multimodal.perceptualHashGroups(
+        docs, col("id"), col("text").cast("binary"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // 'a'→bucket 1, 'b'→2, 'c'→3 (2 each, all ≥ mean): code = 0b1110
+    assert(out(0) == (1L, 14L, 1L, true))
+    assert(out(1) == (2L, 14L, 1L, false)) // permutation collides, loses election
+    assert(out(2) == (3L, 1024L, 3L, true)) // 'z'→bucket 10 only
+  }
 }
