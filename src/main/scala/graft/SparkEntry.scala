@@ -91,6 +91,9 @@ object SparkEntry {
     ("q64_streaming_source_kl",
       (s, d) => graft.streaming.StreamingQueries.sourceKl(s, d),
       Some(sharedOracle("p54_source_kl"))),
+    ("q66_streaming_phash_dedup",
+      (s, d) => graft.streaming.StreamingQueries.phashDedup(s, d),
+      Some(sharedOracle("p56_phash_dedup"))),
     ("q65_streaming_index_stats",
       (s, d) => graft.streaming.StreamingQueries.indexStats(s, d),
       Some("""

@@ -188,9 +188,14 @@ object Multimodal {
     * distributed shape (decode per partition, map-side code, ONE
     * election shuffle on the code) is unchanged.
     */
-  def perceptualHashGroups(df: DataFrame, id: Column, payload: Column,
-                           dim: Int = 16): DataFrame = {
-    val h = extractHistogram(df, id, payload, dim)
+  /** (media_id, phash) codes — SHARED by the batch election and the
+    * streaming twin so the code arithmetic cannot drift (the chunkRows
+    * rule). Works on streaming inputs too: the histogram decode and the
+    * code fold are both stateless map-side operations.
+    */
+  private[graft] def phashCodes(df: DataFrame, id: Column, payload: Column,
+                                dim: Int): DataFrame =
+    extractHistogram(df, id, payload, dim)
       .withColumn("__tot", expr("aggregate(hist, 0L, (a, b) -> a + b)"))
       .withColumn("phash", expr(
         s"""aggregate(zip_with(hist, sequence(0, ${dim - 1}),
@@ -198,6 +203,10 @@ object Multimodal {
                              THEN shiftleft(1L, cast(j AS int)) ELSE 0L END),
             0L, (a, b) -> a + b)"""))
       .select(col("media_id"), col("phash"))
+
+  def perceptualHashGroups(df: DataFrame, id: Column, payload: Column,
+                           dim: Int = 16): DataFrame = {
+    val h = phashCodes(df, id, payload, dim)
     val groups = h.groupBy(col("phash"))
       .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
     h.join(groups, Seq("phash"))
