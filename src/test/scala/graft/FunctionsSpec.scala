@@ -29,6 +29,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == est)
   }
 
+  test("Hll JVM hash60/RegisterAgg equals the SQL-side md5 register arithmetic") {
+    import graft.functions.Hll
+    val p = 6
+    val toks = (1 to 500).map(i => s"token_$i")
+    val df = toks.toDF("k")
+    // the byte-arithmetic hash60 is bit-identical to the SQL hex form
+    val sqlH = df.select(
+        conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(sqlH == toks.map(Hll.hash60), "hash60 diverged from SQL md5 path")
+    // the streaming Aggregator's registers equal the declarative
+    // groupBy-max registers (the q59 resolution, pinned JVM-side)
+    val remBits = 60 - p
+    val hCol = conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long")
+    val rem = hCol.bitwiseAND(lit((1L << remBits) - 1))
+    val rank = when(rem === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    val sqlRegs = df
+      .select(shiftright(hCol, remBits).cast("int").as("idx"), rank.cast("int").as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val agg = new Hll.RegisterAgg(p)
+    val buf = toks.foldLeft(agg.zero)(agg.reduce)
+    val jvmRegs = buf.regs.zipWithIndex.collect { case (r, i) if r > 0 => i -> r }.toMap
+    assert(jvmRegs == sqlRegs, "RegisterAgg registers diverged from SQL registers")
+  }
+
   test("native CosineSimilarity matches the composed built-in form bitwise") {
     val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
     val a = e.select(col("vec_id"), col("embedding").as("va"))
