@@ -639,9 +639,12 @@ object Dedup {
 
   /** Exact n-gram Jaccard for a set of candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct shingles. Used to verify LSH
-    * candidates; never run on the full cross product. Pairs where a
-    * side has no shingles (doc shorter than shingleN tokens) are kept
-    * with a null jaccard rather than silently dropped.
+    * candidates; never run on the full cross product. Pairs are never
+    * silently dropped: one empty side (doc shorter than shingleN
+    * tokens) yields jaccard 0.0 — the mathematically correct value,
+    * since the union is the non-empty side — and only an
+    * empty-vs-empty pair (union size 0, Jaccard undefined) carries a
+    * null jaccard.
     */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame =
@@ -686,7 +689,14 @@ object Dedup {
     * governed by k, exactly how SemDeDup bounds its pairwise pass. A
     * pathological hot cluster is capped by `maxCluster`: only the cap
     * smallest ids act as dominators (deterministic, the [[minhashCandidates]]
-    * `maxBucket` rule), bounding the join at m·cap rows.
+    * `maxBucket` rule), bounding the join at m·cap rows. The cap
+    * DEFAULTS ON (4096, matching the streaming twin's bounded-state
+    * default) because embedding spaces always have a hot centroid and
+    * the uncapped O(c²) pass on it is a stragglers' graveyard at scale;
+    * pass `maxCluster = None` only when cluster sizes are known small.
+    * Semantics under the cap: a vector dominated ONLY by cluster-mates
+    * beyond the 4096 smallest ids stays kept — recall decays
+    * deterministically, precision never does.
     *
     * `centroids`: (centroid_id, centv) — [[graft.similarity.SimilaritySearch.kmeansCentroids]]
     * output, or any fixed seed set (the oracle-expressible instance p44
@@ -696,7 +706,7 @@ object Dedup {
     */
   def semanticDedup(vectors: DataFrame, id: Column, vec: Column,
                     centroids: DataFrame, threshold: Double,
-                    maxCluster: Option[Int] = None): DataFrame = {
+                    maxCluster: Option[Int] = Some(4096)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vectors.select(id.cast("long").as("vec_id"), vec.as("v"))
     val asg = graft.similarity.SimilaritySearch.coarseAssign(
