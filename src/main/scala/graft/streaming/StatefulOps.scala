@@ -201,12 +201,19 @@ object StatefulOps {
             .filter(_.tsMs + horizonMs > wm)
           val out = Seq.newBuilder[BandMatch]
           it.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
-            // an at-least-once redelivery (or duplicate input row) must
-            // not self-match or burn a second state slot — mirror the
-            // batch operator's strict id_a < id_b pair rule
-            seen.foreach(s => if (s.id != d.docId) out += BandMatch(key, s.id, d.docId))
-            if (seen.size < maxPerBand && !seen.exists(_.id == d.docId))
-              seen = seen :+ SeenDoc(d.docId, d.ts.getTime)
+            // an at-least-once redelivery (or duplicate input row) of a
+            // doc ALREADY HELD emits nothing at all — emitting against
+            // the held set would re-pair it with docs that arrived
+            // after its first delivery, with the orientation REVERSED
+            // ((2, 1) after the original (1, 2)), so the documented
+            // downstream distinct on (earlierId, laterId) would keep
+            // both and earlierId would misstate arrival order (the
+            // semanticStreamingDedup idempotent-redelivery rule)
+            if (!seen.exists(_.id == d.docId)) {
+              seen.foreach(s => out += BandMatch(key, s.id, d.docId))
+              if (seen.size < maxPerBand)
+                seen = seen :+ SeenDoc(d.docId, d.ts.getTime)
+            }
           }
           if (seen.nonEmpty) {
             state.update(BandState(seen))
@@ -241,9 +248,20 @@ object StatefulOps {
     * cluster's KEPT representatives (the live dedup index); an arriving
     * vector is dropped when its cosine to any held representative
     * reaches `threshold` (first-arrival-wins, the online analog of the
-    * batch min-id election — identical results when arrival order is id
-    * order). Cosines compare at round-half-up 6 dp, the batch
-    * operator's boundary rule.
+    * batch min-id election). Cosines compare at round-half-up 6 dp, the
+    * batch operator's boundary rule.
+    *
+    * DOCUMENTED DIVERGENCE from batch [[graft.dedup.Dedup.semanticDedup]]
+    * on transitive chains: batch dominates by any smaller-id
+    * cluster-mate EVEN IF that mate was itself dropped (cos(1,2) ≥ t,
+    * cos(2,3) ≥ t, cos(1,3) < t ⇒ batch drops both 2 and 3), while this
+    * operator compares only against KEPT representatives (2 is dropped,
+    * never enters state, so 3 survives) — the streaming form keeps
+    * strictly MORE in dominated-by-dropped chains. This is inherent to
+    * an online dedup index: holding dropped vectors too would make
+    * state linear in the corpus instead of bounded by maxPerCluster.
+    * When arrival order is id order AND no such chain exists, results
+    * are identical (pinned in StreamingSpec, including the chain case).
     *
     * State boundedness: ≤ `maxPerCluster` representatives per centroid
     * (beyond the cap a vector is still judged against the held set but

@@ -123,6 +123,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("band_redeliver").as[BandMatch].collect().toSet ==
         Set(BandMatch("d1", 1, 2), BandMatch("d1", 1, 3), BandMatch("d1", 2, 3)))
+      // redelivery of HELD doc 1 after doc 2 arrived must emit NOTHING —
+      // re-pairing it against the held set would produce the reversed
+      // orientation (2, 1), which downstream distinct on
+      // (earlierId, laterId) would keep alongside the original (1, 2)
+      input.addData(BandedDoc("d1", 1, t))
+      q.processAllAvailable()
+      assert(spark.table("band_redeliver").as[BandMatch].collect().length == 3,
+        "redelivered held doc must not re-pair with reversed orientation")
     } finally q.stop()
   }
 
@@ -185,6 +193,41 @@ class StreamingSpec extends AnyFunSuite {
       val redelivered = spark.table("sem_stream").as[SemanticVerdict].collect()
         .filter(_.vecId == 0L)
       assert(redelivered.length == 2 && redelivered.forall(v => v.kept && v.dupOf == -1L))
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup keeps MORE than batch on dominated-by-dropped chains") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.SemanticVerdict
+    // transitive chain: cos(1,2) >= t and cos(2,3) >= t but cos(1,3) < t.
+    // Batch semanticDedup dominates by ANY smaller-id mate (2 drops 3
+    // even though 2 was itself dropped); streaming compares only against
+    // KEPT representatives, so 3 survives — the documented divergence.
+    val vecs = Map(
+      1L -> Array(1.0, 0.0),
+      2L -> Array(math.cos(0.35), math.sin(0.35)), // cos to 1 ≈ 0.939
+      3L -> Array(math.cos(0.70), math.sin(0.70))) // cos to 2 ≈ 0.939, to 1 ≈ 0.765
+    val cents = Seq((0L, Array(1.0, 0.0))).toDF("centroid_id", "centv")
+    val batch = graft.dedup.Dedup.semanticDedup(
+        vecs.toSeq.map { case (i, v) => (i, v.map(_.toFloat)) }
+          .toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), cents, threshold = 0.9)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(batch == Set(1L), "batch drops the whole chain")
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Array[Double], Timestamp)]
+    val out = graft.streaming.StreamingQueries.semanticStreamingDedup(
+      input.toDF().toDF("vec_id", "embedding", "ts"),
+      col("vec_id"), col("embedding"), col("ts"), cents, threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("sem_chain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      (1L to 3L).foreach { i => input.addData((i, vecs(i), t)); q.processAllAvailable() }
+      val kept = spark.table("sem_chain").as[SemanticVerdict].collect()
+        .filter(_.kept).map(_.vecId).toSet
+      assert(kept == Set(1L, 3L), "streaming keeps the chain endpoint (3)")
     } finally q.stop()
   }
 
