@@ -1,0 +1,285 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** REAL image decode path — `javax.imageio` (JDK-bundled: PNG/BMP decode
+  * is pure Java, zero new dependencies). This replaces [[Multimodal.FakeCodec]]
+  * for the `image` kind; the fake remains ONLY for audio/video kinds,
+  * whose codecs genuinely aren't in this environment.
+  *
+  * Split of responsibilities:
+  *   - The OPERATORS ([[decodeMeta]], [[luminanceHistogram]], [[resize]],
+  *     [[aHashCodes]], [[perceptualHashGroups]]) accept ANY gray PNG/BMP
+  *     payload column — they decode real bytes with a once-per-partition
+  *     codec (the [[Multimodal.extractFeatures]] amortization contract,
+  *     counted by [[Multimodal.codecInits]]).
+  *   - The FIXTURE ([[SyntheticImages]]) is the only deterministic part:
+  *     it encodes a pixel formula into real PNG bytes so the DuckDB
+  *     oracle can recompute every kernel from the formula while Spark
+  *     computes it from the DECODED BYTES. PNG is lossless, so the two
+  *     agree iff the encode→decode→kernel chain is faithful — the
+  *     oracle genuinely exercises the codec.
+  *
+  * Scale shape (unchanged from the stub era, now with a real kernel):
+  * payloads never pass through a shuffle wider than needed; decode runs
+  * per-partition with one codec instance streamed over the rows; every
+  * kernel output is a fixed-size row (meta, dim-bucket histogram, 64-bit
+  * code), so downstream shuffles carry codes and counts, not pixels.
+  */
+object ImageCodec {
+
+  /** One decoded gray image: row-major pixels, 0..255. */
+  final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Per-partition codec instance. Construction is the "expensive native
+    * init" slot (counted via [[Multimodal.codecInits]] so specs pin the
+    * once-per-partition contract); methods are allocation-light per row.
+    */
+  final class Codec {
+    Multimodal.codecInits.incrementAndGet()
+
+    /** Encode a gray image to real PNG bytes (lossless). */
+    def encodeGrayPng(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pix(y * w + x) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode PNG/BMP bytes to gray pixels. Non-gray inputs fold to
+      * luminance via the first raster band of the gray-converted image.
+      */
+    def decodeGray(bytes: Array[Byte]): DecodedImage = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "imageio could not decode payload")
+      val img =
+        if (src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) src
+        else {
+          val g = new java.awt.image.BufferedImage(
+            src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          gg.drawImage(src, 0, 0, null)
+          gg.dispose()
+          g
+        }
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      DecodedImage(w, h, out)
+    }
+
+    /** Nearest-neighbor resample — src pixel (x·w/tw, y·h/th) in integer
+      * arithmetic, the exact form the oracle recomputes.
+      */
+    def resizeNearest(img: DecodedImage, tw: Int, th: Int): DecodedImage = {
+      val out = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = y * img.height / th
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) = img.pixels(sy * img.width + x * img.width / tw)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(tw, th, out)
+    }
+
+    /** Textbook average-hash: nearest-neighbor downsample to 8×8, bit c
+      * (cell yy=c/8, xx=c%8) set iff that cell's luminance is at or above
+      * the 64-cell mean — compared as `p·64 ≥ Σp` in integers, so the
+      * code is bit-identical across engines. Rendered as a 64-char
+      * '0'/'1' string, cell 0 first (DuckDB BIGINT rejects a 1<<63
+      * shift, and the election only needs equality, not arithmetic).
+      */
+    def aHash64(img: DecodedImage): String = {
+      val samp = new Array[Int](64)
+      var s = 0L
+      var c = 0
+      while (c < 64) {
+        val sy = (c / 8) * img.height / 8
+        val sx = (c % 8) * img.width / 8
+        val p = img.pixels(sy * img.width + sx)
+        samp(c) = p
+        s += p
+        c += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      c = 0
+      while (c < 64) {
+        sb.append(if (samp(c).toLong * 64 >= s) '1' else '0')
+        c += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Deterministic synthetic-image fixture. Content derives from
+    * `seed = media_id % distinctImages` — ids sharing a seed carry
+    * byte-identical PNGs, so dedup/search over the fixture has real
+    * duplicate structure (the 100 TB media-dedup shape in miniature).
+    * Formulas (the oracle recomputes these verbatim in SQL):
+    *   w(seed)    = seed % 12 + 4           (4..15)
+    *   h(seed)    = (seed·7) % 10 + 4       (4..13)
+    *   pix(seed,k)= (seed·31 + k·7) % 256   (k row-major)
+    */
+  object SyntheticImages {
+    val distinctImages = 16
+    def seedOf(id: Long): Long = id % distinctImages
+    def widthOf(seed: Long): Int = (seed % 12 + 4).toInt
+    def heightOf(seed: Long): Int = ((seed * 7) % 10 + 4).toInt
+    def pixelAt(seed: Long, k: Long): Int = ((seed * 31 + k * 7) % 256).toInt
+
+    /** (media_id, payload) with REAL PNG bytes, encoded once per row by
+      * a per-partition codec. The SQL fragment duplicated in every
+      * image-oracle CTE is the `dims` table this generates.
+      */
+    def pngFixture(docs: DataFrame, id: Column): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(id.cast("long").as("media_id")).as[Long]
+        .mapPartitions { ids =>
+          val codec = new Codec
+          ids.map { mid =>
+            val seed = seedOf(mid)
+            MediaPng(mid, codec.encodeGrayPng(
+              widthOf(seed), heightOf(seed), k => pixelAt(seed, k)))
+          }
+        }
+        .toDF()
+    }
+
+    /** The shared oracle prelude: per-doc dims + seed from the formula. */
+    val oracleDims: String =
+      """dims AS (SELECT doc_id, doc_id % 16 AS seed,
+        |               (doc_id % 16) % 12 + 4 AS w,
+        |               ((doc_id % 16) * 7) % 10 + 4 AS h
+        |        FROM documents)""".stripMargin
+  }
+
+  final case class MediaPng(media_id: Long, payload: Array[Byte])
+  final case class ImageMeta(media_id: Long, width: Long, height: Long,
+                             n_pixels: Long, pix_sum: Long)
+  final case class ImageHist(media_id: Long, n_pixels: Long, hist: Array[Long])
+  final case class ImageCode(media_id: Long, phash: String)
+
+  private def asMedia(df: DataFrame, id: Column, payload: Column) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), payload.cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** Real decode → (media_id, width, height, n_pixels, pix_sum): the
+    * image-kind replacement for [[Multimodal.fakeDecodeMeta]]. pix_sum
+    * is the integer luminance total — the cheapest whole-image check the
+    * oracle can recompute, pinning every decoded pixel in aggregate.
+    */
+  def decodeMeta(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.map { case (mid, bytes) =>
+        val im = codec.decodeGray(bytes)
+        var s = 0L
+        var i = 0
+        while (i < im.pixels.length) { s += im.pixels(i); i += 1 }
+        ImageMeta(mid, im.width.toLong, im.height.toLong,
+          im.pixels.length.toLong, s)
+      }
+    }.toDF()
+  }
+
+  /** Real decode → `dim`-bucket luminance histogram (bucket = p·dim/256,
+    * i.e. the high bits): the image-kind feature vector, integer counts
+    * so downstream similarity scores rank in exact integer arithmetic
+    * (the [[Multimodal.extractHistogram]] contract, now over pixels).
+    */
+  def luminanceHistogram(df: DataFrame, id: Column, payload: Column,
+                         dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.map { case (mid, bytes) =>
+        val im = codec.decodeGray(bytes)
+        val hist = new Array[Long](dim)
+        var i = 0
+        while (i < im.pixels.length) { hist(im.pixels(i) * dim / 256) += 1; i += 1 }
+        ImageHist(mid, im.pixels.length.toLong, hist)
+      }
+    }.toDF()
+  }
+
+  /** Real resize: decode → nearest-neighbor resample → RE-ENCODE to PNG
+    * → decode the re-encoded bytes for the output stats, so the emitted
+    * (width, height, n_pixels, pix_sum) pin the full
+    * decode→resample→encode→decode chain, not just the resample math.
+    * n_bytes_out is the re-encoded payload size (engine-specific PNG
+    * framing — spec-checked > 0, excluded from the oracle columns).
+    */
+  def resize(df: DataFrame, id: Column, payload: Column,
+             targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target $targetW x $targetH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.map { case (mid, bytes) =>
+        val resized = codec.resizeNearest(codec.decodeGray(bytes), targetW, targetH)
+        val reencoded = codec.encodeGrayPng(
+          resized.width, resized.height, resized.pixels)
+        val back = codec.decodeGray(reencoded)
+        var s = 0L
+        var i = 0
+        while (i < back.pixels.length) { s += back.pixels(i); i += 1 }
+        (mid, back.width.toLong, back.height.toLong,
+          back.pixels.length.toLong, s, reencoded.length.toLong)
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "pix_sum", "n_bytes_out")
+  }
+
+  /** (media_id, phash) textbook-aHash codes — SHARED by the batch
+    * election and the streaming twin (the chunkRows rule; works on
+    * streaming inputs because decode + hash are stateless map-side).
+    */
+  def aHashCodes(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.map { case (mid, bytes) => ImageCode(mid, codec.aHash64(codec.decodeGray(bytes))) }
+    }.toDF()
+  }
+
+  /** aHash dedup election: min-id keeper per 64-bit code — the image
+    * dedup primitive, now over real decoded pixels. ONE election shuffle
+    * carrying (code, id) rows; pixels never shuffle.
+    */
+  def perceptualHashGroups(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val h = aHashCodes(df, id, payload)
+    val groups = h.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    h.join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("keeper_id"),
+        (col("media_id") === col("keeper_id")).as("kept"), col("group_size"))
+  }
+}
