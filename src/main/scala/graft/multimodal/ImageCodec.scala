@@ -174,6 +174,98 @@ object ImageCodec {
         |        FROM documents)""".stripMargin
   }
 
+  /** Deterministic synthetic-VIDEO fixture: a container payload of
+    * `n_frames(seed) = seed % 3 + 2` length-prefixed PNG frames (4-byte
+    * big-endian length, then the frame's PNG bytes), each frame a real
+    * gray PNG whose pixels follow the image formula shifted by 13 per
+    * frame index:
+    *   pix(seed, k, f) = (seed·31 + k·7 + f·13) % 256
+    * Frame dims are the media's [[SyntheticImages]] dims. Sampling a
+    * frame therefore exercises real container parsing AND a real PNG
+    * decode per sampled frame.
+    */
+  object SyntheticVideos {
+    def nFramesOf(seed: Long): Int = (seed % 3 + 2).toInt
+    def framePixelAt(seed: Long, k: Long, f: Long): Int =
+      ((seed * 31 + k * 7 + f * 13) % 256).toInt
+
+    /** (media_id, payload) with a length-prefixed multi-frame PNG
+      * container per row, encoded by a per-partition codec.
+      */
+    def containerFixture(docs: DataFrame, id: Column): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(id.cast("long").as("media_id")).as[Long]
+        .mapPartitions { ids =>
+          val codec = new Codec
+          ids.map { mid =>
+            val seed = SyntheticImages.seedOf(mid)
+            val w = SyntheticImages.widthOf(seed)
+            val h = SyntheticImages.heightOf(seed)
+            val bos = new java.io.ByteArrayOutputStream()
+            val dos = new java.io.DataOutputStream(bos)
+            var f = 0
+            while (f < nFramesOf(seed)) {
+              val png = codec.encodeGrayPng(w, h, k => framePixelAt(seed, k, f))
+              dos.writeInt(png.length)
+              dos.write(png)
+              f += 1
+            }
+            dos.flush()
+            MediaPng(mid, bos.toByteArray)
+          }
+        }
+        .toDF()
+    }
+
+    /** Split a container payload into its frames' PNG byte blocks. */
+    private[multimodal] def splitFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      while (in.available() >= 4) {
+        val len = in.readInt()
+        require(len > 0 && len <= in.available(), s"corrupt frame length $len")
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        out += b
+      }
+      out.result()
+    }
+  }
+
+  final case class FrameMeta(media_id: Long, frame_idx: Long, width: Long,
+                             height: Long, pix_sum: Long)
+
+  /** REAL frame sampling: parse the length-prefixed container, choose
+    * `s = min(n_frames, maxFrames)` evenly spaced frames
+    * (`frame_idx = t·n/s`, integer), and DECODE each sampled frame —
+    * the [[Multimodal.sampleFrames]] replacement for the video kind.
+    * Bounded fan-out (≤ maxFrames rows per record), decode amortized
+    * per partition; emitted rows carry fixed-size stats, never pixels.
+    */
+  def sampleFrames(df: DataFrame, id: Column, payload: Column,
+                   maxFrames: Int): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.flatMap { case (mid, bytes) =>
+        val frames = SyntheticVideos.splitFrames(bytes)
+        val n = frames.length
+        val s = math.min(n, maxFrames)
+        (0 until s).iterator.map { t =>
+          val fi = t * n / s
+          val im = codec.decodeGray(frames(fi))
+          var sum = 0L
+          var i = 0
+          while (i < im.pixels.length) { sum += im.pixels(i); i += 1 }
+          FrameMeta(mid, fi.toLong, im.width.toLong, im.height.toLong, sum)
+        }
+      }
+    }.toDF()
+  }
+
   final case class MediaPng(media_id: Long, payload: Array[Byte])
   final case class ImageMeta(media_id: Long, width: Long, height: Long,
                              n_pixels: Long, pix_sum: Long)

@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column support: image/audio/video as opaque `BinaryType`
   * payloads with typed metadata structs.
   *
-  * The real decoders (JPEG/PNG/audio codecs) are not available in this
-  * environment, so the decode kernels are STUBS with a deterministic fake
-  * (see [[FakeCodec]]). Everything around them — schemas, batch
-  * iteration, partition-level processing, feature extraction plumbing —
-  * is real Spark and is what matters at 100 TB: binary payloads never
-  * pass through a shuffle wider than needed, decode runs per-partition
-  * (`mapPartitions`-style via a deterministic projection here), and
-  * metadata lives in pruned-friendly struct columns.
+  * The IMAGE kind decodes for real — `javax.imageio` ships in the JDK —
+  * via [[ImageCodec]] (decode / features / resize / frame-sample /
+  * aHash dedup over true PNG pixels; the p11/p29/p37/p42/p56 + q66
+  * query family runs on that path). AUDIO/VIDEO codecs genuinely are
+  * not in this environment, so their kernels remain STUBS with a
+  * deterministic fake (see [[FakeCodec]]). Everything around both —
+  * schemas, batch iteration, partition-level processing, feature
+  * extraction plumbing — is real Spark and is what matters at 100 TB:
+  * binary payloads never pass through a shuffle wider than needed,
+  * decode runs per-partition, and metadata lives in pruned-friendly
+  * struct columns.
   */
 object Multimodal {
 
@@ -29,10 +32,13 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
-  /** STUB CODEC — deterministic fake standing in for a real image/audio
-    * decoder. Derives stable pseudo-metadata purely from payload length,
-    * so tests and oracles are reproducible. Swap for a real codec by
-    * replacing these three functions; nothing else changes.
+  /** STUB CODEC — deterministic fake standing in for the AUDIO/VIDEO
+    * decoders that aren't in this environment (images decode for real
+    * via [[ImageCodec]]). Derives stable pseudo-metadata purely from
+    * payload length, so tests and oracles are reproducible. Swap for a
+    * real codec by replacing these three functions; nothing else
+    * changes — [[ImageCodec]] is the worked example of exactly that
+    * swap.
     */
   object FakeCodec {
     def width(nBytes: Column): Column = (nBytes % 640 + 1).cast("long")
@@ -183,10 +189,12 @@ object Multimodal {
     * their bytes differ, and election proceeds exactly like exact-text
     * dedup (min-id keeper per code). The threshold compares
     * `hist[j]·dim ≥ Σhist` in integers — no division, so the code is
-    * bit-identical across engines. With a real codec the histogram
-    * becomes pixel luminance and this is textbook aHash; the
+    * bit-identical across engines. [[ImageCodec.perceptualHashGroups]]
+    * is the real-pixel instance (textbook 8×8 aHash over decoded PNG
+    * luminance — the p56/q66 path); this byte-distribution variant
+    * remains for payloads with no decoder (audio/video). The
     * distributed shape (decode per partition, map-side code, ONE
-    * election shuffle on the code) is unchanged.
+    * election shuffle on the code) is identical in both.
     */
   /** (media_id, phash) codes — SHARED by the batch election and the
     * streaming twin so the code arithmetic cannot drift (the chunkRows

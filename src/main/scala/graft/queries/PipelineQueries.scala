@@ -310,17 +310,25 @@ object PipelineQueries {
                    sqrt(list_dot_product(c.v, c.v))), 6) >= 0.9
       ORDER BY 1, 2""")),
 
+    // REAL image decode (javax.imageio): encode the deterministic pixel
+    // formula to true PNG bytes, decode them back per partition, emit
+    // dims + the integer luminance total. PNG is lossless, so DuckDB
+    // recomputing from the FORMULA matches Spark computing from the
+    // DECODED BYTES iff the whole encode→decode chain is faithful.
     ("p11_multimodal_features", (s, d) => {
-      graft.multimodal.Multimodal.fakeDecodeMeta(
-          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
-             CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id""")),
+      import graft.multimodal.ImageCodec
+      ImageCodec.decodeMeta(
+          ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"))
+        .orderBy(col("media_id"))
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims}
+      SELECT doc_id AS media_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                    k -> (seed * 31 + k * 7) % 256)) AS BIGINT) AS pix_sum
+      FROM dims ORDER BY media_id""")),
 
     ("p12_ann_ivf", (s, d) => {
       val e = Tables.embeddings(s, d)
@@ -800,33 +808,31 @@ object PipelineQueries {
       FROM tc JOIN tf USING (token) CROSS JOIN tot
       GROUP BY 1 ORDER BY 1""")),
 
-    // video-frame sampling plumbing: bounded per-record fan-out with
-    // frame index + deterministic stub frame bytes (payload slices).
+    // REAL video-frame sampling: parse a length-prefixed multi-frame PNG
+    // container, pick min(n_frames, 3) evenly spaced frames
+    // (frame_idx = t·n/s), and DECODE each sampled frame — bounded
+    // fan-out, one codec per partition, fixed-size stats out. The oracle
+    // recomputes the same frames from the per-frame pixel formula.
     ("p29_frame_sample", (s, d) => {
-      graft.multimodal.Multimodal.sampleFrames(
-          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"),
-          maxFrames = 3)
-        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-          // binary columns don't survive the pandas-side compare; an md5
-          // hex digest pins the same bytes as a portable string
-          md5(col("frame_bytes")).as("frame_md5"),
-          length(col("frame_bytes")).cast("long").as("frame_len"))
+      import graft.multimodal.ImageCodec
+      ImageCodec.sampleFrames(
+          ImageCodec.SyntheticVideos.containerFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"), maxFrames = 3)
         .orderBy(col("media_id"), col("frame_idx"))
-    }, Some("""
-      WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-                 FROM documents),
-      f AS (SELECT doc_id, text,
-                   unnest(generate_series(0, least(n % 10 + 1, 3) - 1)) AS frame_idx
-            FROM b),
-      -- ASCII corpus: byte slices == char slices, so the VARCHAR
-      -- substring hashes/measures identically to Spark's binary slice
-      fr AS (SELECT doc_id, frame_idx,
-                    substring(text, CAST(frame_idx * 8 + 1 AS BIGINT), 8) AS fb
-             FROM f)
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+      fr AS (SELECT doc_id, seed, w, h, seed % 3 + 2 AS n,
+                    least(seed % 3 + 2, 3) AS s FROM dims),
+      idx AS (SELECT doc_id, seed, w, h,
+                     unnest(list_transform(generate_series(0, s - 1),
+                       t -> t * n // s)) AS frame_idx
+              FROM fr)
       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-             md5(fb) AS frame_md5,
-             CAST(octet_length(encode(fb)) AS BIGINT) AS frame_len
-      FROM fr ORDER BY media_id, frame_idx""")),
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                    k -> (seed * 31 + k * 7 + frame_idx * 13) % 256)) AS BIGINT)
+               AS pix_sum
+      FROM idx ORDER BY media_id, frame_idx""")),
 
     // THE end-to-end batch corpus build, composed as ONE declarative
     // plan: exact dedup (keep min-id) -> repetition + length gates ->
@@ -1070,15 +1076,17 @@ object PipelineQueries {
              bucket
       FROM b ORDER BY doc_id""")),
 
-    // multimodal → similarity composition: per-partition histogram
-    // decode (the amortized-codec kernel) feeding integer dot-product
-    // top-k through the same two-phase rank as the ANN tiers — media
-    // similarity search end to end, exact in both engines because the
-    // score is a BIGINT dot product of raw bucket counts.
+    // multimodal → similarity composition over REAL decoded pixels:
+    // per-partition PNG decode to a 16-bucket luminance histogram
+    // (bucket = pix·16/256), feeding integer dot-product top-k through
+    // the same two-phase rank as the ANN tiers — media similarity search
+    // end to end, exact in both engines because the score is a BIGINT
+    // dot product of raw luminance-bucket counts.
     ("p37_media_search", (s, d) => {
-      import graft.multimodal.Multimodal
-      val feats = Multimodal.extractHistogram(
-        Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
+      import graft.multimodal.ImageCodec
+      val feats = ImageCodec.luminanceHistogram(
+        ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
+        col("media_id"), col("payload"))
       val c = feats.select(col("media_id").as("neighbor_id"), col("hist").as("cv"))
       val q = feats.filter(col("media_id") < 10)
         .select(col("media_id").as("query_id"), col("hist").as("qv"))
@@ -1090,12 +1098,13 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("cos").cast("long").as("dot"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
-    }, Some("""
-      WITH vec AS (SELECT doc_id,
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+      vec AS (SELECT doc_id,
         list_transform(generate_series(0, 15), j ->
-          CAST(len(list_filter(generate_series(1, length(text)),
-                 i -> ord(substr(text, i, 1)) % 16 = j)) AS BIGINT)) AS v
-       FROM documents),
+          CAST(len(list_filter(generate_series(0, w * h - 1),
+                 k -> ((seed * 31 + k * 7) % 256) // 16 = j)) AS BIGINT)) AS v
+       FROM dims),
       q AS (SELECT doc_id AS query_id, v AS qv FROM vec WHERE doc_id < 10),
       scored AS (SELECT query_id, c.doc_id AS neighbor_id,
                    CAST(list_dot_product(c.v, qv) AS BIGINT) AS dot
@@ -1205,24 +1214,34 @@ object PipelineQueries {
              CAST(group_size AS BIGINT) AS group_size
       FROM g ORDER BY fingerprint""")),
 
-    // stubbed media resize (decode→resample→re-encode shape; the stub
-    // keeps the leading target-size bytes): binary in, smaller binary
-    // out, meta recomputed — payloads compared via md5 like p29's frame
-    // digests (ASCII corpus ⇒ byte slice == char slice in both engines).
+    // REAL media resize: decode → nearest-neighbor resample to 8×6 →
+    // re-encode to PNG → decode the re-encoded bytes for the emitted
+    // stats, so (width, height, n_pixels, pix_sum) pin the full
+    // decode→resample→encode→decode chain. The oracle recomputes the
+    // resample arithmetic (src pixel (x·w/8, y·h/6), integer division)
+    // from the formula; n_bytes_out is engine-specific PNG framing and
+    // is spec-checked instead.
     ("p42_resize", (s, d) => {
-      graft.multimodal.Multimodal.resizeStub(
-          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"),
-          targetW = 16, targetH = 8)
-        .select(col("media_id"), col("n_bytes_in"), col("n_bytes_out"),
-          md5(col("resized")).as("payload_md5"), col("width"), col("height"))
+      import graft.multimodal.ImageCodec
+      ImageCodec.resize(
+          ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"), targetW = 8, targetH = 6)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("pix_sum"))
         .orderBy(col("media_id"))
-    }, Some("""
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+      r AS (SELECT doc_id,
+              list_transform(generate_series(0, 47),
+                c -> (seed * 31
+                      + (((c // 8) * h // 6) * w + ((c % 8) * w // 8)) * 7) % 256)
+                AS pix
+            FROM dims)
       SELECT doc_id AS media_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
-             CAST(octet_length(encode(substr(text, 1, 128))) AS BIGINT) AS n_bytes_out,
-             md5(substr(text, 1, 128)) AS payload_md5,
-             CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
-      FROM documents ORDER BY doc_id""")),
+             CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+             CAST(48 AS BIGINT) AS n_pixels,
+             CAST(list_sum(pix) AS BIGINT) AS pix_sum
+      FROM r ORDER BY media_id""")),
 
     // winnow-candidate pairs: docs sharing >= 2 selected fingerprints —
     // the verbatim-passage dual of p05's MinHash-LSH global similarity.
@@ -1631,32 +1650,45 @@ object PipelineQueries {
                AS postings
       FROM tf GROUP BY 1 ORDER BY tok""")),
 
-    // Perceptual-hash (average-hash) media dedup — same-content byte
-    // distributions collide on a 16-bit code; min-id keeper election.
+    // Perceptual-hash media dedup over REAL pixels — textbook 8×8
+    // average-hash on decoded PNGs (bit c set iff cell luminance·64 ≥
+    // the 64-cell sum, pure integers); min-id keeper election on the
+    // 64-bit code. Ids sharing a fixture seed carry byte-identical
+    // PNGs, so the election has true duplicate structure.
     ("p56_phash_dedup", (s, d) => {
-      graft.multimodal.Multimodal.perceptualHashGroups(
-          Tables.documents(s, d), col("doc_id"), col("text").cast("binary"))
+      import graft.multimodal.ImageCodec
+      ImageCodec.perceptualHashGroups(
+          ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"))
         .orderBy(col("media_id"))
-    }, Some("""
-      WITH vec AS (SELECT doc_id,
-        list_transform(generate_series(0, 15), j ->
-          CAST(len(list_filter(generate_series(1, length(text)),
-                 i -> ord(substr(text, i, 1)) % 16 = j)) AS BIGINT)) AS v
-       FROM documents),
+    }, Some(phashOracle))
+  )
+
+  /** Oracle for the aHash election (p56 + q66): DuckDB recomputes the
+    * 8×8 nearest-neighbor sample and the integer mean threshold from
+    * the [[graft.multimodal.ImageCodec.SyntheticImages]] pixel formula
+    * — Spark computes the same code from the DECODED PNG bytes.
+    */
+  lazy val phashOracle: String = s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+      samp AS (SELECT doc_id,
+                 list_transform(generate_series(0, 63),
+                   c -> (seed * 31
+                         + (((c // 8) * h // 8) * w + ((c % 8) * w // 8)) * 7) % 256)
+                   AS sp
+               FROM dims),
       coded AS (SELECT doc_id AS media_id,
-                  CAST(list_sum(list_transform(generate_series(0, 15), j ->
-                    CASE WHEN v[j+1] * 16 >= list_sum(v)
-                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
-                    AS phash
-                FROM vec),
+                  array_to_string(list_transform(sp,
+                    p -> CASE WHEN p * 64 >= list_sum(sp)
+                              THEN '1' ELSE '0' END), '') AS phash
+                FROM samp),
       grp AS (SELECT phash, min(media_id) AS keeper_id,
                 count(*) AS group_size
               FROM coded GROUP BY 1)
       SELECT media_id, phash, keeper_id,
              media_id = keeper_id AS kept, group_size
       FROM coded JOIN grp USING (phash)
-      ORDER BY media_id"""))
-  )
+      ORDER BY media_id"""
 
   /** Oracle for the count-min estimates (p38 + q50): DuckDB rebuilds the
     * exact sketch cells from the same md5-bucket arithmetic and takes

@@ -498,25 +498,31 @@ object StreamingQueries {
       .orderBy(col("tok"))
   }
 
-  /** p56's perceptual-hash election on the streaming engine: arriving
-    * media decode and fold to their `dim`-bit code entirely MAP-SIDE
-    * (the shared [[graft.multimodal.Multimodal.phashCodes]] — batch and
-    * stream cannot drift), and the election is ONE streaming
-    * aggregation whose state is a single (keeper_id, count) row per
-    * DISTINCT CODE — bounded by 2^dim rows total no matter how much
-    * media arrives, the hardest possible state bound. min/count are
-    * order-independent, so results are micro-batch-slice-independent;
-    * the per-media rows join the final group table against the
-    * deterministic batch-side codes (the hllDistinct resolution shape).
+  /** p56's perceptual-hash election on the streaming engine, now over
+    * REAL decoded pixels: arriving media encode/decode and fold to
+    * their textbook 8×8 aHash code entirely MAP-SIDE (the shared
+    * [[graft.multimodal.ImageCodec.aHashCodes]] — batch and stream
+    * cannot drift; PNG decode is stateless, so it streams), and the
+    * election is ONE streaming aggregation whose state is a single
+    * (keeper_id, count) row per DISTINCT CODE — bounded by the number
+    * of distinct aHash codes no matter how much media arrives. min/
+    * count are order-independent, so results are micro-batch-slice-
+    * independent; the per-media rows join the final group table against
+    * the deterministic batch-side codes (the hllDistinct resolution
+    * shape).
     */
-  def phashDedup(spark: SparkSession, sfDir: String, dim: Int = 16): DataFrame = {
-    import graft.multimodal.Multimodal
-    val codes = Multimodal.phashCodes(documentsStream(spark, sfDir),
-      col("doc_id"), col("text").cast("binary"), dim)
+  def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.ImageCodec
+    val codes = ImageCodec.aHashCodes(
+      ImageCodec.SyntheticImages.pngFixture(
+        documentsStream(spark, sfDir), col("doc_id")),
+      col("media_id"), col("payload"))
     val groups = runToMemory(codes.groupBy(col("phash"))
       .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size")))
-    Multimodal.phashCodes(graft.Tables.documents(spark, sfDir),
-        col("doc_id"), col("text").cast("binary"), dim)
+    ImageCodec.aHashCodes(
+        ImageCodec.SyntheticImages.pngFixture(
+          graft.Tables.documents(spark, sfDir), col("doc_id")),
+        col("media_id"), col("payload"))
       .join(groups, Seq("phash"))
       .select(col("media_id"), col("phash"), col("keeper_id"),
         (col("media_id") === col("keeper_id")).as("kept"), col("group_size"))

@@ -80,6 +80,131 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_idx") < 0).count() == 0)
   }
 
+  test("ImageCodec PNG encode→decode round-trips every pixel (lossless)") {
+    import graft.multimodal.ImageCodec
+    val codec = new ImageCodec.Codec
+    val seed = 5L
+    val w = ImageCodec.SyntheticImages.widthOf(seed)
+    val h = ImageCodec.SyntheticImages.heightOf(seed)
+    val png = codec.encodeGrayPng(w, h, k => ImageCodec.SyntheticImages.pixelAt(seed, k))
+    // real PNG bytes: magic header present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val back = codec.decodeGray(png)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.toSeq ==
+      (0 until w * h).map(k => ImageCodec.SyntheticImages.pixelAt(seed, k.toLong)))
+  }
+
+  test("ImageCodec decodes non-gray payloads by folding to luminance") {
+    import graft.multimodal.ImageCodec
+    val codec = new ImageCodec.Codec
+    val rgb = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      rgb.setRGB(x, y, new java.awt.Color(120, 120, 120).getRGB)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val im = codec.decodeGray(bos.toByteArray)
+    assert(im.width == 4 && im.height == 4)
+    // uniform gray-ish input: every folded pixel equals the same value
+    assert(im.pixels.distinct.length == 1 && im.pixels.head > 0)
+  }
+
+  test("ImageCodec decodeMeta over the PNG fixture matches the pixel formula") {
+    import graft.multimodal.ImageCodec
+    import ImageCodec.SyntheticImages._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(40)
+    val meta = ImageCodec.decodeMeta(
+        pngFixture(docs, col("doc_id")), col("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(meta.size == 40)
+    meta.foreach { case (mid, (w, h, np, sum)) =>
+      val seed = seedOf(mid)
+      assert(w == widthOf(seed) && h == heightOf(seed) && np == w * h)
+      assert(sum == (0L until np).map(pixelAt(seed, _).toLong).sum)
+    }
+  }
+
+  test("ImageCodec resize pins the decode→resample→encode→decode chain") {
+    import graft.multimodal.ImageCodec
+    import ImageCodec.SyntheticImages._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val out = ImageCodec.resize(
+        pngFixture(docs, col("doc_id")), col("media_id"), col("payload"),
+        targetW = 8, targetH = 6)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val mid = r.getAs[Long]("media_id")
+      val seed = seedOf(mid)
+      val (w, h) = (widthOf(seed), heightOf(seed))
+      val expect = (0 until 48).map { c =>
+        val sy = (c / 8) * h / 6
+        val sx = (c % 8) * w / 8
+        pixelAt(seed, (sy * w + sx).toLong).toLong
+      }.sum
+      assert(r.getAs[Long]("width") == 8 && r.getAs[Long]("height") == 6)
+      assert(r.getAs[Long]("n_pixels") == 48)
+      assert(r.getAs[Long]("pix_sum") == expect)
+      assert(r.getAs[Long]("n_bytes_out") > 0)
+    }
+  }
+
+  test("ImageCodec aHash election collides seed-identical images and elects min id") {
+    import graft.multimodal.ImageCodec
+    // ids 1, 17, 33 share seed 1 → byte-identical PNGs; id 2 differs
+    val docs = Seq(1L, 17L, 33L, 2L).toDF("doc_id")
+    val out = ImageCodec.perceptualHashGroups(
+        ImageCodec.SyntheticImages.pngFixture(docs, col("doc_id")),
+        col("media_id"), col("payload"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Boolean]("kept"),
+         r.getAs[Long]("group_size"))).toMap
+    assert(out(1L) == (1L, true, 3L))
+    assert(out(17L) == (1L, false, 3L))
+    assert(out(33L) == (1L, false, 3L))
+    assert(out(2L)._2)
+    // codes are the textbook 64-cell form
+    val code = ImageCodec.aHashCodes(
+        ImageCodec.SyntheticImages.pngFixture(docs, col("doc_id")),
+        col("media_id"), col("payload"))
+      .filter(col("media_id") === 1L).collect().head.getAs[String]("phash")
+    assert(code.length == 64 && code.forall(c => c == '0' || c == '1'))
+  }
+
+  test("ImageCodec sampleFrames parses the container and decodes real frames") {
+    import graft.multimodal.ImageCodec
+    import ImageCodec.{SyntheticImages => SI, SyntheticVideos => SV}
+    val docs = Seq(0L, 1L, 2L, 5L).toDF("doc_id") // seeds 0(n=2) 1(n=3) 2(n=4) 5(n=4)
+    val rows = ImageCodec.sampleFrames(
+        SV.containerFixture(docs, col("doc_id")),
+        col("media_id"), col("payload"), maxFrames = 3)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Long]("pix_sum")).toMap
+    // n=2 → frames 0,1; n=3 → 0,1,2; n=4 → 0,1,2 (t·n/s evenly spaced)
+    assert(rows.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (2L, 2L), (5L, 0L), (5L, 1L), (5L, 2L)))
+    rows.foreach { case ((mid, fi), sum) =>
+      val seed = SI.seedOf(mid)
+      val np = SI.widthOf(seed) * SI.heightOf(seed)
+      assert(sum == (0L until np).map(SV.framePixelAt(seed, _, fi).toLong).sum)
+    }
+  }
+
+  test("ImageCodec constructs once per partition (the amortization contract)") {
+    import graft.multimodal.ImageCodec
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select(col("doc_id")).repartition(4)
+    Multimodal.codecInits.set(0)
+    ImageCodec.decodeMeta(
+      ImageCodec.SyntheticImages.pngFixture(docs, col("doc_id")),
+      col("media_id"), col("payload")).count()
+    val inits = Multimodal.codecInits.get()
+    // fixture encode pass + decode pass, 4 partitions each; AQE may retry
+    assert(inits >= 2 && inits <= 16, s"codec constructed $inits times")
+  }
+
   test("perceptualHashGroups collides same-content media and elects min id") {
     // docs 1 and 2 are byte PERMUTATIONS (identical content histogram,
     // different bytes — exact dedup would keep both); doc 3 differs
