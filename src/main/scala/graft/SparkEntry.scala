@@ -103,7 +103,13 @@ object SparkEntry {
                  FROM documents),
       tf AS (SELECT tok, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
       SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
-      FROM tf GROUP BY 1 ORDER BY tok""")))
+      FROM tf GROUP BY 1 ORDER BY tok""")),
+    ("q67_streaming_posting_log",
+      (s, d) => graft.streaming.StreamingQueries.logStructuredIndex(s, d),
+      Some(sharedOracle("p55_inverted_index"))),
+    ("q68_streaming_bm25_fresh",
+      (s, d) => graft.streaming.StreamingQueries.bm25FreshStats(s, d),
+      Some(sharedOracle("p49_bm25_topk"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -471,10 +471,11 @@ object StreamingQueries {
     * array — no per-occurrence rows reach the state store), so df is a
     * plain `count` (each doc contributes each token once) and cf a
     * plain `sum` — both order-independent, slice-independent counts.
-    * Posting LISTS are deliberately not streamed: per-token postings
-    * grow with the corpus (unbounded state), so the artifact's list
-    * body stays a batch build (p55) while the stats stay live — the
-    * standard index-maintenance split.
+    * Posting LISTS don't live in the state store (per-token postings
+    * grow with the corpus); their streaming form is the log-structured
+    * segment build + LSM compaction of [[logStructuredIndex]] (q67),
+    * which keeps the list body on durable storage — the standard
+    * index-maintenance split, with both halves live.
     */
   def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
@@ -527,6 +528,87 @@ object StreamingQueries {
       .select(col("media_id"), col("phash"), col("keeper_id"),
         (col("media_id") === col("keeper_id")).as("kept"), col("group_size"))
       .orderBy(col("media_id"))
+  }
+
+  /** q65's missing half — the posting-list BODY maintained on the
+    * streaming engine, log-structured: each micro-batch builds its own
+    * complete index SEGMENT (the batch [[graft.text.CorpusOps.invertedIndex]]
+    * over just that batch's documents — per-token runs already
+    * doc_id-sorted) and APPENDS it to a durable segment log; a periodic
+    * compaction ([[graft.text.CorpusOps.compactPostingSegments]], run
+    * here at the epoch boundary) LSM-merges the runs into the exact
+    * index the batch build (p55) produces over the same corpus — the
+    * oracle is shared.
+    *
+    * State boundedness: the streaming query holds NO state-store state
+    * at all (stateless foreachBatch); the log grows with the corpus on
+    * DURABLE storage, where an index must live anyway, and compaction
+    * touches only (tok, doc_id, tf) entries — never re-scanning or
+    * re-tokenizing corpus text. That is the standard LSM index-
+    * maintenance design (segments + merge), not a state-store blow-up.
+    */
+  def logStructuredIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val segDir = java.nio.file.Files.createTempDirectory("graft_postseg").toString
+    val q = documentsStream(spark, sfDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        CorpusOps.invertedIndex(batch, col("doc_id"), col("text"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(segDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val segSchema = StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("cf", LongType), StructField("postings", StringType),
+      StructField("batch_id", LongType)))
+    CorpusOps.compactPostingSegments(
+        spark.read.schema(segSchema).parquet(segDir))
+      .orderBy(col("tok"))
+  }
+
+  /** q60's frozen-stats limitation removed: BM25 whose df/corpus stats
+    * TRACK THE ARRIVING CORPUS. Each micro-batch appends two
+    * log-structured artifacts map-side (no state-store state): the
+    * query-vocabulary entry segment (doc_id, term, tf, dl — the
+    * [[graft.text.CorpusOps.bm25IndexSegment]] form, bounded by the
+    * query vocabulary) and a one-row (n_docs, sum_dl) stats slice. At
+    * any epoch boundary, [[graft.text.CorpusOps.bm25FromIndex]] serves
+    * ranked retrieval FROM THE LOG — df aggregated over entries,
+    * stats summed over slices, corpus text never re-touched — so
+    * scores always reflect the corpus-so-far. Run to the end of the
+    * corpus that is exactly the batch p49 ranking (shared oracle); the
+    * per-epoch prefix parity is pinned in StreamingSpec.
+    */
+  def bm25FreshStats(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
+    import graft.text.CorpusOps
+    val queries = CorpusOps.bm25DemoQueries
+    val terms = queries.flatMap(_._2).distinct
+    val logDir = java.nio.file.Files.createTempDirectory("graft_bm25log").toString
+    val q = documentsStream(spark, sfDir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        CorpusOps.bm25IndexSegment(batch, col("doc_id"), col("text"), terms)
+          .write.mode("append").parquet(s"$logDir/postings")
+        toks.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+          .write.mode("append").parquet(s"$logDir/stats")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val postSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("tf", LongType), StructField("dl", LongType)))
+    val statSchema = StructType(Seq(
+      StructField("n_docs", LongType), StructField("sum_dl", LongType)))
+    CorpusOps.bm25FromIndex(
+        spark.read.schema(postSchema).parquet(s"$logDir/postings"),
+        spark.read.schema(statSchema).parquet(s"$logDir/stats"),
+        queries, k)
+      .orderBy(col("qid"), col("rank"))
   }
 
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {

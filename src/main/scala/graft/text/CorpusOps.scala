@@ -421,6 +421,94 @@ object CorpusOps {
     maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
   }
 
+  /** Compact a log of posting-list SEGMENTS (each a [[invertedIndex]]
+    * build over a disjoint document slice — e.g. one micro-batch each,
+    * the log-structured streaming index form) into the single index
+    * [[invertedIndex]] would have built over the union of the slices.
+    *
+    * This is the LSM merge step: each segment's posting run is already
+    * doc_id-sorted, and the per-token sort-agg here realizes the run
+    * merge. What the log buys is never re-scanning or re-tokenizing the
+    * raw corpus — compaction touches only (tok, doc_id, tf) entries,
+    * which are orders of magnitude smaller than document text. df
+    * re-derives as a plain count because a document lives wholly in one
+    * slice, so each (tok, doc) pair appears in exactly one segment
+    * (the file-sink exactly-once contract upholds that under retries).
+    *
+    * Scale shape: ONE token-keyed shuffle over posting entries;
+    * `maxDf` applies the same stopword-tier prune as the direct build,
+    * AFTER counting, so a token's df is never understated.
+    */
+  def compactPostingSegments(segments: DataFrame,
+                             maxDf: Option[Long] = None): DataFrame = {
+    val entries = segments
+      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
+      .select(col("tok"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("e"), ":").getItem(1).cast("long").as("tf"))
+    val idx = entries.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))), ",")
+          .as("postings"))
+    maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
+  }
+
+  /** BM25 served FROM A MAINTAINED INDEX instead of from raw documents:
+    * `postings` is the (doc_id, term, tf, dl) entry log restricted to
+    * the query vocabulary (the q68 per-batch segment form), `stats` the
+    * per-slice (n_docs, sum_dl) corpus rows. Scores are identical to
+    * [[bm25TopK]] over the same documents — same [[bm25Micro]] integer
+    * contributions, same rank tiebreak — but the corpus text is never
+    * touched: df aggregates from the entry log, corpus stats sum across
+    * slice rows, and only docs holding ≥1 query term are scored. This
+    * is what "fresh BM25 over an arriving corpus" costs at an epoch
+    * boundary: a scan of the query-vocab entry log, not of the corpus.
+    */
+  def bm25FromIndex(postings: DataFrame, stats: DataFrame,
+                    queries: Seq[(String, Seq[String])], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val tot = stats.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_dl")).as("sum_dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "term")
+    val contrib = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc_id"),
+        bm25Micro(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("sum_dl"), k1, b).as("m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("m")).as("score_micro"))
+    graft.similarity.SimilaritySearch.rankTopK(
+        contrib.select(col("qid").as("query_id"),
+          col("doc_id").as("neighbor_id"),
+          col("score_micro").cast("double").as("cos")), k)
+      .select(col("query_id").as("qid"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
+  }
+
+  /** The per-slice BM25 index segment [[bm25FromIndex]] consumes: one
+    * (doc_id, term, tf, dl) row per query-vocabulary term occurrence
+    * set, built map-side from each document's own token array. SHARED
+    * by the streaming log writer and the spec's batch replays so the
+    * entry arithmetic cannot drift.
+    */
+  def bm25IndexSegment(docs: DataFrame, id: Column, text: Column,
+                       terms: Seq[String]): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      TextFunctions.tokens(text).as("toks"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide token
     * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —
     * the drift score that tells mixture curation which sources are

@@ -397,6 +397,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.toSeq == b.toSeq)
   }
 
+  test("log-structured posting segments compact to the batch index (q67 vs p55)") {
+    val viaStream = graft.streaming.StreamingQueries.logStructuredIndex(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p55_inverted_index")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
+  test("posting-segment compaction merges disjoint slices exactly (LSM merge)") {
+    import graft.text.CorpusOps
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(120)
+    // three disjoint slices (micro-batches), one segment each
+    val segs = Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+        col("doc_id") % 3 === 2)
+      .map(p => CorpusOps.invertedIndex(docs.filter(p), col("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val compacted = CorpusOps.compactPostingSegments(segs)
+      .collect().map(_.toString).sorted
+    val direct = CorpusOps.invertedIndex(docs, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(compacted.nonEmpty && compacted.toSeq == direct.toSeq)
+    // maxDf prunes the compacted index like the direct build
+    val capped = CorpusOps.compactPostingSegments(segs, maxDf = Some(5L))
+    assert(capped.filter(col("df") > 5).count() == 0)
+  }
+
+  test("fresh-stats streaming BM25 matches batch over the corpus-so-far at every epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.CorpusOps
+    val queries = CorpusOps.bm25DemoQueries
+    val terms = queries.flatMap(_._2).distinct
+    val corpus = Tables.documents(spark, TestSpark.sf).limit(90)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect()
+    val slices = corpus.grouped(30).toSeq
+    val logDir = java.nio.file.Files.createTempDirectory("bm25_epoch_test").toString
+    val postSchema = "doc_id LONG, term STRING, tf LONG, dl LONG"
+    val statSchema = "n_docs LONG, sum_dl LONG"
+    var seen = Seq.empty[(Long, String)]
+    slices.foreach { slice =>
+      // one epoch: append the slice's segment + stats row to the log
+      val b = slice.toSeq.toDF("doc_id", "text")
+      CorpusOps.bm25IndexSegment(b, col("doc_id"), col("text"), terms)
+        .write.mode("append").parquet(s"$logDir/postings")
+      b.select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+        .write.mode("append").parquet(s"$logDir/stats")
+      seen = seen ++ slice
+      // epoch-boundary scores from the LOG == batch ranker over the prefix
+      val fromLog = CorpusOps.bm25FromIndex(
+          spark.read.schema(postSchema).parquet(s"$logDir/postings"),
+          spark.read.schema(statSchema).parquet(s"$logDir/stats"),
+          queries, k = 15)
+        .collect().map(_.toString).sorted
+      val batch = CorpusOps.bm25TopK(seen.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), queries, k = 15)
+        .collect().map(_.toString).sorted
+      assert(fromLog.toSeq == batch.toSeq,
+        s"epoch with ${seen.size} docs diverged from batch prefix ranking")
+    }
+  }
+
   test("streaming histogram quantiles equal the batch sketch (q61 vs p50)") {
     val viaStream = graft.streaming.StreamingQueries.histQuantiles(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p50_hist_quantiles")(spark, TestSpark.sf)
