@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Source-FAMILY normalization for provenance operators.
+  *
+  * [[graft.dedup.Dedup.sourceOverlap]]'s scale contract says web-scale
+  * callers must "group sources into families first" — this is that
+  * grouping as an operator, not caller homework. A source identifier
+  * rolls up to its family:
+  *
+  *  - URL / URI sources → the REGISTERED DOMAIN of the host: userinfo,
+  *    port, path and query stripped, then the last two labels — or the
+  *    last three when the second-to-last label is a multi-part public
+  *    suffix (`co`/`com`/`net`/`org`/`ac`/`gov`/`edu`) under a
+  *    two-letter ccTLD, so `www.bbc.co.uk` → `bbc.co.uk` while
+  *    `cdn3.mirror.example.com` → `example.com`.
+  *  - Plain (non-URL) sources → ONE trailing shard suffix stripped:
+  *    an optional `-`/`_`/`.` separator plus digits (`crawl-03` →
+  *    `crawl`, `shard_7` → `shard`). Idempotent-ish by construction:
+  *    a second application only fires if the remainder still ends in
+  *    digits.
+  *
+  * Everything is lowercased and trimmed first. The whole extractor is
+  * built from codegen'd string functions (rlike / regexp_extract /
+  * split / get / slice) — no UDF, so it rides inside whole-stage
+  * codegen next to the scan, and composing it in front of
+  * [[graft.dedup.Dedup.sourceOverlap]] or
+  * [[graft.text.CorpusOps.sourceKlDivergence]] changes the aggregation
+  * key only: the matrix becomes O(F²) in the FAMILY universe instead
+  * of O(S²) in the raw-source universe, which is the entire point.
+  *
+  * Public-suffix nuance stated loudly: the multi-part-suffix list is a
+  * deliberate 7-entry core, not the full Mozilla public-suffix list —
+  * families under exotic suffixes (`foo.github.io`, `bar.ltd.uk`)
+  * roll up one label short. For curation diagnostics that coarsening
+  * is benign (it only ever MERGES families, never splits one), and the
+  * list is a single place to widen.
+  */
+object SourceFamily {
+
+  private val multiPartSuffixes = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+
+  /** The family of one source identifier — see object doc for rules. */
+  def familyOf(source: Column): Column = {
+    val s = lower(trim(source))
+    val isUrl = s.rlike("^[a-z][a-z0-9+.-]*://")
+    val host = regexp_extract(s, "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // get() is 0-based and null-safe out of bounds (ANSI-safe in the
+    // CaseWhen conditions below, where element_at would throw on n < 2)
+    val sld = get(labels, n - 2)
+    val tld = get(labels, n - 1)
+    val take3 = (n >= 3) && sld.isin(multiPartSuffixes: _*) && (length(tld) === 2)
+    when(isUrl,
+      when(take3, concat_ws(".", slice(labels, n - 2, lit(3))))
+        .when(n >= 2, concat_ws(".", slice(labels, n - 1, lit(2))))
+        .otherwise(host))
+      .otherwise(regexp_replace(s, "[-_.]?[0-9]+$", ""))
+  }
+
+  /** SQL (DuckDB-compatible) rendering of [[familyOf]] over a source
+    * expression `e` — the oracle-side twin, kept beside the Column form
+    * so the two cannot drift. 1-based list indexing; same regexes.
+    */
+  def familyOfSql(e: String): String = {
+    val suffixes = multiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN regexp_matches(lower(trim($e)), '^[a-z][a-z0-9+.-]*://') THEN
+          (SELECT CASE
+             WHEN len(l) >= 3 AND l[len(l) - 1] IN ($suffixes)
+                  AND length(l[len(l)]) = 2
+               THEN array_to_string(l[len(l) - 2 : len(l)], '.')
+             WHEN len(l) >= 2
+               THEN array_to_string(l[len(l) - 1 : len(l)], '.')
+             ELSE h END
+           FROM (SELECT regexp_extract(lower(trim($e)),
+                   '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS h,
+                 string_split(regexp_extract(lower(trim($e)),
+                   '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1), '.') AS l))
+        ELSE regexp_replace(lower(trim($e)), '[-_.]?[0-9]+$$', '') END"""
+  }
+}

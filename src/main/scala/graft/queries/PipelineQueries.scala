@@ -1661,7 +1661,64 @@ object PipelineQueries {
           ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
           col("media_id"), col("payload"))
         .orderBy(col("media_id"))
-    }, Some(phashOracle))
+    }, Some(phashOracle)),
+
+    // Source-FAMILY overlap: p52's cross-source duplication matrix with
+    // graft.functions.SourceFamily composed in front — the "group
+    // sources into families first" contract as an operator. The fixture
+    // derives URL-ish provenance ids deterministically from
+    // (source, doc_id): cdn subdomains, a co.uk multi-part suffix, a
+    // port to strip, and plain shard ids — MANY raw sources rolling up
+    // to FEW registered-domain families, so the matrix is O(F²) not
+    // O(S²). The oracle applies SourceFamily.familyOfSql (the same
+    // rules rendered in SQL) and p52's shingle-overlap chain.
+    ("p57_source_family_overlap", (s, d) => {
+      import graft.functions.SourceFamily
+      // branch on (doc_id / 20) % 4, NOT doc_id % 4: the testdata's
+      // source is doc_id % 20, so a %4 branch would be constant per
+      // source (4 | 20) and each source would land in exactly one
+      // family — the /20 quotient cycles branches WITHIN each source
+      val m4 = floor(col("doc_id") / 20) % 4
+      val url = when(m4 === 0, concat(lit("https://cdn"),
+          (col("doc_id") % 3).cast("string"), lit("."), col("source"),
+          lit(".com/p/"), col("doc_id").cast("string")))
+        .when(m4 === 1, concat(lit("http://www."), col("source"), lit(".co.uk/x?y=1")))
+        .when(m4 === 2, concat(lit("https://"), col("source"), lit(".org:8080/y")))
+        .otherwise(concat(col("source"), lit("-"), (col("doc_id") % 5).cast("string")))
+      Dedup.sourceOverlap(
+          Tables.documents(s, d).withColumn("__src", url),
+          SourceFamily.familyOf(col("__src")), col("doc_id"), col("text"),
+          shingleN = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH urls AS (SELECT doc_id, text,
+        CASE (doc_id // 20) % 4
+          WHEN 0 THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                      || source || '.com/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://www.' || source || '.co.uk/x?y=1'
+          WHEN 2 THEN 'https://' || source || '.org:8080/y'
+          ELSE source || '-' || CAST(doc_id % 5 AS VARCHAR) END AS src
+        FROM documents),
+      f AS (SELECT doc_id, text,
+              ${graft.functions.SourceFamily.familyOfSql("src")} AS source
+            FROM urls),
+      sh0 AS (SELECT source, doc_id, $sqlShingles AS shingles FROM f),
+      shd AS (SELECT DISTINCT source, md5(sh) AS h
+              FROM (SELECT source, unnest(shingles) AS sh FROM sh0)),
+      sizes AS (SELECT source, count(*) AS n FROM shd GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_shared
+                FROM shd a JOIN shd b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+             round(CAST(n_shared AS DOUBLE) /
+                   CAST(least(na.n, nb.n) AS DOUBLE), 6) AS overlap,
+             round(CAST(n_shared AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS share_a,
+             round(CAST(n_shared AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS share_b
+      FROM pairs JOIN sizes na ON na.source = source_a
+                 JOIN sizes nb ON nb.source = source_b
+      ORDER BY source_a, source_b"""))
   )
 
   /** Oracle for the aHash election (p56 + q66): DuckDB recomputes the

@@ -56,6 +56,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(jvmRegs == sqlRegs, "RegisterAgg registers diverged from SQL registers")
   }
 
+  test("SourceFamily.familyOf extracts registered-domain / shard families") {
+    import graft.functions.SourceFamily
+    // expected values double-checked against familyOfSql in DuckDB
+    val cases = Seq(
+      "https://cdn2.src17.com/p/9" -> "src17.com",
+      "http://www.src3.co.uk/x?y=1" -> "src3.co.uk",
+      "https://src5.org:8080/y" -> "src5.org",
+      "src17-3" -> "src17",
+      "src17" -> "src",
+      "crawl_07" -> "crawl",
+      "wiki" -> "wiki",
+      "https://user:pw@deep.a.b.example.com/z" -> "example.com",
+      "ftp://single/x" -> "single",
+      "HTTPS://WWW.BBC.CO.UK/news" -> "bbc.co.uk")
+    val got = cases.map(_._1).toDF("src")
+      .select(SourceFamily.familyOf(col("src")).as("fam")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("family rollup composes in front of sourceKlDivergence unchanged") {
+    import graft.functions.SourceFamily
+    // shard-suffixed provenance ids roll back up to the raw source, so
+    // KL over families == KL over the original source grouping
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .withColumn("src",
+        concat(col("source"), lit("-"), (col("doc_id") % 4).cast("string")))
+    val byFam = graft.text.CorpusOps.sourceKlDivergence(
+        docs, SourceFamily.familyOf(col("src")), col("text"))
+      .collect().map(_.toString).sorted
+    val direct = graft.text.CorpusOps.sourceKlDivergence(
+        docs, col("source"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(byFam.nonEmpty && byFam.toSeq == direct.toSeq)
+  }
+
   test("native CosineSimilarity matches the composed built-in form bitwise") {
     val e = Tables.embeddings(spark, TestSpark.sf).limit(200)
     val a = e.select(col("vec_id"), col("embedding").as("va"))
