@@ -104,6 +104,9 @@ object SparkEntry {
       tf AS (SELECT tok, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
       SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
       FROM tf GROUP BY 1 ORDER BY tok""")),
+    ("q69_streaming_lsh_candidates",
+      (s, d) => graft.streaming.StreamingQueries.lshCandidatePairs(s, d),
+      Some(sharedOracle("p05_minhash_pairs"))),
     ("q67_streaming_posting_log",
       (s, d) => graft.streaming.StreamingQueries.logStructuredIndex(s, d),
       Some(sharedOracle("p55_inverted_index"))),

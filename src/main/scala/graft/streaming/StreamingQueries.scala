@@ -183,6 +183,31 @@ object StreamingQueries {
     StatefulOps.lshBandMatches(banded, horizonMs, maxPerBand)
   }
 
+  /** p05's any-band candidate set from the RECALL-FIRST streaming LSH —
+    * the oracle-gated instance of [[minhashStreamingCandidates]] /
+    * [[StatefulOps.lshBandMatches]]. Event time derives
+    * deterministically from doc_id (one second per doc), the horizon
+    * covers the whole corpus, and `maxPerBand` is uncapped, so the
+    * emitted match set is exactly the batch operator's any-band pairs;
+    * the projection normalizes each pair to (min, max) — the batch
+    * id_a < id_b orientation, independent of file-to-micro-batch
+    * slicing — and applies the same downstream `distinct` both
+    * operators document. Per-band state and the one band_key shuffle
+    * are unchanged from the production wrapper; only the uncapped
+    * maxPerBand is test-scale (a production call keeps the hot-band
+    * cap and trades tail recall for bounded state).
+    */
+  def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documentsStream(spark, sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val matches = minhashStreamingCandidates(docs, col("doc_id"), col("text"),
+      col("ts"), horizonMs = 10000000000L, maxPerBand = Int.MaxValue)
+    runToMemory(matches.toDF(), mode = "append")
+      .select(least(col("earlierId"), col("laterId")).as("id_a"),
+        greatest(col("earlierId"), col("laterId")).as("id_b"))
+      .distinct().orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Streaming SemDeDup end-to-end: nearest-centroid assignment runs
     * MAP-SIDE against the collected centroid artifact (broadcast-sized
     * by k, same argmax rule as the batch coarse assign: highest

@@ -397,6 +397,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.toSeq == b.toSeq)
   }
 
+  test("recall-first streaming LSH emits the batch any-band pair set (q69 vs p05)") {
+    val viaStream = graft.streaming.StreamingQueries.lshCandidatePairs(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p05_minhash_pairs")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("log-structured posting segments compact to the batch index (q67 vs p55)") {
     val viaStream = graft.streaming.StreamingQueries.logStructuredIndex(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p55_inverted_index")(spark, TestSpark.sf)
