@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   *    perplexity gate inside the composed pipeline).
   *  - p49 NestedLoop: the one-row (N, sum_dl) corpus-stats scalar rides
   *    a broadcast cross join, p45's accepted one-row shape.
+  *  - q68 NestedLoop: bm25FromIndex sums the stats log to the same
+  *    one-row (N, sum_dl) scalar and rides p49's broadcast cross join.
   *  - p54 NestedLoop: the one-row grand-total scalar rides a broadcast
   *    cross join, p45's accepted one-row shape.
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
