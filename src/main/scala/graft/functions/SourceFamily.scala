@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *    suffix (`co`/`com`/`net`/`org`/`ac`/`gov`/`edu`) under a
   *    two-letter ccTLD, so `www.bbc.co.uk` → `bbc.co.uk` while
   *    `cdn3.mirror.example.com` → `example.com`.
-  *  - Plain (non-URL) sources → ONE trailing shard suffix stripped:
-  *    an optional `-`/`_`/`.` separator plus digits (`crawl-03` →
-  *    `crawl`, `shard_7` → `shard`). Idempotent-ish by construction:
-  *    a second application only fires if the remainder still ends in
-  *    digits.
+  *  - Plain (non-URL) sources → ONE trailing shard suffix stripped: a
+  *    MANDATORY `-`/`_`/`.` separator plus digits (`crawl-03` →
+  *    `crawl`, `shard_7` → `shard`). The separator is required so the
+  *    mapping is a congruence: a base id that itself ends in digits
+  *    keeps them (`crawl7` → `crawl7`) and its shards join it
+  *    (`crawl7_1` → `crawl7`) — an optional separator would instead
+  *    split `crawl7` (→ `crawl`) away from its own shards and merge
+  *    unrelated `web1`/`web17` into `web`.
   *
   * Everything is lowercased and trimmed first. The whole extractor is
   * built from codegen'd string functions (rlike / regexp_extract /
@@ -58,7 +61,7 @@ object SourceFamily {
       when(take3, concat_ws(".", slice(labels, n - 2, lit(3))))
         .when(n >= 2, concat_ws(".", slice(labels, n - 1, lit(2))))
         .otherwise(host))
-      .otherwise(regexp_replace(s, "[-_.]?[0-9]+$", ""))
+      .otherwise(regexp_replace(s, "[-_.][0-9]+$", ""))
   }
 
   /** SQL (DuckDB-compatible) rendering of [[familyOf]] over a source
@@ -79,6 +82,6 @@ object SourceFamily {
                    '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS h,
                  string_split(regexp_extract(lower(trim($e)),
                    '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1), '.') AS l))
-        ELSE regexp_replace(lower(trim($e)), '[-_.]?[0-9]+$$', '') END"""
+        ELSE regexp_replace(lower(trim($e)), '[-_.][0-9]+$$', '') END"""
   }
 }

@@ -166,12 +166,15 @@ object ImageCodec {
         .toDF()
     }
 
-    /** The shared oracle prelude: per-doc dims + seed from the formula. */
+    /** The shared oracle prelude: per-doc dims + seed from the formula —
+      * interpolated from the SAME constants seedOf/widthOf/heightOf
+      * read, so widening the fixture cannot desynchronize the oracles.
+      */
     val oracleDims: String =
-      """dims AS (SELECT doc_id, doc_id % 16 AS seed,
-        |               (doc_id % 16) % 12 + 4 AS w,
-        |               ((doc_id % 16) * 7) % 10 + 4 AS h
-        |        FROM documents)""".stripMargin
+      s"""dims AS (SELECT doc_id, doc_id % $distinctImages AS seed,
+         |               (doc_id % $distinctImages) % 12 + 4 AS w,
+         |               ((doc_id % $distinctImages) * 7) % 10 + 4 AS h
+         |        FROM documents)""".stripMargin
   }
 
   /** Deterministic synthetic-VIDEO fixture: a container payload of

@@ -133,7 +133,10 @@ object Implicits {
       AsOf.join(df, right, key, tsName, rightValName, tolerance)
 
     def semanticDedup(id: Column, vec: Column, centroids: DataFrame,
-                      threshold: Double, maxCluster: Option[Int] = None): DataFrame =
+                      threshold: Double,
+                      // same default as Dedup.semanticDedup — the two
+                      // entry points must not diverge on the hot-cluster cap
+                      maxCluster: Option[Int] = Some(4096)): DataFrame =
       graft.dedup.Dedup.semanticDedup(df, id, vec, centroids, threshold, maxCluster)
 
     def bigramPerplexity(id: Column, text: Column): DataFrame =

@@ -574,14 +574,18 @@ object StreamingQueries {
     */
   def logStructuredIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.CorpusOps
-    val segDir = java.nio.file.Files.createTempDirectory("graft_postseg").toString
+    val segDir = tempLogDir("graft_postseg")
+    // manual appends in foreachBatch are at-least-once; the commit-marker
+    // wrapper skips crash-replayed batch ids so a segment is appended
+    // EXACTLY once — compactPostingSegments' unique-(tok, doc) contract
+    // rests on this, not on any file-sink magic
     val q = documentsStream(spark, sfDir).writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        CorpusOps.invertedIndex(batch, col("doc_id"), col("text"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(segDir)
-        ()
-      }
+      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$segDir/_commits") {
+        (batch: DataFrame, batchId: Long) =>
+          CorpusOps.invertedIndex(batch, col("doc_id"), col("text"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$segDir/segments")
+      })
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val segSchema = StructType(Seq(
@@ -589,7 +593,7 @@ object StreamingQueries {
       StructField("cf", LongType), StructField("postings", StringType),
       StructField("batch_id", LongType)))
     CorpusOps.compactPostingSegments(
-        spark.read.schema(segSchema).parquet(segDir))
+        spark.read.schema(segSchema).parquet(s"$segDir/segments"))
       .orderBy(col("tok"))
   }
 
@@ -610,18 +614,29 @@ object StreamingQueries {
     import graft.text.CorpusOps
     val queries = CorpusOps.bm25DemoQueries
     val terms = queries.flatMap(_._2).distinct
-    val logDir = java.nio.file.Files.createTempDirectory("graft_bm25log").toString
+    val logDir = tempLogDir("graft_bm25log")
+    // commit-marker idempotence (the q67 rule): replaying a crashed
+    // batch must not double its postings/stats rows — inflated df or
+    // n_docs/sum_dl would silently skew every later epoch's ranking.
+    // The marker lands after BOTH writes, so the remaining failure
+    // window (crash between the two appends) replays the pair together;
+    // the postings append is re-run too, which mode("append") would
+    // duplicate — hence the per-batch subdirectory with overwrite: a
+    // replay rewrites the same paths instead of appending beside them.
     val q = documentsStream(spark, sfDir).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toks = batch.select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        CorpusOps.bm25IndexSegment(batch, col("doc_id"), col("text"), terms)
-          .write.mode("append").parquet(s"$logDir/postings")
-        toks.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-          .write.mode("append").parquet(s"$logDir/stats")
-        ()
-      }
+      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$logDir/_commits") {
+        (batch: DataFrame, batchId: Long) =>
+          // ONE tokenize per batch: both artifacts derive from this
+          val toks = batch.select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks")).persist()
+          try {
+            CorpusOps.bm25IndexSegmentTokens(toks, terms)
+              .write.mode("overwrite").parquet(s"$logDir/postings/batch_id=$batchId")
+            toks.agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+              .write.mode("overwrite").parquet(s"$logDir/stats/batch_id=$batchId")
+          } finally toks.unpersist()
+      })
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val postSchema = StructType(Seq(
@@ -629,11 +644,31 @@ object StreamingQueries {
       StructField("tf", LongType), StructField("dl", LongType)))
     val statSchema = StructType(Seq(
       StructField("n_docs", LongType), StructField("sum_dl", LongType)))
+    // glob the per-batch leaf dirs directly so the explicit schema is
+    // used as-is (no partition-column discovery on batch_id=)
     CorpusOps.bm25FromIndex(
-        spark.read.schema(postSchema).parquet(s"$logDir/postings"),
-        spark.read.schema(statSchema).parquet(s"$logDir/stats"),
+        spark.read.schema(postSchema).parquet(s"$logDir/postings/batch_id=*"),
+        spark.read.schema(statSchema).parquet(s"$logDir/stats/batch_id=*"),
         queries, k)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Temp directory for a per-invocation log artifact (q67/q68's
+    * segment logs), recursively removed at JVM exit — a production
+    * deployment passes a durable path instead; the temp form exists for
+    * the oracle/bench/spec drivers, which would otherwise abandon a
+    * posting-log copy in /tmp per invocation.
+    */
+  private def tempLogDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
   }
 
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {

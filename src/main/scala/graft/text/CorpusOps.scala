@@ -499,15 +499,21 @@ object CorpusOps {
     * entry arithmetic cannot drift.
     */
   def bm25IndexSegment(docs: DataFrame, id: Column, text: Column,
-                       terms: Seq[String]): DataFrame = {
-    val toks = docs.select(id.cast("long").as("doc_id"),
-      TextFunctions.tokens(text).as("toks"))
+                       terms: Seq[String]): DataFrame =
+    bm25IndexSegmentTokens(docs.select(id.cast("long").as("doc_id"),
+      TextFunctions.tokens(text).as("toks")), terms)
+
+  /** [[bm25IndexSegment]] from an already-tokenized (doc_id, toks)
+    * frame — for callers that also need the token arrays for corpus
+    * stats and must not tokenize the batch twice (q68's rule).
+    */
+  private[graft] def bm25IndexSegmentTokens(toks: DataFrame,
+                                            terms: Seq[String]): DataFrame =
     toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-  }
 
   /** Per-source unigram KL divergence from the corpus-wide token
     * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —

@@ -64,7 +64,7 @@ class FunctionsSpec extends AnyFunSuite {
       "http://www.src3.co.uk/x?y=1" -> "src3.co.uk",
       "https://src5.org:8080/y" -> "src5.org",
       "src17-3" -> "src17",
-      "src17" -> "src",
+      "src17" -> "src17", // base id keeps its digits; only a separated shard suffix strips
       "crawl_07" -> "crawl",
       "wiki" -> "wiki",
       "https://user:pw@deep.a.b.example.com/z" -> "example.com",
