@@ -112,7 +112,10 @@ object SparkEntry {
       Some(sharedOracle("p55_inverted_index"))),
     ("q68_streaming_bm25_fresh",
       (s, d) => graft.streaming.StreamingQueries.bm25FreshStats(s, d),
-      Some(sharedOracle("p49_bm25_topk"))))
+      Some(sharedOracle("p49_bm25_topk"))),
+    ("q70_streaming_bpe_train",
+      (s, d) => graft.streaming.StreamingQueries.bpeTrain(s, d),
+      Some(sharedOracle("p58_bpe_train"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

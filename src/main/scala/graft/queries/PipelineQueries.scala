@@ -1718,8 +1718,62 @@ object PipelineQueries {
              round(CAST(n_shared AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS share_b
       FROM pairs JOIN sizes na ON na.source = source_a
                  JOIN sizes nb ON nb.source = source_b
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b""")),
+
+    // BPE tokenizer TRAINING (Sennrich merges over word frequencies):
+    // one corpus-sized (word, count) shuffle, then bounded driver rounds
+    // on the vocabulary artifact. The oracle unrolls the same rounds as
+    // CTE stages: symbols ride a '/sym/ /sym/' string so the
+    // simultaneous left-to-right merge is one leftmost-nonoverlapping
+    // regexp_replace per round in both engines; tie-break is
+    // (count DESC, left, right) — engine-identical on ASCII.
+    ("p58_bpe_train", (s, d) => {
+      graft.text.CorpusOps.bpeTrainMerges(Tables.documents(s, d), col("text"),
+          numMerges = 8)
+        .orderBy(col("rank"))
+    }, Some(bpeOracle(8)))
   )
+
+  /** Oracle for p58: `k` unrolled BPE rounds. Stage i counts adjacent
+    * symbol pairs of stage i-1's sequences (weighted by word count),
+    * picks the (count DESC, left, right) top pair, and applies it with
+    * a slash-delimited regexp_replace — '/l/ /r/' → '/lr/' is exactly
+    * the simultaneous leftmost-nonoverlapping merge, and '/' can't
+    * collide with corpus symbols ([a-z] words) or regex metachars.
+    */
+  def bpeOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""syms_$i AS (SELECT cnt, list_transform(string_split(seq, ' '),
+                        x -> x[2 : len(x) - 1]) AS syms
+                 FROM seqs_${i - 1}),
+      raw_$i AS (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+                        j -> {'l': syms[j], 'r': syms[j + 1]})) AS pr
+                 FROM syms_$i WHERE len(syms) > 1),
+      p_$i AS (SELECT $i AS rank, pr.l AS pair_left, pr.r AS pair_right,
+                      sum(cnt) AS total
+               FROM raw_$i GROUP BY 1, 2, 3
+               ORDER BY total DESC, pair_left, pair_right LIMIT 1),
+      seqs_$i AS (SELECT w, cnt,
+                    regexp_replace(seq,
+                      '/' || p.pair_left || '/ /' || p.pair_right || '/',
+                      '/' || p.pair_left || p.pair_right || '/', 'g') AS seq
+                  FROM seqs_${i - 1}, p_$i p)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH vocab AS (SELECT w, count(*) AS cnt FROM
+                       (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
+                     GROUP BY 1),
+      seqs_0 AS (SELECT w, cnt,
+                   array_to_string(list_transform(generate_series(1, length(w)),
+                     i -> '/' || substr(w, i, 1) || '/'), ' ') AS seq
+                 FROM vocab),
+      $stages
+      SELECT CAST(rank AS BIGINT) AS rank, pair_left, pair_right,
+             pair_left || pair_right AS merged,
+             CAST(total AS BIGINT) AS pair_count
+      FROM (${(1 to k).map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")})
+      ORDER BY rank"""
+  }
 
   /** Oracle for the aHash election (p56 + q66): DuckDB recomputes the
     * 8×8 nearest-neighbor sample and the integer mean threshold from

@@ -671,6 +671,27 @@ object StreamingQueries {
     dir.toString
   }
 
+  /** p58's BPE tokenizer training on the streaming engine: the ONLY
+    * corpus-scale work — the (word, count) vocabulary — is ONE
+    * streaming aggregation whose state is a single count per distinct
+    * word (bounded by the vocabulary, the q65 df/cf state shape, and
+    * plain count is order/slice-independent); the merge rounds then run
+    * on the collected vocabulary artifact via the SHARED
+    * [[graft.text.CorpusOps.bpeMergesFromVocab]], so the learned merge
+    * table is batch-identical by construction.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, numMerges: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    val vocabDf = runToMemory(
+      documentsStream(spark, sfDir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    graft.text.CorpusOps.bpeMergesFromVocab(spark,
+        vocabDf.collect().map(r => (r.getString(0), r.getLong(1))),
+        numMerges, maxVocab = 1000000)
+      .orderBy(col("rank"))
+  }
+
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {
     import graft.functions.{Hll, TextFunctions}
     val ra = udaf(new Hll.RegisterAgg(p))

@@ -515,6 +515,92 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
+  /** One learned BPE merge: `rank`-th most frequent adjacent symbol
+    * pair at the time it was learned (weighted by word frequency).
+    */
+  final case class BpeMerge(rank: Long, pair_left: String, pair_right: String,
+                            merged: String, pair_count: Long)
+
+  /** BPE tokenizer TRAINING over the corpus — the learn-the-vocabulary
+    * stage of an LLM data pipeline (p14's segmentation applies a fixed
+    * regex; this learns the merge table the real tokenizer would ship).
+    *
+    * Algorithm (textbook Sennrich BPE on word frequencies): words start
+    * as character sequences; each round counts adjacent symbol pairs
+    * weighted by word count, takes the most frequent pair (tie → lowest
+    * (left, right) lexicographic, so both engines agree), and merges
+    * every occurrence simultaneously left-to-right (a merged symbol
+    * never re-pairs within its own round).
+    *
+    * Scale shape: the ONLY corpus-sized work is one (word → count)
+    * shuffle; the merge loop then runs on the collected VOCABULARY — a
+    * bounded model artifact (the sourceKl rule), guarded by `maxVocab`
+    * with a loud failure, never a silent truncation. That is exactly
+    * how production BPE trainers work at any corpus size: corpus-scale
+    * counting once, then in-memory rounds over ≤ |vocab| symbol
+    * sequences. `numMerges` rounds cost O(numMerges · Σ|word|) driver
+    * time on that bounded artifact.
+    */
+  def bpeTrainMerges(docs: DataFrame, text: Column, numMerges: Int,
+                     maxVocab: Int = 1000000): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeMergesFromVocab(spark, vocab, numMerges, maxVocab)
+  }
+
+  /** The merge rounds of [[bpeTrainMerges]] from an already-counted
+    * word vocabulary — SHARED with the streaming twin (which maintains
+    * the (word, count) table as bounded streaming state) so the two
+    * executions learn identical merge tables by construction.
+    */
+  private[graft] def bpeMergesFromVocab(spark: org.apache.spark.sql.SparkSession,
+                                        vocab: Array[(String, Long)],
+                                        numMerges: Int,
+                                        maxVocab: Int): DataFrame = {
+    import spark.implicits._
+    require(vocab.length <= maxVocab,
+      s"bpeTrainMerges: vocabulary ${vocab.length} exceeds maxVocab $maxVocab — " +
+        "raise the cap explicitly if the corpus genuinely has this many distinct words")
+    var seqs: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rg), total) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += BpeMerge(r.toLong, l, rg, l + rg, total)
+        seqs = seqs.map { case (syms, c) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rg) {
+              out += l + rg; i += 2 // simultaneous left-to-right, no re-pairing
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        r += 1
+      }
+    }
+    merges.result().toDF()
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide token
     * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —
     * the drift score that tells mixture curation which sources are

@@ -8,6 +8,32 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bpeTrainMerges learns textbook Sennrich merges, stops when exhausted") {
+    import graft.text.CorpusOps
+    val docs = Seq("ab ab abc", "ab").toDF("text")
+    // vocab ab:3, abc:1 → pairs (a,b):4, (b,c):1 → merge 1 = (a,b) @ 4
+    // then [ab]:3, [ab,c]:1 → merge 2 = (ab,c) @ 1 → round 3 has no
+    // pairs left: training stops early instead of emitting a phantom
+    val m = CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "a", "b", "ab", 4L), (2L, "ab", "c", "abc", 1L)))
+    // simultaneous left-to-right application: aaaa merges to [aa, aa]
+    // (4 -> 3 pair occurrences counted, the overlapping-pair rule)
+    val m2 = CorpusOps.bpeTrainMerges(Seq("aaaa").toDF("text"), col("text"),
+        numMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m2.toSeq == Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
+    // loud vocab guard
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.bpeTrainMerges(Seq("a b c d e").toDF("text"), col("text"),
+        numMerges = 1, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("repetitionStats flags repeated text and passes diverse text") {
     val docs = Seq(
       (1L, "a a a a a a"),            // one token repeated: top_tok_frac 1.0
