@@ -165,5 +165,8 @@ object SparkEntry {
     "p01_dedup_exact", "p05_minhash_pairs", "p06_simhash", "p08_embedding_topk",
     "p17_ann_pq", "p22_repetition_filter", "p23_decontam", "p27_random_projection",
     "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity",
-    "p49_bm25_topk", "p50_hist_quantiles", "p52_source_overlap", "p54_source_kl")
+    "p49_bm25_topk", "p50_hist_quantiles", "p52_source_overlap", "p54_source_kl",
+    // round-5 batch surface: real-pixel image dedup, family-rollup
+    // provenance, BPE tokenizer training
+    "p56_phash_dedup", "p57_source_family_overlap", "p58_bpe_train")
 }
