@@ -969,56 +969,7 @@ object PipelineQueries {
           k = 5, dim = 64, numSubspaces = 4, codeStride = 25,
           centroidStride = 25, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
-    }, Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-               WHERE vec_id % 25 = 0),
-      asg0 AS (SELECT e.vec_id, centroid_id,
-                      round(list_dot_product(e.v, cv) /
-                            (sqrt(list_dot_product(e.v, e.v)) *
-                             sqrt(list_dot_product(cv, cv))), 6) AS ccos
-               FROM e CROSS JOIN cent),
-      asg AS (SELECT vec_id, centroid_id FROM
-                (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, centroid_id) AS rn FROM asg0)
-              WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-      probe0 AS (SELECT query_id, centroid_id,
-                        round(list_dot_product(qv, cv) /
-                              (sqrt(list_dot_product(qv, qv)) *
-                               sqrt(list_dot_product(cv, cv))), 6) AS ccos
-                 FROM q CROSS JOIN cent),
-      probes AS (SELECT query_id, centroid_id FROM
-                   (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY ccos DESC, centroid_id) AS rn FROM probe0)
-                 WHERE rn <= 2),
-      js AS (SELECT unnest(generate_series(0, 3)) AS j),
-      sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM e CROSS JOIN js),
-      cb AS (SELECT vec_id AS code_id, j, sv AS cw FROM sub WHERE vec_id % 25 = 0),
-      d AS (SELECT s.vec_id, s.j, cb.code_id,
-                   CAST(round((list_dot_product(s.sv, s.sv)
-                             - 2.0 * list_dot_product(s.sv, cb.cw)
-                             + list_dot_product(cb.cw, cb.cw)) * 1000000) AS BIGINT) AS d2
-            FROM sub s JOIN cb ON s.j = cb.j),
-      enc AS (SELECT vec_id, j, code_id FROM
-                (SELECT *, row_number() OVER (PARTITION BY vec_id, j
-                   ORDER BY d2, code_id) AS rn FROM d)
-              WHERE rn = 1),
-      qt AS (SELECT vec_id AS query_id, j, code_id, d2 AS qd2
-             FROM d WHERE vec_id < 20),
-      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-               FROM probes p JOIN asg a USING (centroid_id)
-               WHERE a.vec_id <> p.query_id),
-      scored AS (SELECT c.query_id, c.neighbor_id,
-                        CAST(sum(qd2) AS BIGINT) AS approx_d2_u6
-                 FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id
-                      JOIN qt ON qt.query_id = c.query_id AND qt.j = enc.j
-                             AND qt.code_id = enc.code_id
-                 GROUP BY 1, 2),
-      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx_d2_u6, neighbor_id) AS rank FROM scored)
-      SELECT query_id, neighbor_id, approx_d2_u6, CAST(rank AS BIGINT) AS rank
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+    }, Some(ivfPqOracle)),
 
     // corpus-level chunk dedup (line-level dedup at fixed 8-token
     // granularity): first occurrence of each chunk fingerprint wins
@@ -1731,8 +1682,84 @@ object PipelineQueries {
       graft.text.CorpusOps.bpeTrainMerges(Tables.documents(s, d), col("text"),
           numMerges = 8)
         .orderBy(col("rank"))
-    }, Some(bpeOracle(8)))
+    }, Some(bpeOracle(8))),
+
+    // Materialized ANN index: build the IVF-PQ artifacts once
+    // (centroids + codebooks broadcast-sized, code postings PARTITIONED
+    // BY coarse list), then serve the p34 workload FROM the artifacts —
+    // no corpus access at query time, the probed-list prune happening
+    // as partition pruning on the postings scan. Same quantizers as
+    // p34, so the served ranking shares its oracle verbatim.
+    ("p59_ann_index_serve", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_idx")
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, codeStride = 25)
+      SimilaritySearch.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
+        cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+      SimilaritySearch.searchIvfPqIndex(dir,
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(ivfPqOracle))
   )
+
+  /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
+    * from the materialized artifacts) — the two executions must rank
+    * identically.
+    */
+  lazy val ivfPqOracle: String = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id % 25 = 0),
+      asg0 AS (SELECT e.vec_id, centroid_id,
+                      round(list_dot_product(e.v, cv) /
+                            (sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(cv, cv))), 6) AS ccos
+               FROM e CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, centroid_id) AS rn FROM asg0)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+      probe0 AS (SELECT query_id, centroid_id,
+                        round(list_dot_product(qv, cv) /
+                              (sqrt(list_dot_product(qv, qv)) *
+                               sqrt(list_dot_product(cv, cv))), 6) AS ccos
+                 FROM q CROSS JOIN cent),
+      probes AS (SELECT query_id, centroid_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY ccos DESC, centroid_id) AS rn FROM probe0)
+                 WHERE rn <= 2),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM e CROSS JOIN js),
+      cb AS (SELECT vec_id AS code_id, j, sv AS cw FROM sub WHERE vec_id % 25 = 0),
+      d AS (SELECT s.vec_id, s.j, cb.code_id,
+                   CAST(round((list_dot_product(s.sv, s.sv)
+                             - 2.0 * list_dot_product(s.sv, cb.cw)
+                             + list_dot_product(cb.cw, cb.cw)) * 1000000) AS BIGINT) AS d2
+            FROM sub s JOIN cb ON s.j = cb.j),
+      enc AS (SELECT vec_id, j, code_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, code_id) AS rn FROM d)
+              WHERE rn = 1),
+      qt AS (SELECT vec_id AS query_id, j, code_id, d2 AS qd2
+             FROM d WHERE vec_id < 20),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN asg a USING (centroid_id)
+               WHERE a.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+                        CAST(sum(qd2) AS BIGINT) AS approx_d2_u6
+                 FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id
+                      JOIN qt ON qt.query_id = c.query_id AND qt.j = enc.j
+                             AND qt.code_id = enc.code_id
+                 GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2_u6, neighbor_id) AS rank FROM scored)
+      SELECT query_id, neighbor_id, approx_d2_u6, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Oracle for p58: `k` unrolled BPE rounds. Stage i counts adjacent
     * symbol pairs of stage i-1's sequences (weighted by word count),

@@ -432,6 +432,94 @@ object SimilaritySearch {
         (lit(0.0) - col("cos")).cast("long").as("approx_d2_u6"), col("rank"))
   }
 
+  /** The stride-sampled PQ codebook (j, code_id, cw) [[ivfPqTopK]]
+    * uses internally — exposed so [[buildIvfPqIndex]] can materialize
+    * the identical artifact.
+    */
+  def strideCodebook(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     dim: Int, numSubspaces: Int, codeStride: Int): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    subvecs(corpus.filter(corpusId % codeStride === 0), corpusId, corpusVec,
+        "code_id", numSubspaces, dim / numSubspaces)
+      .withColumnRenamed("sv", "cw")
+  }
+
+  /** MATERIALIZE the IVF-PQ index — build once, serve many. Raw corpus
+    * vectors are touched ONLY here; the written artifacts are
+    *   `centroids/` (centroid_id, centv)        — broadcast-sized
+    *   `codebooks/` (j, code_id, cw)            — broadcast-sized
+    *   `postings/centroid_id=N/` (neighbor_id, j, code_id)
+    * with the code rows PARTITIONED BY their coarse list, so a serving
+    * scan filtered to the probed lists reads only those directories —
+    * IVF pruning at the storage layer, visible as partition pruning in
+    * the plan. ~numSubspaces longs per vector; at 100 TB the postings
+    * are the only corpus-sized artifact and they never hold a raw
+    * vector. `cent`/`cb` choose the quantizers: stride-sampled
+    * ([[strideCodebook]] + a stride filter) or trained
+    * ([[kmeansCentroids]] + [[pqTrainCodebooks]]).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                      cent: DataFrame, cb: DataFrame,
+                      dim: Int, numSubspaces: Int, indexDir: String): Unit = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val enc = assignCodes(
+      subvecs(corpus, corpusId, corpusVec, "neighbor_id", numSubspaces,
+        dim / numSubspaces), cb, "neighbor_id")
+    val asg = coarseAssign(
+      corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv")), cent)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    enc.join(asg, Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Serve ANN queries FROM the materialized index — no corpus access:
+    * probes come from the broadcast centroid artifact, the ADC table
+    * from the broadcast codebook artifact, and the postings scan is
+    * pruned to the probed lists BEFORE it reads (the collected probe-id
+    * set is bounded by queries × nprobe — the query side is broadcast-
+    * sized by contract, same as every ANN tier). Output and semantics
+    * are identical to [[ivfPqTopK]] built from the same quantizers
+    * (pinned in SimilaritySpec and by the shared p34 oracle).
+    */
+  def searchIvfPqIndex(indexDir: String, queries: DataFrame,
+                       queryId: Column, queryVec: Column,
+                       k: Int, dim: Int, numSubspaces: Int,
+                       nprobe: Int): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val probes = probeCentroids(q, cent, nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .as[Long].collect().sorted
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .filter(col("centroid_id").isin(probedIds: _*)) // partition pruning
+    val qt = subvecs(queries, queryId, queryVec, "query_id", numSubspaces,
+        dim / numSubspaces)
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("qd2", graft.functions.L2SqMicro(col("sv"), col("cw")))
+      .select(col("query_id"), col("j"), col("code_id"), col("qd2"))
+    val scored = postings
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qt), Seq("query_id", "j", "code_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2")).as("approx"))
+      .withColumn("cos", (lit(0L) - col("approx")).cast("double"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0.0) - col("cos")).cast("long").as("approx_d2_u6"), col("rank"))
+  }
+
   /** PQ shortlist + exact rerank — the standard two-stage ANN recall
     * fix: [[pqTopK]] produces a `k · refine` candidate shortlist per
     * query from codes alone (cheap at 100 TB), then the exact cosine

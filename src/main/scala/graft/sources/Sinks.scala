@@ -18,6 +18,24 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Sinks {
 
+  /** Temp directory for a per-invocation artifact (posting logs, index
+    * builds in the oracle/bench/spec drivers), recursively removed at
+    * JVM exit. A production deployment passes a durable path instead —
+    * this exists so repeated driver runs don't abandon artifact copies
+    * in /tmp.
+    */
+  def tempArtifactDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Compact a parquet directory's small files into ~`targetFileMB`
     * files. Small-file sprawl (streaming sinks, over-parallel writers)
     * taxes every later scan with per-file open cost and driver-side

@@ -653,23 +653,12 @@ object StreamingQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Temp directory for a per-invocation log artifact (q67/q68's
-    * segment logs), recursively removed at JVM exit — a production
-    * deployment passes a durable path instead; the temp form exists for
-    * the oracle/bench/spec drivers, which would otherwise abandon a
-    * posting-log copy in /tmp per invocation.
+  /** q67/q68's segment logs live in a JVM-lifetime temp dir (see
+    * [[graft.sources.Sinks.tempArtifactDir]]); production passes a
+    * durable path instead.
     */
-  private def tempLogDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
+  private def tempLogDir(prefix: String): String =
+    graft.sources.Sinks.tempArtifactDir(prefix)
 
   /** p58's BPE tokenizer training on the streaming engine: the ONLY
     * corpus-scale work — the (word, count) vocabulary — is ONE

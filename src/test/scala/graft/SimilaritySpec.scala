@@ -224,6 +224,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.nonEmpty && ranks.forall(rs => rs.sorted == (1L to rs.length)))
   }
 
+  test("materialized IVF-PQ index serves identically to the inline build") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val dir = graft.sources.Sinks.tempArtifactDir("idx_spec")
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    SimilaritySearch.buildIvfPqIndex(embeddings, col("vec_id"), col("embedding"),
+      cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+    val served = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    val inline = SimilaritySearch.ivfPqTopK(embeddings, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, dim = 64, nprobe = 2)
+    assert(served.exceptAll(inline).count() == 0 &&
+      inline.exceptAll(served).count() == 0)
+    // the postings artifact is laid out one directory per coarse list,
+    // so the probed-list filter prunes at the storage layer
+    val lists = new java.io.File(s"$dir/postings").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(lists.nonEmpty && lists.forall(_.startsWith("centroid_id=")))
+  }
+
   test("ivfPqTopK degenerates to pqTopK when every list is probed") {
     val q = embeddings.filter(col("vec_id") < 5)
     // nprobe ≥ centroid count → coarse pruning admits the whole corpus,
