@@ -1684,6 +1684,26 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }, Some(bpeOracle(8))),
 
+    // Sliding-window RAG chunking: token windows of 32 advancing by 24
+    // (overlap 8), last window short, no redundant tails — pure
+    // map-side HOFs, chunk boundaries token-exact in both engines.
+    ("p60_rag_chunks", (s, d) => {
+      graft.text.CorpusOps.chunkForRag(Tables.documents(s, d),
+          col("doc_id"), col("text"), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks, n,
+              unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+                ELSE CAST(ceil((n - 32)::DOUBLE / 24) AS BIGINT) END)) AS chunk_idx
+            FROM b)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+               AS chunk_text,
+             CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
     // Materialized ANN index: build the IVF-PQ artifacts once
     // (centroids + codebooks broadcast-sized, code postings PARTITIONED
     // BY coarse list), then serve the p34 workload FROM the artifacts —

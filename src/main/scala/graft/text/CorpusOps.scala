@@ -515,6 +515,39 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
+  /** Sliding-window document chunking — the RAG / context-window
+    * ingestion shape: token windows of `window` tokens advancing by
+    * `stride` (overlap = window − stride), the last window short if the
+    * document doesn't divide evenly, and chunking STOPS once a window
+    * reaches the end (no redundant tail windows fully contained in
+    * their predecessor). One row per chunk: (doc_id, chunk_idx,
+    * chunk_text, n_tokens).
+    *
+    * Scale shape: pure map-side higher-order functions on the token
+    * array — no shuffle, no UDF, stays in the scan stage; fan-out per
+    * document is ⌈(len − window)/stride⌉ + 1, linear in document
+    * length. Chunk text re-joins from the SAME token array the window
+    * arithmetic ran on, so chunk boundaries are token-exact.
+    */
+  def chunkForRag(docs: DataFrame, id: Column, text: Column,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col("__toks"))
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(lit(1L) + ceil((n - lit(window)).cast("double") / stride).cast("long"))
+    docs
+      .select(id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__c") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__c") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** One learned BPE merge: `rank`-th most frequent adjacent symbol
     * pair at the time it was learned (weighted by word frequency).
     */

@@ -8,6 +8,23 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("chunkForRag windows overlap by window-stride and stop at the end") {
+    import graft.text.CorpusOps
+    val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a b"), (3L, "x y z w")).toDF("id", "txt")
+    val out = CorpusOps.chunkForRag(docs, col("id"), col("txt"), window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 1 (5 toks): ceil((5-3)/2)=1 extra chunk → [t1..t3], [t3..t5]
+    assert(out((1L, 0L)) == ("t1 t2 t3", 3L))
+    assert(out((1L, 1L)) == ("t3 t4 t5", 3L))
+    // doc 2 (2 toks ≤ window): single short chunk
+    assert(out((2L, 0L)) == ("a b", 2L))
+    // doc 3 (4 toks): [x y z], [z w] — last window short, no tail beyond
+    assert(out((3L, 0L)) == ("x y z", 3L))
+    assert(out((3L, 1L)) == ("z w", 2L))
+    assert(out.size == 5)
+  }
+
   test("bpeTrainMerges learns textbook Sennrich merges, stops when exhausted") {
     import graft.text.CorpusOps
     val docs = Seq("ab ab abc", "ab").toDF("text")
