@@ -1684,6 +1684,33 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }, Some(bpeOracle(8))),
 
+    // Boolean (conjunctive) retrieval served from the inverted-index
+    // artifact: query-vocab IN-list prunes the index first, posting
+    // lists explode to (query, doc) counting matches — n_matched =
+    // |terms| keeps AND semantics without iterative list intersection.
+    // The oracle recomputes membership from the raw corpus.
+    ("p61_boolean_search", (s, d) => {
+      val idx = graft.text.CorpusOps.invertedIndex(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      graft.text.CorpusOps.booleanSearch(idx,
+          graft.text.CorpusOps.bm25DemoQueries, mode = "and")
+        .orderBy(col("qid"), col("doc_id"))
+    }, Some(s"""
+      WITH u AS (SELECT DISTINCT doc_id, tok FROM
+                   (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
+                    FROM documents)),
+      q(qid, tok) AS (VALUES
+        ('q_hash_join', 'hash'), ('q_hash_join', 'join'), ('q_hash_join', 'merge'),
+        ('q_window', 'window'), ('q_window', 'sort'), ('q_window', 'order'),
+        ('q_scan', 'vector'), ('q_scan', 'scan'), ('q_scan', 'filter')),
+      m AS (SELECT qid, doc_id, count(*) AS n_matched
+            FROM u JOIN q USING (tok) GROUP BY 1, 2),
+      qc AS (SELECT qid, count(*) AS nt FROM q GROUP BY 1)
+      SELECT qid, doc_id, CAST(n_matched AS BIGINT) AS n_matched
+      FROM m JOIN qc USING (qid)
+      WHERE n_matched = nt
+      ORDER BY qid, doc_id""")),
+
     // Sliding-window RAG chunking: token windows of 32 advancing by 24
     // (overlap 8), last window short, no redundant tails — pure
     // map-side HOFs, chunk boundaries token-exact in both engines.

@@ -492,6 +492,43 @@ object CorpusOps {
         col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
   }
 
+  /** Boolean retrieval served FROM the inverted-index artifact
+    * ([[invertedIndex]] / the q67 compacted log): for each query, the
+    * documents containing ALL its terms (`mode = "and"`, conjunctive)
+    * or ANY of them (`mode = "or"`, disjunctive), with the per-doc
+    * matched-term count. The exact-match sibling of [[bm25FromIndex]]'s
+    * ranked retrieval — corpus text is never touched.
+    *
+    * Scale shape: the index filters to the query vocabulary FIRST
+    * (IN-list on the token key — broadcast-sized result by contract),
+    * so only the query terms' posting lists explode; the one shuffle
+    * groups (query, doc) pairs bounded by Σ df(term). A conjunctive
+    * query is then a counting match (n_matched = |terms|) — no
+    * iterative list intersection, no corpus scan.
+    */
+  def booleanSearch(index: DataFrame, queries: Seq[(String, Seq[String])],
+                    mode: String = "and"): DataFrame = {
+    require(mode == "and" || mode == "or", s"mode must be and|or, got $mode")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "tok")
+    val nTerms = queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
+      .toDF("qid", "__nt")
+    val terms = queries.flatMap(_._2).distinct
+    val hits = index.filter(col("tok").isin(terms: _*))
+      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
+      .select(col("tok"), split(col("e"), ":").getItem(0).cast("long").as("doc_id"))
+      .join(broadcast(q), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    val kept =
+      if (mode == "and") hits.join(broadcast(nTerms), Seq("qid"))
+        .filter(col("n_matched") === col("__nt"))
+      else hits
+    kept.select(col("qid"), col("doc_id"), col("n_matched"))
+  }
+
   /** The per-slice BM25 index segment [[bm25FromIndex]] consumes: one
     * (doc_id, term, tf, dl) row per query-vocabulary term occurrence
     * set, built map-side from each document's own token array. SHARED

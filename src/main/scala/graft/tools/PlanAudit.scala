@@ -28,6 +28,9 @@ import org.apache.spark.sql.SparkSession
   *    a broadcast cross join, p45's accepted one-row shape.
   *  - q68 NestedLoop: bm25FromIndex sums the stats log to the same
   *    one-row (N, sum_dl) scalar and rides p49's broadcast cross join.
+  *  - p59 NestedLoop: serving from the materialized index inherits
+  *    p34's broadcast query×centroid probe join (non-equi by design);
+  *    the postings scan itself is a pruned equi-join.
   *  - p54 NestedLoop: the one-row grand-total scalar rides a broadcast
   *    cross join, p45's accepted one-row shape.
   *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row

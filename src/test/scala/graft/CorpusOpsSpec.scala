@@ -8,6 +8,30 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("booleanSearch AND requires every term, OR any, from the index alone") {
+    import graft.text.CorpusOps
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d"), (4L, "x")).toDF("id", "t")
+    val idx = CorpusOps.invertedIndex(docs, col("id"), col("t"))
+    val qs = Seq(("q1", Seq("a", "b")), ("q2", Seq("c")))
+    val andHits = CorpusOps.booleanSearch(idx, qs, mode = "and")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(andHits == Set(("q1", 1L), ("q1", 2L), ("q2", 1L), ("q2", 3L)))
+    val orHits = CorpusOps.booleanSearch(idx, qs, mode = "or")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 matches both of q1's terms, docs 2 matches both, none partial
+    // except... add a partial: doc with only 'a'
+    assert(orHits.contains(("q1", 1L, 2L)) && orHits.contains(("q2", 3L, 1L)))
+    val partial = CorpusOps.booleanSearch(
+        CorpusOps.invertedIndex(Seq((5L, "a z")).toDF("id", "t"), col("id"), col("t")),
+        Seq(("q1", Seq("a", "b"))), mode = "or")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(partial.toSeq == Seq(("q1", 5L, 1L))) // OR keeps the partial match
+    val partialAnd = CorpusOps.booleanSearch(
+        CorpusOps.invertedIndex(Seq((5L, "a z")).toDF("id", "t"), col("id"), col("t")),
+        Seq(("q1", Seq("a", "b"))), mode = "and").count()
+    assert(partialAnd == 0) // AND drops it
+  }
+
   test("chunkForRag windows overlap by window-stride and stop at the end") {
     import graft.text.CorpusOps
     val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a b"), (3L, "x y z w")).toDF("id", "txt")
