@@ -496,8 +496,12 @@ object SimilaritySearch {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    // persist: the probe table is consumed twice (the collected list-id
+    // filter below and the broadcast per-query join in the plan) and is
+    // bounded at queries × nprobe rows — without the cache every serve
+    // call would pay the probe-scoring subplan twice
     val probes = probeCentroids(q, cent, nprobe)
-      .select(col("query_id"), col("centroid_id"))
+      .select(col("query_id"), col("centroid_id")).persist()
     val probedIds = probes.select(col("centroid_id")).distinct()
       .as[Long].collect().sorted
     val postings = spark.read.parquet(s"$indexDir/postings")

@@ -675,9 +675,9 @@ object StreamingQueries {
       documentsStream(spark, sfDir)
         .select(explode(TextFunctions.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
-    graft.text.CorpusOps.bpeMergesFromVocab(spark,
-        vocabDf.collect().map(r => (r.getString(0), r.getLong(1))),
-        numMerges, maxVocab = 1000000)
+    // guard + collect + merge rounds shared with the batch form (single
+    // maxVocab default site)
+    graft.text.CorpusOps.bpeMergesFromVocabDf(vocabDf, numMerges)
       .orderBy(col("rank"))
   }
 

@@ -441,18 +441,25 @@ object CorpusOps {
     */
   def compactPostingSegments(segments: DataFrame,
                              maxDf: Option[Long] = None): DataFrame = {
-    val entries = segments
-      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
-      .select(col("tok"),
-        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
-        split(col("e"), ":").getItem(1).cast("long").as("tf"))
-    val idx = entries.groupBy(col("tok"))
+    val idx = postingEntries(segments).groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
           e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))), ",")
           .as("postings"))
     maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
   }
+
+  /** Parse an index/segment frame's `postings` strings back to
+    * (tok, doc_id, tf) entry rows — the ONE place the "doc:tf,…"
+    * encoding is decoded (shared by compaction and boolean serving, so
+    * a format change has a single parse site).
+    */
+  private def postingEntries(index: DataFrame): DataFrame =
+    index
+      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
+      .select(col("tok"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("e"), ":").getItem(1).cast("long").as("tf"))
 
   /** BM25 served FROM A MAINTAINED INDEX instead of from raw documents:
     * `postings` is the (doc_id, term, tf, dl) entry log restricted to
@@ -505,10 +512,21 @@ object CorpusOps {
     * groups (query, doc) pairs bounded by Σ df(term). A conjunctive
     * query is then a counting match (n_matched = |terms|) — no
     * iterative list intersection, no corpus scan.
+    *
+    * CONTRACT for `mode = "and"`: serve from an UNPRUNED index
+    * (`maxDf = None`). A maxDf-pruned stopword term is indistinguishable
+    * from a term absent from the corpus, and a missing term flips every
+    * conjunctive match to empty — harmless for BM25 (idf ≈ 0 there),
+    * semantics-destroying for boolean AND. Keep the pruned index for
+    * ranking; build the boolean-serving index without the prune.
     */
   def booleanSearch(index: DataFrame, queries: Seq[(String, Seq[String])],
                     mode: String = "and"): DataFrame = {
     require(mode == "and" || mode == "or", s"mode must be and|or, got $mode")
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "booleanSearch: every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "booleanSearch: duplicate query ids would duplicate result rows — merge their term lists")
     val spark = index.sparkSession
     import spark.implicits._
     val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
@@ -516,9 +534,8 @@ object CorpusOps {
     val nTerms = queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
       .toDF("qid", "__nt")
     val terms = queries.flatMap(_._2).distinct
-    val hits = index.filter(col("tok").isin(terms: _*))
-      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
-      .select(col("tok"), split(col("e"), ":").getItem(0).cast("long").as("doc_id"))
+    val hits = postingEntries(index.filter(col("tok").isin(terms: _*)))
+      .select(col("tok"), col("doc_id"))
       .join(broadcast(q), Seq("tok"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -577,11 +594,11 @@ object CorpusOps {
       .select(id.cast("long").as("doc_id"), TextFunctions.tokens(text).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"), col("__toks"),
-        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_idx", "__c")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        array_join(slice(col("__toks"), col("__c") * stride + 1, lit(window)), " ")
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)), " ")
           .as("chunk_text"),
-        least(lit(window), size(col("__toks")) - col("__c") * stride)
+        least(lit(window), size(col("__toks")) - col("chunk_idx") * stride)
           .cast("long").as("n_tokens"))
   }
 
@@ -616,28 +633,52 @@ object CorpusOps {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    bpeMergesFromVocabDf(docs
       .select(explode(TextFunctions.tokens(text)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    bpeMergesFromVocab(spark, vocab, numMerges, maxVocab)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      numMerges, maxVocab)
   }
 
-  /** The merge rounds of [[bpeTrainMerges]] from an already-counted
-    * word vocabulary — SHARED with the streaming twin (which maintains
-    * the (word, count) table as bounded streaming state) so the two
-    * executions learn identical merge tables by construction.
+  /** [[bpeTrainMerges]] from an already-counted (w, cnt) vocabulary
+    * frame — SHARED with the streaming twin (which maintains the table
+    * as bounded streaming state) so the two executions learn identical
+    * merge tables by construction, and so the default `maxVocab` has
+    * exactly one site. The size guard runs BEFORE the driver collect:
+    * the loud-failure contract must hold on a corpus whose distinct
+    * words would not fit in driver memory, so a count() probe pays one
+    * cheap aggregate rather than discovering the blow-up as an OOM.
     */
-  private[graft] def bpeMergesFromVocab(spark: org.apache.spark.sql.SparkSession,
-                                        vocab: Array[(String, Long)],
-                                        numMerges: Int,
-                                        maxVocab: Int): DataFrame = {
-    import spark.implicits._
-    require(vocab.length <= maxVocab,
-      s"bpeTrainMerges: vocabulary ${vocab.length} exceeds maxVocab $maxVocab — " +
+  private[graft] def bpeMergesFromVocabDf(vocabDf: DataFrame, numMerges: Int,
+                                          maxVocab: Int = 1000000): DataFrame = {
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"bpeTrainMerges: vocabulary $n exceeds maxVocab $maxVocab — " +
         "raise the cap explicitly if the corpus genuinely has this many distinct words")
+    bpeMergesFromVocab(vocabDf.sparkSession,
+      vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+  }
+
+  /** One word as codepoint symbols — per CODE POINT, not per UTF-16
+    * char, so astral-plane text (emoji, CJK extension blocks) seeds
+    * whole characters instead of lone surrogates.
+    */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  private def bpeMergesFromVocab(spark: org.apache.spark.sql.SparkSession,
+                                 vocab: Array[(String, Long)],
+                                 numMerges: Int): DataFrame = {
+    import spark.implicits._
     var seqs: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      vocab.map { case (w, c) => (codePointSymbols(w), c) }
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
     var exhausted = false
