@@ -143,6 +143,31 @@ class PlanSpec extends AnyFunSuite {
       s"eval set must broadcast, not sort-merge:\n$p")
   }
 
+  test("p60 RAG chunking is map-side only: no exchange before the output") {
+    // orderBy in the oracle entry adds a range exchange at the end; the
+    // chunking itself (tokens → windows → join) must add none
+    val p = graft.text.CorpusOps.chunkForRag(
+        Tables.documents(spark, TestSpark.sf), col("doc_id"), col("text"),
+        window = 32, stride = 24)
+      .queryExecution.executedPlan.toString
+    assert(countExchanges(p) == 0 && !p.contains("Join"),
+      s"chunking should be a pure map-side fan-out:\n$p")
+  }
+
+  test("p61 boolean search prunes the index to the query vocabulary before exploding") {
+    val idx = graft.text.CorpusOps.invertedIndex(
+      Tables.documents(spark, TestSpark.sf), col("doc_id"), col("text"))
+    val p = graft.text.CorpusOps.booleanSearch(idx,
+        graft.text.CorpusOps.bm25DemoQueries, mode = "and")
+      .queryExecution.executedPlan.toString
+    // the IN-list term filter must sit below the posting explode (i.e.
+    // appear in the plan at all — Catalyst would drop it if it had been
+    // applied after collect), and the query/term joins stay broadcast
+    assert(p.contains("tok#") && p.toLowerCase.contains("broadcast"),
+      s"expected an IN-list filtered, broadcast-joined serve plan:\n$p")
+    assert("Generate explode".r.findAllIn(p).nonEmpty)
+  }
+
   test("p25 scrub is a pure projection: no shuffle, no join") {
     val p = plan("p25_scrub")
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
