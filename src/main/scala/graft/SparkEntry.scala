@@ -115,7 +115,10 @@ object SparkEntry {
       Some(sharedOracle("p49_bm25_topk"))),
     ("q70_streaming_bpe_train",
       (s, d) => graft.streaming.StreamingQueries.bpeTrain(s, d),
-      Some(sharedOracle("p58_bpe_train"))))
+      Some(sharedOracle("p58_bpe_train"))),
+    ("q71_streaming_rag_chunks",
+      (s, d) => graft.streaming.StreamingQueries.ragChunks(s, d),
+      Some(sharedOracle("p60_rag_chunks"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

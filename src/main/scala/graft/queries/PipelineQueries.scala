@@ -1711,6 +1711,33 @@ object PipelineQueries {
       WHERE n_matched = nt
       ORDER BY qid, doc_id""")),
 
+    // Exact phrase retrieval from the POSITIONAL index: each term
+    // occurrence votes for candidate start pos−offset; a start whose
+    // distinct-offset votes reach the phrase length is a match. The
+    // oracle recomputes occurrences from the raw corpus.
+    ("p62_phrase_search", (s, d) => {
+      val idx = graft.text.CorpusOps.invertedIndexPositional(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      graft.text.CorpusOps.phraseSearch(idx,
+          graft.text.CorpusOps.phraseDemoQueries)
+        .orderBy(col("qid"), col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      occ AS (SELECT doc_id, pr.tok AS tok, pr.pos AS pos FROM
+               (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                  i -> {'tok': toks[i], 'pos': i})) AS pr FROM t)),
+      q(qid, i, tok) AS (VALUES
+        ('ph_table_hash', 0, 'table'), ('ph_table_hash', 1, 'hash'),
+        ('ph_part_filter', 0, 'part'), ('ph_part_filter', 1, 'filter'),
+        ('ph_table_hash_join', 0, 'table'), ('ph_table_hash_join', 1, 'hash'),
+        ('ph_table_hash_join', 2, 'join')),
+      cand AS (SELECT qid, doc_id, pos - i AS start, count(DISTINCT i) AS ni
+               FROM occ JOIN q USING (tok) GROUP BY 1, 2, 3),
+      qm AS (SELECT qid, count(*) AS m FROM q GROUP BY 1)
+      SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cand JOIN qm USING (qid) WHERE ni = m
+      GROUP BY 1, 2 ORDER BY qid, doc_id""")),
+
     // Sliding-window RAG chunking: token windows of 32 advancing by 24
     // (overlap 8), last window short, no redundant tails — pure
     // map-side HOFs, chunk boundaries token-exact in both engines.

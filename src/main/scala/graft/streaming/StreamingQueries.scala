@@ -681,6 +681,19 @@ object StreamingQueries {
       .orderBy(col("rank"))
   }
 
+  /** p60's RAG chunking on the streaming engine — ZERO-state append
+    * mode (the q63 decontamination shape): the window arithmetic and
+    * chunk text are pure map-side HOFs on each arriving document, so
+    * the stream holds no state at all and results are trivially
+    * slice-independent.
+    */
+  def ragChunks(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      graft.text.CorpusOps.chunkForRag(documentsStream(spark, sfDir),
+        col("doc_id"), col("text"), window = 32, stride = 24),
+      mode = "append")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {
     import graft.functions.{Hll, TextFunctions}
     val ra = udaf(new Hll.RegisterAgg(p))

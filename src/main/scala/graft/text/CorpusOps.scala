@@ -449,6 +449,81 @@ object CorpusOps {
     maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
   }
 
+  /** POSITIONAL inverted index: token → (df, postings
+    * "doc:pos1|pos2,…" with 1-based token positions, doc_id-ordered) —
+    * the artifact PHRASE queries need ([[phraseSearch]]), where the
+    * plain [[invertedIndex]] carries only frequencies. Same scale
+    * shape: one (token, doc) shuffle + one token-keyed aggregation;
+    * the extra cost is position lists instead of counts, linear in
+    * corpus tokens — exactly what any phrase-capable index stores.
+    */
+  def invertedIndexPositional(docs: DataFrame, id: Column, text: Column,
+                              maxDf: Option[Long] = None): DataFrame = {
+    val occ = docs
+      .select(id.cast("long").as("doc_id"),
+        posexplode(TextFunctions.tokens(text)).as(Seq("pos0", "tok")))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos0") + 1)).as("positions"))
+    val idx = occ.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("positions")))),
+          e => concat_ws(":", e.getField("doc_id"),
+            array_join(transform(e.getField("positions"),
+              p => p.cast("string")), "|"))), ",").as("postings"))
+    maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
+  }
+
+  /** Exact PHRASE retrieval served FROM the positional index: for each
+    * phrase, the documents containing its terms at CONSECUTIVE
+    * positions, with the number of distinct start positions. The
+    * standard counting formulation — each occurrence of phrase term i
+    * at position p votes for candidate start p − i, and a start whose
+    * distinct-offset votes reach the phrase length is a match — so an
+    * m-term phrase costs one grouped count over the terms' position
+    * postings, never a sliding re-scan of text.
+    *
+    * Same serve-side contracts as [[booleanSearch]]: query-vocabulary
+    * IN-list prune first, broadcast-sized phrase table, and an UNPRUNED
+    * index (a maxDf-pruned term makes every phrase containing it
+    * unfindable).
+    */
+  def phraseSearch(index: DataFrame, phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "phraseSearch: every phrase needs at least one term")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      "phraseSearch: duplicate phrase ids")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = phrases.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
+    }.toDF("qid", "i", "tok")
+    val qm = phrases.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("qid", "__m")
+    val terms = phrases.flatMap(_._2).distinct
+    val occ = index.filter(col("tok").isin(terms: _*))
+      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
+      .select(col("tok"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        explode(split(split(col("e"), ":").getItem(1), "\\|")).as("ps"))
+      .select(col("tok"), col("doc_id"), col("ps").cast("long").as("pos"))
+    val cand = occ.join(broadcast(q), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"), (col("pos") - col("i")).as("start"))
+      .agg(countDistinct(col("i")).as("ni"))
+    cand.join(broadcast(qm), Seq("qid"))
+      .filter(col("ni") === col("__m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The demo phrase set shared by the batch oracle entry (p62) and its
+    * specs — two corpus-frequent bigrams and one trigram.
+    */
+  val phraseDemoQueries: Seq[(String, Seq[String])] = Seq(
+    ("ph_table_hash", Seq("table", "hash")),
+    ("ph_part_filter", Seq("part", "filter")),
+    ("ph_table_hash_join", Seq("table", "hash", "join")))
+
   /** Parse an index/segment frame's `postings` strings back to
     * (tok, doc_id, tf) entry rows — the ONE place the "doc:tf,…"
     * encoding is decoded (shared by compaction and boolean serving, so

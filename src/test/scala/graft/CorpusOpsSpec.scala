@@ -8,6 +8,23 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("phraseSearch finds consecutive positions only, counting all starts") {
+    import graft.text.CorpusOps
+    val docs = Seq((1L, "a b a b"), (2L, "a x b"), (3L, "b a")).toDF("id", "t")
+    val idx = CorpusOps.invertedIndexPositional(docs, col("id"), col("t"))
+    def run(phrases: Seq[(String, Seq[String])]) =
+      CorpusOps.phraseSearch(idx, phrases)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "a b" occurs twice in doc 1 (starts 1, 3), never in docs 2/3
+    assert(run(Seq(("p", Seq("a", "b")))) == Map(("p", 1L) -> 2L))
+    // reversed order is a different phrase
+    assert(run(Seq(("p", Seq("b", "a")))) == Map(("p", 1L) -> 1L, ("p", 3L) -> 1L))
+    // repeated-term phrase: "a b a" has exactly one start in doc 1
+    assert(run(Seq(("p", Seq("a", "b", "a")))) == Map(("p", 1L) -> 1L))
+    // gap breaks the phrase: doc 2's a..b is not consecutive
+    assert(!run(Seq(("p", Seq("a", "b")))).contains(("p", 2L)))
+  }
+
   test("booleanSearch AND requires every term, OR any, from the index alone") {
     import graft.text.CorpusOps
     val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d"), (4L, "x")).toDF("id", "t")
