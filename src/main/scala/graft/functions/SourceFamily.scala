@@ -64,6 +64,42 @@ object SourceFamily {
       .otherwise(regexp_replace(s, "[-_.][0-9]+$", ""))
   }
 
+  /** URL CANONICALIZATION — the crawl-dedup first step: two fetches of
+    * the same page must collide on one key before any content dedup
+    * runs. For a URL input, the canonical form is
+    *   lowercase scheme "://" lowercase host (userinfo stripped,
+    *   default port :80/:443 stripped) + path ("/" when empty)
+    *   + "?" + sorted query params with tracking params removed
+    *   (utm_*, fbclid, gclid, ref) — fragment always dropped.
+    * Non-URL inputs pass through trimmed. Pure codegen'd string
+    * functions + array HOFs — no UDF, rides in the scan stage.
+    *
+    * Deliberately NOT done (stated, not hidden): percent-decoding and
+    * path-segment normalization (`/a/../b`) — both can CHANGE which
+    * resource a URL names on servers that treat them literally;
+    * canonicalization here only removes parts with defined
+    * don't-affect-the-resource semantics.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val s = trim(url)
+    val isUrl = s.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val scheme = lower(regexp_extract(s, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(s,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(s,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(s, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val qs = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    when(isUrl, concat(scheme, lit("://"), host, path, qs)).otherwise(s)
+  }
+
   /** SQL (DuckDB-compatible) rendering of [[familyOf]] over a source
     * expression `e` — the oracle-side twin, kept beside the Column form
     * so the two cannot drift. 1-based list indexing; same regexes.

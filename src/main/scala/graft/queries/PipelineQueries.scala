@@ -1711,6 +1711,48 @@ object PipelineQueries {
       WHERE n_matched = nt
       ORDER BY qid, doc_id""")),
 
+    // URL canonicalization → exact URL dedup (the crawl-dedup first
+    // step): five messy variants per target page — case-folded host,
+    // explicit :443, tracking params, fragments, userinfo, shuffled
+    // param order — must collide on ONE canonical key. The fixture
+    // derives the variants from (source, doc_id); the ORACLE recomputes
+    // the canonical form from the generative formula directly (an
+    // independent recompute of intent, not the canonicalizer run
+    // twice), then elects the min-id keeper per key.
+    ("p63_url_dedup", (s, d) => {
+      import graft.functions.SourceFamily
+      val m5 = floor(col("doc_id") / 20) % 5
+      val base = concat(col("source"), lit(".com"))
+      val url = when(m5 === 0,
+          concat(lit("https://www."), base, lit("/a/b?x=1&y=2")))
+        .when(m5 === 1,
+          concat(lit("HTTPS://WWW."), upper(base), lit(":443/a/b?y=2&x=1")))
+        .when(m5 === 2,
+          concat(lit("https://www."), base, lit("/a/b?utm_source=t&x=1&y=2#frag")))
+        .when(m5 === 3,
+          concat(lit("https://www."), base, lit("/a/b?x=1&utm_campaign=c&y=2")))
+        .otherwise(
+          concat(lit("https://user:pw@www."), base, lit("/a/b?y=2&x=1&gclid=g")))
+      val canon = Tables.documents(s, d)
+        .select(col("doc_id"), SourceFamily.canonicalizeUrl(url).as("canonical_url"))
+      val groups = canon.groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+      canon.join(groups, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("kept"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+               'https://www.' || source || '.com/a/b?x=1&y=2' AS canonical_url
+             FROM documents),
+      g AS (SELECT canonical_url, min(doc_id) AS keeper_id,
+              count(*) AS group_size
+            FROM c GROUP BY 1)
+      SELECT doc_id, canonical_url, keeper_id,
+             doc_id = keeper_id AS kept, group_size
+      FROM c JOIN g USING (canonical_url)
+      ORDER BY doc_id""")),
+
     // Exact phrase retrieval from the POSITIONAL index: each term
     // occurrence votes for candidate start pos−offset; a start whose
     // distinct-offset votes reach the phrase length is a match. The

@@ -75,6 +75,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == cases.map(_._2))
   }
 
+  test("canonicalizeUrl collapses equivalent URLs and passes non-URLs through") {
+    import graft.functions.SourceFamily
+    val cases = Seq(
+      "https://www.Ex.com/a/b?x=1&y=2" -> "https://www.ex.com/a/b?x=1&y=2",
+      "HTTPS://WWW.EX.COM:443/a/b?y=2&x=1" -> "https://www.ex.com/a/b?x=1&y=2",
+      "http://ex.com:80/a" -> "http://ex.com/a",
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a", // non-default port kept
+      "https://ex.com/a/b?utm_source=t&x=1#frag" -> "https://ex.com/a/b?x=1",
+      "https://u:p@ex.com/a?gclid=g&fbclid=f&ref=r" -> "https://ex.com/a",
+      "https://ex.com" -> "https://ex.com/", // empty path normalizes to /
+      "https://ex.com/?x=" -> "https://ex.com/?x=", // empty VALUE kept (names a state)
+      "plain-source-7" -> "plain-source-7")
+    val got = cases.map(_._1).toDF("u")
+      .select(SourceFamily.canonicalizeUrl(col("u")).as("c")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("family rollup composes in front of sourceKlDivergence unchanged") {
     import graft.functions.SourceFamily
     // shard-suffixed provenance ids roll back up to the raw source, so
