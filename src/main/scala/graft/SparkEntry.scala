@@ -170,6 +170,7 @@ object SparkEntry {
     "p32_sequence_pack", "p34_ann_ivfpq", "p44_semantic_dedup", "p45_perplexity",
     "p49_bm25_topk", "p50_hist_quantiles", "p52_source_overlap", "p54_source_kl",
     // round-5 batch surface: real-pixel image dedup, family-rollup
-    // provenance, BPE tokenizer training
-    "p56_phash_dedup", "p57_source_family_overlap", "p58_bpe_train")
+    // provenance, BPE training, RAG chunking, phrase serve, URL dedup
+    "p56_phash_dedup", "p57_source_family_overlap", "p58_bpe_train",
+    "p60_rag_chunks", "p62_phrase_search", "p63_url_dedup")
 }
