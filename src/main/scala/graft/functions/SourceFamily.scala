@@ -70,7 +70,10 @@ object SourceFamily {
     *   lowercase scheme "://" lowercase host (userinfo stripped,
     *   default port :80/:443 stripped) + path ("/" when empty)
     *   + "?" + sorted query params with tracking params removed
-    *   (utm_*, fbclid, gclid, ref) — fragment always dropped.
+    *   (utm_*, fbclid, gclid — case-insensitive) — fragment always
+    *   dropped. `ref` is NOT stripped: it is widely semantic
+    *   (?ref=main vs ?ref=dev), and a false merge in a dedup key is
+    *   data loss.
     * Non-URL inputs pass through trimmed. Pure codegen'd string
     * functions + array HOFs — no UDF, rides in the scan stage.
     *
@@ -92,9 +95,19 @@ object SourceFamily {
     val rawPath = regexp_extract(s,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(s, "\\?([^#]*)", 1)
+    // query taken from the PRE-FRAGMENT prefix only: an unanchored \?
+    // would read a '?' inside the fragment as the query
+    // ('https://a/#/x?p=2' must canonicalize to 'https://a/', not
+    // falsely merge with the real 'https://a/?p=2')
+    val query = regexp_extract(s, "^[^#]*\\?([^#]*)", 1)
+    // tracking-param match is case-insensitive (hosts are folded, so a
+    // surviving 'UTM_SOURCE=' would break key collision); 'ref' is
+    // deliberately NOT stripped — unlike utm_*/fbclid/gclid it is
+    // widely a semantic parameter (?ref=main vs ?ref=dev name
+    // different resources), and a false merge in a dedup key is data
+    // loss
     val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+      p => p =!= "" && !p.rlike("(?i)^(utm_[^=]*|fbclid|gclid)=")))
     val qs = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
       .otherwise(lit(""))
     when(isUrl, concat(scheme, lit("://"), host, path, qs)).otherwise(s)

@@ -501,12 +501,7 @@ object CorpusOps {
     val qm = phrases.map { case (qid, ts) => (qid, ts.size.toLong) }
       .toDF("qid", "__m")
     val terms = phrases.flatMap(_._2).distinct
-    val occ = index.filter(col("tok").isin(terms: _*))
-      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
-      .select(col("tok"),
-        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
-        explode(split(split(col("e"), ":").getItem(1), "\\|")).as("ps"))
-      .select(col("tok"), col("doc_id"), col("ps").cast("long").as("pos"))
+    val occ = positionalPostingEntries(index.filter(col("tok").isin(terms: _*)))
     val cand = occ.join(broadcast(q), Seq("tok"))
       .groupBy(col("qid"), col("doc_id"), (col("pos") - col("i")).as("start"))
       .agg(countDistinct(col("i")).as("ni"))
@@ -535,6 +530,19 @@ object CorpusOps {
       .select(col("tok"),
         split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
         split(col("e"), ":").getItem(1).cast("long").as("tf"))
+
+  /** [[postingEntries]]' positional sibling: decode the
+    * "doc:pos1|pos2,…" encoding of [[invertedIndexPositional]] back to
+    * (tok, doc_id, pos) occurrence rows — likewise the ONE decode site
+    * for that format.
+    */
+  private def positionalPostingEntries(index: DataFrame): DataFrame =
+    index
+      .select(col("tok"), explode(split(col("postings"), ",")).as("e"))
+      .select(col("tok"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        explode(split(split(col("e"), ":").getItem(1), "\\|")).as("ps"))
+      .select(col("tok"), col("doc_id"), col("ps").cast("long").as("pos"))
 
   /** BM25 served FROM A MAINTAINED INDEX instead of from raw documents:
     * `postings` is the (doc_id, term, tf, dl) entry log restricted to

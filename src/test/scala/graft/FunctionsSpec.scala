@@ -83,7 +83,10 @@ class FunctionsSpec extends AnyFunSuite {
       "http://ex.com:80/a" -> "http://ex.com/a",
       "http://ex.com:8080/a" -> "http://ex.com:8080/a", // non-default port kept
       "https://ex.com/a/b?utm_source=t&x=1#frag" -> "https://ex.com/a/b?x=1",
-      "https://u:p@ex.com/a?gclid=g&fbclid=f&ref=r" -> "https://ex.com/a",
+      "https://ex.com/a?UTM_SOURCE=t&x=1" -> "https://ex.com/a?x=1", // case-insensitive strip
+      "https://u:p@ex.com/a?gclid=g&fbclid=f" -> "https://ex.com/a",
+      "https://ex.com/a?ref=main" -> "https://ex.com/a?ref=main", // ref is semantic, kept
+      "https://app.ex.com/#/search?page=2" -> "https://app.ex.com/", // '?' inside fragment is not a query
       "https://ex.com" -> "https://ex.com/", // empty path normalizes to /
       "https://ex.com/?x=" -> "https://ex.com/?x=", // empty VALUE kept (names a state)
       "plain-source-7" -> "plain-source-7")
