@@ -118,7 +118,10 @@ object SparkEntry {
       Some(sharedOracle("p58_bpe_train"))),
     ("q71_streaming_rag_chunks",
       (s, d) => graft.streaming.StreamingQueries.ragChunks(s, d),
-      Some(sharedOracle("p60_rag_chunks"))))
+      Some(sharedOracle("p60_rag_chunks"))),
+    ("q72_streaming_url_dedup",
+      (s, d) => graft.streaming.StreamingQueries.urlDedup(s, d),
+      Some(sharedOracle("p63_url_dedup"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -1720,21 +1720,10 @@ object PipelineQueries {
     // independent recompute of intent, not the canonicalizer run
     // twice), then elects the min-id keeper per key.
     ("p63_url_dedup", (s, d) => {
-      import graft.functions.SourceFamily
-      val m5 = floor(col("doc_id") / 20) % 5
-      val base = concat(col("source"), lit(".com"))
-      val url = when(m5 === 0,
-          concat(lit("https://www."), base, lit("/a/b?x=1&y=2")))
-        .when(m5 === 1,
-          concat(lit("HTTPS://WWW."), upper(base), lit(":443/a/b?y=2&x=1")))
-        .when(m5 === 2,
-          concat(lit("https://www."), base, lit("/a/b?utm_source=t&x=1&y=2#frag")))
-        .when(m5 === 3,
-          concat(lit("https://www."), base, lit("/a/b?x=1&utm_campaign=c&y=2")))
-        .otherwise(
-          concat(lit("https://user:pw@www."), base, lit("/a/b?y=2&x=1&gclid=g")))
       val canon = Tables.documents(s, d)
-        .select(col("doc_id"), SourceFamily.canonicalizeUrl(url).as("canonical_url"))
+        .select(col("doc_id"),
+          graft.functions.SourceFamily.canonicalizeUrl(messyUrlFixture)
+            .as("canonical_url"))
       val groups = canon.groupBy(col("canonical_url"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
       canon.join(groups, Seq("canonical_url"))
@@ -1876,6 +1865,29 @@ object PipelineQueries {
               ORDER BY approx_d2_u6, neighbor_id) AS rank FROM scored)
       SELECT query_id, neighbor_id, approx_d2_u6, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The messy-URL provenance fixture SHARED by p63 and its streaming
+    * twin (q72): five variants per target page derived from
+    * (source, doc_id) — case-folded host, explicit :443, tracking
+    * params, fragments, userinfo, shuffled param order — all of which
+    * must canonicalize to 'https://www.<source>.com/a/b?x=1&y=2' (the
+    * form the oracle derives from the formula directly). Branches key
+    * on the doc_id/20 quotient (the p57 decorrelation rule).
+    */
+  private[graft] def messyUrlFixture: Column = {
+    val m5 = floor(col("doc_id") / 20) % 5
+    val base = concat(col("source"), lit(".com"))
+    when(m5 === 0,
+        concat(lit("https://www."), base, lit("/a/b?x=1&y=2")))
+      .when(m5 === 1,
+        concat(lit("HTTPS://WWW."), upper(base), lit(":443/a/b?y=2&x=1")))
+      .when(m5 === 2,
+        concat(lit("https://www."), base, lit("/a/b?utm_source=t&x=1&y=2#frag")))
+      .when(m5 === 3,
+        concat(lit("https://www."), base, lit("/a/b?x=1&utm_campaign=c&y=2")))
+      .otherwise(
+        concat(lit("https://user:pw@www."), base, lit("/a/b?y=2&x=1&gclid=g")))
+  }
 
   /** Oracle for p58: `k` unrolled BPE rounds. Stage i counts adjacent
     * symbol pairs of stage i-1's sequences (weighted by word count),

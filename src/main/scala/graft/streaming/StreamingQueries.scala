@@ -524,6 +524,31 @@ object StreamingQueries {
       .orderBy(col("tok"))
   }
 
+  /** p63's URL dedup on the streaming engine: arriving documents
+    * canonicalize their URL entirely MAP-SIDE (the shared
+    * [[graft.functions.SourceFamily.canonicalizeUrl]] — batch and
+    * stream cannot drift), and the election is ONE streaming
+    * aggregation whose state is a single (keeper_id, count) row per
+    * DISTINCT CANONICAL URL (the q66 election shape — bounded by the
+    * URL universe, which is what any crawl frontier stores anyway);
+    * min/count are order-independent, so results are micro-batch-
+    * slice-independent. Shares p63's oracle.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    def canon(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        graft.functions.SourceFamily.canonicalizeUrl(
+          graft.queries.PipelineQueries.messyUrlFixture).as("canonical_url"))
+    val groups = runToMemory(canon(documentsStream(spark, sfDir))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size")))
+    canon(graft.Tables.documents(spark, sfDir))
+      .join(groups, Seq("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p56's perceptual-hash election on the streaming engine, now over
     * REAL decoded pixels: arriving media encode/decode and fold to
     * their textbook 8×8 aHash code entirely MAP-SIDE (the shared
