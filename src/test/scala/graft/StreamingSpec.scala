@@ -432,6 +432,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(capped.filter(col("df") > 5).count() == 0)
   }
 
+  test("posting compaction is multi-level: a compacted index re-merges as a segment") {
+    import graft.text.CorpusOps
+    import org.apache.spark.sql.functions._
+    // the true LSM property: compact(compact(s1, s2) ∪ s3) == direct —
+    // a compacted index has the segment schema, so periodic compaction
+    // can fold the previous level instead of re-reading every segment
+    val docs = Tables.documents(spark, TestSpark.sf).limit(90)
+    val Seq(s1, s2, s3) = (0 to 2).map(r =>
+      CorpusOps.invertedIndex(docs.filter(col("doc_id") % 3 === r),
+        col("doc_id"), col("text")))
+    val level1 = CorpusOps.compactPostingSegments(s1 unionAll s2)
+    val releveled = CorpusOps.compactPostingSegments(level1 unionAll s3)
+      .collect().map(_.toString).sorted
+    val direct = CorpusOps.invertedIndex(docs, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(releveled.nonEmpty && releveled.toSeq == direct.toSeq)
+  }
+
   test("fresh-stats streaming BM25 matches batch over the corpus-so-far at every epoch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
