@@ -95,11 +95,15 @@ object SourceFamily {
     val rawPath = regexp_extract(s,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    // query taken from the PRE-FRAGMENT prefix only: an unanchored \?
-    // would read a '?' inside the fragment as the query
-    // ('https://a/#/x?p=2' must canonicalize to 'https://a/', not
-    // falsely merge with the real 'https://a/?p=2')
-    val query = regexp_extract(s, "^[^#]*\\?([^#]*)", 1)
+    // query anchored at the FIRST '?' of the pre-fragment prefix: the
+    // greedy "^[^#]*\?" would anchor at the LAST '?', so a legal
+    // literal '?' inside a query value (RFC 3986 allows it —
+    // 'https://a/p?q=ab?cd') would drop everything between the two
+    // '?'s and falsely merge with the distinct 'https://a/p?cd' —
+    // silent data loss in a dedup key. The [^#?] prefix class both
+    // keeps fragment '?'s out ('https://a/#/x?p=2' still has no
+    // query) and stops the prefix at the first real '?'.
+    val query = regexp_extract(s, "^[^#?]*\\?([^#]*)", 1)
     // tracking-param match is case-insensitive (hosts are folded, so a
     // surviving 'UTM_SOURCE=' would break key collision); 'ref' is
     // deliberately NOT stripped — unlike utm_*/fbclid/gclid it is

@@ -1884,7 +1884,10 @@ object PipelineQueries {
       .when(m5 === 2,
         concat(lit("https://www."), base, lit("/a/b?utm_source=t&x=1&y=2#frag")))
       .when(m5 === 3,
-        concat(lit("https://www."), base, lit("/a/b?x=1&utm_campaign=c&y=2")))
+        // the utm value carries a literal '?' (legal per RFC 3986):
+        // pins the FIRST-'?' query anchor — a greedy last-'?' extract
+        // would read the query as 'c&y=2' and produce a wrong key
+        concat(lit("https://www."), base, lit("/a/b?x=1&utm_campaign=c?c&y=2")))
       .otherwise(
         concat(lit("https://user:pw@www."), base, lit("/a/b?y=2&x=1&gclid=g")))
   }

@@ -492,18 +492,22 @@ object SimilaritySearch {
     require(dim % numSubspaces == 0,
       s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
     val spark = queries.sparkSession
-    import spark.implicits._
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-    // persist: the probe table is consumed twice (the collected list-id
-    // filter below and the broadcast per-query join in the plan) and is
-    // bounded at queries × nprobe rows — without the cache every serve
-    // call would pay the probe-scoring subplan twice
-    val probes = probeCentroids(q, cent, nprobe)
-      .select(col("query_id"), col("centroid_id")).persist()
-    val probedIds = probes.select(col("centroid_id")).distinct()
-      .as[Long].collect().sorted
+    // the probe table is consumed twice (the collected list-id filter
+    // below and the broadcast per-query join in the plan) and is
+    // bounded at queries × nprobe rows by contract — collect it ONCE
+    // and re-materialize as a driver-local DataFrame, so the probe-
+    // scoring subplan runs exactly once and NO cached block outlives
+    // the call (a persist() here leaked one block per serve call for
+    // the session lifetime)
+    val probedPlan = probeCentroids(q, cent, nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val probeRows = probedPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probedPlan.schema)
+    val probedIds = probeRows.map(_.getLong(1)).distinct.sorted
     val postings = spark.read.parquet(s"$indexDir/postings")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .filter(col("centroid_id").isin(probedIds: _*)) // partition pruning

@@ -26,14 +26,24 @@ object Sinks {
     */
   def tempArtifactDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir.toFile)
+    dir.toString
+  }
+
+  // ONE shutdown hook draining a shared queue, not one hook thread per
+  // tempArtifactDir call: bench/correctness drivers invoke artifact
+  // queries (p59/q67/q68/...) in a loop, and a per-call hook would
+  // accumulate a live Thread per invocation for the JVM lifetime
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(dir.toFile)
+      var f = tempDirs.poll()
+      while (f != null) { rm(f); f = tempDirs.poll() }
     }))
-    dir.toString
   }
 
   /** Compact a parquet directory's small files into ~`targetFileMB`

@@ -601,15 +601,18 @@ object StreamingQueries {
     import graft.text.CorpusOps
     val segDir = tempLogDir("graft_postseg")
     // manual appends in foreachBatch are at-least-once; the commit-marker
-    // wrapper skips crash-replayed batch ids so a segment is appended
-    // EXACTLY once — compactPostingSegments' unique-(tok, doc) contract
-    // rests on this, not on any file-sink magic
+    // wrapper skips crash-replayed batch ids, AND each segment lands in
+    // its own batch_id= subdirectory with mode("overwrite") (the
+    // bm25FreshStats rule) so a crash BETWEEN the parquet write and the
+    // marker replays into the SAME path instead of appending a duplicate
+    // segment beside the first — compactPostingSegments' unique-
+    // (tok, doc) contract rests on both halves, not on file-sink magic
     val q = documentsStream(spark, sfDir).writeStream
       .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$segDir/_commits") {
         (batch: DataFrame, batchId: Long) =>
           CorpusOps.invertedIndex(batch, col("doc_id"), col("text"))
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$segDir/segments")
+            .write.mode("overwrite").parquet(s"$segDir/segments/batch_id=$batchId")
       })
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
@@ -617,8 +620,10 @@ object StreamingQueries {
       StructField("tok", StringType), StructField("df", LongType),
       StructField("cf", LongType), StructField("postings", StringType),
       StructField("batch_id", LongType)))
+    // glob the per-batch leaf dirs directly so the explicit schema is
+    // used as-is (no partition-column discovery on batch_id=)
     CorpusOps.compactPostingSegments(
-        spark.read.schema(segSchema).parquet(s"$segDir/segments"))
+        spark.read.schema(segSchema).parquet(s"$segDir/segments/batch_id=*"))
       .orderBy(col("tok"))
   }
 

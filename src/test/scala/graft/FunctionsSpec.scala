@@ -87,6 +87,8 @@ class FunctionsSpec extends AnyFunSuite {
       "https://u:p@ex.com/a?gclid=g&fbclid=f" -> "https://ex.com/a",
       "https://ex.com/a?ref=main" -> "https://ex.com/a?ref=main", // ref is semantic, kept
       "https://app.ex.com/#/search?page=2" -> "https://app.ex.com/", // '?' inside fragment is not a query
+      "https://ex.com/p?q=ab?cd" -> "https://ex.com/p?q=ab?cd", // literal '?' IN a query value survives (RFC 3986)
+      "https://ex.com/p?utm_source=a?b&x=1" -> "https://ex.com/p?x=1", // '?' in a STRIPPED value doesn't shift the query anchor
       "https://ex.com" -> "https://ex.com/", // empty path normalizes to /
       "https://ex.com/?x=" -> "https://ex.com/?x=", // empty VALUE kept (names a state)
       "plain-source-7" -> "plain-source-7")
