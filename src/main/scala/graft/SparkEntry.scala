@@ -121,7 +121,10 @@ object SparkEntry {
       Some(sharedOracle("p60_rag_chunks"))),
     ("q72_streaming_url_dedup",
       (s, d) => graft.streaming.StreamingQueries.urlDedup(s, d),
-      Some(sharedOracle("p63_url_dedup"))))
+      Some(sharedOracle("p63_url_dedup"))),
+    ("q73_streaming_bpe_encode",
+      (s, d) => graft.streaming.StreamingQueries.bpeEncodeStream(s, d),
+      Some(sharedOracle("p64_bpe_encode"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -175,5 +178,7 @@ object SparkEntry {
     // round-5 batch surface: real-pixel image dedup, family-rollup
     // provenance, BPE training, RAG chunking, phrase serve, URL dedup
     "p56_phash_dedup", "p57_source_family_overlap", "p58_bpe_train",
-    "p60_rag_chunks", "p62_phrase_search", "p63_url_dedup")
+    "p60_rag_chunks", "p62_phrase_search", "p63_url_dedup",
+    // round-6: merge-table tokenizer inference over the corpus
+    "p64_bpe_encode")
 }

@@ -1684,6 +1684,21 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }, Some(bpeOracle(8))),
 
+    // Merge-table BPE ENCODING (tokenizer inference — p58's missing
+    // half): train the 8-merge table, then encode every document
+    // map-side with the broadcast table in a codegen JVM kernel with a
+    // per-task word memo; zero shuffle. The oracle never applies the
+    // table — it reads each word's encoding off the final unrolled
+    // TRAINING state and reassembles documents positionally, so
+    // agreement proves merge application == training evolution.
+    ("p64_bpe_encode", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 8))
+      graft.text.CorpusOps.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .orderBy(col("doc_id"))
+    }, Some(bpeEncodeOracle(8))),
+
     // Boolean (conjunctive) retrieval served from the inverted-index
     // artifact: query-vocab IN-list prunes the index first, posting
     // lists explode to (query, doc) counting matches — n_matched =
@@ -1899,7 +1914,20 @@ object PipelineQueries {
     * the simultaneous leftmost-nonoverlapping merge, and '/' can't
     * collide with corpus symbols ([a-z] words) or regex metachars.
     */
-  def bpeOracle(k: Int): String = {
+  def bpeOracle(k: Int): String =
+    s"""
+      WITH ${bpeStagesSql(k)}
+      SELECT CAST(rank AS BIGINT) AS rank, pair_left, pair_right,
+             pair_left || pair_right AS merged,
+             CAST(total AS BIGINT) AS pair_count
+      FROM (${(1 to k).map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")})
+      ORDER BY rank"""
+
+  /** The shared k unrolled training rounds (vocab → seqs_0 → … →
+    * seqs_k), used by both the p58 merge-table oracle and the p64
+    * encode oracle — one generator so the two cannot drift.
+    */
+  private def bpeStagesSql(k: Int): String = {
     val stages = (1 to k).map { i =>
       s"""syms_$i AS (SELECT cnt, list_transform(string_split(seq, ' '),
                         x -> x[2 : len(x) - 1]) AS syms
@@ -1917,21 +1945,42 @@ object PipelineQueries {
                       '/' || p.pair_left || p.pair_right || '/', 'g') AS seq
                   FROM seqs_${i - 1}, p_$i p)"""
     }.mkString(",\n      ")
-    s"""
-      WITH vocab AS (SELECT w, count(*) AS cnt FROM
+    s"""vocab AS (SELECT w, count(*) AS cnt FROM
                        (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
                      GROUP BY 1),
       seqs_0 AS (SELECT w, cnt,
                    array_to_string(list_transform(generate_series(1, length(w)),
                      i -> '/' || substr(w, i, 1) || '/'), ' ') AS seq
                  FROM vocab),
-      $stages
-      SELECT CAST(rank AS BIGINT) AS rank, pair_left, pair_right,
-             pair_left || pair_right AS merged,
-             CAST(total AS BIGINT) AS pair_count
-      FROM (${(1 to k).map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")})
-      ORDER BY rank"""
+      $stages"""
   }
+
+  /** Oracle for p64 + q73: an INDEPENDENT recompute of the encoding —
+    * where the engine applies the merge table to raw text, the oracle
+    * unrolls the k training rounds over the VOCABULARY (p58's shared
+    * stage machinery) and reads each word's encoding off the final
+    * training state seqs_k, then reassembles documents by positional
+    * word lookup. Agreement proves the engine's merge APPLICATION
+    * reproduces the training evolution exactly (the round-trip
+    * property) — not merely that two copies of the same code agree.
+    */
+  def bpeEncodeOracle(k: Int): String =
+    s"""
+      WITH ${bpeStagesSql(k)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_$k),
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                i -> {'w': toks[i], 'pos': i})) AS pr
+              FROM t WHERE len(toks) > 0),
+      ew AS (SELECT doc_id, pr.pos AS pos, e.ew AS ew
+             FROM occ JOIN enc e ON e.w = pr.w),
+      agg AS (SELECT doc_id, string_agg(ew, ' ' ORDER BY pos) AS bpe_text
+              FROM ew GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text,
+             CAST(len(list_filter(string_split(coalesce(a.bpe_text, ''), ' '),
+                      x -> x <> '')) AS BIGINT) AS n_bpe_tokens
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
 
   /** Oracle for the aHash election (p56 + q66): DuckDB recomputes the
     * 8×8 nearest-neighbor sample and the integer mean threshold from

@@ -724,6 +724,27 @@ object StreamingQueries {
       mode = "append")
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** p64's merge-table ENCODING on the streaming engine — the deploy
+    * shape of a trained tokenizer: the merge table is a FROZEN bounded
+    * artifact learned ahead of the stream (here trained batch-side, as
+    * p64 trains it), riding the plan as expression state; each arriving
+    * document then encodes map-side in the scan stage with ZERO
+    * streaming state — no aggregation, no state store, trivially
+    * slice-independent (the q71 shape). This is how tokenizer inference
+    * actually deploys: train rarely, encode forever.
+    */
+  def bpeEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val merges = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(graft.Tables.documents(spark, sfDir),
+        col("text"), numMerges = 8))
+    runToMemory(
+      CorpusOps.bpeEncode(documentsStream(spark, sfDir),
+        col("doc_id"), col("text"), merges),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   def hllDistinct(spark: SparkSession, sfDir: String, p: Int = 6): DataFrame = {
     import graft.functions.{Hll, TextFunctions}
     val ra = udaf(new Hll.RegisterAgg(p))

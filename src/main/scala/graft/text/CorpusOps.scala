@@ -795,6 +795,54 @@ object CorpusOps {
     merges.result().toDF()
   }
 
+  /** Collect a [[bpeTrainMerges]] output into the rank-ordered
+    * (pair_left, pair_right) table the encoder broadcasts — the ONE
+    * place the bounded merge-table artifact leaves the cluster
+    * (numMerges rows by construction, the sourceKl artifact rule).
+    */
+  def bpeMergeTable(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Merge-table BPE ENCODING of the corpus — tokenizer inference, the
+    * missing half of [[bpeTrainMerges]] (training without distributed
+    * encoding is half a tokenizer; inference runs on every document,
+    * every epoch). Pure map-side: the bounded merge table rides the
+    * plan into [[graft.functions.BpeEncode]] (whole-stage codegen, a
+    * per-task word memo amortizing the per-word merge loop to once per
+    * distinct word), ZERO shuffle, so the operator scales exactly as
+    * the scan does. Output: (doc_id, bpe_text, n_bpe_tokens) with
+    * bpe_text the space-joined symbol stream (merges never cross the
+    * whitespace word boundaries — the training invariant).
+    */
+  def bpeEncode(docs: DataFrame, docId: Column, text: Column,
+                merges: Seq[(String, String)]): DataFrame =
+    docs.select(docId.as("doc_id"),
+        graft.functions.BpeEncode(text, merges).as("bpe_text"))
+      .withColumn("n_bpe_tokens", TextFunctions.tokenCount(col("bpe_text")))
+
+  /** Column-form twin of [[graft.functions.BpeEncode]]'s kernel: the
+    * same encoding as a chain of built-in regexp_replaces — seed every
+    * code point as a '/c/' slash symbol (two-space word joints keep
+    * merges inside words: a '/l/ /r/' pattern needs exactly ONE space),
+    * then one leftmost-nonoverlapping replace per merge in rank order,
+    * exactly the p58 oracle's application step. Exists as the
+    * cross-check the spec pins against the JVM kernel (two independent
+    * executions of the same semantics) — for production tables prefer
+    * the expression: k chained regexps re-scan the document k times,
+    * the kernel passes once per word with a memo.
+    */
+  def bpeEncodeColumn(text: Column, merges: Seq[(String, String)]): Column = {
+    val joined = array_join(TextFunctions.tokens(text), "  ")
+    val seed = regexp_replace(joined, "([^ ])", "/$1/ ")
+    val merged = merges.foldLeft(seed) { case (c, (l, r)) =>
+      regexp_replace(c,
+        java.util.regex.Pattern.quote(s"/$l/ /$r/"),
+        java.util.regex.Matcher.quoteReplacement(s"/$l$r/"))
+    }
+    trim(regexp_replace(regexp_replace(merged, "/", ""), " +", " "))
+  }
+
   /** Per-source unigram KL divergence from the corpus-wide token
     * distribution: KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) —
     * the drift score that tells mixture curation which sources are

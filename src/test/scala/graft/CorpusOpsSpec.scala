@@ -92,6 +92,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("bpeEncode applies merges in rank order, round-trips, matches the column kernel") {
+    import graft.text.CorpusOps
+    // textbook example: merges learned on this corpus are
+    // 1:(l,o)→lo 2:(lo,w)→low (lower/lowest keep their suffixes split)
+    val docs = Seq((1L, "low lower low lowest"), (2L, "low low"),
+      (3L, ""), (4L, "x")).toDF("id", "text")
+    val merges = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 2))
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    val enc = CorpusOps.bpeEncode(docs, col("id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // 'low' fully merges; 'lower'/'lowest' merge the shared stem only
+    assert(enc(1L) == ("low low e r low low e s t", 9L))
+    assert(enc(2L) == ("low low", 2L))
+    assert(enc(3L) == ("", 0L)) // empty doc: empty stream, not null
+    assert(enc(4L) == ("x", 1L)) // untouched word passes through split to chars
+    // merge order matters: rank order must be preserved, not sorted
+    val ooo = CorpusOps.bpeEncode(docs, col("id"), col("text"),
+        Seq(("o", "w"), ("l", "o"))) // (o,w) first: 'low' → l ow
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ooo(2L) == "l ow l ow")
+    // round trip: concatenating each word's symbols recovers the word
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    val rt = CorpusOps.bpeEncode(words, col("w"), col("w"), merges)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rt.foreach { case (w, e) => assert(e.replace(" ", "") == w, s"round trip of '$w'") }
+    // the JVM kernel and the chained-regexp column kernel are two
+    // independent executions of the same semantics — pin equality on
+    // the corpus plus an astral-plane word (code-point seeding)
+    val mixed = docs.union(Seq((5L, "a😀b low")).toDF("id", "text"))
+    val both = mixed.select(col("id"),
+        graft.functions.BpeEncode(col("text"), merges).as("k"),
+        CorpusOps.bpeEncodeColumn(col("text"), merges).as("c"))
+      .collect()
+    both.foreach(r => assert(r.getString(1) == r.getString(2), s"id ${r.getLong(0)}"))
+    assert(both.find(_.getLong(0) == 5L).get.getString(1) == "a 😀 b low")
+  }
+
   test("repetitionStats flags repeated text and passes diverse text") {
     val docs = Seq(
       (1L, "a a a a a a"),            // one token repeated: top_tok_frac 1.0
