@@ -124,7 +124,10 @@ object SparkEntry {
       Some(sharedOracle("p63_url_dedup"))),
     ("q73_streaming_bpe_encode",
       (s, d) => graft.streaming.StreamingQueries.bpeEncodeStream(s, d),
-      Some(sharedOracle("p64_bpe_encode"))))
+      Some(sharedOracle("p64_bpe_encode"))),
+    ("q74_streaming_phrase_fresh",
+      (s, d) => graft.streaming.StreamingQueries.phraseServeFresh(s, d),
+      Some(sharedOracle("p62_phrase_search"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -627,6 +627,46 @@ object StreamingQueries {
       .orderBy(col("tok"))
   }
 
+  /** Fresh PHRASE serving — the positional half of the q67/q68 story:
+    * each micro-batch writes its own complete POSITIONAL segment (the
+    * batch [[graft.text.CorpusOps.invertedIndexPositional]] over just
+    * that batch's documents) into the exactly-once segment log; at the
+    * epoch boundary [[graft.text.CorpusOps.compactPositionalSegments]]
+    * LSM-merges the runs into exactly the positional index the batch
+    * build (p62) serves from, and [[graft.text.CorpusOps.phraseSearch]]
+    * answers FROM THE LOG — corpus text never re-read at serve time.
+    * Run over the whole corpus this is bit-for-bit p62's answer (shared
+    * oracle); the per-epoch prefix parity is pinned in StreamingSpec.
+    *
+    * State boundedness: stateless foreachBatch — NO state-store state;
+    * the log carries (tok, doc_id, positions) entries, linear in corpus
+    * tokens, on durable storage where a phrase-capable index must live
+    * anyway.
+    */
+  def phraseServeFresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val segDir = tempLogDir("graft_posseg")
+    // q67's exactly-once rule: commit marker + per-batch subdirectory
+    // with overwrite, so a crash replay rewrites the same path
+    val q = documentsStream(spark, sfDir).writeStream
+      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$segDir/_commits") {
+        (batch: DataFrame, batchId: Long) =>
+          CorpusOps.invertedIndexPositional(batch, col("doc_id"), col("text"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$segDir/segments/batch_id=$batchId")
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val segSchema = StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("postings", StringType), StructField("batch_id", LongType)))
+    CorpusOps.phraseSearch(
+        CorpusOps.compactPositionalSegments(
+          spark.read.schema(segSchema).parquet(s"$segDir/segments/batch_id=*")),
+        CorpusOps.phraseDemoQueries)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   /** q60's frozen-stats limitation removed: BM25 whose df/corpus stats
     * TRACK THE ARRIVING CORPUS. Each micro-batch appends two
     * log-structured artifacts map-side (no state-store state): the

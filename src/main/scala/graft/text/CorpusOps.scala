@@ -449,6 +449,41 @@ object CorpusOps {
     maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
   }
 
+  /** [[compactPostingSegments]]' positional sibling: LSM-merge a log of
+    * POSITIONAL segments (each an [[invertedIndexPositional]] build over
+    * a disjoint document slice) into the single positional index the
+    * batch build produces over the union — closing the gap where phrase
+    * retrieval could only be served from a batch-built index while BM25
+    * already served fresh from the log. A separate compactor rather
+    * than a flag on the tf form because the two posting encodings
+    * differ ("doc:tf," vs "doc:p1|p2,") and each has exactly ONE
+    * decode site.
+    *
+    * Same contracts as the tf compactor: compaction touches only
+    * (tok, doc_id, pos) entries — never re-tokenizing corpus text; a
+    * document lives wholly in one slice, so each (tok, doc) pair's
+    * position list comes from exactly one segment (the exactly-once
+    * segment-append contract upholds that under retries); df re-derives
+    * as a plain count; ONE token-keyed shuffle; `maxDf` prunes AFTER
+    * counting. Output is column-for-column [[invertedIndexPositional]],
+    * so multi-level re-merge (compact the compacted, q67's pinned LSM
+    * property) holds here too.
+    */
+  def compactPositionalSegments(segments: DataFrame,
+                                maxDf: Option[Long] = None): DataFrame = {
+    val perDoc = positionalPostingEntries(segments)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val idx = perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("positions")))),
+          e => concat_ws(":", e.getField("doc_id"),
+            array_join(transform(e.getField("positions"),
+              p => p.cast("string")), "|"))), ",").as("postings"))
+    maxDf.fold(idx)(cap => idx.filter(col("df") <= cap))
+  }
+
   /** POSITIONAL inverted index: token → (df, postings
     * "doc:pos1|pos2,…" with 1-based token positions, doc_id-ordered) —
     * the artifact PHRASE queries need ([[phraseSearch]]), where the

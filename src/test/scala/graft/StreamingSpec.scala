@@ -450,6 +450,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(releveled.nonEmpty && releveled.toSeq == direct.toSeq)
   }
 
+  test("positional segments compact to the batch positional index and serve phrases fresh") {
+    import graft.text.CorpusOps
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(90)
+    val Seq(s1, s2, s3) = (0 to 2).map(r =>
+      CorpusOps.invertedIndexPositional(docs.filter(col("doc_id") % 3 === r),
+        col("doc_id"), col("text")))
+    val direct = CorpusOps.invertedIndexPositional(docs, col("doc_id"), col("text"))
+    // LSM merge of disjoint positional slices == direct build
+    val compacted = CorpusOps.compactPositionalSegments(s1 unionAll s2 unionAll s3)
+      .collect().map(_.toString).sorted
+    val directRows = direct.collect().map(_.toString).sorted
+    assert(compacted.nonEmpty && compacted.toSeq == directRows.toSeq)
+    // multi-level: output has the segment schema, so the previous level
+    // folds in as a segment (the q67 LSM property, positional form)
+    val releveled = CorpusOps.compactPositionalSegments(
+        CorpusOps.compactPositionalSegments(s1 unionAll s2) unionAll s3)
+      .collect().map(_.toString).sorted
+    assert(releveled.toSeq == directRows.toSeq)
+    // maxDf prunes AFTER counting, like the direct build
+    val capped = CorpusOps.compactPositionalSegments(s1 unionAll s2 unionAll s3,
+      maxDf = Some(5L))
+    assert(capped.filter(col("df") > 5).count() == 0)
+    // epoch-prefix parity: phrases served from the prefix log == batch
+    // phrase search over the prefix corpus, at every epoch boundary
+    val phrases = CorpusOps.phraseDemoQueries
+    Seq(Seq(s1), Seq(s1, s2), Seq(s1, s2, s3)).zipWithIndex.foreach { case (segs, i) =>
+      val prefixDocs = docs.filter(col("doc_id") % 3 <= i)
+      val fromLog = CorpusOps.phraseSearch(
+          CorpusOps.compactPositionalSegments(segs.reduce(_ unionAll _)), phrases)
+        .collect().map(_.toString).sorted
+      val batch = CorpusOps.phraseSearch(
+          CorpusOps.invertedIndexPositional(prefixDocs, col("doc_id"), col("text")),
+          phrases)
+        .collect().map(_.toString).sorted
+      assert(fromLog.toSeq == batch.toSeq, s"epoch $i phrase serve diverged")
+    }
+  }
+
+  test("fresh positional log serves the batch phrase answer (q74 vs p62)") {
+    val viaStream = graft.streaming.StreamingQueries.phraseServeFresh(spark, TestSpark.sf)
+    val viaBatch = SparkEntry.queries("p62_phrase_search")(spark, TestSpark.sf)
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("fresh-stats streaming BM25 matches batch over the corpus-so-far at every epoch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
