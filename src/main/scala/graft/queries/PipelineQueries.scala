@@ -1823,6 +1823,31 @@ object PipelineQueries {
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
           k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }, Some(ivfPqOracle)),
+
+    // INCREMENTAL index maintenance: build the index over 80% of the
+    // corpus, then APPEND the held-out 20% — encoded against the frozen
+    // quantizer artifacts, landed as new segment files inside the
+    // existing coarse-list partitions, no rebuild. Serving base+appended
+    // must equal the inline build on the union corpus (p34/p59's oracle
+    // verbatim): freezing the quantizers promises exactly that, and any
+    // placement/encoding drift in the append path breaks the hash.
+    ("p65_ann_index_append", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_app")
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, codeStride = 25)
+      SimilaritySearch.buildIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4),
+        col("vec_id"), col("embedding"),
+        cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+      SimilaritySearch.appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
+        col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = dir)
+      SimilaritySearch.searchIvfPqIndex(dir,
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
     }, Some(ivfPqOracle))
   )
 

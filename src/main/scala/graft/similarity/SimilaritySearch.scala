@@ -474,6 +474,72 @@ object SimilaritySearch {
     enc.join(asg, Seq("neighbor_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings")
+    // per-list build-time sizes (code rows per coarse list): the frozen
+    // baseline [[ivfPqIndexDrift]] compares against — appends grow the
+    // lists but never touch this snapshot
+    val spark = corpus.sparkSession
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+      .write.mode("overwrite").parquet(s"$indexDir/list_stats")
+  }
+
+  /** Grow the materialized index WITHOUT a rebuild: encode newly
+    * arrived vectors against the FROZEN quantizer artifacts
+    * (centroids + codebooks read from `indexDir` — never retrained
+    * here) and append their code rows as new segment files into the
+    * EXISTING coarse-list partitions (`mode("append")` + partitionBy:
+    * each list directory gains files, nothing is rewritten). A live
+    * similarity service thus ingests a day's vectors at the cost of
+    * encoding the delta, not re-encoding the world; the p65 entry pins
+    * that served results over base+appended equal the inline build on
+    * the union corpus given the same quantizers — which is exactly
+    * what freezing the quantizers promises.
+    *
+    * The honest limit: frozen quantizers drift as the vector
+    * distribution shifts. That is deliberately NOT hidden behind an
+    * auto-retrain — [[ivfPqIndexDrift]] surfaces per-list appended
+    * fractions so the operator retrains on evidence (the maxVocab
+    * loud-failure rule, monitoring form).
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, corpusId: Column, corpusVec: Column,
+                         dim: Int, numSubspaces: Int, indexDir: String): Unit = {
+    require(dim % numSubspaces == 0,
+      s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    val spark = newVectors.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val enc = assignCodes(
+      subvecs(newVectors, corpusId, corpusVec, "neighbor_id", numSubspaces,
+        dim / numSubspaces), cb, "neighbor_id")
+    val asg = coarseAssign(
+      newVectors.select(corpusId.as("neighbor_id"), corpusVec.as("cv")), cent)
+    enc.join(asg, Seq("neighbor_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** The retrain monitor for an appended index: per coarse list, code
+    * rows at build time (`n_base`, the frozen [[buildIvfPqIndex]]
+    * snapshot) vs now, the appended fraction, and a `retrain_advised`
+    * flag once that fraction reaches `retrainFrac`. Lists the base
+    * build never saw (possible only after a centroid artifact swap)
+    * show n_base = 0 — fully appended. Driver-sized output (one row
+    * per centroid, the broadcast-artifact contract).
+    */
+  def ivfPqIndexDrift(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      retrainFrac: Double = 0.5): DataFrame = {
+    val now = spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_now"))
+    val base = spark.read.parquet(s"$indexDir/list_stats")
+    now.join(base, Seq("centroid_id"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("appended_frac",
+        round((col("n_now") - col("n_base")).cast("double") / col("n_now"), 4))
+      .withColumn("retrain_advised", col("appended_frac") >= retrainFrac)
+      .select(col("centroid_id"), col("n_base"), col("n_now"),
+        col("appended_frac"), col("retrain_advised"))
   }
 
   /** Serve ANN queries FROM the materialized index — no corpus access:

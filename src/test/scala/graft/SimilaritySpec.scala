@@ -246,6 +246,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lists.nonEmpty && lists.forall(_.startsWith("centroid_id=")))
   }
 
+  test("appended index equals full rebuild under frozen quantizers, drift monitor tracks it") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    // base = 80% of the corpus, appended = the held-out 20%
+    val incDir = graft.sources.Sinks.tempArtifactDir("idx_inc")
+    SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+      col("vec_id"), col("embedding"), cent, cb,
+      dim = 64, numSubspaces = 4, indexDir = incDir)
+    // before the append: zero drift everywhere
+    val drift0 = SimilaritySearch.ivfPqIndexDrift(spark, incDir).collect()
+    assert(drift0.nonEmpty && drift0.forall(r => r.getDouble(3) == 0.0 && !r.getBoolean(4)))
+    SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir)
+    // served base+appended == served full rebuild with the same quantizers
+    val fullDir = graft.sources.Sinks.tempArtifactDir("idx_full")
+    SimilaritySearch.buildIvfPqIndex(embeddings, col("vec_id"), col("embedding"),
+      cent, cb, dim = 64, numSubspaces = 4, indexDir = fullDir)
+    def serve(dir: String) = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    assert(serve(incDir).exceptAll(serve(fullDir)).count() == 0 &&
+      serve(fullDir).exceptAll(serve(incDir)).count() == 0)
+    // drift guard: lists grew, the ~20% append is visible, totals are
+    // exact, and a strict threshold flips the retrain flag
+    val drift = SimilaritySearch.ivfPqIndexDrift(spark, incDir).collect()
+    assert(drift.forall(r => r.getLong(2) >= r.getLong(1)))
+    val nBase = drift.map(_.getLong(1)).sum
+    val nNow = drift.map(_.getLong(2)).sum
+    val frac = (nNow - nBase).toDouble / nNow
+    assert(frac > 0.1 && frac < 0.3, s"appended fraction $frac not ~0.2")
+    val strict = SimilaritySearch.ivfPqIndexDrift(spark, incDir, retrainFrac = 0.05)
+      .collect()
+    assert(strict.exists(_.getBoolean(4)), "strict threshold must advise retrain")
+  }
+
   test("ivfPqTopK degenerates to pqTopK when every list is probed") {
     val q = embeddings.filter(col("vec_id") < 5)
     // nprobe ≥ centroid count → coarse pruning admits the whole corpus,
