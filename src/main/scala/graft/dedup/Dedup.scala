@@ -98,6 +98,46 @@ object Dedup {
       .drop("__id", "__keep")
   }
 
+  /** Tombstone rows retracting documents from a LEDGER-form dedup
+    * history — the deletion path a recrawl needs (robots.txt removals,
+    * DMCA takedowns): the history table holds (fingerprint, epoch, op)
+    * rows, `op` 'add' for admissions and 'del' for tombstones, and a
+    * fingerprint is LIVE iff its highest-epoch op is 'add'
+    * ([[liveFingerprints]]). Appending — never updating — keeps the
+    * history write path identical to the append-only form (a bucketed
+    * parquet table grows; nothing rewrites), which is what makes
+    * retraction safe at 100 TB: deletes are data, not mutations.
+    * Re-admission then needs NO special case —
+    * `incrementalDedup(batch, …, liveFingerprints(history))` re-admits
+    * a re-ingested doc whose only prior copy was deleted, because its
+    * fingerprint is simply absent from the live set.
+    */
+  def tombstones(docs: DataFrame, text: Column, epoch: Long): DataFrame =
+    docs.select(TextFunctions.fingerprint(text).as("fingerprint"),
+      lit(epoch).as("epoch"), lit("del").as("op"))
+
+  /** Admission rows for an [[incrementalDedup]] survivor batch (which
+    * carries its `fingerprint` column by contract) — the ledger twin of
+    * "append the fingerprint column back to the history table".
+    */
+  def admissions(survivors: DataFrame, epoch: Long): DataFrame =
+    survivors.select(col("fingerprint"),
+      lit(epoch).as("epoch"), lit("add").as("op"))
+
+  /** The live fingerprint set of a ledger history: per fingerprint the
+    * op at the MAX epoch decides, and within one epoch a tombstone
+    * beats an admission (delete-then-readd across epochs re-admits;
+    * racing ops inside one epoch resolve conservatively to deleted).
+    * One hash-aggregate over (fingerprint, epoch, op) — the max rides a
+    * packed struct, so the election is a codegen max, no window.
+    */
+  def liveFingerprints(history: DataFrame): DataFrame =
+    history.groupBy(col("fingerprint"))
+      .agg(max(struct(col("epoch"),
+        (col("op") === "del").cast("int").as("d"))).as("last"))
+      .filter(col("last.d") === 0)
+      .select(col("fingerprint"))
+
   /** [[incrementalDedup]] with a Bloom prefilter over the history — the
     * 100 TB acceleration for rolling ingest against a huge admitted-set:
     * a driver-built Bloom filter of the history fingerprints (a few

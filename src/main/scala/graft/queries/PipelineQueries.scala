@@ -1848,7 +1848,65 @@ object PipelineQueries {
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
           k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
-    }, Some(ivfPqOracle))
+    }, Some(ivfPqOracle)),
+
+    // DELETION support in the dedup history — the recrawl/takedown
+    // path: the history is a ledger of (fingerprint, epoch, op) rows,
+    // live = highest-epoch op is 'add'. Scenario: full ingest (epoch 0)
+    // → tombstone a deterministic slice (epoch 1) → full RE-ingest
+    // (epoch 2), where exactly the retracted fingerprints re-admit and
+    // everything still-live is rejected. The oracle recomputes the
+    // ledger outcome set-theoretically from the corpus.
+    ("p66_tombstone_dedup", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emptyHist = docs.limit(0)
+        .select(TextFunctions.fingerprint(col("text")).as("fingerprint"),
+          lit(0L).as("epoch"), lit("add").as("op"))
+      val s0 = Dedup.incrementalDedup(docs, col("doc_id"), col("text"),
+        Dedup.liveFingerprints(emptyHist))
+      val h1 = Dedup.admissions(s0, 0L).unionByName(
+        Dedup.tombstones(docs.filter(expr("floor(doc_id / 20) % 7 = 3")),
+          col("text"), 1L))
+      Dedup.incrementalDedup(docs, col("doc_id"), col("text"),
+          Dedup.liveFingerprints(h1))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH f AS (SELECT doc_id,
+                   md5(array_to_string(${sqlToks("lower(text)")}, ' '))
+                     AS fingerprint
+                 FROM documents),
+      del AS (SELECT DISTINCT fingerprint FROM f WHERE (doc_id // 20) % 7 = 3),
+      s2 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM f
+             WHERE fingerprint IN (SELECT fingerprint FROM del)
+             GROUP BY 1)
+      SELECT doc_id, fingerprint FROM s2 ORDER BY doc_id""")),
+
+    // DELETION support in the posting log: compaction takes a
+    // tombstoned doc_id set and drops every entry of a deleted doc
+    // before aggregating, so the compacted index == a direct build on
+    // the SURVIVING corpus (df/cf included — the oracle builds from the
+    // survivors and never sees the log). Tombstones are input to the
+    // one existing rewrite point, not a new mutation path.
+    ("p67_index_tombstones", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val segs = (0 to 2).map(r => graft.text.CorpusOps.invertedIndex(
+          docs.filter(col("doc_id") % 3 === r), col("doc_id"), col("text")))
+        .reduce(_ unionAll _)
+      val deletes = docs.filter(expr("floor(doc_id / 20) % 7 = 3"))
+        .select(col("doc_id"))
+      graft.text.CorpusOps.compactPostingSegments(segs, deletes = Some(deletes))
+        .orderBy(col("tok"))
+    }, Some(s"""
+      WITH u AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok FROM documents
+                 WHERE NOT ((doc_id // 20) % 7 = 3)),
+      tf AS (SELECT tok, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             array_to_string(list_transform(
+               list_sort(list({'doc_id': doc_id, 'tf': tf})),
+               e -> CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.tf AS VARCHAR)), ',')
+               AS postings
+      FROM tf GROUP BY 1 ORDER BY tok"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

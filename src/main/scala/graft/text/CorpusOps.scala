@@ -440,8 +440,9 @@ object CorpusOps {
     * AFTER counting, so a token's df is never understated.
     */
   def compactPostingSegments(segments: DataFrame,
-                             maxDf: Option[Long] = None): DataFrame = {
-    val idx = postingEntries(segments).groupBy(col("tok"))
+                             maxDf: Option[Long] = None,
+                             deletes: Option[DataFrame] = None): DataFrame = {
+    val idx = droppingDeletes(postingEntries(segments), deletes).groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
           e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))), ",")
@@ -470,8 +471,9 @@ object CorpusOps {
     * property) holds here too.
     */
   def compactPositionalSegments(segments: DataFrame,
-                                maxDf: Option[Long] = None): DataFrame = {
-    val perDoc = positionalPostingEntries(segments)
+                                maxDf: Option[Long] = None,
+                                deletes: Option[DataFrame] = None): DataFrame = {
+    val perDoc = droppingDeletes(positionalPostingEntries(segments), deletes)
       .groupBy(col("tok"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
     val idx = perDoc.groupBy(col("tok"))
@@ -553,6 +555,21 @@ object CorpusOps {
     ("ph_table_hash", Seq("table", "hash")),
     ("ph_part_filter", Seq("part", "filter")),
     ("ph_table_hash_join", Seq("table", "hash", "join")))
+
+  /** Tombstone application for the posting-log compactors: drop every
+    * entry of a deleted doc BEFORE the per-token aggregation, so df/cf
+    * and the emitted lists describe exactly the surviving corpus — the
+    * index after deletes == a direct build on the survivors (pinned by
+    * the p67 oracle and StreamingSpec). Deletes are a doc_id frame
+    * (typically tiny vs the log — Spark broadcasts the anti-join side);
+    * compaction stays the only rewrite point, so retraction needs no
+    * new machinery: tombstones are input, not mutation.
+    */
+  private def droppingDeletes(entries: DataFrame,
+                              deletes: Option[DataFrame]): DataFrame =
+    deletes.fold(entries)(d =>
+      entries.join(d.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
 
   /** Parse an index/segment frame's `postings` strings back to
     * (tok, doc_id, tf) entry rows — the ONE place the "doc:tf,…"

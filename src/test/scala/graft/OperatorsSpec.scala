@@ -531,6 +531,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.incrementalDedup(b2, col("doc_id"), col("text"), hist2).count() == 0)
   }
 
+  test("tombstone ledger: delete re-admits, live rejects, same-epoch del wins") {
+    import graft.dedup.Dedup
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val empty = Seq.empty[(String, Long, String)].toDF("fingerprint", "epoch", "op")
+    val s1 = Dedup.incrementalDedup(b1, col("doc_id"), col("text"),
+      Dedup.liveFingerprints(empty))
+    val h1 = Dedup.admissions(s1, 0L)
+    // epoch 1: retract 'alpha beta' (by a whitespace-variant copy — the
+    // tombstone keys on the normalized fingerprint, not the raw text)
+    val h2 = h1.unionByName(
+      Dedup.tombstones(Seq("  Alpha beta ").toDF("text"), col("text"), 1L))
+    // epoch 2 re-ingest: the deleted doc re-admits, the live one rejects
+    val s2 = Dedup.incrementalDedup(
+      Seq((10L, "alpha beta"), (11L, "gamma")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Dedup.liveFingerprints(h2))
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    // and the re-admission itself appends — a further replay rejects
+    val h3 = h2.unionByName(Dedup.admissions(s2, 2L))
+    assert(Dedup.incrementalDedup(Seq((20L, "alpha beta")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Dedup.liveFingerprints(h3)).count() == 0)
+    // racing ops inside ONE epoch resolve conservatively to deleted
+    val race = Dedup.admissions(s1, 5L).unionByName(
+      Dedup.tombstones(b1, col("text"), 5L))
+    assert(Dedup.liveFingerprints(race).count() == 0)
+  }
+
   test("incrementalDedupBloom equals the exact form row for row") {
     import graft.dedup.Dedup
     // history: 200 fingerprints; batch: 100 replays + 100 new + in-batch dups

@@ -489,6 +489,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction with tombstones equals a direct build on the survivors (both encodings)") {
+    import graft.text.CorpusOps
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf).limit(90)
+    val deleted = col("doc_id") % 7 === 3
+    val deletes = docs.filter(deleted).select(col("doc_id"))
+    val survivors = docs.filter(!deleted)
+    // tf encoding
+    val segs = (0 to 2).map(r => CorpusOps.invertedIndex(
+        docs.filter(col("doc_id") % 3 === r), col("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val afterDel = CorpusOps.compactPostingSegments(segs, deletes = Some(deletes))
+      .collect().map(_.toString).sorted
+    val direct = CorpusOps.invertedIndex(survivors, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(afterDel.nonEmpty && afterDel.toSeq == direct.toSeq)
+    // positional encoding — phrase serving reflects the deletes too
+    val psegs = (0 to 2).map(r => CorpusOps.invertedIndexPositional(
+        docs.filter(col("doc_id") % 3 === r), col("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val pAfter = CorpusOps.compactPositionalSegments(psegs, deletes = Some(deletes))
+      .collect().map(_.toString).sorted
+    val pDirect = CorpusOps.invertedIndexPositional(survivors, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(pAfter.nonEmpty && pAfter.toSeq == pDirect.toSeq)
+  }
+
   test("fresh positional log serves the batch phrase answer (q74 vs p62)") {
     val viaStream = graft.streaming.StreamingQueries.phraseServeFresh(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p62_phrase_search")(spark, TestSpark.sf)
