@@ -1906,7 +1906,60 @@ object PipelineQueries {
                list_sort(list({'doc_id': doc_id, 'tf': tf})),
                e -> CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.tf AS VARCHAR)), ',')
                AS postings
-      FROM tf GROUP BY 1 ORDER BY tok"""))
+      FROM tf GROUP BY 1 ORDER BY tok""")),
+
+    // End-to-end curation v3 — the MULTIMODAL pipeline in ONE
+    // declarative plan: URL-canonicalization dedup (p63, the crawl
+    // first step) → exact text dedup (p01) among URL keepers →
+    // perceptual-hash image dedup over REAL decoded pixels (p56) among
+    // text keepers → token-count gate → exact per-language quota. Each
+    // stage elects min-id keepers over the PREVIOUS stage's survivors,
+    // and the oracle recomputes every stage independently (URL keys
+    // from the generative formula, fingerprints from normalized text,
+    // aHash codes from the pixel formula — never the engine run twice).
+    ("p68_corpus_build3", (s, d) => {
+      import graft.multimodal.ImageCodec
+      val docs = Tables.documents(s, d)
+      val canon = docs.select(col("doc_id"),
+        graft.functions.SourceFamily.canonicalizeUrl(messyUrlFixture).as("cu"))
+      val s1 = docs.join(canon.groupBy(col("cu"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val s2 = s1.join(s1.groupBy(TextFunctions.fingerprint(col("text")).as("f"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val codes = ImageCodec.aHashCodes(
+        ImageCodec.SyntheticImages.pngFixture(s2, col("doc_id")),
+        col("media_id"), col("payload"))
+      val s3 = s2.join(codes.groupBy(col("phash"))
+        .agg(min(col("media_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val gated = s3.filter(TextFunctions.tokenCount(col("text")) >= 20)
+      graft.curation.Curation.sampleExactPerGroup(
+          gated, col("lang"), col("doc_id"), k = 10)
+        .orderBy(col("group"), col("rank"))
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, lang, text,
+                   'https://www.' || source || '.com/a/b?x=1&y=2' AS cu
+                 FROM documents),
+      u1 AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY cu),
+      s1 AS (SELECT c.doc_id, c.lang, c.text FROM c JOIN u1 USING (doc_id)),
+      fp AS (SELECT doc_id, lang, text,
+               md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS f
+             FROM s1),
+      t1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      s2 AS (SELECT fp.doc_id, fp.lang, fp.text FROM fp JOIN t1 USING (doc_id)),
+      $phashCodedCtes,
+      i1 AS (SELECT min(media_id) AS doc_id FROM coded
+             WHERE media_id IN (SELECT doc_id FROM s2) GROUP BY phash),
+      s3 AS (SELECT s2.doc_id, s2.lang, s2.text FROM s2 JOIN i1 USING (doc_id)),
+      g AS (SELECT doc_id, lang FROM s3 WHERE len(${sqlToks("text")}) >= 20),
+      r AS (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+            FROM g)
+      SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
+      WHERE rn <= 10 ORDER BY "group", rank"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
@@ -2070,8 +2123,11 @@ object PipelineQueries {
     * the [[graft.multimodal.ImageCodec.SyntheticImages]] pixel formula
     * — Spark computes the same code from the DECODED PNG bytes.
     */
-  lazy val phashOracle: String = s"""
-      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+  /** The dims → sampled-pixels → aHash-code CTE prelude shared by the
+    * p56/q66 election oracle and the corpus-build-v3 media stage — one
+    * generator so the recomputed codes cannot drift between them.
+    */
+  private lazy val phashCodedCtes: String = s"""${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
       samp AS (SELECT doc_id,
                  list_transform(generate_series(0, 63),
                    c -> (seed * 31
@@ -2082,7 +2138,10 @@ object PipelineQueries {
                   array_to_string(list_transform(sp,
                     p -> CASE WHEN p * 64 >= list_sum(sp)
                               THEN '1' ELSE '0' END), '') AS phash
-                FROM samp),
+                FROM samp)"""
+
+  lazy val phashOracle: String = s"""
+      WITH $phashCodedCtes,
       grp AS (SELECT phash, min(media_id) AS keeper_id,
                 count(*) AS group_size
               FROM coded GROUP BY 1)
