@@ -1625,30 +1625,13 @@ object PipelineQueries {
     // rules rendered in SQL) and p52's shingle-overlap chain.
     ("p57_source_family_overlap", (s, d) => {
       import graft.functions.SourceFamily
-      // branch on (doc_id / 20) % 4, NOT doc_id % 4: the testdata's
-      // source is doc_id % 20, so a %4 branch would be constant per
-      // source (4 | 20) and each source would land in exactly one
-      // family — the /20 quotient cycles branches WITHIN each source
-      val m4 = floor(col("doc_id") / 20) % 4
-      val url = when(m4 === 0, concat(lit("https://cdn"),
-          (col("doc_id") % 3).cast("string"), lit("."), col("source"),
-          lit(".com/p/"), col("doc_id").cast("string")))
-        .when(m4 === 1, concat(lit("http://www."), col("source"), lit(".co.uk/x?y=1")))
-        .when(m4 === 2, concat(lit("https://"), col("source"), lit(".org:8080/y")))
-        .otherwise(concat(col("source"), lit("-"), (col("doc_id") % 5).cast("string")))
       Dedup.sourceOverlap(
-          Tables.documents(s, d).withColumn("__src", url),
+          Tables.documents(s, d).withColumn("__src", familyUrlFixture),
           SourceFamily.familyOf(col("__src")), col("doc_id"), col("text"),
           shingleN = 3)
         .orderBy(col("source_a"), col("source_b"))
     }, Some(s"""
-      WITH urls AS (SELECT doc_id, text,
-        CASE (doc_id // 20) % 4
-          WHEN 0 THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.'
-                      || source || '.com/p/' || CAST(doc_id AS VARCHAR)
-          WHEN 1 THEN 'http://www.' || source || '.co.uk/x?y=1'
-          WHEN 2 THEN 'https://' || source || '.org:8080/y'
-          ELSE source || '-' || CAST(doc_id % 5 AS VARCHAR) END AS src
+      WITH urls AS (SELECT doc_id, text, $familyUrlFixtureSql AS src
         FROM documents),
       f AS (SELECT doc_id, text,
               ${graft.functions.SourceFamily.familyOfSql("src")} AS source
@@ -1959,7 +1942,40 @@ object PipelineQueries {
                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
             FROM g)
       SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
-      WHERE rn <= 10 ORDER BY "group", rank"""))
+      WHERE rn <= 10 ORDER BY "group", rank""")),
+
+    // Per-FAMILY KL drift — what a curation dashboard actually watches:
+    // p54's drift monitor with SourceFamily.familyOf composed in front
+    // (p57's rollup pattern), so 200 shard/cdn/port provenance variants
+    // score as their ~80 registered-domain families instead of diluting
+    // the signal across raw source ids. The oracle applies familyOfSql
+    // (the same rules rendered in SQL) and p54's integer-micro KL chain.
+    ("p69_family_kl", (s, d) => {
+      import graft.functions.SourceFamily
+      graft.text.CorpusOps.sourceKlDivergence(
+          Tables.documents(s, d).withColumn("__src", familyUrlFixture),
+          SourceFamily.familyOf(col("__src")), col("text"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH urls AS (SELECT doc_id, text, $familyUrlFixtureSql AS src
+        FROM documents),
+      fam AS (SELECT ${graft.functions.SourceFamily.familyOfSql("src")} AS source,
+                text
+              FROM urls),
+      u AS (SELECT source, unnest(${sqlToks("text")}) AS tok FROM fam),
+      st AS (SELECT source, tok, count(*) AS n_st FROM u GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      ct AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+      terms AS (SELECT source, n_s,
+                  CAST(round((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                    ln((CAST(n_st AS DOUBLE) * CAST(n AS DOUBLE)) /
+                       (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE))) * 1e6, 0)
+                    AS BIGINT) AS kl_micro
+                FROM st JOIN ns USING (source) JOIN ct USING (tok), tot)
+      SELECT source, max(n_s) AS n_tokens,
+             round(sum(kl_micro) / 1e6, 6) AS kl
+      FROM terms GROUP BY 1 ORDER BY source"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
@@ -2025,6 +2041,36 @@ object PipelineQueries {
     * form the oracle derives from the formula directly). Branches key
     * on the doc_id/20 quotient (the p57 decorrelation rule).
     */
+  /** p57/p69's provenance fixture: URL-ish source ids derived from
+    * (source, doc_id) — cdn subdomains, a co.uk multi-part suffix, a
+    * port to strip, and plain shard ids — so MANY raw sources roll up
+    * to FEW registered-domain families. Branches on the doc_id/20
+    * quotient, NOT doc_id % 4: the testdata's source is doc_id % 20, so
+    * a %4 branch would be constant per source (4 | 20) and each source
+    * would land in exactly one family — the quotient cycles branches
+    * WITHIN each source. The SQL twin below must stay in lockstep.
+    */
+  private[graft] def familyUrlFixture: Column = {
+    val m4 = floor(col("doc_id") / 20) % 4
+    when(m4 === 0, concat(lit("https://cdn"),
+        (col("doc_id") % 3).cast("string"), lit("."), col("source"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+      .when(m4 === 1, concat(lit("http://www."), col("source"), lit(".co.uk/x?y=1")))
+      .when(m4 === 2, concat(lit("https://"), col("source"), lit(".org:8080/y")))
+      .otherwise(concat(col("source"), lit("-"), (col("doc_id") % 5).cast("string")))
+  }
+
+  /** DuckDB rendering of [[familyUrlFixture]] — shared by the p57 and
+    * p69 oracles.
+    */
+  private val familyUrlFixtureSql: String =
+    """CASE (doc_id // 20) % 4
+          WHEN 0 THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                      || source || '.com/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://www.' || source || '.co.uk/x?y=1'
+          WHEN 2 THEN 'https://' || source || '.org:8080/y'
+          ELSE source || '-' || CAST(doc_id % 5 AS VARCHAR) END"""
+
   private[graft] def messyUrlFixture: Column = {
     val m5 = floor(col("doc_id") / 20) % 5
     val base = concat(col("source"), lit(".com"))
