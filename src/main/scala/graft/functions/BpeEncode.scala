@@ -61,6 +61,55 @@ object BpeEncode {
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 }
 
+/** The two primitive steps the trainer and the encoder MUST share —
+  * code-point seeding and the simultaneous left-to-right merge pass.
+  * The pinned round-trip bit-identity (encoding the training corpus
+  * reproduces the final training state) holds exactly because both
+  * sides call THESE functions; a second copy of either step would be
+  * a silent drift surface.
+  */
+object BpeKernel {
+  /** One word as code-point symbols — per CODE POINT, not per UTF-16
+    * char, so astral-plane text (emoji, CJK extension blocks) seeds
+    * whole characters instead of lone surrogates.
+    */
+  def seed(w: String): Array[String] = {
+    val syms = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var s = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms(s) = new String(Character.toChars(cp))
+      s += 1
+      i += Character.charCount(cp)
+    }
+    syms
+  }
+
+  /** One merge over one symbol sequence, applied simultaneously
+    * left-to-right (a merged symbol never re-pairs within its own
+    * round). Returns `syms` UNCHANGED (same reference) when the pair
+    * is absent, so callers pay no allocation on the common miss.
+    */
+  def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    var j = 0
+    var found = false
+    while (j < syms.length - 1 && !found) {
+      if (syms(j) == l && syms(j + 1) == r) found = true
+      j += 1
+    }
+    if (!found) return syms
+    val out = Array.newBuilder[String]
+    var k = 0
+    while (k < syms.length) {
+      if (k < syms.length - 1 && syms(k) == l && syms(k + 1) == r) {
+        out += l + r; k += 2 // simultaneous left-to-right, no re-pairing
+      } else { out += syms(k); k += 1 }
+    }
+    out.result()
+  }
+}
+
 /** The broadcast merge-table artifact + per-task word memo. Each Spark
   * task deserializes its own copy (the table rides the plan), so the
   * mutable cache is single-threaded by construction; `maxCacheWords`
@@ -79,41 +128,14 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     enc
   }
 
-  /** One word through the full table: seed per CODE POINT (astral text
-    * seeds whole characters, not surrogate halves — the training rule),
-    * then merges in rank order, each applied simultaneously
-    * left-to-right.
+  /** One word through the full table: [[BpeKernel.seed]], then merges
+    * in rank order via [[BpeKernel.mergePass]].
     */
   private def applyMerges(w: String): String = {
-    var syms = new Array[String](w.codePointCount(0, w.length))
-    var i = 0
-    var s = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      syms(s) = new String(Character.toChars(cp))
-      s += 1
-      i += Character.charCount(cp)
-    }
+    var syms = BpeKernel.seed(w)
     var r = 0
     while (r < merges.length && syms.length > 1) {
-      val l = merges(r)._1
-      val rt = merges(r)._2
-      var j = 0
-      var found = false
-      while (j < syms.length - 1 && !found) {
-        if (syms(j) == l && syms(j + 1) == rt) found = true
-        j += 1
-      }
-      if (found) {
-        val out = Array.newBuilder[String]
-        var k = 0
-        while (k < syms.length) {
-          if (k < syms.length - 1 && syms(k) == l && syms(k + 1) == rt) {
-            out += l + rt; k += 2 // simultaneous left-to-right, no re-pairing
-          } else { out += syms(k); k += 1 }
-        }
-        syms = out.result()
-      }
+      syms = BpeKernel.mergePass(syms, merges(r)._1, merges(r)._2)
       r += 1
     }
     syms.mkString(" ")

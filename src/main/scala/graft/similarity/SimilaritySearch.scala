@@ -569,7 +569,7 @@ object SimilaritySearch {
     // the call (a persist() here leaked one block per serve call for
     // the session lifetime)
     val probedPlan = probeCentroids(q, cent, nprobe)
-      .select(col("query_id"), col("centroid_id"))
+      .select(col("query_id"), col("centroid_id").cast("long").as("centroid_id"))
     val probeRows = probedPlan.collect()
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probedPlan.schema)

@@ -597,33 +597,44 @@ object StreamingQueries {
     * re-tokenizing corpus text. That is the standard LSM index-
     * maintenance design (segments + merge), not a state-store blow-up.
     */
-  def logStructuredIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.text.CorpusOps
-    val segDir = tempLogDir("graft_postseg")
-    // manual appends in foreachBatch are at-least-once; the commit-marker
-    // wrapper skips crash-replayed batch ids, AND each segment lands in
-    // its own batch_id= subdirectory with mode("overwrite") (the
-    // bm25FreshStats rule) so a crash BETWEEN the parquet write and the
-    // marker replays into the SAME path instead of appending a duplicate
-    // segment beside the first — compactPostingSegments' unique-
-    // (tok, doc) contract rests on both halves, not on file-sink magic
+  /** The exactly-once segment-log recipe q67 and q74 share: each
+    * micro-batch builds its own complete segment and lands it in its
+    * own batch_id= subdirectory with mode("overwrite") INSIDE the
+    * commit-marker wrapper. Manual appends in foreachBatch are
+    * at-least-once; the marker skips crash-replayed batch ids, and the
+    * per-batch overwrite path means a crash BETWEEN the parquet write
+    * and the marker replays into the SAME directory instead of
+    * appending a duplicate segment beside the first — the compactors'
+    * unique-(tok, doc) contract rests on both halves, not on file-sink
+    * magic. The sealed log reads back with an explicit schema over the
+    * leaf-dir glob (no partition-column discovery on batch_id=). The
+    * crash-replay contract lives HERE, once, for every segment shape.
+    */
+  private def runSegmentLog(spark: SparkSession, sfDir: String, prefix: String,
+                            segSchema: StructType)
+                           (buildSegment: DataFrame => DataFrame): DataFrame = {
+    val segDir = tempLogDir(prefix)
     val q = documentsStream(spark, sfDir).writeStream
       .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$segDir/_commits") {
         (batch: DataFrame, batchId: Long) =>
-          CorpusOps.invertedIndex(batch, col("doc_id"), col("text"))
+          buildSegment(batch)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$segDir/segments/batch_id=$batchId")
       })
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
+    spark.read.schema(segSchema).parquet(s"$segDir/segments/batch_id=*")
+  }
+
+  def logStructuredIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
     val segSchema = StructType(Seq(
       StructField("tok", StringType), StructField("df", LongType),
       StructField("cf", LongType), StructField("postings", StringType),
       StructField("batch_id", LongType)))
-    // glob the per-batch leaf dirs directly so the explicit schema is
-    // used as-is (no partition-column discovery on batch_id=)
     CorpusOps.compactPostingSegments(
-        spark.read.schema(segSchema).parquet(s"$segDir/segments/batch_id=*"))
+        runSegmentLog(spark, sfDir, "graft_postseg", segSchema)(
+          CorpusOps.invertedIndex(_, col("doc_id"), col("text"))))
       .orderBy(col("tok"))
   }
 
@@ -645,24 +656,13 @@ object StreamingQueries {
     */
   def phraseServeFresh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.CorpusOps
-    val segDir = tempLogDir("graft_posseg")
-    // q67's exactly-once rule: commit marker + per-batch subdirectory
-    // with overwrite, so a crash replay rewrites the same path
-    val q = documentsStream(spark, sfDir).writeStream
-      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$segDir/_commits") {
-        (batch: DataFrame, batchId: Long) =>
-          CorpusOps.invertedIndexPositional(batch, col("doc_id"), col("text"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(s"$segDir/segments/batch_id=$batchId")
-      })
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
     val segSchema = StructType(Seq(
       StructField("tok", StringType), StructField("df", LongType),
       StructField("postings", StringType), StructField("batch_id", LongType)))
     CorpusOps.phraseSearch(
         CorpusOps.compactPositionalSegments(
-          spark.read.schema(segSchema).parquet(s"$segDir/segments/batch_id=*")),
+          runSegmentLog(spark, sfDir, "graft_posseg", segSchema)(
+            CorpusOps.invertedIndexPositional(_, col("doc_id"), col("text")))),
         CorpusOps.phraseDemoQueries)
       .orderBy(col("qid"), col("doc_id"))
   }

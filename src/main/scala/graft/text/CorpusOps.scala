@@ -793,27 +793,15 @@ object CorpusOps {
       vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
   }
 
-  /** One word as codepoint symbols — per CODE POINT, not per UTF-16
-    * char, so astral-plane text (emoji, CJK extension blocks) seeds
-    * whole characters instead of lone surrogates.
-    */
-  private def codePointSymbols(w: String): Array[String] = {
-    val out = Array.newBuilder[String]
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      out += new String(Character.toChars(cp))
-      i += Character.charCount(cp)
-    }
-    out.result()
-  }
-
   private def bpeMergesFromVocab(spark: org.apache.spark.sql.SparkSession,
                                  vocab: Array[(String, Long)],
                                  numMerges: Int): DataFrame = {
     import spark.implicits._
+    // seeding + merge application MUST be the encoder's own kernel
+    // (graft.functions.BpeKernel) — the round-trip bit-identity the
+    // spec pins is a property of sharing one implementation
     var seqs: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (codePointSymbols(w), c) }
+      vocab.map { case (w, c) => (graft.functions.BpeKernel.seed(w), c) }
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
     var exhausted = false
@@ -832,14 +820,7 @@ object CorpusOps {
         val ((l, rg), total) = counts.minBy { case ((a, b), c) => (-c, a, b) }
         merges += BpeMerge(r.toLong, l, rg, l + rg, total)
         seqs = seqs.map { case (syms, c) =>
-          val out = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rg) {
-              out += l + rg; i += 2 // simultaneous left-to-right, no re-pairing
-            } else { out += syms(i); i += 1 }
-          }
-          (out.result(), c)
+          (graft.functions.BpeKernel.mergePass(syms, l, rg), c)
         }
         r += 1
       }
@@ -883,9 +864,23 @@ object CorpusOps {
     * executions of the same semantics) — for production tables prefer
     * the expression: k chained regexps re-scan the document k times,
     * the kernel passes once per word with a memo.
+    *
+    * DEFINED ONLY FOR SLASH-FREE TEXT: '/' is this form's sentinel
+    * character, so a literal '/' in the input (or in a merge symbol)
+    * would be stripped with the sentinels and silently diverge from
+    * the kernel. Slash-bearing rows fail LOUDLY instead (and a
+    * slash-bearing table is rejected up front) — the production path
+    * for arbitrary text is [[graft.functions.BpeEncode]], which has
+    * no sentinel.
     */
   def bpeEncodeColumn(text: Column, merges: Seq[(String, String)]): Column = {
-    val joined = array_join(TextFunctions.tokens(text), "  ")
+    require(merges.forall { case (l, r) => !l.contains("/") && !r.contains("/") },
+      "bpeEncodeColumn: merge symbols must not contain '/' (the sentinel)")
+    val guarded = when(instr(text, "/") > 0,
+        raise_error(concat(lit("bpeEncodeColumn: input contains '/' (the " +
+          "sentinel character) — use graft.functions.BpeEncode: "), text)))
+      .otherwise(text)
+    val joined = array_join(TextFunctions.tokens(guarded), "  ")
     val seed = regexp_replace(joined, "([^ ])", "/$1/ ")
     val merged = merges.foldLeft(seed) { case (c, (l, r)) =>
       regexp_replace(c,

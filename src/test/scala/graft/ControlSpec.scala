@@ -52,7 +52,7 @@ class ControlSpec extends AnyFunSuite {
       assert(bytes() == 100)
       // at least 4 triggers were needed (100 bytes / 30-byte admissions)
       assert(spark.table(qn).count() == 10) // 10-byte chunks
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("TokenThrottleSource admits items only while the dynamic token feed lasts") {
@@ -81,7 +81,7 @@ class ControlSpec extends AnyFunSuite {
       // order preserved: exactly the first 7 items, in index order
       assert(spark.table(qn).orderBy(col("idx")).select("item").as[String]
         .collect().toSeq == (0 until 7).map(i => s"e$i"))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("TokenThrottleSource charges cost(elem) tokens per element") {
@@ -108,7 +108,7 @@ class ControlSpec extends AnyFunSuite {
       assert(awaitN(3) == 3)
       Thread.sleep(500)
       assert(n() == 3)
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("Valve pauses and resumes a streaming query") {
@@ -251,6 +251,6 @@ class ControlSpec extends AnyFunSuite {
         Thread.sleep(100)
       assert(spark.table(qn).count() >= 5)
       assert(spark.table(qn).select("g").distinct().as[String].head() == "gen")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 }

@@ -129,6 +129,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getString(1) == r.getString(2), s"id ${r.getLong(0)}"))
     assert(both.find(_.getLong(0) == 5L).get.getString(1) == "a 😀 b low")
+    // '/' is the column form's sentinel: slash-bearing text must fail
+    // LOUDLY there (silent divergence is the bug), while the JVM
+    // kernel — which has no sentinel — encodes it as a plain symbol
+    val slash = Seq((6L, "a/b")).toDF("id", "text")
+    val e = intercept[Exception] {
+      TestSpark.quietly(
+        slash.select(CorpusOps.bpeEncodeColumn(col("text"), merges)).collect())
+    }
+    assert(e.getMessage.contains("sentinel"))
+    assert(slash.select(graft.functions.BpeEncode(col("text"), merges))
+      .collect()(0).getString(0) == "a / b")
+    intercept[IllegalArgumentException] {
+      CorpusOps.bpeEncodeColumn(col("text"), Seq(("a/", "b")))
+    }
   }
 
   test("repetitionStats flags repeated text and passes diverse text") {

@@ -82,7 +82,8 @@ class OperatorsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
     val bad = spark.range(4).select((col("id") + 100).as("x"), col("id").as("y"))
     val ex = intercept[Exception] {
-      Sinks.writeZOrdered(bad, out2, col("x"), col("y"), bits = 6, nFiles = 2)
+      TestSpark.quietly(
+        Sinks.writeZOrdered(bad, out2, col("x"), col("y"), bits = 6, nFiles = 2))
     }
     assert(ex.getMessage != null)
   }
@@ -394,7 +395,8 @@ class OperatorsSpec extends AnyFunSuite {
     // out-of-bounds priority fails loudly, never mis-elects
     val bad = Seq((1L, "x", -1L)).toDF("id", "text", "prio")
     val e = intercept[Exception] {
-      Dedup.exactGroupsPreferring(bad, col("id"), col("text"), col("prio")).collect()
+      TestSpark.quietly(
+        Dedup.exactGroupsPreferring(bad, col("id"), col("text"), col("prio")).collect())
     }
     assert(e.getMessage.contains("bounds exceeded"))
   }

@@ -38,7 +38,7 @@ class SourcesSpec extends AnyFunSuite {
       q.processAllAvailable()
       val all = spark.table(qn).as[(Long, Array[Byte])].collect().sortBy(_._1)
       assert(new String(all.flatMap(_._2)) == "hello world")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("DirectoryChangesSource emits Creation/Modification/Deletion") {
@@ -67,7 +67,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(a.delete())
       q.processAllAvailable()
       assert(changes().contains((a.getAbsolutePath, "Deletion")))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("PagedSource walks pages until nextKey is exhausted") {
@@ -92,7 +92,7 @@ class SourcesSpec extends AnyFunSuite {
       val got = spark.table(qn).as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
       assert(got == Seq((0L, "item0"), (0L, "item1"), (1L, "item10"), (1L, "item11"),
         (2L, "item20"), (2L, "item21")))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("ZipSource extracts entries, recursing into nested zips") {

@@ -31,7 +31,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val all = spark.table("awu_out").as[StatefulOps.UnchangedGroup].collect()
       assert(all.map(_.property).sorted.toSeq == Seq("a", "b"))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming minhash dedup suppresses near-duplicates first-wins") {
@@ -56,7 +56,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val kept = spark.table("mh_dedup").select("doc_id").as[Long].collect().sorted
       assert(kept.toSeq == Seq(1L, 2L, 4L), s"kept: ${kept.toSeq}")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming any-band LSH matches partial signatures across batches") {
@@ -95,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(matches() == Set(BandMatch("k1", 1, 2), BandMatch("k1", 1, 3),
         BandMatch("k1", 2, 3), BandMatch("k1", 1, 4), BandMatch("k1", 2, 4)))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming any-band LSH is redelivery-safe: no self-match, no burnt slot") {
@@ -131,7 +131,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("band_redeliver").as[BandMatch].collect().length == 3,
         "redelivered held doc must not re-pair with reversed orientation")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming any-band LSH evicts band state past the horizon") {
@@ -154,7 +154,7 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(BandedDoc("e1", 2, Timestamp.valueOf("2024-01-01 13:30:00")))
       q.processAllAvailable()
       assert(spark.table("band_evict").as[BandMatch].collect().isEmpty)
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming semantic dedup matches the batch election across batches") {
@@ -193,7 +193,7 @@ class StreamingSpec extends AnyFunSuite {
       val redelivered = spark.table("sem_stream").as[SemanticVerdict].collect()
         .filter(_.vecId == 0L)
       assert(redelivered.length == 2 && redelivered.forall(v => v.kept && v.dupOf == -1L))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming semantic dedup keeps MORE than batch on dominated-by-dropped chains") {
@@ -228,7 +228,7 @@ class StreamingSpec extends AnyFunSuite {
       val kept = spark.table("sem_chain").as[SemanticVerdict].collect()
         .filter(_.kept).map(_.vecId).toSet
       assert(kept == Set(1L, 3L), "streaming keeps the chain endpoint (3)")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("minhashStreamingCandidates surfaces cross-batch near-dups end-to-end") {
@@ -253,7 +253,7 @@ class StreamingSpec extends AnyFunSuite {
         .select("earlierId", "laterId").distinct()
         .as[(Long, Long)].collect().toSet
       assert(pairs == Set((1L, 3L)), s"pairs: $pairs")
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("stateful ops run unchanged on the RocksDB state store (scale path)") {
@@ -277,7 +277,7 @@ class StreamingSpec extends AnyFunSuite {
         val mem = q.lastProgress.stateOperators(0).customMetrics
         assert(mem.containsKey("rocksdbSstFileSize") || mem.containsKey("rocksdbTotalMemoryUsage"),
           s"no rocksdb metrics: ${mem.keySet()}")
-      } finally q.stop()
+      } finally TestSpark.quietStop(q)
 
       // the any-band LSH state (List-valued buffer) on RocksDB too
       import java.sql.Timestamp
@@ -295,7 +295,7 @@ class StreamingSpec extends AnyFunSuite {
         bq.processAllAvailable()
         assert(spark.table("band_rocks").as[BandMatch].collect().toSet ==
           Set(BandMatch("r1", 1, 2)))
-      } finally bq.stop()
+      } finally TestSpark.quietStop(bq)
     } finally graft.streaming.StreamingConfig.defaultState(spark)
   }
 
@@ -311,7 +311,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val flushed = spark.table("awu_cap_out").as[StatefulOps.UnchangedGroup].collect()
       assert(flushed.map(_.n).sorted.toSeq == Seq(2L, 2L)) // one run of 1 still open
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming lastElementPerKey tracks the max-seq element") {
@@ -329,7 +329,7 @@ class StreamingSpec extends AnyFunSuite {
       val last = spark.table("last_out").as[StatefulOps.Last].collect()
         .groupBy(_.key).view.mapValues(_.maxBy(_.seq)).toMap
       assert(last(1L) == StatefulOps.Last(1, 5, 5.0))
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming keepAlive injects bounded synthetic heartbeats for idle keys") {
@@ -370,7 +370,7 @@ class StreamingSpec extends AnyFunSuite {
       // budget exhausted → several more idle intervals add nothing
       Thread.sleep(1500)
       assert(rows().count(h => h.key == 1 && h.synthetic) == 2)
-    } finally q.stop()
+    } finally TestSpark.quietStop(q)
   }
 
   test("streaming tumbling window equals the batch plan (q21)") {
