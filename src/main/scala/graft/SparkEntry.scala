@@ -127,7 +127,13 @@ object SparkEntry {
       Some(sharedOracle("p64_bpe_encode"))),
     ("q74_streaming_phrase_fresh",
       (s, d) => graft.streaming.StreamingQueries.phraseServeFresh(s, d),
-      Some(sharedOracle("p62_phrase_search"))))
+      Some(sharedOracle("p62_phrase_search"))),
+    ("q75_streaming_ann_append",
+      (s, d) => graft.streaming.StreamingQueries.annIndexAppend(s, d),
+      Some(sharedOracle("p65_ann_index_append"))),
+    ("q76_streaming_tombstone_dedup",
+      (s, d) => graft.streaming.StreamingQueries.tombstoneDedup(s, d),
+      Some(sharedOracle("p66_tombstone_dedup"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -182,6 +188,7 @@ object SparkEntry {
     // provenance, BPE training, RAG chunking, phrase serve, URL dedup
     "p56_phash_dedup", "p57_source_family_overlap", "p58_bpe_train",
     "p60_rag_chunks", "p62_phrase_search", "p63_url_dedup",
-    // round-6: merge-table tokenizer inference over the corpus
-    "p64_bpe_encode")
+    // round-6: merge-table tokenizer inference over the corpus, and
+    // the tokenize→pack composition that ends the pretraining pipeline
+    "p64_bpe_encode", "p70_tokenize_pack")
 }

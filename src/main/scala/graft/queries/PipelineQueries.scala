@@ -1826,7 +1826,8 @@ object PipelineQueries {
         col("vec_id"), col("embedding"),
         cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
       SimilaritySearch.appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
-        col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = dir)
+        col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = dir,
+        segment = "delta0")
       SimilaritySearch.searchIvfPqIndex(dir,
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
           k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
@@ -1975,7 +1976,50 @@ object PipelineQueries {
                 FROM st JOIN ns USING (source) JOIN ct USING (tok), tot)
       SELECT source, max(n_s) AS n_tokens,
              round(sum(kl_micro) / 1e6, 6) AS kl
-      FROM terms GROUP BY 1 ORDER BY source"""))
+      FROM terms GROUP BY 1 ORDER BY source""")),
+
+    // Tokenize → pack: the END of the pretraining data pipeline — BPE
+    // merge-table inference over every document (p64), then concat-and-
+    // chunk packing of the TOKENIZED lengths into fixed 256-token
+    // training sequences per source (p32's layout over n_bpe_tokens,
+    // not whitespace counts — the packer must budget what the model
+    // actually consumes). Plan shape: train (one (word,count) shuffle)
+    // → encode map-side IN THE SCAN STAGE with the source key riding
+    // the same projection (no self-join back for provenance) → pack's
+    // single per-source window shuffle. The oracle recomputes the
+    // per-word symbol counts off the final unrolled TRAINING state and
+    // runs the same integer pack arithmetic.
+    ("p70_tokenize_pack", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 8))
+      val enc = graft.text.CorpusOps.bpeEncode(docs, col("doc_id"), col("text"),
+        merges, col("source"))
+      graft.curation.Curation.packSequences(enc, col("source"), col("doc_id"),
+          col("n_bpe_tokens"), seqLen = 256L)
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeStagesSql(8)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_8),
+      t AS (SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents),
+      occ AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      wc AS (SELECT o.doc_id, CAST(sum(len(string_split(e.ew, ' '))) AS BIGINT) AS n
+             FROM occ o JOIN enc e ON e.w = o.w GROUP BY 1),
+      n AS (SELECT t.doc_id, t.source, CAST(coalesce(wc.n, 0) AS BIGINT) AS n_bpe_tokens
+            FROM t LEFT JOIN wc USING (doc_id)),
+      c AS (SELECT doc_id, source, n_bpe_tokens,
+              CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM n)
+      SELECT doc_id, source, n_bpe_tokens,
+             CAST(cp // 256 AS BIGINT) AS seq_id,
+             CAST(cp % 256 AS BIGINT) AS seq_offset,
+             CAST(CASE WHEN n_bpe_tokens = 0 THEN 0
+                  ELSE (cp + n_bpe_tokens - 1) // 256 - cp // 256 + 1 END
+                  AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

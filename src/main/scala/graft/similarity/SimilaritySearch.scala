@@ -449,15 +449,21 @@ object SimilaritySearch {
     * vectors are touched ONLY here; the written artifacts are
     *   `centroids/` (centroid_id, centv)        — broadcast-sized
     *   `codebooks/` (j, code_id, cw)            — broadcast-sized
-    *   `postings/centroid_id=N/` (neighbor_id, j, code_id)
-    * with the code rows PARTITIONED BY their coarse list, so a serving
-    * scan filtered to the probed lists reads only those directories —
-    * IVF pruning at the storage layer, visible as partition pruning in
-    * the plan. ~numSubspaces longs per vector; at 100 TB the postings
-    * are the only corpus-sized artifact and they never hold a raw
-    * vector. `cent`/`cb` choose the quantizers: stride-sampled
-    * ([[strideCodebook]] + a stride filter) or trained
-    * ([[kmeansCentroids]] + [[pqTrainCodebooks]]).
+    *   `postings/segment=S/centroid_id=N/` (neighbor_id, j, code_id)
+    * with the code rows PARTITIONED BY ingest segment, then coarse
+    * list: a serving scan filtered to the probed lists reads only
+    * those directories — IVF pruning at the storage layer, visible as
+    * partition pruning in the plan (pruning applies at any partition
+    * depth, so the segment level costs nothing). The SEGMENT level is
+    * the ingest unit: the base build is `segment=base`, and every
+    * [[appendToIvfPqIndex]] delta lands as its own segment directory —
+    * which makes an append RE-RUNNABLE (same label ⇒ same path
+    * overwritten, not appended beside), the property the streaming
+    * append path's exactly-once contract rests on. ~numSubspaces longs
+    * per vector; at 100 TB the postings are the only corpus-sized
+    * artifact and they never hold a raw vector. `cent`/`cb` choose the
+    * quantizers: stride-sampled ([[strideCodebook]] + a stride filter)
+    * or trained ([[kmeansCentroids]] + [[pqTrainCodebooks]]).
     */
   def buildIvfPqIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                       cent: DataFrame, cb: DataFrame,
@@ -473,7 +479,7 @@ object SimilaritySearch {
     cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     enc.join(asg, Seq("neighbor_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/postings/segment=base")
     // per-list build-time sizes (code rows per coarse list): the frozen
     // baseline [[ivfPqIndexDrift]] compares against — appends grow the
     // lists but never touch this snapshot
@@ -487,14 +493,22 @@ object SimilaritySearch {
   /** Grow the materialized index WITHOUT a rebuild: encode newly
     * arrived vectors against the FROZEN quantizer artifacts
     * (centroids + codebooks read from `indexDir` — never retrained
-    * here) and append their code rows as new segment files into the
-    * EXISTING coarse-list partitions (`mode("append")` + partitionBy:
-    * each list directory gains files, nothing is rewritten). A live
-    * similarity service thus ingests a day's vectors at the cost of
-    * encoding the delta, not re-encoding the world; the p65 entry pins
-    * that served results over base+appended equal the inline build on
-    * the union corpus given the same quantizers — which is exactly
-    * what freezing the quantizers promises.
+    * here) and land their code rows as a NEW postings segment
+    * (`postings/segment=<segment>/centroid_id=N/` — each coarse list
+    * gains a directory under the new segment, nothing existing is
+    * rewritten). A live similarity service thus ingests a day's
+    * vectors at the cost of encoding the delta, not re-encoding the
+    * world; the p65 entry pins that served results over base+appended
+    * equal the inline build on the union corpus given the same
+    * quantizers — which is exactly what freezing the quantizers
+    * promises.
+    *
+    * The segment label is the IDEMPOTENCE key: the write OVERWRITES
+    * `segment=<segment>` as a whole, so re-running an append with the
+    * same label (a crash-replayed micro-batch, a retried ingest job)
+    * rewrites the same directory instead of appending duplicate code
+    * rows beside it. Callers choose labels that are stable across
+    * retries (the streaming path uses the micro-batch id).
     *
     * The honest limit: frozen quantizers drift as the vector
     * distribution shifts. That is deliberately NOT hidden behind an
@@ -503,9 +517,13 @@ object SimilaritySearch {
     * loud-failure rule, monitoring form).
     */
   def appendToIvfPqIndex(newVectors: DataFrame, corpusId: Column, corpusVec: Column,
-                         dim: Int, numSubspaces: Int, indexDir: String): Unit = {
+                         dim: Int, numSubspaces: Int, indexDir: String,
+                         segment: String): Unit = {
     require(dim % numSubspaces == 0,
       s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
+    require(segment.nonEmpty && segment != "base" &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"append segment label must be a non-'base' path-safe token, got '$segment'")
     val spark = newVectors.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
@@ -515,8 +533,8 @@ object SimilaritySearch {
     val asg = coarseAssign(
       newVectors.select(corpusId.as("neighbor_id"), corpusVec.as("cv")), cent)
     enc.join(asg, Seq("neighbor_id"))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings/segment=$segment")
   }
 
   /** The retrain monitor for an appended index: per coarse list, code

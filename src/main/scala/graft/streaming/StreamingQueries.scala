@@ -667,6 +667,85 @@ object StreamingQueries {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** The RECRAWL cycle on the streaming engine: p66's tombstone ledger
+    * driven by streaming crawls. Each crawl is a streaming run whose
+    * keeper election — groupBy(fingerprint).min(doc_id) — is order-
+    * and slice-independent, so any micro-batch slicing yields the
+    * batch election; between runs, the ledger grows by APPENDED DATA
+    * only (admission rows from the crawl's survivors, tombstone rows
+    * from the takedown feed — never a mutation). The recrawl then runs
+    * the SAME streaming election and admits it against the ledger's
+    * live set: exactly the retracted fingerprints re-admit, with no
+    * special case — their fingerprints are simply absent from the live
+    * set. Shares p66's set-theoretic oracle.
+    *
+    * State boundedness: the streaming state is one (fingerprint,
+    * min-id) row per distinct fingerprint — the q31 exact-dedup state
+    * shape; the ledger itself is data on durable storage, resolved by
+    * one codegen max-over-packed-struct aggregate at admission time.
+    */
+  def tombstoneDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions
+    // one crawl = one streaming election run (slice-independent)
+    def crawlElection(): DataFrame = runToMemory(
+      documentsStream(spark, sfDir)
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id")))
+    val docs = graft.Tables.documents(spark, sfDir)
+    val ledger = Dedup.admissions(crawlElection(), 0L).unionByName(
+      Dedup.tombstones(docs.filter(expr("floor(doc_id / 20) % 7 = 3")),
+        col("text"), 1L))
+    crawlElection()
+      .join(Dedup.liveFingerprints(ledger), Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LIVE similarity service: p65's incremental ANN maintenance on
+    * the streaming engine. The base index builds once (batch-side, 80%
+    * of the corpus, frozen quantizers); then newly arriving vectors
+    * STREAM in, and each micro-batch encodes its delta against the
+    * frozen centroid/codebook artifacts and lands it as its own
+    * postings segment — `segment=b<batchId>`, written with overwrite
+    * inside the commit-marker wrapper, so a crash-replayed batch
+    * rewrites its own directory (the q67 exactly-once rule; a
+    * mode("append") here would duplicate code rows and corrupt every
+    * later serve). Segment union is slice-independent (encoding is
+    * per-row), so the served result is batch-identical under any
+    * micro-batch slicing: serving base+streamed equals the inline
+    * build on the union corpus — p65's oracle verbatim.
+    *
+    * State boundedness: stateless foreachBatch — NO state-store state;
+    * the index artifacts live on durable storage where a serving index
+    * must live anyway, and grow only by the encoded delta.
+    */
+  def annIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.SimilaritySearch
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val dir = tempLogDir("graft_ivfpq_stream")
+    val cent = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+      dim = 64, numSubspaces = 4, codeStride = 25)
+    SimilaritySearch.buildIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4),
+      col("vec_id"), col("embedding"), cent, cb,
+      dim = 64, numSubspaces = 4, indexDir = dir)
+    val q = embeddingsStream(spark, sfDir).filter(col("vec_id") % 5 === 4)
+      .writeStream
+      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$dir/_commits") {
+        (batch: DataFrame, batchId: Long) =>
+          SimilaritySearch.appendToIvfPqIndex(batch, col("vec_id"), col("embedding"),
+            dim = 64, numSubspaces = 4, indexDir = dir, segment = s"b$batchId")
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    SimilaritySearch.searchIvfPqIndex(dir, e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4,
+        nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q60's frozen-stats limitation removed: BM25 whose df/corpus stats
     * TRACK THE ARRIVING CORPUS. Each micro-batch appends two
     * log-structured artifacts map-side (no state-store state): the

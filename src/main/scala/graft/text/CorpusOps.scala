@@ -847,11 +847,15 @@ object CorpusOps {
     * the scan does. Output: (doc_id, bpe_text, n_bpe_tokens) with
     * bpe_text the space-joined symbol stream (merges never cross the
     * whitespace word boundaries — the training invariant).
+    * `passthrough` columns ride the same projection — downstream
+    * layout stages (sequence packing groups by provenance) get their
+    * keys without a corpus-sized self-join back to the source table.
     */
   def bpeEncode(docs: DataFrame, docId: Column, text: Column,
-                merges: Seq[(String, String)]): DataFrame =
-    docs.select(docId.as("doc_id"),
-        graft.functions.BpeEncode(text, merges).as("bpe_text"))
+                merges: Seq[(String, String)], passthrough: Column*): DataFrame =
+    docs.select(docId.as("doc_id") +:
+        graft.functions.BpeEncode(text, merges).as("bpe_text") +:
+        passthrough: _*)
       .withColumn("n_bpe_tokens", TextFunctions.tokenCount(col("bpe_text")))
 
   /** Column-form twin of [[graft.functions.BpeEncode]]'s kernel: the

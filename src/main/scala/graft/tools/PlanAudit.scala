@@ -28,14 +28,16 @@ import org.apache.spark.sql.SparkSession
   *    a broadcast cross join, p45's accepted one-row shape.
   *  - q68 NestedLoop: bm25FromIndex sums the stats log to the same
   *    one-row (N, sum_dl) scalar and rides p49's broadcast cross join.
-  *  - p59 NestedLoop: serving from the materialized index inherits
-  *    p34's broadcast query×centroid probe join (non-equi by design);
-  *    the postings scan itself is a pruned equi-join.
-  *  - p54 NestedLoop: the one-row grand-total scalar rides a broadcast
-  *    cross join, p45's accepted one-row shape.
-  *  - q20/q23 SortAggregate: max/min(struct) carrying the PAYLOAD row
-  *    through the buffer — inherent to last-element/pulse semantics;
-  *    partial sort-agg still shuffles one row per key per partition.
+  *  - p54/p69 NestedLoop: the one-row grand-total scalar rides a
+  *    broadcast cross join, p45's accepted one-row shape (p69 composes
+  *    familyOf in front of p54's chain and inherits it verbatim).
+  *  - q20/q23/p66 SortAggregate: max/min(struct) carrying the PAYLOAD
+  *    row through the buffer — inherent to last-element/pulse/
+  *    ledger-election semantics; partial sort-agg still shuffles one
+  *    row per key per partition.
+  *  (p59 NestedLoop left this list in round 6: the probe table is now
+  *  a collected driver-local bounded DataFrame, so the postings join
+  *  plans as a broadcast HASH equi-join.)
   *  - q40 globalWindow: global lead/ntile demo semantics.
   * Anything NEW this tool prints is a regression to investigate.
   */

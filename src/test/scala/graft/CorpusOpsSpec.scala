@@ -145,6 +145,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode passthrough columns ride the encode projection, no join, no shuffle") {
+    import graft.text.CorpusOps
+    val docs = Seq((1L, "low lower", "web"), (2L, "low", "books"))
+      .toDF("id", "text", "src")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val enc = CorpusOps.bpeEncode(docs, col("id"), col("text"), merges, col("src"))
+    assert(enc.columns.toSeq == Seq("doc_id", "bpe_text", "src", "n_bpe_tokens"))
+    val rows = enc.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(rows(1L) == ("low low e r", "web", 4L))
+    assert(rows(2L) == ("low", "books", 1L))
+    // the passthrough is a PROJECTION of the same scan — the plan the
+    // p70 tokenize→pack composition relies on has no exchange and no
+    // join below the encode (provenance never costs a corpus self-join)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"encode stage must be map-side:\n$plan")
+  }
+
   test("repetitionStats flags repeated text and passes diverse text") {
     val docs = Seq(
       (1L, "a a a a a a"),            // one token repeated: top_tok_frac 1.0

@@ -239,9 +239,13 @@ class SimilaritySpec extends AnyFunSuite {
       q, col("vec_id"), col("embedding"), k = 5, dim = 64, nprobe = 2)
     assert(served.exceptAll(inline).count() == 0 &&
       inline.exceptAll(served).count() == 0)
-    // the postings artifact is laid out one directory per coarse list,
-    // so the probed-list filter prunes at the storage layer
-    val lists = new java.io.File(s"$dir/postings").listFiles
+    // the postings artifact is laid out segment-first (the ingest
+    // unit), then one directory per coarse list, so the probed-list
+    // filter prunes at the storage layer at either depth
+    val segs = new java.io.File(s"$dir/postings").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(segs.toSeq == Seq("segment=base"))
+    val lists = new java.io.File(s"$dir/postings/segment=base").listFiles
       .filter(_.isDirectory).map(_.getName)
     assert(lists.nonEmpty && lists.forall(_.startsWith("centroid_id=")))
   }
@@ -261,7 +265,13 @@ class SimilaritySpec extends AnyFunSuite {
     val drift0 = SimilaritySearch.ivfPqIndexDrift(spark, incDir).collect()
     assert(drift0.nonEmpty && drift0.forall(r => r.getDouble(3) == 0.0 && !r.getBoolean(4)))
     SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
-      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir)
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir,
+      segment = "day1")
+    // a RETRIED append with the same segment label overwrites its own
+    // directory (the exactly-once contract) — nothing duplicates
+    SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir,
+      segment = "day1")
     // served base+appended == served full rebuild with the same quantizers
     val fullDir = graft.sources.Sinks.tempArtifactDir("idx_full")
     SimilaritySearch.buildIvfPqIndex(embeddings, col("vec_id"), col("embedding"),
@@ -281,6 +291,47 @@ class SimilaritySpec extends AnyFunSuite {
     val strict = SimilaritySearch.ivfPqIndexDrift(spark, incDir, retrainFrac = 0.05)
       .collect()
     assert(strict.exists(_.getBoolean(4)), "strict threshold must advise retrain")
+  }
+
+  test("appends are slice-independent: one delta segment == the delta split across segments") {
+    // the property the STREAMING append path (q75) rests on: encoding
+    // is per-row, so landing a delta as one segment or as several
+    // micro-batch segments serves identically
+    val q = embeddings.filter(col("vec_id") < 5)
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    val delta = embeddings.filter(col("vec_id") % 5 === 4)
+    def buildBase(dir: String): Unit =
+      SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+        col("vec_id"), col("embedding"), cent, cb,
+        dim = 64, numSubspaces = 4, indexDir = dir)
+    val oneDir = graft.sources.Sinks.tempArtifactDir("idx_one")
+    buildBase(oneDir)
+    SimilaritySearch.appendToIvfPqIndex(delta, col("vec_id"), col("embedding"),
+      dim = 64, numSubspaces = 4, indexDir = oneDir, segment = "b0")
+    val splitDir = graft.sources.Sinks.tempArtifactDir("idx_split")
+    buildBase(splitDir)
+    SimilaritySearch.appendToIvfPqIndex(delta.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"),
+      dim = 64, numSubspaces = 4, indexDir = splitDir, segment = "b0")
+    SimilaritySearch.appendToIvfPqIndex(delta.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"),
+      dim = 64, numSubspaces = 4, indexDir = splitDir, segment = "b1")
+    def serve(dir: String) = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    assert(serve(oneDir).exceptAll(serve(splitDir)).count() == 0 &&
+      serve(splitDir).exceptAll(serve(oneDir)).count() == 0)
+    // a 'base' or path-unsafe segment label is rejected up front
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfPqIndex(delta, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, indexDir = splitDir, segment = "base")
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfPqIndex(delta, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, indexDir = splitDir, segment = "a/b")
+    }
   }
 
   test("ivfPqTopK degenerates to pqTopK when every list is probed") {
