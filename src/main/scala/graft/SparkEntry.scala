@@ -133,7 +133,14 @@ object SparkEntry {
       Some(sharedOracle("p65_ann_index_append"))),
     ("q76_streaming_tombstone_dedup",
       (s, d) => graft.streaming.StreamingQueries.tombstoneDedup(s, d),
-      Some(sharedOracle("p66_tombstone_dedup"))))
+      Some(sharedOracle("p66_tombstone_dedup"))),
+    ("q77_streaming_index_tombstones",
+      (s, d) => graft.streaming.StreamingQueries.indexTombstones(s, d),
+      Some(sharedOracle("p67_index_tombstones"))),
+    ("q78_streaming_bm25_deletes",
+      (s, d) => graft.streaming.StreamingQueries.bm25Deletes(s, d),
+      Some(PipelineQueries.bm25Oracle(
+        " WHERE NOT ((doc_id // 20) % 7 = 3)"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -252,6 +252,72 @@ object Dedup {
       .distinct()
   }
 
+  /** MATERIALIZE the LSH band postings as a servable dedup index —
+    * "does the corpus already hold a near-dup of THIS page?" answered
+    * without a corpus scan, the lookup a crawl frontier runs on every
+    * fetched URL. The artifact is the (band_key, doc_id) posting table
+    * BUCKETED on band_key ([[graft.sources.Sinks.writeBucketedTable]]),
+    * so the serve-time probe join plans NO exchange on the corpus-sized
+    * side — co-location is paid once at write time, and only the (small)
+    * query batch shuffles to the buckets. A `<table>__params` sidecar
+    * records (shingle_n, num_bands, rows_per_band): the serve path
+    * reads its banding config FROM THE ARTIFACT, so a mismatched probe
+    * (whose band keys would silently never collide) cannot be expressed.
+    */
+  def buildMinhashIndex(docs: DataFrame, id: Column, text: Column,
+                        indexDir: String, table: String, nBuckets: Int,
+                        shingleN: Int = 3, numBands: Int = 4,
+                        rowsPerBand: Int = 2): Unit = {
+    val k = numBands * rowsPerBand
+    val sig = docs.select(id.as("doc_id"),
+        MinHashSignature(text, shingleN, k).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig.select(
+      explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*))
+        .as("band_key"),
+      col("doc_id"))
+    // EXTERNAL at the artifact path: rebuildable from any session (a
+    // managed table's warehouse directory outlives the session-local
+    // catalog entry and blocks the next build), and the index lives
+    // beside the other served artifacts, not in the warehouse
+    graft.sources.Sinks.writeBucketedTable(banded, table, nBuckets,
+      Seq("band_key"), Seq("band_key"), path = Some(s"$indexDir/bands"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__params`")
+    Seq((shingleN, numBands, rowsPerBand))
+      .toDF("shingle_n", "num_bands", "rows_per_band")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$indexDir/params").saveAsTable(s"${table}__params")
+  }
+
+  /** Probe a [[buildMinhashIndex]] artifact with a batch of new
+    * documents: each query doc's band keys (computed map-side with the
+    * SAME [[MinHashSignature]]/[[bandKeyCols]] path the builder used,
+    * under the banding config read from the artifact's params sidecar)
+    * join the bucketed posting table; any shared band yields a
+    * candidate. Output (query_id, candidate_id) distinct, self-matches
+    * excluded — exactly [[minhashCandidates]]' pair semantics restricted
+    * to pairs touching the query batch (the oracle pins that). Serving
+    * cost: one bucketed probe join bounded by the query batch's band
+    * collisions — the corpus is never scanned for signatures again.
+    */
+  def queryMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                        newDocs: DataFrame, id: Column, text: Column): DataFrame = {
+    val p = spark.table(s"${table}__params").collect()(0)
+    val (shingleN, numBands, rowsPerBand) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val qbands = newDocs.select(id.as("query_id"),
+        MinHashSignature(text, shingleN, numBands * rowsPerBand).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("query_id"),
+        explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*))
+          .as("band_key"))
+    spark.table(table).join(qbands, Seq("band_key"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("candidate_id"))
+      .distinct()
+  }
+
   /** SimHash code (16-bit, from md5 nibbles of each token): per bit b, the
     * sign of sum over tokens of (2*bit_b(md5(token)) - 1). Returned as a
     * BIGINT code; equal codes = near-duplicate candidates. Computed

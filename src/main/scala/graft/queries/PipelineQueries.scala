@@ -187,18 +187,7 @@ object PipelineQueries {
           shingleN = 3, numBands = 4, rowsPerBand = 2)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
-      WITH sh AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
-                  WHERE len($sqlShingles) >= 1),
-      sig AS (
-        SELECT doc_id, list_transform(generate_series(0, 7),
-                 i -> list_min(list_transform(shingles,
-                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-        FROM sh),
-      bands AS (
-        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
-                 b -> CAST(b AS VARCHAR) || '|' ||
-                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
-        FROM sig)
+      WITH $minhashBandsCtes
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -1423,35 +1412,7 @@ object PipelineQueries {
           col("doc_id"), col("text"),
           queries = graft.text.CorpusOps.bm25DemoQueries, k = 15)
         .orderBy(col("qid"), col("rank"))
-    }, Some(s"""
-      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
-      stats AS (SELECT count(*) AS n,
-                  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
-      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM
-              (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                      unnest(toks) AS token FROM t)
-             WHERE token IN ('hash', 'join', 'merge', 'window', 'sort',
-                             'order', 'vector', 'scan', 'filter')
-             GROUP BY 1, 2, 3),
-      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-      q(qid, token) AS (VALUES
-        ('q_hash_join', 'hash'), ('q_hash_join', 'join'), ('q_hash_join', 'merge'),
-        ('q_window', 'window'), ('q_window', 'sort'), ('q_window', 'order'),
-        ('q_scan', 'vector'), ('q_scan', 'scan'), ('q_scan', 'filter')),
-      sc AS (SELECT qid, tf.doc_id AS doc_id,
-               CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-                 (tf * (1.2 + 1)) /
-                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6, 0)
-                 AS BIGINT) AS m
-             FROM tf JOIN df USING (token) JOIN q USING (token), stats),
-      agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
-              FROM sc GROUP BY 1, 2)
-      SELECT qid, rank, doc_id, score_micro FROM (
-        SELECT qid, doc_id, score_micro,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY score_micro DESC, doc_id) AS rank
-        FROM agg) r
-      WHERE rank <= 15 ORDER BY qid, rank""")),
+    }, Some(bm25Oracle(""))),
 
     // Fixed-bin histogram quantile sketch — bounded-state rank
     // statistics beside count-min (p38) and HLL (p48). The oracle
@@ -2019,14 +1980,126 @@ object PipelineQueries {
              CAST(CASE WHEN n_bpe_tokens = 0 THEN 0
                   ELSE (cp + n_bpe_tokens - 1) // 256 - cp // 256 + 1 END
                   AS BIGINT) AS n_seqs
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id""")),
+
+    // DELETION in the ANN index — the takedown path for a live
+    // similarity service: tombstones land as data segments
+    // (tombstones/segment=S/, the p66 ledger rule), the serve path
+    // masks them with one anti-join (deletions surface immediately),
+    // and compactIvfPqIndex later drops them physically. The oracle is
+    // the p34 chain with tombstoned NEIGHBORS excluded from the
+    // candidate set only — quantizers, probes, and encodings are
+    // full-build artifacts and must stay bit-identical.
+    ("p71_ann_tombstones", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_del")
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, codeStride = 25)
+      SimilaritySearch.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
+        cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+      SimilaritySearch.tombstoneIvfPqIndex(e.filter(col("vec_id") % 7 === 3),
+        col("vec_id"), indexDir = dir, segment = "t0")
+      SimilaritySearch.searchIvfPqIndex(dir,
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(ivfPqOracleCand(" AND NOT (a.vec_id % 7 = 3)"))),
+
+    // The SERVED dedup index — "does the corpus already hold a near-dup
+    // of THIS page?" without a corpus scan (the crawl-frontier lookup):
+    // LSH band postings materialize as a band_key-BUCKETED table
+    // (co-location paid at write time; the serve probe join plans no
+    // exchange on the corpus side), banding config rides a params
+    // sidecar the probe READS (a mismatched probe cannot be expressed).
+    // The oracle recomputes both sides' band keys from the shared CTE
+    // prelude and pins the probe == all pairs touching the query batch.
+    ("p72_minhash_index_serve", (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.buildMinhashIndex(docs, col("doc_id"), col("text"),
+        indexDir = graft.sources.Sinks.tempArtifactDir("graft_mh_idx"),
+        table = "graft_mh_index", nBuckets = 8)
+      Dedup.queryMinhashIndex(s, "graft_mh_index",
+          docs.filter(col("doc_id") % 10 === 7), col("doc_id"), col("text"))
+        .orderBy(col("query_id"), col("candidate_id"))
+    }, Some(s"""
+      WITH $minhashBandsCtes,
+      qb AS (SELECT * FROM bands WHERE doc_id % 10 = 7)
+      SELECT qb.doc_id AS query_id, b.doc_id AS candidate_id
+      FROM qb JOIN bands b
+        ON qb.band_key = b.band_key AND b.doc_id <> qb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
     * from the materialized artifacts) — the two executions must rank
     * identically.
     */
-  lazy val ivfPqOracle: String = """
+  /** The shingles → 8-minhash signature → 4×2 band-key CTE prelude
+    * shared by p05 (all-pairs candidates) and p72 (the served index
+    * probe) — one generator so the two recomputed band keys cannot
+    * drift.
+    */
+  private lazy val minhashBandsCtes: String = s"""sh AS (
+        SELECT doc_id, $sqlShingles AS shingles FROM documents
+        WHERE len($sqlShingles) >= 1),
+      sig AS (
+        SELECT doc_id, list_transform(generate_series(0, 7),
+                 i -> list_min(list_transform(shingles,
+                        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+                 b -> CAST(b AS VARCHAR) || '|' ||
+                      array_to_string(sig[b*2+1:b*2+2], '|'))) AS band_key
+        FROM sig)"""
+
+  /** The BM25 oracle with an optional WHERE over the corpus — p49 is
+    * `bm25Oracle("")`; the deletion twin (q78) scores the SURVIVING
+    * corpus only, n/avgdl/df included, by filtering the very first CTE
+    * (the oracle never sees the log or the tombstones — it recomputes
+    * the survivors' ranking from raw text).
+    */
+  def bm25Oracle(where: String): String = s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents$where),
+      stats AS (SELECT count(*) AS n,
+                  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM
+              (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS token FROM t)
+             WHERE token IN ('hash', 'join', 'merge', 'window', 'sort',
+                             'order', 'vector', 'scan', 'filter')
+             GROUP BY 1, 2, 3),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      q(qid, token) AS (VALUES
+        ('q_hash_join', 'hash'), ('q_hash_join', 'join'), ('q_hash_join', 'merge'),
+        ('q_window', 'window'), ('q_window', 'sort'), ('q_window', 'order'),
+        ('q_scan', 'vector'), ('q_scan', 'scan'), ('q_scan', 'filter')),
+      sc AS (SELECT qid, tf.doc_id AS doc_id,
+               CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+                 (tf * (1.2 + 1)) /
+                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6, 0)
+                 AS BIGINT) AS m
+             FROM tf JOIN df USING (token) JOIN q USING (token), stats),
+      agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+              FROM sc GROUP BY 1, 2)
+      SELECT qid, rank, doc_id, score_micro FROM (
+        SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_micro DESC, doc_id) AS rank
+        FROM agg) r
+      WHERE rank <= 15 ORDER BY qid, rank"""
+
+  lazy val ivfPqOracle: String = ivfPqOracleCand("")
+
+  /** The IVF-PQ oracle with an extra predicate on the NEIGHBOR
+    * candidate set — `candExtra` is ANDed where candidates form, so
+    * p71's deletions exclude tombstoned neighbors while quantizers,
+    * probes, and encodings (full-build artifacts) stay untouched, which
+    * is exactly what serve-time masking promises.
+    */
+  def ivfPqOracleCand(candExtra: String): String = s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
                WHERE vec_id % 25 = 0),
@@ -2065,7 +2138,7 @@ object PipelineQueries {
              FROM d WHERE vec_id < 20),
       cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
                FROM probes p JOIN asg a USING (centroid_id)
-               WHERE a.vec_id <> p.query_id),
+               WHERE a.vec_id <> p.query_id$candExtra),
       scored AS (SELECT c.query_id, c.neighbor_id,
                         CAST(sum(qd2) AS BIGINT) AS approx_d2_u6
                  FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id

@@ -537,6 +537,73 @@ object SimilaritySearch {
       .parquet(s"$indexDir/postings/segment=$segment")
   }
 
+  /** Retract vectors from the materialized index — the deletion path a
+    * live similarity service needs (the p66/p67 rule extended to the
+    * ANN family): tombstones are DATA, `(neighbor_id)` rows landed
+    * under `tombstones/segment=<segment>/`, never an in-place postings
+    * mutation. [[searchIvfPqIndex]] masks tombstoned ids at serve time
+    * (an anti-join on the code-row stream — deleted vectors stop
+    * surfacing the moment the segment lands), and
+    * [[compactIvfPqIndex]] later drops them physically. The segment
+    * label is the idempotence key, exactly as in
+    * [[appendToIvfPqIndex]]: a retried takedown batch overwrites its
+    * own directory.
+    */
+  def tombstoneIvfPqIndex(deletes: DataFrame, deleteId: Column,
+                          indexDir: String, segment: String): Unit = {
+    require(segment.nonEmpty &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"tombstone segment label must be a path-safe token, got '$segment'")
+    deletes.select(deleteId.cast("long").as("neighbor_id")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/tombstones/segment=$segment")
+  }
+
+  /** Fold the accumulated tombstones into the postings physically: one
+    * anti-join rewrite of the code rows into a fresh `segment=base`,
+    * then the old segments and the tombstone log are dropped and the
+    * drift baseline ([[buildIvfPqIndex]]'s `list_stats` snapshot) is
+    * reset to the compacted state — compaction is the moment the index
+    * re-becomes "all base", the LSM contract the posting-log compactor
+    * already follows. Serve results are IDENTICAL before and after
+    * (masking vs physical drop — pinned in SimilaritySpec); what
+    * compaction buys is the serve-time anti-join and the dead code
+    * rows' scan cost back.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    val live = maskTombstones(spark.read.parquet(s"$indexDir/postings")
+        .withColumn("centroid_id", col("centroid_id").cast("long")),
+      indexDir)
+      .select(col("neighbor_id"), col("j"), col("code_id"), col("centroid_id"))
+    live.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings_compacting/segment=base")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    fs.delete(postings, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting"),
+      postings)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+      .write.mode("overwrite").parquet(s"$indexDir/list_stats")
+  }
+
+  /** Apply the tombstone log (if any) to a postings scan: the one
+    * anti-join both the serve path and the compactor share — deleted
+    * ids can't resurface through either path diverging.
+    */
+  private def maskTombstones(postings: DataFrame, indexDir: String): DataFrame = {
+    val spark = postings.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"))) postings
+    else postings.join(
+      spark.read.parquet(s"$indexDir/tombstones").select(col("neighbor_id")),
+      Seq("neighbor_id"), "left_anti")
+  }
+
   /** The retrain monitor for an appended index: per coarse list, code
     * rows at build time (`n_base`, the frozen [[buildIvfPqIndex]]
     * snapshot) vs now, the appended fraction, and a `retrain_advised`
@@ -592,9 +659,13 @@ object SimilaritySearch {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probedPlan.schema)
     val probedIds = probeRows.map(_.getLong(1)).distinct.sorted
-    val postings = spark.read.parquet(s"$indexDir/postings")
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-      .filter(col("centroid_id").isin(probedIds: _*)) // partition pruning
+    // tombstoned ids are masked on the pruned scan (deletions surface
+    // immediately; compaction later makes the mask free)
+    val postings = maskTombstones(
+      spark.read.parquet(s"$indexDir/postings")
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+        .filter(col("centroid_id").isin(probedIds: _*)), // partition pruning
+      indexDir)
     val qt = subvecs(queries, queryId, queryVec, "query_id", numSubspaces,
         dim / numSubspaces)
       .join(broadcast(cb), Seq("j"))

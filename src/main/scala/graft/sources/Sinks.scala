@@ -120,13 +120,24 @@ object Sinks {
     *
     * Requires a catalog table (bucketing metadata lives in the
     * catalog, not the files) — hence `saveAsTable`, not `parquet(path)`.
+    *
+    * Pass `path` to create the table EXTERNAL at that location instead
+    * of managed-in-the-warehouse. A managed table's directory OUTLIVES
+    * its (session-local, in-memory) catalog entry, so the next
+    * session's rebuild finds an orphaned location and refuses to
+    * create — an artifact meant to be rebuilt from fresh sessions
+    * (the served dedup index) must be external at an explicit path.
+    * The stale catalog entry (whatever form) is dropped first.
     */
   def writeBucketedTable(df: DataFrame, table: String, nBuckets: Int,
-                         bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+                         bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                         path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty && nBuckets > 0, "need bucket columns and buckets > 0")
-    val w = df.write.mode("overwrite").format("parquet")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
       .saveAsTable(table)
   }
 

@@ -638,6 +638,29 @@ object StreamingQueries {
       .orderBy(col("tok"))
   }
 
+  /** q67's log with the TAKEDOWN feed folded in: the corpus streams
+    * into per-batch index segments exactly as q67, and compaction
+    * receives the tombstoned doc_ids — deletes are input to the one
+    * existing rewrite point (p67's rule), so the compacted index
+    * equals a direct build on the SURVIVING corpus, df/cf included,
+    * no matter how ingest sliced into segments. Shares p67's oracle
+    * (which only ever sees the survivors).
+    */
+  def indexTombstones(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val segSchema = StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("cf", LongType), StructField("postings", StringType),
+      StructField("batch_id", LongType)))
+    val deletes = graft.Tables.documents(spark, sfDir)
+      .filter(expr("floor(doc_id / 20) % 7 = 3")).select(col("doc_id"))
+    CorpusOps.compactPostingSegments(
+        runSegmentLog(spark, sfDir, "graft_delseg", segSchema)(
+          CorpusOps.invertedIndex(_, col("doc_id"), col("text"))),
+        deletes = Some(deletes))
+      .orderBy(col("tok"))
+  }
+
   /** Fresh PHRASE serving — the positional half of the q67/q68 story:
     * each micro-batch writes its own complete POSITIONAL segment (the
     * batch [[graft.text.CorpusOps.invertedIndexPositional]] over just
@@ -759,7 +782,8 @@ object StreamingQueries {
     * corpus that is exactly the batch p49 ranking (shared oracle); the
     * per-epoch prefix parity is pinned in StreamingSpec.
     */
-  def bm25FreshStats(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
+  def bm25FreshStats(spark: SparkSession, sfDir: String, k: Int = 15,
+                     deletes: Option[DataFrame] = None): DataFrame = {
     import graft.text.CorpusOps
     val queries = CorpusOps.bm25DemoQueries
     val terms = queries.flatMap(_._2).distinct
@@ -784,6 +808,11 @@ object StreamingQueries {
             toks.agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
               .write.mode("overwrite").parquet(s"$logDir/stats/batch_id=$batchId")
+            // the (doc_id, dl) doc-length sidecar a production index
+            // keeps anyway — what lets a LATER takedown retract corpus
+            // stats without re-reading the deleted documents' text
+            toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+              .write.mode("overwrite").parquet(s"$logDir/doclens/batch_id=$batchId")
           } finally toks.unpersist()
       })
       .trigger(Trigger.AvailableNow()).start()
@@ -793,14 +822,33 @@ object StreamingQueries {
       StructField("tf", LongType), StructField("dl", LongType)))
     val statSchema = StructType(Seq(
       StructField("n_docs", LongType), StructField("sum_dl", LongType)))
+    val dlSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType)))
     // glob the per-batch leaf dirs directly so the explicit schema is
     // used as-is (no partition-column discovery on batch_id=)
     CorpusOps.bm25FromIndex(
         spark.read.schema(postSchema).parquet(s"$logDir/postings/batch_id=*"),
         spark.read.schema(statSchema).parquet(s"$logDir/stats/batch_id=*"),
-        queries, k)
+        queries, k, deletes = deletes,
+        doclens = Some(
+          spark.read.schema(dlSchema).parquet(s"$logDir/doclens/batch_id=*")))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Deletions reach the RANKING: q68's fresh-stats BM25 log with a
+    * takedown feed applied at serve time — tombstoned docs' entry rows
+    * are masked (df shrinks with them) and their counts/lengths leave
+    * the corpus stats via a NEGATIVE slice computed from the doclens
+    * sidecar the log already keeps (deleted text is never re-read; a
+    * deletion is appended data entering the existing sums). Serves
+    * exactly the batch ranking over the SURVIVING corpus — the oracle
+    * recomputes that from raw text with the deleted slice filtered out
+    * and never sees the log.
+    */
+  def bm25Deletes(spark: SparkSession, sfDir: String): DataFrame =
+    bm25FreshStats(spark, sfDir, deletes = Some(
+      graft.Tables.documents(spark, sfDir)
+        .filter(expr("floor(doc_id / 20) % 7 = 3")).select(col("doc_id"))))
 
   /** q67/q68's segment logs live in a JVM-lifetime temp dir (see
     * [[graft.sources.Sinks.tempArtifactDir]]); production passes a

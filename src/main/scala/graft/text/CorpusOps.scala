@@ -606,18 +606,48 @@ object CorpusOps {
     * slice rows, and only docs holding ≥1 query term are scored. This
     * is what "fresh BM25 over an arriving corpus" costs at an epoch
     * boundary: a scan of the query-vocab entry log, not of the corpus.
+    *
+    * DELETIONS propagate to the RANKING: pass the tombstoned ids and
+    * the (doc_id, dl) doc-length sidecar a production index keeps
+    * anyway, and serving scores exactly the surviving corpus — entry
+    * rows of deleted docs are masked with one anti-join (df shrinks
+    * with them), and the corpus stats subtract the deleted docs'
+    * counts/lengths as one more NEGATIVE slice folded into the same
+    * sum (the LSM rule: a deletion is appended data entering the
+    * existing aggregation, not a rewrite).
     */
   def bm25FromIndex(postings: DataFrame, stats: DataFrame,
                     queries: Seq[(String, Seq[String])], k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    deletes: Option[DataFrame] = None,
+                    doclens: Option[DataFrame] = None): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val tot = stats.agg(sum(col("n_docs")).as("n_docs"),
+    require(deletes.isEmpty || doclens.nonEmpty,
+      "bm25FromIndex: deletions need the (doc_id, dl) doclens sidecar " +
+        "to retract corpus stats")
+    val dead = deletes.map(_.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct())
+    val live = dead match {
+      case Some(d) => postings.join(d, Seq("doc_id"), "left_anti")
+      case None => postings
+    }
+    val slices = dead match {
+      case Some(d) =>
+        stats.select(col("n_docs").cast("long").as("n_docs"),
+            col("sum_dl").cast("long").as("sum_dl"))
+          .unionByName(doclens.get.join(d, Seq("doc_id"), "left_semi")
+            .agg((lit(0L) - count(lit(1))).as("n_docs"),
+              (lit(0L) - coalesce(sum(col("dl").cast("long")), lit(0L)))
+                .as("sum_dl")))
+      case None => stats
+    }
+    val tot = slices.agg(sum(col("n_docs")).as("n_docs"),
       sum(col("sum_dl")).as("sum_dl"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
-    val contrib = postings
+    val contrib = live
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(tot))

@@ -501,6 +501,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.select(min(col("doc_id"))).as[Long].head() == 1L)
   }
 
+  test("served minhash index probes equal the all-pairs restriction, corpus side unshuffled") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with nothing shared here at all"),
+      (4L, "another unrelated document about spark plans and buckets"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs, col("doc_id"), col("text"),
+      indexDir = graft.sources.Sinks.tempArtifactDir("mh_idx_spec"),
+      table = "mh_idx_spec", nBuckets = 4)
+    // the params sidecar records the banding config the probe reads back
+    val p0 = spark.table("mh_idx_spec__params").collect()(0)
+    assert((p0.getInt(0), p0.getInt(1), p0.getInt(2)) == (3, 4, 2))
+    def probe() = Dedup.queryMinhashIndex(spark, "mh_idx_spec",
+      docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+    val hits = probe().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((2L, 1L)), s"got ${hits.toSeq}")
+    // probe == minhashCandidates pairs touching the query doc
+    val all = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touching = all.collect {
+      case (a, b) if a == 2L => b
+      case (a, b) if b == 2L => a
+    }
+    assert(touching == hits.map(_._2).toSet)
+    // bucketed co-location: with broadcast off, the corpus-sized index
+    // side reads its buckets directly — only the query side (and the
+    // final distinct) may shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = probe().queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"index side must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approximate sketches track exact aggregates (the fixed-memory scale path)") {
     // at 100 TB, HLL / KLL sketches replace exact distinct/percentile
     // when tolerance allows: single pass, fixed memory, mergeable

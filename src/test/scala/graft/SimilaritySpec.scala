@@ -334,6 +334,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned ids are masked at serve time and dropped physically by compaction") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val dir = graft.sources.Sinks.tempArtifactDir("idx_del")
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    SimilaritySearch.buildIvfPqIndex(embeddings, col("vec_id"), col("embedding"),
+      cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+    def serve() = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    val deleted = embeddings.filter(col("vec_id") % 7 === 3)
+    SimilaritySearch.tombstoneIvfPqIndex(deleted, col("vec_id"), dir, segment = "t0")
+    val masked = serve().collect()
+    val deadIds = deleted.select("vec_id").as[Long].collect().toSet
+    assert(masked.nonEmpty && masked.forall(r => !deadIds.contains(r.getLong(1))),
+      "no tombstoned id may surface as a neighbor")
+    // physical compaction: identical serve results, tombstone log gone,
+    // postings back to a single base segment, drift baseline reset
+    SimilaritySearch.compactIvfPqIndex(spark, dir)
+    val compacted = serve().collect()
+    assert(masked.toSeq == compacted.toSeq,
+      "masking and physical drop must serve identically")
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(new java.io.File(s"$dir/postings").listFiles
+      .filter(_.isDirectory).map(_.getName).toSeq == Seq("segment=base"))
+    val drift = SimilaritySearch.ivfPqIndexDrift(spark, dir).collect()
+    assert(drift.nonEmpty && drift.forall(r => r.getDouble(3) == 0.0))
+  }
+
   test("ivfPqTopK degenerates to pqTopK when every list is probed") {
     val q = embeddings.filter(col("vec_id") < 5)
     // nprobe ≥ centroid count → coarse pruning admits the whole corpus,

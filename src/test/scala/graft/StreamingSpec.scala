@@ -563,6 +563,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 deletions serve exactly the surviving corpus, stats and df included") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.CorpusOps
+    val queries = CorpusOps.bm25DemoQueries
+    val terms = queries.flatMap(_._2).distinct
+    val corpus = Tables.documents(spark, TestSpark.sf).limit(90)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val entries = CorpusOps.bm25IndexSegment(corpus, col("doc_id"), col("text"), terms)
+    val toks = corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    val doclens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val dead = corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id"))
+    val served = CorpusOps.bm25FromIndex(entries, stats, queries, k = 15,
+        deletes = Some(dead), doclens = Some(doclens))
+      .collect().map(_.toString).sorted
+    val batchOnSurvivors = CorpusOps.bm25TopK(
+        corpus.filter(col("doc_id") % 3 =!= 1), col("doc_id"), col("text"),
+        queries, k = 15)
+      .collect().map(_.toString).sorted
+    assert(served.nonEmpty && served.toSeq == batchOnSurvivors.toSeq)
+    // deletions without the doclens sidecar cannot retract stats — loud
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25FromIndex(entries, stats, queries, deletes = Some(dead))
+    }
+  }
+
   test("streaming histogram quantiles equal the batch sketch (q61 vs p50)") {
     val viaStream = graft.streaming.StreamingQueries.histQuantiles(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p50_hist_quantiles")(spark, TestSpark.sf)
