@@ -261,8 +261,16 @@ object Dedup {
     * side — co-location is paid once at write time, and only the (small)
     * query batch shuffles to the buckets. A `<table>__params` sidecar
     * records (shingle_n, num_bands, rows_per_band): the serve path
-    * reads its banding config FROM THE ARTIFACT, so a mismatched probe
-    * (whose band keys would silently never collide) cannot be expressed.
+    * reads its banding config FROM THE ARTIFACT, so a probe cannot be
+    * CALLED with a mismatched config (whose band keys would silently
+    * never collide). The sidecar guards miscalled probes, not torn
+    * builds: like every multi-file artifact build here
+    * ([[graft.similarity.SimilaritySearch.buildIvfPqIndex]]'s
+    * centroids/codebooks/postings), a build that crashes between the
+    * two writes must be re-run (a FIRST build that crashed fails
+    * loudly at probe time — no params table; only a crashed REBUILD
+    * with a changed banding config can pair old params with new bands,
+    * so rebuild into a fresh dir/table when changing config).
     */
   def buildMinhashIndex(docs: DataFrame, id: Column, text: Column,
                         indexDir: String, table: String, nBuckets: Int,

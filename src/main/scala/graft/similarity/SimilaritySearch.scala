@@ -503,12 +503,17 @@ object SimilaritySearch {
     * quantizers — which is exactly what freezing the quantizers
     * promises.
     *
-    * The segment label is the IDEMPOTENCE key: the write OVERWRITES
-    * `segment=<segment>` as a whole, so re-running an append with the
-    * same label (a crash-replayed micro-batch, a retried ingest job)
-    * rewrites the same directory instead of appending duplicate code
-    * rows beside it. Callers choose labels that are stable across
-    * retries (the streaming path uses the micro-batch id).
+    * The segment label is the IDEMPOTENCE key: with
+    * `allowReplace = true` the write OVERWRITES `segment=<segment>` as
+    * a whole, so re-running an append with the same label (a
+    * crash-replayed micro-batch, a retried ingest job) rewrites the
+    * same directory instead of appending duplicate code rows beside
+    * it. The default `allowReplace = false` REFUSES a label that
+    * already exists: overwrite-as-idempotence is only idempotence when
+    * the replayed data is the same, and a second ingest reusing a
+    * label (a copy-pasted job config) would otherwise silently erase
+    * the first delta from the index. Retry paths opt in; distinct
+    * ingests collide loudly.
     *
     * The honest limit: frozen quantizers drift as the vector
     * distribution shifts. That is deliberately NOT hidden behind an
@@ -518,13 +523,15 @@ object SimilaritySearch {
     */
   def appendToIvfPqIndex(newVectors: DataFrame, corpusId: Column, corpusVec: Column,
                          dim: Int, numSubspaces: Int, indexDir: String,
-                         segment: String): Unit = {
+                         segment: String, allowReplace: Boolean = false): Unit = {
     require(dim % numSubspaces == 0,
       s"dim ($dim) must divide evenly into numSubspaces ($numSubspaces)")
     require(segment.nonEmpty && segment != "base" &&
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"append segment label must be a non-'base' path-safe token, got '$segment'")
     val spark = newVectors.sparkSession
+    requireFreshSegment(spark, s"$indexDir/postings/segment=$segment",
+      segment, allowReplace)
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
     val enc = assignCodes(
@@ -550,43 +557,110 @@ object SimilaritySearch {
     * own directory.
     */
   def tombstoneIvfPqIndex(deletes: DataFrame, deleteId: Column,
-                          indexDir: String, segment: String): Unit = {
+                          indexDir: String, segment: String,
+                          allowReplace: Boolean = false): Unit = {
     require(segment.nonEmpty &&
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"tombstone segment label must be a path-safe token, got '$segment'")
+    requireFreshSegment(deletes.sparkSession,
+      s"$indexDir/tombstones/segment=$segment", segment, allowReplace)
     deletes.select(deleteId.cast("long").as("neighbor_id")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/tombstones/segment=$segment")
   }
 
+  /** The append/tombstone label-collision guard: a segment directory
+    * that already exists is only overwritable when the caller declared
+    * itself a RETRY (`allowReplace`) — two distinct ingests reusing a
+    * label must collide loudly, not silently erase each other.
+    */
+  private def requireFreshSegment(spark: org.apache.spark.sql.SparkSession,
+                                  segPath: String, segment: String,
+                                  allowReplace: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(segPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(allowReplace || !fs.exists(p),
+      s"segment '$segment' already exists at $segPath — pass " +
+        "allowReplace = true only for a RETRY of the same data; a new " +
+        "ingest needs a new label")
+  }
+
   /** Fold the accumulated tombstones into the postings physically: one
     * anti-join rewrite of the code rows into a fresh `segment=base`,
-    * then the old segments and the tombstone log are dropped and the
-    * drift baseline ([[buildIvfPqIndex]]'s `list_stats` snapshot) is
-    * reset to the compacted state — compaction is the moment the index
-    * re-becomes "all base", the LSM contract the posting-log compactor
-    * already follows. Serve results are IDENTICAL before and after
-    * (masking vs physical drop — pinned in SimilaritySpec); what
-    * compaction buys is the serve-time anti-join and the dead code
-    * rows' scan cost back.
+    * then the old segments and the tombstone log are dropped. Serve
+    * results are IDENTICAL before and after (masking vs physical drop —
+    * pinned in SimilaritySpec); what compaction buys is the serve-time
+    * anti-join and the dead code rows' scan cost back.
+    *
+    * The drift baseline SURVIVES compaction: `list_stats.n_base` is
+    * adjusted down by exactly the tombstoned rows that sat in
+    * `segment=base` (computed BEFORE the merge erases the segment
+    * distinction), so [[ivfPqIndexDrift]]'s appended fraction still
+    * reports the frozen quantizers' staleness afterwards — a deletion
+    * cleanup must not disarm the retrain tripwire.
+    *
+    * Crash safety is [[graft.sources.Sinks.compactParquet]]'s recipe:
+    * the rewrite lands in a temp dir, then original→backup rename,
+    * tmp→original rename, backup delete — at any crash point either
+    * the original postings (with the still-intact tombstone log) or
+    * the complete compacted copy exists under a recoverable name. A
+    * compaction that would leave the index EMPTY (every posting
+    * tombstoned) refuses before touching anything — an empty postings
+    * directory is unreadable, and "drop the index" should be said
+    * explicitly, not reached by cleanup.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Unit = {
-    val live = maskTombstones(spark.read.parquet(s"$indexDir/postings")
-        .withColumn("centroid_id", col("centroid_id").cast("long")),
-      indexDir)
+    import org.apache.hadoop.fs.Path
+    val postingsPath = new Path(s"$indexDir/postings")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = spark.read.parquet(s"$indexDir/postings")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    // adjusted baseline, collected BEFORE the swap (driver-sized by the
+    // one-row-per-centroid artifact contract): n_base minus tombstoned
+    // rows that were base rows
+    val tombPath = new Path(s"$indexDir/tombstones")
+    val oldStats = spark.read.parquet(s"$indexDir/list_stats")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_base").cast("long").as("n_base"))
+    val adjStats = (if (fs.exists(tombPath)) {
+      val deadBase = all.filter(col("segment") === "base")
+        .join(spark.read.parquet(tombPath.toString).select(col("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_dead"))
+      oldStats.join(deadBase, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          (col("n_base") - coalesce(col("n_dead"), lit(0L))).as("n_base"))
+    } else oldStats).collect()
+    val live = maskTombstones(all, indexDir)
       .select(col("neighbor_id"), col("j"), col("code_id"), col("centroid_id"))
+    val tmp = new Path(s"$indexDir/postings__compact_tmp")
+    val backup = new Path(s"$indexDir/postings__compact_backup")
     live.write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/postings_compacting/segment=base")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-    fs.delete(postings, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting"),
-      postings)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
-    spark.read.parquet(s"$indexDir/postings")
-      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
-      .agg(count(lit(1)).as("n_base"))
+      .parquet(s"$tmp/segment=base")
+    if (fs.globStatus(new Path(tmp, "segment=base/centroid_id=*/*")).isEmpty) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        "compactIvfPqIndex: every posting is tombstoned — compaction would " +
+          "leave an unreadable empty index; drop the index explicitly instead")
+    }
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(postingsPath, backup))
+      throw new java.io.IOException(
+        s"compactIvfPqIndex: rename $postingsPath -> $backup failed")
+    if (!fs.rename(tmp, postingsPath)) {
+      fs.rename(backup, postingsPath) // roll back; original untouched
+      throw new java.io.IOException(
+        s"compactIvfPqIndex: rename $tmp -> $postingsPath failed")
+    }
+    fs.delete(backup, true)
+    fs.delete(tombPath, true)
+    spark.createDataFrame(
+        java.util.Arrays.asList(adjStats: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_base",
+            org.apache.spark.sql.types.LongType))))
       .write.mode("overwrite").parquet(s"$indexDir/list_stats")
   }
 

@@ -758,8 +758,11 @@ object StreamingQueries {
       .writeStream
       .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$dir/_commits") {
         (batch: DataFrame, batchId: Long) =>
+          // allowReplace: a re-entry here IS a crash replay of the same
+          // micro-batch (the commit marker skips completed batch ids)
           SimilaritySearch.appendToIvfPqIndex(batch, col("vec_id"), col("embedding"),
-            dim = 64, numSubspaces = 4, indexDir = dir, segment = s"b$batchId")
+            dim = 64, numSubspaces = 4, indexDir = dir, segment = s"b$batchId",
+            allowReplace = true)
       })
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()

@@ -267,11 +267,18 @@ class SimilaritySpec extends AnyFunSuite {
     SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
       col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir,
       segment = "day1")
-    // a RETRIED append with the same segment label overwrites its own
-    // directory (the exactly-once contract) — nothing duplicates
+    // a RETRIED append (allowReplace) with the same segment label
+    // overwrites its own directory — nothing duplicates; WITHOUT the
+    // retry declaration the same label collides loudly instead of
+    // silently erasing the earlier delta
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+        col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4,
+        indexDir = incDir, segment = "day1")
+    }
     SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
       col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = incDir,
-      segment = "day1")
+      segment = "day1", allowReplace = true)
     // served base+appended == served full rebuild with the same quantizers
     val fullDir = graft.sources.Sinks.tempArtifactDir("idx_full")
     SimilaritySearch.buildIvfPqIndex(embeddings, col("vec_id"), col("embedding"),
@@ -332,6 +339,34 @@ class SimilaritySpec extends AnyFunSuite {
       SimilaritySearch.appendToIvfPqIndex(delta, col("vec_id"), col("embedding"),
         dim = 64, numSubspaces = 4, indexDir = splitDir, segment = "a/b")
     }
+  }
+
+  test("compaction preserves the drift baseline through a takedown cleanup") {
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    val dir = graft.sources.Sinks.tempArtifactDir("idx_dc")
+    SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+      col("vec_id"), col("embedding"), cent, cb,
+      dim = 64, numSubspaces = 4, indexDir = dir)
+    SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, indexDir = dir,
+      segment = "day1")
+    SimilaritySearch.tombstoneIvfPqIndex(embeddings.filter(col("vec_id") % 7 === 3),
+      col("vec_id"), dir, segment = "t0")
+    SimilaritySearch.compactIvfPqIndex(spark, dir)
+    // the appended fraction must SURVIVE the cleanup (n_base was
+    // adjusted by dead base rows only) — a deletion must not disarm
+    // the retrain tripwire
+    val drift = SimilaritySearch.ivfPqIndexDrift(spark, dir).collect()
+    val nBase = drift.map(_.getLong(1)).sum
+    val nNow = drift.map(_.getLong(2)).sum
+    val liveAll = embeddings.filter(col("vec_id") % 7 =!= 3)
+    val expApp = liveAll.filter(col("vec_id") % 5 === 4).count().toDouble
+    val expAll = liveAll.count().toDouble
+    assert(math.abs((nNow - nBase).toDouble / nNow - expApp / expAll) < 1e-9,
+      s"appended fraction lost by compaction: base=$nBase now=$nNow")
   }
 
   test("tombstoned ids are masked at serve time and dropped physically by compaction") {
