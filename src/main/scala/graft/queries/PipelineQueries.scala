@@ -2029,7 +2029,58 @@ object PipelineQueries {
       SELECT qb.doc_id AS query_id, b.doc_id AS candidate_id
       FROM qb JOIN bands b
         ON qb.band_key = b.band_key AND b.doc_id <> qb.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Corpus-build v4 — the INCREMENTAL daily-crawl cycle, composing
+    // the round's ledger machinery into the pipeline that actually runs
+    // every day: day-1 crawl (half the corpus) feeds exact dedup and
+    // its admissions enter the ledger (epoch 0); a takedown feed
+    // tombstones a slice (epoch 1, appended data); day-2 recrawls
+    // EVERYTHING against the ledger's live set — still-live dupes
+    // reject, the new half and exactly the retracted pages admit with
+    // no special case — then the survivors pass the token gate and the
+    // exact per-language quota. ONE declarative plan; the oracle
+    // recomputes every stage set-theoretically from raw text.
+    ("p73_corpus_build4", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emptyHist = docs.limit(0)
+        .select(TextFunctions.fingerprint(col("text")).as("fingerprint"),
+          lit(0L).as("epoch"), lit("add").as("op"))
+      val day1 = docs.filter(expr("floor(doc_id / 20) % 2 = 0"))
+      val s1 = Dedup.incrementalDedup(day1, col("doc_id"), col("text"),
+        Dedup.liveFingerprints(emptyHist))
+      val ledger = Dedup.admissions(s1, 0L).unionByName(
+        Dedup.tombstones(day1.filter(expr("floor(doc_id / 20) % 7 = 3")),
+          col("text"), 1L))
+      val fresh = Dedup.incrementalDedup(docs, col("doc_id"), col("text"),
+        Dedup.liveFingerprints(ledger))
+      val gated = fresh.filter(
+        TextFunctions.tokenCount(col("text")).between(20, 200))
+      graft.curation.Curation.sampleExactPerGroup(
+          gated, col("lang"), col("doc_id"), k = 15)
+        .orderBy(col("group"), col("rank"))
+    }, Some(s"""
+      WITH f AS (SELECT doc_id, lang, text,
+                   md5(array_to_string(${sqlToks("lower(text)")}, ' '))
+                     AS fingerprint
+                 FROM documents),
+      d1 AS (SELECT * FROM f WHERE (doc_id // 20) % 2 = 0),
+      adm1 AS (SELECT DISTINCT fingerprint FROM d1),
+      del AS (SELECT DISTINCT fingerprint FROM d1 WHERE (doc_id // 20) % 7 = 3),
+      live AS (SELECT fingerprint FROM adm1
+               WHERE fingerprint NOT IN (SELECT fingerprint FROM del)),
+      fresh AS (SELECT fingerprint, min(doc_id) AS doc_id FROM f
+                WHERE fingerprint NOT IN (SELECT fingerprint FROM live)
+                GROUP BY 1),
+      keep AS (SELECT f.doc_id, f.lang
+               FROM f JOIN fresh ON f.doc_id = fresh.doc_id
+               WHERE len(${sqlToks("text")}) BETWEEN 20 AND 200),
+      r AS (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+            FROM keep)
+      SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
+      WHERE rn <= 15 ORDER BY "group", rank"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
