@@ -26,15 +26,17 @@ import org.apache.spark.sql.SparkSession
   *    perplexity gate inside the composed pipeline).
   *  - p49 NestedLoop: the one-row (N, sum_dl) corpus-stats scalar rides
   *    a broadcast cross join, p45's accepted one-row shape.
-  *  - q68 NestedLoop: bm25FromIndex sums the stats log to the same
-  *    one-row (N, sum_dl) scalar and rides p49's broadcast cross join.
+  *  - q68/q78 NestedLoop: bm25FromIndex sums the stats log to the same
+  *    one-row (N, sum_dl) scalar and rides p49's broadcast cross join
+  *    (q78 additionally folds the negative deletion slice into it).
   *  - p54/p69 NestedLoop: the one-row grand-total scalar rides a
   *    broadcast cross join, p45's accepted one-row shape (p69 composes
   *    familyOf in front of p54's chain and inherits it verbatim).
-  *  - q20/q23/p66 SortAggregate: max/min(struct) carrying the PAYLOAD
-  *    row through the buffer — inherent to last-element/pulse/
-  *    ledger-election semantics; partial sort-agg still shuffles one
-  *    row per key per partition.
+  *  - q20/q23/p66/q76/p73 SortAggregate: max/min(struct) carrying the
+  *    PAYLOAD row through the buffer — inherent to last-element/pulse/
+  *    ledger-election semantics (q76 and p73 inherit p66's
+  *    liveFingerprints election verbatim); partial sort-agg still
+  *    shuffles one row per key per partition.
   *  (p59 NestedLoop left this list in round 6: the probe table is now
   *  a collected driver-local bounded DataFrame, so the postings join
   *  plans as a broadcast HASH equi-join.)
