@@ -140,7 +140,10 @@ object SparkEntry {
     ("q78_streaming_bm25_deletes",
       (s, d) => graft.streaming.StreamingQueries.bm25Deletes(s, d),
       Some(PipelineQueries.bm25Oracle(
-        " WHERE NOT ((doc_id // 20) % 7 = 3)"))))
+        " WHERE NOT ((doc_id // 20) % 7 = 3)"))),
+    ("q79_streaming_corpus_build4",
+      (s, d) => graft.streaming.StreamingQueries.corpusBuild4(s, d),
+      Some(sharedOracle("p73_corpus_build4"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

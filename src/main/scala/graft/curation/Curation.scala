@@ -102,6 +102,38 @@ object Curation {
       .drop("__n", "__cp")
   }
 
+  /** The DATALOADER's view of a [[packSequences]] layout: one row per
+    * (training sequence, document span) — for each sequence, which
+    * documents fill it, where each span starts inside the sequence
+    * (`seq_pos`), where it starts inside the document (`doc_pos`), and
+    * its length (`n_span`). This is the manifest a training job
+    * actually consumes (to cut attention masks at document boundaries
+    * and to map a loss spike back to its source document); emitting it
+    * beside the pack columns costs a map-side explode of each doc's
+    * covered-sequence range — pure integer arithmetic on the already-
+    * computed cumulative position, NO further shuffle beyond the one
+    * [[packSequences]] already paid. Within a sequence the spans tile
+    * it exactly (disjoint, gap-free — every full sequence's spans sum
+    * to `seqLen`; spec-pinned), because consecutive documents' global
+    * intervals are adjacent by construction.
+    */
+  def packManifest(packed: DataFrame, id: Column, tokens: Column,
+                   seqLen: Long, passthrough: Column*): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed.filter(col("n_seqs") > 0)
+      .withColumn("__n", tokens.cast("long"))
+      .withColumn("__cp", col("seq_id") * seqLen + col("seq_offset"))
+      .withColumn("seq",
+        explode(sequence(col("seq_id"), col("seq_id") + col("n_seqs") - 1)))
+      .withColumn("__ss", greatest(col("__cp"), col("seq") * seqLen))
+      .withColumn("__se",
+        least(col("__cp") + col("__n"), (col("seq") + lit(1L)) * seqLen))
+      .select(id.as("doc_id") +: col("seq") +:
+        (col("__ss") - col("seq") * seqLen).as("seq_pos") +:
+        (col("__ss") - col("__cp")).as("doc_pos") +:
+        (col("__se") - col("__ss")).as("n_span") +: passthrough: _*)
+  }
+
   /** Square-root temperature mixing (α = 0.5): re-balance a corpus so
     * over-represented groups are down-sampled toward weights
     * ∝ √(group size) — the standard flattening between proportional

@@ -2080,7 +2080,43 @@ object PipelineQueries {
                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
             FROM keep)
       SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
-      WHERE rn <= 15 ORDER BY "group", rank"""))
+      WHERE rn <= 15 ORDER BY "group", rank""")),
+
+    // The pack MANIFEST — the dataloader's view of p32's layout: one
+    // row per (training sequence, document span), with the span's
+    // position inside the sequence and inside the document. What a
+    // training job consumes to cut attention masks at document
+    // boundaries and trace a loss spike to its source document. Pure
+    // integer arithmetic exploded map-side off the pack columns (no
+    // shuffle beyond the one packSequences paid); the oracle runs the
+    // identical interval arithmetic off its own pack recompute.
+    ("p74_pack_manifest", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val packed = graft.curation.Curation.packSequences(
+        docs.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"), seqLen = 512L)
+      graft.curation.Curation.packManifest(packed, col("doc_id"),
+          col("n_tokens"), seqLen = 512L, col("source"))
+        .orderBy(col("source"), col("seq"), col("seq_pos"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM t),
+      m AS (SELECT doc_id, source, n_tokens, cp,
+              unnest(generate_series(cp // 512, (cp + n_tokens - 1) // 512)) AS seq
+            FROM c WHERE n_tokens > 0)
+      SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+             CAST(greatest(cp, seq * 512) - seq * 512 AS BIGINT) AS seq_pos,
+             CAST(greatest(cp, seq * 512) - cp AS BIGINT) AS doc_pos,
+             CAST(least(cp + n_tokens, (seq + 1) * 512)
+                  - greatest(cp, seq * 512) AS BIGINT) AS n_span,
+             source
+      FROM m ORDER BY source, seq, seq_pos"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

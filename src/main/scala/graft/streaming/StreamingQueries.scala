@@ -725,6 +725,38 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-build v4 on the streaming engine — the daily-crawl cycle
+    * (p73) with BOTH crawls running as streaming keeper elections
+    * (q76's slice-independent groupBy(fingerprint).min(doc_id) state
+    * shape). The ledger grows by appended data between the two runs,
+    * day-2's streamed election admits against its live set, and the
+    * gate + exact per-language quota run over the admitted survivors —
+    * still one declarative tail. Shares p73's set-theoretic oracle:
+    * the full incremental pipeline is batch-identical under any
+    * micro-batch slicing.
+    */
+  def corpusBuild4(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions
+    def election(pred: org.apache.spark.sql.Column): DataFrame = runToMemory(
+      documentsStream(spark, sfDir).filter(pred)
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id")))
+    val day1Pred = expr("floor(doc_id / 20) % 2 = 0")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val ledger = Dedup.admissions(election(day1Pred), 0L).unionByName(
+      Dedup.tombstones(
+        docs.filter(day1Pred).filter(expr("floor(doc_id / 20) % 7 = 3")),
+        col("text"), 1L))
+    val fresh = election(lit(true))
+      .join(Dedup.liveFingerprints(ledger), Seq("fingerprint"), "left_anti")
+    val gated = docs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(TextFunctions.tokenCount(col("text")).between(20, 200))
+    graft.curation.Curation.sampleExactPerGroup(
+        gated, col("lang"), col("doc_id"), k = 15)
+      .orderBy(col("group"), col("rank"))
+  }
+
   /** The LIVE similarity service: p65's incremental ANN maintenance on
     * the streaming engine. The base index builds once (batch-side, 80%
     * of the corpus, frozen quantizers); then newly arriving vectors

@@ -32,9 +32,9 @@ import org.apache.spark.sql.SparkSession
   *  - p54/p69 NestedLoop: the one-row grand-total scalar rides a
   *    broadcast cross join, p45's accepted one-row shape (p69 composes
   *    familyOf in front of p54's chain and inherits it verbatim).
-  *  - q20/q23/p66/q76/p73 SortAggregate: max/min(struct) carrying the
-  *    PAYLOAD row through the buffer — inherent to last-element/pulse/
-  *    ledger-election semantics (q76 and p73 inherit p66's
+  *  - q20/q23/p66/q76/p73/q79 SortAggregate: max/min(struct) carrying
+  *    the PAYLOAD row through the buffer — inherent to last-element/
+  *    pulse/ledger-election semantics (q76, p73, and q79 inherit p66's
   *    liveFingerprints election verbatim); partial sort-agg still
   *    shuffles one row per key per partition.
   *  (p59 NestedLoop left this list in round 6: the probe table is now

@@ -91,6 +91,55 @@ class CurationSpec extends AnyFunSuite {
       ("b", 2L, 0L, 0L, 2L)))  // [0, 600) spans seqs 0-1
   }
 
+  test("packManifest spans tile every sequence exactly, map-side") {
+    val docs = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L),
+      ("b", 1L, 0L), ("b", 2L, 600L)).toDF("src", "id", "n")
+    val packed = Curation.packSequences(docs, col("src"), col("id"), col("n"), 512L)
+    val man = Curation.packManifest(packed, col("id"), col("n"), 512L, col("src"))
+    val rows = man.collect().map(r => (r.getString(5), r.getLong(1), r.getLong(0),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // hand-computed: (src, seq, doc, seq_pos, doc_pos, n_span)
+    assert(rows == Set(
+      ("a", 0L, 1L, 0L, 0L, 300L),   // doc1 fills [0,300) of seq 0
+      ("a", 0L, 2L, 300L, 0L, 212L), // doc2 head fills the rest of seq 0
+      ("a", 1L, 2L, 0L, 212L, 88L),  // doc2 tail opens seq 1
+      ("a", 1L, 3L, 88L, 0L, 300L),  // doc3 follows inside seq 1
+      ("b", 0L, 2L, 0L, 0L, 512L),   // doc2 fills seq 0 completely
+      ("b", 1L, 2L, 0L, 512L, 88L))) // and spills into seq 1
+    // tiling invariant on a larger random corpus: within every sequence
+    // the spans are disjoint, gap-free from 0, and full sequences sum
+    // to exactly seqLen
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 300).map(i =>
+      (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(200).toLong)).toDF("src", "id", "n")
+    val bigMan = Curation.packManifest(
+        Curation.packSequences(big, col("src"), col("id"), col("n"), 128L),
+        col("id"), col("n"), 128L, col("src"))
+      .collect().map(r => (r.getString(5), r.getLong(1), r.getLong(2), r.getLong(4)))
+    bigMan.groupBy(t => (t._1, t._2)).foreach { case ((g, seq), spans) =>
+      val sorted = spans.sortBy(_._3).map(s => (s._3, s._4))
+      assert(sorted.head._1 == 0L, s"seq ($g,$seq) must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((p1, l1), (p2, _)) => assert(p1 + l1 == p2,
+          s"gap/overlap in ($g,$seq)")
+        case _ =>
+      }
+    }
+    val full = bigMan.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum)
+    val maxSeq = bigMan.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    full.foreach { case ((g, seq), tot) =>
+      if (seq < maxSeq(g)) assert(tot == 128L, s"full seq ($g,$seq) holds $tot") }
+    // the manifest is a map-side explode: exactly the pack's ONE window
+    // shuffle, nothing more (fresh un-executed frame — a collected
+    // frame's AQE-finalized plan string counts stages differently)
+    val freshPlan = Curation.packManifest(
+        Curation.packSequences(docs, col("src"), col("id"), col("n"), 512L),
+        col("id"), col("n"), 512L, col("src"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(freshPlan).length == 1,
+      s"manifest must add no shuffle:\n$freshPlan")
+  }
+
   test("packSequences matches a sequential per-group reference on random input") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 500).map { i =>
