@@ -242,20 +242,7 @@ object PipelineQueries {
       SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), k = 5)
         .orderBy(col("query_id"), col("rank"))
-    }, Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      scored AS (SELECT query_id, neighbor_id,
-                        round(list_dot_product(cv, qv) /
-                              (sqrt(list_dot_product(cv, cv)) *
-                               sqrt(list_dot_product(qv, qv))), 6) AS cos
-                 FROM c, q WHERE neighbor_id <> query_id),
-      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
-      ORDER BY query_id, rank""")),
+    }, Some(bruteTopkOracle)),
 
     ("p09_ann_lsh", (s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2082,6 +2069,67 @@ object PipelineQueries {
       SELECT lang AS "group", doc_id AS "key", rn AS rank FROM r
       WHERE rn <= 15 ORDER BY "group", rank""")),
 
+    // Blue/green index RETRAIN — what actually happens when
+    // ivfPqIndexDrift fires retrain_advised: the new quantizers build a
+    // COMPLETE index in the next version directory (retraining changes
+    // what every code row MEANS, so it cannot be an in-place append),
+    // and an atomic CURRENT pointer swap (FileContext OVERWRITE rename)
+    // flips serving; readers resolve a complete old or complete new
+    // version, never a torn one, and rollback is repointing. v1 here is
+    // the stale 80%-build; v2 retrains on the full corpus — serving
+    // CURRENT must equal the inline full build (p34's oracle verbatim).
+    ("p75_ann_index_retrain", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_ver")
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, codeStride = 25)
+      SimilaritySearch.publishIndexVersion(s, base) { dir =>
+        SimilaritySearch.buildIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4),
+          col("vec_id"), col("embedding"), cent, cb,
+          dim = 64, numSubspaces = 4, indexDir = dir)
+      }
+      SimilaritySearch.publishIndexVersion(s, base) { dir =>
+        SimilaritySearch.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
+          cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+      }
+      SimilaritySearch.searchIvfPqIndex(
+          SimilaritySearch.currentIndexDir(s, base),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(ivfPqOracle)),
+
+    // ANN recall EVALUATION — "measure, don't guess" as an operator:
+    // recall@5 of the IVF-PQ tier against brute-force ground truth,
+    // per query, zero-hit queries included. Both oracle sides reuse
+    // the exact strings that gate p08 and p34 (nested as CTE
+    // subqueries), so the evaluation cannot drift from the rankings it
+    // evaluates.
+    ("p76_ann_recall", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5)
+      val approx = SimilaritySearch.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5, dim = 64, nprobe = 2)
+      SimilaritySearch.recallAtK(exact, approx, k = 5)
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH bf AS ($bruteTopkOracle),
+      ivf AS ($ivfPqOracle),
+      hits AS (SELECT bf.query_id AS query_id, count(*) AS n_hits
+               FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                              AND bf.neighbor_id = ivf.neighbor_id
+               GROUP BY 1),
+      ne AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY 1)
+      SELECT ne.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(n_exact AS BIGINT) AS n_exact,
+             round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+      FROM ne LEFT JOIN hits USING (query_id)
+      ORDER BY query_id""")),
+
     // The pack MANIFEST — the dataloader's view of p32's layout: one
     // row per (training sequence, document span), with the span's
     // position inside the sequence and inside the document. What a
@@ -2177,6 +2225,24 @@ object PipelineQueries {
                  ORDER BY score_micro DESC, doc_id) AS rank
         FROM agg) r
       WHERE rank <= 15 ORDER BY qid, rank"""
+
+  /** p08's brute-force cosine top-5 — also the EXACT side of the p76
+    * recall evaluation (one string so the ground truth cannot drift).
+    */
+  lazy val bruteTopkOracle: String = """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                        round(list_dot_product(cv, qv) /
+                              (sqrt(list_dot_product(cv, cv)) *
+                               sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM c, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""
 
   lazy val ivfPqOracle: String = ivfPqOracleCand("")
 

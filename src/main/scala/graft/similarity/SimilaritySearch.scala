@@ -678,6 +678,84 @@ object SimilaritySearch {
       Seq("neighbor_id"), "left_anti")
   }
 
+  /** Recall@k of an approximate ranking against the exact one — the
+    * EVALUATION loop every ANN deployment needs ("measure, don't
+    * guess"): per query, how many of the exact top-k the approximate
+    * tier surfaced. Both inputs are rankTopK-shaped (query_id,
+    * neighbor_id, …, rank); output (query_id, n_hits, n_exact,
+    * recall), one row per query INCLUDING zero-hit queries (an inner
+    * join alone would silently drop exactly the queries an operator
+    * must see). Scale shape: both sides are already ≤ queries×k rows —
+    * the evaluation joins tiny ranked lists, never corpora; run it on
+    * a sampled query panel against any ladder tier to pick nprobe /
+    * bands / refine empirically.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+  }
+
+  /** Publish a new VERSION of an index under `baseDir` — the answer to
+    * [[ivfPqIndexDrift]]'s `retrain_advised`: retrain quantizers into
+    * the next `v<N>/` directory (the caller's `build` writes a complete
+    * index there — nothing serves it yet), then atomically repoint the
+    * `CURRENT` marker (write `CURRENT.tmp`, rename over `CURRENT` —
+    * readers resolve either the old complete version or the new
+    * complete version, never a torn one). The superseded version stays
+    * on disk until explicitly dropped: rollback is repointing.
+    * Blue/green for index artifacts, the standard serve-continuity
+    * answer when quantizer retraining invalidates every code row at
+    * once (which is why retrain CANNOT be an in-place append — the
+    * codes' meaning changes under the reader).
+    */
+  def publishIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String)(build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = if (fs.exists(base))
+      fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.matches("v[0-9]+")).map(_.drop(1).toInt)
+    else Array.empty[Int]
+    val version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
+    build(s"$baseDir/$version")
+    val tmp = new Path(s"$baseDir/CURRENT.tmp")
+    val cur = new Path(s"$baseDir/CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    // FileContext rename with OVERWRITE is the atomic pointer replace
+    // (a delete-then-rename would leave a window with NO current)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    version
+  }
+
+  /** Resolve the directory of the CURRENT published index version. */
+  def currentIndexDir(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(s"$baseDir/CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cur), s"no CURRENT marker under $baseDir — nothing published")
+    val in = fs.open(cur)
+    val version = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s"$baseDir/$version"
+  }
+
   /** The retrain monitor for an appended index: per coarse list, code
     * rows at build time (`n_base`, the frozen [[buildIvfPqIndex]]
     * snapshot) vs now, the appended fraction, and a `retrain_advised`

@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    (centroid list, post-limit top-20).
   *  - p34 globalWindow + NestedLoop: IVF-PQ inherits exactly p12's
   *    centroid-index window and broadcast assignment joins.
+  *  - p76 globalWindow + NestedLoop: the recall evaluation RUNS both
+  *    p08 (broadcast all-pairs) and p34 (centroid window + assignment
+  *    join) as its inputs and inherits their accepted shapes; the
+  *    evaluation join itself is queries×k vs queries×k.
   *  - p37 NestedLoop: p08's broadcast all-pairs scoring shape over the
   *    media histograms (non-equi self-exclusion join).
   *  - p44 globalWindow + NestedLoop: p12's centroid-index window

@@ -341,6 +341,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recallAtK counts hits per query and keeps zero-hit queries") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 10L, 1L), (1L, 99L, 2L), (2L, 98L, 1L), (2L, 97L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = SimilaritySearch.recallAtK(exact, approx, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 0.5)))
+    assert(out(2L) == ((0L, 2L, 0.0))) // zero-hit query must still appear
+    // identity: an approximate tier equal to ground truth scores 1.0
+    val ident = SimilaritySearch.recallAtK(exact, exact, k = 2).collect()
+    assert(ident.length == 2 && ident.forall(_.getDouble(3) == 1.0))
+    // rank filter: rows past k on either side are invisible to the score
+    val deep = approx.union(Seq((2L, 20L, 3L)).toDF("query_id", "neighbor_id", "rank"))
+    val out2 = SimilaritySearch.recallAtK(exact, deep, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(2L) == 0L, "a rank-3 hit must not count toward recall@2")
+  }
+
+  test("index versions publish with an atomic CURRENT pointer; rollback is repointing") {
+    val base = graft.sources.Sinks.tempArtifactDir("idx_ver")
+    def writeMarker(dir: String, tag: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/tag"),
+        tag.getBytes("UTF-8"))
+    }
+    // nothing published yet → loud
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.currentIndexDir(spark, base)
+    }
+    val v1 = SimilaritySearch.publishIndexVersion(spark, base)(writeMarker(_, "one"))
+    assert(v1 == "v1" && SimilaritySearch.currentIndexDir(spark, base).endsWith("/v1"))
+    val v2 = SimilaritySearch.publishIndexVersion(spark, base)(writeMarker(_, "two"))
+    assert(v2 == "v2" && SimilaritySearch.currentIndexDir(spark, base).endsWith("/v2"))
+    // the superseded version is still on disk — rollback is repointing,
+    // and a later publish numbers PAST it (no reuse of v2)
+    assert(new java.io.File(s"$base/v1/tag").exists)
+    val v3 = SimilaritySearch.publishIndexVersion(spark, base)(writeMarker(_, "three"))
+    assert(v3 == "v3")
+    // a build that THROWS publishes nothing: CURRENT still points at v3
+    intercept[RuntimeException] {
+      SimilaritySearch.publishIndexVersion(spark, base)(_ =>
+        throw new RuntimeException("retrain failed"))
+    }
+    assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("/v3"))
+  }
+
   test("compaction preserves the drift baseline through a takedown cleanup") {
     val cent = embeddings.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))

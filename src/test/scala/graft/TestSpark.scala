@@ -40,8 +40,11 @@ object TestSpark {
 
   /** Stop a streaming query with the stop-window noise suppressed —
     * callers quiesce with `processAllAvailable()` first, so everything
-    * the test asserts is already materialized when this runs.
+    * the test asserts is already materialized when this runs. The OFF
+    * window holds briefly PAST the stop: an interrupted in-flight task
+    * logs its abort asynchronously on an executor thread, after
+    * `stop()` has already returned.
     */
   def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    quietly(q.stop())
+    quietly { q.stop(); Thread.sleep(300) }
 }
