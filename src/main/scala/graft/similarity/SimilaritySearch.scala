@@ -552,9 +552,11 @@ object SimilaritySearch {
     * (an anti-join on the code-row stream — deleted vectors stop
     * surfacing the moment the segment lands), and
     * [[compactIvfPqIndex]] later drops them physically. The segment
-    * label is the idempotence key, exactly as in
-    * [[appendToIvfPqIndex]]: a retried takedown batch overwrites its
-    * own directory.
+    * label rules are [[appendToIvfPqIndex]]'s: a RETRY of the same
+    * takedown batch passes `allowReplace = true` and overwrites its
+    * own directory; a distinct takedown reusing a label collides
+    * loudly (silently replacing an earlier tombstone set would
+    * RESURRECT its deletions).
     */
   def tombstoneIvfPqIndex(deletes: DataFrame, deleteId: Column,
                           indexDir: String, segment: String,
@@ -584,26 +586,39 @@ object SimilaritySearch {
         "ingest needs a new label")
   }
 
-  /** Fold the accumulated tombstones into the postings physically: one
-    * anti-join rewrite of the code rows into a fresh `segment=base`,
+  /** Fold the accumulated tombstones into the postings physically:
+    * surviving code rows rewrite into exactly TWO segments —
+    * `segment=base` (survivors of the original build) and
+    * `segment=merged` (survivors of every append, merged into one) —
     * then the old segments and the tombstone log are dropped. Serve
     * results are IDENTICAL before and after (masking vs physical drop —
     * pinned in SimilaritySpec); what compaction buys is the serve-time
-    * anti-join and the dead code rows' scan cost back.
+    * anti-join, the dead code rows' scan cost, and the many-small-
+    * segments listing cost back.
     *
-    * The drift baseline SURVIVES compaction: `list_stats.n_base` is
-    * adjusted down by exactly the tombstoned rows that sat in
-    * `segment=base` (computed BEFORE the merge erases the segment
-    * distinction), so [[ivfPqIndexDrift]]'s appended fraction still
-    * reports the frozen quantizers' staleness afterwards — a deletion
-    * cleanup must not disarm the retrain tripwire.
+    * PROVENANCE SURVIVES COMPACTION — that is why the output is two
+    * segments, not one: "appended under the frozen quantizers" is what
+    * [[ivfPqIndexDrift]] measures, so base and appended rows must stay
+    * distinguishable across ANY number of append/tombstone/compact
+    * cycles (a single merged segment would misattribute the next
+    * cycle's deletions and corrupt the fraction). `list_stats.n_base`
+    * is adjusted down by exactly the tombstoned rows that sat in
+    * `segment=base`.
     *
-    * Crash safety is [[graft.sources.Sinks.compactParquet]]'s recipe:
-    * the rewrite lands in a temp dir, then original→backup rename,
-    * tmp→original rename, backup delete — at any crash point either
-    * the original postings (with the still-intact tombstone log) or
-    * the complete compacted copy exists under a recoverable name. A
-    * compaction that would leave the index EMPTY (every posting
+    * Crash protocol (the whole run is re-runnable at ANY crash point):
+    *   1. stage the adjusted stats at `list_stats__next` (computed
+    *      from the still-intact pre-swap postings),
+    *   2. swap the postings ([[graft.sources.Sinks.swapViaBackup]],
+    *      the one shared crash-safe recipe),
+    *   3. install the staged stats over `list_stats` (atomic rename),
+    *   4. drop the tombstone log.
+    * A re-run distinguishes "crashed before 2" (some tombstoned row
+    * still present in postings → recompute everything; the staged file
+    * is overwritten with the identical result) from "crashed after 2"
+    * (no tombstoned row survives → finish the install: steps 3-4 only,
+    * never recomputing an adjustment the merged postings can no longer
+    * express). Stale staged debris with no tombstone log is deleted.
+    * A compaction that would leave the index EMPTY (every posting
     * tombstoned) refuses before touching anything — an empty postings
     * directory is unreadable, and "drop the index" should be said
     * explicitly, not reached by cleanup.
@@ -612,17 +627,43 @@ object SimilaritySearch {
                         indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val postingsPath = new Path(s"$indexDir/postings")
-    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = spark.read.parquet(s"$indexDir/postings")
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-    // adjusted baseline, collected BEFORE the swap (driver-sized by the
-    // one-row-per-centroid artifact contract): n_base minus tombstoned
-    // rows that were base rows
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = postingsPath.getFileSystem(conf)
     val tombPath = new Path(s"$indexDir/tombstones")
-    val oldStats = spark.read.parquet(s"$indexDir/list_stats")
+    val staged = new Path(s"$indexDir/list_stats__next")
+    val statsPath = new Path(s"$indexDir/list_stats")
+    // stats are a DIRECTORY, so the install is delete-then-rename (the
+    // atomic FileContext overwrite only replaces files); the brief
+    // stats-missing window is repaired by the recovery branch below,
+    // and installStaged only ever runs AFTER the postings swap
+    def installStaged(): Unit = {
+      if (fs.exists(statsPath)) fs.delete(statsPath, true)
+      if (!fs.rename(staged, statsPath))
+        throw new java.io.IOException(
+          s"compactIvfPqIndex: rename $staged -> $statsPath failed")
+      fs.delete(tombPath, true)
+    }
+    if (fs.exists(staged)) {
+      if (!fs.exists(statsPath)) { installStaged(); return } // crashed mid-install
+      else if (!fs.exists(tombPath)) fs.delete(staged, true) // no-tombstone debris
+      else {
+        // recovery: did the crashed run get past the postings swap?
+        val anyDead = spark.read.parquet(postingsPath.toString)
+          .join(spark.read.parquet(tombPath.toString).select(col("neighbor_id")),
+            Seq("neighbor_id"), "left_semi")
+          .limit(1).count() > 0
+        if (!anyDead) { installStaged(); return }
+        // else: crashed before the swap — fall through and recompute
+      }
+    }
+    val all = spark.read.parquet(postingsPath.toString)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    // adjusted baseline from the PRE-swap postings: n_base minus
+    // tombstoned rows that were base rows
+    val oldStats = spark.read.parquet(statsPath.toString)
       .select(col("centroid_id").cast("long").as("centroid_id"),
         col("n_base").cast("long").as("n_base"))
-    val adjStats = (if (fs.exists(tombPath)) {
+    val adjStats = if (fs.exists(tombPath)) {
       val deadBase = all.filter(col("segment") === "base")
         .join(spark.read.parquet(tombPath.toString).select(col("neighbor_id")),
           Seq("neighbor_id"), "left_semi")
@@ -630,38 +671,30 @@ object SimilaritySearch {
       oldStats.join(deadBase, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           (col("n_base") - coalesce(col("n_dead"), lit(0L))).as("n_base"))
-    } else oldStats).collect()
+    } else oldStats
+    adjStats.write.mode("overwrite").parquet(staged.toString)       // step 1
     val live = maskTombstones(all, indexDir)
-      .select(col("neighbor_id"), col("j"), col("code_id"), col("centroid_id"))
     val tmp = new Path(s"$indexDir/postings__compact_tmp")
-    val backup = new Path(s"$indexDir/postings__compact_backup")
-    live.write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$tmp/segment=base")
-    if (fs.globStatus(new Path(tmp, "segment=base/centroid_id=*/*")).isEmpty) {
-      fs.delete(tmp, true)
+    def writeSide(segment: String, rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.select(col("neighbor_id"), col("j"), col("code_id"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$tmp/segment=$segment")
+    writeSide("base", live.filter(col("segment") === "base"))
+    writeSide("merged", live.filter(col("segment") =!= "base"))
+    // drop a side that came out empty (no files → unreadable dir); if
+    // BOTH are empty the index would be unreadable — refuse pre-swap
+    Seq("base", "merged").foreach { s =>
+      if (fs.globStatus(new Path(tmp, s"segment=$s/centroid_id=*/*")).isEmpty)
+        fs.delete(new Path(tmp, s"segment=$s"), true)
+    }
+    if (fs.globStatus(new Path(tmp, "segment=*/centroid_id=*/*")).isEmpty) {
+      fs.delete(tmp, true); fs.delete(staged, true)
       throw new IllegalStateException(
         "compactIvfPqIndex: every posting is tombstoned — compaction would " +
           "leave an unreadable empty index; drop the index explicitly instead")
     }
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (!fs.rename(postingsPath, backup))
-      throw new java.io.IOException(
-        s"compactIvfPqIndex: rename $postingsPath -> $backup failed")
-    if (!fs.rename(tmp, postingsPath)) {
-      fs.rename(backup, postingsPath) // roll back; original untouched
-      throw new java.io.IOException(
-        s"compactIvfPqIndex: rename $tmp -> $postingsPath failed")
-    }
-    fs.delete(backup, true)
-    fs.delete(tombPath, true)
-    spark.createDataFrame(
-        java.util.Arrays.asList(adjStats: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("centroid_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_base",
-            org.apache.spark.sql.types.LongType))))
-      .write.mode("overwrite").parquet(s"$indexDir/list_stats")
+    graft.sources.Sinks.swapViaBackup(fs, tmp, postingsPath)        // step 2
+    installStaged()                                                 // steps 3-4
   }
 
   /** Apply the tombstone log (if any) to a postings scan: the one
@@ -729,7 +762,23 @@ object SimilaritySearch {
       fs.listStatus(base).map(_.getPath.getName)
         .filter(_.matches("v[0-9]+")).map(_.drop(1).toInt)
     else Array.empty[Int]
-    val version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
+    // RESERVE the version number before building: create-exclusive on a
+    // marker file is atomic, so two concurrent publishers (a scheduled
+    // retrain racing a manual one) get DIFFERENT directories instead of
+    // interleaving two builds under one v<N> and serving a torn mix
+    var n = if (existing.isEmpty) 1 else existing.max + 1
+    var reserved = false
+    while (!reserved) {
+      try {
+        fs.create(new Path(s"$baseDir/v$n/.reserved"), false).close()
+        reserved = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException if fs.exists(new Path(s"$baseDir/v$n")) =>
+          n += 1
+      }
+    }
+    val version = s"v$n"
     build(s"$baseDir/$version")
     val tmp = new Path(s"$baseDir/CURRENT.tmp")
     val cur = new Path(s"$baseDir/CURRENT")

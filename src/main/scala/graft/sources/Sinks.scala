@@ -77,15 +77,29 @@ object Sinks {
     val nFiles = math.max(1L, (bytes + targetFileMB.toLong * 1048576 - 1) /
       (targetFileMB.toLong * 1048576)).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    swapViaBackup(fs, tmp, hadoopPath)
+  }
+
+  /** The ONE crash-safe directory swap (original→backup, tmp→original
+    * with rollback, backup delete), shared by [[compactParquet]] and
+    * the ANN index compactor — a hand-maintained second copy of a
+    * crash-safety protocol is a drift surface. At any crash point
+    * either the original or the complete new copy exists under a
+    * recoverable name; a delete-then-rename swap would have a window
+    * where the target path is simply gone.
+    */
+  def swapViaBackup(fs: org.apache.hadoop.fs.FileSystem,
+                    tmp: org.apache.hadoop.fs.Path,
+                    target: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(target.toString + "__compact_backup")
     if (fs.exists(backup)) fs.delete(backup, true)
-    if (!fs.rename(hadoopPath, backup))
-      throw new java.io.IOException(s"compactParquet: rename $path -> $backup failed")
-    if (!fs.rename(tmp, hadoopPath)) {
-      fs.rename(backup, hadoopPath) // roll back; original untouched
-      throw new java.io.IOException(s"compactParquet: rename $tmp -> $path failed")
+    if (!fs.rename(target, backup))
+      throw new java.io.IOException(s"swapViaBackup: rename $target -> $backup failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(backup, target) // roll back; original untouched
+      throw new java.io.IOException(s"swapViaBackup: rename $tmp -> $target failed")
     }
     fs.delete(backup, true)
   }

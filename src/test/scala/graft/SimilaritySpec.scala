@@ -415,6 +415,28 @@ class SimilaritySpec extends AnyFunSuite {
     val expAll = liveAll.count().toDouble
     assert(math.abs((nNow - nBase).toDouble / nNow - expApp / expAll) < 1e-9,
       s"appended fraction lost by compaction: base=$nBase now=$nNow")
+    // compaction kept base/appended PROVENANCE as two physical segments
+    val segNames = new java.io.File(s"$dir/postings").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segNames == Set("segment=base", "segment=merged"), s"got $segNames")
+    // SECOND deletion cycle, targeting formerly-APPENDED rows: only the
+    // surviving provenance makes the baseline adjust by ZERO here — a
+    // single merged segment would misattribute these deaths to the
+    // build baseline and corrupt the fraction
+    val dead2 = embeddings.filter(col("vec_id") % 7 =!= 3)
+      .filter(col("vec_id") % 5 === 4).filter(col("vec_id") % 3 === 0)
+    assert(dead2.count() > 0)
+    SimilaritySearch.tombstoneIvfPqIndex(dead2, col("vec_id"), dir, segment = "t1")
+    SimilaritySearch.compactIvfPqIndex(spark, dir)
+    val drift2 = SimilaritySearch.ivfPqIndexDrift(spark, dir).collect()
+    val nBase2 = drift2.map(_.getLong(1)).sum
+    val nNow2 = drift2.map(_.getLong(2)).sum
+    val live2 = liveAll.filter(!(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 0))
+    val expApp2 = live2.filter(col("vec_id") % 5 === 4).count().toDouble
+    val expAll2 = live2.count().toDouble
+    assert(nBase2 == nBase, "appended-row deaths must not touch the build baseline")
+    assert(math.abs((nNow2 - nBase2).toDouble / nNow2 - expApp2 / expAll2) < 1e-9,
+      s"fraction corrupted by second cycle: base=$nBase2 now=$nNow2")
   }
 
   test("tombstoned ids are masked at serve time and dropped physically by compaction") {
@@ -434,13 +456,17 @@ class SimilaritySpec extends AnyFunSuite {
     val deadIds = deleted.select("vec_id").as[Long].collect().toSet
     assert(masked.nonEmpty && masked.forall(r => !deadIds.contains(r.getLong(1))),
       "no tombstoned id may surface as a neighbor")
-    // physical compaction: identical serve results, tombstone log gone,
-    // postings back to a single base segment, drift baseline reset
+    // physical compaction: identical serve results, tombstone log gone.
+    // This index never saw an append, so survivors are all base rows:
+    // exactly one segment remains and drift stays 0.0 (n_base adjusted
+    // by the dead base rows — the baseline tracks survivors, it is not
+    // blindly reset)
     SimilaritySearch.compactIvfPqIndex(spark, dir)
     val compacted = serve().collect()
     assert(masked.toSeq == compacted.toSeq,
       "masking and physical drop must serve identically")
     assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(!new java.io.File(s"$dir/list_stats__next").exists)
     assert(new java.io.File(s"$dir/postings").listFiles
       .filter(_.isDirectory).map(_.getName).toSeq == Seq("segment=base"))
     val drift = SimilaritySearch.ivfPqIndexDrift(spark, dir).collect()
