@@ -290,6 +290,17 @@ object Dedup {
     // beside the other served artifacts, not in the warehouse
     graft.sources.Sinks.writeBucketedTable(banded, table, nBuckets,
       Seq("band_key"), Seq("band_key"), path = Some(s"$indexDir/bands"))
+    // the VERIFICATION sidecar: each doc's distinct shingle HASHES
+    // (md5 — one-way, so the artifact can verify candidates with exact
+    // Jaccard at serve time without carrying or reconstructing text),
+    // bucketed on doc_id so the candidate-side join reads co-located
+    // buckets
+    graft.sources.Sinks.writeBucketedTable(
+      TextFunctions.explodedShingles(docs, id, text, shingleN)
+        .dropDuplicates("doc_id", "sh")
+        .select(col("doc_id"), md5(col("sh")).as("h")),
+      s"${table}__shingles", nBuckets,
+      Seq("doc_id"), Seq("doc_id"), path = Some(s"$indexDir/shingles"))
     val spark = docs.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS `${table}__params`")
@@ -324,6 +335,47 @@ object Dedup {
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("candidate_id"))
       .distinct()
+  }
+
+  /** [[queryMinhashIndex]] with the verification stage the two-phase
+    * dedup contract requires: LSH candidates are recall-oriented, so a
+    * frontier acting on them (skip this URL, it's a dup) needs the
+    * exact n-gram Jaccard — and the index's shingle-HASH sidecar
+    * provides the candidate side WITHOUT re-reading any corpus text.
+    * The probe batch computes its own hashes map-side; candidates'
+    * hashes come off the bucketed sidecar pruned to candidate ids; the
+    * intersection join moves (pair, hash) rows bounded by the
+    * candidates' shingle counts. Output: candidates whose exact
+    * Jaccard reaches `threshold`, with the score — precision
+    * [[ngramJaccard]] semantics at serving cost.
+    */
+  def queryMinhashIndexVerified(spark: org.apache.spark.sql.SparkSession,
+                                table: String, newDocs: DataFrame,
+                                id: Column, text: Column,
+                                threshold: Double): DataFrame = {
+    val cand = queryMinhashIndex(spark, table, newDocs, id, text)
+    val shingleN = spark.table(s"${table}__params").collect()(0).getInt(0)
+    val qsh = TextFunctions.explodedShingles(newDocs, id, text, shingleN)
+      .dropDuplicates("doc_id", "sh")
+      .select(col("doc_id").as("query_id"), md5(col("sh")).as("h"))
+    val qsz = qsh.groupBy(col("query_id")).agg(count(lit(1)).as("n_a"))
+    val csh = spark.table(s"${table}__shingles")
+      .join(cand.select(col("candidate_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .withColumnRenamed("doc_id", "candidate_id")
+    val csz = csh.groupBy(col("candidate_id")).agg(count(lit(1)).as("n_b"))
+    val inter = cand.join(qsh, Seq("query_id"))
+      .join(csh, Seq("candidate_id", "h"))
+      .groupBy(col("query_id"), col("candidate_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("query_id", "candidate_id"), "left")
+      .join(qsz, Seq("query_id"))
+      .join(csz, Seq("candidate_id"))
+      .na.fill(0L, Seq("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("query_id"), col("candidate_id"), col("n_inter"), col("jaccard"))
   }
 
   /** SimHash code (16-bit, from md5 nibbles of each token): per bit b, the

@@ -2101,6 +2101,67 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }, Some(ivfPqOracle)),
 
+    // VERIFIED near-dup serving — the full crawl-frontier check from
+    // the artifact alone: the LSH probe (p72, recall) followed by
+    // exact n-gram Jaccard against the index's shingle-HASH sidecar
+    // (precision), corpus text never re-read at serve time (md5 is
+    // one-way, so the artifact can't reconstruct content either). The
+    // oracle recomputes candidates AND both shingle-hash sets from raw
+    // text via the shared CTE prelude.
+    ("p78_minhash_index_verify", (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.buildMinhashIndex(docs, col("doc_id"), col("text"),
+        indexDir = graft.sources.Sinks.tempArtifactDir("graft_mh_vidx"),
+        table = "graft_mh_vindex", nBuckets = 8)
+      Dedup.queryMinhashIndexVerified(s, "graft_mh_vindex",
+          docs.filter(col("doc_id") % 10 === 7), col("doc_id"), col("text"),
+          threshold = 0.25)
+        .orderBy(col("query_id"), col("candidate_id"))
+    }, Some(s"""
+      WITH $minhashBandsCtes,
+      qb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+      cand AS (SELECT qb.doc_id AS query_id, b.doc_id AS candidate_id
+               FROM bands b JOIN qb
+                 ON qb.band_key = b.band_key AND b.doc_id <> qb.doc_id
+               GROUP BY 1, 2),
+      shd AS (SELECT DISTINCT doc_id, md5(s) AS h FROM
+                (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      inter AS (SELECT query_id, candidate_id, count(*) AS n_inter
+                FROM cand JOIN shd a ON a.doc_id = query_id
+                          JOIN shd b ON b.doc_id = candidate_id AND a.h = b.h
+                GROUP BY 1, 2),
+      j AS (SELECT c.query_id, c.candidate_id,
+              CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+              round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+                    CAST(sa.n + sb.n - coalesce(n_inter, 0) AS DOUBLE), 6)
+                AS jaccard
+            FROM cand c
+            LEFT JOIN inter ON c.query_id = inter.query_id
+                           AND c.candidate_id = inter.candidate_id
+            JOIN sizes sa ON sa.doc_id = c.query_id
+            JOIN sizes sb ON sb.doc_id = c.candidate_id)
+      SELECT query_id, candidate_id, n_inter, jaccard FROM j
+      WHERE jaccard >= 0.25 ORDER BY query_id, candidate_id""")),
+
+    // The TOKENIZER MODEL lifecycle — train rarely, encode forever:
+    // the learned merge table persists as a model artifact
+    // (saveBpeModel) and a separate serving job loads it back
+    // (loadBpeModel re-orders by rank — rank order IS the model) and
+    // encodes the corpus. Must be indistinguishable from encoding with
+    // the in-memory table: shares p64's oracle, which reads encodings
+    // off the final unrolled TRAINING state and never sees the
+    // artifact.
+    ("p77_bpe_model_serve", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_bpe_model")
+      graft.text.CorpusOps.saveBpeModel(
+        graft.text.CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 8), dir)
+      graft.text.CorpusOps.bpeEncode(docs, col("doc_id"), col("text"),
+          graft.text.CorpusOps.loadBpeModel(s, dir))
+        .orderBy(col("doc_id"))
+    }, Some(bpeEncodeOracle(8))),
+
     // ANN recall EVALUATION — "measure, don't guess" as an operator:
     // recall@5 of the IVF-PQ tier against brute-force ground truth,
     // per query, zero-hit queries included. Both oracle sides reuse

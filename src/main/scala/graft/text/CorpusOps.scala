@@ -867,6 +867,26 @@ object CorpusOps {
     mergesDf.orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Persist a trained merge table as the TOKENIZER MODEL artifact —
+    * train rarely, encode forever means the table must outlive the
+    * training job: the schema is [[bpeTrainMerges]]' own (rank,
+    * pair_left, pair_right, merged, pair_count), numMerges rows of
+    * parquet, the bounded-model-artifact shape every serving job
+    * reads back. [[loadBpeModel]] re-orders by rank on load, so file
+    * layout never changes encoding semantics (rank order IS the
+    * model — applying merges in any other order is a different
+    * tokenizer; spec-pinned via a scrambled round-trip).
+    */
+  def saveBpeModel(mergesDf: DataFrame, dir: String): Unit =
+    mergesDf.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a [[saveBpeModel]] artifact back into the rank-ordered table
+    * [[graft.functions.BpeEncode]] broadcasts.
+    */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[(String, String)] =
+    bpeMergeTable(spark.read.parquet(dir))
+
   /** Merge-table BPE ENCODING of the corpus — tokenizer inference, the
     * missing half of [[bpeTrainMerges]] (training without distributed
     * encoding is half a tokenizer; inference runs on every document,

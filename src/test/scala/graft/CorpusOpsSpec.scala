@@ -145,6 +145,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE model artifact round-trips; load restores rank order from any file layout") {
+    import graft.text.CorpusOps
+    val docs = Seq((1L, "low lower low lowest"), (2L, "low low")).toDF("id", "text")
+    val trained = CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 2)
+    val dir = graft.sources.Sinks.tempArtifactDir("bpe_model_spec")
+    CorpusOps.saveBpeModel(trained, dir)
+    assert(CorpusOps.loadBpeModel(spark, dir) ==
+      CorpusOps.bpeMergeTable(trained))
+    // rank order IS the model: save a deliberately SCRAMBLED frame —
+    // load must restore training order, not file order
+    val scrambled = graft.sources.Sinks.tempArtifactDir("bpe_model_scr")
+    CorpusOps.saveBpeModel(trained.orderBy(col("rank").desc), scrambled)
+    assert(CorpusOps.loadBpeModel(spark, scrambled) == Seq(("l", "o"), ("lo", "w")))
+    // a model-served encode is indistinguishable from the in-memory one
+    val viaModel = CorpusOps.bpeEncode(docs, col("id"), col("text"),
+      CorpusOps.loadBpeModel(spark, scrambled)).collect().map(_.toString).sorted
+    val inline = CorpusOps.bpeEncode(docs, col("id"), col("text"),
+      CorpusOps.bpeMergeTable(trained)).collect().map(_.toString).sorted
+    assert(viaModel.toSeq == inline.toSeq)
+  }
+
   test("bpeEncode passthrough columns ride the encode projection, no join, no shuffle") {
     import graft.text.CorpusOps
     val docs = Seq((1L, "low lower", "web"), (2L, "low", "books"))
