@@ -82,21 +82,35 @@ object Bench {
     // round's report against 1.3 s on re-run): those get 9 reps and
     // report the MIN, the honest scheduling-overhead constant.
     val driverLoop = Set("q28_retry_fixpoint")
-    val results = SparkEntry.benchQueries.map { name =>
+    // Failure-honest timing: a query that throws is NOT a time. Round 6
+    // reported three timed analysis crashes as the suite's fastest query
+    // (q22 "0.060 s") because the catch sat inside the timed region.
+    // Failed queries appear as null in "queries", their messages in
+    // "errors", and the run exits nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.benchQueries.flatMap { name =>
       val fn = SparkEntry.queries(name)
       val reps = if (driverLoop(name)) 9 else 3
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark, benchDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (if (driverLoop(name)) times.head else times(1))
+      try {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(fn(spark, benchDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(name -> (if (driverLoop(name)) times.head else times(1)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        None
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val timed = results.toMap
+    val qs = SparkEntry.benchQueries.map { n =>
+      "\"" + n + "\":" + timed.get(n).map(v => f"$v%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${Jsons.obj(errors)},"sf":"$sfDir"}"""
     println(json)
     // the stdout line lands in a log tail the driver has to regex-mine;
     // a sidecar file carries the same JSON machine-readably
@@ -105,5 +119,6 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -38,6 +38,16 @@ object ImageCodec {
     */
   final class Codec {
     Multimodal.codecInits.incrementAndGet()
+    // ImageIO's default stream cache backs every encode/decode with a
+    // created-then-deleted TEMP FILE — pure overhead for byte-array
+    // streams, and a scale-killer on disk-backed /tmp (measured 2.5×
+    // single-threaded, ~11× under 32 concurrent tasks in round 6's p56
+    // regression). In-memory cache keeps the codec pure-CPU.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    // reused across rows (per-partition codec): PNG output for the
+    // fixture dims is a few KB, so one buffer serves the whole partition
+    private val encodeBuf = new java.io.ByteArrayOutputStream(64 << 10)
 
     /** Encode a gray image to real PNG bytes (lossless). */
     def encodeGrayPng(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
@@ -50,9 +60,9 @@ object ImageCodec {
         while (x < w) { r.setSample(x, y, 0, pix(y * w + x) & 0xff); x += 1 }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      encodeBuf.reset()
+      javax.imageio.ImageIO.write(img, "png", encodeBuf)
+      encodeBuf.toByteArray
     }
 
     /** Decode PNG/BMP bytes to gray pixels. Non-gray inputs fold to

@@ -17,7 +17,11 @@ object StreamingQueries {
 
   private val counter = new AtomicInteger(0)
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → read as Long). */
+  /** events schema as stored, EXCEPT `ts`, whose physical type is probed
+    * from the parquet footer per [[eventsStream]] — a hard-coded guess
+    * silently mis-decodes when the generator changes encodings (round 6:
+    * forced-Long over TIMESTAMP(MICROS) compressed event time 1000×).
+    */
   private val rawEventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -33,17 +37,28 @@ object StreamingQueries {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Streaming read of the events table (nanos → microsecond timestamps,
-    * same truncation as [[graft.Tables.events]]).
+  /** Streaming read of the events table. The file stream needs a declared
+    * schema; `ts`'s physical type is probed from the parquet footer (one
+    * metadata read, no scan) and the declared schema set to MATCH what is
+    * on disk — then [[graft.Tables.normalizeEventTime]], the same
+    * function the batch loader uses, maps it to session-zone timestamps,
+    * so the two read paths cannot drift.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.Tables.checkContract("events", batch.schema)
+    val tsType = batch.schema("ts").dataType
+    val schema = StructType(rawEventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
     // glob form: FileStreamSource force-sets basePath to the (file) path
     // for non-glob paths, which then fails directory validation.
-    spark.readStream.schema(rawEventsSchema)
+    val raw = spark.readStream.schema(schema)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTime(raw)
   }
 
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -381,6 +381,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  // q37/q44 read-path parity pins, mirroring q21's: the streaming result
+  // must equal the SAME logic run as a batch plan over Tables.events —
+  // the spec class that caught round 6's decode divergence for q21, now
+  // covering the join and session twins whose divergence was only
+  // visible to the driver's oracle.
+  test("streaming stream-stream join equals the batch interval join (q37)") {
+    import org.apache.spark.sql.functions._
+    val viaStream = graft.streaming.StreamingQueries.clickToPurchase(spark, TestSpark.sf)
+    val ev = Tables.events(spark, TestSpark.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val viaBatch = clicks.join(buys,
+      col("user_id") === col("b_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
+  test("streaming session window equals the batch gaps-and-islands sessions (q44)") {
+    import org.apache.spark.sql.functions._
+    val viaStream = graft.streaming.StreamingQueries.sessionWindow(spark, TestSpark.sf)
+    val viaBatch = graft.operators.Sessionize.byGap(
+        Tables.events(spark, TestSpark.sf), Seq(col("user_id")), col("ts"),
+        col("event_id"), 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(col("session_start"), col("user_id"), col("n_events"),
+        col("min_event_id"), col("max_event_id"))
+    val s = viaStream.collect().map(_.toString).sorted
+    val b = viaBatch.collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq == b.toSeq)
+  }
+
   test("streaming HLL registers equal the batch sketch (q59 vs p48)") {
     val viaStream = graft.streaming.StreamingQueries.hllDistinct(spark, TestSpark.sf)
     val viaBatch = SparkEntry.queries("p48_hll_distinct")(spark, TestSpark.sf)
