@@ -2075,9 +2075,14 @@ object PipelineQueries {
     // what every code row MEANS, so it cannot be an in-place append),
     // and an atomic CURRENT pointer swap (FileContext OVERWRITE rename)
     // flips serving; readers resolve a complete old or complete new
-    // version, never a torn one, and rollback is repointing. v1 here is
-    // the stale 80%-build; v2 retrains on the full corpus — serving
-    // CURRENT must equal the inline full build (p34's oracle verbatim).
+    // version, never a torn one, and rollback is repointing. The full
+    // lifecycle that FIRES a retrain: v1 builds on 80% of the corpus,
+    // the remaining 20% arrives as an appended segment under the frozen
+    // quantizers (the drift the monitor measures), then
+    // retrainIndexVersion derives its build input from the index's OWN
+    // live membership (base + appends − tombstones) — the caller never
+    // re-derives that set from ingest bookkeeping. Serving CURRENT must
+    // equal the inline full build (p34's oracle verbatim).
     ("p75_ann_index_retrain", (s, d) => {
       val e = Tables.embeddings(s, d)
       val base = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_ver")
@@ -2090,10 +2095,12 @@ object PipelineQueries {
           col("vec_id"), col("embedding"), cent, cb,
           dim = 64, numSubspaces = 4, indexDir = dir)
       }
-      SimilaritySearch.publishIndexVersion(s, base) { dir =>
-        SimilaritySearch.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
-          cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
-      }
+      SimilaritySearch.appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
+        col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4,
+        indexDir = SimilaritySearch.currentIndexDir(s, base), segment = "day1")
+      SimilaritySearch.retrainIndexVersion(s, base, e,
+        col("vec_id"), col("embedding"), cent, cb,
+        dim = 64, numSubspaces = 4)
       SimilaritySearch.searchIvfPqIndex(
           SimilaritySearch.currentIndexDir(s, base),
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),

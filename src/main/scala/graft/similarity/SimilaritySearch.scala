@@ -792,6 +792,39 @@ object SimilaritySearch {
     version
   }
 
+  /** Blue/green retrain whose build input is the CURRENT index's own
+    * LIVE membership — base + every appended segment − tombstones, the
+    * same mask the serve path and the compactor share — joined back to
+    * the vector store for the raw vectors (postings hold only code
+    * rows; codes are not invertible). The operational point: by the
+    * time drift fires retrain_advised, the index IS the corpus
+    * definition — appends that arrived since the base build fold in and
+    * takedowns stay taken down WITHOUT the caller re-deriving that set
+    * from ingest bookkeeping (a retrain that resurrected a tombstoned
+    * vector because someone rebuilt "from the corpus" is the deletion
+    * bug p66 exists to prevent). Scale shape: ONE left_semi join of the
+    * vector store against the distinct live ids (corpus-sized but
+    * id-only), then [[buildIvfPqIndex]]'s usual two artifact passes;
+    * nothing here is driver-materialized.
+    */
+  def retrainIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String,
+                          vectorSource: DataFrame, id: Column, vec: Column,
+                          cent: DataFrame, cb: DataFrame,
+                          dim: Int, numSubspaces: Int): String = {
+    val liveDir = currentIndexDir(spark, baseDir)
+    val liveIds = maskTombstones(
+        spark.read.parquet(s"$liveDir/postings"), liveDir)
+      .select(col("neighbor_id")).distinct()
+    val src = vectorSource.select(id.cast("long").as("neighbor_id"),
+      vec.as("__retrain_vec"))
+    val liveVectors = src.join(liveIds, Seq("neighbor_id"), "left_semi")
+    publishIndexVersion(spark, baseDir) { dir =>
+      buildIvfPqIndex(liveVectors, col("neighbor_id"), col("__retrain_vec"),
+        cent, cb, dim, numSubspaces, dir)
+    }
+  }
+
   /** Resolve the directory of the CURRENT published index version. */
   def currentIndexDir(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String): String = {

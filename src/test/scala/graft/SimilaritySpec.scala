@@ -389,6 +389,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("/v3"))
   }
 
+  test("retrainIndexVersion rebuilds from the index's live membership: appends fold in, tombstones stay dead") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    val base = graft.sources.Sinks.tempArtifactDir("idx_retrain")
+    // the lifecycle that fires a retrain: v1 on 80%, the held-out 20%
+    // appended under frozen quantizers, a takedown tombstoned
+    SimilaritySearch.publishIndexVersion(spark, base) { dir =>
+      SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+        col("vec_id"), col("embedding"), cent, cb,
+        dim = 64, numSubspaces = 4, indexDir = dir)
+    }
+    val v1Dir = SimilaritySearch.currentIndexDir(spark, base)
+    SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4,
+      indexDir = v1Dir, segment = "day1")
+    SimilaritySearch.tombstoneIvfPqIndex(embeddings.filter(col("vec_id") % 7 === 3),
+      col("vec_id"), v1Dir, segment = "t0")
+    val v = SimilaritySearch.retrainIndexVersion(spark, base, embeddings,
+      col("vec_id"), col("embedding"), cent, cb, dim = 64, numSubspaces = 4)
+    assert(v == "v2" && SimilaritySearch.currentIndexDir(spark, base).endsWith("/v2"))
+    // serving CURRENT == inline build on exactly the live membership
+    // (appended ids present, tombstoned ids NOT resurrected — the
+    // rebuilt-"from the corpus" deletion bug this API exists to prevent)
+    val survivorsDir = graft.sources.Sinks.tempArtifactDir("idx_retrain_oracle")
+    SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 7 =!= 3),
+      col("vec_id"), col("embedding"), cent, cb,
+      dim = 64, numSubspaces = 4, indexDir = survivorsDir)
+    def serve(dir: String) = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    val served = serve(SimilaritySearch.currentIndexDir(spark, base))
+    val oracle = serve(survivorsDir)
+    assert(served.exceptAll(oracle).count() == 0 &&
+      oracle.exceptAll(served).count() == 0)
+    // the new version is a COMPLETE fresh build: one base segment, no
+    // tombstone log carried over, and a fresh drift baseline (zero
+    // appended fraction everywhere)
+    val v2Dir = SimilaritySearch.currentIndexDir(spark, base)
+    val segs = new java.io.File(s"$v2Dir/postings").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(segs.toSeq == Seq("segment=base"))
+    assert(!new java.io.File(s"$v2Dir/tombstones").exists)
+    val drift = SimilaritySearch.ivfPqIndexDrift(spark, v2Dir).collect()
+    assert(drift.nonEmpty && drift.forall(r => r.getDouble(3) == 0.0))
+  }
+
   test("compaction preserves the drift baseline through a takedown cleanup") {
     val cent = embeddings.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
