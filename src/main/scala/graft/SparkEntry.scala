@@ -143,7 +143,10 @@ object SparkEntry {
         " WHERE NOT ((doc_id // 20) % 7 = 3)"))),
     ("q79_streaming_corpus_build4",
       (s, d) => graft.streaming.StreamingQueries.corpusBuild4(s, d),
-      Some(sharedOracle("p73_corpus_build4"))))
+      Some(sharedOracle("p73_corpus_build4"))),
+    ("q80_streaming_minhash_append",
+      (s, d) => graft.streaming.StreamingQueries.minhashIndexAppend(s, d),
+      Some(sharedOracle("p78_minhash_index_verify"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

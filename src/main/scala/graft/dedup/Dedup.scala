@@ -276,38 +276,223 @@ object Dedup {
                         indexDir: String, table: String, nBuckets: Int,
                         shingleN: Int = 3, numBands: Int = 4,
                         rowsPerBand: Int = 2): Unit = {
-    val k = numBands * rowsPerBand
-    val sig = docs.select(id.as("doc_id"),
-        MinHashSignature(text, shingleN, k).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = sig.select(
-      explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*))
-        .as("band_key"),
-      col("doc_id"))
     // EXTERNAL at the artifact path: rebuildable from any session (a
     // managed table's warehouse directory outlives the session-local
     // catalog entry and blocks the next build), and the index lives
-    // beside the other served artifacts, not in the warehouse
-    graft.sources.Sinks.writeBucketedTable(banded, table, nBuckets,
-      Seq("band_key"), Seq("band_key"), path = Some(s"$indexDir/bands"))
+    // beside the other served artifacts, not in the warehouse.
+    // SEGMENT-partitioned like the ANN postings (segment=base is this
+    // build; [[appendToMinhashIndex]] deltas land as their own
+    // partitions): the bucket-aware scan groups same-bucket files
+    // across partitions, so probe joins stay exchange-free as the
+    // index grows.
+    graft.sources.Sinks.writeBucketedTable(
+      minhashBandRows(docs, id, text, shingleN, numBands, rowsPerBand)
+        .withColumn("segment", lit("base")),
+      table, nBuckets,
+      Seq("band_key"), Seq("band_key"), path = Some(s"$indexDir/bands"),
+      partitionCols = Seq("segment"))
     // the VERIFICATION sidecar: each doc's distinct shingle HASHES
     // (md5 — one-way, so the artifact can verify candidates with exact
     // Jaccard at serve time without carrying or reconstructing text),
     // bucketed on doc_id so the candidate-side join reads co-located
     // buckets
     graft.sources.Sinks.writeBucketedTable(
-      TextFunctions.explodedShingles(docs, id, text, shingleN)
-        .dropDuplicates("doc_id", "sh")
-        .select(col("doc_id"), md5(col("sh")).as("h")),
+      shingleHashRows(docs, id, text, shingleN).withColumn("segment", lit("base")),
       s"${table}__shingles", nBuckets,
-      Seq("doc_id"), Seq("doc_id"), path = Some(s"$indexDir/shingles"))
+      Seq("doc_id"), Seq("doc_id"), path = Some(s"$indexDir/shingles"),
+      partitionCols = Seq("segment"))
     val spark = docs.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS `${table}__params`")
-    Seq((shingleN, numBands, rowsPerBand))
-      .toDF("shingle_n", "num_bands", "rows_per_band")
+    // n_buckets and index_dir ride the sidecar so append/compact/attach
+    // recover the exact physical spec FROM the artifact (a re-declared
+    // bucket count that differed would silently mis-bucket every join)
+    Seq((shingleN, numBands, rowsPerBand, nBuckets, indexDir))
+      .toDF("shingle_n", "num_bands", "rows_per_band", "n_buckets", "index_dir")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$indexDir/params").saveAsTable(s"${table}__params")
+  }
+
+  /** The one banding projection every index path shares (build, append,
+    * probe): (band_key, doc_id) rows from MinHash signatures.
+    */
+  private def minhashBandRows(docs: DataFrame, id: Column, text: Column,
+                              shingleN: Int, numBands: Int,
+                              rowsPerBand: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+        MinHashSignature(text, shingleN, numBands * rowsPerBand).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*))
+          .as("band_key"),
+        col("doc_id"))
+
+  /** The shared shingle-hash projection: (doc_id, h) distinct md5 rows. */
+  private def shingleHashRows(docs: DataFrame, id: Column, text: Column,
+                              shingleN: Int): DataFrame =
+    TextFunctions.explodedShingles(docs, id, text, shingleN)
+      .dropDuplicates("doc_id", "sh")
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+
+  /** The index params sidecar, decoded. */
+  private final case class MinhashIndexParams(shingleN: Int, numBands: Int,
+                                              rowsPerBand: Int, nBuckets: Int,
+                                              indexDir: String)
+  private def minhashParams(spark: org.apache.spark.sql.SparkSession,
+                            table: String): MinhashIndexParams = {
+    val p = spark.table(s"${table}__params").collect()(0)
+    MinhashIndexParams(p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3),
+      p.getString(4))
+  }
+
+  /** Grow the served dedup index WITHOUT a rebuild — the minhash twin
+    * of [[graft.similarity.SimilaritySearch.appendToIvfPqIndex]]: the
+    * new crawl batch's band postings and shingle hashes land as their
+    * own `segment=<label>` partitions of the two bucketed tables
+    * (static-partition INSERT OVERWRITE — the write touches only that
+    * partition, and re-running a RETRY with the same label rewrites the
+    * same partition instead of duplicating rows beside it). The banding
+    * config comes from the params sidecar — an append CANNOT be called
+    * with a mismatched config, whose band keys would silently never
+    * collide with the base build's. Segment-label rules are the shared
+    * [[graft.sources.Sinks.requireFreshSegment]] contract: retries
+    * declare `allowReplace`; distinct ingests collide loudly.
+    */
+  def appendToMinhashIndex(newDocs: DataFrame, id: Column, text: Column,
+                           table: String, segment: String,
+                           allowReplace: Boolean = false): Unit = {
+    require(segment.nonEmpty && segment != "base" &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"append segment label must be a non-'base' path-safe token, got '$segment'")
+    val spark = newDocs.sparkSession
+    val p = minhashParams(spark, table)
+    graft.sources.Sinks.requireFreshSegment(spark,
+      s"${p.indexDir}/bands/segment=$segment", segment, allowReplace)
+    val bandView = s"__graft_mh_append_bands_${obsId.incrementAndGet()}"
+    minhashBandRows(newDocs, id, text, p.shingleN, p.numBands, p.rowsPerBand)
+      .createOrReplaceTempView(bandView)
+    spark.sql(s"""INSERT OVERWRITE TABLE `$table` PARTITION (segment = '$segment')
+                  SELECT band_key, doc_id FROM `$bandView`""")
+    val shView = s"__graft_mh_append_sh_${obsId.incrementAndGet()}"
+    shingleHashRows(newDocs, id, text, p.shingleN).createOrReplaceTempView(shView)
+    spark.sql(s"""INSERT OVERWRITE TABLE `${table}__shingles`
+                  PARTITION (segment = '$segment')
+                  SELECT doc_id, h FROM `$shView`""")
+  }
+
+  /** Retract documents from the served dedup index — tombstones are
+    * DATA (`(doc_id)` rows under `tombstones/segment=<label>/`), never
+    * an in-place mutation of the bucketed tables; the probe paths mask
+    * tombstoned ids at serve time ([[queryMinhashIndex]]'s anti-join —
+    * a taken-down page stops being reported as a duplicate source the
+    * moment the segment lands) and [[compactMinhashIndex]] later drops
+    * their rows physically. Same label rules as every segmented
+    * artifact.
+    */
+  def tombstoneMinhashIndex(deletes: DataFrame, deleteId: Column,
+                            table: String, segment: String,
+                            allowReplace: Boolean = false): Unit = {
+    require(segment.nonEmpty &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"tombstone segment label must be a path-safe token, got '$segment'")
+    val spark = deletes.sparkSession
+    val p = minhashParams(spark, table)
+    graft.sources.Sinks.requireFreshSegment(spark,
+      s"${p.indexDir}/tombstones/segment=$segment", segment, allowReplace)
+    deletes.select(deleteId.cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${p.indexDir}/tombstones/segment=$segment")
+  }
+
+  /** The tombstone mask shared by both probe paths and the compactor —
+    * deleted docs cannot resurface through one path the others forgot.
+    */
+  private def maskMinhashTombstones(df: DataFrame, docIdCol: String,
+                                    indexDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) df
+    else df.join(
+      spark.read.parquet(s"$indexDir/tombstones")
+        .select(col("doc_id").as(docIdCol)),
+      Seq(docIdCol), "left_anti")
+  }
+
+  /** Re-register an existing minhash index artifact in THIS session's
+    * catalog — the cross-session serving attach (the building session's
+    * catalog entries are in-memory and die with it; the artifact
+    * doesn't). The physical spec (bucket count) and banding config are
+    * read from the params sidecar, never re-declared by the caller.
+    */
+  def attachMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, indexDir: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__params`")
+    spark.catalog.createTable(s"${table}__params", s"$indexDir/params", "parquet")
+    val p = minhashParams(spark, table)
+    graft.sources.Sinks.attachBucketedTable(spark, table,
+      s"$indexDir/bands", p.nBuckets, Seq("band_key"), Seq("band_key"),
+      partitionCols = Seq("segment"))
+    graft.sources.Sinks.attachBucketedTable(spark, s"${table}__shingles",
+      s"$indexDir/shingles", p.nBuckets, Seq("doc_id"), Seq("doc_id"),
+      partitionCols = Seq("segment"))
+  }
+
+  /** Fold the tombstones into the index physically: surviving band and
+    * shingle rows rewrite into two segments — `base` (survivors of the
+    * original build) and `merged` (survivors of every append, merged) —
+    * then the old layout is swapped out and the tombstone log dropped.
+    * Probe results are identical before and after (masking vs physical
+    * drop); compaction buys back the serve-time anti-join, the dead
+    * rows' scan cost, and the per-append partition listing. Provenance
+    * (base vs appended) survives, mirroring the ANN compactor's rule.
+    *
+    * Crash protocol: the new layout builds COMPLETELY in `__compact_tmp`
+    * tables beside the live ones, the swap is the shared
+    * [[graft.sources.Sinks.swapViaBackup]] (bands first, then
+    * shingles), and the tombstone log is dropped LAST. A crash at any
+    * point leaves tombstones intact plus either the old or the new
+    * complete layout — re-running converges (the anti-join of an
+    * already-compacted table is a no-op).
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = minhashParams(spark, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(p.indexDir).getFileSystem(conf)
+    val provenance =
+      when(col("segment") === "base", lit("base")).otherwise(lit("merged"))
+    val liveBands = maskMinhashTombstones(spark.table(table), "doc_id", p.indexDir)
+      .select(col("band_key"), col("doc_id"), provenance.as("segment"))
+    val liveShingles = maskMinhashTombstones(
+        spark.table(s"${table}__shingles"), "doc_id", p.indexDir)
+      .select(col("doc_id"), col("h"), provenance.as("segment"))
+    if (liveBands.limit(1).count() == 0)
+      throw new IllegalStateException(
+        "compactMinhashIndex: every posting is tombstoned — compaction " +
+          "would leave an unreadable empty index; drop the index explicitly")
+    graft.sources.Sinks.writeBucketedTable(liveBands, s"${table}__compact_tmp",
+      p.nBuckets, Seq("band_key"), Seq("band_key"),
+      path = Some(s"${p.indexDir}/bands__compact_tmp"),
+      partitionCols = Seq("segment"))
+    graft.sources.Sinks.writeBucketedTable(liveShingles,
+      s"${table}__shingles_compact_tmp",
+      p.nBuckets, Seq("doc_id"), Seq("doc_id"),
+      path = Some(s"${p.indexDir}/shingles__compact_tmp"),
+      partitionCols = Seq("segment"))
+    // swap the physical layouts, then rebind the catalog to them (the
+    // tmp catalog entries point at the tmp paths, which just moved)
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__compact_tmp`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__shingles_compact_tmp`")
+    graft.sources.Sinks.swapViaBackup(fs,
+      new Path(s"${p.indexDir}/bands__compact_tmp"),
+      new Path(s"${p.indexDir}/bands"))
+    graft.sources.Sinks.swapViaBackup(fs,
+      new Path(s"${p.indexDir}/shingles__compact_tmp"),
+      new Path(s"${p.indexDir}/shingles"))
+    attachMinhashIndex(spark, table, p.indexDir)
+    fs.delete(new Path(s"${p.indexDir}/tombstones"), true)
   }
 
   /** Probe a [[buildMinhashIndex]] artifact with a batch of new
@@ -323,15 +508,17 @@ object Dedup {
     */
   def queryMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                         newDocs: DataFrame, id: Column, text: Column): DataFrame = {
-    val p = spark.table(s"${table}__params").collect()(0)
-    val (shingleN, numBands, rowsPerBand) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val p = minhashParams(spark, table)
     val qbands = newDocs.select(id.as("query_id"),
-        MinHashSignature(text, shingleN, numBands * rowsPerBand).as("sig"))
+        MinHashSignature(text, p.shingleN, p.numBands * p.rowsPerBand).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("query_id"),
-        explode(array(bandKeyCols(col("sig"), numBands, rowsPerBand): _*))
+        explode(array(bandKeyCols(col("sig"), p.numBands, p.rowsPerBand): _*))
           .as("band_key"))
-    spark.table(table).join(qbands, Seq("band_key"))
+    // tombstone mask on the corpus side — a taken-down page must stop
+    // being reported as a duplicate source the moment its segment lands
+    maskMinhashTombstones(spark.table(table), "doc_id", p.indexDir)
+      .join(qbands, Seq("band_key"))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("candidate_id"))
       .distinct()
@@ -354,7 +541,7 @@ object Dedup {
                                 id: Column, text: Column,
                                 threshold: Double): DataFrame = {
     val cand = queryMinhashIndex(spark, table, newDocs, id, text)
-    val shingleN = spark.table(s"${table}__params").collect()(0).getInt(0)
+    val shingleN = minhashParams(spark, table).shingleN
     val qsh = TextFunctions.explodedShingles(newDocs, id, text, shingleN)
       .dropDuplicates("doc_id", "sh")
       .select(col("doc_id").as("query_id"), md5(col("sh")).as("h"))

@@ -2169,6 +2169,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, Some(bpeEncodeOracle(8))),
 
+    // The served dedup index LIFECYCLE — p72/p78's artifact as a live
+    // service, mirroring the ANN index's maintenance story: base build
+    // on 80% of the corpus, the day's crawl appended as its own
+    // bucketed segment partition (static-partition overwrite =
+    // per-label idempotence), a takedown tombstoned (masked at serve
+    // the moment it lands), then COMPACTED physically (two provenance
+    // segments, crash-safe swap, tombstone log dropped) — and the
+    // verified probe after all of it must equal the exact recompute
+    // over the live membership from raw text (candidates restricted to
+    // live docs; the oracle never sees segments or tombstones).
+    ("p79_minhash_index_lifecycle", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_mh_life")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        col("doc_id"), col("text"),
+        indexDir = dir, table = "graft_mh_lifeidx", nBuckets = 8)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 5 === 4),
+        col("doc_id"), col("text"), table = "graft_mh_lifeidx",
+        segment = "day1")
+      Dedup.tombstoneMinhashIndex(docs.filter(col("doc_id") % 10 === 3),
+        col("doc_id"), table = "graft_mh_lifeidx", segment = "t0")
+      Dedup.compactMinhashIndex(s, "graft_mh_lifeidx")
+      Dedup.queryMinhashIndexVerified(s, "graft_mh_lifeidx",
+          docs.filter(col("doc_id") % 10 === 7), col("doc_id"), col("text"),
+          threshold = 0.25)
+        .orderBy(col("query_id"), col("candidate_id"))
+    }, Some(s"""
+      WITH $minhashBandsCtes,
+      live AS (SELECT * FROM bands WHERE doc_id % 10 <> 3),
+      qb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+      cand AS (SELECT qb.doc_id AS query_id, b.doc_id AS candidate_id
+               FROM live b JOIN qb
+                 ON qb.band_key = b.band_key AND b.doc_id <> qb.doc_id
+               GROUP BY 1, 2),
+      shd AS (SELECT DISTINCT doc_id, md5(s) AS h FROM
+                (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      inter AS (SELECT query_id, candidate_id, count(*) AS n_inter
+                FROM cand JOIN shd a ON a.doc_id = query_id
+                          JOIN shd b ON b.doc_id = candidate_id AND a.h = b.h
+                GROUP BY 1, 2),
+      j AS (SELECT c.query_id, c.candidate_id,
+              CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+              round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+                    CAST(sa.n + sb.n - coalesce(n_inter, 0) AS DOUBLE), 6)
+                AS jaccard
+            FROM cand c
+            LEFT JOIN inter ON c.query_id = inter.query_id
+                           AND c.candidate_id = inter.candidate_id
+            JOIN sizes sa ON sa.doc_id = c.query_id
+            JOIN sizes sb ON sb.doc_id = c.candidate_id)
+      SELECT query_id, candidate_id, n_inter, jaccard FROM j
+      WHERE jaccard >= 0.25 ORDER BY query_id, candidate_id""")),
+
     // ANN recall EVALUATION — "measure, don't guess" as an operator:
     // recall@5 of the IVF-PQ tier against brute-force ground truth,
     // per query, zero-hit queries included. Both oracle sides reuse

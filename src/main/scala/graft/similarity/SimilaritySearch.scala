@@ -570,21 +570,13 @@ object SimilaritySearch {
       .write.mode("overwrite").parquet(s"$indexDir/tombstones/segment=$segment")
   }
 
-  /** The append/tombstone label-collision guard: a segment directory
-    * that already exists is only overwritable when the caller declared
-    * itself a RETRY (`allowReplace`) — two distinct ingests reusing a
-    * label must collide loudly, not silently erase each other.
+  /** The append/tombstone label-collision guard — the shared
+    * [[graft.sources.Sinks.requireFreshSegment]] recipe.
     */
   private def requireFreshSegment(spark: org.apache.spark.sql.SparkSession,
                                   segPath: String, segment: String,
-                                  allowReplace: Boolean): Unit = {
-    val p = new org.apache.hadoop.fs.Path(segPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(allowReplace || !fs.exists(p),
-      s"segment '$segment' already exists at $segPath — pass " +
-        "allowReplace = true only for a RETRY of the same data; a new " +
-        "ingest needs a new label")
-  }
+                                  allowReplace: Boolean): Unit =
+    graft.sources.Sinks.requireFreshSegment(spark, segPath, segment, allowReplace)
 
   /** Fold the accumulated tombstones into the postings physically:
     * surviving code rows rewrite into exactly TWO segments —

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Write-side scale hygiene. Reading 100 TB well is half the job; the
   * other half is not producing a pathological layout while writing it.
@@ -145,13 +145,20 @@ object Sinks {
     */
   def writeBucketedTable(df: DataFrame, table: String, nBuckets: Int,
                          bucketCols: Seq[String], sortCols: Seq[String] = Nil,
-                         path: Option[String] = None): Unit = {
+                         path: Option[String] = None,
+                         partitionCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty && nBuckets > 0, "need bucket columns and buckets > 0")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val w1 = path.fold(w0)(p => w0.option("path", p))
-    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
+    // partition-then-bucket: each partition directory holds a full set
+    // of bucket files, and the bucket-aware scan groups same-bucket
+    // files ACROSS partitions, so co-located joins survive a
+    // partitioned (segmented) layout
+    val w2 = if (partitionCols.isEmpty) w1
+      else w1.partitionBy(partitionCols: _*)
+    (if (sortCols.nonEmpty) w2.sortBy(sortCols.head, sortCols.tail: _*) else w2)
       .saveAsTable(table)
   }
 
@@ -188,6 +195,62 @@ object Sinks {
         fs.create(marker, true).close()
       }
     }
+
+  /** The segment label-collision guard shared by every segmented
+    * artifact (ANN postings/tombstones, minhash index partitions): a
+    * segment that already exists is only overwritable when the caller
+    * declared itself a RETRY (`allowReplace`) — two distinct ingests
+    * reusing a label must collide loudly, not silently erase each
+    * other (overwrite-as-idempotence is only idempotence when the
+    * replayed data is the same).
+    */
+  def requireFreshSegment(spark: SparkSession, segPath: String,
+                          segment: String, allowReplace: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(segPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(allowReplace || !fs.exists(p),
+      s"segment '$segment' already exists at $segPath — pass " +
+        "allowReplace = true only for a RETRY of the same data; a new " +
+        "ingest needs a new label")
+  }
+
+  /** Register an EXISTING bucketed-table artifact directory in this
+    * session's catalog — the cross-session attach a served artifact
+    * needs (the catalog entry is session-local and in-memory; the
+    * files outlive it). The DDL re-declares the bucket spec; the scan
+    * then recovers each file's bucket id from its name
+    * (`..._NNNNN.parquet`), so co-located joins plan exactly as they
+    * did in the building session. Partitioned layouts are re-discovered
+    * with `MSCK REPAIR TABLE`. The declared spec must MATCH what the
+    * files were written with — bucketing metadata lives only in the
+    * catalog, so a wrong re-declaration would silently mis-bucket
+    * every join; callers keep the spec in a params sidecar and read it
+    * from there ([[graft.dedup.Dedup.attachMinhashIndex]]).
+    */
+  def attachBucketedTable(spark: SparkSession, table: String, path: String,
+                          nBuckets: Int, bucketCols: Seq[String],
+                          sortCols: Seq[String] = Nil,
+                          partitionCols: Seq[String] = Nil): Unit = {
+    val schema = spark.read.parquet(path).schema
+    // partition columns go in PARTITIONED BY, not the column list
+    val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partClause = if (partitionCols.isEmpty) "" else
+      partitionCols.map { c =>
+        s"`$c` ${schema.fields.find(_.name == c).get.dataType.sql}"
+      }.mkString("PARTITIONED BY (", ", ", ")")
+    val sortClause = if (sortCols.isEmpty) "" else
+      sortCols.map(c => s"`$c`").mkString("SORTED BY (", ", ", ")")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` ($dataCols) USING parquet
+         |$partClause
+         |CLUSTERED BY (${bucketCols.map(c => s"`$c`").mkString(", ")})
+         |$sortClause
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$table`")
+  }
 
   /** Z-ordered layout write — multi-dimensional clustering paid once at
     * write time (the OPTIMIZE ZORDER technique): rows are

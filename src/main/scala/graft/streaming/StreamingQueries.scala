@@ -819,6 +819,44 @@ object StreamingQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The LIVE crawl-frontier dedup check: p79's served minhash index
+    * growing with the crawl on the streaming engine. The base index
+    * builds once (batch-side, 80% of the corpus); the remaining pages
+    * STREAM in, each micro-batch landing its band postings and shingle
+    * hashes as its own `segment=b<batchId>` partitions of the two
+    * bucketed tables (static-partition overwrite inside the
+    * commit-marker wrapper — the q67 exactly-once rule: a
+    * crash-replayed batch rewrites its own partitions, never appends
+    * beside them). Banding is per-row, so segment union is
+    * slice-independent: the verified probe after the stream drains
+    * equals probing the full-corpus index — p78's oracle verbatim.
+    * Stateless foreachBatch — no state-store state; the index grows on
+    * the durable storage a serving index lives on anyway.
+    */
+  def minhashIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dir = tempLogDir("graft_mh_stream")
+    val table = "graft_mh_streamidx"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),
+      col("doc_id"), col("text"), indexDir = dir, table = table, nBuckets = 8)
+    val q = documentsStream(spark, sfDir).filter(col("doc_id") % 5 === 4)
+      .writeStream
+      .foreachBatch(graft.sources.Sinks.idempotentForeachBatch(s"$dir/_commits") {
+        (batch: DataFrame, batchId: Long) =>
+          // allowReplace: a re-entry here IS a crash replay of the same
+          // micro-batch (the commit marker skips completed batch ids)
+          Dedup.appendToMinhashIndex(batch, col("doc_id"), col("text"),
+            table = table, segment = s"b$batchId", allowReplace = true)
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    Dedup.queryMinhashIndexVerified(spark, table,
+        docs.filter(col("doc_id") % 10 === 7), col("doc_id"), col("text"),
+        threshold = 0.25)
+      .orderBy(col("query_id"), col("candidate_id"))
+  }
+
   /** q60's frozen-stats limitation removed: BM25 whose df/corpus stats
     * TRACK THE ARRIVING CORPUS. Each micro-batch appends two
     * log-structured artifacts map-side (no state-store state): the

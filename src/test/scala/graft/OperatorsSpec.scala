@@ -539,6 +539,74 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("minhash index lifecycle: append folds in, tombstones mask, compaction preserves probes and co-location") {
+    import graft.dedup.Dedup
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with nothing shared here at all"),
+      (4L, "another unrelated document about spark plans and buckets"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "fresh content that matches no earlier page in any band"))
+      .toDF("doc_id", "text")
+    val dir = graft.sources.Sinks.tempArtifactDir("mh_idx_life")
+    Dedup.buildMinhashIndex(base, col("doc_id"), col("text"),
+      indexDir = dir, table = "mh_life", nBuckets = 4)
+    def probe() = Dedup.queryMinhashIndex(spark, "mh_life",
+      base.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(1L))
+    // the day's crawl lands as its own segment; the probe sees it
+    Dedup.appendToMinhashIndex(delta, col("doc_id"), col("text"),
+      table = "mh_life", segment = "day1")
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(1L, 5L))
+    // label collision guard: a distinct ingest reusing the label fails
+    // loudly; a declared RETRY overwrites its own partition (no dupes)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(delta, col("doc_id"), col("text"),
+        table = "mh_life", segment = "day1")
+    }
+    Dedup.appendToMinhashIndex(delta, col("doc_id"), col("text"),
+      table = "mh_life", segment = "day1", allowReplace = true)
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(1L, 5L))
+    // a takedown stops surfacing the moment its tombstone segment lands
+    Dedup.tombstoneMinhashIndex(base.filter(col("doc_id") === 1L),
+      col("doc_id"), table = "mh_life", segment = "t0")
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(5L))
+    // verified probe agrees post-append/tombstone (exact Jaccard = 1.0
+    // for the identical page)
+    val verified = Dedup.queryMinhashIndexVerified(spark, "mh_life",
+      base.filter(col("doc_id") === 2L), col("doc_id"), col("text"),
+      threshold = 0.5).collect()
+    assert(verified.map(_.getLong(1)).toSet == Set(5L) &&
+      verified.forall(_.getDouble(3) == 1.0))
+    // compaction: identical probes, physical drop, provenance kept
+    Dedup.compactMinhashIndex(spark, "mh_life")
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(5L))
+    val segs = new java.io.File(s"$dir/bands").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(segs.toSeq == Seq("segment=base", "segment=merged"))
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    // tombstoned rows are physically gone, not just masked
+    assert(spark.table("mh_life").filter(col("doc_id") === 1L).count() == 0)
+    // cross-session attach: rebind the catalog from the artifact alone
+    // and probe again — co-location still plans without a corpus-side
+    // exchange (bucket ids recovered from file names)
+    spark.sql("DROP TABLE IF EXISTS mh_life")
+    spark.sql("DROP TABLE IF EXISTS mh_life__shingles")
+    spark.sql("DROP TABLE IF EXISTS mh_life__params")
+    Dedup.attachMinhashIndex(spark, "mh_life", dir)
+    assert(probe().collect().map(_.getLong(1)).toSet == Set(5L))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = probe().queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"index side must not shuffle after attach:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approximate sketches track exact aggregates (the fixed-memory scale path)") {
     // at 100 TB, HLL / KLL sketches replace exact distinct/percentile
     // when tolerance allows: single pass, fixed memory, mergeable
