@@ -375,6 +375,76 @@ object ImageCodec {
     }.toDF()
   }
 
+  /** NEAR-duplicate image election — [[perceptualHashGroups]]' exact
+    * election extended with Hamming tolerance, the operation real image
+    * dedup needs (re-encoded, resampled, or lightly edited copies land
+    * a few bits away, never code-equal). Semantics: media sharing a
+    * code form a group (min-id keeper, as before); a group whose code
+    * is within `maxDist` bits of a group with a SMALLER keeper id is
+    * DOMINATED — its media all drop, pair-local like
+    * [[graft.dedup.Dedup.fuzzyDedup]]'s documented rule (one pass, no
+    * component iteration; [[graft.dedup.Dedup.clusterDedup]] is the
+    * cluster-granular alternative).
+    *
+    * Scale shape — code-level first: the corpus collapses to its
+    * DISTINCT codes (one election shuffle, the p56 shape) BEFORE any
+    * pairing, so the banded candidate join and the Hamming verify run
+    * over code groups, never media rows — at 100 TB the pair space is
+    * bounded by distinct-code collisions, not media². Candidates come
+    * from `bands` equal-width key bands (pigeonhole: `maxDist < bands`
+    * guarantees a pair within tolerance shares at least one band — the
+    * recall argument, enforced); the verify is the codegen
+    * [[graft.functions.HammingBits]] kernel.
+    *
+    * Output: (media_id, phash, keeper_id, kept, group_size, dominated)
+    * — p56's election columns plus the domination flag; `kept` is
+    * "group keeper AND group not dominated".
+    */
+  def phashNearDedup(df: DataFrame, id: Column, payload: Column,
+                     maxDist: Int = 7, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands ($bands) must divide the 64-bit code evenly")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole recall requires maxDist ($maxDist) < bands ($bands)")
+    val width = 64 / bands
+    val codes = aHashCodes(df, id, payload)
+    val groups = codes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b.toString),
+        substring(col("phash"), b * width + 1, width))
+    }
+    val banded = groups.select(col("phash"), col("keeper_id"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val buckets = banded.groupBy(col("band_key"))
+      .agg(collect_list(struct(col("phash"), col("keeper_id"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    val pairs = buckets
+      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+      .select(col("x"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))
+      .select(
+        when(col("x.phash") <= col("y.phash"), col("x")).otherwise(col("y")).as("a"),
+        when(col("x.phash") <= col("y.phash"), col("y")).otherwise(col("x")).as("b"))
+      .select(col("a.phash").as("phash_a"), col("a.keeper_id").as("keeper_a"),
+        col("b.phash").as("phash_b"), col("b.keeper_id").as("keeper_b"))
+      .distinct()
+      .withColumn("dist",
+        graft.functions.HammingBits(col("phash_a"), col("phash_b")))
+      .filter(col("dist") <= maxDist)
+    val dominated = pairs.select(
+        when(col("keeper_a") <= col("keeper_b"), col("phash_b"))
+          .otherwise(col("phash_a")).as("phash"))
+      .distinct()
+      .withColumn("__dom", lit(true))
+    codes.join(groups, Seq("phash"))
+      .join(dominated, Seq("phash"), "left")
+      .withColumn("dominated", coalesce(col("__dom"), lit(false)))
+      .select(col("media_id"), col("phash"), col("keeper_id"),
+        (col("media_id") === col("keeper_id") && !col("dominated")).as("kept"),
+        col("group_size"), col("dominated"))
+  }
+
   /** aHash dedup election: min-id keeper per 64-bit code — the image
     * dedup primitive, now over real decoded pixels. ONE election shuffle
     * carrying (code, id) rows; pixels never shuffle.

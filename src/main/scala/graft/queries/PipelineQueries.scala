@@ -2151,6 +2151,41 @@ object PipelineQueries {
       SELECT query_id, candidate_id, n_inter, jaccard FROM j
       WHERE jaccard >= 0.25 ORDER BY query_id, candidate_id""")),
 
+    // NEAR-duplicate image election — p56's exact election extended
+    // with Hamming tolerance (re-encoded/resampled copies land a few
+    // bits away, never code-equal): distinct-code groups pair via
+    // 8-band pigeonhole candidates (maxDist 7 < 8 bands guarantees
+    // recall), the codegen HammingBits kernel verifies, and a group
+    // whose code sits within tolerance of a smaller-keeper group is
+    // dominated (pair-local, the fuzzyDedup rule). The oracle
+    // recomputes codes from the pixel formula and does the ALL-PAIRS
+    // Hamming over distinct codes — banding must lose nothing.
+    ("p80_phash_near_dedup", (s, d) => {
+      import graft.multimodal.ImageCodec
+      ImageCodec.phashNearDedup(
+          ImageCodec.SyntheticImages.pngFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"), maxDist = 7, bands = 8)
+        .orderBy(col("media_id"))
+    }, Some(s"""
+      WITH $phashCodedCtes,
+      grp AS (SELECT phash, min(media_id) AS keeper_id,
+                count(*) AS group_size
+              FROM coded GROUP BY 1),
+      near AS (SELECT a.phash AS pa, a.keeper_id AS ka,
+                 b.phash AS pb, b.keeper_id AS kb
+               FROM grp a JOIN grp b ON a.phash < b.phash
+               WHERE len(list_filter(generate_series(1, 64),
+                       i -> substr(a.phash, i, 1) <> substr(b.phash, i, 1))) <= 7),
+      dom AS (SELECT DISTINCT CASE WHEN ka <= kb THEN pb ELSE pa END AS phash
+              FROM near)
+      SELECT c.media_id, c.phash, g.keeper_id,
+             c.media_id = g.keeper_id
+               AND c.phash NOT IN (SELECT phash FROM dom) AS kept,
+             g.group_size,
+             c.phash IN (SELECT phash FROM dom) AS dominated
+      FROM coded c JOIN grp g USING (phash)
+      ORDER BY c.media_id""")),
+
     // The TOKENIZER MODEL lifecycle — train rarely, encode forever:
     // the learned merge table persists as a model artifact
     // (saveBpeModel) and a separate serving job loads it back

@@ -219,4 +219,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1) == (2L, 14L, 1L, false)) // permutation collides, loses election
     assert(out(2) == (3L, 1024L, 3L, true)) // 'z'→bucket 10 only
   }
+
+  test("phashNearDedup dominates within-tolerance code groups, exact groups unchanged") {
+    import graft.multimodal.ImageCodec
+    // 2 media per fixture seed (ids 0..31, seed = id % 16). The 16
+    // fixture codes have min pairwise Hamming 6: seeds 6↔14 at 6 and
+    // 5↔14 at 7 — at maxDist=7 exactly seed 14's group is dominated
+    // (both neighbors carry smaller keepers), everything else keeps
+    // its exact-election result.
+    val docs = spark.range(32).toDF("doc_id")
+    val out = ImageCodec.phashNearDedup(
+        ImageCodec.SyntheticImages.pngFixture(docs, col("doc_id")),
+        col("media_id"), col("payload"), maxDist = 7, bands = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.length == 32)
+    assert(out.forall(_._3 == 2L)) // every code group holds its 2 seed-copies
+    val dominatedIds = out.filter(_._4).map(_._1).toSet
+    assert(dominatedIds == Set(14L, 30L), s"got $dominatedIds")
+    val keptIds = out.filter(_._2).map(_._1).toSet
+    assert(keptIds == ((0L until 16L).toSet - 14L), s"got $keptIds")
+    // tighter tolerance (min fixture distance is 6): nothing dominates,
+    // the election degenerates to the exact p56 result
+    val exact = ImageCodec.phashNearDedup(
+        ImageCodec.SyntheticImages.pngFixture(docs, col("doc_id")),
+        col("media_id"), col("payload"), maxDist = 5, bands = 8)
+      .collect()
+    assert(exact.forall(!_.getBoolean(5)))
+    assert(exact.filter(_.getBoolean(3)).map(_.getLong(0)).toSet == (0L until 16L).toSet)
+  }
+
+  test("HammingBits counts differing positions and fails loudly on length mismatch") {
+    import graft.functions.HammingBits
+    val df = Seq(("0110", "0101"), ("1111", "1111")).toDF("a", "b")
+    val d = df.select(HammingBits(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(d.toSeq == Seq(2, 0))
+    val e = intercept[Exception] {
+      Seq(("01", "010")).toDF("a", "b")
+        .select(HammingBits(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
