@@ -146,7 +146,10 @@ object SparkEntry {
       Some(sharedOracle("p73_corpus_build4"))),
     ("q80_streaming_minhash_append",
       (s, d) => graft.streaming.StreamingQueries.minhashIndexAppend(s, d),
-      Some(sharedOracle("p78_minhash_index_verify"))))
+      Some(sharedOracle("p78_minhash_index_verify"))),
+    ("q81_streaming_log_odds",
+      (s, d) => graft.streaming.StreamingQueries.logOddsScoring(s, d),
+      Some(sharedOracle("p81_log_odds_quality"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -1257,6 +1257,20 @@ object PipelineQueries {
              round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
       FROM sc GROUP BY 1 ORDER BY doc_id""")),
 
+    // Discriminative log-odds quality filter — the CCNet/GPT-3-family
+    // reference classifier beside p45's generative LM: the reference
+    // slice here is lang='en'; every doc scores by the mean add-one
+    // log-odds of its tokens (reference vs rest), integer micro-units
+    // per token so the sum is order-independent. Oracle recomputes the
+    // identical arithmetic; the CASE branches mirror Spark's
+    // `otherwise` (null predicate counts as non-reference).
+    ("p81_log_odds_quality", (s, d) => {
+      graft.text.CorpusOps.logOddsQuality(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }, Some(logOddsOracle)),
+
     // Exactly-k deterministic sample per group — distributed reservoir
     // via the ANN ladder's two-phase bounded top-k (k smallest md5 dice
     // rolls per group; no per-group global sort). The 13-hex-char roll
@@ -2612,6 +2626,37 @@ object PipelineQueries {
                     p -> CASE WHEN p * 64 >= list_sum(sp)
                               THEN '1' ELSE '0' END), '') AS phash
                 FROM samp)"""
+
+  /** Oracle for the log-odds reference classifier (p81 + its streaming
+    * twin): the same add-one log-odds weights in integer micro-units,
+    * recomputed from raw text. CASE branches mirror Spark's
+    * when/otherwise pair exactly (null predicate → non-reference).
+    */
+  lazy val logOddsOracle: String = s"""
+      WITH t AS (SELECT doc_id, lang = 'en' AS good,
+                   ${sqlToks("text")} AS toks FROM documents),
+      t1 AS (SELECT * FROM t WHERE len(toks) >= 1),
+      u AS (SELECT doc_id, good, unnest(toks) AS tok FROM t1),
+      c AS (SELECT tok,
+              sum(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+              sum(CASE WHEN good THEN 0 ELSE 1 END) AS cb
+            FROM u GROUP BY 1),
+      tot AS (SELECT sum(cg) AS ng, sum(cb) AS nb, count(*) AS v FROM c),
+      w AS (SELECT tok,
+              CAST(round((ln(CAST(cg + 1 AS DOUBLE) / CAST(ng + v AS DOUBLE))
+                        - ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+                   * 1e6, 0) AS BIGINT) AS w_micro
+            FROM c, tot),
+      sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_micro) AS s
+             FROM u JOIN w USING (tok) GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
+                  ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END
+               AS log_odds_micro,
+             (CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
+                   ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END) / 1e6
+               AS log_odds
+      FROM sc ORDER BY doc_id"""
 
   lazy val phashOracle: String = s"""
       WITH $phashCodedCtes,

@@ -426,6 +426,25 @@ object StreamingQueries {
     runToMemory(CorpusOps.scoreBigrams(bg, lm)).orderBy(col("doc_id"))
   }
 
+  /** p81's discriminative quality scoring on the streaming engine —
+    * the same model-artifact deployment shape as [[perplexityScoring]]:
+    * the log-odds weights train BATCH-side on the corpus snapshot
+    * ([[graft.text.CorpusOps.logOddsModel]]), and the document stream
+    * scores against them via a stream-static join. Token expansion is
+    * the shared [[graft.text.CorpusOps.tokenRows]] projection, so
+    * streaming scores are batch-identical by construction; streaming
+    * state is the per-doc (count, integer micro-unit sum) pair —
+    * order- and slice-independent.
+    */
+  def logOddsScoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val docs = graft.Tables.documents(spark, sfDir)
+    val model = CorpusOps.logOddsModel(docs, col("text"), col("lang") === "en")
+    val toks = CorpusOps.tokenRows(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"))
+    runToMemory(CorpusOps.scoreLogOdds(toks, model)).orderBy(col("doc_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language

@@ -394,6 +394,80 @@ object CorpusOps {
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
 
+  /** The trained discriminative quality model: per-token integer
+    * micro-unit log-odds weights as a DataFrame artifact (train once on
+    * the corpus snapshot, score batch-side or stream-static forever —
+    * the [[BigramLm]] deployment shape).
+    */
+  final case class LogOddsModel(weights: DataFrame)
+
+  /** Shared map-side token expansion for the log-odds scorer and its
+    * streaming twin — one definition so the two executions cannot
+    * drift (the chunkRows rule).
+    */
+  private[graft] def tokenRows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("tok"))
+
+  /** Train the reference classifier: a caller-supplied predicate labels
+    * the REFERENCE slice (a trusted source, a target language), and
+    * each vocabulary token gets the add-one-smoothed log-odds of
+    * reference vs rest:
+    *   w(t) = ln((c_good+1)/(N_good+V)) − ln((c_bad+1)/(N_bad+V))
+    * truncated ONCE to integer micro-units (the p45/p54 rule — per-doc
+    * sums become exact order-independent integer aggregates). Class
+    * totals stay a one-row DataFrame folded in by broadcast cross join
+    * (the accepted one-row-stats plan shape; no driver collect). A null
+    * predicate counts as non-reference, by the `otherwise` branch.
+    */
+  def logOddsModel(docs: DataFrame, text: Column, isGood: Column): LogOddsModel = {
+    val toks = docs.select(isGood.cast("boolean").as("__good"),
+      explode(TextFunctions.tokens(text)).as("tok"))
+    val c = toks.groupBy(col("tok")).agg(
+      sum(when(col("__good"), 1L).otherwise(0L)).as("cg"),
+      sum(when(col("__good"), 0L).otherwise(1L)).as("cb"))
+    val tot = c.agg(sum(col("cg")).as("ng"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    LogOddsModel(c.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round((log((col("cg") + 1).cast("double") /
+            (col("ng") + col("v")).cast("double")) -
+          log((col("cb") + 1).cast("double") /
+            (col("nb") + col("v")).cast("double"))) * 1e6, 0)
+          .cast("long").as("w_micro")))
+  }
+
+  /** Score token rows against a trained [[LogOddsModel]] and aggregate
+    * per document: mean per-token log-odds, positive = reference-like.
+    * Shared by the batch entry and the streaming twin.
+    *
+    * The mean stays in PURE INTEGER arithmetic (half-away-from-zero via
+    * `(2·|s| + n) div (2n)`, sign reapplied): `round(double, 6)` is NOT
+    * engine-portable at tie-looking values — Spark's round goes through
+    * BigDecimal.valueOf (shortest-decimal canonicalization of the
+    * double) while DuckDB rounds the raw binary value, so a mean that
+    * PRINTS as x.5e-6 can round differently (found by the sf0.1 hash
+    * gate). The exposed double is derived by exact IEEE division only.
+    */
+  private[graft] def scoreLogOdds(toks: DataFrame, model: LogOddsModel): DataFrame =
+    toks.join(model.weights, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("s") >= 0, expr("(2 * s + n_tokens) div (2 * n_tokens)"))
+          .otherwise(-expr("(2 * -s + n_tokens) div (2 * n_tokens)"))
+          .as("log_odds_micro"))
+      .withColumn("log_odds", col("log_odds_micro") / lit(1e6))
+
+  /** Discriminative log-odds quality filter — the CCNet/GPT-3-family
+    * "reference classifier" companion to [[bigramPerplexity]]'s
+    * generative scorer. Scale shape: ONE vocabulary-bounded (token)
+    * count shuffle with map-side combine for the weights, one token
+    * join to score, one doc-keyed aggregate — p45's shape exactly.
+    */
+  def logOddsQuality(docs: DataFrame, id: Column, text: Column,
+                     isGood: Column): DataFrame =
+    scoreLogOdds(tokenRows(docs, id, text), logOddsModel(docs, text, isGood))
+
   /** Inverted-index build: one row per token with document frequency,
     * collection frequency, and the doc_id-ordered posting list
     * ("doc_id:tf" entries) — the retrieval artifact BM25/boolean search

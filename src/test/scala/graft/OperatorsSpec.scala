@@ -607,6 +607,39 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("minhash compaction converges from crash debris and re-runs as a no-op") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val dir = graft.sources.Sinks.tempArtifactDir("mh_idx_crash")
+    Dedup.buildMinhashIndex(docs, col("doc_id"), col("text"),
+      indexDir = dir, table = "mh_crash", nBuckets = 4)
+    Dedup.tombstoneMinhashIndex(docs.filter(col("doc_id") === 1L),
+      col("doc_id"), table = "mh_crash", segment = "t0")
+    // simulate a compaction that crashed BEFORE the swap: stale tmp
+    // debris on disk (a half-written layout) must be overwritten, not
+    // merged or trusted
+    new java.io.File(s"$dir/bands__compact_tmp/garbage").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bands__compact_tmp/garbage/junk"),
+      "torn".getBytes("UTF-8"))
+    Dedup.compactMinhashIndex(spark, "mh_crash")
+    def probe() = Dedup.queryMinhashIndex(spark, "mh_crash",
+      docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+    assert(probe().count() == 0) // 1 tombstoned, 3 shares no band
+    assert(spark.table("mh_crash").filter(col("doc_id") === 1L).count() == 0)
+    assert(!new java.io.File(s"$dir/bands__compact_tmp").exists)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    // a RE-RUN with no tombstones is a no-op rewrite: same probes, same
+    // live rows (idempotent at any later crash point)
+    val before = spark.table("mh_crash").count()
+    Dedup.compactMinhashIndex(spark, "mh_crash")
+    assert(spark.table("mh_crash").count() == before && probe().count() == 0)
+  }
+
   test("approximate sketches track exact aggregates (the fixed-memory scale path)") {
     // at 100 TB, HLL / KLL sketches replace exact distinct/percentile
     // when tolerance allows: single pass, fixed memory, mergeable
