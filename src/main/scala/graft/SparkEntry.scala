@@ -149,7 +149,10 @@ object SparkEntry {
       Some(sharedOracle("p78_minhash_index_verify"))),
     ("q81_streaming_log_odds",
       (s, d) => graft.streaming.StreamingQueries.logOddsScoring(s, d),
-      Some(sharedOracle("p81_log_odds_quality"))))
+      Some(sharedOracle("p81_log_odds_quality"))),
+    ("q82_streaming_phash_near",
+      (s, d) => graft.streaming.StreamingQueries.phashNearDedupStream(s, d),
+      Some(sharedOracle("p80_phash_near_dedup"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -206,5 +209,8 @@ object SparkEntry {
     "p60_rag_chunks", "p62_phrase_search", "p63_url_dedup",
     // round-6: merge-table tokenizer inference over the corpus, and
     // the tokenize→pack composition that ends the pretraining pipeline
-    "p64_bpe_encode", "p70_tokenize_pack")
+    "p64_bpe_encode", "p70_tokenize_pack",
+    // round-7: Hamming-tolerant image near-dedup (real decode + banded
+    // code pairing) and the discriminative log-odds quality filter
+    "p80_phash_near_dedup", "p81_log_odds_quality")
 }

@@ -402,14 +402,25 @@ object ImageCodec {
     */
   def phashNearDedup(df: DataFrame, id: Column, payload: Column,
                      maxDist: Int = 7, bands: Int = 8): DataFrame = {
+    val codes = aHashCodes(df, id, payload)
+    val groups = codes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    nearElection(codes, groups, maxDist, bands)
+  }
+
+  /** The code-level half of [[phashNearDedup]], shared with the
+    * streaming twin (which streams the election aggregate and applies
+    * this batch-side — the q66 epoch shape): banded candidates over the
+    * DISTINCT-code `groups`, Hamming verify, pair-local domination,
+    * and the per-media projection.
+    */
+  private[graft] def nearElection(codes: DataFrame, groups: DataFrame,
+                                  maxDist: Int, bands: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0,
       s"bands ($bands) must divide the 64-bit code evenly")
     require(maxDist >= 0 && maxDist < bands,
       s"pigeonhole recall requires maxDist ($maxDist) < bands ($bands)")
     val width = 64 / bands
-    val codes = aHashCodes(df, id, payload)
-    val groups = codes.groupBy(col("phash"))
-      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size"))
     val bandKeys = (0 until bands).map { b =>
       concat_ws(":", lit(b.toString),
         substring(col("phash"), b * width + 1, width))

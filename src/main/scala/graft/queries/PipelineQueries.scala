@@ -2301,6 +2301,55 @@ object PipelineQueries {
       FROM ne LEFT JOIN hits USING (query_id)
       ORDER BY query_id""")),
 
+    // Retrieval EVALUATION — p76's "measure, don't guess" loop for the
+    // TEXT ranking stack: MRR@15 inputs per query for the p49 BM25
+    // ranking, against AND-match ground truth (docs containing every
+    // query term — p61's boolean-search semantics as the relevance
+    // fixture). Reciprocal rank stays in exact integer micro-units
+    // (1e6 div rank); zero-hit queries kept. The oracle nests the p49
+    // oracle string verbatim, so the evaluation cannot drift from the
+    // ranking it evaluates.
+    ("p83_bm25_mrr", (s, d) => {
+      import graft.text.CorpusOps
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ranking = CorpusOps.bm25TopK(docs, col("doc_id"), col("text"),
+        queries = CorpusOps.bm25DemoQueries, k = 15)
+      val qt = CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map((q, _)) }.toDF("qid", "term")
+      val qs = qt.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      val rel = dt.join(broadcast(qt), Seq("term"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("m"))
+        .join(broadcast(qs), Seq("qid")).filter(col("m") === col("nt"))
+        .select(col("qid"), col("doc_id"))
+      CorpusOps.retrievalMrr(ranking, rel).orderBy(col("qid"))
+    }, Some {
+      val qtVals = graft.text.CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t')") }
+        .mkString(", ")
+      s"""
+      WITH r AS (${bm25Oracle("")}),
+      qt AS (SELECT * FROM (VALUES $qtVals) AS t(qid, term)),
+      qs AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+      dt AS (SELECT DISTINCT doc_id, term FROM
+               (SELECT doc_id, unnest(${sqlToks("text")}) AS term
+                FROM documents)),
+      mm AS (SELECT qt.qid, dt.doc_id, count(*) AS m
+             FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+      rel AS (SELECT mm.qid, mm.doc_id
+              FROM mm JOIN qs USING (qid) WHERE m = nt),
+      fr AS (SELECT r.qid, min(r.rank) AS frk, count(*) AS n_rel_topk
+             FROM r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+             GROUP BY 1),
+      qq AS (SELECT DISTINCT qid FROM r)
+      SELECT qq.qid, CAST(coalesce(n_rel_topk, 0) AS BIGINT) AS n_rel_topk,
+             CAST(coalesce(frk, 0) AS BIGINT) AS first_rel_rank,
+             CAST(coalesce(1000000 // frk, 0) AS BIGINT) AS rr_micro
+      FROM qq LEFT JOIN fr USING (qid) ORDER BY qq.qid"""
+    }),
+
     // The pack MANIFEST — the dataloader's view of p32's layout: one
     // row per (training sequence, document span), with the span's
     // position inside the sequence and inside the document. What a

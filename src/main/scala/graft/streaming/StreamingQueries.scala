@@ -614,6 +614,32 @@ object StreamingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p80's Hamming-tolerant near-dup election on the streaming engine —
+    * the q66 epoch shape one level up: the media stream folds into the
+    * DISTINCT-code election aggregate (phash → min keeper, count; the
+    * only state, bounded by distinct codes), and at the epoch boundary
+    * the code-level banded pairing + Hamming domination run batch-side
+    * over that tiny result via the SHARED
+    * [[graft.multimodal.ImageCodec.nearElection]] — slice-independent
+    * because min/count merge associatively. Shares p80's all-pairs
+    * oracle.
+    */
+  def phashNearDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.ImageCodec
+    val streamCodes = ImageCodec.aHashCodes(
+      ImageCodec.SyntheticImages.pngFixture(
+        documentsStream(spark, sfDir), col("doc_id")),
+      col("media_id"), col("payload"))
+    val groups = runToMemory(streamCodes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("group_size")))
+    val codes = ImageCodec.aHashCodes(
+      ImageCodec.SyntheticImages.pngFixture(
+        graft.Tables.documents(spark, sfDir), col("doc_id")),
+      col("media_id"), col("payload"))
+    ImageCodec.nearElection(codes, groups, maxDist = 7, bands = 8)
+      .orderBy(col("media_id"))
+  }
+
   /** q65's missing half — the posting-list BODY maintained on the
     * streaming engine, log-structured: each micro-batch builds its own
     * complete index SEGMENT (the batch [[graft.text.CorpusOps.invertedIndex]]

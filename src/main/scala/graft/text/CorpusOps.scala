@@ -468,6 +468,33 @@ object CorpusOps {
                      isGood: Column): DataFrame =
     scoreLogOdds(tokenRows(docs, id, text), logOddsModel(docs, text, isGood))
 
+  /** Retrieval evaluation — "measure, don't guess" for the TEXT ranking
+    * stack, the [[graft.similarity.SimilaritySearch.recallAtK]] sibling:
+    * per ranked query, the rank of the first relevant result and its
+    * reciprocal rank in EXACT integer micro-units (`1e6 div rank` — no
+    * float rounding at an oracle boundary), plus the relevant count in
+    * the top-k. Zero-hit queries are kept with rr 0 (an inner join
+    * would silently drop exactly the queries an operator must see —
+    * the recallAtK rule). `ranking` is bm25TopK-shaped (qid, rank,
+    * doc_id); `relevance` is (qid, doc_id) ground truth. Both sides
+    * are ≤ queries×k rows — the evaluation joins ranked lists, never
+    * corpora; run it on a labeled query panel to pick k1/b or index
+    * pruning empirically.
+    */
+  def retrievalMrr(ranking: DataFrame, relevance: DataFrame): DataFrame = {
+    val hits = ranking.select(col("qid"), col("rank"), col("doc_id"))
+      .join(relevance.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).as("frk"), count(lit(1)).as("n_rel_topk"))
+    ranking.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        coalesce(col("frk").cast("long"), lit(0L)).as("first_rel_rank"),
+        coalesce(expr("CAST(1000000 AS BIGINT) div CAST(frk AS BIGINT)"),
+          lit(0L)).as("rr_micro"))
+  }
+
   /** Inverted-index build: one row per token with document frequency,
     * collection frequency, and the doc_id-ordered posting list
     * ("doc_id:tf" entries) — the retrieval artifact BM25/boolean search

@@ -45,7 +45,7 @@ class ControlSpec extends AnyFunSuite {
     try {
       def bytes(): Long = spark.table(qn)
         .agg(coalesce(sum(length(col("data"))), lit(0L))).as[Long].head()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (bytes() < 100 && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
       }
@@ -66,7 +66,7 @@ class ControlSpec extends AnyFunSuite {
     try {
       def n(): Long = spark.table(qn).count()
       def awaitN(target: Long): Long = {
-        val deadline = System.currentTimeMillis() + 15000
+        val deadline = System.currentTimeMillis() + 60000
         while (n() < target && System.currentTimeMillis() < deadline) Thread.sleep(100)
         n()
       }
@@ -96,7 +96,7 @@ class ControlSpec extends AnyFunSuite {
     try {
       def n(): Long = spark.table(qn).count()
       def awaitN(target: Long): Long = {
-        val deadline = System.currentTimeMillis() + 15000
+        val deadline = System.currentTimeMillis() + 60000
         while (n() < target && System.currentTimeMillis() < deadline) Thread.sleep(100)
         n()
       }
@@ -246,7 +246,7 @@ class ControlSpec extends AnyFunSuite {
     val q = df.writeStream.format("memory").queryName(qn)
       .trigger(Trigger.ProcessingTime(25)).start()
     try {
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (spark.table(qn).count() < 5 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(spark.table(qn).count() >= 5)
