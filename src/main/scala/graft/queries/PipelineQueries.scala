@@ -32,6 +32,22 @@ object PipelineQueries {
           ELSE [] END"""
   }
 
+  /** DuckDB SQL fragment: deterministic 40-bit hash in [1, 2^40] — exact
+    * dual of [[graft.dedup.Dedup.sketchHash40]] (first 10 hex chars of
+    * md5 parsed positionally, +1).
+    */
+  private def sqlHash40(e: String): String =
+    s"""(1 + list_aggregate(list_transform(range(10), i ->
+          CAST(instr('0123456789abcdef', substr(md5($e), CAST(i+1 AS INT), 1)) - 1
+               AS BIGINT) * (1::BIGINT << CAST(4*(9-i) AS INT))), 'sum'))"""
+
+  /** DuckDB SQL fragment: the [[graft.dedup.Dedup]] sketch estimator —
+    * (2^40·B·(B−1)) div S over B bucket minima summing to S (see
+    * Dedup.sketchEst for why sum-of-minima).
+    */
+  private def sqlSketchEst(b: String, s: String): String =
+    s"CAST((1099511627776 * $b * ($b - 1)) // $s AS BIGINT)"
+
   private val langs = TextFunctions.langStopwords.keys.toSeq.sorted
 
   /** DuckDB SQL: hash bucket in [0, 10000) from an md5-hex column `m` —
@@ -2384,7 +2400,54 @@ object PipelineQueries {
              CAST(least(cp + n_tokens, (seq + 1) * 512)
                   - greatest(cp, seq * 512) AS BIGINT) AS n_span,
              source
-      FROM m ORDER BY source, seq, seq_pos"""))
+      FROM m ORDER BY source, seq, seq_pos""")),
+
+    // Sketch-based cross-source overlap — p52's triage matrix from
+    // fixed-size mergeable bucket-min sketches (KMV with stochastic
+    // averaging): ONE map-side-combinable aggregation shuffle carrying
+    // ≤ partitions×sources×k rows instead of every distinct shingle
+    // hash, integer-deterministic so the oracle reproduces the
+    // estimates bit-for-bit (no tolerance band).
+    ("p84_sketch_overlap", (s, d) => {
+      graft.dedup.Dedup.sketchOverlap(Tables.documents(s, d),
+          col("source"), col("text"), shingleN = 3, k = 256)
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH sh AS (SELECT source, unnest($sqlShingles) AS sh FROM documents),
+      hh AS (SELECT source, ${sqlHash40("sh")} AS h FROM sh),
+      sk AS (SELECT source, h % 256 AS bucket, min(h) AS mh
+             FROM hh GROUP BY 1, 2),
+      est AS (SELECT source,
+                ${sqlSketchEst("count(*)", "sum(mh)")} AS est
+              FROM sk GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                FROM (SELECT DISTINCT source FROM sk) a,
+                     (SELECT DISTINCT source FROM sk) b
+                WHERE a.source < b.source),
+      contrib AS (
+        SELECT p.source_a, p.source_b, s.bucket, s.mh
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.bucket, s.mh
+        FROM pairs p JOIN sk s ON s.source = p.source_b),
+      usk AS (SELECT source_a, source_b, bucket, min(mh) AS mh
+              FROM contrib GROUP BY 1, 2, 3),
+      uest AS (SELECT source_a, source_b,
+                 ${sqlSketchEst("count(*)", "sum(mh)")} AS est_union
+               FROM usk GROUP BY 1, 2),
+      j AS (SELECT p.source_a, p.source_b, ea.est AS est_a, eb.est AS est_b,
+              u.est_union,
+              greatest(0, ea.est + eb.est - u.est_union) AS est_inter
+            FROM pairs p
+            JOIN est ea ON ea.source = p.source_a
+            JOIN est eb ON eb.source = p.source_b
+            JOIN uest u USING (source_a, source_b))
+      SELECT source_a, source_b, est_a, est_b, est_union,
+             CAST(est_inter AS BIGINT) AS est_inter,
+             CAST(CASE WHEN est_union > 0
+                  THEN (1000000 * est_inter) // est_union
+                  ELSE 0 END AS BIGINT) AS jaccard_micro
+      FROM j ORDER BY 1, 2"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

@@ -748,6 +748,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(ov - 2.0 / 3.0) < 1e-5, s"overlap: $ov")
   }
 
+  test("sketchOverlap: estimates track exact cardinalities; sketches merge") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // exact per-source distinct shingle counts — the ground truth the
+    // k=256 sketch should land within a few percent of (1/sqrt(k) ≈ 6%)
+    val exact = graft.functions.TextFunctions
+      .explodedShingles(docs, struct(col("doc_id").as("i"), col("source").as("s")),
+        col("text"), 3)
+      .select(col("doc_id.s").as("source"), col("sh")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Dedup.sketchOverlap(docs, col("source"), col("text"))
+      .select(col("source_a"), col("est_a")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (src, e) =>
+      val n = exact(src).toDouble
+      assert(math.abs(e - n) / n < 0.25, s"$src: est $e vs exact $n")
+    }
+    // mergeability: per-half sketches bucket-min-merged == the one-pass
+    // sketch, and the pair algebra over the merged sketch matches the
+    // direct run bit-for-bit (the streaming/segment-combine contract)
+    val full = Dedup.sourceSketch(docs, col("source"), col("text"))
+    val merged = Dedup.sourceSketch(docs.filter(col("doc_id") % 2 === 0),
+        col("source"), col("text"))
+      .unionByName(Dedup.sourceSketch(docs.filter(col("doc_id") % 2 === 1),
+        col("source"), col("text")))
+      .groupBy("source", "bucket").agg(min(col("mh")).as("mh"))
+    assert(full.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(full).count() == 0)
+    val direct = Dedup.sketchOverlap(docs, col("source"), col("text"))
+    val viaMerge = Dedup.sketchOverlapFromSketch(merged)
+    assert(direct.exceptAll(viaMerge).count() == 0 &&
+      viaMerge.exceptAll(direct).count() == 0)
+  }
+
   test("ngramContainment flags the subset duplicate Jaccard dilutes away") {
     import graft.dedup.Dedup
     val contained = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
