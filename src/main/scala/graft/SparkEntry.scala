@@ -152,7 +152,10 @@ object SparkEntry {
       Some(sharedOracle("p81_log_odds_quality"))),
     ("q82_streaming_phash_near",
       (s, d) => graft.streaming.StreamingQueries.phashNearDedupStream(s, d),
-      Some(sharedOracle("p80_phash_near_dedup"))))
+      Some(sharedOracle("p80_phash_near_dedup"))),
+    ("q83_streaming_sketch_overlap",
+      (s, d) => graft.streaming.StreamingQueries.sketchOverlapStream(s, d),
+      Some(sharedOracle("p84_sketch_overlap"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

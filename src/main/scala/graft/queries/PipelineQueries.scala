@@ -2447,7 +2447,34 @@ object PipelineQueries {
              CAST(CASE WHEN est_union > 0
                   THEN (1000000 * est_inter) // est_union
                   ELSE 0 END AS BIGINT) AS jaccard_micro
-      FROM j ORDER BY 1, 2"""))
+      FROM j ORDER BY 1, 2""")),
+
+    // Bloom-prefiltered decontamination — p23's exact gate, but the
+    // training shingles are tested against a broadcast Bloom sketch of
+    // the eval set IN THE SCAN STAGE, so the first exchange carries only
+    // hits + fpp false positives instead of the whole corpus' n-gram
+    // stream; survivors verify against the exact eval set, so the
+    // output (and oracle) is the exact computation — no tolerance.
+    ("p85_bloom_decontam", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusOps.bloomDecontaminate(
+          docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 101 === 0), col("text"), n = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t)-2),
+                      i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS s FROM toks),
+      ev AS (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 101 = 0),
+      tr AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh WHERE doc_id % 101 <> 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (h)
+               GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 101 <> 0 ORDER BY d.doc_id"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

@@ -640,6 +640,26 @@ object StreamingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p84's sketch-based cross-source overlap on the streaming engine.
+    * The streaming side folds [[graft.dedup.Dedup.sourceSketch]] — the
+    * SAME DataFrame program as the batch build, applied to the document
+    * stream, so the two paths cannot drift — and its only state is the
+    * (source, bucket) → min-hash aggregate, bounded by sources × k
+    * regardless of how much text streams through. The pair algebra
+    * ([[graft.dedup.Dedup.sketchOverlapFromSketch]]) runs batch-side on
+    * the final sketch at the epoch boundary. Slice-independent because
+    * bucket-min merges associatively and commutatively (pinned by the
+    * OperatorsSpec merge test); shares p84's oracle.
+    */
+  def sketchOverlapStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val sk = runToMemory(
+      Dedup.sourceSketch(documentsStream(spark, sfDir),
+        col("source"), col("text")))
+    Dedup.sketchOverlapFromSketch(sk)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q65's missing half — the posting-list BODY maintained on the
     * streaming engine, log-structured: each micro-batch builds its own
     * complete index SEGMENT (the batch [[graft.text.CorpusOps.invertedIndex]]

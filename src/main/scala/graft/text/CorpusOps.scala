@@ -98,6 +98,54 @@ object CorpusOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Bloom-prefiltered decontamination: [[decontaminate]]'s exact gate
+    * with a broadcast Bloom filter of the eval shingle hashes pruning
+    * the training side IN THE SCAN STAGE, before any exchange.
+    *
+    * Why: [[decontaminate]]'s first exchange (the per-doc distinct)
+    * carries every training shingle hash — at 100 TB that is the whole
+    * corpus' n-gram stream crossing the network to answer a question
+    * whose true answer is "almost nothing matches". Here the shingles
+    * are generated map-side (array-form [[TextFunctions.shingles]] —
+    * interpreted HOF lambdas, the deliberate trade: per-row compute in
+    * the scan stage instead of a corpus-sized shuffle) and tested
+    * against the Bloom sketch in the same stage, so the exchange
+    * carries only true hits plus an `fpp` fraction of false positives.
+    *
+    * Exactness is NOT traded away: Bloom filters have no false
+    * negatives, and the survivors still verify against the exact
+    * broadcast eval set — false positives die there, so the output is
+    * row-for-row identical to [[decontaminate]] (spec-pinned, and the
+    * oracle is the exact computation). The sketch is sized from the
+    * eval side's own count — eval sets are small by construction, and
+    * at 1% fpp the filter costs ~1.2 MB per million eval shingles.
+    */
+  def bloomDecontaminate(train: DataFrame, trainId: Column, trainText: Column,
+                         evalDocs: DataFrame, evalText: Column, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    // the eval subtree runs three times (count job, sketch job, the
+    // broadcast build of the verify side) — each pass is bounded by the
+    // small eval set, and NOT caching it means no persisted-RDD
+    // lifecycle for callers to manage (the round-3 leak class)
+    val evalSh = evalDocs
+      .select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val bf = evalSh.stat.bloomFilter("h", math.max(evalSh.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    val trainSh = train
+      .select(trainId.as("doc_id"), explode(TextFunctions.shingles(trainText, n)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .filter(mightContain(col("h"))) // map-side: prunes before the exchange
+      .distinct()
+    val hits = trainSh.join(broadcast(evalSh), Seq("h")) // exact verify: FPs die
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(trainId.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram

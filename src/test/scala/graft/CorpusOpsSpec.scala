@@ -218,6 +218,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == (1L, true))
   }
 
+  test("bloomDecontaminate equals the exact gate; sketch filter runs pre-exchange") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val train = docs.filter(col("doc_id") % 101 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 101 === 0)
+    val exact = CorpusOps.decontaminate(train, col("doc_id"), col("text"),
+      eval_, col("text"), n = 3)
+    val bloomed = CorpusOps.bloomDecontaminate(train, col("doc_id"), col("text"),
+      eval_, col("text"), n = 3)
+    // no false negatives (Bloom property) and no false positives (the
+    // exact verify join): row-for-row identical to the exact gate
+    assert(bloomed.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(bloomed).count() == 0)
+    assert(bloomed.filter(col("contaminated")).count() > 0,
+      "fixture should contain at least one leaked shingle")
+    // the sketch prunes in the SCAN stage: at least one UDF filter node
+    // sits strictly below every exchange (its subtree shuffles nothing)
+    val plan = bloomed.queryExecution.sparkPlan
+    val udfFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.toLowerCase.contains("udf") => f
+    }
+    assert(udfFilters.nonEmpty, s"no bloom UDF filter in plan:\n$plan")
+    assert(udfFilters.exists(_.collect {
+      case e if e.nodeName.contains("Exchange") => e
+    }.isEmpty), s"bloom filter not map-side:\n$plan")
+  }
+
   test("vocabTopK ranks by tf with token tiebreak and exact df") {
     val docs = Seq(
       (1L, "b b a c"), (2L, "b a"), (3L, "c")).toDF("id", "text")
