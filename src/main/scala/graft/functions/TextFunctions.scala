@@ -59,14 +59,25 @@ object TextFunctions {
     * one shuffle total.
     */
   def explodedShingles(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-                       n: Int): org.apache.spark.sql.DataFrame = {
+                       n: Int): org.apache.spark.sql.DataFrame =
+    explodedShinglesPos(df, id, text, n).drop("pos")
+
+  /** [[explodedShingles]] keeping the shingle's 0-based start token
+    * position: (doc_id, pos, sh) — the form span-level operators need
+    * (a hit at `pos` covers tokens [pos, pos+n-1]). Same plan shape:
+    * posexplode + window `lead` over doc_id, fully codegen'd, one
+    * shuffle that downstream per-doc aggregations reuse.
+    */
+  def explodedShinglesPos(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                          n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leadCols = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"__t$j"))
-    val withLeads = tok.select((Seq(col("doc_id"), col("tok")) ++ leadCols): _*)
+    val withLeads = tok.select(
+      (Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
     withLeads.filter(col(s"__t${n - 1}").isNotNull)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
         concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"__t$j"))): _*).as("sh"))
   }
 

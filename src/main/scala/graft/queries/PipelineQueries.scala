@@ -2474,7 +2474,85 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-      WHERE d.doc_id % 101 <> 0 ORDER BY d.doc_id"""))
+      WHERE d.doc_id % 101 <> 0 ORDER BY d.doc_id""")),
+
+    // Span-level decontamination — maximal contaminated token spans per
+    // training doc (gaps-and-islands over positional n-gram hits), the
+    // shape surgical scrubbing needs: drop the leaked passage, keep the
+    // document. Positions ride the explodedShinglesPos window shuffle;
+    // islands + span agg stay on the same doc_id partitioning.
+    ("p86_decontam_spans", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusOps.decontaminateSpans(
+          docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 101 === 0), col("text"), n = 3)
+        .orderBy(col("doc_id"), col("span_start"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN generate_series(1, len(t)-2) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+2], ' ')) AS h FROM sh),
+      ev AS (SELECT DISTINCT h FROM s2 WHERE doc_id % 101 = 0),
+      hits AS (SELECT doc_id, pos, pos + 2 AS e
+               FROM s2 JOIN ev USING (h) WHERE doc_id % 101 <> 0),
+      isl AS (SELECT doc_id, pos, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM hits),
+      i2 AS (SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1
+                       THEN 1 ELSE 0 END AS ns FROM isl),
+      i3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id FROM i2)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(e) AS BIGINT) AS span_end,
+             count(*) AS n_grams
+      FROM i3 GROUP BY doc_id, span_id ORDER BY doc_id, span_start""")),
+
+    // Surgical scrubbing — every training doc re-emitted with its
+    // contaminated spans REMOVED (p86's remediation): tokens inside any
+    // span drop, survivors rejoin in order; clean docs pass through
+    // whitespace-normalized. The yield-preserving alternative to p23's
+    // whole-doc drop.
+    ("p87_span_scrub", (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusOps.scrubSpans(
+          docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 101 === 0), col("text"), n = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN generate_series(1, len(t)-2) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+2], ' ')) AS h FROM sh),
+      ev AS (SELECT DISTINCT h FROM s2 WHERE doc_id % 101 = 0),
+      hits AS (SELECT doc_id, pos, pos + 2 AS e
+               FROM s2 JOIN ev USING (h) WHERE doc_id % 101 <> 0),
+      isl AS (SELECT doc_id, pos, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM hits),
+      i2 AS (SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1
+                       THEN 1 ELSE 0 END AS ns FROM isl),
+      i3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id FROM i2),
+      sp AS (SELECT doc_id, min(pos) AS ss, max(e) AS se
+             FROM i3 GROUP BY doc_id, span_id),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+             FROM toks WHERE doc_id % 101 <> 0 AND len(t) >= 1),
+      t2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tk),
+      dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
+               EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = t2.doc_id
+                      AND t2.pos BETWEEN sp.ss AND sp.se) AS d
+             FROM t2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
+                      '') AS scrubbed
+      FROM dr GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

@@ -146,6 +146,98 @@ object CorpusOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Span-level decontamination: where [[decontaminate]] flags whole
+    * documents, this reports the MAXIMAL contaminated token spans — the
+    * shape surgical scrubbing needs (a 100-page document with one
+    * leaked benchmark paragraph loses the paragraph, not the document;
+    * at 100 TB, whole-doc dropping on any shared 3-gram costs real
+    * yield).
+    *
+    * A hit at token position p (0-based) covers tokens [p, p+n-1];
+    * overlapping or ADJACENT coverage merges (gaps-and-islands over the
+    * hit positions: a new span starts when pos > previous running max
+    * end + 1 — two abutting n-grams are one contiguous leaked passage).
+    *
+    * Plan shape: positional shingles ride
+    * [[TextFunctions.explodedShinglesPos]]'s doc_id window shuffle; the
+    * eval set is distinct-reduced and broadcast (hashes only); the
+    * island windows and the final span aggregation are all per-doc on
+    * the SAME doc_id partitioning — one corpus-sized shuffle total.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) per maximal span,
+    * token positions inclusive; clean documents produce no rows.
+    */
+  def decontaminateSpans(train: DataFrame, trainId: Column, trainText: Column,
+                         evalDocs: DataFrame, evalText: Column,
+                         n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trainSh = TextFunctions
+      .explodedShinglesPos(train, trainId, trainText, n)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+    val evalSh = evalDocs
+      .select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val hits = trainSh.join(broadcast(evalSh), Seq("h"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("__prev_end", max(col("end")).over(wPrev))
+      .withColumn("__new_span",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__span_id", sum(col("__new_span")).over(w))
+      .groupBy(col("doc_id"), col("__span_id"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Surgical scrubbing: re-emit every training document with its
+    * [[decontaminateSpans]] passages REMOVED — the remediation step
+    * span-level decontamination exists for. Tokens inside any
+    * contaminated span are dropped; the survivors rejoin with single
+    * spaces in original order. Clean documents pass through with
+    * whitespace normalized the same way (`scrubbed` = tokens joined),
+    * so the output column is uniformly defined.
+    *
+    * Plan shape: spans per doc are FEW (bounded by hits, already
+    * aggregated); the token stream joins them per-doc on the same
+    * doc_id partitioning the tokenization window built, the in-span
+    * test is a range predicate against the doc's collected span list
+    * (collected per-doc — bounded), and reassembly is one ordered
+    * per-doc aggregation. One corpus-sized shuffle, reused end to end.
+    *
+    * Caveat (inherent to span removal, not this implementation): tokens
+    * that were far apart become adjacent after a cut, so scrubbing can
+    * in principle SYNTHESIZE a new eval n-gram across the seam. Callers
+    * needing a hard guarantee re-run the [[decontaminate]] gate on the
+    * output (cheap: [[bloomDecontaminate]] prunes map-side) or insert a
+    * boundary marker token at each seam.
+    *
+    * Output: (doc_id, n_dropped, scrubbed).
+    */
+  def scrubSpans(train: DataFrame, trainId: Column, trainText: Column,
+                 evalDocs: DataFrame, evalText: Column,
+                 n: Int = 3): DataFrame = {
+    val spans = decontaminateSpans(train, trainId, trainText, evalDocs, evalText, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = train.select(trainId.as("doc_id"),
+      posexplode(TextFunctions.tokens(trainText)).as(Seq("pos", "tok")))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("__dropped",
+        coalesce(exists(col("__spans"),
+          sp => col("pos") >= sp("span_start") && col("pos") <= sp("span_end")),
+          lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(not(col("__dropped")), struct(col("pos"), col("tok"))))),
+          s => s("tok")), " ").as("scrubbed"))
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram

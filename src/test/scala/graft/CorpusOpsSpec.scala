@@ -245,6 +245,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }.isEmpty), s"bloom filter not map-side:\n$plan")
   }
 
+  test("decontaminateSpans merges overlapping+adjacent hits; scrubSpans cuts exactly those tokens") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),   // hits at pos 2,3 -> one span [2,5]
+      (2L, "p q r X X X s t u"),     // two separated spans [0,2], [6,8]
+      (3L, "m n o v w x tail1 tail2"), // ABUTTING hits 0 and 3 -> one span [0,5]
+      (4L, "nothing shared at all here")).toDF("id", "text")
+    val eval_ = Seq("c d e f", "p q r", "s t u", "m n o", "v w x")
+      .zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+    val spans = CorpusOps.decontaminateSpans(train, col("id"), col("text"),
+        eval_, col("text"), n = 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 2L, 5L, 2L),            // "c d e" + "d e f" overlap-merge
+      (2L, 0L, 2L, 1L), (2L, 6L, 8L, 1L),
+      (3L, 0L, 5L, 2L)))           // coverage [0,2]+[3,5] abut -> merge
+    val scrubbed = CorpusOps.scrubSpans(train, col("id"), col("text"),
+        eval_, col("text"), n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(scrubbed.toSeq == Seq(
+      (1L, 4L, "a b g h i j"),
+      (2L, 6L, "X X X"),
+      (3L, 6L, "tail1 tail2"),
+      (4L, 0L, "nothing shared at all here")))
+  }
+
   test("vocabTopK ranks by tf with token tiebreak and exact df") {
     val docs = Seq(
       (1L, "b b a c"), (2L, "b a"), (3L, "c")).toDF("id", "text")
