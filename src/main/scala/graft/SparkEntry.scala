@@ -155,7 +155,10 @@ object SparkEntry {
       Some(sharedOracle("p80_phash_near_dedup"))),
     ("q83_streaming_sketch_overlap",
       (s, d) => graft.streaming.StreamingQueries.sketchOverlapStream(s, d),
-      Some(sharedOracle("p84_sketch_overlap"))))
+      Some(sharedOracle("p84_sketch_overlap"))),
+    ("q84_streaming_release_manifest",
+      (s, d) => graft.streaming.StreamingQueries.releaseManifestStream(s, d),
+      Some(sharedOracle("p88_release_manifest"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

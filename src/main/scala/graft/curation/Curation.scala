@@ -19,6 +19,63 @@ object Curation {
   def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 10000
 
+  /** Release manifest — the data card + integrity checksum a corpus
+    * release ships with: per (source, lang), per source, and TOTAL in
+    * ONE pass (grouping sets over a single scan): document count, token
+    * and char totals, and an ORDER-INDEPENDENT content fingerprint
+    * (bit_xor of two independent 40-bit md5 lanes per document —
+    * [[graft.dedup.Dedup.sketchHash40At]] — 80 bits total; widen lanes
+    * for release-grade collision margins). Any consumer can recompute
+    * the manifest from the delivered files and verify both the counts
+    * and the fingerprints without coordinating row order — xor commutes,
+    * so shard-parallel recomputation needs no sort.
+    *
+    * `lvl` = grouping(source)·2 + grouping(lang) disambiguates rollup
+    * rows from data that happens to be NULL (0 = leaf, 1 = per-source,
+    * 3 = grand total).
+    *
+    * Scale shape: one partial-aggregated shuffle; grouping sets expand
+    * map-side. Output is bounded by the (source × lang) universe.
+    */
+  def releaseManifest(corpus: DataFrame, source: Column, lang: Column,
+                      text: Column): DataFrame =
+    releaseManifestFromStats(manifestStats(corpus, source, lang, text))
+
+  /** The per-document stats row [[releaseManifest]] aggregates —
+    * exposed so a streaming election can carry THESE through state
+    * instead of text (the stats are a pure function of the row, so
+    * they compute in the scan stage).
+    */
+  def manifestStats(corpus: DataFrame, source: Column, lang: Column,
+                    text: Column, extra: Column*): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions
+    corpus.select(extra ++ Seq(source.as("source"), lang.as("lang"),
+      TextFunctions.tokenCount(text).as("__nt"),
+      length(text).cast("long").as("__nc"),
+      Dedup.sketchHash40At(text, 0).as("__h_lo"),
+      Dedup.sketchHash40At(text, 10).as("__h_hi")): _*)
+  }
+
+  /** [[releaseManifest]]'s grouping-sets pass over precomputed
+    * [[manifestStats]] rows — the half shared by the batch entry and
+    * the streaming twin's epoch-boundary rollup.
+    */
+  def releaseManifestFromStats(stats: DataFrame): DataFrame =
+    stats
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+        col("source"), col("lang"))
+      .agg(
+        (grouping(col("source")) * 2 + grouping(col("lang"))).cast("long").as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        bit_xor(col("__h_lo")).as("fp_lo"),
+        bit_xor(col("__h_hi")).as("fp_hi"))
+      .select(col("lvl"), col("source"), col("lang"), col("n_docs"),
+        col("n_tokens"), col("n_chars"), col("fp_lo"), col("fp_hi"))
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * falls under its stratum's rate (in 1e-4 granularity). Strata whose
     * value is absent from `rates` get `defaultRate`.

@@ -1170,8 +1170,16 @@ object Dedup {
     * shingle universe beyond that, widen the hash and move the
     * estimator products to DECIMAL.
     */
-  def sketchHash40(c: Column): Column =
-    (conv(substring(md5(c), 1, 10), 16, 10).cast("long") + lit(1L)).as("h")
+  def sketchHash40(c: Column): Column = sketchHash40At(c, 0)
+
+  /** [[sketchHash40]] over a different 10-hex-char window of the md5
+    * (offset in chars) — independent 40-bit lanes from one digest, for
+    * multi-lane fingerprints.
+    */
+  def sketchHash40At(c: Column, off: Int): Column = {
+    require(off >= 0 && off <= 22, s"md5 has 32 hex chars; offset $off leaves no 10-char window")
+    (conv(substring(md5(c), off + 1, 10), 16, 10).cast("long") + lit(1L)).as("h")
+  }
 
   /** Per-(source, bucket) minimum-value sketch of the distinct-shingle
     * space — the fixed-size summary behind [[sketchOverlap]], exposed so

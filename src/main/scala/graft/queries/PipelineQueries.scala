@@ -36,9 +36,9 @@ object PipelineQueries {
     * dual of [[graft.dedup.Dedup.sketchHash40]] (first 10 hex chars of
     * md5 parsed positionally, +1).
     */
-  private def sqlHash40(e: String): String =
+  private def sqlHash40(e: String, off: Int = 0): String =
     s"""(1 + list_aggregate(list_transform(range(10), i ->
-          CAST(instr('0123456789abcdef', substr(md5($e), CAST(i+1 AS INT), 1)) - 1
+          CAST(instr('0123456789abcdef', substr(md5($e), CAST($off + i+1 AS INT), 1)) - 1
                AS BIGINT) * (1::BIGINT << CAST(4*(9-i) AS INT))), 'sum'))"""
 
   /** DuckDB SQL fragment: the [[graft.dedup.Dedup]] sketch estimator —
@@ -2552,7 +2552,40 @@ object PipelineQueries {
              CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
              coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
                       '') AS scrubbed
-      FROM dr GROUP BY doc_id ORDER BY doc_id"""))
+      FROM dr GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Release manifest — the data card + integrity checksum a corpus
+    // release ships with: per (source, lang) / per source / total in
+    // ONE grouping-sets pass over the deduped corpus, with an
+    // order-independent two-lane xor fingerprint any consumer can
+    // recompute shard-parallel to verify the delivery.
+    ("p88_release_manifest", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = Dedup.dropExactDuplicates(docs, col("doc_id"), col("text"))
+      graft.curation.Curation.releaseManifest(deduped,
+          col("source"), col("lang"), col("text"))
+        .orderBy(col("lvl"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first)
+    }, Some(s"""
+      WITH f AS (SELECT doc_id, lang, source, text,
+                   md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp
+                 FROM documents),
+      keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY 1),
+      dd AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.k),
+      m AS (SELECT source, lang,
+              CAST(len(${sqlToks("text")}) AS BIGINT) AS nt,
+              CAST(length(text) AS BIGINT) AS nc,
+              ${sqlHash40("text")} AS h_lo,
+              ${sqlHash40("text", off = 10)} AS h_hi
+            FROM dd)
+      SELECT CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS lvl,
+             source, lang, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(bit_xor(h_lo) AS BIGINT) AS fp_lo,
+             CAST(bit_xor(h_hi) AS BIGINT) AS fp_hi
+      FROM m GROUP BY GROUPING SETS ((source, lang), (source), ())
+      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST"""))
   )
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served

@@ -660,6 +660,37 @@ object StreamingQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** p88's release manifest on the streaming engine. The dedup election
+    * and the manifest stats fold in ONE streaming aggregate whose state
+    * is NARROW by construction: each arriving document reduces in the
+    * scan stage to (fingerprint, stats struct) — token/char totals and
+    * the two fingerprint lanes via [[graft.curation.Curation.manifestStats]],
+    * the same projection the batch entry uses — and the election keeps
+    * the struct-min (doc_id leads the struct, so min == the batch
+    * keeper's attributes). Text never enters state. The grouping-set
+    * rollup runs batch-side at the epoch boundary over the elected
+    * keepers ([[graft.curation.Curation.releaseManifestFromStats]] —
+    * shared, no drift). Slice-independent because min/count/sum/xor all
+    * merge associatively; shares p88's oracle.
+    */
+  def releaseManifestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.curation.Curation
+    import graft.functions.TextFunctions
+    val stats = Curation.manifestStats(documentsStream(spark, sfDir),
+      col("source"), col("lang"), col("text"),
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    val elected = runToMemory(
+      stats.groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("source"), col("lang"),
+          col("__nt"), col("__nc"), col("__h_lo"), col("__h_hi"))).as("s")))
+    Curation.releaseManifestFromStats(
+        elected.select(col("s.source").as("source"), col("s.lang").as("lang"),
+          col("s.__nt").as("__nt"), col("s.__nc").as("__nc"),
+          col("s.__h_lo").as("__h_lo"), col("s.__h_hi").as("__h_hi")))
+      .orderBy(col("lvl"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+  }
+
   /** q65's missing half — the posting-list BODY maintained on the
     * streaming engine, log-structured: each micro-batch builds its own
     * complete index SEGMENT (the batch [[graft.text.CorpusOps.invertedIndex]]

@@ -31,6 +31,31 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.filter(_._1 == "a").map(t => (t._2, t._3)).toSet)
   }
 
+  test("releaseManifest: shard manifests combine to the full manifest (sum counts, xor fps)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val leaf = (df: org.apache.spark.sql.DataFrame) =>
+      Curation.releaseManifest(df, col("source"), col("lang"), col("text"))
+        .filter(col("lvl") === 0)
+    val full = leaf(docs)
+    // a consumer verifying a sharded delivery recomputes per shard and
+    // combines: counts/totals ADD, fingerprints XOR — no row-order or
+    // shard-boundary coordination needed
+    val combined = leaf(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(leaf(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("lvl", "source", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        expr("bit_xor(fp_lo)").as("fp_lo"), expr("bit_xor(fp_hi)").as("fp_hi"))
+    assert(full.exceptAll(combined).count() == 0 &&
+      combined.exceptAll(full).count() == 0)
+    // rollup levels are present and consistent: grand total == sum of leaves
+    val all = Curation.releaseManifest(docs, col("source"), col("lang"), col("text"))
+    val grand = all.filter(col("lvl") === 3).select("n_docs").head().getLong(0)
+    val leaves = all.filter(col("lvl") === 0)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(grand == leaves && grand == docs.count())
+  }
+
   test("stratifiedSample is deterministic and tracks per-stratum rates") {
     val rows = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
