@@ -158,7 +158,10 @@ object SparkEntry {
       Some(sharedOracle("p84_sketch_overlap"))),
     ("q84_streaming_release_manifest",
       (s, d) => graft.streaming.StreamingQueries.releaseManifestStream(s, d),
-      Some(sharedOracle("p88_release_manifest"))))
+      Some(sharedOracle("p88_release_manifest"))),
+    ("q85_streaming_span_scrub",
+      (s, d) => graft.streaming.StreamingQueries.spanScrubStream(s, d),
+      Some(sharedOracle("p87_span_scrub"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -660,6 +660,28 @@ object StreamingQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** p87's surgical scrubbing applied DURING ingest: the eval set is a
+    * broadcast exact hash set (static side, built once from the batch
+    * table), and every streaming document scrubs itself in the scan
+    * stage via [[graft.text.CorpusOps.scrubSpansMapSide]] — a fully
+    * STATELESS append-mode stream with no aggregation, no state store,
+    * and no shuffle, so throughput is scan-bound and any slicing gives
+    * identical rows. The map-side form is pinned row-identical to the
+    * span form in CorpusOpsSpec; shares p87's oracle.
+    */
+  def spanScrubStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val evalHashes = CorpusOps.evalShingleHashes(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 101 === 0),
+      col("text"), n = 3)
+    val out = runToMemory(
+      CorpusOps.scrubSpansMapSide(
+        documentsStream(spark, sfDir).filter(col("doc_id") % 101 =!= 0),
+        col("doc_id"), col("text"), evalHashes, n = 3),
+      mode = "append")
+    out.orderBy(col("doc_id"))
+  }
+
   /** p88's release manifest on the streaming engine. The dedup election
     * and the manifest stats fold in ONE streaming aggregate whose state
     * is NARROW by construction: each arriving document reduces in the

@@ -238,6 +238,56 @@ object CorpusOps {
           s => s("tok")), " ").as("scrubbed"))
   }
 
+  /** Collect the eval set's distinct shingle hashes for broadcast —
+    * [[scrubSpansMapSide]]'s static side. The collect is bounded by the
+    * eval corpus (small by construction — the same bound
+    * [[bloomDecontaminate]]'s sketch build relies on); for eval sets
+    * too large to broadcast exactly, fall back to the shuffle-side
+    * [[scrubSpans]].
+    */
+  def evalShingleHashes(evalDocs: DataFrame, evalText: Column,
+                        n: Int = 3): Set[String] =
+    evalDocs.select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** [[scrubSpans]] as a PURE MAP-SIDE transform: the eval set arrives
+    * as a broadcast exact hash set and every document scrubs itself in
+    * the scan stage — no shuffle at all, the shape for applying the
+    * scrub DURING ingest (the streaming twin runs this stateless, in
+    * append mode).
+    *
+    * Equivalence with the span form: a token at index i drops iff some
+    * hit starts in [i−n+1, i] — membership in the union of covered
+    * intervals, so island merging is irrelevant to coverage and the two
+    * forms agree row for row (spec-pinned).
+    *
+    * The membership probe is the one Scala UDF here (an exact-set probe
+    * has no `functions._` equivalent); shingle construction, coverage,
+    * and reassembly stay in column space.
+    */
+  def scrubSpansMapSide(train: DataFrame, trainId: Column, trainText: Column,
+                        evalHashes: Set[String], n: Int = 3): DataFrame = {
+    val spark = train.sparkSession
+    val hs = spark.sparkContext.broadcast(evalHashes)
+    val member = udf((h: String) => h != null && hs.value.contains(h))
+    val withToks = train.select(trainId.as("doc_id"),
+        TextFunctions.tokens(trainText).as("__t"))
+      .filter(size(col("__t")) >= 1) // zero-token docs: same domain as scrubSpans
+    withToks
+      .withColumn("__hits",
+        when(size(col("__t")) >= n,
+          filter(sequence(lit(0), size(col("__t")) - n),
+            p => member(md5(concat_ws(" ", slice(col("__t"), p + lit(1), lit(n)))))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__t"), (t, i) =>
+          !exists(col("__hits"), p => p <= i && p >= i - (n - 1))))
+      .select(col("doc_id"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        array_join(col("__kept"), " ").as("scrubbed"))
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram

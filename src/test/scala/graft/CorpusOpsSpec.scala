@@ -272,6 +272,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 0L, "nothing shared at all here")))
   }
 
+  test("scrubSpansMapSide equals the span form; plan has no exchange") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val train = docs.filter(col("doc_id") % 101 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 101 === 0)
+    val viaSpans = CorpusOps.scrubSpans(train, col("doc_id"), col("text"),
+      eval_, col("text"), n = 3)
+    val mapSide = CorpusOps.scrubSpansMapSide(train, col("doc_id"), col("text"),
+      CorpusOps.evalShingleHashes(eval_, col("text"), n = 3), n = 3)
+    assert(mapSide.exceptAll(viaSpans).count() == 0 &&
+      viaSpans.exceptAll(mapSide).count() == 0)
+    // the ingest-time form is scan-only: nothing shuffles
+    val p = mapSide.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"map-side scrub shuffled:\n$p")
+  }
+
   test("vocabTopK ranks by tf with token tiebreak and exact df") {
     val docs = Seq(
       (1L, "b b a c"), (2L, "b a"), (3L, "c")).toDF("id", "text")
