@@ -1257,6 +1257,29 @@ object Dedup {
                     shingleN: Int = 3, k: Int = 256): DataFrame =
     sketchOverlapFromSketch(sourceSketch(docs, source, text, shingleN, k))
 
+  /** Persist a [[sourceSketch]] as one crawl-segment artifact under
+    * `dir/segment=<label>/`. Sketches are the mergeable summary, so
+    * incremental maintenance is pure APPEND: one new segment per crawl
+    * day, old segments never rewritten, old text never re-read. A
+    * retried write of the same label overwrites its own segment
+    * (per-label idempotence); the artifact is sketch-sized (≤ sources
+    * × k rows per segment), so there is nothing to compact.
+    */
+  def writeSketchSegment(sk: DataFrame, dir: String, label: String): Unit =
+    sk.coalesce(1).write.mode("overwrite").parquet(s"$dir/segment=$label")
+
+  /** Serve the overlap matrix from a [[writeSketchSegment]] artifact:
+    * read every segment, bucket-min merge (the sketch union), run the
+    * pair algebra. Equals the one-pass [[sketchOverlap]] over the union
+    * of all segments' documents — the merge pin in OperatorsSpec plus
+    * p89's shared oracle make that an identity, not an approximation.
+    */
+  def servedSketchOverlap(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    sketchOverlapFromSketch(
+      spark.read.parquet(dir)
+        .groupBy(col("source"), col("bucket")).agg(min(col("mh")).as("mh")))
+
   /** [[sketchOverlap]]'s pair algebra over an already-built (and
     * possibly merged) [[sourceSketch]] — the serving-side half, also the
     * epoch-boundary step of the streaming twin.

@@ -2412,42 +2412,27 @@ object PipelineQueries {
       graft.dedup.Dedup.sketchOverlap(Tables.documents(s, d),
           col("source"), col("text"), shingleN = 3, k = 256)
         .orderBy(col("source_a"), col("source_b"))
-    }, Some(s"""
-      WITH sh AS (SELECT source, unnest($sqlShingles) AS sh FROM documents),
-      hh AS (SELECT source, ${sqlHash40("sh")} AS h FROM sh),
-      sk AS (SELECT source, h % 256 AS bucket, min(h) AS mh
-             FROM hh GROUP BY 1, 2),
-      est AS (SELECT source,
-                ${sqlSketchEst("count(*)", "sum(mh)")} AS est
-              FROM sk GROUP BY 1),
-      pairs AS (SELECT a.source AS source_a, b.source AS source_b
-                FROM (SELECT DISTINCT source FROM sk) a,
-                     (SELECT DISTINCT source FROM sk) b
-                WHERE a.source < b.source),
-      contrib AS (
-        SELECT p.source_a, p.source_b, s.bucket, s.mh
-        FROM pairs p JOIN sk s ON s.source = p.source_a
-        UNION ALL
-        SELECT p.source_a, p.source_b, s.bucket, s.mh
-        FROM pairs p JOIN sk s ON s.source = p.source_b),
-      usk AS (SELECT source_a, source_b, bucket, min(mh) AS mh
-              FROM contrib GROUP BY 1, 2, 3),
-      uest AS (SELECT source_a, source_b,
-                 ${sqlSketchEst("count(*)", "sum(mh)")} AS est_union
-               FROM usk GROUP BY 1, 2),
-      j AS (SELECT p.source_a, p.source_b, ea.est AS est_a, eb.est AS est_b,
-              u.est_union,
-              greatest(0, ea.est + eb.est - u.est_union) AS est_inter
-            FROM pairs p
-            JOIN est ea ON ea.source = p.source_a
-            JOIN est eb ON eb.source = p.source_b
-            JOIN uest u USING (source_a, source_b))
-      SELECT source_a, source_b, est_a, est_b, est_union,
-             CAST(est_inter AS BIGINT) AS est_inter,
-             CAST(CASE WHEN est_union > 0
-                  THEN (1000000 * est_inter) // est_union
-                  ELSE 0 END AS BIGINT) AS jaccard_micro
-      FROM j ORDER BY 1, 2""")),
+    }, Some(sketchOverlapOracle)),
+
+    // Incremental sketch lifecycle — the overlap monitor maintained
+    // across crawl segments: day-1 and day-2 sketches land as their own
+    // segment artifacts (append-only; old text never re-read) and the
+    // matrix serves from the bucket-min merge of all segments. Shares
+    // p84's full-corpus oracle: serving from the incrementally-built
+    // artifact must equal the one-pass build exactly.
+    ("p89_sketch_lifecycle", (s, d) => {
+      import graft.dedup.Dedup
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_sketch_ovl")
+      Dedup.writeSketchSegment(Dedup.sourceSketch(
+        docs.filter(col("doc_id") % 2 === 0), col("source"), col("text")),
+        dir, "day1")
+      Dedup.writeSketchSegment(Dedup.sourceSketch(
+        docs.filter(col("doc_id") % 2 === 1), col("source"), col("text")),
+        dir, "day2")
+      Dedup.servedSketchOverlap(s, dir)
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(sketchOverlapOracle)),
 
     // Bloom-prefiltered decontamination — p23's exact gate, but the
     // training shingles are tested against a broadcast Bloom sketch of
@@ -2587,6 +2572,47 @@ object PipelineQueries {
       FROM m GROUP BY GROUPING SETS ((source, lang), (source), ())
       ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST"""))
   )
+
+  /** p84's sketch-overlap oracle — shared with p89 (incremental
+    * lifecycle) and q83 (streaming twin): every maintenance path must
+    * reproduce the one-pass build bit-for-bit.
+    */
+  private lazy val sketchOverlapOracle: String = s"""
+      WITH sh AS (SELECT source, unnest($sqlShingles) AS sh FROM documents),
+      hh AS (SELECT source, ${sqlHash40("sh")} AS h FROM sh),
+      sk AS (SELECT source, h % 256 AS bucket, min(h) AS mh
+             FROM hh GROUP BY 1, 2),
+      est AS (SELECT source,
+                ${sqlSketchEst("count(*)", "sum(mh)")} AS est
+              FROM sk GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                FROM (SELECT DISTINCT source FROM sk) a,
+                     (SELECT DISTINCT source FROM sk) b
+                WHERE a.source < b.source),
+      contrib AS (
+        SELECT p.source_a, p.source_b, s.bucket, s.mh
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.bucket, s.mh
+        FROM pairs p JOIN sk s ON s.source = p.source_b),
+      usk AS (SELECT source_a, source_b, bucket, min(mh) AS mh
+              FROM contrib GROUP BY 1, 2, 3),
+      uest AS (SELECT source_a, source_b,
+                 ${sqlSketchEst("count(*)", "sum(mh)")} AS est_union
+               FROM usk GROUP BY 1, 2),
+      j AS (SELECT p.source_a, p.source_b, ea.est AS est_a, eb.est AS est_b,
+              u.est_union,
+              greatest(0, ea.est + eb.est - u.est_union) AS est_inter
+            FROM pairs p
+            JOIN est ea ON ea.source = p.source_a
+            JOIN est eb ON eb.source = p.source_b
+            JOIN uest u USING (source_a, source_b))
+      SELECT source_a, source_b, est_a, est_b, est_union,
+             CAST(est_inter AS BIGINT) AS est_inter,
+             CAST(CASE WHEN est_union > 0
+                  THEN (1000000 * est_inter) // est_union
+                  ELSE 0 END AS BIGINT) AS jaccard_micro
+      FROM j ORDER BY 1, 2"""
 
   /** The IVF-PQ oracle, shared by p34 (inline build) and p59 (served
     * from the materialized artifacts) — the two executions must rank
