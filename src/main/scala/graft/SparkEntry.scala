@@ -221,5 +221,9 @@ object SparkEntry {
     "p64_bpe_encode", "p70_tokenize_pack",
     // round-7: Hamming-tolerant image near-dedup (real decode + banded
     // code pairing) and the discriminative log-odds quality filter
-    "p80_phash_near_dedup", "p81_log_odds_quality")
+    "p80_phash_near_dedup", "p81_log_odds_quality",
+    // round-7 continued: sketch overlap (one bounded-exchange corpus
+    // aggregation), bloom-prefiltered decontam (map-side pruning), and
+    // the grouping-sets release manifest
+    "p84_sketch_overlap", "p85_bloom_decontam", "p88_release_manifest")
 }

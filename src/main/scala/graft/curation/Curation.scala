@@ -76,6 +76,57 @@ object Curation {
       .select(col("lvl"), col("source"), col("lang"), col("n_docs"),
         col("n_tokens"), col("n_chars"), col("fp_lo"), col("fp_hi"))
 
+  /** Calibrate a per-group quality cutoff to hit a target keep rate,
+    * EXACTLY and without a global sort — "keep the best 50% per
+    * language" with a reproducible, engine-independent boundary.
+    *
+    * Given integer scores (micro-unit convention — p45 perplexity /
+    * p81 log-odds outputs plug in directly), for each group the cutoff
+    * is the smallest score s* whose cumulative count reaches
+    * k = ⌈rate·n⌉ (keepLowest; mirrored for keep-highest), and a row is
+    * kept iff score ≤ s* — ties at the boundary all keep, so
+    * n_kept ≥ k minimally (the deterministic tie policy; a hash
+    * tiebreak would keep exactly k but make the boundary depend on
+    * ids, not quality).
+    *
+    * Scale shape — the exact-quantile-per-group recipe that avoids
+    * sorting documents: (1) ONE corpus aggregation to the per-(group,
+    * score) histogram (map-side combine; exchange carries distinct
+    * value counts, not rows); (2) cumulative counts via a window over
+    * the HISTOGRAM (bounded by distinct score values per group, ≪
+    * rows); (3) cutoffs per group (group-universe-sized, broadcast
+    * back); (4) a map-side flag join. k is computed in pure integer
+    * arithmetic: k = (n·rateMicro + 10⁶−1) div 10⁶.
+    *
+    * Output: one row per input row — (doc_id, group, score, cutoff,
+    * kept).
+    */
+  def calibrateKeepRate(df: DataFrame, id: Column, group: Column, score: Column,
+                        rateMicro: Long, keepLowest: Boolean = true): DataFrame = {
+    require(rateMicro >= 0 && rateMicro <= 1000000L,
+      s"rateMicro must be in [0, 1e6], got $rateMicro")
+    val rows = df.select(id.as("doc_id"), group.as("group"),
+      score.cast("long").as("score"))
+    val ord = if (keepLowest) col("score").asc else col("score").desc
+    val hist = rows.groupBy(col("group"), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("group")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+    val totals = hist.groupBy(col("group")).agg(sum(col("__c")).as("__n"))
+    val cutoffs = cum.join(totals, Seq("group"))
+      .withColumn("__k", expr(s"(__n * ${rateMicro}L + 999999L) div 1000000L"))
+      // k = 0 (rate 0) keeps nothing: no cutoff row → kept = false
+      .filter(col("__k") > 0 && col("__cum") >= col("__k"))
+      .groupBy(col("group"))
+      .agg((if (keepLowest) min(col("score")) else max(col("score"))).as("cutoff"))
+    val keptCond =
+      if (keepLowest) col("score") <= col("cutoff") else col("score") >= col("cutoff")
+    rows.join(broadcast(cutoffs), Seq("group"), "left")
+      .select(col("doc_id"), col("group"), col("score"),
+        col("cutoff"), coalesce(keptCond, lit(false)).as("kept"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * falls under its stratum's rate (in 1e-4 granularity). Strata whose
     * value is absent from `rates` get `defaultRate`.

@@ -1285,7 +1285,24 @@ object Dedup {
     * epoch-boundary step of the streaming twin.
     */
   def sketchOverlapFromSketch(sk0: DataFrame): DataFrame = {
-    val sk = sk0.cache() // sketch-sized: ≤ sources × k rows
+    // Materialize the sketch ONCE as a driver-local bounded artifact
+    // (≤ sources × k rows by construction) instead of .cache(): the
+    // pair algebra references it five times, recomputing the corpus
+    // scan each time would be absurd, and a persisted-RDD lifecycle
+    // would leak on callers that never unpersist (the round-3 leak
+    // class). The limit+require makes the bound loud: one extra row is
+    // proof of overflow, not a silent truncation.
+    val spark = sk0.sparkSession
+    import spark.implicits._
+    val cap = 1 << 22 // 4M rows ≈ 16k sources at k=256 — far past the S²-matrix contract
+    val rows = sk0.select(col("source").cast("string"), col("bucket").cast("long"),
+        col("mh").cast("long"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"sketchOverlapFromSketch: sketch exceeds $cap rows — the S² pair matrix " +
+        "is the wrong question at that source universe; group into families first")
+    val sk = rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("source", "bucket", "mh")
     val est = sketchEst(sk, Seq("source"), "est")
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))

@@ -2570,7 +2570,39 @@ object PipelineQueries {
              CAST(bit_xor(h_lo) AS BIGINT) AS fp_lo,
              CAST(bit_xor(h_hi) AS BIGINT) AS fp_hi
       FROM m GROUP BY GROUPING SETS ((source, lang), (source), ())
-      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST"""))
+      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST""")),
+
+    // Exact per-group keep-rate calibration — "keep the best 40% per
+    // language" with an engine-reproducible boundary and NO global
+    // sort: one histogram aggregation (exchange carries distinct score
+    // values), cumulative window over the histogram, broadcast cutoffs,
+    // map-side flags. Any integer micro-unit score plugs in (p45
+    // perplexity, p81 log-odds); the entry calibrates on token count.
+    ("p90_quality_calibration", (s, d) => {
+      graft.curation.Curation.calibrateKeepRate(
+          Tables.documents(s, d), col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")), rateMicro = 400000L,
+          keepLowest = true)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH sc AS (SELECT doc_id, lang,
+                    CAST(len(${sqlToks("text")}) AS BIGINT) AS score
+                  FROM documents),
+      h AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+      cum AS (SELECT lang, score,
+                sum(c) OVER (PARTITION BY lang ORDER BY score
+                  ROWS UNBOUNDED PRECEDING) AS cm
+              FROM h),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+      k AS (SELECT lang, (n * 400000 + 999999) // 1000000 AS k FROM n),
+      cut AS (SELECT cum.lang, min(score) AS cutoff
+              FROM cum JOIN k USING (lang)
+              WHERE k > 0 AND cm >= k GROUP BY 1)
+      SELECT doc_id, sc.lang AS "group", score,
+             CAST(cutoff AS BIGINT) AS cutoff,
+             coalesce(score <= cutoff, false) AS kept
+      FROM sc LEFT JOIN cut ON sc.lang = cut.lang
+      ORDER BY doc_id"""))
   )
 
   /** p84's sketch-overlap oracle — shared with p89 (incremental

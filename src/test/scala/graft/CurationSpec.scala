@@ -56,6 +56,34 @@ class CurationSpec extends AnyFunSuite {
     assert(grand == leaves && grand == docs.count())
   }
 
+  test("calibrateKeepRate hits ceil(rate*n) minimally; ties all keep; both directions") {
+    val df = Seq(
+      // lang a: scores 1..10 -> rate .3 => k=3, cutoff=3
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 5L),
+      (6L, "a", 6L), (7L, "a", 7L), (8L, "a", 8L), (9L, "a", 9L), (10L, "a", 10L),
+      // lang b: heavy tie at 5 -> k=ceil(.3*6)=2, cutoff=5, ALL ties keep
+      (11L, "b", 5L), (12L, "b", 5L), (13L, "b", 5L), (14L, "b", 5L),
+      (15L, "b", 7L), (16L, "b", 9L))
+      .toDF("id", "lang", "s")
+    val low = Curation.calibrateKeepRate(df, col("id"), col("lang"), col("s"),
+        rateMicro = 300000L, keepLowest = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert((1L to 3L).forall(low(_) == (3L, true)) &&
+      (4L to 10L).forall(low(_)._2 == false))
+    // ties: k=2 but all four 5s keep (minimal cutoff covering k)
+    assert((11L to 14L).forall(low(_) == (5L, true)) &&
+      !low(15L)._2 && !low(16L)._2)
+    // keep-highest mirrors: lang a rate .2 => k=2, cutoff=9
+    val high = Curation.calibrateKeepRate(df.filter(col("lang") === "a"),
+        col("id"), col("lang"), col("s"), rateMicro = 200000L, keepLowest = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(high(10L) == (9L, true) && high(9L) == (9L, true) && !high(8L)._2)
+    // rate 0 keeps nothing
+    val none = Curation.calibrateKeepRate(df, col("id"), col("lang"), col("s"),
+      rateMicro = 0L)
+    assert(none.filter(col("kept")).count() == 0)
+  }
+
   test("stratifiedSample is deterministic and tracks per-stratum rates") {
     val rows = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")

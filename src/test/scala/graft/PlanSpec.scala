@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCols == Set("doc_id", "lang"), s"scan reads: $scanCols")
   }
 
+  test("p84 source sketch: ONE partial-aggregated exchange, corpus never re-shuffles") {
+    val sk = graft.dedup.Dedup.sourceSketch(
+      Tables.documents(spark, TestSpark.sf), col("source"), col("text"))
+    val p = sk.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"sketch build should shuffle exactly once:\n$p")
+    // map-side combine: a partial HashAggregate must sit below the exchange
+    assert(p.contains("HashAggregate"), s"sketch aggregation not hash-based:\n$p")
+  }
+
   test("p20 token budget: one hash exchange on the group key, windows in-partition") {
     val p = plan("p20_token_budget")
     assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
