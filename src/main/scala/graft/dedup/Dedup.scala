@@ -1193,8 +1193,7 @@ object Dedup {
   def sourceSketch(docs: DataFrame, source: Column, text: Column,
                    shingleN: Int = 3, k: Int = 256): DataFrame =
     docs.select(source.as("source"),
-        explode(TextFunctions.shingles(text, shingleN)).as("sh"))
-      .select(col("source"), sketchHash40(col("sh")).as("h"))
+        explode(graft.functions.ShingleHash40(text, shingleN)).as("h"))
       .groupBy(col("source"), (col("h") % lit(k.toLong)).as("bucket"))
       .agg(min(col("h")).as("mh"))
 

@@ -6,6 +6,28 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{MinHashSignature, TextFunctions, VectorFunctions}
 
 class FunctionsSpec extends AnyFunSuite {
+
+  test("ShingleHash40 kernel == column composition (conv∘md5∘shingles), edges included") {
+    import TestSpark.spark.implicits._
+    import graft.functions.ShingleHash40
+    val docs = Tables.documents(spark, TestSpark.sf).select(col("text"))
+      .unionByName(Seq(
+        "",                       // zero tokens
+        "   ",                    // whitespace only
+        "one two",                // shorter than n
+        "  leading and trailing  ws  ",  // empty-split edges
+        "emoji 😀 and café words here").toDF("text"))
+    val kernel = docs.select(explode(ShingleHash40(col("text"), 3)).as("h"))
+    val columnForm = docs
+      .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .select((conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long") + lit(1L)).as("h"))
+    assert(kernel.exceptAll(columnForm).count() == 0 &&
+      columnForm.exceptAll(kernel).count() == 0)
+    // short/empty docs yield empty arrays, not nulls or errors
+    val shorts = Seq("", "   ", "a b").toDF("text")
+      .select(size(ShingleHash40(col("text"), 3)).as("n")).as[Int].collect()
+    assert(shorts.toSeq == Seq(0, 0, 0))
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
