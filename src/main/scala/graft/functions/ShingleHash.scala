@@ -61,6 +61,38 @@ object ShingleHash40 {
     ColumnBridge.column(ShingleHash40(ColumnBridge.expression(text), n))
 }
 
+/** [[ShingleHash40]]'s sibling for operators that join on full md5 HEX
+  * strings (the decontamination family's key domain): each n-token
+  * shingle's 32-char lowercase md5 hex — bit-identical to
+  * `md5(array_join(slice(tokens, i, n), ' '))`, one codegen'd pass.
+  */
+case class ShingleMd5(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_md5 expects a string column, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  protected override def nullSafeEval(t: Any): Any =
+    ShingleHash40Util.md5Hex(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHash40Util.md5Hex($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleMd5 {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleMd5(ColumnBridge.expression(text), n))
+}
+
 object ShingleHash40Util {
   private val ws = Pattern.compile("\\s+")
 
@@ -68,17 +100,18 @@ object ShingleHash40Util {
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** First 5 md5 bytes of each n-token shingle as (value + 1) — see
-    * [[ShingleHash40]]. Documents shorter than n tokens yield an empty
-    * array (the [[TextFunctions.shingles]] guard).
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Non-empty whitespace tokens — the exact [[TextFunctions.tokens]]
+    * dual both kernels share (a leading separator yields a leading ""
+    * in Java split; all empties drop).
     */
-  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+  private def tokenize(text: UTF8String): Array[String] = {
     val raw = ws.split(text.toString)
-    // drop empties (a leading separator yields a leading "" in Java split)
     var nTok = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) nTok += 1; i += 1 }
-    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    if (nTok == raw.length) return raw
     val toks = new Array[String](nTok)
     i = 0
     var j = 0
@@ -86,11 +119,18 @@ object ShingleHash40Util {
       if (raw(i).nonEmpty) { toks(j) = raw(i); j += 1 }
       i += 1
     }
+    toks
+  }
+
+  /** The shared per-shingle walk: build each n-token join and hand its
+    * md5 digest to `emit(index, digest)`.
+    */
+  private def forEachDigest(toks: Array[String], n: Int,
+                            emit: (Int, Array[Byte]) => Unit): Unit = {
     val md = md5.get()
-    val out = new Array[Long](nTok - n + 1)
     val sb = new java.lang.StringBuilder
-    i = 0
-    while (i <= nTok - n) {
+    var i = 0
+    while (i <= toks.length - n) {
       sb.setLength(0)
       var t = 0
       while (t < n) {
@@ -99,13 +139,43 @@ object ShingleHash40Util {
         t += 1
       }
       md.reset()
-      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      emit(i, md.digest(sb.toString.getBytes(StandardCharsets.UTF_8)))
+      i += 1
+    }
+  }
+
+  /** First 5 md5 bytes of each n-token shingle as (value + 1) — see
+    * [[ShingleHash40]]. Documents shorter than n tokens yield an empty
+    * array (the [[TextFunctions.shingles]] guard).
+    */
+  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - n + 1)
+    forEachDigest(toks, n, (i, digest) => {
       var v = 0L
       var b = 0
       while (b < 5) { v = (v << 8) | (digest(b) & 0xFFL); b += 1 }
       out(i) = v + 1L
-      i += 1
-    }
+    })
+    new GenericArrayData(out)
+  }
+
+  /** Full 32-char lowercase md5 hex per shingle — see [[ShingleMd5]]. */
+  def md5Hex(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    forEachDigest(toks, n, (i, digest) => {
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexChars((digest(b) >> 4) & 0xF)
+        hex(2 * b + 1) = hexChars(digest(b) & 0xF)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+    })
     new GenericArrayData(out)
   }
 }

@@ -129,14 +129,14 @@ object CorpusOps {
     // small eval set, and NOT caching it means no persisted-RDD
     // lifecycle for callers to manage (the round-3 leak class)
     val evalSh = evalDocs
-      .select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
+      .select(explode(graft.functions.ShingleMd5(evalText, n)).as("h"))
+      .distinct()
     val bf = evalSh.stat.bloomFilter("h", math.max(evalSh.count(), 1L), fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
     val trainSh = train
-      .select(trainId.as("doc_id"), explode(TextFunctions.shingles(trainText, n)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .select(trainId.as("doc_id"),
+        explode(graft.functions.ShingleMd5(trainText, n)).as("h"))
       .filter(mightContain(col("h"))) // map-side: prunes before the exchange
       .distinct()
     val hits = trainSh.join(broadcast(evalSh), Seq("h")) // exact verify: FPs die
@@ -247,8 +247,8 @@ object CorpusOps {
     */
   def evalShingleHashes(evalDocs: DataFrame, evalText: Column,
                         n: Int = 3): Set[String] =
-    evalDocs.select(explode(TextFunctions.shingles(evalText, n)).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
+    evalDocs.select(explode(graft.functions.ShingleMd5(evalText, n)).as("h"))
+      .distinct()
       .collect().map(_.getString(0)).toSet
 
   /** [[scrubSpans]] as a PURE MAP-SIDE transform: the eval set arrives
@@ -271,14 +271,17 @@ object CorpusOps {
     val spark = train.sparkSession
     val hs = spark.sparkContext.broadcast(evalHashes)
     val member = udf((h: String) => h != null && hs.value.contains(h))
+    // kernel tokenization is the exact tokens() dual, so __md5s
+    // positions align with __t indexes (0-based)
     val withToks = train.select(trainId.as("doc_id"),
-        TextFunctions.tokens(trainText).as("__t"))
+        TextFunctions.tokens(trainText).as("__t"),
+        graft.functions.ShingleMd5(trainText, n).as("__md5s"))
       .filter(size(col("__t")) >= 1) // zero-token docs: same domain as scrubSpans
     withToks
       .withColumn("__hits",
         when(size(col("__t")) >= n,
           filter(sequence(lit(0), size(col("__t")) - n),
-            p => member(md5(concat_ws(" ", slice(col("__t"), p + lit(1), lit(n)))))))
+            p => member(element_at(col("__md5s"), p + lit(1)))))
           .otherwise(array().cast("array<int>")))
       .withColumn("__kept",
         filter(col("__t"), (t, i) =>
