@@ -161,7 +161,10 @@ object SparkEntry {
       Some(sharedOracle("p88_release_manifest"))),
     ("q85_streaming_span_scrub",
       (s, d) => graft.streaming.StreamingQueries.spanScrubStream(s, d),
-      Some(sharedOracle("p87_span_scrub"))))
+      Some(sharedOracle("p87_span_scrub"))),
+    ("q86_streaming_calibration",
+      (s, d) => graft.streaming.StreamingQueries.calibrationStream(s, d),
+      Some(sharedOracle("p90_quality_calibration"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -103,18 +103,33 @@ object Curation {
     */
   def calibrateKeepRate(df: DataFrame, id: Column, group: Column, score: Column,
                         rateMicro: Long, keepLowest: Boolean = true): DataFrame = {
-    require(rateMicro >= 0 && rateMicro <= 1000000L,
-      s"rateMicro must be in [0, 1e6], got $rateMicro")
     val rows = df.select(id.as("doc_id"), group.as("group"),
       score.cast("long").as("score"))
-    val ord = if (keepLowest) col("score").asc else col("score").desc
     val hist = rows.groupBy(col("group"), col("score"))
       .agg(count(lit(1)).as("__c"))
+    calibrateFromHist(hist, rows, rateMicro, keepLowest)
+  }
+
+  /** [[calibrateKeepRate]]'s cutoff + flag pass over a precomputed
+    * per-(group, score) histogram — the half the streaming twin reuses:
+    * the histogram is the associative part (counts sum), so a streaming
+    * aggregation folds it with state bounded by distinct (group, score)
+    * pairs, and THIS runs batch-side at the epoch boundary.
+    */
+  def calibrateFromHist(hist: DataFrame, rows: DataFrame,
+                        rateMicro: Long, keepLowest: Boolean = true): DataFrame = {
+    require(rateMicro >= 0 && rateMicro <= 1000000L,
+      s"rateMicro must be in [0, 1e6], got $rateMicro")
+    val ord = if (keepLowest) col("score").asc else col("score").desc
     val wCum = Window.partitionBy(col("group")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+    // renamed join key: cum and totals share lineage (one histogram),
+    // and a same-attribute self-join fails analysis when the histogram
+    // is a materialized table (the streaming twin's memory sink)
     val totals = hist.groupBy(col("group")).agg(sum(col("__c")).as("__n"))
-    val cutoffs = cum.join(totals, Seq("group"))
+      .select(col("group").as("__g"), col("__n"))
+    val cutoffs = cum.join(totals, col("group") === col("__g")).drop("__g")
       .withColumn("__k", expr(s"(__n * ${rateMicro}L + 999999L) div 1000000L"))
       // k = 0 (rate 0) keeps nothing: no cutoff row → kept = false
       .filter(col("__k") > 0 && col("__cum") >= col("__k"))

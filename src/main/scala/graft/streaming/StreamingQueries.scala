@@ -682,6 +682,31 @@ object StreamingQueries {
     out.orderBy(col("doc_id"))
   }
 
+  /** p90's keep-rate calibration on the streaming engine: the
+    * per-(group, score) HISTOGRAM is the associative half (counts sum),
+    * so the stream folds it with state bounded by distinct (lang,
+    * score) pairs — never by documents — and the cutoff + flag pass
+    * ([[graft.curation.Curation.calibrateFromHist]], shared with the
+    * batch entry) runs batch-side at the epoch boundary against the
+    * static table. Slice-independent because count merges; shares
+    * p90's oracle.
+    */
+  def calibrationStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.curation.Curation
+    import graft.functions.TextFunctions
+    val hist = runToMemory(
+      documentsStream(spark, sfDir)
+        .select(col("lang").as("group"),
+          TextFunctions.tokenCount(col("text")).as("score"))
+        .groupBy(col("group"), col("score")).agg(count(lit(1)).as("__c")))
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("group"),
+        TextFunctions.tokenCount(col("text")).as("score"))
+    Curation.calibrateFromHist(hist, rows, rateMicro = 400000L,
+        keepLowest = true)
+      .orderBy(col("doc_id"))
+  }
+
   /** p88's release manifest on the streaming engine. The dedup election
     * and the manifest stats fold in ONE streaming aggregate whose state
     * is NARROW by construction: each arriving document reduces in the
