@@ -164,7 +164,10 @@ object SparkEntry {
       Some(sharedOracle("p87_span_scrub"))),
     ("q86_streaming_calibration",
       (s, d) => graft.streaming.StreamingQueries.calibrationStream(s, d),
-      Some(sharedOracle("p90_quality_calibration"))))
+      Some(sharedOracle("p90_quality_calibration"))),
+    ("q87_streaming_corpus_release",
+      (s, d) => graft.streaming.StreamingQueries.corpusReleaseStream(s, d),
+      Some(sharedOracle("p91_corpus_release"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

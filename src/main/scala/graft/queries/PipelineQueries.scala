@@ -2602,7 +2602,94 @@ object PipelineQueries {
              CAST(cutoff AS BIGINT) AS cutoff,
              coalesce(score <= cutoff, false) AS kept
       FROM sc LEFT JOIN cut ON sc.lang = cut.lang
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Corpus RELEASE v5 — the whole release pipeline as ONE declarative
+    // plan: exact dedup → surgical span scrub against the eval set
+    // (map-side kernel) → per-lang quality gate (keep the longest 80%
+    // of scrubbed docs — exact calibration) → the shipped manifest with
+    // integrity fingerprints. Every stage is an already-oracle-gated
+    // operator; this entry pins their COMPOSITION, which is what a
+    // production release actually runs.
+    ("p91_corpus_release", (s, d) => {
+      import graft.curation.Curation
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 101 =!= 0)
+      val eval_ = docs.filter(col("doc_id") % 101 === 0)
+      val dd = Dedup.dropExactDuplicates(train, col("doc_id"), col("text"))
+      val scrubbed = CorpusOps.scrubSpansMapSide(dd, col("doc_id"), col("text"),
+          CorpusOps.evalShingleHashes(eval_, col("text"), n = 3), n = 3)
+        .join(dd.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      val flags = Curation.calibrateKeepRate(scrubbed, col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("scrubbed")), rateMicro = 800000L,
+          keepLowest = false)
+        .filter(col("kept")).select(col("doc_id"))
+      Curation.releaseManifest(scrubbed.join(flags, Seq("doc_id")),
+          col("source"), col("lang"), col("scrubbed"))
+        .orderBy(col("lvl"), col("source").asc_nulls_first,
+          col("lang").asc_nulls_first)
+    }, Some(s"""
+      WITH tr AS (SELECT * FROM documents WHERE doc_id % 101 <> 0),
+      f AS (SELECT doc_id, lang, source, text,
+              md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp
+            FROM tr),
+      k0 AS (SELECT fp, min(doc_id) AS kid FROM f GROUP BY 1),
+      dd AS (SELECT f.* FROM f JOIN k0 ON f.doc_id = k0.kid),
+      tD AS (SELECT doc_id, ${sqlToks("text")} AS t FROM dd),
+      shE AS (SELECT unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t)-2),
+                       i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS s
+              FROM (SELECT ${sqlToks("text")} AS t FROM documents
+                    WHERE doc_id % 101 = 0)),
+      evh AS (SELECT DISTINCT md5(s) AS h FROM shE),
+      shD AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                THEN generate_series(1, len(t)-2) ELSE [] END) AS i, t
+              FROM tD),
+      hitsD AS (SELECT doc_id, i - 1 AS pos, i + 1 AS e
+                FROM (SELECT doc_id, i,
+                        md5(array_to_string(t[i:i+2], ' ')) AS h FROM shD)
+                JOIN evh USING (h)),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+             FROM tD WHERE len(t) >= 1),
+      t2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tk),
+      dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
+               EXISTS(SELECT 1 FROM hitsD h WHERE h.doc_id = t2.doc_id
+                      AND t2.pos BETWEEN h.pos AND h.e) AS dp
+             FROM t2),
+      sc AS (SELECT dr.doc_id,
+               coalesce(array_to_string(list(tok ORDER BY pos)
+                 FILTER (WHERE NOT dp), ' '), '') AS scrubbed
+             FROM dr GROUP BY dr.doc_id),
+      sc2 AS (SELECT sc.doc_id, dd.lang, dd.source, scrubbed,
+                CAST(len(${sqlToks("scrubbed")}) AS BIGINT) AS score
+              FROM sc JOIN dd ON sc.doc_id = dd.doc_id),
+      hh AS (SELECT lang, score, count(*) AS c FROM sc2 GROUP BY 1, 2),
+      cm AS (SELECT lang, score,
+               sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS cm
+             FROM hh),
+      nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sc2 GROUP BY 1),
+      kk AS (SELECT lang, (n * 800000 + 999999) // 1000000 AS k FROM nn),
+      cut AS (SELECT cm.lang, max(score) AS cutoff
+              FROM cm JOIN kk USING (lang)
+              WHERE k > 0 AND cm >= k GROUP BY 1),
+      kept AS (SELECT sc2.* FROM sc2 JOIN cut ON sc2.lang = cut.lang
+               WHERE score >= cutoff),
+      m AS (SELECT source, lang, score AS nt,
+              CAST(length(scrubbed) AS BIGINT) AS nc,
+              ${sqlHash40("scrubbed")} AS h_lo,
+              ${sqlHash40("scrubbed", off = 10)} AS h_hi
+            FROM kept)
+      SELECT CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS lvl,
+             source, lang, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(bit_xor(h_lo) AS BIGINT) AS fp_lo,
+             CAST(bit_xor(h_hi) AS BIGINT) AS fp_hi
+      FROM m GROUP BY GROUPING SETS ((source, lang), (source), ())
+      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST"""))
   )
 
   /** p84's sketch-overlap oracle — shared with p89 (incremental

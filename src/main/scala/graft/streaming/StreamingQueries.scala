@@ -707,6 +707,58 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p91's WHOLE release pipeline on the streaming engine — dedup →
+    * scrub → quality gate → manifest — with one narrow-state streaming
+    * aggregate. Everything the downstream stages need is a pure
+    * function of the row, so it computes in the SCAN stage before any
+    * state: the dedup fingerprint (of raw text — batch order:
+    * scrubbing the keepers equals electing then scrubbing), the
+    * scrubbed text's token count / char count / fingerprint lanes (via
+    * the map-side scrub + shared manifestStats projection). The only
+    * streaming state is fingerprint → struct-min of those stats
+    * (doc_id leads ⇒ batch-identical keeper); scrubbed TEXT itself
+    * never enters state. At the epoch boundary the calibration
+    * histogram, cutoff, and grouping-set rollups all run batch-side
+    * over the elected keepers through the same shared halves the batch
+    * entry uses. Shares p91's oracle.
+    */
+  def corpusReleaseStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.curation.Curation
+    import graft.text.CorpusOps
+    import graft.functions.TextFunctions
+    val evalHashes = CorpusOps.evalShingleHashes(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 101 === 0),
+      col("text"), n = 3)
+    val train = documentsStream(spark, sfDir).filter(col("doc_id") % 101 =!= 0)
+    val scrubbed = CorpusOps.scrubSpansMapSide(train,
+      col("doc_id"), col("text"), evalHashes, 3,
+      col("source"), col("lang"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    val stats = Curation.manifestStats(scrubbed,
+      col("source"), col("lang"), col("scrubbed"),
+      col("doc_id"), col("fingerprint"))
+    val elected = runToMemory(
+      stats.groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("source"), col("lang"),
+          col("__nt"), col("__nc"), col("__h_lo"), col("__h_hi"))).as("s")))
+      .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+        col("s.lang").as("lang"), col("s.__nt").as("__nt"),
+        col("s.__nc").as("__nc"), col("s.__h_lo").as("__h_lo"),
+        col("s.__h_hi").as("__h_hi"))
+    val hist = elected.groupBy(col("lang").as("group"), col("__nt").as("score"))
+      .agg(count(lit(1)).as("__c"))
+    val flags = Curation.calibrateFromHist(hist,
+        elected.select(col("doc_id"), col("lang").as("group"),
+          col("__nt").as("score")),
+        rateMicro = 800000L, keepLowest = false)
+      .filter(col("kept")).select(col("doc_id"))
+    Curation.releaseManifestFromStats(elected.join(flags, Seq("doc_id"))
+        .select(col("source"), col("lang"), col("__nt"), col("__nc"),
+          col("__h_lo"), col("__h_hi")))
+      .orderBy(col("lvl"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+  }
+
   /** p88's release manifest on the streaming engine. The dedup election
     * and the manifest stats fold in ONE streaming aggregate whose state
     * is NARROW by construction: each arriving document reduces in the

@@ -267,15 +267,18 @@ object CorpusOps {
     * and reassembly stay in column space.
     */
   def scrubSpansMapSide(train: DataFrame, trainId: Column, trainText: Column,
-                        evalHashes: Set[String], n: Int = 3): DataFrame = {
+                        evalHashes: Set[String], n: Int,
+                        extra: Column*): DataFrame = {
     val spark = train.sparkSession
     val hs = spark.sparkContext.broadcast(evalHashes)
     val member = udf((h: String) => h != null && hs.value.contains(h))
     // kernel tokenization is the exact tokens() dual, so __md5s
-    // positions align with __t indexes (0-based)
-    val withToks = train.select(trainId.as("doc_id"),
+    // positions align with __t indexes (0-based); `extra` columns
+    // evaluate against the input row and pass through (the streaming
+    // release pipeline carries source/lang/fingerprint this way)
+    val withToks = train.select((Seq(trainId.as("doc_id"),
         TextFunctions.tokens(trainText).as("__t"),
-        graft.functions.ShingleMd5(trainText, n).as("__md5s"))
+        graft.functions.ShingleMd5(trainText, n).as("__md5s")) ++ extra): _*)
       .filter(size(col("__t")) >= 1) // zero-token docs: same domain as scrubSpans
     withToks
       .withColumn("__hits",
@@ -286,9 +289,10 @@ object CorpusOps {
       .withColumn("__kept",
         filter(col("__t"), (t, i) =>
           !exists(col("__hits"), p => p <= i && p >= i - (n - 1))))
-      .select(col("doc_id"),
-        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_dropped"),
-        array_join(col("__kept"), " ").as("scrubbed"))
+      .withColumn("n_dropped",
+        (size(col("__t")) - size(col("__kept"))).cast("long"))
+      .withColumn("scrubbed", array_join(col("__kept"), " "))
+      .drop("__t", "__md5s", "__hits", "__kept")
   }
 
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
