@@ -57,6 +57,35 @@ object Curation {
       Dedup.sketchHash40At(text, 10).as("__h_hi")): _*)
   }
 
+  /** Release-to-release manifest DIFF — the audit a consumer runs when
+    * a new corpus version ships: per (source, lang) leaf, how many
+    * documents and tokens moved, and whether CONTENT changed at all
+    * (the xor fingerprints differ) — which catches silent edits that
+    * leave counts identical. Operates on two [[releaseManifest]]
+    * outputs (manifest-sized inputs — no corpus access), so version
+    * diffs cost nothing at 100 TB.
+    *
+    * `status`: added (leaf only in new) / removed (only in old) /
+    * changed (both, fingerprints differ) / unchanged.
+    */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    def leaf(m: DataFrame, p: String) = m.filter(col("lvl") === 0)
+      .select(col("source"), col("lang"), col("n_docs").as(s"__${p}d"),
+        col("n_tokens").as(s"__${p}t"), col("fp_lo").as(s"__${p}l"),
+        col("fp_hi").as(s"__${p}h"))
+    leaf(oldM, "o").join(leaf(newM, "n"), Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        (coalesce(col("__nd"), lit(0L)) - coalesce(col("__od"), lit(0L)))
+          .as("n_docs_delta"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("__ot"), lit(0L)))
+          .as("n_tokens_delta"),
+        when(col("__od").isNull, lit("added"))
+          .when(col("__nd").isNull, lit("removed"))
+          .when(col("__ol") === col("__nl") && col("__oh") === col("__nh"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** [[releaseManifest]]'s grouping-sets pass over precomputed
     * [[manifestStats]] rows — the half shared by the batch entry and
     * the streaming twin's epoch-boundary rollup.

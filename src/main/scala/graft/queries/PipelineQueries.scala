@@ -2689,7 +2689,46 @@ object PipelineQueries {
              CAST(bit_xor(h_lo) AS BIGINT) AS fp_lo,
              CAST(bit_xor(h_hi) AS BIGINT) AS fp_hi
       FROM m GROUP BY GROUPING SETS ((source, lang), (source), ())
-      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST"""))
+      ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST""")),
+
+    // Manifest DIFF — the release audit: per (source, lang) leaf, doc
+    // and token deltas between two releases plus a content-change flag
+    // from the xor fingerprints (catches silent edits that leave
+    // counts identical). Consumes two manifests — manifest-sized
+    // inputs, no corpus access, so a version diff costs nothing at
+    // scale. Old release = the docs with doc_id % 5 != 4 (a prior
+    // partial crawl), new = the full corpus.
+    ("p92_manifest_diff", (s, d) => {
+      import graft.curation.Curation
+      val docs = Tables.documents(s, d)
+      val m = (df: org.apache.spark.sql.DataFrame) =>
+        Curation.releaseManifest(df, col("source"), col("lang"), col("text"))
+      Curation.manifestDiff(m(docs.filter(col("doc_id") % 5 =!= 4)), m(docs))
+        .orderBy(col("source"), col("lang"))
+    }, Some(s"""
+      WITH mo AS (
+        SELECT source, lang, count(*) AS d,
+               CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS t,
+               CAST(bit_xor(${sqlHash40("text")}) AS BIGINT) AS l,
+               CAST(bit_xor(${sqlHash40("text", off = 10)}) AS BIGINT) AS h
+        FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+      mn AS (
+        SELECT source, lang, count(*) AS d,
+               CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS t,
+               CAST(bit_xor(${sqlHash40("text")}) AS BIGINT) AS l,
+               CAST(bit_xor(${sqlHash40("text", off = 10)}) AS BIGINT) AS h
+        FROM documents GROUP BY 1, 2)
+      SELECT coalesce(mo.source, mn.source) AS source,
+             coalesce(mo.lang, mn.lang) AS lang,
+             CAST(coalesce(mn.d, 0) - coalesce(mo.d, 0) AS BIGINT) AS n_docs_delta,
+             CAST(coalesce(mn.t, 0) - coalesce(mo.t, 0) AS BIGINT) AS n_tokens_delta,
+             CASE WHEN mo.source IS NULL THEN 'added'
+                  WHEN mn.source IS NULL THEN 'removed'
+                  WHEN mo.l = mn.l AND mo.h = mn.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM mo FULL OUTER JOIN mn
+        ON mo.source = mn.source AND mo.lang = mn.lang
+      ORDER BY 1, 2"""))
   )
 
   /** p84's sketch-overlap oracle — shared with p89 (incremental

@@ -84,6 +84,28 @@ class CurationSpec extends AnyFunSuite {
     assert(none.filter(col("kept")).count() == 0)
   }
 
+  test("manifestDiff: added/removed/changed/unchanged; silent edits caught by fingerprint") {
+    val m = (rows: Seq[(Long, String, String, String)]) =>
+      Curation.releaseManifest(rows.toDF("doc_id", "source", "lang", "text"),
+        col("source"), col("lang"), col("text"))
+    val old_ = m(Seq(
+      (1L, "s1", "en", "alpha beta gamma"),
+      (2L, "s1", "de", "eins zwei drei"),
+      (3L, "s2", "en", "one two three")))
+    val new_ = m(Seq(
+      (1L, "s1", "en", "alpha beta gamma"),     // unchanged
+      (2L, "s1", "de", "eins zwei VIER"),       // SILENT EDIT: same counts
+      (4L, "s3", "en", "brand new source")))    // s2/en removed, s3/en added
+    val out = Curation.manifestDiff(old_, new_)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(("s1", "en")) == (0L, 0L, "unchanged"))
+    // same doc count, same token count — only the fingerprint sees it
+    assert(out(("s1", "de")) == (0L, 0L, "changed"))
+    assert(out(("s2", "en")) == (-1L, -3L, "removed"))
+    assert(out(("s3", "en")) == (1L, 3L, "added"))
+  }
+
   test("stratifiedSample is deterministic and tracks per-stratum rates") {
     val rows = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")

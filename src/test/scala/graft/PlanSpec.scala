@@ -124,6 +124,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"sketch aggregation not hash-based:\n$p")
   }
 
+  test("p88 release manifest: grouping sets expand map-side, ONE aggregation exchange") {
+    val m = graft.curation.Curation.releaseManifest(
+      Tables.documents(spark, TestSpark.sf), col("source"), col("lang"), col("text"))
+    val p = m.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"manifest should aggregate through one exchange:\n$p")
+  }
+
   test("p20 token budget: one hash exchange on the group key, windows in-partition") {
     val p = plan("p20_token_budget")
     assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
