@@ -30,6 +30,44 @@ class PropertySpec extends AnyFunSuite {
   private def naiveTopK(xs: List[Aggregators.Scored], k: Int): List[Aggregators.Scored] =
     xs.sortBy(s => (-s.cos, s.neighbor_id)).take(k)
 
+  private val textGen: Gen[String] = {
+    val token = Gen.oneOf("a", "bb", "ccc", "é", "😀", "x1", "-")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n + 1, sep)
+      lead <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+  }
+
+  /** Independent reference for the shingle kernels: library split +
+    * sliding + MessageDigest, no shared code with the production path.
+    */
+  private def refShingleMd5(text: String, n: Int): List[String] = {
+    val toks = text.split("\\s+").toList.filter(_.nonEmpty)
+    if (toks.length < n) Nil
+    else toks.sliding(n).map { w =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.mkString(" ").getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }.toList
+  }
+
+  test("shingle kernels equal the independent split+sliding+digest reference") {
+    import graft.functions.ShingleHash40Util
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 4)) { (text, n) =>
+      val ref = refShingleMd5(text, n)
+      val hex = ShingleHash40Util.md5Hex(UTF8String.fromString(text), n)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType).map(_.toString).toList
+      val h40 = ShingleHash40Util.hashes(UTF8String.fromString(text), n)
+        .toLongArray().toList
+      hex == ref &&
+        h40 == ref.map(h => java.lang.Long.parseLong(h.take(10), 16) + 1L)
+    })
+  }
+
   test("TopK equals the sort-based rank for any input and any partitioning") {
     val kGen = Gen.chooseNum(1, 6)
     check(Prop.forAll(scoredGen, kGen, Gen.chooseNum(1, 5)) { (xs, k, nParts) =>
