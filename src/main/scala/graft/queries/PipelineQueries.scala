@@ -366,6 +366,57 @@ object PipelineQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // FILTERED vector search — IVF under a metadata predicate, the
+    // "where label = X" of every production vector store: quantizer
+    // full-corpus (one shared index serves every filter), predicate
+    // PRE-filters candidates so the top-k ranks matching vectors only
+    // (post-filtering returns < k under selective filters). Oracle =
+    // p12's CTE chain with the label predicate on the candidate side.
+    ("p93_filtered_ann", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopKFiltered(e, col("vec_id"), col("embedding"),
+          keep = col("label") < 3,
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, centroidStride = 25, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id % 25 = 0),
+      asg0 AS (SELECT e.vec_id, centroid_id,
+                      round(list_dot_product(e.v, cv) /
+                            (sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(cv, cv))), 6) AS ccos
+               FROM e CROSS JOIN cent WHERE e.label < 3),
+      asg AS (SELECT vec_id, centroid_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, centroid_id) AS rn FROM asg0)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+      probe0 AS (SELECT query_id, centroid_id,
+                        round(list_dot_product(qv, cv) /
+                              (sqrt(list_dot_product(qv, qv)) *
+                               sqrt(list_dot_product(cv, cv))), 6) AS ccos
+                 FROM q CROSS JOIN cent),
+      probes AS (SELECT query_id, centroid_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY ccos DESC, centroid_id) AS rn FROM probe0)
+                 WHERE rn <= 2),
+      scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+                        round(list_dot_product(c.v, qv) /
+                              (sqrt(list_dot_product(c.v, c.v)) *
+                               sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM probes p
+                 JOIN asg a ON p.centroid_id = a.centroid_id
+                 JOIN e c ON a.vec_id = c.vec_id
+                 JOIN q USING (query_id)
+                 WHERE a.vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // two-stage ANN: PQ shortlist (k·refine from codes alone) → exact
     // cosine rerank on candidates only. Oracle = p17's CTE chain with a
     // rerank tail.

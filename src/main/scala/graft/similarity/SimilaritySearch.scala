@@ -77,6 +77,37 @@ object SimilaritySearch {
     ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, cent, k, nprobe)
   }
 
+  /** FILTERED vector search — [[ivfTopK]] under a metadata predicate
+    * (the "where label = X" of every production vector store). Two
+    * deliberate semantics:
+    *
+    *  - The QUANTIZER stays full-corpus (the index is one shared
+    *    structure serving every filter; per-filter quantizers would
+    *    mean per-filter indexes).
+    *  - The predicate applies to the CANDIDATE side before scoring —
+    *    pre-filtering, so the top-k rank is over matching vectors only
+    *    (post-filtering k results and discarding non-matches returns
+    *    fewer than k under selective filters — the classic vector-DB
+    *    pitfall). Coarse assignment is per-vector, so assigning the
+    *    filtered subset equals filtering full assignments; the
+    *    predicate lands in the candidate SCAN (plan-pinned: pushed
+    *    filter, not a post-rank drop).
+    *
+    * Recall note: within probed cells the filtered search is exact;
+    * like all IVF, vectors whose cell is unprobed are missed — nprobe
+    * should scale up under very selective filters (the standard
+    * filtered-ANN tuning rule).
+    */
+  def ivfTopKFiltered(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                      keep: Column,
+                      queries: DataFrame, queryId: Column, queryVec: Column,
+                      k: Int, centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
+    val cent = corpus.select(corpusId.as("centroid_id"), corpusVec.as("centv"))
+      .filter(corpusId % centroidStride === 0)
+    ivfTopKWith(corpus.filter(keep), corpusId, corpusVec,
+      queries, queryId, queryVec, cent, k, nprobe)
+  }
+
   /** IVF with k-means-trained centroids (see [[kmeansCentroids]]) — the
     * production quantizer; same search dataflow as [[ivfTopK]].
     */

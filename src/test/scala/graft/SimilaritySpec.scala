@@ -22,6 +22,35 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
       .agg(avg(col("best"))).as[Double].head()
 
+  test("ivfTopKFiltered: pre-filter ranks matching vectors only; predicate reaches the scan") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val filtered = SimilaritySearch.ivfTopKFiltered(e, col("vec_id"), col("embedding"),
+      keep = col("label") < 3,
+      e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+      k = 5, centroidStride = 25, nprobe = 2)
+    // every returned neighbor satisfies the predicate
+    val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(filtered.join(labels, "neighbor_id")
+      .filter(col("label") >= 3).count() == 0)
+    // PRE-filter semantics: ranks are over matching vectors, so a query
+    // still gets k results where enough matches exist in its probed
+    // cells — post-filtering the unfiltered top-k would return fewer
+    // (matching rows beyond the unfiltered top-5 must appear here)
+    val unfilteredTop = SimilaritySearch.ivfTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        k = 5, centroidStride = 25, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val beyond = filtered.select(col("query_id"), col("neighbor_id"))
+      .exceptAll(unfilteredTop).count()
+    assert(beyond > 0, "pre-filter should surface matches the unfiltered top-k cuts")
+    // the predicate lands in the candidate scan (parquet pushdown)
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.exists(_.contains("LessThan(label,3)")),
+      s"label predicate not pushed to a scan: $scans")
+  }
+
   test("kmeansCentroids is deterministic and improves the cosine objective") {
     val init = embeddings.orderBy("vec_id").limit(8)
       .select(col("vec_id").as("centroid_id"),
