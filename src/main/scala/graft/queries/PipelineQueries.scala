@@ -417,6 +417,59 @@ object PipelineQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // HYBRID retrieval — lexical BM25 + vector ANN fused by reciprocal
+    // rank (RRF), the standard production hybrid-search combiner:
+    // rank-based credit needs no cross-scale score normalization, and a
+    // doc missing from one ranking simply earns no credit there. Query
+    // vectors map deterministically to the demo query ids. Oracle nests
+    // the p49 BM25 oracle and a depth-15 brute-force vector ranking,
+    // then fuses with the identical integer arithmetic.
+    ("p94_hybrid_rrf", (s, d) => {
+      import graft.text.CorpusOps
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val text = CorpusOps.bm25TopK(docs, col("doc_id"), col("text"),
+          CorpusOps.bm25DemoQueries, k = 15)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qmap = CorpusOps.bm25DemoQueries.map(_._1).zipWithIndex
+        .map { case (q, i) => (q, i.toLong) }.toDF("qid", "query_vec")
+      val vec = SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 15)
+        .join(broadcast(qmap), col("query_id") === col("query_vec"))
+        .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      CorpusOps.rrfFuse(Seq(text, vec), k0 = 60, topK = 10)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(s"""
+      WITH tr AS (${bm25Oracle("")}),
+      vq AS (SELECT vec_id AS query_vec, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 3),
+      vc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             FROM embeddings),
+      vs AS (SELECT query_vec, neighbor_id,
+                    round(list_dot_product(cv, qv) /
+                          (sqrt(list_dot_product(cv, cv)) *
+                           sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM vc, vq WHERE neighbor_id <> query_vec),
+      vr AS (SELECT * FROM (
+               SELECT query_vec, neighbor_id,
+                      row_number() OVER (PARTITION BY query_vec
+                        ORDER BY cos DESC, neighbor_id) AS rank
+               FROM vs) WHERE rank <= 15),
+      vmap(qid, query_vec) AS (VALUES
+        ('q_hash_join', 0), ('q_window', 1), ('q_scan', 2)),
+      vrank AS (SELECT qid, neighbor_id AS doc_id, rank
+                FROM vr JOIN vmap USING (query_vec)),
+      u AS (SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM tr
+            UNION ALL
+            SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM vrank),
+      f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+            FROM u GROUP BY 1, 2),
+      fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
+      FROM fr WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // two-stage ANN: PQ shortlist (k·refine from codes alone) → exact
     // cosine rerank on candidates only. Oracle = p17's CTE chain with a
     // rerank tail.

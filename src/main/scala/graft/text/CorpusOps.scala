@@ -471,6 +471,40 @@ object CorpusOps {
         col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
   }
 
+  /** Reciprocal-rank fusion — the standard HYBRID-retrieval combiner:
+    * fuse any number of (qid, doc_id, rank) rankings (lexical BM25,
+    * vector ANN, ...) by summing per-ranking reciprocal-rank credit,
+    * rrf = Σ 1e6 div (k0 + rank), in integer micro-units (the p81 rule:
+    * never round doubles at an oracle boundary). A document missing
+    * from one ranking simply earns no credit there — no outer-join
+    * scaffolding, the union handles it.
+    *
+    * Why RRF and not score interpolation: BM25 micro-scores and cosine
+    * micro-units live on incomparable scales; rank-based fusion needs
+    * no per-query normalization, which also makes it trivially
+    * distributable — each ranking contributes map-side rows, ONE
+    * (qid, doc_id) aggregation fuses, and the final per-query rank
+    * window runs over ≤ Σk candidate rows per query (bounded by the
+    * input ranking depths, never corpus-sized).
+    *
+    * Output: (qid, rank, doc_id, rrf_micro), rank by rrf DESC then
+    * doc_id, top `topK` per query.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val u = rankings.map(_.select(col("qid"), col("doc_id"),
+        expr(s"1000000L div (${k0}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_micro"))
+  }
+
   /** The demo query set shared by the batch oracle entry (p49) and its
     * streaming twin (q60) — ONE definition so the two executions rank
     * the same retrieval workload.

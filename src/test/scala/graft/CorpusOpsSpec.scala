@@ -287,6 +287,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"map-side scrub shuffled:\n$p")
   }
 
+  test("rrfFuse: partial-overlap rankings fuse by reciprocal credit") {
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("qid", "doc_id", "rank")
+    val b = Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("qid", "doc_id", "rank")
+    val out = CorpusOps.rrfFuse(Seq(a, b), k0 = 60, topK = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d2 earns credit from BOTH rankings (1e6//61 + 1e6//62); d1 and d3
+    // from one each — missing-from-a-ranking needs no outer join
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1000000L / 61 + 1000000L / 62),
+      (2L, 1L, 1000000L / 61),
+      (3L, 3L, 1000000L / 62)))
+  }
+
   test("vocabTopK ranks by tf with token tiebreak and exact df") {
     val docs = Seq(
       (1L, "b b a c"), (2L, "b a"), (3L, "c")).toDF("id", "text")

@@ -783,6 +783,24 @@ class OperatorsSpec extends AnyFunSuite {
       viaMerge.exceptAll(direct).count() == 0)
   }
 
+  test("sketch lifecycle: retried segment writes are idempotent; serve == one-pass") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = graft.sources.Sinks.tempArtifactDir("graft_sk_drill")
+    val day1 = Dedup.sourceSketch(docs.filter(col("doc_id") % 2 === 0),
+      col("source"), col("text"))
+    val day2 = Dedup.sourceSketch(docs.filter(col("doc_id") % 2 === 1),
+      col("source"), col("text"))
+    Dedup.writeSketchSegment(day1, dir, "day1")
+    // a declared RETRY of the same label rewrites its own segment only
+    Dedup.writeSketchSegment(day1, dir, "day1")
+    Dedup.writeSketchSegment(day2, dir, "day2")
+    val served = Dedup.servedSketchOverlap(spark, dir)
+    val onePass = Dedup.sketchOverlap(docs, col("source"), col("text"))
+    assert(served.exceptAll(onePass).count() == 0 &&
+      onePass.exceptAll(served).count() == 0)
+  }
+
   test("ngramContainment flags the subset duplicate Jaccard dilutes away") {
     import graft.dedup.Dedup
     val contained = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
