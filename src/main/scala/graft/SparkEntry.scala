@@ -167,7 +167,10 @@ object SparkEntry {
       Some(sharedOracle("p90_quality_calibration"))),
     ("q87_streaming_corpus_release",
       (s, d) => graft.streaming.StreamingQueries.corpusReleaseStream(s, d),
-      Some(sharedOracle("p91_corpus_release"))))
+      Some(sharedOracle("p91_corpus_release"))),
+    ("q88_streaming_hybrid_rrf",
+      (s, d) => graft.streaming.StreamingQueries.hybridRrfStream(s, d),
+      Some(sharedOracle("p94_hybrid_rrf"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

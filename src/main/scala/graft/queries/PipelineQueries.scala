@@ -440,35 +440,62 @@ object PipelineQueries {
         .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
       CorpusOps.rrfFuse(Seq(text, vec), k0 = 60, topK = 10)
         .orderBy(col("qid"), col("rank"))
-    }, Some(s"""
-      WITH tr AS (${bm25Oracle("")}),
-      vq AS (SELECT vec_id AS query_vec, embedding::DOUBLE[] AS qv
-             FROM embeddings WHERE vec_id < 3),
-      vc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-             FROM embeddings),
-      vs AS (SELECT query_vec, neighbor_id,
-                    round(list_dot_product(cv, qv) /
-                          (sqrt(list_dot_product(cv, cv)) *
-                           sqrt(list_dot_product(qv, qv))), 6) AS cos
-             FROM vc, vq WHERE neighbor_id <> query_vec),
-      vr AS (SELECT * FROM (
-               SELECT query_vec, neighbor_id,
-                      row_number() OVER (PARTITION BY query_vec
-                        ORDER BY cos DESC, neighbor_id) AS rank
-               FROM vs) WHERE rank <= 15),
-      vmap(qid, query_vec) AS (VALUES
-        ('q_hash_join', 0), ('q_window', 1), ('q_scan', 2)),
-      vrank AS (SELECT qid, neighbor_id AS doc_id, rank
-                FROM vr JOIN vmap USING (query_vec)),
-      u AS (SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM tr
-            UNION ALL
-            SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM vrank),
-      f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
-            FROM u GROUP BY 1, 2),
-      fr AS (SELECT *, row_number() OVER (PARTITION BY qid
-               ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
-      SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
-      FROM fr WHERE rank <= 10 ORDER BY qid, rank""")),
+    }, Some(hybridRrfOracle)),
+
+    // The hybrid ranking measured by the SAME evaluation harness as the
+    // lexical ranking (p83): retrievalMrr over the fused top-10 against
+    // AND-match relevance — "measure, don't guess" applied to fusion
+    // itself. Oracle nests the shared hybrid oracle verbatim, so the
+    // evaluation cannot drift from the ranking it evaluates.
+    ("p95_hybrid_mrr", (s, d) => {
+      import graft.text.CorpusOps
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val text = CorpusOps.bm25TopK(docs, col("doc_id"), col("text"),
+          CorpusOps.bm25DemoQueries, k = 15)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qmap = CorpusOps.bm25DemoQueries.map(_._1).zipWithIndex
+        .map { case (q, i) => (q, i.toLong) }.toDF("qid", "query_vec")
+      val vec = SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 15)
+        .join(broadcast(qmap), col("query_id") === col("query_vec"))
+        .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = CorpusOps.rrfFuse(Seq(text, vec), k0 = 60, topK = 10)
+      val qt = CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map((q, _)) }.toDF("qid", "term")
+      val qs = qt.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      val rel = dt.join(broadcast(qt), Seq("term"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("m"))
+        .join(broadcast(qs), Seq("qid")).filter(col("m") === col("nt"))
+        .select(col("qid"), col("doc_id"))
+      CorpusOps.retrievalMrr(fused, rel).orderBy(col("qid"))
+    }, Some {
+      val qtVals = graft.text.CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t')") }
+        .mkString(", ")
+      s"""
+      WITH r AS ($hybridRrfOracle),
+      qt AS (SELECT * FROM (VALUES $qtVals) AS t(qid, term)),
+      qs AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+      dt AS (SELECT DISTINCT doc_id, term FROM
+               (SELECT doc_id, unnest(${sqlToks("text")}) AS term
+                FROM documents)),
+      mm AS (SELECT qt.qid, dt.doc_id, count(*) AS m
+             FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+      rel AS (SELECT mm.qid, mm.doc_id
+              FROM mm JOIN qs USING (qid) WHERE m = nt),
+      fr AS (SELECT r.qid, min(r.rank) AS frk, count(*) AS n_rel_topk
+             FROM r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+             GROUP BY 1),
+      qq AS (SELECT DISTINCT qid FROM r)
+      SELECT qq.qid, CAST(coalesce(n_rel_topk, 0) AS BIGINT) AS n_rel_topk,
+             CAST(coalesce(frk, 0) AS BIGINT) AS first_rel_rank,
+             CAST(coalesce(1000000 // frk, 0) AS BIGINT) AS rr_micro
+      FROM qq LEFT JOIN fr USING (qid) ORDER BY qq.qid"""
+    }),
 
     // two-stage ANN: PQ shortlist (k·refine from codes alone) → exact
     // cosine rerank on candidates only. Oracle = p17's CTE chain with a
@@ -2934,6 +2961,40 @@ object PipelineQueries {
                  ORDER BY score_micro DESC, doc_id) AS rank
         FROM agg) r
       WHERE rank <= 15 ORDER BY qid, rank"""
+
+  /** p94's hybrid-RRF oracle — shared with p95 (the fused ranking's own
+    * MRR evaluation) and the streaming twin q88: every execution of the
+    * hybrid ranking must reproduce the same fusion bit-for-bit.
+    */
+  lazy val hybridRrfOracle: String = s"""
+      WITH tr AS (${bm25Oracle("")}),
+      vq AS (SELECT vec_id AS query_vec, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 3),
+      vc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             FROM embeddings),
+      vs AS (SELECT query_vec, neighbor_id,
+                    round(list_dot_product(cv, qv) /
+                          (sqrt(list_dot_product(cv, cv)) *
+                           sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM vc, vq WHERE neighbor_id <> query_vec),
+      vr AS (SELECT * FROM (
+               SELECT query_vec, neighbor_id,
+                      row_number() OVER (PARTITION BY query_vec
+                        ORDER BY cos DESC, neighbor_id) AS rank
+               FROM vs) WHERE rank <= 15),
+      vmap(qid, query_vec) AS (VALUES
+        ('q_hash_join', 0), ('q_window', 1), ('q_scan', 2)),
+      vrank AS (SELECT qid, neighbor_id AS doc_id, rank
+                FROM vr JOIN vmap USING (query_vec)),
+      u AS (SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM tr
+            UNION ALL
+            SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM vrank),
+      f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+            FROM u GROUP BY 1, 2),
+      fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
+      FROM fr WHERE rank <= 10 ORDER BY qid, rank"""
 
   /** p08's brute-force cosine top-5 — also the EXACT side of the p76
     * recall evaluation (one string so the ground truth cannot drift).

@@ -1269,6 +1269,41 @@ object StreamingQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** p94's hybrid retrieval with BOTH legs on the streaming engine: the
+    * lexical leg is the q60 streaming BM25 ranking (frozen corpus
+    * stats, map-side scoring, rank aggregate), the vector leg streams
+    * the embedding corpus against the three broadcast query vectors
+    * through the same [[graft.similarity.SimilaritySearch.rankTopK]]
+    * aggregate, and the fusion is the SHARED
+    * [[graft.text.CorpusOps.rrfFuse]] run batch-side at the epoch
+    * boundary over the two epoch rankings. State per leg = one top-k
+    * aggregate row per query; shares p94's oracle.
+    */
+  def hybridRrfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    import graft.functions.VectorFunctions
+    val text = bm25TopK(spark, sfDir, k = 15)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val corpus = embeddingsStream(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val vr = runToMemory(graft.similarity.SimilaritySearch.rankTopK(scored, 15))
+    val sp = spark
+    import sp.implicits._
+    val qmap = CorpusOps.bm25DemoQueries.map(_._1).zipWithIndex
+      .map { case (q, i) => (q, i.toLong) }.toDF("qid", "query_vec")
+    val vec = vr.join(broadcast(qmap), col("query_id") === col("query_vec"))
+      .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+    CorpusOps.rrfFuse(Seq(text, vec), k0 = 60, topK = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** p50's histogram quantile sketch on the streaming engine — one
     * fixed bins-long buffer per group as streaming state
     * ([[graft.functions.Histogram.HistAgg]]), elementwise-add merge so
