@@ -325,6 +325,80 @@ object Extended {
                   THEN (SELECT e.err_value FROM e
                         WHERE e.user_id = m.user_id AND e.es = rts) END
                AS err_value
-      FROM m ORDER BY event_id"""))
+      FROM m ORDER BY event_id""")),
+
+    // Funnel analysis — the classic event-analytics workload: per user,
+    // the earliest signup, the first click within 72 h AFTER it, and
+    // the first purchase within 72 h after THAT (stage order enforced
+    // by construction, not by regex). Scale shape: each stage shuffles
+    // only ITS OWN event-type slice keyed on user_id (signup rows, then
+    // click rows, then purchase rows — never the whole log twice), the
+    // stage joins co-partition on the same key (AQE broadcasts the
+    // shrinking stage tables at small SF), and there is no per-user
+    // event collection and no self-join explosion.
+    ("q89_funnel", (s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("signup_ts") &&
+          col("ts") <= col("signup_ts") + expr("INTERVAL 72 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("click_ts") &&
+          col("ts") <= col("click_ts") + expr("INTERVAL 72 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_ts"), col("click_ts"),
+          col("purchase_ts"),
+          (lit(1L) + col("click_ts").isNotNull.cast("long")
+            + col("purchase_ts").isNotNull.cast("long")).as("stage_reached"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(ts) AS click_ts
+             FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts > signup_ts
+               AND ts <= signup_ts + INTERVAL 72 HOURS GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(ts) AS purchase_ts
+             FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > click_ts
+               AND ts <= click_ts + INTERVAL 72 HOURS GROUP BY 1)
+      SELECT s1.user_id, signup_ts, click_ts, purchase_ts,
+             CAST(1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END
+                  AS BIGINT) AS stage_reached
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      ORDER BY 1""")),
+
+    // Weekly cohort retention — the other canonical event-analytics
+    // matrix: cohort = week of a user's first event; each (cohort,
+    // offset) cell counts distinct users active that many weeks later.
+    // Two aggregations (first-seen per user, distinct user-weeks) and
+    // one join, then a cell-level count — every stage keyed on user_id
+    // or the bounded (cohort, offset) grid.
+    ("q90_retention", (s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct()
+      active.join(first, "user_id")
+        .withColumn("week_offset",
+          expr("(unix_timestamp(w) - unix_timestamp(cohort_week)) div 604800"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }, Some("""
+      WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                 FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      SELECT cohort_week,
+             CAST((epoch(w) - epoch(cohort_week)) // 604800 AS BIGINT)
+               AS week_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
