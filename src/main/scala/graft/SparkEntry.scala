@@ -232,7 +232,9 @@ object SparkEntry {
     // code pairing) and the discriminative log-odds quality filter
     "p80_phash_near_dedup", "p81_log_odds_quality",
     // round-7 continued: sketch overlap (one bounded-exchange corpus
-    // aggregation), bloom-prefiltered decontam (map-side pruning), and
-    // the grouping-sets release manifest
-    "p84_sketch_overlap", "p85_bloom_decontam", "p88_release_manifest")
+    // aggregation), bloom-prefiltered decontam (map-side pruning), the
+    // grouping-sets release manifest, filtered vector search, and
+    // hybrid RRF retrieval
+    "p84_sketch_overlap", "p85_bloom_decontam", "p88_release_manifest",
+    "p93_filtered_ann", "p94_hybrid_rrf")
 }
