@@ -170,14 +170,20 @@ object SparkEntry {
       Some(sharedOracle("p91_corpus_release"))),
     ("q88_streaming_hybrid_rrf",
       (s, d) => graft.streaming.StreamingQueries.hybridRrfStream(s, d),
-      Some(sharedOracle("p94_hybrid_rrf"))))
+      Some(sharedOracle("p94_hybrid_rrf"))),
+    ("q93_streaming_anomaly",
+      (s, d) => graft.streaming.StreamingQueries.anomalyHoursStream(s, d),
+      Some(sharedOracle("q92_anomaly_hours"))),
+    ("q94_streaming_split",
+      (s, d) => graft.streaming.StreamingQueries.leakageSplitStream(s, d),
+      Some(sharedOracle("p96_leakage_safe_split"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
     * streaming twin from the correctness gate.
     */
   private def sharedOracle(name: String): String =
-    PipelineQueries.defs.find(_._1 == name).flatMap(_._3)
+    (PipelineQueries.defs ++ Extended.defs).find(_._1 == name).flatMap(_._3)
       .getOrElse(throw new IllegalStateException(
         s"shared oracle: no oracle SQL found for '$name'"))
 

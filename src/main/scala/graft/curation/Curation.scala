@@ -409,6 +409,71 @@ object Curation {
         col("rank"))
   }
 
+  /** Leakage-safe train/validation split: the split decision hashes the
+    * document's CONTENT fingerprint ([[graft.functions.TextFunctions
+    * .fingerprint]] — md5 of whitespace-normalized lowercase text), not
+    * its id, so every exact duplicate of a document lands in the SAME
+    * split by construction. Splitting on doc_id leaks: a page crawled
+    * twice trains on one copy and validates on the other, and the val
+    * loss silently measures memorization. `trainPermille` of the 10⁴
+    * [[hashBucket]] space goes to 'train', the rest to 'val'.
+    *
+    * Scale shape: fingerprint + bucket + split are all map-side column
+    * programs — ZERO shuffles, the assignment rides the scan stage, and
+    * the same rows always get the same split on any cluster, any retry,
+    * any engine (the reproducibility contract a dataset split must
+    * honor). For NEAR-dup safety, pass the near-dup cluster keeper's
+    * fingerprint as `text` instead — any deterministic cluster key
+    * slots in unchanged.
+    */
+  def leakageSafeSplit(docs: DataFrame, text: Column,
+                       trainPermille: Int = 9000): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 10000,
+      s"leakageSafeSplit: trainPermille must be in (0, 10000), got $trainPermille")
+    val fp = graft.functions.TextFunctions.fingerprint(text)
+    docs.withColumn("fingerprint", fp)
+      .withColumn("split",
+        when(hashBucket(col("fingerprint")) < trainPermille, lit("train"))
+          .otherwise(lit("val")))
+  }
+
+  /** Deterministic epoch shuffle: a seeded, reproducible GLOBAL ordering
+    * of the corpus (`pos` = 1-based position in md5(seed:id) order) —
+    * what "shuffle the training data for epoch N" means when the run
+    * must be bit-reproducible across clusters and retries. No `rand()`,
+    * no `zipWithIndex`, no driver-side ordering.
+    *
+    * Scale shape — a total order WITHOUT a single-partition window:
+    * the shuffle key's first two hex nibbles form 256 lexicographically
+    * ORDERED buckets (hex strings sort like their values), so global
+    * position = (exclusive prefix count of earlier buckets) + (rank
+    * within bucket). Phase 1 counts rows per bucket (one map-combined
+    * aggregation collapsing to ≤256 rows — a bounded artifact, collected
+    * and turned into a broadcast offset table). Phase 2 ranks within
+    * each bucket (one hash exchange on the bucket, in-partition
+    * row_number). At 100 TB each bucket holds ~1/256 of the corpus and
+    * the plan never moves all data to one task — the distributed
+    * zipWithIndex-in-key-order pattern.
+    */
+  def epochShuffle(df: DataFrame, id: Column, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit(":"), id.cast("string"))))
+      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+    val counts = keyed.groupBy(col("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix sum in bucket order → each bucket's global offset
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offsetDf = broadcast(offsets.toDF("bucket", "bucket_offset"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("shuffle_key"), id)
+    keyed.join(offsetDf, "bucket")
+      .withColumn("pos", col("bucket_offset") + row_number().over(w))
+      .drop("bucket", "bucket_offset")
+  }
+
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —
     * SHARED by the batch sampler and the streaming twin so their
     * sampling decisions cannot drift (the chunkRows rule).

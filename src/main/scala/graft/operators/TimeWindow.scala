@@ -46,4 +46,37 @@ object TimeWindow {
       d.withColumn(n, col("__first").getField(n))
     }.drop("__first")
   }
+
+  /** Per-(hour, key) event counts on an INTEGER hour index (epoch
+    * seconds div 3600) — the associative half of trailing-baseline
+    * anomaly detection, SHARED by the batch entry and the streaming
+    * twin (counts sum, so the stream folds this grid with state bounded
+    * by distinct (hour, key) pairs — never by events). One map-combined
+    * aggregation collapses the raw log to the grid.
+    */
+  def hourlyCounts(df: DataFrame, ts: Column, key: Column): DataFrame =
+    df.groupBy(
+        (unix_timestamp(date_trunc("hour", ts)) / 3600).cast("long").as("hour_idx"),
+        key.as("key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The flag half: a grid row is anomalous when its count exceeds
+    * `factor`× its trailing-`baselineHours` mean with at least
+    * `minBaseline` baseline hours observed — pure INTEGER arithmetic
+    * (n·hours > factor·sum), so any engine recomputing it agrees
+    * exactly. The baseline is a RANGE frame over the integer hour
+    * index: absent hours cost nothing and cannot mis-slide the frame
+    * the way a ROWS frame would. Runs over the already-tiny grid.
+    */
+  def trailingAnomaly(hourly: DataFrame, baselineHours: Int = 24,
+                      minBaseline: Int = 12, factor: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("hour_idx"))
+      .rangeBetween(-baselineHours.toLong, -1L)
+    hourly
+      .withColumn("base_sum", sum(col("n")).over(w))
+      .withColumn("base_hours", count(lit(1)).over(w))
+      .filter(col("base_hours") >= minBaseline &&
+        col("n") * col("base_hours") > lit(factor.toLong) * col("base_sum"))
+  }
 }

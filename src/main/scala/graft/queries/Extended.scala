@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftExtensions, Tables}
 import graft.functions.Aggregators
@@ -399,6 +400,67 @@ object Extended {
                AS week_offset,
              count(DISTINCT a.user_id) AS n_users
       FROM a JOIN f USING (user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Sequential pattern mining — the top-20 event-type trigram paths:
+    // per user, order events by (ts, event_id) and slide a 3-window via
+    // lead; count path frequencies corpus-wide. Scale shape: ONE hash
+    // exchange on user_id for the window (lead is in-partition), then
+    // the path aggregation collapses to ≤ |types|³ rows with map-side
+    // combine, and the top-20 is TakeOrdered — never a global sort.
+    // Total order (n DESC, path) makes the reported SET deterministic.
+    ("q91_event_paths", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }, Some("""
+      WITH o AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    // Operational anomaly detection over the event log: each (hour,
+    // type) count vs its trailing-24h baseline; anomalous when the hour
+    // runs at over 2x the trailing mean with >= 12 baseline hours — in
+    // pure integer arithmetic (n·hours > 2·sum) so both engines agree
+    // exactly. The baseline is a RANGE frame over the integer hour
+    // index: missing hours cost nothing and cannot mis-slide the frame
+    // the way a ROWS frame would. Scale shape: the raw log collapses to
+    // the (hour, type) grid in one map-combined aggregation; the window
+    // then runs over the tiny grid, partitioned by type.
+    ("q92_anomaly_hours", (s, d) => {
+      import graft.operators.TimeWindow
+      TimeWindow.trailingAnomaly(
+          TimeWindow.hourlyCounts(Tables.events(s, d), col("ts"), col("event_type")))
+        .select(col("hour_idx"), col("key").as("event_type"), col("n"),
+          col("base_sum"), col("base_hours"))
+        .orderBy(col("event_type"), col("hour_idx"))
+    }, Some("""
+      WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT hour_idx, event_type, n,
+              sum(n) OVER w AS base_sum,
+              count(*) OVER w AS base_hours
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT hour_idx, event_type, n,
+             CAST(base_sum AS BIGINT) AS base_sum, base_hours
+      FROM b
+      WHERE base_hours >= 12 AND n * base_hours > 2 * base_sum
+      ORDER BY event_type, hour_idx"""))
   )
 }

@@ -2859,7 +2859,71 @@ object PipelineQueries {
                   ELSE 'changed' END AS status
       FROM mo FULL OUTER JOIN mn
         ON mo.source = mn.source AND mo.lang = mn.lang
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // leakage-safe train/val split: the split decision hashes the exact-
+    // dup CONTENT fingerprint, never the doc_id, so duplicated text can
+    // never straddle train and val (a doc_id split trains on one crawl
+    // copy and validates on the other — val loss silently measures
+    // memorization). Pure scan-stage column program: zero shuffles.
+    ("p96_leakage_safe_split", (s, d) => {
+      graft.curation.Curation.leakageSafeSplit(
+          Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("fingerprint"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH f AS (SELECT doc_id,
+                   md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fingerprint
+                 FROM documents),
+      b AS (SELECT doc_id, fingerprint, md5(fingerprint) AS m FROM f)
+      SELECT doc_id, fingerprint,
+             CASE WHEN ${sqlBucketFromMd5("m")} < 9000
+                  THEN 'train' ELSE 'val' END AS split
+      FROM b ORDER BY doc_id""")),
+
+    // the split's data card: per (split, lang) and per-split doc/token
+    // totals in ONE rollup pass over p96's scan-stage assignment — the
+    // table a release publishes so the split's composition is auditable
+    // (no class of documents quietly missing from val). Composition:
+    // map-side split + tokenCount, a single aggregation exchange.
+    ("p97_split_manifest", (s, d) => {
+      graft.curation.Curation.leakageSafeSplit(
+          Tables.documents(s, d), col("text"))
+        .select(col("split"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .rollup(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(coalesce(col("split"), lit("ALL")).as("split"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }, Some(s"""
+      WITH f AS (SELECT lang,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n,
+                   md5(md5(array_to_string(${sqlToks("lower(text)")}, ' '))) AS m
+                 FROM documents),
+      t AS (SELECT CASE WHEN ${sqlBucketFromMd5("m")} < 9000
+                        THEN 'train' ELSE 'val' END AS split, lang, n
+            FROM f)
+      SELECT coalesce(split, 'ALL') AS split, coalesce(lang, 'ALL') AS lang,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY ROLLUP (split, lang) ORDER BY 1, 2""")),
+
+    // deterministic epoch shuffle: the seeded md5(seed:id) global order
+    // realized as 256 ordered hash-prefix buckets + broadcast prefix
+    // offsets + in-bucket ranks — a bit-reproducible total order with
+    // NO single-partition window (Curation.epochShuffle).
+    ("p98_epoch_shuffle", (s, d) => {
+      graft.curation.Curation.epochShuffle(
+          Tables.documents(s, d), col("doc_id"), seed = 42L)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** p84's sketch-overlap oracle — shared with p89 (incremental

@@ -1420,4 +1420,41 @@ object StreamingQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
     runToMemory(agg).orderBy(col("fingerprint"))
   }
+
+  /** q92's trailing-baseline anomaly detection on the streaming engine:
+    * the hourly (hour, type) count grid is the associative half (counts
+    * sum), so the stream folds it with state bounded by distinct
+    * (hour, type) pairs — never by events — through the SAME
+    * [[graft.operators.TimeWindow.hourlyCounts]] projection the batch
+    * entry uses; the trailing-RANGE-frame flag pass
+    * ([[graft.operators.TimeWindow.trailingAnomaly]], also shared) runs
+    * batch-side at the epoch boundary over the tiny grid.
+    * Slice-independent because count merges; shares q92's oracle.
+    */
+  def anomalyHoursStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TimeWindow
+    val grid = runToMemory(TimeWindow.hourlyCounts(
+      eventsStream(spark, sfDir), col("ts"), col("event_type")))
+    TimeWindow.trailingAnomaly(grid)
+      .select(col("hour_idx"), col("key").as("event_type"), col("n"),
+        col("base_sum"), col("base_hours"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  /** p96's leakage-safe split on the streaming engine — the degenerate
+    * (and therefore load-bearing) case: the split is a pure function of
+    * the document's content fingerprint, so the WHOLE assignment rides
+    * the scan stage of an append-mode stream with ZERO streaming state.
+    * A split that needed state would mean split decisions depend on
+    * arrival order — exactly what a reproducible split must never do.
+    * Shares p96's oracle.
+    */
+  def leakageSplitStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToMemory(
+      graft.curation.Curation.leakageSafeSplit(
+          documentsStream(spark, sfDir), col("text"))
+        .select(col("doc_id"), col("fingerprint"), col("split")),
+      mode = "append")
+    out.orderBy(col("doc_id"))
+  }
 }

@@ -317,4 +317,45 @@ class CurationSpec extends AnyFunSuite {
     assert(webIds.exceptAll(sampleIds).count() == 0)
     assert(sampleIds.exceptAll(webIds).count() == 0)
   }
+
+  test("leakageSafeSplit: duplicate content never straddles splits; doc_id never decides") {
+    // same content under different ids and whitespace encodings
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "  alpha   beta gamma "),
+      (900001L, "alpha beta gamma"), (3L, "delta epsilon"),
+      (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = Curation.leakageSafeSplit(docs, col("text"))
+    // the leakage invariant itself: one split per fingerprint
+    val straddlers = out.groupBy("fingerprint")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0)
+    // the three content-equal docs agree regardless of id
+    assert(out.filter(col("doc_id").isin(1L, 2L, 900001L))
+      .select("split").distinct().count() == 1)
+    // the corpus split tracks the 9000/10000 default on real data
+    val real = Curation.leakageSafeSplit(
+      Tables.documents(spark, TestSpark.sf), col("text"))
+    val n = real.count().toDouble
+    val train = real.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
+  }
+
+  test("epochShuffle: pos is exactly the permutation 1..N, reproducible, seed-sensitive") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val out = Curation.epochShuffle(docs, col("doc_id"), seed = 7L)
+      .select(col("doc_id"), col("pos"))
+    val pos = out.select("pos").as[Long].collect().sorted.toSeq
+    assert(pos == (1L to 1000L), "positions are not a 1..N permutation")
+    // bit-reproducible: a second run maps every id to the same position
+    val again = Curation.epochShuffle(docs, col("doc_id"), seed = 7L)
+      .select(col("doc_id"), col("pos").as("pos2"))
+    assert(out.join(again, "doc_id")
+      .filter(col("pos") =!= col("pos2")).count() == 0)
+    // a different seed is a genuinely different permutation
+    val other = Curation.epochShuffle(docs, col("doc_id"), seed = 8L)
+      .select(col("doc_id"), col("pos").as("pos2"))
+    val moved = out.join(other, "doc_id")
+      .filter(col("pos") =!= col("pos2")).count()
+    assert(moved > 900, s"seed change moved only $moved of 1000 rows")
+  }
 }

@@ -278,6 +278,35 @@ class PlanSpec extends AnyFunSuite {
       s"chunk dedup must not plan a cartesian:\n$p")
   }
 
+  test("p96 leakage-safe split is a pure scan-stage projection: no exchange before sort") {
+    val p = plan("p96_leakage_safe_split")
+    // only the final presentation orderBy may shuffle (rangepartitioning);
+    // the fingerprint + bucket + split assignment itself is map-side
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment must not hash-shuffle:\n$p")
+  }
+
+  test("p98 epoch shuffle: in-bucket ranks + broadcast offsets, never one global window") {
+    val p = plan("p98_epoch_shuffle")
+    // the rank window partitions on the 256 ordered hash-prefix buckets
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(p).isDefined,
+      s"rank window not partitioned by bucket:\n$p")
+    // a total order realized via Exchange SinglePartition would collapse
+    // 100 TB onto one task — the exact plan this operator exists to avoid
+    assert(!p.contains("Exchange SinglePartition"),
+      s"epoch shuffle planned a single-partition stage:\n$p")
+    // the ≤256-row offset table joins broadcast
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+  }
+
+  test("q91 event paths: one exchange on user_id; top-20 is TakeOrdered, not a global sort") {
+    val p = plan("q91_event_paths")
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"lead window not partitioned by user_id:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should plan TakeOrderedAndProject:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
