@@ -176,7 +176,10 @@ object SparkEntry {
       Some(sharedOracle("q92_anomaly_hours"))),
     ("q94_streaming_split",
       (s, d) => graft.streaming.StreamingQueries.leakageSplitStream(s, d),
-      Some(sharedOracle("p96_leakage_safe_split"))))
+      Some(sharedOracle("p96_leakage_safe_split"))),
+    ("q95_streaming_covariance",
+      (s, d) => graft.streaming.StreamingQueries.covarianceStream(s, d),
+      Some(sharedOracle("p100_embedding_covariance"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -242,5 +245,8 @@ object SparkEntry {
     // grouping-sets release manifest, filtered vector search, and
     // hybrid RRF retrieval
     "p84_sketch_overlap", "p85_bloom_decontam", "p88_release_manifest",
-    "p93_filtered_ann", "p94_hybrid_rrf")
+    "p93_filtered_ann", "p94_hybrid_rrf",
+    // round-7 continued: the per-epoch dataloader job (deterministic
+    // shuffle → pack, one shared exchange) and event-sequence mining
+    "p99_epoch_pack", "q91_event_paths")
 }

@@ -469,9 +469,15 @@ object Curation {
     val offsetDf = broadcast(offsets.toDF("bucket", "bucket_offset"))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("shuffle_key"), id)
+    // `bucket` stays in the output ON PURPOSE: a downstream per-bucket
+    // window (e.g. the sequence packer) that partitions on this SAME
+    // attribute inherits the exchange — one shuffle serves the whole
+    // shuffle→pack pipeline (plan-pinned in PlanSpec). Recomputing the
+    // substring downstream would be a fresh attribute Catalyst cannot
+    // prove co-partitioned, and it would pay a second exchange.
     keyed.join(offsetDf, "bucket")
       .withColumn("pos", col("bucket_offset") + row_number().over(w))
-      .drop("bucket", "bucket_offset")
+      .drop("bucket_offset")
   }
 
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —

@@ -61,15 +61,22 @@ object TimeWindow {
       .agg(count(lit(1)).as("n"))
 
   /** The flag half: a grid row is anomalous when its count exceeds
-    * `factor`× its trailing-`baselineHours` mean with at least
-    * `minBaseline` baseline hours observed — pure INTEGER arithmetic
-    * (n·hours > factor·sum), so any engine recomputing it agrees
-    * exactly. The baseline is a RANGE frame over the integer hour
-    * index: absent hours cost nothing and cannot mis-slide the frame
-    * the way a ROWS frame would. Runs over the already-tiny grid.
+    * (`factorNum`/`factorDen`)× its trailing-`baselineHours` mean with
+    * at least `minBaseline` baseline hours observed — pure INTEGER
+    * arithmetic (n·hours·den > num·sum: the rational factor never
+    * divides), so any engine recomputing it agrees exactly. The
+    * baseline is a RANGE frame over the integer hour index: absent
+    * hours cost nothing and cannot mis-slide the frame the way a ROWS
+    * frame would. Runs over the already-tiny grid. Default 3/2 = 1.5×
+    * the trailing mean — flags real bursts at both sparse and dense
+    * traffic (a 2× bar goes silent once hourly counts grow: relative
+    * Poisson noise shrinks as 1/√mean).
     */
   def trailingAnomaly(hourly: DataFrame, baselineHours: Int = 24,
-                      minBaseline: Int = 12, factor: Int = 2): DataFrame = {
+                      minBaseline: Int = 12, factorNum: Int = 3,
+                      factorDen: Int = 2): DataFrame = {
+    require(factorNum > 0 && factorDen > 0,
+      s"trailingAnomaly: factor must be positive, got $factorNum/$factorDen")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("hour_idx"))
       .rangeBetween(-baselineHours.toLong, -1L)
@@ -77,6 +84,7 @@ object TimeWindow {
       .withColumn("base_sum", sum(col("n")).over(w))
       .withColumn("base_hours", count(lit(1)).over(w))
       .filter(col("base_hours") >= minBaseline &&
-        col("n") * col("base_hours") > lit(factor.toLong) * col("base_sum"))
+        col("n") * col("base_hours") * lit(factorDen.toLong) >
+          lit(factorNum.toLong) * col("base_sum"))
   }
 }

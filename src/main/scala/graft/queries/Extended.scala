@@ -432,13 +432,14 @@ object Extended {
 
     // Operational anomaly detection over the event log: each (hour,
     // type) count vs its trailing-24h baseline; anomalous when the hour
-    // runs at over 2x the trailing mean with >= 12 baseline hours — in
-    // pure integer arithmetic (n·hours > 2·sum) so both engines agree
-    // exactly. The baseline is a RANGE frame over the integer hour
-    // index: missing hours cost nothing and cannot mis-slide the frame
-    // the way a ROWS frame would. Scale shape: the raw log collapses to
-    // the (hour, type) grid in one map-combined aggregation; the window
-    // then runs over the tiny grid, partitioned by type.
+    // runs at over 1.5x the trailing mean with >= 12 baseline hours —
+    // in pure integer arithmetic (n·hours·2 > 3·sum, the rational
+    // factor never divides) so both engines agree exactly. The baseline
+    // is a RANGE frame over the integer hour index: missing hours cost
+    // nothing and cannot mis-slide the frame the way a ROWS frame
+    // would. Scale shape: the raw log collapses to the (hour, type)
+    // grid in one map-combined aggregation; the window then runs over
+    // the tiny grid, partitioned by type.
     ("q92_anomaly_hours", (s, d) => {
       import graft.operators.TimeWindow
       TimeWindow.trailingAnomaly(
@@ -460,7 +461,7 @@ object Extended {
       SELECT hour_idx, event_type, n,
              CAST(base_sum AS BIGINT) AS base_sum, base_hours
       FROM b
-      WHERE base_hours >= 12 AND n * base_hours > 2 * base_sum
+      WHERE base_hours >= 12 AND n * base_hours * 2 > 3 * base_sum
       ORDER BY event_type, hour_idx"""))
   )
 }

@@ -2923,8 +2923,99 @@ object PipelineQueries {
              CAST(row_number() OVER (
                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
                AS BIGINT) AS pos
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // the per-epoch dataloader job itself: deterministic shuffle (p98)
+    // feeding the sequence packer (p32) — docs laid end-to-end in epoch
+    // order, cut into fixed 512-token sequences. Packing is per shuffle
+    // BUCKET (the natural distributed layout: a global serial pack would
+    // serialize the corpus), so a sequence is addressed (bucket, seq_id).
+    // Scale shape: the packer's window REUSES the shuffle's bucket
+    // partitioning — ONE hash exchange serves both (plan-pinned).
+    ("p99_epoch_pack", (s, d) => {
+      import graft.curation.Curation
+      val shuffled = Curation.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          col("doc_id"), seed = 42L)
+      Curation.packSequences(shuffled, col("bucket"), col("pos"),
+          col("n_tokens"), seqLen = 512L)
+        .select(col("doc_id"), col("bucket"), col("pos"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH k AS (SELECT doc_id,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS key,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+      p AS (SELECT doc_id, substr(key, 1, 2) AS bucket, n_tokens,
+              CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS pos
+            FROM k),
+      c AS (SELECT doc_id, bucket, pos, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM p)
+      SELECT doc_id, bucket, pos, n_tokens,
+             CAST(cp // 512 AS BIGINT) AS seq_id,
+             CAST(cp % 512 AS BIGINT) AS seq_offset,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+                  ELSE (cp + n_tokens - 1) // 512 - cp // 512 + 1 END
+                  AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id""")),
+
+    // exact embedding covariance (upper triangle, integer micro²-unit
+    // NUMERATORS n·Σxy − Σx·Σy — no division, no float after the
+    // map-side quantization) via ONE typed-Aggregator pass: the
+    // exchange carries a single ~d²/2-long buffer per partition, never
+    // per-row pairs. Feeds PCA/whitening (EmbeddingStats.dominant-
+    // Component + project, spec-verified — eigensolves have no SQL dual).
+    ("p100_embedding_covariance", (s, d) => {
+      graft.similarity.EmbeddingStats.covarianceNumerators(
+          Tables.embeddings(s, d), col("embedding"), dim = 64)
+        .orderBy(col("i"), col("j"))
+    }, Some(covarianceOracle)),
+
+    // incremental embedding statistics: per-crawl-day moment SEGMENTS
+    // (one (n, sums, prods) row each — moments are associative, exactly
+    // like the p89 sketch segments) merged at serve time through the
+    // SAME finalize as the one-pass build. New embeddings append a
+    // segment; old embeddings are never re-read. Shares p100's oracle:
+    // the served result is an identity, not an approximation.
+    ("p101_moment_lifecycle", (s, d) => {
+      import graft.similarity.EmbeddingStats
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_moments")
+      Seq(0, 1, 2).foreach { day =>
+        EmbeddingStats.writeMomentSegment(
+          e.filter(col("vec_id") % 3 === day), col("embedding"),
+          dim = 64, dir, s"day$day")
+      }
+      EmbeddingStats.servedCovariance(s, dir, dim = 64)
+        .orderBy(col("i"), col("j"))
+    }, Some(covarianceOracle))
   )
+
+  /** p100's covariance oracle — shared with p101 (segment lifecycle)
+    * and q95 (streaming twin): every maintenance path must reproduce
+    * the one-pass fold bit-for-bit.
+    */
+  private lazy val covarianceOracle: String = """
+      WITH m AS (SELECT list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+                 FROM embeddings),
+      cnt AS (SELECT count(*) AS n FROM m),
+      idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      prods AS (SELECT a.i AS i, b.i AS j,
+                  CAST(sum(em[a.i] * em[b.i]) AS BIGINT) AS sxy
+                FROM m CROSS JOIN idx a CROSS JOIN idx b
+                WHERE a.i <= b.i GROUP BY 1, 2),
+      sums AS (SELECT a.i AS i, CAST(sum(em[a.i]) AS BIGINT) AS sx
+               FROM m CROSS JOIN idx a GROUP BY 1)
+      SELECT p.i, p.j,
+             CAST(cnt.n * p.sxy - si.sx * sj.sx AS BIGINT) AS cov_num
+      FROM prods p, cnt, sums si, sums sj
+      WHERE si.i = p.i AND sj.i = p.j
+      ORDER BY p.i, p.j"""
 
   /** p84's sketch-overlap oracle — shared with p89 (incremental
     * lifecycle) and q83 (streaming twin): every maintenance path must

@@ -1,0 +1,204 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix statistics: exact second moments (covariance) and
+  * the PCA machinery built on them — what an embedding-curation pipeline
+  * runs before whitening, dimensionality auditing, or choosing an index
+  * layout.
+  *
+  * The covariance is INTEGER-EXACT (the p45/p54/p94 micro-unit rule):
+  * embeddings quantize to integer micro-units map-side, and everything
+  * summed is a long, so the result is bit-identical under any partition
+  * count, merge order, or engine — an oracle checks equality, not
+  * tolerance. The only float step (quantization) is per-element and
+  * order-free.
+  *
+  * Scale shape: ONE pass, no row explosion. A typed Aggregator folds
+  * each row's d(d+1)/2 upper-triangle products into a fixed-size long
+  * buffer under ObjectHashAggregate with map-side partial aggregation —
+  * the exchange carries one ~(d²/2)-long buffer per partition, never
+  * per-row pairs (the posexplode-pairs alternative would shuffle
+  * d²/2 × rows). The d×d result is config-sized — a bounded artifact
+  * materialized on the driver, like every quantizer/codebook in
+  * [[SimilaritySearch]].
+  *
+  * Overflow is a LOUD contract, not a silent wrap: accumulation uses
+  * `Math.addExact`/`multiplyExact`, so a corpus too large for the
+  * micro scale fails with an error naming the fix (lower `scale` —
+  * resolution trades against headroom; 10³ covers trillion-row
+  * corpora).
+  */
+object EmbeddingStats {
+
+  val MicroScale = 1000000L
+
+  /** Map-side quantization of a float vector to integer micro-units. */
+  def microQuantize(e: Column, scale: Long = MicroScale): Column =
+    transform(e, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Covariance fold state: row count, per-dim sums, upper-triangle
+    * product sums (row-major: (0,0),(0,1)..(0,d-1),(1,1),..).
+    */
+  case class CovBuf(n: Long, sums: Array[Long], prods: Array[Long])
+
+  /** One-pass exact second-moment fold over quantized vectors. */
+  class CovMoments(d: Int) extends Aggregator[Seq[Long], CovBuf, CovBuf] {
+    private val tri = d * (d + 1) / 2
+    override def zero: CovBuf =
+      CovBuf(0L, Array.ofDim[Long](d), Array.ofDim[Long](tri))
+    override def reduce(b: CovBuf, row: Seq[Long]): CovBuf = {
+      require(row != null && row.length == d,
+        s"covariance: embedding dim ${if (row == null) "null" else row.length}, expected $d")
+      val v = row.toArray
+      var i = 0; var k = 0
+      while (i < d) {
+        b.sums(i) = Math.addExact(b.sums(i), v(i))
+        var j = i
+        while (j < d) {
+          b.prods(k) = Math.addExact(b.prods(k), Math.multiplyExact(v(i), v(j)))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      CovBuf(b.n + 1, b.sums, b.prods)
+    }
+    override def merge(a: CovBuf, c: CovBuf): CovBuf = {
+      var i = 0
+      while (i < d) { a.sums(i) = Math.addExact(a.sums(i), c.sums(i)); i += 1 }
+      var k = 0
+      while (k < tri) { a.prods(k) = Math.addExact(a.prods(k), c.prods(k)); k += 1 }
+      CovBuf(a.n + c.n, a.sums, a.prods)
+    }
+    override def finish(b: CovBuf): CovBuf = b
+    override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    override def outputEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+  }
+
+  /** The ONE finalize shared by every covariance surface (batch,
+    * streaming twin, segment lifecycle), so they cannot drift:
+    * numerators `cov_num(i,j) = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` from a moment
+    * buffer, as a (config-sized) DataFrame. 1-based (i, j), i ≤ j.
+    */
+  def numeratorRows(spark: org.apache.spark.sql.SparkSession,
+                    buf: CovBuf, dim: Int): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      ((i + 1).toLong, (j + 1).toLong,
+        Math.subtractExact(Math.multiplyExact(buf.n, buf.prods(k)),
+          Math.multiplyExact(buf.sums(i), buf.sums(j))))
+    }
+    rows.toDF("i", "j", "cov_num")
+  }
+
+  /** One-pass moment fold over a (batch) vector column. */
+  def momentFold(df: DataFrame, vec: Column, dim: Int,
+                 scale: Long = MicroScale): CovBuf = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(microQuantize(vec, scale).as("em"))
+      .as[Seq[Long]]
+      .select(new CovMoments(dim).toColumn)
+      .head()
+  }
+
+  /** Upper-triangle covariance NUMERATORS over micro-quantized vectors:
+    * no division, so no floor-semantics drift between engines and no
+    * float anywhere after quantization.
+    */
+  def covarianceNumerators(df: DataFrame, vec: Column, dim: Int,
+                           scale: Long = MicroScale): DataFrame =
+    numeratorRows(df.sparkSession, momentFold(df, vec, dim, scale), dim)
+
+  /** Persist one corpus slice's moment buffer as a segment artifact —
+    * the incremental path: embedding statistics maintained across
+    * crawl days WITHOUT re-reading old embeddings (moments are
+    * associative, exactly like the sketch segments in
+    * [[graft.dedup.Dedup.writeSketchSegment]]). One row per segment:
+    * (n, sums, prods).
+    */
+  def writeMomentSegment(df: DataFrame, vec: Column, dim: Int,
+                         dir: String, label: String,
+                         scale: Long = MicroScale): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buf = momentFold(df, vec, dim, scale)
+    Seq((buf.n, buf.sums.toSeq, buf.prods.toSeq))
+      .toDF("n", "sums", "prods")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/segment=$label")
+  }
+
+  /** Serve covariance from a [[writeMomentSegment]] artifact: read every
+    * segment row (a bounded artifact — one row per crawl day), merge
+    * the buffers (exact integer sums, order-free), finalize through the
+    * SAME [[numeratorRows]] the one-pass build uses. Equals the
+    * one-pass covariance over the union of all segments' vectors —
+    * an identity, not an approximation (p101 shares p100's oracle).
+    */
+  def servedCovariance(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, dim: Int): DataFrame = {
+    val segs = spark.read.parquet(dir)
+      .select(col("n"), col("sums"), col("prods")).collect()
+    require(segs.nonEmpty, s"servedCovariance: no segments under $dir")
+    val merged = segs.map { r =>
+      val sums = r.getSeq[Long](1).toArray
+      require(sums.length == dim,
+        s"servedCovariance: segment dim ${sums.length}, expected $dim")
+      CovBuf(r.getLong(0), sums, r.getSeq[Long](2).toArray)
+    }.reduce((a, b) => new CovMoments(dim).merge(a, b))
+    numeratorRows(spark, merged, dim)
+  }
+
+  /** Dominant eigenvector of the covariance by power iteration on the
+    * DRIVER — the matrix is d×d config-sized data; iterating it where
+    * the quantizers and codebooks already live costs nothing and keeps
+    * the cluster pass count at ONE (the moment fold). Deterministic:
+    * fixed uniform start, fixed iteration count, double arithmetic —
+    * same input, same component, bit-for-bit. Returns (component,
+    * eigenvalue in cov_num units).
+    */
+  def dominantComponent(covNum: Array[(Long, Long, Long)], dim: Int,
+                        iters: Int = 200): (Array[Double], Double) = {
+    val m = Array.ofDim[Double](dim, dim)
+    covNum.foreach { case (i, j, c) =>
+      m(i.toInt - 1)(j.toInt - 1) = c.toDouble
+      m(j.toInt - 1)(i.toInt - 1) = c.toDouble
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "dominantComponent: zero covariance matrix")
+      v = w.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    // canonical sign: first nonzero coordinate positive, so the
+    // component is unique (±v are the same eigenvector)
+    val firstNz = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+    (if (firstNz < 0) v.map(-_) else v, lambda)
+  }
+
+  /** Map-side projection of each embedding onto a fixed component —
+    * a pure scan-stage dot product (broadcast-free: the component rides
+    * the plan as a literal array, the serialized-artifact pattern of
+    * [[graft.functions.BpeEncode]]'s merge table).
+    */
+  def project(vec: Column, component: Array[Double]): Column = {
+    val comp = array(component.map(lit): _*)
+    aggregate(zip_with(vec, comp, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+  }
+}

@@ -1441,6 +1441,30 @@ object StreamingQueries {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** p100's exact covariance on the streaming engine: the moment fold
+    * is associative (integer sums merge in any order), so the stream
+    * folds the SAME [[graft.similarity.EmbeddingStats.CovMoments]]
+    * Aggregator the batch entry uses, with state = ONE fixed-size
+    * buffer (~d²/2 longs) — never vectors; the numerator finalize runs
+    * batch-side at the epoch boundary through the shared
+    * [[graft.similarity.EmbeddingStats.numeratorRows]].
+    * Slice-independent because the fold merges; shares p100's oracle.
+    */
+  def covarianceStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.EmbeddingStats
+    import spark.implicits._
+    val dim = 64
+    val folded = embeddingsStream(spark, sfDir)
+      .select(EmbeddingStats.microQuantize(col("embedding")).as("em"))
+      .as[Seq[Long]]
+      .groupByKey(_ => 0)
+      .agg(new EmbeddingStats.CovMoments(dim).toColumn.name("buf"))
+    val buf = runToMemory(folded.toDF())
+      .select(col("buf.*")).as[EmbeddingStats.CovBuf].head()
+    EmbeddingStats.numeratorRows(spark, buf, dim)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** p96's leakage-safe split on the streaming engine — the degenerate
     * (and therefore load-bearing) case: the split is a pure function of
     * the document's content fingerprint, so the WHOLE assignment rides

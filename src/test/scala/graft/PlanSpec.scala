@@ -299,6 +299,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
   }
 
+  test("p99 epoch pack: the packer reuses the shuffle's bucket exchange — one hash shuffle total") {
+    val p = plan("p99_epoch_pack")
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(p).isDefined,
+      s"no bucket exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"rank and pack windows should share ONE bucket exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"epoch pack planned a single-partition stage:\n$p")
+  }
+
   test("q91 event paths: one exchange on user_id; top-20 is TakeOrdered, not a global sort") {
     val p = plan("q91_event_paths")
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,

@@ -11,11 +11,7 @@ class QueriesSpec extends AnyFunSuite {
 
   // queries whose result can legitimately be empty at tiny scale
   private val mayBeEmpty = Set("q05_anti_join", "q09_except", "p10_embedding_near_dups",
-    "p05_minhash_pairs", "p07_ngram_jaccard",
-    // trailing-baseline anomalies: sf0.001's event grid is too sparse to
-    // ever exceed 2x the trailing mean (verified empirically; 189 rows
-    // at sf0.01 where the driver's oracle gate runs)
-    "q92_anomaly_hours", "q93_streaming_anomaly")
+    "p05_minhash_pairs", "p07_ngram_jaccard")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

@@ -566,4 +566,75 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("rs")).as[Seq[Long]].collect()
     assert(ranks.nonEmpty && ranks.forall(rs => rs.sorted == (1L to rs.length)))
   }
+
+  test("covarianceNumerators matches a local brute-force recompute exactly") {
+    import graft.similarity.EmbeddingStats
+    val out = EmbeddingStats.covarianceNumerators(
+        embeddings, col("embedding"), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent local recompute from the raw vectors
+    val vecs = embeddings.select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1000000L)).toArray)
+    val n = vecs.length.toLong
+    val d = 64
+    val sums = Array.ofDim[Long](d)
+    vecs.foreach(v => (0 until d).foreach(i => sums(i) += v(i)))
+    var checked = 0
+    for (i <- 0 until d; j <- i until d) {
+      var sxy = 0L
+      vecs.foreach(v => sxy += v(i) * v(j))
+      val expected = n * sxy - sums(i) * sums(j)
+      assert(out((i + 1).toLong, (j + 1).toLong) == expected,
+        s"cov($i,$j) mismatch")
+      checked += 1
+    }
+    assert(checked == d * (d + 1) / 2 && out.size == checked)
+  }
+
+  test("dominantComponent is a converged, deterministic, sign-canonical eigenvector") {
+    import graft.similarity.EmbeddingStats
+    val covDf = EmbeddingStats.covarianceNumerators(
+      embeddings, col("embedding"), dim = 64)
+    val cov = covDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (v, lambda) = EmbeddingStats.dominantComponent(cov, dim = 64)
+    // unit norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    // eigen residual: ‖Cv − λv‖ / λ small
+    val m = Array.ofDim[Double](64, 64)
+    cov.foreach { case (i, j, c) =>
+      m(i.toInt - 1)(j.toInt - 1) = c.toDouble; m(j.toInt - 1)(i.toInt - 1) = c.toDouble
+    }
+    val cv = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * v(j)).sum)
+    val resid = math.sqrt(cv.zip(v).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum) / lambda
+    assert(resid < 1e-6, s"eigen residual $resid")
+    // dominant: Rayleigh bound λ1 ≥ every diagonal entry
+    val maxDiag = cov.collect { case (i, j, c) if i == j => c.toDouble }.max
+    assert(lambda >= maxDiag - 1e-6 * lambda)
+    // deterministic across runs
+    val (v2, _) = EmbeddingStats.dominantComponent(cov, dim = 64)
+    assert(v.sameElements(v2))
+    // sign canon: first nonzero coordinate positive
+    assert(v.find(math.abs(_) > 1e-12).forall(_ > 0))
+  }
+
+  test("project: map-side dot product captures at least any single axis's variance") {
+    import graft.similarity.EmbeddingStats
+    val cov = EmbeddingStats.covarianceNumerators(
+        embeddings, col("embedding"), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (comp, _) = EmbeddingStats.dominantComponent(cov, dim = 64)
+    val coords = embeddings.select(
+        EmbeddingStats.project(col("embedding"), comp).as("c"))
+      .as[Double].collect()
+    val n = coords.length.toDouble
+    val mean = coords.sum / n
+    val varProj = coords.map(x => (x - mean) * (x - mean)).sum / n
+    // per-axis variance from the exact integer numerators: cov_num/(n²·scale²)
+    val nL = n
+    val maxAxisVar = cov.collect { case (i, j, c) if i == j =>
+      c.toDouble / (nL * nL * 1e12)
+    }.max
+    assert(varProj >= maxAxisVar * 0.999,
+      s"projection variance $varProj < best axis $maxAxisVar")
+  }
 }
