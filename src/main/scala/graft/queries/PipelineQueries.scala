@@ -2992,7 +2992,56 @@ object PipelineQueries {
       }
       EmbeddingStats.servedCovariance(s, dir, dim = 64)
         .orderBy(col("i"), col("j"))
-    }, Some(covarianceOracle))
+    }, Some(covarianceOracle)),
+
+    // declarative data-quality report — the constraint gate a pipeline
+    // runs before promoting a batch: row-local rules fold per-table in
+    // ONE conditional aggregation over ONE pruned scan; key uniqueness
+    // is one map-combined agg; referential rules are single anti-joins.
+    // Clean rules report 0, not absence — the report's shape never
+    // depends on the data.
+    ("p102_data_quality", (s, d) => {
+      import graft.operators.DataQuality._
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      report(
+        rowRules(li, Seq(
+          "lineitem_discount_above_policy" -> (col("l_discount") > 0.06),
+          "lineitem_nonpos_quantity" -> (col("l_quantity") <= 0))),
+        rowRules(Tables.events(s, d), Seq(
+          "events_value_out_of_range" -> (col("value") < 0 || col("value") > 20))),
+        rowRules(Tables.documents(s, d), Seq(
+          "documents_nchars_mismatch" -> (col("n_chars") =!= length(col("text"))))),
+        uniqueKeyRule("orders_pk_unique", o, col("o_orderkey")),
+        orphanRule("lineitem_orphan_order", li, col("l_orderkey"),
+          o, col("o_orderkey")),
+        orphanRule("orders_childless", o, col("o_orderkey"),
+          li, col("l_orderkey")),
+        orphanRule("customer_without_orders", Tables.customer(s, d),
+          col("c_custkey"), o, col("o_custkey")))
+        .orderBy(col("rule"))
+    }, Some("""
+      WITH r AS (
+        SELECT 'customer_without_orders' AS rule,
+               (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS violations
+        UNION ALL SELECT 'documents_nchars_mismatch',
+               (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+        UNION ALL SELECT 'events_value_out_of_range',
+               (SELECT count(*) FROM events WHERE "value" < 0 OR "value" > 20)
+        UNION ALL SELECT 'lineitem_discount_above_policy',
+               (SELECT count(*) FROM lineitem WHERE l_discount > 0.06)
+        UNION ALL SELECT 'lineitem_nonpos_quantity',
+               (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL SELECT 'lineitem_orphan_order',
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'orders_childless',
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        UNION ALL SELECT 'orders_pk_unique',
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+      SELECT rule, CAST(violations AS BIGINT) AS violations
+      FROM r ORDER BY rule"""))
   )
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)

@@ -164,32 +164,67 @@ object EmbeddingStats {
     * eigenvalue in cov_num units).
     */
   def dominantComponent(covNum: Array[(Long, Long, Long)], dim: Int,
-                        iters: Int = 200): (Array[Double], Double) = {
+                        iters: Int = 200): (Array[Double], Double) =
+    topComponents(covNum, dim, k = 1, iters).head
+
+  /** Top-k components by power iteration with deflation (after each
+    * component, subtract λ·vvᵀ and iterate the remainder) — same
+    * driver-side, deterministic, sign-canonical contract as the
+    * dominant component. Eigenvalues come out non-increasing.
+    */
+  def topComponents(covNum: Array[(Long, Long, Long)], dim: Int, k: Int,
+                    iters: Int = 2000): Seq[(Array[Double], Double)] = {
+    require(k >= 1 && k <= dim, s"topComponents: k must be in [1, $dim], got $k")
     val m = Array.ofDim[Double](dim, dim)
     covNum.foreach { case (i, j, c) =>
       m(i.toInt - 1)(j.toInt - 1) = c.toDouble
       m(j.toInt - 1)(i.toInt - 1) = c.toDouble
     }
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    var lambda = 0.0
-    var it = 0
-    while (it < iters) {
-      val w = Array.tabulate(dim) { i =>
-        var s = 0.0; var j = 0
-        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
-        s
+    val found = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    (0 until k).map { _ =>
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      var it = 0
+      while (it < iters) {
+        val w = Array.tabulate(dim) { i =>
+          var s = 0.0; var j = 0
+          while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+          s
+        }
+        // re-orthogonalize against found components every step: pure
+        // deflation drifts when eigenvalues are close (the iterate
+        // re-acquires a removed direction through rounding); explicit
+        // Gram-Schmidt pins orthogonality at machine precision
+        found.foreach { u =>
+          val d = w.zip(u).map { case (a, b) => a * b }.sum
+          var i = 0
+          while (i < dim) { w(i) -= d * u(i); i += 1 }
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        require(norm > 0, "topComponents: rank exhausted before k components")
+        v = w.map(_ / norm)
+        lambda = norm
+        it += 1
       }
-      val norm = math.sqrt(w.map(x => x * x).sum)
-      require(norm > 0, "dominantComponent: zero covariance matrix")
-      v = w.map(_ / norm)
-      lambda = norm
-      it += 1
+      // canonical sign: first nonzero coordinate positive, so the
+      // component is unique (±v are the same eigenvector)
+      val firstNz = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+      val canon = if (firstNz < 0) v.map(-_) else v
+      found += canon
+      // deflate: remove this component's subspace before the next
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { m(i)(j) -= lambda * canon(i) * canon(j); j += 1 }
+        i += 1
+      }
+      (canon, lambda)
     }
-    // canonical sign: first nonzero coordinate positive, so the
-    // component is unique (±v are the same eigenvector)
-    val firstNz = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
-    (if (firstNz < 0) v.map(-_) else v, lambda)
   }
+
+  /** Map-side k-dim PCA coordinates: one array column of projections. */
+  def projectK(vec: Column, components: Seq[Array[Double]]): Column =
+    array(components.map(c => project(vec, c)): _*)
 
   /** Map-side projection of each embedding onto a fixed component —
     * a pure scan-stage dot product (broadcast-free: the component rides

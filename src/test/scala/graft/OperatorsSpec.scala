@@ -841,4 +841,96 @@ class OperatorsSpec extends AnyFunSuite {
     assert(st.getLong(2) == 0L && st.getLong(3) == 0L) // n_inter, n_a
     assert(st.isNullAt(5) && st.getDouble(6) == 0.0)   // c_a null, c_b 0
   }
+
+  test("DataQuality: row rules one-pass, unique key counts dups+nulls, orphans both directions") {
+    val child = Seq((1L, 10L, 5.0), (2L, 10L, -1.0), (3L, 99L, 2.0))
+      .toDF("id", "fk", "amount")
+    val parent = Seq((10L, "a"), (20L, "b"), (20L, "c"),
+      (30L, "d")).toDF("pk", "name")
+      .union(Seq((Option.empty[Long], "e")).toDF("pk", "name"))
+    val rep = DataQuality.report(
+      DataQuality.rowRules(child, Seq(
+        "child_nonpos_amount" -> (col("amount") <= 0),
+        "child_never_fires" -> (col("amount") > 1e9))),
+      DataQuality.uniqueKeyRule("parent_pk_unique", parent, col("pk")),
+      DataQuality.orphanRule("child_orphan_fk", child, col("fk"),
+        parent, col("pk")),
+      DataQuality.orphanRule("parent_childless", parent, col("pk"),
+        child, col("fk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("child_nonpos_amount") == 1)
+    // clean rules REPORT zero — the report's shape is data-independent
+    assert(rep("child_never_fires") == 0)
+    // one duplicate (20 twice) + one null key = 2 violations
+    assert(rep("parent_pk_unique") == 2)
+    assert(rep("child_orphan_fk") == 1)        // fk=99 has no parent
+    // parents 20 (x2), 30, and the null-keyed row have no children
+    assert(rep("parent_childless") == 4)
+    assert(rep.size == 5)
+    // the row-rule block folds in ONE aggregation over ONE scan
+    val p = DataQuality.rowRules(child, Seq(
+        "a" -> (col("amount") <= 0), "b" -> (col("amount") > 3)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), s"row rules must not union scans:\n$p")
+  }
+
+  test("Sweep.concurrency: overlap counts exact, inclusive endpoints, day-boundary carry") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // intervals: A[1:00,3:00] B[2:00,4:00] C[2:30,2:45] overlap to 3;
+    // D is zero-length (counts with itself); E spans a DAY boundary so
+    // day-2 points only get the right answer via the carry-in offset
+    val iv = Seq(
+      (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")),
+      (2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00")),
+      (3L, ts("2024-01-01 02:30:00"), ts("2024-01-01 02:45:00")),
+      (4L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00")),
+      (5L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+      (6L, ts("2024-01-02 00:30:00"), ts("2024-01-02 02:00:00"))
+    ).toDF("id", "s", "e")
+    val out = Sweep.concurrency(iv, col("s"), col("e"), col("id"))
+      .orderBy(col("ts"), col("delta").desc, col("concurrency"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    val atStart = out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(atStart("2024-01-01 02:30:00.0") == 3)   // A+B+C open
+    assert(atStart("2024-01-01 05:00:00.0") == 1)   // zero-length counts itself
+    // day-2 start sees the still-open day-1 interval via the carry-in
+    assert(atStart("2024-01-02 00:30:00.0") == 2)
+    // sweep invariant: the final running value returns to zero
+    assert(out.last._3 == 0)
+    // every concurrency ≥ 1 at a start, ≥ 0 at an end
+    assert(out.forall { case (_, d, c) => if (d == 1) c >= 1 else c >= 0 })
+  }
+
+  test("topComponents: orthonormal, non-increasing eigenvalues, residuals small") {
+    import graft.similarity.EmbeddingStats
+    val cov = EmbeddingStats.covarianceNumerators(
+        Tables.embeddings(spark, TestSpark.sf), col("embedding"), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comps = EmbeddingStats.topComponents(cov, dim = 64, k = 3)
+    assert(comps.length == 3)
+    val vals = comps.map(_._2)
+    assert(vals == vals.sortBy(-_), s"eigenvalues not non-increasing: $vals")
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = comps(a)._1.zip(comps(b)._1).map { case (x, y) => x * y }.sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-9)
+      else assert(math.abs(dot) < 1e-6, s"components $a,$b not orthogonal: $dot")
+    }
+    // each is an eigenvector of the ORIGINAL matrix
+    val m = Array.ofDim[Double](64, 64)
+    cov.foreach { case (i, j, c) =>
+      m(i.toInt - 1)(j.toInt - 1) = c.toDouble; m(j.toInt - 1)(i.toInt - 1) = c.toDouble
+    }
+    comps.foreach { case (v, lambda) =>
+      val cv = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * v(j)).sum)
+      val resid = math.sqrt(cv.zip(v).map { case (a, b) =>
+        (a - lambda * b) * (a - lambda * b) }.sum) / comps.head._2
+      assert(resid < 1e-5, s"eigen residual $resid")
+    }
+    // projectK yields one finite coordinate per component
+    val coords = Tables.embeddings(spark, TestSpark.sf)
+      .select(EmbeddingStats.projectK(col("embedding"), comps.map(_._1)).as("c"))
+      .as[Seq[Double]].head()
+    assert(coords.length == 3 && coords.forall(x => !x.isNaN && !x.isInfinite))
+  }
 }
