@@ -179,7 +179,10 @@ object SparkEntry {
       Some(sharedOracle("p96_leakage_safe_split"))),
     ("q95_streaming_covariance",
       (s, d) => graft.streaming.StreamingQueries.covarianceStream(s, d),
-      Some(sharedOracle("p100_embedding_covariance"))))
+      Some(sharedOracle("p100_embedding_covariance"))),
+    ("q98_streaming_active",
+      (s, d) => graft.streaming.StreamingQueries.rollingActiveStream(s, d),
+      Some(sharedOracle("q97_rolling_active"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -72,6 +72,94 @@ object TimeWindow {
     * traffic (a 2× bar goes silent once hourly counts grow: relative
     * Poisson noise shrinks as 1/√mean).
     */
+  /** Distinct (day, user) activity grid on an INTEGER day index — the
+    * associative half of rolling-active-user reporting, SHARED by the
+    * batch entry and the streaming twin (distinct-ness merges: the
+    * stream's state is bounded by user-days, never events).
+    */
+  def dailyUsers(df: DataFrame, ts: Column, user: Column): DataFrame =
+    df.select(
+        (unix_timestamp(date_trunc("day", ts)) / 86400).cast("long").as("day"),
+        user.as("user_id"))
+      .distinct()
+
+  /** DAU / trailing-7-day WAU / stickiness from a [[dailyUsers]] grid.
+    * Each user-day contributes map-side to the 7 report days it is
+    * "active within" (a bounded ×7 `sequence` explode — no range
+    * self-join), restricted to OBSERVED days via a semi-join so the
+    * report never invents days the log doesn't contain. Stickiness is
+    * the integer micro-ratio dau·10⁶ div wau — exact in any engine.
+    * Scale: the grid is users×days (already tiny next to the log);
+    * the explode is 7× that, collapsed by one distinct-count exchange.
+    */
+  def rollingActive(du: DataFrame): DataFrame = {
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val contrib = du.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("rday"))
+      .join(du.select(col("day").as("rday")).distinct(), Seq("rday"), "left_semi")
+    val wau = contrib.groupBy(col("rday").as("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_micro",
+        expr("dau * 1000000L div wau"))
+  }
+
+  /** Integer fixed-point EWMA over an hourly grid — the order-dependent
+    * recurrence `e_t = (num·e_{t-1} + (den−num)·10⁶·x_t) div den` (per
+    * key, in hour order, seeded e_0 = 10⁶·x_0), entirely in integer
+    * micro-units so the fold is bit-exact in any engine that replays
+    * the same order. Per-key series are TIME-bounded (hours), so the
+    * in-partition fold over a collected series is config-sized by
+    * construction — the grid itself was already one map-combined
+    * aggregation over the raw log.
+    */
+  def ewma(hourly: DataFrame, num: Int = 3, den: Int = 4): DataFrame = {
+    require(num > 0 && den > num,
+      s"ewma: need 0 < num < den, got $num/$den")
+    val packed = hourly.groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("hour_idx"), col("n"))))
+        .as("series"))
+    val folded = packed.withColumn("out",
+      expr(s"""
+        aggregate(series,
+          CAST(array() AS ARRAY<STRUCT<hour_idx: BIGINT, n: BIGINT, e: BIGINT>>),
+          (acc, x) -> array_append(acc,
+            named_struct('hour_idx', x.hour_idx, 'n', x.n, 'e',
+              CASE WHEN size(acc) = 0 THEN 1000000L * x.n
+                   ELSE (${num}L * element_at(acc, -1).e
+                         + ${den - num}L * 1000000L * x.n) div ${den}L
+              END)))"""))
+    folded.select(col("key"), explode(col("out")).as("r"))
+      .select(col("r.hour_idx").as("hour_idx"), col("key"),
+        col("r.n").as("n"), col("r.e").as("ewma_micro"))
+  }
+
+  /** Per-key least-squares trend over an hourly grid, as EXACT integer
+    * numerators: slope = slope_num / slope_den with
+    * `slope_num = c·Σxy − Σx·Σy`, `slope_den = c·Σx² − (Σx)²` — no
+    * division (integer division of a possibly-NEGATIVE numerator is
+    * where engines disagree: Spark `div` truncates, DuckDB `//`
+    * floors), so the emitted pair is bit-exact everywhere and the
+    * caller divides in whatever arithmetic it wants. x is the hour
+    * index RE-BASED per key to its first hour — slope-invariant, and
+    * it keeps every sum far from long overflow (x ≤ series length, not
+    * an epoch hour). One extra min() aggregation on the already-tiny
+    * grid; both aggregations share the key exchange.
+    */
+  def trendSlopes(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val t = hourly
+      .withColumn("x", col("hour_idx") - min(col("hour_idx")).over(w))
+      .withColumn("y", col("n"))
+    t.groupBy(col("key"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("key"), col("c").as("n_hours"),
+        (col("c") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("c") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
   def trailingAnomaly(hourly: DataFrame, baselineHours: Int = 24,
                       minBaseline: Int = 12, factorNum: Int = 3,
                       factorDen: Int = 2): DataFrame = {

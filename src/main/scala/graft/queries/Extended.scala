@@ -462,6 +462,105 @@ object Extended {
              CAST(base_sum AS BIGINT) AS base_sum, base_hours
       FROM b
       WHERE base_hours >= 12 AND n * base_hours * 2 > 3 * base_sum
-      ORDER BY event_type, hour_idx"""))
+      ORDER BY event_type, hour_idx""")),
+
+    // Peak concurrency — interval-overlap analytics: sessionize each
+    // user's events (30-min gap), then sweep session endpoints (+1 at
+    // start, −1 at end) and report each hour's maximum number of
+    // simultaneously-open sessions. The sweep's global running sum is
+    // the distributed prefix-sum pattern (Sweep.concurrency): per-day
+    // delta totals become broadcast carry-in offsets, in-day windows
+    // ride one hash exchange — the timeline never funnels through a
+    // single task. Sessionization itself is one user_id exchange.
+    ("q96_peak_concurrency", (s, d) => {
+      import graft.operators.{Sessionize, Sweep}
+      val sess = Sessionize.byGap(Tables.events(s, d),
+          Seq(col("user_id")), col("ts"), col("event_id"),
+          gapMicros = 1800000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      Sweep.concurrency(sess, col("st"), col("en"), col("user_id"))
+        .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+          .as("hour_idx"))
+        .agg(max(col("concurrency")).as("peak"))
+        .orderBy(col("hour_idx"))
+    }, Some("""
+      WITH o AS (SELECT user_id, event_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev
+                 FROM events),
+      s AS (SELECT user_id, ts,
+              sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o),
+      iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+             FROM s GROUP BY 1, 2),
+      pts AS (SELECT user_id, st AS ts, 1 AS delta FROM iv
+              UNION ALL SELECT user_id, en, -1 FROM iv),
+      c AS (SELECT ts, delta,
+              sum(delta) OVER (ORDER BY ts, delta DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts)
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx,
+             CAST(max(conc) AS BIGINT) AS peak
+      FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Rolling active users — DAU, trailing-7-day WAU, and the
+    // stickiness ratio (dau·10⁶ div wau, integer micro-units): the
+    // product-analytics staple. Each user-day contributes MAP-SIDE to
+    // the 7 report days it is active within (bounded ×7 explode — no
+    // range self-join), restricted to observed days; one distinct-count
+    // exchange per report day.
+    ("q97_rolling_active", (s, d) => {
+      import graft.operators.TimeWindow
+      TimeWindow.rollingActive(
+          TimeWindow.dailyUsers(Tables.events(s, d), col("ts"), col("user_id")))
+        .orderBy(col("day"))
+    }, Some("""
+      WITH du AS (SELECT DISTINCT
+                    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+                    user_id
+                  FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      w AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+            FROM (SELECT DISTINCT day FROM du) d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+      SELECT day, dau, wau,
+             CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
+      FROM dau JOIN w USING (day) ORDER BY day""")),
+
+    // Integer fixed-point EWMA over the hourly event grid — an
+    // order-dependent recurrence (e_t = (3·e_{t-1} + 10⁶·x_t) div 4,
+    // seeded 10⁶·x_0) made engine-portable by doing the whole fold in
+    // integer micro-units: any engine replaying the same hour order
+    // reproduces it bit-for-bit (the oracle replays it as a recursive
+    // CTE). Per-key series are time-bounded, so the in-partition fold
+    // over each key's collected series is config-sized by construction.
+    ("q99_ewma_hours", (s, d) => {
+      import graft.operators.TimeWindow
+      TimeWindow.ewma(
+          TimeWindow.hourlyCounts(Tables.events(s, d), col("ts"), col("event_type")))
+        .select(col("hour_idx"), col("key").as("event_type"), col("n"),
+          col("ewma_micro"))
+        .orderBy(col("event_type"), col("hour_idx"))
+    }, Some("""
+      WITH RECURSIVE hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, hour_idx, n,
+              row_number() OVER (PARTITION BY event_type ORDER BY hour_idx) AS rn
+            FROM hourly),
+      r AS (
+        SELECT event_type, hour_idx, n, rn, 1000000 * n AS e
+        FROM g WHERE rn = 1
+        UNION ALL
+        SELECT g.event_type, g.hour_idx, g.n, g.rn,
+               (3 * r.e + 1000000 * g.n) // 4
+        FROM r JOIN g ON g.event_type = r.event_type AND g.rn = r.rn + 1)
+      SELECT hour_idx, event_type, n, CAST(e AS BIGINT) AS ewma_micro
+      FROM r ORDER BY event_type, hour_idx"""))
   )
 }

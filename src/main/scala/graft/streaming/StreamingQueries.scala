@@ -1465,6 +1465,26 @@ object StreamingQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q97's rolling-active report on the streaming engine: the distinct
+    * (day, user) grid is the associative half (distinct-ness merges),
+    * so the stream folds it with state bounded by user-days — never
+    * events — through the SAME [[graft.operators.TimeWindow.dailyUsers]]
+    * projection shape the batch entry uses; the ×7 contribution
+    * explode, distinct counts, and stickiness ratio run batch-side at
+    * the epoch boundary via the shared
+    * [[graft.operators.TimeWindow.rollingActive]]. Shares q97's oracle.
+    */
+  def rollingActiveStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TimeWindow
+    val grid = runToMemory(
+      eventsStream(spark, sfDir)
+        .select((unix_timestamp(date_trunc("day", col("ts"))) / 86400)
+          .cast("long").as("day"), col("user_id"))
+        .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("__c")))
+      .select(col("day"), col("user_id"))
+    TimeWindow.rollingActive(grid).orderBy(col("day"))
+  }
+
   /** p96's leakage-safe split on the streaming engine — the degenerate
     * (and therefore load-bearing) case: the split is a pure function of
     * the document's content fingerprint, so the WHOLE assignment rides

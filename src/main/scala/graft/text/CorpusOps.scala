@@ -1309,4 +1309,79 @@ object CorpusOps {
       .select(col("source"), col("n_tokens"),
         round(col("s") / 1e6, 6).as("kl"))
   }
+
+  /** Query auto-completion index: for every prefix (length 1..`maxLen`)
+    * of every corpus token, the top-`k` completions by corpus
+    * frequency (ties by token asc). The serving table a search box
+    * reads on every keystroke.
+    *
+    * Scale shape: ONE token-count aggregation over the corpus (the
+    * only corpus-sized exchange), then a bounded ×maxLen prefix
+    * explode of the VOCABULARY (not the corpus), one (prefix, token)
+    * aggregation, and a per-prefix rank window over ≤vocab rows —
+    * everything after the first exchange is vocabulary-sized.
+    */
+  def prefixIndex(docs: DataFrame, text: Column, maxLen: Int = 4,
+                  k: Int = 3): DataFrame = {
+    require(maxLen >= 1 && k >= 1, s"prefixIndex: bad maxLen=$maxLen k=$k")
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(lower(text))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val pre = vocab.select(col("tok"), col("cnt"),
+      explode(expr(s"transform(sequence(1, least(length(tok), $maxLen)), " +
+        "i -> substring(tok, 1, i))")).as("prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("cnt").desc, col("tok"))
+    pre.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("tok"), col("cnt"), col("rank"))
+  }
+
+  /** SymSpell-style spell-correction candidates: vocabulary tokens and
+    * probe strings both expand to their deletion-1 neighborhoods
+    * ({t} ∪ every string with one char removed); a candidate pair is
+    * any probe/token sharing a variant (covers all edits ≤1 and most
+    * ≤2), then the TRUE Levenshtein distance verifies and ranks —
+    * generate-and-verify, like the engine's Bloom/LSH families: the
+    * cheap key join prunes, the exact metric decides.
+    *
+    * Scale shape: the deletion explode is ×(len+1) of the VOCABULARY
+    * (one corpus-sized token count first, as [[prefixIndex]]); the
+    * join is hash-partitioned on the variant string; probes are
+    * config-sized and broadcast. No quadratic vocab×probe scan, no
+    * UDF — `levenshtein` is a codegen builtin in both engines.
+    */
+  def symspellCandidates(docs: DataFrame, text: Column,
+                         probes: Seq[String], maxDistance: Int = 1,
+                         k: Int = 3): DataFrame = {
+    require(probes.nonEmpty, "symspellCandidates: no probes")
+    require(probes.forall(_.nonEmpty), "symspellCandidates: empty probe")
+    require(maxDistance >= 1 && maxDistance <= 2,
+      s"symspellCandidates: maxDistance must be 1 or 2, got $maxDistance")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // {__t} ∪ one-char-deleted forms of the non-empty string in `__t`
+    val deletions: Column = explode(array_union(
+      array(col("__t")),
+      expr("transform(sequence(1, length(__t)), " +
+        "i -> concat(substring(__t, 1, i - 1), substring(__t, i + 1)))")))
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(lower(text))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocabVars = vocab.withColumn("__t", col("tok"))
+      .select(col("tok"), col("cnt"), deletions.as("variant"))
+    val probeVars = probes.toDF("probe").withColumn("__t", col("probe"))
+      .select(col("probe"), deletions.as("variant"))
+    val candidates = vocabVars
+      .join(broadcast(probeVars), "variant")
+      .select(col("probe"), col("tok"), col("cnt")).distinct()
+      .withColumn("distance", levenshtein(col("probe"), col("tok")).cast("long"))
+      .filter(col("distance") <= maxDistance)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe"))
+      .orderBy(col("distance"), col("cnt").desc, col("tok"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe"), col("tok"), col("distance"), col("cnt"), col("rank"))
+  }
 }

@@ -309,6 +309,15 @@ class PlanSpec extends AnyFunSuite {
       s"epoch pack planned a single-partition stage:\n$p")
   }
 
+  test("q96 peak concurrency: the global sweep never plans a single-partition stage") {
+    val p = plan("q96_peak_concurrency")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sweep funneled the timeline through one task:\n$p")
+    // in-day running sum partitions on the day bucket
+    assert("Exchange hashpartitioning\\(__day".r.findFirstIn(p).isDefined,
+      s"no day-bucket exchange:\n$p")
+  }
+
   test("q91 event paths: one exchange on user_id; top-20 is TakeOrdered, not a global sort") {
     val p = plan("q91_event_paths")
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
