@@ -561,6 +561,36 @@ object Extended {
                (3 * r.e + 1000000 * g.n) // 4
         FROM r JOIN g ON g.event_type = r.event_type AND g.rn = r.rn + 1)
       SELECT hour_idx, event_type, n, CAST(e AS BIGINT) AS ewma_micro
-      FROM r ORDER BY event_type, hour_idx"""))
+      FROM r ORDER BY event_type, hour_idx""")),
+
+    // Per-type traffic trend — least squares over the hourly grid as
+    // EXACT integer numerators (slope_num = c·Σxy − Σx·Σy, slope_den =
+    // c·Σx² − (Σx)²): no division, because integer division of a
+    // possibly-NEGATIVE numerator is where engines disagree (Spark div
+    // truncates, DuckDB // floors). x re-bases per key to its first
+    // hour — slope-invariant and overflow-safe. Both aggregations ride
+    // the grid's key exchange.
+    ("q100_trend_slopes", (s, d) => {
+      import graft.operators.TimeWindow
+      TimeWindow.trendSlopes(
+          TimeWindow.hourlyCounts(Tables.events(s, d), col("ts"), col("event_type")))
+        .select(col("key").as("event_type"), col("n_hours"),
+          col("slope_num"), col("slope_den"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_idx,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, min(hour_idx) AS mn FROM hourly GROUP BY 1),
+      t AS (SELECT h.event_type, h.hour_idx - mn AS x, n AS y
+            FROM hourly h JOIN m USING (event_type)),
+      a AS (SELECT event_type, count(*) AS c, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM t GROUP BY 1)
+      SELECT event_type, c AS n_hours,
+             CAST(c * sxy - sx * sy AS BIGINT) AS slope_num,
+             CAST(c * sxx - sx * sx AS BIGINT) AS slope_den
+      FROM a ORDER BY 1"""))
   )
 }

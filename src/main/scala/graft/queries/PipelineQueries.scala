@@ -3041,8 +3041,64 @@ object PipelineQueries {
         UNION ALL SELECT 'orders_pk_unique',
                (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
       SELECT rule, CAST(violations AS BIGINT) AS violations
-      FROM r ORDER BY rule"""))
+      FROM r ORDER BY rule""")),
+
+    // query auto-completion index: top-3 completions by corpus
+    // frequency for every 1..4-char prefix — ONE corpus-sized token
+    // count, then everything (prefix explode, rank) is vocabulary-sized.
+    ("p103_prefix_index", (s, d) => {
+      graft.text.CorpusOps.prefixIndex(
+          Tables.documents(s, d), col("text"), maxLen = 4, k = 3)
+        .orderBy(col("prefix"), col("rank"))
+    }, Some(s"""
+      WITH v AS (SELECT tok, count(*) AS cnt
+                 FROM (SELECT unnest(${sqlToks("lower(text)")}) AS tok
+                       FROM documents) GROUP BY 1),
+      p AS (SELECT tok, cnt,
+              unnest(list_transform(generate_series(1, least(length(tok), 4)),
+                i -> substr(tok, 1, CAST(i AS INT)))) AS prefix FROM v),
+      r AS (SELECT prefix, tok, cnt,
+              CAST(row_number() OVER (PARTITION BY prefix
+                ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM p)
+      SELECT prefix, tok, cnt, rank FROM r WHERE rank <= 3
+      ORDER BY prefix, rank""")),
+
+    // SymSpell spell-correction candidates: vocabulary and probes both
+    // expand to deletion-1 neighborhoods; sharing a variant is the
+    // cheap candidate key (hash join, no quadratic vocab×probe scan),
+    // true Levenshtein verifies and ranks — generate-and-verify, like
+    // the Bloom/LSH families.
+    ("p104_symspell", (s, d) => {
+      graft.text.CorpusOps.symspellCandidates(
+          Tables.documents(s, d), col("text"),
+          probes = Seq("tabl", "scann", "grup", "window", "qwery", "vallue"),
+          maxDistance = 1, k = 3)
+        .orderBy(col("probe"), col("rank"))
+    }, Some(symspellOracle))
   )
+
+  /** DuckDB dual of the deletion-1 neighborhood {s} ∪ del1(s). */
+  private def sqlDeletions(c: String): String =
+    s"""list_distinct(list_append(list_transform(generate_series(1, length($c)),
+          i -> substr($c, 1, CAST(i - 1 AS INT)) || substr($c, CAST(i + 1 AS INT))), $c))"""
+
+  private lazy val symspellOracle: String = s"""
+      WITH v AS (SELECT tok, count(*) AS cnt
+                 FROM (SELECT unnest(${sqlToks("lower(text)")}) AS tok
+                       FROM documents) GROUP BY 1),
+      vv AS (SELECT tok, cnt, unnest(${sqlDeletions("tok")}) AS variant FROM v),
+      probes(probe) AS (VALUES ('tabl'), ('scann'), ('grup'), ('window'),
+                               ('qwery'), ('vallue')),
+      pv AS (SELECT probe, unnest(${sqlDeletions("probe")}) AS variant FROM probes),
+      c AS (SELECT DISTINCT probe, tok, cnt FROM vv JOIN pv USING (variant)),
+      d AS (SELECT probe, tok, cnt,
+              CAST(levenshtein(probe, tok) AS BIGINT) AS distance
+            FROM c WHERE levenshtein(probe, tok) <= 1),
+      r AS (SELECT probe, tok, cnt, distance,
+              CAST(row_number() OVER (PARTITION BY probe
+                ORDER BY distance, cnt DESC, tok) AS BIGINT) AS rank FROM d)
+      SELECT probe, tok, distance, cnt, rank FROM r WHERE rank <= 3
+      ORDER BY probe, rank"""
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce

@@ -1465,6 +1465,24 @@ object StreamingQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q100's trend slopes on the streaming engine: the hourly count grid
+    * is the associative half (counts sum — same grid as q93's anomaly
+    * twin), folded with state bounded by distinct (hour, type) pairs
+    * through the shared [[graft.operators.TimeWindow.hourlyCounts]]
+    * projection; the exact-integer least-squares finalize
+    * ([[graft.operators.TimeWindow.trendSlopes]], shared) runs
+    * batch-side at the epoch boundary. Shares q100's oracle.
+    */
+  def trendSlopesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TimeWindow
+    val grid = runToMemory(TimeWindow.hourlyCounts(
+      eventsStream(spark, sfDir), col("ts"), col("event_type")))
+    TimeWindow.trendSlopes(grid)
+      .select(col("key").as("event_type"), col("n_hours"),
+        col("slope_num"), col("slope_den"))
+      .orderBy(col("event_type"))
+  }
+
   /** q97's rolling-active report on the streaming engine: the distinct
     * (day, user) grid is the associative half (distinct-ness merges),
     * so the stream folds it with state bounded by user-days — never

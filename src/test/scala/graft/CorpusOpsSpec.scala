@@ -463,4 +463,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("tok").as[String].collect().sorted
     assert(pruned.toSeq == Seq("cat", "dog"))
   }
+
+  test("prefixIndex ranks completions by frequency, prefixes capped, k enforced") {
+    val docs = Seq((1L, "scan scan scan scale scale sort"),
+      (2L, "scan scale sort sorted")).toDF("id", "text")
+    val idx = graft.text.CorpusOps.prefixIndex(docs, col("text"), maxLen = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byPrefix = idx.groupBy(_._1)
+    // 'sc' completes to scan (4) before scale (3); sort (2) out at k=2? no — different prefix
+    assert(byPrefix("sc").sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
+      Seq(("scan", 4L), ("scale", 3L)))
+    // rank never exceeds k, prefix length never exceeds maxLen
+    assert(idx.forall(_._4 <= 2) && idx.forall(_._1.length <= 3))
+    // a full-token prefix ranks the token itself first when most frequent
+    assert(byPrefix("sca").map(_._2).contains("scan"))
+    // 'sort' (len 4) produces no len-4 prefix at maxLen=3
+    assert(!byPrefix.contains("sort"))
+  }
+
+  test("symspellCandidates finds deletes, inserts, and substitutions via shared variants") {
+    val docs = Seq((1L, "table table table cable stable value")).toDF("id", "text")
+    val out = graft.text.CorpusOps.symspellCandidates(docs, col("text"),
+        probes = Seq("tble", "tablee", "tabze", "table"), maxDistance = 1, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val byProbe = out.groupBy(_._1)
+    // deletion probe (tble), insertion probe (tablee), substitution
+    // probe (tabze — found via del1∩del1) all reach 'table' at d=1
+    Seq("tble", "tablee", "tabze").foreach { p =>
+      assert(byProbe(p).exists(t => t._2 == "table" && t._3 == 1L), s"$p missed table")
+    }
+    // exact probe ranks its own token first at distance 0
+    assert(byProbe("table").minBy(_._4)._2 == "table" &&
+      byProbe("table").minBy(_._4)._3 == 0L)
+    // candidates past maxDistance are filtered: 'tabze' must not reach 'cable' (d=2)
+    assert(!byProbe("tabze").exists(_._2 == "cable"))
+  }
 }
