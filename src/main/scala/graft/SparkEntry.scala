@@ -182,7 +182,10 @@ object SparkEntry {
       Some(sharedOracle("p100_embedding_covariance"))),
     ("q98_streaming_active",
       (s, d) => graft.streaming.StreamingQueries.rollingActiveStream(s, d),
-      Some(sharedOracle("q97_rolling_active"))))
+      Some(sharedOracle("q97_rolling_active"))),
+    ("q101_streaming_trend",
+      (s, d) => graft.streaming.StreamingQueries.trendSlopesStream(s, d),
+      Some(sharedOracle("q100_trend_slopes"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -250,6 +253,8 @@ object SparkEntry {
     "p84_sketch_overlap", "p85_bloom_decontam", "p88_release_manifest",
     "p93_filtered_ann", "p94_hybrid_rrf",
     // round-7 continued: the per-epoch dataloader job (deterministic
-    // shuffle → pack, one shared exchange) and event-sequence mining
-    "p99_epoch_pack", "q91_event_paths")
+    // shuffle → pack, one shared exchange), event-sequence mining, the
+    // distributed-prefix-sum sweep, and the rolling-active report
+    "p99_epoch_pack", "q91_event_paths",
+    "q96_peak_concurrency", "q97_rolling_active")
 }

@@ -455,12 +455,39 @@ object Curation {
     * the plan never moves all data to one task — the distributed
     * zipWithIndex-in-key-order pattern.
     */
-  def epochShuffle(df: DataFrame, id: Column, seed: Long): DataFrame = {
+  def epochShuffle(df: DataFrame, id: Column, seed: Long): DataFrame =
+    shuffleByBucket(df, id, seed, tier = None)
+
+  /** Curriculum variant of [[epochShuffle]]: a TIERED global order —
+    * all of tier 0 before all of tier 1, seeded-random WITHIN each tier
+    * (easy→hard curriculum ordering with per-epoch reshuffling inside
+    * each difficulty band). Same machinery: the composite bucket
+    * `tier:hexprefix` still sorts lexicographically in global-order
+    * sequence (tier labels must be single-digit, enforced loudly), so
+    * the prefix-offset trick carries over unchanged.
+    */
+  def curriculumShuffle(df: DataFrame, id: Column, tier: Column,
+                        seed: Long): DataFrame =
+    shuffleByBucket(df, id, seed, Some(tier))
+
+  private def shuffleByBucket(df: DataFrame, id: Column, seed: Long,
+                              tier: Option[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val hexBucket = substring(col("shuffle_key"), 1, 2)
+    val bucketCol = tier match {
+      case None => hexBucket
+      case Some(t) =>
+        val tc = t.cast("long")
+        val guarded = when(tc.between(0L, 9L), tc.cast("string"))
+          .otherwise(raise_error(concat(
+            lit("curriculumShuffle: tier must be a single digit 0-9, got "),
+            coalesce(t.cast("string"), lit("null")))))
+        concat(guarded, lit(":"), hexBucket)
+    }
     val keyed = df.withColumn("shuffle_key",
         md5(concat(lit(seed.toString), lit(":"), id.cast("string"))))
-      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+      .withColumn("bucket", bucketCol)
     val counts = keyed.groupBy(col("bucket")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     // exclusive prefix sum in bucket order → each bucket's global offset

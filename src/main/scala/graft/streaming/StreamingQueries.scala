@@ -1465,6 +1465,24 @@ object StreamingQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** p103's autocomplete index on the streaming engine: the vocabulary
+    * token count is the associative half (counts sum), folded with
+    * state bounded by the VOCABULARY — never documents — in the scan
+    * stage's explode; the prefix explode + rank pass runs batch-side
+    * at the epoch boundary through the shared
+    * [[graft.text.CorpusOps.prefixIndexFromVocab]]. Shares p103's
+    * oracle.
+    */
+  def prefixIndexStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val vocab = runToMemory(
+      documentsStream(spark, sfDir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    graft.text.CorpusOps.prefixIndexFromVocab(vocab, maxLen = 4, k = 3)
+      .orderBy(col("prefix"), col("rank"))
+  }
+
   /** q100's trend slopes on the streaming engine: the hourly count grid
     * is the associative half (counts sum — same grid as q93's anomaly
     * twin), folded with state bounded by distinct (hour, type) pairs

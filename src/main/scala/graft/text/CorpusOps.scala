@@ -1322,11 +1322,20 @@ object CorpusOps {
     * everything after the first exchange is vocabulary-sized.
     */
   def prefixIndex(docs: DataFrame, text: Column, maxLen: Int = 4,
-                  k: Int = 3): DataFrame = {
+                  k: Int = 3): DataFrame =
+    prefixIndexFromVocab(
+      docs.select(explode(TextFunctions.tokens(lower(text))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      maxLen, k)
+
+  /** The vocabulary-scale half of [[prefixIndex]] — SHARED with the
+    * streaming twin (token counts are the associative half; the stream
+    * folds them with state bounded by the vocabulary, and this rank
+    * pass runs batch-side at the epoch boundary).
+    */
+  def prefixIndexFromVocab(vocab: DataFrame, maxLen: Int = 4,
+                           k: Int = 3): DataFrame = {
     require(maxLen >= 1 && k >= 1, s"prefixIndex: bad maxLen=$maxLen k=$k")
-    val vocab = docs
-      .select(explode(TextFunctions.tokens(lower(text))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val pre = vocab.select(col("tok"), col("cnt"),
       explode(expr(s"transform(sequence(1, least(length(tok), $maxLen)), " +
         "i -> substring(tok, 1, i))")).as("prefix"))
