@@ -185,7 +185,10 @@ object SparkEntry {
       Some(sharedOracle("q97_rolling_active"))),
     ("q101_streaming_trend",
       (s, d) => graft.streaming.StreamingQueries.trendSlopesStream(s, d),
-      Some(sharedOracle("q100_trend_slopes"))))
+      Some(sharedOracle("q100_trend_slopes"))),
+    ("q102_streaming_prefix",
+      (s, d) => graft.streaming.StreamingQueries.prefixIndexStream(s, d),
+      Some(sharedOracle("p103_prefix_index"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -198,7 +201,7 @@ object SparkEntry {
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++
-      streamingDefs ++ Extended.defs
+      PipelineQueries.curriculumDefs ++ streamingDefs ++ Extended.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composite: scan → broadcast join → agg → top-k.
@@ -256,5 +259,8 @@ object SparkEntry {
     // shuffle → pack, one shared exchange), event-sequence mining, the
     // distributed-prefix-sum sweep, and the rolling-active report
     "p99_epoch_pack", "q91_event_paths",
-    "q96_peak_concurrency", "q97_rolling_active")
+    "q96_peak_concurrency", "q97_rolling_active",
+    // the one-pass typed-Aggregator covariance and the curriculum
+    // shuffle→pack composition
+    "p100_embedding_covariance", "p105_curriculum_pack")
 }

@@ -3100,6 +3100,57 @@ object PipelineQueries {
       SELECT probe, tok, distance, cnt, rank FROM r WHERE rank <= 3
       ORDER BY probe, rank"""
 
+  /** Late additions appended to [[defs]] by SparkEntry (kept separate:
+    * Scala 2 won't propagate the expected element type into the
+    * receiver of a `Seq(...) ++` appended inside [[defs]] itself).
+    */
+  lazy val curriculumDefs: Seq[(String, Q, Option[String])] = Seq(
+    // curriculum ordering + pack — the easy→hard dataloader job: tier
+    // by doc length (short→long, fixed thresholds), seeded-random
+    // WITHIN each tier, pack per composite bucket. Same distributed
+    // prefix-offset machinery as p98/p99 (the composite tier:hex bucket
+    // still sorts lexicographically in global order), same ONE shared
+    // exchange for shuffle + pack.
+    ("p105_curriculum_pack", (s, d) => {
+      import graft.curation.Curation
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val tier = when(col("n_tokens") < 40, 0)
+        .when(col("n_tokens") < 65, 1).otherwise(2)
+      val shuffled = Curation.curriculumShuffle(
+        docs.withColumn("tier", tier), col("doc_id"), col("tier"), seed = 7L)
+      Curation.packSequences(shuffled, col("bucket"), col("pos"),
+          col("n_tokens"), seqLen = 512L)
+        .select(col("doc_id"), col("tier").cast("long").as("tier"),
+          col("bucket"), col("pos"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH k AS (SELECT doc_id,
+                   md5('7:' || CAST(doc_id AS VARCHAR)) AS key,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+      t AS (SELECT doc_id, key, n_tokens,
+              CASE WHEN n_tokens < 40 THEN 0
+                   WHEN n_tokens < 65 THEN 1 ELSE 2 END AS tier
+            FROM k),
+      p AS (SELECT doc_id, tier, n_tokens,
+              CAST(tier AS VARCHAR) || ':' || substr(key, 1, 2) AS bucket,
+              CAST(row_number() OVER (ORDER BY tier, key, doc_id) AS BIGINT) AS pos
+            FROM t),
+      c AS (SELECT doc_id, tier, bucket, pos, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cp
+            FROM p)
+      SELECT doc_id, CAST(tier AS BIGINT) AS tier, bucket, pos, n_tokens,
+             CAST(cp // 512 AS BIGINT) AS seq_id,
+             CAST(cp % 512 AS BIGINT) AS seq_offset,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+                  ELSE (cp + n_tokens - 1) // 512 - cp // 512 + 1 END
+                  AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id""")))
+
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce
     * the one-pass fold bit-for-bit.

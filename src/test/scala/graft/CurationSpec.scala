@@ -358,4 +358,28 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("pos") =!= col("pos2")).count()
     assert(moved > 900, s"seed change moved only $moved of 1000 rows")
   }
+
+  test("curriculumShuffle: tier-major total order, shuffled within tier, loud tier contract") {
+    val docs = spark.range(0, 900).toDF("doc_id")
+      .withColumn("tier", (col("doc_id") % 3).cast("int"))
+    val out = Curation.curriculumShuffle(docs, col("doc_id"), col("tier"), seed = 5L)
+      .select(col("doc_id"), col("tier"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // positions are the permutation 1..N
+    assert(out.map(_._3).sorted.toSeq == (1L to 900L))
+    // tier-major: every tier-0 position < every tier-1 position < tier-2
+    val byTier = out.groupBy(_._2).map { case (t, rs) =>
+      t -> (rs.map(_._3).min, rs.map(_._3).max) }
+    assert(byTier(0)._2 < byTier(1)._1 && byTier(1)._2 < byTier(2)._1,
+      s"tiers interleave: $byTier")
+    // within a tier the order is the seeded shuffle, not doc_id order
+    val tier0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(tier0.toSeq != tier0.sorted.toSeq, "tier 0 not shuffled")
+    // out-of-range tier fails loudly
+    val bad = docs.withColumn("tier", lit(12))
+    val e = intercept[Exception] {
+      Curation.curriculumShuffle(bad, col("doc_id"), col("tier"), 5L).count()
+    }
+    assert(e.getMessage.contains("single digit"), e.getMessage)
+  }
 }

@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
       s"epoch pack planned a single-partition stage:\n$p")
   }
 
+  test("p105 curriculum pack: shuffle and packer share one bucket exchange, no single partition") {
+    val p = plan("p105_curriculum_pack")
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(p).isDefined,
+      s"no composite-bucket exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"curriculum shuffle + pack should share ONE exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"curriculum pack planned a single-partition stage:\n$p")
+  }
+
   test("q96 peak concurrency: the global sweep never plans a single-partition stage") {
     val p = plan("q96_peak_concurrency")
     assert(!p.contains("Exchange SinglePartition"),
