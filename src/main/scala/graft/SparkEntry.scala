@@ -188,7 +188,10 @@ object SparkEntry {
       Some(sharedOracle("q100_trend_slopes"))),
     ("q102_streaming_prefix",
       (s, d) => graft.streaming.StreamingQueries.prefixIndexStream(s, d),
-      Some(sharedOracle("p103_prefix_index"))))
+      Some(sharedOracle("p103_prefix_index"))),
+    ("q103_streaming_quality",
+      (s, d) => graft.streaming.StreamingQueries.dataQualityStream(s, d),
+      Some(sharedOracle("p102_data_quality"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -507,6 +507,41 @@ object Curation {
       .drop("bucket_offset")
   }
 
+  /** Leakage-aware deterministic negative sampling for contrastive
+    * pairs: for each query document, `k` negatives drawn from the
+    * candidate corpus by the md5(qid:docid) dice roll — deterministic
+    * (same corpus → same negatives on any cluster/retry/engine, no
+    * rand()), and LEAKAGE-AWARE: a candidate whose content fingerprint
+    * equals the query's is excluded, so an exact duplicate of the
+    * query can never be served as its own "negative" (the
+    * [[leakageSafeSplit]] rule applied to pair construction).
+    *
+    * Scale shape: queries broadcast (an eval slice is config-sized by
+    * definition); the per-pair hash + bucket threshold prune
+    * candidates MAP-SIDE to ~poolPermille/10⁴ of the corpus per query
+    * BEFORE the rank exchange — the threshold is the knob bounding
+    * per-query work; the rank is one exchange on qid.
+    */
+  def negativeSamples(corpus: DataFrame, id: Column, fingerprint: Column,
+                      queries: DataFrame, qid: Column, qFingerprint: Column,
+                      poolPermille: Int, k: Int): DataFrame = {
+    require(poolPermille > 0 && poolPermille <= 10000,
+      s"negativeSamples: poolPermille must be in (0, 10000], got $poolPermille")
+    require(k >= 1, s"negativeSamples: k must be >= 1, got $k")
+    val q = queries.select(qid.as("qid"), qFingerprint.as("qfp"))
+    val cand = corpus.select(id.as("doc_id"), fingerprint.as("fp"))
+      .crossJoin(broadcast(q))
+      .filter(col("fp") =!= col("qfp"))
+      .withColumn("m", md5(concat(col("qid").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .filter(conv(substring(col("m"), 1, 6), 16, 10).cast("long") % 10000 <
+        poolPermille)
+    val w = Window.partitionBy(col("qid")).orderBy(col("m"), col("doc_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rank"))
+  }
+
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —
     * SHARED by the batch sampler and the streaming twin so their
     * sampling decisions cannot drift (the chunkRows rule).

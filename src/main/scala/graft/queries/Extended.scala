@@ -591,6 +591,42 @@ object Extended {
       SELECT event_type, c AS n_hours,
              CAST(c * sxy - sx * sy AS BIGINT) AS slope_num,
              CAST(c * sxx - sx * sx AS BIGINT) AS slope_den
-      FROM a ORDER BY 1"""))
+      FROM a ORDER BY 1""")),
+
+    // Time-to-convert distribution — the conversion-latency summary
+    // over q37's click→purchase pairs (per user, purchase within 1 h
+    // after the click): exact integer second deltas, exact count and
+    // extremes, interpolated percentiles rounded at the boundary (the
+    // q42 parity). One shuffle per event-type slice on user_id; the
+    // pair join co-partitions.
+    ("q104_time_to_convert", (s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      c.join(p, col("user_id") === col("pu") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select(expr("(unix_micros(pts) - unix_micros(cts)) div 1000000")
+          .as("dt"))
+        .agg(count(lit(1)).as("n"),
+          min(col("dt")).as("min_sec"), max(col("dt")).as("max_sec"),
+          round(expr("percentile(dt, 0.5)"), 4).as("p50"),
+          round(expr("percentile(dt, 0.9)"), 4).as("p90"))
+    }, Some("""
+      WITH c AS (SELECT user_id, ts AS cts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts AS pts FROM events
+            WHERE event_type = 'purchase'),
+      d AS (SELECT (epoch_us(pts) - epoch_us(cts)) // 1000000 AS dt
+            FROM c JOIN p USING (user_id)
+            WHERE pts > cts AND pts <= cts + INTERVAL 1 HOUR)
+      SELECT count(*) AS n,
+             CAST(min(dt) AS BIGINT) AS min_sec,
+             CAST(max(dt) AS BIGINT) AS max_sec,
+             round(quantile_cont(dt, 0.5), 4) AS p50,
+             round(quantile_cont(dt, 0.9), 4) AS p90
+      FROM d"""))
   )
 }

@@ -1465,6 +1465,38 @@ object StreamingQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** p102's data-quality gate at INGEST: the row-local rule blocks are
+    * single conditional aggregations (sums — associative), so the
+    * streamed tables' rules fold in complete mode with ONE-ROW state
+    * per block; the cross-table rules (uniqueness, referential) and
+    * the static tables' rules run batch-side, and the assembled report
+    * is the same shape either way. This is where a quality gate
+    * actually sits in production — on the stream, before the batch
+    * ever lands. Shares p102's oracle.
+    */
+  def dataQualityStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val evRules = runToMemory(rowRules(eventsStream(spark, sfDir), Seq(
+      "events_value_out_of_range" -> (col("value") < 0 || col("value") > 20))))
+    val docRules = runToMemory(rowRules(documentsStream(spark, sfDir), Seq(
+      "documents_nchars_mismatch" -> (col("n_chars") =!= length(col("text"))))))
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+    report(
+      rowRules(li, Seq(
+        "lineitem_discount_above_policy" -> (col("l_discount") > 0.06),
+        "lineitem_nonpos_quantity" -> (col("l_quantity") <= 0))),
+      evRules, docRules,
+      uniqueKeyRule("orders_pk_unique", o, col("o_orderkey")),
+      orphanRule("lineitem_orphan_order", li, col("l_orderkey"),
+        o, col("o_orderkey")),
+      orphanRule("orders_childless", o, col("o_orderkey"),
+        li, col("l_orderkey")),
+      orphanRule("customer_without_orders", graft.Tables.customer(spark, sfDir),
+        col("c_custkey"), o, col("o_custkey")))
+      .orderBy(col("rule"))
+  }
+
   /** p103's autocomplete index on the streaming engine: the vocabulary
     * token count is the associative half (counts sum), folded with
     * state bounded by the VOCABULARY — never documents — in the scan
