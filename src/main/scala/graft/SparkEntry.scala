@@ -204,7 +204,7 @@ object SparkEntry {
 
   private lazy val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ ParityQueries.defs ++ PipelineQueries.defs ++
-      PipelineQueries.curriculumDefs ++ streamingDefs ++ Extended.defs
+      PipelineQueries.lateDefs ++ streamingDefs ++ Extended.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composite: scan → broadcast join → agg → top-k.

@@ -627,6 +627,43 @@ object Extended {
              CAST(max(dt) AS BIGINT) AS max_sec,
              round(quantile_cont(dt, 0.5), 4) AS p50,
              round(quantile_cont(dt, 0.9), 4) AS p90
-      FROM d"""))
+      FROM d""")),
+
+    // Session export — the per-session ordered event sequence a
+    // sequence model trains on: 30-min-gap sessions, each exported as
+    // its time-ordered event-type path plus exact size and duration.
+    // The ordered materialization is one in-partition sort of each
+    // session's collected structs — the sessionize exchange on user_id
+    // is the only shuffle, and a session's events are bounded by the
+    // gap rule.
+    ("q105_session_export", (s, d) => {
+      import graft.operators.Sessionize
+      Sessionize.byGap(Tables.events(s, d), Seq(col("user_id")),
+          col("ts"), col("event_id"), gapMicros = 1800000000L)
+        .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .as("duration_sec"),
+          concat_ws(">", expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"))
+            .as("path"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH o AS (SELECT user_id, event_id, ts, event_type,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev
+                 FROM events),
+      s AS (SELECT user_id, ts, event_id, event_type,
+              sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+               AS duration_sec,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

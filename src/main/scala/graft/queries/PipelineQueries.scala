@@ -3104,7 +3104,7 @@ object PipelineQueries {
     * Scala 2 won't propagate the expected element type into the
     * receiver of a `Seq(...) ++` appended inside [[defs]] itself).
     */
-  lazy val curriculumDefs: Seq[(String, Q, Option[String])] = Seq(
+  lazy val lateDefs: Seq[(String, Q, Option[String])] = Seq(
     // curriculum ordering + pack — the easy→hard dataloader job: tier
     // by doc length (short→long, fixed thresholds), seeded-random
     // WITHIN each tier, pack per composite bucket. Same distributed
@@ -3149,7 +3149,40 @@ object PipelineQueries {
              CAST(CASE WHEN n_tokens = 0 THEN 0
                   ELSE (cp + n_tokens - 1) // 512 - cp // 512 + 1 END
                   AS BIGINT) AS n_seqs
-      FROM c ORDER BY doc_id""")))
+      FROM c ORDER BY doc_id""")),
+
+    // leakage-aware deterministic negative sampling for contrastive
+    // pairs: per eval-slice query, 5 negatives by the md5(qid:docid)
+    // dice roll from a 20% candidate pool, with exact-duplicate
+    // candidates excluded by content fingerprint (an exact copy of the
+    // query can never serve as its own "negative" — p96's rule applied
+    // to pair construction). Queries broadcast; the pool threshold is
+    // the map-side knob bounding per-query work.
+    ("p106_negative_sampling", (s, d) => {
+      import graft.functions.TextFunctions
+      val docsFp = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      graft.curation.Curation.negativeSamples(
+          docsFp.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("fp"),
+          docsFp.filter(col("doc_id") % 101 === 0), col("doc_id"), col("fp"),
+          poolPermille = 2000, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id,
+                   md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp
+                 FROM documents),
+      e AS (SELECT doc_id AS qid, fp AS qfp FROM d WHERE doc_id % 101 = 0),
+      t AS (SELECT doc_id, fp FROM d WHERE doc_id % 101 <> 0),
+      c AS (SELECT e.qid, t.doc_id,
+              md5(CAST(e.qid AS VARCHAR) || ':' || CAST(t.doc_id AS VARCHAR)) AS m
+            FROM e CROSS JOIN t WHERE t.fp <> e.qfp),
+      b AS (SELECT qid, doc_id, m FROM c WHERE ${sqlBucketFromMd5("m")} < 2000),
+      r AS (SELECT qid, doc_id,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY m, doc_id)
+                AS BIGINT) AS rank
+            FROM b)
+      SELECT qid, doc_id, rank FROM r WHERE rank <= 5
+      ORDER BY qid, rank""")))
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce

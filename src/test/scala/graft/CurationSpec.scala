@@ -382,4 +382,28 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("single digit"), e.getMessage)
   }
+
+  test("negativeSamples: exact duplicates of the query are never negatives; deterministic") {
+    // doc 500 is an exact duplicate of query 1 — it must never appear
+    // among query 1's negatives no matter the dice roll
+    val corpus = ((1L to 400L).map(i => (i, s"fp_$i")) :+ (500L, "fp_q1"))
+      .toDF("doc_id", "fp")
+    val queries = Seq((9001L, "fp_q1"), (9002L, "fp_q2")).toDF("qid", "qfp")
+    val out = Curation.negativeSamples(corpus, col("doc_id"), col("fp"),
+        queries, col("qid"), col("qfp"), poolPermille = 5000, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    assert(!byQ(9001L).exists(_._2 == 500L), "duplicate served as negative")
+    // exactly k negatives per query, ranks dense from 1
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10 && rs.map(_._3).sorted.toSeq == (1L to 10L))
+    }
+    // different queries draw different negatives (per-query dice roll)
+    assert(byQ(9001L).map(_._2).toSet != byQ(9002L).map(_._2).toSet)
+    // bit-reproducible
+    val again = Curation.negativeSamples(corpus, col("doc_id"), col("fp"),
+        queries, col("qid"), col("qfp"), poolPermille = 5000, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
 }
