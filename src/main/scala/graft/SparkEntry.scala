@@ -191,7 +191,10 @@ object SparkEntry {
       Some(sharedOracle("p103_prefix_index"))),
     ("q103_streaming_quality",
       (s, d) => graft.streaming.StreamingQueries.dataQualityStream(s, d),
-      Some(sharedOracle("p102_data_quality"))))
+      Some(sharedOracle("p102_data_quality"))),
+    ("q106_streaming_sessions",
+      (s, d) => graft.streaming.StreamingQueries.sessionExportStream(s, d),
+      Some(sharedOracle("q105_session_export"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -1392,6 +1392,37 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q105's session export on the streaming engine: `session_window`
+    * merges each user's events into sessions (state bounded per session
+    * by the gap rule — the same bound the batch claim makes), each
+    * session's events collect into its struct list, and the
+    * time-ordered path materializes at the epoch boundary via
+    * `array_sort` (collect order is merge-dependent in streaming; the
+    * sort makes the export order-independent). The batch 1-based
+    * per-user session index re-derives from session starts over the
+    * already-tiny session table. Shares q105's oracle.
+    */
+  def sessionExportStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("evs"))
+    val sessions = runToMemory(agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("first_ts"))
+    sessions
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 1000000")
+          .as("duration_sec"),
+        concat_ws(">", expr("transform(array_sort(evs), x -> x.event_type)"))
+          .as("path"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** End-to-end streaming corpus curation — the composition a live
     * ingest pipeline runs, in ONE streaming query: denylist scrub →
     * token-count + quality gates (all stateless, map-side) → exact

@@ -336,6 +336,23 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 should plan TakeOrderedAndProject:\n$p")
   }
 
+  test("q105 session export: one sessionize exchange on user_id, no cartesian") {
+    val p = plan("q105_session_export")
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"sessionize not partitioned on user_id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("p106 negative sampling: queries broadcast; rank exchanges on qid only") {
+    val p = plan("p106_negative_sampling")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert("Exchange hashpartitioning\\(qid".r.findFirstIn(p).isDefined,
+      s"rank window not partitioned on qid:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sampling planned a single-partition stage:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // AQE only reveals codegen stages in the final plan — execute first.
     val df = SparkEntry.queries("p01_dedup_exact")(spark, TestSpark.sf)
