@@ -194,7 +194,10 @@ object SparkEntry {
       Some(sharedOracle("p102_data_quality"))),
     ("q106_streaming_sessions",
       (s, d) => graft.streaming.StreamingQueries.sessionExportStream(s, d),
-      Some(sharedOracle("q105_session_export"))))
+      Some(sharedOracle("q105_session_export"))),
+    ("q107_streaming_ewma",
+      (s, d) => graft.streaming.StreamingQueries.ewmaStream(s, d),
+      Some(sharedOracle("q99_ewma_hours"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

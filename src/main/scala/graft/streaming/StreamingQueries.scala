@@ -1564,6 +1564,24 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q99's integer EWMA on the streaming engine: the hourly grid is the
+    * associative half (the same grid as the anomaly and trend twins,
+    * state = distinct (hour, type) pairs); the ORDER-DEPENDENT
+    * recurrence runs batch-side at the epoch boundary through the
+    * shared [[graft.operators.TimeWindow.ewma]] — which is exactly why
+    * the recurrence half must never fold in the stream: micro-batch
+    * arrival order is not hour order. Shares q99's oracle.
+    */
+  def ewmaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TimeWindow
+    val grid = runToMemory(TimeWindow.hourlyCounts(
+      eventsStream(spark, sfDir), col("ts"), col("event_type")))
+    TimeWindow.ewma(grid)
+      .select(col("hour_idx"), col("key").as("event_type"), col("n"),
+        col("ewma_micro"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** q97's rolling-active report on the streaming engine: the distinct
     * (day, user) grid is the associative half (distinct-ness merges),
     * so the stream folds it with state bounded by user-days — never

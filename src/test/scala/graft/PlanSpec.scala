@@ -336,6 +336,13 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 should plan TakeOrderedAndProject:\n$p")
   }
 
+  test("q97 rolling actives: contribution is a map-side explode, never a range join") {
+    val p = plan("q97_rolling_active")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rolling actives planned a range join:\n$p")
+    assert(p.toLowerCase.contains("generate"), s"no sequence explode:\n$p")
+  }
+
   test("q105 session export: one sessionize exchange on user_id, no cartesian") {
     val p = plan("q105_session_export")
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
