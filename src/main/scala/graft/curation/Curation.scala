@@ -426,10 +426,22 @@ object Curation {
     * fingerprint as `text` instead — any deterministic cluster key
     * slots in unchanged.
     */
+  /** Loud contract: these operators APPEND fixed-name output columns;
+    * silently clobbering a caller's same-named column would corrupt its
+    * data with no signal (the repo's contract style — fail loudly).
+    */
+  private def requireAbsent(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already has reserved output column(s) " +
+        s"${clash.mkString(", ")} — rename or drop them first")
+  }
+
   def leakageSafeSplit(docs: DataFrame, text: Column,
                        trainPermille: Int = 9000): DataFrame = {
     require(trainPermille > 0 && trainPermille < 10000,
       s"leakageSafeSplit: trainPermille must be in (0, 10000), got $trainPermille")
+    requireAbsent(docs, "leakageSafeSplit", "fingerprint", "split")
     val fp = graft.functions.TextFunctions.fingerprint(text)
     docs.withColumn("fingerprint", fp)
       .withColumn("split",
@@ -474,6 +486,9 @@ object Curation {
                               tier: Option[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireAbsent(df,
+      if (tier.isDefined) "curriculumShuffle" else "epochShuffle",
+      "shuffle_key", "bucket", "pos")
     val hexBucket = substring(col("shuffle_key"), 1, 2)
     val bucketCol = tier match {
       case None => hexBucket
@@ -521,10 +536,19 @@ object Curation {
     * candidates MAP-SIDE to ~poolPermille/10⁴ of the corpus per query
     * BEFORE the rank exchange — the threshold is the knob bounding
     * per-query work; the rank is one exchange on qid.
+    *
+    * UNDER-DELIVERY contract: a query may receive FEWER than `k`
+    * negatives (even zero) when the candidate pool after the
+    * fingerprint exclusion and the poolPermille threshold is thin — a
+    * small corpus or a low permille. The default mode emits whatever
+    * survives (rank ≤ actual count); pass `strict = true` to instead
+    * raise naming the first under-delivered query, for training-pair
+    * builds where a silent shortfall would skew the pair distribution.
     */
   def negativeSamples(corpus: DataFrame, id: Column, fingerprint: Column,
                       queries: DataFrame, qid: Column, qFingerprint: Column,
-                      poolPermille: Int, k: Int): DataFrame = {
+                      poolPermille: Int, k: Int,
+                      strict: Boolean = false): DataFrame = {
     require(poolPermille > 0 && poolPermille <= 10000,
       s"negativeSamples: poolPermille must be in (0, 10000], got $poolPermille")
     require(k >= 1, s"negativeSamples: k must be >= 1, got $k")
@@ -537,9 +561,30 @@ object Curation {
       .filter(conv(substring(col("m"), 1, 6), 16, 10).cast("long") % 10000 <
         poolPermille)
     val w = Window.partitionBy(col("qid")).orderBy(col("m"), col("doc_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"))
+    if (!strict) ranked
+    else {
+      // The guard must see queries with ZERO surviving candidates too
+      // (they have no ranked rows), so it left-joins from the
+      // (config-sized) query slice to the per-query counts and raises
+      // on any shortfall; the returned plan joins through the guard so
+      // the check cannot be optimized away unevaluated.
+      val perQ = ranked.groupBy(col("qid")).agg(count(lit(1)).as("n_neg"))
+      val checked = q.select(col("qid")).join(perQ, Seq("qid"), "left")
+        .select(col("qid"),
+          when(coalesce(col("n_neg"), lit(0L)) >= k, lit(true))
+            .otherwise(raise_error(concat(
+              lit("negativeSamples: query "), col("qid").cast("string"),
+              lit(" has only "),
+              coalesce(col("n_neg"), lit(0L)).cast("string"),
+              lit(s" of $k requested negatives (thin pool after the " +
+                "fingerprint exclusion / poolPermille threshold)"))))
+            .as("ok"))
+      ranked.join(broadcast(checked.filter(col("ok")).select(col("qid"))),
+        Seq("qid"))
+    }
   }
 
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —

@@ -151,13 +151,27 @@ object TimeWindow {
     val t = hourly
       .withColumn("x", col("hour_idx") - min(col("hour_idx")).over(w))
       .withColumn("y", col("n"))
+    // Loud-overflow convention (same intent as EmbeddingStats'
+    // addExact/multiplyExact): the ~L⁴ final products are computed in
+    // DECIMAL(38,0) and raise if the result leaves long range, instead
+    // of wrapping silently. The internal long sums are safe while
+    // L²·y_max < 2⁶³ (L = re-based series length in hours; a decade of
+    // hourly rows gives L² ≈ 7.7e9, y_max up to ~1.2e9) — beyond that
+    // the decimal products still catch the blow-up and raise.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def toLongLoud(c: Column, name: String): Column =
+      when(c.between(lit(Long.MinValue), lit(Long.MaxValue)), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"trendSlopes: $name overflows long for key "), col("key"))))
     t.groupBy(col("key"))
       .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("key"), col("c").as("n_hours"),
-        (col("c") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-        (col("c") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        toLongLoud(dec(col("c")) * dec(col("sxy"))
+          - dec(col("sx")) * dec(col("sy")), "slope_num").as("slope_num"),
+        toLongLoud(dec(col("c")) * dec(col("sxx"))
+          - dec(col("sx")) * dec(col("sx")), "slope_den").as("slope_den"))
   }
 
   def trailingAnomaly(hourly: DataFrame, baselineHours: Int = 24,

@@ -135,16 +135,30 @@ object Extended {
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY 1 ORDER BY 1""")),
 
-    // analytic window functions not covered elsewhere: lead + ntile
+    // analytic window functions not covered elsewhere: lead + ntile.
+    // The global ntile is NOT `ntile(4).over(Window.orderBy(...))` — that
+    // funnels every row through one task at scale. Instead: distributed
+    // global row index (GlobalIndex: range-repartition + per-partition
+    // offsets), a one-row broadcast count, and the exact ntile bucket
+    // formula from (idx, n) — same answer, no single-partition window.
     ("q40_lead_ntile", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d).filter(col("o_custkey") <= 50)
+      val base = Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      val idxed = graft.operators.GlobalIndex.withRowIndex(base,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "gidx")
+      idxed.join(broadcast(base.agg(count(lit(1)).as("n_total"))))
+        .withColumn("price_quartile", expr(
+          """CASE WHEN gidx <= (n_total % 4) * (n_total div 4 + 1)
+             THEN (gidx - 1) div (n_total div 4 + 1) + 1
+             ELSE (n_total % 4) +
+                  (gidx - (n_total % 4) * (n_total div 4 + 1) - 1)
+                    div (n_total div 4) + 1 END""").cast("long"))
         .select(col("o_custkey"), col("o_orderkey"),
-          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
-          ntile(4).over(wAll).cast("long").as("price_quartile"))
+          col("next_orderkey"), col("price_quartile"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }, Some("""
       SELECT o_custkey, o_orderkey,

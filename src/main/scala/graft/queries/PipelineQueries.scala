@@ -3593,12 +3593,12 @@ object PipelineQueries {
       sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_micro) AS s
              FROM u JOIN w USING (tok) GROUP BY 1)
       SELECT doc_id, n_tokens,
-             CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
-                  ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END
-               AS log_odds_micro,
-             (CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
-                   ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END) / 1e6
-               AS log_odds
+             CAST(CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
+                       ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END
+                  AS BIGINT) AS log_odds_micro,
+             CAST(CASE WHEN s >= 0 THEN (2 * s + n_tokens) // (2 * n_tokens)
+                       ELSE -((2 * -s + n_tokens) // (2 * n_tokens)) END
+                  AS BIGINT) / 1e6 AS log_odds
       FROM sc ORDER BY doc_id"""
 
   lazy val phashOracle: String = s"""

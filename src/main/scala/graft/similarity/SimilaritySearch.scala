@@ -168,7 +168,10 @@ object SimilaritySearch {
     * Returns (neighbor_id, centroid_id).
     */
   private[graft] def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wc = Window.orderBy(col("centroid_id"))
+    // k centroid rows by construction: partitionBy(lit) pins the (tiny)
+    // window to one keyed partition WITHOUT tripping Spark's global-window
+    // "moving all data to a single partition" warning storm in every log.
+    val wc = Window.partitionBy(lit(0)).orderBy(col("centroid_id"))
     val centIdx = cent.withColumn("idx", row_number().over(wc).cast("long") - 1)
     e.join(broadcast(centIdx))
       .withColumn("ccos", round(VectorFunctions.cosine(col("cv"), col("centv")), 6))

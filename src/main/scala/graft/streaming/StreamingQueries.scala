@@ -1490,8 +1490,13 @@ object StreamingQueries {
       .as[Seq[Long]]
       .groupByKey(_ => 0)
       .agg(new EmbeddingStats.CovMoments(dim).toColumn.name("buf"))
+    // groupByKey on an EMPTY stream yields zero groups (the batch
+    // momentFold's untyped global aggregate yields one zero buffer);
+    // headOption keeps the twins agreeing on empty input.
     val buf = runToMemory(folded.toDF())
-      .select(col("buf.*")).as[EmbeddingStats.CovBuf].head()
+      .select(col("buf.*")).as[EmbeddingStats.CovBuf]
+      .collect().headOption
+      .getOrElse(new EmbeddingStats.CovMoments(dim).zero)
     EmbeddingStats.numeratorRows(spark, buf, dim)
       .orderBy(col("i"), col("j"))
   }

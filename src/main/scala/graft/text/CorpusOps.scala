@@ -333,11 +333,13 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_docs"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k) // TakeOrderedAndProject — no global sort
-    // k rows: the rank window over them is driver-scale by construction
+    // k rows: the rank window over them is driver-scale by construction;
+    // partitionBy(lit) keeps the single-partition window intentional and
+    // silences the global-window warning that would otherwise spam logs.
     import org.apache.spark.sql.expressions.Window
     stats.withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
-          .cast("long"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("tf").desc, col("token").asc)).cast("long"))
       .select(col("rank"), col("token"), col("tf"), col("df_docs"))
   }
 

@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
 """Local correctness harness mimicking the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <outDir> <sfDir> [query ...]
+Usage: python3 tools/check.py [--strict-dtypes] <outDir> <sfDir> [query ...]
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, and compares: column names (sorted), dtypes
 (loosely), row count, and values (sorted rows).
+
+--strict-dtypes additionally fails a query when a column's pandas dtype
+KIND differs between the Spark parquet and the DuckDB fetchdf (int vs
+float vs object vs bool vs datetime; integer widths are equivalent).
+This catches DuckDB's silent BIGINT->HUGEINT widening on sum()/`//`
+(materialized as float64, which the driver hashes as `1234.0` vs
+Spark's int64 `1234` -- the p81/q81 round-7 red rows): value compare
+passes, hash compare does not. Keep the suite green under this flag.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+
+STRICT_DTYPES = False
+
+# dtype kinds that hash identically for equal values: all int widths
+# (signed + unsigned) are one family; everything else must match kind.
+def _kind(dt):
+    k = dt.kind
+    return 'i' if k in ('i', 'u') else k
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -29,6 +45,8 @@ def compare(name, spark_df, oracle_df):
     n = min(len(s), len(o))
     for c in s.columns:
         a, b = s[c].iloc[:n], o[c].iloc[:n]
+        if STRICT_DTYPES and _kind(a.dtype) != _kind(b.dtype):
+            problems.append(f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype} (driver hashes these differently even when values agree)")
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 af = a.astype(float); bf = b.astype(float)
@@ -45,8 +63,11 @@ def compare(name, spark_df, oracle_df):
     return problems
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global STRICT_DTYPES
+    argv = [a for a in sys.argv[1:] if a != "--strict-dtypes"]
+    STRICT_DTYPES = len(argv) != len(sys.argv) - 1
+    out_dir, sf_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
