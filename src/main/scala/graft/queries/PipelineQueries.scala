@@ -3182,7 +3182,43 @@ object PipelineQueries {
                 AS BIGINT) AS rank
             FROM b)
       SELECT qid, doc_id, rank FROM r WHERE rank <= 5
-      ORDER BY qid, rank""")))
+      ORDER BY qid, rank""")),
+
+    // Blue/green retrain FROM the index's own compacted segments — the
+    // production path once takedowns have accumulated: v1 builds on the
+    // full corpus, a takedown feed tombstones a slice, then
+    // retrainFromCompactedIndex compacts v1 (the tombstone log folds
+    // into the postings physically), derives the rebuild's membership
+    // from the compacted postings ALONE (id-only, no mask anti-join, no
+    // ingest bookkeeping re-run), re-reads the vector store only for
+    // the vectors being re-encoded, and publishes v2 behind the atomic
+    // CURRENT swap. Serving CURRENT must equal the inline build on
+    // corpus-minus-takedowns (p34's oracle with the candidate
+    // exclusion) — a rebuild that resurrected a tombstoned vector is
+    // the deletion bug this membership rule exists to prevent.
+    ("p107_ann_retrain_compacted", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = graft.sources.Sinks.tempArtifactDir("graft_ivfpq_cver")
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cb = SimilaritySearch.strideCodebook(e, col("vec_id"), col("embedding"),
+        dim = 64, numSubspaces = 4, codeStride = 25)
+      SimilaritySearch.publishIndexVersion(s, base) { dir =>
+        SimilaritySearch.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
+          cent, cb, dim = 64, numSubspaces = 4, indexDir = dir)
+      }
+      SimilaritySearch.tombstoneIvfPqIndex(e.filter(col("vec_id") % 9 === 5),
+        col("vec_id"), SimilaritySearch.currentIndexDir(s, base),
+        segment = "takedown1")
+      SimilaritySearch.retrainFromCompactedIndex(s, base, e,
+        col("vec_id"), col("embedding"), cent, cb,
+        dim = 64, numSubspaces = 4)
+      SimilaritySearch.searchIvfPqIndex(
+          SimilaritySearch.currentIndexDir(s, base),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(ivfPqOracleCand(" AND NOT (a.vec_id % 9 = 5)"))))
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce

@@ -851,6 +851,60 @@ object SimilaritySearch {
     }
   }
 
+  /** Build input for a retrain, derived from the COMPACTED index: the
+    * distinct live ids come straight off the physically-live postings
+    * segments (compaction already dropped tombstoned rows, so there is
+    * NO mask anti-join here — membership is physical), semi-joined
+    * into the vector store. The vector store is touched ONLY to fetch
+    * the vectors for re-encoding against the new quantizers — it never
+    * decides membership, so a rebuild can't resurrect a takedown or
+    * re-admit rows the ingest dedup rejected. Exposed for the
+    * SimilaritySpec plan pin (LeftSemi present, no tombstones scan).
+    */
+  private[graft] def liveVectorsFromCompactedIndex(
+      spark: org.apache.spark.sql.SparkSession, liveDir: String,
+      vectorStore: DataFrame, id: Column, vec: Column): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$liveDir/tombstones")),
+      s"liveVectorsFromCompactedIndex: $liveDir still has a tombstone log — " +
+        "compact first (membership must be physical, not masked)")
+    val liveIds = spark.read.parquet(s"$liveDir/postings")
+      .select(col("neighbor_id")).distinct()
+    vectorStore.select(id.cast("long").as("neighbor_id"),
+        vec.as("__retrain_vec"))
+      .join(liveIds, Seq("neighbor_id"), "left_semi")
+  }
+
+  /** [[retrainIndexVersion]]'s cheaper production sibling: compact the
+    * CURRENT version first (folding the tombstone log into the postings
+    * physically), then build the next version FROM the index's own
+    * compacted segments — live membership is read off the postings
+    * (id-only, ~numSubspaces rows per vector, no mask anti-join), and
+    * the raw vector store is re-read ONLY for the vectors being
+    * re-encoded under the new quantizers. Same blue/green publish +
+    * atomic CURRENT swap as [[retrainIndexVersion]]; what this path
+    * buys at 100 TB is that the serve index left behind is ALSO
+    * compacted (the retrain was going to pay a full postings read
+    * anyway — folding the compaction into it makes the old version
+    * cheap to keep serving until the swap) and the membership
+    * derivation never re-runs ingest bookkeeping against the corpus.
+    */
+  def retrainFromCompactedIndex(spark: org.apache.spark.sql.SparkSession,
+                                baseDir: String,
+                                vectorStore: DataFrame, id: Column, vec: Column,
+                                cent: DataFrame, cb: DataFrame,
+                                dim: Int, numSubspaces: Int): String = {
+    val liveDir = currentIndexDir(spark, baseDir)
+    compactIvfPqIndex(spark, liveDir)
+    val liveVectors = liveVectorsFromCompactedIndex(
+      spark, liveDir, vectorStore, id, vec)
+    publishIndexVersion(spark, baseDir) { dir =>
+      buildIvfPqIndex(liveVectors, col("neighbor_id"), col("__retrain_vec"),
+        cent, cb, dim, numSubspaces, dir)
+    }
+  }
+
   /** Resolve the directory of the CURRENT published index version. */
   def currentIndexDir(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String): String = {

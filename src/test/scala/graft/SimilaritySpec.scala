@@ -466,6 +466,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drift.nonEmpty && drift.forall(r => r.getDouble(3) == 0.0))
   }
 
+  test("retrainFromCompactedIndex: membership from compacted segments; corpus read only under the semi-join") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val cent = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cb = SimilaritySearch.strideCodebook(embeddings,
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4, codeStride = 25)
+    val base = graft.sources.Sinks.tempArtifactDir("idx_cretrain")
+    SimilaritySearch.publishIndexVersion(spark, base) { dir =>
+      SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+        col("vec_id"), col("embedding"), cent, cb,
+        dim = 64, numSubspaces = 4, indexDir = dir)
+    }
+    val v1Dir = SimilaritySearch.currentIndexDir(spark, base)
+    SimilaritySearch.appendToIvfPqIndex(embeddings.filter(col("vec_id") % 5 === 4),
+      col("vec_id"), col("embedding"), dim = 64, numSubspaces = 4,
+      indexDir = v1Dir, segment = "day1")
+    SimilaritySearch.tombstoneIvfPqIndex(embeddings.filter(col("vec_id") % 7 === 3),
+      col("vec_id"), v1Dir, segment = "t0")
+    val v = SimilaritySearch.retrainFromCompactedIndex(spark, base, embeddings,
+      col("vec_id"), col("embedding"), cent, cb, dim = 64, numSubspaces = 4)
+    assert(v == "v2" && SimilaritySearch.currentIndexDir(spark, base).endsWith("/v2"))
+    // the superseded version was compacted IN PLACE before the rebuild:
+    // tombstone log gone, takedown ids physically absent from postings
+    assert(!new java.io.File(s"$v1Dir/tombstones").exists)
+    assert(spark.read.parquet(s"$v1Dir/postings")
+      .filter(col("neighbor_id") % 7 === 3).count() == 0)
+    // serving CURRENT == inline build on exactly the survivors (appends
+    // folded in, takedowns stay dead without consulting any ledger)
+    val survivorsDir = graft.sources.Sinks.tempArtifactDir("idx_cretrain_oracle")
+    SimilaritySearch.buildIvfPqIndex(embeddings.filter(col("vec_id") % 7 =!= 3),
+      col("vec_id"), col("embedding"), cent, cb,
+      dim = 64, numSubspaces = 4, indexDir = survivorsDir)
+    def serve(dir: String) = SimilaritySearch.searchIvfPqIndex(dir, q,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
+    val served = serve(SimilaritySearch.currentIndexDir(spark, base))
+    val oracle = serve(survivorsDir)
+    assert(served.exceptAll(oracle).count() == 0 &&
+      oracle.exceptAll(served).count() == 0)
+    // PLAN PIN — the build input: membership comes from the compacted
+    // postings alone (no tombstones relation anywhere in the plan) and
+    // the vector store appears only under the LeftSemi re-encode join
+    val lv = SimilaritySearch.liveVectorsFromCompactedIndex(spark, v1Dir,
+      embeddings, col("vec_id"), col("embedding"))
+    val plan = lv.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi membership join:\n$plan")
+    val scanPaths = lv.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    assert(scanPaths.exists(_.contains("postings")),
+      s"expected postings membership scan, got: $scanPaths")
+    assert(!scanPaths.exists(_.toLowerCase.contains("tombstone")),
+      s"compacted membership must not consult a tombstone log: $scanPaths")
+    assert(lv.select(col("neighbor_id")).distinct().count() ==
+      embeddings.filter(col("vec_id") % 7 =!= 3).count())
+    // and a still-masked (uncompacted) index is refused loudly —
+    // physical membership is the contract, not an optimization
+    val v2Dir = SimilaritySearch.currentIndexDir(spark, base)
+    SimilaritySearch.tombstoneIvfPqIndex(embeddings.filter(col("vec_id") === 1),
+      col("vec_id"), v2Dir, segment = "t1")
+    val err = intercept[IllegalArgumentException] {
+      SimilaritySearch.liveVectorsFromCompactedIndex(spark, v2Dir,
+        embeddings, col("vec_id"), col("embedding"))
+    }
+    assert(err.getMessage.contains("compact first"))
+  }
+
   test("compaction preserves the drift baseline through a takedown cleanup") {
     val cent = embeddings.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
