@@ -29,7 +29,7 @@ object Bench {
     * temp dir; returns the new dir. Nanos timestamps pass through as
     * longs (same values [[Tables.events]] expects).
     */
-  private def rematerialize(spark: SparkSession, sfDir: String, cpus: Int): String = {
+  private[graft] def rematerialize(spark: SparkSession, sfDir: String, cpus: Int): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_").toString
     Tables.names.foreach { t =>
@@ -59,6 +59,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 49 headline queries generate far more than the default 100
+      // codegen cache entries, so ROUND-ROBIN passes would re-pay
+      // janino compilation for every query every pass (+0.3-0.8 s
+      // uniformly, measured) — size the cache to the workload
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // split sizing for the small local files (see scaladoc): without
       // this, file packing undoes the multi-file layout below
       .config("spark.sql.files.maxPartitionBytes", (512L << 10).toString)
@@ -74,13 +79,18 @@ object Bench {
       try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
-    // Median of 3 runs per query: one-shot timings carry ~±10% noise
-    // from GC and OS scheduling; the median is stable run to run.
+    // Median of 3 runs per query, with the repetitions INTERLEAVED
+    // round-robin across queries (pass 1 of everything, then pass 2,
+    // then pass 3) instead of back-to-back per query: back-to-back
+    // samples all land inside the same seconds-long background-load
+    // burst, so the median was no protection (q18 reported 4.35 s under
+    // a burst vs 0.83 s idle on identical code). Round-robin spaces one
+    // query's samples a full suite-pass apart, so a burst can poison at
+    // most one of its three samples and the median discards it.
     // Driver-loop queries (many small jobs per run — q28's retry rounds)
     // are dominated by job-scheduling overhead whose jitter median-of-3
-    // does NOT tame (a 3.8 s outlier masqueraded as a regression in one
-    // round's report against 1.3 s on re-run): those get 9 reps and
-    // report the MIN, the honest scheduling-overhead constant.
+    // does NOT tame: those get extra reps and report the MIN, the
+    // honest scheduling-overhead constant.
     val driverLoop = Set("q28_retry_fixpoint")
     // Failure-honest timing: a query that throws is NOT a time. Round 6
     // reported three timed analysis crashes as the suite's fastest query
@@ -88,20 +98,27 @@ object Bench {
     // Failed queries appear as null in "queries", their messages in
     // "errors", and the run exits nonzero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.benchQueries.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      val reps = if (driverLoop(name)) 9 else 3
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def timeOne(name: String): Unit =
       try {
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          materialize(fn(spark, benchDir))
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, benchDir))
+        samples(name) = samples.getOrElse(name, Vector.empty) :+
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        Some(name -> (if (driverLoop(name)) times.head else times(1)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        None
+        samples.remove(name)
+      }
+    for (_ <- 1 to 3; name <- SparkEntry.benchQueries if !errors.contains(name))
+      timeOne(name)
+    for (_ <- 1 to 6; name <- SparkEntry.benchQueries
+         if driverLoop(name) && !errors.contains(name))
+      timeOne(name)
+    val results = SparkEntry.benchQueries.flatMap { name =>
+      samples.get(name).map { ts0 =>
+        val ts = ts0.sorted
+        name -> (if (driverLoop(name)) ts.head else ts(ts.size / 2))
       }
     }
     val timed = results.toMap

@@ -154,10 +154,13 @@ object TimeWindow {
     // Loud-overflow convention (same intent as EmbeddingStats'
     // addExact/multiplyExact): the ~L⁴ final products are computed in
     // DECIMAL(38,0) and raise if the result leaves long range, instead
-    // of wrapping silently. The internal long sums are safe while
-    // L²·y_max < 2⁶³ (L = re-based series length in hours; a decade of
-    // hourly rows gives L² ≈ 7.7e9, y_max up to ~1.2e9) — beyond that
-    // the decimal products still catch the blow-up and raise.
+    // of wrapping silently. The documented HEADROOM CONTRACT covers the
+    // internal long sums, which Spark's non-ANSI sum() would wrap
+    // silently: callers must keep L²·y_max < 2⁶³ (L = re-based series
+    // length in hours; a decade of hourly rows gives L² ≈ 7.7e9, so
+    // y_max up to ~1.2e9 is safe). Within that contract the decimal
+    // final products are exact and the raise below is the only
+    // overflow surface.
     val dec = (c: Column) => c.cast("decimal(38,0)")
     def toLongLoud(c: Column, name: String): Column =
       when(c.between(lit(Long.MinValue), lit(Long.MaxValue)), c.cast("long"))

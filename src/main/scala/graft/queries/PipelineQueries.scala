@@ -3218,7 +3218,77 @@ object PipelineQueries {
           e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
           k = 5, dim = 64, numSubspaces = 4, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
-    }, Some(ivfPqOracleCand(" AND NOT (a.vec_id % 9 = 5)"))))
+    }, Some(ivfPqOracleCand(" AND NOT (a.vec_id % 9 = 5)"))),
+
+    // Graded-relevance nDCG@10 of the hybrid ranking — p95's MRR
+    // harness extended past binary relevance: grade = number of matched
+    // query terms (a 3-of-3 doc at rank 1 counts more than a 1-of-3),
+    // gains × the shared LITERAL discount table in integer micro-units
+    // (ndcgDiscountMicro — no per-engine log2 at the oracle boundary),
+    // ideal DCG from the query's k best grades over ALL graded docs,
+    // quotient via the half-up integer rule. Oracle nests the shared
+    // hybrid oracle verbatim (p95's pattern) so the evaluation cannot
+    // drift from the ranking it evaluates.
+    ("p108_hybrid_ndcg", (s, d) => {
+      import graft.text.CorpusOps
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val text = CorpusOps.bm25TopK(docs, col("doc_id"), col("text"),
+          CorpusOps.bm25DemoQueries, k = 15)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qmap = CorpusOps.bm25DemoQueries.map(_._1).zipWithIndex
+        .map { case (q, i) => (q, i.toLong) }.toDF("qid", "query_vec")
+      val vec = SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 15)
+        .join(broadcast(qmap), col("query_id") === col("query_vec"))
+        .select(col("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = CorpusOps.rrfFuse(Seq(text, vec), k0 = 60, topK = 10)
+      val qt = CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map((q, _)) }.toDF("qid", "term")
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      val graded = dt.join(broadcast(qt), Seq("term"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("grade"))
+      CorpusOps.retrievalNdcg(fused, graded, k = 10).orderBy(col("qid"))
+    }, Some {
+      val qtVals = graft.text.CorpusOps.bm25DemoQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t')") }
+        .mkString(", ")
+      val discVals = graft.text.CorpusOps.ndcgDiscountMicro(10)
+        .map { case (r, m) => s"($r, $m)" }.mkString(", ")
+      s"""
+      WITH r AS ($hybridRrfOracle),
+      qt AS (SELECT * FROM (VALUES $qtVals) AS t(qid, term)),
+      dt AS (SELECT DISTINCT doc_id, term FROM
+               (SELECT doc_id, unnest(${sqlToks("text")}) AS term
+                FROM documents)),
+      g AS (SELECT qt.qid, dt.doc_id, count(*) AS grade
+            FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+      disc AS (SELECT * FROM (VALUES $discVals) AS t(rank, disc_micro)),
+      dcg AS (SELECT r.qid,
+                CAST(sum(g.grade * disc.disc_micro) AS BIGINT) AS dcg_micro
+              FROM r JOIN g ON r.qid = g.qid AND r.doc_id = g.doc_id
+                   JOIN disc ON disc.rank = r.rank
+              WHERE r.rank <= 10 GROUP BY 1),
+      ig AS (SELECT qid, grade, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY grade DESC, doc_id) AS irank
+             FROM g),
+      idcg AS (SELECT qid,
+                 CAST(sum(grade * disc_micro) AS BIGINT) AS idcg_micro
+               FROM ig JOIN disc ON disc.rank = ig.irank
+               WHERE irank <= 10 GROUP BY 1),
+      qq AS (SELECT DISTINCT qid FROM r)
+      SELECT qq.qid,
+             CAST(coalesce(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+             CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+             CAST(coalesce(CASE WHEN idcg_micro > 0
+                  THEN (2 * 1000000 * dcg_micro + idcg_micro)
+                       // (2 * idcg_micro) END, 0) AS BIGINT) AS ndcg_micro
+      FROM qq LEFT JOIN dcg USING (qid) LEFT JOIN idcg USING (qid)
+      ORDER BY qq.qid"""
+    }))
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce

@@ -168,11 +168,16 @@ object SimilaritySearch {
     * Returns (neighbor_id, centroid_id).
     */
   private[graft] def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    // k centroid rows by construction: partitionBy(lit) pins the (tiny)
-    // window to one keyed partition WITHOUT tripping Spark's global-window
-    // "moving all data to a single partition" warning storm in every log.
-    val wc = Window.partitionBy(lit(0)).orderBy(col("centroid_id"))
-    val centIdx = cent.withColumn("idx", row_number().over(wc).cast("long") - 1)
+    // k centroid rows by construction (the broadcast-artifact contract):
+    // the dense index comes from GlobalIndex's zipWithIndex, NOT a
+    // global row_number window — the window form funneled through
+    // WindowExec's "moving all data to a single partition" warning on
+    // every call (harmless here, but hundreds of copies bury the one
+    // warning that matters), and EliminateWindowPartitions strips a
+    // literal partition key, so partitionBy(lit) can't silence it.
+    val centIdx = graft.operators.GlobalIndex
+      .withRowIndex(cent, Seq(col("centroid_id")), "idx")
+      .withColumn("idx", col("idx") - 1)
     e.join(broadcast(centIdx))
       .withColumn("ccos", round(VectorFunctions.cosine(col("cv"), col("centv")), 6))
       .select(col("neighbor_id"),

@@ -211,9 +211,11 @@ object CorpusOps {
     * Caveat (inherent to span removal, not this implementation): tokens
     * that were far apart become adjacent after a cut, so scrubbing can
     * in principle SYNTHESIZE a new eval n-gram across the seam. Callers
-    * needing a hard guarantee re-run the [[decontaminate]] gate on the
-    * output (cheap: [[bloomDecontaminate]] prunes map-side) or insert a
-    * boundary marker token at each seam.
+    * needing a hard guarantee run [[scrubSpansFixpoint]] (scrub →
+    * re-probe the cut docs only, to convergence), re-run the
+    * [[decontaminate]] gate on the output (cheap:
+    * [[bloomDecontaminate]] prunes map-side), or insert a boundary
+    * marker token at each seam.
     *
     * Output: (doc_id, n_dropped, scrubbed).
     */
@@ -295,6 +297,53 @@ object CorpusOps {
       .drop("__t", "__md5s", "__hits", "__kept")
   }
 
+  /** The seam re-gate [[scrubSpans]]'s caveat documents, as code: a
+    * scrub cut makes far-apart tokens adjacent, which can SYNTHESIZE a
+    * new eval n-gram across the seam ("a b [cut] c" where the eval set
+    * contains "a b c"). This runs the map-side scrub to a FIXPOINT:
+    * after each pass, only documents that pass actually CUT (n_dropped
+    * grew) are re-probed — an untouched document has no new seams, so
+    * the re-probe set shrinks monotonically and each dirty document
+    * loses ≥ 1 token per round (termination is structural; `maxRounds`
+    * is a loud-failure guard against a pathological eval set, the
+    * maxVocab rule). Output matches [[scrubSpansMapSide]] (doc_id,
+    * n_dropped, scrubbed) with n_dropped accumulated across rounds, and
+    * the guarantee is HARD: no output document contains any eval
+    * n-gram, seam-synthesized or not.
+    */
+  def scrubSpansFixpoint(train: DataFrame, trainId: Column, trainText: Column,
+                         evalHashes: Set[String], n: Int,
+                         maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1, s"scrubSpansFixpoint: maxRounds must be >= 1")
+    var cur = scrubSpansMapSide(train, trainId, trainText, evalHashes, n)
+      .select(col("doc_id"), col("n_dropped"), col("scrubbed"))
+      .localCheckpoint()
+    // seams exist only where a cut happened: re-probe exactly the docs
+    // the LAST pass cut, until a pass cuts nothing
+    var dirty = cur.filter(col("n_dropped") > 0)
+    var round = 1
+    while (round < maxRounds && !dirty.isEmpty) {
+      val rescrub = scrubSpansMapSide(
+          dirty.select(col("doc_id"), col("n_dropped").as("__n0"),
+            col("scrubbed").as("__text")),
+          col("doc_id"), col("__text"), evalHashes, n, col("__n0"))
+        .select(col("doc_id"), col("__n0"), col("n_dropped").as("__d"),
+          col("scrubbed"))
+        .localCheckpoint()
+      val merged = rescrub.select(col("doc_id"),
+        (col("__n0") + col("__d")).as("n_dropped"), col("scrubbed"))
+      cur = cur.join(rescrub.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(merged).localCheckpoint()
+      dirty = merged.join(rescrub.filter(col("__d") > 0).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      round += 1
+    }
+    require(dirty.isEmpty,
+      s"scrubSpansFixpoint: still cutting after $maxRounds rounds — " +
+        "pathological eval set; raise maxRounds explicitly")
+    cur
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram
@@ -333,13 +382,13 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_docs"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k) // TakeOrderedAndProject — no global sort
-    // k rows: the rank window over them is driver-scale by construction;
-    // partitionBy(lit) keeps the single-partition window intentional and
-    // silences the global-window warning that would otherwise spam logs.
-    import org.apache.spark.sql.expressions.Window
-    stats.withColumn("rank",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("tf").desc, col("token").asc)).cast("long"))
+    // k rows post-limit: rank via GlobalIndex's zipWithIndex (no window
+    // at all) — a global row_number window warned "moving all data to a
+    // single partition" on every call, and EliminateWindowPartitions
+    // strips a literal partition key, so partitionBy(lit) can't
+    // silence it.
+    graft.operators.GlobalIndex
+      .withRowIndex(stats, Seq(col("tf").desc, col("token").asc), "rank")
       .select(col("rank"), col("token"), col("tf"), col("df_docs"))
   }
 
@@ -726,6 +775,71 @@ object CorpusOps {
         coalesce(col("frk").cast("long"), lit(0L)).as("first_rel_rank"),
         coalesce(expr("CAST(1000000 AS BIGINT) div CAST(frk AS BIGINT)"),
           lit(0L)).as("rr_micro"))
+  }
+
+  /** nDCG@k position-discount table in integer micro-units:
+    * `disc_micro(r) = round(10⁶ / log₂(r+1))`, materialized ONCE as
+    * literal longs that both the Spark evaluation and its SQL oracle
+    * embed verbatim. The table being LITERAL is what makes the metric
+    * engine-exact: a per-engine `log2` call would put a libm float at
+    * the oracle boundary — the trap the integer-micro-unit rule exists
+    * to avoid. StrictMath pins the generation itself across JVMs.
+    */
+  def ndcgDiscountMicro(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { r =>
+      (r.toLong,
+        Math.round(1e6 * StrictMath.log(2.0) / StrictMath.log(r + 1.0)))
+    }
+
+  /** Graded-relevance nDCG@k beside [[retrievalMrr]] — the evaluation a
+    * ranking stack needs once relevance stops being binary (a doc
+    * matching 3 of 3 query terms should count more at rank 1 than a
+    * 1-of-3 match). Same integer rule as `rr_micro`: gains are integer
+    * grades, discounts come from the shared literal
+    * [[ndcgDiscountMicro]] table, so `dcg_micro = Σ grade·disc` is
+    * exact integer arithmetic; `idcg_micro` is the DCG of the query's k
+    * highest grades (over ALL graded docs, not just retrieved ones);
+    * `ndcg_micro` is the half-up quotient `(2·10⁶·dcg + idcg) div
+    * (2·idcg)` — both operands nonnegative, so Spark `div` and DuckDB
+    * `//` agree. Zero-hit / zero-ideal queries are kept with 0s (the
+    * recallAtK rule). `ranking` is (qid, doc_id, rank); `gradedRel` is
+    * (qid, doc_id, grade ≥ 1). Both sides are ≤ queries×k rows except
+    * the ideal pass, which is one qid-keyed window over the graded
+    * ground truth.
+    */
+  def retrievalNdcg(ranking: DataFrame, gradedRel: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"retrievalNdcg: k must be >= 1, got $k")
+    val spark = ranking.sparkSession
+    import spark.implicits._
+    val disc = broadcast(ndcgDiscountMicro(k).toDF("rank", "disc_micro"))
+    val dcg = ranking
+      .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .join(gradedRel.select(col("qid"), col("doc_id"),
+        col("grade").cast("long").as("grade")), Seq("qid", "doc_id"))
+      .join(disc, Seq("rank"))
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * col("disc_micro")).as("dcg_micro"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("grade").desc, col("doc_id").asc)
+    val ideal = gradedRel
+      .select(col("qid"), col("doc_id"), col("grade").cast("long").as("grade"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .join(disc, Seq("rank"))
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * col("disc_micro")).as("idcg_micro"))
+    ranking.select(col("qid")).distinct()
+      .join(dcg, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        coalesce(
+          when(col("idcg_micro") > 0,
+            expr("(2 * 1000000 * dcg_micro + idcg_micro) div (2 * idcg_micro)")),
+          lit(0L)).as("ndcg_micro"))
   }
 
   /** Inverted-index build: one row per token with document frequency,

@@ -287,6 +287,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"map-side scrub shuffled:\n$p")
   }
 
+  test("scrubSpansFixpoint closes the seam leak a single scrub pass can synthesize") {
+    // eval holds "p q r" AND "a b c"; cutting "p q r" out of
+    // "a b p q r c z" glues a fresh "a b c" across the seam
+    val train = Seq((1L, "a b p q r c z"), (2L, "u v w x y")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "p q r a b c")).toDF("doc_id", "text")
+    val hashes = CorpusOps.evalShingleHashes(eval_, col("text"), n = 3)
+    def leaks(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("doc_id"),
+          explode(graft.functions.ShingleMd5(col("scrubbed"), 3)).as("h"))
+        .filter(col("h").isin(hashes.toSeq: _*)).count()
+    val once = CorpusOps.scrubSpansMapSide(train, col("doc_id"), col("text"),
+      hashes, n = 3)
+    // the single pass leaves the synthesized n-gram in place
+    assert(once.filter(col("doc_id") === 1).select(col("scrubbed"))
+      .head().getString(0) == "a b c z")
+    assert(leaks(once) == 1)
+    // the fixpoint re-gates the cut doc and removes it; clean docs and
+    // uncut docs are untouched
+    val fixed = CorpusOps.scrubSpansFixpoint(train, col("doc_id"), col("text"),
+      hashes, n = 3)
+    assert(leaks(fixed) == 0)
+    val r1 = fixed.filter(col("doc_id") === 1).head()
+    assert(r1.getAs[String]("scrubbed") == "z" && r1.getAs[Long]("n_dropped") == 6L)
+    val r2 = fixed.filter(col("doc_id") === 2).head()
+    assert(r2.getAs[String]("scrubbed") == "u v w x y" &&
+      r2.getAs[Long]("n_dropped") == 0L)
+  }
+
+  test("retrievalNdcg: graded gains, literal discounts, ideal from unretrieved docs, zero-hit kept") {
+    // discount table is LITERAL and pinned (both engines embed it)
+    val d = CorpusOps.ndcgDiscountMicro(10).toMap
+    assert(d(1L) == 1000000L && d(2L) == 630930L && d(3L) == 500000L)
+    // query q: retrieved a(rank1,grade2), b(rank2,ungraded), c(rank3,grade1);
+    // doc dd has the best grade (3) but was NOT retrieved — it still
+    // shapes the ideal. query z retrieves nothing relevant.
+    val ranking = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L),
+      ("z", 9L, 1L)).toDF("qid", "doc_id", "rank")
+    val graded = Seq(("q", 1L, 2L), ("q", 3L, 1L), ("q", 4L, 3L))
+      .toDF("qid", "doc_id", "grade")
+    val out = CorpusOps.retrievalNdcg(ranking, graded, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // dcg = 2·disc(1) + 1·disc(3) = 2500000
+    // idcg = 3·disc(1) + 2·disc(2) + 1·disc(3) = 4761860
+    // ndcg = (2·10⁶·dcg + idcg) div (2·idcg) = 525005
+    assert(out == Seq(("q", 2500000L, 4761860L, 525005L),
+      ("z", 0L, 0L, 0L)))
+  }
+
   test("rrfFuse: partial-overlap rankings fuse by reciprocal credit") {
     val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("qid", "doc_id", "rank")
     val b = Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("qid", "doc_id", "rank")

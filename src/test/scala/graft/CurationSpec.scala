@@ -406,4 +406,47 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == out.toSet)
   }
+
+  test("negativeSamples strict mode: thin pools raise naming the query; full pools pass") {
+    val corpus = (1L to 400L).map(i => (i, s"fp_$i")).toDF("doc_id", "fp")
+    val queries = Seq((9001L, "fp_q1")).toDF("qid", "qfp")
+    // plenty of candidates: strict mode returns the same rows as default
+    val ok = Curation.negativeSamples(corpus, col("doc_id"), col("fp"),
+      queries, col("qid"), col("qfp"), poolPermille = 5000, k = 10,
+      strict = true)
+    val default_ = Curation.negativeSamples(corpus, col("doc_id"), col("fp"),
+      queries, col("qid"), col("qfp"), poolPermille = 5000, k = 10)
+    assert(ok.exceptAll(default_).count() == 0 &&
+      default_.exceptAll(ok).count() == 0)
+    // a pool thinned below k (tiny corpus + low permille) raises loudly
+    // instead of silently under-delivering; default mode emits fewer
+    val tiny = (1L to 20L).map(i => (i, s"fp_$i")).toDF("doc_id", "fp")
+    val short = Curation.negativeSamples(tiny, col("doc_id"), col("fp"),
+      queries, col("qid"), col("qfp"), poolPermille = 1000, k = 10)
+    assert(short.count() < 10)
+    val e = intercept[Exception] {
+      Curation.negativeSamples(tiny, col("doc_id"), col("fp"),
+        queries, col("qid"), col("qfp"), poolPermille = 1000, k = 10,
+        strict = true).count()
+    }
+    assert(e.getMessage.contains("negativeSamples") &&
+      e.getMessage.contains("9001"))
+  }
+
+  test("split/shuffle operators refuse inputs that already carry their reserved output columns") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(10)
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs.withColumn("split", lit("x")), col("text"))
+    }
+    assert(e1.getMessage.contains("split"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.epochShuffle(docs.withColumn("bucket", lit("b")), col("doc_id"), 7L)
+    }
+    assert(e2.getMessage.contains("bucket"))
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.curriculumShuffle(docs.withColumn("pos", lit(1L)),
+        col("doc_id"), lit(0), 7L)
+    }
+    assert(e3.getMessage.contains("pos"))
+  }
 }

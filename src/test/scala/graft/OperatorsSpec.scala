@@ -933,4 +933,24 @@ class OperatorsSpec extends AnyFunSuite {
       .as[Seq[Double]].head()
     assert(coords.length == 3 && coords.forall(x => !x.isNaN && !x.isInfinite))
   }
+
+  test("trendSlopes: exact small-series numerators; overflow raises instead of wrapping") {
+    // y = 2x + 1 over x=0..3 → slope_num/slope_den = 2 exactly
+    val hourly = Seq(("a", 100L, 1L), ("a", 101L, 3L), ("a", 102L, 5L),
+      ("a", 103L, 7L)).toDF("key", "hour_idx", "n")
+    val r = TimeWindow.trendSlopes(hourly).head()
+    assert(r.getAs[Long]("n_hours") == 4L &&
+      r.getAs[Long]("slope_num") * 1L == 2L * r.getAs[Long]("slope_den") &&
+      r.getAs[Long]("slope_den") > 0)
+    // values whose internal sums fit in long but whose final product
+    // c·Σxy = 2.4e19 leaves long range: the DECIMAL product path must
+    // raise loudly (the EmbeddingStats addExact convention), never
+    // emit a silently wrapped slope
+    val big = Seq(("b", 0L, -4000000000000000000L), ("b", 1L, 0L),
+      ("b", 2L, 4000000000000000000L)).toDF("key", "hour_idx", "n")
+    val e = intercept[Exception] {
+      TimeWindow.trendSlopes(big).collect()
+    }
+    assert(e.getMessage.contains("overflows long"), e.getMessage)
+  }
 }
