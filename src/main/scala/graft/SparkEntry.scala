@@ -197,14 +197,18 @@ object SparkEntry {
       Some(sharedOracle("q105_session_export"))),
     ("q107_streaming_ewma",
       (s, d) => graft.streaming.StreamingQueries.ewmaStream(s, d),
-      Some(sharedOracle("q99_ewma_hours"))))
+      Some(sharedOracle("q99_ewma_hours"))),
+    ("q108_streaming_pii",
+      (s, d) => graft.streaming.StreamingQueries.piiRedactStream(s, d),
+      Some(sharedOracle("p109_pii_redact"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
     * streaming twin from the correctness gate.
     */
   private def sharedOracle(name: String): String =
-    (PipelineQueries.defs ++ Extended.defs).find(_._1 == name).flatMap(_._3)
+    (PipelineQueries.defs ++ PipelineQueries.lateDefs ++ Extended.defs)
+      .find(_._1 == name).flatMap(_._3)
       .getOrElse(throw new IllegalStateException(
         s"shared oracle: no oracle SQL found for '$name'"))
 

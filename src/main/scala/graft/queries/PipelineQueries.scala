@@ -3288,7 +3288,72 @@ object PipelineQueries {
                        // (2 * idcg_micro) END, 0) AS BIGINT) AS ndcg_micro
       FROM qq LEFT JOIN dcg USING (qid) LEFT JOIN idcg USING (qid)
       ORDER BY qq.qid"""
-    }))
+    }),
+
+    // The REAL PII patterns through the oracle gate: p25 exercises the
+    // scrub dataflow with denylist terms (the synthetic corpus is
+    // digit-free, so the PII library itself only had spec coverage on
+    // crafted strings). This entry plants a deterministic contact
+    // block — email + phone + IPv4 derived from doc_id — in BOTH
+    // engines (p56's formula-duality pattern) and runs
+    // CorpusOps.scrub with its stock piiPatterns; the oracle
+    // re-synthesizes the identical block and mirrors the replace
+    // cascade with the same regex literals (a Java-regex/RE2-common
+    // subset by construction: classes, bounded quantifiers, ASCII \b —
+    // no lookaround).
+    ("p109_pii_redact", (s, d) => {
+      graft.text.CorpusOps.scrub(
+          Tables.documents(s, d).select(col("doc_id"),
+            piiFixtureText.as("text")),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some(piiOracle)))
+
+  /** The deterministic PII fixture SHARED by p109 and its streaming
+    * twin: every third document gains a contact block (email + IPv4 +
+    * phone) derived from doc_id — the corpus itself is digit-free, so
+    * the redactor would otherwise be a no-op; the oracle re-derives
+    * the identical block in SQL ([[piiFixtureSqlCte]]).
+    */
+  private[graft] def piiFixtureText: Column =
+    when(col("doc_id") % 3 === 0, concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10."), (col("doc_id") % 250).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"),
+      lit(" tel +1 555 123 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+
+  private lazy val piiFixtureSqlCte: String = """
+      pii AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+                  CAST(doc_id AS VARCHAR) || '@example.com ip 10.' ||
+                  CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+                  CAST(doc_id % 100 AS VARCHAR) || ' tel +1 555 123 ' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+              FROM documents)"""
+
+  /** p109's oracle: the same fixture synthesis, then
+    * [[graft.text.CorpusOps.scrub]]'s exact semantics with the SAME
+    * stock piiPatterns literals — replacements folded in pattern
+    * order, counts measured against the ORIGINAL text (scrub's
+    * documented contract).
+    */
+  lazy val piiOracle: String = {
+    val pats = graft.text.CorpusOps.piiPatterns
+    val cleaned = pats.foldLeft("text") { case (acc, (name, re)) =>
+      s"regexp_replace($acc, '$re', '[${name.toUpperCase}]', 'g')"
+    }
+    val counts = pats.map { case (name, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+    }.mkString(",\n             ")
+    s"""
+      WITH $piiFixtureSqlCte
+      SELECT doc_id, $cleaned AS clean_text,
+             $counts
+      FROM pii ORDER BY doc_id"""
+  }
 
   /** p100's covariance oracle — shared with p101 (segment lifecycle)
     * and q95 (streaming twin): every maintenance path must reproduce

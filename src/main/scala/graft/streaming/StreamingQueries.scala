@@ -1623,4 +1623,21 @@ object StreamingQueries {
       mode = "append")
     out.orderBy(col("doc_id"))
   }
+
+  /** p109's PII redaction at INGEST — the scrub is a pure scan-stage
+    * column cascade (zero state by construction), so the stream
+    * applies it map-side in append mode; slice-independent trivially,
+    * and this is where a governance gate actually sits in production:
+    * PII never lands in the lake at all. Shares p109's oracle (same
+    * fixture synthesis, same stock pattern literals).
+    */
+  def piiRedactStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToMemory(
+      graft.text.CorpusOps.scrub(
+        documentsStream(spark, sfDir).select(col("doc_id"),
+          graft.queries.PipelineQueries.piiFixtureText.as("text")),
+        col("doc_id"), col("text")),
+      mode = "append")
+    out.orderBy(col("doc_id"))
+  }
 }
