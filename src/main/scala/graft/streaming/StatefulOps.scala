@@ -329,4 +329,69 @@ object StatefulOps {
         best
       }
   }
+
+  /** A released element with its release round (1-based: round 1 is the
+    * micro-batch the element arrived in).
+    */
+  case class PacedRelease(key: Long, seq: Long, payload: Double, round: Long)
+
+  /** Per-key pacing backlog: pending elements in seq order, plus the
+    * key's release-round counter.
+    */
+  case class PaceState(pending: Seq[KeyedElement], rounds: Long)
+
+  /** Per-key politeness pacing — the honest micro-batch mapping of the
+    * reference's per-element `DelayFlow` (`DelayFlow.scala:21,51` in
+    * akka/akka-stream-contrib) for the crawler-politeness use ("at most
+    * N requests per domain per interval"): each micro-batch RELEASES at
+    * most `maxPerTrigger` elements per key, in seq order; the rest wait
+    * in the state store (checkpointed, spillable, partitioned by key —
+    * the 1000-executor version of a per-domain queue) and drain
+    * `maxPerTrigger` per trigger. A key with a pending backlog arms a
+    * processing-time timer so draining continues with NO new input for
+    * the key — the half that makes it a paced queue rather than an
+    * input-driven filter. Per-element wall-clock sleep does not exist
+    * in vectorized micro-batch execution; per-key-per-trigger admission
+    * against the trigger interval IS the delay knob (the
+    * IntervalBasedRateLimiter argument), and the emitted `round` makes
+    * the pacing schedule itself assertable.
+    *
+    * A backlog that would exceed `maxBuffer` fails LOUDLY (Retry
+    * .concat's bufferLimit rule): unbounded buffering would disguise an
+    * under-provisioned drain rate as silent state growth until the
+    * state store dies.
+    */
+  def paceByKey(ds: Dataset[KeyedElement], maxPerTrigger: Int,
+                maxBuffer: Int, drainIntervalMs: Long = 100L): Dataset[PacedRelease] = {
+    require(maxPerTrigger >= 1, s"paceByKey: maxPerTrigger must be >= 1")
+    require(maxBuffer >= maxPerTrigger,
+      s"paceByKey: maxBuffer ($maxBuffer) must be >= maxPerTrigger ($maxPerTrigger)")
+    implicit val outEnc: Encoder[PacedRelease] = Encoders.product[PacedRelease]
+    implicit val stEnc: Encoder[PaceState] = Encoders.product[PaceState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[PaceState, PacedRelease](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) { (key, it, state) =>
+        val prior = state.getOption.getOrElse(PaceState(Vector.empty, 0L))
+        val arrived = it.toSeq.sortBy(_.seq)
+        val queue = prior.pending ++ arrived
+        if (queue.size > maxBuffer)
+          throw new IllegalStateException(
+            s"paceByKey: key $key backlog ${queue.size} exceeds maxBuffer " +
+              s"$maxBuffer — raise maxPerTrigger/the trigger rate or shed load")
+        val round = prior.rounds + 1
+        val (release, rest) = queue.splitAt(maxPerTrigger)
+        if (rest.nonEmpty) {
+          state.update(PaceState(rest.toVector, round))
+          state.setTimeoutDuration(drainIntervalMs)
+        } else {
+          // fully drained: reclaim the state (no timer → the key would
+          // never be revisited, so keeping state here would leak). The
+          // round counter is per pacing EPISODE by design — a later
+          // burst starts a fresh schedule.
+          state.remove()
+        }
+        release.iterator.map(e => PacedRelease(key, e.seq, e.payload, round))
+      }
+  }
 }

@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally TestSpark.quietStop(q)
   }
 
+  test("paceByKey releases maxPerTrigger per key per round, drains on its own timer, in order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    val out = StatefulOps.paceByKey(input.toDS(), maxPerTrigger = 2,
+      maxBuffer = 100, drainIntervalMs = 50)
+    // ProcessingTimeTimeout self-drives batches — poll the sink
+    val q = out.writeStream.format("memory").queryName("pace_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    def rows(): Seq[StatefulOps.PacedRelease] =
+      spark.table("pace_out").as[StatefulOps.PacedRelease].collect().toSeq
+    def awaitRows(n: Int, timeoutMs: Long): Seq[StatefulOps.PacedRelease] = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      var cur = rows()
+      while (cur.size < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(200); cur = rows()
+      }
+      cur
+    }
+    try {
+      // 7 rows for key 1 in ONE batch + 1 row for key 2: key 1 needs
+      // ceil(7/2)=4 release rounds (3 of them timer-driven), key 2 one
+      input.addData((1 to 7).map(i => KeyedElement(1, i, "a", i.toDouble)) :+
+        KeyedElement(2, 1, "z", 9.0): _*)
+      val all = awaitRows(8, 30000)
+      assert(all.size == 8, s"expected all 8 released, got ${all.size}")
+      val k1 = all.filter(_.key == 1).sortBy(_.seq)
+      // in seq order, 2 per round, rounds strictly increasing 1..4
+      assert(k1.map(_.seq) == (1L to 7L))
+      assert(k1.map(_.round) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L))
+      assert(all.filter(_.key == 2).map(_.round) == Seq(1L))
+      // keys pace independently: key 2 was not delayed by key 1's backlog
+    } finally TestSpark.quietStop(q)
+  }
+
   test("streaming keepAlive injects bounded synthetic heartbeats for idle keys") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
