@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
   * The IMAGE kind decodes for real — `javax.imageio` ships in the JDK —
   * via [[ImageCodec]] (decode / features / resize / frame-sample /
   * aHash dedup over true PNG pixels; the p11/p29/p37/p42/p56 + q66
-  * query family runs on that path). AUDIO/VIDEO codecs genuinely are
-  * not in this environment, so their kernels remain STUBS with a
-  * deterministic fake (see [[FakeCodec]]). Everything around both —
+  * query family runs on that path). The AUDIO kind ALSO decodes for
+  * real via [[AudioCodec]] (hand-rolled RIFF/WAVE PCM s16 chunk walk —
+  * the container format is trivial enough to implement from the public
+  * spec; p110/p111 run on that path). Compressed audio (mp3/opus) and
+  * VIDEO codecs genuinely are not in this environment, so those
+  * kernels remain STUBS with a deterministic fake (see [[FakeCodec]];
+  * [[ImageCodec.SyntheticVideos]] covers the container-parsing half of
+  * video for real). Everything around all kinds —
   * schemas, batch iteration, partition-level processing, feature
   * extraction plumbing — is real Spark and is what matters at 100 TB:
   * binary payloads never pass through a shuffle wider than needed,
@@ -32,13 +37,14 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
-  /** STUB CODEC — deterministic fake standing in for the AUDIO/VIDEO
-    * decoders that aren't in this environment (images decode for real
-    * via [[ImageCodec]]). Derives stable pseudo-metadata purely from
+  /** STUB CODEC — deterministic fake standing in for the COMPRESSED
+    * audio and video decoders that aren't in this environment (images
+    * decode for real via [[ImageCodec]]; WAV PCM audio via
+    * [[AudioCodec]]). Derives stable pseudo-metadata purely from
     * payload length, so tests and oracles are reproducible. Swap for a
     * real codec by replacing these three functions; nothing else
-    * changes — [[ImageCodec]] is the worked example of exactly that
-    * swap.
+    * changes — [[ImageCodec]] and [[AudioCodec]] are the worked
+    * examples of exactly that swap.
     */
   object FakeCodec {
     def width(nBytes: Column): Column = (nBytes % 640 + 1).cast("long")

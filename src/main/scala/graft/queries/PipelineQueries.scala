@@ -3307,7 +3307,59 @@ object PipelineQueries {
             piiFixtureText.as("text")),
           col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
-    }, Some(piiOracle)))
+    }, Some(piiOracle)),
+
+    // REAL-container audio statistics — the audio kind leaves the
+    // FakeCodec stub tier: the fixture writes actual RIFF/WAVE PCM
+    // s16le bytes whose samples follow a doc_id formula
+    // (AudioCodec.SyntheticAudio), the engine walks the chunk list and
+    // decodes real bytes, and the oracle recomputes every statistic
+    // from the formula (ImageCodec's decode-vs-formula duality).
+    // Integer-exact DSP: peak, energy Σs², clip counts, and the
+    // leading/trailing silence runs a trim pass would cut.
+    ("p110_audio_stats", (s, d) => {
+      import graft.multimodal.AudioCodec
+      AudioCodec.audioStats(
+          AudioCodec.SyntheticAudio.wavFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"))
+        .orderBy(col("media_id"))
+    }, Some(s"""
+      WITH ${graft.multimodal.AudioCodec.SyntheticAudio.oracleClips},
+      u AS (SELECT media_id, n, unnest(sm) AS s,
+              unnest(generate_series(0, CAST(n - 1 AS INT))) AS k
+            FROM clips),
+      g AS (SELECT media_id, count(*) AS n_samples,
+              CAST(max(abs(s)) AS BIGINT) AS peak,
+              CAST(sum(s * s) AS BIGINT) AS energy,
+              CAST(sum(CASE WHEN abs(s) >= 15000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+              min(CASE WHEN abs(s) > 1600 THEN k END) AS fl,
+              max(CASE WHEN abs(s) > 1600 THEN k END) AS ll
+            FROM u GROUP BY 1)
+      SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, n_samples,
+             peak, energy, n_clipped,
+             CAST(coalesce(fl, n_samples) AS BIGINT) AS lead_silence,
+             CAST(CASE WHEN fl IS NULL THEN 0
+                       ELSE n_samples - 1 - ll END AS BIGINT) AS trail_silence
+      FROM g ORDER BY media_id""")),
+
+    // the per-frame energy grid (non-overlapping 20-sample frames,
+    // last frame short) — what VAD / loudness normalization consumes;
+    // same real-decode path, same formula oracle.
+    ("p111_audio_frames", (s, d) => {
+      import graft.multimodal.AudioCodec
+      AudioCodec.frameEnergy(
+          AudioCodec.SyntheticAudio.wavFixture(Tables.documents(s, d), col("doc_id")),
+          col("media_id"), col("payload"), frameLen = 20)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some(s"""
+      WITH ${graft.multimodal.AudioCodec.SyntheticAudio.oracleClips},
+      u AS (SELECT media_id, unnest(sm) AS s,
+              unnest(generate_series(0, CAST(n - 1 AS INT))) AS k
+            FROM clips)
+      SELECT media_id, CAST(k // 20 AS BIGINT) AS frame_idx,
+             count(*) AS n_in_frame, CAST(sum(s * s) AS BIGINT) AS energy
+      FROM u GROUP BY 1, 2 ORDER BY media_id, frame_idx""")))
 
   /** The deterministic PII fixture SHARED by p109 and its streaming
     * twin: every third document gains a contact block (email + IPv4 +

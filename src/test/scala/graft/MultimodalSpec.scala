@@ -260,4 +260,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("WAV codec: s16 round-trip, chunk-walk past foreign chunks, loud on non-PCM") {
+    import graft.multimodal.AudioCodec.Wav
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 8)
+    val bytes = Wav.encodeS16(8000, samples)
+    assert(bytes.length == 44 + samples.length * 2)
+    val (rate, back) = Wav.decodeS16(bytes)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // a real WAV may carry a LIST chunk before data: splice one in and
+    // the chunk walk must skip it (odd-length body → word-aligned pad)
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 7)
+    val spliced = bytes.take(36) ++
+      "LIST".getBytes("US-ASCII") ++
+      Array[Byte]((listBody.length & 0xff).toByte, 0, 0, 0) ++
+      listBody ++ Array[Byte](0) ++ bytes.drop(36)
+    val (rate2, back2) = Wav.decodeS16(spliced)
+    assert(rate2 == 8000 && back2.toSeq == samples.toSeq)
+    // stereo / float / truncated payloads fail loudly, never decode
+    val stereo = bytes.clone(); stereo(22) = 2 // channels field
+    assert(intercept[IllegalArgumentException] {
+      Wav.decodeS16(stereo)
+    }.getMessage.contains("mono"))
+    assert(intercept[IllegalArgumentException] {
+      Wav.decodeS16("RIFFxxxxJUNK".getBytes("US-ASCII"))
+    }.getMessage.contains("RIFF/WAVE"))
+  }
+
+  test("audioStats silence/clip edges: all-silent trims to (n, 0); synthetic formula pins decode") {
+    import graft.multimodal.AudioCodec
+    import graft.multimodal.AudioCodec.{SyntheticAudio, Wav}
+    val silent = (10L, Wav.encodeS16(8000, Array.fill[Short](5)(100)))
+    val loudMid = (11L, Wav.encodeS16(8000,
+      Array[Short](0, 0, 9000, 16000, 0)))
+    val df = Seq(silent, loudMid).toDF("media_id", "payload")
+    val out = AudioCodec.audioStats(df, col("media_id"), col("payload"))
+      .orderBy(col("media_id")).collect()
+    // all-silent: lead = n, trail = 0 (one cut, not two)
+    assert(out(0).getAs[Long]("lead_silence") == 5L &&
+      out(0).getAs[Long]("trail_silence") == 0L &&
+      out(0).getAs[Long]("n_clipped") == 0L)
+    // loud middle: 2 leading + 1 trailing silent, one clipped sample
+    assert(out(1).getAs[Long]("lead_silence") == 2L &&
+      out(1).getAs[Long]("trail_silence") == 1L &&
+      out(1).getAs[Long]("n_clipped") == 1L &&
+      out(1).getAs[Long]("peak") == 16000L)
+    // the fixture's decoded samples equal the formula (local recompute)
+    val fixture = SyntheticAudio.wavFixture(
+      Tables.documents(spark, TestSpark.sf).limit(20), col("doc_id"))
+    fixture.collect().foreach { r =>
+      val mid = r.getLong(0)
+      val (rate, got) = Wav.decodeS16(r.getAs[Array[Byte]](1))
+      val seed = SyntheticAudio.seedOf(mid)
+      assert(rate == SyntheticAudio.sampleRate)
+      assert(got.toSeq == (0 until SyntheticAudio.nSamplesOf(seed))
+        .map(k => SyntheticAudio.sampleAt(seed, k).toShort))
+    }
+  }
 }
