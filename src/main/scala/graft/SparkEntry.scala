@@ -200,7 +200,10 @@ object SparkEntry {
       Some(sharedOracle("q99_ewma_hours"))),
     ("q108_streaming_pii",
       (s, d) => graft.streaming.StreamingQueries.piiRedactStream(s, d),
-      Some(sharedOracle("p109_pii_redact"))))
+      Some(sharedOracle("p109_pii_redact"))),
+    ("q110_streaming_audio",
+      (s, d) => graft.streaming.StreamingQueries.audioStatsStream(s, d),
+      Some(sharedOracle("p110_audio_stats"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -1631,6 +1631,23 @@ object StreamingQueries {
     * PII never lands in the lake at all. Shares p109's oracle (same
     * fixture synthesis, same stock pattern literals).
     */
+  /** p110's audio statistics on the streaming engine: the WAV encode /
+    * decode pair is map-side (dataset maps, no state), and the per-clip
+    * statistics fold is ONE media-keyed aggregation — state is a single
+    * stats row per clip, slice-independent because counts, extrema, and
+    * Σs² all merge. A live media-ingest pipeline computes clip hygiene
+    * exactly this way, as bytes land. Shares p110's oracle.
+    */
+  def audioStatsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.AudioCodec
+    runToMemory(
+      AudioCodec.audioStats(
+        AudioCodec.SyntheticAudio.wavFixture(
+          documentsStream(spark, sfDir), col("doc_id")),
+        col("media_id"), col("payload")))
+      .orderBy(col("media_id"))
+  }
+
   def piiRedactStream(spark: SparkSession, sfDir: String): DataFrame = {
     val out = runToMemory(
       graft.text.CorpusOps.scrub(

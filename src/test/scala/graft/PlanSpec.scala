@@ -370,4 +370,15 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
       s"aggregation not codegen'd:\n$p")
   }
+
+  test("q109 attribution: both windows ride ONE user exchange; final sort is the only other") {
+    val p = plan("q109_attribution")
+    // the rows-frame (last-touch) and value-range (first-touch/count)
+    // windows differ only in sort spec, so Catalyst must reuse a single
+    // hashpartitioning(user_id) exchange between them; the orderBy adds
+    // one rangepartitioning. Anything more = a window re-shuffled.
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"attribution windows should share one user exchange:\n$p")
+    assert(countExchanges(p) <= 2, s"unexpected extra exchange:\n$p")
+  }
 }
