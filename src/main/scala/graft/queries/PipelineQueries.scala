@@ -3359,7 +3359,43 @@ object PipelineQueries {
             FROM clips)
       SELECT media_id, CAST(k // 20 AS BIGINT) AS frame_idx,
              count(*) AS n_in_frame, CAST(sum(s * s) AS BIGINT) AS energy
-      FROM u GROUP BY 1, 2 ORDER BY media_id, frame_idx""")))
+      FROM u GROUP BY 1, 2 ORDER BY media_id, frame_idx""")),
+
+    // int8 scalar quantization audit — the serving dtype an ANN shard
+    // actually ships: symmetric per-vector codes q = halfup(127·x/m)
+    // with m = max|x_micro|, and EXACT ×127-scaled residual numerators
+    // (err = 127·x − q·m), so Σerr²/Σq/Σ|q|/saturation-count pin every
+    // code integer-exactly (signed half-up via the magnitude (2a+b)
+    // div 2b idiom — the p81 rule). Pure map-side column program,
+    // zero shuffles.
+    ("p112_int8_quantize", (s, d) => {
+      graft.similarity.EmbeddingStats.int8Quantize(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH m0 AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+            FROM embeddings),
+      m1 AS (SELECT vec_id, em,
+              coalesce(list_max(list_transform(em, x -> abs(x))), 0) AS mam
+            FROM m0),
+      m2 AS (SELECT vec_id, em, mam,
+              list_transform(em, x -> CASE WHEN mam = 0 THEN 0
+                WHEN x >= 0 THEN (2 * 127 * x + mam) // (2 * mam)
+                ELSE -((2 * 127 * -x + mam) // (2 * mam)) END) AS q
+            FROM m1)
+      SELECT vec_id, CAST(mam AS BIGINT) AS max_abs_micro,
+             CAST(list_sum(q) AS BIGINT) AS sum_q,
+             CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
+               AS sum_abs_q,
+             CAST(list_sum(list_transform(q,
+               x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_saturated,
+             CAST(list_sum(list_transform(range(1, len(em) + 1),
+               i -> (127 * em[i] - q[i] * mam) * (127 * em[i] - q[i] * mam)))
+               AS BIGINT) AS sq_err_num
+      FROM m2 ORDER BY vec_id""")))
 
   /** The deterministic PII fixture SHARED by p109 and its streaming
     * twin: every third document gains a contact block (email + IPv4 +

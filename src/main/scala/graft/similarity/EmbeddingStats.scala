@@ -39,6 +39,47 @@ object EmbeddingStats {
   def microQuantize(e: Column, scale: Long = MicroScale): Column =
     transform(e, x => round(x.cast("double") * scale).cast("long"))
 
+  /** Scalar int8 quantization audit — the serving dtype of an ANN
+    * shard: per vector, symmetric codes `q_i = halfup(127·x_i / m)`
+    * with `m = max|x_micro|`, plus the EXACT reconstruction-error
+    * numerators in integer arithmetic: `err_i = 127·x_i − q_i·m` (the
+    * ×127-scaled residual), so Σerr², Σq, Σ|q|, and the saturation
+    * count pin every code with no float anywhere after
+    * micro-quantization. The signed half-up quotient uses the
+    * magnitude form of the `(2a+b) div 2b` idiom — Spark `div`
+    * truncates and DuckDB `//` floors, so they agree only on
+    * nonnegative operands (the p81 rule). An all-zero vector
+    * quantizes to all-zero codes (m = 0 guard), not a division error.
+    *
+    * Scale shape: a pure map-side column program (HOF transforms +
+    * folds, fully codegen'd) — zero shuffles; at 100 TB this runs in
+    * the scan stage of the shard writer.
+    *
+    * Output: (vec_id, max_abs_micro, sum_q, sum_abs_q, n_saturated,
+    * sq_err_num); the error denominator 127²·scale² is implied.
+    */
+  def int8Quantize(df: DataFrame, id: Column, vec: Column,
+                   scale: Long = MicroScale): DataFrame = {
+    df.select(id.cast("long").as("vec_id"), microQuantize(vec, scale).as("em"))
+      .withColumn("max_abs_micro",
+        coalesce(array_max(transform(col("em"), x => abs(x))), lit(0L)))
+      .withColumn("q", expr(
+        """transform(em, x -> CASE WHEN max_abs_micro = 0 THEN 0L
+             WHEN x >= 0 THEN (2 * 127 * x + max_abs_micro)
+                             div (2 * max_abs_micro)
+             ELSE -((2 * 127 * -x + max_abs_micro)
+                    div (2 * max_abs_micro)) END)"""))
+      .select(col("vec_id"), col("max_abs_micro"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("sum_abs_q"),
+        expr("""aggregate(q, 0L, (a, x) ->
+             a + CASE WHEN abs(x) = 127 THEN 1L ELSE 0L END)""")
+          .as("n_saturated"),
+        expr("""aggregate(zip_with(em, q,
+               (x, c) -> 127 * x - c * max_abs_micro),
+             0L, (a, e) -> a + e * e)""").as("sq_err_num"))
+  }
+
   /** Covariance fold state: row count, per-dim sums, upper-triangle
     * product sums (row-major: (0,0),(0,1)..(0,d-1),(1,1),..).
     */
