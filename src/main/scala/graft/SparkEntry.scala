@@ -278,5 +278,9 @@ object SparkEntry {
     "q96_peak_concurrency", "q97_rolling_active",
     // the one-pass typed-Aggregator covariance and the curriculum
     // shuffle→pack composition
-    "p100_embedding_covariance", "p105_curriculum_pack")
+    "p100_embedding_covariance", "p105_curriculum_pack",
+    // round-8: real-WAV audio decode + integer DSP throughput, and the
+    // two-window attribution job (exchange-reuse under a rows + range
+    // window pair)
+    "p110_audio_stats", "q109_attribution")
 }

@@ -178,4 +178,31 @@ class PropertySpec extends AnyFunSuite {
         graft.functions.TextFunctions.fingerprint(col("b"))).count()
     assert(diff == 0)
   }
+
+  test("WAV codec round-trips arbitrary s16 clips; residual bound holds for int8 codes") {
+    import graft.multimodal.AudioCodec.Wav
+    val clipGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    } yield (rate, xs.map(_.toShort).toArray)
+    check(Prop.forAll(clipGen) { case (rate, xs) =>
+      val (r2, back) = Wav.decodeS16(Wav.encodeS16(rate, xs))
+      r2 == rate && back.toSeq == xs.toSeq
+    })
+    // int8 residual invariant: |127·x − q·m| ≤ m/2 + 1 for the half-up
+    // code (the bound the sq_err_num audit rests on), and |q| ≤ 127
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-2000000L, 2000000L))
+    check(Prop.forAll(vecGen) { xs =>
+      val m = xs.map(math.abs).max
+      def q(x: Long): Long =
+        if (m == 0) 0L
+        else if (x >= 0) (2 * 127 * x + m) / (2 * m)
+        else -((2 * 127 * -x + m) / (2 * m))
+      xs.forall { x =>
+        val qi = q(x)
+        math.abs(qi) <= 127 &&
+          (m == 0 || math.abs(127 * x - qi * m) <= m / 2 + 1)
+      }
+    })
+  }
 }
