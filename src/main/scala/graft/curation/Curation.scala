@@ -587,6 +587,92 @@ object Curation {
     }
   }
 
+  /** Dataset-mixture plan — the data-mixing table a pretraining run is
+    * configured from (the Pile/LLaMA-style source weighting): given
+    * per-group token counts `T_g`, target weights in permille, a total
+    * token budget `B`, and a repetition cap (milli-epochs: 2000 = at
+    * most 2 passes over a group), plan each group's token draw:
+    *
+    *   ideal_g = permille_g·B div 1000      (the target share)
+    *   cap_g   = capMilliEpochs·T_g div 1000 (repetition-capped supply)
+    *   take_g  = least(ideal_g, cap_g)
+    *
+    * then redistribute the shortfall `D = B − Σtake` across groups with
+    * headroom, proportional to headroom, in ONE integer-exact pass
+    * (`extra_g = D·head_g div Σhead` — never exceeds headroom because a
+    * budget with `D > Σhead` is INFEASIBLE at this cap and raises
+    * loudly instead of silently over-repeating data). The division
+    * remainder (< number of groups with headroom) is emitted as an
+    * explicit `__UNASSIGNED` row — the no-silent-caps rule: a plan that
+    * quietly planned B−r tokens would read as "budget met".
+    *
+    * Weights and data groups must match EXACTLY — a weight naming an
+    * absent group, or a group with no weight, raises (a typo'd source
+    * name silently dropping a corpus slice is the mixing bug this
+    * table exists to prevent).
+    *
+    * Output: (group, n_tokens, target_permille, planned_tokens,
+    * milli_epochs = planned·1000 div T, capped), plus the
+    * `__UNASSIGNED` row. All integer arithmetic (nonneg `div`, the
+    * cross-engine rule). Scale shape: one token aggregation exchange;
+    * everything after operates on the groups table (config-sized by
+    * definition — a mixture has as many rows as sources).
+    */
+  def mixturePlan(df: DataFrame, group: Column, tokens: Column,
+                  weightsPermille: Seq[(String, Int)], budget: Long,
+                  capMilliEpochs: Long): DataFrame = {
+    require(weightsPermille.map(_._2).sum == 1000,
+      s"mixturePlan: weights must sum to 1000 permille, got " +
+        s"${weightsPermille.map(_._2).sum}")
+    require(weightsPermille.forall(_._2 > 0),
+      "mixturePlan: every weight must be positive (drop the group instead)")
+    require(budget > 0 && capMilliEpochs > 0,
+      "mixturePlan: budget and capMilliEpochs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.groupBy(group.as("group")).agg(sum(tokens).as("n_tokens"))
+    val w = weightsPermille.toDF("group", "target_permille")
+    val g = t.join(broadcast(w), Seq("group"), "full_outer")
+      .withColumn("n_tokens", when(col("n_tokens").isNotNull, col("n_tokens"))
+        .otherwise(raise_error(concat(
+          lit("mixturePlan: weight names absent group '"), col("group"),
+          lit("'")))))
+      .withColumn("target_permille",
+        when(col("target_permille").isNotNull,
+          col("target_permille").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("mixturePlan: no weight for group '"), col("group"),
+            lit("'")))))
+      .withColumn("ideal", expr(s"target_permille * ${budget}L div 1000L"))
+      .withColumn("cap", expr(s"${capMilliEpochs}L * n_tokens div 1000L"))
+      .withColumn("take1", least(col("ideal"), col("cap")))
+      .withColumn("head", col("cap") - col("take1"))
+    val tot = g.agg(sum(col("take1")).as("sum_take"),
+      sum(col("head")).as("sum_head"))
+    val planned = g.join(broadcast(tot))
+      .withColumn("deficit", lit(budget) - col("sum_take"))
+      .withColumn("sum_head_ok",
+        when(col("deficit") <= col("sum_head"), col("sum_head"))
+          .otherwise(raise_error(concat(
+            lit("mixturePlan: budget infeasible at the repetition cap — " +
+              "deficit "), col("deficit").cast("string"),
+            lit(" tokens exceeds total headroom "),
+            col("sum_head").cast("string")))))
+      .withColumn("extra", when(col("sum_head_ok") > 0,
+        expr("deficit * head div sum_head_ok")).otherwise(lit(0L)))
+      .withColumn("planned_tokens", col("take1") + col("extra"))
+    val rows = planned.select(col("group"), col("n_tokens"),
+      col("target_permille"), col("planned_tokens"),
+      expr("planned_tokens * 1000L div n_tokens").as("milli_epochs"),
+      (col("ideal") > col("cap")).as("capped"))
+    val un = planned
+      .agg((lit(budget) - sum(col("planned_tokens"))).as("p"))
+      .select(lit("__UNASSIGNED").as("group"), lit(0L).as("n_tokens"),
+        lit(0L).as("target_permille"), col("p").as("planned_tokens"),
+        lit(0L).as("milli_epochs"), lit(false).as("capped"))
+    rows.unionByName(un)
+  }
+
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —
     * SHARED by the batch sampler and the streaming twin so their
     * sampling decisions cannot drift (the chunkRows rule).

@@ -685,39 +685,33 @@ object Extended {
     // click ever (AsOf.lastMatchingInStream — the as-of operator, not a
     // join: one user exchange, rows-frame, (sec, event_id) total order)
     // and its FIRST click inside a 72 h lookback (value-RANGE frame;
-    // earliest-click election rides a packed sec·2²³+event_id long with
-    // a LOUD pack-bound guard — min picks earliest second then smallest
-    // id, deterministic in both engines). Both windows share the ONE
-    // hashpartitioning(user_id) exchange; the frames differ only in
-    // sort spec.
+    // earliest-click election = min over a (sec, event_id) STRUCT —
+    // lexicographic min picks earliest second then smallest id in both
+    // engines, with NO packed-long id bound to outgrow at scale). Both
+    // windows share the ONE hashpartitioning(user_id) exchange; the
+    // frames differ only in sort spec.
     ("q109_attribution", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.AsOf
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").cast("long").as("sec"))
-        .withColumn("event_id",
-          when(col("event_id") < lit(1L << 23), col("event_id"))
-            .otherwise(raise_error(concat(
-              lit("q109_attribution: event_id exceeds the 2^23 pack bound: "),
-              col("event_id").cast("string")))))
       val withLast = AsOf.lastMatchingInStream(ev, Seq(col("user_id")),
         Seq(col("sec"), col("event_id")), col("event_type") === "click",
         col("event_id"), "last_touch_id")
       val wRange = Window.partitionBy(col("user_id")).orderBy(col("sec"))
         .rangeBetween(-259200L, -1L)
-      val packedClick = when(col("event_type") === "click",
-        col("sec") * lit(1L << 23) + col("event_id"))
+      val clickKey = when(col("event_type") === "click",
+        struct(col("sec").as("s"), col("event_id").as("i")))
       withLast
-        .withColumn("__ft", min(packedClick).over(wRange))
+        .withColumn("__ft", min(clickKey).over(wRange))
         .withColumn("n_window_clicks",
           coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L))
             .over(wRange), lit(0L)))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           round(col("value"), 2).as("value"), col("last_touch_id"),
-          (col("__ft") % lit(1L << 23)).cast("long").as("first_touch_id"),
-          col("n_window_clicks"))
+          col("__ft.i").as("first_touch_id"), col("n_window_clicks"))
         .orderBy(col("event_id"))
     }, Some("""
       WITH e AS (SELECT event_id, user_id, event_type, "value",
@@ -730,7 +724,7 @@ object Extended {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 AS last_touch_id,
               min(CASE WHEN event_type = 'click'
-                       THEN sec * 8388608 + event_id END)
+                       THEN {'s': sec, 'i': event_id} END)
                 OVER (PARTITION BY user_id ORDER BY sec
                       RANGE BETWEEN 259200 PRECEDING AND 1 PRECEDING) AS ft,
               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
@@ -740,7 +734,7 @@ object Extended {
                 AS BIGINT) AS n_window_clicks
             FROM e)
       SELECT event_id, user_id, round("value", 2) AS "value", last_touch_id,
-             CAST(ft % 8388608 AS BIGINT) AS first_touch_id, n_window_clicks
+             ft.i AS first_touch_id, n_window_clicks
       FROM w WHERE event_type = 'purchase' ORDER BY event_id"""))
   )
 }

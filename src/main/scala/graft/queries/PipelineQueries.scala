@@ -3395,7 +3395,66 @@ object PipelineQueries {
              CAST(list_sum(list_transform(range(1, len(em) + 1),
                i -> (127 * em[i] - q[i] * mam) * (127 * em[i] - q[i] * mam)))
                AS BIGINT) AS sq_err_num
-      FROM m2 ORDER BY vec_id""")))
+      FROM m2 ORDER BY vec_id""")),
+
+    // Dataset-mixture plan — the data-mixing config table (Pile/LLaMA
+    // source weighting): target permille shares against a token
+    // budget, a repetition cap per source, ONE integer-exact
+    // headroom-proportional redistribution of the capped shortfall,
+    // and the division remainder emitted as an explicit __UNASSIGNED
+    // row (no silent caps). At sf0.01 the skewed sources saturate the
+    // 2-epoch cap and redistribution moves real mass; at sf0.1 the
+    // same fixed budget sits under every cap — both regimes ride one
+    // oracle. Loud contracts: weight↔group mismatch raises; an
+    // infeasible budget (deficit > total headroom) raises instead of
+    // silently over-repeating data.
+    ("p113_mixture_plan", (s, d) => {
+      graft.curation.Curation.mixturePlan(
+          Tables.documents(s, d), col("source"),
+          TextFunctions.tokenCount(col("text")),
+          mixtureWeights, budget = 40000L, capMilliEpochs = 2000L)
+        .orderBy(col("group"))
+    }, Some {
+      val wVals = mixtureWeights
+        .map { case (g, p) => s"('$g', $p)" }.mkString(", ")
+      s"""
+      WITH t AS (SELECT source AS grp,
+                   CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+      w AS (SELECT * FROM (VALUES $wVals) AS w(grp, permille)),
+      g AS (SELECT t.grp AS "group", n_tokens,
+              CAST(permille AS BIGINT) AS target_permille,
+              permille * 40000 // 1000 AS ideal,
+              2000 * n_tokens // 1000 AS cap
+            FROM t JOIN w ON t.grp = w.grp),
+      g2 AS (SELECT *, least(ideal, cap) AS take1,
+               cap - least(ideal, cap) AS head FROM g),
+      tot AS (SELECT CAST(sum(take1) AS BIGINT) AS sum_take,
+                CAST(sum(head) AS BIGINT) AS sum_head FROM g2),
+      g4 AS (SELECT "group", n_tokens, target_permille,
+               take1 + CASE WHEN sum_head > 0
+                 THEN (40000 - sum_take) * head // sum_head
+                 ELSE 0 END AS planned_tokens,
+               ideal > cap AS capped
+             FROM g2, tot)
+      SELECT "group", n_tokens, target_permille,
+             CAST(planned_tokens AS BIGINT) AS planned_tokens,
+             CAST(planned_tokens * 1000 // n_tokens AS BIGINT)
+               AS milli_epochs, capped
+      FROM g4
+      UNION ALL
+      SELECT '__UNASSIGNED', 0, 0,
+             CAST(40000 - sum(planned_tokens) AS BIGINT), 0, false
+      FROM g4
+      ORDER BY "group""""
+    }))
+
+  /** p113's mixture weights — skewed so the repetition cap actually
+    * bites at small SF; shared verbatim with the oracle's VALUES list.
+    */
+  private[graft] val mixtureWeights: Seq[(String, Int)] =
+    Seq("src0" -> 320, "src1" -> 100) ++
+      (2 to 18).map(i => s"src$i" -> 30) :+ ("src19" -> 70)
 
   /** The deterministic PII fixture SHARED by p109 and its streaming
     * twin: every third document gains a contact block (email + IPv4 +

@@ -811,16 +811,49 @@ object SimilaritySearch {
     }
     val version = s"v$n"
     build(s"$baseDir/$version")
+    // completion marker: a version directory WITHOUT it is a failed
+    // build's reservation debris (the build threw after the number was
+    // reserved) — never pointed to by CURRENT, and what
+    // [[gcIndexVersions]] sweeps first
+    fs.create(new Path(s"$baseDir/$version/.complete"), true).close()
+    pointCurrent(spark, baseDir, version)
+    version
+  }
+
+  /** The atomic CURRENT pointer replace shared by publish and rollback:
+    * write CURRENT.tmp, FileContext-rename with OVERWRITE (a
+    * delete-then-rename would leave a window with NO current).
+    */
+  private def pointCurrent(spark: org.apache.spark.sql.SparkSession,
+                           baseDir: String, version: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$baseDir/CURRENT.tmp")
     val cur = new Path(s"$baseDir/CURRENT")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    // FileContext rename with OVERWRITE is the atomic pointer replace
-    // (a delete-then-rename would leave a window with NO current)
     org.apache.hadoop.fs.FileContext
       .getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    version
+  }
+
+  /** ROLLBACK — the operational half of "rollback is repointing":
+    * atomically point CURRENT at an existing COMPLETE version. Refuses
+    * a version that does not exist or never finished its build (debris
+    * cannot serve); refuses nothing else — repointing FORWARD again is
+    * the same operation.
+    */
+  def repointIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String, version: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(version.matches("v[0-9]+"),
+      s"repointIndexVersion: '$version' is not a version name")
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$baseDir/$version/.complete")),
+      s"repointIndexVersion: $version is missing or incomplete " +
+        "(failed-build debris cannot serve)")
+    pointCurrent(spark, baseDir, version)
   }
 
   /** Blue/green retrain whose build input is the CURRENT index's own
@@ -908,6 +941,31 @@ object SimilaritySearch {
       buildIvfPqIndex(liveVectors, col("neighbor_id"), col("__retrain_vec"),
         cent, cb, dim, numSubspaces, dir)
     }
+  }
+
+  /** Version garbage collection for a [[publishIndexVersion]] base dir:
+    * drop failed-build reservation debris (any non-current version
+    * without the `.complete` marker) plus superseded complete versions
+    * beyond the `keep` most recent, keeping the CURRENT version ALWAYS
+    * (GC can never delete what serving resolves, even when an older
+    * version was re-pointed current for a rollback). Returns the
+    * dropped version names. Refuses a baseDir with no CURRENT marker —
+    * "GC an unpublished dir" is a caller bug, not a cleanup.
+    */
+  def gcIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 0, s"gcIndexVersions: keep must be >= 0, got $keep")
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = currentIndexDir(spark, baseDir).split('/').last
+    val versions = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.matches("v[0-9]+")).sortBy(-_.drop(1).toInt)
+    val (complete, debris) = versions.filterNot(_ == current)
+      .partition(v => fs.exists(new Path(s"$baseDir/$v/.complete")))
+    val drop = debris ++ complete.drop(keep)
+    drop.foreach(v => fs.delete(new Path(s"$baseDir/$v"), true))
+    drop.toSeq
   }
 
   /** Resolve the directory of the CURRENT published index version. */

@@ -433,6 +433,36 @@ class CurationSpec extends AnyFunSuite {
       e.getMessage.contains("9001"))
   }
 
+  test("mixturePlan: exact budget conservation, cap semantics, and loud mismatch/infeasibility") {
+    val docs = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "b", 50L),
+      (4L, "c", 400L)).toDF("id", "src", "n_tok")
+    val byG = Curation.mixturePlan(docs, col("src"), col("n_tok"),
+        Seq("a" -> 500, "b" -> 300, "c" -> 200),
+        budget = 500L, capMilliEpochs = 2000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // b wants 150 but caps at 2 epochs × 50 = 100; its 50-token deficit
+    // redistributes to a/c's headroom; grand total == budget exactly
+    assert(byG("b") == ((100L, 2000L, true)))
+    assert(byG.values.map(_._1).sum == 500L)
+    assert(byG("a")._1 >= 250L && byG("c")._1 >= 100L)
+    // a weight naming an absent group raises; a group with no weight raises
+    assert(intercept[Exception] {
+      Curation.mixturePlan(docs, col("src"), col("n_tok"),
+        Seq("a" -> 400, "b" -> 300, "c" -> 100, "zz" -> 200), 500L, 2000L)
+        .collect()
+    }.getMessage.contains("absent group"))
+    assert(intercept[Exception] {
+      Curation.mixturePlan(docs, col("src"), col("n_tok"),
+        Seq("a" -> 700, "b" -> 300), 500L, 2000L).collect()
+    }.getMessage.contains("no weight"))
+    // a budget beyond total capped supply raises instead of over-repeating
+    assert(intercept[Exception] {
+      Curation.mixturePlan(docs, col("src"), col("n_tok"),
+        Seq("a" -> 500, "b" -> 300, "c" -> 200), 10000L, 2000L).collect()
+    }.getMessage.contains("infeasible"))
+  }
+
   test("split/shuffle operators refuse inputs that already carry their reserved output columns") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(10)
     val e1 = intercept[IllegalArgumentException] {

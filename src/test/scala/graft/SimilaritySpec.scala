@@ -416,6 +416,30 @@ class SimilaritySpec extends AnyFunSuite {
         throw new RuntimeException("retrain failed"))
     }
     assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("/v3"))
+    // the failed build left v4 as reservation DEBRIS (number consumed,
+    // no .complete marker); the next publish numbers past it
+    assert(new java.io.File(s"$base/v4").exists &&
+      !new java.io.File(s"$base/v4/.complete").exists)
+    val v5 = SimilaritySearch.publishIndexVersion(spark, base)(writeMarker(_, "five"))
+    assert(v5 == "v5")
+    // GC drops debris first, then complete others beyond `keep`; never
+    // touches CURRENT
+    assert(SimilaritySearch.gcIndexVersions(spark, base, keep = 1)
+      .sorted == Seq("v1", "v2", "v4"))
+    assert(new java.io.File(s"$base/v5/tag").exists &&
+      new java.io.File(s"$base/v3/tag").exists &&
+      !new java.io.File(s"$base/v4").exists &&
+      !new java.io.File(s"$base/v2").exists &&
+      !new java.io.File(s"$base/v1").exists)
+    // rollback API: repoint CURRENT to v3, then gc keep=0 — v3 survives
+    // BECAUSE it is current; only v5 drops. Repointing at debris refuses.
+    SimilaritySearch.repointIndexVersion(spark, base, "v3")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.repointIndexVersion(spark, base, "v99")
+    }
+    assert(SimilaritySearch.gcIndexVersions(spark, base, keep = 0) == Seq("v5"))
+    assert(new java.io.File(s"$base/v3/tag").exists &&
+      SimilaritySearch.currentIndexDir(spark, base).endsWith("/v3"))
   }
 
   test("retrainIndexVersion rebuilds from the index's live membership: appends fold in, tombstones stay dead") {
