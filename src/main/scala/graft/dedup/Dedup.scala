@@ -1056,11 +1056,25 @@ object Dedup {
     * uses the lowest-id vectors; the trained path is spec-pinned).
     * Cosines compare at `round(cos, 6)` so the boundary is engine-
     * reproducible.
+    *
+    * Execution shape of the pair scan (round 8 — the 10× scale smoke
+    * caught the naive form): the domination test is a LEFT-SEMI join, so
+    * a vector stops scanning dominators at its FIRST cosine hit (dense
+    * clusters — exactly the expensive ones — short-circuit) and no pair
+    * rows or `distinct` re-shuffle ever materialize; and the probe side
+    * is salted `saltFactor` ways with dominators replicated per salt, so
+    * a k-cluster corpus fans out to k·saltFactor tasks instead of
+    * serializing each cluster's quadratic pass on one core (k is small
+    * by construction at any SF — the whole point of coarse clustering).
+    * Both are plan-level only: the (vec_id, centroid_id, kept) output is
+    * unchanged for every (cap, salt) setting.
     */
   def semanticDedup(vectors: DataFrame, id: Column, vec: Column,
                     centroids: DataFrame, threshold: Double,
-                    maxCluster: Option[Int] = Some(4096)): DataFrame = {
+                    maxCluster: Option[Int] = Some(4096),
+                    saltFactor: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val e = vectors.select(id.cast("long").as("vec_id"), vec.as("v"))
     val asg = graft.similarity.SimilaritySearch.coarseAssign(
         e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), centroids)
@@ -1073,12 +1087,23 @@ object Dedup {
         m.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= cap).drop("__rn")
     }
-    val dups = m.select(col("vec_id"), col("v"), col("centroid_id"))
-      .join(dominators.select(col("vec_id").as("b_id"), col("v").as("bv"),
-        col("centroid_id").as("b_cid")),
-        col("centroid_id") === col("b_cid") && col("b_id") < col("vec_id"))
-      .filter(round(VectorFunctions.cosine(col("v"), col("bv")), 6) >= threshold)
-      .select(col("vec_id")).distinct()
+    // dominators replicate saltFactor× (bounded: ≤ k·cap rows before
+    // replication); probes salt by id, so every (probe, dominator)
+    // cluster pair meets in exactly one salt slice.
+    val domRep = dominators
+      .select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("centroid_id").as("b_cid"))
+      .withColumn("__bsalt",
+        explode(sequence(lit(0), lit(saltFactor - 1))))
+    val probe = m.withColumn("__salt",
+      pmod(col("vec_id"), lit(saltFactor.toLong)).cast("int"))
+    val dups = probe
+      .join(domRep,
+        col("centroid_id") === col("b_cid") && col("__salt") === col("__bsalt") &&
+          col("b_id") < col("vec_id") &&
+          round(VectorFunctions.cosine(col("v"), col("bv")), 6) >= threshold,
+        "left_semi")
+      .select(col("vec_id"))
       .withColumn("__dup", lit(true))
     m.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"),
