@@ -3447,7 +3447,55 @@ object PipelineQueries {
              CAST(40000 - sum(planned_tokens) AS BIGINT), 0, false
       FROM g4
       ORDER BY "group""""
-    }))
+    }),
+
+    // Alignment-free corpus SELF-dedup at span granularity (ExactSubstr:
+    // repeated passages hurt LMs beyond repeated documents, and doc-level
+    // near-dup filters miss a boilerplate block pasted into distinct
+    // docs): every 8-token span occurring more than once in the corpus
+    // keeps its globally-first occurrence — total order (doc_id, pos),
+    // elected as ONE map-side-combinable min of a packed doc_id·2^20+pos
+    // BIGINT per shingle hash — and every later occurrence scrubs (p87's
+    // coverage rule). Hot spans pre-aggregate before the exchange; only
+    // the multi-occurrence sliver rejoins.
+    ("p114_self_dedup", (s, d) => {
+      graft.text.CorpusOps.selfDedupSpans(
+          Tables.documents(s, d), col("doc_id"), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
+      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
+             FROM s2 GROUP BY h),
+      hits AS (SELECT doc_id, pos, pos + 7 AS e
+               FROM s2 JOIN fw USING (h)
+               WHERE c > 1 AND doc_id * 1048576 + pos <> w),
+      isl AS (SELECT doc_id, pos, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM hits),
+      i2 AS (SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1
+                       THEN 1 ELSE 0 END AS ns FROM isl),
+      i3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id FROM i2),
+      sp AS (SELECT doc_id, min(pos) AS ss, max(e) AS se
+             FROM i3 GROUP BY doc_id, span_id),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+             FROM toks WHERE len(t) >= 1),
+      t2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tk),
+      dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
+               EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = t2.doc_id
+                      AND t2.pos BETWEEN sp.ss AND sp.se) AS d
+             FROM t2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
+                      '') AS deduped
+      FROM dr GROUP BY doc_id ORDER BY doc_id""")))
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.

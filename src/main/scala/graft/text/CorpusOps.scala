@@ -344,6 +344,91 @@ object CorpusOps {
     cur
   }
 
+  /** Alignment-free corpus SELF-deduplication at span granularity (the
+    * ExactSubstr idea: repeated PASSAGES hurt LM training beyond
+    * repeated documents, and document-level near-dup filters miss a
+    * boilerplate block pasted into otherwise-distinct documents). Every
+    * n-token span that occurs more than once ANYWHERE in the corpus
+    * keeps exactly its globally-first occurrence — total order
+    * (doc_id, pos) — and every later occurrence becomes a scrub hit;
+    * hit intervals union per document ([[scrubSpans]]'s coverage rule),
+    * covered tokens drop, survivors rejoin in order. A document
+    * duplicated wholesale survives only as its lowest-id copy; a header
+    * repeated across 10k documents survives only where it first
+    * appeared.
+    *
+    * Reference analogue: none (the reference dedups stream elements,
+    * not passages) — this is the LLM-pipeline extension the span
+    * machinery exists for.
+    *
+    * Plan shape: positional shingles ride the one doc_id window
+    * shuffle; the first-occurrence election is ONE hash-keyed
+    * aggregation of a packed BIGINT key (min/count are map-side
+    * combinable, so a boilerplate span repeated 10M times moves
+    * O(partitions) pre-aggregated rows through the exchange, not 10M);
+    * only multi-occurrence hashes (the duplicated sliver) come back
+    * through the hash-keyed hit join; islands and reassembly reuse the
+    * doc_id partitioning. The packed key is doc_id·2^20 + pos with a
+    * loud per-row contract — documents beyond 2^20 tokens must chunk
+    * first ([[chunkForRag]]), ids must be non-negative (and < 2^43, or
+    * the shift itself would wrap).
+    *
+    * Choose n as the smallest span WORTH deduplicating (ExactSubstr
+    * uses 50 tokens; the default 8 suits short test documents) — at
+    * n=3 common trigrams would shred natural text.
+    *
+    * Output: (doc_id, n_dropped, deduped), one row per input document
+    * with ≥ 1 token (the [[scrubSpans]] domain rule).
+    */
+  def selfDedupSpans(docs: DataFrame, id: Column, text: Column,
+                     n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"selfDedupSpans: n must be >= 2, got $n")
+    val posBits = 20
+    val sh = TextFunctions.explodedShinglesPos(docs, id, text, n)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+    val packed = sh.withColumn("__k",
+      when(col("pos") < (1L << posBits) && col("doc_id").between(0L, (1L << 43) - 1),
+        shiftleft(col("doc_id"), posBits) + col("pos"))
+        .otherwise(raise_error(concat(
+          lit("selfDedupSpans: pack bound exceeded (0 <= doc_id < 2^43, " +
+            s"pos < 2^$posBits required; chunk oversized docs first) at doc_id="),
+          col("doc_id"), lit(" pos="), col("pos")))))
+    val firsts = packed.groupBy(col("h"))
+      .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("__w"))
+    val hits = packed.join(firsts, Seq("h"))
+      .filter(col("__k") =!= col("__w"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
+    // islands + scrub: scrubSpans' exact shape over the self-hits
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = hits
+      .withColumn("__prev_end", max(col("end")).over(wPrev))
+      .withColumn("__new_span",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__span_id", sum(col("__new_span")).over(w))
+      .groupBy(col("doc_id"), col("__span_id"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("__dropped",
+        coalesce(exists(col("__spans"),
+          sp => col("pos") >= sp("span_start") && col("pos") <= sp("span_end")),
+          lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(not(col("__dropped")), struct(col("pos"), col("tok"))))),
+          s => s("tok")), " ").as("deduped"))
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram

@@ -315,6 +315,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       r2.getAs[Long]("n_dropped") == 0L)
   }
 
+  test("selfDedupSpans keeps each repeated span's globally-first occurrence only") {
+    val docs = Seq(
+      (1L, "a b c d e"),              // the passage's first home
+      (2L, "x y a b c d e z"),        // cross-doc copy at pos 2..6
+      (3L, "p q r s p q r s"),        // within-doc repeat
+      (4L, "totally unique words here")).toDF("doc_id", "text")
+    val out = CorpusOps.selfDedupSpans(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "a b c d e"),          // globally first: kept verbatim
+      (2L, 5L, "x y z"),              // later copy: the pasted span scrubs
+      (3L, 4L, "p q r s"),            // second half scrubs, first stays
+      (4L, 0L, "totally unique words here")))
+    // ids outside the pack bound fail loudly, never mis-elect silently
+    val bad = Seq((-1L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      CorpusOps.selfDedupSpans(bad, col("doc_id"), col("text"), n = 3).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + chain(t.getCause)
+    assert(chain(ex).contains("pack bound"))
+  }
+
   test("retrievalNdcg: graded gains, literal discounts, ideal from unretrieved docs, zero-hit kept") {
     // discount table is LITERAL and pinned (both engines embed it)
     val d = CorpusOps.ndcgDiscountMicro(10).toMap
