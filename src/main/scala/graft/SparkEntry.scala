@@ -203,7 +203,10 @@ object SparkEntry {
       Some(sharedOracle("p109_pii_redact"))),
     ("q110_streaming_audio",
       (s, d) => graft.streaming.StreamingQueries.audioStatsStream(s, d),
-      Some(sharedOracle("p110_audio_stats"))))
+      Some(sharedOracle("p110_audio_stats"))),
+    ("q111_streaming_self_dedup",
+      (s, d) => graft.streaming.StreamingQueries.selfDedupStream(s, d),
+      Some(sharedOracle("p114_self_dedup"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -295,6 +295,38 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("fingerprint"))
   }
 
+  /** p114's span-level self-dedup with the first-occurrence election
+    * running ON the streaming engine: positional n-gram shingles expand
+    * stateless map-side (the HOF array form — the batch path's window
+    * `lead` is batch-only), the packed-key min/count fold is the
+    * cross-batch state (one row per distinct shingle hash,
+    * order-independent merge ⇒ the election is batch-identical under
+    * any micro-batch slicing), and the scrub — islands + ordered
+    * reassembly over the elected winners — runs batch-side at the epoch
+    * boundary through the SAME [[graft.text.CorpusOps.scrubSelfHits]]
+    * the batch operator uses (shared-definition guarantee, the
+    * chunkElection pattern). Packing rides the same loud contract via
+    * [[graft.text.CorpusOps.withPackedSpanKey]].
+    */
+  def selfDedupStream(spark: SparkSession, sfDir: String,
+                      n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.text.CorpusOps
+    val sh = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("sh")).as("h"))
+    val agg = CorpusOps.withPackedSpanKey(sh)
+      .groupBy(col("h"))
+      .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
+    val firsts = runToMemory(agg)
+      .filter(col("__c") > 1).select(col("h"), col("__w"))
+    CorpusOps.scrubSelfHits(graft.Tables.documents(spark, sfDir),
+        col("doc_id"), col("text"), firsts, n)
+      .orderBy(col("doc_id"))
+  }
+
   /** p08's brute-force similarity search on the streaming engine: the
     * corpus STREAMS past a broadcast query set, each micro-batch scores
     * its vectors map-side, and the per-query top-k is the same

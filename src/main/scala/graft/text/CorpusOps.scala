@@ -382,23 +382,50 @@ object CorpusOps {
     */
   def selfDedupSpans(docs: DataFrame, id: Column, text: Column,
                      n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"selfDedupSpans: n must be >= 2, got $n")
+    val firsts = packedSpanShingles(docs, id, text, n)
+      .groupBy(col("h"))
+      .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("__w"))
+    scrubSelfHits(docs, id, text, firsts, n)
+  }
+
+  /** Positional n-gram shingles of `docs` with the packed
+    * doc_id·2^20+pos election key — [[selfDedupSpans]]'s shared
+    * building block (its streaming twin folds the same rows as state).
+    * Loud per-row pack-bound contract; see [[selfDedupSpans]].
+    */
+  private[graft] def packedSpanShingles(docs: DataFrame, id: Column,
+                                        text: Column, n: Int): DataFrame =
+    withPackedSpanKey(TextFunctions.explodedShinglesPos(docs, id, text, n)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h")))
+
+  /** Adds the guarded packed key `__k` to a (doc_id, pos, h) frame —
+    * factored so the streaming twin's stateless HOF shingle expansion
+    * (window `lead` is batch-only) packs under the SAME contract.
+    */
+  private[graft] def withPackedSpanKey(sh: DataFrame): DataFrame = {
     val posBits = 20
-    val sh = TextFunctions.explodedShinglesPos(docs, id, text, n)
-      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
-    val packed = sh.withColumn("__k",
+    sh.withColumn("__k",
       when(col("pos") < (1L << posBits) && col("doc_id").between(0L, (1L << 43) - 1),
         shiftleft(col("doc_id"), posBits) + col("pos"))
         .otherwise(raise_error(concat(
           lit("selfDedupSpans: pack bound exceeded (0 <= doc_id < 2^43, " +
             s"pos < 2^$posBits required; chunk oversized docs first) at doc_id="),
           col("doc_id"), lit(" pos="), col("pos")))))
-    val firsts = packed.groupBy(col("h"))
-      .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("h"), col("__w"))
-    val hits = packed.join(firsts, Seq("h"))
+  }
+
+  /** [[selfDedupSpans]]'s scrub half: `firsts` = (h, __w) — the packed
+    * first-occurrence key per DUPLICATED shingle hash (however elected:
+    * the batch aggregation or the streaming twin's state table). Every
+    * non-winning occurrence becomes a hit; islands + ordered reassembly
+    * ride the doc_id partitioning ([[scrubSpans]]'s exact shape).
+    */
+  private[graft] def scrubSelfHits(docs: DataFrame, id: Column, text: Column,
+                                   firsts: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = packedSpanShingles(docs, id, text, n).join(firsts, Seq("h"))
       .filter(col("__k") =!= col("__w"))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
     // islands + scrub: scrubSpans' exact shape over the self-hits
