@@ -285,5 +285,9 @@ object SparkEntry {
     // round-8: real-WAV audio decode + integer DSP throughput, and the
     // two-window attribution job (exchange-reuse under a rows + range
     // window pair)
-    "p110_audio_stats", "q109_attribution")
+    "p110_audio_stats", "q109_attribution",
+    // round-8 continued: span-level self-dedup (packed-key election
+    // over every positional shingle + coverage scrub — the heaviest
+    // per-token corpus pass in the suite)
+    "p114_self_dedup")
 }

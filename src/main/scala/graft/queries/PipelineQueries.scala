@@ -3495,7 +3495,53 @@ object PipelineQueries {
              CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
              coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
                       '') AS deduped
-      FROM dr GROUP BY doc_id ORDER BY doc_id""")))
+      FROM dr GROUP BY doc_id ORDER BY doc_id""")),
+
+    // DSIR importance weights — domain matching via hashed bigram
+    // features: the target slice (doc_id % 101 = 0, the in-domain
+    // sample) and the raw crawl each become add-one-smoothed
+    // categoricals over a FIXED 4096-bucket hashed feature space, and
+    // each raw doc scores the summed per-occurrence log importance
+    // ratio in integer micro-units (p81's truncate-once rule). The
+    // model is ≤ 4096 rows at ANY corpus size — training is one
+    // tiny-key count aggregate per side, scoring a broadcast join.
+    ("p115_dsir_weights", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.CorpusOps.dsirModel(
+        docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 101 === 0), col("doc_id"), col("text"),
+        buckets = 4096)
+      graft.text.CorpusOps.dsirLogWeights(
+          docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+          model)
+        .orderBy(col("doc_id"))
+    }, Some(dsirOracle)),
+
+    // DSIR's resampling half: k docs drawn without replacement with
+    // probability ∝ exp(logw) via Gumbel-top-k (A-ES in LOG space —
+    // exp(logw) would overflow long before a real corpus stops needing
+    // it): rank ascending by ln(−ln u) − logw with the same
+    // deterministic 52-bit md5 dice roll the weighted reservoir uses.
+    // Two-phase bounded TopK, no global sort; output is integer-only,
+    // so only the ORDER crosses the engine boundary.
+    ("p116_dsir_resample", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.CorpusOps.dsirModel(
+        docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 101 === 0), col("doc_id"), col("text"),
+        buckets = 4096)
+      val w = graft.text.CorpusOps.dsirLogWeights(
+        docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+        model)
+      graft.text.CorpusOps.dsirResample(w, k = 100)
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH $dsirCtes
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY
+               ln(-ln((${sqlRoll52("CAST(doc_id AS VARCHAR)")} + 1)
+                      / 4503599627370496.0))
+               - CAST(logw_micro AS DOUBLE) / 1e6, doc_id) AS BIGINT) AS rank
+      FROM sc QUALIFY rank <= 100 ORDER BY rank""")))
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.
@@ -3941,6 +3987,53 @@ object PipelineQueries {
     * recomputed from raw text. CASE branches mirror Spark's
     * when/otherwise pair exactly (null predicate → non-reference).
     */
+  /** DuckDB SQL fragment: deterministic 52-bit integer from the first
+    * 13 hex chars of md5 — exact dual of the dice roll
+    * [[graft.curation.Curation.aesKey]] and
+    * [[graft.text.CorpusOps.dsirResample]] use (positional hex parse,
+    * the [[sqlHash40]] idiom widened to 13 chars).
+    */
+  private def sqlRoll52(e: String): String =
+    s"""(list_aggregate(list_transform(range(13), i ->
+          CAST(instr('0123456789abcdef', substr(md5($e), CAST(i+1 AS INT), 1)) - 1
+               AS BIGINT) * (1::BIGINT << CAST(4*(12-i) AS INT))), 'sum'))"""
+
+  /** Shared CTE chain for the DSIR pair (p115/p116): hashed bigram
+    * features (4096 buckets via [[sqlHash40]] mod), per-side add-one
+    * smoothed counts, micro-truncated log importance ratios, per-doc
+    * integer sums — the exact dual of
+    * [[graft.text.CorpusOps.dsirModel]]/[[graft.text.CorpusOps.dsirLogWeights]]
+    * with target = doc_id % 101 = 0.
+    */
+  private lazy val dsirCtes: String = s"""
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)-1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS b FROM t2),
+      f AS (SELECT doc_id, ${sqlHash40("b")} % 4096 AS bucket FROM bg),
+      ct AS (SELECT bucket, count(*) AS c FROM f WHERE doc_id % 101 = 0
+             GROUP BY 1),
+      cr AS (SELECT bucket, count(*) AS c FROM f WHERE doc_id % 101 <> 0
+             GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM f WHERE doc_id % 101 = 0),
+      nr AS (SELECT count(*) AS n FROM f WHERE doc_id % 101 <> 0),
+      w AS (SELECT bucket,
+              CAST(round((ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+                           / CAST(nt.n + 4096 AS DOUBLE))
+                        - ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+                           / CAST(nr.n + 4096 AS DOUBLE))) * 1e6, 0)
+                   AS BIGINT) AS m
+            FROM ct FULL OUTER JOIN cr USING (bucket), nt, nr),
+      sc AS (SELECT doc_id, count(*) AS n_feats,
+               CAST(sum(m) AS BIGINT) AS logw_micro
+             FROM f JOIN w USING (bucket) WHERE doc_id % 101 <> 0
+             GROUP BY 1)"""
+
+  lazy val dsirOracle: String = s"""
+      WITH $dsirCtes
+      SELECT doc_id, n_feats, logw_micro FROM sc ORDER BY doc_id"""
+
   lazy val logOddsOracle: String = s"""
       WITH t AS (SELECT doc_id, lang = 'en' AS good,
                    ${sqlToks("text")} AS toks FROM documents),

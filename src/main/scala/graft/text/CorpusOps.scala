@@ -862,6 +862,106 @@ object CorpusOps {
                      isGood: Column): DataFrame =
     scoreLogOdds(tokenRows(docs, id, text), logOddsModel(docs, text, isGood))
 
+  /** The trained DSIR importance model: per-bucket importance weights
+    * in integer micro-units — at most `buckets` rows, the broadcastable
+    * artifact ([[BigramLm]]'s deployment shape).
+    */
+  final case class DsirModel(weights: DataFrame, buckets: Int)
+
+  /** Hashed bigram bucket rows — DSIR's feature extraction, shared by
+    * training and scoring so the two cannot drift (the chunkRows rule).
+    * Features live in a FIXED `buckets`-sized space (hash the bigram,
+    * mod buckets), which is the whole point: the model is bounded
+    * regardless of corpus vocabulary, so training is one tiny-key count
+    * aggregate and scoring joins against a broadcastable table at any
+    * corpus size.
+    */
+  private[graft] def dsirFeatureRows(docs: DataFrame, id: Column,
+                                     text: Column, buckets: Int): DataFrame =
+    bigramRows(docs, id, text)
+      .select(col("doc_id"),
+        (graft.dedup.Dedup.sketchHash40(concat_ws(" ", col("w1"), col("w2")))
+          % buckets).as("bucket"))
+
+  /** Train DSIR (Data Selection via Importance Resampling) importance
+    * weights: the target distribution is a SMALL in-domain sample, the
+    * raw distribution is the big crawl, both modeled as add-one-smoothed
+    * categoricals over `buckets` HASHED bigram features, and each
+    * bucket's weight is the per-occurrence log importance ratio
+    *   m(b) = ln((c_t(b)+1)/(N_t+B)) − ln((c_r(b)+1)/(N_r+B))
+    * truncated ONCE to integer micro-units (the p45/p81 rule — per-doc
+    * sums stay exact, order-independent integer aggregates). Buckets
+    * seen on neither side have no row (a raw doc always hits buckets
+    * with c_r ≥ 1 when scored against its own training corpus).
+    *
+    * Scale shape: two map-side hashed expansions, ONE bucket-keyed
+    * count aggregate each (key space = `buckets` — map-side combine
+    * collapses everything before the exchange), a full-outer merge of
+    * two ≤ buckets-row tables, totals folded in as one-row broadcast
+    * cross joins. Nothing driver-side, nothing corpus-sized past the
+    * scan.
+    */
+  def dsirModel(raw: DataFrame, rawId: Column, rawText: Column,
+                target: DataFrame, targetId: Column, targetText: Column,
+                buckets: Int = 4096): DsirModel = {
+    require(buckets >= 2, s"dsirModel: buckets must be >= 2, got $buckets")
+    def counts(docs: DataFrame, id: Column, text: Column) =
+      dsirFeatureRows(docs, id, text, buckets)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val ct = counts(target, targetId, targetText)
+    val cr = counts(raw, rawId, rawText)
+    val nt = ct.agg(coalesce(sum(col("c")), lit(0L)).as("n_t"))
+    val nr = cr.agg(coalesce(sum(col("c")), lit(0L)).as("n_r"))
+    val w = ct.select(col("bucket"), col("c").as("c_t"))
+      .join(cr.select(col("bucket"), col("c").as("c_r")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c_t", "c_r"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        round((log((col("c_t") + 1).cast("double") /
+            (col("n_t") + buckets).cast("double")) -
+          log((col("c_r") + 1).cast("double") /
+            (col("n_r") + buckets).cast("double"))) * 1e6, 0)
+          .cast("long").as("m_micro"))
+    DsirModel(w, buckets)
+  }
+
+  /** Score raw documents against a trained [[DsirModel]]: per document,
+    * the summed per-occurrence log importance ratio of its hashed
+    * bigrams — an exact integer aggregate; positive = target-like.
+    * Model-side join is broadcastable by construction (≤ buckets rows).
+    * Output: (doc_id, n_feats, logw_micro), one row per doc with ≥ 2
+    * tokens whose buckets the model has seen (self-corpus scoring
+    * always qualifies).
+    */
+  def dsirLogWeights(raw: DataFrame, id: Column, text: Column,
+                     model: DsirModel): DataFrame =
+    dsirFeatureRows(raw, id, text, model.buckets)
+      .join(broadcast(model.weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("m_micro")).as("logw_micro"))
+
+  /** DSIR's resampling half: draw `k` documents WITHOUT replacement
+    * with probability proportional to exp(logw) — the Gumbel-top-k
+    * equivalence of A-ES in LOG space, because exp(logw) overflows any
+    * numeric type long before a real corpus stops needing it. Rank key:
+    *   g = ln(−ln u) − logw,   u = (md5 52-bit roll + 1) / 2^52
+    * ascending (smallest g ⇔ largest u^(1/w)); u is the SAME
+    * deterministic dice roll [[graft.curation.Curation]]'s weighted
+    * reservoir uses, so the draw is reproducible across engines,
+    * retries, and partitionings. Selection is the two-phase bounded
+    * TopK — no global sort. Output: (doc_id, rank), rank 1..k.
+    */
+  def dsirResample(weights: DataFrame, k: Int): DataFrame = {
+    val roll = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long")
+    val u = (roll + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    val g = log(-log(u)) - col("logw_micro").cast("double") / lit(1e6)
+    val scored = weights.select(lit(0L).as("query_id"),
+      col("doc_id").cast("long").as("neighbor_id"), (lit(0d) - g).as("cos"))
+    graft.similarity.SimilaritySearch.rankTopK(scored, k)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+  }
+
   /** Retrieval evaluation — "measure, don't guess" for the TEXT ranking
     * stack, the [[graft.similarity.SimilaritySearch.recallAtK]] sibling:
     * per ranked query, the rank of the first relevant result and its

@@ -339,6 +339,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chain(ex).contains("pack bound"))
   }
 
+  test("dsir: target-like docs score positive, raw-only negative; model bounded; resample deterministic") {
+    val target = Seq((101L, "alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),                 // target-style bigrams
+      (2L, "junk noise words junk noise"))      // bigrams target never saw
+      .toDF("doc_id", "text")
+    val m = CorpusOps.dsirModel(raw, col("doc_id"), col("text"),
+      target, col("doc_id"), col("text"), buckets = 64)
+    // the model is bounded by the feature space, never the vocabulary
+    assert(m.weights.count() <= 64)
+    val w = CorpusOps.dsirLogWeights(raw, col("doc_id"), col("text"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(1L) > 0, s"target-like doc should score positive, got ${w(1L)}")
+    assert(w(2L) < 0, s"raw-only doc should score negative, got ${w(2L)}")
+    // resample: without replacement, ranks 1..k, bit-identical on rerun
+    val weights = CorpusOps.dsirLogWeights(raw, col("doc_id"), col("text"), m)
+    val s1 = CorpusOps.dsirResample(weights, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val s2 = CorpusOps.dsirResample(weights, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.map(_._2).toSeq == Seq(1L, 2L) && s1.map(_._1).distinct.length == 2)
+  }
+
   test("retrievalNdcg: graded gains, literal discounts, ideal from unretrieved docs, zero-hit kept") {
     // discount table is LITERAL and pinned (both engines embed it)
     val d = CorpusOps.ndcgDiscountMicro(10).toMap
