@@ -206,7 +206,10 @@ object SparkEntry {
       Some(sharedOracle("p110_audio_stats"))),
     ("q111_streaming_self_dedup",
       (s, d) => graft.streaming.StreamingQueries.selfDedupStream(s, d),
-      Some(sharedOracle("p114_self_dedup"))))
+      Some(sharedOracle("p114_self_dedup"))),
+    ("q112_streaming_funnel",
+      (s, d) => graft.streaming.StreamingQueries.filterFunnelStream(s, d),
+      Some(sharedOracle("p117_filter_funnel"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

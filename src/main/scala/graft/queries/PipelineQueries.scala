@@ -3541,7 +3541,76 @@ object PipelineQueries {
                ln(-ln((${sqlRoll52("CAST(doc_id AS VARCHAR)")} + 1)
                       / 4503599627370496.0))
                - CAST(logw_micro AS DOUBLE) / 1e6, doc_id) AS BIGINT) AS rank
-      FROM sc QUALIFY rank <= 100 ORDER BY rank""")))
+      FROM sc QUALIFY rank <= 100 ORDER BY rank""")),
+
+    // C4/Gopher filter funnel with per-gate attribution — the
+    // curation observability report: gates in fixed order (short-doc →
+    // lang → repetition → stopword density → token shape), each doc
+    // attributed to the FIRST gate that kills it, one row per stage
+    // plus an explicit __RETAINED row (shape never depends on data; a
+    // clean gate reports 0, not absence). Thresholds compare UNROUNDED
+    // exact-IEEE fractions — rounding at a comparison boundary is the
+    // p81 trap. One map-side metric pass + the repetition doc-keyed
+    // agg + ONE one-row conditional aggregation.
+    ("p117_filter_funnel", (s, d) => {
+      graft.text.CorpusOps.filterFunnel(
+          Tables.documents(s, d), col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("stage"))
+    }, Some {
+      val stopExpr = graft.functions.TextFunctions.langStopwords("en")
+        .map(w => s"CAST(len(list_filter(ltoks, x -> x = '$w')) AS BIGINT)")
+        .mkString(" + ")
+      s"""
+      WITH toks AS (SELECT doc_id, lang, ${sqlToks("text")} AS t,
+              CAST(length(text) AS DOUBLE) AS n_char,
+              ${sqlToks("lower(text)")} AS ltoks FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t)-1),
+                      i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END AS s FROM toks),
+      dup AS (SELECT doc_id, CASE WHEN len(s) > 0
+                THEN CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                     / CAST(len(s) AS DOUBLE)
+                ELSE 0.0 END AS dupf FROM sh),
+      tc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2),
+      md AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS topf FROM cnt GROUP BY 1),
+      m AS (SELECT t2.doc_id, lang, len(t2.t) AS n_tok, n_char,
+              CAST($stopExpr AS DOUBLE) AS stop_hits,
+              dupf, coalesce(topf, 0.0) AS topf
+            FROM toks t2 JOIN dup USING (doc_id) LEFT JOIN md USING (doc_id)),
+      k AS (SELECT CASE WHEN n_tok < 20 THEN 1
+                   WHEN lang <> 'en' THEN 2
+                   WHEN dupf > 0.08 OR topf > 0.1 THEN 3
+                   WHEN stop_hits / n_tok < 0.03 THEN 4
+                   WHEN n_char / n_tok < 3.0 OR n_char / n_tok > 10.0 THEN 5
+                   ELSE 0 END AS k FROM m),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+              CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+              CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+              CAST(sum(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+              CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT) AS k5
+            FROM k)
+      SELECT CAST(stage AS BIGINT) AS stage, gate,
+             CAST(n_in AS BIGINT) AS n_in,
+             CAST(n_killed AS BIGINT) AS n_killed,
+             CAST(n_out AS BIGINT) AS n_out
+      FROM (
+        SELECT 1 AS stage, 'min_tokens' AS gate, n AS n_in,
+               k1 AS n_killed, n - k1 AS n_out FROM a
+        UNION ALL SELECT 2, 'lang', n - k1, k2, n - k1 - k2 FROM a
+        UNION ALL SELECT 3, 'repetition', n - k1 - k2, k3,
+               n - k1 - k2 - k3 FROM a
+        UNION ALL SELECT 4, 'stopword_ratio', n - k1 - k2 - k3, k4,
+               n - k1 - k2 - k3 - k4 FROM a
+        UNION ALL SELECT 5, 'mean_token_length', n - k1 - k2 - k3 - k4, k5,
+               n - k1 - k2 - k3 - k4 - k5 FROM a
+        UNION ALL SELECT 6, '__RETAINED', n - k1 - k2 - k3 - k4 - k5, 0,
+               n - k1 - k2 - k3 - k4 - k5 FROM a)
+      ORDER BY stage"""
+    }))
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.

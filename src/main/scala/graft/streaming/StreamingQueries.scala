@@ -327,6 +327,26 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p117's filter funnel running AT INGEST — the governance-report
+    * twin (q103's quality-gate shape): the kill-attribution CASE is a
+    * pure map-side column in the scan stage
+    * ([[graft.text.CorpusOps.funnelKillMapSide]] — repetition fractions
+    * from array HOFs, same integer counts as the batch aggregation,
+    * equivalence spec-pinned), and the cross-batch state is ONE row of
+    * six associative counters ([[graft.text.CorpusOps.funnelAggCols]]),
+    * slice-independent by construction. The 6-row report expands
+    * batch-side at the epoch boundary through the shared
+    * [[graft.text.CorpusOps.funnelReport]].
+    */
+  def filterFunnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val k = documentsStream(spark, sfDir)
+      .select(CorpusOps.funnelKillMapSide(col("text"), col("lang")).as("k"))
+    val one = runToMemory(k.agg(CorpusOps.funnelAggCols.head,
+      CorpusOps.funnelAggCols.tail: _*))
+    CorpusOps.funnelReport(one).orderBy(col("stage"))
+  }
+
   /** p08's brute-force similarity search on the streaming engine: the
     * corpus STREAMS past a broadcast query set, each micro-batch scores
     * its vectors map-side, and the per-query top-k is the same

@@ -44,7 +44,22 @@ object CorpusOps {
     */
   def repetitionStats(docs: DataFrame, id: Column, text: Column, n: Int = 2,
                       maxDupNgramFrac: Double = 0.2,
-                      maxTopTokFrac: Double = 0.1): DataFrame = {
+                      maxTopTokFrac: Double = 0.1): DataFrame =
+    repetitionRawFracs(docs, id, text, n)
+      .select(col("doc_id"),
+        round(col("__dup_raw"), 4).as("dup_ngram_frac"),
+        round(col("__top_raw"), 4).as("top_tok_frac"))
+      .withColumn("repetitive",
+        col("dup_ngram_frac") > maxDupNgramFrac || col("top_tok_frac") > maxTopTokFrac)
+
+  /** [[repetitionStats]]'s fractions UNROUNDED — one exact IEEE
+    * division each, so a THRESHOLD comparison on them is engine-portable
+    * ([[filterFunnel]] gates here; display rounding at the output
+    * boundary is where engines can disagree on tie-looking values — the
+    * p81 lesson).
+    */
+  private[graft] def repetitionRawFracs(docs: DataFrame, id: Column,
+                                        text: Column, n: Int): DataFrame = {
     // duplicate-fraction from shingle rows: (doc, sh) counts, then
     // per-doc (total, distinct); docs with no shingles surface as NULL
     // and coalesce to 0.0 below
@@ -53,8 +68,8 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("total"), count(lit(1)).as("nd"))
       .select(col("doc_id"),
-        round((col("total") - col("nd")).cast("double") /
-          col("total").cast("double"), 4).as("dup_ngram_frac"))
+        ((col("total") - col("nd")).cast("double") /
+          col("total").cast("double")).as("__dup_raw"))
     // token mode: two-level aggregate, (doc, tok) counts then per-doc max
     val mode = docs
       .select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("tok"))
@@ -62,15 +77,13 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
       .select(col("doc_id"),
-        round(col("top_c").cast("double") / col("n_tok").cast("double"), 4)
-          .as("top_tok_frac"))
+        (col("top_c").cast("double") / col("n_tok").cast("double"))
+          .as("__top_raw"))
     docs.select(id.as("doc_id"))
       .join(dup, Seq("doc_id"), "left").join(mode, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"),
-        coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
-      .withColumn("repetitive",
-        col("dup_ngram_frac") > maxDupNgramFrac || col("top_tok_frac") > maxTopTokFrac)
+        coalesce(col("__dup_raw"), lit(0.0)).as("__dup_raw"),
+        coalesce(col("__top_raw"), lit(0.0)).as("__top_raw"))
   }
 
   /** Eval-set decontamination: flag training documents sharing any
@@ -960,6 +973,130 @@ object CorpusOps {
       col("doc_id").cast("long").as("neighbor_id"), (lit(0d) - g).as("cos"))
     graft.similarity.SimilaritySearch.rankTopK(scored, k)
       .select(col("neighbor_id").as("doc_id"), col("rank"))
+  }
+
+  /** C4/Gopher-style filter FUNNEL with per-gate attribution — the
+    * observability report a production curation pipeline publishes
+    * beside its output: gates apply in a fixed order (short-doc →
+    * language → repetition → stopword density → token-shape), each
+    * document is attributed to the FIRST gate that kills it, and the
+    * report is one row per stage — (stage, gate, n_in, n_killed,
+    * n_out) — plus an explicit `__RETAINED` row (the p113 rule: totals
+    * are emitted, never implied). The report's shape never depends on
+    * the data — a gate that kills nothing reports 0, not absence (the
+    * data-quality-rules rule).
+    *
+    * Gate thresholds compare UNROUNDED exact-IEEE fractions
+    * ([[repetitionRawFracs]]) — display rounding at a comparison
+    * boundary is where engines disagree on tie-looking values.
+    *
+    * Scale shape: token/stopword/shape metrics are map-side column
+    * programs in the scan stage; the repetition fractions ride their
+    * one doc-keyed aggregation; attribution is a CASE; and the whole
+    * report collapses through ONE one-row conditional aggregation
+    * (map-side combined) before a literal 6-struct explode — adding a
+    * gate adds a `sum(when(...))` column, never a pass.
+    */
+  def filterFunnel(docs: DataFrame, id: Column, text: Column, lang: Column,
+                   minTokens: Int = 20, keepLang: String = "en",
+                   maxDupBigramFrac: Double = 0.08,
+                   maxTopTokFrac: Double = 0.1,
+                   minStopRatio: Double = 0.03,
+                   minMeanTokLen: Double = 3.0,
+                   maxMeanTokLen: Double = 10.0): DataFrame = {
+    require(minTokens >= 1, s"filterFunnel: minTokens must be >= 1 (the " +
+      s"short-doc gate also guards the per-token divisions), got $minTokens")
+    val m = docs.select(id.as("doc_id"), lang.as("__lang"),
+        size(TextFunctions.tokens(text)).cast("long").as("__n_tok"),
+        length(text).cast("double").as("__n_char"),
+        TextFunctions.langScore(text, keepLang).as("__stop_hits"))
+      .join(repetitionRawFracs(docs, id, text, n = 2), Seq("doc_id"))
+    val killed = m.select(
+      when(col("__n_tok") < minTokens, 1L)
+        .when(col("__lang") =!= keepLang, 2L)
+        .when(col("__dup_raw") > maxDupBigramFrac ||
+          col("__top_raw") > maxTopTokFrac, 3L)
+        .when(col("__stop_hits").cast("double") / col("__n_tok") < minStopRatio, 4L)
+        .when(col("__n_char") / col("__n_tok") < minMeanTokLen ||
+          col("__n_char") / col("__n_tok") > maxMeanTokLen, 5L)
+        .otherwise(0L).as("k"))
+    funnelReport(killed.agg(funnelAggCols.head, funnelAggCols.tail: _*))
+  }
+
+  /** The funnel's one-row conditional aggregation columns over a `k`
+    * (killed-at-stage) column — SHARED by the batch report and the
+    * streaming twin, whose cross-batch state is exactly this one row
+    * (sums and counts are associative, so the fold is slice-independent).
+    */
+  private[graft] def funnelAggCols: Seq[Column] =
+    count(lit(1)).as("n") +:
+      (1 to 5).map(i =>
+        coalesce(sum(when(col("k") === i, 1L).otherwise(0L)), lit(0L))
+          .as(s"k$i"))
+
+  /** Expand the funnel's one-row counts into the 6-row report — literal
+    * struct explode, trivially batch-side. Shared by both executions so
+    * the report shape cannot drift.
+    */
+  private[graft] def funnelReport(one: DataFrame): DataFrame = {
+    val gates = Seq("min_tokens", "lang", "repetition",
+      "stopword_ratio", "mean_token_length")
+    val rows = gates.zipWithIndex.map { case (g, i) =>
+      val prior = (1 to i).map(j => col(s"k$j")).foldLeft(lit(0L))(_ + _)
+      struct(lit((i + 1).toLong).as("stage"), lit(g).as("gate"),
+        (col("n") - prior).as("n_in"), col(s"k${i + 1}").as("n_killed"),
+        (col("n") - prior - col(s"k${i + 1}")).as("n_out"))
+    } :+ {
+      val all = (1 to 5).map(j => col(s"k$j")).reduce(_ + _)
+      struct(lit(6L).as("stage"), lit("__RETAINED").as("gate"),
+        (col("n") - all).as("n_in"), lit(0L).as("n_killed"),
+        (col("n") - all).as("n_out"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+        col("r.n_in").as("n_in"), col("r.n_killed").as("n_killed"),
+        col("r.n_out").as("n_out"))
+  }
+
+  /** [[filterFunnel]]'s kill attribution as a PURE MAP-SIDE column —
+    * the streaming-twin form: the repetition fractions come from array
+    * HOFs over the token array instead of the exploded two-level
+    * aggregation, producing the SAME integer counts and therefore the
+    * SAME exact-IEEE fractions (equivalence spec-pinned, the
+    * scrubSpansMapSide pattern). The token-mode scan is O(distinct ×
+    * tokens) per document — fine for web-document sizes; book-length
+    * inputs should chunk first or use the batch form. Returns the
+    * killed-at-stage code (0 = retained).
+    */
+  private[graft] def funnelKillMapSide(text: Column, lang: Column,
+                                       minTokens: Int = 20,
+                                       keepLang: String = "en",
+                                       maxDupBigramFrac: Double = 0.08,
+                                       maxTopTokFrac: Double = 0.1,
+                                       minStopRatio: Double = 0.03,
+                                       minMeanTokLen: Double = 3.0,
+                                       maxMeanTokLen: Double = 10.0): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChar = length(text).cast("double")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dupf = when(size(bigrams) > 0,
+      (size(bigrams) - size(array_distinct(bigrams))).cast("double") /
+        size(bigrams).cast("double")).otherwise(lit(0.0))
+    val topf = when(nTok > 0,
+      array_max(transform(array_distinct(toks),
+        x => size(filter(toks, y => y === x)))).cast("double") /
+        nTok.cast("double")).otherwise(lit(0.0))
+    when(nTok < minTokens, 1L)
+      .when(lang =!= keepLang, 2L)
+      .when(dupf > maxDupBigramFrac || topf > maxTopTokFrac, 3L)
+      .when(TextFunctions.langScore(text, keepLang).cast("double") / nTok
+        < minStopRatio, 4L)
+      .when(nChar / nTok < minMeanTokLen || nChar / nTok > maxMeanTokLen, 5L)
+      .otherwise(0L)
   }
 
   /** Retrieval evaluation — "measure, don't guess" for the TEXT ranking

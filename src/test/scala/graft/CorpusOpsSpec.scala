@@ -364,6 +364,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s1.map(_._2).toSeq == Seq(1L, 2L) && s1.map(_._1).distinct.length == 2)
   }
 
+  test("filterFunnel: sequential attribution on constructed docs; map-side kill equals batch form") {
+    // one doc per gate, in gate order, plus one clean survivor
+    val the20 = Seq.fill(10)("the x").mkString(" ")           // 20 toks, half stopwords
+    val docs = Seq(
+      (1L, "en", "too short"),                                 // gate 1
+      (2L, "fr", the20),                                       // gate 2
+      (3L, "en", Seq.fill(20)("dup").mkString(" ")),           // gate 3 (top-tok)
+      (4L, "en", (1 to 20).map(i => s"w$i").mkString(" ")),    // gate 4 (no stopwords)
+      (5L, "en", "the " + (1 to 19)                            // gate 5 (25-char toks)
+        .map(i => f"verylongtokenpayload$i%05d").mkString(" ")),
+      (6L, "en", (1 to 18).map(i => s"word$i").mkString(" ")   // retained: distinct
+        + " the the"))                                         // bigrams, 10% stopwords
+      .toDF("doc_id", "lang", "text")
+    val rep = CorpusOps.filterFunnel(docs, col("doc_id"), col("text"), col("lang"))
+      .orderBy("stage")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rep.map(x => (x._1, x._2, x._4)).toSeq == Seq(
+      (1L, "min_tokens", 1L), (2L, "lang", 1L), (3L, "repetition", 1L),
+      (4L, "stopword_ratio", 1L), (5L, "mean_token_length", 1L),
+      (6L, "__RETAINED", 0L)))
+    // funnel arithmetic: n_in chains, n_out = n_in - n_killed
+    rep.sliding(2).foreach { case Array(a, b) => assert(a._5 == b._3) }
+    // the streaming twin's map-side kill column attributes identically
+    val ks = docs.select(col("doc_id"),
+        CorpusOps.funnelKillMapSide(col("text"), col("lang")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ks == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 0L))
+    // batch and map-side agree on the REAL corpus too (report equality)
+    val corpus = Tables.documents(spark, TestSpark.sf).limit(200)
+    val batchKill =
+      CorpusOps.filterFunnel(corpus, col("doc_id"), col("text"), col("lang"))
+        .orderBy("stage").collect().map(_.toSeq)
+    val mapSideReport = CorpusOps.funnelReport(
+        corpus.select(CorpusOps.funnelKillMapSide(col("text"), col("lang")).as("k"))
+          .agg(CorpusOps.funnelAggCols.head, CorpusOps.funnelAggCols.tail: _*))
+      .orderBy("stage").collect().map(_.toSeq)
+    assert(batchKill.toSeq == mapSideReport.toSeq)
+  }
+
   test("retrievalNdcg: graded gains, literal discounts, ideal from unretrieved docs, zero-hit kept") {
     // discount table is LITERAL and pinned (both engines embed it)
     val d = CorpusOps.ndcgDiscountMicro(10).toMap
