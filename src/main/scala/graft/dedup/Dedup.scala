@@ -1022,6 +1022,41 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * n-gram gates ([[graft.text.CorpusOps.decontaminate]]): a
+    * paraphrased benchmark question shares no 3-gram with its source
+    * but sits next to it in embedding space, so the leakage gate a
+    * careful pretraining pipeline runs is BOTH. Every training vector
+    * reports its nearest EVAL vector (rounded-cosine argmax, smallest
+    * eval id on ties — the packed-argmax election rule) and whether
+    * that similarity reaches `threshold`. Clean vectors are KEPT in
+    * the report with their max cosine (the recallAtK rule: an inner
+    * join would drop exactly the rows a reviewer must see).
+    *
+    * Scale shape: the eval panel is SMALL by construction (the
+    * [[graft.text.CorpusOps.bloomDecontaminate]] bound) and arrives
+    * broadcast, so the scan is one map-side cross score + one
+    * vec-keyed max — no corpus-sized shuffle of vectors. For eval sets
+    * too large to broadcast, route through the IVF index
+    * ([[graft.similarity.SimilaritySearch]]) instead.
+    *
+    * Output: (vec_id, eval_id, max_eval_cos, contaminated).
+    */
+  def semanticDecontam(train: DataFrame, trainId: Column, trainVec: Column,
+                       evalDf: DataFrame, evalId: Column, evalVec: Column,
+                       threshold: Double): DataFrame = {
+    val t = train.select(trainId.cast("long").as("vec_id"), trainVec.as("v"))
+    val e = evalDf.select(evalId.cast("long").as("eval_id"), evalVec.as("ev"))
+    t.join(broadcast(e))
+      .select(col("vec_id"), col("eval_id"),
+        round(VectorFunctions.cosine(col("v"), col("ev")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+        col("m.cos").as("max_eval_cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * partition the embedding space by nearest centroid, then inside each

@@ -3610,7 +3610,39 @@ object PipelineQueries {
         UNION ALL SELECT 6, '__RETAINED', n - k1 - k2 - k3 - k4 - k5, 0,
                n - k1 - k2 - k3 - k4 - k5 FROM a)
       ORDER BY stage"""
-    }))
+    }),
+
+    // Semantic decontamination — the embedding-space companion to the
+    // n-gram leakage gates (a paraphrase shares no 3-gram but sits next
+    // to its source in embedding space): every train vector reports its
+    // nearest vector in the eval panel (vec_id % 97 = 0) via the
+    // packed-argmax election (rounded cosine, smallest eval id on ties)
+    // and whether that reaches the threshold; clean vectors stay in the
+    // report. Eval panel broadcast — one map-side score + one vec-keyed
+    // max, no corpus-sized vector shuffle.
+    ("p118_semantic_decontam", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Dedup.semanticDecontam(
+          embs.filter(col("vec_id") % 97 =!= 0), col("vec_id"), col("embedding"),
+          embs.filter(col("vec_id") % 97 === 0), col("vec_id"), col("embedding"),
+          threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      t AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+      ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 97 = 0),
+      c AS (SELECT t.vec_id, ev.eval_id,
+              round(list_dot_product(t.v, ev.evv) /
+                    (sqrt(list_dot_product(t.v, t.v)) *
+                     sqrt(list_dot_product(ev.evv, ev.evv))), 6) AS cos
+            FROM t, ev),
+      r AS (SELECT vec_id, eval_id, cos,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, eval_id ASC) AS rn
+            FROM c)
+      SELECT vec_id, eval_id, cos AS max_eval_cos,
+             cos >= 0.35 AS contaminated
+      FROM r WHERE rn = 1 ORDER BY vec_id""")))
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.
