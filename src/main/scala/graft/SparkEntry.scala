@@ -209,7 +209,10 @@ object SparkEntry {
       Some(sharedOracle("p114_self_dedup"))),
     ("q112_streaming_funnel",
       (s, d) => graft.streaming.StreamingQueries.filterFunnelStream(s, d),
-      Some(sharedOracle("p117_filter_funnel"))))
+      Some(sharedOracle("p117_filter_funnel"))),
+    ("q113_streaming_dsir",
+      (s, d) => graft.streaming.StreamingQueries.dsirScoring(s, d),
+      Some(sharedOracle("p115_dsir_weights"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -497,6 +497,30 @@ object StreamingQueries {
     runToMemory(CorpusOps.scoreLogOdds(toks, model)).orderBy(col("doc_id"))
   }
 
+  /** p115's DSIR importance scoring on the streaming engine — the
+    * model-artifact deployment shape ([[perplexityScoring]]'s rule):
+    * the ≤ buckets-row importance table trains BATCH-side on the
+    * corpus snapshot ([[graft.text.CorpusOps.dsirModel]]), and the
+    * document stream scores against it through the SAME
+    * [[graft.text.CorpusOps.dsirLogWeights]] definition (stream-static
+    * broadcast join over the shared hashed-feature expansion —
+    * batch-identical by construction). Streaming state is the per-doc
+    * (count, integer micro-unit sum) pair, order- and
+    * slice-independent.
+    */
+  def dsirScoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val docs = graft.Tables.documents(spark, sfDir)
+    val model = CorpusOps.dsirModel(
+      docs.filter(col("doc_id") % 101 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 101 === 0), col("doc_id"), col("text"),
+      buckets = 4096)
+    val scored = CorpusOps.dsirLogWeights(
+      documentsStream(spark, sfDir).filter(col("doc_id") % 101 =!= 0),
+      col("doc_id"), col("text"), model)
+    runToMemory(scored).orderBy(col("doc_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language
