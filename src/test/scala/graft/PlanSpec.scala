@@ -381,4 +381,29 @@ class PlanSpec extends AnyFunSuite {
       s"attribution windows should share one user exchange:\n$p")
     assert(countExchanges(p) <= 2, s"unexpected extra exchange:\n$p")
   }
+
+  test("p114 self-dedup: election is a hash-keyed agg, no cartesian, no single-partition stage") {
+    val p = plan("p114_self_dedup")
+    // shingle windows + h-keyed election/hit join + doc-keyed islands/
+    // reassembly + presentation sort; a quadratic pair materialization
+    // or a driver-funnel stage must never appear
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"self-dedup must not plan a cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"self-dedup planned a single-partition stage:\n$p")
+    assert("Exchange hashpartitioning\\(h".r.findFirstIn(p).isDefined,
+      s"first-occurrence election should shuffle on the shingle hash:\n$p")
+  }
+
+  test("p117 filter funnel: metrics stay in the scan + repetition aggs; no cartesian") {
+    val p = plan("p117_filter_funnel")
+    // repetition's two doc-keyed agg chains + the metrics join; the
+    // one-row report agg's SinglePartition is the accepted one-row-stats
+    // shape — but nothing corpus-sized may funnel there, so the hash
+    // exchange count is the guard
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"funnel must not plan a cartesian:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5,
+      s"funnel metrics shuffled more than the repetition aggs + join:\n$p")
+  }
 }
