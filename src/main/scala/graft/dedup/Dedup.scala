@@ -1008,6 +1008,42 @@ object Dedup {
             (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
 
+  /** LSH recall S-curve — "measure, don't guess" for the DEDUP stack
+    * (the [[graft.similarity.SimilaritySearch.recallAtK]] sibling):
+    * against a labeled pair panel (all within-source pairs at test SF;
+    * any tractable ground-truth panel in production), band every
+    * overlapping pair by its EXACT Jaccard — integer banding
+    * `(10·|A∩B|) div |A∪B|`, no float at the boundary — and count how
+    * many of each band the banded-MinHash candidate generator
+    * ([[minhashCandidates]], the REAL operator including its
+    * `maxBucket` cap) actually surfaces. The output is the measured
+    * S-curve: recall should rise steeply across the threshold band the
+    * (numBands, rowsPerBand) config targets, and the LOW bands should
+    * stay near zero — selectivity, which is what keeps the verify pass
+    * affordable. Run it on a panel before committing an LSH config to
+    * a 100 TB pass.
+    *
+    * Only pairs sharing ≥ 1 shingle enter the curve (disjoint pairs
+    * are band 0 by the trillions at scale and carry no information).
+    * Output: (band, n_true, n_found), band ascending 0..10.
+    */
+  def lshRecallByBand(docs: DataFrame, id: Column, text: Column,
+                      pairs: DataFrame, shingleN: Int = 3,
+                      numBands: Int = 4, rowsPerBand: Int = 2,
+                      maxBucket: Option[Int] = None): DataFrame = {
+    val banded = pairShingleStats(docs, id, text, pairs, shingleN)
+      .filter(col("n_inter") >= 1)
+      .withColumn("band",
+        expr("(10 * n_inter) div (n_a + n_b - n_inter)"))
+    val cand = minhashCandidates(docs, id, text, shingleN, numBands,
+        rowsPerBand, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+    banded.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__f")), lit(0L)).as("n_found"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
     * sign-bucket LSH (per-bucket self-join instead of O(n²)).
     */

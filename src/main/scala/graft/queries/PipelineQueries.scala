@@ -3642,7 +3642,47 @@ object PipelineQueries {
             FROM c)
       SELECT vec_id, eval_id, cos AS max_eval_cos,
              cos >= 0.35 AS contaminated
-      FROM r WHERE rn = 1 ORDER BY vec_id""")))
+      FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
+    // LSH recall S-curve — measure, don't guess, for the dedup stack:
+    // every overlapping within-source pair banded by EXACT Jaccard
+    // (integer (10·inter) div union — no float at the boundary), then
+    // how many per band the REAL banded-MinHash candidate generator
+    // (incl. maxBucket cap) surfaces. Recall should rise steeply across
+    // the configured threshold band; low bands near zero = selectivity.
+    // The report to read before committing an LSH config to a 100 TB
+    // pass.
+    ("p119_lsh_recall", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("source"), col("doc_id").as("id_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.lshRecallByBand(docs, col("doc_id"), col("text"), pairs)
+        .orderBy(col("band"))
+    }, Some(s"""
+      WITH $minhashBandsCtes,
+      cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      shd AS (SELECT DISTINCT s.doc_id, d.source, unnest(s.shingles) AS g
+              FROM sh s JOIN documents d USING (doc_id)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                  count(*) AS n_inter
+                FROM shd sa JOIN shd sb
+                  ON sa.source = sb.source AND sa.g = sb.g
+                 AND sa.doc_id < sb.doc_id
+                GROUP BY 1, 2),
+      tr AS (SELECT id_a, id_b,
+               (10 * n_inter) // (na.n_sh + nb.n_sh - n_inter) AS band
+             FROM inter JOIN sizes na ON na.doc_id = id_a
+                        JOIN sizes nb ON nb.doc_id = id_b)
+      SELECT CAST(band AS BIGINT) AS band, count(*) AS n_true,
+             CAST(sum(CASE WHEN cd.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM tr LEFT JOIN cd ON tr.id_a = cd.id_a AND tr.id_b = cd.id_b
+      GROUP BY 1 ORDER BY 1""")))
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.
