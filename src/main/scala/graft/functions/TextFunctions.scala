@@ -143,4 +143,36 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+", " "))
+
+  /** Unicode NFC normalization — the multilingual-ingest prerequisite:
+    * the same visible text arrives in composed (é) and decomposed
+    * (e + U+0301) forms across crawls, and every downstream hash
+    * (dedup fingerprints, shingles, URL keys) treats them as DIFFERENT
+    * bytes unless ingest canonicalizes first. `java.text.Normalizer`
+    * implements the same Unicode normalization the oracle's
+    * `nfc_normalize` (utf8proc) does, so the canonical form is
+    * engine-portable. A JVM UDF (no `functions._` equivalent — the
+    * exact-set-probe rule); nulls pass through.
+    */
+  def nfcNormalize(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
+  /** Accent folding: NFD-decompose, drop combining marks, NFC-compose
+    * what remains — "café" → "cafe". The search-side companion to
+    * [[nfcNormalize]] (match queries against accent-folded text); dual
+    * of the oracle's `strip_accents`. Nulls pass through.
+    */
+  def stripAccents(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}", ""),
+        java.text.Normalizer.Form.NFC))
+    f(text)
+  }
 }

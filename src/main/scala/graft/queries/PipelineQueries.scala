@@ -3682,7 +3682,44 @@ object PipelineQueries {
              CAST(sum(CASE WHEN cd.id_a IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_found
       FROM tr LEFT JOIN cd ON tr.id_a = cd.id_a AND tr.id_b = cd.id_b
-      GROUP BY 1 ORDER BY 1""")))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Unicode normalization at ingest — the multilingual prerequisite:
+    // the same visible text arrives composed (é) and decomposed
+    // (e+U+0301) across crawls, and every downstream hash (dedup
+    // fingerprints, shingles, URL keys) sees DIFFERENT bytes unless
+    // ingest canonicalizes. Fixture (p109's formula-duality pattern —
+    // the synthetic corpus is pure ASCII): every 4th doc gains a
+    // DECOMPOSED accent block, identical bytes in both engines; Spark
+    // normalizes via java.text.Normalizer, the oracle via
+    // nfc_normalize/strip_accents (utf8proc) — agreement pins that the
+    // canonical form is engine-portable, not an implementation quirk.
+    ("p120_text_normalize", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" " + decomposedFixture)))
+            .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"),
+          TextFunctions.nfcNormalize(col("text")).as("norm"),
+          TextFunctions.stripAccents(col("text")).as("folded"),
+          (TextFunctions.nfcNormalize(col("text")) =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH fx AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+                    THEN text || ' $decomposedFixture' ELSE text END AS text
+                  FROM documents)
+      SELECT doc_id, nfc_normalize(text) AS norm,
+             strip_accents(text) AS folded,
+             nfc_normalize(text) <> text AS changed
+      FROM fx ORDER BY doc_id""")))
+
+  /** p120's planted accent block in DECOMPOSED form (combining marks,
+    * not precomposed code points) — the byte sequence both engines
+    * synthesize and then normalize.
+    */
+  private val decomposedFixture: String =
+    "de\u0301cor cafe\u0301 nai\u0308ve fac\u0327ade A\u0308pfel"
 
   /** p113's mixture weights — skewed so the repetition cap actually
     * bites at small SF; shared verbatim with the oracle's VALUES list.
