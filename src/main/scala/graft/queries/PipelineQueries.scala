@@ -3462,40 +3462,7 @@ object PipelineQueries {
       graft.text.CorpusOps.selfDedupSpans(
           Tables.documents(s, d), col("doc_id"), col("text"), n = 8)
         .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
-             FROM toks),
-      s2 AS (SELECT doc_id, i - 1 AS pos,
-               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
-      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
-             FROM s2 GROUP BY h),
-      hits AS (SELECT doc_id, pos, pos + 7 AS e
-               FROM s2 JOIN fw USING (h)
-               WHERE c > 1 AND doc_id * 1048576 + pos <> w),
-      isl AS (SELECT doc_id, pos, e,
-                max(e) OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-              FROM hits),
-      i2 AS (SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1
-                       THEN 1 ELSE 0 END AS ns FROM isl),
-      i3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS UNBOUNDED PRECEDING) AS span_id FROM i2),
-      sp AS (SELECT doc_id, min(pos) AS ss, max(e) AS se
-             FROM i3 GROUP BY doc_id, span_id),
-      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
-             FROM toks WHERE len(t) >= 1),
-      t2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tk),
-      dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
-               EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = t2.doc_id
-                      AND t2.pos BETWEEN sp.ss AND sp.se) AS d
-             FROM t2)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
-                      '') AS deduped
-      FROM dr GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some(selfDedupOracle(""))),
 
     // DSIR importance weights — domain matching via hashed bigram
     // features: the target slice (doc_id % 101 = 0, the in-domain
@@ -3712,7 +3679,68 @@ object PipelineQueries {
       SELECT doc_id, nfc_normalize(text) AS norm,
              strip_accents(text) AS folded,
              nfc_normalize(text) <> text AS changed
-      FROM fx ORDER BY doc_id""")))
+      FROM fx ORDER BY doc_id""")),
+
+    // Incremental span self-dedup — the production ExactSubstr cycle:
+    // the existing corpus's first-occurrence election is a frozen disk
+    // INDEX (built once, artifact round-trip oracle-gated like p77),
+    // and the new crawl batch dedups against it without re-reading the
+    // corpus — indexed shingles always beat batch occurrences (the
+    // crawl-order contract, loud per-row), new shingles elect within
+    // the batch. Result == p114 over the union, restricted to the
+    // batch (old ids < 250 ≤ new ids makes the orders agree).
+    ("p121_span_index_serve", (s, d) => {
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_span_idx")
+      CorpusOps.buildSpanIndex(docs.filter(col("doc_id") < 250),
+        col("doc_id"), col("text"), n = 8, dir)
+      CorpusOps.selfDedupIncremental(docs.filter(col("doc_id") >= 250),
+          col("doc_id"), col("text"), s.read.parquet(dir), n = 8)
+        .orderBy(col("doc_id"))
+    }, Some(selfDedupOracle("WHERE doc_id >= 250"))))
+
+  /** The span self-dedup oracle (p114), parameterized by a final WHERE
+    * over the scrub output — the election always runs corpus-wide; the
+    * incremental serve twin (p121) restricts the OUTPUT to the new
+    * crawl batch (`finalWhere = "WHERE doc_id >= 250"`), which equals
+    * the index-serve result because old ids precede new ids in the
+    * (doc_id, pos) total order.
+    */
+  private def selfDedupOracle(finalWhere: String): String = s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
+      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
+             FROM s2 GROUP BY h),
+      hits AS (SELECT doc_id, pos, pos + 7 AS e
+               FROM s2 JOIN fw USING (h)
+               WHERE c > 1 AND doc_id * 1048576 + pos <> w),
+      isl AS (SELECT doc_id, pos, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM hits),
+      i2 AS (SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1
+                       THEN 1 ELSE 0 END AS ns FROM isl),
+      i3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id FROM i2),
+      sp AS (SELECT doc_id, min(pos) AS ss, max(e) AS se
+             FROM i3 GROUP BY doc_id, span_id),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+             FROM toks WHERE len(t) >= 1),
+      t2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tk),
+      dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
+               EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = t2.doc_id
+                      AND t2.pos BETWEEN sp.ss AND sp.se) AS d
+             FROM t2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
+                      '') AS deduped
+      FROM dr $finalWhere GROUP BY doc_id ORDER BY doc_id"""
 
   /** p120's planted accent block in DECOMPOSED form (combining marks,
     * not precomposed code points) — the byte sequence both engines

@@ -469,6 +469,53 @@ object CorpusOps {
           s => s("tok")), " ").as("deduped"))
   }
 
+  /** Materialize the span first-occurrence INDEX — [[selfDedupSpans]]'s
+    * election as a served artifact, the production ExactSubstr shape:
+    * a 100 TB corpus is deduplicated ONCE, and each day's crawl batch
+    * then dedups against the frozen index without ever re-reading the
+    * corpus. One row per DISTINCT corpus shingle — (h, w, c) with w
+    * the packed first-occurrence key — vocabulary-of-shingles-sized,
+    * the inverted-index storage rule.
+    */
+  def buildSpanIndex(docs: DataFrame, id: Column, text: Column,
+                     n: Int, dir: String): Unit =
+    packedSpanShingles(docs, id, text, n)
+      .groupBy(col("h"))
+      .agg(min(col("__k")).as("w"), count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Incremental span self-dedup of a NEW crawl batch against a frozen
+    * [[buildSpanIndex]] artifact — the corpus is never re-read. The
+    * combined election is derivable locally: a batch occurrence of an
+    * INDEXED shingle always loses (the crawl-order contract below), a
+    * shingle new to the index elects within the batch, and a shingle
+    * seen once in the batch and never before stays unique. Output
+    * equals [[selfDedupSpans]] over (corpus ∪ batch) restricted to the
+    * batch — oracle-pinned.
+    *
+    * Crawl-order contract (loud, per-row): every batch id must follow
+    * every indexed id in the (doc_id, pos) total order — an id reused
+    * or interleaved with the index would silently flip elections, so
+    * it raises instead.
+    */
+  def selfDedupIncremental(batch: DataFrame, id: Column, text: Column,
+                           indexDf: DataFrame, n: Int = 8): DataFrame = {
+    val be = packedSpanShingles(batch, id, text, n)
+      .groupBy(col("h"))
+      .agg(min(col("__k")).as("__bw"), count(lit(1)).as("__bc"))
+    val firsts = be
+      .join(indexDf.select(col("h"), col("w").as("__iw")), Seq("h"), "left")
+      .filter(col("__iw").isNotNull || col("__bc") > 1)
+      .select(col("h"),
+        when(col("__iw").isNull || col("__iw") <= col("__bw"),
+          coalesce(col("__iw"), col("__bw")))
+          .otherwise(raise_error(concat(
+            lit("selfDedupIncremental: crawl-order contract violated — " +
+              "a batch id precedes the indexed winner for shingle "),
+            col("h")))).as("__w"))
+    scrubSelfHits(batch, id, text, firsts, n)
+  }
+
   /** Winnow-probed decontamination: [[decontaminate]]'s gate, but both
     * sides probe winnow-SELECTED fingerprints
     * ([[graft.dedup.Dedup.winnowFingerprints]]) instead of every n-gram

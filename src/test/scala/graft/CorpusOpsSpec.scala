@@ -339,6 +339,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chain(ex).contains("pack bound"))
   }
 
+  test("selfDedupIncremental: indexed spans scrub the batch; crawl-order violation raises") {
+    val old = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val dir = graft.sources.Sinks.tempArtifactDir("graft_span_idx_spec")
+    CorpusOps.buildSpanIndex(old, col("doc_id"), col("text"), n = 3, dir)
+    val idx = spark.read.parquet(dir)
+    // batch doc pastes old span "a b c d" at pos 2..5; rest is new
+    val batch = Seq((5L, "x y a b c d z")).toDF("doc_id", "text")
+    val out = CorpusOps.selfDedupIncremental(batch, col("doc_id"),
+      col("text"), idx, n = 3).head()
+    assert(out.getAs[String]("deduped") == "x y z" &&
+      out.getAs[Long]("n_dropped") == 4L)
+    // an id preceding the indexed winner would silently flip the
+    // election — it must raise instead
+    val bad = Seq((0L, "a b c q r")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      CorpusOps.selfDedupIncremental(bad, col("doc_id"), col("text"),
+        idx, n = 3).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + chain(t.getCause)
+    assert(chain(ex).contains("crawl-order"))
+  }
+
   test("dsir: target-like docs score positive, raw-only negative; model bounded; resample deterministic") {
     val target = Seq((101L, "alpha beta gamma alpha beta gamma"))
       .toDF("doc_id", "text")
