@@ -3698,7 +3698,37 @@ object PipelineQueries {
       CorpusOps.selfDedupIncremental(docs.filter(col("doc_id") >= 250),
           col("doc_id"), col("text"), s.read.parquet(dir), n = 8)
         .orderBy(col("doc_id"))
-    }, Some(selfDedupOracle("WHERE doc_id >= 250"))))
+    }, Some(selfDedupOracle("WHERE doc_id >= 250"))),
+
+    // Span-index LIFECYCLE — log-structured segments (the
+    // bm25IndexSegment shape): each crawl batch lands its own election
+    // as an append-only segment=<label> partition; the merged election
+    // is one h-keyed min/sum aggregation at serve time (associative —
+    // segment count never changes the answer) and equals the
+    // whole-corpus election, pinned here with two segments. Serve cost
+    // scales with INDEX size; the corpus is never re-read.
+    ("p122_span_index_lifecycle", (s, d) => {
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_span_seg")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") < 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s1")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") >= 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s2")
+      CorpusOps.serveSpanIndex(s, dir).orderBy(col("h"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
+      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
+             FROM s2 GROUP BY h)
+      SELECT h, CAST(w // 1048576 AS BIGINT) AS keeper_doc,
+             CAST(w % 1048576 AS BIGINT) AS keeper_idx,
+             CAST(c AS BIGINT) AS n_instances
+      FROM fw WHERE c > 1 ORDER BY h""")))
 
   /** The span self-dedup oracle (p114), parameterized by a final WHERE
     * over the scrub output — the election always runs corpus-wide; the

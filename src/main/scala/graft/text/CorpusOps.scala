@@ -484,6 +484,38 @@ object CorpusOps {
       .agg(min(col("__k")).as("w"), count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Log-structured [[buildSpanIndex]]: each crawl batch lands its OWN
+    * election — (h, w, c) over just that batch — as a `segment=<label>`
+    * partition, append-only (the bm25IndexSegment shape). The combined
+    * election is derivable at serve time because min and sum are
+    * associative across segments; no segment ever rewrites another.
+    */
+  def appendSpanSegment(docs: DataFrame, id: Column, text: Column,
+                        n: Int, dir: String, segment: String): Unit =
+    packedSpanShingles(docs, id, text, n)
+      .groupBy(col("h"))
+      .agg(min(col("__k")).as("w"), count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$dir/segment=$segment")
+
+  /** Serve the merged election from a segmented span index: one
+    * h-keyed aggregation over the segment rows (min/sum — associative,
+    * so segment count never changes the answer), duplicated shingles
+    * only, winners unpacked. Identical to [[selfDedupSpans]]'s election
+    * over the union of all appended batches — oracle-pinned. Segment
+    * rows, not corpus tokens, are what moves: the serve cost scales
+    * with index size, the corpus is never re-read.
+    */
+  def serveSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("h"))
+      .agg(min(col("w")).as("__w"), sum(col("c")).as("n_instances"))
+      .filter(col("n_instances") > 1)
+      .select(col("h"),
+        expr(s"__w div ${1L << 20}L").as("keeper_doc"),
+        (col("__w") % lit(1L << 20)).as("keeper_idx"),
+        col("n_instances"))
+
   /** Incremental span self-dedup of a NEW crawl batch against a frozen
     * [[buildSpanIndex]] artifact — the corpus is never re-read. The
     * combined election is derivable locally: a batch occurrence of an
