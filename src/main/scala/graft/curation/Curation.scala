@@ -254,6 +254,41 @@ object Curation {
       .drop("__n", "__cp")
   }
 
+  /** Packing-efficiency report over a [[packSequences]] layout — the
+    * dataloader observability sibling of [[packManifest]]: per group,
+    * how many training sequences the layout yields (the last one
+    * padded), how many tokens that padding wastes, the efficiency in
+    * integer permille, and how many documents SPAN a sequence boundary
+    * (each spanning doc is an attention-mask cut — the number a
+    * sequence-length sweep trades against padding waste). Pure integer
+    * arithmetic on the pack columns; the only shuffle is the group
+    * aggregation riding [[packSequences]]' own exchange.
+    *
+    * Output: (group, n_docs, total_tokens, n_spanning, n_seqs,
+    * pad_tokens, efficiency_permille); an all-empty group reports 0
+    * efficiency, not a division error.
+    */
+  def packingEfficiency(df: DataFrame, group: Column, order: Column,
+                        tokens: Column, seqLen: Long,
+                        tiebreak: Column*): DataFrame = {
+    val packed = packSequences(df.withColumn("__pe_tok", tokens.cast("long")),
+      group, order, col("__pe_tok"), seqLen, tiebreak: _*)
+    packed
+      .groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__pe_tok")), lit(0L)).as("total_tokens"),
+        coalesce(sum(when(col("n_seqs") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_spanning"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * seqLen - col("total_tokens"))
+      .withColumn("efficiency_permille",
+        when(col("n_seqs") > 0,
+          expr(s"(total_tokens * 1000) div (n_seqs * ${seqLen}L)"))
+          .otherwise(lit(0L)))
+  }
+
   /** The DATALOADER's view of a [[packSequences]] layout: one row per
     * (training sequence, document span) — for each sequence, which
     * documents fill it, where each span starts inside the sequence

@@ -3728,7 +3728,45 @@ object PipelineQueries {
       SELECT h, CAST(w // 1048576 AS BIGINT) AS keeper_doc,
              CAST(w % 1048576 AS BIGINT) AS keeper_idx,
              CAST(c AS BIGINT) AS n_instances
-      FROM fw WHERE c > 1 ORDER BY h""")))
+      FROM fw WHERE c > 1 ORDER BY h""")),
+
+    // Packing-efficiency report — the dataloader observability beside
+    // p74's manifest: per source, sequences yielded (last one padded),
+    // tokens the padding wastes, integer-permille efficiency, and how
+    // many docs SPAN a boundary (each spanning doc is an attention-mask
+    // cut — what a sequence-length sweep trades against padding). Pure
+    // integer arithmetic on the p32 pack columns; one group agg riding
+    // the pack's own exchange.
+    ("p123_packing_efficiency", (s, d) => {
+      graft.curation.Curation.packingEfficiency(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), seqLen = 512L)
+        .orderBy(col("group"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n FROM documents),
+      c AS (SELECT doc_id, source, n,
+              coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+            FROM t),
+      sq AS (SELECT source, n,
+               CASE WHEN n = 0 THEN 0
+                 ELSE (cp + n - 1) // 512 - cp // 512 + 1 END AS nseqs
+             FROM c),
+      g AS (SELECT source AS "group", count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN nseqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_spanning
+            FROM sq GROUP BY 1)
+      SELECT "group", n_docs, total_tokens, n_spanning,
+             CAST((total_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+             CAST((total_tokens + 511) // 512 * 512 - total_tokens AS BIGINT)
+               AS pad_tokens,
+             CAST(CASE WHEN total_tokens > 0
+               THEN total_tokens * 1000 // ((total_tokens + 511) // 512 * 512)
+               ELSE 0 END AS BIGINT) AS efficiency_permille
+      FROM g ORDER BY "group"""")))
 
   /** The span self-dedup oracle (p114), parameterized by a final WHERE
     * over the scrub output — the election always runs corpus-wide; the
