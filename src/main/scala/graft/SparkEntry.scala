@@ -212,7 +212,10 @@ object SparkEntry {
       Some(sharedOracle("p117_filter_funnel"))),
     ("q113_streaming_dsir",
       (s, d) => graft.streaming.StreamingQueries.dsirScoring(s, d),
-      Some(sharedOracle("p115_dsir_weights"))))
+      Some(sharedOracle("p115_dsir_weights"))),
+    ("q114_streaming_span_log",
+      (s, d) => graft.streaming.StreamingQueries.spanIndexLog(s, d),
+      Some(sharedOracle("p122_span_index_lifecycle"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -924,6 +924,27 @@ object StreamingQueries {
       .orderBy(col("tok"))
   }
 
+  /** p122's span-index lifecycle with the segment APPENDS running on
+    * the streaming engine — q67's exactly-once segment-log recipe over
+    * the span election: each micro-batch builds its own (h, w, c)
+    * segment through the SAME
+    * [[graft.text.CorpusOps.spanSegment]] the batch appender uses and
+    * lands it idempotently; the merged serve is the SAME
+    * [[graft.text.CorpusOps.mergeSpanSegments]] h-keyed min/sum — both
+    * associative, so the result equals the whole-corpus election no
+    * matter how ingest slices into batches. Shares p122's oracle.
+    */
+  def spanIndexLog(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val segSchema = StructType(Seq(
+      StructField("h", StringType), StructField("w", LongType),
+      StructField("c", LongType), StructField("batch_id", LongType)))
+    CorpusOps.mergeSpanSegments(
+        runSegmentLog(spark, sfDir, "graft_spanseg", segSchema)(
+          CorpusOps.spanSegment(_, col("doc_id"), col("text"), n = 8)))
+      .orderBy(col("h"))
+  }
+
   /** q67's log with the TAKEDOWN feed folded in: the corpus streams
     * into per-batch index segments exactly as q67, and compaction
     * receives the tombstoned doc_ids — deletes are input to the one

@@ -492,10 +492,18 @@ object CorpusOps {
     */
   def appendSpanSegment(docs: DataFrame, id: Column, text: Column,
                         n: Int, dir: String, segment: String): Unit =
+    spanSegment(docs, id, text, n)
+      .write.mode("overwrite").parquet(s"$dir/segment=$segment")
+
+  /** One batch's span-election segment — (h, w, c) over just that
+    * batch. SHARED by the batch appender and the streaming log twin
+    * (the chunkRows rule).
+    */
+  private[graft] def spanSegment(docs: DataFrame, id: Column, text: Column,
+                                 n: Int): DataFrame =
     packedSpanShingles(docs, id, text, n)
       .groupBy(col("h"))
       .agg(min(col("__k")).as("w"), count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$dir/segment=$segment")
 
   /** Serve the merged election from a segmented span index: one
     * h-keyed aggregation over the segment rows (min/sum — associative,
@@ -507,7 +515,13 @@ object CorpusOps {
     */
   def serveSpanIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    spark.read.parquet(dir)
+    mergeSpanSegments(spark.read.parquet(dir))
+
+  /** The segment merge itself — shared by the disk-layout server and
+    * the streaming log twin.
+    */
+  private[graft] def mergeSpanSegments(segs: DataFrame): DataFrame =
+    segs
       .groupBy(col("h"))
       .agg(min(col("w")).as("__w"), sum(col("c")).as("n_instances"))
       .filter(col("n_instances") > 1)
