@@ -3730,6 +3730,62 @@ object PipelineQueries {
              CAST(c AS BIGINT) AS n_instances
       FROM fw WHERE c > 1 ORDER BY h""")),
 
+    // Span-index TAKEDOWN serve — a removed document must stop being
+    // the canonical copy: a tombstoned winner promotes to the global
+    // runner-up EXACTLY (segment top-2s always contain the global
+    // top-2 — no corpus re-read), and a shingle whose two smallest
+    // occurrences are BOTH tombstoned is emitted as an explicit dirty
+    // row (keeper −1), never silently dropped. n_instances stays the
+    // pre-takedown upper bound (documented). Tombstones: doc_id % 13.
+    ("p124_span_takedown", (s, d) => {
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_span_td")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") < 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s1")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") >= 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s2")
+      CorpusOps.serveSpanIndexWithTombstones(s, dir,
+          docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+        .orderBy(col("h"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
+             FROM toks),
+      occ AS (SELECT doc_id * 1048576 + (i - 1) AS k,
+                CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS seg,
+                md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
+      sgf AS (SELECT h, seg, min(k) AS w, count(*) AS c
+              FROM occ GROUP BY 1, 2),
+      sg2 AS (SELECT o.h, o.seg, min(o.k) AS w2
+              FROM occ o JOIN sgf ON o.h = sgf.h AND o.seg = sgf.seg
+              WHERE o.k > sgf.w GROUP BY 1, 2),
+      sgs AS (SELECT sgf.h, sgf.seg, w, w2, c
+              FROM sgf LEFT JOIN sg2 ON sgf.h = sg2.h AND sgf.seg = sg2.seg),
+      f1 AS (SELECT h, min(w) AS w1, CAST(sum(c) AS BIGINT) AS n_instances
+             FROM sgs GROUP BY h HAVING CAST(sum(c) AS BIGINT) > 1),
+      cand AS (SELECT h, w AS k FROM sgs
+               UNION ALL SELECT h, w2 FROM sgs WHERE w2 IS NOT NULL),
+      surv AS (SELECT h, min(k) AS ans FROM cand
+               WHERE (k // 1048576) % 13 <> 0 GROUP BY h),
+      risk AS (SELECT h, min(w2) AS rmin FROM sgs
+               WHERE c > 2 AND (w // 1048576) % 13 = 0
+                 AND (w2 // 1048576) % 13 = 0 GROUP BY h),
+      fin AS (SELECT f1.h, w1, n_instances, ans, rmin,
+                ans IS NULL OR (rmin IS NOT NULL AND rmin < ans) AS dirty
+              FROM f1 LEFT JOIN surv ON f1.h = surv.h
+                      LEFT JOIN risk ON f1.h = risk.h)
+      SELECT h,
+             CAST(CASE WHEN dirty THEN -1 ELSE ans // 1048576 END AS BIGINT)
+               AS keeper_doc,
+             CAST(CASE WHEN dirty THEN -1 ELSE ans % 1048576 END AS BIGINT)
+               AS keeper_idx,
+             n_instances,
+             (NOT dirty AND ans <> w1) AS repaired,
+             dirty
+      FROM fin ORDER BY h""")),
+
     // Packing-efficiency report — the dataloader observability beside
     // p74's manifest: per source, sequences yielded (last one padded),
     // tokens the padding wastes, integer-permille efficiency, and how

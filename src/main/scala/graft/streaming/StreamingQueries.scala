@@ -938,7 +938,8 @@ object StreamingQueries {
     import graft.text.CorpusOps
     val segSchema = StructType(Seq(
       StructField("h", StringType), StructField("w", LongType),
-      StructField("c", LongType), StructField("batch_id", LongType)))
+      StructField("w2", LongType), StructField("c", LongType),
+      StructField("batch_id", LongType)))
     CorpusOps.mergeSpanSegments(
         runSegmentLog(spark, sfDir, "graft_spanseg", segSchema)(
           CorpusOps.spanSegment(_, col("doc_id"), col("text"), n = 8)))

@@ -495,15 +495,84 @@ object CorpusOps {
     spanSegment(docs, id, text, n)
       .write.mode("overwrite").parquet(s"$dir/segment=$segment")
 
-  /** One batch's span-election segment — (h, w, c) over just that
-    * batch. SHARED by the batch appender and the streaming log twin
-    * (the chunkRows rule).
+  /** One batch's span-election segment — (h, w, w2, c) over just that
+    * batch, where `w2` is the IN-SEGMENT runner-up key (null when the
+    * segment holds one occurrence). SHARED by the batch appender and
+    * the streaming log twin (the chunkRows rule). The runner-up is
+    * what makes TAKEDOWNS repairable at serve time
+    * ([[serveSpanIndexWithTombstones]]): the global top-2 of all
+    * occurrences is always contained in the union of segment top-2s,
+    * so a tombstoned winner promotes exactly without re-reading any
+    * corpus. Cost: one extra aggregation sharing the h partitioning
+    * (exact integer keys — a double-scored bounded buffer would
+    * corrupt packed keys above 2^52).
     */
   private[graft] def spanSegment(docs: DataFrame, id: Column, text: Column,
-                                 n: Int): DataFrame =
-    packedSpanShingles(docs, id, text, n)
-      .groupBy(col("h"))
+                                 n: Int): DataFrame = {
+    val p = packedSpanShingles(docs, id, text, n)
+    val m1 = p.groupBy(col("h"))
       .agg(min(col("__k")).as("w"), count(lit(1)).as("c"))
+    val m2 = p.join(m1.select(col("h"), col("w")), Seq("h"))
+      .filter(col("__k") > col("w"))
+      .groupBy(col("h")).agg(min(col("__k")).as("w2"))
+    m1.join(m2, Seq("h"), "left")
+      .select(col("h"), col("w"), col("w2"), col("c"))
+  }
+
+  /** Serve the merged election UNDER a takedown feed — the span
+    * index's tombstone story ([[graft.similarity.SimilaritySearch]]'s
+    * ANN index and the BM25 segments have theirs; passage dedup needs
+    * one too, because a removed document must stop being the canonical
+    * copy). Per duplicated shingle the answer is the smallest SURVIVING
+    * candidate key, candidates = every segment's stored top-2 — which
+    * is EXACT unless some segment could hide a smaller survivor: a
+    * segment holding ≥3 occurrences whose two known smallest are BOTH
+    * tombstoned has unstored occurrences anywhere above its runner-up,
+    * so if that runner-up sits below the answer the row is DIRTY
+    * (emitted explicitly with keeper −1, never silently dropped — the
+    * no-silent-caps rule; remediation = re-append those docs'
+    * segment). Exactness of the clean rows is structural: any true
+    * survivor smaller than the answer would either be a stored
+    * candidate (contradicting minimality) or force its segment into
+    * the dirty rule. `n_instances` stays the PRE-takedown count
+    * (per-doc occurrence counts are not stored; documented upper
+    * bound). `repaired` = the pre-takedown winner lost its document
+    * and a survivor was promoted.
+    */
+  def serveSpanIndexWithTombstones(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   tombstones: DataFrame): DataFrame = {
+    val posBits = 20
+    val segs = spark.read.parquet(dir)
+    val t = tombstones.select(col("doc_id").cast("long").as("td")).distinct()
+    val f1 = segs.groupBy(col("h"))
+      .agg(min(col("w")).as("w1"), sum(col("c")).as("n_instances"))
+      .filter(col("n_instances") > 1)
+    val cand = segs.select(col("h"), col("w").as("k"))
+      .unionByName(segs.filter(col("w2").isNotNull)
+        .select(col("h"), col("w2").as("k")))
+    val surv = cand
+      .join(t, expr(s"k div ${1L << posBits}L") === col("td"), "left_anti")
+      .groupBy(col("h")).agg(min(col("k")).as("__ans"))
+    val risk = segs.filter(col("c") > 2)
+      .join(t.select(col("td").as("__t1")),
+        expr(s"w div ${1L << posBits}L") === col("__t1"), "left_semi")
+      .join(t.select(col("td").as("__t2")),
+        expr(s"w2 div ${1L << posBits}L") === col("__t2"), "left_semi")
+      .groupBy(col("h")).agg(min(col("w2")).as("__rmin"))
+    f1.join(surv, Seq("h"), "left")
+      .join(risk, Seq("h"), "left")
+      .withColumn("__dirty", col("__ans").isNull ||
+        (col("__rmin").isNotNull && col("__rmin") < col("__ans")))
+      .select(col("h"),
+        when(col("__dirty"), lit(-1L))
+          .otherwise(expr(s"__ans div ${1L << posBits}L")).as("keeper_doc"),
+        when(col("__dirty"), lit(-1L))
+          .otherwise(col("__ans") % lit(1L << posBits)).as("keeper_idx"),
+        col("n_instances"),
+        (!col("__dirty") && col("__ans") =!= col("w1")).as("repaired"),
+        col("__dirty").as("dirty"))
+  }
 
   /** Serve the merged election from a segmented span index: one
     * h-keyed aggregation over the segment rows (min/sum — associative,

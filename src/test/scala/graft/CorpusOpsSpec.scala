@@ -362,6 +362,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chain(ex).contains("crawl-order"))
   }
 
+  test("span takedown serve: tombstoned winner promotes to runner-up across segments; double-kill is dirty") {
+    // span "a b c" occurs in docs 1 (seg1), 5 and 9 (seg2); "x y z"
+    // only in docs 1 and 5 — tombstoning 1 and 5 promotes "a b c" to
+    // doc 9 (repair crosses segments) and makes "x y z" dirty
+    val s1 = Seq((1L, "a b c q1 x y z")).toDF("doc_id", "text")
+    val s2 = Seq((5L, "a b c q5 x y z"), (9L, "a b c q9 r s t"))
+      .toDF("doc_id", "text")
+    val dir = graft.sources.Sinks.tempArtifactDir("graft_span_td_spec")
+    CorpusOps.appendSpanSegment(s1, col("doc_id"), col("text"), n = 3, dir, "s1")
+    CorpusOps.appendSpanSegment(s2, col("doc_id"), col("text"), n = 3, dir, "s2")
+    val tomb = Seq(1L, 5L).toDF("doc_id")
+    val out = CorpusOps.serveSpanIndexWithTombstones(spark, dir, tomb)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(4),
+        r.getBoolean(5))).toSeq
+    val abc = out.find(_._2 == 9L)
+    assert(abc.exists(x => x._3 && !x._4), s"expected cross-segment promote to doc 9: $out")
+    assert(out.count(x => x._4 && x._2 == -1L) >= 1, s"expected a dirty row: $out")
+    // without tombstones the plain serve still answers doc 1
+    val plain = CorpusOps.serveSpanIndex(spark, dir)
+      .filter(col("keeper_doc") === 1L).count()
+    assert(plain >= 1)
+  }
+
   test("dsir: target-like docs score positive, raw-only negative; model bounded; resample deterministic") {
     val target = Seq((101L, "alpha beta gamma alpha beta gamma"))
       .toDF("doc_id", "text")
