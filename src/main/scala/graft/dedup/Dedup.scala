@@ -1008,6 +1008,60 @@ object Dedup {
             (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
 
+  /** Dedup ABLATION table — the report dedup papers publish and a
+    * pipeline owner reads before choosing tiers: for each tier run
+    * INDEPENDENTLY on the raw corpus (not sequentially — this measures
+    * each tier's own reach), how many documents it touches and how
+    * many tokens it would remove. Tiers: `exact` (whole-doc
+    * fingerprint non-keepers), `url` (canonical-URL non-keepers),
+    * `chunk` (non-kept fixed-token chunks), `span` (later occurrences
+    * of corpus-repeated n-token spans). Each tier is one aggregate
+    * over its existing machinery; the report is 4 fixed rows of
+    * integers (the no-silent-caps shape — a tier that removes nothing
+    * reports 0).
+    */
+  def dedupAblation(docs: DataFrame, id: Column, text: Column,
+                    canonicalUrl: Column, chunkTokens: Int = 8,
+                    spanN: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = docs.select(id.cast("long").as("doc_id"),
+      text.as("__text"), TextFunctions.tokenCount(text).as("__ntok"),
+      canonicalUrl.as("__cu"))
+    def tier(name: String, rm: DataFrame, docCol: Column,
+             tokCol: Column): DataFrame =
+      rm.agg(
+          coalesce(count(docCol), lit(0L)).as("docs_affected"),
+          coalesce(sum(tokCol), lit(0L)).as("tokens_removed"))
+        .select(lit(name).as("tier"), col("docs_affected"),
+          col("tokens_removed"))
+    val fp = base.select(col("doc_id"), col("__ntok"),
+      TextFunctions.fingerprint(col("__text")).as("f"))
+    val exact = tier("exact",
+      fp.join(fp.groupBy(col("f")).agg(min(col("doc_id")).as("k")), Seq("f"))
+        .filter(col("doc_id") =!= col("k")),
+      col("doc_id"), col("__ntok"))
+    val url = tier("url",
+      base.join(base.groupBy(col("__cu")).agg(min(col("doc_id")).as("k")),
+          Seq("__cu"))
+        .filter(col("doc_id") =!= col("k")),
+      col("doc_id"), col("__ntok"))
+    val cr = chunkRows(docs, id, text, chunkTokens)
+    val nonKept = cr
+      .join(cr.groupBy(col("f")).agg(min(col("packed")).as("p")), Seq("f"))
+      .filter(col("packed") =!= col("p"))
+    val chunk = nonKept
+      .agg(coalesce(count_distinct(col("doc_id")), lit(0L)).as("docs_affected"),
+        coalesce(sum(size(TextFunctions.tokens(col("chunk"))).cast("long")),
+          lit(0L)).as("tokens_removed"))
+      .select(lit("chunk").as("tier"), col("docs_affected"),
+        col("tokens_removed"))
+    val span = tier("span",
+      graft.text.CorpusOps.selfDedupSpans(docs, id, text, spanN)
+        .filter(col("n_dropped") > 0),
+      col("doc_id"), col("n_dropped"))
+    exact.unionByName(url).unionByName(chunk).unionByName(span)
+  }
+
   /** LSH recall S-curve — "measure, don't guess" for the DEDUP stack
     * (the [[graft.similarity.SimilaritySearch.recallAtK]] sibling):
     * against a labeled pair panel (all within-source pairs at test SF;

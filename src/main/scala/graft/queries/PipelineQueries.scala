@@ -3786,6 +3786,61 @@ object PipelineQueries {
              dirty
       FROM fin ORDER BY h""")),
 
+    // Dedup ABLATION table — the report dedup papers publish: each
+    // tier (exact fingerprint, canonical URL, fixed-token chunk,
+    // repeated span) measured INDEPENDENTLY on the raw corpus — docs
+    // touched and tokens it would remove. 4 fixed integer rows; a tier
+    // removing nothing reports 0. The numbers a pipeline owner reads
+    // before choosing which tiers to pay for at 100 TB.
+    ("p125_dedup_ablation", (s, d) => {
+      Dedup.dedupAblation(Tables.documents(s, d), col("doc_id"),
+          col("text"), graft.functions.SourceFamily
+            .canonicalizeUrl(messyUrlFixture))
+        .orderBy(col("tier"))
+    }, Some(s"""
+      WITH $selfDedupCtes,
+      ntk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok FROM toks),
+      fpx AS (SELECT doc_id,
+                md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS f
+              FROM documents),
+      eg AS (SELECT f, min(doc_id) AS k FROM fpx GROUP BY 1),
+      ex AS (SELECT fpx.doc_id FROM fpx JOIN eg USING (f) WHERE doc_id <> k),
+      u AS (SELECT doc_id,
+              'https://www.' || source || '.com/a/b?x=1&y=2' AS cu
+            FROM documents),
+      ug AS (SELECT cu, min(doc_id) AS k FROM u GROUP BY 1),
+      ur AS (SELECT u.doc_id FROM u JOIN ug USING (cu) WHERE doc_id <> k),
+      chz AS (SELECT doc_id,
+                unnest(generate_series(0, CAST((len(t)+7)//8 AS BIGINT) - 1))
+                  AS idx, t
+              FROM toks WHERE len(t) >= 1),
+      cz2 AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+                array_to_string(t[idx*8+1 : idx*8+8], ' ') AS chunk FROM chz),
+      fpc AS (SELECT doc_id, idx, chunk, md5(chunk) AS f FROM cz2),
+      gc AS (SELECT f, min(doc_id * 1048576 + idx) AS p FROM fpc GROUP BY 1),
+      nk AS (SELECT fpc.doc_id, chunk FROM fpc JOIN gc USING (f)
+             WHERE doc_id * 1048576 + idx <> p),
+      sdoc AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS nd
+               FROM dr GROUP BY doc_id)
+      SELECT tier, docs_affected, tokens_removed FROM (
+        SELECT 'exact' AS tier, CAST(count(*) AS BIGINT) AS docs_affected,
+               CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tokens_removed
+        FROM ex JOIN ntk USING (doc_id)
+        UNION ALL
+        SELECT 'url', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(ntok), 0) AS BIGINT)
+        FROM ur JOIN ntk USING (doc_id)
+        UNION ALL
+        SELECT 'chunk', CAST(count(DISTINCT doc_id) AS BIGINT),
+               CAST(coalesce(sum(len(${sqlToks("chunk")})), 0) AS BIGINT)
+        FROM nk
+        UNION ALL
+        SELECT 'span', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(nd), 0) AS BIGINT)
+        FROM sdoc WHERE nd > 0)
+      ORDER BY tier""")),
+
     // Packing-efficiency report — the dataloader observability beside
     // p74's manifest: per source, sequences yielded (last one padded),
     // tokens the padding wastes, integer-permille efficiency, and how
@@ -3832,7 +3887,18 @@ object PipelineQueries {
     * (doc_id, pos) total order.
     */
   private def selfDedupOracle(finalWhere: String): String = s"""
-      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      WITH $selfDedupCtes
+      SELECT doc_id,
+             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
+                      '') AS deduped
+      FROM dr $finalWhere GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The CTE chain of [[selfDedupOracle]] up to `dr` (per-token drop
+    * verdicts) — shared with the ablation report's span tier.
+    */
+  private lazy val selfDedupCtes: String = s"""
+      toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
       sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
                THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
              FROM toks),
@@ -3859,12 +3925,7 @@ object PipelineQueries {
       dr AS (SELECT t2.doc_id, t2.pos, t2.tok,
                EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = t2.doc_id
                       AND t2.pos BETWEEN sp.ss AND sp.se) AS d
-             FROM t2)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-             coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT d), ' '),
-                      '') AS deduped
-      FROM dr $finalWhere GROUP BY doc_id ORDER BY doc_id"""
+             FROM t2)"""
 
   /** p120's planted accent block in DECOMPOSED form (combining marks,
     * not precomposed code points) — the byte sequence both engines
