@@ -215,7 +215,10 @@ object SparkEntry {
       Some(sharedOracle("p115_dsir_weights"))),
     ("q114_streaming_span_log",
       (s, d) => graft.streaming.StreamingQueries.spanIndexLog(s, d),
-      Some(sharedOracle("p122_span_index_lifecycle"))))
+      Some(sharedOracle("p122_span_index_lifecycle"))),
+    ("q115_streaming_semantic_decontam",
+      (s, d) => graft.streaming.StreamingQueries.semanticDecontamStream(s, d),
+      Some(sharedOracle("p118_semantic_decontam"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -297,6 +300,7 @@ object SparkEntry {
     "p110_audio_stats", "q109_attribution",
     // round-8 continued: span-level self-dedup (packed-key election
     // over every positional shingle + coverage scrub — the heaviest
-    // per-token corpus pass in the suite)
-    "p114_self_dedup")
+    // per-token corpus pass in the suite) and the 4-tier ablation
+    // report (exact + url + chunk + span machinery in one plan)
+    "p114_self_dedup", "p125_dedup_ablation")
 }

@@ -521,6 +521,44 @@ object StreamingQueries {
     runToMemory(scored).orderBy(col("doc_id"))
   }
 
+  /** p118's semantic decontamination AT INGEST — the stateless end of
+    * the spectrum: the eval panel is a broadcast constant, so every
+    * arriving vector's nearest-eval verdict is computable inside its
+    * own row (map-side cross score + a greatest-fold over the panel —
+    * no aggregation, ZERO streaming state, append mode). The same
+    * packed-argmax election as the batch operator: rounded cosine,
+    * smallest eval id on ties.
+    */
+  def semanticDecontamStream(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    // panel collected once, frozen at query start — small by
+    // construction (the bloomDecontaminate bound); sorted ascending so
+    // strict > keeps the SMALLEST eval id on a 6-dp tie, the batch
+    // packed-argmax rule (semanticStreamingDedup's centroid pattern)
+    val panel = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val typed = embeddingsStream(spark, sfDir)
+      .filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").cast("long").as("_1"),
+        col("embedding").cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+    val scored = typed.map { case (id, v) =>
+      var best = -1L
+      var bestCos = Double.NegativeInfinity
+      panel.foreach { case (eid, ev) =>
+        val c = graft.streaming.StatefulOps.cos6(ev, v)
+        if (c > bestCos) { best = eid; bestCos = c }
+      }
+      (id, best, bestCos, bestCos >= threshold)
+    }.toDF("vec_id", "eval_id", "max_eval_cos", "contaminated")
+    runToMemory(scored, mode = "append").orderBy(col("vec_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language
