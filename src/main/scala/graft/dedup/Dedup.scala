@@ -964,6 +964,37 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash Hamming-band recall curve — [[lshRecallByBand]]'s sibling
+    * for the pigeonhole generator: a labeled pair panel grouped by
+    * EXACT Hamming distance between the docs' simhash codes, against
+    * what [[simhashCandidates]] (the REAL operator, incl. its maxDist
+    * filter and hot-bucket cap) surfaces at each distance. The
+    * pigeonhole guarantee is measurable here: every pair with distance
+    * < bands MUST appear (some band is untouched), so recall below the
+    * band count reads 1.0 or the config is broken; distances past
+    * maxDist read 0 by definition — the filter boundary, visible
+    * instead of implied. Output: (hamming, n_true, n_found).
+    */
+  def simhashRecallByDistance(docs: DataFrame, id: Column, text: Column,
+                              pairs: DataFrame, bits: Int = 48,
+                              bands: Int = 4, maxDist: Int = 3,
+                              maxBucket: Option[Int] = None): DataFrame = {
+    val codes = simhash(docs, id, text, bits)
+    val truth = pairs
+      .join(codes.select(col("doc_id").as("id_a"), col("simhash").as("__ca")),
+        Seq("id_a"))
+      .join(codes.select(col("doc_id").as("id_b"), col("simhash").as("__cb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long").as("hamming"))
+    val cand = simhashCandidates(docs, id, text, bits, bands, maxDist, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__f")), lit(0L)).as("n_found"))
+  }
+
   /** Shared verify core for the pairwise shingle measures: for every
     * candidate pair, (n_inter, n_a, n_b) over distinct shingles. ALL
     * joins preserve the input pairs — a doc with fewer than shingleN

@@ -3786,6 +3786,60 @@ object PipelineQueries {
              dirty
       FROM fin ORDER BY h""")),
 
+    // SimHash Hamming-band recall curve — p119's sibling for the
+    // pigeonhole generator: within-source pairs grouped by EXACT
+    // Hamming distance between simhash codes vs what the real banded
+    // candidate operator surfaces per distance. Pigeonhole guarantee
+    // measurable: recall below the band count must read 1.0; past
+    // maxDist reads 0 — the filter boundary visible, not implied.
+    ("p126_simhash_recall", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("source"), col("doc_id").as("id_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.simhashRecallByDistance(docs, col("doc_id"), col("text"), pairs)
+        .orderBy(col("hamming"))
+    }, Some {
+      val sums = (0 until 48).map { b =>
+        val nib = s"(strpos('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1)"
+        val bit = s"CAST(floor($nib / ${1 << (b % 4)}) AS BIGINT) % 2"
+        s"sum($bit * 2 - 1) AS s_$b"
+      }.mkString(",\n               ")
+      val code = (0 until 48)
+        .map(b => s"(CASE WHEN s_$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok
+                   FROM documents),
+      hsh AS (SELECT doc_id, md5(tok) AS m FROM tok),
+      bits AS (SELECT doc_id,
+               $sums
+             FROM hsh GROUP BY 1),
+      codes AS (SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits),
+      bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS bv
+                FROM codes CROSS JOIN
+                  (SELECT unnest(generate_series(0, 3)) AS b) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+               FROM bands a JOIN bands c
+                 ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+               WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM documents a JOIN documents b
+               ON a.source = b.source AND a.doc_id < b.doc_id),
+      tr AS (SELECT pr.id_a, pr.id_b,
+               CAST(bit_count(xor(ca.simhash, cb.simhash)) AS BIGINT)
+                 AS hamming
+             FROM pr JOIN codes ca ON ca.doc_id = pr.id_a
+                     JOIN codes cb ON cb.doc_id = pr.id_b)
+      SELECT hamming, count(*) AS n_true,
+             CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM tr LEFT JOIN cand
+        ON tr.id_a = cand.id_a AND tr.id_b = cand.id_b
+      GROUP BY 1 ORDER BY 1"""
+    }),
+
     // Dedup ABLATION table — the report dedup papers publish: each
     // tier (exact fingerprint, canonical URL, fixed-token chunk,
     // repeated span) measured INDEPENDENTLY on the raw corpus — docs
