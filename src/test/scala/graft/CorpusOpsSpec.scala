@@ -339,6 +339,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chain(ex).contains("pack bound"))
   }
 
+  test("selfDedupSpans equals an independent reference on seeded random corpora") {
+    // independent implementation: library split + sliding + a mutable
+    // election map, no shared code with the production path
+    def ref(docs: Seq[(Long, String)], n: Int): Map[Long, (Long, String)] = {
+      val toks = docs.map { case (i, t) =>
+        i -> t.split("\\s+").filter(_.nonEmpty).toVector }
+      val first = scala.collection.mutable.Map[String, (Long, Int)]()
+      val count = scala.collection.mutable.Map[String, Int]()
+      for ((id, ts) <- toks.sortBy(_._1); i <- 0 to ts.length - n) {
+        val k = ts.slice(i, i + n).mkString(" ")
+        count(k) = count.getOrElse(k, 0) + 1
+        // iteration is (doc asc, pos asc), so first insertion is min
+        if (!first.contains(k)) first(k) = (id, i)
+      }
+      toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+        val drop = Array.fill(ts.length)(false)
+        for (i <- 0 to ts.length - n) {
+          val k = ts.slice(i, i + n).mkString(" ")
+          if (count(k) > 1 && first(k) != ((id, i)))
+            for (j <- i until i + n) drop(j) = true
+        }
+        val kept = ts.indices.filterNot(drop).map(ts)
+        id -> ((drop.count(identity).toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e") // tiny: collisions abound
+    for (trial <- 1 to 3) {
+      val docs = (0L until 15L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val expect = ref(docs, n = 3)
+      val got = CorpusOps.selfDedupSpans(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), n = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      assert(got == expect, s"trial $trial mismatch")
+    }
+  }
+
   test("selfDedupIncremental: indexed spans scrub the batch; crawl-order violation raises") {
     val old = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val dir = graft.sources.Sinks.tempArtifactDir("graft_span_idx_spec")
