@@ -238,6 +238,22 @@ class ControlSpec extends AnyFunSuite {
     assert(listener.timings.nonEmpty)
   }
 
+  test("operatorMetrics profiles every physical node after an action") {
+    val df = Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val prof = Timed.operatorMetrics(df)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // the scan produced rows and the aggregate's exchange is profiled
+    assert(prof.exists { case (op, m, v) =>
+      op.toLowerCase.contains("scan") && m == "numOutputRows" && v > 0 },
+      s"no populated scan metric:\n${prof.take(20).mkString("\n")}")
+    assert(prof.exists(_._1.contains("Exchange")),
+      s"exchange node missing from profile:\n${prof.map(_._1).distinct.mkString(", ")}")
+    // driver-side walk only: calling it twice is free and stable
+    assert(Timed.operatorMetrics(df).count() == prof.length)
+  }
+
   test("repeatEval generates elements from the rate clock") {
     val gen = udf(() => "gen")
     val df = graft.sources.Unfold.repeatEval(spark, rowsPerSecond = 100)
