@@ -218,7 +218,10 @@ object SparkEntry {
       Some(sharedOracle("p122_span_index_lifecycle"))),
     ("q115_streaming_semantic_decontam",
       (s, d) => graft.streaming.StreamingQueries.semanticDecontamStream(s, d),
-      Some(sharedOracle("p118_semantic_decontam"))))
+      Some(sharedOracle("p118_semantic_decontam"))),
+    ("q116_streaming_normalize",
+      (s, d) => graft.streaming.StreamingQueries.normalizeStream(s, d),
+      Some(sharedOracle("p120_text_normalize"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

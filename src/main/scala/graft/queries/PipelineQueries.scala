@@ -3985,7 +3985,7 @@ object PipelineQueries {
     * not precomposed code points) — the byte sequence both engines
     * synthesize and then normalize.
     */
-  private val decomposedFixture: String =
+  private[graft] val decomposedFixture: String =
     "de\u0301cor cafe\u0301 nai\u0308ve fac\u0327ade A\u0308pfel"
 
   /** p113's mixture weights — skewed so the repetition cap actually

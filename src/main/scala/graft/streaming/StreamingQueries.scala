@@ -559,6 +559,28 @@ object StreamingQueries {
     runToMemory(scored, mode = "append").orderBy(col("vec_id"))
   }
 
+  /** p120's Unicode normalization AT INGEST — where canonicalization
+    * belongs (every downstream fingerprint/shingle/URL key hashes the
+    * bytes this step fixes): the same planted decomposed-fixture
+    * synthesis, the same [[graft.functions.TextFunctions.nfcNormalize]]
+    * / [[graft.functions.TextFunctions.stripAccents]] map-side kernels,
+    * zero streaming state, append mode.
+    */
+  def normalizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val fixed = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" " + graft.queries.PipelineQueries.decomposedFixture)))
+          .otherwise(col("text")).as("text"))
+    val out = fixed.select(col("doc_id"),
+      TextFunctions.nfcNormalize(col("text")).as("norm"),
+      TextFunctions.stripAccents(col("text")).as("folded"),
+      (TextFunctions.nfcNormalize(col("text")) =!= col("text")).as("changed"))
+    runToMemory(out, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language
