@@ -698,7 +698,16 @@ object Curation {
       .withColumn("planned_tokens", col("take1") + col("extra"))
     val rows = planned.select(col("group"), col("n_tokens"),
       col("target_permille"), col("planned_tokens"),
-      expr("planned_tokens * 1000L div n_tokens").as("milli_epochs"),
+      // a weighted group with ZERO tokens would divide by zero — which
+      // non-ANSI div turns into a silent NULL in an all-integer plan
+      // table; it is a config/data bug (weight on an empty source), so
+      // it raises like the other mixturePlan contracts
+      when(col("n_tokens") > 0,
+        expr("planned_tokens * 1000L div n_tokens"))
+        .otherwise(raise_error(concat(
+          lit("mixturePlan: weighted group '"), col("group"),
+          lit("' has zero tokens — drop the weight or fix the source"))))
+        .as("milli_epochs"),
       (col("ideal") > col("cap")).as("capped"))
     val un = planned
       .agg((lit(budget) - sum(col("planned_tokens"))).as("p"))

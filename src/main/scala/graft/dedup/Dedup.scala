@@ -1168,6 +1168,14 @@ object Dedup {
                        threshold: Double): DataFrame = {
     val t = train.select(trainId.cast("long").as("vec_id"), trainVec.as("v"))
     val e = evalDf.select(evalId.cast("long").as("eval_id"), evalVec.as("ev"))
+    // an empty eval panel would silently drop EVERY train row through
+    // the cross join — a decontam gate that vanishes is worse than one
+    // that fails; raise loudly instead (panel is tiny, the probe is
+    // one cheap job; the streaming twin enforces the same contract on
+    // its collected panel)
+    require(!e.isEmpty,
+      "semanticDecontam: eval panel is empty — nothing to decontaminate " +
+        "against; check the eval slice predicate")
     t.join(broadcast(e))
       .select(col("vec_id"), col("eval_id"),
         round(VectorFunctions.cosine(col("v"), col("ev")), 6).as("cos"))

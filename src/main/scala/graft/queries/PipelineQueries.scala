@@ -3505,8 +3505,8 @@ object PipelineQueries {
     }, Some(s"""
       WITH $dsirCtes
       SELECT doc_id, CAST(row_number() OVER (ORDER BY
-               ln(-ln((${sqlRoll52("CAST(doc_id AS VARCHAR)")} + 1)
-                      / 4503599627370496.0))
+               ln(-ln(LEAST(${sqlRoll52("CAST(doc_id AS VARCHAR)")} + 1,
+                            4503599627370495) / 4503599627370496.0))
                - CAST(logw_micro AS DOUBLE) / 1e6, doc_id) AS BIGINT) AS rank
       FROM sc QUALIFY rank <= 100 ORDER BY rank""")),
 

@@ -850,8 +850,14 @@ object SimilaritySearch {
     require(version.matches("v[0-9]+"),
       s"repointIndexVersion: '$version' is not a version name")
     val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$baseDir/$version/.complete")),
-      s"repointIndexVersion: $version is missing or incomplete " +
+    require(fs.exists(new Path(s"$baseDir/$version")),
+      s"repointIndexVersion: $version does not exist under $baseDir")
+    // debris = reserved but never completed; a directory with NEITHER
+    // marker predates the protocol and is trusted (the gcIndexVersions
+    // rule — refusing a legacy rollback target would defeat rollback)
+    require(fs.exists(new Path(s"$baseDir/$version/.complete")) ||
+        !fs.exists(new Path(s"$baseDir/$version/.reserved")),
+      s"repointIndexVersion: $version never finished its build " +
         "(failed-build debris cannot serve)")
     pointCurrent(spark, baseDir, version)
   }
@@ -944,13 +950,20 @@ object SimilaritySearch {
   }
 
   /** Version garbage collection for a [[publishIndexVersion]] base dir:
-    * drop failed-build reservation debris (any non-current version
-    * without the `.complete` marker) plus superseded complete versions
+    * drop failed-build reservation debris — a version carrying the
+    * `.reserved` marker but never the `.complete` one (the build threw
+    * after reserving its number) — plus superseded complete versions
     * beyond the `keep` most recent, keeping the CURRENT version ALWAYS
     * (GC can never delete what serving resolves, even when an older
-    * version was re-pointed current for a rollback). Returns the
-    * dropped version names. Refuses a baseDir with no CURRENT marker —
-    * "GC an unpublished dir" is a caller bug, not a cleanup.
+    * version was re-pointed current for a rollback). A directory with
+    * NEITHER marker predates the marker protocol and is trusted as
+    * complete (deleting a pre-protocol rollback target on a marker
+    * technicality would be data loss); it ages out through the `keep`
+    * window like any complete version. Returns the dropped version
+    * names. Refuses a baseDir with no CURRENT marker — "GC an
+    * unpublished dir" is a caller bug, not a cleanup. Run GC only
+    * while no build is in flight: an ACTIVE build's reservation is
+    * indistinguishable from a crashed one's.
     */
   def gcIndexVersions(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String, keep: Int = 1): Seq[String] = {
@@ -961,8 +974,9 @@ object SimilaritySearch {
     val current = currentIndexDir(spark, baseDir).split('/').last
     val versions = fs.listStatus(base).map(_.getPath.getName)
       .filter(_.matches("v[0-9]+")).sortBy(-_.drop(1).toInt)
-    val (complete, debris) = versions.filterNot(_ == current)
-      .partition(v => fs.exists(new Path(s"$baseDir/$v/.complete")))
+    val (debris, complete) = versions.filterNot(_ == current)
+      .partition(v => fs.exists(new Path(s"$baseDir/$v/.reserved")) &&
+        !fs.exists(new Path(s"$baseDir/$v/.complete")))
     val drop = debris ++ complete.drop(keep)
     drop.foreach(v => fs.delete(new Path(s"$baseDir/$v"), true))
     drop.toSeq

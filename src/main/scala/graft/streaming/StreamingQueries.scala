@@ -542,6 +542,9 @@ object StreamingQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(panel.nonEmpty,
+      "semanticDecontamStream: eval panel is empty — the batch twin's " +
+        "contract, enforced here on the collected panel")
     val typed = embeddingsStream(spark, sfDir)
       .filter(col("vec_id") % 97 =!= 0)
       .select(col("vec_id").cast("long").as("_1"),
@@ -1782,13 +1785,6 @@ object StreamingQueries {
     out.orderBy(col("doc_id"))
   }
 
-  /** p109's PII redaction at INGEST — the scrub is a pure scan-stage
-    * column cascade (zero state by construction), so the stream
-    * applies it map-side in append mode; slice-independent trivially,
-    * and this is where a governance gate actually sits in production:
-    * PII never lands in the lake at all. Shares p109's oracle (same
-    * fixture synthesis, same stock pattern literals).
-    */
   /** p110's audio statistics on the streaming engine: the WAV encode /
     * decode pair is map-side (dataset maps, no state), and the per-clip
     * statistics fold is ONE media-keyed aggregation — state is a single
@@ -1806,6 +1802,13 @@ object StreamingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p109's PII redaction at INGEST — the scrub is a pure scan-stage
+    * column cascade (zero state by construction), so the stream
+    * applies it map-side in append mode; slice-independent trivially,
+    * and this is where a governance gate actually sits in production:
+    * PII never lands in the lake at all. Shares p109's oracle (same
+    * fixture synthesis, same stock pattern literals).
+    */
   def piiRedactStream(spark: SparkSession, sfDir: String): DataFrame = {
     val out = runToMemory(
       graft.text.CorpusOps.scrub(

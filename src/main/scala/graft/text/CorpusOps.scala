@@ -319,7 +319,12 @@ object CorpusOps {
     * the re-probe set shrinks monotonically and each dirty document
     * loses ≥ 1 token per round (termination is structural; `maxRounds`
     * is a loud-failure guard against a pathological eval set, the
-    * maxVocab rule). Output matches [[scrubSpansMapSide]] (doc_id,
+    * maxVocab rule). The guard is a CERTIFICATION bound, deliberately:
+    * convergence is only proven by a pass that cuts nothing, so if the
+    * last permitted pass still cut, the function raises even though
+    * the output MIGHT already be clean — an unverified "probably fine"
+    * is exactly what the hard guarantee exists to exclude (set
+    * maxRounds ≥ 2; 1 can never certify a corpus that needed any cut). Output matches [[scrubSpansMapSide]] (doc_id,
     * n_dropped, scrubbed) with n_dropped accumulated across rounds, and
     * the guarantee is HARD: no output document contains any eval
     * n-gram, seam-synthesized or not.
@@ -420,9 +425,12 @@ object CorpusOps {
     */
   private[graft] def withPackedSpanKey(sh: DataFrame): DataFrame = {
     val posBits = 20
+    // long multiply, NOT shiftleft: shiftleft keeps the input's integer
+    // type, so an IntegerType id column would wrap at 2^11 with the
+    // guard still green (the chunkRows rule)
     sh.withColumn("__k",
       when(col("pos") < (1L << posBits) && col("doc_id").between(0L, (1L << 43) - 1),
-        shiftleft(col("doc_id"), posBits) + col("pos"))
+        col("doc_id").cast("long") * lit(1L << posBits) + col("pos"))
         .otherwise(raise_error(concat(
           lit("selfDedupSpans: pack bound exceeded (0 <= doc_id < 2^43, " +
             s"pos < 2^$posBits required; chunk oversized docs first) at doc_id="),
@@ -1129,7 +1137,11 @@ object CorpusOps {
   def dsirResample(weights: DataFrame, k: Int): DataFrame = {
     val roll = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
       16, 10).cast("long")
-    val u = (roll + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    // clamp below 1: an all-ones roll would give u = 1, where Spark's
+    // log(-log(1)) = log(0) is NULL but the oracle's ln(0) is -inf —
+    // the one input that breaks cross-engine rank parity
+    val u = least(roll + 1, lit((1L << 52) - 1)).cast("double") /
+      lit(4503599627370496.0) // 2^52
     val g = log(-log(u)) - col("logw_micro").cast("double") / lit(1e6)
     val scored = weights.select(lit(0L).as("query_id"),
       col("doc_id").cast("long").as("neighbor_id"), (lit(0d) - g).as("cos"))

@@ -329,6 +329,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, 5L, "x y z"),              // later copy: the pasted span scrubs
       (3L, 4L, "p q r s"),            // second half scrubs, first stays
       (4L, 0L, "totally unique words here")))
+    // IntegerType ids must not wrap in the packed key (shiftleft keeps
+    // the input type; the pack multiplies in long space): an int id at
+    // 5000 packs above 2^32 and the election stays exact
+    val intIds = Seq((5000, "a b c d e"), (5001, "x y a b c d e z"))
+      .toDF("doc_id", "text")
+    val intOut = CorpusOps.selfDedupSpans(intIds, col("doc_id"), col("text"), n = 3)
+      .select(col("doc_id").cast("long"), col("n_dropped"), col("deduped"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(intOut.toSeq == Seq((5000L, 0L, "a b c d e"), (5001L, 5L, "x y z")))
     // ids outside the pack bound fail loudly, never mis-elect silently
     val bad = Seq((-1L, "a b c")).toDF("doc_id", "text")
     val ex = intercept[Exception] {

@@ -440,6 +440,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(SimilaritySearch.gcIndexVersions(spark, base, keep = 0) == Seq("v5"))
     assert(new java.io.File(s"$base/v3/tag").exists &&
       SimilaritySearch.currentIndexDir(spark, base).endsWith("/v3"))
+    // LEGACY version dirs (published before the marker protocol: no
+    // .reserved, no .complete) are trusted as complete — GC must not
+    // sweep them as debris, and rollback must accept them; only a
+    // reserved-but-never-completed dir is debris
+    writeMarker(s"$base/v6", "legacy")
+    new java.io.File(s"$base/v7").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/v7/.reserved"),
+      Array.empty[Byte])
+    assert(SimilaritySearch.gcIndexVersions(spark, base, keep = 1) == Seq("v7"))
+    assert(new java.io.File(s"$base/v6/tag").exists)
+    SimilaritySearch.repointIndexVersion(spark, base, "v6")
+    assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("/v6"))
+    SimilaritySearch.repointIndexVersion(spark, base, "v3")
   }
 
   test("retrainIndexVersion rebuilds from the index's live membership: appends fold in, tombstones stay dead") {
