@@ -3716,19 +3716,31 @@ object PipelineQueries {
       CorpusOps.appendSpanSegment(docs.filter(col("doc_id") >= 250),
         col("doc_id"), col("text"), n = 8, dir, segment = "s2")
       CorpusOps.serveSpanIndex(s, dir).orderBy(col("h"))
-    }, Some(s"""
-      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
-             FROM toks),
-      s2 AS (SELECT doc_id, i - 1 AS pos,
-               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
-      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
-             FROM s2 GROUP BY h)
-      SELECT h, CAST(w // 1048576 AS BIGINT) AS keeper_doc,
-             CAST(w % 1048576 AS BIGINT) AS keeper_idx,
-             CAST(c AS BIGINT) AS n_instances
-      FROM fw WHERE c > 1 ORDER BY h""")),
+    }, Some(spanElectionOracle)),
+
+    // Span-index COMPACTION — the lifecycle's rewrite point, matching
+    // the posting/sketch compactors: N segments fold into ONE
+    // segment-equivalent table (w/c by min/sum; the runner-up by
+    // two-smallest-of-the-candidate-union, exact because the global
+    // top-2 always lies in the union of segment top-2s). Serving the
+    // compacted table equals serving the segments equals the
+    // whole-corpus election — the same oracle pins all three. Takedown
+    // serving over a compacted table narrows to the global top-2
+    // (conservative, never a wrong promotion — spec-pinned): apply
+    // takedowns BEFORE compacting.
+    ("p127_span_index_compact", (s, d) => {
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Sinks.tempArtifactDir("graft_span_cmp")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") < 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s1")
+      CorpusOps.appendSpanSegment(docs.filter(col("doc_id") >= 250),
+        col("doc_id"), col("text"), n = 8, dir, segment = "s2")
+      val cdir = graft.sources.Sinks.tempArtifactDir("graft_span_cmp_out")
+      CorpusOps.compactSpanSegments(s.read.parquet(dir))
+        .write.mode("overwrite").parquet(s"$cdir/segment=c0")
+      CorpusOps.serveSpanIndex(s, cdir).orderBy(col("h"))
+    }, Some(spanElectionOracle)),
 
     // Span-index TAKEDOWN serve — a removed document must stop being
     // the canonical copy: a tombstoned winner promotes to the global
@@ -3932,6 +3944,25 @@ object PipelineQueries {
                THEN total_tokens * 1000 // ((total_tokens + 511) // 512 * 512)
                ELSE 0 END AS BIGINT) AS efficiency_permille
       FROM g ORDER BY "group"""")))
+
+  /** The whole-corpus span election in served form — (h, keeper,
+    * n_instances) for duplicated shingles. Pins p122 (segmented serve),
+    * p127 (compacted serve), and q114 (streaming segment log): all
+    * three must equal this because their folds are associative.
+    */
+  private lazy val spanElectionOracle: String = s"""
+      WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+               THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
+             FROM toks),
+      s2 AS (SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+7], ' ')) AS h FROM sh),
+      fw AS (SELECT h, min(doc_id * 1048576 + pos) AS w, count(*) AS c
+             FROM s2 GROUP BY h)
+      SELECT h, CAST(w // 1048576 AS BIGINT) AS keeper_doc,
+             CAST(w % 1048576 AS BIGINT) AS keeper_idx,
+             CAST(c AS BIGINT) AS n_instances
+      FROM fw WHERE c > 1 ORDER BY h"""
 
   /** The span self-dedup oracle (p114), parameterized by a final WHERE
     * over the scrub output — the election always runs corpus-wide; the

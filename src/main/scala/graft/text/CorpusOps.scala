@@ -527,6 +527,34 @@ object CorpusOps {
       .select(col("h"), col("w"), col("w2"), col("c"))
   }
 
+  /** Compact a segmented span index: N segments' (h, w, w2, c) rows
+    * fold into ONE segment-equivalent table — w/c by min/sum, the
+    * runner-up by two-smallest-of-the-candidate-union (exact: the
+    * global top-2 is always contained in the union of segment top-2s).
+    * Plain serving over the compacted table is IDENTICAL to serving
+    * the segments ([[mergeSpanSegments]] is the same fold — spec- and
+    * oracle-pinned). Takedown serving stays CORRECT but narrows:
+    * candidates beyond the global top-2 are gone, so a shingle whose
+    * two smallest occurrences are both tombstoned goes DIRTY where the
+    * uncompacted segments might still have repaired from a third
+    * candidate (conservativeness spec-pinned — a compacted answer is
+    * never a wrong promotion). Operational rule: apply takedowns
+    * BEFORE compacting, or keep segments while a takedown feed is
+    * live.
+    */
+  def compactSpanSegments(segs: DataFrame): DataFrame = {
+    val f1 = segs.groupBy(col("h"))
+      .agg(min(col("w")).as("w"), sum(col("c")).as("c"))
+    val cand = segs.select(col("h"), col("w").as("k"))
+      .unionByName(segs.filter(col("w2").isNotNull)
+        .select(col("h"), col("w2").as("k")))
+    val f2 = cand.join(f1.select(col("h"), col("w").as("__w1")), Seq("h"))
+      .filter(col("k") > col("__w1"))
+      .groupBy(col("h")).agg(min(col("k")).as("w2"))
+    f1.join(f2, Seq("h"), "left")
+      .select(col("h"), col("w"), col("w2"), col("c"))
+  }
+
   /** Serve the merged election UNDER a takedown feed — the span
     * index's tombstone story ([[graft.similarity.SimilaritySearch]]'s
     * ANN index and the BM25 segments have theirs; passage dedup needs

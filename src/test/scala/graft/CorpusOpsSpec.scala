@@ -434,6 +434,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     val plain = CorpusOps.serveSpanIndex(spark, dir)
       .filter(col("keeper_doc") === 1L).count()
     assert(plain >= 1)
+    // COMPACTION: plain serve identical; takedown serve narrows to the
+    // global top-2 — the cross-segment doc-9 repair above goes DIRTY
+    // after compacting (conservative, never a wrong promotion)
+    val cdir = graft.sources.Sinks.tempArtifactDir("graft_span_cmp_spec")
+    CorpusOps.compactSpanSegments(spark.read.parquet(dir))
+      .write.mode("overwrite").parquet(s"$cdir/segment=c0")
+    val a = CorpusOps.serveSpanIndex(spark, dir).collect().toSet
+    val b = CorpusOps.serveSpanIndex(spark, cdir).collect().toSet
+    assert(a == b, "compacted plain serve must equal segmented serve")
+    val td = CorpusOps.serveSpanIndexWithTombstones(spark, cdir, tomb)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4), r.getBoolean(5)))
+    assert(!td.exists(x => x._2 && x._1 == 9L),
+      "compacted takedown must not claim the lost doc-9 repair")
+    // clean rows never promote a tombstoned doc — conservative ≠ wrong
+    assert(td.forall(x => x._3 || (x._1 != 1L && x._1 != 5L)),
+      s"clean compacted answer kept a tombstoned doc: ${td.toSeq}")
+    assert(td.exists(_._3), "the narrowed repair must surface as dirty")
   }
 
   test("dsir: target-like docs score positive, raw-only negative; model bounded; resample deterministic") {
