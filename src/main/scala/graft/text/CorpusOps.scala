@@ -580,6 +580,11 @@ object CorpusOps {
                                    tombstones: DataFrame): DataFrame = {
     val posBits = 20
     val segs = spark.read.parquet(dir)
+    require(segs.columns.contains("w2"),
+      "serveSpanIndexWithTombstones: index at " + dir + " has no 'w2' " +
+        "column — takedown repair needs segment top-2s " +
+        "(appendSpanSegment/compactSpanSegments layouts); buildSpanIndex's " +
+        "flat index stores only winners and cannot serve takedowns")
     val t = tombstones.select(col("doc_id").cast("long").as("td")).distinct()
     val f1 = segs.groupBy(col("h"))
       .agg(min(col("w")).as("w1"), sum(col("c")).as("n_instances"))

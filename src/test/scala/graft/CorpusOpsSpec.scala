@@ -451,6 +451,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(td.forall(x => x._3 || (x._1 != 1L && x._1 != 5L)),
       s"clean compacted answer kept a tombstoned doc: ${td.toSeq}")
     assert(td.exists(_._3), "the narrowed repair must surface as dirty")
+    // a FLAT buildSpanIndex artifact (winners only, no w2) cannot serve
+    // takedowns — loud contract, not an unresolved-column crash
+    val flat = graft.sources.Sinks.tempArtifactDir("graft_span_flat_spec")
+    CorpusOps.buildSpanIndex(s1, col("doc_id"), col("text"), n = 3, flat)
+    val exFlat = intercept[IllegalArgumentException] {
+      CorpusOps.serveSpanIndexWithTombstones(spark, flat, tomb)
+    }
+    assert(exFlat.getMessage.contains("w2"))
   }
 
   test("dsir: target-like docs score positive, raw-only negative; model bounded; resample deterministic") {
