@@ -144,6 +144,40 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+", " "))
 
+  /** Count the code points of one Unicode SCRIPT in `text` — strip
+    * everything else, measure what remains (both engines count code
+    * points, so the dual is exact). `javaScript` is a Java regex
+    * script class name ("IsLatin", "IsCyrillic", "IsHan", "IsGreek");
+    * the oracle uses RE2's bare names ("Latin", ...). Digits,
+    * punctuation, and whitespace are script Common — counted by none
+    * of the classes, identically on both engines.
+    */
+  def scriptCount(text: Column, javaScript: String): Column =
+    length(regexp_replace(text, s"[^\\p{$javaScript}]", "")).cast("long")
+
+  /** Script mix per document — the multilingual ROUTING signal
+    * (lang-id's [[langScore]] needs per-language stopword lists; the
+    * script histogram needs nothing and catches what stopwords cannot:
+    * a Cyrillic document matches zero English stopwords AND zero
+    * French ones — the script says why). Returns the four major
+    * script counts plus the dominant script, ties broken by the fixed
+    * priority latin > cyrillic > han > greek > none (a CASE chain of
+    * >= comparisons — deterministic on any engine).
+    */
+  def scriptMix(text: Column): Seq[Column] = {
+    val lat = scriptCount(text, "IsLatin")
+    val cyr = scriptCount(text, "IsCyrillic")
+    val han = scriptCount(text, "IsHan")
+    val gre = scriptCount(text, "IsGreek")
+    Seq(lat.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      gre.as("n_greek"),
+      when(lat === 0 && cyr === 0 && han === 0 && gre === 0, "none")
+        .when(lat >= cyr && lat >= han && lat >= gre, "latin")
+        .when(cyr >= han && cyr >= gre, "cyrillic")
+        .when(han >= gre, "han")
+        .otherwise("greek").as("dominant"))
+  }
+
   /** Unicode NFC normalization — the multilingual-ingest prerequisite:
     * the same visible text arrives in composed (é) and decomposed
     * (e + U+0301) forms across crawls, and every downstream hash

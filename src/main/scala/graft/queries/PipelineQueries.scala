@@ -3852,6 +3852,51 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY 1"""
     }),
 
+    // Script-mix detection — the multilingual ROUTING signal lang-id
+    // cannot give (stopword lists need a per-language vocabulary; the
+    // script histogram needs nothing): per doc, code-point counts of
+    // the four major scripts + the dominant one (fixed tie priority).
+    // Fixture REPLACES every 5th doc's text with a Cyrillic/Han/Greek
+    // block (the ASCII corpus has no non-Latin text, and a Russian doc
+    // IS Russian — appending would leave everything latin-dominant);
+    // Java regex \\p{IsX} vs RE2 \\p{X} pinned equal — both count
+    // code points.
+    ("p128_script_mix", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, lit(cyrillicFixture))
+            .when(col("doc_id") % 5 === 2, lit(hanFixture))
+            .when(col("doc_id") % 5 === 3, lit(greekFixture))
+            .otherwise(col("text")).as("text"))
+      docs.select((col("doc_id") +: TextFunctions.scriptMix(col("text"))): _*)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH fx AS (SELECT doc_id, CASE
+              WHEN doc_id % 5 = 1 THEN '$cyrillicFixture'
+              WHEN doc_id % 5 = 2 THEN '$hanFixture'
+              WHEN doc_id % 5 = 3 THEN '$greekFixture'
+              ELSE text END AS text FROM documents),
+      m AS (SELECT doc_id,
+              CAST(length(regexp_replace(text, '[^\\p{Latin}]', '', 'g'))
+                   AS BIGINT) AS n_latin,
+              CAST(length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g'))
+                   AS BIGINT) AS n_cyrillic,
+              CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g'))
+                   AS BIGINT) AS n_han,
+              CAST(length(regexp_replace(text, '[^\\p{Greek}]', '', 'g'))
+                   AS BIGINT) AS n_greek
+            FROM fx)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+             CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0
+                       AND n_greek = 0 THEN 'none'
+                  WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                       AND n_latin >= n_greek THEN 'latin'
+                  WHEN n_cyrillic >= n_han AND n_cyrillic >= n_greek
+                       THEN 'cyrillic'
+                  WHEN n_han >= n_greek THEN 'han'
+                  ELSE 'greek' END AS dominant
+      FROM m ORDER BY doc_id""")),
+
     // Dedup ABLATION table — the report dedup papers publish: each
     // tier (exact fingerprint, canonical URL, fixed-token chunk,
     // repeated span) measured INDEPENDENTLY on the raw corpus — docs
@@ -3944,6 +3989,14 @@ object PipelineQueries {
                THEN total_tokens * 1000 // ((total_tokens + 511) // 512 * 512)
                ELSE 0 END AS BIGINT) AS efficiency_permille
       FROM g ORDER BY "group"""")))
+
+  /** p128's planted script blocks — the corpus is pure ASCII, so the
+    * script detector needs non-Latin text to classify (the p120
+    * fixture pattern); shared verbatim with the oracle.
+    */
+  private[graft] val cyrillicFixture = "привет мир данные корпус очистка текст"
+  private[graft] val hanFixture = "数据 质量 清洗 语料 去重 文本处理 训练集"
+  private[graft] val greekFixture = "δεδομένα ποιότητα καθαρισμός κείμενο"
 
   /** The whole-corpus span election in served form — (h, keeper,
     * n_instances) for duplicated shingles. Pins p122 (segmented serve),
