@@ -221,7 +221,10 @@ object SparkEntry {
       Some(sharedOracle("p118_semantic_decontam"))),
     ("q116_streaming_normalize",
       (s, d) => graft.streaming.StreamingQueries.normalizeStream(s, d),
-      Some(sharedOracle("p120_text_normalize"))))
+      Some(sharedOracle("p120_text_normalize"))),
+    ("q117_streaming_script_mix",
+      (s, d) => graft.streaming.StreamingQueries.scriptMixStream(s, d),
+      Some(sharedOracle("p128_script_mix"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

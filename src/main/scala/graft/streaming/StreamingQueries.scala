@@ -584,6 +584,26 @@ object StreamingQueries {
     runToMemory(out, mode = "append").orderBy(col("doc_id"))
   }
 
+  /** p128's script-mix detection AT INGEST — where a multilingual
+    * pipeline actually routes (the script decides which lang-id
+    * vocabulary, tokenizer, and quality model a document even sees):
+    * the same fixture synthesis and [[graft.functions.TextFunctions.scriptMix]]
+    * column program, pure scan stage, zero state, append mode.
+    */
+  def scriptMixStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.queries.PipelineQueries.{cyrillicFixture, hanFixture, greekFixture}
+    val fixed = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1, lit(cyrillicFixture))
+          .when(col("doc_id") % 5 === 2, lit(hanFixture))
+          .when(col("doc_id") % 5 === 3, lit(greekFixture))
+          .otherwise(col("text")).as("text"))
+    val out = fixed.select(
+      (col("doc_id") +: TextFunctions.scriptMix(col("text"))): _*)
+    runToMemory(out, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language
