@@ -59,7 +59,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 49 headline queries generate far more than the default 100
+      // 50+ headline queries generate far more than the default 100
       // codegen cache entries, so ROUND-ROBIN passes would re-pay
       // janino compilation for every query every pass (+0.3-0.8 s
       // uniformly, measured) — size the cache to the workload
