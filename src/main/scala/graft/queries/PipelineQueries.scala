@@ -3863,11 +3863,7 @@ object PipelineQueries {
     // code points.
     ("p128_script_mix", (s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 1, lit(cyrillicFixture))
-            .when(col("doc_id") % 5 === 2, lit(hanFixture))
-            .when(col("doc_id") % 5 === 3, lit(greekFixture))
-            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), scriptFixtureText.as("text"))
       docs.select((col("doc_id") +: TextFunctions.scriptMix(col("text"))): _*)
         .orderBy(col("doc_id"))
     }, Some(s"""
@@ -3997,6 +3993,17 @@ object PipelineQueries {
   private[graft] val cyrillicFixture = "привет мир данные корпус очистка текст"
   private[graft] val hanFixture = "数据 质量 清洗 语料 去重 文本处理 训练集"
   private[graft] val greekFixture = "δεδομένα ποιότητα καθαρισμός κείμενο"
+
+  /** The p128 fixture SYNTHESIS (not just the strings) — shared with
+    * the q117 ingest twin so the modulo routing cannot drift between
+    * the two executions of the shared oracle (the piiFixtureText
+    * rule).
+    */
+  private[graft] def scriptFixtureText: Column =
+    when(col("doc_id") % 5 === 1, lit(cyrillicFixture))
+      .when(col("doc_id") % 5 === 2, lit(hanFixture))
+      .when(col("doc_id") % 5 === 3, lit(greekFixture))
+      .otherwise(col("text"))
 
   /** The whole-corpus span election in served form — (h, keeper,
     * n_instances) for duplicated shingles. Pins p122 (segmented serve),

@@ -592,13 +592,9 @@ object StreamingQueries {
     */
   def scriptMixStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
-    import graft.queries.PipelineQueries.{cyrillicFixture, hanFixture, greekFixture}
     val fixed = documentsStream(spark, sfDir)
       .select(col("doc_id"),
-        when(col("doc_id") % 5 === 1, lit(cyrillicFixture))
-          .when(col("doc_id") % 5 === 2, lit(hanFixture))
-          .when(col("doc_id") % 5 === 3, lit(greekFixture))
-          .otherwise(col("text")).as("text"))
+        graft.queries.PipelineQueries.scriptFixtureText.as("text"))
     val out = fixed.select(
       (col("doc_id") +: TextFunctions.scriptMix(col("text"))): _*)
     runToMemory(out, mode = "append").orderBy(col("doc_id"))

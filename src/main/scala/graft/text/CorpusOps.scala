@@ -545,15 +545,24 @@ object CorpusOps {
   def compactSpanSegments(segs: DataFrame): DataFrame = {
     val f1 = segs.groupBy(col("h"))
       .agg(min(col("w")).as("w"), sum(col("c")).as("c"))
-    val cand = segs.select(col("h"), col("w").as("k"))
-      .unionByName(segs.filter(col("w2").isNotNull)
-        .select(col("h"), col("w2").as("k")))
-    val f2 = cand.join(f1.select(col("h"), col("w").as("__w1")), Seq("h"))
+    val f2 = segmentCandidates(segs)
+      .join(f1.select(col("h"), col("w").as("__w1")), Seq("h"))
       .filter(col("k") > col("__w1"))
       .groupBy(col("h")).agg(min(col("k")).as("w2"))
     f1.join(f2, Seq("h"), "left")
       .select(col("h"), col("w"), col("w2"), col("c"))
   }
+
+  /** The candidate-key union of a segment table — every stored winner
+    * and runner-up as (h, k) rows. ONE definition shared by the
+    * compactor and the takedown server, because "which keys are
+    * recoverable" is the contract both rest on: an edit here changes
+    * both together or neither.
+    */
+  private def segmentCandidates(segs: DataFrame): DataFrame =
+    segs.select(col("h"), col("w").as("k"))
+      .unionByName(segs.filter(col("w2").isNotNull)
+        .select(col("h"), col("w2").as("k")))
 
   /** Serve the merged election UNDER a takedown feed — the span
     * index's tombstone story ([[graft.similarity.SimilaritySearch]]'s
@@ -589,10 +598,7 @@ object CorpusOps {
     val f1 = segs.groupBy(col("h"))
       .agg(min(col("w")).as("w1"), sum(col("c")).as("n_instances"))
       .filter(col("n_instances") > 1)
-    val cand = segs.select(col("h"), col("w").as("k"))
-      .unionByName(segs.filter(col("w2").isNotNull)
-        .select(col("h"), col("w2").as("k")))
-    val surv = cand
+    val surv = segmentCandidates(segs)
       .join(t, expr(s"k div ${1L << posBits}L") === col("td"), "left_anti")
       .groupBy(col("h")).agg(min(col("k")).as("__ans"))
     val risk = segs.filter(col("c") > 2)
