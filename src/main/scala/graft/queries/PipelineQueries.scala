@@ -3852,6 +3852,43 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY 1"""
     }),
 
+    // Tokenizer FERTILITY per source — BPE symbols per whitespace word,
+    // the tokenizer-selection metric (fertility 2.8 vs 1.3 prices one
+    // source's tokens at 2x the compute). Rides the same trained-merges
+    // encode kernel as p64; integer-permille ratio; one map-side encode
+    // + one group aggregate.
+    ("p129_tokenizer_fertility", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, col("text"), numMerges = 8))
+      graft.text.CorpusOps.tokenizerFertility(docs, col("doc_id"),
+          col("text"), col("source"), merges)
+        .orderBy(col("group"))
+    }, Some(s"""
+      WITH ${bpeStagesSql(8)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_8),
+      tt AS (SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents),
+      occ AS (SELECT doc_id, source, unnest(toks) AS w FROM tt
+              WHERE len(toks) > 0),
+      ewn AS (SELECT o.source,
+                len(list_filter(string_split(e.ew, ' '), x -> x <> ''))
+                  AS nbp
+              FROM occ o JOIN enc e ON e.w = o.w),
+      gd AS (SELECT source AS "group", count(*) AS n_docs
+             FROM documents GROUP BY 1),
+      ga AS (SELECT source AS "group",
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nbp) AS BIGINT) AS n_bpe_tokens
+             FROM ewn GROUP BY 1)
+      SELECT gd."group", gd.n_docs,
+             CAST(coalesce(ga.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(ga.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+             CAST(CASE WHEN coalesce(ga.n_words, 0) > 0
+               THEN (1000 * ga.n_bpe_tokens) // ga.n_words
+               ELSE 0 END AS BIGINT) AS fertility_permille
+      FROM gd LEFT JOIN ga ON gd."group" = ga."group"
+      ORDER BY gd."group"""")),
+
     // Script-mix detection — the multilingual ROUTING signal lang-id
     // cannot give (stopword lists need a per-language vocabulary; the
     // script histogram needs nothing): per doc, code-point counts of

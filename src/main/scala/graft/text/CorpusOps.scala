@@ -1918,6 +1918,31 @@ object CorpusOps {
         passthrough: _*)
       .withColumn("n_bpe_tokens", TextFunctions.tokenCount(col("bpe_text")))
 
+  /** Tokenizer FERTILITY per group — BPE symbols emitted per
+    * whitespace word, the standard tokenizer-selection metric (a
+    * tokenizer with fertility 2.8 on one source and 1.3 on another
+    * prices the first source's tokens at 2× the compute; multilingual
+    * corpora live and die by this number). Encoding rides the same
+    * [[bpeEncode]] kernel the serving path uses; the ratio is integer
+    * permille (`1000·Σbpe div Σwords` — the repo's division rule).
+    * One map-side encode + ONE group aggregate; a group of all-empty
+    * documents reports fertility 0, not a division error.
+    *
+    * Output: (group, n_docs, n_words, n_bpe_tokens, fertility_permille).
+    */
+  def tokenizerFertility(docs: DataFrame, id: Column, text: Column,
+                         group: Column,
+                         merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(docs, id, text, merges, group.as("__grp"),
+        TextFunctions.tokenCount(text).as("__nw"))
+      .groupBy(col("__grp").as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__nw")), lit(0L)).as("n_words"),
+        coalesce(sum(col("n_bpe_tokens")), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("fertility_permille",
+        when(col("n_words") > 0,
+          expr("(1000 * n_bpe_tokens) div n_words")).otherwise(lit(0L)))
+
   /** Column-form twin of [[graft.functions.BpeEncode]]'s kernel: the
     * same encoding as a chain of built-in regexp_replaces — seed every
     * code point as a '/c/' slash symbol (two-space word joints keep
