@@ -224,7 +224,10 @@ object SparkEntry {
       Some(sharedOracle("p120_text_normalize"))),
     ("q117_streaming_script_mix",
       (s, d) => graft.streaming.StreamingQueries.scriptMixStream(s, d),
-      Some(sharedOracle("p128_script_mix"))))
+      Some(sharedOracle("p128_script_mix"))),
+    ("q118_streaming_html_extract",
+      (s, d) => graft.streaming.StreamingQueries.htmlExtractStream(s, d),
+      Some(sharedOracle("p130_html_extract"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -308,5 +311,10 @@ object SparkEntry {
     // over every positional shingle + coverage scrub — the heaviest
     // per-token corpus pass in the suite) and the 4-tier ablation
     // report (exact + url + chunk + span machinery in one plan)
-    "p114_self_dedup", "p125_dedup_ablation")
+    "p114_self_dedup", "p125_dedup_ablation",
+    // round-8 continued: the crawl front — WET-step regex extraction
+    // throughput (scan-stage codegen chain over the full corpus) and
+    // the iterative-join execution class (5-round integer PageRank
+    // over the harvested link graph)
+    "p130_html_extract", "p132_link_pagerank")
 }

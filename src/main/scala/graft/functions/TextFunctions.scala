@@ -195,6 +195,59 @@ object TextFunctions {
     f(text)
   }
 
+  /** HTML boilerplate EXTRACTION — the first transform of every crawl
+    * pipeline (the WET step: raw fetch → training text). In order:
+    * drop `<script>`/`<style>` payloads (their content is code, and a
+    * naive tag strip would leak it into the corpus), drop the
+    * `<nav>`/`<footer>` boilerplate zones (menus and copyright lines
+    * repeated across a site are exactly what chunk/span dedup later
+    * fights — cheaper to never admit them), strip the remaining
+    * markup, decode the five predefined character entities, collapse
+    * whitespace. A pure codegen'd `regexp_replace` chain — no UDF, so
+    * extraction rides inside whole-stage codegen at the scan, which
+    * is where a 100 TB ingest needs it.
+    *
+    * Contract stated loudly: tag recognition is REGEX-based (`<[^>]*>`
+    * after the zone removals), so a literal `'>'` inside an attribute
+    * value truncates that tag — pre-escape upstream if your crawl
+    * emits such markup. Zone removal is non-nesting (`.*?` to the
+    * FIRST closer), matching flat real-world nav/footer usage; zone
+    * tag names are matched whole (`<head(\s…)?>` — `<header>` is NOT
+    * a `head` zone), backreference-free so the same pattern runs on
+    * RE2 engines. `<head>` is removed wholesale (title/meta/script
+    * payloads are not corpus text — [[htmlTitle]] reads the title
+    * from the RAW markup instead). `&amp;` decodes LAST, so
+    * author-written `&amp;lt;` yields the literal `&lt;` and never a
+    * phantom `'<'`.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noZones = Seq("head", "script", "style", "nav", "footer")
+      .foldLeft(html) { (c, tag) =>
+        regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
+      }
+    val noTags = regexp_replace(noZones, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    regexp_replace(regexp_replace(decoded, "^\\s+|\\s+$", ""), "\\s+", " ")
+  }
+
+  /** The page title — `regexp_extract` of the first `<title>` block
+    * (empty string when absent, `regexp_extract`'s no-match value). */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_extract(html, "(?is)<title>(.*?)</title>", 1))
+
+  /** All `href="…"` targets in document order, raw (un-canonicalized —
+    * the crawl frontier canonicalizes with
+    * [[graft.functions.SourceFamily.canonicalizeUrl]] AFTER harvest,
+    * so the dedup key policy lives in one place). Harvest runs over
+    * the RAW markup, not [[htmlExtract]] output: nav/footer links are
+    * boilerplate as TEXT but are real crawl edges — a site's menu is
+    * how a frontier discovers its sections.
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+
   /** Accent folding: NFD-decompose, drop combining marks, NFC-compose
     * what remains — "café" → "cafe". The search-side companion to
     * [[nfcNormalize]] (match queries against accent-folded text); dual

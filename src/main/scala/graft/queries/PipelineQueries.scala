@@ -4021,7 +4021,166 @@ object PipelineQueries {
              CAST(CASE WHEN total_tokens > 0
                THEN total_tokens * 1000 // ((total_tokens + 511) // 512 * 512)
                ELSE 0 END AS BIGINT) AS efficiency_permille
-      FROM g ORDER BY "group"""")))
+      FROM g ORDER BY "group"""")),
+
+    // HTML boilerplate extraction — the WET step, the FIRST transform
+    // of a crawl pipeline (everything downstream fingerprints the
+    // bytes this step emits). Fixture wraps each doc's text in a full
+    // deterministic page (head/title/style/script payloads, nav and
+    // footer boilerplate zones, entity-encoded punctuation, five
+    // href targets); the oracle is GENERATIVE (the p63 rule): it
+    // writes down the clean text the template contains, so the whole
+    // regex chain — zone removal, tag strip, entity decode, collapse
+    // — is gated against authored intent, not a shared formula.
+    ("p130_html_extract", (s, d) => {
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), htmlFixtureText.as("html"))
+      pages.select(col("doc_id"),
+          TextFunctions.htmlTitle(col("html")).as("title"),
+          TextFunctions.htmlExtract(col("html")).as("text"),
+          size(TextFunctions.extractHrefs(col("html"))).cast("long")
+            .as("n_links"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || ' ' || text ||
+               ' Compare A & B <quoted> it''s fine more' AS text,
+             CAST(5 AS BIGINT) AS n_links
+      FROM documents ORDER BY doc_id""")),
+
+    // Outlink harvest → the domain-family LINK GRAPH (the crawl
+    // frontier's input): hrefs regex-harvested from the RAW markup
+    // (nav links are real crawl edges), canonicalized (messy
+    // variants of one page — case, :443, tracking params, shuffled
+    // query order — collide into one frontier key: n_links counts
+    // fetches, n_urls counts pages), families via the registered-
+    // domain extractor (cdn subdomains stripped, co.uk honored).
+    // Oracle derives every edge generatively from the fixture
+    // arithmetic — the harvest/canonicalize/family chain is checked
+    // against intent.
+    ("p131_outlinks", (s, d) => {
+      graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .orderBy(col("src_family"), col("dst_family"))
+    }, Some(s"""
+      WITH $outlinkCtesSql
+      SELECT src_family, dst_family, CAST(count(*) AS BIGINT) AS n_links,
+             CAST(count(DISTINCT cu) AS BIGINT) AS n_urls
+      FROM lk GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Frontier priority: bounded-iteration integer PageRank over the
+    // p131 link graph — which domains deserve the crawl's politeness-
+    // limited request budget. Exact micro-unit arithmetic (per-edge
+    // floor, damped-sum floor — order-independent, engine-portable);
+    // the oracle unrolls the five iterations as chained CTEs (the
+    // p58 staged-SQL pattern). The fixture graph has real structure:
+    // a nav hub every page links (src0.com), mid-degree targets, and
+    // pure-sink .co.uk/example.com domains that receive rank but
+    // re-emit none (the dangling case, mass-leak documented).
+    ("p132_link_pagerank", (s, d) => {
+      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      graft.graph.LinkGraph.pageRank(edges, iters = 5)
+        .orderBy(col("rank_micro").desc, col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(5)}
+      SELECT node, r AS rank_micro FROM r5
+      ORDER BY rank_micro DESC, node""")))
+
+  /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
+    * full deterministic page. The head block (title/style/script with
+    * planted `<`, `&`, quotes in the payloads), a nav zone whose link
+    * makes src0.com the graph's hub, the doc text as the content
+    * zone, an entity-laden sentence with two content links, a bare
+    * third link, and a footer with a tracker link. href targets
+    * derive from doc_id arithmetic — (doc_id·7)%20 spreads, doc_id%7
+    * concentrates (hubs), doc_id%4 hits .co.uk sinks — and the first
+    * is messy on even ids (case, :443, utm, fragment) so
+    * canonicalization provably collides it with the odd ids' clean
+    * form. The oracles never synthesize this HTML: they derive the
+    * expected text/edges generatively from the same arithmetic.
+    */
+  private[graft] def htmlFixtureText: Column = {
+    val id = col("doc_id").cast("string")
+    val k0 = (col("doc_id") * 7 % 20).cast("string")
+    val k1 = (col("doc_id") % 7).cast("string")
+    val k2 = (col("doc_id") % 4).cast("string")
+    val href0 = when(col("doc_id") % 2 === 0,
+        concat(lit("https://WWW.Src"), k0,
+          lit(".COM:443/hub?b=2&a=1&utm_source=feed#top")))
+      .otherwise(concat(lit("https://www.src"), k0, lit(".com/hub?a=1&b=2")))
+    val href1 = concat(lit("http://cdn3.src"), k1, lit(".com:80/p?id="), id,
+      lit("&fbclid=x"))
+    val href2 = concat(lit("https://src"), k2, lit(".co.uk/"))
+    concat(
+      lit("<html><head><title> Doc "), id, lit(" </title>\n" +
+        "<style>body { color: #333 }</style>\n" +
+        "<script>if (1 < 2) { x = \"a&b\"; }</script>\n" +
+        "</head><body>\n" +
+        "<nav><a href=\"https://www.src0.com/\">home</a> | menu</nav>\n" +
+        "<h1>Doc "), id, lit("</h1>\n<p>"), col("text"),
+      lit("</p>\n<p>Compare <a href=\""), href0,
+      lit("\">A</a> &amp; <a href=\""), href1,
+      lit("\">B</a> &lt;quoted&gt; it&#39;s <b>fine</b></p>\n<a href=\""),
+      href2,
+      lit("\">more</a>\n<footer>(c) 2026 <a href=\"" +
+        "https://tracker.example.com/\">crawl</a> corp</footer>\n" +
+        "</body></html>"))
+  }
+
+  /** The (doc_id, page_url, html) page frame p130/p131/p132 share:
+    * provenance from the p63 messy-URL fixture, markup from
+    * [[htmlFixtureText]].
+    */
+  private def htmlPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      messyUrlFixture.as("page_url"), htmlFixtureText.as("html"))
+
+  /** The link-graph oracle prelude: every edge the fixture plants,
+    * derived GENERATIVELY (src family is `source || '.com'` because
+    * that is what the messy provenance must canonicalize to; dst
+    * families and canonical URLs are written down from the href
+    * arithmetic, not re-parsed). Shared by p131 and p132.
+    */
+  private val outlinkCtesSql: String = """
+      lk AS (
+        SELECT source || '.com' AS src_family, 'src0.com' AS dst_family,
+               'https://www.src0.com/' AS cu FROM documents
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id * 7 % 20) || '.com',
+               'https://www.src' || (doc_id * 7 % 20) || '.com/hub?a=1&b=2'
+        FROM documents
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id % 7) || '.com',
+               'http://cdn3.src' || (doc_id % 7) || '.com/p?id=' || doc_id
+        FROM documents
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id % 4) || '.co.uk',
+               'https://src' || (doc_id % 4) || '.co.uk/' FROM documents
+        UNION ALL
+        SELECT source || '.com', 'example.com',
+               'https://tracker.example.com/' FROM documents)"""
+
+  /** p132's oracle iterations: `r1..rk` chained CTEs, each one
+    * integer-PageRank round over `e`/`nd`/`od`/`r{i-1}` (the p58
+    * staged-SQL pattern — generated, so the rounds cannot drift).
+    */
+  private def pageRankStagesSql(k: Int): String =
+    (1 to k).map { i =>
+      s"""r$i AS (SELECT nd.node,
+             CAST(150000 + (850 * coalesce(s.c, 0)) // 1000 AS BIGINT) AS r
+           FROM nd LEFT JOIN (
+             SELECT e.dst AS node, sum(r.r // od.deg) AS c
+             FROM e JOIN r${i - 1} r ON e.src = r.node
+                    JOIN od ON od.src = e.src
+             GROUP BY 1) s ON nd.node = s.node)"""
+    }.mkString(",\n      ")
 
   /** p128's planted script blocks — the corpus is pure ASCII, so the
     * script detector needs non-Latin text to classify (the p120

@@ -600,6 +600,26 @@ object StreamingQueries {
     runToMemory(out, mode = "append").orderBy(col("doc_id"))
   }
 
+  /** p130's HTML boilerplate extraction AT INGEST — where the WET step
+    * actually runs (everything downstream fingerprints the bytes this
+    * step emits, so extracting later means re-hashing the corpus):
+    * the same fixture synthesis and
+    * [[graft.functions.TextFunctions.htmlExtract]] regexp chain, pure
+    * scan stage, zero state, append mode.
+    */
+  def htmlExtractStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
+    val out = pages.select(col("doc_id"),
+      TextFunctions.htmlTitle(col("html")).as("title"),
+      TextFunctions.htmlExtract(col("html")).as("text"),
+      size(TextFunctions.extractHrefs(col("html"))).cast("long")
+        .as("n_links"))
+    runToMemory(out, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language

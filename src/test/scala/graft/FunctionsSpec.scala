@@ -31,6 +31,46 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("htmlExtract: zones dropped, tags stripped, entities decoded, ws collapsed") {
+    val out = Seq(
+      // full page: head (title/style/script payloads) + nav + footer
+      // all removed; body markup stripped; entities decoded
+      "<html><head><title>T</title><style>b{x:1}</style>" +
+        "<script>if(1<2){a=\"x&y\";}</script></head><body>" +
+        "<nav>menu | <a href=\"https://a.com/\">home</a></nav>" +
+        "<h1>Hello</h1><p>world &amp; moon &lt;tag&gt; it&#39;s " +
+        "&quot;q&quot;</p><footer>(c) corp</footer></body></html>",
+      // <header> is NOT a head zone: zone tag names match whole
+      "<header>kept words</header><p>body</p>",
+      // author-written &amp;lt; yields the literal &lt;, never '<'
+      "<p>&amp;lt;</p>",
+      // a '<' comparison inside script must not leak code into text
+      "pre <script>for(i=0;i<9;i++){}</script> post")
+      .toDF("html")
+      .select(TextFunctions.htmlExtract(col("html")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "Hello world & moon <tag> it's \"q\"")
+    assert(out(1) == "kept words body")
+    assert(out(2) == "&lt;")
+    assert(out(3) == "pre post")
+  }
+
+  test("htmlTitle trims; extractHrefs harvests RAW markup in document order") {
+    val row = Seq(
+      "<html><head><title> A B </title></head><body>" +
+        "<nav><a href=\"https://n.com/\">n</a></nav>" +
+        "<a href=\"https://x.com/1\">x</a>" +
+        "<footer><a href=\"https://f.com/\">f</a></footer></body></html>")
+      .toDF("html")
+      .select(TextFunctions.htmlTitle(col("html")).as("t"),
+        TextFunctions.extractHrefs(col("html")).as("h"))
+      .as[(String, Seq[String])].head()
+    assert(row._1 == "A B")
+    // nav + footer links ARE harvested (boilerplate as text, real
+    // edges for the crawl frontier), in document order
+    assert(row._2 == Seq("https://n.com/", "https://x.com/1", "https://f.com/"))
+  }
+
   test("HLL distinct estimate tracks exact cardinality within 3 sigma") {
     import graft.functions.Hll
     // m = 64 registers → standard error ~1.04/sqrt(64) = 13%

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.LinkGraph
+
+/** [[graft.graph.LinkGraph]] — hand-computed integer-PageRank pins
+  * (the oracle gates the fixture graph; these pin the arithmetic on
+  * graphs small enough to verify by hand) and the outlink-harvest
+  * canonicalization collision.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: hand-computed two-iteration ranks on an asymmetric graph") {
+    // a → b, a → c, b → c. deg: a=2, b=1; c is a dangling sink.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = LinkGraph.pageRank(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    // iter1: a=150000 (no in-links = exactly base);
+    //   b=150000+(850·(1000000 div 2)) div 1000 = 575000;
+    //   c=150000+(850·(500000+1000000)) div 1000 = 1425000.
+    // iter2: contribs b: 150000 div 2 = 75000; c: 75000+575000=650000;
+    //   b=150000+63750=213750; c=150000+552500=702500.
+    assert(r == Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+  }
+
+  test("pageRank: iters=0 is the init; multi-edges collapse to one; bounds enforced") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "b")).toDF("src", "dst")
+    val r0 = LinkGraph.pageRank(edges, iters = 0)
+      .as[(String, Long)].collect().toMap
+    assert(r0 == Map("a" -> 1000000L, "b" -> 1000000L))
+    // collapsed to ONE distinct edge: deg(a)=1, a's full rank flows
+    val r1 = LinkGraph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 150000L, "b" -> 1000000L))
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(edges, iters = 51)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(edges, dampPermille = 1001)
+    }
+  }
+
+  test("outlinkEdges: messy fetches of one page collide — n_links counts links, n_urls pages") {
+    val pages = Seq(
+      ("https://www.me.com/",
+        "<a href=\"https://WWW.X.COM:443/p?b=2&a=1&utm_source=t#f\">1</a>" +
+          "<a href=\"https://www.x.com/p?a=1&b=2\">2</a>" +
+          "<a href=\"https://cdn7.x.com/q\">3</a>"))
+      .toDF("page_url", "html")
+    val out = LinkGraph.outlinkEdges(pages, col("page_url"), col("html"))
+      .as[(String, String, Long, Long)].collect().toSet
+    // three links, one dst family (cdn7.x.com rolls up to x.com), and
+    // the two messy variants of /p collide into ONE canonical URL
+    assert(out == Set(("me.com", "x.com", 3L, 2L)))
+  }
+}
