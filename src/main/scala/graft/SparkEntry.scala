@@ -227,7 +227,10 @@ object SparkEntry {
       Some(sharedOracle("p128_script_mix"))),
     ("q118_streaming_html_extract",
       (s, d) => graft.streaming.StreamingQueries.htmlExtractStream(s, d),
-      Some(sharedOracle("p130_html_extract"))))
+      Some(sharedOracle("p130_html_extract"))),
+    ("q119_streaming_outlinks",
+      (s, d) => graft.streaming.StreamingQueries.outlinksStream(s, d),
+      Some(sharedOracle("p131_outlinks"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -42,6 +42,21 @@ object LinkGraph {
     */
   def outlinkEdges(pages: DataFrame, provenanceUrl: Column,
                    html: Column): DataFrame = {
+    linkRows(pages, provenanceUrl, html)
+      .groupBy(col("src_family"), col("dst_family"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("canonical")).as("n_urls"))
+  }
+
+  /** The per-row half of [[outlinkEdges]] — one (src_family,
+    * dst_family, canonical) row per harvested link, all scan-stage
+    * codegen. Shared with the streaming twin (the `Dedup.chunkRows`
+    * rule: the batch-identical guarantee is by shared definition, not
+    * by copy), whose cross-batch state folds these at the finest
+    * grain.
+    */
+  def linkRows(pages: DataFrame, provenanceUrl: Column,
+               html: Column): DataFrame = {
     pages
       .select(SourceFamily.familyOf(provenanceUrl).as("src_family"),
         explode(TextFunctions.extractHrefs(html)).as("href"))
@@ -49,9 +64,6 @@ object LinkGraph {
         SourceFamily.canonicalizeUrl(col("href")).as("canonical"))
       .select(col("src_family"), col("canonical"),
         SourceFamily.familyOf(col("canonical")).as("dst_family"))
-      .groupBy(col("src_family"), col("dst_family"))
-      .agg(count(lit(1)).as("n_links"),
-        count_distinct(col("canonical")).as("n_urls"))
   }
 
   /** Bounded-iteration PageRank in exact integer MICRO-UNITS — the
@@ -79,6 +91,89 @@ object LinkGraph {
     * driver loop (fixed-depth unrolled, lineage truncated per round);
     * frontier scheduling wants a handful of rounds, not convergence.
     */
+  /** Anchor-TEXT harvest — what the web calls each domain, the
+    * classic off-page retrieval signal (anchor terms describe the
+    * TARGET better than the target's own text; search stacks fold
+    * them into the target's index fields): every `<a …>…</a>` element
+    * yields (target family, anchor term) pairs, the inner markup
+    * cleaned through the SAME [[TextFunctions.htmlExtract]] kernel
+    * (a `<b>` or an entity inside an anchor is routine), tokenized,
+    * and counted per (dst_family, term). One aggregate exchange;
+    * everything before it is scan-stage codegen (regex element
+    * harvest + per-element HOF extraction).
+    *
+    * Same regex-markup contract as [[TextFunctions.extractHrefs]];
+    * anchors without an href (named anchors) are dropped.
+    */
+  def anchorTerms(pages: DataFrame, html: Column): DataFrame = {
+    val elems = regexp_extract_all(html, lit("(?is)<a\\s[^>]*>.*?</a>"),
+      lit(0))
+    pages.select(explode(elems).as("e"))
+      .select(regexp_extract(col("e"), "(?i)href=\"([^\"]*)\"", 1)
+          .as("href"),
+        regexp_extract(col("e"), "(?is)^<a[^>]*>(.*)</a>$", 1).as("inner"))
+      .filter(col("href") =!= "")
+      .select(SourceFamily
+          .familyOf(SourceFamily.canonicalizeUrl(col("href")))
+          .as("dst_family"),
+        explode(TextFunctions.tokens(TextFunctions.htmlExtract(col("inner"))))
+          .as("term"))
+      .groupBy(col("dst_family"), col("term"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Spend a politeness-limited request budget by rank — the step
+    * that makes [[pageRank]] actionable: each domain is allocated
+    * `budget · rank div Σrank` requests, capped at `maxPerDomain`
+    * (politeness: no rank justifies hammering one host), and the
+    * capped domains' surplus is redistributed across domains with
+    * headroom in ONE integer-exact pass (`mixturePlan`'s
+    * largest-remainder rule: `extra = deficit · head div Σhead`,
+    * which never exceeds headroom when feasible; an infeasible
+    * budget — deficit beyond total headroom — raises loudly instead
+    * of silently over-fetching). The integer-division remainder is
+    * an explicit `__UNASSIGNED` row (the no-silent-caps rule: a
+    * schedule that quietly spent budget−r requests would read as
+    * "budget met").
+    *
+    * Input: [[pageRank]] output (node, rank_micro). Output: (node,
+    * rank_micro, n_requests, capped) + the `__UNASSIGNED` row. All
+    * arithmetic nonneg integer `div` (engine-portable); scale shape:
+    * two one-row broadcast totals over the domain table — no
+    * corpus-sized work at all.
+    */
+  def crawlBudget(ranks: DataFrame, budget: Long,
+                  maxPerDomain: Long): DataFrame = {
+    require(budget > 0 && maxPerDomain > 0,
+      s"crawlBudget: budget and maxPerDomain must be positive, got " +
+        s"$budget / $maxPerDomain")
+    val tot = ranks.agg(sum(col("rank_micro")).as("sr"))
+    val a = ranks.join(broadcast(tot))
+      .withColumn("ideal", expr(s"${budget}L * rank_micro div sr"))
+      .withColumn("take1", least(col("ideal"), lit(maxPerDomain)))
+      .withColumn("head", lit(maxPerDomain) - col("take1"))
+    val t2 = a.agg(sum(col("take1")).as("st"), sum(col("head")).as("sh"))
+    val planned = a.join(broadcast(t2))
+      .withColumn("deficit", lit(budget) - col("st"))
+      .withColumn("sh_ok", when(col("deficit") <= col("sh"), col("sh"))
+        .otherwise(raise_error(concat(
+          lit("crawlBudget: budget infeasible at the politeness cap — " +
+            "deficit "), col("deficit").cast("string"),
+          lit(" requests exceeds total headroom "),
+          col("sh").cast("string")))))
+      .withColumn("extra", when(col("sh_ok") > 0,
+        expr("deficit * head div sh_ok")).otherwise(lit(0L)))
+      .withColumn("n_requests", col("take1") + col("extra"))
+      .withColumn("capped", col("ideal") > lit(maxPerDomain))
+    val rows = planned.select(col("node"), col("rank_micro"),
+      col("n_requests"), col("capped"))
+    val un = planned
+      .agg((lit(budget) - sum(col("n_requests"))).as("n_requests"))
+      .select(lit("__UNASSIGNED").as("node"), lit(0L).as("rank_micro"),
+        col("n_requests"), lit(false).as("capped"))
+    rows.unionByName(un)
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampPermille: Int = 850): DataFrame = {
     require(iters >= 0 && iters <= 50,

@@ -4091,7 +4091,75 @@ object PipelineQueries {
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
       ${pageRankStagesSql(5)}
       SELECT node, r AS rank_micro FROM r5
-      ORDER BY rank_micro DESC, node""")))
+      ORDER BY rank_micro DESC, node""")),
+
+    // Spend the crawl's politeness-limited request budget by rank —
+    // the step that makes p132 actionable: requests ∝ rank, capped
+    // per domain (no rank justifies hammering one host), capped
+    // surplus redistributed across headroom in ONE integer-exact
+    // pass, the division remainder an explicit __UNASSIGNED row
+    // (mixturePlan's rules, with DATA as the weights). The fixture's
+    // budget/cap are chosen so both branches bind: the hub tier caps,
+    // the tail tier absorbs the redistribution.
+    ("p133_crawl_budget", (s, d) => {
+      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
+      graft.graph.LinkGraph.crawlBudget(ranks, budget = 100000L,
+          maxPerDomain = 5000L)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(5)},
+      tot AS (SELECT sum(r) AS sr FROM r5),
+      a AS (SELECT node, r, CAST(100000 * r // sr AS BIGINT) AS ideal
+            FROM r5, tot),
+      b AS (SELECT node, r, ideal, least(ideal, 5000) AS take1,
+              5000 - least(ideal, 5000) AS head FROM a),
+      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
+      c AS (SELECT node, r AS rank_micro,
+              CAST(take1 + CASE WHEN sh > 0
+                THEN (100000 - st) * head // sh ELSE 0 END AS BIGINT)
+                AS n_requests,
+              ideal > 5000 AS capped
+            FROM b, t2)
+      SELECT * FROM (
+        SELECT node, rank_micro, n_requests, capped FROM c
+        UNION ALL
+        SELECT '__UNASSIGNED', CAST(0 AS BIGINT),
+               CAST(100000 - (SELECT sum(n_requests) FROM c) AS BIGINT),
+               false)
+      ORDER BY node""")),
+
+    // Anchor-text harvest — what the web CALLS each domain, the
+    // classic off-page retrieval signal (anchor terms describe the
+    // target better than its own text; search stacks fold them into
+    // the target's index fields): (target family, anchor term)
+    // counts, the inner markup cleaned through the same htmlExtract
+    // kernel (the fixture's footer anchor carries an entity and a
+    // <b> to prove it). Oracle generative, like the rest of the arc.
+    ("p134_anchor_terms", (s, d) => {
+      graft.graph.LinkGraph.anchorTerms(htmlPages(s, d), col("html"))
+        .orderBy(col("dst_family"), col("term"))
+    }, Some("""
+      WITH an AS (
+        SELECT 'src0.com' AS dst_family, 'home' AS term FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id * 7 % 20) || '.com', 'A' FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id % 7) || '.com', 'B' FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id % 4) || '.co.uk', 'more' FROM documents
+        UNION ALL
+        SELECT 'example.com', t FROM documents,
+          (SELECT unnest(['data', '&', 'crawl', 'hub']) AS t) u)
+      SELECT dst_family, term, CAST(count(*) AS BIGINT) AS n
+      FROM an GROUP BY 1, 2 ORDER BY 1, 2""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4130,8 +4198,8 @@ object PipelineQueries {
       lit("\">B</a> &lt;quoted&gt; it&#39;s <b>fine</b></p>\n<a href=\""),
       href2,
       lit("\">more</a>\n<footer>(c) 2026 <a href=\"" +
-        "https://tracker.example.com/\">crawl</a> corp</footer>\n" +
-        "</body></html>"))
+        "https://tracker.example.com/\">data &amp; crawl <b>hub</b>" +
+        "</a> corp</footer>\n</body></html>"))
   }
 
   /** The (doc_id, page_url, html) page frame p130/p131/p132 share:

@@ -620,6 +620,33 @@ object StreamingQueries {
     runToMemory(out, mode = "append").orderBy(col("doc_id"))
   }
 
+  /** p131's outlink harvest with the link graph accumulating ON the
+    * streaming engine — the frontier's view DURING the crawl, not
+    * after it: harvest/canonicalize/family run stateless map-side
+    * (the SAME [[graft.graph.LinkGraph.linkRows]] scan-stage program
+    * — shared definition, the chunkElection rule), the cross-batch
+    * state is the finest-grain fold — one (src_family, dst_family,
+    * canonical) count row per distinct linked page, which IS the
+    * crawl frontier table — and the family-pair rollup (n_links =
+    * Σcounts, n_urls = row count) is the FINALIZE half, batch-side
+    * over the sink at the epoch boundary. Both halves associative ⇒
+    * batch-identical under any micro-batch slicing.
+    */
+  def outlinksStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
+        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
+    val agg = graft.graph.LinkGraph
+      .linkRows(pages, col("page_url"), col("html"))
+      .groupBy(col("src_family"), col("dst_family"), col("canonical"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg)
+      .groupBy(col("src_family"), col("dst_family"))
+      .agg(sum(col("n")).as("n_links"), count(lit(1)).as("n_urls"))
+      .orderBy(col("src_family"), col("dst_family"))
+  }
+
   /** p48's HyperLogLog vocabulary cardinality on the streaming engine —
     * the sketch-state story beside count-min (q50): the stream folds
     * every token into ONE fixed m-int register buffer per language

@@ -44,6 +44,40 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlBudget: proportional + cap + remainder, hand-computed; infeasible raises") {
+    val ranks = Seq(("hub", 300000L), ("tail", 100000L))
+      .toDF("node", "rank_micro")
+    // budget 10, cap 8: ideal = 10·300000 div 400000 = 7 / 2;
+    // nothing caps (7 < 8), st = 9, deficit 1, Σhead = 1+6 = 7,
+    // extra = 1·head div 7 = 0 for both → remainder 1 UNASSIGNED.
+    val out = LinkGraph.crawlBudget(ranks, budget = 10L, maxPerDomain = 8L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(("hub", 300000L, 7L, false),
+      ("tail", 100000L, 2L, false), ("__UNASSIGNED", 0L, 1L, false)))
+    // budget 20, cap 8: hub ideal 15 caps at 8 (head 0), tail ideal 5
+    // (head 3); deficit 7 > Σhead 3 → infeasible, loud
+    val bad = intercept[Exception] {
+      LinkGraph.crawlBudget(ranks, budget = 20L, maxPerDomain = 8L)
+        .collect()
+    }
+    assert(bad.getMessage.contains("infeasible") ||
+      bad.getCause != null &&
+        bad.getCause.getMessage.contains("infeasible"))
+  }
+
+  test("anchorTerms: inner markup cleaned via htmlExtract; hrefless anchors dropped; families roll up") {
+    val pages = Seq(
+      "<a href=\"https://x.com/p\">data &amp; <b>hub</b></a>" +
+        "<a name=\"top\">skip me</a>" +
+        "<a href=\"https://cdn2.x.com/q\">hub</a>").toDF("html")
+    val out = LinkGraph.anchorTerms(pages, col("html"))
+      .as[(String, String, Long)].collect().toSet
+    // the named anchor has no href → dropped; cdn2.x.com → x.com, so
+    // 'hub' counts twice for the family; the entity decodes to '&'
+    assert(out == Set(("x.com", "data", 1L), ("x.com", "&", 1L),
+      ("x.com", "hub", 2L)))
+  }
+
   test("outlinkEdges: messy fetches of one page collide — n_links counts links, n_urls pages") {
     val pages = Seq(
       ("https://www.me.com/",
