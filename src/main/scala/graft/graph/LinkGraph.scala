@@ -174,6 +174,69 @@ object LinkGraph {
     rows.unionByName(un)
   }
 
+  /** Bounded-iteration HITS (hubs & authorities) in exact integer
+    * MICRO-UNITS — PageRank's complement for frontier curation: a
+    * crawl wants authorities (pages the web points AT) as fetch
+    * targets and hubs (pages whose outlinks find new authorities) as
+    * link-discovery seeds; one score cannot serve both roles, which
+    * is why HITS keeps two. Mutual recursion over the edge set and
+    * its transpose: each round `auth(n) = Σ hub(s)` over in-edges
+    * then `hub(n) = Σ auth(d)` over out-edges, each half re-scaled so
+    * the MAX score is exactly 1 000 000 (max-normalization instead of
+    * the textbook L2: one integer-exact one-row aggregate, no float
+    * boundary, and the ranking — all a frontier consumes — is
+    * identical). Integer floors once per node per half;
+    * order-independent under any partitioning, engine-portable.
+    *
+    * A node nobody links to reports `auth_micro = 0` (and a node
+    * linking nowhere `hub_micro = 0`) — absence is a value, never a
+    * missing row. Multi-edges collapse to the DISTINCT edge set (the
+    * [[pageRank]] convention). Overflow is guarded LOUDLY at the
+    * one-row max (the trendSlopes convention): the re-scale multiply
+    * needs `max raw sum · 10⁶` inside int64, i.e. in-/out-degree
+    * ≤ ~9·10⁶ — beyond any registered-domain graph's degree.
+    *
+    * Scale shape per round: two src-/dst-keyed join+sum passes (the
+    * same two-exchange step as [[pageRank]], once per direction) plus
+    * two one-row broadcast maxes; scores stay DataFrames end-to-end,
+    * lineage truncated per round. `iters = 0` returns the init state
+    * (every hub 1 000 000, every auth 0).
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0 && iters <= 50,
+      s"hits: iters must be in [0, 50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    // one half-round: fold `scores` along the edge key (src for the
+    // auth half, dst for the hub half), re-scale max → 10⁶
+    def half(scores: DataFrame, value: String, from: Column, to: Column,
+             out: String): DataFrame = {
+      val raw = e.join(scores, from === scores("node"))
+        .groupBy(to.as("node")).agg(sum(col(value)).as("s"))
+      val m = raw.agg(max(when(col("s") > 9000000000000L,
+          raise_error(concat(lit(s"hits: $out raw sum "),
+            col("s").cast("string"),
+            lit(" exceeds the 9e12 re-scale headroom — degree above ~9e6"))))
+        .otherwise(col("s"))).as("m"))
+      nodes.join(raw, Seq("node"), "left").join(broadcast(m))
+        .select(col("node"),
+          expr("coalesce(s, CAST(0 AS BIGINT)) * 1000000 div m").as(out))
+        .localCheckpoint(eager = false)
+    }
+    var hubs = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auths = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      auths = half(hubs, "h", e("src"), e("dst"), "a")
+      hubs = half(auths, "a", e("dst"), e("src"), "h")
+    }
+    nodes.join(auths, "node").join(hubs, "node")
+      .select(col("node"), col("a").as("auth_micro"),
+        col("h").as("hub_micro"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampPermille: Int = 850): DataFrame = {
     require(iters >= 0 && iters <= 50,

@@ -4159,7 +4159,120 @@ object PipelineQueries {
         SELECT 'example.com', t FROM documents,
           (SELECT unnest(['data', '&', 'crawl', 'hub']) AS t) u)
       SELECT dst_family, term, CAST(count(*) AS BIGINT) AS n
-      FROM an GROUP BY 1, 2 ORDER BY 1, 2""")))
+      FROM an GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // HITS hubs & authorities over the p131 link graph — PageRank's
+    // complement for frontier curation: authorities are fetch
+    // targets, hubs are link-discovery seeds, and one score cannot
+    // serve both roles. Mutual recursion (auth = Σ hub over in-edges,
+    // hub = Σ auth over out-edges), each half re-scaled so max =
+    // 1 000 000 — integer-exact max-normalization instead of the
+    // textbook L2 (no float boundary; the ranking is identical). The
+    // oracle unrolls five iterations as generated chained CTEs, two
+    // halves per round (the p132 pattern). On the fixture the
+    // separation is real: crawl sources emit links but receive none
+    // (pure hubs, auth 0) while .co.uk/example.com sinks receive but
+    // emit none (pure authorities, hub 0).
+    ("p135_link_hits", (s, d) => {
+      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      graft.graph.LinkGraph.hits(edges, iters = 5)
+        .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      e AS MATERIALIZED (
+        SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nd),
+      ${hitsStagesSql(5)}
+      SELECT nd.node, a5.a AS auth_micro, h5.h AS hub_micro
+      FROM nd JOIN a5 ON nd.node = a5.node JOIN h5 ON nd.node = h5.node
+      ORDER BY auth_micro DESC, hub_micro DESC, nd.node""")),
+
+    // BM25F with the anchor-text field — p134's harvest folded into
+    // ranking the way web search does: per-field length-normalized,
+    // weighted tf combined FIRST, saturation applied ONCE (the
+    // published simple-BM25F form; a per-field BM25 sum would
+    // double-saturate). A doc's anchor field is its domain family's
+    // harvested bag — off-page evidence reaches every page of the
+    // family. The query set makes all three regimes bind: q_anchor
+    // matches ONLY anchor terms (body tf 0 everywhere), q_body only
+    // body terms, q_mixed both. Oracle derives the anchor bag
+    // generatively from the fixture arithmetic and mirrors the
+    // double op chain verbatim.
+    ("p136_anchor_bm25f", (s, d) => {
+      val anchors = graft.graph.LinkGraph
+        .anchorTerms(htmlPages(s, d), col("html"))
+        .select(col("dst_family").as("field_key"), col("term"), col("n"))
+      graft.text.CorpusOps.bm25fTopK(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          concat(col("source"), lit(".com")), anchors,
+          queries = Seq(("q_anchor", Seq("A", "home")),
+            ("q_mixed", Seq("B", "hash", "join")),
+            ("q_body", Seq("merge", "window"))), k = 15)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source || '.com' AS fk,
+                        ${sqlToks("text")} AS toks FROM documents),
+      an AS (
+        SELECT 'src0.com' AS fk, 'home' AS term FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id * 7 % 20) || '.com', 'A' FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id % 7) || '.com', 'B' FROM documents
+        UNION ALL
+        SELECT 'src' || (doc_id % 4) || '.co.uk', 'more' FROM documents
+        UNION ALL
+        SELECT 'example.com', u.t FROM documents,
+          (SELECT unnest(['data', '&', 'crawl', 'hub']) AS t) u),
+      anc AS (SELECT fk, term, CAST(count(*) AS BIGINT) AS n
+              FROM an GROUP BY 1, 2),
+      adl AS (SELECT fk, CAST(sum(n) AS BIGINT) AS dla FROM anc GROUP BY 1),
+      lens AS (SELECT doc_id, t.fk AS fk, CAST(len(toks) AS BIGINT) AS dlb,
+                      coalesce(adl.dla, 0) AS dla
+               FROM t LEFT JOIN adl ON t.fk = adl.fk),
+      stats AS (SELECT count(*) AS n,
+                  CAST(sum(dlb) AS DOUBLE) / count(*) AS avgb,
+                  CAST(sum(dla) AS DOUBLE) / count(*) AS avga,
+                  CAST(sum(dla) AS BIGINT) AS sum_dla
+                FROM lens),
+      raw AS (
+        SELECT doc_id, token AS term, 1 AS tfb, 0 AS tfa FROM
+          (SELECT doc_id, unnest(toks) AS token FROM t)
+        WHERE token IN ('A', 'home', 'B', 'hash', 'join', 'merge', 'window')
+        UNION ALL
+        SELECT l.doc_id, anc.term, 0, anc.n
+        FROM lens l JOIN anc ON l.fk = anc.fk
+        WHERE anc.term IN ('A', 'home', 'B', 'hash', 'join', 'merge',
+                           'window')),
+      cmb AS (SELECT doc_id, term, CAST(sum(tfb) AS BIGINT) AS tfb,
+                     CAST(sum(tfa) AS BIGINT) AS tfa
+              FROM raw GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM cmb GROUP BY 1),
+      q(qid, term) AS (VALUES
+        ('q_anchor', 'A'), ('q_anchor', 'home'),
+        ('q_mixed', 'B'), ('q_mixed', 'hash'), ('q_mixed', 'join'),
+        ('q_body', 'merge'), ('q_body', 'window')),
+      tn AS (SELECT qid, cmb.doc_id AS doc_id, df, n,
+                1.0 * tfb / (0.25 + 0.75 * dlb / avgb) +
+                CASE WHEN sum_dla = 0 THEN 0.0
+                     ELSE 2.0 * tfa / (0.5 + 0.5 * dla / avga) END AS tfn
+              FROM cmb JOIN lens USING (doc_id) JOIN dfq USING (term)
+                   JOIN q USING (term), stats),
+      sc AS (SELECT qid, doc_id,
+               CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+                 tfn / (1.2 + tfn) * 1e6, 0) AS BIGINT) AS m
+             FROM tn),
+      agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+              FROM sc GROUP BY 1, 2)
+      SELECT qid, rank, doc_id, score_micro FROM (
+        SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_micro DESC, doc_id) AS rank
+        FROM agg) r
+      WHERE rank <= 15 ORDER BY qid, rank""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4248,6 +4361,32 @@ object PipelineQueries {
              FROM e JOIN r${i - 1} r ON e.src = r.node
                     JOIN od ON od.src = e.src
              GROUP BY 1) s ON nd.node = s.node)"""
+    }.mkString(",\n      ")
+
+  /** p135's oracle iterations: `a1/h1..ak/hk` chained CTEs, one
+    * auth-then-hub HITS round each with integer max-normalization
+    * (the [[pageRankStagesSql]] pattern — generated, so the halves
+    * cannot drift). `coalesce(sum,0)*1000000` rides DuckDB's HUGEINT
+    * widening; the final CAST lands it back in BIGINT. The raw-sum
+    * and round-output CTEs are MATERIALIZED: each is referenced twice
+    * (once for values, once for its max / the next half), so default
+    * inlining would expand the chain EXPONENTIALLY in the round count
+    * — 2⁵ re-reads of the base table exhausts file handles.
+    */
+  private def hitsStagesSql(k: Int): String =
+    (1 to k).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS s
+             FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+      a${i}m AS (SELECT max(s) AS m FROM a${i}r),
+      a$i AS MATERIALIZED (SELECT nd.node,
+             CAST(coalesce(r.s, 0) * 1000000 // m AS BIGINT) AS a
+           FROM nd LEFT JOIN a${i}r r ON nd.node = r.node, a${i}m),
+      h${i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS s
+             FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+      h${i}m AS (SELECT max(s) AS m FROM h${i}r),
+      h$i AS MATERIALIZED (SELECT nd.node,
+             CAST(coalesce(r.s, 0) * 1000000 // m AS BIGINT) AS h
+           FROM nd LEFT JOIN h${i}r r ON nd.node = r.node, h${i}m)"""
     }.mkString(",\n      ")
 
   /** p128's planted script blocks — the corpus is pure ASCII, so the

@@ -856,6 +856,115 @@ object CorpusOps {
         col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score_micro"))
   }
 
+  /** Field-weighted BM25F with an ANCHOR-TEXT field — the off-page
+    * signal [[graft.graph.LinkGraph.anchorTerms]] harvests, folded
+    * into ranking the way web search stacks do (Zaragoza et al.,
+    * TREC-13 "simple BM25F"): per-field term frequencies are
+    * length-normalized and weighted FIRST,
+    *
+    *   tfn = w_body · tf_b / (1 − b_body + b_body · dl_b/avgdl_b)
+    *       + w_anchor · tf_a / (1 − b_anchor + b_anchor · dl_a/avgdl_a)
+    *
+    * and saturation applies ONCE to the combined value,
+    * `idf · tfn / (k1 + tfn)` — NOT a per-field BM25 sum, which would
+    * double-saturate and break the eliteness model (the published
+    * BM25F argument). A document's anchor field is its domain
+    * family's harvested anchor bag (`fieldKey` joins docs to
+    * `anchors` = (field_key, term, n)): anchor text lives at domain
+    * granularity, so every page of the family shares it; a family
+    * nobody links to has dl_a = 0 and contributes only body mass.
+    *
+    * Determinism: one double op chain per (query, doc, term) over
+    * integer inputs, micro-scaled and truncated to LONG once, per-doc
+    * score = integer sum (the bm25Micro rule). df counts docs where
+    * the term appears in EITHER field.
+    *
+    * Scale shape: body rows keep p49's map-side query-vocabulary
+    * IN-list on the exploded scan; the anchor side is domain-
+    * cardinality, vocab-filtered, and BROADCAST onto the docs' (doc,
+    * family) projection — both fields land in ONE union → one
+    * (doc, term) aggregate, no full-corpus join. Rank via the
+    * two-phase bounded TopK.
+    *
+    * Output: (qid, rank, doc_id, score_micro) like [[bm25TopK]].
+    */
+  def bm25fTopK(docs: DataFrame, id: Column, text: Column,
+                fieldKey: Column, anchors: DataFrame,
+                queries: Seq[(String, Seq[String])], k: Int = 10,
+                k1: Double = 1.2, bBody: Double = 0.75,
+                bAnchor: Double = 0.5, wBody: Double = 1.0,
+                wAnchor: Double = 2.0): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    require(terms.nonEmpty, "bm25fTopK needs at least one query term")
+    val toks = docs.select(id.as("doc_id"), fieldKey.as("fk"),
+      TextFunctions.tokens(text).as("toks"))
+    val anc = anchors.select(col("field_key").as("fk"), col("term"),
+      col("n").cast("long").as("n"))
+    val anDl = anc.groupBy(col("fk")).agg(sum(col("n")).as("dla"))
+    val lens = toks
+      .select(col("doc_id"), col("fk"), size(col("toks")).cast("long").as("dlb"))
+      .join(broadcast(anDl), Seq("fk"), "left")
+      .select(col("doc_id"), col("fk"), col("dlb"),
+        coalesce(col("dla"), lit(0L)).as("dla"))
+      .localCheckpoint(eager = false)
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dlb")).as("sum_dlb"), sum(col("dla")).as("sum_dla"))
+    // both fields as (doc, term, tfb, tfa) deltas → ONE aggregate
+    val raw = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        lit(1L).as("tfb"), lit(0L).as("tfa"))
+      .where(col("term").isin(terms: _*))
+      .unionByName(lens.select(col("doc_id"), col("fk"))
+        .join(broadcast(anc.where(col("term").isin(terms: _*))), Seq("fk"))
+        .select(col("doc_id"), col("term"), lit(0L).as("tfb"),
+          col("n").as("tfa")))
+    val cmb = raw.groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tfb")).as("tfb"), sum(col("tfa")).as("tfa"))
+    val dfreq = cmb.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "term")
+    val contrib = cmb
+      .join(lens.select(col("doc_id"), col("dlb"), col("dla")), Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        bm25fMicro(col("tfb"), col("tfa"), col("dlb"), col("dla"),
+          col("df"), col("n_docs"), col("sum_dlb"), col("sum_dla"),
+          k1, bBody, bAnchor, wBody, wAnchor).as("m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("m")).as("score_micro"))
+    graft.similarity.SimilaritySearch.rankTopK(
+        contrib.select(col("qid").as("query_id"),
+          col("doc_id").as("neighbor_id"),
+          col("score_micro").cast("double").as("cos")), k)
+      .select(col("query_id").as("qid"), col("rank"),
+        col("neighbor_id").as("doc_id"),
+        col("cos").cast("long").as("score_micro"))
+  }
+
+  /** One term's micro-unit BM25F contribution — the single double op
+    * chain over integer inputs (both fields' tf/dl, df, corpus stats),
+    * truncated to LONG once. A corpus with NO anchor mass anywhere
+    * (sum_dla = 0) contributes body-only — the explicit CASE keeps
+    * 0/0 out of the chain; the oracle mirrors it verbatim.
+    */
+  private[graft] def bm25fMicro(tfb: Column, tfa: Column, dlb: Column,
+                                dla: Column, df: Column, nDocs: Column,
+                                sumDlb: Column, sumDla: Column, k1: Double,
+                                bB: Double, bA: Double, wB: Double,
+                                wA: Double): Column = {
+    val avgb = sumDlb.cast("double") / nDocs
+    val avga = sumDla.cast("double") / nDocs
+    val tfn = lit(wB) * tfb / (lit(1 - bB) + lit(bB) * dlb / avgb) +
+      when(sumDla === 0L, lit(0.0))
+        .otherwise(lit(wA) * tfa / (lit(1 - bA) + lit(bA) * dla / avga))
+    round(log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+      tfn / (lit(k1) + tfn) * 1e6, 0).cast("long")
+  }
+
   /** Reciprocal-rank fusion — the standard HYBRID-retrieval combiner:
     * fuse any number of (qid, doc_id, rank) rankings (lexical BM25,
     * vector ANN, ...) by summing per-ranking reciprocal-rank credit,

@@ -661,6 +661,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!out.exists(_._3 == 3L))
   }
 
+  test("bm25fTopK: anchor field folds in pre-saturation; no-anchor corpus ranks like body BM25") {
+    val docs = Seq(
+      (1L, "hash join", "x.com"),
+      (2L, "join join merge", "y.com"),
+      (3L, "merge", "z.com")).toDF("id", "text", "fk")
+    val anchors = Seq(("x.com", "A", 3L), ("x.com", "hash", 2L),
+      ("y.com", "A", 1L)).toDF("field_key", "term", "n")
+    val out = CorpusOps.bm25fTopK(docs, col("id"), col("text"), col("fk"),
+        anchors, queries = Seq(("q1", Seq("hash", "A"))), k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // independent recompute straight from the simple-BM25F formula:
+    // N=3, avgb=6/3=2, anchor dl: x=5, y=1, z=0 -> avga=2
+    def tfn(tfb: Long, tfa: Long, dlb: Long, dla: Long): Double =
+      1.0 * tfb / (0.25 + 0.75 * dlb / 2.0) +
+        2.0 * tfa / (0.5 + 0.5 * dla / 2.0)
+    def m(t: Double, df: Long): Long =
+      math.round(math.log(1 + (3.0 - df + 0.5) / (df + 0.5)) *
+        t / (1.2 + t) * 1e6)
+    // d1: hash tfb=1+anchor tfa=2 (df 1); A tfa=3 (df 2). d2: A tfa=1.
+    val s1 = m(tfn(1, 2, 2, 5), 1) + m(tfn(0, 3, 2, 5), 2)
+    val s2 = m(tfn(0, 1, 3, 1), 2)
+    assert(out.toSeq == Seq((1L, s1), (2L, s2))) // d3 matches nothing: absent
+    // empty anchor table (sum_dla=0): the CASE keeps 0/0 out, and the
+    // RANKING equals body BM25 (scores differ by the k1+1 factor only)
+    val none = Seq.empty[(String, String, Long)].toDF("field_key", "term", "n")
+    val bodyOnly = CorpusOps.bm25fTopK(docs, col("id"), col("text"),
+        col("fk"), none, queries = Seq(("q", Seq("join", "merge"))), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val classic = CorpusOps.bm25TopK(docs, col("id"), col("text"),
+        queries = Seq(("q", Seq("join", "merge"))), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(bodyOnly == classic && bodyOnly.nonEmpty)
+  }
+
   test("bm25TopK breaks score ties by doc_id and tolerates null text") {
     val docs = Seq(
       (11L, "merge merge"), (10L, "merge merge"), // identical -> tied score

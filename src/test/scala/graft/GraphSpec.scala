@@ -44,6 +44,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: hand-computed two-iteration hubs/authorities; iters=0 init; multi-edge collapse") {
+    // a → b, a → c, b → c: a is the pure hub (no in-links, auth 0),
+    // c the pure authority (no out-links, hub 0), b both.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "c"))
+      .toDF("src", "dst") // duplicate b→c collapses to one edge
+    // r1: rawAuth b=1e6, c=2e6, max 2e6 → auth (0, 500000, 1000000);
+    //     rawHub a=1500000, b=1000000, max 1.5e6 →
+    //     hub (1000000, 1e12 div 1.5e6 = 666666, 0).
+    // r2: rawAuth b=1e6, c=1666666, max → auth b = 1e12 div 1666666
+    //     = 600000, c=1000000; rawHub a=1600000, b=1000000 →
+    //     hub a=1000000, b = 1e12 div 1.6e6 = 625000.
+    val r2 = LinkGraph.hits(edges, iters = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(r2 == Set(("a", 0L, 1000000L), ("b", 600000L, 625000L),
+      ("c", 1000000L, 0L)))
+    val r0 = LinkGraph.hits(edges, iters = 0)
+      .as[(String, Long, Long)].collect().toSet
+    assert(r0 == Set(("a", 0L, 1000000L), ("b", 0L, 1000000L),
+      ("c", 0L, 1000000L)))
+    intercept[IllegalArgumentException] { LinkGraph.hits(edges, iters = 51) }
+  }
+
   test("crawlBudget: proportional + cap + remainder, hand-computed; infeasible raises") {
     val ranks = Seq(("hub", 300000L), ("tail", 100000L))
       .toDF("node", "rank_micro")
