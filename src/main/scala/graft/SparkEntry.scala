@@ -319,5 +319,8 @@ object SparkEntry {
     // throughput (scan-stage codegen chain over the full corpus) and
     // the iterative-join execution class (5-round integer PageRank
     // over the harvested link graph)
-    "p130_html_extract", "p132_link_pagerank")
+    "p130_html_extract", "p132_link_pagerank",
+    // round-8 continued: field-fused retrieval (broadcast anchor side
+    // + map-side vocab IN-list + one union aggregate)
+    "p136_anchor_bm25f")
 }

@@ -238,21 +238,55 @@ object LinkGraph {
   }
 
   def pageRank(edges: DataFrame, iters: Int = 5,
-               dampPermille: Int = 850): DataFrame = {
+               dampPermille: Int = 850): DataFrame =
+    pageRankImpl(edges, iters, dampPermille, seeds = None)
+
+  /** PERSONALIZED PageRank — the focused-crawl variant: teleport mass
+    * lands ONLY on the `seeds` (the domains the pipeline already
+    * trusts), so the score reads "authority AS REACHABLE FROM what we
+    * trust" instead of global authority — the ranking a topical crawl
+    * expands its frontier by (and the farm-resistance move: a spam
+    * cluster nobody trusted links into scores exactly 0, where global
+    * PageRank still grants it `base` per node).
+    *
+    * Same integer micro-unit arithmetic as [[pageRank]] with two
+    * deltas: rank starts at 1 000 000 on seeds and 0 elsewhere, and
+    * the per-round `base` term applies to seeds only — non-seed rank
+    * is purely inherited. Seeds are a DataFrame (`node` column), so a
+    * million-seed allowlist broadcasts instead of inlining into the
+    * plan; unknown seed nodes (not in the edge set) are ignored by
+    * construction of the node table.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5,
+                           dampPermille: Int = 850): DataFrame =
+    pageRankImpl(edges, iters, dampPermille,
+      seeds = Some(seeds.select(col("node")).distinct()))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int,
+                           dampPermille: Int,
+                           seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 0 && iters <= 50,
       s"pageRank: iters must be in [0, 50], got $iters")
     require(dampPermille >= 0 && dampPermille <= 1000,
       s"pageRank: dampPermille must be in [0, 1000], got $dampPermille")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+    // (node, is_seed) — the static teleport side; global PageRank is
+    // the every-node-is-a-seed special case
+    val nodes = seeds.fold(nodes0.withColumn("is_seed", lit(true))) { sd =>
+      nodes0.join(broadcast(sd.withColumn("is_seed", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }.localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the static side of every round's join: (src, dst, deg)
     val ew = e.join(outdeg, "src").localCheckpoint(eager = false)
     val base = (1000L - dampPermille) * 1000L
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_micro"))
     for (_ <- 1 to iters) {
       val contrib = ew
         .join(ranks, ew("src") === ranks("node"))
@@ -261,7 +295,7 @@ object LinkGraph {
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
             .as("rank_micro"))
         .localCheckpoint(eager = false)

@@ -4272,7 +4272,37 @@ object PipelineQueries {
                row_number() OVER (PARTITION BY qid
                  ORDER BY score_micro DESC, doc_id) AS rank
         FROM agg) r
-      WHERE rank <= 15 ORDER BY qid, rank""")))
+      WHERE rank <= 15 ORDER BY qid, rank""")),
+
+    // Personalized PageRank — the FOCUSED-crawl ranking: teleport
+    // mass lands only on the seed domains the pipeline already
+    // trusts, so the score reads "authority as reachable from what we
+    // trust" (and a link farm nobody trusted links into scores
+    // exactly 0, where global PageRank grants every node base). Same
+    // integer micro-unit rounds as p132 with the seed-membership CASE
+    // as the teleport term and seed-only init; the oracle reuses the
+    // SAME generated round SQL with that CASE substituted — the
+    // global entry is the every-node-is-a-seed special case.
+    ("p137_topical_pagerank", (s, d) => {
+      import s.implicits._
+      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      val seeds = Seq("src0.com", "src1.com").toDF("node")
+      graft.graph.LinkGraph.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("rank_micro").desc, col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node,
+               CAST(CASE WHEN node IN ('src0.com', 'src1.com')
+                 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(5, "CASE WHEN nd.node IN ('src0.com', " +
+        "'src1.com') THEN 150000 ELSE 0 END")}
+      SELECT node, r AS rank_micro FROM r5
+      ORDER BY rank_micro DESC, node""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4351,11 +4381,15 @@ object PipelineQueries {
   /** p132's oracle iterations: `r1..rk` chained CTEs, each one
     * integer-PageRank round over `e`/`nd`/`od`/`r{i-1}` (the p58
     * staged-SQL pattern — generated, so the rounds cannot drift).
+    * `baseSql` is the per-node teleport term — a constant for global
+    * PageRank, a seed-membership CASE over `nd.node` for the
+    * personalized variant (p137).
     */
-  private def pageRankStagesSql(k: Int): String =
+  private def pageRankStagesSql(k: Int,
+                                baseSql: String = "150000"): String =
     (1 to k).map { i =>
       s"""r$i AS (SELECT nd.node,
-             CAST(150000 + (850 * coalesce(s.c, 0)) // 1000 AS BIGINT) AS r
+             CAST($baseSql + (850 * coalesce(s.c, 0)) // 1000 AS BIGINT) AS r
            FROM nd LEFT JOIN (
              SELECT e.dst AS node, sum(r.r // od.deg) AS c
              FROM e JOIN r${i - 1} r ON e.src = r.node

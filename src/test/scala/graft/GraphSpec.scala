@@ -44,6 +44,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: seed-only teleport, hand-computed; unreached cluster scores 0") {
+    // a → b → c with seed {a}, plus a two-node cycle x ↔ y nobody
+    // trusted links into — the link-farm case global PageRank cannot
+    // zero out.
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    // init: a=1e6, rest 0. iter1: a=150000 (seed base, no in-links);
+    //   b=850·1000000 div 1000=850000; c=0; x=y=0.
+    // iter2: a=150000; b=850·150000 div 1000=127500;
+    //   c=850·850000 div 1000=722500; x=y=0 forever.
+    val r = LinkGraph.personalizedPageRank(edges, seeds, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 150000L, "b" -> 127500L, "c" -> 722500L,
+      "x" -> 0L, "y" -> 0L))
+    // every-node-is-a-seed == global pageRank, exactly
+    val all = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val pers = LinkGraph.personalizedPageRank(edges, all, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val glob = LinkGraph.pageRank(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(pers == glob)
+  }
+
   test("hits: hand-computed two-iteration hubs/authorities; iters=0 init; multi-edge collapse") {
     // a → b, a → c, b → c: a is the pure hub (no in-links, auth 0),
     // c the pure authority (no out-links, hub 0), b both.
