@@ -237,6 +237,44 @@ object LinkGraph {
         col("h").as("hub_micro"))
   }
 
+  /** Robots-rule gate over the harvested frontier — the step a crawl
+    * legally cannot skip, with the Robots Exclusion Protocol's
+    * (RFC 9309) match semantics: among a domain family's rules whose
+    * path-prefix matches the URL's path+query, the LONGEST prefix
+    * wins; an exact length tie resolves to allow (least-restrictive);
+    * a URL matching no rule is allowed (the protocol's default).
+    *
+    * `urls` is frontier output — (canonical, dst_family) rows, e.g.
+    * [[linkRows]] — deduped here to the distinct URL set (the grain a
+    * fetcher consults robots at). `rules` is (family, prefix, allow),
+    * the parsed per-family rule table. Output: (canonical,
+    * dst_family, allowed, rule_prefix) with `rule_prefix = ''` for
+    * the default-allow case — absence is a value.
+    *
+    * Scale shape: the rule table is registered-domain-sized and
+    * BROADCAST; matching is a per-row prefix test, and the
+    * longest-match election is ONE max(struct) aggregate on the
+    * already-deduped URL key — no corpus-sized shuffle beyond the
+    * frontier dedup itself. Ties beyond (length, allow) cannot differ
+    * (two same-length prefixes of one path are equal), so the
+    * election is deterministic by construction.
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val u = urls.select(col("canonical"), col("dst_family")).distinct()
+      .withColumn("path",
+        regexp_replace(col("canonical"), "^[a-z]+://[^/]*", ""))
+    val r = rules.select(col("family"), col("prefix"), col("allow"))
+    val m = u.join(broadcast(r), u("dst_family") === r("family") &&
+        u("path").startsWith(r("prefix")))
+      .groupBy(col("canonical"))
+      .agg(max(struct(length(col("prefix")).as("l"), col("allow"),
+        col("prefix"))).as("m"))
+    u.join(m, Seq("canonical"), "left")
+      .select(col("canonical"), col("dst_family"),
+        coalesce(col("m.allow"), lit(true)).as("allowed"),
+        coalesce(col("m.prefix"), lit("")).as("rule_prefix"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampPermille: Int = 850): DataFrame =
     pageRankImpl(edges, iters, dampPermille, seeds = None)

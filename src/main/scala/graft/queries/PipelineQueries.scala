@@ -4302,7 +4302,50 @@ object PipelineQueries {
       ${pageRankStagesSql(5, "CASE WHEN nd.node IN ('src0.com', " +
         "'src1.com') THEN 150000 ELSE 0 END")}
       SELECT node, r AS rank_micro FROM r5
-      ORDER BY rank_micro DESC, node""")))
+      ORDER BY rank_micro DESC, node""")),
+
+    // Robots-rule gate over the harvested frontier — the step a crawl
+    // legally cannot skip, with RFC 9309's match semantics: longest
+    // matching path-prefix wins, an exact-length tie resolves to
+    // allow, no match means allowed. The rule fixture makes every
+    // branch bind: src0.com disallows '/' but allows the LONGER
+    // '/hub' (override), example.com blocks everything, src1.com
+    // blocks its content pages, src2.co.uk carries a contradictory
+    // same-length pair (the tie → allow rule). Rules broadcast at
+    // domain cardinality; election = one max(struct) on the deduped
+    // URL key.
+    ("p138_robots_filter", (s, d) => {
+      import s.implicits._
+      val urls = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
+        col("page_url"), col("html"))
+      val rules = Seq(
+        ("src0.com", "/", false), ("src0.com", "/hub", true),
+        ("example.com", "/", false), ("src1.com", "/p", false),
+        ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+        .toDF("family", "prefix", "allow")
+      graft.graph.LinkGraph.robotsFilter(urls, rules)
+        .orderBy(col("canonical"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),
+      up AS (SELECT canonical, dst_family,
+               regexp_replace(canonical, '^[a-z]+://[^/]*', '') AS path
+             FROM u),
+      rules(family, prefix, allow) AS (VALUES
+        ('src0.com', '/', false), ('src0.com', '/hub', true),
+        ('example.com', '/', false), ('src1.com', '/p', false),
+        ('src2.co.uk', '/', true), ('src2.co.uk', '/', false)),
+      m AS (SELECT canonical, prefix, allow,
+              row_number() OVER (PARTITION BY canonical
+                ORDER BY len(prefix) DESC, allow DESC) AS rn
+            FROM up JOIN rules ON dst_family = family
+              AND starts_with(path, prefix))
+      SELECT up.canonical, up.dst_family,
+             coalesce(m.allow, true) AS allowed,
+             coalesce(m.prefix, '') AS rule_prefix
+      FROM up LEFT JOIN (SELECT canonical, prefix, allow FROM m
+                         WHERE rn = 1) m USING (canonical)
+      ORDER BY canonical""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

@@ -45,6 +45,13 @@ import org.apache.spark.sql.SparkSession
   *  a collected driver-local bounded DataFrame, so the postings join
   *  plans as a broadcast HASH equi-join.)
   *  - q40 globalWindow: global lead/ntile demo semantics.
+  *  - round-8 entries inheriting the accepted one-row broadcast
+  *    cross-join shape (a config-sized or one-row scalar riding
+  *    BuildRight): p106 (corpus-stats scalar), p108 (p94's stats),
+  *    p113 (one-row budget totals), p115/p116 (one-row normalizer),
+  *    p118 (+ SortAggregate from the max-struct election),
+  *    p133 (two one-row rank/headroom totals), p136 (p49's one-row
+  *    (N, sum_dlb, sum_dla) stats scalar), q83 (p84's shape).
   * Anything NEW this tool prints is a regression to investigate.
   */
 object PlanAudit {

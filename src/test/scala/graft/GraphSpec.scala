@@ -44,6 +44,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("robotsFilter: longest prefix wins, length tie resolves to allow, no match allows") {
+    val urls = Seq(
+      ("https://a.com/private/page", "a.com"),
+      ("https://a.com/private/ok/page", "a.com"),
+      ("https://a.com/open", "a.com"),
+      ("https://b.com/x", "b.com"),
+      ("https://c.com/anything", "c.com")).toDF("canonical", "dst_family")
+    val rules = Seq(
+      ("a.com", "/private", false), ("a.com", "/private/ok", true),
+      ("b.com", "/x", true), ("b.com", "/x", false))
+      .toDF("family", "prefix", "allow")
+    val out = LinkGraph.robotsFilter(urls, rules)
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(out == Set(
+      ("https://a.com/private/page", "a.com", false, "/private"),
+      // the longer allow overrides the shorter disallow
+      ("https://a.com/private/ok/page", "a.com", true, "/private/ok"),
+      ("https://a.com/open", "a.com", true, ""),      // no match: allow
+      ("https://b.com/x", "b.com", true, "/x"),       // tie: allow wins
+      ("https://c.com/anything", "c.com", true, ""))) // no rules at all
+  }
+
   test("personalizedPageRank: seed-only teleport, hand-computed; unreached cluster scores 0") {
     // a → b → c with seed {a}, plus a two-node cycle x ↔ y nobody
     // trusted links into — the link-farm case global PageRank cannot
