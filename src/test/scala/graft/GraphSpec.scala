@@ -44,6 +44,70 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank/personalized/hits: random graphs equal a driver-side integer reference") {
+    // seeded random graphs against independent plain-Scala recomputes
+    // of the exact integer arithmetic (the span-self-dedup randomized
+    // reference pattern): any divergence in floor placement, join
+    // shape, or normalization shows up as a value diff, not a
+    // tolerance miss.
+    val rnd = new scala.util.Random(20260814L)
+    def refPageRank(edges: Set[(String, String)], iters: Int,
+                    seeds: Option[Set[String]]): Map[String, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      def isSeed(v: String) = seeds.forall(_.contains(v))
+      var rank = nodes.map(v => v -> (if (isSeed(v)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val c = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s, d) <- edges) c(d) += rank(s) / outdeg(s)
+        rank = nodes.map(v => v ->
+          ((if (isSeed(v)) 150000L else 0L) + 850L * c(v) / 1000L)).toMap
+      }
+      rank
+    }
+    def refHits(edges: Set[(String, String)], iters: Int): Map[String, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val rawA = nodes.map(v =>
+          v -> edges.filter(_._2 == v).toSeq.map(e => hub(e._1)).sum).toMap
+        val mA = rawA.values.max
+        auth = nodes.map(v => v -> rawA(v) * 1000000L / mA).toMap
+        val rawH = nodes.map(v =>
+          v -> edges.filter(_._1 == v).toSeq.map(e => auth(e._2)).sum).toMap
+        val mH = rawH.values.max
+        hub = nodes.map(v => v -> rawH(v) * 1000000L / mH).toMap
+      }
+      nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+    }
+    for (_ <- 1 to 3) {
+      val names = (0 until 4 + rnd.nextInt(5)).map(i => s"n$i")
+      val edges = (1 to 6 + rnd.nextInt(12)).map(_ =>
+        (names(rnd.nextInt(names.size)), names(rnd.nextInt(names.size))))
+        .filter(e => e._1 != e._2).toSet
+      if (edges.nonEmpty) {
+        val df = edges.toSeq.toDF("src", "dst")
+        val it = 1 + rnd.nextInt(4)
+        assert(LinkGraph.pageRank(df, iters = it)
+          .as[(String, Long)].collect().toMap ==
+          refPageRank(edges, it, None), s"pageRank $edges")
+        val seedSet = edges.flatMap(e => Seq(e._1, e._2))
+          .filter(_ => rnd.nextBoolean())
+        if (seedSet.nonEmpty) {
+          assert(LinkGraph.personalizedPageRank(df,
+              seedSet.toSeq.toDF("node"), iters = it)
+            .as[(String, Long)].collect().toMap ==
+            refPageRank(edges, it, Some(seedSet)), s"ppr $edges $seedSet")
+        }
+        assert(LinkGraph.hits(df, iters = it)
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap ==
+          refHits(edges, it), s"hits $edges")
+      }
+    }
+  }
+
   test("robotsFilter: longest prefix wins, length tie resolves to allow, no match allows") {
     val urls = Seq(
       ("https://a.com/private/page", "a.com"),
