@@ -144,14 +144,33 @@ object LinkGraph {
     */
   def crawlBudget(ranks: DataFrame, budget: Long,
                   maxPerDomain: Long): DataFrame = {
-    require(budget > 0 && maxPerDomain > 0,
-      s"crawlBudget: budget and maxPerDomain must be positive, got " +
-        s"$budget / $maxPerDomain")
-    val tot = ranks.agg(sum(col("rank_micro")).as("sr"))
-    val a = ranks.join(broadcast(tot))
+    require(maxPerDomain > 0,
+      s"crawlBudget: maxPerDomain must be positive, got $maxPerDomain")
+    crawlBudgetWithCaps(ranks.withColumn("cap", lit(maxPerDomain)), budget)
+  }
+
+  /** [[crawlBudget]] with PER-DOMAIN caps — the production shape: a
+    * domain's fetch ceiling is not one global politeness constant but
+    * whatever binds tighter per host (its robots crawl-delay, its
+    * observed error rate, or simply how many of its URLs the
+    * [[robotsFilter]] gate left fetchable — a domain with rank but
+    * zero allowed pages must get cap 0, not a politeness default).
+    * Input: (node, rank_micro, cap); caps must be ≥ 0 (checked
+    * loudly row-side — a negative cap is a rule-compiler bug, not a
+    * schedule). Same integer-exact largest-remainder pass, same
+    * `__UNASSIGNED` remainder row, same infeasibility raise.
+    */
+  def crawlBudgetWithCaps(ranks: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"crawlBudget: budget must be positive, got $budget")
+    val guarded = ranks.withColumn("cap",
+      when(col("cap") < 0, raise_error(concat(
+          lit("crawlBudgetWithCaps: negative cap for "), col("node"))))
+        .otherwise(col("cap")))
+    val tot = guarded.agg(sum(col("rank_micro")).as("sr"))
+    val a = guarded.join(broadcast(tot))
       .withColumn("ideal", expr(s"${budget}L * rank_micro div sr"))
-      .withColumn("take1", least(col("ideal"), lit(maxPerDomain)))
-      .withColumn("head", lit(maxPerDomain) - col("take1"))
+      .withColumn("take1", least(col("ideal"), col("cap")))
+      .withColumn("head", col("cap") - col("take1"))
     val t2 = a.agg(sum(col("take1")).as("st"), sum(col("head")).as("sh"))
     val planned = a.join(broadcast(t2))
       .withColumn("deficit", lit(budget) - col("st"))
@@ -164,7 +183,7 @@ object LinkGraph {
       .withColumn("extra", when(col("sh_ok") > 0,
         expr("deficit * head div sh_ok")).otherwise(lit(0L)))
       .withColumn("n_requests", col("take1") + col("extra"))
-      .withColumn("capped", col("ideal") > lit(maxPerDomain))
+      .withColumn("capped", col("ideal") > col("cap"))
     val rows = planned.select(col("node"), col("rank_micro"),
       col("n_requests"), col("capped"))
     val un = planned

@@ -4327,25 +4327,75 @@ object PipelineQueries {
         .orderBy(col("canonical"))
     }, Some(s"""
       WITH $outlinkCtesSql,
-      u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),
-      up AS (SELECT canonical, dst_family,
-               regexp_replace(canonical, '^[a-z]+://[^/]*', '') AS path
-             FROM u),
-      rules(family, prefix, allow) AS (VALUES
-        ('src0.com', '/', false), ('src0.com', '/hub', true),
-        ('example.com', '/', false), ('src1.com', '/p', false),
-        ('src2.co.uk', '/', true), ('src2.co.uk', '/', false)),
-      m AS (SELECT canonical, prefix, allow,
-              row_number() OVER (PARTITION BY canonical
-                ORDER BY len(prefix) DESC, allow DESC) AS rn
-            FROM up JOIN rules ON dst_family = family
-              AND starts_with(path, prefix))
-      SELECT up.canonical, up.dst_family,
-             coalesce(m.allow, true) AS allowed,
-             coalesce(m.prefix, '') AS rule_prefix
-      FROM up LEFT JOIN (SELECT canonical, prefix, allow FROM m
-                         WHERE rn = 1) m USING (canonical)
-      ORDER BY canonical""")))
+      $robotsCtesSql
+      SELECT canonical, dst_family, allowed, rule_prefix FROM gate
+      ORDER BY canonical""")),
+
+    // The composed CRAWL SCHEDULE — rank, gate, then spend: p132's
+    // ranks allocated by p133's integer-exact largest-remainder pass,
+    // but each domain's cap is what binds TIGHTER of the politeness
+    // constant and its p138-allowed distinct URL count (a domain with
+    // rank but zero fetchable pages gets cap 0, never a politeness
+    // default — src1.com's content pages are robots-blocked, so its
+    // cap collapses to its one hub URL). This is the closing
+    // composition of the crawl arc: every upstream operator's output
+    // feeds the allocation, and the oracle recomputes the whole chain.
+    ("p139_crawl_schedule", (s, d) => {
+      import s.implicits._
+      val pages = htmlPages(s, d)
+      val urls = graft.graph.LinkGraph.linkRows(pages,
+        col("page_url"), col("html"))
+      val rules = Seq(
+        ("src0.com", "/", false), ("src0.com", "/hub", true),
+        ("example.com", "/", false), ("src1.com", "/p", false),
+        ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+        .toDF("family", "prefix", "allow")
+      val allowedCounts = graft.graph.LinkGraph.robotsFilter(urls, rules)
+        .filter(col("allowed"))
+        .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
+      val edges = graft.graph.LinkGraph.outlinkEdges(pages,
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
+      val withCaps = ranks
+        .join(allowedCounts, ranks("node") === allowedCounts("dst_family"),
+          "left")
+        .select(col("node"), col("rank_micro"),
+          least(lit(200L), coalesce(col("n_allowed"), lit(0L))).as("cap"))
+      graft.graph.LinkGraph.crawlBudgetWithCaps(withCaps, budget = 200L)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      $robotsCtesSql,
+      na AS (SELECT dst_family, CAST(count(*) AS BIGINT) AS n_allowed
+             FROM gate WHERE allowed GROUP BY 1),
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(5)},
+      cp AS (SELECT node, r,
+               least(200, coalesce(na.n_allowed, 0)) AS cap
+             FROM r5 LEFT JOIN na ON r5.node = na.dst_family),
+      tot AS (SELECT sum(r) AS sr FROM cp),
+      a AS (SELECT node, r, cap, CAST(200 * r // sr AS BIGINT) AS ideal
+            FROM cp, tot),
+      b AS (SELECT node, r, cap, ideal, least(ideal, cap) AS take1,
+              cap - least(ideal, cap) AS head FROM a),
+      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
+      c AS (SELECT node, r AS rank_micro,
+              CAST(take1 + CASE WHEN sh > 0
+                THEN (200 - st) * head // sh ELSE 0 END AS BIGINT)
+                AS n_requests,
+              ideal > cap AS capped
+            FROM b, t2)
+      SELECT * FROM (
+        SELECT node, rank_micro, n_requests, capped FROM c
+        UNION ALL
+        SELECT '__UNASSIGNED', CAST(0 AS BIGINT),
+               CAST(200 - (SELECT sum(n_requests) FROM c) AS BIGINT),
+               false)
+      ORDER BY node""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4439,6 +4489,31 @@ object PipelineQueries {
                     JOIN od ON od.src = e.src
              GROUP BY 1) s ON nd.node = s.node)"""
     }.mkString(",\n      ")
+
+  /** p138's robots gate as shared CTEs ending in `gate` (canonical,
+    * dst_family, allowed, rule_prefix) — reused verbatim by p139's
+    * composed schedule so the two executions of the rule fixture
+    * cannot drift (the sharedOracle rule, at the SQL level).
+    */
+  private val robotsCtesSql: String = """
+      u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),
+      up AS (SELECT canonical, dst_family,
+               regexp_replace(canonical, '^[a-z]+://[^/]*', '') AS path
+             FROM u),
+      rules(family, prefix, allow) AS (VALUES
+        ('src0.com', '/', false), ('src0.com', '/hub', true),
+        ('example.com', '/', false), ('src1.com', '/p', false),
+        ('src2.co.uk', '/', true), ('src2.co.uk', '/', false)),
+      m AS (SELECT canonical, prefix, allow,
+              row_number() OVER (PARTITION BY canonical
+                ORDER BY len(prefix) DESC, allow DESC) AS rn
+            FROM up JOIN rules ON dst_family = family
+              AND starts_with(path, prefix)),
+      gate AS (SELECT up.canonical, up.dst_family,
+                 coalesce(m.allow, true) AS allowed,
+                 coalesce(m.prefix, '') AS rule_prefix
+               FROM up LEFT JOIN (SELECT canonical, prefix, allow FROM m
+                                  WHERE rn = 1) m USING (canonical))"""
 
   /** p135's oracle iterations: `a1/h1..ak/hk` chained CTEs, one
     * auth-then-hub HITS round each with integer max-normalization

@@ -155,6 +155,24 @@ class GraphSpec extends AnyFunSuite {
     assert(pers == glob)
   }
 
+  test("crawlBudgetWithCaps: per-domain caps bind, zero-cap domain gets 0, negative cap raises") {
+    // Σr=1e6, budget 10: ideal a=3, b=1, c=6; take1 a=2 (cap), b=1,
+    // c=0 (cap 0); head 0/7/0; deficit 7 = Σhead → extra b=7;
+    // n_requests 2/8/0, remainder 0.
+    val ranks = Seq(("a", 300000L, 2L), ("b", 100000L, 8L),
+      ("c", 600000L, 0L)).toDF("node", "rank_micro", "cap")
+    val out = LinkGraph.crawlBudgetWithCaps(ranks, budget = 10L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(("a", 300000L, 2L, true), ("b", 100000L, 8L, false),
+      ("c", 600000L, 0L, true), ("__UNASSIGNED", 0L, 0L, false)))
+    val bad = intercept[Exception] {
+      LinkGraph.crawlBudgetWithCaps(
+        Seq(("a", 1L, -1L)).toDF("node", "rank_micro", "cap"), 5L).collect()
+    }
+    assert(bad.getMessage.contains("negative cap") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("negative cap"))
+  }
+
   test("hits: hand-computed two-iteration hubs/authorities; iters=0 init; multi-edge collapse") {
     // a → b, a → c, b → c: a is the pure hub (no in-links, auth 0),
     // c the pure authority (no out-links, hub 0), b both.
