@@ -230,7 +230,10 @@ object SparkEntry {
       Some(sharedOracle("p130_html_extract"))),
     ("q119_streaming_outlinks",
       (s, d) => graft.streaming.StreamingQueries.outlinksStream(s, d),
-      Some(sharedOracle("p131_outlinks"))))
+      Some(sharedOracle("p131_outlinks"))),
+    ("q120_streaming_robots",
+      (s, d) => graft.streaming.StreamingQueries.robotsStream(s, d),
+      Some(sharedOracle("p138_robots_filter"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -271,27 +271,31 @@ object LinkGraph {
     * the default-allow case — absence is a value.
     *
     * Scale shape: the rule table is registered-domain-sized and
-    * BROADCAST; matching is a per-row prefix test, and the
-    * longest-match election is ONE max(struct) aggregate on the
-    * already-deduped URL key — no corpus-sized shuffle beyond the
-    * frontier dedup itself. Ties beyond (length, allow) cannot differ
-    * (two same-length prefixes of one path are equal), so the
-    * election is deterministic by construction.
+    * BROADCAST; matching is one LEFT broadcast join (the unmatched
+    * row carries the protocol default as a (length 0, allow, '')
+    * candidate, so no second pass recovers default-allow URLs) and
+    * the longest-match election is ONE max(struct) aggregate on the
+    * deduped URL key — no self-join, no corpus-sized shuffle beyond
+    * the frontier dedup itself, and the single-lineage plan also
+    * analyzes over streaming memory-sink views (a self-join there
+    * trips attribute deduplication). Ties beyond (length, allow)
+    * cannot differ (two same-length prefixes of one path are equal),
+    * so the election is deterministic by construction.
     */
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
     val u = urls.select(col("canonical"), col("dst_family")).distinct()
       .withColumn("path",
         regexp_replace(col("canonical"), "^[a-z]+://[^/]*", ""))
     val r = rules.select(col("family"), col("prefix"), col("allow"))
-    val m = u.join(broadcast(r), u("dst_family") === r("family") &&
-        u("path").startsWith(r("prefix")))
-      .groupBy(col("canonical"))
-      .agg(max(struct(length(col("prefix")).as("l"), col("allow"),
-        col("prefix"))).as("m"))
-    u.join(m, Seq("canonical"), "left")
+    u.join(broadcast(r), u("dst_family") === r("family") &&
+        u("path").startsWith(r("prefix")), "left")
+      .groupBy(col("canonical"), col("dst_family"))
+      .agg(max(struct(
+        coalesce(length(col("prefix")), lit(0)).as("l"),
+        coalesce(col("allow"), lit(true)).as("allow"),
+        coalesce(col("prefix"), lit("")).as("prefix"))).as("m"))
       .select(col("canonical"), col("dst_family"),
-        coalesce(col("m.allow"), lit(true)).as("allowed"),
-        coalesce(col("m.prefix"), lit("")).as("rule_prefix"))
+        col("m.allow").as("allowed"), col("m.prefix").as("rule_prefix"))
   }
 
   def pageRank(edges: DataFrame, iters: Int = 5,

@@ -620,6 +620,39 @@ object StreamingQueries {
     runToMemory(out, mode = "append").orderBy(col("doc_id"))
   }
 
+  /** p138's robots gate over the LIVE frontier — where a fetcher
+    * actually consults robots (a URL is gated when DISCOVERED, not in
+    * a batch job after the crawl): the same
+    * [[graft.graph.LinkGraph.linkRows]] harvest map-side, cross-batch
+    * state = the frontier seen-set (streaming `dropDuplicates` on the
+    * canonical key — exactly the q31 incremental-dedup state shape),
+    * and the rule election runs through the SAME
+    * [[graft.graph.LinkGraph.robotsFilter]] as the batch entry at the
+    * epoch boundary (its internal distinct is idempotent on the
+    * deduped sink; the gate itself is stateless — rules broadcast, a
+    * pure function of the URL). Dedup-then-gate is slice-independent
+    * because the gate is per-row deterministic.
+    */
+  def robotsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
+        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
+    val urls = graft.graph.LinkGraph
+      .linkRows(pages, col("page_url"), col("html"))
+      .select(col("canonical"), col("dst_family"))
+      .dropDuplicates("canonical")
+    val seen = runToMemory(urls, mode = "append")
+    val rules = Seq(
+      ("src0.com", "/", false), ("src0.com", "/hub", true),
+      ("example.com", "/", false), ("src1.com", "/p", false),
+      ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+      .toDF("family", "prefix", "allow")
+    graft.graph.LinkGraph.robotsFilter(seen, rules)
+      .orderBy(col("canonical"))
+  }
+
   /** p131's outlink harvest with the link graph accumulating ON the
     * streaming engine — the frontier's view DURING the crawl, not
     * after it: harvest/canonicalize/family run stateless map-side
