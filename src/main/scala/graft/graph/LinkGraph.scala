@@ -162,10 +162,21 @@ object LinkGraph {
     */
   def crawlBudgetWithCaps(ranks: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"crawlBudget: budget must be positive, got $budget")
+    // the `budget · rank_micro` proportioning must stay inside int64
+    // (a hub on a 10⁸-node graph can hold ~N·10⁶ micro-units);
+    // budget is a plan-time literal, so the bound is one codegen
+    // comparison — loud, the trendSlopes convention
+    val maxRank = Long.MaxValue / budget
     val guarded = ranks.withColumn("cap",
       when(col("cap") < 0, raise_error(concat(
           lit("crawlBudgetWithCaps: negative cap for "), col("node"))))
         .otherwise(col("cap")))
+      .withColumn("rank_micro",
+        when(col("rank_micro") > maxRank, raise_error(concat(
+            lit(s"crawlBudgetWithCaps: rank_micro above the int64 " +
+              s"proportioning headroom ($maxRank at budget $budget) for "),
+            col("node"))))
+          .otherwise(col("rank_micro")))
     val tot = guarded.agg(sum(col("rank_micro")).as("sr"))
     val a = guarded.join(broadcast(tot))
       .withColumn("ideal", expr(s"${budget}L * rank_micro div sr"))
