@@ -109,7 +109,10 @@ object LinkGraph {
     val elems = regexp_extract_all(html, lit("(?is)<a\\s[^>]*>.*?</a>"),
       lit(0))
     pages.select(explode(elems).as("e"))
-      .select(regexp_extract(col("e"), "(?i)href=\"([^\"]*)\"", 1)
+      // href anchored INSIDE the opening tag ([^>]*? forbids crossing
+      // its '>'): an hrefless anchor whose inner TEXT contains a
+      // literal href="…" must stay dropped, not adopt that target
+      .select(regexp_extract(col("e"), "(?is)^<a[^>]*?href=\"([^\"]*)\"", 1)
           .as("href"),
         regexp_extract(col("e"), "(?is)^<a[^>]*>(.*)</a>$", 1).as("inner"))
       .filter(col("href") =!= "")
@@ -166,10 +169,19 @@ object LinkGraph {
     // (a hub on a 10⁸-node graph can hold ~N·10⁶ micro-units);
     // budget is a plan-time literal, so the bound is one codegen
     // comparison — loud, the trendSlopes convention
+    // both proportioning multiplies must stay inside int64 (the
+    // trendSlopes loud-guard convention): `budget · rank_micro`
+    // (a hub on a 10⁸-node graph holds ~N·10⁶ micro-units) and the
+    // redistribution's `deficit · head` where deficit ≤ budget and
+    // head ≤ cap — budget is a plan-time literal, so each bound is
+    // one codegen comparison
     val maxRank = Long.MaxValue / budget
     val guarded = ranks.withColumn("cap",
       when(col("cap") < 0, raise_error(concat(
           lit("crawlBudgetWithCaps: negative cap for "), col("node"))))
+        .when(col("cap") > maxRank, raise_error(concat(
+          lit(s"crawlBudgetWithCaps: cap above the int64 redistribution " +
+            s"headroom ($maxRank at budget $budget) for "), col("node"))))
         .otherwise(col("cap")))
       .withColumn("rank_micro",
         when(col("rank_micro") > maxRank, raise_error(concat(
@@ -177,7 +189,14 @@ object LinkGraph {
               s"proportioning headroom ($maxRank at budget $budget) for "),
             col("node"))))
           .otherwise(col("rank_micro")))
-    val tot = guarded.agg(sum(col("rank_micro")).as("sr"))
+    // zero total mass (legal: the all-unreached slice of a
+    // personalizedPageRank result) or an empty table would otherwise
+    // NULL-cascade through `div sr` into a garbage schedule
+    val tot = guarded.agg(
+      when(coalesce(sum(col("rank_micro")), lit(0L)) <= 0L,
+        raise_error(lit("crawlBudgetWithCaps: total rank mass is zero " +
+          "or the ranks table is empty — nothing to proportion by")))
+        .otherwise(sum(col("rank_micro"))).as("sr"))
     val a = guarded.join(broadcast(tot))
       .withColumn("ideal", expr(s"${budget}L * rank_micro div sr"))
       .withColumn("take1", least(col("ideal"), col("cap")))
@@ -195,6 +214,9 @@ object LinkGraph {
         expr("deficit * head div sh_ok")).otherwise(lit(0L)))
       .withColumn("n_requests", col("take1") + col("extra"))
       .withColumn("capped", col("ideal") > col("cap"))
+      // both union branches below scan this subtree; persist-backed
+      // lineage truncation computes the (domain-sized) schedule once
+      .localCheckpoint(eager = false)
     val rows = planned.select(col("node"), col("rank_micro"),
       col("n_requests"), col("capped"))
     val un = planned
@@ -294,9 +316,13 @@ object LinkGraph {
     * so the election is deterministic by construction.
     */
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    // scheme grammar matches canonicalizeUrl's OUTPUT form (lowercase
+    // `[a-z][a-z0-9+.-]*`): a narrower strip (plain `[a-z]+`) would
+    // leave `android-app://…`-style URLs with a non-path `path`,
+    // matching no rule and silently failing OPEN
     val u = urls.select(col("canonical"), col("dst_family")).distinct()
       .withColumn("path",
-        regexp_replace(col("canonical"), "^[a-z]+://[^/]*", ""))
+        regexp_replace(col("canonical"), "^[a-z][a-z0-9+.-]*://[^/]*", ""))
     val r = rules.select(col("family"), col("prefix"), col("allow"))
     u.join(broadcast(r), u("dst_family") === r("family") &&
         u("path").startsWith(r("prefix")), "left")

@@ -4318,11 +4318,7 @@ object PipelineQueries {
       import s.implicits._
       val urls = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
         col("page_url"), col("html"))
-      val rules = Seq(
-        ("src0.com", "/", false), ("src0.com", "/hub", true),
-        ("example.com", "/", false), ("src1.com", "/p", false),
-        ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
-        .toDF("family", "prefix", "allow")
+      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
       graft.graph.LinkGraph.robotsFilter(urls, rules)
         .orderBy(col("canonical"))
     }, Some(s"""
@@ -4345,11 +4341,7 @@ object PipelineQueries {
       val pages = htmlPages(s, d)
       val urls = graft.graph.LinkGraph.linkRows(pages,
         col("page_url"), col("html"))
-      val rules = Seq(
-        ("src0.com", "/", false), ("src0.com", "/hub", true),
-        ("example.com", "/", false), ("src1.com", "/p", false),
-        ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
-        .toDF("family", "prefix", "allow")
+      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
       val allowedCounts = graft.graph.LinkGraph.robotsFilter(urls, rules)
         .filter(col("allowed"))
         .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
@@ -4490,6 +4482,16 @@ object PipelineQueries {
              GROUP BY 1) s ON nd.node = s.node)"""
     }.mkString(",\n      ")
 
+  /** The robots rule fixture — ONE Scala definition for p138, p139,
+    * and the q120 streaming twin (the scriptFixtureText rule: the
+    * three executions of [[robotsCtesSql]]'s VALUES must gate against
+    * the same rules, so the Scala side cannot be pasted thrice).
+    */
+  private[graft] val robotsRulesFixture: Seq[(String, String, Boolean)] =
+    Seq(("src0.com", "/", false), ("src0.com", "/hub", true),
+      ("example.com", "/", false), ("src1.com", "/p", false),
+      ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+
   /** p138's robots gate as shared CTEs ending in `gate` (canonical,
     * dst_family, allowed, rule_prefix) — reused verbatim by p139's
     * composed schedule so the two executions of the rule fixture
@@ -4498,7 +4500,8 @@ object PipelineQueries {
   private val robotsCtesSql: String = """
       u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),
       up AS (SELECT canonical, dst_family,
-               regexp_replace(canonical, '^[a-z]+://[^/]*', '') AS path
+               regexp_replace(canonical, '^[a-z][a-z0-9+.-]*://[^/]*', '')
+                 AS path
              FROM u),
       rules(family, prefix, allow) AS (VALUES
         ('src0.com', '/', false), ('src0.com', '/hub', true),

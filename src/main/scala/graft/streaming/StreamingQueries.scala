@@ -644,10 +644,7 @@ object StreamingQueries {
       .select(col("canonical"), col("dst_family"))
       .dropDuplicates("canonical")
     val seen = runToMemory(urls, mode = "append")
-    val rules = Seq(
-      ("src0.com", "/", false), ("src0.com", "/hub", true),
-      ("example.com", "/", false), ("src1.com", "/p", false),
-      ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+    val rules = graft.queries.PipelineQueries.robotsRulesFixture
       .toDF("family", "prefix", "allow")
     graft.graph.LinkGraph.robotsFilter(seen, rules)
       .orderBy(col("canonical"))

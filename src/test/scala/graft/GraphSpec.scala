@@ -114,7 +114,11 @@ class GraphSpec extends AnyFunSuite {
       ("https://a.com/private/ok/page", "a.com"),
       ("https://a.com/open", "a.com"),
       ("https://b.com/x", "b.com"),
-      ("https://c.com/anything", "c.com")).toDF("canonical", "dst_family")
+      ("https://c.com/anything", "c.com"),
+      // scheme with digits/dashes: the path strip must still find the
+      // path, or the gate silently fails OPEN on a blanket disallow
+      ("android-app://a.com.pkg/private/z", "a.com"))
+      .toDF("canonical", "dst_family")
     val rules = Seq(
       ("a.com", "/private", false), ("a.com", "/private/ok", true),
       ("b.com", "/x", true), ("b.com", "/x", false))
@@ -127,7 +131,8 @@ class GraphSpec extends AnyFunSuite {
       ("https://a.com/private/ok/page", "a.com", true, "/private/ok"),
       ("https://a.com/open", "a.com", true, ""),      // no match: allow
       ("https://b.com/x", "b.com", true, "/x"),       // tie: allow wins
-      ("https://c.com/anything", "c.com", true, ""))) // no rules at all
+      ("https://c.com/anything", "c.com", true, ""),  // no rules at all
+      ("android-app://a.com.pkg/private/z", "a.com", false, "/private")))
   }
 
   test("personalizedPageRank: seed-only teleport, hand-computed; unreached cluster scores 0") {
@@ -171,6 +176,15 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("negative cap") ||
       bad.getCause != null && bad.getCause.getMessage.contains("negative cap"))
+    // all-zero rank mass (the unreached slice of a personalized run)
+    // must raise loudly, not NULL-cascade through `div sr`
+    val zero = intercept[Exception] {
+      LinkGraph.crawlBudgetWithCaps(
+        Seq(("a", 0L, 5L), ("b", 0L, 5L)).toDF("node", "rank_micro", "cap"),
+        5L).collect()
+    }
+    assert(zero.getMessage.contains("rank mass") ||
+      zero.getCause != null && zero.getCause.getMessage.contains("rank mass"))
   }
 
   test("hits: hand-computed two-iteration hubs/authorities; iters=0 init; multi-edge collapse") {
@@ -227,6 +241,12 @@ class GraphSpec extends AnyFunSuite {
     // 'hub' counts twice for the family; the entity decodes to '&'
     assert(out == Set(("x.com", "data", 1L), ("x.com", "&", 1L),
       ("x.com", "hub", 2L)))
+    // an hrefless anchor whose inner TEXT quotes a literal href="…"
+    // must stay dropped — the extraction is anchored inside the
+    // opening tag, not scanned over the whole element
+    val tricky = Seq("<a name=\"n\">see href=\"http://evil.com/x\" here</a>")
+      .toDF("html")
+    assert(LinkGraph.anchorTerms(tricky, col("html")).count() == 0)
   }
 
   test("outlinkEdges: messy fetches of one page collide — n_links counts links, n_urls pages") {
