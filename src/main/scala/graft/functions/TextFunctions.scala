@@ -221,8 +221,13 @@ object TextFunctions {
     * phantom `'<'`.
     */
   def htmlExtract(html: Column): Column = {
+    // comments FIRST: '<[^>]*>' below stops at a comment payload's
+    // first '>', so '<!-- promo > click -->' would otherwise leak
+    // 'click -->' into the corpus bytes (and a commented-out zone tag
+    // could derail the zone regexes)
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noZones = Seq("head", "script", "style", "nav", "footer")
-      .foldLeft(html) { (c, tag) =>
+      .foldLeft(noComments) { (c, tag) =>
         regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
       }
     val noTags = regexp_replace(noZones, "<[^>]*>", " ")
@@ -241,12 +246,22 @@ object TextFunctions {
     * the crawl frontier canonicalizes with
     * [[graft.functions.SourceFamily.canonicalizeUrl]] AFTER harvest,
     * so the dedup key policy lives in one place). Harvest runs over
-    * the RAW markup, not [[htmlExtract]] output: nav/footer links are
-    * boilerplate as TEXT but are real crawl edges — a site's menu is
-    * how a frontier discovers its sections.
+    * the RAW markup minus script/style/comment PAYLOADS, not
+    * [[htmlExtract]] output: nav/footer links are boilerplate as TEXT
+    * but are real crawl edges — a site's menu is how a frontier
+    * discovers its sections — while an `href="…"` literal inside a
+    * script string or a commented-out block is NOT an edge the page
+    * renders. The attribute match requires `href` not preceded by a
+    * word/hyphen char, so `data-href`/`xlink:href`-style attributes
+    * don't harvest as false edges.
     */
-  def extractHrefs(html: Column): Column =
-    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+  def extractHrefs(html: Column): Column = {
+    val live = Seq("script", "style").foldLeft(
+        regexp_replace(html, "(?s)<!--.*?-->", " ")) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
+    }
+    regexp_extract_all(live, lit("(?i)(?<![-\\w])href=\"([^\"]*)\""), lit(1))
+  }
 
   /** Accent folding: NFD-decompose, drop combining marks, NFC-compose
     * what remains — "café" → "cafe". The search-side companion to

@@ -54,14 +54,34 @@ object LinkGraph {
     * rule: the batch-identical guarantee is by shared definition, not
     * by copy), whose cross-batch state folds these at the finest
     * grain.
+    *
+    * Href RESOLUTION against the linking page (real markup links
+    * mostly relatively): absolute URLs pass through; protocol-
+    * relative `//host/x` inherits the page's scheme; root-relative
+    * `/x` inherits scheme://host. Everything else — path-relative
+    * (`x/y`, RFC 3986 dot-segment merging is out of scope, stated
+    * loudly), `mailto:`, `javascript:`, bare fragments — is DROPPED,
+    * never passed to [[SourceFamily.canonicalizeUrl]] as a non-URL
+    * that would mint a garbage frontier node.
     */
   def linkRows(pages: DataFrame, provenanceUrl: Column,
                html: Column): DataFrame = {
+    val scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     pages
       .select(SourceFamily.familyOf(provenanceUrl).as("src_family"),
+        provenanceUrl.as("__page"),
         explode(TextFunctions.extractHrefs(html)).as("href"))
+      .withColumn("__abs",
+        when(col("href").rlike(s"^$scheme://"), col("href"))
+          .when(col("href").startsWith("//"),
+            concat(regexp_extract(col("__page"), s"^($scheme):", 1),
+              lit(":"), col("href")))
+          .when(col("href").startsWith("/"),
+            concat(regexp_extract(col("__page"), s"^($scheme://[^/?#]*)", 1),
+              col("href"))))
+      .filter(col("__abs").isNotNull)
       .select(col("src_family"),
-        SourceFamily.canonicalizeUrl(col("href")).as("canonical"))
+        SourceFamily.canonicalizeUrl(col("__abs")).as("canonical"))
       .select(col("src_family"), col("canonical"),
         SourceFamily.familyOf(col("canonical")).as("dst_family"))
   }

@@ -4033,8 +4033,7 @@ object PipelineQueries {
     // regex chain — zone removal, tag strip, entity decode, collapse
     // — is gated against authored intent, not a shared formula.
     ("p130_html_extract", (s, d) => {
-      val pages = Tables.documents(s, d)
-        .select(col("doc_id"), htmlFixtureText.as("html"))
+      val pages = htmlPages(s, d)
       pages.select(col("doc_id"),
           TextFunctions.htmlTitle(col("html")).as("title"),
           TextFunctions.htmlExtract(col("html")).as("text"),
@@ -4078,7 +4077,7 @@ object PipelineQueries {
     // pure-sink .co.uk/example.com domains that receive rank but
     // re-emit none (the dangling case, mass-leak documented).
     ("p132_link_pagerank", (s, d) => {
-      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+      val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
           col("page_url"), col("html"))
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       graft.graph.LinkGraph.pageRank(edges, iters = 5)
@@ -4102,7 +4101,7 @@ object PipelineQueries {
     // budget/cap are chosen so both branches bind: the hub tier caps,
     // the tail tier absorbs the redistribution.
     ("p133_crawl_budget", (s, d) => {
-      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+      val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
           col("page_url"), col("html"))
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
@@ -4174,7 +4173,7 @@ object PipelineQueries {
     // (pure hubs, auth 0) while .co.uk/example.com sinks receive but
     // emit none (pure authorities, hub 0).
     ("p135_link_hits", (s, d) => {
-      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+      val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
           col("page_url"), col("html"))
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       graft.graph.LinkGraph.hits(edges, iters = 5)
@@ -4285,7 +4284,7 @@ object PipelineQueries {
     // global entry is the every-node-is-a-seed special case.
     ("p137_topical_pagerank", (s, d) => {
       import s.implicits._
-      val edges = graft.graph.LinkGraph.outlinkEdges(htmlPages(s, d),
+      val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
           col("page_url"), col("html"))
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       val seeds = Seq("src0.com", "src1.com").toDF("node")
@@ -4345,7 +4344,7 @@ object PipelineQueries {
       val allowedCounts = graft.graph.LinkGraph.robotsFilter(urls, rules)
         .filter(col("allowed"))
         .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
-      val edges = graft.graph.LinkGraph.outlinkEdges(pages,
+      val edges = graft.graph.LinkGraph.linkRows(pages,
           col("page_url"), col("html"))
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)

@@ -45,7 +45,12 @@ class FunctionsSpec extends AnyFunSuite {
       // author-written &amp;lt; yields the literal &lt;, never '<'
       "<p>&amp;lt;</p>",
       // a '<' comparison inside script must not leak code into text
-      "pre <script>for(i=0;i<9;i++){}</script> post")
+      "pre <script>for(i=0;i<9;i++){}</script> post",
+      // comment payloads never reach the corpus — even with a '>'
+      // inside, which would derail the generic tag strip
+      "a <!-- promo > click here --> b",
+      // a commented-out zone closer must not terminate the zone early
+      "<p>x</p><script><!--</script>-->var y;</script><p>z</p>")
       .toDF("html")
       .select(TextFunctions.htmlExtract(col("html")).as("t"))
       .as[String].collect()
@@ -53,6 +58,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1) == "kept words body")
     assert(out(2) == "&lt;")
     assert(out(3) == "pre post")
+    assert(out(4) == "a b")
+    assert(out(5) == "x z")
   }
 
   test("htmlTitle trims; extractHrefs harvests RAW markup in document order") {
@@ -69,6 +76,18 @@ class FunctionsSpec extends AnyFunSuite {
     // nav + footer links ARE harvested (boilerplate as text, real
     // edges for the crawl frontier), in document order
     assert(row._2 == Seq("https://n.com/", "https://x.com/1", "https://f.com/"))
+    // NOT harvested: data-href/xlink:href-style attributes, href
+    // literals inside script payloads or comments — none of these is
+    // an edge the page renders
+    val none = Seq(
+      "<div data-href=\"https://t.io/x\">y</div>" +
+        "<script>var u='href=\"https://s.io/\"';</script>" +
+        "<!-- <a href=\"https://c.io/\">old</a> -->" +
+        "<a href=\"https://real.com/\">ok</a>")
+      .toDF("html")
+      .select(TextFunctions.extractHrefs(col("html")).as("h"))
+      .as[Seq[String]].head()
+    assert(none == Seq("https://real.com/"))
   }
 
   test("HLL distinct estimate tracks exact cardinality within 3 sigma") {

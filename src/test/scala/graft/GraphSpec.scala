@@ -262,4 +262,25 @@ class GraphSpec extends AnyFunSuite {
     // the two messy variants of /p collide into ONE canonical URL
     assert(out == Set(("me.com", "x.com", 3L, 2L)))
   }
+
+  test("linkRows resolves root- and protocol-relative hrefs against the page; drops the rest") {
+    val pages = Seq(
+      ("https://www.me.com:443/section/page?x=1",
+        "<a href=\"/about\">a</a>" +          // root-relative
+          "<a href=\"//cdn.x.com/lib\">b</a>" + // protocol-relative
+          "<a href=\"https://abs.com/p\">c</a>" +
+          "<a href=\"docs/intro\">d</a>" +    // path-relative: dropped
+          "<a href=\"mailto:a@b.com\">e</a>" +
+          "<a href=\"#top\">f</a>"))
+      .toDF("page_url", "html")
+    val out = LinkGraph.linkRows(pages, col("page_url"), col("html"))
+      .as[(String, String, String)].collect().toSet
+    // /about inherits scheme://host (canonicalization then drops the
+    // default :443); //cdn.x.com inherits the scheme and the cdn
+    // label rolls up to x.com
+    assert(out == Set(
+      ("me.com", "https://www.me.com/about", "me.com"),
+      ("me.com", "https://cdn.x.com/lib", "x.com"),
+      ("me.com", "https://abs.com/p", "abs.com")))
+  }
 }
