@@ -233,7 +233,10 @@ object SparkEntry {
       Some(sharedOracle("p131_outlinks"))),
     ("q120_streaming_robots",
       (s, d) => graft.streaming.StreamingQueries.robotsStream(s, d),
-      Some(sharedOracle("p138_robots_filter"))))
+      Some(sharedOracle("p138_robots_filter"))),
+    ("q121_streaming_trap",
+      (s, d) => graft.streaming.StreamingQueries.trapSignalsStream(s, d),
+      Some(sharedOracle("p142_trap_signals"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -1,0 +1,201 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-FETCH-side operators — what the fetcher layer of a 100 TB
+  * crawl runs between [[LinkGraph]]'s frontier math and the corpus
+  * ingest: resolve redirect chains to their terminal URLs, estimate
+  * per-URL change rates from the crawl ledger to schedule recrawls,
+  * and detect crawler traps (domains minting unbounded URL spaces
+  * over a handful of contents).
+  *
+  * No reference counterpart (akka-stream-contrib has no crawl
+  * analytics); the iteration machinery follows the repo's bounded
+  * driver-loop idiom ([[LinkGraph.pageRank]]) and every score is
+  * exact integer micro-units (the p81 engine-portability rule).
+  */
+object CrawlOps {
+
+  /** Resolve every redirecting URL to its terminal target by POINTER
+    * DOUBLING — ⌈log₂ maxDepth⌉ self-join rounds instead of maxDepth
+    * sequential ones (the PRAM pointer-jumping classic): after round
+    * r each URL's pointer has skipped up to 2^r hops, so a 16-hop
+    * chain costs 4 shuffles, not 16. At web scale the redirect map is
+    * corpus-sized and chains are shallow-but-not-bounded (http→https
+    * → www → CDN → tracking hop …); the doubling keeps the round
+    * count logarithmic in the give-up depth while every round stays
+    * ONE hash self-join of the map on the pointer key.
+    *
+    * Semantics: `redirects` is (src, dst) — "fetching src answered
+    * 3xx to dst" — already canonicalized (that is
+    * [[graft.functions.SourceFamily.canonicalizeUrl]]'s step). The
+    * map is deduped; a src with two DISTINCT targets raises loudly (a
+    * corrupt map would make resolution order-dependent — a ledger
+    * bug, not data). Output, one row per redirecting URL:
+    * `resolved = true` iff the chain reaches a terminal (a URL that
+    * is not itself a redirect src) within `maxDepth` hops — the
+    * give-up bound every HTTP client enforces; then `final_url` is
+    * that terminal and `hops` the exact chain length. Unresolved URLs
+    * (a redirect LOOP — the classic misconfiguration — or a chain
+    * deeper than maxDepth) report `final_url = ''`, `hops = 0`,
+    * `resolved = false`: absence is a value, never a missing row, and
+    * a frontier drops unresolved URLs instead of fetching them.
+    *
+    * Hop counts stay exact under doubling (hops(u) += hops(ptr(u))
+    * only when the pointer advances), and a terminal pointer is a
+    * fixpoint of the round (the left join misses), so rounds beyond a
+    * chain's length cannot overshoot. Scale shape: R = ⌈log₂
+    * maxDepth⌉ rounds × one self-join each, lineage truncated per
+    * round; the map never collects.
+    */
+  def resolveRedirects(redirects: DataFrame, maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 1024,
+      s"resolveRedirects: maxDepth must be in [1, 1024], got $maxDepth")
+    val e = redirects.select(col("src"), col("dst")).distinct()
+    val m = e.groupBy(col("src"))
+      .agg(max(col("dst")).as("next"), count(lit(1)).as("__n"))
+      .select(col("src"),
+        when(col("__n") > 1, raise_error(concat(
+            lit("resolveRedirects: conflicting redirect targets for "),
+            col("src"))))
+          .otherwise(col("next")).as("next"))
+      .localCheckpoint(eager = false)
+    // ⌈log₂ maxDepth⌉: after R rounds the pointer covers ≥ maxDepth
+    // hops, so "resolved within maxDepth" is decidable exactly
+    val rounds =
+      if (maxDepth == 1) 0
+      else 32 - Integer.numberOfLeadingZeros(maxDepth - 1)
+    var ptr = m.select(col("src").as("url"), col("next"),
+      lit(1L).as("hops"))
+    for (_ <- 1 to rounds) {
+      val b = ptr.select(col("url").as("__u"), col("next").as("__next"),
+        col("hops").as("__hops"))
+      ptr = ptr.join(b, ptr("next") === b("__u"), "left")
+        .select(col("url"),
+          coalesce(col("__next"), col("next")).as("next"),
+          (col("hops") + coalesce(col("__hops"), lit(0L))).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    val keys = m.select(col("src").as("__k"))
+    ptr.join(keys, ptr("next") === col("__k"), "left")
+      .select(col("url"),
+        (col("__k").isNull && col("hops") <= maxDepth).as("__ok"),
+        col("next"), col("hops"))
+      .select(col("url"),
+        when(col("__ok"), col("next")).otherwise(lit("")).as("final_url"),
+        when(col("__ok"), col("hops")).otherwise(lit(0L)).as("hops"),
+        col("__ok").as("resolved"))
+  }
+
+  /** Per-URL CHANGE-RATE estimation over the crawl ledger — the
+    * freshness side of scheduling (Cho & Garcia-Molina's incremental-
+    * crawler problem): a fetcher that recrawls everything at one
+    * cadence wastes its budget on pages that never change and serves
+    * stale copies of pages that change hourly.
+    *
+    * `log` is (url, day, fingerprint) — one row per fetch, the
+    * content fingerprint from the fetch (md5 of the extracted text;
+    * p88's manifest column). Duplicate (url, day) rows raise loudly —
+    * the adjacency below would silently miscount on a corrupt ledger.
+    * Per URL: `changes` counts ADJACENT-fetch fingerprint
+    * differences (order by day — distinct-fingerprint counting would
+    * miss A→B→A flapping), and the estimated change rate is the
+    * Laplace-smoothed Bernoulli mean over the visits−1 adjacent
+    * pairs, in integer micro-units:
+    * `rate_micro = (changes+1)·10⁶ div (visits+1)` — a single-visit
+    * URL reports the prior mean 500 000 (maximum uncertainty), never
+    * a fake 0 or a division by zero.
+    *
+    * `score_micro = min(capMicro, rate_micro · staleness_days)` is
+    * the recrawl priority: the LINEAR-hazard bound of the Poisson
+    * 1−e^(−λt) (exact to O((λt)²) for rarely-changing pages — the
+    * web's bulk — and capped at "certainly changed" where the
+    * exponential saturates anyway), with staleness measured from
+    * `asofDay`. A fetch day after `asofDay` raises loudly (a ledger
+    * from the future is a clock bug). Ranking domains by summed
+    * score and feeding [[LinkGraph.crawlBudgetWithCaps]] turns this
+    * into the recrawl schedule.
+    *
+    * Scale shape: the lag window and the per-URL aggregate share ONE
+    * url-keyed exchange (same partitioning key, no second shuffle);
+    * per-URL series are bounded by the ledger's day range.
+    */
+  def changeRates(log: DataFrame, asofDay: Long,
+                  capMicro: Long = 1000000L): DataFrame = {
+    require(capMicro > 0,
+      s"changeRates: capMicro must be positive, got $capMicro")
+    val w = Window.partitionBy(col("url")).orderBy(col("day"))
+    log.select(col("url"), col("day"), col("fingerprint"),
+        lag(col("fingerprint"), 1).over(w).as("__prev"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("visits"),
+        count_distinct(col("day")).as("__nd"),
+        sum(when(col("__prev").isNotNull &&
+            col("__prev") =!= col("fingerprint"), 1L).otherwise(0L))
+          .as("changes"),
+        max(col("day")).as("__last"))
+      .select(col("url"),
+        when(col("__nd") =!= col("visits"), raise_error(concat(
+            lit("changeRates: duplicate (url, day) ledger rows for "),
+            col("url"))))
+          .otherwise(col("visits")).as("visits"),
+        col("changes"),
+        expr("(changes + 1) * 1000000 div (visits + 1)").as("rate_micro"),
+        when(col("__last") > asofDay, raise_error(concat(
+            lit(s"changeRates: ledger day after asofDay $asofDay for "),
+            col("url"))))
+          .otherwise(lit(asofDay) - col("__last")).as("staleness_days"))
+      .withColumn("score_micro",
+        least(lit(capMicro), col("rate_micro") * col("staleness_days")))
+  }
+
+  /** Crawler-TRAP detection — the frontier guard against domains that
+    * mint unbounded URL spaces over a handful of contents (calendar
+    * pages, session-id links, faceted-search grids: the classic ways
+    * a crawl budget dies). Signal: per domain family over the deduped
+    * fetch log, the ratio of DISTINCT canonical URLs to DISTINCT
+    * content fingerprints, in integer micro-units — a healthy domain
+    * sits near 10⁶ (one page, one content); a trap serves the same
+    * few contents under thousands of URLs. `trapped` requires BOTH
+    * `n_urls ≥ minUrls` (a 3-URL domain cannot evidence a trap — the
+    * ratio is noise at small n) and `ratio_micro > thresholdMicro`;
+    * flagged families feed [[LinkGraph.crawlBudgetWithCaps]] as
+    * cap = 0 (stop spending there), the p139 composition.
+    *
+    * Scale shape: one dedup of the fetch log to its distinct
+    * (family, canonical, fingerprint) triples, then ONE per-family
+    * aggregation (the two count-distincts expand ×2 over the already-
+    * deduped triples — bounded by the unique-triple count, never the
+    * raw fetch log). `n_fp ≥ 1` by construction (a family only
+    * appears with at least one fetched content), so the ratio never
+    * divides by zero.
+    */
+  def trapSignals(fetches: DataFrame, minUrls: Long = 100L,
+                  thresholdMicro: Long = 10000000L): DataFrame = {
+    require(minUrls >= 1,
+      s"trapSignals: minUrls must be >= 1, got $minUrls")
+    require(thresholdMicro > 0,
+      s"trapSignals: thresholdMicro must be positive, got $thresholdMicro")
+    trapSignalsFromDistinct(
+      fetches.select(col("family"), col("canonical"), col("fingerprint"))
+        .distinct(),
+      minUrls, thresholdMicro)
+  }
+
+  /** The finalize half of [[trapSignals]] over an ALREADY-distinct
+    * (family, canonical, fingerprint) triple set — shared with the
+    * streaming twin, whose cross-batch state IS that triple set (the
+    * `Dedup.chunkRows` rule: batch-identical by shared definition).
+    */
+  def trapSignalsFromDistinct(triples: DataFrame, minUrls: Long,
+                              thresholdMicro: Long): DataFrame =
+    triples.groupBy(col("family"))
+      .agg(count_distinct(col("canonical")).as("n_urls"),
+        count_distinct(col("fingerprint")).as("n_fp"))
+      .select(col("family"), col("n_urls"), col("n_fp"),
+        expr("n_urls * 1000000 div n_fp").as("ratio_micro"))
+      .withColumn("trapped",
+        col("n_urls") >= minUrls && col("ratio_micro") > thresholdMicro)
+}

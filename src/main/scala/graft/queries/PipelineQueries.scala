@@ -4386,7 +4386,125 @@ object PipelineQueries {
         SELECT '__UNASSIGNED', CAST(0 AS BIGINT),
                CAST(200 - (SELECT sum(n_requests) FROM c) AS BIGINT),
                false)
-      ORDER BY node""")))
+      ORDER BY node""")),
+
+    // Redirect-chain resolution by POINTER DOUBLING — ⌈log₂ depth⌉
+    // self-join rounds instead of depth sequential ones (the PRAM
+    // pointer-jumping classic; a new execution class for the suite).
+    // The fixture plants per-doc chains of 1..5 hops ending in a
+    // shared terminal, plus a 2-cycle loop every 13th doc; maxDepth=4
+    // makes every status bind: chain tails resolve in 1..4 hops, the
+    // 5-hop heads exceed the give-up bound (unresolved-deep), loops
+    // never terminate (unresolved). The oracle derives every row
+    // generatively from the chain arithmetic — final target, EXACT
+    // hop count, and the ≤4 give-up rule written down from intent,
+    // never re-walked.
+    ("p140_redirect_resolve", (s, d) => {
+      graft.graph.CrawlOps.resolveRedirects(
+          redirectFixtureFrom(Tables.documents(s, d)), maxDepth = 4)
+        .orderBy(col("url"))
+    }, Some("""
+      WITH ch AS (
+        SELECT doc_id, i, doc_id % 5 AS L, doc_id % 7 AS k
+        FROM documents, range(5) t(i) WHERE i <= doc_id % 5),
+      res AS (
+        SELECT 'https://r.src' || k || '.com/c/' || doc_id || '/' || i AS url,
+               L - i + 1 AS need,
+               'https://dst' || k || '.com/' || (doc_id % 11) AS tgt
+        FROM ch),
+      lp AS (
+        SELECT 'https://loop.src.com/' || s.side || '/' || doc_id AS url
+        FROM documents, (SELECT unnest(['a', 'b']) AS side) s
+        WHERE doc_id % 13 = 0)
+      SELECT url,
+             CASE WHEN need <= 4 THEN tgt ELSE '' END AS final_url,
+             CAST(CASE WHEN need <= 4 THEN need ELSE 0 END AS BIGINT)
+               AS hops,
+             need <= 4 AS resolved
+      FROM res
+      UNION ALL
+      SELECT url, '', CAST(0 AS BIGINT), false FROM lp
+      ORDER BY url""")),
+
+    // Per-URL change-rate estimation over the crawl ledger — the
+    // freshness half of recrawl scheduling (Cho & Garcia-Molina's
+    // incremental-crawler problem): adjacent-fetch fingerprint diffs
+    // (NOT distinct-fingerprint counts — A→B→A flapping is two
+    // changes), Laplace-smoothed to an integer micro-unit rate
+    // ((changes+1)·10⁶ div (visits+1): a single-visit URL reports the
+    // prior mean 500 000, never a fake certainty), and a linear-
+    // hazard recrawl priority rate·staleness capped at 10⁶ (the
+    // integer-exact bound of the Poisson 1−e^(−λt)). The fixture's
+    // 3-day ledger makes every branch bind: visit sets differ by
+    // doc_id parity/thirds, every-visit changers vs never-changers by
+    // doc_id%5, and the cap binds for stale fast-changers.
+    ("p141_change_rates", (s, d) => {
+      graft.graph.CrawlOps.changeRates(
+          crawlLedgerFixtureFrom(Tables.documents(s, d)), asofDay = 5L)
+        .orderBy(col("url"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               'https://src' || (doc_id % 7) || '.com/p/' || doc_id AS url,
+               1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS visits,
+               CASE WHEN doc_id % 3 = 0 THEN 2
+                    WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS last_day
+        FROM documents),
+      g AS (
+        SELECT url, CAST(visits AS BIGINT) AS visits,
+               CAST(CASE WHEN doc_id % 5 < 2 THEN visits - 1 ELSE 0 END
+                 AS BIGINT) AS changes,
+               CAST(5 - last_day AS BIGINT) AS staleness_days
+        FROM f)
+      SELECT url, visits, changes,
+             CAST((changes + 1) * 1000000 // (visits + 1) AS BIGINT)
+               AS rate_micro,
+             staleness_days,
+             CAST(least(1000000,
+               (changes + 1) * 1000000 // (visits + 1) * staleness_days)
+               AS BIGINT) AS score_micro
+      FROM g ORDER BY url""")),
+
+    // Crawler-trap detection — the frontier guard against domains
+    // minting unbounded URL spaces over a handful of contents
+    // (calendar pages, session ids, faceted grids): per family over
+    // the deduped fetch log, distinct-URL : distinct-content ratio in
+    // integer micro-units; trapped requires BOTH n_urls ≥ minUrls (a
+    // 3-URL domain cannot evidence a trap) and ratio > threshold.
+    // The fixture plants all three regimes: healthy 1:1 families
+    // (ratio exactly 10⁶), a 500-URL 3-content trap, and a high-ratio
+    // domain under the minUrls floor at sf0.01 (the floor binds —
+    // and at sf0.1 its 100 URLs cross it, which the oracle computes
+    // consistently from the same counts).
+    ("p142_trap_signals", (s, d) => {
+      graft.graph.CrawlOps.trapSignals(
+          fetchLogFixtureFrom(Tables.documents(s, d)),
+          minUrls = 20L, thresholdMicro = 2000000L)
+        .orderBy(col("family"))
+    }, Some("""
+      WITH fl AS (
+        SELECT 'src' || (doc_id % 7) || '.com' AS family,
+               'https://src' || (doc_id % 7) || '.com/a/' || doc_id
+                 AS canonical,
+               'S' || doc_id AS fingerprint
+        FROM documents
+        UNION ALL
+        SELECT 'trap.com', 'https://trap.com/p?id=' || doc_id,
+               'T' || (doc_id % 3)
+        FROM documents
+        UNION ALL
+        SELECT 'tiny.com', 'https://tiny.com/' || doc_id, 'X'
+        FROM documents WHERE doc_id % 50 = 0),
+      t AS (SELECT DISTINCT family, canonical, fingerprint FROM fl),
+      a AS (SELECT family,
+              CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls,
+              CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fp
+            FROM t GROUP BY 1)
+      SELECT family, n_urls, n_fp,
+             CAST(n_urls * 1000000 // n_fp AS BIGINT) AS ratio_micro,
+             n_urls >= 20 AND n_urls * 1000000 // n_fp > 2000000 AS trapped
+      FROM a ORDER BY family""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4436,6 +4554,78 @@ object PipelineQueries {
   private def htmlPages(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       messyUrlFixture.as("page_url"), htmlFixtureText.as("html"))
+
+  /** p140's redirect-map fixture over any (doc_id) frame (batch or
+    * streaming — the scriptFixtureText sharing rule): per doc a chain
+    * `c_0 → … → c_L → terminal` with L = doc_id%5 (so resolution
+    * needs 1..5 hops — maxDepth 4 leaves the 5-hop heads unresolved),
+    * terminals shared across docs but never redirect sources, and a
+    * planted 2-cycle `a ↔ b` every 13th doc (the redirect-loop
+    * misconfiguration). Chain/loop URLs embed doc_id, so the map's
+    * unique-src contract holds by construction.
+    */
+  private[graft] def redirectFixtureFrom(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val k = (col("doc_id") % 7).cast("string")
+    def cUrl(i: Column) = concat(lit("https://r.src"), k, lit(".com/c/"),
+      id, lit("/"), i.cast("string"))
+    val chain = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 5)).as("i"))
+      .select(cUrl(col("i")).as("src"),
+        when(col("i") < col("doc_id") % 5, cUrl(col("i") + 1))
+          .otherwise(concat(lit("https://dst"), k, lit(".com/"),
+            (col("doc_id") % 11).cast("string"))).as("dst"))
+    val loopDocs = docs.filter(col("doc_id") % 13 === 0)
+    def lUrl(side: String) = concat(lit("https://loop.src.com/" + side + "/"),
+      id)
+    chain
+      .unionByName(loopDocs.select(lUrl("a").as("src"), lUrl("b").as("dst")))
+      .unionByName(loopDocs.select(lUrl("b").as("src"), lUrl("a").as("dst")))
+  }
+
+  /** p141's 3-day crawl-ledger fixture over any (doc_id) frame: every
+    * doc fetched day 0, evens again day 1, thirds again day 2 (visit
+    * sets of size 1..3); docs with doc_id%5<2 change content every
+    * visit (fingerprint embeds the day), the rest never do — so
+    * adjacency counting, Laplace smoothing, staleness (asof day 5),
+    * and the priority cap all bind.
+    */
+  private[graft] def crawlLedgerFixtureFrom(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val url = concat(lit("https://src"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), id)
+    def day(n: Int, visited: DataFrame) = visited.select(url.as("url"),
+      lit(n.toLong).as("day"),
+      concat(lit("f"), id, lit(":"),
+        when(col("doc_id") % 5 < 2, lit(n.toString)).otherwise(lit("0")))
+        .as("fingerprint"))
+    day(0, docs)
+      .unionByName(day(1, docs.filter(col("doc_id") % 2 === 0)))
+      .unionByName(day(2, docs.filter(col("doc_id") % 3 === 0)))
+  }
+
+  /** p142's fetch-log fixture over any (doc_id) frame: healthy 1:1
+    * families (every URL its own content), a trap domain serving 3
+    * contents under one URL per doc, and a high-ratio domain kept
+    * under the minUrls floor at sf0.01 (every 50th doc, one shared
+    * content).
+    */
+  private[graft] def fetchLogFixtureFrom(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val k = (col("doc_id") % 7).cast("string")
+    docs.select(concat(lit("src"), k, lit(".com")).as("family"),
+        concat(lit("https://src"), k, lit(".com/a/"), id).as("canonical"),
+        concat(lit("S"), id).as("fingerprint"))
+      .unionByName(docs.select(lit("trap.com").as("family"),
+        concat(lit("https://trap.com/p?id="), id).as("canonical"),
+        concat(lit("T"), (col("doc_id") % 3).cast("string"))
+          .as("fingerprint")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select(lit("tiny.com").as("family"),
+          concat(lit("https://tiny.com/"), id).as("canonical"),
+          lit("X").as("fingerprint")))
+  }
 
   /** The link-graph oracle prelude: every edge the fixture plants,
     * derived GENERATIVELY (src family is `source || '.com'` because

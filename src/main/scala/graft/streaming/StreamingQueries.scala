@@ -650,6 +650,29 @@ object StreamingQueries {
       .orderBy(col("canonical"))
   }
 
+  /** p142's crawler-trap detection on the streaming engine — the
+    * frontier guard runs WHILE the crawl fetches, not in a post-hoc
+    * batch audit: the fetch log folds cross-batch to its DISTINCT
+    * (family, canonical, fingerprint) triples (the q119 rule — state
+    * is the finest-grain fold, never the raw fetch log; re-fetches of
+    * an unchanged page update a count, not the state's size), and the
+    * ratio/threshold finalize runs batch-side at the epoch boundary
+    * through the SAME
+    * [[graft.graph.CrawlOps.trapSignalsFromDistinct]] half as the
+    * batch operator — shared definition, so the twins cannot drift.
+    */
+  def trapSignalsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val triples = graft.queries.PipelineQueries
+      .fetchLogFixtureFrom(documentsStream(spark, sfDir))
+      .groupBy(col("family"), col("canonical"), col("fingerprint"))
+      .agg(count(lit(1)).as("__n"))
+    graft.graph.CrawlOps.trapSignalsFromDistinct(
+        runToMemory(triples)
+          .select(col("family"), col("canonical"), col("fingerprint")),
+        minUrls = 20L, thresholdMicro = 2000000L)
+      .orderBy(col("family"))
+  }
+
   /** p131's outlink harvest with the link graph accumulating ON the
     * streaming engine — the frontier's view DURING the crawl, not
     * after it: harvest/canonicalize/family run stateless map-side

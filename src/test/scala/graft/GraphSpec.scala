@@ -283,4 +283,104 @@ class GraphSpec extends AnyFunSuite {
       ("me.com", "https://cdn.x.com/lib", "x.com"),
       ("me.com", "https://abs.com/p", "abs.com")))
   }
+
+  test("resolveRedirects: exact hops, loop/self/deep unresolved, depth boundary") {
+    import graft.graph.CrawlOps
+    // chain a1→a2→a3→a4→T (4 hops from a1), loop x↔y, self s→s
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("a4", "T"),
+      ("x", "y"), ("y", "x"), ("s", "s")).toDF("src", "dst")
+    val r4 = CrawlOps.resolveRedirects(edges, maxDepth = 4)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(r4 == Set(
+      ("a1", "T", 4L, true), ("a2", "T", 3L, true),
+      ("a3", "T", 2L, true), ("a4", "T", 1L, true),
+      ("x", "", 0L, false), ("y", "", 0L, false), ("s", "", 0L, false)))
+    // maxDepth 3: a1's 4-hop chain now exceeds the give-up bound —
+    // unresolved, while the 3-hop tail still resolves exactly
+    val r3 = CrawlOps.resolveRedirects(edges, maxDepth = 3)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r3("a1") == (("", 0L, false)))
+    assert(r3("a2") == (("T", 3L, true)))
+    // maxDepth 1 (zero doubling rounds): only the direct hop resolves
+    val r1 = CrawlOps.resolveRedirects(edges, maxDepth = 1)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r1("a4") == (("T", 1L, true)))
+    assert(r1("a3") == (("", 0L, false)))
+  }
+
+  test("resolveRedirects: duplicate edges collapse; conflicting targets raise") {
+    import graft.graph.CrawlOps
+    val dup = Seq(("a", "b"), ("a", "b")).toDF("src", "dst")
+    assert(CrawlOps.resolveRedirects(dup, maxDepth = 2)
+      .as[(String, String, Long, Boolean)].collect().toSet ==
+      Set(("a", "b", 1L, true)))
+    val bad = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val e = intercept[Exception] {
+      CrawlOps.resolveRedirects(bad, maxDepth = 2).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      CrawlOps.resolveRedirects(dup, maxDepth = 0)
+    }
+  }
+
+  test("changeRates: flapping counts per adjacency; single visit reports the prior mean") {
+    import graft.graph.CrawlOps
+    val log = Seq(
+      // u1 flaps A→B→A: 2 changes over 2 adjacent pairs (distinct-fp
+      // counting would report 1)
+      ("u1", 0L, "A"), ("u1", 1L, "B"), ("u1", 2L, "A"),
+      // u2 stable over 2 visits; u3 seen once
+      ("u2", 0L, "C"), ("u2", 2L, "C"), ("u3", 1L, "D"))
+      .toDF("url", "day", "fingerprint")
+    val r = CrawlOps.changeRates(log, asofDay = 5L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // u1: rate = 3·10⁶ div 4 = 750000; staleness 3; score capped at 10⁶
+    assert(r("u1") == ("u1", 3L, 2L, 750000L, 3L, 1000000L))
+    // u2: rate = 1·10⁶ div 3 = 333333; staleness 3; score 999999
+    assert(r("u2") == ("u2", 2L, 0L, 333333L, 3L, 999999L))
+    // u3: the Laplace prior mean — (0+1)·10⁶ div (1+1) = 500000
+    assert(r("u3") == ("u3", 1L, 0L, 500000L, 4L, 1000000L))
+  }
+
+  test("changeRates: duplicate (url, day) rows and future days raise loudly") {
+    import graft.graph.CrawlOps
+    val dup = Seq(("u", 0L, "A"), ("u", 0L, "B"))
+      .toDF("url", "day", "fingerprint")
+    val e1 = intercept[Exception] {
+      CrawlOps.changeRates(dup, asofDay = 5L).collect()
+    }
+    assert(e1.getMessage.contains("duplicate") ||
+      e1.getCause != null)
+    val future = Seq(("u", 9L, "A")).toDF("url", "day", "fingerprint")
+    val e2 = intercept[Exception] {
+      CrawlOps.changeRates(future, asofDay = 5L).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
+  test("trapSignals: ratio and minUrls both bind; re-fetches dedup") {
+    import graft.graph.CrawlOps
+    val log = Seq(
+      // trap.com: 4 URLs, 1 content — ratio 4·10⁶ (plus a re-fetch
+      // duplicate row that must not change any count)
+      ("trap.com", "t/1", "X"), ("trap.com", "t/2", "X"),
+      ("trap.com", "t/3", "X"), ("trap.com", "t/4", "X"),
+      ("trap.com", "t/1", "X"),
+      // ok.com: 3 URLs, 3 contents — ratio exactly 10⁶
+      ("ok.com", "o/1", "a"), ("ok.com", "o/2", "b"), ("ok.com", "o/3", "c"),
+      // tiny.com: high ratio but under the minUrls floor
+      ("tiny.com", "y/1", "Z"), ("tiny.com", "y/2", "Z"))
+      .toDF("family", "canonical", "fingerprint")
+    val r = CrawlOps.trapSignals(log, minUrls = 3L,
+        thresholdMicro = 2000000L)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(r == Set(
+      ("trap.com", 4L, 1L, 4000000L, true),
+      ("ok.com", 3L, 3L, 1000000L, false),
+      ("tiny.com", 2L, 1L, 2000000L, false)))
+  }
 }
