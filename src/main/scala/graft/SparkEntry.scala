@@ -236,7 +236,16 @@ object SparkEntry {
       Some(sharedOracle("p138_robots_filter"))),
     ("q121_streaming_trap",
       (s, d) => graft.streaming.StreamingQueries.trapSignalsStream(s, d),
-      Some(sharedOracle("p142_trap_signals"))))
+      Some(sharedOracle("p142_trap_signals"))),
+    ("q122_streaming_anchor_terms",
+      (s, d) => graft.streaming.StreamingQueries.anchorTermsStream(s, d),
+      Some(sharedOracle("p134_anchor_terms"))),
+    ("q123_streaming_change_rates",
+      (s, d) => graft.streaming.StreamingQueries.changeRatesStream(s, d),
+      Some(sharedOracle("p141_change_rates"))),
+    ("q124_streaming_jsonl",
+      (s, d) => graft.streaming.StreamingQueries.jsonlQuarantineStream(s, d),
+      Some(sharedOracle("p143_jsonl_quarantine"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -717,6 +717,45 @@ object Curation {
     rows.unionByName(un)
   }
 
+  /** Small-group SUPPRESSION over a release stats table — the privacy
+    * floor every public data card applies before shipping (k-anonymity
+    * at the aggregate level): a per-group row whose population is
+    * under `k` can identify its members by intersection, so all such
+    * groups collapse into ONE `__SUPPRESSED` row whose numeric columns
+    * are the summed remainder — totals stay exact, small groups stay
+    * invisible, and the row is ALWAYS present (zeros when no group is
+    * small: the report's shape never depends on the data, the
+    * data-quality-rules convention).
+    *
+    * `stats` is an already-aggregated release table (p88's
+    * manifestStats shape): `keyCols` identify the group (strings),
+    * every OTHER column must be a summable count, and `nCol` (one of
+    * them) is the population the floor applies to. The suppressed
+    * row's first key is `__SUPPRESSED`, the rest `''` — absence is a
+    * value. Scale shape: the input is group-cardinality (never the
+    * corpus); one filter + one one-row aggregate over it, computed
+    * once via persist-backed lineage truncation.
+    */
+  def suppressSmallGroups(stats: DataFrame, keyCols: Seq[String],
+                          nCol: String, k: Long): DataFrame = {
+    require(keyCols.nonEmpty, "suppressSmallGroups: keyCols is empty")
+    require(keyCols.contains(nCol) == false &&
+      stats.columns.contains(nCol),
+      s"suppressSmallGroups: nCol '$nCol' must be a non-key column")
+    require(k >= 1, s"suppressSmallGroups: k must be >= 1, got $k")
+    val numCols = stats.columns.filterNot(keyCols.contains).toSeq
+    val s = stats.localCheckpoint(eager = false)
+    val kept = s.filter(col(nCol) >= k)
+    val suppressed = s.filter(col(nCol) < k)
+      .agg(sum(col(numCols.head)).as(numCols.head),
+        numCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .select(keyCols.zipWithIndex.map { case (kc, i) =>
+        (if (i == 0) lit("__SUPPRESSED") else lit("")).as(kc)
+      } ++ numCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    kept.select(stats.columns.map(col).toSeq: _*)
+      .unionByName(suppressed.select(stats.columns.map(col).toSeq: _*))
+  }
+
   /** The A-ES reservoir key `ln(u)/weight` with its loud weight guard —
     * SHARED by the batch sampler and the streaming twin so their
     * sampling decisions cannot drift (the chunkRows rule).

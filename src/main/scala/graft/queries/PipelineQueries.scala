@@ -4504,7 +4504,68 @@ object PipelineQueries {
       SELECT family, n_urls, n_fp,
              CAST(n_urls * 1000000 // n_fp AS BIGINT) AS ratio_micro,
              n_urls >= 20 AND n_urls * 1000000 // n_fp > 2000000 AS trapped
-      FROM a ORDER BY family""")))
+      FROM a ORDER BY family""")),
+
+    // JSONL ingest with a quarantine lane — the parse step at the
+    // pipeline's mouth: every raw payload comes out exactly once,
+    // tagged ok / malformed (the parser's corrupt-record channel) /
+    // missing:<field> (first absent required field, one deterministic
+    // reason per row — the filter-funnel attribution rule). The
+    // fixture plants both failure modes arithmetically (every 17th
+    // payload truncated mid-object, every 23rd missing its required
+    // lang field) and the oracle writes the verdicts down from that
+    // arithmetic — the parse is checked against intent. All
+    // scan-stage (codegen'd Jackson parse + null probes): no shuffle,
+    // no state.
+    ("p143_jsonl_quarantine", (s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("lang", StringType), StructField("nc", LongType)))
+      graft.sources.JsonlIngest.parseWithQuarantine(
+          jsonlFixtureFrom(Tables.documents(s, d)).select(col("doc_id"),
+            col("payload")),
+          col("payload"), schema, required = Seq("id", "lang"))
+        .select(col("doc_id"), col("ingest_status"),
+          coalesce(col("lang"), lit("")).as("lang"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN 'malformed'
+                  WHEN doc_id % 23 = 0 THEN 'missing:lang'
+                  ELSE 'ok' END AS ingest_status,
+             CASE WHEN doc_id % 17 = 0 OR doc_id % 23 = 0 THEN ''
+                  ELSE lang END AS lang,
+             CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                  ELSE n_chars END AS BIGINT) AS nc
+      FROM documents ORDER BY doc_id""")),
+
+    // Small-group suppression over the release rollup — the privacy
+    // floor every public data card applies (aggregate k-anonymity): a
+    // (lang, bucket) row with fewer than k docs collapses into the
+    // always-present __SUPPRESSED row (summed remainder — totals stay
+    // exact, small groups stay invisible, zeros when clean). At
+    // sf0.01 the ~12-doc average makes both branches bind; the oracle
+    // recomputes the same floor from the same counts at any SF.
+    ("p144_kanon_release", (s, d) => {
+      val stats = Tables.documents(s, d)
+        .groupBy(col("lang"), (col("doc_id") % 7).cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      graft.curation.Curation.suppressSmallGroups(stats,
+          keyCols = Seq("lang", "bucket"), nCol = "n_docs", k = 10L)
+        .orderBy(col("lang"), col("bucket"))
+    }, Some("""
+      WITH g AS (SELECT lang, CAST(doc_id % 7 AS VARCHAR) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+                 FROM documents GROUP BY 1, 2)
+      SELECT lang, bucket, n_docs, n_chars FROM g WHERE n_docs >= 10
+      UNION ALL
+      SELECT '__SUPPRESSED', '',
+             CAST(coalesce(sum(n_docs), 0) AS BIGINT),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+      FROM g WHERE n_docs < 10
+      ORDER BY lang, bucket""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4603,6 +4664,26 @@ object PipelineQueries {
     day(0, docs)
       .unionByName(day(1, docs.filter(col("doc_id") % 2 === 0)))
       .unionByName(day(2, docs.filter(col("doc_id") % 3 === 0)))
+  }
+
+  /** p143's JSONL payload fixture over any (doc_id, lang, n_chars)
+    * frame: the honest payload `{"id":…,"lang":"…","nc":…}`, with
+    * every 17th truncated mid-object (unparseable) and every 23rd
+    * missing its required `lang` field — both failure modes planted
+    * arithmetically so the oracle writes verdicts down from intent.
+    */
+  private[graft] def jsonlFixtureFrom(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val good = concat(lit("{\"id\":"), id, lit(",\"lang\":\""),
+      col("lang"), lit("\",\"nc\":"), col("n_chars").cast("string"),
+      lit("}"))
+    val noLang = concat(lit("{\"id\":"), id, lit(",\"nc\":"),
+      col("n_chars").cast("string"), lit("}"))
+    val base = when(col("doc_id") % 23 === 0 && col("doc_id") % 17 =!= 0,
+      noLang).otherwise(good)
+    docs.withColumn("payload",
+      when(col("doc_id") % 17 === 0,
+        base.substr(lit(1), length(base) - 1)).otherwise(base))
   }
 
   /** p142's fetch-log fixture over any (doc_id) frame: healthy 1:1

@@ -673,6 +673,68 @@ object StreamingQueries {
       .orderBy(col("family"))
   }
 
+  /** p143's quarantine parse AT ingest — the stateless governance
+    * gate (the q103/q108 rule: a malformed payload is tagged when it
+    * ARRIVES, not in a post-hoc audit): the SAME
+    * [[graft.sources.JsonlIngest.parseWithQuarantine]] scan-stage
+    * program, append mode, no state at all.
+    */
+  def jsonlQuarantineStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType), StructField("nc", LongType)))
+    runToMemory(graft.sources.JsonlIngest.parseWithQuarantine(
+        graft.queries.PipelineQueries
+          .jsonlFixtureFrom(documentsStream(spark, sfDir))
+          .select(col("doc_id"), col("payload")),
+        col("payload"), schema, required = Seq("id", "lang"))
+      .select(col("doc_id"), col("ingest_status"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("nc"), lit(0L)).as("nc")),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
+  /** p134's anchor-text harvest maintained AT ingest — index fields
+    * update while the crawl fetches, the way web search folds anchor
+    * evidence into serving without a batch rebuild: the SAME
+    * [[graft.graph.LinkGraph.anchorTerms]] program (shared
+    * definition — element harvest, htmlExtract cleaning, and
+    * tokenization all stateless in the scan stage), with cross-batch
+    * state = the (dst_family, term) count table itself — the harvest
+    * output's natural grain, vocabulary×domain-bounded regardless of
+    * corpus size.
+    */
+  def anchorTermsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
+    runToMemory(graft.graph.LinkGraph.anchorTerms(pages, col("html")))
+      .orderBy(col("dst_family"), col("term"))
+  }
+
+  /** p141's change-rate estimation with the crawl ledger accumulating
+    * ON the streaming engine: cross-batch state is the ledger at its
+    * natural (url, day, fingerprint) grain — never the raw fetch
+    * stream — and the adjacency/rate finalize runs batch-side at the
+    * epoch boundary through the SAME
+    * [[graft.graph.CrawlOps.changeRates]] operator, because
+    * adjacent-fetch diffing is ORDER-dependent and micro-batch
+    * arrival order is not day order (the q99 EWMA rule: an
+    * order-dependent fold must never live in stream state).
+    */
+  def changeRatesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ledger = graft.queries.PipelineQueries
+      .crawlLedgerFixtureFrom(documentsStream(spark, sfDir))
+      .groupBy(col("url"), col("day"), col("fingerprint"))
+      .agg(count(lit(1)).as("__n"))
+    graft.graph.CrawlOps.changeRates(
+        runToMemory(ledger)
+          .select(col("url"), col("day"), col("fingerprint")),
+        asofDay = 5L)
+      .orderBy(col("url"))
+  }
+
   /** p131's outlink harvest with the link graph accumulating ON the
     * streaming engine — the frontier's view DURING the crawl, not
     * after it: harvest/canonicalize/family run stateless map-side

@@ -479,4 +479,27 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("pos"))
   }
+  test("suppressSmallGroups: floor binds, totals exact, suppressed row always present") {
+    import org.apache.spark.sql.functions._
+    val stats = Seq(("en", "a", 12L, 120L), ("en", "b", 3L, 30L),
+      ("de", "a", 5L, 50L), ("de", "b", 10L, 100L))
+      .toDF("lang", "bucket", "n_docs", "n_chars")
+    val out = Curation.suppressSmallGroups(stats,
+        keyCols = Seq("lang", "bucket"), nCol = "n_docs", k = 10L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(("en", "a", 12L, 120L), ("de", "b", 10L, 100L),
+      ("__SUPPRESSED", "", 8L, 80L)))
+    // clean input: the suppressed row is still there, zeroed
+    val clean = Curation.suppressSmallGroups(stats, Seq("lang", "bucket"),
+        "n_docs", k = 1L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(clean.contains(("__SUPPRESSED", "", 0L, 0L)))
+    assert(clean.size == 5)
+    intercept[IllegalArgumentException] {
+      Curation.suppressSmallGroups(stats, Seq("lang"), "lang", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.suppressSmallGroups(stats, Seq("lang"), "n_docs", 0L)
+    }
+  }
 }

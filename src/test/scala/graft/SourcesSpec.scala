@@ -120,4 +120,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(nested.map(_._4).mkString == "nested!")
     assert(nested.forall(_._2))
   }
+  test("JsonlIngest tags ok / malformed / missing:<field> deterministically") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType), StructField("nc", LongType)))
+    val raw = Seq(
+      ("r1", """{"id":1,"lang":"en","nc":10}"""),   // ok
+      ("r2", """{"id":2,"lang":"en","nc":"""),      // truncated: malformed
+      ("r3", """{"id":3,"nc":30}"""),               // missing lang
+      ("r4", """{"lang":"de","nc":40}"""),          // missing id (first wins)
+      ("r5", """{"id":null,"lang":null}"""),        // explicit nulls: id first
+      ("r6", """not json at all"""))
+      .toDF("k", "payload")
+    val out = graft.sources.JsonlIngest.parseWithQuarantine(raw,
+        col("payload"), schema, required = Seq("id", "lang"))
+      .select(col("k"), col("ingest_status"), col("id"), col("nc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("r1") == (("ok", Some(1L), Some(10L))))
+    assert(out("r2")._1 == "malformed")
+    assert(out("r3") == (("missing:lang", Some(3L), Some(30L))))
+    assert(out("r4") == (("missing:id", None, Some(40L))))
+    assert(out("r5")._1 == "missing:id")
+    assert(out("r6")._1 == "malformed")
+    // reserved corrupt channel + unknown required field raise
+    intercept[IllegalArgumentException] {
+      graft.sources.JsonlIngest.parseWithQuarantine(raw, col("payload"),
+        schema.add("_corrupt_record", StringType), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.JsonlIngest.parseWithQuarantine(raw, col("payload"),
+        schema, Seq("nope"))
+    }
+  }
 }
