@@ -419,4 +419,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5,
       s"funnel metrics shuffled more than the repetition aggs + join:\n$p")
   }
+  test("p141 change rates: lag window and per-url agg share ONE url exchange") {
+    val p = plan("p141_change_rates")
+    // fixture union (scan-stage) -> hash exchange on url -> window ->
+    // partial-free agg on the same key -> final range sort. A second
+    // hash exchange means the window/agg partitioning broke apart.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"window+agg must share one url exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p143 jsonl quarantine is a pure scan-stage program: no exchange before the sort") {
+    val p = plan("p143_jsonl_quarantine")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quarantine parse must not shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("p140 redirect resolve: log-round self-joins, never a cartesian or single-partition funnel") {
+    val p = plan("p140_redirect_resolve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
