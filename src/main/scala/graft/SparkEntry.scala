@@ -245,7 +245,13 @@ object SparkEntry {
       Some(sharedOracle("p141_change_rates"))),
     ("q124_streaming_jsonl",
       (s, d) => graft.streaming.StreamingQueries.jsonlQuarantineStream(s, d),
-      Some(sharedOracle("p143_jsonl_quarantine"))))
+      Some(sharedOracle("p143_jsonl_quarantine"))),
+    ("q125_streaming_kanon",
+      (s, d) => graft.streaming.StreamingQueries.kanonReleaseStream(s, d),
+      Some(sharedOracle("p144_kanon_release"))),
+    ("q126_streaming_worklist",
+      (s, d) => graft.streaming.StreamingQueries.crawlWorklistStream(s, d),
+      Some(sharedOracle("p145_crawl_worklist"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -321,6 +321,36 @@ object Curation {
         (col("__se") - col("__ss")).as("n_span") +: passthrough: _*)
   }
 
+  /** The takedown BLAST RADIUS on the training side — [[packManifest]]
+    * run in reverse: given a [[packSequences]] layout and a bad-doc id
+    * list (a takedown, a discovered contamination), which training
+    * sequences did those documents reach, and how many of each
+    * sequence's tokens are theirs. This is the number a retrain
+    * decision needs (re-pack everything vs drop N sequences) and the
+    * provenance a data card must state; the span-index serve (p124)
+    * answers the SERVING side of the same takedown.
+    *
+    * Output: one row per (group…, contaminated seq): n_bad_docs,
+    * bad_tokens. A sequence no bad doc touches has no row; a bad doc
+    * with zero tokens touches nothing.
+    *
+    * Scale shape: the id list is takedown-sized and BROADCAST, and the
+    * semi-join runs BEFORE the covered-sequence explode, so the
+    * manifest arithmetic and the per-seq rollup touch contaminated
+    * docs only — the corpus-sized manifest is never materialized. The
+    * only exchange is the rollup over contaminated spans.
+    */
+  def packBlastRadius(packed: DataFrame, id: Column, tokens: Column,
+                      badIds: DataFrame, badId: Column, seqLen: Long,
+                      group: Column*): DataFrame = {
+    val bad = packed.join(broadcast(badIds.select(badId.as("__bad"))),
+      id === col("__bad"), "left_semi")
+    packManifest(bad, id, tokens, seqLen, group: _*)
+      .groupBy(group :+ col("seq"): _*)
+      .agg(count(lit(1)).as("n_bad_docs"),
+        sum(col("n_span")).as("bad_tokens"))
+  }
+
   /** Square-root temperature mixing (α = 0.5): re-balance a corpus so
     * over-represented groups are down-sampled toward weights
     * ∝ √(group size) — the standard flattening between proportional

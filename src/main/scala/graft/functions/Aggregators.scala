@@ -29,6 +29,48 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** One prioritized URL for bounded smallest-k selection. */
+  case class PUrl(prio: String, url: String)
+
+  /** Bounded smallest-k buffer (kept sorted ascending, length ≤ k). */
+  case class UrlTopKBuf(items: Seq[PUrl])
+
+  /** Bounded smallest-k by (prio ASC, url ASC) over strings — the
+    * [[TopK]] pattern for the crawl worklist: every scan partition
+    * reduces its URLs into a ≤k buffer locally (map-side PARTIAL under
+    * ObjectHashAggregate), so the shuffle moves one k-row buffer per
+    * (domain, partition) instead of a domain's whole URL space — the
+    * single-task straggler a `row_number().over(partitionBy(domain))`
+    * window would make of a 10⁹-URL domain. EXACT duplicates dedup
+    * inside the buffer (a URL discovered by many pages must not take
+    * two worklist slots), which is k-bounded-exact: a duplicate beyond
+    * the k-th smallest can never surface. Merge is order-insensitive,
+    * so results are deterministic under any shuffle order.
+    */
+  class UrlTopK(k: Int) extends Aggregator[PUrl, UrlTopKBuf, UrlTopKBuf] {
+    private def better(a: PUrl, b: PUrl): Boolean =
+      a.prio < b.prio || (a.prio == b.prio && a.url < b.url)
+
+    private def insert(buf: Seq[PUrl], x: PUrl): Seq[PUrl] =
+      if (buf.length >= k && !better(x, buf.last)) buf
+      else {
+        val (before, after) = buf.span(better(_, x))
+        if (after.headOption.contains(x)) buf
+        else ((before :+ x) ++ after).take(k)
+      }
+
+    override def zero: UrlTopKBuf = UrlTopKBuf(Seq.empty)
+    override def reduce(b: UrlTopKBuf, a: PUrl): UrlTopKBuf =
+      UrlTopKBuf(insert(b.items, a))
+    override def merge(b1: UrlTopKBuf, b2: UrlTopKBuf): UrlTopKBuf =
+      UrlTopKBuf(b2.items.foldLeft(b1.items)(insert))
+    override def finish(r: UrlTopKBuf): UrlTopKBuf = r
+    override def bufferEncoder: Encoder[UrlTopKBuf] =
+      Encoders.product[UrlTopKBuf]
+    override def outputEncoder: Encoder[UrlTopKBuf] =
+      Encoders.product[UrlTopKBuf]
+  }
+
   /** One scored candidate for bounded top-k selection. */
   case class Scored(cos: Double, neighbor_id: Long)
 

@@ -184,6 +184,87 @@ object CrawlOps {
       minUrls, thresholdMicro)
   }
 
+  /** The fetch WORKLIST — the crawl arc's last materialization: turn
+    * the schedule's per-domain request counts into the actual URL
+    * list a fetcher consumes this round. Each gate-allowed URL gets a
+    * deterministic per-domain priority — md5 of its canonical key —
+    * and a domain takes its first `n_requests` URLs in that order:
+    * engine-portable (both engines md5 the same bytes), reproducible
+    * across retries, and free of path-order bias (lexicographic order
+    * would crawl the /a paths before the /z paths forever; the hash
+    * spreads a domain's URL space uniformly).
+    *
+    * `allowed` is (canonical, dst_family) — the robots gate's allowed
+    * slice; `schedule` is (node, n_requests) —
+    * [[LinkGraph.crawlBudgetWithCaps]] output with the
+    * `__UNASSIGNED` remainder row dropped by the caller (its presence
+    * here raises loudly — a worklist row for the remainder would
+    * fetch nothing). When the schedule was built with
+    * cap = allowed-URL count (the p139 composition), n_requests ≤
+    * n_allowed per domain, so the worklist spends EXACTLY the
+    * scheduled requests.
+    *
+    * Scale shape: the schedule is domain-cardinality and BROADCAST,
+    * and the per-domain selection is the two-phase bounded top-k
+    * ([[graft.functions.Aggregators.UrlTopK]] — map-side partial
+    * ≤`maxPerDomain` buffers, exact in-buffer dedup of multi-
+    * discovered URLs), so ONE dst_family exchange carries k-row
+    * buffers, never a domain's URL space: the single-task sort a
+    * `row_number` window would make of a 10⁹-URL domain cannot
+    * happen. `maxPerDomain` is the politeness constant the schedule
+    * was built under; a schedule row above it raises loudly (the
+    * buffer would silently truncate its spend otherwise).
+    */
+  def crawlWorklist(allowed: DataFrame, schedule: DataFrame,
+                    maxPerDomain: Int = 10000): DataFrame =
+    worklistSelect(frontierTopK(allowed, maxPerDomain), schedule,
+      maxPerDomain)
+
+  /** The FOLD half of [[crawlWorklist]] — per dst_family, the bounded
+    * md5-smallest-k URL buffer ([[graft.functions.Aggregators.UrlTopK]]
+    * semantics). Split out because this half IS the streaming
+    * frontier's cross-batch state (the trapSignalsFromDistinct rule):
+    * the buffer is associative/commutative/deduping, so folding
+    * discovery batches into it incrementally equals folding the full
+    * allowed set at once — batch-identical by shared definition.
+    * Output: (dst_family, tk) where tk.items is the sorted ≤k buffer.
+    */
+  def frontierTopK(allowed: DataFrame, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1 && maxPerDomain <= 1000000,
+      s"frontierTopK: maxPerDomain must be in [1, 1e6], got $maxPerDomain")
+    val topk = udaf(new graft.functions.Aggregators.UrlTopK(maxPerDomain))
+    allowed
+      .select(col("dst_family"), md5(col("canonical")).as("__prio"),
+        col("canonical"))
+      .groupBy(col("dst_family"))
+      .agg(topk(col("__prio"), col("canonical")).as("tk"))
+  }
+
+  /** The SELECT finalize of [[crawlWorklist]] over an already-folded
+    * frontier (batch or streaming state — same definition): broadcast
+    * the domain-cardinality schedule, explode each domain's buffer,
+    * keep the first n_requests positions. Contract raises live here
+    * so both execution surfaces share them.
+    */
+  def worklistSelect(frontier: DataFrame, schedule: DataFrame,
+                     maxPerDomain: Int = 10000): DataFrame = {
+    val s = schedule.select(col("node"),
+      when(col("node") === "__UNASSIGNED", raise_error(lit(
+          "crawlWorklist: drop the __UNASSIGNED remainder row before " +
+            "building the worklist")))
+        .when(col("n_requests") > maxPerDomain, raise_error(concat(
+          lit(s"crawlWorklist: n_requests above maxPerDomain " +
+            s"$maxPerDomain for "), col("node"))))
+        .otherwise(col("n_requests")).as("n_requests"))
+    frontier
+      .join(broadcast(s), col("dst_family") === col("node"))
+      .select(col("dst_family"), col("n_requests"),
+        posexplode(col("tk.items")).as(Seq("__p", "__x")))
+      .filter(col("__p") + 1 <= col("n_requests"))
+      .select(col("__x.url").as("canonical"), col("dst_family"),
+        (col("__p") + 1).cast("long").as("pos"))
+  }
+
   /** The finalize half of [[trapSignals]] over an ALREADY-distinct
     * (family, canonical, fingerprint) triple set — shared with the
     * streaming twin, whose cross-batch state IS that triple set (the

@@ -355,6 +355,43 @@ object LinkGraph {
         col("m.allow").as("allowed"), col("m.prefix").as("rule_prefix"))
   }
 
+  /** [[robotsFilter]] reformulated for the SCAN stage — the shape a
+    * streaming frontier needs: the rule table (static, config-sized)
+    * pre-folds to ONE row per family holding its rule array, the
+    * stream broadcast-joins it, and the RFC 9309 longest-match runs
+    * per row inside a higher-order `aggregate` — no per-URL
+    * aggregation, no state, so it stacks under a downstream stateful
+    * fold (Spark allows one streaming aggregation per query). Tie and
+    * no-match semantics are IDENTICAL to [[robotsFilter]] (max over
+    * (prefix length, allow, prefix); fail-open (0, true, '') when no
+    * rule matches — spec-pinned equal on distinct input). Unlike
+    * [[robotsFilter]] this does NOT dedup: one output row per input
+    * row (a deduping consumer — the frontier's bounded buffer —
+    * handles repeats itself).
+    */
+  def robotsFilterScan(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val r = rules.groupBy(col("family"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
+    urls.select(col("canonical"), col("dst_family"))
+      .withColumn("path",
+        regexp_replace(col("canonical"), "^[a-z][a-z0-9+.-]*://[^/]*", ""))
+      .join(broadcast(r), col("dst_family") === col("family"), "left")
+      .withColumn("__m", expr("""
+        aggregate(
+          filter(coalesce(__rules, array()),
+            r -> startswith(path, r.prefix)),
+          cast(null as struct<l:int, allow:boolean, prefix:string>),
+          (acc, r) -> if(acc is null
+              or named_struct('l', length(r.prefix), 'allow', r.allow,
+                              'prefix', r.prefix) > acc,
+            named_struct('l', length(r.prefix), 'allow', r.allow,
+                         'prefix', r.prefix),
+            acc))"""))
+      .select(col("canonical"), col("dst_family"),
+        coalesce(col("__m.allow"), lit(true)).as("allowed"),
+        coalesce(col("__m.prefix"), lit("")).as("rule_prefix"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampPermille: Int = 850): DataFrame =
     pageRankImpl(edges, iters, dampPermille, seeds = None)

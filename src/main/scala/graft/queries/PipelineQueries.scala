@@ -4358,28 +4358,7 @@ object PipelineQueries {
     }, Some(s"""
       WITH $outlinkCtesSql,
       $robotsCtesSql,
-      na AS (SELECT dst_family, CAST(count(*) AS BIGINT) AS n_allowed
-             FROM gate WHERE allowed GROUP BY 1),
-      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
-      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
-      ${pageRankStagesSql(5)},
-      cp AS (SELECT node, r,
-               least(200, coalesce(na.n_allowed, 0)) AS cap
-             FROM r5 LEFT JOIN na ON r5.node = na.dst_family),
-      tot AS (SELECT sum(r) AS sr FROM cp),
-      a AS (SELECT node, r, cap, CAST(200 * r // sr AS BIGINT) AS ideal
-            FROM cp, tot),
-      b AS (SELECT node, r, cap, ideal, least(ideal, cap) AS take1,
-              cap - least(ideal, cap) AS head FROM a),
-      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
-      c AS (SELECT node, r AS rank_micro,
-              CAST(take1 + CASE WHEN sh > 0
-                THEN (200 - st) * head // sh ELSE 0 END AS BIGINT)
-                AS n_requests,
-              ideal > cap AS capped
-            FROM b, t2)
+      $crawlScheduleCtesSql
       SELECT * FROM (
         SELECT node, rank_micro, n_requests, capped FROM c
         UNION ALL
@@ -4387,6 +4366,78 @@ object PipelineQueries {
                CAST(200 - (SELECT sum(n_requests) FROM c) AS BIGINT),
                false)
       ORDER BY node""")),
+
+    // The fetch WORKLIST — the crawl arc's LAST materialization: the
+    // p139 schedule's per-domain request counts turned into the URL
+    // list a fetcher consumes this round. Per-domain priority is
+    // md5(canonical) — engine-portable, retry-reproducible, and free
+    // of path-order bias (lexicographic order would crawl /a/*
+    // before /z/* forever); each domain takes its first n_requests
+    // gate-allowed URLs in that order. Because p139 builds caps from
+    // the allowed-URL counts, n_requests ≤ n_allowed — the worklist
+    // spends EXACTLY the scheduled budget. The oracle recomputes the
+    // entire harvest → gate → rank → spend → select chain through the
+    // SAME shared CTEs as p139 (the sharedOracle rule at SQL level).
+    ("p145_crawl_worklist", (s, d) => {
+      graft.graph.CrawlOps.crawlWorklist(
+          gateAllowedFixture(s, d), crawlScheduleFixture(s, d))
+        .orderBy(col("dst_family"), col("pos"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      $robotsCtesSql,
+      $crawlScheduleCtesSql,
+      wl AS (SELECT g.canonical, g.dst_family, c.n_requests,
+               row_number() OVER (PARTITION BY g.dst_family
+                 ORDER BY md5(g.canonical), g.canonical) AS pos
+             FROM gate g JOIN c ON g.dst_family = c.node
+             WHERE g.allowed)
+      SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
+      FROM wl WHERE pos <= n_requests
+      ORDER BY dst_family, pos""")),
+
+    // Query-biased SNIPPETS — the serving feature beside ranking: for
+    // each (query, matching doc), the 8-token span showing the most
+    // DISTINCT query terms, ties leftmost. Hit-anchored candidate
+    // starts are EXACT (sliding any span's start right to its first
+    // hit never loses coverage), occurrences are query-vocab-filtered
+    // in the scan stage (the p49 IN-list rule) so the in-window
+    // coverage pair-join touches hit rows only, and the emitted
+    // snippet is the literal token slice — both engines rejoin the
+    // same tokens, so the text itself is oracle-checked.
+    ("p146_snippets", (s, d) => {
+      graft.text.CorpusOps.snippets(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          queries = graft.text.CorpusOps.bm25DemoQueries, window = 8)
+        .orderBy(col("qid"), col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      occ AS (SELECT doc_id, pr.tok AS term, pr.pos AS pos FROM
+               (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                  i -> {'tok': toks[i], 'pos': i})) AS pr FROM t)
+              WHERE pr.tok IN ('hash', 'join', 'merge', 'window', 'sort',
+                               'order', 'vector', 'scan', 'filter')),
+      q(qid, term) AS (VALUES
+        ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+        ('q_hash_join', 'merge'),
+        ('q_window', 'window'), ('q_window', 'sort'), ('q_window', 'order'),
+        ('q_scan', 'vector'), ('q_scan', 'scan'), ('q_scan', 'filter')),
+      hits AS (SELECT q.qid, occ.doc_id, occ.pos, occ.term
+               FROM occ JOIN q USING (term)),
+      cov AS (SELECT h1.qid, h1.doc_id, h1.pos AS start,
+                count(DISTINCT h2.term) AS n_terms
+              FROM hits h1 JOIN hits h2
+                ON h1.qid = h2.qid AND h1.doc_id = h2.doc_id
+               AND h2.pos BETWEEN h1.pos AND h1.pos + 7
+              GROUP BY 1, 2, 3),
+      best AS (SELECT qid, doc_id, start, n_terms,
+                 row_number() OVER (PARTITION BY qid, doc_id
+                   ORDER BY n_terms DESC, start) AS rn
+               FROM cov)
+      SELECT b.qid, b.doc_id, CAST(b.start AS BIGINT) AS start,
+             CAST(b.n_terms AS BIGINT) AS n_terms,
+             array_to_string(t.toks[b.start : b.start + 7], ' ') AS snippet
+      FROM best b JOIN t ON b.doc_id = t.doc_id WHERE rn = 1
+      ORDER BY b.qid, b.doc_id""")),
 
     // Redirect-chain resolution by POINTER DOUBLING — ⌈log₂ depth⌉
     // self-join rounds instead of depth sequential ones (the PRAM
@@ -4565,7 +4616,145 @@ object PipelineQueries {
              CAST(coalesce(sum(n_docs), 0) AS BIGINT),
              CAST(coalesce(sum(n_chars), 0) AS BIGINT)
       FROM g WHERE n_docs < 10
-      ORDER BY lang, bucket""")))
+      ORDER BY lang, bucket""")),
+
+    // The RECRAWL schedule — freshness turned into spend, the Cho &
+    // Garcia-Molina punchline: p141's per-URL recrawl priorities roll
+    // up to domain families (the grain politeness binds at) and feed
+    // the SAME largest-remainder allocator as the discovery-crawl
+    // schedule — requests ∝ summed change-pressure, politeness-
+    // capped, remainder explicit. A never-changing domain still
+    // carries its smoothed prior mass (rates never report fake
+    // certainty), so it is revisited — just last.
+    ("p147_recrawl_schedule", (s, d) => {
+      val rates = graft.graph.CrawlOps.changeRates(
+        crawlLedgerFixtureFrom(Tables.documents(s, d)), asofDay = 5L)
+      val fam = rates
+        .select(graft.functions.SourceFamily.familyOf(col("url")).as("node"),
+          col("score_micro"))
+        .groupBy(col("node")).agg(sum(col("score_micro")).as("rank_micro"))
+      graft.graph.LinkGraph.crawlBudget(fam, budget = 10000L,
+          maxPerDomain = 2000L)
+        .orderBy(col("node"))
+    }, Some("""
+      WITH fam AS (
+        SELECT 'src' || (doc_id % 7) || '.com' AS node,
+               least(1000000,
+                 (CASE WHEN doc_id % 5 < 2 THEN visits - 1 ELSE 0 END + 1)
+                   * 1000000 // (visits + 1) * (5 - last_day)) AS sc
+        FROM (SELECT doc_id,
+                1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS visits,
+                CASE WHEN doc_id % 3 = 0 THEN 2
+                     WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS last_day
+              FROM documents)),
+      r AS (SELECT node, CAST(sum(sc) AS BIGINT) AS r FROM fam GROUP BY 1),
+      tot AS (SELECT sum(r) AS sr FROM r),
+      a AS (SELECT node, r, CAST(10000 * r // sr AS BIGINT) AS ideal
+            FROM r, tot),
+      b AS (SELECT node, r, ideal, least(ideal, 2000) AS take1,
+              2000 - least(ideal, 2000) AS head FROM a),
+      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
+      c AS (SELECT node, r AS rank_micro,
+              CAST(take1 + CASE WHEN sh > 0
+                THEN (10000 - st) * head // sh ELSE 0 END AS BIGINT)
+                AS n_requests,
+              ideal > 2000 AS capped
+            FROM b, t2)
+      SELECT * FROM (
+        SELECT node, rank_micro, n_requests, capped FROM c
+        UNION ALL
+        SELECT '__UNASSIGNED', CAST(0 AS BIGINT),
+               CAST(10000 - (SELECT sum(n_requests) FROM c) AS BIGINT),
+               false)
+      ORDER BY node""")),
+
+    // Line-frequency BOILERPLATE strip — the CCNet hygiene pass
+    // between HTML extraction and fingerprinting: a line recurring
+    // across >= minDocs docs of one domain family at >= 50% doc ratio
+    // (exact integer micro-units) is chrome, and every occurrence is
+    // dropped; survivors rejoin in order. The fixture plants all
+    // regimes arithmetically: a global nav line (ratio 10⁶), a
+    // per-family copyright line (10⁶), a ~60% newsletter line (above
+    // threshold via doc_id%5), a ~13% promo line (below, via the
+    // %5/%3 split), and the unique body line. The cleaned TEXT itself
+    // is oracle-checked, not just the counts.
+    ("p148_boilerplate_strip", (s, d) => {
+      graft.text.CorpusOps.boilerplateStrip(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(lit("src"), (col("doc_id") % 7).cast("string"),
+              lit(".com")).as("family"),
+            linesFixtureText.as("page")),
+          col("doc_id"), col("family"), col("page"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH pages AS (SELECT doc_id, 'src' || (doc_id % 7) || '.com' AS fam,
+             'home | about | contact' || chr(10) ||
+             '(c) 2026 fam' || (doc_id % 7) || chr(10) ||
+             (CASE WHEN doc_id % 5 < 3 THEN 'subscribe to our newsletter'
+                   ELSE 'promo ' || (doc_id % 3) END) || chr(10) ||
+             'body: ' || text AS page
+           FROM documents),
+      l AS (SELECT doc_id, fam, u.line AS line, u.pos AS pos FROM
+             (SELECT doc_id, fam, unnest(list_transform(
+                generate_series(1, len(string_split(page, chr(10)))),
+                i -> {'line': string_split(page, chr(10))[i], 'pos': i}))
+                AS u
+              FROM pages)),
+      fd AS (SELECT fam, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1),
+      lf AS (SELECT fam, line, count(DISTINCT doc_id) AS df
+             FROM l GROUP BY 1, 2),
+      b AS (SELECT lf.fam, lf.line,
+              (df >= 2 AND df * 1000000 // nd >= 500000) AS boiler
+            FROM lf JOIN fd ON lf.fam = fd.fam)
+      SELECT l.doc_id, l.fam AS family,
+             coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+               FILTER (WHERE NOT boiler), '') AS text_clean,
+             CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_removed
+      FROM l JOIN b ON l.fam = b.fam AND l.line = b.line
+      GROUP BY 1, 2 ORDER BY l.doc_id""")),
+
+    // The takedown BLAST RADIUS on the TRAINING side — packManifest
+    // run in reverse: which packed training sequences did a bad-doc
+    // list reach, and how many of each sequence's tokens are theirs
+    // (the retrain-vs-drop decision number; p124 answers the SERVING
+    // side of the same takedown). The bad list is takedown-sized and
+    // broadcast, and the semi-join runs BEFORE the covered-sequence
+    // explode, so the corpus-sized manifest never materializes. The
+    // oracle re-derives the pack layout through p123's cumulative-sum
+    // CTE and intersects intervals directly.
+    ("p149_pack_blast_radius", (s, d) => {
+      val enc = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val packed = graft.curation.Curation.packSequences(enc, col("source"),
+        col("doc_id"), col("n_tokens"), seqLen = 512L)
+      val bad = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0)
+      graft.curation.Curation.packBlastRadius(packed, col("doc_id"),
+          col("n_tokens"), bad, col("doc_id"), seqLen = 512L, col("source"))
+        .orderBy(col("source"), col("seq"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(${sqlToks("text")}) AS BIGINT) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, source, n,
+              CAST(coalesce(sum(n) OVER (PARTITION BY source
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM t),
+      bad AS (SELECT * FROM c WHERE doc_id % 97 = 0 AND n > 0),
+      e AS (SELECT source, doc_id, n, cp,
+              unnest(generate_series(cp // 512, (cp + n - 1) // 512)) AS seq
+            FROM bad),
+      sp AS (SELECT source, seq,
+               least(cp + n, (seq + 1) * 512) - greatest(cp, seq * 512)
+                 AS n_span
+             FROM e)
+      SELECT source, CAST(seq AS BIGINT) AS seq,
+             CAST(count(*) AS BIGINT) AS n_bad_docs,
+             CAST(sum(n_span) AS BIGINT) AS bad_tokens
+      FROM sp GROUP BY 1, 2 ORDER BY source, seq""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -4615,6 +4804,95 @@ object PipelineQueries {
   private def htmlPages(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       messyUrlFixture.as("page_url"), htmlFixtureText.as("html"))
+
+  /** The robots-gate's ALLOWED slice over the fixture pages —
+    * (canonical, dst_family) — shared by p145 and q126's streaming
+    * frontier (which folds the same rows batch-by-batch).
+    */
+  private[graft] def gateAllowedFixture(s: SparkSession,
+                                        d: String): DataFrame = {
+    import s.implicits._
+    val urls = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
+      col("page_url"), col("html"))
+    graft.graph.LinkGraph
+      .robotsFilter(urls, robotsRulesFixture.toDF("family", "prefix",
+        "allow"))
+      .filter(col("allowed"))
+      .select(col("canonical"), col("dst_family"))
+  }
+
+  /** p139's schedule chain as ONE definition — harvest-gated caps,
+    * 5 PageRank rounds, the largest-remainder spend, remainder row
+    * dropped — shared by p145's worklist and q126's streaming twin
+    * (where it is the FROZEN schedule a frontier consumes while
+    * discovery streams: budget allocation is a periodic batch job,
+    * the worklist build is not).
+    */
+  private[graft] def crawlScheduleFixture(s: SparkSession,
+                                          d: String): DataFrame = {
+    val allowedCounts = gateAllowedFixture(s, d)
+      .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
+    val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
+        col("page_url"), col("html"))
+      .select(col("src_family").as("src"), col("dst_family").as("dst"))
+    val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
+    val withCaps = ranks
+      .join(allowedCounts, ranks("node") === allowedCounts("dst_family"),
+        "left")
+      .select(col("node"), col("rank_micro"),
+        least(lit(200L), coalesce(col("n_allowed"), lit(0L))).as("cap"))
+    graft.graph.LinkGraph.crawlBudgetWithCaps(withCaps, budget = 200L)
+      .filter(col("node") =!= "__UNASSIGNED")
+      .select(col("node"), col("n_requests"))
+  }
+
+  /** p148's extracted-page fixture: each doc's text as a body line
+    * under three planted chrome lines — a global nav line (every doc:
+    * ratio 10⁶), a per-family copyright line (10⁶), and a split line
+    * that is the ~60% newsletter banner on doc_id%5 < 3 (above the
+    * 50% strip threshold) or a ~13% `promo k` variant otherwise
+    * (below it) — so the boiler flag's both outcomes bind on
+    * same-shaped lines. The oracle synthesizes the identical page
+    * from the same arithmetic.
+    */
+  private[graft] def linesFixtureText: Column =
+    concat_ws("\n",
+      lit("home | about | contact"),
+      concat(lit("(c) 2026 fam"), (col("doc_id") % 7).cast("string")),
+      when(col("doc_id") % 5 < 3, lit("subscribe to our newsletter"))
+        .otherwise(concat(lit("promo "), (col("doc_id") % 3).cast("string"))),
+      concat(lit("body: "), col("text")))
+
+  /** p139's full schedule chain as shared CTEs ending in `c` (node,
+    * rank_micro, n_requests, capped) — harvest-gated caps, 5 PageRank
+    * rounds, the largest-remainder spend. Reused verbatim by p145's
+    * worklist so the two executions of the chain cannot drift (the
+    * sharedOracle rule at the SQL level). Requires `lk` and `gate`
+    * (from [[outlinkCtesSql]] + [[robotsCtesSql]]) upstream.
+    */
+  private lazy val crawlScheduleCtesSql: String = s"""
+      na AS (SELECT dst_family, CAST(count(*) AS BIGINT) AS n_allowed
+             FROM gate WHERE allowed GROUP BY 1),
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(5)},
+      cp AS (SELECT node, r,
+               least(200, coalesce(na.n_allowed, 0)) AS cap
+             FROM r5 LEFT JOIN na ON r5.node = na.dst_family),
+      tot AS (SELECT sum(r) AS sr FROM cp),
+      a AS (SELECT node, r, cap, CAST(200 * r // sr AS BIGINT) AS ideal
+            FROM cp, tot),
+      b AS (SELECT node, r, cap, ideal, least(ideal, cap) AS take1,
+              cap - least(ideal, cap) AS head FROM a),
+      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
+      c AS (SELECT node, r AS rank_micro,
+              CAST(take1 + CASE WHEN sh > 0
+                THEN (200 - st) * head // sh ELSE 0 END AS BIGINT)
+                AS n_requests,
+              ideal > cap AS capped
+            FROM b, t2)"""
 
   /** p140's redirect-map fixture over any (doc_id) frame (batch or
     * streaming — the scriptFixtureText sharing rule): per doc a chain

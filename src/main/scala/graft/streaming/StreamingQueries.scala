@@ -673,6 +673,60 @@ object StreamingQueries {
       .orderBy(col("family"))
   }
 
+  /** p144's privacy floor at the EPOCH boundary — where a release
+    * gate actually runs (the q84 manifest rule): the stream folds the
+    * (lang, bucket) doc/char rollup with group-cardinality state
+    * (sums are associative; state never sees documents), and the
+    * suppression finalize — the k floor, the exact-remainder
+    * `__SUPPRESSED` row — runs batch-side through the SAME
+    * [[graft.curation.Curation.suppressSmallGroups]] as the batch
+    * entry, so the two gates cannot drift.
+    */
+  def kanonReleaseStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = documentsStream(spark, sfDir)
+      .groupBy(col("lang"),
+        (col("doc_id") % 7).cast("string").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    graft.curation.Curation.suppressSmallGroups(runToMemory(stats),
+        keyCols = Seq("lang", "bucket"), nCol = "n_docs", k = 10L)
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** p145's worklist with the frontier built WHILE discovery streams —
+    * the production split of the crawl loop: budget allocation is a
+    * periodic batch job (here the FROZEN p139 schedule, the q113
+    * frozen-model rule), but URL discovery never stops, so the
+    * per-domain md5-smallest-k buffer ([[graft.graph.CrawlOps
+    * .frontierTopK]]) IS the cross-batch state — associative,
+    * deduping, ≤k per domain regardless of how many batches or how
+    * often a URL is rediscovered. The robots gate runs per-row in the
+    * scan stage ([[graft.graph.LinkGraph.robotsFilterScan]] — the
+    * longest-match as a higher-order fold over a broadcast rule
+    * array, because a streaming query gets ONE stateful aggregation
+    * and the frontier needs it), and the spend-selection finalize is
+    * the SAME [[graft.graph.CrawlOps.worklistSelect]] half as the
+    * batch entry.
+    */
+  def crawlWorklistStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
+        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
+    val urls = graft.graph.LinkGraph.linkRows(pages, col("page_url"),
+      col("html"))
+    val rules = graft.queries.PipelineQueries.robotsRulesFixture
+      .toDF("family", "prefix", "allow")
+    val allowed = graft.graph.LinkGraph.robotsFilterScan(urls, rules)
+      .filter(col("allowed"))
+      .select(col("canonical"), col("dst_family"))
+    val frontier = graft.graph.CrawlOps.frontierTopK(allowed,
+      maxPerDomain = 10000)
+    graft.graph.CrawlOps.worklistSelect(runToMemory(frontier),
+        graft.queries.PipelineQueries.crawlScheduleFixture(spark, sfDir))
+      .orderBy(col("dst_family"), col("pos"))
+  }
+
   /** p143's quarantine parse AT ingest — the stateless governance
     * gate (the q103/q108 rule: a malformed payload is tagged when it
     * ARRIVES, not in a post-hoc audit): the SAME

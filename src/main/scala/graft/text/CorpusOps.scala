@@ -1667,6 +1667,119 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Query-biased SNIPPET extraction — the serving feature beside
+    * ranking: for each (query, matching doc), the `window`-token span
+    * showing the MOST DISTINCT query terms, ties broken leftmost.
+    * Candidate starts are HIT positions only, and that is EXACT, not a
+    * heuristic: for any span, sliding its start right to the first hit
+    * inside it never loses coverage (no hits live between the old and
+    * new starts), so the hit-anchored maximum is the global maximum
+    * and "leftmost" means the leftmost hit-anchored start. Output one
+    * row per (qid, doc) with ≥ 1 hit: (qid, doc_id, start — 1-based
+    * token index, n_terms, snippet — the literal token slice
+    * rejoined); a doc without hits has no snippet row by definition.
+    *
+    * Scale shape: occurrences are query-vocab-filtered in the SCAN
+    * stage (map-side IN-list, the p49 rule), so the in-window
+    * coverage pair-join runs on hit rows only — per doc bounded by
+    * its query-term occurrences, never its token count; coverage and
+    * the leftmost-max election group on (qid, doc_id); the slice
+    * rejoin to the token arrays is one doc_id-keyed hash join.
+    */
+  def snippets(docs: DataFrame, id: Column, text: Column,
+               queries: Seq[(String, Seq[String])],
+               window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 10000,
+      s"snippets: window must be in [1, 10000], got $window")
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "snippets: every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "snippets: duplicate query ids")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    val vocab = queries.flatMap(_._2).distinct
+    val occ = docs.select(id.cast("long").as("doc_id"),
+        posexplode(TextFunctions.tokens(text)).as(Seq("pos0", "term")))
+      .filter(col("term").isin(vocab: _*))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+    val hits = occ.join(broadcast(q), Seq("term"))
+      .select(col("qid"), col("doc_id"), col("pos"), col("term"))
+    val h2 = hits.select(col("qid").as("__q"), col("doc_id").as("__d"),
+      col("pos").as("__p"), col("term").as("__t"))
+    val cov = hits.join(h2,
+        col("qid") === col("__q") && col("doc_id") === col("__d") &&
+          col("__p") >= col("pos") &&
+          col("__p") <= col("pos") + (window - 1))
+      .groupBy(col("qid"), col("doc_id"), col("pos"))
+      .agg(countDistinct(col("__t")).as("n_terms"))
+    val best = cov.groupBy(col("qid"), col("doc_id"))
+      .agg(max(struct(col("n_terms"), (-col("pos")).as("np"))).as("m"))
+      .select(col("qid"), col("doc_id"), (-col("m.np")).as("start"),
+        col("m.n_terms").as("n_terms"))
+    val t = docs.select(id.cast("long").as("__doc"),
+      TextFunctions.tokens(text).as("toks"))
+    best.join(t, best("doc_id") === col("__doc"))
+      .select(col("qid"), col("doc_id"), col("start"), col("n_terms"),
+        array_join(slice(col("toks"), col("start").cast("int"),
+          lit(window)), " ").as("snippet"))
+  }
+
+  /** Line-frequency BOILERPLATE strip — the hygiene pass between HTML
+    * extraction and fingerprinting (the CCNet recipe): a line that
+    * recurs across ≥ `minDocs` docs of one domain family at a doc
+    * ratio ≥ `thresholdMicro` (integer micro-units) is navigation /
+    * footer / legal chrome, not content, and every occurrence of it
+    * is dropped; surviving lines rejoin in original order. Ratio and
+    * threshold are exact integer arithmetic (`df·10⁶ div n_docs`, the
+    * repo's micro-unit rule); a repeated line inside ONE doc counts
+    * once toward df but every occurrence is stripped. A doc whose
+    * every line is chrome survives as an EMPTY string — a row, not an
+    * absence (downstream length filters must see it). Output:
+    * (doc_id, family, text_clean, n_kept, n_removed).
+    *
+    * Scale shape: per-family doc counts are family-cardinality and
+    * BROADCAST; line document-frequencies and the boiler flag ride
+    * ONE (family, line) exchange that the flag-to-occurrence join
+    * reuses, and the doc reassembly is one doc_id exchange — no
+    * all-pairs anything, no per-line window over the corpus. Lines
+    * are short by construction (they're display lines), so the
+    * (family, line) key is hash-sized payload; headroom: the df·10⁶
+    * product stays in long for < 9·10¹² docs per family.
+    */
+  def boilerplateStrip(docs: DataFrame, id: Column, family: Column,
+                       page: Column, thresholdMicro: Long = 500000L,
+                       minDocs: Long = 2L): DataFrame = {
+    require(thresholdMicro >= 1 && thresholdMicro <= 1000000,
+      s"boilerplateStrip: thresholdMicro must be in [1, 1e6], got " +
+        thresholdMicro)
+    require(minDocs >= 1, s"boilerplateStrip: minDocs must be >= 1, " +
+      s"got $minDocs")
+    val l = docs.select(id.cast("long").as("doc_id"),
+      family.as("family"),
+      posexplode(split(page, "\n", -1)).as(Seq("pos0", "line")))
+    val famDocs = l.groupBy(col("family"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+    val flags = l.groupBy(col("family"), col("line"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .join(broadcast(famDocs), Seq("family"))
+      .select(col("family"), col("line"),
+        (col("__df") >= minDocs &&
+          expr("__df * 1000000 div __nd") >= thresholdMicro)
+          .as("__boiler"))
+    l.join(flags, Seq("family", "line"))
+      .groupBy(col("doc_id"), col("family"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(!col("__boiler"), struct(col("pos0"), col("line"))))),
+          x => x.getField("line")), "\n").as("text_clean"),
+        count(when(!col("__boiler"), lit(1))).as("n_kept"),
+        count(when(col("__boiler"), lit(1))).as("n_removed"))
+  }
+
   /** The demo phrase set shared by the batch oracle entry (p62) and its
     * specs — two corpus-frequent bigrams and one trigram.
     */

@@ -792,4 +792,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     // candidates past maxDistance are filtered: 'tabze' must not reach 'cable' (d=2)
     assert(!byProbe("tabze").exists(_._2 == "cable"))
   }
+  test("boilerplateStrip: ratio/minDocs gates, in-doc repeats, empty survivor, singleton family") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "f", "nav\nmid\nrep\nbody one"),
+      (2L, "f", "nav\nmid\nbody two"),
+      (3L, "f", "nav\nrep\nrep\nsolo"),
+      (4L, "f", "nav"),
+      (9L, "g", "nav\nonly here"))
+      .toDF("doc_id", "family", "page")
+    val out = graft.text.CorpusOps.boilerplateStrip(docs, col("doc_id"),
+        col("family"), col("page"))
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    // family f (4 docs): nav df=4 (ratio 1e6), mid df=2 (exactly 50%
+    // -> boiler at the inclusive threshold), rep df=2 (doc 3's repeat
+    // counts ONCE for df but BOTH occurrences strip), bodies unique.
+    // family g (1 doc): its nav has df=1 < minDocs -> kept, even at
+    // ratio 1e6 — the singleton-family pin.
+    assert(out == Set(
+      (1L, "f", "body one", 1L, 3L),
+      (2L, "f", "body two", 1L, 2L),
+      (3L, "f", "solo", 1L, 3L),
+      (4L, "f", "", 0L, 1L),    // all-chrome doc survives as a row
+      (9L, "g", "nav\nonly here", 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.boilerplateStrip(docs, col("doc_id"),
+        col("family"), col("page"), thresholdMicro = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.boilerplateStrip(docs, col("doc_id"),
+        col("family"), col("page"), minDocs = 0L)
+    }
+  }
+
+  test("snippets: max distinct coverage, leftmost tie, 1-based start, literal slice") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "x hash y join z merge"),    // hits at 2, 4, 6
+      (2L, "nothing relevant here"),    // no hits: no row
+      (3L, "hash a b"))                 // hit at 1: start is 1-based
+      .toDF("doc_id", "text")
+    val q = Seq(("q1", Seq("hash", "join", "merge")))
+    // window 4: starts 2 and 4 both cover two terms -> leftmost (2) wins
+    val w4 = graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"),
+        q, window = 4)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(w4(1L) == (("q1", 1L, 2L, 2L, "hash y join z")))
+    assert(w4(3L) == (("q1", 3L, 1L, 1L, "hash a b")))
+    assert(!w4.contains(2L))
+    // window 8 reaches all three terms from start 2
+    val w8 = graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"),
+        q, window = 8)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(w8(1L) == (("q1", 1L, 2L, 3L, "hash y join z merge")))
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"),
+        Seq(("q1", Seq())), 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"),
+        Seq(("q1", Seq("a")), ("q1", Seq("b"))), 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"), q, 0)
+    }
+  }
 }

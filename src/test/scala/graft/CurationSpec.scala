@@ -502,4 +502,26 @@ class CurationSpec extends AnyFunSuite {
       Curation.suppressSmallGroups(stats, Seq("lang"), "n_docs", 0L)
     }
   }
+
+  test("packBlastRadius: boundary-spanning bad docs, zero-token bad doc, empty list") {
+    val docs = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L),
+      ("b", 1L, 0L), ("b", 2L, 600L)).toDF("src", "id", "n")
+    val packed = Curation.packSequences(docs, col("src"), col("id"),
+      col("n"), 512L)
+    def radius(bad: Seq[Long]) = Curation.packBlastRadius(packed,
+        col("id"), col("n"), bad.toDF("bad_id"), col("bad_id"), 512L,
+        col("src"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // doc 2 in src a occupies [300, 600): 212 tokens of seq 0, 88 of
+    // seq 1; in src b it occupies [0, 600): all of seq 0, 88 of seq 1
+    assert(radius(Seq(2L)) == Set(
+      ("a", 0L, 1L, 212L), ("a", 1L, 1L, 88L),
+      ("b", 0L, 1L, 512L), ("b", 1L, 1L, 88L)))
+    // doc 1: 300 tokens in src a's seq 0; ZERO tokens in src b — a
+    // zero-token takedown contaminates nothing there
+    assert(radius(Seq(1L)) == Set(("a", 0L, 1L, 300L)))
+    // two bad docs meeting in one sequence roll up together
+    assert(radius(Seq(1L, 2L)).contains(("a", 0L, 2L, 512L)))
+    assert(radius(Seq.empty) == Set.empty)
+  }
 }

@@ -135,6 +135,31 @@ class GraphSpec extends AnyFunSuite {
       ("android-app://a.com.pkg/private/z", "a.com", false, "/private")))
   }
 
+  test("robotsFilterScan: equals robotsFilter on distinct input; per-row, no dedup") {
+    val urls = Seq(
+      ("https://a.com/private/page", "a.com"),
+      ("https://a.com/private/ok/page", "a.com"),
+      ("https://a.com/open", "a.com"),
+      ("https://b.com/x", "b.com"),
+      ("https://c.com/anything", "c.com"),
+      ("android-app://a.com.pkg/private/z", "a.com"))
+      .toDF("canonical", "dst_family")
+    val rules = Seq(
+      ("a.com", "/private", false), ("a.com", "/private/ok", true),
+      ("b.com", "/x", true), ("b.com", "/x", false))
+      .toDF("family", "prefix", "allow")
+    val batch = LinkGraph.robotsFilter(urls, rules)
+      .as[(String, String, Boolean, String)].collect().toSet
+    val scan = LinkGraph.robotsFilterScan(urls, rules)
+      .as[(String, String, Boolean, String)].collect()
+    // identical longest-match / tie / fail-open verdicts...
+    assert(scan.toSet == batch && scan.length == 6)
+    // ...but per input ROW: repeats pass through (the frontier buffer
+    // dedups downstream), where robotsFilter would collapse them
+    assert(LinkGraph.robotsFilterScan(urls.union(urls), rules)
+      .count() == 12)
+  }
+
   test("personalizedPageRank: seed-only teleport, hand-computed; unreached cluster scores 0") {
     // a → b → c with seed {a}, plus a two-node cycle x ↔ y nobody
     // trusted links into — the link-farm case global PageRank cannot
@@ -382,5 +407,36 @@ class GraphSpec extends AnyFunSuite {
       ("trap.com", 4L, 1L, 4000000L, true),
       ("ok.com", 3L, 3L, 1000000L, false),
       ("tiny.com", 2L, 1L, 2000000L, false)))
+  }
+  test("crawlWorklist: spends exactly the schedule, md5-ordered, dense pos; remainder row raises") {
+    import graft.graph.CrawlOps
+    import org.apache.spark.sql.functions.{col, md5}
+    val allowed = Seq(
+      ("https://a.com/1", "a.com"), ("https://a.com/2", "a.com"),
+      ("https://a.com/3", "a.com"), ("https://a.com/1", "a.com"), // dup dedups
+      ("https://b.com/x", "b.com"), ("https://b.com/y", "b.com"),
+      ("https://c.com/only", "c.com"))
+      .toDF("canonical", "dst_family")
+    val schedule = Seq(("a.com", 2L), ("b.com", 5L), ("c.com", 0L))
+      .toDF("node", "n_requests")
+    val out = CrawlOps.crawlWorklist(allowed, schedule)
+      .as[(String, String, Long)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.sortBy(_._3)).toMap
+    // a.com: 3 allowed, 2 scheduled -> exactly 2; b.com: 2 allowed,
+    // 5 scheduled -> all 2; c.com: scheduled 0 -> none
+    assert(byDom("a.com").size == 2 && byDom("b.com").size == 2)
+    assert(!byDom.contains("c.com"))
+    assert(byDom("a.com").map(_._3).toSeq == Seq(1L, 2L))
+    // the taken URLs are the md5-smallest of the domain's allowed set
+    val md = Seq("https://a.com/1", "https://a.com/2", "https://a.com/3")
+      .map(u => u -> java.security.MessageDigest.getInstance("MD5")
+        .digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sortBy(_._2).map(_._1)
+    assert(byDom("a.com").map(_._1).toSeq == md.take(2))
+    val bad = Seq(("a.com", 1L), ("__UNASSIGNED", 3L))
+      .toDF("node", "n_requests")
+    intercept[Exception] {
+      CrawlOps.crawlWorklist(allowed, bad).collect()
+    }
   }
 }
