@@ -1761,8 +1761,11 @@ object CorpusOps {
     val l = docs.select(id.cast("long").as("doc_id"),
       family.as("family"),
       posexplode(split(page, "\n", -1)).as(Seq("pos0", "line")))
-    val famDocs = l.groupBy(col("family"))
-      .agg(count_distinct(col("doc_id")).as("__nd"))
+    // input contract: one row per document — so the family doc count
+    // is a plain count over the UN-exploded frame (docs, not lines:
+    // strictly cheaper, and no distinct expand)
+    val famDocs = docs.groupBy(family.as("family"))
+      .agg(count(lit(1)).as("__nd"))
     val flags = l.groupBy(col("family"), col("line"))
       .agg(count_distinct(col("doc_id")).as("__df"))
       .join(broadcast(famDocs), Seq("family"))

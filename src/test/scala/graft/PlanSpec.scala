@@ -441,4 +441,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("crawlWorklist: map-side partial k-buffers, ONE exchange, broadcast schedule") {
+    import spark.implicits._
+    val allowed = Seq(("https://a.com/1", "a.com"), ("https://b.com/2", "b.com"))
+      .toDF("canonical", "dst_family")
+    val sched = Seq(("a.com", 1L)).toDF("node", "n_requests")
+    val p = graft.graph.CrawlOps.crawlWorklist(allowed, sched)
+      .queryExecution.executedPlan.toString
+    // the partial ObjectHashAggregate reduces every scan partition to a
+    // bounded buffer BEFORE the shuffle — the property that keeps a
+    // 10^9-URL domain from moving its URL space through one task
+    assert(p.contains("partial_urltopk"),
+      s"UrlTopK lost its map-side partial phase:\n$p")
+    assert(countExchanges(p) == 1,
+      s"worklist should shuffle exactly once (dst_family):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-cardinality schedule must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"worklist planned a single-partition stage:\n$p")
+  }
+
+  test("p148 boilerplate strip: bounded exchanges, no cartesian, no single partition") {
+    val p = plan("p148_boilerplate_strip")
+    // df stats (family,line,doc then family,line) + doc reassembly; the
+    // flag-to-occurrence join may broadcast (small SF) or SMJ (at scale)
+    assert(countExchanges(p) <= 5, s"extra shuffle in boilerplate plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"boilerplate strip must not plan a cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"boilerplate strip planned a single-partition stage:\n$p")
+  }
+
+  test("p149 blast radius: semi-join BEFORE the explode, rollup reuses the pack exchange") {
+    val p = plan("p149_pack_blast_radius")
+    // one hash exchange total: the (source,seq) rollup rides the pack
+    // window's source partitioning; the takedown list joins broadcast
+    assert(countExchanges(p) <= 2,
+      s"blast radius should reuse the pack window exchange:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"takedown list must broadcast-semi-join:\n$p")
+    // the covered-sequence Generate must sit ABOVE the semi join in the
+    // tree (parents print first): explode contaminated docs only, never
+    // the corpus-sized manifest
+    val gen = p.indexOf("Generate explode(sequence")
+    val semi = p.indexOf("LeftSemi")
+    assert(gen >= 0 && semi > gen,
+      s"explode must run on the semi-joined slice only:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"blast radius planned a single-partition stage:\n$p")
+  }
 }
