@@ -4754,7 +4754,51 @@ object PipelineQueries {
       SELECT source, CAST(seq AS BIGINT) AS seq,
              CAST(count(*) AS BIGINT) AS n_bad_docs,
              CAST(sum(n_span) AS BIGINT) AS bad_tokens
-      FROM sp GROUP BY 1, 2 ORDER BY source, seq""")))
+      FROM sp GROUP BY 1, 2 ORDER BY source, seq""")),
+
+    // HARD-NEGATIVE mining — the contrastive-training complement of
+    // p106's random negative draw: per query, the k NEAREST vectors
+    // that are not labeled positives, skipping the single nearest
+    // survivor (the top-band hedge against unlabeled positives).
+    // Exclusion runs BEFORE ranking so positives never occupy rank
+    // slots. The positive set is realistic: the retrieval top-2 (what
+    // a click log labels) plus an arithmetic deep positive
+    // (vec_id+137 — a labeled pair the ranking never surfaced), so
+    // the anti-join binds at both ends of the ranking.
+    ("p150_hard_negatives", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val pos = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+          col("embedding"), q, col("vec_id"), col("embedding"), k = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .union(q.select(col("vec_id"), col("vec_id") + lit(137L)))
+      SimilaritySearch.hardNegatives(e, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"),
+          pos, col("query_id"), col("neighbor_id"), k = 5, skip = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+                   round(list_dot_product(cv, qv) /
+                         (sqrt(list_dot_product(cv, cv)) *
+                          sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM c, q WHERE neighbor_id <> query_id),
+      r0 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+      pos AS (SELECT query_id, neighbor_id FROM r0 WHERE rank <= 2
+              UNION ALL
+              SELECT vec_id, vec_id + 137 FROM embeddings
+              WHERE vec_id < 20),
+      neg AS (SELECT s.* FROM scored s ANTI JOIN pos p
+                ON s.query_id = p.query_id
+               AND s.neighbor_id = p.neighbor_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank FROM neg)
+      SELECT query_id, neighbor_id, cos, CAST(rank - 1 AS BIGINT) AS rank
+      FROM rr WHERE rank > 1 AND rank <= 6 ORDER BY query_id, rank""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

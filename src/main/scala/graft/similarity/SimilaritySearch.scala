@@ -59,6 +59,44 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training complement of
+    * [[Curation.negativeSamples]]'s random draw: for each query, the
+    * k nearest non-positive vectors (ranked AFTER excluding the
+    * labeled positive pairs and the query itself), optionally
+    * skipping the first `skip` survivors — the standard top-band
+    * hedge against unlabeled positives hiding among the very nearest
+    * neighbors. Exclusion runs BEFORE ranking, so positives never
+    * occupy rank slots and the miner always returns the k hardest
+    * true negatives available; output ranks are re-based to 1..k
+    * inside the mined band.
+    *
+    * Scale shape: queries and the labeled-pair list are
+    * training-set-sized and BROADCAST (one hash anti-join in the scan
+    * stage); ranking is the bounded two-phase TopK over skip+k — no
+    * per-query global sort. The scoring pass here is the exact
+    * brute-force baseline; swap the scored frame for an IVF/PQ
+    * candidate set (the p34 ladder) when the corpus outgrows one
+    * pass.
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    positives: DataFrame, posQid: Column, posDocId: Column,
+                    k: Int, skip: Int = 0): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    require(skip >= 0, s"hardNegatives: skip must be >= 0, got $skip")
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val pos = positives.select(posQid.as("__pq"), posDocId.as("__pd"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(pos), col("query_id") === col("__pq") &&
+        col("neighbor_id") === col("__pd"), "left_anti")
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+    rankTopK(scored, skip + k)
+      .filter(col("rank") > skip)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        (col("rank") - skip).as("rank"))
+  }
+
   /** IVF-style top-k (inverted-file ANN): a coarse quantizer assigns every
     * corpus vector to its nearest centroid in ONE broadcast pass (argmax
     * is a map-side struct-max aggregate, so the shuffle moves one row per

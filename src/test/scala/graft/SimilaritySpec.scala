@@ -741,4 +741,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(varProj >= maxAxisVar * 0.999,
       s"projection variance $varProj < best axis $maxAxisVar")
   }
+
+  test("hardNegatives: exclusion before ranking, skip band, brute-force relation") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val bf = SimilaritySearch.bruteForceTopK(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 5)
+    val none = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq.empty[(Long, Long)])
+      .toDF("query_id", "neighbor_id")
+    // no positives, no skip -> exactly brute force
+    val hn0 = SimilaritySearch.hardNegatives(embeddings, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"),
+      none, col("query_id"), col("neighbor_id"), k = 5)
+    assert(hn0.exceptAll(bf).count() == 0 && bf.exceptAll(hn0).count() == 0)
+    // positives = brute top-1 -> the miner returns brute ranks 2..4
+    // re-based to 1..3: exclusion runs BEFORE ranking, so the positive
+    // never consumes a slot
+    val pos = bf.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val hn = SimilaritySearch.hardNegatives(embeddings, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"),
+        pos, col("query_id"), col("neighbor_id"), k = 3)
+      .select(col("query_id"), col("neighbor_id"), (col("rank") + 1).as("rank"))
+    val expect = bf.filter(col("rank").between(2, 4))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(hn.exceptAll(expect).count() == 0 && expect.exceptAll(hn).count() == 0)
+    // skip=1 drops the nearest SURVIVOR: brute ranks 3..4 re-based
+    val hs = SimilaritySearch.hardNegatives(embeddings, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"),
+        pos, col("query_id"), col("neighbor_id"), k = 2, skip = 1)
+      .select(col("query_id"), col("neighbor_id"), (col("rank") + 2).as("rank"))
+    val expect2 = bf.filter(col("rank").between(3, 4))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(hs.exceptAll(expect2).count() == 0 && expect2.exceptAll(hs).count() == 0)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.hardNegatives(embeddings, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"),
+        pos, col("query_id"), col("neighbor_id"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.hardNegatives(embeddings, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"),
+        pos, col("query_id"), col("neighbor_id"), k = 1, skip = -1)
+    }
+  }
 }
