@@ -251,7 +251,10 @@ object SparkEntry {
       Some(sharedOracle("p144_kanon_release"))),
     ("q126_streaming_worklist",
       (s, d) => graft.streaming.StreamingQueries.crawlWorklistStream(s, d),
-      Some(sharedOracle("p145_crawl_worklist"))))
+      Some(sharedOracle("p145_crawl_worklist"))),
+    ("q127_streaming_snippets",
+      (s, d) => graft.streaming.StreamingQueries.snippetsStream(s, d),
+      Some(sharedOracle("p146_snippets"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -343,5 +346,11 @@ object SparkEntry {
     "p130_html_extract", "p132_link_pagerank",
     // round-8 continued: field-fused retrieval (broadcast anchor side
     // + map-side vocab IN-list + one union aggregate)
-    "p136_anchor_bm25f")
+    "p136_anchor_bm25f",
+    // round-8 continued: the full crawl composition (harvest → gate →
+    // rank → spend → bounded top-k select), the hit-anchored snippet
+    // pair-join (per-doc work bounded by query-term occurrences, not
+    // token count), and the line-frequency hygiene pass (two corpus
+    // text passes + a (family, line) stats join)
+    "p145_crawl_worklist", "p146_snippets", "p148_boilerplate_strip")
 }

@@ -692,6 +692,21 @@ object StreamingQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** p146's snippet extraction AT ingest — the proof of its scan-stage
+    * claim: the SAME shuffle-free higher-order-function program
+    * ([[graft.text.CorpusOps.snippets]]) runs unchanged as a stateless
+    * append-mode stream (no state, no watermark — every computation is
+    * local to one (doc, query) row, so a serving feature materializes
+    * the moment a document arrives).
+    */
+  def snippetsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.text.CorpusOps.snippets(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"),
+      graft.text.CorpusOps.bm25DemoQueries, window = 8)
+    runToMemory(out, mode = "append")
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   /** p145's worklist with the frontier built WHILE discovery streams —
     * the production split of the crawl loop: budget allocation is a
     * periodic batch job (here the FROZEN p139 schedule, the q113

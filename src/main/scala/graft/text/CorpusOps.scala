@@ -1679,12 +1679,19 @@ object CorpusOps {
     * token index, n_terms, snippet — the literal token slice
     * rejoined); a doc without hits has no snippet row by definition.
     *
-    * Scale shape: occurrences are query-vocab-filtered in the SCAN
-    * stage (map-side IN-list, the p49 rule), so the in-window
-    * coverage pair-join runs on hit rows only — per doc bounded by
-    * its query-term occurrences, never its token count; coverage and
-    * the leftmost-max election group on (qid, doc_id); the slice
-    * rejoin to the token arrays is one doc_id-keyed hash join.
+    * Scale shape: SHUFFLE-FREE. Every computation — hit harvest,
+    * in-window coverage, the leftmost-max election, the slice — is
+    * local to ONE (doc, query) pair, so the whole program runs as
+    * higher-order array functions in the scan stage: per doc, explode
+    * the (config-sized, literal) query list, filter the token array
+    * to hits, elect max-coverage per hit anchor. Per-doc work is
+    * O(hits² per query), bounded by the doc's query-term occurrences,
+    * never its token count; no exchange exists in the plan
+    * (plan-pinned), which also makes the operator a stateless
+    * streaming program for free. The first cut of this operator
+    * shuffled the exploded hits through a (qid, doc_id) pair-join —
+    * same arithmetic, one corpus-sized exchange the local form
+    * doesn't need.
     */
   def snippets(docs: DataFrame, id: Column, text: Column,
                queries: Seq[(String, Seq[String])],
@@ -1695,37 +1702,29 @@ object CorpusOps {
       "snippets: every query needs at least one term")
     require(queries.map(_._1).distinct.size == queries.size,
       "snippets: duplicate query ids")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val q = queries.flatMap { case (qid, ts) =>
-      ts.distinct.map(t => (qid, t))
-    }.toDF("qid", "term")
-    val vocab = queries.flatMap(_._2).distinct
-    val occ = docs.select(id.cast("long").as("doc_id"),
-        posexplode(TextFunctions.tokens(text)).as(Seq("pos0", "term")))
-      .filter(col("term").isin(vocab: _*))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("term"))
-    val hits = occ.join(broadcast(q), Seq("term"))
-      .select(col("qid"), col("doc_id"), col("pos"), col("term"))
-    val h2 = hits.select(col("qid").as("__q"), col("doc_id").as("__d"),
-      col("pos").as("__p"), col("term").as("__t"))
-    val cov = hits.join(h2,
-        col("qid") === col("__q") && col("doc_id") === col("__d") &&
-          col("__p") >= col("pos") &&
-          col("__p") <= col("pos") + (window - 1))
-      .groupBy(col("qid"), col("doc_id"), col("pos"))
-      .agg(countDistinct(col("__t")).as("n_terms"))
-    val best = cov.groupBy(col("qid"), col("doc_id"))
-      .agg(max(struct(col("n_terms"), (-col("pos")).as("np"))).as("m"))
-      .select(col("qid"), col("doc_id"), (-col("m.np")).as("start"),
-        col("m.n_terms").as("n_terms"))
-    val t = docs.select(id.cast("long").as("__doc"),
-      TextFunctions.tokens(text).as("toks"))
-    best.join(t, best("doc_id") === col("__doc"))
-      .select(col("qid"), col("doc_id"), col("start"), col("n_terms"),
-        array_join(slice(col("toks"), col("start").cast("int"),
-          lit(window)), " ").as("snippet"))
+    val qArr = array(queries.map { case (qid, ts) =>
+      struct(lit(qid).as("qid"),
+        array(ts.distinct.map(lit): _*).as("terms"))
+    }: _*)
+    val w = window
+    docs.select(id.cast("long").as("doc_id"),
+        TextFunctions.tokens(text).as("toks"), explode(qArr).as("q"))
+      .withColumn("hits", expr(
+        """filter(transform(toks, (t, i) ->
+             named_struct('pos', cast(i + 1 as bigint), 'tok', t)),
+           h -> array_contains(q.terms, h.tok))"""))
+      .filter(size(col("hits")) > 0)
+      .withColumn("m", expr(
+        s"""array_max(transform(hits, h -> named_struct(
+              'n_terms', cast(size(array_distinct(transform(
+                filter(hits, x -> x.pos >= h.pos
+                               and x.pos <= h.pos + ${w - 1}L),
+                x -> x.tok))) as bigint),
+              'np', -h.pos)))"""))
+      .select(col("q.qid").as("qid"), col("doc_id"),
+        (-col("m.np")).as("start"), col("m.n_terms").as("n_terms"),
+        array_join(slice(col("toks"), (-col("m.np")).cast("int"),
+          lit(w)), " ").as("snippet"))
   }
 
   /** Line-frequency BOILERPLATE strip — the hygiene pass between HTML

@@ -491,4 +491,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"blast radius planned a single-partition stage:\n$p")
   }
+
+  test("p146 snippets: shuffle-free scan-stage program — no hash exchange at all") {
+    val p = plan("p146_snippets")
+    // every computation is local to one (doc, query) row; only the
+    // presentation orderBy may range-shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"snippets planned a shuffle the local form does not need:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"snippets planned a single-partition stage:\n$p")
+  }
 }
