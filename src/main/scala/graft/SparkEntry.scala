@@ -254,7 +254,10 @@ object SparkEntry {
       Some(sharedOracle("p145_crawl_worklist"))),
     ("q127_streaming_snippets",
       (s, d) => graft.streaming.StreamingQueries.snippetsStream(s, d),
-      Some(sharedOracle("p146_snippets"))))
+      Some(sharedOracle("p146_snippets"))),
+    ("q128_streaming_vocab_coverage",
+      (s, d) => graft.streaming.StreamingQueries.vocabCoverageStream(s, d),
+      Some(sharedOracle("p151_vocab_coverage"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -4798,7 +4798,37 @@ object PipelineQueries {
       rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, neighbor_id) AS rank FROM neg)
       SELECT query_id, neighbor_id, cos, CAST(rank - 1 AS BIGINT) AS rank
-      FROM rr WHERE rank > 1 AND rank <= 6 ORDER BY query_id, rank""")))
+      FROM rr WHERE rank > 1 AND rank <= 6 ORDER BY query_id, rank""")),
+
+    // The VOCAB-COVERAGE curve — the Zipf observable a tokenizer
+    // vocabulary or stopword budget is sized against: at k ∈ {10,
+    // 100, 1000}, the micro-unit fraction of all corpus tokens the k
+    // most frequent types cover. Rides p24's bounded top-k (no global
+    // sort or window — rank via the distributed zipWithIndex);
+    // checkpoints are config literals range-joined against the
+    // ≤1000-row artifact.
+    ("p151_vocab_coverage", (s, d) => {
+      graft.text.CorpusOps.vocabCoverage(Tables.documents(s, d),
+          col("doc_id"), col("text"), Seq(10L, 100L, 1000L))
+        .orderBy(col("k"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${sqlToks("text")}) AS token
+                    FROM documents),
+      tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1),
+      r AS (SELECT token, tf,
+              row_number() OVER (ORDER BY tf DESC, token) AS rank
+            FROM tf),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks),
+      kk(k) AS (VALUES (10), (100), (1000)),
+      cov AS (SELECT k, CAST(coalesce(sum(tf), 0) AS BIGINT)
+                AS covered_tokens
+              FROM kk LEFT JOIN r ON r.rank <= kk.k GROUP BY 1)
+      SELECT CAST(k AS BIGINT) AS k, covered_tokens, total_tokens,
+             CAST(CASE WHEN total_tokens > 0
+               THEN covered_tokens * 1000000 // total_tokens
+               ELSE 0 END AS BIGINT) AS share_micro
+      FROM cov, tot ORDER BY k""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

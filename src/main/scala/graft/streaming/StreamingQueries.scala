@@ -692,6 +692,24 @@ object StreamingQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** p151's vocab-coverage curve maintained WHILE the corpus streams:
+    * the cross-batch state is the (token, tf) frequency table itself —
+    * vocabulary-bounded regardless of corpus size (the q119
+    * finest-grain-fold rule) — and the rank/checkpoint finalize runs
+    * batch-side at the epoch boundary through the SAME
+    * [[graft.text.CorpusOps.vocabCoverageFromTf]] half as the batch
+    * entry.
+    */
+  def vocabCoverageStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = documentsStream(spark, sfDir)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    graft.text.CorpusOps.vocabCoverageFromTf(runToMemory(tf),
+        Seq(10L, 100L, 1000L))
+      .orderBy(col("k"))
+  }
+
   /** p146's snippet extraction AT ingest — the proof of its scan-stage
     * claim: the SAME shuffle-free higher-order-function program
     * ([[graft.text.CorpusOps.snippets]]) runs unchanged as a stateless

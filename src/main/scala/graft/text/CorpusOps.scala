@@ -726,6 +726,58 @@ object CorpusOps {
       .select(col("rank"), col("token"), col("tf"), col("df_docs"))
   }
 
+  /** Cumulative VOCAB-COVERAGE curve — the Zipf observable a tokenizer
+    * vocabulary or stopword budget is sized against: at each checkpoint
+    * k, the fraction of ALL corpus tokens covered by the k most
+    * frequent types, in integer micro-units. Output one row per
+    * checkpoint: (k, covered_tokens, total_tokens, share_micro); a
+    * checkpoint beyond the vocabulary simply covers everything, and an
+    * empty corpus reports 0 shares, not a division error.
+    *
+    * Scale shape: rides [[vocabTopK]]'s bounded top-k (two-level hash
+    * aggregate + TakeOrdered — no global sort, no global window); the
+    * checkpoints are config-sized literals range-joined against the
+    * ≤max(k)-row artifact (a tiny broadcast nested loop, the accepted
+    * one-row-stats shape); the denominator is ONE map-side token-count
+    * sum.
+    */
+  def vocabCoverage(docs: DataFrame, id: Column, text: Column,
+                    ks: Seq[Long]): DataFrame =
+    vocabCoverageFromTf(
+      docs.select(explode(TextFunctions.tokens(text)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf")), ks)
+
+  /** The finalize half of [[vocabCoverage]] over an ALREADY-folded
+    * (token, tf) frequency table — shared with the streaming twin,
+    * whose cross-batch state IS that table (the q119 finest-grain-fold
+    * rule). The denominator is the table's own tf sum (≡ total corpus
+    * tokens), so one input drives both the curve and its base.
+    */
+  def vocabCoverageFromTf(tf: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      "vocabCoverage: checkpoints must be >= 1")
+    require(ks.distinct.size == ks.size,
+      "vocabCoverage: duplicate checkpoints")
+    require(ks.max <= 100000,
+      s"vocabCoverage: checkpoints above 1e5 break the bounded-artifact " +
+        s"contract, got ${ks.max}")
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val top = graft.operators.GlobalIndex.withRowIndex(
+      tf.select(col("token"), col("tf"))
+        .orderBy(col("tf").desc, col("token").asc).limit(ks.max.toInt),
+      Seq(col("tf").desc, col("token").asc), "rank")
+    val total = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
+    ks.toDF("k").join(top, col("rank") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        when(col("total_tokens") > 0,
+          expr("covered_tokens * 1000000 div total_tokens"))
+          .otherwise(lit(0L)).as("share_micro"))
+  }
+
   /** Corpus-relative rare-token fraction per document — the cheap
     * stand-in for LM-perplexity quality filtering (CCNet-style):
     * documents dominated by tokens rare IN THIS CORPUS are the

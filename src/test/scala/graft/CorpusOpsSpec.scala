@@ -859,4 +859,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       graft.text.CorpusOps.snippets(docs, col("doc_id"), col("text"), q, 0)
     }
   }
+
+  test("vocabCoverage: hand-computed shares, beyond-vocab checkpoint, contracts") {
+    import org.apache.spark.sql.functions.col
+    // tf: a=4, b=2, c=1 (total 7)
+    val docs = Seq((1L, "a a b"), (2L, "a b c a")).toDF("doc_id", "text")
+    val m = graft.text.CorpusOps.vocabCoverage(docs, col("doc_id"),
+        col("text"), Seq(1L, 2L, 100L))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 4L, 7L, 571428L)))   // top-1 = a: 4/7
+    assert(m(2L) == ((2L, 6L, 7L, 857142L)))   // a+b: 6/7
+    assert(m(100L) == ((100L, 7L, 7L, 1000000L))) // beyond vocab: all
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.vocabCoverage(docs, col("doc_id"), col("text"),
+        Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.vocabCoverage(docs, col("doc_id"), col("text"),
+        Seq(1L, 1L))
+    }
+  }
 }
