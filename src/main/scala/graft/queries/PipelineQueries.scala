@@ -4379,8 +4379,10 @@ object PipelineQueries {
     // entire harvest → gate → rank → spend → select chain through the
     // SAME shared CTEs as p139 (the sharedOracle rule at SQL level).
     ("p145_crawl_worklist", (s, d) => {
-      graft.graph.CrawlOps.crawlWorklist(
-          gateAllowedFixture(s, d), crawlScheduleFixture(s, d))
+      val links = crawlLinksFixture(s, d)
+      val allowed = gateAllowedOf(s, links)
+      graft.graph.CrawlOps.crawlWorklist(allowed,
+          crawlScheduleOf(links, allowed))
         .orderBy(col("dst_family"), col("pos"))
     }, Some(s"""
       WITH $outlinkCtesSql,
@@ -4879,21 +4881,37 @@ object PipelineQueries {
     Tables.documents(s, d).select(col("doc_id"),
       messyUrlFixture.as("page_url"), htmlFixtureText.as("html"))
 
-  /** The robots-gate's ALLOWED slice over the fixture pages —
-    * (canonical, dst_family) — shared by p145 and q126's streaming
-    * frontier (which folds the same rows batch-by-batch).
+  /** The harvested link rows of the fixture pages, lineage-truncated
+    * (the LinkGraph rule): the regex harvest + canonicalize chain is
+    * the expensive scan-stage pass, and the worklist composition
+    * consumes it THREE ways (the gate, the gate's counts, the rank
+    * edges) — one checkpoint makes those three consumers one pass.
     */
-  private[graft] def gateAllowedFixture(s: SparkSession,
-                                        d: String): DataFrame = {
+  private[graft] def crawlLinksFixture(s: SparkSession,
+                                       d: String): DataFrame =
+    graft.graph.LinkGraph.linkRows(htmlPages(s, d),
+        col("page_url"), col("html"))
+      .localCheckpoint(eager = false)
+
+  /** The robots-gate's ALLOWED slice — (canonical, dst_family) —
+    * shared by p145 and q126's streaming frontier (which folds the
+    * same rows batch-by-batch). Checkpointed: both the worklist fold
+    * and the schedule's caps read it.
+    */
+  private[graft] def gateAllowedOf(s: SparkSession,
+                                   links: DataFrame): DataFrame = {
     import s.implicits._
-    val urls = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
-      col("page_url"), col("html"))
     graft.graph.LinkGraph
-      .robotsFilter(urls, robotsRulesFixture.toDF("family", "prefix",
+      .robotsFilter(links, robotsRulesFixture.toDF("family", "prefix",
         "allow"))
       .filter(col("allowed"))
       .select(col("canonical"), col("dst_family"))
+      .localCheckpoint(eager = false)
   }
+
+  private[graft] def gateAllowedFixture(s: SparkSession,
+                                        d: String): DataFrame =
+    gateAllowedOf(s, crawlLinksFixture(s, d))
 
   /** p139's schedule chain as ONE definition — harvest-gated caps,
     * 5 PageRank rounds, the largest-remainder spend, remainder row
@@ -4902,12 +4920,11 @@ object PipelineQueries {
     * discovery streams: budget allocation is a periodic batch job,
     * the worklist build is not).
     */
-  private[graft] def crawlScheduleFixture(s: SparkSession,
-                                          d: String): DataFrame = {
-    val allowedCounts = gateAllowedFixture(s, d)
+  private[graft] def crawlScheduleOf(links: DataFrame,
+                                     allowed: DataFrame): DataFrame = {
+    val allowedCounts = allowed
       .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
-    val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
-        col("page_url"), col("html"))
+    val edges = links
       .select(col("src_family").as("src"), col("dst_family").as("dst"))
     val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
     val withCaps = ranks
@@ -4918,6 +4935,12 @@ object PipelineQueries {
     graft.graph.LinkGraph.crawlBudgetWithCaps(withCaps, budget = 200L)
       .filter(col("node") =!= "__UNASSIGNED")
       .select(col("node"), col("n_requests"))
+  }
+
+  private[graft] def crawlScheduleFixture(s: SparkSession,
+                                          d: String): DataFrame = {
+    val links = crawlLinksFixture(s, d)
+    crawlScheduleOf(links, gateAllowedOf(s, links))
   }
 
   /** p148's extracted-page fixture: each doc's text as a body line

@@ -722,6 +722,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     // null text has no bigrams: silently excluded, like < 2 tokens
     val ppl = CorpusOps.bigramPerplexity(docs, col("id"), col("text"))
     assert(ppl.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // null text has no hits: no snippet row, like a no-match doc
+    val sn = CorpusOps.snippets(docs, col("id"), col("text"),
+      Seq(("q", Seq("a"))), window = 2)
+    assert(sn.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // null text tokens vanish from the curve, not the denominator count
+    val vc = CorpusOps.vocabCoverage(docs, col("id"), col("text"), Seq(10L))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(vc.toSeq == Seq((10L, 3L, 3L, 1000000L)))
+    // a null PAGE doc contributes no lines (absent from the strip
+    // output) but still counts toward its family's doc total
+    val bp = CorpusOps.boilerplateStrip(
+      Seq((1L, "f", "x\nx"), (2L, "f", null.asInstanceOf[String]),
+        (3L, "f", "x"), (4L, "f", "x"))
+        .toDF("id", "fam", "page"),
+      col("id"), col("fam"), col("page"))
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!bp.contains(2L))
+    // x appears in 3 of 4 family docs (75% >= 50%): boiler everywhere
+    assert(bp(1L) == ((1L, "f", "", 0L, 2L)) && bp(3L) == ((3L, "f", "", 0L, 1L)))
   }
 
   test("sourceKlDivergence scores distribution drift against the corpus") {
