@@ -51,13 +51,22 @@ object Aggregators {
     private def better(a: PUrl, b: PUrl): Boolean =
       a.prio < b.prio || (a.prio == b.prio && a.url < b.url)
 
-    private def insert(buf: Seq[PUrl], x: PUrl): Seq[PUrl] =
+    // the buffer stays a Vector through every insert so the hot
+    // fast-reject path (length/last on a FULL buffer — the common case
+    // once a partition has seen k URLs) is O(1), not the O(k) a
+    // List-backed Seq would pay per rejected element
+    private def insert(buf0: Seq[PUrl], x: PUrl): Seq[PUrl] = {
+      val buf = buf0 match {
+        case v: Vector[PUrl] => v
+        case other => other.toVector
+      }
       if (buf.length >= k && !better(x, buf.last)) buf
       else {
         val (before, after) = buf.span(better(_, x))
         if (after.headOption.contains(x)) buf
         else ((before :+ x) ++ after).take(k)
       }
+    }
 
     override def zero: UrlTopKBuf = UrlTopKBuf(Seq.empty)
     override def reduce(b: UrlTopKBuf, a: PUrl): UrlTopKBuf =
