@@ -893,6 +893,77 @@ object Dedup {
             .cast("long")))
   }
 
+  /** CONTENT-DEFINED chunking (CDC) — the boundary-stable complement of
+    * the fixed-token chunker ([[chunkRows]]): a chunk boundary falls
+    * where the content says so — after any word `shingleN`-gram whose
+    * md5 starts with `hexZeros` hex zeros (expected chunk length
+    * 16^hexZeros gram starts) — so inserting one token into a document
+    * perturbs only the chunk it lands in: boundaries re-align at the
+    * next surviving gram and every later chunk keeps its fingerprint
+    * (spec-pinned). A fixed-size chunker shifts EVERY downstream chunk
+    * on a one-token insertion — the classic miss on shifted
+    * boilerplate; content-defined boundaries are how production dedup
+    * and every rsync descendant absorb insertion drift.
+    *
+    * Emits (doc_id, chunk_idx, n_tokens, chunk, f = md5(chunk)); a doc
+    * shorter than `shingleN` is one whole-doc chunk; chunk texts
+    * concatenate back to the document exactly (spec-pinned). Empty/null
+    * docs emit nothing.
+    *
+    * Scale shape: SHUFFLE-FREE — gram hashing, boundary election, and
+    * slicing are higher-order array functions per document row (the
+    * p146 rule); per-doc work is O(n·shingleN) hashed bytes. Downstream
+    * dedup keys one exchange on `f`, exactly like the fixed chunker's
+    * election.
+    */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                shingleN: Int = 3, hexZeros: Int = 1): DataFrame = {
+    require(shingleN >= 1 && shingleN <= 16,
+      s"cdcChunks: shingleN must be in [1, 16], got $shingleN")
+    require(hexZeros >= 1 && hexZeros <= 8,
+      s"cdcChunks: hexZeros must be in [1, 8], got $hexZeros")
+    val z = "0" * hexZeros
+    val nm1 = shingleN - 1
+    docs.select(id.cast("long").as("doc_id"),
+        TextFunctions.tokens(text).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("bounds", expr(s"""
+        concat(array(0),
+          CASE WHEN size(t) < $shingleN THEN array()
+          ELSE filter(transform(sequence(1, size(t) - $nm1),
+            i -> if(startswith(md5(cast(
+                      array_join(slice(t, i, $shingleN), ' ') as binary)),
+                    '$z') and i + $nm1 < size(t),
+                 i + $nm1, null)),
+            e -> e is not null) END,
+          array(size(t)))"""))
+      .select(col("doc_id"), col("t"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1),
+             j -> named_struct('idx', j - 1,
+                               'a', bounds[j - 1], 'b', bounds[j]))"""))
+        .as("c"))
+      .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"),
+        (col("c.b") - col("c.a")).cast("long").as("n_tokens"),
+        array_join(slice(col("t"), col("c.a") + 1, col("c.b") - col("c.a")),
+          " ").as("chunk"))
+      .withColumn("f", md5(col("chunk").cast("binary")))
+  }
+
+  /** The one-row payoff report over a [[cdcChunks]] (or [[chunkRows]])
+    * inventory: how much of the corpus is duplicated at chunk grain.
+    * Occurrence counts fold per fingerprint (chunk texts are identical
+    * per f, so the token count is the fold's min), then a one-row
+    * finalize — one f-keyed exchange plus a bounded aggregate.
+    */
+  def chunkDedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("f"))
+      .agg(count(lit(1)).as("__o"), min(col("n_tokens")).as("__nt"))
+      .agg(coalesce(sum(col("__o")), lit(0L)).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(col("__o") - 1), lit(0L)).as("dup_chunks"),
+        coalesce(sum((col("__o") - 1) * col("__nt")), lit(0L))
+          .as("dup_tokens"))
+
   /** Winnowing document fingerprints (rolling-hash selection): hash every
     * word `shingleN`-gram, slide a `window`-wide frame over the hash
     * sequence, keep each full window's minimum — the classic guarantee

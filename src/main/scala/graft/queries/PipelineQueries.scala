@@ -4830,7 +4830,86 @@ object PipelineQueries {
              CAST(CASE WHEN total_tokens > 0
                THEN covered_tokens * 1000000 // total_tokens
                ELSE 0 END AS BIGINT) AS share_micro
-      FROM cov, tot ORDER BY k""")))
+      FROM cov, tot ORDER BY k""")),
+
+    // CONTENT-DEFINED chunking — the boundary-stable complement of
+    // p35's fixed-token chunker: boundaries fall after any word
+    // 3-gram whose md5 starts with a hex zero (expected chunk ≈ 16
+    // gram starts), so a one-token insertion perturbs only the chunk
+    // it lands in — every later chunk re-aligns and keeps its
+    // fingerprint (the rsync/production-dedup property a fixed grid
+    // cannot have; spec-pinned). Shuffle-free: gram hashing, boundary
+    // election, and slicing are per-row array functions (the p146
+    // rule). The chunk TEXT itself is oracle-checked.
+    ("p152_cdc_chunks", (s, d) => {
+      graft.dedup.Dedup.cdcChunks(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      b AS (SELECT doc_id, toks,
+              list_concat(list_concat([0],
+                CASE WHEN len(toks) < 3 THEN []
+                ELSE list_filter(list_transform(
+                  generate_series(1, len(toks) - 2),
+                  i -> CASE WHEN substr(md5(
+                              array_to_string(toks[i:i+2], ' ')), 1, 1)
+                              = '0'
+                             AND i + 2 < len(toks)
+                       THEN i + 2 END),
+                  e -> e IS NOT NULL) END),
+                [len(toks)]) AS bounds
+            FROM t WHERE len(toks) >= 1),
+      c AS (SELECT doc_id, toks,
+              unnest(list_transform(generate_series(1, len(bounds) - 1),
+                j -> {'idx': j - 1, 'a': bounds[j], 'b': bounds[j + 1]}))
+                AS ch
+            FROM b)
+      SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+             CAST(ch.b - ch.a AS BIGINT) AS n_tokens,
+             array_to_string(toks[ch.a + 1 : ch.b], ' ') AS chunk,
+             md5(array_to_string(toks[ch.a + 1 : ch.b], ' ')) AS f
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // The CDC payoff in one row: how much of the corpus duplicates at
+    // content-defined chunk grain. Occurrences fold per fingerprint
+    // (ONE f-keyed exchange), then a bounded one-row finalize; a
+    // dup-free corpus reports zeros, never absence.
+    ("p153_cdc_dedup", (s, d) => {
+      graft.dedup.Dedup.chunkDedupStats(
+        graft.dedup.Dedup.cdcChunks(Tables.documents(s, d),
+          col("doc_id"), col("text")))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      b AS (SELECT doc_id, toks,
+              list_concat(list_concat([0],
+                CASE WHEN len(toks) < 3 THEN []
+                ELSE list_filter(list_transform(
+                  generate_series(1, len(toks) - 2),
+                  i -> CASE WHEN substr(md5(
+                              array_to_string(toks[i:i+2], ' ')), 1, 1)
+                              = '0'
+                             AND i + 2 < len(toks)
+                       THEN i + 2 END),
+                  e -> e IS NOT NULL) END),
+                [len(toks)]) AS bounds
+            FROM t WHERE len(toks) >= 1),
+      c AS (SELECT doc_id, toks,
+              unnest(list_transform(generate_series(1, len(bounds) - 1),
+                j -> {'idx': j - 1, 'a': bounds[j], 'b': bounds[j + 1]}))
+                AS ch
+            FROM b),
+      ch AS (SELECT md5(array_to_string(toks[ch.a + 1 : ch.b], ' ')) AS f,
+               CAST(ch.b - ch.a AS BIGINT) AS n_tokens
+             FROM c),
+      g AS (SELECT f, CAST(count(*) AS BIGINT) AS o,
+              CAST(min(n_tokens) AS BIGINT) AS nt
+            FROM ch GROUP BY 1)
+      SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n_chunks,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(coalesce(sum(o - 1), 0) AS BIGINT) AS dup_chunks,
+             CAST(coalesce(sum((o - 1) * nt), 0) AS BIGINT) AS dup_tokens
+      FROM g""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

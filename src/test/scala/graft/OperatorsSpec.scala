@@ -953,4 +953,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("overflows long"), e.getMessage)
   }
+
+  test("cdcChunks: reassembly, short docs, insertion shifts only the landing chunk") {
+    import graft.dedup.Dedup
+    val words = {
+      val rnd = new scala.util.Random(11)
+      (1 to 400).map(_ => s"w${rnd.nextInt(80)}")
+    }
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, "a b"),                       // shorter than the shingle: one chunk
+      (3L, "x " + words.mkString(" "))) // doc 1 with one token inserted at front
+      .toDF("id", "text")
+    val ch = Dedup.cdcChunks(docs, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // chunk texts concatenate back to the document, in order
+    val re = ch.filter(_._1 == 1L).sortBy(_._2).map(_._4).mkString(" ")
+    assert(re == words.mkString(" "))
+    // token counts tile the doc
+    assert(ch.filter(_._1 == 1L).map(_._3).sum == 400L)
+    // sub-shingle doc: exactly one whole-doc chunk
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "a b",
+      ch.filter(_._1 == 2L).head._5)))
+    // the CDC property: doc 3 = doc 1 with one token inserted at the
+    // front — boundaries re-align at the first surviving gram, so all
+    // of doc 1's chunk fingerprints except at most the first survive
+    val f1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._5)
+    val f3 = ch.filter(_._1 == 3L).map(_._5).toSet
+    assert(f1.length > 5, s"fixture too short: ${f1.length} chunks")
+    assert(f1.drop(1).forall(f3.contains),
+      "insertion must not disturb chunks after the first boundary")
+    // stats: doc 3 duplicates most of doc 1's chunks
+    val st = Dedup.chunkDedupStats(Dedup.cdcChunks(docs, col("id"), col("text")))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st._1 == st._2 + st._3 && st._3 >= f1.length - 1)
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(docs, col("id"), col("text"), shingleN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(docs, col("id"), col("text"), hexZeros = 9)
+    }
+  }
 }

@@ -501,4 +501,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"snippets planned a single-partition stage:\n$p")
   }
+
+  test("p152 CDC chunker: shuffle-free scan-stage program") {
+    val p = plan("p152_cdc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"CDC chunking must stay per-row:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"CDC chunking planned a single-partition stage:\n$p")
+  }
 }
