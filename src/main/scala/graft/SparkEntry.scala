@@ -257,7 +257,10 @@ object SparkEntry {
       Some(sharedOracle("p146_snippets"))),
     ("q128_streaming_vocab_coverage",
       (s, d) => graft.streaming.StreamingQueries.vocabCoverageStream(s, d),
-      Some(sharedOracle("p151_vocab_coverage"))))
+      Some(sharedOracle("p151_vocab_coverage"))),
+    ("q129_streaming_cdc",
+      (s, d) => graft.streaming.StreamingQueries.cdcChunksStream(s, d),
+      Some(sharedOracle("p152_cdc_chunks"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

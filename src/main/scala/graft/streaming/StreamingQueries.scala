@@ -692,6 +692,19 @@ object StreamingQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** p152's content-defined chunking AT ingest — the same shuffle-free
+    * per-row program ([[graft.dedup.Dedup.cdcChunks]]) unchanged as a
+    * stateless append-mode stream: chunk fingerprints materialize the
+    * moment a document arrives, ready for an incremental dedup probe
+    * (the p121 serve pattern) without any batch rebuild.
+    */
+  def cdcChunksStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.dedup.Dedup.cdcChunks(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"))
+    runToMemory(out, mode = "append")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** p151's vocab-coverage curve maintained WHILE the corpus streams:
     * the cross-batch state is the (token, tf) frequency table itself —
     * vocabulary-bounded regardless of corpus size (the q119
