@@ -355,6 +355,61 @@ object LinkGraph {
         col("m.allow").as("allowed"), col("m.prefix").as("rule_prefix"))
   }
 
+  /** robots.txt PARSING — the step the gate fixture assumed: turn the
+    * raw per-family robots.txt text into the (family, prefix, allow)
+    * rule table [[robotsFilter]] consumes, honoring RFC 9309's group
+    * grammar for the wildcard agent:
+    *
+    *  - a GROUP is one or more consecutive `User-agent:` lines (the
+    *    header set) followed by its rules; a group applies iff any of
+    *    its header agents is `*`;
+    *  - a `User-agent:` line after rules have started begins a NEW
+    *    group (it does not extend the previous header);
+    *  - directives are case-insensitive; `#` comments strip (inline
+    *    too); whitespace trims; BLANK lines are ignored entirely (they
+    *    do not split a header set); unknown directives (crawl-delay,
+    *    sitemap) belong to the group body but emit nothing;
+    *  - an EMPTY `Disallow:` means "no restriction" (RFC 9309 §2.2.2)
+    *    and emits no rule.
+    *
+    * Output one row per kept rule: (family, rule_idx — appearance
+    * order within the family, prefix, allow).
+    *
+    * Scale shape: SHUFFLE-FREE — the whole line fold is one
+    * higher-order `aggregate` per (family, text) row; robots files are
+    * KiB-sized by construction.
+    */
+  def parseRobots(df: DataFrame, family: Column, txt: Column): DataFrame =
+    df.select(family.as("family"), txt.as("__txt"))
+      .withColumn("__r", expr("""
+        aggregate(
+          transform(split(__txt, '\n'), l -> named_struct(
+            'd', lower(regexp_extract(trim(element_at(split(l, '#'), 1)),
+                   '^([A-Za-z-]+)\\s*:', 1)),
+            'v', trim(regexp_replace(trim(element_at(split(l, '#'), 1)),
+                   '^[A-Za-z-]+\\s*:', '')),
+            'blank', trim(element_at(split(l, '#'), 1)) = '')),
+          named_struct('h', false, 'a', false,
+            'r', cast(array() as array<struct<p:string, al:boolean>>)),
+          (acc, x) -> case
+            when x.blank then acc
+            when x.d = 'user-agent' then named_struct(
+              'h', true,
+              'a', if(acc.h, acc.a or x.v = '*', x.v = '*'),
+              'r', acc.r)
+            when (x.d = 'allow' or x.d = 'disallow') and x.v != ''
+            then named_struct('h', false, 'a', acc.a,
+              'r', if(acc.a,
+                concat(acc.r, array(named_struct('p', x.v,
+                  'al', x.d = 'allow'))),
+                acc.r))
+            else named_struct('h', false, 'a', acc.a, 'r', acc.r)
+          end).r"""))
+      .select(col("family"),
+        posexplode(col("__r")).as(Seq("__i", "__x")))
+      .select(col("family"), col("__i").cast("long").as("rule_idx"),
+        col("__x.p").as("prefix"), col("__x.al").as("allow"))
+
   /** [[robotsFilter]] reformulated for the SCAN stage — the shape a
     * streaming frontier needs: the rule table (static, config-sized)
     * pre-folds to ONE row per family holding its rule array, the

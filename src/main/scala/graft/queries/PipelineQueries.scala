@@ -4909,7 +4909,35 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_distinct,
              CAST(coalesce(sum(o - 1), 0) AS BIGINT) AS dup_chunks,
              CAST(coalesce(sum((o - 1) * nt), 0) AS BIGINT) AS dup_tokens
-      FROM g""")))
+      FROM g""")),
+
+    // robots.txt PARSING — the step the whole gate arc assumed as a
+    // given: raw per-family robots.txt text → the (family, prefix,
+    // allow) rule table, honoring RFC 9309's group grammar (header
+    // sets of consecutive User-agent lines, wildcard-agent matching,
+    // groups re-opened by a UA line after rules, blank lines ignored,
+    // inline comments, empty Disallow = no restriction). One
+    // higher-order line fold per file — shuffle-free. The oracle is
+    // GENERATIVE (the p130 rule): it writes down the rules the
+    // authored fixture intends, so the parse chain is gated against
+    // intent, not a shared formula — and the expected rows ARE
+    // p138's rule fixture (spec-pinned gate equivalence).
+    ("p154_robots_parse", (s, d) => {
+      import s.implicits._
+      graft.graph.LinkGraph.parseRobots(
+          robotsTxtFixture.toDF("family", "robots_txt"),
+          col("family"), col("robots_txt"))
+        .orderBy(col("family"), col("rule_idx"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('example.com', CAST(0 AS BIGINT), '/', false),
+        ('src0.com', 0, '/', false),
+        ('src0.com', 1, '/hub', true),
+        ('src1.com', 0, '/p', false),
+        ('src2.co.uk', 0, '/', true),
+        ('src2.co.uk', 1, '/', false))
+        AS t(family, rule_idx, prefix, allow)
+      ORDER BY family, rule_idx""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -5215,6 +5243,40 @@ object PipelineQueries {
     Seq(("src0.com", "/", false), ("src0.com", "/hub", true),
       ("example.com", "/", false), ("src1.com", "/p", false),
       ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+
+  /** p154's raw robots.txt fixture — the TEXT form of
+    * [[robotsRulesFixture]] with the parse hazards planted: a foreign
+    * agent section, a multi-agent header that includes `*` (split by a
+    * blank line, which RFC 9309 ignores), case-variant directives,
+    * full-line and inline comments, an unknown directive inside the
+    * group body, and an empty `Disallow:` ("no restriction"). Parsing
+    * it must yield exactly [[robotsRulesFixture]] — spec-pinned, plus
+    * gate equivalence through [[graft.graph.LinkGraph.robotsFilter]].
+    */
+  private[graft] val robotsTxtFixture: Seq[(String, String)] = Seq(
+    ("src0.com",
+      "# src0 crawl policy\n" +
+        "User-agent: megabot\n" +
+        "Disallow: /no-mega\n" +
+        "User-agent: *\n" +
+        "Disallow: /\n" +
+        "Allow: /hub\n" +
+        "Crawl-delay: 5\n" +
+        "Disallow:\n"),
+    ("example.com",
+      "User-Agent: graftbot\n" +
+        "\n" +
+        "user-agent: *\n" +
+        "disallow: / # everything\n"),
+    ("src1.com",
+      "User-agent: *\n" +
+        "Disallow: /p\n" +
+        "User-agent: otherbot\n" +
+        "Disallow: /secret\n"),
+    ("src2.co.uk",
+      "User-agent: *\n" +
+        "Allow: /\n" +
+        "Disallow: /\n"))
 
   /** p138's robots gate as shared CTEs ending in `gate` (canonical,
     * dst_family, allowed, rule_prefix) — reused verbatim by p139's

@@ -439,4 +439,45 @@ class GraphSpec extends AnyFunSuite {
       CrawlOps.crawlWorklist(allowed, bad).collect()
     }
   }
+
+  test("parseRobots: RFC grammar hazards; parsed rules gate identically to the fixture") {
+    import graft.queries.PipelineQueries
+    val parsed = LinkGraph.parseRobots(
+        PipelineQueries.robotsTxtFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      .as[(String, Long, String, Boolean)].collect()
+    // the authored text parses to EXACTLY the p138 rule fixture
+    assert(parsed.map(r => (r._1, r._3, r._4)).toSet ==
+      PipelineQueries.robotsRulesFixture.toSet)
+    // appearance order survives per family
+    assert(parsed.filter(_._1 == "src2.co.uk").sortBy(_._2)
+      .map(r => (r._3, r._4)).toSeq == Seq(("/", true), ("/", false)))
+    // gate equivalence: filtering through the parsed table == fixture
+    val urls = Seq(("https://src0.com/hub", "src0.com"),
+      ("https://src0.com/other", "src0.com"),
+      ("https://src1.com/page", "src1.com"),
+      ("https://example.com/x", "example.com"))
+      .toDF("canonical", "dst_family")
+    val viaParsed = LinkGraph.robotsFilter(urls,
+        LinkGraph.parseRobots(
+          PipelineQueries.robotsTxtFixture.toDF("family", "txt"),
+          col("family"), col("txt"))
+        .select(col("family"), col("prefix"), col("allow")))
+      .as[(String, String, Boolean, String)].collect().toSet
+    val viaFixture = LinkGraph.robotsFilter(urls,
+        PipelineQueries.robotsRulesFixture
+          .toDF("family", "prefix", "allow"))
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(viaParsed == viaFixture)
+    // rules before any User-agent line belong to no group: nothing
+    val orphan = LinkGraph.parseRobots(
+      Seq(("x.com", "Disallow: /a\nUser-agent: *\nDisallow: /b\n"))
+        .toDF("f", "t"), col("f"), col("t"))
+      .as[(String, Long, String, Boolean)].collect()
+    assert(orphan.map(r => (r._3, r._4)).toSeq == Seq(("/b", false)))
+    // a file with only foreign sections emits no rows at all
+    assert(LinkGraph.parseRobots(
+      Seq(("y.com", "User-agent: megabot\nDisallow: /\n")).toDF("f", "t"),
+      col("f"), col("t")).count() == 0)
+  }
 }
