@@ -4937,7 +4937,76 @@ object PipelineQueries {
         ('src2.co.uk', 0, '/', true),
         ('src2.co.uk', 1, '/', false))
         AS t(family, rule_idx, prefix, allow)
-      ORDER BY family, rule_idx""")))
+      ORDER BY family, rule_idx""")),
+
+    // MATRYOSHKA truncation audit — the dim-vs-recall tradeoff table
+    // an embedding-storage decision reads (MRL-style models make the
+    // leading dims carry the meaning; this measures what truncation
+    // actually costs on THIS corpus): recall@5 of truncated-dim
+    // cosine against the full 64-dim ground truth, at 8/16/32/64
+    // dims, in integer micro-units. dim=64 is the built-in sanity
+    // row (recall exactly 10⁶); a dim with zero hits still reports
+    // its zero row. Bounded two-phase TopK per dim — no global sort.
+    ("p155_matryoshka_recall", (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val full = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+          col("embedding"), q, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = false)
+      val dims = Seq(8, 16, 32, 64)
+      val truncated = dims.map { dm =>
+        SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+            slice(col("embedding"), 1, dm),
+            q, col("vec_id"), slice(col("embedding"), 1, dm), k = 5)
+          .select(lit(dm.toLong).as("dim"), col("query_id"),
+            col("neighbor_id"))
+      }.reduce(_ union _)
+      val hits = truncated.join(full, Seq("query_id", "neighbor_id"))
+        .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+      val denom = full.agg(count(lit(1)).as("n_truth"))
+      import s.implicits._
+      dims.map(_.toLong).toDF("dim")
+        .join(hits, Seq("dim"), "left")
+        .select(col("dim"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .crossJoin(broadcast(denom))
+        .withColumn("recall_micro", expr("n_hits * 1000000 div n_truth"))
+        .orderBy(col("dim"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings),
+      dims(dim) AS (VALUES (8), (16), (32), (64)),
+      fs AS (SELECT query_id, neighbor_id,
+               round(list_dot_product(cv, qv) /
+                     (sqrt(list_dot_product(cv, cv)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM c, q WHERE neighbor_id <> query_id),
+      truth AS (SELECT query_id, neighbor_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM fs)
+                WHERE rank <= 5),
+      ts AS (SELECT dim, query_id, neighbor_id,
+               round(list_dot_product(cv[1:dim], qv[1:dim]) /
+                     (sqrt(list_dot_product(cv[1:dim], cv[1:dim])) *
+                      sqrt(list_dot_product(qv[1:dim], qv[1:dim]))), 6)
+                 AS cos
+             FROM c, q, dims WHERE neighbor_id <> query_id),
+      tk AS (SELECT dim, query_id, neighbor_id FROM
+              (SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank FROM ts)
+             WHERE rank <= 5),
+      h AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_hits
+            FROM tk JOIN truth USING (query_id, neighbor_id)
+            GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT CAST(dims.dim AS BIGINT) AS dim,
+             CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, n_truth,
+             CAST(coalesce(n_hits, 0) * 1000000 // n_truth AS BIGINT)
+               AS recall_micro
+      FROM dims LEFT JOIN h ON dims.dim = h.dim, tot
+      ORDER BY dims.dim""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
