@@ -949,8 +949,10 @@ object Dedup {
       .withColumn("f", md5(col("chunk").cast("binary")))
   }
 
-  /** The one-row payoff report over a [[cdcChunks]] (or [[chunkRows]])
-    * inventory: how much of the corpus is duplicated at chunk grain.
+  /** The one-row payoff report over a [[cdcChunks]] inventory (any
+    * frame with `f` and `n_tokens` columns — note [[chunkRows]] does
+    * NOT emit n_tokens): how much of the corpus duplicates at chunk
+    * grain.
     * Occurrence counts fold per fingerprint (chunk texts are identical
     * per f, so the token count is the fold's min), then a one-row
     * finalize — one f-keyed exchange plus a bounded aggregate.

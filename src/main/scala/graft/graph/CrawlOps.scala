@@ -217,8 +217,7 @@ object CrawlOps {
     */
   def crawlWorklist(allowed: DataFrame, schedule: DataFrame,
                     maxPerDomain: Int = 10000): DataFrame =
-    worklistSelect(frontierTopK(allowed, maxPerDomain), schedule,
-      maxPerDomain)
+    worklistSelect(frontierTopK(allowed, maxPerDomain), schedule)
 
   /** The FOLD half of [[crawlWorklist]] — per dst_family, the bounded
     * md5-smallest-k URL buffer ([[graft.functions.Aggregators.UrlTopK]]
@@ -227,7 +226,11 @@ object CrawlOps {
     * the buffer is associative/commutative/deduping, so folding
     * discovery batches into it incrementally equals folding the full
     * allowed set at once — batch-identical by shared definition.
-    * Output: (dst_family, tk) where tk.items is the sorted ≤k buffer.
+    * Output: (dst_family, tk, __k) where tk.items is the sorted ≤k
+    * buffer and __k carries the fold's bound, so the select finalize
+    * guards against the k it was ACTUALLY built with (a frontier
+    * folded at k=1000 fed a schedule row of 5000 must raise, not
+    * silently spend 1000).
     */
   def frontierTopK(allowed: DataFrame, maxPerDomain: Int): DataFrame = {
     require(maxPerDomain >= 1 && maxPerDomain <= 1000000,
@@ -238,27 +241,31 @@ object CrawlOps {
         col("canonical"))
       .groupBy(col("dst_family"))
       .agg(topk(col("__prio"), col("canonical")).as("tk"))
+      .withColumn("__k", lit(maxPerDomain.toLong))
   }
 
   /** The SELECT finalize of [[crawlWorklist]] over an already-folded
     * frontier (batch or streaming state — same definition): broadcast
     * the domain-cardinality schedule, explode each domain's buffer,
     * keep the first n_requests positions. Contract raises live here
-    * so both execution surfaces share them.
+    * so both execution surfaces share them; the buffer-truncation
+    * guard reads the `__k` the fold actually used, never a caller
+    * default.
     */
-  def worklistSelect(frontier: DataFrame, schedule: DataFrame,
-                     maxPerDomain: Int = 10000): DataFrame = {
+  def worklistSelect(frontier: DataFrame, schedule: DataFrame): DataFrame = {
     val s = schedule.select(col("node"),
       when(col("node") === "__UNASSIGNED", raise_error(lit(
           "crawlWorklist: drop the __UNASSIGNED remainder row before " +
             "building the worklist")))
-        .when(col("n_requests") > maxPerDomain, raise_error(concat(
-          lit(s"crawlWorklist: n_requests above maxPerDomain " +
-            s"$maxPerDomain for "), col("node"))))
         .otherwise(col("n_requests")).as("n_requests"))
     frontier
       .join(broadcast(s), col("dst_family") === col("node"))
-      .select(col("dst_family"), col("n_requests"),
+      .select(col("dst_family"),
+        when(col("n_requests") > col("__k"), raise_error(concat(
+            lit("crawlWorklist: n_requests above the frontier's fold "
+              + "bound ("), col("__k").cast("string"), lit(") for "),
+            col("dst_family"))))
+          .otherwise(col("n_requests")).as("n_requests"),
         posexplode(col("tk.items")).as(Seq("__p", "__x")))
       .filter(col("__p") + 1 <= col("n_requests"))
       .select(col("__x.url").as("canonical"), col("dst_family"),

@@ -370,7 +370,14 @@ object LinkGraph {
     *    do not split a header set); unknown directives (crawl-delay,
     *    sitemap) belong to the group body but emit nothing;
     *  - an EMPTY `Disallow:` means "no restriction" (RFC 9309 §2.2.2)
-    *    and emits no rule.
+    *    and emits no rule;
+    *  - CRLF line endings and a UTF-8 BOM (the real-world norm) are
+    *    handled — either would otherwise break every directive match
+    *    and FAIL the gate OPEN;
+    *  - a TRAILING `*` is normalized away (redundant under prefix
+    *    matching); any other `*` or a `$` anchor cannot be expressed
+    *    as a prefix rule and RAISES loudly (a literal match would
+    *    silently fail open — the one wrong default for a gate).
     *
     * Output one row per kept rule: (family, rule_idx — appearance
     * order within the family, prefix, allow).
@@ -380,10 +387,14 @@ object LinkGraph {
     * KiB-sized by construction.
     */
   def parseRobots(df: DataFrame, family: Column, txt: Column): DataFrame =
-    df.select(family.as("family"), txt.as("__txt"))
+    df.select(family.as("family"),
+        // real-world robots.txt: CRLF line endings and a UTF-8 BOM are
+        // the norm, and trim() strips neither — un-handled, the
+        // wildcard header never matches and the gate FAILS OPEN
+        regexp_replace(txt, "\\uFEFF", "").as("__txt"))
       .withColumn("__r", expr("""
         aggregate(
-          transform(split(__txt, '\n'), l -> named_struct(
+          transform(split(__txt, '\r?\n'), l -> named_struct(
             'd', lower(regexp_extract(trim(element_at(split(l, '#'), 1)),
                    '^([A-Za-z-]+)\\s*:', 1)),
             'v', trim(regexp_replace(trim(element_at(split(l, '#'), 1)),
@@ -400,7 +411,14 @@ object LinkGraph {
             when (x.d = 'allow' or x.d = 'disallow') and x.v != ''
             then named_struct('h', false, 'a', acc.a,
               'r', if(acc.a,
-                concat(acc.r, array(named_struct('p', x.v,
+                concat(acc.r, array(named_struct(
+                  'p', if(regexp_replace(x.v, '\\*$', '') rlike '[*$]',
+                    cast(raise_error(concat(
+                      'parseRobots: RFC 9309 wildcard pattern "', x.v,
+                      '" is not expressible as a prefix rule — a ',
+                      'literal match would silently FAIL OPEN; handle ',
+                      'this file out of band')) as string),
+                    regexp_replace(x.v, '\\*$', '')),
                   'al', x.d = 'allow'))),
                 acc.r))
             else named_struct('h', false, 'a', acc.a, 'r', acc.r)

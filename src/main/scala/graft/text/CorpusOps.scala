@@ -1737,8 +1737,9 @@ object CorpusOps {
     * higher-order array functions in the scan stage: per doc, explode
     * the (config-sized, literal) query list, filter the token array
     * to hits, elect max-coverage per hit anchor. Per-doc work is
-    * O(hits² per query), bounded by the doc's query-term occurrences,
-    * never its token count; no exchange exists in the plan
+    * O(hits·window) per query — each anchor scans only the ≤window
+    * hits that can fit its span — so even a keyword-stuffed doc whose
+    * every token is a query term stays linear in its length; no exchange exists in the plan
     * (plan-pinned), which also makes the operator a stateless
     * streaming program for free. The first cut of this operator
     * shuffled the exploded hits through a (qid, doc_id) pair-join —
@@ -1766,11 +1767,17 @@ object CorpusOps {
              named_struct('pos', cast(i + 1 as bigint), 'tok', t)),
            h -> array_contains(q.terms, h.tok))"""))
       .filter(size(col("hits")) > 0)
+      // per anchor, only the next `window` hits can land inside a
+      // window-token span (hit positions are strictly increasing), so
+      // the slice bounds each anchor's scan: O(hits·window) per row,
+      // not O(hits²) — a keyword-stuffed doc whose every token is a
+      // query term would otherwise make ONE row quadratic in its
+      // token count
       .withColumn("m", expr(
-        s"""array_max(transform(hits, h -> named_struct(
+        s"""array_max(transform(hits, (h, i) -> named_struct(
               'n_terms', cast(size(array_distinct(transform(
-                filter(hits, x -> x.pos >= h.pos
-                               and x.pos <= h.pos + ${w - 1}L),
+                filter(slice(hits, i + 1, $w),
+                  x -> x.pos <= h.pos + ${w - 1}L),
                 x -> x.tok))) as bigint),
               'np', -h.pos)))"""))
       .select(col("q.qid").as("qid"), col("doc_id"),

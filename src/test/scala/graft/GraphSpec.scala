@@ -480,4 +480,50 @@ class GraphSpec extends AnyFunSuite {
       Seq(("y.com", "User-agent: megabot\nDisallow: /\n")).toDF("f", "t"),
       col("f"), col("t")).count() == 0)
   }
+
+  test("parseRobots: CRLF and BOM files parse identically; wildcard patterns raise") {
+    // the real-world norm: CRLF endings and a UTF-8 BOM - either one,
+    // unhandled, breaks every directive match and fails the gate OPEN
+    val crlf = LinkGraph.parseRobots(
+      Seq(("x.com", "\ufeffUser-agent: *\r\nDisallow: /p\r\nAllow: /p/ok\r\n"))
+        .toDF("f", "t"), col("f"), col("t"))
+      .as[(String, Long, String, Boolean)].collect()
+    assert(crlf.map(r => (r._3, r._4)).toSeq ==
+      Seq(("/p", false), ("/p/ok", true)))
+    // a trailing * is redundant under prefix matching: normalized away
+    val trail = LinkGraph.parseRobots(
+      Seq(("x.com", "User-agent: *\nDisallow: /tmp*\n")).toDF("f", "t"),
+      col("f"), col("t"))
+      .as[(String, Long, String, Boolean)].collect()
+    assert(trail.map(r => (r._3, r._4)).toSeq == Seq(("/tmp", false)))
+    // interior * / $ anchors cannot be a prefix rule: loud, never a
+    // dead literal the gate silently fails open on
+    val e = intercept[Exception] {
+      TestSpark.quietly(LinkGraph.parseRobots(
+        Seq(("x.com", "User-agent: *\nDisallow: /*?sessionid=\n"))
+          .toDF("f", "t"), col("f"), col("t")).collect())
+    }
+    assert(e.getMessage.contains("FAIL OPEN") ||
+      Option(e.getCause).exists(_.getMessage.contains("FAIL OPEN")))
+  }
+
+  test("worklistSelect: a schedule row above the frontier's OWN fold bound raises") {
+    import graft.graph.CrawlOps
+    val allowed = Seq(("https://a.com/1", "a.com"), ("https://a.com/2", "a.com"),
+      ("https://a.com/3", "a.com")).toDF("canonical", "dst_family")
+    // frontier folded at k=2; a schedule spending 3 would silently
+    // truncate to the 2 buffered URLs - must raise on the REAL bound,
+    // not a caller default
+    val frontier = CrawlOps.frontierTopK(allowed, maxPerDomain = 2)
+    val sched = Seq(("a.com", 3L)).toDF("node", "n_requests")
+    val e = intercept[Exception] {
+      TestSpark.quietly(CrawlOps.worklistSelect(frontier, sched).collect())
+    }
+    assert(e.getMessage.contains("fold") ||
+      Option(e.getCause).exists(_.getMessage.contains("fold")))
+    // at or under the bound it spends exactly the schedule
+    val ok = CrawlOps.worklistSelect(frontier,
+      Seq(("a.com", 2L)).toDF("node", "n_requests")).collect()
+    assert(ok.length == 2)
+  }
 }
