@@ -428,6 +428,45 @@ object LinkGraph {
       .select(col("family"), col("__i").cast("long").as("rule_idx"),
         col("__x.p").as("prefix"), col("__x.al").as("allow"))
 
+  /** sitemap.xml PARSING — the third discovery input beside the
+    * outlink harvest and the robots gate: raw per-family sitemap text
+    * → (family, url_idx — `<url>` block order, canonical, lastmod).
+    * `<loc>` values are whitespace-trimmed, XML-entity-decoded
+    * (`&amp;` LAST, the htmlExtract rule), then canonicalized with
+    * the SAME [[graft.functions.SourceFamily.canonicalizeUrl]] as the
+    * outlink harvest — a sitemap row and a crawl-discovered messy
+    * variant of the same page MUST collide into one frontier key.
+    * `<lastmod>` is optional (null when absent — a recrawl prior
+    * consumer must see the absence, not a fake date); a `<url>` block
+    * without `<loc>` emits nothing (its idx leaves a gap — block
+    * order is provenance, not a dense rank).
+    *
+    * Scale shape: SHUFFLE-FREE — one regex pass per file row;
+    * sitemaps are ≤50k URLs by spec, so a file row is MB-bounded.
+    */
+  def parseSitemap(df: DataFrame, family: Column, xml: Column): DataFrame = {
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(trim(regexp_extract(col("__u"),
+        "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    df.select(family.as("family"),
+        regexp_extract_all(xml, lit("(?s)<url[\\s>].*?</url>"), lit(0))
+          .as("__b"))
+      .select(col("family"), posexplode(col("__b")).as(Seq("__i", "__u")))
+      .select(col("family"), col("__i").cast("long").as("url_idx"),
+        decoded.as("__loc"),
+        trim(regexp_extract(col("__u"),
+          "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("__lm"))
+      .filter(col("__loc") =!= "")
+      .select(col("family"), col("url_idx"),
+        graft.functions.SourceFamily.canonicalizeUrl(col("__loc"))
+          .as("canonical"),
+        when(col("__lm") === "", lit(null).cast("string"))
+          .otherwise(col("__lm")).as("lastmod"))
+  }
+
   /** [[robotsFilter]] reformulated for the SCAN stage — the shape a
     * streaming frontier needs: the rule table (static, config-sized)
     * pre-folds to ONE row per family holding its rule array, the

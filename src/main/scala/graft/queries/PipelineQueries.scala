@@ -5006,7 +5006,31 @@ object PipelineQueries {
              CAST(coalesce(n_hits, 0) * 1000000 // n_truth AS BIGINT)
                AS recall_micro
       FROM dims LEFT JOIN h ON dims.dim = h.dim, tot
-      ORDER BY dims.dim""")))
+      ORDER BY dims.dim""")),
+
+    // sitemap.xml PARSING — the third discovery input beside the
+    // outlink harvest (p131) and the robots gate (p138/p154): <loc>
+    // values entity-decoded and canonicalized with the SAME
+    // canonicalizeUrl as the harvest, so a sitemap row collides with
+    // a crawl-discovered messy variant of the same page; <lastmod>
+    // optional (null, never a fake date); loc-less blocks drop,
+    // leaving their idx gap as provenance. Generative oracle — the
+    // expected rows are written down from the authored fixture.
+    ("p156_sitemap_parse", (s, d) => {
+      import s.implicits._
+      graft.graph.LinkGraph.parseSitemap(
+          sitemapXmlFixture.toDF("family", "xml"),
+          col("family"), col("xml"))
+        .orderBy(col("family"), col("url_idx"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('src0.com', CAST(0 AS BIGINT),
+         'https://www.src0.com/hub?a=1&b=2', '2026-08-01'),
+        ('src0.com', 1, 'https://src0.com/fresh', '2026-08-14'),
+        ('src0.com', 2, 'https://src0.com/nolastmod', CAST(NULL AS VARCHAR)),
+        ('src2.co.uk', 0, 'https://src2.co.uk/a', NULL))
+        AS t(family, url_idx, canonical, lastmod)
+      ORDER BY family, url_idx""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -5312,6 +5336,30 @@ object PipelineQueries {
     Seq(("src0.com", "/", false), ("src0.com", "/hub", true),
       ("example.com", "/", false), ("src1.com", "/p", false),
       ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+
+  /** p156's sitemap.xml fixture — the hazards planted: an XML
+    * declaration and namespace, whitespace-padded multi-line `<loc>`
+    * values, XML entities inside a MESSY url (the p63 collide case:
+    * its canonical form must equal the clean crawl-discovered one), a
+    * url without `<lastmod>` (null, not a fake date), and a url block
+    * with no `<loc>` at all (dropped, leaving an idx gap).
+    */
+  private[graft] val sitemapXmlFixture: Seq[(String, String)] = Seq(
+    ("src0.com",
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <url><loc> https://WWW.Src0.COM:443/hub?b=2&amp;a=1" +
+        "&amp;utm_source=feed#top </loc>\n" +
+        "    <lastmod>2026-08-01</lastmod></url>\n" +
+        "  <url><loc>https://src0.com/fresh</loc>" +
+        "<lastmod>2026-08-14</lastmod></url>\n" +
+        "  <url><loc>https://src0.com/nolastmod</loc></url>\n" +
+        "  <url><lastmod>2026-08-02</lastmod></url>\n" +
+        "</urlset>\n"),
+    ("src2.co.uk",
+      "<urlset>\n" +
+        "  <url>\n    <loc>\n      https://src2.co.uk/a\n    </loc>\n" +
+        "  </url>\n</urlset>\n"))
 
   /** p154's raw robots.txt fixture — the TEXT form of
     * [[robotsRulesFixture]] with the parse hazards planted: a foreign

@@ -526,4 +526,26 @@ class GraphSpec extends AnyFunSuite {
       Seq(("a.com", 2L)).toDF("node", "n_requests")).collect()
     assert(ok.length == 2)
   }
+
+  test("parseSitemap: entity-decode + canonical collide, idx gap, null lastmod") {
+    import graft.queries.PipelineQueries
+    val out = LinkGraph.parseSitemap(
+        PipelineQueries.sitemapXmlFixture.toDF("family", "xml"),
+        col("family"), col("xml"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3))))
+    // the messy entity-encoded loc canonicalizes to the SAME key a
+    // crawl-discovered clean variant gets - one frontier key
+    val clean = Seq("https://www.src0.com/hub?a=1&b=2").toDF("u")
+      .select(graft.functions.SourceFamily.canonicalizeUrl(col("u")))
+      .collect()(0).getString(0)
+    assert(out.find(r => r._1 == "src0.com" && r._2 == 0L).get._3 == clean)
+    // a loc-less block drops but keeps its idx gap (0,1,2 here - the
+    // gap would appear only past the dropped block)
+    assert(out.filter(_._1 == "src0.com").map(_._2).sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    // lastmod absent -> null, never a fake date
+    assert(out.find(r => r._3.endsWith("/nolastmod")).get._4.isEmpty)
+    assert(out.find(r => r._3.endsWith("/fresh")).get._4.contains("2026-08-14"))
+  }
 }
