@@ -5030,7 +5030,56 @@ object PipelineQueries {
         ('src0.com', 2, 'https://src0.com/nolastmod', CAST(NULL AS VARCHAR)),
         ('src2.co.uk', 0, 'https://src2.co.uk/a', NULL))
         AS t(family, url_idx, canonical, lastmod)
-      ORDER BY family, url_idx""")))
+      ORDER BY family, url_idx""")),
+
+    // The UNIFIED frontier — the closing composition of the discovery
+    // trio: crawl-harvested outlinks UNION p156's sitemap keys (same
+    // canonical space, so shared pages collide into one frontier
+    // row), the whole union through the robots gate, allowed counts
+    // re-capping the p139 schedule, the spend selected by the bounded
+    // worklist fold. The sitemap contributes exactly what it should:
+    // a new allowed URL the crawl never discovered (src2.co.uk/a —
+    // its '/' allow/disallow tie resolves allow) joins the worklist;
+    // robots-blocked sitemap rows (src0's /fresh, /nolastmod under
+    // 'Disallow: /') do NOT. Oracle redefines `u` over the union and
+    // reuses the identical gate + schedule CTE chains.
+    ("p157_frontier_worklist", (s, d) => {
+      import s.implicits._
+      val links = crawlLinksFixture(s, d)
+      val sm = graft.graph.LinkGraph.parseSitemap(
+          sitemapXmlFixture.toDF("family", "xml"),
+          col("family"), col("xml"))
+        .select(col("canonical"), col("family").as("dst_family"))
+      val unioned = links.select(col("canonical"), col("dst_family"))
+        .union(sm)
+      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
+      val allowed = graft.graph.LinkGraph.robotsFilter(unioned, rules)
+        .filter(col("allowed"))
+        .select(col("canonical"), col("dst_family"))
+        .localCheckpoint(eager = false)
+      graft.graph.CrawlOps.crawlWorklist(allowed,
+          crawlScheduleOf(links, allowed))
+        .orderBy(col("dst_family"), col("pos"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      sm(canonical, dst_family) AS (VALUES
+        ('https://www.src0.com/hub?a=1&b=2', 'src0.com'),
+        ('https://src0.com/fresh', 'src0.com'),
+        ('https://src0.com/nolastmod', 'src0.com'),
+        ('https://src2.co.uk/a', 'src2.co.uk')),
+      u AS (SELECT DISTINCT canonical, dst_family FROM
+             (SELECT cu AS canonical, dst_family FROM lk
+              UNION ALL SELECT canonical, dst_family FROM sm)),
+      $robotsGateAfterUSql,
+      $crawlScheduleCtesSql,
+      wl AS (SELECT g.canonical, g.dst_family, c.n_requests,
+               row_number() OVER (PARTITION BY g.dst_family
+                 ORDER BY md5(g.canonical), g.canonical) AS pos
+             FROM gate g JOIN c ON g.dst_family = c.node
+             WHERE g.allowed)
+      SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
+      FROM wl WHERE pos <= n_requests
+      ORDER BY dst_family, pos""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -5400,8 +5449,15 @@ object PipelineQueries {
     * composed schedule so the two executions of the rule fixture
     * cannot drift (the sharedOracle rule, at the SQL level).
     */
-  private val robotsCtesSql: String = """
-      u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),
+  private val robotsCtesSql: String =
+    "u AS (SELECT DISTINCT cu AS canonical, dst_family FROM lk),\n" +
+      robotsGateAfterUSql
+
+  /** The gate chain AFTER the `u` frontier CTE — split out so p157's
+    * unioned frontier (links ∪ sitemap) can redefine `u` and reuse the
+    * identical gate arithmetic (the sharedOracle rule at SQL level).
+    */
+  private lazy val robotsGateAfterUSql: String = """
       up AS (SELECT canonical, dst_family,
                regexp_replace(canonical, '^[a-z][a-z0-9+.-]*://[^/]*', '')
                  AS path
