@@ -260,7 +260,10 @@ object SparkEntry {
       Some(sharedOracle("p151_vocab_coverage"))),
     ("q129_streaming_cdc",
       (s, d) => graft.streaming.StreamingQueries.cdcChunksStream(s, d),
-      Some(sharedOracle("p152_cdc_chunks"))))
+      Some(sharedOracle("p152_cdc_chunks"))),
+    ("q130_streaming_recrawl",
+      (s, d) => graft.streaming.StreamingQueries.recrawlScheduleStream(s, d),
+      Some(sharedOracle("p147_recrawl_schedule"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -835,6 +835,34 @@ object StreamingQueries {
       .orderBy(col("url"))
   }
 
+  /** p147's recrawl schedule recomputed at the EPOCH boundary from a
+    * LIVE fetch ledger — freshness turned into spend while the crawl
+    * runs: the ledger folds cross-batch to its distinct (url, day,
+    * fingerprint) triples (q123's state — the finest-grain fold,
+    * re-fetches of an unchanged page update a count, never the
+    * state's size), and the rate → family rollup → largest-remainder
+    * spend finalize runs batch-side through the SAME
+    * [[graft.graph.CrawlOps.changeRates]] +
+    * [[graft.graph.LinkGraph.crawlBudget]] halves as the batch entry.
+    */
+  def recrawlScheduleStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ledger = graft.queries.PipelineQueries
+      .crawlLedgerFixtureFrom(documentsStream(spark, sfDir))
+      .groupBy(col("url"), col("day"), col("fingerprint"))
+      .agg(count(lit(1)).as("__n"))
+    val rates = graft.graph.CrawlOps.changeRates(
+      runToMemory(ledger)
+        .select(col("url"), col("day"), col("fingerprint")),
+      asofDay = 5L)
+    val fam = rates
+      .select(graft.functions.SourceFamily.familyOf(col("url")).as("node"),
+        col("score_micro"))
+      .groupBy(col("node")).agg(sum(col("score_micro")).as("rank_micro"))
+    graft.graph.LinkGraph.crawlBudget(fam, budget = 10000L,
+        maxPerDomain = 2000L)
+      .orderBy(col("node"))
+  }
+
   /** p131's outlink harvest with the link graph accumulating ON the
     * streaming engine — the frontier's view DURING the crawl, not
     * after it: harvest/canonicalize/family run stateless map-side
