@@ -205,4 +205,29 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("UrlTopK: any batch split and order folds to the sorted distinct smallest-k") {
+    val urlGen = Gen.listOf(for {
+      d <- Gen.chooseNum(0, 8)
+      p <- Gen.chooseNum(0, 20)
+    } yield s"https://s$d.com/p$p")
+    val kGen = Gen.chooseNum(1, 7)
+    check(Prop.forAll(urlGen, kGen, Gen.chooseNum(0L, 1000L)) { (urls, k, seed) =>
+      val agg = new Aggregators.UrlTopK(k)
+      def prio(u: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val items = urls.map(u => Aggregators.PUrl(prio(u), u))
+      // reference: distinct, sorted by (prio, url), first k
+      val expect = items.distinct
+        .sortBy(x => (x.prio, x.url)).take(k)
+      // fold under a seeded random shuffle and arbitrary partition split
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(items)
+      val parts = if (shuffled.isEmpty) List(shuffled)
+        else shuffled.grouped(1 + rnd.nextInt(shuffled.size)).toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged).items.toList == expect
+    })
+  }
 }
