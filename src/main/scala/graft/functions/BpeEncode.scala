@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequential application is fine even for large tables: Zipfian
   * corpora re-encode the same head words constantly.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -41,7 +42,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
         s"bpe_encode expects a string column, got ${child.dataType.simpleString}")
     else TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val table = new BpeTable(merges.toArray)
+  @transient private lazy val table = new BpeTable(merges.toArray, byteLevel)
 
   protected override def nullSafeEval(t: Any): Any =
     BpeEncodeUtil.encode(t.asInstanceOf[UTF8String], table)
@@ -59,6 +60,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 object BpeEncode {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
+  /** Byte-level variant: words seed as [[ByteAlphabet]] byte symbols
+    * (the GPT-2 `bytes_to_unicode` convention) instead of code points.
+    */
+  def bytes(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(text), merges, byteLevel = true))
 }
 
 /** The two primitive steps the trainer and the encoder MUST share —
@@ -116,7 +124,8 @@ object BpeKernel {
   * bounds it — on overflow new words simply stop being memoized (the
   * Zipf head is already resident), never evicted mid-task.
   */
-final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
+final class BpeTable(val merges: Array[(String, String)],
+                     val byteLevel: Boolean = false) extends Serializable {
   private val maxCacheWords = 1 << 16
   @transient private lazy val cache = new java.util.HashMap[String, String]()
 
@@ -128,11 +137,14 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     enc
   }
 
-  /** One word through the full table: [[BpeKernel.seed]], then merges
-    * in rank order via [[BpeKernel.mergePass]].
+  /** One word through the full table: [[BpeKernel.seed]] (code points)
+    * or [[ByteAlphabet.seed]] (UTF-8 bytes through the GPT-2 alphabet)
+    * depending on the table's level, then merges in rank order via the
+    * SHARED [[BpeKernel.mergePass]] — only the seeding differs between
+    * the two tokenizer families; the merge semantics are one code path.
     */
   private def applyMerges(w: String): String = {
-    var syms = BpeKernel.seed(w)
+    var syms = if (byteLevel) ByteAlphabet.seed(w) else BpeKernel.seed(w)
     var r = 0
     while (r < merges.length && syms.length > 1) {
       syms = BpeKernel.mergePass(syms, merges(r)._1, merges(r)._2)

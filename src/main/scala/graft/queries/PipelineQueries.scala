@@ -5079,7 +5079,53 @@ object PipelineQueries {
              WHERE g.allowed)
       SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
       FROM wl WHERE pos <= n_requests
-      ORDER BY dst_family, pos""")))
+      ORDER BY dst_family, pos""")),
+
+    // BYTE-LEVEL BPE training (the GPT-2-family tokenizer: words seed
+    // as UTF-8 bytes mapped through the bytes↔unicode alphabet, so no
+    // input is ever out-of-vocabulary) over the multilingual fixture —
+    // the decoration guarantees byte pairs like (¼,b) enter the top-8,
+    // so the oracle's independent SQL byte seeding (hex(encode(w))
+    // through the 256-entry alphabet literal) gates the byte path.
+    // Same bounded-artifact scale shape as p58: one (word, count)
+    // shuffle, then driver rounds on the vocabulary.
+    ("p158_bpe_bytes_train", (s, d) => {
+      graft.text.CorpusOps.bpeTrainMerges(Tables.documents(s, d),
+          byteTextFixture, numMerges = 8, byteLevel = true)
+        .orderBy(col("rank"))
+    }, Some(byteBpeOracle(8))),
+
+    // Byte-level merge-table ENCODING — p64's round-trip property at
+    // byte level: the oracle reads each word's encoding off the final
+    // byte-seeded training state, so agreement proves byte-level merge
+    // application == byte-level training evolution, and the emitted
+    // symbol streams (e.g. 'Ã ©' for 'é' pre-merge) pin the seeding
+    // byte-for-byte. Map-side codegen kernel, zero shuffle.
+    ("p159_bpe_bytes_encode", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, byteTextFixture,
+          numMerges = 8, byteLevel = true))
+      graft.text.CorpusOps.bpeEncodeAt(docs, col("doc_id"), byteTextFixture,
+          merges, byteLevel = true)
+        .orderBy(col("doc_id"))
+    }, Some(byteBpeEncodeOracle(8))),
+
+    // Byte-level tokenizer FERTILITY per source — the metric the
+    // byte/char choice actually moves: a 3-char CJK word is 9 byte
+    // symbols before any merge, so byte-level fertility on non-ASCII
+    // corpora reads higher than p129's char-level number (which
+    // understated exactly this cost — the reason production pack
+    // budgets are priced byte-level).
+    ("p160_bpe_bytes_fertility", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, byteTextFixture,
+          numMerges = 8, byteLevel = true))
+      graft.text.CorpusOps.tokenizerFertility(docs, col("doc_id"),
+          byteTextFixture, col("source"), merges, byteLevel = true)
+        .orderBy(col("group"))
+    }, Some(byteBpeFertilityOracle(8))))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -5958,24 +6004,7 @@ object PipelineQueries {
     * seqs_k), used by both the p58 merge-table oracle and the p64
     * encode oracle — one generator so the two cannot drift.
     */
-  private def bpeStagesSql(k: Int): String = {
-    val stages = (1 to k).map { i =>
-      s"""syms_$i AS (SELECT cnt, list_transform(string_split(seq, ' '),
-                        x -> x[2 : len(x) - 1]) AS syms
-                 FROM seqs_${i - 1}),
-      raw_$i AS (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
-                        j -> {'l': syms[j], 'r': syms[j + 1]})) AS pr
-                 FROM syms_$i WHERE len(syms) > 1),
-      p_$i AS (SELECT $i AS rank, pr.l AS pair_left, pr.r AS pair_right,
-                      sum(cnt) AS total
-               FROM raw_$i GROUP BY 1, 2, 3
-               ORDER BY total DESC, pair_left, pair_right LIMIT 1),
-      seqs_$i AS (SELECT w, cnt,
-                    regexp_replace(seq,
-                      '/' || p.pair_left || '/ /' || p.pair_right || '/',
-                      '/' || p.pair_left || p.pair_right || '/', 'g') AS seq
-                  FROM seqs_${i - 1}, p_$i p)"""
-    }.mkString(",\n      ")
+  private def bpeStagesSql(k: Int): String =
     s"""vocab AS (SELECT w, count(*) AS cnt FROM
                        (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
                      GROUP BY 1),
@@ -5983,8 +6012,153 @@ object PipelineQueries {
                    array_to_string(list_transform(generate_series(1, length(w)),
                      i -> '/' || substr(w, i, 1) || '/'), ' ') AS seq
                  FROM vocab),
-      $stages"""
+      ${bpeRoundsSql(k)}"""
+
+  /** The k merge ROUNDS alone (seqs_0 → … → seqs_k) — seeding-agnostic,
+    * shared between the char-level ([[bpeStagesSql]]) and byte-level
+    * ([[bpeByteStagesSql]]) stage chains: the two tokenizer families
+    * differ ONLY in how seqs_0 is seeded, in the oracle exactly as in
+    * the engine ([[graft.functions.BpeKernel.seed]] vs
+    * [[graft.functions.ByteAlphabet.seed]]).
+    */
+  private def bpeRoundsSql(k: Int): String =
+    // seqs_i / p_i are each referenced TWICE downstream; MATERIALIZED
+    // keeps DuckDB's CTE inlining from recomputing the chain
+    // exponentially in k (the byte-level seeding made that blow-up
+    // visible: >120 s vs <1 s at sf0.1 on identical stage logic)
+    (1 to k).map { i =>
+      s"""syms_$i AS (SELECT cnt, list_transform(string_split(seq, ' '),
+                        x -> x[2 : len(x) - 1]) AS syms
+                 FROM seqs_${i - 1}),
+      raw_$i AS (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+                        j -> {'l': syms[j], 'r': syms[j + 1]})) AS pr
+                 FROM syms_$i WHERE len(syms) > 1),
+      p_$i AS MATERIALIZED (SELECT $i AS rank, pr.l AS pair_left, pr.r AS pair_right,
+                      sum(cnt) AS total
+               FROM raw_$i GROUP BY 1, 2, 3
+               ORDER BY total DESC, pair_left, pair_right LIMIT 1),
+      seqs_$i AS MATERIALIZED (SELECT w, cnt,
+                    regexp_replace(seq,
+                      '/' || p.pair_left || '/ /' || p.pair_right || '/',
+                      '/' || p.pair_left || p.pair_right || '/', 'g') AS seq
+                  FROM seqs_${i - 1}, p_$i p)"""
+    }.mkString(",\n      ")
+
+  /** Deterministic MULTILINGUAL decoration of the corpus for the
+    * byte-level BPE entries (p158/p159/p160): the raw documents are
+    * pure printable ASCII (where byte-level and char-level BPE agree
+    * by construction), so each doc appends one doc_id-selected word
+    * with 2- and 3-byte UTF-8 characters (Latin accents + CJK) plus
+    * six repeats of 'über' — enough pair mass (6/doc vs the corpus
+    * top pair's ~9/doc at every SF, both linear in corpus size) that
+    * byte pairs like (¼,b) provably enter the learned top-8 merges,
+    * making the oracle gate the byte path, not just reproduce the
+    * ASCII one.
+    */
+  private[graft] val byteFixtureWords =
+    Seq("café", "naïve", "日本語", "smörgås", "данные")
+
+  private[graft] def byteTextFixture: Column =
+    concat(col("text"), lit(" "),
+      element_at(array(byteFixtureWords.map(lit): _*),
+        (col("doc_id") % byteFixtureWords.size + 1).cast("int")),
+      lit(" über über über über über über"))
+
+  private lazy val byteTextFixtureSql: String = {
+    val lst = byteFixtureWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""(text || ' ' || ($lst)[CAST(doc_id % ${byteFixtureWords.size} + 1 AS INT)]
+        || ' über über über über über über')"""
   }
+
+  /** Byte-level stage chain: the SAME k rounds over a seqs_0 seeded
+    * from raw UTF-8 BYTES — hex(encode(w)) splits the word into byte
+    * values, each mapped through the GPT-2 byte↔unicode alphabet
+    * rendered as a 256-entry list literal from the one JVM table
+    * ([[graft.functions.ByteAlphabet.sqlList]]); an independent SQL
+    * execution of byte seeding, not a re-print of the engine's.
+    */
+  private def bpeByteStagesSql(k: Int): String =
+    s"""vocab AS (SELECT w, count(*) AS cnt FROM
+                       (SELECT unnest(${sqlToks(byteTextFixtureSql)}) AS w
+                        FROM documents)
+                     GROUP BY 1),
+      hx AS (SELECT w, cnt, hex(encode(w)) AS h FROM vocab),
+      seqs_0 AS MATERIALIZED (SELECT w, cnt,
+                   array_to_string(list_transform(generate_series(1, length(h) // 2),
+                     i -> '/' || substr(${graft.functions.ByteAlphabet.sqlString},
+                         CAST(instr('0123456789ABCDEF', substr(h, 2*i - 1, 1)) * 16
+                            + instr('0123456789ABCDEF', substr(h, 2*i, 1))
+                            - 16 AS INT), 1) || '/'), ' ') AS seq
+                 FROM hx),
+      ${bpeRoundsSql(k)}"""
+
+  /** Oracle for p158: k unrolled BYTE-LEVEL rounds — [[bpeOracle]]'s
+    * select over [[bpeByteStagesSql]]'s byte-seeded stages.
+    */
+  def byteBpeOracle(k: Int): String =
+    s"""
+      WITH ${bpeByteStagesSql(k)}
+      SELECT CAST(rank AS BIGINT) AS rank, pair_left, pair_right,
+             pair_left || pair_right AS merged,
+             CAST(total AS BIGINT) AS pair_count
+      FROM (${(1 to k).map(i => s"SELECT * FROM p_$i").mkString(" UNION ALL ")})
+      ORDER BY rank"""
+
+  /** Oracle for p159: byte-level encode read off the final training
+    * state (the [[bpeEncodeOracle]] machinery over byte-seeded stages
+    * and the decorated corpus) — agreement proves the engine's
+    * byte-level merge application reproduces the byte-level training
+    * evolution, the same round-trip property p64 pins for char level.
+    */
+  def byteBpeEncodeOracle(k: Int): String =
+    s"""
+      WITH ${bpeByteStagesSql(k)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_$k),
+      t AS (SELECT doc_id, ${sqlToks(byteTextFixtureSql)} AS toks FROM documents),
+      occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                i -> {'w': toks[i], 'pos': i})) AS pr
+              FROM t WHERE len(toks) > 0),
+      ew AS (SELECT doc_id, pr.pos AS pos, e.ew AS ew
+             FROM occ JOIN enc e ON e.w = pr.w),
+      agg AS (SELECT doc_id, string_agg(ew, ' ' ORDER BY pos) AS bpe_text
+              FROM ew GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text,
+             CAST(len(list_filter(string_split(coalesce(a.bpe_text, ''), ' '),
+                      x -> x <> '')) AS BIGINT) AS n_bpe_tokens
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
+
+  /** Oracle for p160: per-source fertility of the BYTE-LEVEL tokenizer
+    * over the decorated corpus — p129's chain over byte-seeded stages.
+    * On the non-ASCII decoration the ratio provably differs from char
+    * level (a 3-char CJK word is 9 byte symbols before any merge).
+    */
+  def byteBpeFertilityOracle(k: Int): String =
+    s"""
+      WITH ${bpeByteStagesSql(k)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_$k),
+      tt AS (SELECT doc_id, source, ${sqlToks(byteTextFixtureSql)} AS toks
+             FROM documents),
+      occ AS (SELECT doc_id, source, unnest(toks) AS w FROM tt
+              WHERE len(toks) > 0),
+      ewn AS (SELECT o.source,
+                len(list_filter(string_split(e.ew, ' '), x -> x <> ''))
+                  AS nbp
+              FROM occ o JOIN enc e ON e.w = o.w),
+      gd AS (SELECT source AS "group", count(*) AS n_docs
+             FROM documents GROUP BY 1),
+      ga AS (SELECT source AS "group",
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nbp) AS BIGINT) AS n_bpe_tokens
+             FROM ewn GROUP BY 1)
+      SELECT gd."group", gd.n_docs,
+             CAST(coalesce(ga.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(ga.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+             CAST(CASE WHEN coalesce(ga.n_words, 0) > 0
+               THEN (1000 * ga.n_bpe_tokens) // ga.n_words
+               ELSE 0 END AS BIGINT) AS fertility_permille
+      FROM gd LEFT JOIN ga ON gd."group" = ga."group"
+      ORDER BY gd."group""""
 
   /** Oracle for p64 + q73: an INDEPENDENT recompute of the encoding —
     * where the engine applies the merge table to raw text, the oracle

@@ -932,11 +932,22 @@ object CorpusOps {
     * the term appears in EITHER field.
     *
     * Scale shape: body rows keep p49's map-side query-vocabulary
-    * IN-list on the exploded scan; the anchor side is domain-
+    * IN-list on the exploded scan and CARRY their doc length (and
+    * family key) down the explode, so per-doc normalization needs no
+    * corpus-cardinality length join at all; the anchor side is domain-
     * cardinality, vocab-filtered, and BROADCAST onto the docs' (doc,
     * family) projection — both fields land in ONE union → one
-    * (doc, term) aggregate, no full-corpus join. Rank via the
-    * two-phase bounded TopK.
+    * (doc, term) aggregate. Corpus stats are a second, column-pruned
+    * scan aggregated through domain-cardinality partials. NOTHING is
+    * checkpointed or cached: a pinned doc-cardinality frame (the old
+    * `lens.localCheckpoint`) costs executor memory/disk at corpus
+    * scale and is not fault-tolerant — two pruned scans beat it at
+    * 100 TB, and the shared (doc, term) aggregate is deduplicated by
+    * ReuseExchange, not by pinning. Rule of thumb this codifies:
+    * checkpoint only sub-corpus-cardinality frames (see
+    * [[graft.graph.LinkGraph]] — domain-cardinality rank iterates are
+    * fine; corpus-cardinality projections are not).
+    * Rank via the two-phase bounded TopK.
     *
     * Output: (qid, rank, doc_id, score_micro) like [[bm25TopK]].
     */
@@ -948,37 +959,48 @@ object CorpusOps {
                 wAnchor: Double = 2.0): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
     require(terms.nonEmpty, "bm25fTopK needs at least one query term")
-    val toks = docs.select(id.as("doc_id"), fieldKey.as("fk"),
-      TextFunctions.tokens(text).as("toks"))
     val anc = anchors.select(col("field_key").as("fk"), col("term"),
       col("n").cast("long").as("n"))
     val anDl = anc.groupBy(col("fk")).agg(sum(col("n")).as("dla"))
-    val lens = toks
-      .select(col("doc_id"), col("fk"), size(col("toks")).cast("long").as("dlb"))
+    // corpus stats: one column-pruned scan → domain-cardinality
+    // partials → 1 row (sum_dla = Σ_family docs(family) · dla(family))
+    val stats = docs
+      .select(fieldKey.as("fk"),
+        size(TextFunctions.tokens(text)).cast("long").as("dlb"))
+      .groupBy(col("fk"))
+      .agg(count(lit(1)).as("nd"), sum(col("dlb")).as("sdlb"))
       .join(broadcast(anDl), Seq("fk"), "left")
-      .select(col("doc_id"), col("fk"), col("dlb"),
-        coalesce(col("dla"), lit(0L)).as("dla"))
-      .localCheckpoint(eager = false)
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dlb")).as("sum_dlb"), sum(col("dla")).as("sum_dla"))
-    // both fields as (doc, term, tfb, tfa) deltas → ONE aggregate
-    val raw = toks
-      .select(col("doc_id"), explode(col("toks")).as("term"),
-        lit(1L).as("tfb"), lit(0L).as("tfa"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("sdlb")).as("sum_dlb"),
+        coalesce(sum(col("nd") * col("dla")), lit(0L)).as("sum_dla"))
+    // both fields as (doc, term, tfb, tfa) deltas → ONE aggregate.
+    // Body rows carry dlb and fk down the explode (constant per doc),
+    // so normalization data needs no separate doc-length join; anchor
+    // rows carry dlb = 0, harmless because tfb = 0 zeroes the body
+    // term before dlb is consulted.
+    val raw = docs
+      .select(id.as("doc_id"), fieldKey.as("fk"),
+        TextFunctions.tokens(text).as("toks"))
+      .select(col("doc_id"), col("fk"),
+        size(col("toks")).cast("long").as("dlb"),
+        explode(col("toks")).as("term"))
       .where(col("term").isin(terms: _*))
-      .unionByName(lens.select(col("doc_id"), col("fk"))
+      .select(col("doc_id"), col("fk"), col("dlb"), col("term"),
+        lit(1L).as("tfb"), lit(0L).as("tfa"))
+      .unionByName(docs.select(id.as("doc_id"), fieldKey.as("fk"))
         .join(broadcast(anc.where(col("term").isin(terms: _*))), Seq("fk"))
-        .select(col("doc_id"), col("term"), lit(0L).as("tfb"),
-          col("n").as("tfa")))
+        .select(col("doc_id"), col("fk"), lit(0L).as("dlb"), col("term"),
+          lit(0L).as("tfb"), col("n").as("tfa")))
     val cmb = raw.groupBy(col("doc_id"), col("term"))
-      .agg(sum(col("tfb")).as("tfb"), sum(col("tfa")).as("tfa"))
+      .agg(sum(col("tfb")).as("tfb"), sum(col("tfa")).as("tfa"),
+        max(col("dlb")).as("dlb"), max(col("fk")).as("fk"))
     val dfreq = cmb.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val spark = docs.sparkSession
     import spark.implicits._
     val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
     val contrib = cmb
-      .join(lens.select(col("doc_id"), col("dlb"), col("dla")), Seq("doc_id"))
+      .join(broadcast(anDl), Seq("fk"), "left")
+      .withColumn("dla", coalesce(col("dla"), lit(0L)))
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -2087,14 +2109,15 @@ object CorpusOps {
     * time on that bounded artifact.
     */
   def bpeTrainMerges(docs: DataFrame, text: Column, numMerges: Int,
-                     maxVocab: Int = 1000000): DataFrame = {
+                     maxVocab: Int = 1000000,
+                     byteLevel: Boolean = false): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
     bpeMergesFromVocabDf(docs
       .select(explode(TextFunctions.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
-      numMerges, maxVocab)
+      numMerges, maxVocab, byteLevel)
   }
 
   /** [[bpeTrainMerges]] from an already-counted (w, cnt) vocabulary
@@ -2107,24 +2130,31 @@ object CorpusOps {
     * cheap aggregate rather than discovering the blow-up as an OOM.
     */
   private[graft] def bpeMergesFromVocabDf(vocabDf: DataFrame, numMerges: Int,
-                                          maxVocab: Int = 1000000): DataFrame = {
+                                          maxVocab: Int = 1000000,
+                                          byteLevel: Boolean = false): DataFrame = {
     val n = vocabDf.count()
     require(n <= maxVocab,
       s"bpeTrainMerges: vocabulary $n exceeds maxVocab $maxVocab — " +
         "raise the cap explicitly if the corpus genuinely has this many distinct words")
     bpeMergesFromVocab(vocabDf.sparkSession,
-      vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+      vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges,
+      byteLevel)
   }
 
   private def bpeMergesFromVocab(spark: org.apache.spark.sql.SparkSession,
                                  vocab: Array[(String, Long)],
-                                 numMerges: Int): DataFrame = {
+                                 numMerges: Int,
+                                 byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
-    // seeding + merge application MUST be the encoder's own kernel
-    // (graft.functions.BpeKernel) — the round-trip bit-identity the
-    // spec pins is a property of sharing one implementation
+    // seeding + merge application MUST be the encoder's own kernels
+    // (graft.functions.BpeKernel / graft.functions.ByteAlphabet) — the
+    // round-trip bit-identity the spec pins is a property of sharing
+    // one implementation; byte-level differs ONLY in the seeding
     var seqs: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (graft.functions.BpeKernel.seed(w), c) }
+      vocab.map { case (w, c) =>
+        (if (byteLevel) graft.functions.ByteAlphabet.seed(w)
+         else graft.functions.BpeKernel.seed(w), c)
+      }
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
     var exhausted = false
@@ -2196,10 +2226,21 @@ object CorpusOps {
     */
   def bpeEncode(docs: DataFrame, docId: Column, text: Column,
                 merges: Seq[(String, String)], passthrough: Column*): DataFrame =
-    docs.select(docId.as("doc_id") +:
-        graft.functions.BpeEncode(text, merges).as("bpe_text") +:
-        passthrough: _*)
+    bpeEncodeAt(docs, docId, text, merges, byteLevel = false, passthrough: _*)
+
+  /** [[bpeEncode]] with the tokenizer LEVEL explicit — byte-level
+    * tables (trained with `byteLevel = true`) must be applied with
+    * byte-level seeding or the merge symbols never match.
+    */
+  def bpeEncodeAt(docs: DataFrame, docId: Column, text: Column,
+                  merges: Seq[(String, String)], byteLevel: Boolean,
+                  passthrough: Column*): DataFrame = {
+    val enc =
+      if (byteLevel) graft.functions.BpeEncode.bytes(text, merges)
+      else graft.functions.BpeEncode(text, merges)
+    docs.select(docId.as("doc_id") +: enc.as("bpe_text") +: passthrough: _*)
       .withColumn("n_bpe_tokens", TextFunctions.tokenCount(col("bpe_text")))
+  }
 
   /** Tokenizer FERTILITY per group — BPE symbols emitted per
     * whitespace word, the standard tokenizer-selection metric (a
@@ -2215,8 +2256,9 @@ object CorpusOps {
     */
   def tokenizerFertility(docs: DataFrame, id: Column, text: Column,
                          group: Column,
-                         merges: Seq[(String, String)]): DataFrame =
-    bpeEncode(docs, id, text, merges, group.as("__grp"),
+                         merges: Seq[(String, String)],
+                         byteLevel: Boolean = false): DataFrame =
+    bpeEncodeAt(docs, id, text, merges, byteLevel, group.as("__grp"),
         TextFunctions.tokenCount(text).as("__nw"))
       .groupBy(col("__grp").as("group"))
       .agg(count(lit(1)).as("n_docs"),

@@ -145,6 +145,74 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: printable-ASCII agreement with char level; byte seeding on non-ASCII") {
+    import graft.text.CorpusOps
+    import graft.functions.ByteAlphabet
+    // the GPT-2 alphabet is a bijection: 256 distinct one-char symbols,
+    // identity exactly on printable Latin-1, decode inverts seed
+    assert(ByteAlphabet.chars.length == 256)
+    assert(ByteAlphabet.chars.distinct.length == 256)
+    assert(ByteAlphabet.chars.forall(_.length == 1))
+    ("!aZ9~/".getBytes("UTF-8")).foreach(b =>
+      assert(ByteAlphabet.chars(b & 0xFF) == String.valueOf(b.toChar)))
+    assert(ByteAlphabet.chars(' '.toInt) != " ") // space is NOT printable here
+    Seq("café", "日本語", "a😀b", "smörgås", "данные").foreach { w =>
+      assert(ByteAlphabet.decode(ByteAlphabet.seed(w).mkString("")) == w,
+        s"seed/decode round trip of '$w'")
+    }
+    // multi-byte seeding: one symbol per UTF-8 BYTE (2 for é, 3 per
+    // CJK char, 4 for an astral emoji) where char level has one per
+    // code point
+    assert(ByteAlphabet.seed("é").length == 2)
+    assert(ByteAlphabet.seed("日本語").length == 9)
+    assert(ByteAlphabet.seed("😀").length == 4)
+    assert(graft.functions.BpeKernel.seed("日本語").length == 3)
+    // printable-ASCII corpus: byte-level seeding IS char-level seeding,
+    // so training and encoding agree exactly (the equivalence that
+    // makes byte level a safe default)
+    val ascii = Seq((1L, "low lower low lowest"), (2L, "low low"),
+      (3L, "mix: max! 42~")).toDF("id", "text")
+    val charM = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(ascii, col("text"), numMerges = 4))
+    val byteM = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(ascii, col("text"), numMerges = 4,
+        byteLevel = true))
+    assert(byteM == charM, "byte == char merges on printable ASCII")
+    val encPair = ascii.select(col("id"),
+        graft.functions.BpeEncode(col("text"), charM).as("c"),
+        graft.functions.BpeEncode.bytes(col("text"), byteM).as("b"))
+      .collect()
+    encPair.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"byte == char encoding on ASCII id ${r.getLong(0)}"))
+    // non-ASCII corpus: byte level learns merges over BYTE symbols —
+    // 'über über über' pairs are (Ã,¼),(¼,b),(b,e),(e,r); char level
+    // never sees Ã or ¼. Encoding with NO merges emits the raw byte
+    // symbols, and words re-assemble through the alphabet decode.
+    val uni = Seq((1L, "über über über")).toDF("id", "text")
+    val bm = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(uni, col("text"), numMerges = 1,
+        byteLevel = true))
+    // count 3 for every adjacent pair; tie-break (left, right) picks
+    // the lexicographically least left symbol: 'b' < 'e' < 'Ã¼'-bytes
+    assert(bm == Seq(("b", "e")))
+    val rawSyms = CorpusOps.bpeEncodeAt(uni, col("id"), col("text"),
+        Seq.empty, byteLevel = true)
+      .collect()(0)
+    assert(rawSyms.getString(1).split(" ").take(5).toSeq ==
+      ByteAlphabet.seed("über").toSeq)
+    assert(rawSyms.getLong(2) == 15L) // 3 words × 5 bytes
+    // byte-level fertility prices multi-byte scripts correctly: the
+    // CJK word is 3 whitespace-words → 9 byte symbols (fertility 3000
+    // permille with no merges) where char level reads 1000
+    val cjk = Seq((1L, "日 本 語")).toDF("id", "text")
+    val fb = CorpusOps.tokenizerFertility(cjk, col("id"), col("text"),
+        lit("g"), Seq.empty, byteLevel = true).collect()(0)
+    val fc = CorpusOps.tokenizerFertility(cjk, col("id"), col("text"),
+        lit("g"), Seq.empty).collect()(0)
+    assert(fb.getAs[Long]("fertility_permille") == 3000L)
+    assert(fc.getAs[Long]("fertility_permille") == 1000L)
+  }
+
   test("BPE model artifact round-trips; load restores rank order from any file layout") {
     import graft.text.CorpusOps
     val docs = Seq((1L, "low lower low lowest"), (2L, "low low")).toDF("id", "text")
