@@ -117,6 +117,22 @@ object SourceFamily {
     when(isUrl, concat(scheme, lit("://"), host, path, qs)).otherwise(s)
   }
 
+  /** The bare HOST of a URL (lowercased, credentials and port
+    * stripped) — the politeness grain below [[familyOf]]'s registered
+    * domain: `blog1.example.com` and `blog2.example.com` are one
+    * budget FAMILY but two fetch TARGETS, and per-host caps
+    * ([[graft.graph.CrawlOps.crawlWorklistPerHost]]) key on this.
+    * Non-URL input yields '' (never a fake host).
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(lower(trim(url)),
+      "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+
+  /** DuckDB rendering of [[hostOf]] — same regex, same fold. */
+  def hostOfSql(e: String): String =
+    s"regexp_extract(lower(trim($e)), " +
+      s"'^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)"
+
   /** SQL (DuckDB-compatible) rendering of [[familyOf]] over a source
     * expression `e` — the oracle-side twin, kept beside the Column form
     * so the two cannot drift. 1-based list indexing; same regexes.

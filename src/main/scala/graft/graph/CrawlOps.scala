@@ -219,6 +219,45 @@ object CrawlOps {
                     maxPerDomain: Int = 10000): DataFrame =
     worklistSelect(frontierTopK(allowed, maxPerDomain), schedule)
 
+  /** [[crawlWorklist]] with a PER-HOST politeness cap under the family
+    * budget — the two-level production shape: the budget keys on the
+    * registered-domain FAMILY ([[graft.functions.SourceFamily.familyOf]]
+    * — that's where rank mass and robots rules live), but a fetcher
+    * opens connections per HOST, and `blog1.example.com` must not
+    * absorb the whole family budget while `blog2.example.com` starves
+    * behind it. Selection: per (family, host) only the `hostCap`
+    * md5-smallest URLs survive, then the family spends its
+    * `n_requests` over the survivors in the SAME md5 order
+    * [[crawlWorklist]] uses — so with `hostCap ≥ n_requests` the two
+    * operators agree exactly (spec-pinned), and below it a family's
+    * spend provably splits across its hosts.
+    *
+    * Scale shape: TWO bounded-buffer exchanges, each the
+    * [[frontierTopK]] two-phase pattern — first keyed (family, host)
+    * with ≤`hostCap` buffers (a 10⁹-URL host moves hostCap rows, not
+    * its URL space), then keyed family over the ≤ hosts·hostCap
+    * survivors; the domain-cardinality schedule broadcasts in the
+    * shared [[worklistSelect]] finalize, whose fold-bound and
+    * `__UNASSIGNED` contracts apply unchanged.
+    */
+  def crawlWorklistPerHost(allowed: DataFrame, schedule: DataFrame,
+                           hostCap: Int,
+                           maxPerDomain: Int = 10000): DataFrame = {
+    require(hostCap >= 1 && hostCap <= maxPerDomain,
+      s"crawlWorklistPerHost: hostCap must be in [1, maxPerDomain=" +
+        s"$maxPerDomain], got $hostCap")
+    val topk = udaf(new graft.functions.Aggregators.UrlTopK(hostCap))
+    val survivors = allowed
+      .select(col("dst_family"),
+        graft.functions.SourceFamily.hostOf(col("canonical")).as("__host"),
+        md5(col("canonical")).as("__prio"), col("canonical"))
+      .groupBy(col("dst_family"), col("__host"))
+      .agg(topk(col("__prio"), col("canonical")).as("tk"))
+      .select(col("dst_family"), explode(col("tk.items")).as("__x"))
+      .select(col("dst_family"), col("__x.url").as("canonical"))
+    worklistSelect(frontierTopK(survivors, maxPerDomain), schedule)
+  }
+
   /** The FOLD half of [[crawlWorklist]] — per dst_family, the bounded
     * md5-smallest-k URL buffer ([[graft.functions.Aggregators.UrlTopK]]
     * semantics). Split out because this half IS the streaming

@@ -172,6 +172,37 @@ object LinkGraph {
     crawlBudgetWithCaps(ranks.withColumn("cap", lit(maxPerDomain)), budget)
   }
 
+  /** Compile [[robotsCrawlDelay]] output into the per-domain CAP
+    * column [[crawlBudgetWithCaps]] consumes — the wiring between the
+    * politeness knob a domain PUBLISHES and the schedule that spends
+    * the crawl budget: over a fetch round of `windowMs`, a domain
+    * asking for `crawl_delay_ms` between requests can absorb at most
+    * `windowMs div crawl_delay_ms` fetches, so its cap is the MIN of
+    * that and the global politeness default. A domain with no delay
+    * row keeps `defaultCap`; a published delay of 0 means "no
+    * constraint" (cap = default), never a division by zero; a delay
+    * longer than the whole window caps the domain at 0 — it asked to
+    * be left alone this round. Input `ranks` (node, rank_micro);
+    * `delays` (family, crawl_delay_ms). Domain-cardinality broadcast
+    * join, no corpus-sized work.
+    */
+  def crawlDelayCaps(ranks: DataFrame, delays: DataFrame, windowMs: Long,
+                     defaultCap: Long): DataFrame = {
+    require(windowMs > 0,
+      s"crawlDelayCaps: windowMs must be positive, got $windowMs")
+    require(defaultCap >= 0,
+      s"crawlDelayCaps: defaultCap must be nonnegative, got $defaultCap")
+    ranks.join(broadcast(delays.select(col("family"),
+        col("crawl_delay_ms"))),
+        ranks("node") === col("family"), "left")
+      .withColumn("cap",
+        when(col("crawl_delay_ms").isNull || col("crawl_delay_ms") <= 0L,
+          lit(defaultCap))
+        .otherwise(least(lit(defaultCap),
+          expr(s"${windowMs}L div crawl_delay_ms"))))
+      .drop("family", "crawl_delay_ms")
+  }
+
   /** [[crawlBudget]] with PER-DOMAIN caps — the production shape: a
     * domain's fetch ceiling is not one global politeness constant but
     * whatever binds tighter per host (its robots crawl-delay, its
@@ -465,6 +496,181 @@ object LinkGraph {
           .as("canonical"),
         when(col("__lm") === "", lit(null).cast("string"))
           .otherwise(col("__lm")).as("lastmod"))
+  }
+
+  /** robots.txt `Crawl-delay` for the wildcard agent — the per-domain
+    * POLITENESS knob the fetch schedule must consume (a domain asking
+    * for 5 s between requests caps a 1-hour crawl round at 720
+    * fetches no matter what its rank earns —
+    * [[crawlDelayCaps]] does that wiring). Group grammar is
+    * [[parseRobots]]'s own (header sets, blank lines ignored, case-
+    * insensitive directives, comments strip): a delay belongs to the
+    * group whose header includes `*`; delays in foreign-agent groups
+    * do NOT apply. Seconds may be fractional ("0.5") — output is
+    * integer `crawl_delay_ms` (the micro-unit rule); several
+    * applicable delays keep the MAX (the conservative read). A
+    * non-numeric or negative value in an applicable group raises
+    * loudly — a gate input that silently parses to "no delay" would
+    * hammer the one domain that asked not to be. Families without an
+    * applicable delay emit NO row (absence is a missing row here —
+    * the consumer's left join + default, not a fake 0).
+    *
+    * Scale shape: SHUFFLE-FREE — one higher-order line fold per
+    * (family, text) row, like [[parseRobots]].
+    */
+  def robotsCrawlDelay(df: DataFrame, family: Column, txt: Column): DataFrame =
+    df.select(family.as("family"),
+        regexp_replace(txt, "\\uFEFF", "").as("__txt"))
+      .withColumn("__cd", expr("""
+        aggregate(
+          transform(split(__txt, '\r?\n'), l -> named_struct(
+            'd', lower(regexp_extract(trim(element_at(split(l, '#'), 1)),
+                   '^([A-Za-z-]+)\\s*:', 1)),
+            'v', trim(regexp_replace(trim(element_at(split(l, '#'), 1)),
+                   '^[A-Za-z-]+\\s*:', '')),
+            'blank', trim(element_at(split(l, '#'), 1)) = '')),
+          named_struct('h', false, 'a', false, 'cd', cast(null as bigint)),
+          (acc, x) -> case
+            when x.blank then acc
+            when x.d = 'user-agent' then named_struct(
+              'h', true,
+              'a', if(acc.h, acc.a or x.v = '*', x.v = '*'),
+              'cd', acc.cd)
+            when x.d = 'crawl-delay' and x.v != '' and acc.a
+            then named_struct('h', false, 'a', acc.a,
+              'cd', greatest(acc.cd,
+                if(try_cast(x.v as decimal(18, 3)) is null
+                     or try_cast(x.v as decimal(18, 3)) < 0,
+                  cast(raise_error(concat(
+                    'robotsCrawlDelay: unparseable Crawl-delay "', x.v,
+                    '" — silently reading it as "no delay" would hammer ',
+                    'the one domain that asked not to be; handle this ',
+                    'file out of band')) as bigint),
+                  cast(try_cast(x.v as decimal(18, 3)) * 1000 as bigint))))
+            else named_struct('h', false, 'a', acc.a, 'cd', acc.cd)
+          end).cd"""))
+      .filter(col("__cd").isNotNull)
+      .select(col("family"), col("__cd").as("crawl_delay_ms"))
+
+  /** robots.txt `Sitemap:` directives — how sitemaps are DISCOVERED
+    * on a real crawl (the index layer is fetched from here, not
+    * guessed): per RFC 9309 §2.3 / sitemaps.org the directive is
+    * INDEPENDENT of agent groups, so every `Sitemap:` line in the
+    * file applies regardless of position. URLs are canonicalized with
+    * the SAME [[graft.functions.SourceFamily.canonicalizeUrl]] as
+    * every other frontier key. Output (family, sm_idx — appearance
+    * order among sitemap lines, sitemap_url); a family with no
+    * directive emits no row. Shuffle-free single line pass.
+    */
+  def robotsSitemaps(df: DataFrame, family: Column, txt: Column): DataFrame =
+    df.select(family.as("family"),
+        regexp_replace(txt, "\\uFEFF", "").as("__txt"))
+      .select(col("family"), posexplode(expr("""
+        filter(transform(split(__txt, '\r?\n'),
+          l -> if(lower(trim(element_at(split(l, '#'), 1)))
+                    rlike '^sitemap\\s*:',
+            trim(regexp_replace(trim(element_at(split(l, '#'), 1)),
+              '^[A-Za-z-]+\\s*:', '')),
+            null)),
+          v -> v is not null and v != '')"""))
+        .as(Seq("__i", "__u")))
+      .select(col("family"), col("__i").cast("long").as("sm_idx"),
+        graft.functions.SourceFamily.canonicalizeUrl(col("__u"))
+          .as("sitemap_url"))
+
+  /** `<sitemapindex>` PARSING — the dominant real-world sitemap
+    * format's TOP layer: every large site publishes an index of child
+    * sitemaps, so discovery hits this before any `<urlset>`. Same
+    * extraction rules as [[parseSitemap]] (trim, entity-decode with
+    * `&amp;` last, canonicalize, optional `<lastmod>`, loc-less
+    * blocks drop leaving their idx gap), over `<sitemap>` blocks
+    * instead of `<url>` blocks. Output (family, sm_idx, child_url,
+    * lastmod). Shuffle-free one regex pass; index files are ≤50k
+    * entries by spec.
+    */
+  def parseSitemapIndex(df: DataFrame, family: Column, xml: Column): DataFrame = {
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(trim(regexp_extract(col("__u"),
+        "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    df.select(family.as("family"),
+        // `[\s>]` keeps `<sitemapindex>` itself from matching; the
+        // literal `</sitemap>` close cannot match `</sitemapindex>`
+        regexp_extract_all(xml, lit("(?s)<sitemap[\\s>].*?</sitemap>"),
+          lit(0)).as("__b"))
+      .select(col("family"), posexplode(col("__b")).as(Seq("__i", "__u")))
+      .select(col("family"), col("__i").cast("long").as("sm_idx"),
+        decoded.as("__loc"),
+        trim(regexp_extract(col("__u"),
+          "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("__lm"))
+      .filter(col("__loc") =!= "")
+      .select(col("family"), col("sm_idx"),
+        graft.functions.SourceFamily.canonicalizeUrl(col("__loc"))
+          .as("child_url"),
+        when(col("__lm") === "", lit(null).cast("string"))
+          .otherwise(col("__lm")).as("lastmod"))
+  }
+
+  /** Sitemap-tree EXPANSION — follow [[robotsSitemaps]]' discovered
+    * roots down through nested `<sitemapindex>` layers to the page
+    * URLs: `fetched` is the sitemap FETCH TABLE (family, url, xml) —
+    * what the fetcher brought back, keyed by canonical URL — and
+    * `roots` is (family, sitemap_url) discovery output. Each round,
+    * the current frontier joins to its fetched bodies; `<sitemapindex>`
+    * bodies contribute their children to the NEXT frontier (minus
+    * every URL already visited — a cyclic index must terminate, not
+    * loop), all other bodies parse as `<urlset>` page rows. A root or
+    * child never fetched contributes nothing (an unfetched sitemap is
+    * absence of data, not an error — the fetch ledger owns that gap).
+    * Index nodes still unexpanded after `maxDepth` rounds RAISE
+    * loudly — the spec says indexes must not nest, the real web nests
+    * a level or two, and a depth cut that silently drops a subtree's
+    * URLs is the one wrong failure mode for discovery.
+    *
+    * Output: one row per (family, canonical) with the LATEST lastmod
+    * across the sitemaps that mention it (null only if never dated).
+    *
+    * Scale shape: a bounded driver loop over FILE-cardinality frames
+    * (sitemap trees are KiB–MB artifacts, orders below the corpus);
+    * each round is one join on the canonical key, lineage truncated
+    * ([[pageRank]]'s idiom). Page rows stay distributed throughout.
+    */
+  def expandSitemaps(fetched: DataFrame, roots: DataFrame,
+                     maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"expandSitemaps: maxDepth must be in [1, 16], got $maxDepth")
+    val bodies = fetched.select(col("family"), col("url"), col("xml"))
+    var frontier = roots.select(col("family"), col("sitemap_url").as("url"))
+      .distinct().localCheckpoint(eager = false)
+    var seen = frontier
+    var pages: DataFrame = null
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val cur = frontier.join(bodies, Seq("family", "url"))
+      val isIdx = col("xml").contains("<sitemapindex")
+      val p = parseSitemap(cur.filter(!isIdx), col("family"), col("xml"))
+        .select(col("family"), col("canonical"), col("lastmod"))
+      pages = if (pages == null) p else pages.unionByName(p)
+      frontier = parseSitemapIndex(cur.filter(isIdx), col("family"),
+          col("xml"))
+        .select(col("family"), col("child_url").as("url")).distinct()
+        .join(seen, Seq("family", "url"), "left_anti")
+        .localCheckpoint(eager = false)
+      seen = seen.unionByName(frontier).localCheckpoint(eager = false)
+      depth += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalArgumentException(
+        s"expandSitemaps: sitemap index still unexpanded after maxDepth=" +
+          s"$maxDepth rounds — a depth cut would silently drop a " +
+          "subtree's URLs; raise maxDepth explicitly")
+    if (pages == null)
+      parseSitemap(fetched.limit(0), col("family"), col("xml"))
+        .select(col("family"), col("canonical"), col("lastmod"))
+    else pages.groupBy(col("family"), col("canonical"))
+      .agg(max(col("lastmod")).as("lastmod"))
   }
 
   /** [[robotsFilter]] reformulated for the SCAN stage — the shape a

@@ -5125,7 +5125,153 @@ object PipelineQueries {
       graft.text.CorpusOps.tokenizerFertility(docs, col("doc_id"),
           byteTextFixture, col("source"), merges, byteLevel = true)
         .orderBy(col("group"))
-    }, Some(byteBpeFertilityOracle(8))))
+    }, Some(byteBpeFertilityOracle(8))),
+
+    // robots.txt Crawl-delay for the wildcard agent — the politeness
+    // knob p163 wires into the budget: group grammar is parseRobots'
+    // own, so a delay in a foreign-agent group does NOT apply, a
+    // groupless delay is ignored, fractional seconds land as integer
+    // ms, and several applicable delays keep the MAX. Generative
+    // oracle over the authored fixture (the p154/p156 pattern).
+    ("p161_robots_crawl_delay", (s, d) => {
+      import s.implicits._
+      graft.graph.LinkGraph.robotsCrawlDelay(
+          robotsMetaFixture.toDF("family", "txt"),
+          col("family"), col("txt"))
+        .orderBy(col("family"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('polite.net', CAST(10000 AS BIGINT)),
+        ('src0.com', 5000))
+        AS t(family, crawl_delay_ms)
+      ORDER BY family""")),
+
+    // Sitemap DISCOVERY end-to-end: robots `Sitemap:` directives
+    // (group-INDEPENDENT per RFC 9309 §2.3) name the roots, and the
+    // tree expands through nested <sitemapindex> layers to page URLs
+    // — the dominant real-world format's actual shape, which p156's
+    // single-<urlset> parse never reached. Latest lastmod wins across
+    // sitemaps that mention one page; an unfetched child contributes
+    // nothing; a cyclic index terminates. Generative oracle.
+    ("p162_sitemap_expand", (s, d) => {
+      import s.implicits._
+      val roots = graft.graph.LinkGraph.robotsSitemaps(
+        robotsMetaFixture.toDF("family", "txt"), col("family"), col("txt"))
+      graft.graph.LinkGraph.expandSitemaps(
+          sitemapTreeFixture.toDF("family", "url", "xml"), roots)
+        .orderBy(col("family"), col("canonical"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('polite.net', 'https://polite.net/q1', '2026-07-30'),
+        ('src0.com', 'https://src0.com/p1', '2026-08-10'),
+        ('src0.com', 'https://src0.com/p2?a=1&b=2', CAST(NULL AS VARCHAR)),
+        ('src0.com', 'https://src0.com/p3', NULL))
+        AS t(family, canonical, lastmod)
+      ORDER BY family, canonical""")),
+
+    // Crawl-delay wired into the SCHEDULE — the arc the two ends of
+    // which already existed (parse gates p161, budget gates p139):
+    // published delays compile to per-domain caps (window div delay,
+    // bounded by the politeness default) and the largest-remainder
+    // budget provably redistributes the capped domains' spend. src0
+    // (5 s) and polite.net (10 s) bind at 12 and 6 of a 60-request
+    // budget over a 60 s window; the remainder flows to the un-delayed
+    // families. The oracle recomputes caps and the proportioning chain
+    // from the authored delays — integer div semantics end-to-end.
+    ("p163_delay_schedule", (s, d) => {
+      import s.implicits._
+      val ranks = Seq(("src0.com", 500000L), ("polite.net", 300000L),
+        ("foreign.org", 150000L), ("example.com", 50000L))
+        .toDF("node", "rank_micro")
+      val delays = graft.graph.LinkGraph.robotsCrawlDelay(
+        robotsMetaFixture.toDF("family", "txt"), col("family"), col("txt"))
+      graft.graph.LinkGraph.crawlBudgetWithCaps(
+          graft.graph.LinkGraph.crawlDelayCaps(ranks, delays,
+            windowMs = 60000L, defaultCap = 40L),
+          budget = 60L)
+        .orderBy(col("node"))
+    }, Some("""
+      WITH ranks(node, rank_micro) AS (VALUES
+        ('src0.com', CAST(500000 AS BIGINT)),
+        ('polite.net', 300000), ('foreign.org', 150000),
+        ('example.com', 50000)),
+      delays(family, d) AS (VALUES
+        ('src0.com', CAST(5000 AS BIGINT)), ('polite.net', 10000)),
+      cp AS (SELECT node, rank_micro,
+               CASE WHEN d IS NULL OR d <= 0 THEN 40
+                    ELSE least(40, 60000 // d) END AS cap
+             FROM ranks LEFT JOIN delays ON node = family),
+      tot AS (SELECT sum(rank_micro) AS sr FROM cp),
+      a AS (SELECT node, rank_micro, cap,
+              CAST(60 * rank_micro // sr AS BIGINT) AS ideal
+            FROM cp, tot),
+      b AS (SELECT node, rank_micro, cap, ideal,
+              least(ideal, cap) AS take1,
+              cap - least(ideal, cap) AS head FROM a),
+      t2 AS (SELECT sum(take1) AS st, sum(head) AS sh FROM b),
+      c AS (SELECT node, rank_micro,
+              CAST(take1 + CASE WHEN sh > 0
+                THEN (60 - st) * head // sh ELSE 0 END AS BIGINT)
+                AS n_requests,
+              ideal > cap AS capped
+            FROM b, t2)
+      SELECT node, rank_micro, n_requests, capped FROM (
+        SELECT * FROM c
+        UNION ALL
+        SELECT '__UNASSIGNED', CAST(0 AS BIGINT),
+               CAST(60 - (SELECT sum(n_requests) FROM c) AS BIGINT), false)
+      ORDER BY node""")),
+
+    // PER-HOST politeness under the family budget — the two-level cap
+    // a real fetcher enforces: twohost.com's 10 requests must split
+    // across its three hosts at ≤ 4 each (no host absorbs the family
+    // budget), while single-host solo.net spends through one host
+    // untouched. URL space derives from doc_id arithmetic so volume
+    // scales with SF; selection order is the same md5 priority as
+    // p145, recomputed verbatim by the oracle's two-level row_number
+    // chain.
+    ("p164_worklist_per_host", (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val allowed = docs.select(
+          concat(lit("https://h"), (col("doc_id") % 3).cast("string"),
+            lit(".twohost.com/p/"), id).as("canonical"),
+          lit("twohost.com").as("dst_family"))
+        .unionByName(docs.select(
+          concat(lit("https://one.solo.net/p/"), id).as("canonical"),
+          lit("solo.net").as("dst_family")))
+      val sched = Seq(("twohost.com", 10L), ("solo.net", 4L))
+        .toDF("node", "n_requests")
+      graft.graph.CrawlOps.crawlWorklistPerHost(allowed, sched,
+          hostCap = 4, maxPerDomain = 100)
+        .orderBy(col("dst_family"), col("pos"))
+    }, Some("""
+      WITH u AS (
+        SELECT 'https://h' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.twohost.com/p/' || CAST(doc_id AS VARCHAR) AS canonical,
+               'twohost.com' AS dst_family,
+               'h' || CAST(doc_id % 3 AS VARCHAR) || '.twohost.com' AS host
+        FROM documents
+        UNION ALL
+        SELECT 'https://one.solo.net/p/' || CAST(doc_id AS VARCHAR),
+               'solo.net', 'one.solo.net'
+        FROM documents),
+      sched(node, n_requests) AS (VALUES
+        ('twohost.com', CAST(10 AS BIGINT)), ('solo.net', 4)),
+      ph AS (SELECT canonical, dst_family,
+               row_number() OVER (PARTITION BY dst_family, host
+                 ORDER BY md5(canonical), canonical) AS hpos
+             FROM u),
+      surv AS (SELECT canonical, dst_family FROM ph WHERE hpos <= 4),
+      wl AS (SELECT canonical, dst_family,
+               row_number() OVER (PARTITION BY dst_family
+                 ORDER BY md5(canonical), canonical) AS pos
+             FROM surv)
+      SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
+      FROM wl JOIN sched ON dst_family = node
+      WHERE pos <= n_requests
+      ORDER BY dst_family, pos""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with
@@ -5489,6 +5635,68 @@ object PipelineQueries {
       "User-agent: *\n" +
         "Allow: /\n" +
         "Disallow: /\n"))
+
+  /** p161/p162/p163's robots fixture: the shared [[robotsTxtFixture]]
+    * families plus the directive hazards those entries gate — a
+    * `Sitemap:` line standing alone (group-independent), a BOM+CRLF
+    * file with a fractional delay AND a second wildcard group whose
+    * larger delay must win (MAX), a messy-cased sitemap URL that must
+    * canonicalize, and a family whose delay sits ONLY in a foreign
+    * agent group (no delay row) but whose sitemap directive still
+    * applies (pointing at a never-fetched file, which expansion must
+    * silently skip — the fetch ledger owns that gap).
+    */
+  private[graft] lazy val robotsMetaFixture: Seq[(String, String)] =
+    robotsTxtFixture ++ Seq(
+      ("src0.com", "Sitemap: https://src0.com/smidx.xml\n"),
+      ("polite.net",
+        "﻿User-agent: *\r\n" +
+          "Crawl-Delay: 2.5\r\n" +
+          "Disallow: /tmp\r\n" +
+          "\r\n" +
+          "User-agent: *\n" +
+          "Crawl-delay: 10\n" +
+          "Sitemap: https://POLITE.NET/sm.xml?b=2&a=1#x\n"),
+      ("foreign.org",
+        "User-agent: megabot\n" +
+          "Crawl-delay: 9\n" +
+          "Sitemap: https://foreign.org/unfetched.xml\n"))
+
+  /** p162's sitemap FETCH TABLE — a two-level `<sitemapindex>` tree
+    * for src0.com (root index → a `<urlset>` + a nested index that
+    * also points back at the root: the cycle must terminate; the
+    * nested level re-mentions p1 with a LATER lastmod: max wins; one
+    * child is never fetched: skipped), and polite.net's single
+    * `<urlset>` keyed by the CANONICALIZED form of its messy robots
+    * directive URL.
+    */
+  private[graft] lazy val sitemapTreeFixture: Seq[(String, String, String)] = Seq(
+    ("src0.com", "https://src0.com/smidx.xml",
+      "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+        "  <sitemap><loc>https://src0.com/sm-a.xml</loc></sitemap>\n" +
+        "  <sitemap><loc>https://src0.com/deep.xml</loc></sitemap>\n" +
+        "  <sitemap><loc>https://src0.com/missing.xml</loc></sitemap>\n" +
+        "</sitemapindex>\n"),
+    ("src0.com", "https://src0.com/sm-a.xml",
+      "<urlset>\n" +
+        "  <url><loc>https://src0.com/p1</loc>" +
+        "<lastmod>2026-08-01</lastmod></url>\n" +
+        "  <url><loc> https://Src0.com/p2?b=2&amp;a=1 </loc></url>\n" +
+        "</urlset>\n"),
+    ("src0.com", "https://src0.com/deep.xml",
+      "<sitemapindex>\n" +
+        "  <sitemap><loc>https://src0.com/sm-b.xml</loc></sitemap>\n" +
+        "  <sitemap><loc>https://src0.com/smidx.xml</loc></sitemap>\n" +
+        "</sitemapindex>\n"),
+    ("src0.com", "https://src0.com/sm-b.xml",
+      "<urlset>\n" +
+        "  <url><loc>https://src0.com/p1</loc>" +
+        "<lastmod>2026-08-10</lastmod></url>\n" +
+        "  <url><loc>https://src0.com/p3</loc></url>\n" +
+        "</urlset>\n"),
+    ("polite.net", "https://polite.net/sm.xml?a=1&b=2",
+      "<urlset><url><loc>https://polite.net/q1</loc>" +
+        "<lastmod>2026-07-30</lastmod></url></urlset>\n"))
 
   /** p138's robots gate as shared CTEs ending in `gate` (canonical,
     * dst_family, allowed, rule_prefix) — reused verbatim by p139's

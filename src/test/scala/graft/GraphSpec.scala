@@ -548,4 +548,178 @@ class GraphSpec extends AnyFunSuite {
     assert(out.find(r => r._3.endsWith("/nolastmod")).get._4.isEmpty)
     assert(out.find(r => r._3.endsWith("/fresh")).get._4.contains("2026-08-14"))
   }
+
+  test("robotsCrawlDelay: wildcard-group only, fractional to ms, max of several, bad value raises") {
+    val txts = Seq(
+      // applies: in the * group; foreign group's delay must NOT
+      ("a.com", "User-agent: megabot\nCrawl-delay: 99\n" +
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 5\n"),
+      // fractional seconds -> integer ms; two applicable -> MAX
+      ("b.com", "User-agent: *\nCrawl-delay: 0.5\n\n" +
+        "User-agent: *\nCrawl-delay: 2.25\n"),
+      // only a foreign group has one -> NO row
+      ("c.com", "User-agent: otherbot\nCrawl-delay: 7\n"),
+      // delay before any header is groupless -> ignored
+      ("d.com", "Crawl-delay: 9\nUser-agent: *\nDisallow: /\n"),
+      // CRLF + BOM (the parseRobots hazards) must not break the fold
+      ("e.com", "﻿User-agent: *\r\nCrawl-Delay: 3 # polite\r\n"))
+      .toDF("family", "txt")
+    val out = LinkGraph.robotsCrawlDelay(txts, col("family"), col("txt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a.com" -> 5000L, "b.com" -> 2250L, "e.com" -> 3000L))
+    // the committed robots fixture: src0.com publishes 5 in its * group
+    val fx = LinkGraph.robotsCrawlDelay(
+        graft.queries.PipelineQueries.robotsTxtFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fx("src0.com") == 5000L)
+    // unparseable value in an APPLICABLE group raises loudly
+    val e = intercept[Exception] {
+      TestSpark.quietly(LinkGraph.robotsCrawlDelay(
+          Seq(("f.com", "User-agent: *\nCrawl-delay: soon\n"))
+            .toDF("family", "txt"),
+          col("family"), col("txt")).collect())
+    }
+    assert(e.getMessage.contains("unparseable"))
+  }
+
+  test("robotsSitemaps: group-independent, canonicalized, appearance order") {
+    val txts = Seq(
+      ("a.com", "Sitemap: https://WWW.A.COM:443/sitemap.xml?b=2&a=1\n" +
+        "User-agent: otherbot\nDisallow: /\n" +
+        "sitemap: https://a.com/news.xml # daily\n"),
+      ("b.com", "User-agent: *\nDisallow: /x\n")).toDF("family", "txt")
+    val out = LinkGraph.robotsSitemaps(txts, col("family"), col("txt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // both lines apply (one sits inside a FOREIGN group - the
+    // directive is group-independent per RFC 9309 2.3), both
+    // canonicalize, idx follows appearance order; b.com emits nothing
+    assert(out.toSeq == Seq(
+      ("a.com", 0L, "https://www.a.com/sitemap.xml?a=1&b=2"),
+      ("a.com", 1L, "https://a.com/news.xml")))
+  }
+
+  test("parseSitemapIndex: sitemap blocks only, entity decode, idx gap, null lastmod") {
+    val xml =
+      "<?xml version=\"1.0\"?>\n" +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "  <sitemap><loc> https://A.com/s1.xml?b=2&amp;a=1 </loc>\n" +
+        "    <lastmod>2026-08-01</lastmod></sitemap>\n" +
+        "  <sitemap><lastmod>2026-08-02</lastmod></sitemap>\n" +
+        "  <sitemap><loc>https://a.com/s2.xml</loc></sitemap>\n" +
+        "</sitemapindex>\n"
+    val out = LinkGraph.parseSitemapIndex(
+        Seq(("a.com", xml)).toDF("family", "xml"), col("family"), col("xml"))
+      .collect().map(r => (r.getLong(1), r.getString(2), Option(r.getString(3))))
+    // <sitemapindex> itself never matches a <sitemap> block; the
+    // loc-less middle block drops leaving idx 0,2
+    assert(out.toSeq == Seq(
+      (0L, "https://a.com/s1.xml?a=1&b=2", Some("2026-08-01")),
+      (2L, "https://a.com/s2.xml", None)))
+  }
+
+  test("expandSitemaps: nested index walks to pages, cycles terminate, depth cut raises") {
+    def urlset(us: (String, String)*): String =
+      "<urlset>" + us.map { case (u, lm) =>
+        s"<url><loc>$u</loc>" +
+          (if (lm == null) "" else s"<lastmod>$lm</lastmod>") + "</url>"
+      }.mkString + "</urlset>"
+    def index(children: String*): String =
+      "<sitemapindex>" +
+        children.map(c => s"<sitemap><loc>$c</loc></sitemap>").mkString +
+        "</sitemapindex>"
+    val fetched = Seq(
+      // root index -> one urlset child + one NESTED index child that
+      // also points BACK at the root (a cycle that must terminate)
+      ("a.com", "https://a.com/root.xml",
+        index("https://a.com/s1.xml", "https://a.com/sub.xml")),
+      ("a.com", "https://a.com/s1.xml",
+        urlset(("https://a.com/p1", "2026-08-01"),
+          ("https://a.com/p2", null))),
+      ("a.com", "https://a.com/sub.xml",
+        index("https://a.com/s2.xml", "https://a.com/root.xml")),
+      // the same page again, LATER lastmod - the max must win
+      ("a.com", "https://a.com/s2.xml",
+        urlset(("https://a.com/p1", "2026-08-09"))))
+      .toDF("family", "url", "xml")
+    val roots = Seq(("a.com", "https://a.com/root.xml"))
+      .toDF("family", "sitemap_url")
+    val out = LinkGraph.expandSitemaps(fetched, roots)
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toMap
+    assert(out == Map(
+      "https://a.com/p1" -> Some("2026-08-09"), // latest across sitemaps
+      "https://a.com/p2" -> None))
+    // an unfetched child contributes nothing (the fetch ledger owns
+    // that gap); a root pointing at nothing yields an EMPTY frame
+    val sparse = LinkGraph.expandSitemaps(
+      fetched.filter(col("url") =!= "https://a.com/s1.xml"), roots)
+    assert(sparse.collect().map(_.getString(1)).toSeq ==
+      Seq("https://a.com/p1"))
+    // an index chain deeper than maxDepth RAISES - a silent depth cut
+    // would drop the subtree's URLs from discovery
+    val deep = Seq(
+      ("a.com", "https://a.com/root.xml", index("https://a.com/l1.xml")),
+      ("a.com", "https://a.com/l1.xml", index("https://a.com/l2.xml")),
+      ("a.com", "https://a.com/l2.xml", urlset(("https://a.com/p9", null))))
+      .toDF("family", "url", "xml")
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.expandSitemaps(deep, roots, maxDepth = 2)
+    }
+    assert(e.getMessage.contains("maxDepth"))
+    assert(LinkGraph.expandSitemaps(deep, roots, maxDepth = 3)
+      .collect().map(_.getString(1)).toSeq == Seq("https://a.com/p9"))
+  }
+
+  test("crawlDelayCaps: published delay binds the cap; schedule spends less there") {
+    val ranks = Seq(("fast.com", 600000L), ("slow.com", 400000L))
+      .toDF("node", "rank_micro")
+    val delays = Seq(("slow.com", 5000L)).toDF("family", "crawl_delay_ms")
+    // 60 s window, 5 s delay -> 12 fetches max; fast.com keeps default
+    val caps = LinkGraph.crawlDelayCaps(ranks, delays,
+        windowMs = 60000L, defaultCap = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(caps == Map("fast.com" -> 100L, "slow.com" -> 12L))
+    // wired through the budget: slow.com is capped at 12 and the
+    // remainder flows to fast.com - the delay provably shrank spend
+    val sched = LinkGraph.crawlBudgetWithCaps(
+        LinkGraph.crawlDelayCaps(ranks, delays, 60000L, 100L), budget = 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sched("slow.com") == 12L)
+    assert(sched("fast.com") == 38L)
+    assert(sched("__UNASSIGNED") == 0L)
+    // delay 0 = no constraint; delay > window = 0 cap (left alone)
+    val edge = LinkGraph.crawlDelayCaps(ranks,
+        Seq(("fast.com", 0L), ("slow.com", 120000L))
+          .toDF("family", "crawl_delay_ms"), 60000L, 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(edge == Map("fast.com" -> 100L, "slow.com" -> 0L))
+  }
+
+  test("crawlWorklistPerHost: host cap splits family spend; wide cap equals crawlWorklist") {
+    import graft.graph.CrawlOps
+    // one family, two hosts, 6 URLs each; budget 8 with hostCap 4:
+    // NEITHER host may exceed 4 even if md5 order favors it
+    val allowed = (0 until 6).flatMap { i =>
+      Seq((s"https://a.fam.com/p/$i", "fam.com"),
+        (s"https://b.fam.com/p/$i", "fam.com"))
+    }.toDF("canonical", "dst_family")
+    val sched = Seq(("fam.com", 8L)).toDF("node", "n_requests")
+    val out = CrawlOps.crawlWorklistPerHost(allowed, sched,
+        hostCap = 4, maxPerDomain = 100)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.length == 8)
+    assert(out.map(_._2).sorted.toSeq == (1L to 8L)) // dense pos
+    val byHost = out.map(_._1).groupBy(u =>
+      u.stripPrefix("https://").takeWhile(_ != '.'))
+    assert(byHost("a").length == 4 && byHost("b").length == 4,
+      s"8 requests over hostCap 4 must split 4/4, got $byHost")
+    // hostCap >= n_requests: per-host pruning cannot bind, so the
+    // two operators agree exactly
+    val wide = CrawlOps.crawlWorklistPerHost(allowed, sched,
+        hostCap = 12, maxPerDomain = 100)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val base = CrawlOps.crawlWorklist(allowed, sched, maxPerDomain = 100)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(wide == base)
+  }
 }
