@@ -3,10 +3,16 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** REAL image decode path — `javax.imageio` (JDK-bundled: PNG/BMP decode
-  * is pure Java, zero new dependencies). This replaces [[Multimodal.FakeCodec]]
-  * for the `image` kind; the fake remains ONLY for audio/video kinds,
-  * whose codecs genuinely aren't in this environment.
+/** REAL image decode path — `javax.imageio` (JDK-bundled: PNG/BMP/JPEG
+  * decode is pure Java, zero new dependencies). This replaces
+  * [[Multimodal.FakeCodec]] for the `image` kind; the fake remains ONLY
+  * for COMPRESSED audio/video kinds, whose codecs genuinely aren't in
+  * this environment. JPEG — the dominant web image format — decodes
+  * through the same auto-detecting [[Codec.decodeGray]], so every
+  * operator takes mixed PNG/BMP/JPEG payload columns unchanged; being
+  * lossy it is spec-gated (exact pins on committed bytes, tolerance on
+  * round trips, cross-format near-dedup) while formula-duality oracles
+  * stay PNG.
   *
   * Split of responsibilities:
   *   - The OPERATORS ([[decodeMeta]], [[luminanceHistogram]], [[resize]],
@@ -62,6 +68,42 @@ object ImageCodec {
       }
       encodeBuf.reset()
       javax.imageio.ImageIO.write(img, "png", encodeBuf)
+      encodeBuf.toByteArray
+    }
+
+    /** Encode a gray image to JPEG bytes at `quality` — the DOMINANT
+      * web image format (most of what image dedup actually sees), via
+      * the JDK-native JPEG writer (zero new dependencies). JPEG is
+      * LOSSY: decode(encode(pix)) ≠ pix, so unlike PNG this cannot
+      * back a formula-duality oracle — JPEG coverage is spec-gated
+      * (exact stats pinned on committed bytes, tolerance properties
+      * on encode→decode round trips) while the oracle-gated entries
+      * stay PNG. The decode side needs nothing new: [[decodeGray]]
+      * auto-detects the container via ImageIO, so every operator
+      * (decodeMeta, histograms, resize, aHash, near-dedup) already
+      * accepts mixed PNG/BMP/JPEG payload columns unchanged.
+      */
+    def encodeGrayJpeg(w: Int, h: Int, pix: Int => Int,
+                       quality: Float = 0.9f): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pix(y * w + x) & 0xff); x += 1 }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      encodeBuf.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(encodeBuf)
+      try {
+        wr.setOutput(ios)
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { wr.dispose(); ios.close() }
       encodeBuf.toByteArray
     }
 

@@ -52,6 +52,41 @@ object Multimodal {
     def frames(nBytes: Column): Column = (nBytes % 10 + 1).cast("long")
   }
 
+  /** Kinds whose payloads DECODE FOR REAL in this environment: `image`
+    * (PNG/BMP/JPEG via [[ImageCodec]]) and `audio` meaning PCM
+    * RIFF/WAVE via [[AudioCodec]]. Everything else — `video` and the
+    * compressed-audio kinds (`audio/mp3`, `audio/opus`, …) — is
+    * [[FakeCodec]]-backed.
+    */
+  val realDecodeKinds: Set[String] = Set("image", "audio")
+
+  /** The HONESTY GUARD between the two tiers: the oracle-gated DSP
+    * entries (p56/p80 image kernels, p110/p111 audio DSP) prove their
+    * numbers against REAL decoded bytes, and a [[FakeCodec]]-backed
+    * kind flowing into one of them would dress stub pseudo-data in an
+    * oracle-gated operator's clothes — the one silent widening this
+    * repo must never allow. Any row whose `kind` is not in
+    * [[realDecodeKinds]] RAISES, naming the operator and the stub
+    * tier; real-kind rows pass through unchanged. The byte-level
+    * guards below this one (ImageCodec's "could not decode",
+    * AudioCodec's "not a RIFF/WAVE payload") still catch mislabeled
+    * payloads — this guard catches mislabeled PIPELINES, before a
+    * single byte is decoded.
+    */
+  def requireRealDecode(df: DataFrame, kind: Column,
+                        operator: String): DataFrame = {
+    val k = lower(trim(kind))
+    // a FILTER, not a dropped projection column: Catalyst would prune
+    // an unused gate column away, silently disarming the contract
+    df.filter(
+      when(k.isin(realDecodeKinds.toSeq: _*), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$operator runs on REAL decoded bytes; kind '"), k,
+          lit("' is FakeCodec-backed (stub tier) and cannot flow " +
+            "into an oracle-gated DSP operator — decode it for real " +
+            "or route it to the fake* operators"))).cast("boolean")))
+  }
+
   /** Decode metadata from a binary payload column (stubbed decode — the
     * shape of the operation, i.e. scan → per-row kernel → struct-ish
     * output, is the real thing). Stays in whole-stage codegen.

@@ -317,4 +317,122 @@ class MultimodalSpec extends AnyFunSuite {
         .map(k => SyntheticAudio.sampleAt(seed, k).toShort))
     }
   }
+
+  /** The 48×32 smooth-gradient source behind the COMMITTED
+    * src/test/resources/graft/jpeg_fixture.jpg (generated once at
+    * quality 0.9 and checked in — lossy decode breaks formula duality,
+    * so JPEG pins run on fixed bytes, not oracle duals).
+    */
+  private def jpegSourcePixel(k: Int): Int = {
+    val (w, h) = (48, 32)
+    val x = k % w; val y = k / w
+    val v = x * 255 / (w - 1) + y * 64 / (h - 1) +
+      (32 * math.sin(x / 8.0)).toInt
+    v.max(0).min(255)
+  }
+
+  test("ImageCodec decodes the committed JPEG fixture to exact pinned stats") {
+    import graft.multimodal.ImageCodec
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/jpeg_fixture.jpg")
+      assert(in != null, "committed fixture missing")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(bytes.length == 520) // the committed bytes, not a re-encode
+    assert((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8) // JFIF SOI
+    val codec = new ImageCodec.Codec
+    val im = codec.decodeGray(bytes)
+    assert(im.width == 48 && im.height == 32)
+    // EXACT decoded-luminance pin on the committed bytes — the decode
+    // path is deterministic for fixed input
+    assert(im.pixels.map(_.toLong).sum == 242276L)
+    // lossy but close: the decode tracks the source formula within a
+    // small mean error on this JPEG-friendly smooth content
+    val meanAbs = im.pixels.zipWithIndex
+      .map { case (p, k) => math.abs(p - jpegSourcePixel(k)) }.sum.toDouble /
+      im.pixels.length
+    assert(meanAbs < 4.0, s"mean abs err $meanAbs")
+    // the ranked kernels agree with the source image at the hash
+    // level: aHash of the decoded JPEG sits within a small Hamming
+    // distance of the lossless source's
+    val png = codec.encodeGrayPng(48, 32, jpegSourcePixel)
+    val hJpeg = codec.aHash64(im)
+    val hPng = codec.aHash64(codec.decodeGray(png))
+    val dist = hJpeg.zip(hPng).count { case (a, b) => a != b }
+    assert(dist <= 4, s"aHash Hamming distance $dist")
+    // decodeMeta (the operator path) reports the same pinned stats
+    val row = ImageCodec.decodeMeta(
+        Seq((9L, bytes)).toDF("media_id", "payload"),
+        col("media_id"), col("payload"))
+      .collect()(0)
+    assert((row.getLong(1), row.getLong(2), row.getLong(4)) ==
+      ((48L, 32L, 242276L)))
+  }
+
+  test("mixed PNG+JPEG payloads flow through the image operators and near-dedup together") {
+    import graft.multimodal.ImageCodec
+    val codec = new ImageCodec.Codec
+    val (w, h) = (64, 64)
+    def smooth(k: Int): Int = {
+      val x = k % w; val y = k / w
+      (x * 2 + y + (24 * math.sin(y / 9.0)).toInt).max(0).min(255)
+    }
+    val png = codec.encodeGrayPng(w, h, smooth)
+    val jpg = codec.encodeGrayJpeg(w, h, smooth)
+    val other = codec.encodeGrayPng(w, h, k => 255 - smooth(k))
+    // encode→decode tolerance: dims exact, luminance close
+    val back = codec.decodeGray(jpg)
+    assert(back.width == w && back.height == h)
+    val meanAbs = back.pixels.zipWithIndex
+      .map { case (p, k) => math.abs(p - smooth(k)) }.sum.toDouble / (w * h)
+    assert(meanAbs < 4.0, s"mean abs err $meanAbs")
+    // ONE payload column mixing containers: every operator decodes via
+    // format auto-detection; no format flag anywhere in the API
+    val media = Seq((1L, png), (2L, jpg), (3L, other))
+      .toDF("media_id", "payload")
+    val meta = ImageCodec.decodeMeta(media, col("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(meta == Map(1L -> 4096L, 2L -> 4096L, 3L -> 4096L))
+    // near-dedup pairs the SAME image across formats (p80's machinery,
+    // unchanged) and keeps the distinct image apart
+    val dd = ImageCodec.phashNearDedup(media, col("media_id"),
+        col("payload"), maxDist = 7)
+      .select(col("media_id"), col("keeper_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dd(1L) == 1L && dd(2L) == 1L, s"cross-format pair: $dd")
+    assert(dd(3L) == 3L, s"distinct content stays: $dd")
+  }
+
+  test("requireRealDecode: stub-tier kinds cannot flow into real-DSP operators") {
+    import graft.multimodal.{ImageCodec, Multimodal}
+    val codec = new ImageCodec.Codec
+    val png = codec.encodeGrayPng(4, 4, k => k * 16)
+    // real kinds pass through unchanged (rows AND values)
+    val ok = Seq((1L, "image", png), (2L, "audio", png))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.requireRealDecode(ok, col("kind"), "spec")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a FakeCodec-backed kind RAISES, naming the stub tier — even when
+    // the gate output is only counted (the filter cannot be pruned)
+    for (bad <- Seq("video", "audio/mp3", "AUDIO/OPUS")) {
+      val mixed = ok.unionByName(
+        Seq((3L, bad, png)).toDF("media_id", "kind", "payload"))
+      val e = intercept[Exception] {
+        TestSpark.quietly(
+          Multimodal.requireRealDecode(mixed, col("kind"), "p110_audio_stats")
+            .count())
+      }
+      assert(e.getMessage.contains("FakeCodec"), s"kind $bad: ${e.getMessage}")
+      assert(e.getMessage.contains("p110_audio_stats"))
+    }
+    // the guarded frame feeds the real operators exactly as before:
+    // gate → decode is the composition the DSP entries use
+    val metaRows = ImageCodec.decodeMeta(
+        Multimodal.requireRealDecode(
+          Seq((7L, "image", png)).toDF("media_id", "kind", "payload"),
+          col("kind"), "spec"),
+        col("media_id"), col("payload"))
+      .collect()
+    assert(metaRows.length == 1 && metaRows(0).getLong(1) == 4L)
+  }
 }
