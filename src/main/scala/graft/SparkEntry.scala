@@ -263,7 +263,16 @@ object SparkEntry {
       Some(sharedOracle("p152_cdc_chunks"))),
     ("q130_streaming_recrawl",
       (s, d) => graft.streaming.StreamingQueries.recrawlScheduleStream(s, d),
-      Some(sharedOracle("p147_recrawl_schedule"))))
+      Some(sharedOracle("p147_recrawl_schedule"))),
+    ("q131_streaming_byte_bpe_train",
+      (s, d) => graft.streaming.StreamingQueries.byteBpeTrain(s, d),
+      Some(sharedOracle("p158_bpe_bytes_train"))),
+    ("q132_streaming_byte_bpe_encode",
+      (s, d) => graft.streaming.StreamingQueries.byteBpeEncodeStream(s, d),
+      Some(sharedOracle("p159_bpe_bytes_encode"))),
+    ("q133_streaming_per_host_worklist",
+      (s, d) => graft.streaming.StreamingQueries.perHostWorklistStream(s, d),
+      Some(sharedOracle("p164_worklist_per_host"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -361,5 +370,9 @@ object SparkEntry {
     // pair-join (per-doc work bounded by query-term occurrences, not
     // token count), and the line-frequency hygiene pass (two corpus
     // text passes + a (family, line) stats join)
-    "p145_crawl_worklist", "p146_snippets", "p148_boilerplate_strip")
+    "p145_crawl_worklist", "p146_snippets", "p148_boilerplate_strip",
+    // round-9: byte-level tokenizer inference over the decorated corpus
+    // (map-side codegen kernel throughput) and the two-level host-cap
+    // worklist (double bounded-TopK exchange)
+    "p159_bpe_bytes_encode", "p164_worklist_per_host")
 }

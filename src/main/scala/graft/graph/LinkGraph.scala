@@ -736,13 +736,70 @@ object LinkGraph {
     pageRankImpl(edges, iters, dampPermille,
       seeds = Some(seeds.select(col("node")).distinct()))
 
-  private def pageRankImpl(edges: DataFrame, iters: Int,
-                           dampPermille: Int,
-                           seeds: Option[DataFrame]): DataFrame = {
-    require(iters >= 0 && iters <= 50,
-      s"pageRank: iters must be in [0, 50], got $iters")
+  /** WARM-START PageRank — iterate from a PREVIOUS rank artifact
+    * instead of uniform init: the incremental shape a live crawl needs
+    * (q119 accumulates the link graph continuously; recomputing ranks
+    * from scratch each epoch throws away the previous epoch's
+    * convergence). `init` is any (node, rank_micro) frame — typically
+    * the saved artifact of the last run, loaded back parquet-first.
+    * Nodes NEW to the graph start at the cold 1 000 000; nodes that
+    * left the graph drop (the node table always comes from the
+    * current edges). The round body is the SAME code path as
+    * [[pageRank]], so `pageRankFrom(e, pageRank(e, k), m)` equals
+    * `pageRank(e, k + m)` EXACTLY by construction — the identity the
+    * p165 oracle gates — and on a PERTURBED graph the warm start
+    * reaches the new fixpoint in fewer rounds (spec-pinned via
+    * [[pageRankConverged]]).
+    */
+  def pageRankFrom(edges: DataFrame, init: DataFrame, iters: Int,
+                   dampPermille: Int = 850): DataFrame =
+    pageRankImpl(edges, iters, dampPermille, seeds = None,
+      init = Some(init.select(col("node"), col("rank_micro"))))
+
+  /** Iterate global PageRank to the EXACT integer fixpoint (integer
+    * micro-unit rounds are eventually stationary: updates shrink with
+    * the damping power and the floors quantize them to 0), returning
+    * (ranks, rounds used). `init` warm-starts when given; `maxIters`
+    * bounds the loop LOUDLY — a graph that has not pinned down by
+    * then needs an explicit larger budget, not a silently unconverged
+    * artifact. The convergence probe is one domain-cardinality
+    * anti-join count per round — the artifact grain, never corpus
+    * work.
+    */
+  def pageRankConverged(edges: DataFrame, init: Option[DataFrame] = None,
+                        maxIters: Int = 50,
+                        dampPermille: Int = 850): (DataFrame, Int) = {
+    require(maxIters >= 1 && maxIters <= 200,
+      s"pageRankConverged: maxIters must be in [1, 200], got $maxIters")
     require(dampPermille >= 0 && dampPermille <= 1000,
       s"pageRank: dampPermille must be in [0, 1000], got $dampPermille")
+    val g = prSetup(edges, None)
+    var ranks = prInit(g, init.map(_.select(col("node"), col("rank_micro"))))
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      val next = prRound(g, ranks, dampPermille)
+      stable = next.alias("n")
+        .join(ranks.alias("p"), Seq("node"))
+        .filter(col("n.rank_micro") =!= col("p.rank_micro"))
+        .isEmpty
+      ranks = next
+      rounds += 1
+    }
+    if (!stable)
+      throw new IllegalArgumentException(
+        s"pageRankConverged: not stationary after maxIters=$maxIters " +
+          "rounds — raise the budget explicitly rather than shipping an " +
+          "unconverged rank artifact")
+    (ranks, rounds)
+  }
+
+  /** The per-graph static side every rank round reuses: the node
+    * table with seed flags and the (src, dst, deg) weighted edges.
+    */
+  private final case class PrGraph(nodes: DataFrame, ew: DataFrame)
+
+  private def prSetup(edges: DataFrame, seeds: Option[DataFrame]): PrGraph = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = false)
     val nodes0 = e.select(col("src").as("node"))
@@ -756,23 +813,53 @@ object LinkGraph {
     }.localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the static side of every round's join: (src, dst, deg)
-    val ew = e.join(outdeg, "src").localCheckpoint(eager = false)
-    val base = (1000L - dampPermille) * 1000L
-    var ranks = nodes.select(col("node"),
-      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_micro"))
-    for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(ranks, ew("src") === ranks("node"))
-        .select(ew("dst").as("node"),
-          expr("rank_micro div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"($dampPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
-            .as("rank_micro"))
+    PrGraph(nodes, e.join(outdeg, "src").localCheckpoint(eager = false))
+  }
+
+  /** Cold init: 1e6 on seeds (uniform for global). Warm init: the
+    * previous artifact's value where known, the cold value for nodes
+    * new to the graph; nodes absent from the current edge set drop.
+    */
+  private def prInit(g: PrGraph, init: Option[DataFrame]): DataFrame =
+    init match {
+      case None => g.nodes.select(col("node"),
+        when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_micro"))
+      case Some(prev) => g.nodes
+        .join(prev.select(col("node"), col("rank_micro").as("__warm")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__warm"),
+          when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)))
+          .as("rank_micro"))
         .localCheckpoint(eager = false)
     }
+
+  private def prRound(g: PrGraph, ranks: DataFrame,
+                      dampPermille: Int): DataFrame = {
+    val base = (1000L - dampPermille) * 1000L
+    val contrib = g.ew
+      .join(ranks, g.ew("src") === ranks("node"))
+      .select(g.ew("dst").as("node"),
+        expr("rank_micro div deg").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+    g.nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+          expr(s"($dampPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
+          .as("rank_micro"))
+      .localCheckpoint(eager = false)
+  }
+
+  private def pageRankImpl(edges: DataFrame, iters: Int,
+                           dampPermille: Int,
+                           seeds: Option[DataFrame],
+                           init: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 0 && iters <= 50,
+      s"pageRank: iters must be in [0, 50], got $iters")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      s"pageRank: dampPermille must be in [0, 1000], got $dampPermille")
+    val g = prSetup(edges, seeds)
+    var ranks = prInit(g, init)
+    for (_ <- 1 to iters) ranks = prRound(g, ranks, dampPermille)
     ranks
   }
 }

@@ -5271,7 +5271,36 @@ object PipelineQueries {
       SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
       FROM wl JOIN sched ON dst_family = node
       WHERE pos <= n_requests
-      ORDER BY dst_family, pos""")))
+      ORDER BY dst_family, pos""")),
+
+    // Incremental PageRank WARM-START — the epoch shape a live crawl
+    // runs: last epoch's rank table is a saved ARTIFACT (parquet
+    // round-trip, the p77 model-serve lifecycle), and this epoch
+    // resumes iterating FROM it instead of from uniform. Because the
+    // warm rounds are the same code path as the cold ones,
+    // warm(artifact(k rounds), m rounds) IS the (k+m)-round cold run
+    // — the identity the oracle gates by unrolling all 10 rounds from
+    // uniform; the convergence payoff (same fixpoint, fewer rounds on
+    // a perturbed graph) is spec-pinned in GraphSpec.
+    ("p165_pagerank_warmstart", (s, d) => {
+      val edges = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
+          col("page_url"), col("html"))
+        .select(col("src_family").as("src"), col("dst_family").as("dst"))
+      val dir = graft.sources.Sinks.tempArtifactDir("pr_warm_artifact")
+      graft.graph.LinkGraph.pageRank(edges, iters = 5)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      graft.graph.LinkGraph.pageRankFrom(edges, s.read.parquet(dir),
+          iters = 5)
+        .orderBy(col("rank_micro").desc, col("node"))
+    }, Some(s"""
+      WITH $outlinkCtesSql,
+      e AS (SELECT DISTINCT src_family AS src, dst_family AS dst FROM lk),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+      ${pageRankStagesSql(10)}
+      SELECT node, r AS rank_micro FROM r10
+      ORDER BY rank_micro DESC, node""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

@@ -773,6 +773,88 @@ object StreamingQueries {
       .orderBy(col("dst_family"), col("pos"))
   }
 
+  /** p164's per-host worklist with discovery STREAMING — the q126
+    * split pushed one politeness level down: the cross-batch state is
+    * the per-(family, host) md5-smallest-k buffer (the SAME
+    * associative, deduping [[graft.functions.Aggregators.UrlTopK]]
+    * fold, keyed one grain finer — a host's unbounded URL space never
+    * accumulates, only its ≤hostCap buffer), and the family-level
+    * budget selection is BATCH-side at the epoch boundary: explode
+    * the surviving buffers, fold the family TopK, spend the frozen
+    * schedule through the shared
+    * [[graft.graph.CrawlOps.worklistSelect]]. Batch-identical to p164
+    * by the shared fold definitions.
+    */
+  def perHostWorklistStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hostCap = 4
+    val docs = documentsStream(spark, sfDir)
+    val id = col("doc_id").cast("string")
+    val allowed = docs.select(
+        concat(lit("https://h"), (col("doc_id") % 3).cast("string"),
+          lit(".twohost.com/p/"), id).as("canonical"),
+        lit("twohost.com").as("dst_family"))
+      .unionByName(docs.select(
+        concat(lit("https://one.solo.net/p/"), id).as("canonical"),
+        lit("solo.net").as("dst_family")))
+    val topk = udaf(new graft.functions.Aggregators.UrlTopK(hostCap))
+    val perHost = allowed
+      .select(col("dst_family"),
+        graft.functions.SourceFamily.hostOf(col("canonical")).as("__host"),
+        md5(col("canonical")).as("__prio"), col("canonical"))
+      .groupBy(col("dst_family"), col("__host"))
+      .agg(topk(col("__prio"), col("canonical")).as("tk"))
+    val survivors = runToMemory(perHost)
+      .select(col("dst_family"), explode(col("tk.items")).as("__x"))
+      .select(col("dst_family"), col("__x.url").as("canonical"))
+    val sched = Seq(("twohost.com", 10L), ("solo.net", 4L))
+      .toDF("node", "n_requests")
+    graft.graph.CrawlOps.worklistSelect(
+        graft.graph.CrawlOps.frontierTopK(survivors, maxPerDomain = 100),
+        sched)
+      .orderBy(col("dst_family"), col("pos"))
+  }
+
+  /** p158's byte-level BPE training with the vocabulary folded from
+    * the stream — q70's split at byte level: the (word, count) table
+    * is the ONE streaming aggregation, the byte-seeded merge rounds
+    * run driver-side on the bounded artifact through the SAME
+    * [[graft.text.CorpusOps.bpeMergesFromVocabDf]] (single maxVocab
+    * site, single seeding code path — batch-identical by shared
+    * definition).
+    */
+  def byteBpeTrain(spark: SparkSession, sfDir: String,
+                   numMerges: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    val vocabDf = runToMemory(
+      documentsStream(spark, sfDir)
+        .select(explode(TextFunctions.tokens(
+          graft.queries.PipelineQueries.byteTextFixture)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    graft.text.CorpusOps.bpeMergesFromVocabDf(vocabDf, numMerges,
+        byteLevel = true)
+      .orderBy(col("rank"))
+  }
+
+  /** p159's byte-level encoding on the streaming engine — q73's
+    * frozen-model deploy shape with byte seeding: the byte-level
+    * merge table is trained batch-side, rides the plan as expression
+    * state, and every arriving document encodes map-side with ZERO
+    * streaming state.
+    */
+  def byteBpeEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val fixture = graft.queries.PipelineQueries.byteTextFixture
+    val merges = CorpusOps.bpeMergeTable(
+      CorpusOps.bpeTrainMerges(graft.Tables.documents(spark, sfDir),
+        fixture, numMerges = 8, byteLevel = true))
+    runToMemory(
+      CorpusOps.bpeEncodeAt(documentsStream(spark, sfDir), col("doc_id"),
+        fixture, merges, byteLevel = true),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** p143's quarantine parse AT ingest — the stateless governance
     * gate (the q103/q108 rule: a malformed payload is tagged when it
     * ARRIVES, not in a post-hoc audit): the SAME

@@ -722,4 +722,38 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(wide == base)
   }
+
+  test("pageRankFrom: warm k+m rounds equal cold; warm start reconverges faster on a perturbed graph") {
+    def rk(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e1 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a")).toDF("src", "dst")
+    // the constructive identity: warm-starting from the k-round
+    // artifact and running m more rounds IS the (k+m)-round cold run
+    assert(rk(LinkGraph.pageRankFrom(e1, LinkGraph.pageRank(e1, iters = 3),
+        iters = 2)) ==
+      rk(LinkGraph.pageRank(e1, iters = 5)))
+    // integer rounds go exactly stationary; perturbing a 20-deep chain
+    // DAG near its TAIL (one new outlink on n17, reaching a brand-new
+    // cold-seeded node) leaves all upstream fixpoint values valid, so
+    // the warm run reconverges in the few rounds the ripple needs
+    // while the cold run re-propagates rank down the whole chain —
+    // the warm-start payoff, pinned: same fixpoint, fewer rounds
+    val chain = (0 until 19).map(i => (s"n$i", s"n${i + 1}")) ++
+      (0 until 20).map(i => (s"n$i", "s"))
+    val g1 = chain.toDF("src", "dst")
+    val (f1, n1) = LinkGraph.pageRankConverged(g1)
+    assert(n1 >= 1 && rk(LinkGraph.pageRankFrom(g1, f1, iters = 1)) == rk(f1))
+    val g2 = g1.unionByName(Seq(("n17", "e")).toDF("src", "dst"))
+    val (f2cold, n2) = LinkGraph.pageRankConverged(g2)
+    val (f2warm, n3) = LinkGraph.pageRankConverged(g2, Some(f1))
+    assert(rk(f2warm) == rk(f2cold), "one fixpoint, both trajectories")
+    assert(n3 < n2, s"warm $n3 rounds vs cold $n2")
+    // the loud unconverged contract: a budget too small raises rather
+    // than shipping a half-iterated artifact
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.pageRankConverged(e1, maxIters = 1)
+    }
+    assert(e.getMessage.contains("maxIters"))
+  }
 }

@@ -509,4 +509,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"CDC chunking planned a single-partition stage:\n$p")
   }
+
+  test("p136 bm25f: nothing pinned (no checkpointed RDD scan), anchor side broadcast") {
+    val p = plan("p136_anchor_bm25f")
+    // the round-8 localCheckpoint'd doc-cardinality lens frame would
+    // surface as a Scan ExistingRDD — the un-pinning must stay un-pinned
+    assert(!p.contains("ExistingRDD"),
+      s"bm25f re-grew a pinned corpus-cardinality frame:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"anchor/stat sides should broadcast:\n$p")
+    // (the corpus-stats GLOBAL aggregate legitimately plans an
+    // Exchange SinglePartition — map-side partials first, one ROW
+    // crosses it — so that exchange is not pinned away here)
+  }
+
+  test("p164 per-host worklist: two bounded-buffer exchanges, broadcast schedule, no window") {
+    val p = plan("p164_worklist_per_host")
+    // (family, host) fold + family fold — exactly the two aggregation
+    // exchanges; the schedule joins broadcast; no per-domain sort or
+    // window ever sees a domain's raw URL space
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"per-host worklist should shuffle exactly twice (host fold + family fold):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"schedule side should broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"selection must stay in bounded TopK buffers, not a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-host worklist planned a single-partition stage:\n$p")
+  }
+
+  test("p159 byte-level encode is map-side: no hash exchange before the output") {
+    val p = plan("p159_bpe_bytes_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"byte-level encode must stay in the scan stage:\n$p")
+  }
 }
