@@ -613,6 +613,24 @@ object LinkGraph {
           .otherwise(col("__lm")).as("lastmod"))
   }
 
+  /** Sniff-and-decode a fetched sitemap PAYLOAD column — the byte
+    * layer under [[parseSitemap]]/[[parseSitemapIndex]]: real sites
+    * publish sitemaps GZIPPED (the sitemaps.org convention), so the
+    * fetch table holds bytes that are a gzip member for some rows and
+    * plain XML for others. Rows starting with the gzip magic
+    * (1f 8b) inflate through the bounded
+    * [[graft.functions.GunzipText]] codegen kernel (zip-bomb loud
+    * cap); everything else casts through as UTF-8. Scan-stage only —
+    * `parseSitemap(df, fam, sitemapText(col("payload")))` is the
+    * mixed-fetch composition, spec-pinned equal to parsing the plain
+    * text.
+    */
+  def sitemapText(payload: Column): Column =
+    when(substring(payload, 1, 2) ===
+        lit(Array(0x1f.toByte, 0x8b.toByte)),
+      graft.functions.GunzipText(payload))
+    .otherwise(payload.cast("string"))
+
   /** Sitemap-tree EXPANSION — follow [[robotsSitemaps]]' discovered
     * roots down through nested `<sitemapindex>` layers to the page
     * URLs: `fetched` is the sitemap FETCH TABLE (family, url, xml) —

@@ -5300,7 +5300,50 @@ object PipelineQueries {
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
       ${pageRankStagesSql(10)}
       SELECT node, r AS rank_micro FROM r10
-      ORDER BY rank_micro DESC, node""")))
+      ORDER BY rank_micro DESC, node""")),
+
+    // BYTE-LEVEL tokenize → pack — p70's pipeline-closing composition
+    // priced in the units production packers actually budget: byte
+    // tokens. On the multilingual fixture the byte-level lengths run
+    // higher than char level (every non-ASCII char is 2-4 symbols
+    // before merges), so sequence ids/offsets shift — exactly the
+    // pack-budget misstatement the char-level p70 would make on a
+    // non-ASCII corpus. Same plan shape: one (word, count) train
+    // shuffle → map-side encode with provenance riding the projection
+    // → the packer's single per-source window shuffle.
+    ("p166_byte_tokenize_pack", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, byteTextFixture,
+          numMerges = 8, byteLevel = true))
+      val enc = graft.text.CorpusOps.bpeEncodeAt(docs, col("doc_id"),
+        byteTextFixture, merges, byteLevel = true, col("source"))
+      graft.curation.Curation.packSequences(enc, col("source"), col("doc_id"),
+          col("n_bpe_tokens"), seqLen = 256L)
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeByteStagesSql(8)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_8),
+      t AS (SELECT doc_id, source, ${sqlToks(byteTextFixtureSql)} AS toks
+            FROM documents),
+      occ AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      wc AS (SELECT o.doc_id, CAST(sum(len(string_split(e.ew, ' '))) AS BIGINT) AS n
+             FROM occ o JOIN enc e ON e.w = o.w GROUP BY 1),
+      n AS (SELECT t.doc_id, t.source, CAST(coalesce(wc.n, 0) AS BIGINT) AS n_bpe_tokens
+            FROM t LEFT JOIN wc USING (doc_id)),
+      c AS (SELECT doc_id, source, n_bpe_tokens,
+              CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+            FROM n)
+      SELECT doc_id, source, n_bpe_tokens,
+             CAST(cp // 256 AS BIGINT) AS seq_id,
+             CAST(cp % 256 AS BIGINT) AS seq_offset,
+             CAST(CASE WHEN n_bpe_tokens = 0 THEN 0
+                  ELSE (cp + n_bpe_tokens - 1) // 256 - cp // 256 + 1 END
+                  AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id""")))
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

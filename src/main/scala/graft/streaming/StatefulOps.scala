@@ -366,6 +366,29 @@ object StatefulOps {
     require(maxPerTrigger >= 1, s"paceByKey: maxPerTrigger must be >= 1")
     require(maxBuffer >= maxPerTrigger,
       s"paceByKey: maxBuffer ($maxBuffer) must be >= maxPerTrigger ($maxPerTrigger)")
+    paceByKeyRates(ds, _ => maxPerTrigger, maxBuffer, drainIntervalMs)
+  }
+
+  /** [[paceByKey]] with a PER-KEY release rate — the wiring that makes
+    * robots `Crawl-delay` a live politeness control
+    * ([[graft.graph.LinkGraph.robotsCrawlDelay]] →
+    * [[graft.graph.LinkGraph.crawlDelayCaps]]' arithmetic at trigger
+    * grain): `perTrigger(key)` is how many fetches the key's domain
+    * absorbs per trigger interval (triggerMs div crawl_delay_ms,
+    * floored at 1 when the domain is to be crawled at all). The rate
+    * table is a DOMAIN-cardinality artifact riding the closure (the
+    * bounded-model rule — it reaches every task once). Per-key
+    * backlog, timer drain, and state-reclaim semantics are
+    * [[paceByKey]]'s own: one code path, the rate lookup is the only
+    * delta. A non-positive rate raises loudly in-group — a key that
+    * must not be fetched belongs filtered OUT (cap 0 upstream in the
+    * schedule), not silently starved inside the pacer's state store.
+    */
+  def paceByKeyRates(ds: Dataset[KeyedElement], perTrigger: Long => Int,
+                     maxBuffer: Int,
+                     drainIntervalMs: Long = 100L): Dataset[PacedRelease] = {
+    require(maxBuffer >= 1,
+      s"paceByKeyRates: maxBuffer must be >= 1, got $maxBuffer")
     implicit val outEnc: Encoder[PacedRelease] = Encoders.product[PacedRelease]
     implicit val stEnc: Encoder[PaceState] = Encoders.product[PaceState]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -379,8 +402,14 @@ object StatefulOps {
           throw new IllegalStateException(
             s"paceByKey: key $key backlog ${queue.size} exceeds maxBuffer " +
               s"$maxBuffer — raise maxPerTrigger/the trigger rate or shed load")
+        val rate = perTrigger(key)
+        if (rate < 1)
+          throw new IllegalStateException(
+            s"paceByKeyRates: non-positive rate $rate for key $key — a " +
+              "do-not-fetch key belongs filtered out upstream (schedule " +
+              "cap 0), not starved inside the pacer")
         val round = prior.rounds + 1
-        val (release, rest) = queue.splitAt(maxPerTrigger)
+        val (release, rest) = queue.splitAt(rate)
         if (rest.nonEmpty) {
           state.update(PaceState(rest.toVector, round))
           state.setTimeoutDuration(drainIntervalMs)

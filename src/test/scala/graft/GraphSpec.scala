@@ -723,6 +723,50 @@ class GraphSpec extends AnyFunSuite {
     assert(wide == base)
   }
 
+  test("sitemapText: gzipped payloads inflate and parse identically; bomb and garbage raise") {
+    import graft.functions.GunzipUtil
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val xml = "<urlset><url><loc>https://a.com/p1</loc>" +
+      "<lastmod>2026-08-01</lastmod></url>" +
+      "<url><loc> https://A.com/p2?b=2&amp;a=1 </loc></url></urlset>"
+    // a MIXED fetch table: one row gzipped, one plain — the sniff
+    // routes each correctly and the parse is byte-identical
+    val mixed = Seq(("a.com", gz(xml)), ("b.com", xml.getBytes("UTF-8")))
+      .toDF("family", "payload")
+    val out = LinkGraph.parseSitemap(mixed, col("family"),
+        LinkGraph.sitemapText(col("payload")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("a.com", 0L, "https://a.com/p1"),
+      ("a.com", 1L, "https://a.com/p2?a=1&b=2"),
+      ("b.com", 0L, "https://a.com/p1"),
+      ("b.com", 1L, "https://a.com/p2?a=1&b=2")))
+    // round trip at the kernel level
+    assert(new String(GunzipUtil.gunzip(gz(xml), GunzipUtil.MaxOut),
+      "UTF-8") == xml)
+    // the zip-bomb cap: a tiny member inflating past the bound raises
+    // LOUDLY instead of eating the executor
+    val bomb = gz("x" * 100000)
+    val e = intercept[IllegalArgumentException] {
+      GunzipUtil.gunzip(bomb, maxOut = 1024)
+    }
+    assert(e.getMessage.contains("bomb"))
+    // bytes wearing the gzip magic but not a gzip member fail the
+    // format check, not silently decode
+    intercept[Exception] {
+      TestSpark.quietly(
+        Seq(("c.com", Array(0x1f.toByte, 0x8b.toByte, 0x00.toByte)))
+          .toDF("family", "payload")
+          .select(LinkGraph.sitemapText(col("payload"))).collect())
+    }
+  }
+
   test("pageRankFrom: warm k+m rounds equal cold; warm start reconverges faster on a perturbed graph") {
     def rk(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

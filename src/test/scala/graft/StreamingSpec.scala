@@ -369,6 +369,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally TestSpark.quietStop(q)
   }
 
+  test("paceByKeyRates: per-key crawl-delay rates pace domains at their own cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KeyedElement]
+    // the robots wiring: key 1 published Crawl-delay 100ms at a 100ms
+    // trigger (1/trigger); key 2 is un-delayed (3/trigger)
+    val rates = Map(1L -> 1, 2L -> 3).withDefaultValue(3)
+    val out = StatefulOps.paceByKeyRates(input.toDS(), rates,
+      maxBuffer = 100, drainIntervalMs = 50)
+    val q = out.writeStream.format("memory").queryName("pace_rates_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    def rows(): Seq[StatefulOps.PacedRelease] =
+      spark.table("pace_rates_out").as[StatefulOps.PacedRelease].collect().toSeq
+    def awaitRows(n: Int, timeoutMs: Long): Seq[StatefulOps.PacedRelease] = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      var cur = rows()
+      while (cur.size < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(200); cur = rows()
+      }
+      cur
+    }
+    try {
+      input.addData((1 to 6).flatMap(i =>
+        Seq(KeyedElement(1, i, "a", i.toDouble),
+          KeyedElement(2, i, "b", i.toDouble))): _*)
+      val all = awaitRows(12, 30000)
+      assert(all.size == 12, s"expected all 12 released, got ${all.size}")
+      val k1 = all.filter(_.key == 1).sortBy(_.seq)
+      val k2 = all.filter(_.key == 2).sortBy(_.seq)
+      // delayed domain: one per round, 6 rounds; fast domain: 3 per
+      // round, 2 rounds — each key at ITS OWN published cadence
+      assert(k1.map(_.round) == (1L to 6L))
+      assert(k2.map(_.round) == Seq(1L, 1L, 1L, 2L, 2L, 2L))
+    } finally TestSpark.quietStop(q)
+  }
+
   test("streaming keepAlive injects bounded synthetic heartbeats for idle keys") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
