@@ -5343,7 +5343,91 @@ object PipelineQueries {
              CAST(CASE WHEN n_bpe_tokens = 0 THEN 0
                   ELSE (cp + n_bpe_tokens - 1) // 256 - cp // 256 + 1 END
                   AS BIGINT) AS n_seqs
-      FROM c ORDER BY doc_id""")))
+      FROM c ORDER BY doc_id""")),
+
+    // WARC container ingestion — the byte layer the whole crawl arc
+    // reads from (Common Crawl ships .warc/.wet): each fixture file
+    // packs a warcinfo record plus its docs' conversion records with
+    // REAL Content-Length byte framing; the engine's per-partition
+    // byte walk re-slices them. The oracle never parses — it
+    // recomputes every record's fields from the same doc_id
+    // arithmetic the fixture assembled them with (the htmlExtract
+    // generative-oracle rule), so agreement proves the parser walks
+    // the container faithfully.
+    ("p167_warc_parse", (s, d) => {
+      graft.sources.Warc.parseWarc(
+          warcFixtureFrom(Tables.documents(s, d)),
+          col("file_id"), col("payload"))
+        .orderBy(col("file_id"), col("record_idx"))
+    }, Some("""
+      WITH conv AS (
+        SELECT doc_id % 8 AS file_id,
+               CAST(row_number() OVER (PARTITION BY doc_id % 8
+                 ORDER BY doc_id) AS BIGINT) AS record_idx,
+               'conversion' AS warc_type,
+               'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.com/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+               text AS body
+        FROM documents),
+      info AS (
+        SELECT DISTINCT doc_id % 8 AS file_id, CAST(0 AS BIGINT) AS record_idx,
+               'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+               CAST(13 AS BIGINT) AS content_length,
+               'graft-crawler' AS body
+        FROM documents)
+      SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM conv)
+      ORDER BY file_id, record_idx""")),
+
+    // The INGEST composition the crawl arc actually runs: WARC files
+    // in, extracted text out — parseWarc's byte walk feeding p130's
+    // extract chain, with provenance RECOVERED from each record's
+    // WARC-Target-URI (the /p/<doc_id> suffix), never trusted from
+    // row order. Same oracle as p130: the container layer must be
+    // invisible to the extract's results.
+    ("p168_warc_extract", (s, d) => {
+      val warcs = warcFixtureFrom(Tables.documents(s, d)
+        .select(col("doc_id"), htmlFixtureText.as("text")))
+      graft.sources.Warc.parseWarc(warcs, col("file_id"), col("payload"))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          TextFunctions.htmlTitle(col("body")).as("title"),
+          TextFunctions.htmlExtract(col("body")).as("text"),
+          size(TextFunctions.extractHrefs(col("body"))).cast("long")
+            .as("n_links"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || ' ' || text ||
+               ' Compare A & B <quoted> it''s fine more' AS text,
+             CAST(5 AS BIGINT) AS n_links
+      FROM documents ORDER BY doc_id""")))
+
+  /** p167's WARC fixture: docs pack into 8 files (doc_id % 8), each a
+    * warcinfo record followed by one `conversion` record per doc in
+    * doc_id order — version line, typed headers, an exact
+    * Content-Length BYTE count, CRLF framing. Assembled engine-side
+    * with the same doc_id arithmetic the generative oracle recomputes.
+    */
+  private[graft] def warcFixtureFrom(docs: DataFrame): DataFrame = {
+    val uri = concat(lit("https://www.src"),
+      (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+      col("doc_id").cast("string"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 13\r\n\r\ngraft-crawler\r\n\r\n"
+    docs.select((col("doc_id") % 8).as("file_id"),
+        struct(col("doc_id"), rec.as("rec")).as("s"))
+      .groupBy(col("file_id"))
+      .agg(concat(lit(info),
+        array_join(transform(array_sort(collect_list(col("s"))),
+          x => x.getField("rec")), "")).as("txt"))
+      .select(col("file_id"), col("txt").cast("binary").as("payload"))
+  }
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a
     * full deterministic page. The head block (title/style/script with

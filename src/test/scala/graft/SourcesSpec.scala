@@ -154,4 +154,57 @@ class SourcesSpec extends AnyFunSuite {
         schema, Seq("nope"))
     }
   }
+
+  test("Warc: byte-exact framing (multi-byte bodies), both gzip layouts, loud on truncation") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    def rec(uri: String, body: String): String = {
+      val n = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    // 'café' is 4 chars but FIVE bytes: a char-based split would slice
+    // the following record's version line mid-way — the byte walk is
+    // the point of the parser
+    val plain = (rec("https://a.com/1", "café crème") +
+      rec("https://a.com/2", "plain") +
+      "WARC/1.0\nWARC-Type: warcinfo\nContent-Length: 2\n\nhi\n\n") // bare-LF record
+      .getBytes("UTF-8")
+    def parse(bytes: Array[Byte]) =
+      Warc.parseWarc(Seq((1L, bytes)).toDF("file_id", "payload"),
+          col("file_id"), col("payload"))
+        .collect().map(r => (r.getLong(1), r.getString(2),
+          r.getLong(4), r.getString(5)))
+    val cafeBytes = "café crème".getBytes("UTF-8").length.toLong
+    assert(cafeBytes == 12L && "café crème".length == 10) // the framing gap
+    val expected = Seq((0L, "conversion", cafeBytes, "café crème"),
+      (1L, "conversion", 5L, "plain"), (2L, "warcinfo", 2L, "hi"))
+    assert(parse(plain).sortBy(_._1).toSeq == expected)
+    // whole-file gzip and Common Crawl's per-record concatenated
+    // members inflate to the same records
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    assert(parse(gz(plain)).sortBy(_._1).toSeq == expected)
+    val members = Array(rec("https://a.com/1", "café crème"),
+        rec("https://a.com/2", "plain"),
+        "WARC/1.0\nWARC-Type: warcinfo\nContent-Length: 2\n\nhi\n\n")
+      .flatMap(s => gz(s.getBytes("UTF-8")))
+    assert(parse(members).sortBy(_._1).toSeq == expected)
+    // truncation: Content-Length overruns the file -> LOUD, with file
+    // and offset — never a silently dropped record
+    val truncated = plain.take(plain.length - 30)
+    val e = intercept[Exception] {
+      TestSpark.quietly(parse(truncated))
+    }
+    assert(e.getMessage.contains("parseWarc"), e.getMessage)
+    // a record without Content-Length is unframeable -> loud
+    val noLen = "WARC/1.0\r\nWARC-Type: x\r\n\r\nbody".getBytes("UTF-8")
+    val e2 = intercept[Exception] {
+      TestSpark.quietly(parse(noLen))
+    }
+    assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
+  }
 }
