@@ -272,7 +272,13 @@ object SparkEntry {
       Some(sharedOracle("p159_bpe_bytes_encode"))),
     ("q133_streaming_per_host_worklist",
       (s, d) => graft.streaming.StreamingQueries.perHostWorklistStream(s, d),
-      Some(sharedOracle("p164_worklist_per_host"))))
+      Some(sharedOracle("p164_worklist_per_host"))),
+    ("q134_streaming_warc",
+      (s, d) => graft.streaming.StreamingQueries.warcParseStream(s, d),
+      Some(sharedOracle("p167_warc_parse"))),
+    ("q135_streaming_crawl_delay",
+      (s, d) => graft.streaming.StreamingQueries.robotsCrawlDelayStream(s, d),
+      Some(sharedOracle("p161_robots_crawl_delay"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

@@ -5402,31 +5402,87 @@ object PipelineQueries {
              'Doc ' || doc_id || ' ' || text ||
                ' Compare A & B <quoted> it''s fine more' AS text,
              CAST(5 AS BIGINT) AS n_links
-      FROM documents ORDER BY doc_id""")))
+      FROM documents ORDER BY doc_id""")),
+
+    // The mixture plan priced in BYTE tokens — p113's config table
+    // with n_tokens from the byte-level tokenizer instead of
+    // whitespace counts: source shares, repetition caps, and the
+    // redistribution all shift with each source's byte fertility,
+    // which is the number a compute budget actually buys (p160's
+    // point applied to the mixing table — a whitespace-priced plan
+    // over-serves the scripts whose words explode into many byte
+    // symbols). Same integer-exact redistribution chain, oracle
+    // recomputes token mass off the byte-seeded training state.
+    ("p169_byte_budget_mix", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.CorpusOps.bpeMergeTable(
+        graft.text.CorpusOps.bpeTrainMerges(docs, byteTextFixture,
+          numMerges = 8, byteLevel = true))
+      val enc = graft.text.CorpusOps.bpeEncodeAt(docs, col("doc_id"),
+        byteTextFixture, merges, byteLevel = true, col("source"))
+      graft.curation.Curation.mixturePlan(enc, col("source"),
+          col("n_bpe_tokens"), mixtureWeights, budget = 40000L,
+          capMilliEpochs = 2000L)
+        .orderBy(col("group"))
+    }, Some {
+      val wVals = mixtureWeights
+        .map { case (g, p) => s"('$g', $p)" }.mkString(", ")
+      s"""
+      WITH ${bpeByteStagesSql(8)},
+      enc AS (SELECT w, replace(seq, '/', '') AS ew FROM seqs_8),
+      tt AS (SELECT doc_id, source, ${sqlToks(byteTextFixtureSql)} AS toks
+             FROM documents),
+      occ AS (SELECT doc_id, source, unnest(toks) AS w FROM tt),
+      t AS (SELECT o.source AS grp,
+              CAST(sum(len(string_split(e.ew, ' '))) AS BIGINT) AS n_tokens
+            FROM occ o JOIN enc e ON e.w = o.w GROUP BY 1),
+      w AS (SELECT * FROM (VALUES $wVals) AS w(grp, permille)),
+      g AS (SELECT t.grp AS "group", n_tokens,
+              CAST(permille AS BIGINT) AS target_permille,
+              permille * 40000 // 1000 AS ideal,
+              2000 * n_tokens // 1000 AS cap
+            FROM t JOIN w ON t.grp = w.grp),
+      g2 AS (SELECT *, least(ideal, cap) AS take1,
+               cap - least(ideal, cap) AS head FROM g),
+      tot AS (SELECT CAST(sum(take1) AS BIGINT) AS sum_take,
+                CAST(sum(head) AS BIGINT) AS sum_head FROM g2),
+      g4 AS (SELECT "group", n_tokens, target_permille,
+               take1 + CASE WHEN sum_head > 0
+                 THEN (40000 - sum_take) * head // sum_head
+                 ELSE 0 END AS planned_tokens,
+               ideal > cap AS capped
+             FROM g2, tot)
+      SELECT "group", n_tokens, target_permille,
+             CAST(planned_tokens AS BIGINT) AS planned_tokens,
+             CAST(planned_tokens * 1000 // n_tokens AS BIGINT)
+               AS milli_epochs, capped
+      FROM g4
+      UNION ALL
+      SELECT '__UNASSIGNED', 0, 0,
+             CAST(40000 - sum(planned_tokens) AS BIGINT), 0, false
+      FROM g4
+      ORDER BY "group""""
+    }))
 
   /** p167's WARC fixture: docs pack into 8 files (doc_id % 8), each a
-    * warcinfo record followed by one `conversion` record per doc in
-    * doc_id order — version line, typed headers, an exact
-    * Content-Length BYTE count, CRLF framing. Assembled engine-side
-    * with the same doc_id arithmetic the generative oracle recomputes.
+    * warcinfo record (idx -1 sorts first) followed by one `conversion`
+    * record per doc in doc_id order. Rendering goes through the
+    * ENGINE's own sink half ([[graft.sources.Warc.writeWarc]] — one
+    * assembly definition, parse∘write identity spec-pinned); the
+    * generative oracle recomputes the fields from the same doc_id
+    * arithmetic.
     */
   private[graft] def warcFixtureFrom(docs: DataFrame): DataFrame = {
     val uri = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
-    val rec = concat(
-      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
-      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
-      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
-    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-      "Content-Length: 13\r\n\r\ngraft-crawler\r\n\r\n"
-    docs.select((col("doc_id") % 8).as("file_id"),
-        struct(col("doc_id"), rec.as("rec")).as("s"))
-      .groupBy(col("file_id"))
-      .agg(concat(lit(info),
-        array_join(transform(array_sort(collect_list(col("s"))),
-          x => x.getField("rec")), "")).as("txt"))
-      .select(col("file_id"), col("txt").cast("binary").as("payload"))
+    val recs = docs.select((col("doc_id") % 8).as("f"), col("doc_id").as("i"),
+        lit("conversion").as("t"), uri.as("u"), col("text").as("b"))
+      .unionByName(docs.select((col("doc_id") % 8).as("f")).distinct()
+        .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
+          lit(null).cast("string").as("u"), lit("graft-crawler").as("b")))
+    graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),
+      col("u"), col("b"))
   }
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a

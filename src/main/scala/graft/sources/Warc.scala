@@ -63,6 +63,32 @@ object Warc {
       .toDF()
   }
 
+  /** The SINK half — serialize a records frame back to WARC bytes,
+    * one output row per file: `df` is (file, idx, warc_type,
+    * target_uri nullable, body), rendered in idx order with exact
+    * `Content-Length = octet_length(body)` framing and CRLF line ends.
+    * `parseWarc ∘ writeWarc` is identity on any records frame
+    * (spec-pinned round trip), which makes re-sharding an archive a
+    * parse → re-key → write pipeline with no bespoke byte code.
+    * Assembly is one per-file aggregation (sort_array over the
+    * collected record structs — a WARC file is MB-bounded by the
+    * archive convention, the ZipSource contract).
+    */
+  def writeWarc(df: DataFrame, file: Column, idx: Column, warcType: Column,
+                targetUri: Column, body: Column): DataFrame = {
+    val rendered = concat(
+      lit("WARC/1.0\r\nWARC-Type: "), warcType,
+      when(targetUri.isNotNull,
+        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    df.select(file.as("file_id"), struct(idx.as("i"), rendered.as("rec")).as("s"))
+      .groupBy(col("file_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("s"))),
+        x => x.getField("rec")), "").as("txt"))
+      .select(col("file_id"), col("txt").cast("binary").as("payload"))
+  }
+
   /** The byte walk. CRLF per spec, bare LF tolerated (real archives
     * mix them); header names case-insensitive; Content-Length
     * REQUIRED and exact.

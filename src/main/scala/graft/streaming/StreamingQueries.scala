@@ -855,6 +855,46 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p167's WARC ingest with the archive directory STREAMED — exactly
+    * how a fetch pipeline lands: WARC files appear in a directory as
+    * fetches complete, the ingest job `readStream`s the directory,
+    * and each file parses STATELESSLY in the scan stage (append mode,
+    * the q103/q108 at-ingest rule) — the per-partition byte walk
+    * needs nothing across files, so the stream holds no state at all.
+    */
+  def warcParseStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Sinks.tempArtifactDir("warc_stream_in")
+    graft.queries.PipelineQueries
+      .warcFixtureFrom(graft.Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(
+      graft.sources.Warc.parseWarc(
+        spark.readStream.schema(schema).parquet(dir),
+        col("file_id"), col("payload")),
+      mode = "append")
+      .orderBy(col("file_id"), col("record_idx"))
+  }
+
+  /** p161's Crawl-delay parse AT ingest — robots.txt fetches parse the
+    * moment they land (the directive table must be fresh before the
+    * next scheduling round, not after a batch job): the group fold is
+    * a scan-stage higher-order expression, zero state, append mode.
+    */
+  def robotsCrawlDelayStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.Sinks.tempArtifactDir("robots_stream_in")
+    graft.queries.PipelineQueries.robotsMetaFixture.toDF("family", "txt")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(
+      graft.graph.LinkGraph.robotsCrawlDelay(
+        spark.readStream.schema(schema).parquet(dir),
+        col("family"), col("txt")),
+      mode = "append")
+      .orderBy(col("family"))
+  }
+
   /** p143's quarantine parse AT ingest — the stateless governance
     * gate (the q103/q108 rule: a malformed payload is tagged when it
     * ARRIVES, not in a post-hoc audit): the SAME

@@ -207,4 +207,31 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
   }
+
+  test("Warc: parse-after-write is identity, so re-sharding an archive needs no byte code") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    val recs = Seq(
+      (1L, 0L, "warcinfo", null.asInstanceOf[String], "graft"),
+      (1L, 1L, "conversion", "https://a.com/1", "café crème body"),
+      (2L, 0L, "conversion", "https://b.com/2", "plain"))
+      .toDF("f", "i", "t", "u", "b")
+    val files = Warc.writeWarc(recs, col("f"), col("i"), col("t"),
+      col("u"), col("b"))
+    val back = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .select(col("file_id"), col("record_idx"), col("warc_type"),
+        col("target_uri"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).sortBy(x => (x._1, x._2))
+    assert(back.toSeq == Seq(
+      (1L, 0L, "warcinfo", null, "graft"),
+      (1L, 1L, "conversion", "https://a.com/1", "café crème body"),
+      (2L, 0L, "conversion", "https://b.com/2", "plain")))
+    // content_length framed the multi-byte body exactly
+    val lens = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .select(col("body"), col("content_length")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lens("café crème body") ==
+      "café crème body".getBytes("UTF-8").length.toLong)
+  }
 }
