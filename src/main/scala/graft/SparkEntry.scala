@@ -278,7 +278,10 @@ object SparkEntry {
       Some(sharedOracle("p167_warc_parse"))),
     ("q135_streaming_crawl_delay",
       (s, d) => graft.streaming.StreamingQueries.robotsCrawlDelayStream(s, d),
-      Some(sharedOracle("p161_robots_crawl_delay"))))
+      Some(sharedOracle("p161_robots_crawl_delay"))),
+    ("q136_streaming_cdx",
+      (s, d) => graft.streaming.StreamingQueries.cdxIndexStream(s, d),
+      Some(sharedOracle("p170_cdx_index"))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the
@@ -378,7 +381,8 @@ object SparkEntry {
     // text passes + a (family, line) stats join)
     "p145_crawl_worklist", "p146_snippets", "p148_boilerplate_strip",
     // round-9: byte-level tokenizer inference over the decorated corpus
-    // (map-side codegen kernel throughput) and the two-level host-cap
-    // worklist (double bounded-TopK exchange)
-    "p159_bpe_bytes_encode", "p164_worklist_per_host")
+    // (map-side codegen kernel throughput), the two-level host-cap
+    // worklist (double bounded-TopK exchange), and WARC container
+    // assembly + byte-walk parse (the ingest codec class)
+    "p159_bpe_bytes_encode", "p164_worklist_per_host", "p167_warc_parse")
 }

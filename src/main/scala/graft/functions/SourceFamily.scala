@@ -117,6 +117,30 @@ object SourceFamily {
     when(isUrl, concat(scheme, lit("://"), host, path, qs)).otherwise(s)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the sort
+    * order every web-archive index (CDX) uses: all of one site's pages
+    * become ONE contiguous key range, so a range scan over the sorted
+    * index answers "everything under example.com/" without a filter
+    * over the whole archive. Composed ON TOP of [[canonicalizeUrl]]
+    * (same collision semantics — two fetches of one page must map to
+    * one key here too): the canonical host loses a single leading
+    * `www.`, its labels reverse comma-joined (`com,example`), then
+    * `)` + canonical path + canonical query. Scheme is dropped — an
+    * archive index treats http/https fetches of a page as one range
+    * (the digest distinguishes content). Non-URL inputs pass through
+    * canonicalizeUrl's trim untouched. Pure codegen'd string/array
+    * functions, scan-stage.
+    */
+  def surtKey(url: Column): Column = {
+    val c = canonicalizeUrl(url)
+    val isUrl = c.rlike("^[a-z][a-z0-9+.-]*://")
+    val host = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    val rest = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1)
+    val bare = regexp_replace(host, "^www\\.", "")
+    val rev = array_join(reverse(split(bare, "\\.")), ",")
+    when(isUrl, concat(rev, lit(")"), rest)).otherwise(c)
+  }
+
   /** The bare HOST of a URL (lowercased, credentials and port
     * stripped) — the politeness grain below [[familyOf]]'s registered
     * domain: `blog1.example.com` and `blog2.example.com` are one

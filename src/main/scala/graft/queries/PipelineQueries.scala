@@ -5359,25 +5359,10 @@ object PipelineQueries {
           warcFixtureFrom(Tables.documents(s, d)),
           col("file_id"), col("payload"))
         .orderBy(col("file_id"), col("record_idx"))
-    }, Some("""
-      WITH conv AS (
-        SELECT doc_id % 8 AS file_id,
-               CAST(row_number() OVER (PARTITION BY doc_id % 8
-                 ORDER BY doc_id) AS BIGINT) AS record_idx,
-               'conversion' AS warc_type,
-               'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
-                 || '.com/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
-               CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-               text AS body
-        FROM documents),
-      info AS (
-        SELECT DISTINCT doc_id % 8 AS file_id, CAST(0 AS BIGINT) AS record_idx,
-               'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
-               CAST(13 AS BIGINT) AS content_length,
-               'graft-crawler' AS body
-        FROM documents)
-      SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM conv)
-      ORDER BY file_id, record_idx""")),
+    }, Some(warcFixtureOracleSql("""
+      SELECT file_id, record_idx, warc_type, target_uri, content_length,
+             body, "offset", record_bytes
+      FROM ext ORDER BY file_id, record_idx"""))),
 
     // The INGEST composition the crawl arc actually runs: WARC files
     // in, extracted text out — parseWarc's byte walk feeding p130's
@@ -5462,7 +5447,197 @@ object PipelineQueries {
              CAST(40000 - sum(planned_tokens) AS BIGINT), 0, false
       FROM g4
       ORDER BY "group""""
-    }))
+    }),
+
+    // CDX-style archive index — the random-access layer over the WARC
+    // corpus: one row per addressable record, SURT-keyed (one site =
+    // one contiguous key range, the ordering every public web-archive
+    // index uses), carrying the byte extent a ranged read needs and a
+    // sha256 content digest. The oracle recomputes EVERYTHING
+    // independently: surt keys from doc_id arithmetic, extents from
+    // writeWarc's rendered-framing formula (prefix sum over record
+    // sizes), digests from DuckDB's own sha256 — one gate over the
+    // parser's offsets, the SURT transform, and the digest at once.
+    ("p170_cdx_index", (s, d) => {
+      val recs = graft.sources.Warc.parseWarc(
+        warcFixtureFrom(Tables.documents(s, d)),
+        col("file_id"), col("payload"))
+      graft.sources.Warc.cdxIndex(recs)
+        .orderBy(col("surt_key"))
+    }, Some(warcFixtureOracleSql("""
+      SELECT 'com,src' || CAST(doc_id % 20 AS VARCHAR) || ')/p/'
+               || CAST(doc_id AS VARCHAR) AS surt_key,
+             target_uri, file_id, "offset", record_bytes,
+             sha256(body) AS digest
+      FROM ext WHERE target_uri IS NOT NULL
+      ORDER BY surt_key"""))),
+
+    // The index-driven random access itself: a MESSY url panel
+    // (scheme/host case, default :443, utm param, fragment) resolves
+    // through the SAME surt transform the index was built with, each
+    // hit's extent slices its file's bytes, and the slice re-parses
+    // ALONE (Warc.fetchRecords — at 100 TB this is a ranged GET, never
+    // a full-archive parse). The oracle is the panel's documents rows
+    // directly: the whole index+fetch machinery must be invisible to
+    // the content that comes back.
+    ("p171_cdx_fetch", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val warcs = warcFixtureFrom(docs)
+      val cdx = graft.sources.Warc.cdxIndex(
+        graft.sources.Warc.parseWarc(warcs, col("file_id"), col("payload")))
+      val panel = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("HTTPS://WWW.SRC"),
+          (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"),
+          col("doc_id").cast("string"), lit("?utm_source=x#frag")).as("url"))
+      val hits = panel
+        .select(graft.functions.SourceFamily.surtKey(col("url")).as("surt_key"))
+        .join(cdx, Seq("surt_key"))
+      graft.sources.Warc.fetchRecords(warcs, col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             text AS body
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")),
+
+    // Archive maintenance: re-pack the 8-file fixture into ~16 KiB
+    // byte-budget shards — parse → global greedy pack (the
+    // distributed prefix-sum, Warc.reshardByBytes) → writeWarc per
+    // shard → RE-PARSE; the output reads off the re-parsed frame, so
+    // the oracle (pure pack arithmetic over documents) gates the
+    // whole parse→plan→write→parse pipeline, not just the plan.
+    ("p172_warc_reshard", (s, d) => {
+      val recs = graft.sources.Warc.parseWarc(
+          warcFixtureFrom(Tables.documents(s, d)),
+          col("file_id"), col("payload"))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"),
+          col("content_length"), col("body"))
+      val planned = graft.sources.Warc.reshardByBytes(recs, col("doc_id"),
+        col("content_length"), budget = 16384L)
+      val rewritten = graft.sources.Warc.writeWarc(planned, col("shard"),
+        col("doc_id"), col("warc_type"), col("target_uri"), col("body"))
+      graft.sources.Warc.parseWarc(rewritten, col("file_id"), col("payload"))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("file_id").as("shard"), col("record_idx"),
+          col("content_length"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+                 FROM documents),
+      w AS (SELECT doc_id, nb,
+              coalesce(sum(nb) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+            FROM c)
+      SELECT doc_id, CAST(cp // 16384 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY cp // 16384
+               ORDER BY doc_id) - 1 AS BIGINT) AS record_idx,
+             nb AS content_length
+      FROM w ORDER BY doc_id""")),
+
+    // Revisit detection — archive-level exact dedup at ingest: a
+    // second fetch batch (every doc_id % 5 = 0 page, identical
+    // content, files 8-15) re-lands every fifth page; the
+    // digest-grouped min-extent election (map-side-combinable packed
+    // min, never a window) marks later copies as revisits of the
+    // first-stored extent. Identical content under DIFFERENT URIs
+    // collapses too — digest is identity, the URI is provenance —
+    // which the oracle reproduces by grouping on DuckDB's own sha256.
+    ("p173_cdx_revisit", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val warcs = warcFixtureFrom(docs).unionByName(
+        warcFixtureFrom(docs.filter(col("doc_id") % 5 === 0), fileBase = 8L))
+      val cdx = graft.sources.Warc.cdxIndex(
+        graft.sources.Warc.parseWarc(warcs, col("file_id"), col("payload")))
+      graft.sources.Warc.cdxRevisits(cdx)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("file_id"), col("offset"), col("is_revisit"),
+          col("orig_file"), col("orig_offset"))
+        .orderBy(col("file_id"), col("offset"))
+    }, Some(warcFixtureOracleSqlFrom(
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS fno FROM documents
+         UNION ALL
+         SELECT doc_id, text, CAST(1 AS BIGINT) AS fno FROM documents
+         WHERE doc_id % 5 = 0""", """
+      , cdx AS (
+        SELECT doc_id, file_id, "offset", sha256(body) AS digest
+        FROM ext WHERE target_uri IS NOT NULL),
+      orig AS (
+        SELECT digest,
+               min(file_id * 1000000000000 + "offset") AS packed
+        FROM cdx GROUP BY 1)
+      SELECT c.doc_id, c.file_id, c."offset",
+             (c.file_id * 1000000000000 + c."offset") <> o.packed
+               AS is_revisit,
+             CAST(o.packed // 1000000000000 AS BIGINT) AS orig_file,
+             CAST(o.packed % 1000000000000 AS BIGINT) AS orig_offset
+      FROM cdx c JOIN orig o USING (digest)
+      ORDER BY c.file_id, c."offset""""))))
+
+  /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
+    * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
+    * `ext` carries every fixture record with its `record_bytes`
+    * (21 + |type| + [19 + |uri|] + 18 + digits(len) + 4 + len + 4 —
+    * the exact rendered framing, counted in BYTES via encode()) and
+    * `offset` (prefix sum within the file), so entries over the
+    * parsed archive gate byte extents against INDEPENDENT doc_id
+    * arithmetic, never against the parser itself. `conv` keeps the
+    * doc_id so downstream archive entries (CDX fetch panel, re-shard)
+    * can anchor their own arithmetic to it.
+    */
+  private def warcFixtureOracleSql(select: String): String =
+    warcFixtureOracleSqlFrom(
+      "SELECT doc_id, text, CAST(0 AS BIGINT) AS fno FROM documents", select)
+
+  /** The refetch-aware form: `dsrcSql` yields (doc_id, text, fno)
+    * rows; fetch k's records land in file `doc_id % 8 + 8k` — the
+    * oracle twin of calling [[warcFixtureFrom]] once per fetch batch
+    * with `fileBase = 8k`.
+    */
+  private def warcFixtureOracleSqlFrom(dsrcSql: String,
+                                       select: String): String = s"""
+      WITH dsrc AS ($dsrcSql),
+      conv AS (
+        SELECT doc_id % 8 + 8 * fno AS file_id,
+               CAST(row_number() OVER (PARTITION BY doc_id % 8 + 8 * fno
+                 ORDER BY doc_id) AS BIGINT) AS record_idx,
+               'conversion' AS warc_type,
+               'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.com/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+               text AS body, doc_id
+        FROM dsrc),
+      info AS (
+        SELECT DISTINCT doc_id % 8 + 8 * fno AS file_id,
+               CAST(0 AS BIGINT) AS record_idx,
+               'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+               CAST(13 AS BIGINT) AS content_length,
+               'graft-crawler' AS body, CAST(NULL AS BIGINT) AS doc_id
+        FROM dsrc),
+      base AS (SELECT * FROM info UNION ALL SELECT * FROM conv),
+      sized AS (
+        SELECT *, CAST(21 + octet_length(encode(warc_type))
+            + CASE WHEN target_uri IS NULL THEN 0
+                   ELSE 19 + octet_length(encode(target_uri)) END
+            + 18 + length(CAST(content_length AS VARCHAR))
+            + 4 + content_length + 4 AS BIGINT) AS record_bytes
+        FROM base),
+      ext AS (
+        SELECT *, CAST(coalesce(sum(record_bytes) OVER (
+            PARTITION BY file_id ORDER BY record_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS "offset"
+        FROM sized)
+      $select"""
 
   /** p167's WARC fixture: docs pack into 8 files (doc_id % 8), each a
     * warcinfo record (idx -1 sorts first) followed by one `conversion`
@@ -5472,13 +5647,15 @@ object PipelineQueries {
     * generative oracle recomputes the fields from the same doc_id
     * arithmetic.
     */
-  private[graft] def warcFixtureFrom(docs: DataFrame): DataFrame = {
+  private[graft] def warcFixtureFrom(docs: DataFrame,
+                                     fileBase: Long = 0L): DataFrame = {
     val uri = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
-    val recs = docs.select((col("doc_id") % 8).as("f"), col("doc_id").as("i"),
+    val file = (col("doc_id") % 8) + fileBase
+    val recs = docs.select(file.as("f"), col("doc_id").as("i"),
         lit("conversion").as("t"), uri.as("u"), col("text").as("b"))
-      .unionByName(docs.select((col("doc_id") % 8).as("f")).distinct()
+      .unionByName(docs.select(file.as("f")).distinct()
         .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
           lit(null).cast("string").as("u"), lit("graft-crawler").as("b")))
     graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),

@@ -34,9 +34,21 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
+  /** `offset`/`record_bytes` are the record's byte EXTENT in the
+    * (inflated) file: `offset` is where its `WARC/` version line
+    * starts, `record_bytes` runs through its trailing separator up to
+    * the next record's start (file end for the last) — so
+    * `payload[offset, offset+record_bytes)` is a complete,
+    * independently parseable record. That slice contract is what a
+    * CDX index stores and what a byte-range fetch against a 100 TB
+    * archive reads (for gzip inputs the extent addresses the INFLATED
+    * stream — compressed-member offsets would need the gz framing the
+    * bounded inflate deliberately hides).
+    */
   final case class WarcRecord(file_id: Long, record_idx: Long,
                               warc_type: String, target_uri: String,
-                              content_length: Long, body: String)
+                              content_length: Long, body: String,
+                              offset: Long, record_bytes: Long)
 
   /** Parse a (id, payload) frame of WARC files into one row per
     * record. Accepts plain bytes, a gzipped file, or concatenated
@@ -89,13 +101,187 @@ object Warc {
       .select(col("file_id"), col("txt").cast("binary").as("payload"))
   }
 
+  /** CDX-style archive index — the random-access layer over a WARC
+    * corpus: one row per ADDRESSABLE record (target URI present),
+    * keyed by the SURT form of its URI
+    * ([[graft.functions.SourceFamily.surtKey]] — one site = one
+    * contiguous key range, the ordering every public web-archive
+    * index uses), carrying the byte extent (file_id, offset,
+    * record_bytes) a ranged read needs and a sha256 content digest
+    * for revisit/dedup decisions. The index is a header-fields
+    * projection — tiny relative to the archive — so at 100 TB it is
+    * the frame you sort/bucket ONCE and serve every lookup from
+    * without touching payload bytes.
+    */
+  def cdxIndex(records: DataFrame): DataFrame =
+    records.filter(col("target_uri").isNotNull)
+      .select(
+        graft.functions.SourceFamily.surtKey(col("target_uri")).as("surt_key"),
+        col("target_uri"), col("file_id"), col("offset"),
+        col("record_bytes"), sha2(col("body"), 256).as("digest"))
+
+  /** Random access: fetch exactly the records an index lookup named,
+    * by byte extent — never a full-archive parse. `extents` is
+    * (file_id, offset, record_bytes) rows (a CDX lookup result);
+    * each joins its file's payload, slices its extent, and re-parses
+    * the slice ALONE (the extent contract: a slice is a complete
+    * record — anything else raises with the extent). Returned
+    * offsets are rebased to the file, so fetched rows are
+    * indistinguishable from a full parse of the same records.
+    *
+    * Scale shape: the extents side is lookup-result-sized (broadcast
+    * side of the join); at 100 TB the slice is a ranged GET against
+    * the archive store — the plan here reads the file row it lands
+    * on, which is the local-filesystem rendering of the same access
+    * pattern. Gzip files address the INFLATED stream (the parse-side
+    * convention), so the kernel inflates before slicing.
+    */
+  def fetchRecords(files: DataFrame, id: Column, payload: Column,
+                   extents: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val f = files.select(id.cast("long").as("file_id"),
+      payload.cast("binary").as("payload"))
+    extents.select(col("file_id").cast("long").as("file_id"),
+        col("offset").cast("long").as("offset"),
+        col("record_bytes").cast("long").as("record_bytes"))
+      .join(f, Seq("file_id"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (fid, off, len, bytes) =>
+          val raw =
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+                (bytes(1) & 0xff) == 0x8b)
+              graft.functions.GunzipUtil.gunzip(bytes,
+                graft.functions.GunzipUtil.MaxOut)
+            else bytes
+          if (off < 0 || off + len > raw.length)
+            throw new IllegalArgumentException(
+              s"fetchRecords: extent [$off, ${off + len}) overruns file " +
+                s"$fid (${raw.length} bytes) — a stale index must fail " +
+                "loudly, not return bytes of some other record")
+          val slice = java.util.Arrays.copyOfRange(raw, off.toInt,
+            (off + len).toInt)
+          val rs = parseRecords(fid, slice).toList
+          if (rs.length != 1)
+            throw new IllegalArgumentException(
+              s"fetchRecords: extent at file $fid offset $off parsed " +
+                s"${rs.length} records — an index extent frames exactly one")
+          rs.head.copy(offset = off)
+        }
+      }
+      .toDF()
+  }
+
+  /** Revisit detection — the archive-level exact dedup every public
+    * web archive runs at ingest: a record whose content DIGEST was
+    * already stored becomes a `revisit` pointer to the first-stored
+    * copy instead of a second copy of the bytes (at 100 TB of crawl,
+    * unchanged re-fetches are a large fraction of all records — this
+    * is the dedup that pays before any text-level pass runs). Over a
+    * [[cdxIndex]] frame: the ORIGINAL of each digest is the
+    * first-stored extent (min (file_id, offset) — packed into one
+    * BIGINT so the election is a map-side-combinable `min`, the
+    * [[graft.text.CorpusOps]] selfDedupSpans election shape, never a
+    * window); every row comes back flagged `is_revisit` with its
+    * original's extent. Records of IDENTICAL content under different
+    * URIs also collapse (digest semantics — the URI is provenance,
+    * the digest is identity). The 10^12 extent-packing bound (a >1 TB
+    * single WARC file) raises in-plan, never misranks.
+    */
+  def cdxRevisits(cdx: DataFrame): DataFrame = {
+    val pack = 1000000000000L
+    val guarded = when(col("offset") < 0 || col("offset") >= pack,
+      cast_raise(concat(lit("cdxRevisits: offset "),
+        col("offset").cast("string"),
+        lit(s" outside [0, $pack) — a single WARC file past the 1 TB " +
+          "packing bound would misrank the original election"))))
+      .otherwise(col("offset"))
+    val withPacked = cdx.withColumn("__packed",
+      col("file_id") * lit(pack) + guarded)
+    val orig = withPacked.groupBy(col("digest"))
+      .agg(min(col("__packed")).as("__orig"))
+    withPacked.join(orig, Seq("digest"))
+      .withColumn("is_revisit", col("__packed") =!= col("__orig"))
+      .withColumn("orig_file", expr(s"__orig div ${pack}L"))
+      .withColumn("orig_offset", col("__orig") % lit(pack))
+      .drop("__packed", "__orig")
+  }
+
+  private def cast_raise(msg: Column): Column =
+    raise_error(msg).cast("long")
+
+  /** Contiguous byte-budget re-shard plan — the archive-maintenance
+    * op behind "re-pack these N small/skewed WARC files into ~B-byte
+    * shards": records take a GLOBAL position by `order` (must be
+    * unique — shard boundaries are underdetermined otherwise, and the
+    * guard is loud), and each lands in shard `floor(prefix_bytes /
+    * budget)` where prefix_bytes is the exclusive running sum of
+    * `size` in that order — greedy contiguous packing, the
+    * [[graft.curation.Curation.packSequences]] arithmetic applied
+    * globally.
+    *
+    * Scale shape — the third instance of the distributed prefix-sum
+    * pattern (after epochShuffle and [[graft.operators.Sweep]]): a
+    * global running sum with NO single-partition window. Positions
+    * bucket by `order div bucketWidth`; per-bucket byte totals
+    * collapse in one map-combined aggregation to a bounded artifact
+    * (≤ `maxBuckets` rows — collected, prefix-summed on the driver,
+    * broadcast back as exclusive carry-ins); the in-bucket running
+    * sum rides ONE hash exchange on the bucket. Integer division
+    * throughout (`div`) — a double quotient near a shard boundary is
+    * a misplace at archive scale.
+    *
+    * Output: the input rows plus a `shard` column.
+    */
+  def reshardByBytes(records: DataFrame, order: Column, size: Column,
+                     budget: Long, bucketWidth: Long = 4096L,
+                     maxBuckets: Int = 100000): DataFrame = {
+    require(budget > 0, s"reshardByBytes: budget must be positive, got $budget")
+    require(bucketWidth > 0,
+      s"reshardByBytes: bucketWidth must be positive, got $bucketWidth")
+    val spark = records.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = records
+      .withColumn("__ord", order.cast("long"))
+      .withColumn("__sz", size.cast("long"))
+      .withColumn("__bkt", expr(s"__ord div ${bucketWidth}L"))
+    val totals = base.groupBy(col("__bkt"))
+      .agg(sum(col("__sz")).as("t"), count(lit(1)).as("n"),
+        count_distinct(col("__ord")).as("d"))
+      .orderBy(col("__bkt")).limit(maxBuckets + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    require(totals.length <= maxBuckets,
+      s"reshardByBytes: more than $maxBuckets order buckets — widen " +
+        "bucketWidth (the driver prefix must stay config-sized)")
+    totals.find(t => t._3 != t._4).foreach { t =>
+      throw new IllegalArgumentException(
+        s"reshardByBytes: order values are not unique (bucket ${t._1} has " +
+          s"${t._3} rows over ${t._4} distinct positions) — shard " +
+          "boundaries would be underdetermined")
+    }
+    var acc = 0L
+    val carries = totals.map { case (b, t, _, _) =>
+      val c = (b, acc); acc += t; c
+    }
+    import spark.implicits._
+    val carryDf = broadcast(carries.toSeq.toDF("__bkt", "__carry"))
+    base.join(carryDf, Seq("__bkt"))
+      .withColumn("__cp", col("__carry") + coalesce(
+        sum(col("__sz")).over(Window.partitionBy(col("__bkt"))
+          .orderBy(col("__ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", expr(s"__cp div ${budget}L"))
+      .drop("__ord", "__sz", "__bkt", "__carry", "__cp")
+  }
+
   /** The byte walk. CRLF per spec, bare LF tolerated (real archives
     * mix them); header names case-insensitive; Content-Length
     * REQUIRED and exact.
     */
   private[sources] def parseRecords(fid: Long,
                                     b: Array[Byte]): Iterator[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var p = 0
     var idx = 0L
     def fail(msg: String): Nothing =
@@ -114,6 +300,7 @@ object Warc {
       // skip inter-record newlines
       while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
       if (p < b.length) {
+        val start = p
         val version = readLine()
         if (!version.startsWith("WARC/")) fail(s"expected a WARC/ version line, got '$version'")
         var warcType: String = null
@@ -141,10 +328,17 @@ object Warc {
           s"Content-Length $len overruns the file (have ${b.length - p} bytes)")
         val body = new String(b, p, len.toInt, "UTF-8")
         p += len.toInt
-        out += WarcRecord(fid, idx, warcType, uri, len, body)
+        out += WarcRecord(fid, idx, warcType, uri, len, body, start, 0L)
         idx += 1
       }
     }
-    out.result().iterator
+    // record_bytes = gap to the next record's start (trailing separator
+    // attaches to the record it terminates), file end for the last —
+    // so extents tile the file and each slice re-parses alone
+    val withExtents = out.zipWithIndex.map { case (r, i) =>
+      val end = if (i + 1 < out.length) out(i + 1).offset else b.length.toLong
+      r.copy(record_bytes = end - r.offset)
+    }
+    withExtents.iterator
   }
 }

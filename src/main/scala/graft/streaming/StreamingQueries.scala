@@ -876,6 +876,29 @@ object StreamingQueries {
       .orderBy(col("file_id"), col("record_idx"))
   }
 
+  /** p170's CDX build AT ingest — a WARC file's index rows exist the
+    * moment the file lands (surt key, digest, and byte extents derive
+    * from the file alone, so the build is STATELESS: scan-stage parse
+    * + projection, append mode, the q134 rule), which is how an
+    * archive keeps lookups fresh without batch re-indexing: the CDX
+    * is an append-only log in file-arrival order whose SORT is a
+    * serve-time concern (p103's prefix-index pattern), not an ingest
+    * barrier.
+    */
+  def cdxIndexStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Sinks.tempArtifactDir("cdx_stream_in")
+    graft.queries.PipelineQueries
+      .warcFixtureFrom(graft.Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(
+      graft.sources.Warc.cdxIndex(graft.sources.Warc.parseWarc(
+        spark.readStream.schema(schema).parquet(dir),
+        col("file_id"), col("payload"))),
+      mode = "append")
+      .orderBy(col("surt_key"))
+  }
+
   /** p161's Crawl-delay parse AT ingest — robots.txt fetches parse the
     * moment they land (the directive table must be fresh before the
     * next scheduling round, not after a batch job): the group fold is

@@ -178,6 +178,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == cases.map(_._2))
   }
 
+  test("surtKey: one site = one contiguous key range, on top of canonicalizeUrl's collision semantics") {
+    import graft.functions.SourceFamily
+    val cases = Seq(
+      // host labels reverse comma-joined, single leading www. dropped,
+      // scheme dropped (http/https fetches of a page are ONE range)
+      "https://www.Ex.com/a/b?x=1" -> "com,ex)/a/b?x=1",
+      "HTTP://EX.COM:80/a/b?x=1" -> "com,ex)/a/b?x=1",
+      // canonicalization rides along: default port, utm, fragment,
+      // sorted params — two spellings of one fetch, one key
+      "HTTPS://WWW.EX.COM:443/a?y=2&x=1&utm_source=t#f" -> "com,ex)/a?x=1&y=2",
+      // deeper subdomains keep their labels (after the reversed
+      // registered domain — the range-scan property)
+      "https://blog.ex.com/p" -> "com,ex,blog)/p",
+      // www is only dropped as the LEADING label
+      "https://www.www2.ex.com/p" -> "com,ex,www2)/p",
+      // empty path normalizes to / before the key forms
+      "https://ex.com" -> "com,ex)/",
+      // non-URL inputs pass through (canonicalizeUrl's trim)
+      "plain-source-7" -> "plain-source-7")
+    val got = cases.map(_._1).toDF("u")
+      .select(SourceFamily.surtKey(col("u")).as("k")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // the range property itself: every key of a host sorts inside
+    // [prefix, prefix + '0') for its site prefix
+    val site = Seq("https://ex.com/a", "https://www.ex.com/zz?q=1",
+        "https://ex.com/")
+      .toDF("u").select(SourceFamily.surtKey(col("u")).as("k"))
+      .as[String].collect()
+    assert(site.forall(k => k.startsWith("com,ex)")))
+  }
+
   test("family rollup composes in front of sourceKlDivergence unchanged") {
     import graft.functions.SourceFamily
     // shard-suffixed provenance ids roll back up to the raw source, so

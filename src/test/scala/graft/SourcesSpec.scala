@@ -234,4 +234,91 @@ class SourcesSpec extends AnyFunSuite {
     assert(lens("café crème body") ==
       "café crème body".getBytes("UTF-8").length.toLong)
   }
+
+  test("Warc: byte extents tile the file and each slice re-parses alone — the random-access contract") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    // mixed CRLF/LF records PLUS extra inter-record blank lines: the
+    // extent definition (gap to the next record's start) must absorb
+    // both, or offsets drift off what a ranged read would fetch
+    val raw = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://a.com/1\r\nContent-Length: 12\r\n\r\n" +
+      "café crème\r\n\r\n" +
+      "\r\n\r\n" + // extra separators attach to the PRECEDING record
+      "WARC/1.0\nWARC-Type: warcinfo\nContent-Length: 2\n\nhi\n\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://a.com/2\r\nContent-Length: 5\r\n\r\n" +
+      "plain\r\n\r\n").getBytes("UTF-8")
+    val files = Seq((7L, raw)).toDF("file_id", "payload")
+    val parsed = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .orderBy(col("record_idx"))
+      .select(col("offset"), col("record_bytes"), col("body")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // extents tile: each starts where the previous ended, first at 0,
+    // last ends at the file boundary
+    assert(parsed.head._1 == 0L)
+    parsed.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 + a._2 == b._1, s"extent gap between $a and $b")
+    }
+    assert(parsed.last._1 + parsed.last._2 == raw.length.toLong)
+    // every slice re-parses ALONE to the same record (fetchRecords),
+    // offsets rebased to the file — indistinguishable from full parse
+    val extents = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .select(col("file_id"), col("offset"), col("record_bytes"))
+    val fetched = Warc.fetchRecords(files, col("file_id"), col("payload"),
+        extents)
+      .orderBy(col("record_idx"))
+      .select(col("offset"), col("record_bytes"), col("body")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(fetched.map(f => (f._1, f._3)).toSeq ==
+      parsed.map(p => (p._1, p._3)).toSeq)
+    // gz file: extents address the INFLATED stream, fetch inflates first
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(raw); g.close()
+    val gzFiles = Seq((7L, bos.toByteArray)).toDF("file_id", "payload")
+    val viaGz = Warc.fetchRecords(gzFiles, col("file_id"), col("payload"),
+        extents)
+      .orderBy(col("record_idx")).select(col("body")).collect()
+      .map(_.getString(0))
+    assert(viaGz.toSeq == parsed.map(_._3).toSeq)
+    // a stale/corrupt extent raises loudly — never bytes of some
+    // other record
+    val e = intercept[Exception] {
+      TestSpark.quietly(
+        Warc.fetchRecords(files, col("file_id"), col("payload"),
+          Seq((7L, 3L, 40L)).toDF("file_id", "offset", "record_bytes"))
+          .collect())
+    }
+    assert(e.getMessage.contains("fetchRecords") ||
+      e.getCause != null, e.getMessage)
+  }
+
+  test("Warc: reshardByBytes packs greedily by global byte order, no single-partition window, loud on duplicate order") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    // sizes 60,60,60,60 under budget 100: prefix 0,60,120,180 →
+    // shards 0,0,1,1 — the boundary lands between, never splits a record
+    val recs = Seq((0L, 60L), (1L, 60L), (2L, 60L), (3L, 60L))
+      .toDF("doc", "nb")
+    val planned = Warc.reshardByBytes(recs, col("doc"), col("nb"),
+        budget = 100L, bucketWidth = 2L)
+      .orderBy(col("doc")).select(col("doc"), col("shard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(planned.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
+    // the plan carries no single-partition exchange: the running sum
+    // rides the bucket hash partitioning (the Sweep/epochShuffle rule)
+    val plan = Warc.reshardByBytes(recs, col("doc"), col("nb"),
+      budget = 100L, bucketWidth = 2L).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    // duplicate order values leave shard boundaries underdetermined →
+    // loud, not arbitrary
+    val dup = Seq((0L, 10L), (0L, 10L)).toDF("doc", "nb")
+    val e = intercept[IllegalArgumentException] {
+      TestSpark.quietly(
+        Warc.reshardByBytes(dup, col("doc"), col("nb"), budget = 100L)
+          .collect())
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
 }
