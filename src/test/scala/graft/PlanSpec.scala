@@ -543,4 +543,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"byte-level encode must stay in the scan stage:\n$p")
   }
+
+  test("p170 CDX build is a scan-stage projection off the parse: no cartesian, no single partition") {
+    val p = plan("p170_cdx_index")
+    // surt/digest/extent all derive from the record row alone — the
+    // only exchanges are the fixture's own assembly and the
+    // presentation sort; an index build that shuffles per record
+    // would never finish at archive scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"CDX build must not plan a cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"CDX build planned a single-partition stage:\n$p")
+  }
+
+  test("p171 CDX fetch: lookup-sized side broadcasts, no cartesian — never a full-archive shuffle") {
+    val p = plan("p171_cdx_fetch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"index-driven fetch must not plan a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the panel/extent side should broadcast against the archive:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"fetch planned a single-partition stage:\n$p")
+  }
+
+  test("p172 reshard: prefix sum rides the bucket exchange, shard assembly one hash shuffle, no cartesian") {
+    val p = plan("p172_warc_reshard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"reshard must not plan a cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"reshard planned a single-partition stage (the global running " +
+        s"sum must use the bucket carry pattern):\n$p")
+  }
+
+  test("p173 revisit: original election is a digest-keyed aggregate, never a window or cartesian") {
+    val p = plan("p173_cdx_revisit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"revisit detection must not plan a cartesian:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"revisit detection planned a single-partition stage:\n$p")
+    assert("Exchange hashpartitioning\\(digest".r.findFirstIn(p).isDefined,
+      s"the first-stored election should shuffle on the digest:\n$p")
+  }
 }
