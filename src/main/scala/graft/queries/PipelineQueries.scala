@@ -5581,7 +5581,49 @@ object PipelineQueries {
              CAST(o.packed // 1000000000000 AS BIGINT) AS orig_file,
              CAST(o.packed % 1000000000000 AS BIGINT) AS orig_offset
       FROM cdx c JOIN orig o USING (digest)
-      ORDER BY c.file_id, c."offset""""))))
+      ORDER BY c.file_id, c."offset""""))),
+
+    // The two-level serve path — what a lookup against a 100 TB
+    // archive actually does: sorted CDX shards on disk (range
+    // partitioned, shard=<id> directories), a config-sized cluster
+    // index of first keys routes each query key to ONE shard via a
+    // scan-stage array HOF (no join, no shuffle), the lookup batch's
+    // shard ids prune the shard scan to those directories (static
+    // partition pruning — a lookup reads its shards, never the whole
+    // index), and the hits' extents drive ranged fetches. The oracle
+    // is the panel's documents rows verbatim: the entire two-level
+    // machinery must be invisible to what comes back.
+    ("p174_cdx_pruned_serve", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val warcs = warcFixtureFrom(docs)
+      val cdx = graft.sources.Warc.cdxIndex(
+        graft.sources.Warc.parseWarc(warcs, col("file_id"), col("payload")))
+      val dir = graft.sources.Sinks.tempArtifactDir("cdx_shards")
+      graft.sources.Warc.writeCdxShards(cdx, dir, numShards = 8)
+      val shards = s.read.parquet(dir)
+      val cluster = graft.sources.Warc.cdxClusterIndex(shards)
+      val panel = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("HTTPS://WWW.SRC"),
+          (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"),
+          col("doc_id").cast("string"), lit("?utm_source=x#frag")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url")).as("surt_key"))
+      val assigned = graft.sources.Warc.assignShards(panel, col("surt_key"),
+        cluster)
+      // the lookup batch KNOWS its shards (panel-sized, config-bounded
+      // by the lookup contract) — collect them so the scan prunes
+      // statically to those directories
+      val ids = assigned.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val hits = shards.filter(col("shard").isin(ids: _*))
+        .join(broadcast(assigned), Seq("shard", "surt_key"))
+      graft.sources.Warc.fetchRecords(warcs, col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text AS body
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE

@@ -173,6 +173,53 @@ object Warc {
       .toDF()
   }
 
+  /** Sorted CDX shards — the TWO-LEVEL index layout a 100 TB archive
+    * actually serves from (sorted index shards + a tiny cluster index
+    * of each shard's first key): the CDX rows range-partition by
+    * surt_key (each shard one contiguous, disjoint key range —
+    * Spark's range exchange is the sampled total-order partitioner)
+    * and land as `shard=<id>` parquet partitions, so a lookup that
+    * knows its shard reads ONE directory and nothing else.
+    */
+  def writeCdxShards(cdx: DataFrame, dir: String, numShards: Int): Unit =
+    cdx.repartitionByRange(numShards, col("surt_key"))
+      .withColumn("shard", spark_partition_id())
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** The cluster index over [[writeCdxShards]] output: one row per
+    * shard with its FIRST surt key — the config-sized artifact (shard
+    * count, not record count) that routes every lookup. One
+    * map-combined aggregate; at any archive size this stays
+    * broadcastable.
+    */
+  def cdxClusterIndex(shards: DataFrame): DataFrame =
+    shards.groupBy(col("shard")).agg(min(col("surt_key")).as("first_key"))
+
+  /** Route lookup keys to their shard: the sorted (first_key, shard)
+    * array rides a one-row broadcast (the documented broadcast-scalar
+    * pattern — the cluster index is shard-count-sized by
+    * construction), and each key's shard is "the last first_key ≤
+    * key" via a scan-stage array HOF — no join, no shuffle, pure
+    * codegen'd projection. A key below the index floor raises: the
+    * cluster index must cover the key space, and a silent wrong-shard
+    * route would serve a false miss.
+    */
+  def assignShards(queries: DataFrame, key: Column,
+                   clusterIndex: DataFrame): DataFrame = {
+    val idx = clusterIndex.agg(array_sort(
+      collect_list(struct(col("first_key"), col("shard")))).as("__idx"))
+    queries.crossJoin(broadcast(idx))
+      .withColumn("__pos", size(filter(col("__idx"),
+        e => e.getField("first_key") <= key)))
+      .withColumn("shard", when(col("__pos") >= 1,
+        element_at(col("__idx"), col("__pos")).getField("shard"))
+        .otherwise(raise_error(concat(
+          lit("assignShards: key '"), key,
+          lit("' sorts below the cluster-index floor — the index must " +
+            "cover the key space"))).cast("int")))
+      .drop("__idx", "__pos")
+  }
+
   /** Revisit detection — the archive-level exact dedup every public
     * web archive runs at ingest: a record whose content DIGEST was
     * already stored becomes a `revisit` pointer to the first-stored

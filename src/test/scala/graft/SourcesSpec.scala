@@ -294,6 +294,65 @@ class SourcesSpec extends AnyFunSuite {
       e.getCause != null, e.getMessage)
   }
 
+  test("Warc: two-level CDX layout — shards are disjoint sorted ranges, the cluster index routes every key home, floor raises") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    // 40 keys over 4 range shards
+    val cdx = (0 until 40)
+      .map(i => (f"com,s$i%02d)/p", i.toLong, i.toLong * 100, 50L, s"d$i"))
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx").toString
+    try {
+      Warc.writeCdxShards(cdx, dir, numShards = 4)
+      val shards = spark.read.parquet(dir)
+      // every input row landed exactly once
+      assert(shards.count() == 40)
+      val cluster = Warc.cdxClusterIndex(shards)
+      val bounds = cluster.orderBy(col("shard"))
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      // ranges are DISJOINT and SORTED: shard i's first key < shard
+      // i+1's first key, and every key of shard i sorts below it —
+      // the property that makes "route to one shard" correct
+      bounds.sliding(2).foreach { case Array((_, a), (_, b)) =>
+        assert(a < b, s"cluster index not sorted: $a !< $b")
+      }
+      val perShard = shards.select(col("shard"), col("surt_key")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      val next = bounds.map(_._1).zip(bounds.drop(1).map(_._2)).toMap
+      perShard.foreach { case (sh, k) =>
+        val lo = bounds.find(_._1 == sh).get._2
+        assert(k >= lo, s"key $k below its shard $sh floor $lo")
+        next.get(sh).foreach(hi =>
+          assert(k < hi, s"key $k at/above the next shard's floor $hi"))
+      }
+      // the router sends every key to the shard that holds it
+      val routed = Warc.assignShards(
+          cdx.select(col("surt_key")), col("surt_key"), cluster)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      perShard.foreach { case (sh, k) =>
+        assert(routed(k) == sh, s"key $k routed to ${routed(k)}, lives in $sh")
+      }
+      // a key below the index floor raises — never a silent false miss
+      val e = intercept[Exception] {
+        TestSpark.quietly(
+          Warc.assignShards(Seq("aaa").toDF("surt_key"), col("surt_key"),
+            cluster).collect())
+      }
+      assert(e.getMessage.contains("floor") ||
+        (e.getCause != null && e.getCause.getMessage.contains("floor")),
+        e.getMessage)
+      // the serve path prunes the shard scan to the lookup's shards —
+      // static partition pruning, visible in the scan
+      val p = shards.filter(col("shard").isin(1, 2))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("shard"),
+        s"shard filter did not reach the partition scan:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Warc: reshardByBytes packs greedily by global byte order, no single-partition window, loud on duplicate order") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Warc
