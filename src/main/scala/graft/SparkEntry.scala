@@ -281,7 +281,24 @@ object SparkEntry {
       Some(sharedOracle("p161_robots_crawl_delay"))),
     ("q136_streaming_cdx",
       (s, d) => graft.streaming.StreamingQueries.cdxIndexStream(s, d),
-      Some(sharedOracle("p170_cdx_index"))))
+      Some(sharedOracle("p170_cdx_index"))),
+    ("q137_streaming_revisit",
+      (s, d) => graft.streaming.StreamingQueries.cdxRevisitStream(s, d),
+      Some(PipelineQueries.warcFixtureOracleSqlFrom(
+        """SELECT doc_id, text, CAST(0 AS BIGINT) AS fno FROM documents
+           UNION ALL
+           SELECT doc_id, text, CAST(1 AS BIGINT) AS fno FROM documents
+           WHERE doc_id % 5 = 0""", """
+        , cdx AS (
+          SELECT file_id, "offset", sha256(body) AS digest
+          FROM ext WHERE target_uri IS NOT NULL)
+        SELECT digest,
+               CAST(min(file_id * 1000000000000 + "offset")
+                 // 1000000000000 AS BIGINT) AS orig_file,
+               CAST(min(file_id * 1000000000000 + "offset")
+                 % 1000000000000 AS BIGINT) AS orig_offset,
+               count(*) AS n_copies
+        FROM cdx GROUP BY digest ORDER BY digest"""))))
 
   /** Oracle shared with a batch query, resolved loudly: a rename of the
     * referenced entry must fail here, not silently deregister the

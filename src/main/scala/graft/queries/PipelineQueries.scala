@@ -5645,7 +5645,7 @@ object PipelineQueries {
     * oracle twin of calling [[warcFixtureFrom]] once per fetch batch
     * with `fileBase = 8k`.
     */
-  private def warcFixtureOracleSqlFrom(dsrcSql: String,
+  private[graft] def warcFixtureOracleSqlFrom(dsrcSql: String,
                                        select: String): String = s"""
       WITH dsrc AS ($dsrcSql),
       conv AS (

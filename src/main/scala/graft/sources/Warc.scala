@@ -237,22 +237,33 @@ object Warc {
     * single WARC file) raises in-plan, never misranks.
     */
   def cdxRevisits(cdx: DataFrame): DataFrame = {
-    val pack = 1000000000000L
-    val guarded = when(col("offset") < 0 || col("offset") >= pack,
-      cast_raise(concat(lit("cdxRevisits: offset "),
-        col("offset").cast("string"),
-        lit(s" outside [0, $pack) — a single WARC file past the 1 TB " +
-          "packing bound would misrank the original election"))))
-      .otherwise(col("offset"))
     val withPacked = cdx.withColumn("__packed",
-      col("file_id") * lit(pack) + guarded)
+      packedExtent(col("file_id"), col("offset")))
     val orig = withPacked.groupBy(col("digest"))
       .agg(min(col("__packed")).as("__orig"))
     withPacked.join(orig, Seq("digest"))
       .withColumn("is_revisit", col("__packed") =!= col("__orig"))
-      .withColumn("orig_file", expr(s"__orig div ${pack}L"))
-      .withColumn("orig_offset", col("__orig") % lit(pack))
+      .withColumn("orig_file", expr(s"__orig div ${ExtentPack}L"))
+      .withColumn("orig_offset", col("__orig") % lit(ExtentPack))
       .drop("__packed", "__orig")
+  }
+
+  /** The extent-packing stride: (file_id, offset) order as ONE BIGINT
+    * so a first-stored election is a map-side-combinable `min`.
+    * Offsets past the bound (a >1 TB single WARC file) raise in-plan —
+    * a silent wraparound would elect the wrong original.
+    */
+  val ExtentPack = 1000000000000L
+
+  /** (file_id, offset) packed into one orderable BIGINT, guarded. */
+  def packedExtent(file: Column, offset: Column): Column = {
+    val guarded = when(offset < 0 || offset >= ExtentPack,
+      cast_raise(concat(lit("packedExtent: offset "),
+        offset.cast("string"),
+        lit(s" outside [0, $ExtentPack) — a single WARC file past the " +
+          "1 TB packing bound would misrank the original election"))))
+      .otherwise(offset)
+    file * lit(ExtentPack) + guarded
   }
 
   private def cast_raise(msg: Column): Column =

@@ -899,6 +899,36 @@ object StreamingQueries {
       .orderBy(col("surt_key"))
   }
 
+  /** p173's revisit LEDGER maintained live — the state a real archive
+    * ingest carries: as WARC files land (two fetch batches in the
+    * fixture), each digest's row tracks its first-stored extent (the
+    * order-independent packed-`min` election — batch-identical no
+    * matter how ingest slices into micro-batches, the q31/q48 rule)
+    * and its copy count; a new record is a revisit exactly when it
+    * doesn't move the min. Streaming state is one row per distinct
+    * digest — the content-cardinality frame, not the record count.
+    */
+  def cdxRevisitStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Sinks.tempArtifactDir("cdx_revisit_in")
+    val docs = graft.Tables.documents(spark, sfDir)
+    graft.queries.PipelineQueries.warcFixtureFrom(docs)
+      .unionByName(graft.queries.PipelineQueries.warcFixtureFrom(
+        docs.filter(col("doc_id") % 5 === 0), fileBase = 8L))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val cdx = graft.sources.Warc.cdxIndex(graft.sources.Warc.parseWarc(
+      spark.readStream.schema(schema).parquet(dir),
+      col("file_id"), col("payload")))
+    val agg = cdx.groupBy(col("digest"))
+      .agg(min(graft.sources.Warc.packedExtent(col("file_id"),
+        col("offset"))).as("p"), count(lit(1)).as("n_copies"))
+      .select(col("digest"),
+        expr(s"p div ${graft.sources.Warc.ExtentPack}L").as("orig_file"),
+        (col("p") % lit(graft.sources.Warc.ExtentPack)).as("orig_offset"),
+        col("n_copies"))
+    runToMemory(agg).orderBy(col("digest"))
+  }
+
   /** p161's Crawl-delay parse AT ingest — robots.txt fetches parse the
     * moment they land (the directive table must be fresh before the
     * next scheduling round, not after a batch job): the group fold is
