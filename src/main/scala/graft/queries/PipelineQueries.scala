@@ -5623,7 +5623,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, text AS body
-      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")),
+
+    // WET derivation — Common Crawl's extracted-text sibling format,
+    // produced here the way the real pipeline produces it: response
+    // records parse out of the archive, the extract chain (p130's
+    // htmlExtract) strips each page map-side, and the results WRITE
+    // BACK as conversion records whose Content-Length reframes the
+    // extracted (multi-byte) text exactly; the gate reads off a FULL
+    // re-parse of the written WET files. Oracle: p168's generative
+    // extract expectation plus its independently-computed byte length
+    // — write→parse must be invisible to both.
+    ("p175_wet_write", (s, d) => {
+      val warcs = warcFixtureFrom(Tables.documents(s, d)
+          .select(col("doc_id"), htmlFixtureText.as("text")),
+        recordType = "response")
+      val resp = graft.sources.Warc.parseWarc(warcs,
+          col("file_id"), col("payload"))
+        .filter(col("warc_type") === "response")
+      val wet = graft.sources.Warc.writeWarc(
+        resp.select(col("file_id"), col("record_idx"),
+          lit("conversion").as("t"), col("target_uri"),
+          TextFunctions.htmlExtract(col("body")).as("b")),
+        col("file_id"), col("record_idx"), col("t"), col("target_uri"),
+        col("b"))
+      graft.sources.Warc.parseWarc(wet, col("file_id"), col("payload"))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_length"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id,
+               'Doc ' || doc_id || ' ' || text ||
+                 ' Compare A & B <quoted> it''s fine more' AS body
+        FROM documents)
+      SELECT doc_id, 'conversion' AS warc_type,
+             CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+             body
+      FROM x ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
@@ -5690,13 +5728,14 @@ object PipelineQueries {
     * arithmetic.
     */
   private[graft] def warcFixtureFrom(docs: DataFrame,
-                                     fileBase: Long = 0L): DataFrame = {
+                                     fileBase: Long = 0L,
+                                     recordType: String = "conversion"): DataFrame = {
     val uri = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
     val file = (col("doc_id") % 8) + fileBase
     val recs = docs.select(file.as("f"), col("doc_id").as("i"),
-        lit("conversion").as("t"), uri.as("u"), col("text").as("b"))
+        lit(recordType).as("t"), uri.as("u"), col("text").as("b"))
       .unionByName(docs.select(file.as("f")).distinct()
         .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
           lit(null).cast("string").as("u"), lit("graft-crawler").as("b")))
