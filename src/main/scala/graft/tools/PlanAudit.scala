@@ -52,6 +52,23 @@ import org.apache.spark.sql.SparkSession
   *    p118 (+ SortAggregate from the max-struct election),
   *    p133 (two one-row rank/headroom totals), p136 (p49's one-row
   *    (N, sum_dlb, sum_dla) stats scalar), q83 (p84's shape).
+  *  - round-9 entries: p162 SortAggregate (expandSitemaps'
+  *    latest-lastmod max-struct election — q20's accepted carry-the-
+  *    payload shape, one row per URL per partition); p169 NestedLoop
+  *    (p113's one-row budget-totals scalar priced in byte tokens);
+  *    p174 NestedLoop (assignShards' cluster index — shard-count-
+  *    sized by construction — rides a one-row broadcast cross join,
+  *    p45's accepted shape) + SortAggregate (cdxClusterIndex's
+  *    min(first_key) string election over shard-count groups, q20's
+  *    bounded shape).
+  *  - also inheriting the same two accepted shapes (verified per
+  *    entry): p81/p83/p93/p94/p95 (one-row corpus/stats/class-totals
+  *    scalars riding broadcast cross joins — p45/p49's shape),
+  *    p84/p89 (q83's sketch one-row grand-total), p150/p151/q128
+  *    (one-row totals for negative pools / vocab coverage),
+  *    p155 (p08's broadcast all-pairs recall evaluation over the
+  *    query panel), p138/q120 (robots wildcard-group max-struct fold
+  *    — q20's carry-the-payload SortAggregate).
   * Anything NEW this tool prints is a regression to investigate.
   */
 object PlanAudit {
