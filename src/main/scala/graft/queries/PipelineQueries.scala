@@ -5361,7 +5361,7 @@ object PipelineQueries {
         .orderBy(col("file_id"), col("record_idx"))
     }, Some(warcFixtureOracleSql("""
       SELECT file_id, record_idx, warc_type, target_uri, content_length,
-             body, "offset", record_bytes
+             body, "offset", record_bytes, warc_date
       FROM ext ORDER BY file_id, record_idx"""))),
 
     // The INGEST composition the crawl arc actually runs: WARC files
@@ -5467,7 +5467,7 @@ object PipelineQueries {
     }, Some(warcFixtureOracleSql("""
       SELECT 'com,src' || CAST(doc_id % 20 AS VARCHAR) || ')/p/'
                || CAST(doc_id AS VARCHAR) AS surt_key,
-             target_uri, file_id, "offset", record_bytes,
+             target_uri, warc_date, file_id, "offset", record_bytes,
              sha256(body) AS digest
       FROM ext WHERE target_uri IS NOT NULL
       ORDER BY surt_key"""))),
@@ -5694,20 +5694,25 @@ object PipelineQueries {
                'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
                  || '.com/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-               text AS body, doc_id
+               text AS body, doc_id,
+               strftime(epoch_ms((1767225600 + doc_id + fno * 86400) * 1000),
+                 '%Y-%m-%dT%H:%M:%SZ') AS warc_date
         FROM dsrc),
       info AS (
         SELECT DISTINCT doc_id % 8 + 8 * fno AS file_id,
                CAST(0 AS BIGINT) AS record_idx,
                'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
                CAST(13 AS BIGINT) AS content_length,
-               'graft-crawler' AS body, CAST(NULL AS BIGINT) AS doc_id
+               'graft-crawler' AS body, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS VARCHAR) AS warc_date
         FROM dsrc),
       base AS (SELECT * FROM info UNION ALL SELECT * FROM conv),
       sized AS (
         SELECT *, CAST(21 + octet_length(encode(warc_type))
             + CASE WHEN target_uri IS NULL THEN 0
                    ELSE 19 + octet_length(encode(target_uri)) END
+            + CASE WHEN warc_date IS NULL THEN 0
+                   ELSE 13 + octet_length(encode(warc_date)) END
             + 18 + length(CAST(content_length AS VARCHAR))
             + 4 + content_length + 4 AS BIGINT) AS record_bytes
         FROM base),
@@ -5734,13 +5739,20 @@ object PipelineQueries {
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
     val file = (col("doc_id") % 8) + fileBase
+    // capture time: fixture epoch + doc_id seconds, one day later per
+    // fetch batch (fileBase/8) — CC's WARC-Date, ISO 8601 in UTC
+    val date = date_format(timestamp_seconds(
+        lit(1767225600L) + col("doc_id") + lit(fileBase / 8 * 86400L)),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
     val recs = docs.select(file.as("f"), col("doc_id").as("i"),
-        lit(recordType).as("t"), uri.as("u"), col("text").as("b"))
+        lit(recordType).as("t"), uri.as("u"), col("text").as("b"),
+        date.as("dt"))
       .unionByName(docs.select(file.as("f")).distinct()
         .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
-          lit(null).cast("string").as("u"), lit("graft-crawler").as("b")))
+          lit(null).cast("string").as("u"), lit("graft-crawler").as("b"),
+          lit(null).cast("string").as("dt")))
     graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),
-      col("u"), col("b"))
+      col("u"), col("b"), col("dt"))
   }
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a

@@ -48,7 +48,8 @@ object Warc {
   final case class WarcRecord(file_id: Long, record_idx: Long,
                               warc_type: String, target_uri: String,
                               content_length: Long, body: String,
-                              offset: Long, record_bytes: Long)
+                              offset: Long, record_bytes: Long,
+                              warc_date: String)
 
   /** Parse a (id, payload) frame of WARC files into one row per
     * record. Accepts plain bytes, a gzipped file, or concatenated
@@ -87,11 +88,14 @@ object Warc {
     * archive convention, the ZipSource contract).
     */
   def writeWarc(df: DataFrame, file: Column, idx: Column, warcType: Column,
-                targetUri: Column, body: Column): DataFrame = {
+                targetUri: Column, body: Column,
+                warcDate: Column = lit(null).cast("string")): DataFrame = {
     val rendered = concat(
       lit("WARC/1.0\r\nWARC-Type: "), warcType,
       when(targetUri.isNotNull,
         concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
+      when(warcDate.isNotNull,
+        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
       lit("\r\nContent-Length: "), octet_length(body).cast("string"),
       lit("\r\n\r\n"), body, lit("\r\n\r\n"))
     df.select(file.as("file_id"), struct(idx.as("i"), rendered.as("rec")).as("s"))
@@ -117,7 +121,7 @@ object Warc {
     records.filter(col("target_uri").isNotNull)
       .select(
         graft.functions.SourceFamily.surtKey(col("target_uri")).as("surt_key"),
-        col("target_uri"), col("file_id"), col("offset"),
+        col("target_uri"), col("warc_date"), col("file_id"), col("offset"),
         col("record_bytes"), sha2(col("body"), 256).as("digest"))
 
   /** Random access: fetch exactly the records an index lookup named,
@@ -363,6 +367,7 @@ object Warc {
         if (!version.startsWith("WARC/")) fail(s"expected a WARC/ version line, got '$version'")
         var warcType: String = null
         var uri: String = null
+        var date: String = null
         var len = -1L
         var line = readLine()
         while (line.nonEmpty) {
@@ -373,6 +378,7 @@ object Warc {
           name match {
             case "warc-type" => warcType = value
             case "warc-target-uri" => uri = value
+            case "warc-date" => date = value
             case "content-length" =>
               len = try value.toLong catch {
                 case _: NumberFormatException => fail(s"bad Content-Length '$value'")
@@ -386,7 +392,8 @@ object Warc {
           s"Content-Length $len overruns the file (have ${b.length - p} bytes)")
         val body = new String(b, p, len.toInt, "UTF-8")
         p += len.toInt
-        out += WarcRecord(fid, idx, warcType, uri, len, body, start, 0L)
+        out += WarcRecord(fid, idx, warcType, uri, len, body, start, 0L,
+          date)
         idx += 1
       }
     }
