@@ -5661,7 +5661,64 @@ object PipelineQueries {
       SELECT doc_id, 'conversion' AS warc_type,
              CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
              body
-      FROM x ORDER BY doc_id""")))
+      FROM x ORDER BY doc_id""")),
+
+    // Common Crawl's ACTUAL archive layout — each record its own gzip
+    // MEMBER, members concatenated — parsed by the member walk that
+    // reports extents in the COMPRESSED domain (the offsets a public
+    // CDX really stores, because a ranged GET must name compressed
+    // bytes). Compressed sizes are deflate facts no oracle can
+    // recompute, so the gate here is the record CONTENT off the
+    // member walk (generative, incl. the capture date); SourcesSpec
+    // pins the extent arithmetic itself (members tile the file,
+    // slice ∘ inflate ∘ parse is identity).
+    ("p176_warc_gz_members", (s, d) => {
+      val warcs = warcFixtureFrom(Tables.documents(s, d), gzMembers = true)
+      graft.sources.Warc.parseWarcMembers(warcs, col("file_id"),
+          col("payload"))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_length"), col("body"),
+          col("warc_date"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'conversion' AS warc_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             text AS body,
+             strftime(epoch_ms((1767225600 + doc_id) * 1000),
+               '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+      FROM documents ORDER BY doc_id""")),
+
+    // The compressed-domain ranged fetch over that layout: the
+    // panel's member extents slice RAW gz bytes and ONLY those
+    // members inflate — the whole-file stream is never decompressed,
+    // which is the entire point of the member-extent CDX at 100 TB.
+    ("p177_gz_ranged_fetch", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val warcs = warcFixtureFrom(docs, gzMembers = true)
+      val cdx = graft.sources.Warc.cdxIndex(
+        graft.sources.Warc.parseWarcMembers(warcs, col("file_id"),
+          col("payload")))
+      val panel = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("https://www.src"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url"))
+          .as("surt_key"))
+      val hits = panel.join(cdx, Seq("surt_key"))
+      graft.sources.Warc.fetchMemberRecords(warcs, col("file_id"),
+          col("payload"),
+          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             text AS body
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
@@ -5734,7 +5791,8 @@ object PipelineQueries {
     */
   private[graft] def warcFixtureFrom(docs: DataFrame,
                                      fileBase: Long = 0L,
-                                     recordType: String = "conversion"): DataFrame = {
+                                     recordType: String = "conversion",
+                                     gzMembers: Boolean = false): DataFrame = {
     val uri = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
@@ -5751,8 +5809,12 @@ object PipelineQueries {
         .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
           lit(null).cast("string").as("u"), lit("graft-crawler").as("b"),
           lit(null).cast("string").as("dt")))
-    graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),
-      col("u"), col("b"), col("dt"))
+    if (gzMembers)
+      graft.sources.Warc.writeWarcGz(recs, col("f"), col("i"), col("t"),
+        col("u"), col("b"), col("dt"))
+    else
+      graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),
+        col("u"), col("b"), col("dt"))
   }
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a

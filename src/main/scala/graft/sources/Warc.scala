@@ -89,21 +89,10 @@ object Warc {
     */
   def writeWarc(df: DataFrame, file: Column, idx: Column, warcType: Column,
                 targetUri: Column, body: Column,
-                warcDate: Column = lit(null).cast("string")): DataFrame = {
-    val rendered = concat(
-      lit("WARC/1.0\r\nWARC-Type: "), warcType,
-      when(targetUri.isNotNull,
-        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
-      when(warcDate.isNotNull,
-        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
-      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
-      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
-    df.select(file.as("file_id"), struct(idx.as("i"), rendered.as("rec")).as("s"))
-      .groupBy(col("file_id"))
-      .agg(array_join(transform(sort_array(collect_list(col("s"))),
-        x => x.getField("rec")), "").as("txt"))
-      .select(col("file_id"), col("txt").cast("binary").as("payload"))
-  }
+                warcDate: Column = lit(null).cast("string")): DataFrame =
+    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate)
+      .select(col("file_id"),
+        array_join(col("recs"), "").cast("binary").as("payload"))
 
   /** CDX-style archive index — the random-access layer over a WARC
     * corpus: one row per ADDRESSABLE record (target URI present),
@@ -175,6 +164,182 @@ object Warc {
         }
       }
       .toDF()
+  }
+
+  /** Parse a per-record-gzip archive (Common Crawl's actual layout:
+    * each record its own gzip MEMBER, members concatenated) reporting
+    * extents in the COMPRESSED domain — the offsets a public CDX
+    * really stores, because a ranged GET against the archive must
+    * name compressed bytes. The member walk reads each gzip header
+    * (honoring FEXTRA/FNAME/FCOMMENT/FHCRC), inflates through the
+    * member's deflate stream to find its exact end (deflate is
+    * self-terminating; `Inflater.getBytesRead` is the consumed
+    * count), and steps over the CRC32+ISIZE trailer — so
+    * `raw[offset, offset+record_bytes)` is one complete gzip member
+    * whose inflation is one complete record (enforced loudly, the CC
+    * one-record-per-member convention).
+    */
+  def parseWarcMembers(df: DataFrame, id: Column,
+                       payload: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("file_id"),
+        payload.cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (fid, bytes) =>
+          memberExtents(fid, bytes).zipWithIndex.map {
+            case ((off, len), i) =>
+              val member = java.util.Arrays.copyOfRange(bytes, off.toInt,
+                (off + len).toInt)
+              val rec = graft.functions.GunzipUtil.gunzip(member,
+                graft.functions.GunzipUtil.MaxOut)
+              val rs = parseRecords(fid, rec).toList
+              if (rs.length != 1)
+                throw new IllegalArgumentException(
+                  s"parseWarcMembers: member at file $fid offset $off " +
+                    s"inflated to ${rs.length} records — the archive " +
+                    "layout contract is one record per gzip member")
+              rs.head.copy(record_idx = i.toLong, offset = off,
+                record_bytes = len)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Ranged fetch in the COMPRESSED domain: slice the raw gz bytes at
+    * the member extent, inflate ONLY that member, parse the one record
+    * — at 100 TB this is the actual Common Crawl access pattern (an
+    * HTTP range request for `record_bytes` compressed bytes), and the
+    * whole-file stream is never inflated.
+    */
+  def fetchMemberRecords(files: DataFrame, id: Column, payload: Column,
+                         extents: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val f = files.select(id.cast("long").as("file_id"),
+      payload.cast("binary").as("payload"))
+    extents.select(col("file_id").cast("long").as("file_id"),
+        col("offset").cast("long").as("offset"),
+        col("record_bytes").cast("long").as("record_bytes"))
+      .join(f, Seq("file_id"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (fid, off, len, bytes) =>
+          if (off < 0 || off + len > bytes.length)
+            throw new IllegalArgumentException(
+              s"fetchMemberRecords: extent [$off, ${off + len}) overruns " +
+                s"file $fid (${bytes.length} compressed bytes) — a stale " +
+                "index must fail loudly")
+          val member = java.util.Arrays.copyOfRange(bytes, off.toInt,
+            (off + len).toInt)
+          val rec = graft.functions.GunzipUtil.gunzip(member,
+            graft.functions.GunzipUtil.MaxOut)
+          val rs = parseRecords(fid, rec).toList
+          if (rs.length != 1)
+            throw new IllegalArgumentException(
+              s"fetchMemberRecords: member at file $fid offset $off " +
+                s"parsed ${rs.length} records — one record per member")
+          rs.head.copy(offset = off, record_bytes = len)
+        }
+      }
+      .toDF()
+  }
+
+  /** The sink half of the per-record-gzip layout: render records
+    * exactly as [[writeWarc]] does, then gzip EACH record as its own
+    * member and concatenate — `parseWarcMembers ∘ writeWarcGz` is
+    * identity on the record fields (member extents are layout
+    * facts, not record facts). Same bounded per-file assembly.
+    */
+  def writeWarcGz(df: DataFrame, file: Column, idx: Column,
+                  warcType: Column, targetUri: Column, body: Column,
+                  warcDate: Column = lit(null).cast("string")): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (fid, recs) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          recs.foreach { r =>
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(r.getBytes("UTF-8")); g.finish(); g.close()
+          }
+          (fid, bos.toByteArray)
+        }
+      }
+      .toDF("file_id", "payload")
+  }
+
+  /** The one rendering definition behind both sink layouts: per-file
+    * ordered arrays of rendered record strings.
+    */
+  private def writeWarcText(df: DataFrame, file: Column, idx: Column,
+                            warcType: Column, targetUri: Column,
+                            body: Column, warcDate: Column): DataFrame = {
+    val rendered = concat(
+      lit("WARC/1.0\r\nWARC-Type: "), warcType,
+      when(targetUri.isNotNull,
+        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
+      when(warcDate.isNotNull,
+        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    df.select(file.cast("long").as("file_id"),
+        struct(idx.as("i"), rendered.as("rec")).as("s"))
+      .groupBy(col("file_id"))
+      .agg(transform(sort_array(collect_list(col("s"))),
+        x => x.getField("rec")).as("recs"))
+  }
+
+  /** Walk concatenated gzip members: (offset, compressed length) of
+    * each member in `b`. Loud on truncation or a non-gzip byte where
+    * a member must start.
+    */
+  private[sources] def memberExtents(fid: Long,
+                                     b: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"parseWarcMembers: file $fid byte $p: $msg")
+    while (p < b.length) {
+      val start = p
+      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+          (b(p + 1) & 0xff) != 0x8b) fail("expected a gzip member header")
+      if ((b(p + 2) & 0xff) != 8) fail("unsupported compression method")
+      val flg = b(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) fail("truncated FEXTRA")
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+      if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+      if ((flg & 2) != 0) p += 2
+      if (p > b.length) fail("truncated member header")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, p, b.length - p)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.finished()) ()
+          else if (n == 0 && inf.needsInput()) fail("truncated deflate stream")
+        }
+        p += inf.getBytesRead.toInt
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          fail(s"corrupt deflate stream: ${e.getMessage}")
+      } finally inf.end()
+      p += 8 // CRC32 + ISIZE trailer
+      if (p > b.length) fail("truncated member trailer")
+      out += ((start.toLong, (p - start).toLong))
+    }
+    out.result()
   }
 
   /** Sorted CDX shards — the TWO-LEVEL index layout a 100 TB archive

@@ -294,6 +294,58 @@ class SourcesSpec extends AnyFunSuite {
       e.getCause != null, e.getMessage)
   }
 
+  test("Warc: gzip member extents tile the compressed file; each slice inflates and parses alone; loud truncation") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    def rec(uri: String, body: String): String = {
+      val n = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    def gz(s: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val raw = gz(rec("https://a.com/1", "café crème")) ++
+      gz(rec("https://a.com/2", "plain")) ++
+      gz(rec("https://a.com/3", "third body"))
+    // the walk finds the exact compressed extents
+    val exts = Warc.memberExtents(1L, raw)
+    assert(exts.length == 3 && exts.head._1 == 0L)
+    exts.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 + a._2 == b._1, s"member gap between $a and $b")
+    }
+    assert(exts.last._1 + exts.last._2 == raw.length.toLong)
+    // full member parse reports the compressed extents alongside the
+    // inflated records
+    val files = Seq((1L, raw)).toDF("file_id", "payload")
+    val parsed = Warc.parseWarcMembers(files, col("file_id"), col("payload"))
+      .orderBy(col("record_idx"))
+      .select(col("offset"), col("record_bytes"), col("body")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(parsed.map(p => (p._1, p._2)).toSeq == exts.toSeq)
+    assert(parsed.map(_._3).toSeq ==
+      Seq("café crème", "plain", "third body"))
+    // ranged fetch in the compressed domain: slice raw gz bytes,
+    // inflate only that member
+    val fetched = Warc.fetchMemberRecords(files, col("file_id"),
+        col("payload"),
+        Seq((1L, exts(1)._1, exts(1)._2)).toDF("file_id", "offset",
+          "record_bytes"))
+      .select(col("body")).collect().map(_.getString(0))
+    assert(fetched.toSeq == Seq("plain"))
+    // truncation mid-member raises with file and offset
+    val e = intercept[Exception] {
+      TestSpark.quietly(
+        Warc.parseWarcMembers(Seq((1L, raw.take(raw.length - 10)))
+            .toDF("file_id", "payload"), col("file_id"), col("payload"))
+          .collect())
+    }
+    assert(e.getMessage.contains("parseWarcMembers") ||
+      e.getCause != null, e.getMessage)
+  }
+
   test("Warc: two-level CDX layout — shards are disjoint sorted ranges, the cluster index routes every key home, floor raises") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Warc
