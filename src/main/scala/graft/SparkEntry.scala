@@ -399,7 +399,10 @@ object SparkEntry {
     "p145_crawl_worklist", "p146_snippets", "p148_boilerplate_strip",
     // round-9: byte-level tokenizer inference over the decorated corpus
     // (map-side codegen kernel throughput), the two-level host-cap
-    // worklist (double bounded-TopK exchange), and WARC container
-    // assembly + byte-walk parse (the ingest codec class)
-    "p159_bpe_bytes_encode", "p164_worklist_per_host", "p167_warc_parse")
+    // worklist (double bounded-TopK exchange), WARC container
+    // assembly + byte-walk parse (the ingest codec class), and the
+    // per-record-gzip member walk (the same class under Common
+    // Crawl's compressed layout — inflate dominates)
+    "p159_bpe_bytes_encode", "p164_worklist_per_host", "p167_warc_parse",
+    "p176_warc_gz_members")
 }
