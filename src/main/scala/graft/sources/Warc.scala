@@ -298,7 +298,7 @@ object Warc {
     * each member in `b`. Loud on truncation or a non-gzip byte where
     * a member must start.
     */
-  private[sources] def memberExtents(fid: Long,
+  private[graft] def memberExtents(fid: Long,
                                      b: Array[Byte]): Seq[(Long, Long)] = {
     val out = Seq.newBuilder[(Long, Long)]
     var p = 0
