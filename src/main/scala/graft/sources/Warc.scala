@@ -506,7 +506,7 @@ object Warc {
     * mix them); header names case-insensitive; Content-Length
     * REQUIRED and exact.
     */
-  private[sources] def parseRecords(fid: Long,
+  private[graft] def parseRecords(fid: Long,
                                     b: Array[Byte]): Iterator[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var p = 0

@@ -230,4 +230,70 @@ class PropertySpec extends AnyFunSuite {
       agg.finish(merged).items.toList == expect
     })
   }
+
+  private val warcBodyGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "é", "😀", "\n", "x y", "\t", "ß", "—"))
+      .map(_.mkString)
+
+  test("WARC byte walk: render∘parse identity + extent tiling for arbitrary records, line ends, separators") {
+    val recGen = for {
+      b <- warcBodyGen
+      uri <- Gen.option(Gen.chooseNum(0, 99).map(i => s"https://e$i.com/p"))
+      date <- Gen.option(Gen.const("2026-01-02T03:04:05Z"))
+      bareLf <- Gen.oneOf(true, false)
+    } yield (b, uri, date, bareLf)
+    check(Prop.forAll(Gen.listOf(recGen), Gen.chooseNum(0, 3)) {
+      (recs, extraSeps) =>
+        // independent reference rendering — library string building,
+        // not writeWarc — with per-record CRLF/LF choice and extra
+        // inter-record blank lines
+        val sb = new StringBuilder
+        recs.foreach { case (b, uri, date, bareLf) =>
+          val e = if (bareLf) "\n" else "\r\n"
+          val n = b.getBytes("UTF-8").length
+          sb.append(s"WARC/1.0${e}WARC-Type: conversion$e")
+          uri.foreach(u => sb.append(s"WARC-Target-URI: $u$e"))
+          date.foreach(dt => sb.append(s"WARC-Date: $dt$e"))
+          sb.append(s"Content-Length: $n$e$e$b$e$e")
+          sb.append("\n" * extraSeps)
+        }
+        val bytes = sb.toString.getBytes("UTF-8")
+        val out = graft.sources.Warc.parseRecords(7L, bytes).toList
+        val fieldsOk =
+          out.map(r => (r.body, Option(r.target_uri), Option(r.warc_date))) ==
+            recs.map(t => (t._1, t._2, t._3))
+        val clOk = out.map(_.content_length) ==
+          recs.map(_._1.getBytes("UTF-8").length.toLong)
+        val tileOk = out.isEmpty || (out.head.offset == 0L &&
+          out.sliding(2).forall {
+            case Seq(a, c) => a.offset + a.record_bytes == c.offset
+            case _ => true
+          } && out.last.offset + out.last.record_bytes == bytes.length.toLong)
+        fieldsOk && clOk && tileOk
+    })
+  }
+
+  test("gzip member walk: extents are exactly the member lengths and tile the compressed stream") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    check(Prop.forAll(Gen.listOf(warcBodyGen)) { bodies =>
+      val members = bodies.map { b =>
+        val n = b.getBytes("UTF-8").length
+        gz(s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          s"Content-Length: $n\r\n\r\n$b\r\n\r\n")
+      }
+      val raw = members.foldLeft(Array.empty[Byte])(_ ++ _)
+      val exts = graft.sources.Warc.memberExtents(7L, raw)
+      val lensOk = exts.map(_._2) == members.map(_.length.toLong)
+      val tileOk = exts.isEmpty || (exts.head._1 == 0L &&
+        exts.sliding(2).forall {
+          case Seq(a, c) => a._1 + a._2 == c._1
+          case _ => true
+        } && exts.last._1 + exts.last._2 == raw.length.toLong)
+      lensOk && tileOk
+    })
+  }
 }
