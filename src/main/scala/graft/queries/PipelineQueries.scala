@@ -4202,9 +4202,19 @@ object PipelineQueries {
     // generatively from the fixture arithmetic and mirrors the
     // double op chain verbatim.
     ("p136_anchor_bm25f", (s, d) => {
-      val anchors = graft.graph.LinkGraph
+      // the anchor harvest is a pipeline STAGE whose output is a
+      // bounded (domain × term) artifact — materialize it once (the
+      // p165 artifact pattern; sub-corpus-cardinality, so pinning is
+      // inside the checkpoint rule) so the three consumers inside
+      // bm25fTopK (field lengths, the anchor term union, per-doc dla)
+      // scan a tiny parquet instead of re-running the corpus-wide
+      // href harvest under each broadcast
+      val aDir = graft.sources.Sinks.tempArtifactDir("anchor_terms")
+      graft.graph.LinkGraph
         .anchorTerms(htmlPages(s, d), col("html"))
         .select(col("dst_family").as("field_key"), col("term"), col("n"))
+        .write.mode("overwrite").parquet(aDir)
+      val anchors = s.read.parquet(aDir)
       graft.text.CorpusOps.bm25fTopK(Tables.documents(s, d),
           col("doc_id"), col("text"),
           concat(col("source"), lit(".com")), anchors,
