@@ -5728,7 +5728,40 @@ object PipelineQueries {
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
              text AS body
-      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")),
+
+    // Binary payloads ride the archive unharmed — the reason the
+    // container layer has a BINARY walk: PNG image records write into
+    // WARC files (writeWarcBin: text headers, verbatim body bytes)
+    // and parse back out (parseWarcBinary) to decode to the SAME
+    // stats p11 derives from the pixel formula. A UTF-8 body round
+    // trip would corrupt every non-UTF-8 byte sequence in the PNG
+    // stream — exactly the corruption this oracle would catch.
+    // Provenance recovered from the URI, never row order.
+    ("p178_warc_images", (s, d) => {
+      import graft.multimodal.ImageCodec
+      val imgs = ImageCodec.SyntheticImages.pngFixture(
+        Tables.documents(s, d), col("doc_id"))
+      val warcs = graft.sources.Warc.writeWarcBin(imgs,
+        col("media_id") % 8, col("media_id"), lit("resource"),
+        concat(lit("https://www.src"), (col("media_id") % 20).cast("string"),
+          lit(".com/img/"), col("media_id").cast("string")),
+        col("payload"))
+      val recs = graft.sources.Warc.parseWarcBinary(warcs,
+        col("file_id"), col("payload"))
+      ImageCodec.decodeMeta(recs,
+          regexp_extract(col("target_uri"), "/img/([0-9]+)$", 1)
+            .cast("long"),
+          col("body"))
+        .orderBy(col("media_id"))
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims}
+      SELECT doc_id AS media_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                    k -> (seed * 31 + k * 7) % 256)) AS BIGINT) AS pix_sum
+      FROM dims ORDER BY media_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE

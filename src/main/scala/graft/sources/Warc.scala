@@ -76,6 +76,66 @@ object Warc {
       .toDF()
   }
 
+  /** Binary parse — the same walk with bodies surfaced as verbatim
+    * BYTES, for the archive's non-text records (response/resource
+    * payloads: images, PDFs, compressed blobs). [[parseWarc]]'s
+    * UTF-8 body is the right column for WET/extract work; THIS is the
+    * right one the moment a payload is not text — a UTF-8 decode of a
+    * PNG is silent corruption.
+    */
+  def parseWarcBinary(df: DataFrame, id: Column,
+                      payload: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("file_id"),
+        payload.cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (fid, bytes) =>
+          val raw =
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+                (bytes(1) & 0xff) == 0x8b)
+              graft.functions.GunzipUtil.gunzip(bytes,
+                graft.functions.GunzipUtil.MaxOut)
+            else bytes
+          walkRecords(fid, raw)
+        }
+      }
+      .toDF()
+  }
+
+  /** Binary sink — render records whose bodies are BYTES: the header
+    * block renders as UTF-8 text (headers are text by spec), the body
+    * bytes pass through verbatim, framed by the exact binary
+    * Content-Length. Assembly is the same bounded per-file
+    * aggregation, concatenating binary record renderings with an
+    * aggregate HOF. `parseWarcBinary ∘ writeWarcBin` is identity on
+    * any bytes (spec-pinned), which is what lets IMAGES ride the
+    * archive unharmed.
+    */
+  def writeWarcBin(df: DataFrame, file: Column, idx: Column,
+                   warcType: Column, targetUri: Column, body: Column,
+                   warcDate: Column = lit(null).cast("string")): DataFrame = {
+    val hdr = concat(
+      lit("WARC/1.0\r\nWARC-Type: "), warcType,
+      when(targetUri.isNotNull,
+        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
+      when(warcDate.isNotNull,
+        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
+      lit("\r\nContent-Length: "),
+      octet_length(body.cast("binary")).cast("string"),
+      lit("\r\n\r\n"))
+    val rec = concat(hdr.cast("binary"), body.cast("binary"),
+      lit("\r\n\r\n").cast("binary"))
+    df.select(file.cast("long").as("file_id"),
+        struct(idx.as("i"), rec.as("rec")).as("s"))
+      .groupBy(col("file_id"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(col("s"))), x => x.getField("rec")),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("payload"))
+  }
+
   /** The SINK half — serialize a records frame back to WARC bytes,
     * one output row per file: `df` is (file, idx, warc_type,
     * target_uri nullable, body), rendered in idx order with exact
@@ -502,13 +562,32 @@ object Warc {
       .drop("__ord", "__sz", "__bkt", "__carry", "__cp")
   }
 
+  /** Binary twin of the record row — response/resource records carry
+    * arbitrary BYTES (images, PDFs, gzip payloads); decoding them as
+    * UTF-8 would silently corrupt every byte sequence that is not
+    * valid UTF-8, so the binary walk surfaces the body verbatim and
+    * the text form ([[WarcRecord]]) is a projection of it.
+    */
+  final case class WarcRecordBin(file_id: Long, record_idx: Long,
+                                 warc_type: String, target_uri: String,
+                                 content_length: Long, body: Array[Byte],
+                                 offset: Long, record_bytes: Long,
+                                 warc_date: String)
+
   /** The byte walk. CRLF per spec, bare LF tolerated (real archives
     * mix them); header names case-insensitive; Content-Length
-    * REQUIRED and exact.
+    * REQUIRED and exact. Text form: one UTF-8 decode over the binary
+    * walk's verbatim body.
     */
   private[graft] def parseRecords(fid: Long,
-                                    b: Array[Byte]): Iterator[WarcRecord] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+                                  b: Array[Byte]): Iterator[WarcRecord] =
+    walkRecords(fid, b).map(r => WarcRecord(r.file_id, r.record_idx,
+      r.warc_type, r.target_uri, r.content_length,
+      new String(r.body, "UTF-8"), r.offset, r.record_bytes, r.warc_date))
+
+  private[graft] def walkRecords(fid: Long,
+                                 b: Array[Byte]): Iterator[WarcRecordBin] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordBin]
     var p = 0
     var idx = 0L
     def fail(msg: String): Nothing =
@@ -555,9 +634,9 @@ object Warc {
         if (len < 0) fail("record without Content-Length")
         if (p + len > b.length) fail(
           s"Content-Length $len overruns the file (have ${b.length - p} bytes)")
-        val body = new String(b, p, len.toInt, "UTF-8")
+        val body = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
         p += len.toInt
-        out += WarcRecord(fid, idx, warcType, uri, len, body, start, 0L,
+        out += WarcRecordBin(fid, idx, warcType, uri, len, body, start, 0L,
           date)
         idx += 1
       }

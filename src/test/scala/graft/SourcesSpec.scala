@@ -294,6 +294,43 @@ class SourcesSpec extends AnyFunSuite {
       e.getCause != null, e.getMessage)
   }
 
+  test("Warc: binary bodies round-trip verbatim — bytes a UTF-8 decode would corrupt survive writeWarcBin∘parseWarcBinary") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.Warc
+    // 0xFF/0xFE are never valid in UTF-8; 0x00 and a PNG magic for
+    // good measure — the text walk would mangle all of these
+    val blobs = Seq(
+      1L -> Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0x89.toByte,
+        'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      2L -> Array[Byte](), // empty body frames as Content-Length: 0
+      3L -> "plain text too".getBytes("UTF-8"))
+    val recs = blobs.toDF("i", "b")
+    val files = Warc.writeWarcBin(recs, lit(9L), col("i"),
+      lit("resource"), concat(lit("https://a.com/"), col("i").cast("string")),
+      col("b"))
+    val back = Warc.parseWarcBinary(files, col("file_id"), col("payload"))
+      .orderBy(col("record_idx"))
+      .select(col("content_length"), col("body")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(back.map(_._1).toSeq == blobs.map(_._2.length.toLong))
+    back.map(_._2).zip(blobs.map(_._2)).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want),
+        s"bytes corrupted: ${got.toSeq} != ${want.toSeq}")
+    }
+    // the TEXT walk on the same file decodes bodies as UTF-8 — fine
+    // for text records, lossy for these blobs (the reason the binary
+    // walk exists); extents agree between the two walks
+    val textExt = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .orderBy(col("record_idx"))
+      .select(col("offset"), col("record_bytes")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val binExt = Warc.parseWarcBinary(files, col("file_id"), col("payload"))
+      .orderBy(col("record_idx"))
+      .select(col("offset"), col("record_bytes")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(textExt.toSeq == binExt.toSeq)
+  }
+
   test("Warc: gzip member extents tile the compressed file; each slice inflates and parses alone; loud truncation") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Warc
