@@ -282,6 +282,9 @@ object SparkEntry {
     ("q136_streaming_cdx",
       (s, d) => graft.streaming.StreamingQueries.cdxIndexStream(s, d),
       Some(sharedOracle("p170_cdx_index"))),
+    ("q138_streaming_warc_images",
+      (s, d) => graft.streaming.StreamingQueries.warcImagesStream(s, d),
+      Some(sharedOracle("p178_warc_images"))),
     ("q137_streaming_revisit",
       (s, d) => graft.streaming.StreamingQueries.cdxRevisitStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -929,6 +929,36 @@ object StreamingQueries {
     runToMemory(agg).orderBy(col("digest"))
   }
 
+  /** p178's binary ingest AT stream time — image-bearing WARC files
+    * land in a directory and every record's payload decodes the
+    * moment its file arrives (binary walk + decode are both
+    * scan-stage, zero state, append mode — the q134 rule applied to
+    * the BINARY layer): the multimodal pipeline's first stage runs at
+    * ingest, not as a batch job over a landed archive.
+    */
+  def warcImagesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.ImageCodec
+    val dir = graft.sources.Sinks.tempArtifactDir("warc_img_stream_in")
+    val imgs = ImageCodec.SyntheticImages.pngFixture(
+      graft.Tables.documents(spark, sfDir), col("doc_id"))
+    graft.sources.Warc.writeWarcBin(imgs,
+        col("media_id") % 8, col("media_id"), lit("resource"),
+        concat(lit("https://www.src"), (col("media_id") % 20).cast("string"),
+          lit(".com/img/"), col("media_id").cast("string")),
+        col("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val recs = graft.sources.Warc.parseWarcBinary(
+      spark.readStream.schema(schema).parquet(dir),
+      col("file_id"), col("payload"))
+    runToMemory(
+      ImageCodec.decodeMeta(recs,
+        regexp_extract(col("target_uri"), "/img/([0-9]+)$", 1).cast("long"),
+        col("body")),
+      mode = "append")
+      .orderBy(col("media_id"))
+  }
+
   /** p161's Crawl-delay parse AT ingest — robots.txt fetches parse the
     * moment they land (the directive table must be fresh before the
     * next scheduling round, not after a batch job): the group fold is
