@@ -387,8 +387,11 @@ object Warc {
       try {
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.finished()) ()
-          else if (n == 0 && inf.needsInput()) fail("truncated deflate stream")
+          if (n == 0 && !inf.finished()) {
+            if (inf.needsInput()) fail("truncated deflate stream")
+            if (inf.needsDictionary()) fail(
+              "deflate stream demands a preset dictionary — not legal in gzip")
+          }
         }
         p += inf.getBytesRead.toInt
       } catch {
@@ -535,12 +538,21 @@ object Warc {
       .withColumn("__bkt", expr(s"__ord div ${bucketWidth}L"))
     val totals = base.groupBy(col("__bkt"))
       .agg(sum(col("__sz")).as("t"), count(lit(1)).as("n"),
-        count_distinct(col("__ord")).as("d"))
+        count_distinct(col("__ord")).as("d"), min(col("__ord")).as("mn"))
       .orderBy(col("__bkt")).limit(maxBuckets + 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
     require(totals.length <= maxBuckets,
       s"reshardByBytes: more than $maxBuckets order buckets — widen " +
         "bucketWidth (the driver prefix must stay config-sized)")
+    // SQL `div` truncates toward zero, so negative positions would
+    // fold into bucket 0 alongside small positives and silently
+    // misorder the prefix — refuse them instead
+    totals.headOption.filter(_._5 < 0).foreach { t =>
+      throw new IllegalArgumentException(
+        s"reshardByBytes: order values must be non-negative (saw ${t._5})" +
+          " — truncating division would misorder the bucket prefix")
+    }
     totals.find(t => t._3 != t._4).foreach { t =>
       throw new IllegalArgumentException(
         s"reshardByBytes: order values are not unique (bucket ${t._1} has " +
@@ -548,7 +560,7 @@ object Warc {
           "boundaries would be underdetermined")
     }
     var acc = 0L
-    val carries = totals.map { case (b, t, _, _) =>
+    val carries = totals.map { case (b, t, _, _, _) =>
       val c = (b, acc); acc += t; c
     }
     import spark.implicits._

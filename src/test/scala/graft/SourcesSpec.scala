@@ -468,5 +468,13 @@ class SourcesSpec extends AnyFunSuite {
           .collect())
     }
     assert(e.getMessage.contains("not unique"), e.getMessage)
+    // negative positions would misorder under truncating div → loud
+    val neg = Seq((-5L, 10L), (3L, 10L)).toDF("doc", "nb")
+    val e2 = intercept[IllegalArgumentException] {
+      TestSpark.quietly(
+        Warc.reshardByBytes(neg, col("doc"), col("nb"), budget = 100L)
+          .collect())
+    }
+    assert(e2.getMessage.contains("non-negative"), e2.getMessage)
   }
 }
