@@ -55,29 +55,83 @@ object GunzipUtil {
     */
   val MaxOut: Int = 64 << 20
 
+  /** WARC payload bound: one archive file rides one ingest row, and a
+    * row inflating past 1 GiB exceeds what a single task should hold —
+    * split the archive file instead (the archive convention is ~1 GB
+    * COMPRESSED shards precisely so consumers can bound per-file work).
+    */
+  val MaxWarcOut: Int = 1 << 30
+
   def gunzipUtf8(bytes: Array[Byte]): UTF8String =
     UTF8String.fromBytes(gunzip(bytes, MaxOut))
 
-  /** Bounded inflate: loud on overflow and on non-gzip bytes (the
-    * GZIPInputStream magic check), exact output size.
+  /** Bounded inflate over ALL concatenated members: loud on overflow,
+    * non-gzip bytes, and — unlike `java.util.zip.GZIPInputStream`,
+    * whose readTrailer swallows a malformed next-member header as EOF
+    * ("ignore any malformed") — loud on trailing garbage or a corrupt
+    * member anywhere in the stream. A silently truncated inflate is a
+    * silently truncated ARCHIVE one layer up.
     */
-  def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > maxOut)
-          throw new IllegalArgumentException(
-            s"gunzip_text: output exceeds the $maxOut-byte bound — a " +
-              "gzip member inflating past the sitemap spec limit is a " +
-              "bomb or corruption, not data")
-        n = in.read(buf)
+  def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] =
+    walkMembers(bytes, maxOut, "gunzip_text")._2
+
+  /** One pass over concatenated gzip members: exact (start, end) byte
+    * ranges AND the inflated output. Each member's header is parsed
+    * here (FEXTRA/FNAME/FCOMMENT/FHCRC honored), its deflate stream
+    * inflated to its self-terminating end, its CRC32+ISIZE trailer
+    * stepped over — so every byte of the input is accounted for and
+    * any malformation fails with its offset.
+    */
+  def walkMembers(b: Array[Byte], maxOut: Int,
+                  label: String): (Seq[(Int, Int)], Array[Byte]) = {
+    val ranges = Seq.newBuilder[(Int, Int)]
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$label: byte $p: $msg")
+    while (p < b.length) {
+      val start = p
+      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+          (b(p + 1) & 0xff) != 0x8b) fail("expected a gzip member header")
+      if ((b(p + 2) & 0xff) != 8) fail("unsupported compression method")
+      val flg = b(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) fail("truncated FEXTRA")
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
       }
-      out.toByteArray
-    } finally in.close()
+      if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+      if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+      if ((flg & 2) != 0) p += 2
+      if (p > b.length) fail("truncated member header")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, p, b.length - p)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) {
+            out.write(buf, 0, n)
+            if (out.size > maxOut) fail(
+              s"output exceeds the $maxOut-byte bound — a gzip member " +
+                "inflating past it is a bomb or corruption, not data")
+          } else if (!inf.finished()) {
+            if (inf.needsInput()) fail("truncated deflate stream")
+            if (inf.needsDictionary()) fail(
+              "deflate stream demands a preset dictionary — not legal in gzip")
+          }
+        }
+        p += inf.getBytesRead.toInt
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          fail(s"corrupt deflate stream: ${e.getMessage}")
+      } finally inf.end()
+      p += 8 // CRC32 + ISIZE trailer
+      if (p > b.length) fail("truncated member trailer")
+      ranges += ((start, p))
+    }
+    (ranges.result(), out.toByteArray)
   }
 }

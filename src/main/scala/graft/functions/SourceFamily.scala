@@ -134,11 +134,18 @@ object SourceFamily {
   def surtKey(url: Column): Column = {
     val c = canonicalizeUrl(url)
     val isUrl = c.rlike("^[a-z][a-z0-9+.-]*://")
-    val host = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    val hostPort = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
     val rest = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1)
+    // a surviving non-default port belongs AFTER the reversed labels
+    // (SURT `com,example:8080)`), not inside the last label — embedded
+    // it would sort the site's keys into a foreign part of the range
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val host = regexp_replace(hostPort, ":[0-9]+$", "")
     val bare = regexp_replace(host, "^www\\.", "")
     val rev = array_join(reverse(split(bare, "\\.")), ",")
-    when(isUrl, concat(rev, lit(")"), rest)).otherwise(c)
+    val withPort = when(port =!= "", concat(rev, lit(":"), port))
+      .otherwise(rev)
+    when(isUrl, concat(withPort, lit(")"), rest)).otherwise(c)
   }
 
   /** The bare HOST of a URL (lowercased, credentials and port

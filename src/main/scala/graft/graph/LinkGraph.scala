@@ -192,8 +192,16 @@ object LinkGraph {
       s"crawlDelayCaps: windowMs must be positive, got $windowMs")
     require(defaultCap >= 0,
       s"crawlDelayCaps: defaultCap must be nonnegative, got $defaultCap")
-    ranks.join(broadcast(delays.select(col("family"),
-        col("crawl_delay_ms"))),
+    // one delay row per family BEFORE the join: robots fetches arrive
+    // one row per (family, txt) and re-fetches duplicate families — an
+    // un-aggregated join would fan a duplicated family's rank row out
+    // and double-count its mass in the downstream budget election.
+    // MAX is the politest reading of several observed delays (the
+    // robotsCrawlDelay max-of-several rule applied across fetches).
+    val oneDelay = delays.select(col("family"), col("crawl_delay_ms"))
+      .groupBy(col("family"))
+      .agg(max(col("crawl_delay_ms")).as("crawl_delay_ms"))
+    ranks.join(broadcast(oneDelay),
         ranks("node") === col("family"), "left")
       .withColumn("cap",
         when(col("crawl_delay_ms").isNull || col("crawl_delay_ms") <= 0L,
@@ -667,7 +675,14 @@ object LinkGraph {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       val cur = frontier.join(bodies, Seq("family", "url"))
-      val isIdx = col("xml").contains("<sitemapindex")
+      // classify by the ROOT element, not substring-anywhere: a
+      // <urlset> whose prolog comment merely mentions
+      // '<sitemapindex' must not be routed to the index parser (it
+      // would contribute neither children nor pages — a silent drop
+      // of its whole URL set). The root is the first element after
+      // the xml declaration and any leading comments.
+      val isIdx = col("xml").rlike(
+        "(?s)^\\s*(?:<\\?[^>]*\\?>\\s*)*(?:<!--.*?-->\\s*)*<sitemapindex[\\s>]")
       val p = parseSitemap(cur.filter(!isIdx), col("family"), col("xml"))
         .select(col("family"), col("canonical"), col("lastmod"))
       pages = if (pages == null) p else pages.unionByName(p)

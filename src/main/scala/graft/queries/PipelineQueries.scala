@@ -5477,8 +5477,8 @@ object PipelineQueries {
     }, Some(warcFixtureOracleSql("""
       SELECT 'com,src' || CAST(doc_id % 20 AS VARCHAR) || ')/p/'
                || CAST(doc_id AS VARCHAR) AS surt_key,
-             target_uri, warc_date, file_id, "offset", record_bytes,
-             sha256(body) AS digest
+             target_uri, warc_date, file_id, record_idx, "offset",
+             record_bytes, sha256(body) AS digest
       FROM ext WHERE target_uri IS NOT NULL
       ORDER BY surt_key"""))),
 
@@ -5503,7 +5503,8 @@ object PipelineQueries {
         .select(graft.functions.SourceFamily.surtKey(col("url")).as("surt_key"))
         .join(cdx, Seq("surt_key"))
       graft.sources.Warc.fetchRecords(warcs, col("file_id"), col("payload"),
-          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
         .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
           col("content_length"), col("body"))
@@ -5627,7 +5628,8 @@ object PipelineQueries {
       val hits = shards.filter(col("shard").isin(ids: _*))
         .join(broadcast(assigned), Seq("shard", "surt_key"))
       graft.sources.Warc.fetchRecords(warcs, col("file_id"), col("payload"),
-          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
         .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
             .cast("long").as("doc_id"), col("body"))
         .orderBy(col("doc_id"))
@@ -5719,7 +5721,8 @@ object PipelineQueries {
       val hits = panel.join(cdx, Seq("surt_key"))
       graft.sources.Warc.fetchMemberRecords(warcs, col("file_id"),
           col("payload"),
-          hits.select(col("file_id"), col("offset"), col("record_bytes")))
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
         .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
           col("content_length"), col("body"))

@@ -64,17 +64,26 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (fid, bytes) =>
-          val raw =
-            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-                (bytes(1) & 0xff) == 0x8b)
-              graft.functions.GunzipUtil.gunzip(bytes,
-                graft.functions.GunzipUtil.MaxOut)
-            else bytes
-          parseRecords(fid, raw)
+          parseRecords(fid, inflateIfGz(bytes))
         }
       }
       .toDF()
   }
+
+  /** The one gzip-sniff + bounded inflate for the whole container
+    * layer: both gz layouts (whole-file, concatenated members) walk
+    * through [[graft.functions.GunzipUtil.walkMembers]], which is
+    * LOUD on a malformed member anywhere — the JDK stream would
+    * swallow it as EOF and silently truncate the archive. The bound
+    * is the WARC one (1 GiB inflated per payload row), not the
+    * sitemap zip-bomb cap.
+    */
+  private def inflateIfGz(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b)
+      graft.functions.GunzipUtil.gunzip(bytes,
+        graft.functions.GunzipUtil.MaxWarcOut)
+    else bytes
 
   /** Binary parse — the same walk with bodies surfaced as verbatim
     * BYTES, for the archive's non-text records (response/resource
@@ -92,13 +101,7 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (fid, bytes) =>
-          val raw =
-            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-                (bytes(1) & 0xff) == 0x8b)
-              graft.functions.GunzipUtil.gunzip(bytes,
-                graft.functions.GunzipUtil.MaxOut)
-            else bytes
-          walkRecords(fid, raw)
+          walkRecords(fid, inflateIfGz(bytes))
         }
       }
       .toDF()
@@ -116,24 +119,28 @@ object Warc {
   def writeWarcBin(df: DataFrame, file: Column, idx: Column,
                    warcType: Column, targetUri: Column, body: Column,
                    warcDate: Column = lit(null).cast("string")): DataFrame = {
-    val hdr = concat(
-      lit("WARC/1.0\r\nWARC-Type: "), warcType,
-      when(targetUri.isNotNull,
-        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
-      when(warcDate.isNotNull,
-        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
-      lit("\r\nContent-Length: "),
-      octet_length(body.cast("binary")).cast("string"),
-      lit("\r\n\r\n"))
-    val rec = concat(hdr.cast("binary"), body.cast("binary"),
-      lit("\r\n\r\n").cast("binary"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rec = concat(
+      renderHeader(warcType, targetUri, warcDate,
+        octet_length(body.cast("binary"))).cast("binary"),
+      body.cast("binary"), lit("\r\n\r\n").cast("binary"))
+    // assembly is a LINEAR kernel concat — a fold of binary concat()
+    // copies the accumulator per record (O(n²) per file)
     df.select(file.cast("long").as("file_id"),
         struct(idx.as("i"), rec.as("rec")).as("s"))
       .groupBy(col("file_id"))
-      .agg(aggregate(
-        transform(sort_array(collect_list(col("s"))), x => x.getField("rec")),
-        lit(Array.emptyByteArray),
-        (acc, x) => concat(acc, x)).as("payload"))
+      .agg(transform(sort_array(collect_list(col("s"))),
+        x => x.getField("rec")).as("recs"))
+      .as[(Long, Seq[Array[Byte]])]
+      .mapPartitions { it =>
+        it.map { case (fid, recs) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          recs.foreach(bos.write)
+          (fid, bos.toByteArray)
+        }
+      }
+      .toDF("file_id", "payload")
   }
 
   /** The SINK half — serialize a records frame back to WARC bytes,
@@ -165,12 +172,19 @@ object Warc {
     * projection — tiny relative to the archive — so at 100 TB it is
     * the frame you sort/bucket ONCE and serve every lookup from
     * without touching payload bytes.
+    *
+    * Works over EITHER walk's output — and an archive holding
+    * non-text payloads must be indexed off [[parseWarcBinary]]: the
+    * text walk folds invalid UTF-8 to U+FFFD before the digest, so
+    * two DISTINCT binary payloads can collapse to one digest and a
+    * revisit election would then falsely dedup them (spec-pinned).
     */
   def cdxIndex(records: DataFrame): DataFrame =
     records.filter(col("target_uri").isNotNull)
       .select(
         graft.functions.SourceFamily.surtKey(col("target_uri")).as("surt_key"),
-        col("target_uri"), col("warc_date"), col("file_id"), col("offset"),
+        col("target_uri"), col("warc_date"), col("file_id"),
+        col("record_idx"), col("offset"),
         col("record_bytes"), sha2(col("body"), 256).as("digest"))
 
   /** Random access: fetch exactly the records an index lookup named,
@@ -195,19 +209,21 @@ object Warc {
     import spark.implicits._
     val f = files.select(id.cast("long").as("file_id"),
       payload.cast("binary").as("payload"))
-    extents.select(col("file_id").cast("long").as("file_id"),
+    val withIdx = if (extents.columns.contains("record_idx"))
+      extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
-        col("record_bytes").cast("long").as("record_bytes"))
+        col("record_bytes").cast("long").as("record_bytes"),
+        col("record_idx").cast("long").as("record_idx"))
+    else extents.select(col("file_id").cast("long").as("file_id"),
+      col("offset").cast("long").as("offset"),
+      col("record_bytes").cast("long").as("record_bytes"),
+      lit(-1L).as("record_idx"))
+    withIdx
       .join(f, Seq("file_id"))
-      .as[(Long, Long, Long, Array[Byte])]
+      .as[(Long, Long, Long, Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (fid, off, len, bytes) =>
-          val raw =
-            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-                (bytes(1) & 0xff) == 0x8b)
-              graft.functions.GunzipUtil.gunzip(bytes,
-                graft.functions.GunzipUtil.MaxOut)
-            else bytes
+        it.map { case (fid, off, len, idx, bytes) =>
+          val raw = inflateIfGz(bytes)
           if (off < 0 || off + len > raw.length)
             throw new IllegalArgumentException(
               s"fetchRecords: extent [$off, ${off + len}) overruns file " +
@@ -220,7 +236,7 @@ object Warc {
             throw new IllegalArgumentException(
               s"fetchRecords: extent at file $fid offset $off parsed " +
                 s"${rs.length} records — an index extent frames exactly one")
-          rs.head.copy(offset = off)
+          rs.head.copy(offset = off, record_idx = idx)
         }
       }
       .toDF()
@@ -280,13 +296,20 @@ object Warc {
     import spark.implicits._
     val f = files.select(id.cast("long").as("file_id"),
       payload.cast("binary").as("payload"))
-    extents.select(col("file_id").cast("long").as("file_id"),
+    val withIdx = if (extents.columns.contains("record_idx"))
+      extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
-        col("record_bytes").cast("long").as("record_bytes"))
+        col("record_bytes").cast("long").as("record_bytes"),
+        col("record_idx").cast("long").as("record_idx"))
+    else extents.select(col("file_id").cast("long").as("file_id"),
+      col("offset").cast("long").as("offset"),
+      col("record_bytes").cast("long").as("record_bytes"),
+      lit(-1L).as("record_idx"))
+    withIdx
       .join(f, Seq("file_id"))
-      .as[(Long, Long, Long, Array[Byte])]
+      .as[(Long, Long, Long, Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (fid, off, len, bytes) =>
+        it.map { case (fid, off, len, idx, bytes) =>
           if (off < 0 || off + len > bytes.length)
             throw new IllegalArgumentException(
               s"fetchMemberRecords: extent [$off, ${off + len}) overruns " +
@@ -295,13 +318,13 @@ object Warc {
           val member = java.util.Arrays.copyOfRange(bytes, off.toInt,
             (off + len).toInt)
           val rec = graft.functions.GunzipUtil.gunzip(member,
-            graft.functions.GunzipUtil.MaxOut)
+            graft.functions.GunzipUtil.MaxWarcOut)
           val rs = parseRecords(fid, rec).toList
           if (rs.length != 1)
             throw new IllegalArgumentException(
               s"fetchMemberRecords: member at file $fid offset $off " +
                 s"parsed ${rs.length} records — one record per member")
-          rs.head.copy(offset = off, record_bytes = len)
+          rs.head.copy(offset = off, record_bytes = len, record_idx = idx)
         }
       }
       .toDF()
@@ -340,13 +363,8 @@ object Warc {
                             warcType: Column, targetUri: Column,
                             body: Column, warcDate: Column): DataFrame = {
     val rendered = concat(
-      lit("WARC/1.0\r\nWARC-Type: "), warcType,
-      when(targetUri.isNotNull,
-        concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
-      when(warcDate.isNotNull,
-        concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
-      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
-      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+      renderHeader(warcType, targetUri, warcDate, octet_length(body)),
+      body, lit("\r\n\r\n"))
     df.select(file.cast("long").as("file_id"),
         struct(idx.as("i"), rendered.as("rec")).as("s"))
       .groupBy(col("file_id"))
@@ -354,56 +372,32 @@ object Warc {
         x => x.getField("rec")).as("recs"))
   }
 
+  /** THE header rendering — one definition for both sink layouts and
+    * both body domains, so the spec-pinned framing cannot drift
+    * between them (a header added to one sink but not the other would
+    * break parse∘write identity for exactly one layout).
+    */
+  private def renderHeader(warcType: Column, targetUri: Column,
+                           warcDate: Column,
+                           contentLength: Column): Column = concat(
+    lit("WARC/1.0\r\nWARC-Type: "), warcType,
+    when(targetUri.isNotNull,
+      concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
+    when(warcDate.isNotNull,
+      concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
+    lit("\r\nContent-Length: "), contentLength.cast("string"),
+    lit("\r\n\r\n"))
+
   /** Walk concatenated gzip members: (offset, compressed length) of
     * each member in `b`. Loud on truncation or a non-gzip byte where
     * a member must start.
     */
   private[graft] def memberExtents(fid: Long,
-                                     b: Array[Byte]): Seq[(Long, Long)] = {
-    val out = Seq.newBuilder[(Long, Long)]
-    var p = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(
-        s"parseWarcMembers: file $fid byte $p: $msg")
-    while (p < b.length) {
-      val start = p
-      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
-          (b(p + 1) & 0xff) != 0x8b) fail("expected a gzip member header")
-      if ((b(p + 2) & 0xff) != 8) fail("unsupported compression method")
-      val flg = b(p + 3) & 0xff
-      p += 10
-      if ((flg & 4) != 0) { // FEXTRA
-        if (p + 2 > b.length) fail("truncated FEXTRA")
-        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-        p += 2 + xlen
-      }
-      if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
-      if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
-      if ((flg & 2) != 0) p += 2
-      if (p > b.length) fail("truncated member header")
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(b, p, b.length - p)
-      val buf = new Array[Byte](8192)
-      try {
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0 && !inf.finished()) {
-            if (inf.needsInput()) fail("truncated deflate stream")
-            if (inf.needsDictionary()) fail(
-              "deflate stream demands a preset dictionary — not legal in gzip")
-          }
-        }
-        p += inf.getBytesRead.toInt
-      } catch {
-        case e: java.util.zip.DataFormatException =>
-          fail(s"corrupt deflate stream: ${e.getMessage}")
-      } finally inf.end()
-      p += 8 // CRC32 + ISIZE trailer
-      if (p > b.length) fail("truncated member trailer")
-      out += ((start.toLong, (p - start).toLong))
-    }
-    out.result()
-  }
+                                    b: Array[Byte]): Seq[(Long, Long)] =
+    graft.functions.GunzipUtil.walkMembers(b,
+        graft.functions.GunzipUtil.MaxWarcOut,
+        s"parseWarcMembers: file $fid")._1
+      .map { case (start, end) => (start.toLong, (end - start).toLong) }
 
   /** Sorted CDX shards — the TWO-LEVEL index layout a 100 TB archive
     * actually serves from (sorted index shards + a tiny cluster index
@@ -487,15 +481,26 @@ object Warc {
     */
   val ExtentPack = 1000000000000L
 
-  /** (file_id, offset) packed into one orderable BIGINT, guarded. */
+  /** (file_id, offset) packed into one orderable BIGINT, guarded on
+    * BOTH coordinates: a file_id past Long.MaxValue / 10^12 (~9.2M
+    * files) would overflow the multiply and misrank exactly like an
+    * oversized offset would.
+    */
   def packedExtent(file: Column, offset: Column): Column = {
-    val guarded = when(offset < 0 || offset >= ExtentPack,
+    val maxFile = Long.MaxValue / ExtentPack
+    val guardedOff = when(offset < 0 || offset >= ExtentPack,
       cast_raise(concat(lit("packedExtent: offset "),
         offset.cast("string"),
         lit(s" outside [0, $ExtentPack) — a single WARC file past the " +
           "1 TB packing bound would misrank the original election"))))
       .otherwise(offset)
-    file * lit(ExtentPack) + guarded
+    val guardedFile = when(file < 0 || file >= maxFile,
+      cast_raise(concat(lit("packedExtent: file_id "),
+        file.cast("string"),
+        lit(s" outside [0, $maxFile) — the packed election would " +
+          "overflow int64 and misrank"))))
+      .otherwise(file)
+    guardedFile * lit(ExtentPack) + guardedOff
   }
 
   private def cast_raise(msg: Column): Column =

@@ -195,6 +195,10 @@ class FunctionsSpec extends AnyFunSuite {
       "https://www.www2.ex.com/p" -> "com,ex,www2)/p",
       // empty path normalizes to / before the key forms
       "https://ex.com" -> "com,ex)/",
+      // a surviving non-default port attaches AFTER the reversed
+      // labels (SURT com,ex:8080), never inside the last label where
+      // it would sort the site's keys out of its range
+      "http://ex.com:8080/x" -> "com,ex:8080)/x",
       // non-URL inputs pass through (canonicalizeUrl's trim)
       "plain-source-7" -> "plain-source-7")
     val got = cases.map(_._1).toDF("u")

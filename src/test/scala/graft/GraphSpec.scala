@@ -668,6 +668,16 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDepth"))
     assert(LinkGraph.expandSitemaps(deep, roots, maxDepth = 3)
       .collect().map(_.getString(1)).toSeq == Seq("https://a.com/p9"))
+    // classification is by the ROOT element: a urlset whose prolog
+    // comment mentions '<sitemapindex' still parses as a urlset (a
+    // substring test would route it to the index parser and silently
+    // drop its whole URL set)
+    val commented = Seq(("a.com", "https://a.com/root.xml",
+        "<?xml version=\"1.0\"?><!-- generator: not a <sitemapindex> -->" +
+          urlset(("https://a.com/pc", null))))
+      .toDF("family", "url", "xml")
+    assert(LinkGraph.expandSitemaps(commented, roots)
+      .collect().map(_.getString(1)).toSeq == Seq("https://a.com/pc"))
   }
 
   test("crawlDelayCaps: published delay binds the cap; schedule spends less there") {
@@ -693,6 +703,17 @@ class GraphSpec extends AnyFunSuite {
           .toDF("family", "crawl_delay_ms"), 60000L, 100L)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(edge == Map("fast.com" -> 100L, "slow.com" -> 0L))
+    // DUPLICATE family rows (re-fetched robots) must not fan out the
+    // rank row — that would double-count its mass in the budget
+    // election; several observed delays fold to the politest (max)
+    val dup = LinkGraph.crawlDelayCaps(ranks,
+        Seq(("slow.com", Some(5000L)), ("slow.com", Some(7500L)),
+          ("slow.com", Option.empty[Long]))
+          .toDF("family", "crawl_delay_ms"), 60000L, 100L)
+      .collect()
+    assert(dup.length == 2, dup.mkString(", "))
+    assert(dup.map(r => r.getString(0) -> r.getLong(2)).toMap ==
+      Map("fast.com" -> 100L, "slow.com" -> 8L)) // 60000 div 7500
   }
 
   test("crawlWorklistPerHost: host cap splits family spend; wide cap equals crawlWorklist") {
@@ -757,6 +778,15 @@ class GraphSpec extends AnyFunSuite {
       GunzipUtil.gunzip(bomb, maxOut = 1024)
     }
     assert(e.getMessage.contains("bomb"))
+    // a malformed SECOND member raises with its offset — the JDK
+    // stream swallows it as EOF ("ignore any malformed"), which one
+    // layer up would be a silently truncated archive
+    val truncTail = gz("first member") ++
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 9, 0, 0)
+    val e2 = intercept[IllegalArgumentException] {
+      GunzipUtil.gunzip(truncTail, GunzipUtil.MaxOut)
+    }
+    assert(e2.getMessage.contains("byte"), e2.getMessage)
     // bytes wearing the gzip magic but not a gzip member fail the
     // format check, not silently decode
     intercept[Exception] {

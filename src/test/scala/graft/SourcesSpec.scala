@@ -264,7 +264,8 @@ class SourcesSpec extends AnyFunSuite {
     // every slice re-parses ALONE to the same record (fetchRecords),
     // offsets rebased to the file — indistinguishable from full parse
     val extents = Warc.parseWarc(files, col("file_id"), col("payload"))
-      .select(col("file_id"), col("offset"), col("record_bytes"))
+      .select(col("file_id"), col("record_idx"), col("offset"),
+        col("record_bytes"))
     val fetched = Warc.fetchRecords(files, col("file_id"), col("payload"),
         extents)
       .orderBy(col("record_idx"))
@@ -329,6 +330,31 @@ class SourcesSpec extends AnyFunSuite {
       .select(col("offset"), col("record_bytes")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(textExt.toSeq == binExt.toSeq)
+  }
+
+  test("Warc: the digest rule — binary payloads that UTF-8-collapse stay DISTINCT under the binary walk's index") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.Warc
+    // two DIFFERENT payloads whose invalid-UTF-8 regions decode to the
+    // same U+FFFD fold: identical as strings, different as bytes
+    val a = Array[Byte](0xFF.toByte, 'x', 'y')
+    val b = Array[Byte](0xFE.toByte, 'x', 'y')
+    assert(new String(a, "UTF-8") == new String(b, "UTF-8")) // the trap
+    val files = Warc.writeWarcBin(
+      Seq((1L, a), (2L, b)).toDF("i", "p"),
+      lit(0L), col("i"), lit("resource"),
+      concat(lit("https://a.com/"), col("i").cast("string")), col("p"))
+    def digests(recs: org.apache.spark.sql.DataFrame) =
+      Warc.cdxIndex(recs).select(col("digest")).collect()
+        .map(_.getString(0)).toSet
+    // binary walk: two distinct digests — the index an archive with
+    // non-text payloads MUST be built from
+    assert(digests(Warc.parseWarcBinary(files, col("file_id"),
+      col("payload"))).size == 2)
+    // text walk: the U+FFFD fold collapses them — the documented
+    // reason cdxIndex over text-walk output is only for text archives
+    assert(digests(Warc.parseWarc(files, col("file_id"),
+      col("payload"))).size == 1)
   }
 
   test("Warc: gzip member extents tile the compressed file; each slice inflates and parses alone; loud truncation") {
