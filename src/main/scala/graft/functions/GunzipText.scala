@@ -81,12 +81,22 @@ object GunzipUtil {
     * inflated to its self-terminating end, its CRC32+ISIZE trailer
     * stepped over — so every byte of the input is accounted for and
     * any malformation fails with its offset.
+    *
+    * `buffer = false` is the RANGES-ONLY mode for callers that need
+    * extents, not bytes ([[graft.sources.Warc]]'s member-extent walk):
+    * inflated output is COUNTED against the bound but never
+    * accumulated, so walking a ~1 GB-compressed archive file holds an
+    * 8 KiB scratch buffer instead of up to `maxOut` inflated bytes per
+    * task. The returned array is empty in that mode; the bound check
+    * is identical (cumulative across members) so the two modes accept
+    * exactly the same inputs.
     */
-  def walkMembers(b: Array[Byte], maxOut: Int,
-                  label: String): (Seq[(Int, Int)], Array[Byte]) = {
+  def walkMembers(b: Array[Byte], maxOut: Int, label: String,
+                  buffer: Boolean = true): (Seq[(Int, Int)], Array[Byte]) = {
     val ranges = Seq.newBuilder[(Int, Int)]
     val out = new java.io.ByteArrayOutputStream(
-      math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
+      if (buffer) math.min(math.max(b.length * 4, 1 << 12), 1 << 16) else 16)
+    var total = 0L
     var p = 0
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$label: byte $p: $msg")
@@ -113,8 +123,9 @@ object GunzipUtil {
         while (!inf.finished()) {
           val n = inf.inflate(buf)
           if (n > 0) {
-            out.write(buf, 0, n)
-            if (out.size > maxOut) fail(
+            if (buffer) out.write(buf, 0, n)
+            total += n
+            if (total > maxOut) fail(
               s"output exceeds the $maxOut-byte bound — a gzip member " +
                 "inflating past it is a bomb or corruption, not data")
           } else if (!inf.finished()) {

@@ -107,8 +107,9 @@ object ImageCodec {
       encodeBuf.toByteArray
     }
 
-    /** Decode PNG/BMP bytes to gray pixels. Non-gray inputs fold to
-      * luminance via the first raster band of the gray-converted image.
+    /** Decode PNG/BMP/JPEG bytes to gray pixels (ImageIO auto-detects
+      * the container). Non-gray inputs fold to luminance via the first
+      * raster band of the gray-converted image.
       */
     def decodeGray(bytes: Array[Byte]): DecodedImage = {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

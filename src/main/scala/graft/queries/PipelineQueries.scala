@@ -5371,7 +5371,8 @@ object PipelineQueries {
         .orderBy(col("file_id"), col("record_idx"))
     }, Some(warcFixtureOracleSql("""
       SELECT file_id, record_idx, warc_type, target_uri, content_length,
-             body, "offset", record_bytes, warc_date
+             body, "offset", record_bytes, warc_date, content_type,
+             record_id
       FROM ext ORDER BY file_id, record_idx"""))),
 
     // The INGEST composition the crawl arc actually runs: WARC files
@@ -5769,8 +5770,9 @@ object PipelineQueries {
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
     * `ext` carries every fixture record with its `record_bytes`
-    * (21 + |type| + [19 + |uri|] + 18 + digits(len) + 4 + len + 4 —
-    * the exact rendered framing, counted in BYTES via encode()) and
+    * (21 + |type| + [19 + |uri|] + [13 + |date|] + [18 + |rid|] +
+    * [16 + |ct|] + 18 + digits(len) + 4 + len + 4 — the exact rendered
+    * framing, counted in BYTES via encode()) and
     * `offset` (prefix sum within the file), so entries over the
     * parsed archive gate byte extents against INDEPENDENT doc_id
     * arithmetic, never against the parser itself. `conv` keeps the
@@ -5799,7 +5801,10 @@ object PipelineQueries {
                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                text AS body, doc_id,
                strftime(epoch_ms((1767225600 + doc_id + fno * 86400) * 1000),
-                 '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+                 '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+               'text/plain' AS content_type,
+               '<urn:graft:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(fno AS VARCHAR) || '>' AS record_id
         FROM dsrc),
       info AS (
         SELECT DISTINCT doc_id % 8 + 8 * fno AS file_id,
@@ -5807,7 +5812,9 @@ object PipelineQueries {
                'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
                CAST(13 AS BIGINT) AS content_length,
                'graft-crawler' AS body, CAST(NULL AS BIGINT) AS doc_id,
-               CAST(NULL AS VARCHAR) AS warc_date
+               CAST(NULL AS VARCHAR) AS warc_date,
+               CAST(NULL AS VARCHAR) AS content_type,
+               CAST(NULL AS VARCHAR) AS record_id
         FROM dsrc),
       base AS (SELECT * FROM info UNION ALL SELECT * FROM conv),
       sized AS (
@@ -5816,6 +5823,10 @@ object PipelineQueries {
                    ELSE 19 + octet_length(encode(target_uri)) END
             + CASE WHEN warc_date IS NULL THEN 0
                    ELSE 13 + octet_length(encode(warc_date)) END
+            + CASE WHEN record_id IS NULL THEN 0
+                   ELSE 18 + octet_length(encode(record_id)) END
+            + CASE WHEN content_type IS NULL THEN 0
+                   ELSE 16 + octet_length(encode(content_type)) END
             + 18 + length(CAST(content_length AS VARCHAR))
             + 4 + content_length + 4 AS BIGINT) AS record_bytes
         FROM base),
@@ -5848,19 +5859,28 @@ object PipelineQueries {
     val date = date_format(timestamp_seconds(
         lit(1767225600L) + col("doc_id") + lit(fileBase / 8 * 86400L)),
       "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    // block media type + record id on the doc records (the WET
+    // convention: conversion blocks are text/plain; ids unique per
+    // RECORD, so the fetch-batch number rides the urn) — warcinfo
+    // keeps nulls, exercising the optional-header render path
+    val ctype = lit("text/plain")
+    val rid = concat(lit("<urn:graft:"), col("doc_id").cast("string"),
+      lit(":"), lit(fileBase / 8).cast("string"), lit(">"))
     val recs = docs.select(file.as("f"), col("doc_id").as("i"),
         lit(recordType).as("t"), uri.as("u"), col("text").as("b"),
-        date.as("dt"))
+        date.as("dt"), ctype.as("ct"), rid.as("rid"))
       .unionByName(docs.select(file.as("f")).distinct()
         .select(col("f"), lit(-1L).as("i"), lit("warcinfo").as("t"),
           lit(null).cast("string").as("u"), lit("graft-crawler").as("b"),
-          lit(null).cast("string").as("dt")))
+          lit(null).cast("string").as("dt"),
+          lit(null).cast("string").as("ct"),
+          lit(null).cast("string").as("rid")))
     if (gzMembers)
       graft.sources.Warc.writeWarcGz(recs, col("f"), col("i"), col("t"),
-        col("u"), col("b"), col("dt"))
+        col("u"), col("b"), col("dt"), col("ct"), col("rid"))
     else
       graft.sources.Warc.writeWarc(recs, col("f"), col("i"), col("t"),
-        col("u"), col("b"), col("dt"))
+        col("u"), col("b"), col("dt"), col("ct"), col("rid"))
   }
 
   /** p130/p131/p132's HTML page fixture — each doc's text wrapped in a

@@ -1,0 +1,256 @@
+package graft.sources
+
+/** HTTP/1.x message parsing for WARC `response` blocks — the layer a
+  * real Common Crawl archive forces before any text work: a response
+  * record's block is a FULL HTTP message (`Content-Type:
+  * application/http` at the WARC level — status line, headers, then
+  * the payload), so feeding the block straight to an HTML extract
+  * prepends `HTTP/1.1 200 OK\r\n...` to every document. This kernel
+  * splits the message (status code, headers, payload bytes), undoes
+  * the transfer/content encodings real crawls store verbatim
+  * (`Transfer-Encoding: chunked`, `Content-Encoding: gzip` through
+  * the bounded [[graft.functions.GunzipUtil]]), and resolves the
+  * payload's CHARSET (Content-Type `charset=` parameter, then an
+  * HTML `<meta charset>` sniff, then the UTF-8 default) so the text
+  * projection decodes the bytes the page actually used — an
+  * ISO-8859-1 page read as UTF-8 silently corrupts every accented
+  * byte.
+  *
+  * Like the WARC walk it sits on ([[Warc.walkRecords]]), this is a
+  * byte-domain JVM kernel: headers are ASCII by spec but the payload
+  * is arbitrary bytes, so a string-level split would corrupt the
+  * payload before the charset decision is ever made. Malformed
+  * messages RAISE with the offending byte offset — transport
+  * corruption, not dirty data (the [[Warc]] rule).
+  */
+object HttpMessage {
+
+  /** A parsed message head: status code, headers in arrival order
+    * (name, value), and the byte offset where the payload starts.
+    */
+  final case class Head(status: Int, headers: Vector[(String, String)],
+                        payloadStart: Int)
+
+  /** How many payload bytes the `<meta charset>` sniff may scan: the
+    * public-parser convention (browsers prescan ~1 KiB; 4 KiB is the
+    * conservative end) — charset declarations legally belong in the
+    * head, and an unbounded scan of a multi-MB page buys nothing.
+    */
+  val MetaSniffBytes: Int = 4096
+
+  /** Parse the status line + header block of an HTTP message. CRLF
+    * per spec, bare LF tolerated (the WARC walk's rule — real
+    * archives mix them); header names case-insensitive at lookup;
+    * obs-fold continuation lines (leading SP/HT) append to the prior
+    * header's value.
+    */
+  def parseHead(b: Array[Byte], label: String): Head = {
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$label: byte $p: $msg — an HTTP block that does not parse is " +
+          "transport corruption, not dirty data")
+    def readLine(): String = {
+      val start = p
+      while (p < b.length && b(p) != '\n') p += 1
+      if (p >= b.length) fail("unterminated HTTP header line")
+      val end = if (p > start && b(p - 1) == '\r') p - 1 else p
+      p += 1
+      new String(b, start, end - start, "ISO-8859-1")
+    }
+    val statusLine = readLine()
+    if (!statusLine.startsWith("HTTP/"))
+      fail(s"expected an HTTP status line, got '$statusLine'")
+    val sp = statusLine.indexOf(' ')
+    if (sp < 0 || statusLine.length < sp + 4)
+      fail(s"status line without a status code: '$statusLine'")
+    val codeStr = statusLine.substring(sp + 1, sp + 4)
+    val status =
+      try codeStr.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"bad status code '$codeStr' in '$statusLine'") }
+    if (statusLine.length > sp + 4 && statusLine.charAt(sp + 4) != ' ')
+      fail(s"status code not 3 digits in '$statusLine'")
+    val headers = Vector.newBuilder[(String, String)]
+    var last: (String, String) = null
+    var line = readLine()
+    while (line.nonEmpty) {
+      if (line.charAt(0) == ' ' || line.charAt(0) == '\t') {
+        if (last == null) fail("continuation line before any header")
+        last = (last._1, last._2 + " " + line.trim)
+      } else {
+        if (last != null) headers += last
+        val colon = line.indexOf(':')
+        if (colon < 0) fail(s"HTTP header line without ':': '$line'")
+        last = (line.substring(0, colon).trim,
+          line.substring(colon + 1).trim)
+      }
+      line = readLine()
+    }
+    if (last != null) headers += last
+    Head(status, headers.result(), p)
+  }
+
+  /** First header with the given name, case-insensitive. */
+  def header(hs: Vector[(String, String)], name: String): Option[String] =
+    hs.collectFirst { case (n, v) if n.equalsIgnoreCase(name) => v }
+
+  /** Undo `Transfer-Encoding: chunked` — hex-size lines (extensions
+    * after ';' ignored per RFC 9112), each chunk's exact bytes, a CRLF
+    * after every chunk, the 0-size terminator, then trailer fields to
+    * a blank line. Anything else raises: a chunked body that does not
+    * frame is a truncated fetch.
+    */
+  def dechunk(b: Array[Byte], label: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length, 64))
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$label: chunked byte $p: $msg")
+    def readLine(): String = {
+      val start = p
+      while (p < b.length && b(p) != '\n') p += 1
+      if (p >= b.length) fail("unterminated chunk line")
+      val end = if (p > start && b(p - 1) == '\r') p - 1 else p
+      p += 1
+      new String(b, start, end - start, "ISO-8859-1")
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = readLine()
+      val hexPart = {
+        val semi = sizeLine.indexOf(';')
+        (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      }
+      val size =
+        try java.lang.Long.parseLong(hexPart, 16)
+        catch { case _: NumberFormatException =>
+          fail(s"bad chunk size '$hexPart'") }
+      if (size < 0 || size > Int.MaxValue) fail(s"chunk size $size out of range")
+      if (size == 0L) {
+        // trailer fields until the blank line that ends the body
+        var t = readLine()
+        while (t.nonEmpty) t = readLine()
+        done = true
+      } else {
+        if (p + size > b.length) fail(
+          s"chunk of $size bytes overruns the body (${b.length - p} left)")
+        out.write(b, p, size.toInt)
+        p += size.toInt
+        val crlf = readLine()
+        if (crlf.nonEmpty) fail(s"chunk not followed by CRLF, got '$crlf'")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The payload bytes with transfer/content encodings undone, in RFC
+    * order: `Transfer-Encoding: chunked` first (the message framing),
+    * then `Content-Encoding: gzip`/`x-gzip` (the representation
+    * coding, through the bounded loud member walk — the WARC payload
+    * bound, since the payload rode a WARC record to get here).
+    * `identity` and absent encodings pass bytes verbatim; any OTHER
+    * token raises — silently returning still-encoded bytes would feed
+    * deflate garbage to the extract chain.
+    */
+  def decodeBody(b: Array[Byte], head: Head, label: String): Array[Byte] = {
+    val raw = java.util.Arrays.copyOfRange(b, head.payloadStart, b.length)
+    val deChunked = header(head.headers, "Transfer-Encoding") match {
+      case None => raw
+      case Some(te) if te.equalsIgnoreCase("chunked") => dechunk(raw, label)
+      case Some(te) => throw new IllegalArgumentException(
+        s"$label: unsupported Transfer-Encoding '$te' — only chunked is " +
+          "in scope, and passing the bytes through undecoded would be " +
+          "silent corruption")
+    }
+    header(head.headers, "Content-Encoding") match {
+      case None => deChunked
+      case Some(ce) if ce.equalsIgnoreCase("identity") => deChunked
+      case Some(ce) if ce.equalsIgnoreCase("gzip") ||
+          ce.equalsIgnoreCase("x-gzip") =>
+        graft.functions.GunzipUtil.gunzip(deChunked,
+          graft.functions.GunzipUtil.MaxWarcOut)
+      case Some(ce) => throw new IllegalArgumentException(
+        s"$label: unsupported Content-Encoding '$ce' — gzip/identity are " +
+          "in scope; undecoded bytes must not reach the text projection")
+    }
+  }
+
+  /** The media type of a Content-Type value: the token before any
+    * parameter, trimmed and lowercased (`text/HTML; charset=X` →
+    * `text/html`).
+    */
+  def mimeType(ct: String): String = {
+    val semi = ct.indexOf(';')
+    (if (semi >= 0) ct.substring(0, semi) else ct).trim.toLowerCase
+  }
+
+  /** The `charset=` parameter of a Content-Type value, trimmed of
+    * optional quotes and lowercased; None when absent.
+    */
+  def charsetParam(ct: String): Option[String] = {
+    val m = CharsetParam.matcher(ct)
+    if (m.find()) Some(m.group(1).toLowerCase) else None
+  }
+
+  private val CharsetParam = java.util.regex.Pattern.compile(
+    "(?i);\\s*charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)\"?")
+
+  /** Sniff an HTML `<meta charset=...>` or
+    * `<meta http-equiv=Content-Type content="...charset=...">`
+    * declaration from the first [[MetaSniffBytes]] payload bytes,
+    * scanned as ISO-8859-1 (an ASCII superset, so the scan itself
+    * cannot throw on arbitrary bytes — exactly why browsers prescan
+    * this way).
+    */
+  def sniffMetaCharset(payload: Array[Byte]): Option[String] = {
+    val n = math.min(payload.length, MetaSniffBytes)
+    val head = new String(payload, 0, n, "ISO-8859-1")
+    val m1 = MetaCharset.matcher(head)
+    if (m1.find()) Some(m1.group(1).toLowerCase)
+    else {
+      val m2 = MetaHttpEquiv.matcher(head)
+      if (m2.find()) Some(m2.group(1).toLowerCase) else None
+    }
+  }
+
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)")
+  private val MetaHttpEquiv = java.util.regex.Pattern.compile(
+    "(?i)<meta\\s+http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
+      "[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)")
+
+  /** The charset the text projection decodes with, by the public
+    * precedence: the Content-Type header's `charset=` parameter wins;
+    * an HTML payload without one gets the `<meta>` prescan; UTF-8 is
+    * the fallback (the WHATWG default for the web corpus this engine
+    * ingests). Returned lowercased AS DECLARED — canonicalization
+    * happens at decode time, so the column stays an honest record of
+    * what the page said.
+    */
+  def resolveCharset(contentType: String, payload: Array[Byte]): String = {
+    val fromHeader = Option(contentType).flatMap(charsetParam)
+    val mime = Option(contentType).map(mimeType)
+    fromHeader
+      .orElse(if (mime.contains("text/html")) sniffMetaCharset(payload)
+              else None)
+      .getOrElse("utf-8")
+  }
+
+  /** Decode payload bytes with a declared charset, loud on a charset
+    * the JVM does not know — decoding with a silent UTF-8 fallback
+    * would corrupt exactly the pages that bothered to declare.
+    */
+  def decodeText(payload: Array[Byte], charset: String,
+                 label: String): String =
+    try new String(payload, java.nio.charset.Charset.forName(charset))
+    catch {
+      case e: java.nio.charset.UnsupportedCharsetException =>
+        throw new IllegalArgumentException(
+          s"$label: declared charset '$charset' is not supported — a " +
+            "silent UTF-8 fallback would corrupt the declaring page", e)
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$label: declared charset '$charset' is not a legal charset " +
+            "name", e)
+    }
+}

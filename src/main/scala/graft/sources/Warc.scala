@@ -49,7 +49,8 @@ object Warc {
                               warc_type: String, target_uri: String,
                               content_length: Long, body: String,
                               offset: Long, record_bytes: Long,
-                              warc_date: String)
+                              warc_date: String, content_type: String,
+                              record_id: String)
 
   /** Parse a (id, payload) frame of WARC files into one row per
     * record. Accepts plain bytes, a gzipped file, or concatenated
@@ -118,11 +119,13 @@ object Warc {
     */
   def writeWarcBin(df: DataFrame, file: Column, idx: Column,
                    warcType: Column, targetUri: Column, body: Column,
-                   warcDate: Column = lit(null).cast("string")): DataFrame = {
+                   warcDate: Column = lit(null).cast("string"),
+                   contentType: Column = lit(null).cast("string"),
+                   recordId: Column = lit(null).cast("string")): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rec = concat(
-      renderHeader(warcType, targetUri, warcDate,
+      renderHeader(warcType, targetUri, warcDate, recordId, contentType,
         octet_length(body.cast("binary"))).cast("binary"),
       body.cast("binary"), lit("\r\n\r\n").cast("binary"))
     // assembly is a LINEAR kernel concat — a fold of binary concat()
@@ -156,8 +159,11 @@ object Warc {
     */
   def writeWarc(df: DataFrame, file: Column, idx: Column, warcType: Column,
                 targetUri: Column, body: Column,
-                warcDate: Column = lit(null).cast("string")): DataFrame =
-    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate)
+                warcDate: Column = lit(null).cast("string"),
+                contentType: Column = lit(null).cast("string"),
+                recordId: Column = lit(null).cast("string")): DataFrame =
+    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate,
+        contentType, recordId)
       .select(col("file_id"),
         array_join(col("recs"), "").cast("binary").as("payload"))
 
@@ -200,15 +206,19 @@ object Warc {
     * side of the join); at 100 TB the slice is a ranged GET against
     * the archive store — the plan here reads the file row it lands
     * on, which is the local-filesystem rendering of the same access
-    * pattern. Gzip files address the INFLATED stream (the parse-side
-    * convention), so the kernel inflates before slicing.
+    * pattern. The lookup's distinct file ids (lookup-result-sized by
+    * contract, capped loudly at `maxFiles`) COLLECT into an `isin`
+    * filter on the files frame — the p174 shard-collect move applied
+    * to the payload side — so the payload scan prunes to the files
+    * the batch actually touches (parquet row-group stats skip the
+    * rest) instead of reading every file's bytes per lookup. Gzip
+    * files address the INFLATED stream (the parse-side convention),
+    * so the kernel inflates before slicing.
     */
   def fetchRecords(files: DataFrame, id: Column, payload: Column,
-                   extents: DataFrame): DataFrame = {
+                   extents: DataFrame, maxFiles: Int = 100000): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val f = files.select(id.cast("long").as("file_id"),
-      payload.cast("binary").as("payload"))
     val withIdx = if (extents.columns.contains("record_idx"))
       extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
@@ -218,6 +228,10 @@ object Warc {
       col("offset").cast("long").as("offset"),
       col("record_bytes").cast("long").as("record_bytes"),
       lit(-1L).as("record_idx"))
+    val f = files.select(id.cast("long").as("file_id"),
+        payload.cast("binary").as("payload"))
+      .filter(col("file_id").isin(
+        lookupFileIds(withIdx, "fetchRecords", maxFiles): _*))
     withIdx
       .join(f, Seq("file_id"))
       .as[(Long, Long, Long, Long, Array[Byte])]
@@ -237,6 +251,83 @@ object Warc {
               s"fetchRecords: extent at file $fid offset $off parsed " +
                 s"${rs.length} records — an index extent frames exactly one")
           rs.head.copy(offset = off, record_idx = idx)
+        }
+      }
+      .toDF()
+  }
+
+  /** The lookup batch's distinct file ids, collected for the payload-
+    * scan prune both fetch paths share: the list is lookup-result-
+    * sized BY CONTRACT (a CDX lookup names the files its hits live
+    * in), and the `maxFiles` cap keeps that contract loud — a
+    * "lookup" naming more files than the cap is a table scan wearing
+    * a fetch's clothes and must be run as [[parseWarc]] instead, not
+    * silently absorbed into a driver-sized IN-list.
+    */
+  private def lookupFileIds(extents: DataFrame, op: String,
+                            maxFiles: Int): Seq[Long] = {
+    require(maxFiles >= 1, s"$op: maxFiles must be >= 1, got $maxFiles")
+    val ids = extents.select(col("file_id")).distinct()
+      .limit(maxFiles + 1).collect().map(_.getLong(0)).toSeq
+    require(ids.length <= maxFiles,
+      s"$op: the lookup batch touches more than $maxFiles distinct " +
+        "files — the collected prune list must stay config-sized; " +
+        "split the batch or raise maxFiles deliberately")
+    ids.sorted
+  }
+
+  /** [[splitHttp]]'s row: the WARC record's provenance plus the HTTP
+    * message split out of its block — status, the raw Content-Type
+    * header, its derived media type, the RESOLVED charset, the
+    * decoded payload BYTES (chunked/gzip undone), and the charset-
+    * decoded text for `text/...` payloads (null otherwise: decoding a
+    * PDF or PNG payload through a charset is silent corruption — the
+    * binary column is the honest one there).
+    */
+  final case class HttpRecord(file_id: Long, record_idx: Long,
+                              warc_type: String, target_uri: String,
+                              offset: Long, record_bytes: Long,
+                              warc_date: String, record_id: String,
+                              http_status: Long, http_content_type: String,
+                              mime_type: String, charset: String,
+                              payload: Array[Byte], text: String)
+
+  /** Split the HTTP message inside each record's block — what a real
+    * Common Crawl `response` record requires before ANY text work:
+    * the block is status line + headers + payload
+    * (`Content-Type: application/http` at the WARC level), so an
+    * extract fed the raw block would begin every document with
+    * `HTTP/1.1 200 OK`. Runs over the BINARY walk's frame
+    * ([[parseWarcBinary]] — the payload is bytes until the charset
+    * decision is made; a string-domain split would corrupt it first),
+    * one scan-stage kernel pass per record: head parse, transfer/
+    * content decoding, charset resolution, text projection — see
+    * [[HttpMessage]] for each rule. Every input row MUST hold an HTTP
+    * message (route first on `warc_type = 'response'` and the WARC
+    * `content_type` — the mixed-archive filter); a non-HTTP block
+    * raises with its record's provenance.
+    */
+  def splitHttp(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(col("file_id"), col("record_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"), col("body"),
+        col("offset"), col("record_bytes"), col("warc_date"),
+        col("content_type"), col("record_id"))
+      .as[WarcRecordBin]
+      .mapPartitions { it =>
+        it.map { r =>
+          val label = s"splitHttp: file ${r.file_id} record ${r.record_idx}"
+          val head = HttpMessage.parseHead(r.body, label)
+          val payload = HttpMessage.decodeBody(r.body, head, label)
+          val ct = HttpMessage.header(head.headers, "Content-Type").orNull
+          val mime = Option(ct).map(HttpMessage.mimeType).orNull
+          val charset = HttpMessage.resolveCharset(ct, payload)
+          val text = if (mime != null && mime.startsWith("text/"))
+            HttpMessage.decodeText(payload, charset, label) else null
+          HttpRecord(r.file_id, r.record_idx, r.warc_type, r.target_uri,
+            r.offset, r.record_bytes, r.warc_date, r.record_id,
+            head.status.toLong, ct, mime, charset, payload, text)
         }
       }
       .toDF()
@@ -269,7 +360,7 @@ object Warc {
               val member = java.util.Arrays.copyOfRange(bytes, off.toInt,
                 (off + len).toInt)
               val rec = graft.functions.GunzipUtil.gunzip(member,
-                graft.functions.GunzipUtil.MaxOut)
+                graft.functions.GunzipUtil.MaxWarcOut)
               val rs = parseRecords(fid, rec).toList
               if (rs.length != 1)
                 throw new IllegalArgumentException(
@@ -291,11 +382,10 @@ object Warc {
     * whole-file stream is never inflated.
     */
   def fetchMemberRecords(files: DataFrame, id: Column, payload: Column,
-                         extents: DataFrame): DataFrame = {
+                         extents: DataFrame,
+                         maxFiles: Int = 100000): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val f = files.select(id.cast("long").as("file_id"),
-      payload.cast("binary").as("payload"))
     val withIdx = if (extents.columns.contains("record_idx"))
       extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
@@ -305,6 +395,10 @@ object Warc {
       col("offset").cast("long").as("offset"),
       col("record_bytes").cast("long").as("record_bytes"),
       lit(-1L).as("record_idx"))
+    val f = files.select(id.cast("long").as("file_id"),
+        payload.cast("binary").as("payload"))
+      .filter(col("file_id").isin(
+        lookupFileIds(withIdx, "fetchMemberRecords", maxFiles): _*))
     withIdx
       .join(f, Seq("file_id"))
       .as[(Long, Long, Long, Long, Array[Byte])]
@@ -338,10 +432,13 @@ object Warc {
     */
   def writeWarcGz(df: DataFrame, file: Column, idx: Column,
                   warcType: Column, targetUri: Column, body: Column,
-                  warcDate: Column = lit(null).cast("string")): DataFrame = {
+                  warcDate: Column = lit(null).cast("string"),
+                  contentType: Column = lit(null).cast("string"),
+                  recordId: Column = lit(null).cast("string")): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate)
+    writeWarcText(df, file, idx, warcType, targetUri, body, warcDate,
+      contentType, recordId)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         it.map { case (fid, recs) =>
@@ -361,9 +458,12 @@ object Warc {
     */
   private def writeWarcText(df: DataFrame, file: Column, idx: Column,
                             warcType: Column, targetUri: Column,
-                            body: Column, warcDate: Column): DataFrame = {
+                            body: Column, warcDate: Column,
+                            contentType: Column,
+                            recordId: Column): DataFrame = {
     val rendered = concat(
-      renderHeader(warcType, targetUri, warcDate, octet_length(body)),
+      renderHeader(warcType, targetUri, warcDate, recordId, contentType,
+        octet_length(body)),
       body, lit("\r\n\r\n"))
     df.select(file.cast("long").as("file_id"),
         struct(idx.as("i"), rendered.as("rec")).as("s"))
@@ -375,16 +475,24 @@ object Warc {
   /** THE header rendering — one definition for both sink layouts and
     * both body domains, so the spec-pinned framing cannot drift
     * between them (a header added to one sink but not the other would
-    * break parse∘write identity for exactly one layout).
+    * break parse∘write identity for exactly one layout). Optional
+    * headers render only when non-null, in a FIXED order (Target-URI,
+    * Date, Record-ID, Content-Type) so the byte-extent arithmetic the
+    * oracles recompute stays a closed formula.
     */
   private def renderHeader(warcType: Column, targetUri: Column,
-                           warcDate: Column,
+                           warcDate: Column, recordId: Column,
+                           contentType: Column,
                            contentLength: Column): Column = concat(
     lit("WARC/1.0\r\nWARC-Type: "), warcType,
     when(targetUri.isNotNull,
       concat(lit("\r\nWARC-Target-URI: "), targetUri)).otherwise(lit("")),
     when(warcDate.isNotNull,
       concat(lit("\r\nWARC-Date: "), warcDate)).otherwise(lit("")),
+    when(recordId.isNotNull,
+      concat(lit("\r\nWARC-Record-ID: "), recordId)).otherwise(lit("")),
+    when(contentType.isNotNull,
+      concat(lit("\r\nContent-Type: "), contentType)).otherwise(lit("")),
     lit("\r\nContent-Length: "), contentLength.cast("string"),
     lit("\r\n\r\n"))
 
@@ -396,7 +504,7 @@ object Warc {
                                     b: Array[Byte]): Seq[(Long, Long)] =
     graft.functions.GunzipUtil.walkMembers(b,
         graft.functions.GunzipUtil.MaxWarcOut,
-        s"parseWarcMembers: file $fid")._1
+        s"parseWarcMembers: file $fid", buffer = false)._1
       .map { case (start, end) => (start.toLong, (end - start).toLong) }
 
   /** Sorted CDX shards — the TWO-LEVEL index layout a 100 TB archive
@@ -589,7 +697,8 @@ object Warc {
                                  warc_type: String, target_uri: String,
                                  content_length: Long, body: Array[Byte],
                                  offset: Long, record_bytes: Long,
-                                 warc_date: String)
+                                 warc_date: String, content_type: String,
+                                 record_id: String)
 
   /** The byte walk. CRLF per spec, bare LF tolerated (real archives
     * mix them); header names case-insensitive; Content-Length
@@ -600,7 +709,8 @@ object Warc {
                                   b: Array[Byte]): Iterator[WarcRecord] =
     walkRecords(fid, b).map(r => WarcRecord(r.file_id, r.record_idx,
       r.warc_type, r.target_uri, r.content_length,
-      new String(r.body, "UTF-8"), r.offset, r.record_bytes, r.warc_date))
+      new String(r.body, "UTF-8"), r.offset, r.record_bytes, r.warc_date,
+      r.content_type, r.record_id))
 
   private[graft] def walkRecords(fid: Long,
                                  b: Array[Byte]): Iterator[WarcRecordBin] = {
@@ -629,6 +739,8 @@ object Warc {
         var warcType: String = null
         var uri: String = null
         var date: String = null
+        var contentType: String = null
+        var recordId: String = null
         var len = -1L
         var line = readLine()
         while (line.nonEmpty) {
@@ -640,11 +752,18 @@ object Warc {
             case "warc-type" => warcType = value
             case "warc-target-uri" => uri = value
             case "warc-date" => date = value
+            // the BLOCK's media type — what routes a real mixed archive:
+            // response records carry application/http, conversion ones
+            // text/plain, resource ones the payload's own type; without
+            // it an extract pass cannot tell an HTML response from a
+            // fetched PDF riding the same warc_type
+            case "content-type" => contentType = value
+            case "warc-record-id" => recordId = value
             case "content-length" =>
               len = try value.toLong catch {
                 case _: NumberFormatException => fail(s"bad Content-Length '$value'")
               }
-            case _ => () // other headers pass; typed columns carry the 3 core ones
+            case _ => () // remaining headers pass; typed columns carry the core ones
           }
           line = readLine()
         }
@@ -654,7 +773,7 @@ object Warc {
         val body = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
         p += len.toInt
         out += WarcRecordBin(fid, idx, warcType, uri, len, body, start, 0L,
-          date)
+          date, contentType, recordId)
         idx += 1
       }
     }

@@ -400,8 +400,10 @@ object StatefulOps {
         val queue = prior.pending ++ arrived
         if (queue.size > maxBuffer)
           throw new IllegalStateException(
-            s"paceByKey: key $key backlog ${queue.size} exceeds maxBuffer " +
-              s"$maxBuffer — raise maxPerTrigger/the trigger rate or shed load")
+            s"paceByKeyRates: key $key backlog ${queue.size} exceeds " +
+              s"maxBuffer $maxBuffer — raise the key's release rate " +
+              "(maxPerTrigger when called via paceByKey), raise maxBuffer, " +
+              "or shed load")
         val rate = perTrigger(key)
         if (rate < 1)
           throw new IllegalStateException(

@@ -1032,7 +1032,15 @@ object CorpusOps {
                                 wA: Double): Column = {
     val avgb = sumDlb.cast("double") / nDocs
     val avga = sumDla.cast("double") / nDocs
-    val tfn = lit(wB) * tfb / (lit(1 - bB) + lit(bB) * dlb / avgb) +
+    // tfb = 0 short-circuits the body term the way sum_dla = 0 does the
+    // anchor one: an anchor-only (doc, term) group carries dlb = 0 down
+    // the union, and with bB = 1.0 (a legal parameter) its body
+    // denominator would be exactly 0 — wB·0/0 = NaN poisoning the
+    // per-doc score sum. With tfb = 0 the body contribution is 0 by
+    // definition, so the guard never diverges from the oracle's chain
+    // (which only ever evaluates it where bB < 1 keeps it finite).
+    val tfn = when(tfb === 0L, lit(0.0))
+        .otherwise(lit(wB) * tfb / (lit(1 - bB) + lit(bB) * dlb / avgb)) +
       when(sumDla === 0L, lit(0.0))
         .otherwise(lit(wA) * tfa / (lit(1 - bA) + lit(bA) * dla / avga))
     round(log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))) *
