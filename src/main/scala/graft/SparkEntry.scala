@@ -285,6 +285,15 @@ object SparkEntry {
     ("q138_streaming_warc_images",
       (s, d) => graft.streaming.StreamingQueries.warcImagesStream(s, d),
       Some(sharedOracle("p178_warc_images"))),
+    ("q139_streaming_cdx_serve",
+      (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
+      Some(PipelineQueries.warcFixtureOracleSqlFrom(
+        "SELECT doc_id, text, CAST(0 AS BIGINT) AS fno FROM documents", """
+      SELECT 'com,src' || CAST(doc_id % 20 AS VARCHAR) || ')/p/'
+               || CAST(doc_id AS VARCHAR) AS surt_key,
+             target_uri, file_id, record_idx, "offset", record_bytes
+      FROM ext WHERE target_uri IS NOT NULL AND doc_id % 97 = 0
+      ORDER BY surt_key"""))),
     ("q137_streaming_revisit",
       (s, d) => graft.streaming.StreamingQueries.cdxRevisitStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -407,5 +416,11 @@ object SparkEntry {
     // per-record-gzip member walk (the same class under Common
     // Crawl's compressed layout — inflate dominates)
     "p159_bpe_bytes_encode", "p164_worklist_per_host", "p167_warc_parse",
-    "p176_warc_gz_members")
+    "p176_warc_gz_members",
+    // round-10: the HTTP message layer over the archive (head parse +
+    // charset decode + extract in one scan-stage chain — what every
+    // real response record costs), and the CDX LSM lifecycle (two
+    // affected-shard compactions + the pruned two-level serve — the
+    // index-maintenance cost story)
+    "p179_http_split", "p183_cdx_compact")
 }

@@ -5765,7 +5765,276 @@ object PipelineQueries {
              CAST(w * h AS BIGINT) AS n_pixels,
              CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                     k -> (seed * 31 + k * 7) % 256)) AS BIGINT) AS pix_sum
-      FROM dims ORDER BY media_id""")))
+      FROM dims ORDER BY media_id""")),
+
+    // The HTTP message layer a REAL archive forces: a Common Crawl
+    // response record's block is a full HTTP message, so the extract
+    // chain fed raw blocks would prepend 'HTTP/1.1 200 OK...' to
+    // every document. Fixture wraps each page in an honest response
+    // (status line, Server/Content-Type/Content-Length headers, the
+    // HTML as payload; every 31st doc a text/plain 404 instead);
+    // Warc.splitHttp parses the head, resolves the charset from the
+    // Content-Type parameter, and projects the text — the oracle is
+    // p168's generative extract expectation, PROVING no header bytes
+    // leak into any document, plus the status/mime/charset columns
+    // from the same doc_id arithmetic.
+    ("p179_http_split", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isMiss = col("doc_id") % 31 === 0
+      val body = when(isMiss,
+        concat(lit("missing /p/"), col("doc_id").cast("string")))
+        .otherwise(htmlFixtureText)
+      val ct = when(isMiss, lit("text/plain; charset=utf-8"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val status = when(isMiss, lit("404 Not Found")).otherwise(lit("200 OK"))
+      val msg = cast_bin(concat(
+        lit("HTTP/1.1 "), status,
+        lit("\r\nServer: graft/0.1\r\nContent-Type: "), ct,
+        lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+        lit("\r\n\r\n"), body))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      val recs = graft.sources.Warc.parseWarcBinary(warcs,
+          col("file_id"), col("payload"))
+        .filter(col("warc_type") === "response" &&
+          col("content_type").startsWith("application/http"))
+      graft.sources.Warc.splitHttp(recs)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status"), col("mime_type"), col("charset"),
+          when(col("http_status") === 200 &&
+              col("mime_type") === "text/html",
+            TextFunctions.htmlExtract(col("text")))
+            .otherwise(col("text")).as("text_out"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 31 = 0 THEN 404 ELSE 200 END
+               AS BIGINT) AS http_status,
+             CASE WHEN doc_id % 31 = 0 THEN 'text/plain'
+                  ELSE 'text/html' END AS mime_type,
+             'utf-8' AS charset,
+             CASE WHEN doc_id % 31 = 0
+                  THEN 'missing /p/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'Doc ' || doc_id || ' ' || text ||
+                    ' Compare A & B <quoted> it''s fine more' END AS text_out
+      FROM documents ORDER BY doc_id""")),
+
+    // Transfer/content encodings as a real crawl stores them — the
+    // fetched representation rides the WARC block VERBATIM, so the
+    // split must undo `Transfer-Encoding: chunked` (hex-size framing)
+    // and `Content-Encoding: gzip` (bounded inflate) before any text
+    // work. One fixture, three encodings by doc_id % 3 (identity /
+    // gzip / chunked), one oracle: the decoded text equals the
+    // authored document byte-for-byte whichever wire form it rode.
+    ("p180_http_encodings", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = col("doc_id") % 3
+      val gz = graft.functions.GzipBytes(encode(col("text"), "UTF-8"))
+      val n = octet_length(col("text"))
+      val lastChunk = floor((n - 1) / lit(100)).cast("int")
+      val chunked = concat(
+        array_join(transform(sequence(lit(0), lastChunk), i =>
+          concat(lower(hex(least(lit(100), n - i * 100))), lit("\r\n"),
+            col("text").substr(i * 100 + 1, lit(100)), lit("\r\n"))), ""),
+        lit("0\r\n\r\n"))
+      val head = (extra: Column, clen: Column) => concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"),
+        extra, lit("\r\nContent-Length: "), clen.cast("string"),
+        lit("\r\n\r\n"))
+      val msg = when(v === 0,
+          cast_bin(concat(head(lit(""), n), col("text"))))
+        .when(v === 1, concat(
+          cast_bin(head(lit("\r\nContent-Encoding: gzip"),
+            octet_length(gz))), gz))
+        .otherwise(cast_bin(concat(
+          head(lit("\r\nTransfer-Encoding: chunked"),
+            octet_length(chunked)), chunked)))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      graft.sources.Warc.splitHttp(
+          graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+            col("payload")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // The charset path — the fix for the web's actual byte reality:
+    // an ISO-8859-1 page decoded as UTF-8 corrupts every accented
+    // byte. Three declarations by doc_id % 3: a UTF-8 header param, an
+    // ISO-8859-1 header param, and NO param with an HTML
+    // `<meta charset="iso-8859-1">` the prescan must sniff. Every
+    // body carries a non-ASCII suffix (café nº …) so a wrong decode
+    // CANNOT hash-match; the oracle authors the expected text as
+    // UTF-8 SQL literals — byte-domain encodings in, one clean
+    // string column out.
+    ("p181_http_charset", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = col("doc_id") % 3
+      val full = concat(col("text"), lit(" café nº "),
+        col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><head><meta charset=\"iso-8859-1\"></head><body><p>"),
+        full, lit("</p></body></html>"))
+      val mkMsg = (ct: String, payload: Column) => concat(
+        cast_bin(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), lit(ct),
+          lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+          lit("\r\n\r\n"))), payload)
+      val msg = when(v === 0,
+          mkMsg("text/plain; charset=utf-8", encode(full, "UTF-8")))
+        .when(v === 1,
+          mkMsg("text/plain; charset=iso-8859-1",
+            encode(full, "ISO-8859-1")))
+        .otherwise(mkMsg("text/html", encode(html, "ISO-8859-1")))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      graft.sources.Warc.splitHttp(
+          graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+            col("payload")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("charset"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH x AS (SELECT doc_id,
+             text || ' café nº ' || CAST(doc_id AS VARCHAR) AS suffixed
+           FROM documents)
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+                  ELSE 'iso-8859-1' END AS charset,
+             CASE WHEN doc_id % 3 = 2
+                  THEN '<html><head><meta charset="iso-8859-1"></head>' ||
+                    '<body><p>' || suffixed || '</p></body></html>'
+                  ELSE suffixed END AS text
+      FROM x ORDER BY doc_id""")),
+
+    // Record routing over a MIXED archive — what WARC Content-Type
+    // exists for: a real crawl interleaves request, response,
+    // metadata, and warcinfo records, and only `response` +
+    // `application/http` blocks are extractable (a request block
+    // starts 'GET ...', a metadata block is warc-fields — feeding
+    // either to the HTTP split would be garbage). The fixture plants
+    // decoy text in every non-response record; the oracle is p168's
+    // exact expectation, so ONE leaked decoy row or byte fails the
+    // gate.
+    ("p182_warc_mixed_routing", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = (col("doc_id") % 20).cast("string")
+      val uri = concat(lit("https://www.src"), k, lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val page = htmlFixtureText
+      val respMsg = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\nContent-Length: "), octet_length(page).cast("string"),
+        lit("\r\n\r\n"), page)
+      val reqMsg = concat(lit("GET /p/"), col("doc_id").cast("string"),
+        lit(" HTTP/1.1\r\nHost: www.src"), k,
+        lit(".com\r\nUser-Agent: graft Doc decoy\r\n\r\n"))
+      val metaMsg = concat(lit("fetchTimeMs: 7\r\nnote: Doc "),
+        col("doc_id").cast("string"),
+        lit(" decoy body that must not leak into extract"))
+      val base = (i: Column, t: String, ct: String, b: Column,
+                  tag: String) =>
+        docs.select((col("doc_id") % 8).as("f"), i.as("i"), lit(t).as("t"),
+          uri.as("u"), cast_bin(b).as("b"), lit(ct).as("ct"),
+          concat(lit("<urn:graft:"), col("doc_id").cast("string"),
+            lit(s":$tag>")).as("rid"))
+      val recs =
+        base(col("doc_id") * 3, "request",
+            "application/http; msgtype=request", reqMsg, "q")
+          .unionByName(base(col("doc_id") * 3 + 1, "response",
+            "application/http; msgtype=response", respMsg, "r"))
+          .unionByName(base(col("doc_id") * 3 + 2, "metadata",
+            "application/warc-fields", metaMsg, "m"))
+      val warcs = graft.sources.Warc.writeWarcBin(recs, col("f"), col("i"),
+        col("t"), col("u"), col("b"), lit(null).cast("string"), col("ct"),
+        col("rid"))
+      val routed = graft.sources.Warc.parseWarcBinary(warcs,
+          col("file_id"), col("payload"))
+        .filter(col("warc_type") === "response" &&
+          col("content_type").startsWith("application/http"))
+      graft.sources.Warc.splitHttp(routed)
+        .filter(col("http_status") === 200 &&
+          col("mime_type") === "text/html")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          TextFunctions.htmlTitle(col("text")).as("title"),
+          TextFunctions.htmlExtract(col("text")).as("text"),
+          size(TextFunctions.extractHrefs(col("text"))).cast("long")
+            .as("n_links"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || ' ' || text ||
+               ' Compare A & B <quoted> it''s fine more' AS text,
+             CAST(5 AS BIGINT) AS n_links
+      FROM documents ORDER BY doc_id""")),
+
+    // CDX LSM lifecycle — the maintenance story that keeps a 100 TB
+    // archive's index fresh WITHOUT re-sorting history: build the
+    // two-level layout from batch 1 (every doc_id % 5 != 0 — which
+    // excludes ALL of src0's pages, so batch 2's src0 keys sort BELOW
+    // the cluster-index floor and prove the lowest shard's open
+    // range); stream batch 2's index rows in as an append-only
+    // segment log and compact them into the layout (only affected
+    // shards rewrite — a per-shard local sort, never a global range
+    // exchange); land batch 3 (identical re-fetches of every 10th
+    // doc), derive extent tombstones from the REVISIT ledger, and
+    // compact again — the duplicates leave the index as part of the
+    // merge; then serve the p174 pruned lookup against the compacted
+    // layout. Oracle: the panel's documents rows, EXACTLY once each —
+    // one surviving revisit duplicate or one mis-routed below-floor
+    // key breaks the row count or the hash.
+    ("p183_cdx_compact", (s, d) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" page "),
+          col("doc_id").cast("string")).as("text"))
+      // the lifecycle consumes each fixture archive several times
+      // (index build, segment cut, tombstone derivation, the fetch's
+      // prune collect AND its join) — checkpoint the FILE-cardinality
+      // frames (8 rows each; the "sub-corpus-cardinality only" rule)
+      // so the per-file assembly aggregation runs once, not five times
+      val w1 = warcFixtureFrom(docs.filter(col("doc_id") % 5 =!= 0))
+        .localCheckpoint()
+      val w2 = warcFixtureFrom(docs.filter(col("doc_id") % 5 === 0),
+        fileBase = 8L).localCheckpoint()
+      val w3 = warcFixtureFrom(docs.filter(col("doc_id") % 10 === 0),
+        fileBase = 16L).localCheckpoint()
+      def cdxOf(w: DataFrame) = Warc.cdxIndex(
+        Warc.parseWarc(w, col("file_id"), col("payload")))
+      val dir = graft.sources.Sinks.tempArtifactDir("cdx_lsm")
+      Warc.writeCdxShards(cdxOf(w1), dir, numShards = 8)
+      Warc.compactCdxShards(dir, cdxOf(w2))
+      val seg3 = cdxOf(w3)
+      val tomb = Warc.cdxRevisits(
+          s.read.parquet(dir).drop("shard").unionByName(seg3))
+        .filter(col("is_revisit"))
+        .select(col("file_id"), col("offset"))
+      Warc.compactCdxShards(dir, seg3, tombstones = Some(tomb))
+      val shards = s.read.parquet(dir)
+      val cluster = Warc.cdxClusterIndex(shards)
+      val panel = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("https://www.src"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url"))
+          .as("surt_key"))
+      val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+      val ids = assigned.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val hits = shards.filter(col("shard").isin(ids: _*))
+        .join(broadcast(assigned), Seq("shard", "surt_key"))
+      val files = w1.unionByName(w2).unionByName(w3)
+      Warc.fetchRecords(files, col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text || ' page ' || CAST(doc_id AS VARCHAR) AS body
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
@@ -5837,6 +6106,29 @@ object PipelineQueries {
           AS "offset"
         FROM sized)
       $select"""
+
+  private def cast_bin(c: Column): Column = c.cast("binary")
+
+  /** The HTTP entries' WARC wrap: each (doc_id, msg BINARY) row lands
+    * as a `response` record (`Content-Type: application/http;
+    * msgtype=response` — the WARC-level media type real crawls stamp)
+    * in file doc_id % 8, with the p167 uri/date/urn arithmetic so the
+    * oracles anchor to doc_id alone.
+    */
+  private[graft] def httpResponseWarcFrom(msgs: DataFrame): DataFrame = {
+    val uri = concat(lit("https://www.src"),
+      (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+      col("doc_id").cast("string"))
+    val date = date_format(timestamp_seconds(
+      lit(1767225600L) + col("doc_id")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val rid = concat(lit("<urn:graft:"), col("doc_id").cast("string"),
+      lit(":0>"))
+    graft.sources.Warc.writeWarcBin(
+      msgs.select((col("doc_id") % 8).as("f"), col("doc_id").as("i"),
+        uri.as("u"), col("msg"), date.as("dt"), rid.as("rid")),
+      col("f"), col("i"), lit("response"), col("u"), col("msg"),
+      col("dt"), lit("application/http; msgtype=response"), col("rid"))
+  }
 
   /** p167's WARC fixture: docs pack into 8 files (doc_id % 8), each a
     * warcinfo record (idx -1 sorts first) followed by one `conversion`

@@ -534,24 +534,111 @@ object Warc {
     * pattern — the cluster index is shard-count-sized by
     * construction), and each key's shard is "the last first_key ≤
     * key" via a scan-stage array HOF — no join, no shuffle, pure
-    * codegen'd projection. A key below the index floor raises: the
-    * cluster index must cover the key space, and a silent wrong-shard
-    * route would serve a false miss.
+    * codegen'd projection. A key below the index floor raises by
+    * default: a FRESH [[writeCdxShards]] build's floor IS the global
+    * min key, so a below-floor key means the cluster index does not
+    * cover the key space and a silent wrong-shard route would serve a
+    * false miss. `clampFloor = true` is the COMPACTED layout's rule
+    * instead: once [[compactCdxShards]] has run, the lowest-keyed
+    * shard owns the open range (-inf, second first_key) — a
+    * below-floor INSERT extends it (and the serve-time cluster index,
+    * re-derived from the shards, then carries the new floor).
     */
   def assignShards(queries: DataFrame, key: Column,
-                   clusterIndex: DataFrame): DataFrame = {
+                   clusterIndex: DataFrame,
+                   clampFloor: Boolean = false): DataFrame = {
     val idx = clusterIndex.agg(array_sort(
       collect_list(struct(col("first_key"), col("shard")))).as("__idx"))
+    val below =
+      if (clampFloor) element_at(col("__idx"), 1).getField("shard")
+      else raise_error(concat(
+        lit("assignShards: key '"), key,
+        lit("' sorts below the cluster-index floor — the index must " +
+          "cover the key space"))).cast("int")
     queries.crossJoin(broadcast(idx))
       .withColumn("__pos", size(filter(col("__idx"),
         e => e.getField("first_key") <= key)))
       .withColumn("shard", when(col("__pos") >= 1,
         element_at(col("__idx"), col("__pos")).getField("shard"))
-        .otherwise(raise_error(concat(
-          lit("assignShards: key '"), key,
-          lit("' sorts below the cluster-index floor — the index must " +
-            "cover the key space"))).cast("int")))
+        .otherwise(below))
       .drop("__idx", "__pos")
+  }
+
+  /** LSM maintenance for the two-level CDX layout — merge an
+    * append-only segment log (the [[cdxIndex]] rows a streaming
+    * ingest lands, q136's "sort is a serve-time concern" log) into
+    * the sorted shard layout WITHOUT re-sorting history: new rows
+    * route to their shards through the existing cluster index (the
+    * scan-stage [[assignShards]] HOF, floor-clamped — a below-floor
+    * insert extends the lowest shard's open range), ONLY the affected
+    * shard partitions read back (partition-pruned scan — the plan pin)
+    * and rewrite with a per-shard LOCAL sort over old rows + new run;
+    * untouched shards never move, as bytes or as rows. A full
+    * [[writeCdxShards]] rebuild re-samples and range-exchanges the
+    * ENTIRE index per batch of appends — at 100 TB that is the
+    * difference between compaction cost ∝ delta and ∝ history (the
+    * compactPostingSegments argument, applied to the archive index).
+    *
+    * `tombstones` (extent-keyed: file_id + offset, the index row's
+    * identity) drop during the merge — the [[cdxRevisits]] ledger's
+    * revisit rows, or takedowns; a tombstone aimed at an existing row
+    * pulls that row's shard into the rewrite set too. Compaction
+    * touches ONLY index rows — payload bytes never enter the plan.
+    *
+    * Publish is a driver-side shard-directory swap (write the merged
+    * shards beside the layout, then move each affected `shard=<id>`
+    * directory into place) — the manifest-swap a table format does,
+    * rendered on the filesystem; Spark refuses a self-overwriting
+    * plan, and rewriting unaffected shards to dodge that would be the
+    * full rebuild again.
+    */
+  def compactCdxShards(dir: String, segments: DataFrame,
+                       tombstones: Option[DataFrame] = None): Unit = {
+    val spark = segments.sparkSession
+    val current = spark.read.parquet(dir)
+    require(current.columns.contains("shard"),
+      s"compactCdxShards: $dir is not a writeCdxShards layout (no shard column)")
+    val cluster = cdxClusterIndex(current)
+    val assigned = assignShards(segments, col("surt_key"), cluster,
+      clampFloor = true)
+    // both collects are config-sized: shard ids, bounded by the layout's
+    // shard count
+    val segShards = assigned.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val tombShards = tombstones.map { t =>
+      current.join(
+          broadcast(t.select(col("file_id"), col("offset")).distinct()),
+          Seq("file_id", "offset"))
+        .select(col("shard")).distinct().collect().map(_.getInt(0))
+    }.getOrElse(Array.empty[Int])
+    val affected = (segShards ++ tombShards).distinct.sorted
+    if (affected.isEmpty) return
+    val cols = current.columns.map(col)
+    val keep = current.filter(col("shard").isin(affected.map(Int.box): _*))
+      .unionByName(assigned.select(cols: _*))
+    val merged = tombstones.fold(keep) { t =>
+      keep.join(broadcast(t.select(col("file_id"), col("offset")).distinct()),
+        Seq("file_id", "offset"), "left_anti")
+    }
+    val tmp = dir + ".compact-tmp"
+    merged.repartition(affected.length, col("shard"))
+      .sortWithinPartitions(col("shard"), col("surt_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    affected.foreach { sh =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"shard=$sh")
+      val dst = new org.apache.hadoop.fs.Path(dir, s"shard=$sh")
+      fs.delete(dst, true)
+      // a fully-tombstoned shard writes no output — its directory
+      // simply leaves the layout and the serve-time cluster index
+      // re-derives without it
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst)) throw new java.io.IOException(
+          s"compactCdxShards: failed to publish $src -> $dst")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Revisit detection — the archive-level exact dedup every public

@@ -876,6 +876,49 @@ object StreamingQueries {
       .orderBy(col("file_id"), col("record_idx"))
   }
 
+  /** p174's two-level CDX serve AT stream time — lookup batches
+    * arrive as a stream against a FROZEN shard layout (the q113
+    * frozen-artifact shape: the sorted shards + cluster index are the
+    * served generation; maintenance is [[graft.sources.Warc
+    * .compactCdxShards]]'s separate job). Each micro-batch's keys
+    * route through the SAME scan-stage cluster-index HOF the batch
+    * serve uses (a one-row broadcast riding the stream — no state,
+    * no shuffle on the streaming side) and hit their shards via a
+    * stream-static equi-join on (shard, surt_key); append mode, zero
+    * state rows. The static-side partition pruning of the batch path
+    * becomes the join's shard key here — per-batch static pruning is
+    * the engine's dynamic-filter territory, documented, not faked
+    * with a collect on a stream.
+    */
+  def cdxServeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val cdx = graft.sources.Warc.cdxIndex(graft.sources.Warc.parseWarc(
+      graft.queries.PipelineQueries.warcFixtureFrom(docs),
+      col("file_id"), col("payload")))
+    val dir = graft.sources.Sinks.tempArtifactDir("cdx_serve_shards")
+    graft.sources.Warc.writeCdxShards(cdx, dir, numShards = 8)
+    val shards = spark.read.parquet(dir)
+    val cluster = graft.sources.Warc.cdxClusterIndex(shards)
+    val panelDir = graft.sources.Sinks.tempArtifactDir("cdx_serve_panel")
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(concat(lit("HTTPS://WWW.SRC"),
+        (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"),
+        col("doc_id").cast("string"), lit("?utm_source=x#frag")).as("url"))
+      .write.mode("overwrite").parquet(panelDir)
+    val schema = spark.read.parquet(panelDir).schema
+    val keys = spark.readStream.schema(schema).parquet(panelDir)
+      .select(graft.functions.SourceFamily.surtKey(col("url"))
+        .as("surt_key"))
+    val assigned = graft.sources.Warc.assignShards(keys, col("surt_key"),
+      cluster)
+    runToMemory(
+      assigned.join(shards, Seq("shard", "surt_key"))
+        .select(col("surt_key"), col("target_uri"), col("file_id"),
+          col("record_idx"), col("offset"), col("record_bytes")),
+      mode = "append")
+      .orderBy(col("surt_key"))
+  }
+
   /** p170's CDX build AT ingest — a WARC file's index rows exist the
     * moment the file lands (surt key, digest, and byte extents derive
     * from the file alone, so the build is STATELESS: scan-stage parse

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{HttpMessage, Warc}
+
+/** The HTTP message layer inside WARC response blocks: head parse,
+  * chunked/gzip decoding, charset resolution, and the splitHttp
+  * operator's typed projection — plus the loud contracts (a block
+  * that does not parse is transport corruption, and undecoded bytes
+  * must never reach the text projection silently).
+  */
+class HttpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def msg(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("parseHead: status, headers in order, payload offset; obs-fold joins; lookup is case-insensitive") {
+    val m = msg("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://example.org/\r\n" +
+      "X-Long: part one\r\n  and two\r\n" +
+      "content-TYPE: text/html; charset=UTF-8\r\n" +
+      "\r\nPAYLOAD")
+    val h = HttpMessage.parseHead(m, "t")
+    assert(h.status == 301)
+    assert(HttpMessage.header(h.headers, "Content-Type")
+      .contains("text/html; charset=UTF-8"))
+    assert(HttpMessage.header(h.headers, "x-long")
+      .contains("part one and two"))
+    assert(new String(m, h.payloadStart, m.length - h.payloadStart,
+      "ISO-8859-1") == "PAYLOAD")
+  }
+
+  test("parseHead: bare-LF lines tolerated (real archives mix them)") {
+    val h = HttpMessage.parseHead(
+      msg("HTTP/1.0 200 OK\nContent-Type: text/plain\n\nx"), "t")
+    assert(h.status == 200)
+    assert(HttpMessage.header(h.headers, "content-type")
+      .contains("text/plain"))
+  }
+
+  test("parseHead raises loudly on non-HTTP blocks, colon-less headers, truncation") {
+    val bads = Seq(
+      "GET /p/1 HTTP/1.1\r\nHost: x\r\n\r\n", // a REQUEST, not a response
+      "HTTP/1.1 20x OK\r\n\r\n",
+      "HTTP/1.1 200 OK\r\nbroken header line\r\n\r\n",
+      "HTTP/1.1 200 OK\r\nNever: terminated")
+    bads.foreach { b =>
+      val e = intercept[IllegalArgumentException](
+        HttpMessage.parseHead(msg(b), "t"))
+      assert(e.getMessage.contains("transport corruption"), e.getMessage)
+    }
+  }
+
+  test("dechunk: hex sizes (both cases), extensions, trailers; loud on bad size / overrun / missing CRLF") {
+    val body = "a" * 10 + "b" * 15
+    val chunked = msg("a;ext=1\r\n" + "a" * 10 + "\r\nF\r\n" + "b" * 15 +
+      "\r\n0\r\nTrailer: x\r\n\r\n")
+    assert(new String(HttpMessage.dechunk(chunked, "t"), "ISO-8859-1") == body)
+    intercept[IllegalArgumentException](
+      HttpMessage.dechunk(msg("zz\r\nx\r\n0\r\n\r\n"), "t"))
+    intercept[IllegalArgumentException](
+      HttpMessage.dechunk(msg("ff\r\nshort\r\n0\r\n\r\n"), "t"))
+    intercept[IllegalArgumentException](
+      HttpMessage.dechunk(msg("2\r\nabNOCRLF3\r\nxyz\r\n0\r\n\r\n"), "t"))
+  }
+
+  test("decodeBody: identity, gzip, chunked, and chunked-then-gzip compose in RFC order; unknown encodings raise") {
+    val payload = ("the payload é " * 20).getBytes("UTF-8")
+    def headOf(extra: String) = HttpMessage.parseHead(
+      msg(s"HTTP/1.1 200 OK\r\nContent-Type: text/plain$extra\r\n\r\n"), "t")
+    def chunkOf(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.grouped(7).foreach { c =>
+        bos.write(msg(c.length.toHexString + "\r\n")); bos.write(c)
+        bos.write(msg("\r\n"))
+      }
+      bos.write(msg("0\r\n\r\n")); bos.toByteArray
+    }
+    def whole(head: HttpMessage.Head, body: Array[Byte], raw: String) = {
+      val full = new java.io.ByteArrayOutputStream()
+      full.write(msg(raw)); full.write(body)
+      HttpMessage.decodeBody(full.toByteArray,
+        HttpMessage.parseHead(full.toByteArray, "t"), "t")
+    }
+    val gz = graft.functions.GzipBytes.gzip(payload)
+    assert(java.util.Arrays.equals(
+      whole(null, payload, "HTTP/1.1 200 OK\r\nA: b\r\n\r\n"), payload))
+    assert(java.util.Arrays.equals(
+      whole(null, gz,
+        "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"), payload))
+    assert(java.util.Arrays.equals(
+      whole(null, chunkOf(payload),
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"), payload))
+    // chunked frames the MESSAGE, gzip coded the representation —
+    // chunked must undo first (RFC 9110/9112 layering)
+    assert(java.util.Arrays.equals(
+      whole(null, chunkOf(gz),
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+          "Content-Encoding: gzip\r\n\r\n"), payload))
+    val e1 = intercept[IllegalArgumentException](
+      whole(null, payload,
+        "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"))
+    assert(e1.getMessage.contains("unsupported Content-Encoding"))
+    val e2 = intercept[IllegalArgumentException](
+      whole(null, payload,
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\n"))
+    assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+  }
+
+  test("charset precedence: header param (quoted too) > html meta prescan > utf-8; meta only sniffs text/html") {
+    val metaPage = "<html><head><meta charset='iso-8859-1'></head></html>"
+      .getBytes("ISO-8859-1")
+    val equivPage = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head></html>")
+      .getBytes("ISO-8859-1")
+    assert(HttpMessage.resolveCharset(
+      "text/html; charset=\"UTF-16BE\"", metaPage) == "utf-16be")
+    assert(HttpMessage.resolveCharset("text/html", metaPage) == "iso-8859-1")
+    assert(HttpMessage.resolveCharset("text/html", equivPage) ==
+      "windows-1252")
+    // a plain-text payload that HAPPENS to contain meta markup is not
+    // sniffed — the prescan is an HTML rule
+    assert(HttpMessage.resolveCharset("text/plain", metaPage) == "utf-8")
+    assert(HttpMessage.resolveCharset(null, metaPage) == "utf-8")
+    val e = intercept[IllegalArgumentException](
+      HttpMessage.decodeText("x".getBytes, "no-such-charset", "t"))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
+  test("splitHttp: text payloads decode via their charset; binary payloads keep text null and bytes verbatim") {
+    val latin = "café nº 7".getBytes("ISO-8859-1")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xff.toByte,
+      0xfe.toByte, 0x00, 0x7f)
+    def respond(ct: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"))
+      bos.write(body); bos.toByteArray
+    }
+    val recs = Seq(
+      (1L, 0L, respond("text/plain; charset=iso-8859-1", latin)),
+      (1L, 1L, respond("image/png", png)))
+      .toDF("f", "i", "b")
+    val warcs = Warc.writeWarcBin(recs, col("f"), col("i"),
+      lit("response"), concat(lit("https://h.com/r/"), col("i")), col("b"),
+      lit(null).cast("string"), lit("application/http; msgtype=response"))
+    val out = Warc.splitHttp(Warc.parseWarcBinary(warcs, col("file_id"),
+        col("payload")))
+      .orderBy(col("record_idx"))
+      .select(col("mime_type"), col("charset"), col("text"), col("payload"))
+      .collect()
+    assert(out(0).getString(0) == "text/plain")
+    assert(out(0).getString(1) == "iso-8859-1")
+    assert(out(0).getString(2) == "café nº 7")
+    assert(out(1).getString(0) == "image/png")
+    assert(out(1).isNullAt(2), "binary payloads must not decode to text")
+    assert(java.util.Arrays.equals(out(1).getAs[Array[Byte]](3), png),
+      "payload bytes must ride verbatim")
+    // WARC-level routing is the caller's job; a non-HTTP block in the
+    // input is loud, with the record's provenance in the message
+    val bad = Warc.writeWarcBin(Seq((2L, 0L, msg("GET / HTTP/1.1\r\n\r\n")))
+        .toDF("f", "i", "b"),
+      col("f"), col("i"), lit("request"), lit(null).cast("string"),
+      col("b"))
+    val e = intercept[org.apache.spark.SparkException](
+      Warc.splitHttp(Warc.parseWarcBinary(bad, col("file_id"),
+        col("payload"))).collect())
+    assert(e.getCause.getMessage.contains("splitHttp: file 2 record 0"),
+      e.getCause.getMessage)
+  }
+
+  test("GzipBytes column: gunzip(gzip(x)) is identity, nulls pass through") {
+    val df = Seq(Some("round trip payload é"), None).toDF("s")
+      .select(col("s"), graft.functions.GzipBytes(encode(col("s"), "UTF-8"))
+        .as("gz"))
+      .select(col("s"),
+        graft.functions.GunzipText(col("gz")).as("back"))
+    val rows = df.collect()
+    assert(rows.exists(r => !r.isNullAt(0) &&
+      r.getString(0) == r.getString(1)))
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("fetchRecords: a lookup naming more files than maxFiles is refused loudly") {
+    val recs = (0L until 6L).map(i => (i, i, s"body $i"))
+      .toDF("f", "i", "b")
+    val files = Warc.writeWarc(recs, col("f"), col("i"),
+      lit("conversion"), concat(lit("https://h.com/p/"), col("i")),
+      col("b"))
+    val extents = Warc.parseWarc(files, col("file_id"), col("payload"))
+      .select(col("file_id"), col("record_idx"), col("offset"),
+        col("record_bytes"))
+    val e = intercept[IllegalArgumentException](
+      Warc.fetchRecords(files, col("file_id"), col("payload"), extents,
+        maxFiles = 3).collect())
+    assert(e.getMessage.contains("more than 3 distinct files"),
+      e.getMessage)
+  }
+}

@@ -584,4 +584,67 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(digest".r.findFirstIn(p).isDefined,
       s"the first-stored election should shuffle on the digest:\n$p")
   }
+
+  test("fetchRecords prunes the payload scan: the lookup's file ids reach the parquet scan as a pushed IN filter") {
+    import graft.sources.Warc
+    val spark2 = spark
+    import spark2.implicits._
+    val recs = (0L until 8L).map(i => (i % 4, i, s"body $i"))
+      .toDF("f", "i", "b")
+    val files = Warc.writeWarc(recs, col("f"), col("i"),
+      lit("conversion"), concat(lit("https://h.com/p/"), col("i")),
+      col("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fetch").toString
+    try {
+      files.write.mode("overwrite").parquet(dir)
+      val onDisk = spark.read.parquet(dir)
+      // a lookup naming 2 of the 4 files
+      val extents = Warc.parseWarc(onDisk, col("file_id"), col("payload"))
+        .filter(col("file_id") < 2)
+        .select(col("file_id"), col("record_idx"), col("offset"),
+          col("record_bytes"))
+      val fetched = Warc.fetchRecords(onDisk, col("file_id"),
+        col("payload"), extents)
+      val p = fetched.queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]*In\\(file_id".r.findFirstIn(p).isDefined,
+        s"the lookup's file ids must prune the payload scan " +
+          s"(row-group stats skip the rest of the archive):\n$p")
+      // and the prune is not a wrong-answer shortcut
+      assert(fetched.count() == 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("compactCdxShards reads only the affected shard partitions (partition-pruned merge scan)") {
+    import graft.sources.Warc
+    val spark2 = spark
+    import spark2.implicits._
+    val cdx = (10 until 50).map(i => (f"com,s$i%02d)/p", i.toLong,
+        i.toLong * 100, 50L, s"d$i"))
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsmp").toString
+    try {
+      Warc.writeCdxShards(cdx, dir, numShards = 4)
+      val current = spark.read.parquet(dir)
+      val cluster = Warc.cdxClusterIndex(current)
+      val segs = Seq(("com,s49x)/p", 149L, 900L, 50L, "dx"))
+        .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+        .withColumn("target_uri", col("surt_key"))
+      val assigned = Warc.assignShards(segs, col("surt_key"), cluster,
+        clampFloor = true)
+      val affected = assigned.select(col("shard")).distinct()
+        .collect().map(_.getInt(0))
+      // the merge's read side — exactly what compactCdxShards plans
+      val merge = current.filter(col("shard").isin(affected.map(Int.box): _*))
+      val p = merge.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("shard"),
+        s"the merge must scan only affected shard directories:\n$p")
+      assert(affected.length == 1,
+        "one segment key should touch exactly one shard")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -503,4 +503,76 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("non-negative"), e2.getMessage)
   }
+
+  test("Warc: compactCdxShards rewrites ONLY affected shards — untouched files never move; merged shards stay sorted; below-floor inserts extend the lowest shard; tombstones drop existing rows") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    def mkCdx(rows: Seq[(String, Long, Long)]) = rows
+      .map { case (k, f, o) => (k, f, o, 50L, s"d$f-$o") }
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val base = mkCdx((10 until 50).map(i => (f"com,s$i%02d)/p", i.toLong,
+      i.toLong * 100)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsm").toString
+    def listing(sh: Int): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(dir, s"shard=$sh")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length(), f.lastModified())).sorted
+    }
+    try {
+      Warc.writeCdxShards(base, dir, numShards = 4)
+      val before = (0 until 4).map(listing)
+      // segments: one below-floor key (com,s05 < the s10 floor) and
+      // one for the top shard's range
+      val segs = mkCdx(Seq(("com,s05)/p", 105L, 500L),
+        ("com,s49x)/p", 149L, 900L)))
+      Warc.compactCdxShards(dir, segs)
+      val shards = spark.read.parquet(dir)
+      assert(shards.count() == 42)
+      val byShard = shards.select(col("shard"), col("surt_key")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).groupBy(_._1)
+      val lowest = byShard.keys.min
+      val highest = byShard.keys.max
+      assert(byShard(lowest).exists(_._2 == "com,s05)/p"),
+        "below-floor insert must land in the lowest shard")
+      assert(byShard(highest).exists(_._2 == "com,s49x)/p"))
+      // untouched shards: byte-identical files, same mtimes — history
+      // never rewrote
+      val after = (0 until 4).map(listing)
+      (0 until 4).filter(s => s != lowest && s != highest).foreach { s =>
+        assert(before(s) == after(s),
+          s"untouched shard $s was rewritten: ${before(s)} -> ${after(s)}")
+      }
+      assert(before(lowest) != after(lowest), "affected shard must rewrite")
+      // each rewritten shard file is SORTED by surt_key (the serve
+      // invariant) — read file-by-file so cross-file order cannot mask
+      Seq(lowest, highest).foreach { s =>
+        new java.io.File(dir, s"shard=$s").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val keys = spark.read.parquet(f.getAbsolutePath)
+              .select(col("surt_key")).collect().map(_.getString(0))
+            assert(keys.sameElements(keys.sorted),
+              s"shard $s file ${f.getName} not sorted")
+          }
+      }
+      // a tombstone aimed at an EXISTING row (no segment touches its
+      // shard) pulls that shard into the rewrite and drops the row
+      val victim = spark.read.parquet(dir)
+        .filter(col("surt_key") === "com,s25)/p")
+        .select(col("file_id"), col("offset"))
+      Warc.compactCdxShards(dir, segs.filter(org.apache.spark.sql
+        .functions.lit(false)), tombstones = Some(victim))
+      val left = spark.read.parquet(dir)
+      assert(left.count() == 41)
+      assert(left.filter(col("surt_key") === "com,s25)/p").isEmpty)
+      // routing against the COMPACTED layout needs no clamp: the
+      // serve-time cluster index re-derives from the shards, so the
+      // new floor is the below-floor insert itself
+      val routed = Warc.assignShards(Seq("com,s05)/p").toDF("surt_key"),
+        col("surt_key"), Warc.cdxClusterIndex(left)).collect()
+      assert(routed.head.getInt(1) == lowest)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
