@@ -6034,6 +6034,94 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, text || ' page ' || CAST(doc_id AS VARCHAR) AS body
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")),
+
+    // WET derivation through the REAL response path — p175 with the
+    // HTTP layer in place: response blocks are full HTTP messages
+    // (what a crawler actually stores), so the pipeline is parse →
+    // route (response + application/http) → splitHttp (status 200,
+    // text/html, charset decode) → extract → write back as
+    // Content-Type: text/plain conversion records → FULL re-parse.
+    // The oracle is p175's: the written WET must carry exactly the
+    // authored clean text with exact byte reframing — if one HTTP
+    // header byte survived the split, the content_length or the body
+    // hash breaks.
+    ("p184_wet_from_http", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val page = htmlFixtureText
+      val msg = cast_bin(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\nContent-Length: "), octet_length(page).cast("string"),
+        lit("\r\n\r\n"), page))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      val resp = graft.sources.Warc.splitHttp(
+          graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+              col("payload"))
+            .filter(col("warc_type") === "response" &&
+              col("content_type").startsWith("application/http")))
+        .filter(col("http_status") === 200 &&
+          col("mime_type") === "text/html")
+      val wet = graft.sources.Warc.writeWarc(
+        resp.select(col("file_id"), col("record_idx"),
+          lit("conversion").as("t"), col("target_uri"),
+          TextFunctions.htmlExtract(col("text")).as("b")),
+        col("file_id"), col("record_idx"), col("t"), col("target_uri"),
+        col("b"), contentType = lit("text/plain"))
+      graft.sources.Warc.parseWarc(wet, col("file_id"), col("payload"))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_type"), col("content_length"),
+          col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id,
+               'Doc ' || doc_id || ' ' || text ||
+                 ' Compare A & B <quoted> it''s fine more' AS body
+        FROM documents)
+      SELECT doc_id, 'conversion' AS warc_type,
+             'text/plain' AS content_type,
+             CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+             body
+      FROM x ORDER BY doc_id""")),
+
+    // The LSM READ path between compactions: batch 1 lives in the
+    // sorted shard layout, batch 2 is the un-compacted segment TAIL
+    // (q136's append-only log, nothing merged yet) — and the lookup
+    // must see BOTH, or freshness waits for the next maintenance
+    // window. serveCdxWithTail probes the pruned shards exactly as
+    // p174 does AND broadcast-probes the delta-sized tail; below-
+    // floor panel keys (all of src0 lives in the tail) degrade to a
+    // clamped shard probe instead of a refused lookup. Oracle: every
+    // panel doc exactly once, whichever level its index row lives in.
+    ("p185_cdx_tail_serve", (s, d) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d)
+      val w1 = warcFixtureFrom(docs.filter(col("doc_id") % 5 =!= 0))
+      val w2 = warcFixtureFrom(docs.filter(col("doc_id") % 5 === 0),
+        fileBase = 8L)
+      def cdxOf(w: DataFrame) = Warc.cdxIndex(
+        Warc.parseWarc(w, col("file_id"), col("payload")))
+      val dir = graft.sources.Sinks.tempArtifactDir("cdx_tail")
+      Warc.writeCdxShards(cdxOf(w1), dir, numShards = 8)
+      val shards = s.read.parquet(dir)
+      val panel = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("https://www.src"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url"))
+          .as("surt_key"))
+      val hits = Warc.serveCdxWithTail(shards, Warc.cdxClusterIndex(shards),
+        cdxOf(w2), panel)
+      Warc.fetchRecords(w1.unionByName(w2), col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text AS body
       FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent

@@ -219,18 +219,35 @@ object HttpMessage {
     "(?i)<meta\\s+http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
       "[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)")
 
+  /** A byte-order mark at the payload's start names its encoding with
+    * certainty — WHATWG gives it precedence over EVERY declaration
+    * (a page saved with a BOM then mislabeled by its server is common
+    * enough that browsers trust the bytes): EF BB BF → utf-8,
+    * FE FF → utf-16be, FF FE → utf-16le.
+    */
+  def sniffBom(payload: Array[Byte]): Option[String] =
+    if (payload.length >= 3 && (payload(0) & 0xff) == 0xef &&
+        (payload(1) & 0xff) == 0xbb && (payload(2) & 0xff) == 0xbf)
+      Some("utf-8")
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xfe &&
+        (payload(1) & 0xff) == 0xff) Some("utf-16be")
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xfe) Some("utf-16le")
+    else None
+
   /** The charset the text projection decodes with, by the public
-    * precedence: the Content-Type header's `charset=` parameter wins;
-    * an HTML payload without one gets the `<meta>` prescan; UTF-8 is
-    * the fallback (the WHATWG default for the web corpus this engine
-    * ingests). Returned lowercased AS DECLARED — canonicalization
-    * happens at decode time, so the column stays an honest record of
-    * what the page said.
+    * precedence (WHATWG): a byte-order mark wins outright, then the
+    * Content-Type header's `charset=` parameter, then the `<meta>`
+    * prescan for HTML payloads, then the UTF-8 default (for the web
+    * corpus this engine ingests). Returned lowercased AS DECLARED —
+    * canonicalization happens at decode time, so the column stays an
+    * honest record of what the page said.
     */
   def resolveCharset(contentType: String, payload: Array[Byte]): String = {
     val fromHeader = Option(contentType).flatMap(charsetParam)
     val mime = Option(contentType).map(mimeType)
-    fromHeader
+    sniffBom(payload)
+      .orElse(fromHeader)
       .orElse(if (mime.contains("text/html")) sniffMetaCharset(payload)
               else None)
       .getOrElse("utf-8")
@@ -238,12 +255,18 @@ object HttpMessage {
 
   /** Decode payload bytes with a declared charset, loud on a charset
     * the JVM does not know — decoding with a silent UTF-8 fallback
-    * would corrupt exactly the pages that bothered to declare.
+    * would corrupt exactly the pages that bothered to declare. A
+    * leading U+FEFF strips after the decode (it is the byte-order
+    * MARK, not content — the rule every text consumer downstream
+    * would otherwise have to re-learn; Java only auto-strips it for
+    * the "UTF-16" pseudo-charset, not utf-8/utf-16be/utf-16le).
     */
   def decodeText(payload: Array[Byte], charset: String,
                  label: String): String =
-    try new String(payload, java.nio.charset.Charset.forName(charset))
-    catch {
+    try {
+      val s = new String(payload, java.nio.charset.Charset.forName(charset))
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    } catch {
       case e: java.nio.charset.UnsupportedCharsetException =>
         throw new IllegalArgumentException(
           s"$label: declared charset '$charset' is not supported — a " +

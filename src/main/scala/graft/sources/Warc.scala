@@ -641,6 +641,88 @@ object Warc {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** The LSM read path between compactions — lookups must see rows
+    * the segment TAIL holds that no [[compactCdxShards]] run has
+    * merged yet (q136 lands index rows at ingest; a serve that only
+    * consults the shard layout would return stale misses until the
+    * next maintenance window). Two bounded probes, one result: the
+    * routed keys hit their pruned shards exactly as the batch serve
+    * does, and the tail — delta-sized BY CONTRACT, it is what has
+    * arrived since the last compaction — probes as a BROADCAST
+    * semi-join against the keys (never a shuffle of the tail, never a
+    * scan of the layout for tail keys). Read amplification is the
+    * honest LSM trade: one shard probe + one tail probe per lookup
+    * batch, collapsed again at the next compaction.
+    *
+    * `keys` is a (surt_key) frame; output is the union of matching
+    * index rows from both levels (shard rows carry their `shard`,
+    * tail rows carry shard = -1 — "not yet placed", an honest column,
+    * not a fake route). Routing CLAMPS at the floor here: a key below
+    * the layout's range may still live in the tail (an un-compacted
+    * below-floor insert — exactly what p183's batch 2 is before its
+    * compaction), so the shard probe degrades to "probe the lowest
+    * shard and miss" instead of refusing the lookup.
+    */
+  def serveCdxWithTail(shards: DataFrame, clusterIndex: DataFrame,
+                       tail: DataFrame, keys: DataFrame): DataFrame = {
+    val assigned = assignShards(keys, col("surt_key"), clusterIndex,
+      clampFloor = true)
+    val ids = assigned.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cols = Seq("surt_key", "target_uri", "warc_date", "file_id",
+      "record_idx", "offset", "record_bytes", "digest", "shard")
+    val fromShards = shards.filter(col("shard").isin(ids.map(Int.box): _*))
+      .join(broadcast(assigned), Seq("shard", "surt_key"))
+      .select(cols.map(col): _*)
+    val fromTail = tail
+      .join(broadcast(keys.select(col("surt_key")).distinct()),
+        Seq("surt_key"))
+      .withColumn("shard", lit(-1))
+      .select(cols.map(col): _*)
+    fromShards.unionByName(fromTail)
+  }
+
+  /** Split ONE oversized shard into `n` — the rebalance that keeps the
+    * two-level layout serving after compactions have grown a hot key
+    * range (compaction by design never moves shard boundaries, so a
+    * skewed insert stream concentrates; this is the B-tree page split
+    * at archive scale). Only the named shard's rows move: they
+    * re-range-partition into `n` sorted pieces written as FRESH shard
+    * ids above the current max (ids are names, not positions — the
+    * cluster index, re-derived from first keys at serve time, gives
+    * the new pieces their place in the total order; nothing else
+    * rewrites, so split cost ∝ the one shard). Publish is the same
+    * driver-side directory swap as compaction.
+    */
+  def splitCdxShard(dir: String, shard: Int, n: Int): Unit = {
+    require(n >= 2, s"splitCdxShard: n must be >= 2, got $n")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val current = spark.read.parquet(dir)
+    val shardIds = current.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    require(shardIds.contains(shard),
+      s"splitCdxShard: shard $shard not present in $dir " +
+        s"(have ${shardIds.sorted.mkString(", ")})")
+    val nextId = shardIds.max + 1
+    val one = current.filter(col("shard") === shard).drop("shard")
+    val tmp = dir + ".split-tmp"
+    one.repartitionByRange(n, col("surt_key"))
+      .withColumn("shard", spark_partition_id() + lit(nextId))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    written.foreach { s =>
+      val dst = new org.apache.hadoop.fs.Path(dir, s.getPath.getName)
+      fs.delete(dst, true)
+      if (!fs.rename(s.getPath, dst)) throw new java.io.IOException(
+        s"splitCdxShard: failed to publish ${s.getPath} -> $dst")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"shard=$shard"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Revisit detection — the archive-level exact dedup every public
     * web archive runs at ingest: a record whose content DIGEST was
     * already stored becomes a `revisit` pointer to the first-stored

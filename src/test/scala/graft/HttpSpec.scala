@@ -129,6 +129,24 @@ class HttpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported"), e.getMessage)
   }
 
+  test("BOM beats every declaration (WHATWG) and strips from the decoded text") {
+    val content = "über text"
+    val bom8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      content.getBytes("UTF-8")
+    val bom16be = content.getBytes("UTF-16") // Java UTF-16 writes FE FF
+    // the byte reality wins over a WRONG header declaration
+    assert(HttpMessage.resolveCharset(
+      "text/plain; charset=iso-8859-1", bom8) == "utf-8")
+    assert(HttpMessage.resolveCharset(
+      "text/plain; charset=iso-8859-1", bom16be) == "utf-16be")
+    // and the mark itself is framing, not content
+    assert(HttpMessage.decodeText(bom8, "utf-8", "t") == content)
+    assert(HttpMessage.decodeText(bom16be, "utf-16be", "t") == content)
+    // no BOM → header declaration holds
+    assert(HttpMessage.resolveCharset("text/plain; charset=iso-8859-1",
+      content.getBytes("ISO-8859-1")) == "iso-8859-1")
+  }
+
   test("splitHttp: text payloads decode via their charset; binary payloads keep text null and bytes verbatim") {
     val latin = "café nº 7".getBytes("ISO-8859-1")
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xff.toByte,

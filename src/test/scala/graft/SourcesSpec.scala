@@ -575,4 +575,57 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("Warc: splitCdxShard moves ONE shard's rows into fresh sorted pieces — other shards' files never move, the total order re-derives") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    val cdx = (10 until 50).map(i => (f"com,s$i%02d)/p", i.toLong,
+        i.toLong * 100, 50L, s"d$i"))
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    def listing(sh: Int): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(dir, s"shard=$sh")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length(), f.lastModified())).sorted
+    }
+    try {
+      Warc.writeCdxShards(cdx, dir, numShards = 4)
+      val before = (0 until 4).map(listing)
+      val victimKeys = spark.read.parquet(dir)
+        .filter(col("shard") === 2).select(col("surt_key"))
+        .collect().map(_.getString(0)).toSet
+      Warc.splitCdxShard(dir, shard = 2, n = 2)
+      val after = spark.read.parquet(dir)
+      // same rows, shard 2 gone, its keys in the two fresh ids 4 and 5
+      assert(after.count() == 40)
+      val ids = after.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(!ids.contains(2) && ids.contains(4) && ids.contains(5), ids)
+      val movedKeys = after.filter(col("shard") >= 4)
+        .select(col("surt_key")).collect().map(_.getString(0)).toSet
+      assert(movedKeys == victimKeys)
+      // untouched shards' files are byte-identical
+      Seq(0, 1, 3).foreach(s => assert(before(s) == listing(s),
+        s"shard $s rewritten by a split of shard 2"))
+      // the serve-time cluster index keeps a disjoint sorted total
+      // order and routes every key home across old + new ids
+      val cluster = Warc.cdxClusterIndex(after)
+      val routed = Warc.assignShards(
+          after.select(col("surt_key")), col("surt_key"), cluster)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      after.select(col("shard"), col("surt_key")).collect().foreach { r =>
+        assert(routed(r.getString(1)) == r.getInt(0),
+          s"key ${r.getString(1)} routed to ${routed(r.getString(1))}, " +
+            s"lives in ${r.getInt(0)}")
+      }
+      // a split of a missing shard is loud
+      val e = intercept[IllegalArgumentException](
+        Warc.splitCdxShard(dir, shard = 2, n = 2))
+      assert(e.getMessage.contains("not present"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
