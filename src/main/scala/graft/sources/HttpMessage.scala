@@ -45,19 +45,12 @@ object HttpMessage {
     * header's value.
     */
   def parseHead(b: Array[Byte], label: String): Head = {
-    var p = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(
-        s"$label: byte $p: $msg — an HTTP block that does not parse is " +
-          "transport corruption, not dirty data")
-    def readLine(): String = {
-      val start = p
-      while (p < b.length && b(p) != '\n') p += 1
-      if (p >= b.length) fail("unterminated HTTP header line")
-      val end = if (p > start && b(p - 1) == '\r') p - 1 else p
-      p += 1
-      new String(b, start, end - start, "ISO-8859-1")
-    }
+    val cur = new ByteCursor(b, "ISO-8859-1",
+      pos => s"$label: byte $pos: ",
+      " — an HTTP block that does not parse is transport corruption, " +
+        "not dirty data")
+    def fail(msg: String): Nothing = cur.fail(msg)
+    def readLine(): String = cur.readLine("HTTP header line")
     val statusLine = readLine()
     if (!statusLine.startsWith("HTTP/"))
       fail(s"expected an HTTP status line, got '$statusLine'")
@@ -88,12 +81,25 @@ object HttpMessage {
       line = readLine()
     }
     if (last != null) headers += last
-    Head(status, headers.result(), p)
+    Head(status, headers.result(), cur.p)
   }
 
   /** First header with the given name, case-insensitive. */
   def header(hs: Vector[(String, String)], name: String): Option[String] =
     hs.collectFirst { case (n, v) if n.equalsIgnoreCase(name) => v }
+
+  /** EVERY value of a header, as the token list RFC 9110 defines:
+    * repeated field lines are equivalent to one comma-joined list, so
+    * both `Content-Encoding: identity` + `Content-Encoding: gzip` on
+    * two lines and `Content-Encoding: identity, gzip` on one line
+    * yield Seq(identity, gzip) here. The encoding decisions must see
+    * the WHOLE list — matching only the first line is how a
+    * still-gzipped body slips through to the text projection.
+    */
+  def headerTokens(hs: Vector[(String, String)],
+                   name: String): Seq[String] =
+    hs.collect { case (n, v) if n.equalsIgnoreCase(name) => v }
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   /** Undo `Transfer-Encoding: chunked` — hex-size lines (extensions
     * after ';' ignored per RFC 9112), each chunk's exact bytes, a CRLF
@@ -103,17 +109,10 @@ object HttpMessage {
     */
   def dechunk(b: Array[Byte], label: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(b.length, 64))
-    var p = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"$label: chunked byte $p: $msg")
-    def readLine(): String = {
-      val start = p
-      while (p < b.length && b(p) != '\n') p += 1
-      if (p >= b.length) fail("unterminated chunk line")
-      val end = if (p > start && b(p - 1) == '\r') p - 1 else p
-      p += 1
-      new String(b, start, end - start, "ISO-8859-1")
-    }
+    val cur = new ByteCursor(b, "ISO-8859-1",
+      pos => s"$label: chunked byte $pos: ")
+    def fail(msg: String): Nothing = cur.fail(msg)
+    def readLine(): String = cur.readLine("chunk line")
     var done = false
     while (!done) {
       val sizeLine = readLine()
@@ -132,10 +131,10 @@ object HttpMessage {
         while (t.nonEmpty) t = readLine()
         done = true
       } else {
-        if (p + size > b.length) fail(
-          s"chunk of $size bytes overruns the body (${b.length - p} left)")
-        out.write(b, p, size.toInt)
-        p += size.toInt
+        if (cur.p + size > b.length) fail(
+          s"chunk of $size bytes overruns the body (${b.length - cur.p} left)")
+        out.write(b, cur.p, size.toInt)
+        cur.p += size.toInt
         val crlf = readLine()
         if (crlf.nonEmpty) fail(s"chunk not followed by CRLF, got '$crlf'")
       }
@@ -154,24 +153,29 @@ object HttpMessage {
     */
   def decodeBody(b: Array[Byte], head: Head, label: String): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(b, head.payloadStart, b.length)
-    val deChunked = header(head.headers, "Transfer-Encoding") match {
-      case None => raw
-      case Some(te) if te.equalsIgnoreCase("chunked") => dechunk(raw, label)
-      case Some(te) => throw new IllegalArgumentException(
-        s"$label: unsupported Transfer-Encoding '$te' — only chunked is " +
-          "in scope, and passing the bytes through undecoded would be " +
-          "silent corruption")
+    // the FULL token lists (repeated lines fold in per RFC 9110) — a
+    // first-line-only match would pass 'identity' + 'gzip' on two
+    // lines straight to the text projection still compressed
+    val te = headerTokens(head.headers, "Transfer-Encoding")
+    val deChunked = te.map(_.toLowerCase) match {
+      case Seq() => raw
+      case Seq("chunked") => dechunk(raw, label)
+      case other => throw new IllegalArgumentException(
+        s"$label: unsupported Transfer-Encoding '${other.mkString(", ")}'" +
+          " — only chunked is in scope, and passing the bytes through " +
+          "undecoded would be silent corruption")
     }
-    header(head.headers, "Content-Encoding") match {
-      case None => deChunked
-      case Some(ce) if ce.equalsIgnoreCase("identity") => deChunked
-      case Some(ce) if ce.equalsIgnoreCase("gzip") ||
-          ce.equalsIgnoreCase("x-gzip") =>
+    val ce = headerTokens(head.headers, "Content-Encoding")
+      .map(_.toLowerCase).filterNot(_ == "identity")
+    ce match {
+      case Seq() => deChunked
+      case Seq("gzip") | Seq("x-gzip") =>
         graft.functions.GunzipUtil.gunzip(deChunked,
           graft.functions.GunzipUtil.MaxWarcOut)
-      case Some(ce) => throw new IllegalArgumentException(
-        s"$label: unsupported Content-Encoding '$ce' — gzip/identity are " +
-          "in scope; undecoded bytes must not reach the text projection")
+      case other => throw new IllegalArgumentException(
+        s"$label: unsupported Content-Encoding '${other.mkString(", ")}'" +
+          " — gzip/identity are in scope; undecoded bytes must not reach " +
+          "the text projection")
     }
   }
 

@@ -219,7 +219,11 @@ object Warc {
                    extents: DataFrame, maxFiles: Int = 100000): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val withIdx = if (extents.columns.contains("record_idx"))
+    // lookup-result-sized by contract → checkpointing it is bounded,
+    // and the extents PLAN (often a full index build + shard join)
+    // must run once, not once for the prune collect and again for
+    // the join
+    val withIdx = (if (extents.columns.contains("record_idx"))
       extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
         col("record_bytes").cast("long").as("record_bytes"),
@@ -227,7 +231,7 @@ object Warc {
     else extents.select(col("file_id").cast("long").as("file_id"),
       col("offset").cast("long").as("offset"),
       col("record_bytes").cast("long").as("record_bytes"),
-      lit(-1L).as("record_idx"))
+      lit(-1L).as("record_idx"))).localCheckpoint()
     val f = files.select(id.cast("long").as("file_id"),
         payload.cast("binary").as("payload"))
       .filter(col("file_id").isin(
@@ -267,7 +271,11 @@ object Warc {
   private def lookupFileIds(extents: DataFrame, op: String,
                             maxFiles: Int): Seq[Long] = {
     require(maxFiles >= 1, s"$op: maxFiles must be >= 1, got $maxFiles")
-    val ids = extents.select(col("file_id")).distinct()
+    // a null file_id names no file: the inner join has always dropped
+    // such rows, so the prune list drops them too (collecting one
+    // would NPE with no mention of the contract)
+    val ids = extents.select(col("file_id"))
+      .filter(col("file_id").isNotNull).distinct()
       .limit(maxFiles + 1).collect().map(_.getLong(0)).toSeq
     require(ids.length <= maxFiles,
       s"$op: the lookup batch touches more than $maxFiles distinct " +
@@ -386,7 +394,8 @@ object Warc {
                          maxFiles: Int = 100000): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val withIdx = if (extents.columns.contains("record_idx"))
+    // checkpointed for the same one-execution reason as fetchRecords
+    val withIdx = (if (extents.columns.contains("record_idx"))
       extents.select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("offset"),
         col("record_bytes").cast("long").as("record_bytes"),
@@ -394,7 +403,7 @@ object Warc {
     else extents.select(col("file_id").cast("long").as("file_id"),
       col("offset").cast("long").as("offset"),
       col("record_bytes").cast("long").as("record_bytes"),
-      lit(-1L).as("record_idx"))
+      lit(-1L).as("record_idx"))).localCheckpoint()
     val f = files.select(id.cast("long").as("file_id"),
         payload.cast("binary").as("payload"))
       .filter(col("file_id").isin(
@@ -443,10 +452,11 @@ object Warc {
       .mapPartitions { it =>
         it.map { case (fid, recs) =>
           val bos = new java.io.ByteArrayOutputStream()
-          recs.foreach { r =>
-            val g = new java.util.zip.GZIPOutputStream(bos)
-            g.write(r.getBytes("UTF-8")); g.finish(); g.close()
-          }
+          // one member per record through the ONE gzip-member kernel
+          // (GzipBytes — the HTTP Content-Encoding sink shares it), so
+          // member framing cannot drift between the two producers
+          recs.foreach(r => bos.write(
+            graft.functions.GzipBytes.gzip(r.getBytes("UTF-8"))))
           (fid, bos.toByteArray)
         }
       }
@@ -518,6 +528,10 @@ object Warc {
   def writeCdxShards(cdx: DataFrame, dir: String, numShards: Int): Unit =
     cdx.repartitionByRange(numShards, col("surt_key"))
       .withColumn("shard", spark_partition_id())
+      // the range exchange places rows, it does not order them — the
+      // in-file sort is the other half of "sorted shards" (what a
+      // binary-searching serve reads; compaction's local sort keeps it)
+      .sortWithinPartitions(col("surt_key"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
   /** The cluster index over [[writeCdxShards]] output: one row per
@@ -708,6 +722,7 @@ object Warc {
     val tmp = dir + ".split-tmp"
     one.repartitionByRange(n, col("surt_key"))
       .withColumn("shard", spark_partition_id() + lit(nextId))
+      .sortWithinPartitions(col("surt_key"))
       .write.mode("overwrite").partitionBy("shard").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
@@ -884,25 +899,21 @@ object Warc {
   private[graft] def walkRecords(fid: Long,
                                  b: Array[Byte]): Iterator[WarcRecordBin] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordBin]
-    var p = 0
+    // WARC headers are UTF-8 by ISO 28500 (HTTP's walk reads latin-1);
+    // the line framing itself is the shared cursor's
+    val cur = new ByteCursor(b, "UTF-8",
+      pos => s"parseWarc: file $fid byte $pos: ",
+      " — a silently dropped record is the wrong failure mode for " +
+        "crawl provenance")
     var idx = 0L
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(
-        s"parseWarc: file $fid byte $p: $msg — a silently dropped record " +
-          "is the wrong failure mode for crawl provenance")
-    def readLine(): String = {
-      val start = p
-      while (p < b.length && b(p) != '\n') p += 1
-      if (p >= b.length) fail("unterminated header line")
-      val end = if (p > start && b(p - 1) == '\r') p - 1 else p
-      p += 1 // past \n
-      new String(b, start, end - start, "UTF-8")
-    }
-    while (p < b.length) {
+    def fail(msg: String): Nothing = cur.fail(msg)
+    def readLine(): String = cur.readLine("header line")
+    while (cur.p < b.length) {
       // skip inter-record newlines
-      while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
-      if (p < b.length) {
-        val start = p
+      while (cur.p < b.length && (b(cur.p) == '\r' || b(cur.p) == '\n'))
+        cur.p += 1
+      if (cur.p < b.length) {
+        val start = cur.p
         val version = readLine()
         if (!version.startsWith("WARC/")) fail(s"expected a WARC/ version line, got '$version'")
         var warcType: String = null
@@ -937,10 +948,10 @@ object Warc {
           line = readLine()
         }
         if (len < 0) fail("record without Content-Length")
-        if (p + len > b.length) fail(
-          s"Content-Length $len overruns the file (have ${b.length - p} bytes)")
-        val body = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
-        p += len.toInt
+        if (cur.p + len > b.length) fail(
+          s"Content-Length $len overruns the file (have ${b.length - cur.p} bytes)")
+        val body = java.util.Arrays.copyOfRange(b, cur.p, cur.p + len.toInt)
+        cur.p += len.toInt
         out += WarcRecordBin(fid, idx, warcType, uri, len, body, start, 0L,
           date, contentType, recordId)
         idx += 1

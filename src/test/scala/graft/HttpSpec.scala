@@ -107,6 +107,21 @@ class HttpSpec extends AnyFunSuite {
       whole(null, payload,
         "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\n"))
     assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+    // REPEATED field lines fold into one token list (RFC 9110): a
+    // second Content-Encoding line must not slip past a first-line
+    // match and hand still-gzipped bytes to the text projection
+    val e3 = intercept[IllegalArgumentException](
+      whole(null, gz, "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n" +
+        "Content-Encoding: gzip\r\nContent-Encoding: gzip\r\n\r\n"))
+    assert(e3.getMessage.contains("unsupported Content-Encoding"))
+    // ...but identity tokens among the lines are transparent
+    assert(java.util.Arrays.equals(
+      whole(null, gz, "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n" +
+        "Content-Encoding: gzip\r\n\r\n"), payload))
+    assert(java.util.Arrays.equals(
+      whole(null, gz,
+        "HTTP/1.1 200 OK\r\nContent-Encoding: gzip, identity\r\n\r\n"),
+      payload))
   }
 
   test("charset precedence: header param (quoted too) > html meta prescan > utf-8; meta only sniffs text/html") {

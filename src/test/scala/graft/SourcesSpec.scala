@@ -434,6 +434,18 @@ class SourcesSpec extends AnyFunSuite {
       }
       val perShard = shards.select(col("shard"), col("surt_key")).collect()
         .map(r => (r.getInt(0), r.getString(1)))
+      // and each shard's FILES are sorted by surt_key — the range
+      // exchange places rows, the in-file sort orders them (what a
+      // binary-searching serve actually reads)
+      (0 until 4).foreach { s =>
+        new java.io.File(dir, s"shard=$s").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val keys = spark.read.parquet(f.getAbsolutePath)
+              .select(col("surt_key")).collect().map(_.getString(0))
+            assert(keys.sameElements(keys.sorted),
+              s"shard $s file ${f.getName} not sorted")
+          }
+      }
       val next = bounds.map(_._1).zip(bounds.drop(1).map(_._2)).toMap
       perShard.foreach { case (sh, k) =>
         val lo = bounds.find(_._1 == sh).get._2
@@ -606,6 +618,18 @@ class SourcesSpec extends AnyFunSuite {
       val movedKeys = after.filter(col("shard") >= 4)
         .select(col("surt_key")).collect().map(_.getString(0)).toSet
       assert(movedKeys == victimKeys)
+      // each fresh piece's files are SORTED by surt_key (the serve
+      // invariant compaction also maintains) — read file-by-file so
+      // cross-file order cannot mask
+      Seq(4, 5).foreach { s =>
+        new java.io.File(dir, s"shard=$s").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val keys = spark.read.parquet(f.getAbsolutePath)
+              .select(col("surt_key")).collect().map(_.getString(0))
+            assert(keys.sameElements(keys.sorted),
+              s"split shard $s file ${f.getName} not sorted")
+          }
+      }
       // untouched shards' files are byte-identical
       Seq(0, 1, 3).foreach(s => assert(before(s) == listing(s),
         s"shard $s rewritten by a split of shard 2"))
