@@ -61,11 +61,12 @@ import org.apache.spark.sql.SparkSession
   *    p45's accepted shape) + SortAggregate (cdxClusterIndex's
   *    min(first_key) string election over shard-count groups, q20's
   *    bounded shape).
-  *  - round-10: p183 NestedLoop + SortAggregate — the CDX LSM
-  *    lifecycle runs p174's serve path (assignShards' shard-count-
-  *    sized cluster index on the one-row broadcast cross join;
-  *    cdxClusterIndex's min(first_key) election) twice more inside
-  *    compactCdxShards, same accepted shapes, nothing new.
+  *  - round-10: p183 runs p174's serve shapes (assignShards' one-row
+  *    broadcast cross join; cdxClusterIndex's min(first_key)
+  *    SortAggregate) inside compactCdxShards and the serve — accepted
+  *    and documented, though since the fetch paths checkpoint their
+  *    lookup-sized extents the final plan this tool inspects sits
+  *    downstream of them and may not print the flags at all.
   *  - also inheriting the same two accepted shapes (verified per
   *    entry): p81/p83/p93/p94/p95 (one-row corpus/stats/class-totals
   *    scalars riding broadcast cross joins — p45/p49's shape),
