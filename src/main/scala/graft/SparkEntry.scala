@@ -285,6 +285,9 @@ object SparkEntry {
     ("q138_streaming_warc_images",
       (s, d) => graft.streaming.StreamingQueries.warcImagesStream(s, d),
       Some(sharedOracle("p178_warc_images"))),
+    ("q140_streaming_http",
+      (s, d) => graft.streaming.StreamingQueries.httpSplitStream(s, d),
+      Some(sharedOracle("p179_http_split"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -6122,7 +6122,99 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, text AS body
-      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")))
+      FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""")),
+
+    // WAT derivation — Common Crawl's metadata sibling (WARC holds
+    // the fetch, WET the text, WAT the per-record metadata JSON):
+    // each response splits, its envelope projects to a JSON object
+    // (url, status, mime, title, outlink count — the fields a link
+    // researcher reads WITHOUT touching payload bytes), and the
+    // objects write back as `metadata` records with Content-Type
+    // application/json; the gate reads a FULL re-parse of the written
+    // WAT files and the oracle reconstructs the exact JSON strings
+    // from doc_id arithmetic — field order, quoting, and the
+    // unquoted integers all pinned.
+    ("p186_wat_metadata", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val page = htmlFixtureText
+      val msg = cast_bin(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\nContent-Length: "), octet_length(page).cast("string"),
+        lit("\r\n\r\n"), page))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      val split = graft.sources.Warc.splitHttp(
+        graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+          col("payload")))
+      val wat = graft.sources.Warc.writeWarc(
+        split.select(col("file_id"), col("record_idx"),
+          lit("metadata").as("t"), col("target_uri"),
+          to_json(struct(col("target_uri").as("url"),
+            col("http_status").as("status"),
+            col("mime_type").as("mime"),
+            TextFunctions.htmlTitle(col("text")).as("title"),
+            size(TextFunctions.extractHrefs(col("text"))).as("n_links")))
+            .as("b")),
+        col("file_id"), col("record_idx"), col("t"), col("target_uri"),
+        col("b"), contentType = lit("application/json"))
+      graft.sources.Warc.parseWarc(wat, col("file_id"), col("payload"))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_type"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'metadata' AS warc_type,
+             'application/json' AS content_type,
+             '{"url":"https://www.src' || CAST(doc_id % 20 AS VARCHAR)
+               || '.com/p/' || CAST(doc_id AS VARCHAR)
+               || '","status":200,"mime":"text/html","title":"Doc '
+               || CAST(doc_id AS VARCHAR) || '","n_links":5}' AS body
+      FROM documents ORDER BY doc_id""")),
+
+    // Redirect following through the index — the crawl-graph edge the
+    // HTTP layer unlocks: 301 responses carry their target in the
+    // Location header (the http_headers map's first consumer), the
+    // target url is MESSY (case/:443/utm/fragment) so resolution must
+    // run the same SURT canonicalization the index uses, and the hop
+    // lands on the target's 200 record. Every 7th doc redirects to
+    // doc_id + 1 (never itself a redirect — consecutive ids); the
+    // oracle joins documents to documents, so one mis-canonicalized
+    // Location or one header-map miss is a lost row.
+    ("p187_redirect_follow", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isRedir = col("doc_id") % 7 === 0
+      val loc = concat(lit("HTTPS://WWW.SRC"),
+        ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
+        (col("doc_id") + 1).cast("string"), lit("?utm_source=r#frag"))
+      val msg = when(isRedir, cast_bin(concat(
+          lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "), loc,
+          lit("\r\nContent-Type: text/plain; charset=utf-8" +
+            "\r\nContent-Length: 0\r\n\r\n"))))
+        .otherwise(cast_bin(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+            "charset=utf-8\r\nContent-Length: "),
+          octet_length(col("text")).cast("string"), lit("\r\n\r\n"),
+          col("text"))))
+      val warcs = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg.as("msg")))
+      val split = graft.sources.Warc.splitHttp(
+        graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+          col("payload")))
+      val hops = split.filter(col("http_status") === 301)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.functions.SourceFamily.surtKey(
+            element_at(col("http_headers"), "location")).as("surt_key"))
+      val targets = split.filter(col("http_status") === 200)
+        .select(graft.functions.SourceFamily.surtKey(col("target_uri"))
+            .as("surt_key"), col("text").as("body"))
+      hops.join(targets, Seq("surt_key"))
+        .select(col("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT d.doc_id, t.text AS body
+      FROM documents d JOIN documents t ON t.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 7 = 0 ORDER BY d.doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE

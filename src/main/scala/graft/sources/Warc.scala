@@ -298,6 +298,7 @@ object Warc {
                               warc_date: String, record_id: String,
                               http_status: Long, http_content_type: String,
                               mime_type: String, charset: String,
+                              http_headers: Map[String, String],
                               payload: Array[Byte], text: String)
 
   /** Split the HTTP message inside each record's block — what a real
@@ -333,9 +334,19 @@ object Warc {
           val charset = HttpMessage.resolveCharset(ct, payload)
           val text = if (mime != null && mime.startsWith("text/"))
             HttpMessage.decodeText(payload, charset, label) else null
+          // the full header map, lowercased names, FIRST value per
+          // name (the typed columns stay the decode authorities — the
+          // map is for the long tail: Location, Last-Modified, ETag,
+          // cache headers — what a crawl scheduler and WAT derivation
+          // read)
+          val hmap = head.headers.foldLeft(Map.empty[String, String]) {
+            case (m, (n, v)) =>
+              val k = n.toLowerCase
+              if (m.contains(k)) m else m.updated(k, v)
+          }
           HttpRecord(r.file_id, r.record_idx, r.warc_type, r.target_uri,
             r.offset, r.record_bytes, r.warc_date, r.record_id,
-            head.status.toLong, ct, mime, charset, payload, text)
+            head.status.toLong, ct, mime, charset, hmap, payload, text)
         }
       }
       .toDF()

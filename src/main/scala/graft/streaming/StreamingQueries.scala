@@ -919,6 +919,52 @@ object StreamingQueries {
       .orderBy(col("surt_key"))
   }
 
+  /** p179's HTTP split AT ingest — the q134 rule one layer up: a
+    * response record's status/mime/charset/text exist the moment its
+    * WARC file lands, because head parse, encoding undo, charset
+    * resolution, and the text projection are all per-record kernel
+    * work (scan-stage mapPartitions, zero state, append mode). This
+    * is the stage order a real ingest wants: header bytes never reach
+    * the extract chain, at stream time or batch time.
+    */
+  def httpSplitStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{octet_length, regexp_extract, size => fsize}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val isMiss = col("doc_id") % 31 === 0
+    val body = when(isMiss,
+      concat(lit("missing /p/"), col("doc_id").cast("string")))
+      .otherwise(graft.queries.PipelineQueries.htmlFixtureText)
+    val ct = when(isMiss, lit("text/plain; charset=utf-8"))
+      .otherwise(lit("text/html; charset=utf-8"))
+    val status = when(isMiss, lit("404 Not Found")).otherwise(lit("200 OK"))
+    val msg = concat(
+      lit("HTTP/1.1 "), status,
+      lit("\r\nServer: graft/0.1\r\nContent-Type: "), ct,
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body).cast("binary")
+    val dir = graft.sources.Sinks.tempArtifactDir("http_stream_in")
+    graft.queries.PipelineQueries.httpResponseWarcFrom(
+        docs.select(col("doc_id"), msg.as("msg")))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val recs = graft.sources.Warc.parseWarcBinary(
+        spark.readStream.schema(schema).parquet(dir),
+        col("file_id"), col("payload"))
+      .filter(col("warc_type") === "response" &&
+        col("content_type").startsWith("application/http"))
+    runToMemory(
+      graft.sources.Warc.splitHttp(recs)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status"), col("mime_type"), col("charset"),
+          when(col("http_status") === 200 &&
+              col("mime_type") === "text/html",
+            graft.functions.TextFunctions.htmlExtract(col("text")))
+            .otherwise(col("text")).as("text_out")),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** p170's CDX build AT ingest — a WARC file's index rows exist the
     * moment the file lands (surt key, digest, and byte extents derive
     * from the file alone, so the build is STATELESS: scan-stage parse

@@ -187,6 +187,15 @@ class HttpSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "text/plain")
     assert(out(0).getString(1) == "iso-8859-1")
     assert(out(0).getString(2) == "café nº 7")
+    // the header MAP: lowercased names, first value per name — the
+    // long-tail surface (Location, ETag, ...) WAT and the scheduler read
+    val hm = Warc.splitHttp(Warc.parseWarcBinary(warcs, col("file_id"),
+        col("payload")))
+      .orderBy(col("record_idx"))
+      .select(col("http_headers")).collect()(0)
+      .getAs[Map[String, String]](0)
+    assert(hm("content-type") == "text/plain; charset=iso-8859-1", hm)
+    assert(hm("content-length") == latin.length.toString, hm)
     assert(out(1).getString(0) == "image/png")
     assert(out(1).isNullAt(2), "binary payloads must not decode to text")
     assert(java.util.Arrays.equals(out(1).getAs[Array[Byte]](3), png),
