@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -310,6 +310,75 @@ object CrawlOps {
       .select(col("__x.url").as("canonical"), col("dst_family"),
         (col("__p") + 1).cast("long").as("pos"))
   }
+
+  /** Conditional-request plan from a stored-response frame — the
+    * recrawl economics every production crawler runs: a URL whose
+    * stored copy carried validators revalidates with
+    * `If-None-Match` (the ETag) / `If-Modified-Since` (the
+    * Last-Modified date) instead of refetching, and an unchanged page
+    * answers 304 with NO body — at 100 TB of recrawl traffic the
+    * bytes saved are most of the fetch bill. Input is a
+    * [[graft.sources.Warc.splitHttp]] frame (target_uri, warc_date,
+    * http_status, http_headers); only status-200 rows carry a stored
+    * representation worth revalidating (a stored 3xx/4xx has no body
+    * to save). Per URL the LATEST stored record wins — a packed
+    * max-struct election keyed on warc_date (ISO 8601, so the string
+    * order IS the time order; date ties break on the validator
+    * fields, deterministically), map-side combinable, never a window
+    * over the archive. Output, one row per URL:
+    * (target_uri, if_none_match, if_modified_since) — either
+    * validator null when the stored copy did not carry it; a URL
+    * with NEITHER validator drops from the plan (there is nothing to
+    * send — the fetcher falls back to an unconditional GET).
+    */
+  def conditionalRequests(responses: DataFrame): DataFrame =
+    responses.filter(col("http_status") === 200)
+      .select(col("target_uri"),
+        struct(col("warc_date").as("d"),
+          element_at(col("http_headers"), "etag").as("etag"),
+          element_at(col("http_headers"), "last-modified").as("lm"))
+          .as("s"))
+      .groupBy(col("target_uri"))
+      .agg(max(col("s")).as("s"))
+      .select(col("target_uri"),
+        col("s.etag").as("if_none_match"),
+        col("s.lm").as("if_modified_since"))
+      .filter(col("if_none_match").isNotNull ||
+        col("if_modified_since").isNotNull)
+
+  /** Soft-404 score — the 200-status error page every real crawl is
+    * full of (misconfigured servers answer "Page Not Found" with
+    * status 200, so the HTTP layer cannot catch it): phrase markers
+    * in the TITLE weigh 2 (a title that says "not found" is the
+    * page declaring itself), body markers weigh 1, and a body under
+    * `minTokens` tokens weighs 1 (error pages are near-empty) — all
+    * integer, all engine-portable (the p81 rule). The marker list is
+    * the standard public heuristic set; matching is lowercase
+    * substring, so the SQL dual is a LIKE chain. Flag at
+    * [[Soft404Threshold]] (>= 3): a marker title + either a marker
+    * body or a thin body — one weak signal alone never kills a page.
+    */
+  def soft404Score(title: Column, body: Column,
+                   minTokens: Int = 20): Column = {
+    def marker(c: Column): Column = {
+      val l = lower(coalesce(c, lit("")))
+      when(Soft404Markers.map(m => l.contains(lit(m)))
+        .reduce(_ || _), 1L).otherwise(0L)
+    }
+    marker(title) * 2 + marker(body) +
+      when(size(graft.functions.TextFunctions.tokens(coalesce(body,
+        lit("")))) < minTokens, 1L).otherwise(0L)
+  }
+
+  /** The phrase markers [[soft404Score]] matches (lowercase). Phrases,
+    * not bare tokens — "404" alone would fire on any document whose
+    * text mentions the number.
+    */
+  val Soft404Markers: Seq[String] = Seq(
+    "not found", "does not exist", "no longer available", "error 404")
+
+  /** [[soft404Score]]'s flag threshold. */
+  val Soft404Threshold: Long = 3L
 
   /** The finalize half of [[trapSignals]] over an ALREADY-distinct
     * (family, canonical, fingerprint) triple set — shared with the

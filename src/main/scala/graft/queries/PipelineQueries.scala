@@ -6214,7 +6214,200 @@ object PipelineQueries {
     }, Some("""
       SELECT d.doc_id, t.text AS body
       FROM documents d JOIN documents t ON t.doc_id = d.doc_id + 1
-      WHERE d.doc_id % 7 = 0 ORDER BY d.doc_id""")))
+      WHERE d.doc_id % 7 = 0 ORDER BY d.doc_id""")),
+
+    // Magic-byte MIME routing — real archives LIE in Content-Type
+    // (misconfigured servers label PNGs text/html and gzip blobs
+    // text/plain all over a real crawl), so extraction routes on the
+    // payload's FIRST BYTES ([[graft.functions.MimeSniff]], the
+    // WHATWG table), never on the declared header alone. The fixture
+    // plants six payload kinds — real HTML, prefixed plain text, REAL
+    // PNG bytes (the SyntheticImages codec), real gzip members, a
+    // %PDF- document, and an HTML page hidden behind
+    // application/octet-stream — with the declared header WRONG for
+    // four of the six; the extract gate fires on the sniffed type, so
+    // the octet-stream-declared page still yields its title and the
+    // text/html-declared PNG yields none. Oracle: kind arithmetic —
+    // one header-trusting route and the titles desync.
+    ("p188_mime_route", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kind = col("doc_id") % 6
+      val pngs = graft.multimodal.ImageCodec.SyntheticImages.pngFixture(
+          docs.filter(kind === 2), col("doc_id"))
+        .select(col("media_id").as("doc_id"), col("payload").as("png"))
+      val base = docs.join(pngs, Seq("doc_id"), "left")
+      val payload = when(kind === 0, cast_bin(htmlFixtureText))
+        .when(kind === 1, cast_bin(concat(lit("plain "), col("text"))))
+        .when(kind === 2, col("png"))
+        .when(kind === 3, graft.functions.GzipBytes(cast_bin(col("text"))))
+        .when(kind === 4, cast_bin(concat(lit("%PDF-1.4\n"), col("text"))))
+        .otherwise(cast_bin(concat(lit("\n  "), htmlFixtureText)))
+      val declared = when(kind === 3, lit("text/plain"))
+        .when(kind === 4, lit("application/pdf"))
+        .when(kind === 5, lit("application/octet-stream"))
+        .otherwise(lit("text/html"))
+      val msg = concat(cast_bin(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: "), declared,
+          lit("\r\nContent-Length: "),
+          octet_length(payload).cast("string"), lit("\r\n\r\n"))),
+        payload)
+      val warcs = httpResponseWarcFrom(base.select(col("doc_id"),
+        msg.as("msg")))
+      val split = graft.sources.Warc.splitHttp(
+        graft.sources.Warc.parseWarcBinary(warcs, col("file_id"),
+          col("payload")))
+      split.withColumn("sniffed_mime",
+          graft.functions.MimeSniff(col("payload")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("mime_type").as("declared_mime"), col("sniffed_mime"),
+          when(col("sniffed_mime") === "text/html",
+            TextFunctions.htmlTitle(coalesce(col("text"),
+              decode(col("payload"), "UTF-8")))).as("title"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 3 THEN 'text/plain' WHEN 4 THEN 'application/pdf'
+          WHEN 5 THEN 'application/octet-stream'
+          ELSE 'text/html' END AS declared_mime,
+        CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+          WHEN 2 THEN 'image/png' WHEN 3 THEN 'application/gzip'
+          WHEN 4 THEN 'application/pdf' ELSE 'text/html' END AS sniffed_mime,
+        CASE WHEN doc_id % 6 IN (0, 5)
+          THEN 'Doc ' || CAST(doc_id AS VARCHAR) END AS title
+      FROM documents ORDER BY doc_id""")),
+
+    // Conditional recrawl — the revalidation economics every
+    // production crawler runs on top of the HTTP layer: batch 1
+    // stores every page with an ETag validator; the scheduler derives
+    // the conditional-request plan from the STORED headers
+    // ([[graft.graph.CrawlOps.conditionalRequests]] — latest record
+    // per URL, If-None-Match from the header map); the server answers
+    // 304 Not Modified (no body bytes — the entire point at 100 TB of
+    // recrawl traffic) exactly when the plan's validator matches its
+    // current state (every 3rd doc unchanged), 200 with the new
+    // representation otherwise; and the current corpus view merges
+    // 304s back to their STORED copies. A plan that sends the wrong
+    // validator flips a fetch kind; a merge that loses the stored
+    // pointer loses the body — either breaks the oracle.
+    ("p189_conditional_recrawl", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val uriOf = concat(lit("https://www.src"),
+        (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val et1 = concat(lit("\"v"), col("doc_id").cast("string"), lit("\""))
+      val msg1 = cast_bin(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+          "\r\nETag: "), et1, lit("\r\nContent-Length: "),
+        octet_length(col("text")).cast("string"), lit("\r\n\r\n"),
+        col("text")))
+      // file-cardinality frames consumed twice (plan + stored merge):
+      // the p183 checkpoint rule
+      val warc1 = httpResponseWarcFrom(docs.select(col("doc_id"),
+        msg1.as("msg"))).localCheckpoint()
+      def splitOf(w: DataFrame) = graft.sources.Warc.splitHttp(
+        graft.sources.Warc.parseWarcBinary(w, col("file_id"),
+          col("payload")))
+      val split1 = splitOf(warc1)
+      val plan = graft.graph.CrawlOps.conditionalRequests(split1)
+      // server truth: every 3rd doc unchanged (same ETag), the rest
+      // re-rendered with a bumped validator
+      val unchanged = col("doc_id") % 3 === 0
+      val server = docs.select(col("doc_id"), uriOf.as("target_uri"),
+        when(unchanged, et1).otherwise(concat(lit("\"v"),
+          col("doc_id").cast("string"), lit(".2\""))).as("cur_etag"),
+        when(unchanged, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("cur_text"))
+      val fetched = plan.join(server, Seq("target_uri"))
+      val msg2 = when(col("if_none_match") === col("cur_etag"), cast_bin(
+          concat(lit("HTTP/1.1 304 Not Modified\r\nETag: "),
+            col("cur_etag"), lit("\r\nContent-Length: 0\r\n\r\n"))))
+        .otherwise(cast_bin(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+            "charset=utf-8\r\nETag: "), col("cur_etag"),
+          lit("\r\nContent-Length: "),
+          octet_length(col("cur_text")).cast("string"), lit("\r\n\r\n"),
+          col("cur_text"))))
+      val warc2 = httpResponseWarcFrom(
+        fetched.select(col("doc_id"), msg2.as("msg")), fileBase = 8L)
+      val split2 = splitOf(warc2)
+      val fresh = split2.filter(col("http_status") === 200)
+        .select(col("target_uri"), lit("fresh").as("fetch"),
+          col("text").as("body"))
+      val stored = split2.filter(col("http_status") === 304)
+        .select(col("target_uri"), lit("stored").as("fetch"))
+        .join(split1.select(col("target_uri"), col("text").as("body")),
+          Seq("target_uri"))
+      fresh.unionByName(stored)
+        .join(plan.select(col("target_uri"),
+          col("if_none_match").as("sent_if_none_match")),
+          Seq("target_uri"))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("fetch"), col("body"), col("sent_if_none_match"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'stored' ELSE 'fresh' END AS fetch,
+        CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS body,
+        '"v' || CAST(doc_id AS VARCHAR) || '"' AS sent_if_none_match
+      FROM documents ORDER BY doc_id""")),
+
+    // Soft-404 detection — the 200-status error page the HTTP layer
+    // cannot catch (misconfigured servers answer "Page Not Found"
+    // with status 200): integer phrase/thinness scoring
+    // ([[graft.graph.CrawlOps.soft404Score]] — title markers weigh 2,
+    // body markers 1, a sub-20-token body 1, flag at >= 3). Every
+    // 11th doc's page is a planted error page; the oracle recomputes
+    // the SCORE formula over the same reconstructed title/body text
+    // (LIKE chain + the token-count dual), so ordinary documents that
+    // happen to mention a marker phrase or run short stay agreed on
+    // both engines — formula duality, not fixture arithmetic alone.
+    ("p190_soft404", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isErr = col("doc_id") % 11 === 0
+      val page = when(isErr,
+          lit("<html><head><title>404 Page Not Found</title></head>" +
+            "<body><p>The page you requested does not exist.</p>" +
+            "</body></html>"))
+        .otherwise(htmlFixtureText)
+      docs.select(col("doc_id"),
+          TextFunctions.htmlTitle(page).as("title"),
+          TextFunctions.htmlExtract(page).as("body"))
+        .select(col("doc_id"),
+          graft.graph.CrawlOps.soft404Score(col("title"), col("body"))
+            .as("score"))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= graft.graph.CrawlOps.Soft404Threshold)
+            .as("soft404"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH pages AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN '404 Page Not Found'
+               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+          CASE WHEN doc_id % 11 = 0
+               THEN 'The page you requested does not exist.'
+               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                 || ' Compare A & B <quoted> it''s fine more' END AS body
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          CAST(CASE WHEN lower(title) LIKE '%not found%'
+                 OR lower(title) LIKE '%does not exist%'
+                 OR lower(title) LIKE '%no longer available%'
+                 OR lower(title) LIKE '%error 404%' THEN 2 ELSE 0 END
+            + CASE WHEN lower(body) LIKE '%not found%'
+                 OR lower(body) LIKE '%does not exist%'
+                 OR lower(body) LIKE '%no longer available%'
+                 OR lower(body) LIKE '%error 404%' THEN 1 ELSE 0 END
+            + CASE WHEN len(${sqlToks("body")}) < 20
+                 THEN 1 ELSE 0 END AS BIGINT) AS score
+        FROM pages)
+      SELECT doc_id, score, score >= 3 AS soft404
+      FROM scored ORDER BY doc_id""")))
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE
@@ -6295,16 +6488,21 @@ object PipelineQueries {
     * in file doc_id % 8, with the p167 uri/date/urn arithmetic so the
     * oracles anchor to doc_id alone.
     */
-  private[graft] def httpResponseWarcFrom(msgs: DataFrame): DataFrame = {
+  private[graft] def httpResponseWarcFrom(msgs: DataFrame,
+                                          fileBase: Long = 0L): DataFrame = {
     val uri = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"),
       col("doc_id").cast("string"))
+    // fetch batch k (fileBase/8) lands one day later, in files 8k..8k+7,
+    // with batch-unique record ids — the warcFixtureFrom refetch rule
     val date = date_format(timestamp_seconds(
-      lit(1767225600L) + col("doc_id")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        lit(1767225600L) + col("doc_id") + lit(fileBase / 8 * 86400L)),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
     val rid = concat(lit("<urn:graft:"), col("doc_id").cast("string"),
-      lit(":0>"))
+      lit(":"), lit(fileBase / 8).cast("string"), lit(">"))
     graft.sources.Warc.writeWarcBin(
-      msgs.select((col("doc_id") % 8).as("f"), col("doc_id").as("i"),
+      msgs.select((col("doc_id") % 8 + fileBase).as("f"),
+        col("doc_id").as("i"),
         uri.as("u"), col("msg"), date.as("dt"), rid.as("rid")),
       col("f"), col("i"), lit("response"), col("u"), col("msg"),
       col("dt"), lit("application/http; msgtype=response"), col("rid"))

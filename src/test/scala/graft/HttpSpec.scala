@@ -240,4 +240,96 @@ class HttpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("more than 3 distinct files"),
       e.getMessage)
   }
+
+  test("MimeSniff: the signature table routes on first bytes") {
+    import graft.functions.MimeSniffUtil.sniff
+    def s(b: Array[Byte]) = sniff(b).toString
+    assert(s(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00)
+      .map(_.toByte)) == "image/png")
+    assert(s(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)) == "image/jpeg")
+    assert(s(msg("GIF89a.....")) == "image/gif")
+    assert(s(msg("GIF87a.....")) == "image/gif")
+    assert(s(msg("BM......")) == "image/bmp")
+    assert(s(msg("RIFF1234WEBP")) == "image/webp")
+    assert(s(msg("RIFF1234WAVE")) == "audio/wav")
+    assert(s(graft.functions.GzipBytes.gzip(msg("x"))) == "application/gzip")
+    assert(s(msg("PK") ++ Array[Byte](0x03, 0x04) ++ msg("rest"))
+      == "application/zip")
+    assert(s(msg("%PDF-1.7\n")) == "application/pdf")
+    assert(s(msg("<?xml version=\"1.0\"?>")) == "text/xml")
+    // a REAL encoded PNG, not just the magic
+    val codec = new graft.multimodal.ImageCodec.Codec
+    assert(s(codec.encodeGrayPng(4, 4, _ % 256)) == "image/png")
+  }
+
+  test("MimeSniff: HTML tag prescan — whitespace-tolerant, case-insensitive, terminator-checked") {
+    import graft.functions.MimeSniffUtil.sniff
+    def s(b: Array[Byte]) = sniff(b).toString
+    assert(s(msg("<html><head>")) == "text/html")
+    assert(s(msg("\n  \t<!DOCTYPE HTML PUBLIC>")) == "text/html")
+    assert(s(msg("<HtMl lang=\"en\">")) == "text/html")
+    assert(s(msg("<!-- comment first -->")) == "text/html")
+    assert(s(msg("<p>para</p>")) == "text/html")
+    // an unterminated tag name is NOT html
+    assert(s(msg("<htmlfoo>")) == "text/plain")
+    assert(s(msg("a < b and c > d")) == "text/plain")
+  }
+
+  test("MimeSniff: binary-byte fallback, BOM text, null passthrough") {
+    import graft.functions.MimeSniffUtil.sniff
+    assert(sniff(msg("just ordinary text\nwith lines")).toString
+      == "text/plain")
+    assert(sniff(Array[Byte](0x41, 0x00, 0x42)).toString
+      == "application/octet-stream")
+    assert(sniff(Array(0xef, 0xbb, 0xbf, 0x00).map(_.toByte)).toString
+      == "text/plain") // BOM wins over the binary byte behind it
+    assert(sniff(Array.empty[Byte]).toString == "text/plain")
+    val rows = Seq(Some("<html>x"), None).toDF("s")
+      .select(graft.functions.MimeSniff(encode(col("s"), "UTF-8"))
+        .as("m")).collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "text/html"))
+    assert(rows.exists(_.isNullAt(0)))
+  }
+
+  test("conditionalRequests: latest-record election, non-200 and validator-less rows drop") {
+    import graft.graph.CrawlOps
+    val stored = Seq(
+      // u1: two stored copies — the LATER etag must win
+      ("u1", "2026-01-01T00:00:00Z", 200L, Map("etag" -> "\"a\"")),
+      ("u1", "2026-01-02T00:00:00Z", 200L,
+        Map("etag" -> "\"b\"", "last-modified" -> "lm-b")),
+      // u2: stored copy is a 404 — nothing to revalidate
+      ("u2", "2026-01-01T00:00:00Z", 404L, Map("etag" -> "\"c\"")),
+      // u3: a 200 with NO validators — drops from the plan
+      ("u3", "2026-01-01T00:00:00Z", 200L, Map("server" -> "x")),
+      // u4: last-modified only
+      ("u4", "2026-01-01T00:00:00Z", 200L, Map("last-modified" -> "lm-d")))
+      .toDF("target_uri", "warc_date", "http_status", "http_headers")
+    val plan = CrawlOps.conditionalRequests(stored)
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(plan == Set(
+      ("u1", Some("\"b\""), Some("lm-b")),
+      ("u4", None, Some("lm-d"))))
+  }
+
+  test("soft404Score: integer weights and the >=3 flag boundary") {
+    import graft.graph.CrawlOps
+    val long = ("w " * 25).trim
+    val df = Seq(
+      ("404 Page Not Found", "The page does not exist."), // 2+1+1 = 4
+      ("404 Page Not Found", long),                       // 2+0+0 = 2
+      ("Doc 7", "this article was not found here " + long), // 0+1+0 = 1
+      ("Doc 7", "tiny"),                                  // 0+0+1 = 1
+      ("Gone", "it is no longer available"),              // 0+1+1 = 2
+      ("Error 404", "tiny"))                              // 2+0+1 = 3
+      .toDF("title", "body")
+    val got = df.select(CrawlOps.soft404Score(col("title"), col("body"))
+        .as("s"),
+      (CrawlOps.soft404Score(col("title"), col("body"))
+        >= CrawlOps.Soft404Threshold).as("f"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((4L, true), (2L, false), (1L, false), (1L, false),
+      (2L, false), (3L, true)))
+  }
 }
