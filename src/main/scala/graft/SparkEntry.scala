@@ -288,6 +288,9 @@ object SparkEntry {
     ("q140_streaming_http",
       (s, d) => graft.streaming.StreamingQueries.httpSplitStream(s, d),
       Some(sharedOracle("p179_http_split"))),
+    ("q141_streaming_unigram",
+      (s, d) => graft.streaming.StreamingQueries.unigramEncodeStream(s, d),
+      Some(sharedOracle("p191_unigram_viterbi"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -425,5 +428,10 @@ object SparkEntry {
     // real response record costs), and the CDX LSM lifecycle (two
     // affected-shard compactions + the pruned two-level serve — the
     // index-maintenance cost story)
-    "p179_http_split", "p183_cdx_compact")
+    "p179_http_split", "p183_cdx_compact",
+    // round-10 continued: magic-byte routing over mixed payloads (the
+    // sniff kernel + splitHttp in one scan chain) and unigram-LM
+    // training + Viterbi serving on the corpus (seed → EM → encode —
+    // the tokenizer-training cost class beside p58's BPE)
+    "p188_mime_route", "p193_unigram_train")
 }

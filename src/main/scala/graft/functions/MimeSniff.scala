@@ -118,14 +118,11 @@ object MimeSniffUtil {
           if (c != tag.charAt(i)) ok = false
           i += 1
         }
-        if (ok) {
-          // a comment signature is complete in itself; tags need the
-          // space-or-'>' terminator
-          if (tag == "<!--") return true
-          if (b.length > at + tag.length) {
-            val nxt = b(at + tag.length)
-            if (nxt == ' '.toByte || nxt == '>'.toByte) return true
-          }
+        if (ok && b.length > at + tag.length) {
+          // every signature, the comment included, needs the WHATWG
+          // tag-terminating byte (space or '>')
+          val nxt = b(at + tag.length)
+          if (nxt == ' '.toByte || nxt == '>'.toByte) return true
         }
       }
       t += 1

@@ -6407,7 +6407,172 @@ object PipelineQueries {
                  THEN 1 ELSE 0 END AS BIGINT) AS score
         FROM pages)
       SELECT doc_id, score, score >= 3 AS soft404
-      FROM scored ORDER BY doc_id""")))
+      FROM scored ORDER BY doc_id""")),
+
+    // Unigram-LM (SentencePiece-family) SERVING — Viterbi over the
+    // segmentation lattice with integer micro-nat scores
+    // ([[graft.functions.UnigramEncode]]): the fixture vocabulary
+    // plants TRAP pieces ('ba', 'aba') that a greedy-longest or
+    // buggy DP would take, on words ab^k a^m whose unique optimum is
+    // k×'ab' + m×'a' (every alternative is strictly worse under the
+    // planted scores — 12 distinct words, exhaustively covered at any
+    // SF). n_pieces and score_micro derive from the SEGMENTATION
+    // itself (explode + inner join to the score table — a piece
+    // outside the vocabulary loses rows), never from the kernel's
+    // internal DP value; the oracle reconstructs all three columns
+    // from the k/m arithmetic. Vocabulary constants are shared
+    // verbatim with the oracle (the ByteAlphabet rule).
+    ("p191_unigram_viterbi",
+      (s, d) => unigramViterbiBody(s, d, unigramTrapVocab),
+      Some(unigramViterbiOracle)),
+
+    // Unigram-LM TRAINING's E-step, oracle-gated in closed form: on
+    // words (ab)^k with vocabulary {a, b, ab} every segmentation
+    // chooses [ab] or [a,b] independently per block (no piece can
+    // cross a block boundary), so the lattice posterior is exactly
+    //   P(block = [ab]) = p_ab / (p_ab + p_a·p_b)
+    // and the expected counts are k·q for 'ab' and k·(1-q) for each
+    // single — the forward–backward kernel
+    // ([[graft.text.UnigramLm.docExpectedCounts]]) must reproduce the
+    // analytic lattice sum to 1e-6, which is what makes the full EM
+    // trainer's E-step a gated component, not a trusted one.
+    ("p192_unigram_estep", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probs = Seq(("a", 0.2), ("b", 0.25), ("ab", 0.4))
+      val k = (col("doc_id") % 4 + 1).cast("int")
+      val words = docs.select(col("doc_id"),
+        repeat(lit("ab"), k).as("w"))
+      graft.text.UnigramLm.docExpectedCounts(words, col("doc_id"),
+          col("w"), probs)
+        .select(col("id").as("doc_id"), col("piece"),
+          round(col("e_count"), 6).as("e_count"))
+        .orderBy(col("doc_id"), col("piece"))
+    }, Some("""
+      WITH kk AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS DOUBLE) AS k
+                  FROM documents),
+      p(piece, per_block) AS (VALUES
+        ('a', (0.2 * 0.25) / (0.4 + 0.2 * 0.25)),
+        ('ab', 0.4 / (0.4 + 0.2 * 0.25)),
+        ('b', (0.2 * 0.25) / (0.4 + 0.2 * 0.25)))
+      SELECT doc_id, piece, round(k * per_block, 6) AS e_count
+      FROM kk CROSS JOIN p ORDER BY doc_id, piece""")),
+
+    // Full unigram-LM training on the corpus (seed → EM → prune,
+    // [[graft.text.UnigramLm.unigramTrain]]) then serving with the
+    // trained vocabulary: the oracle-gated property is TOTAL COVERAGE
+    // — every document's segmentation reassembles to exactly its
+    // token stream (replace the separators, compare to the
+    // whitespace-joined tokens), so a piece boundary that drops,
+    // duplicates, or reorders one character anywhere in the corpus is
+    // a red row. The EM internals (likelihood monotonicity, prune
+    // semantics, vocab bounds) are spec-pinned; the E-step itself is
+    // p192's closed-form gate.
+    ("p193_unigram_train", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (vocab, _) = graft.text.UnigramLm.unigramTrain(docs, col("text"),
+        vocabTarget = 400, seedMaxLen = 4, seedSize = 1500, iters = 2)
+      val pieces = graft.text.UnigramLm.toMicro(vocab)
+      docs.select(col("doc_id"),
+          graft.functions.UnigramEncode(col("text"), pieces).as("seg"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          (regexp_replace(col("seg"), "\\|", "") ===
+            array_join(col("toks"), "")).as("ok"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BOOLEAN) AS ok
+      FROM documents ORDER BY doc_id""")),
+
+    // Denylist / phrase-watchlist scan — Aho–Corasick multi-pattern
+    // counting ([[graft.functions.MultiMatchCounts]]): ONE text pass
+    // for the whole phrase list where regexp-alternation and
+    // per-phrase replace are O(phrases × text) per row — at 100 TB
+    // with a 10k-phrase denylist that factor IS the job. The phrase
+    // list draws from the corpus vocabulary (real nonzero counts,
+    // including two-word phrases the tokenizer would split) and every
+    // phrase is border-free (no proper prefix = suffix), so the
+    // all-occurrences automaton count equals the non-overlapping
+    // count the oracle recomputes with replace() arithmetic — formula
+    // duality across two completely different algorithms.
+    ("p194_denylist_scan", (s, d) => {
+      val phrases = Seq("big table", "customer", "hash join", "merge",
+        "scan", "slow fast", "spark")
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          graft.functions.MultiMatchCounts(col("text"), phrases).as("cnts"))
+        .select(col("doc_id"),
+          posexplode(col("cnts")).as(Seq("__p", "n")))
+        .select(col("doc_id"),
+          element_at(array(phrases.map(lit): _*), col("__p") + 1)
+            .as("phrase"),
+          col("n"))
+        .orderBy(col("doc_id"), col("phrase"))
+    }, Some("""
+      SELECT doc_id, phrase,
+        CAST((length(text) - length(replace(text, phrase, '')))
+          // length(phrase) AS BIGINT) AS n
+      FROM documents CROSS JOIN (VALUES ('big table'), ('customer'),
+        ('hash join'), ('merge'), ('scan'), ('slow fast'), ('spark'))
+        AS p(phrase)
+      ORDER BY doc_id, phrase""")),
+
+    // The unigram MODEL lifecycle — train rarely, encode forever
+    // (p77's story for the lattice tokenizer): the (piece,
+    // score_micro) artifact persists, a separate serving job loads it
+    // back and segments. Shares p191's FULLY generative oracle, so
+    // one score corrupted in the save→load hop flips a segmentation
+    // and breaks the hash — artifact fidelity gated end to end, never
+    // against the in-memory table that wrote it.
+    ("p195_unigram_model_serve", (s, d) => {
+      val dir = graft.sources.Sinks.tempArtifactDir("unigram_model")
+      graft.text.UnigramLm.saveUnigramModel(s, unigramTrapVocab, dir)
+      unigramViterbiBody(s, d, graft.text.UnigramLm.loadUnigramModel(s, dir))
+    }, Some(unigramViterbiOracle)))
+
+  /** p191/p195's trap vocabulary — constants shared verbatim with
+    * [[unigramViterbiOracle]] (the ByteAlphabet rule): 'ba'/'aba' are
+    * the pieces a greedy-longest segmenter would take; the planted
+    * scores make k×'ab' + m×'a' the unique optimum on every fixture
+    * word.
+    */
+  private[graft] val unigramTrapVocab: Seq[(String, Long)] = Seq(
+    ("a", -2000000L), ("b", -2100000L), ("ab", -1500000L),
+    ("ba", -1600000L), ("aba", -3900000L))
+
+  /** The Viterbi serving body p191 and p195 share: segment the
+    * ab^k a^m fixture words, then derive n_pieces/score_micro from
+    * the SEGMENTATION via an inner join to the score table (a piece
+    * outside the vocabulary loses rows) — never from the kernel's
+    * internal DP value.
+    */
+  private def unigramViterbiBody(s: SparkSession, d: String,
+                                 vocab: Seq[(String, Long)]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val k = (col("doc_id") % 4 + 1).cast("int")
+    val m = (col("doc_id") % 3).cast("int")
+    val words = docs.select(col("doc_id"),
+      concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w"))
+    val seg = words.select(col("doc_id"),
+      graft.functions.UnigramEncode(col("w"), vocab).as("seg"))
+    import s.implicits._
+    val scoreDf = vocab.toDF("piece", "piece_score")
+    seg.select(col("doc_id"), col("seg"),
+        explode(split(col("seg"), "\\|")).as("piece"))
+      .join(broadcast(scoreDf), Seq("piece"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("piece_score")).as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] val unigramViterbiOracle: String = """
+      SELECT doc_id,
+        rtrim(repeat('ab|', k) || repeat('a|', m), '|') AS seg,
+        CAST(k + m AS BIGINT) AS n_pieces,
+        CAST(-(1500000 * k + 2000000 * m) AS BIGINT) AS score_micro
+      FROM (SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 3 AS m
+            FROM documents)
+      ORDER BY doc_id"""
 
   /** Oracle-side twin of [[warcFixtureFrom]] PLUS the byte-extent
     * arithmetic of [[graft.sources.Warc.writeWarc]]'s rendering: CTE

@@ -965,6 +965,41 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p191's unigram-LM serving AT ingest — tokenizer inference is
+    * per-row kernel work (the vocabulary rides the expression, the
+    * Viterbi walk is scan-stage), so a document's segmentation exists
+    * the moment its file lands: zero state, append mode, the q134
+    * rule. n_pieces/score_micro derive from the SEGMENTATION via a
+    * literal score map (scan-stage array fold — the batch twin's
+    * score join, re-expressed without an aggregation so the stream
+    * stays stateless); a piece outside the vocabulary nulls the score
+    * and desyncs the oracle.
+    */
+  def unigramEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => fAggregate, size => fSize}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val vocab = graft.queries.PipelineQueries.unigramTrapVocab
+    val k = (col("doc_id") % 4 + 1).cast("int")
+    val m = (col("doc_id") % 3).cast("int")
+    val dir = graft.sources.Sinks.tempArtifactDir("unigram_stream_in")
+    docs.select(col("doc_id"),
+        concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val scoreMap = map(vocab.flatMap { case (p, s) =>
+      Seq(lit(p), lit(s)) }: _*)
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .select(col("doc_id"),
+          graft.functions.UnigramEncode(col("w"), vocab).as("seg"))
+        .select(col("doc_id"), col("seg"),
+          fSize(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
+          fAggregate(split(col("seg"), "\\|"), lit(0L),
+            (acc, p) => acc + element_at(scoreMap, p)).as("score_micro")),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** p170's CDX build AT ingest — a WARC file's index rows exist the
     * moment the file lands (surt key, digest, and byte extents derive
     * from the file alone, so the build is STATELESS: scan-stage parse

@@ -61,6 +61,9 @@ import org.apache.spark.sql.SparkSession
   *    p45's accepted shape) + SortAggregate (cdxClusterIndex's
   *    min(first_key) string election over shard-count groups, q20's
   *    bounded shape).
+  *  - p189 SortAggregate: conditionalRequests' latest-stored-record
+  *    election is a max(struct) carrying the validator payload —
+  *    q20's accepted shape, one row per URL per partition.
   *  - round-10: p183 runs p174's serve shapes (assignShards' one-row
   *    broadcast cross join; cdxClusterIndex's min(first_key)
   *    SortAggregate) inside compactCdxShards and the serve — accepted

@@ -517,4 +517,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out("s1") == Seq(2L, 1L, 2L))
     assert(out("s2") == Seq(0L, 1L, 0L))
   }
+
+  test("MultiMatchCounts: the classic Aho-Corasick overlap case reports every hit") {
+    import graft.functions.MultiMatchCounts
+    val phrases = Seq("he", "she", "hers", "his")
+    val rows = Seq(Some("ushers and his herds, she said"), Some(""), None)
+      .toDF("t")
+      .select(col("t"), MultiMatchCounts(col("t"), phrases).as("c"))
+      .collect()
+    val full = rows.find(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
+      .get.getSeq[Long](1)
+    // "ushers": she, he, hers; "his": his; "herds": he; "she": she, he
+    assert(full == Seq(3L, 2L, 1L, 1L),
+      s"got $full for ${phrases.mkString(",")}")
+    assert(rows.find(r => !r.isNullAt(0) && r.getString(0).isEmpty)
+      .get.getSeq[Long](1) == Seq(0L, 0L, 0L, 0L))
+    assert(rows.exists(_.isNullAt(1)))
+  }
+
+  test("MultiMatchCounts: overlapping occurrences of a bordered phrase all count") {
+    import graft.functions.MultiMatchCounts
+    // "aba" in "ababa" occurs at 0 and 2 (overlapping) — the automaton
+    // reports both; replace()-arithmetic would see one, which is why
+    // oracle-gated uses pick border-free phrases
+    val c = Seq("ababa").toDF("t")
+      .select(MultiMatchCounts(col("t"), Seq("aba")).as("c"))
+      .collect()(0).getSeq[Long](0)
+    assert(c == Seq(2L))
+  }
+
+  test("MultiMatchCounts: phrase-list contracts are loud") {
+    import graft.functions.MultiMatchCounts
+    intercept[IllegalArgumentException](
+      MultiMatchCounts(col("t"), Seq.empty))
+    intercept[IllegalArgumentException](
+      MultiMatchCounts(col("t"), Seq("a", "")))
+    intercept[IllegalArgumentException](
+      MultiMatchCounts(col("t"), Seq("a", "a")))
+  }
 }
