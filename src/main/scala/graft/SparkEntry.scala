@@ -291,6 +291,9 @@ object SparkEntry {
     ("q141_streaming_unigram",
       (s, d) => graft.streaming.StreamingQueries.unigramEncodeStream(s, d),
       Some(sharedOracle("p191_unigram_viterbi"))),
+    ("q142_streaming_wordpiece",
+      (s, d) => graft.streaming.StreamingQueries.wordPieceEncodeStream(s, d),
+      Some(sharedOracle("p196_wordpiece_encode"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -6527,7 +6527,111 @@ object PipelineQueries {
       val dir = graft.sources.Sinks.tempArtifactDir("unigram_model")
       graft.text.UnigramLm.saveUnigramModel(s, unigramTrapVocab, dir)
       unigramViterbiBody(s, d, graft.text.UnigramLm.loadUnigramModel(s, dir))
-    }, Some(unigramViterbiOracle)))
+    }, Some(unigramViterbiOracle)),
+
+    // WordPiece SERVING — greedy longest-match-first with `##`
+    // continuations ([[graft.functions.WordPieceEncode]], the
+    // tokenizer family's fourth member). The fixture pins BOTH
+    // defining behaviors: on (ab)^k a^m the greedy walk must emit
+    // ab ##ab^{k-1} ##a^m (taking '##ab' where a finer '##a','##b'
+    // split exists — longest-match, not finest), and on 'abc' greedy
+    // dead-ends ('ab' consumes, no '##c' exists) so the WHOLE word is
+    // one [UNK] even though the segmentation a ##bc EXISTS — the
+    // all-or-nothing rule that distinguishes greedy WordPiece from
+    // the unigram Viterbi lattice, which would find it. n_pieces
+    // derives from the segmentation itself; the oracle reconstructs
+    // everything from k/m arithmetic. Vocabulary constants shared
+    // verbatim with the oracle (the ByteAlphabet rule).
+    ("p196_wordpiece_encode",
+      (s, d) => wordPieceEncodeBody(s, d, wordPieceTrapVocab),
+      Some(wordPieceEncodeOracle)),
+
+    // WordPiece TRAINING's merge criterion, oracle-gated in closed
+    // form: the first-iteration score table over the seed state —
+    // score(l, r) = count(l,r) / (count(l)·count(r)), the
+    // LM-likelihood surrogate that is WordPiece's defining contrast
+    // with BPE's raw pair frequency. Seed symbols (first code point
+    // bare, later ones ##-prefixed), pair counts, symbol counts, and
+    // the 9-decimal score all recompute independently in SQL off the
+    // same (word, freq) reduction — formula duality for the election
+    // rule itself; WordPieceSpec pins a corpus where likelihood and
+    // frequency elect DIFFERENT merges.
+    ("p197_wordpiece_scores", (s, d) => {
+      graft.text.WordPiece.pairScores(Tables.documents(s, d), col("text"))
+        .orderBy(col("pair_left"), col("pair_right"))
+    }, Some(s"""
+      WITH words AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
+        GROUP BY 1),
+      symcnt AS (
+        SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                    ELSE '##' || substr(word, i, 1) END AS sym,
+               sum(freq) AS cnt
+        FROM (SELECT word, freq,
+                unnest(generate_series(1, length(word))) AS i
+              FROM words)
+        GROUP BY 1),
+      pairs AS (
+        SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                    ELSE '##' || substr(word, i, 1) END AS pair_left,
+               '##' || substr(word, i + 1, 1) AS pair_right,
+               sum(freq) AS pair_cnt
+        FROM (SELECT word, freq,
+                unnest(generate_series(1, length(word) - 1)) AS i
+              FROM words WHERE length(word) >= 2)
+        GROUP BY 1, 2)
+      SELECT p.pair_left, p.pair_right,
+             CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+             CAST(l.cnt AS BIGINT) AS cnt_left,
+             CAST(r.cnt AS BIGINT) AS cnt_right,
+             round(CAST(p.pair_cnt AS DOUBLE) / (l.cnt * r.cnt), 9)
+               AS score_r9
+      FROM pairs p
+      JOIN symcnt l ON l.sym = p.pair_left
+      JOIN symcnt r ON r.sym = p.pair_right
+      ORDER BY pair_left, pair_right""")),
+
+    // Full WordPiece training on the corpus (likelihood merges,
+    // [[graft.text.WordPiece.wordPieceTrain]]) then greedy serving
+    // with the trained vocabulary: the oracle-gated property is TOTAL
+    // COVERAGE — every document's segmentation reassembles to exactly
+    // its token stream (strip each piece boundary's separator plus
+    // the injected ## prefix, compare to the whitespace-joined
+    // tokens; the corpus is #-free, so the strip is unambiguous), so
+    // a greedy dead-end ([UNK] anywhere on training data — the seed
+    // alphabet makes that impossible by construction) or a merge that
+    // corrupts one boundary is a red row. The election rule is p197's
+    // closed-form gate; merge-state internals are WordPieceSpec's.
+    ("p198_wordpiece_train", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.WordPiece.wordPieceTrain(docs, col("text"),
+        numMerges = 150)
+      val vocab = graft.text.WordPiece.trainedVocab(docs, col("text"), merges)
+      docs.select(col("doc_id"),
+          graft.functions.WordPieceEncode(col("text"), vocab).as("seg"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          (regexp_replace(col("seg"), "\\|(##)?", "") ===
+            array_join(col("toks"), "")).as("ok"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(1 AS BOOLEAN) AS ok
+      FROM documents ORDER BY doc_id""")),
+
+    // The WordPiece MODEL lifecycle — train rarely, encode forever
+    // (p195's story for the greedy tokenizer): the piece-vocabulary
+    // artifact persists, a separate serving job loads it back and
+    // segments. Shares p196's fully generative oracle, so one piece
+    // dropped or corrupted in the save→load hop flips a greedy match
+    // (or turns a word [UNK]) and breaks the hash — artifact fidelity
+    // gated end to end.
+    ("p199_wordpiece_model_serve", (s, d) => {
+      val dir = graft.sources.Sinks.tempArtifactDir("wordpiece_model")
+      graft.text.WordPiece.saveWordPieceModel(s, wordPieceTrapVocab, dir)
+      wordPieceEncodeBody(s, d,
+        graft.text.WordPiece.loadWordPieceModel(s, dir))
+    }, Some(wordPieceEncodeOracle)))
 
   /** p191/p195's trap vocabulary — constants shared verbatim with
     * [[unigramViterbiOracle]] (the ByteAlphabet rule): 'ba'/'aba' are
@@ -6570,6 +6674,49 @@ object PipelineQueries {
         rtrim(repeat('ab|', k) || repeat('a|', m), '|') AS seg,
         CAST(k + m AS BIGINT) AS n_pieces,
         CAST(-(1500000 * k + 2000000 * m) AS BIGINT) AS score_micro
+      FROM (SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 3 AS m
+            FROM documents)
+      ORDER BY doc_id"""
+
+  /** p196/p199's trap vocabulary — constants shared verbatim with
+    * [[wordPieceEncodeOracle]] (the ByteAlphabet rule): '##b' is
+    * deliberately ABSENT, so on (ab)^k a^m only the longest-match
+    * path ('##ab' jumps) segments at all — an encoder that matched
+    * short-first would dead-end at every interior 'b'; and '##bc'
+    * without '##c' is the greedy dead-end — 'abc' has the
+    * segmentation a ##bc, but greedy consumes 'ab' first and strands
+    * 'c', so the whole word is [UNK].
+    */
+  private[graft] val wordPieceTrapVocab: Seq[String] =
+    Seq("a", "ab", "##a", "##ab", "##bc")
+
+  /** The greedy serving body p196, p199, and q142 share: segment the
+    * (ab)^k a^m fixture words plus the constant dead-end word 'abc';
+    * n_pieces derives from the SEGMENTATION (split + size), never
+    * from kernel internals.
+    */
+  private[graft] def wordPieceEncodeBody(s: SparkSession, d: String,
+                                         vocab: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val k = (col("doc_id") % 4 + 1).cast("int")
+    val m = (col("doc_id") % 3).cast("int")
+    docs.select(col("doc_id"),
+        concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w1"),
+        lit("abc").as("w2"))
+      .select(col("doc_id"),
+        graft.functions.WordPieceEncode(col("w1"), vocab).as("seg"),
+        graft.functions.WordPieceEncode(col("w2"), vocab).as("seg2"))
+      .select(col("doc_id"), col("seg"),
+        size(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
+        col("seg2"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] val wordPieceEncodeOracle: String = """
+      SELECT doc_id,
+        'ab' || repeat('|##ab', k - 1) || repeat('|##a', m) AS seg,
+        CAST(k + m AS BIGINT) AS n_pieces,
+        '[UNK]' AS seg2
       FROM (SELECT doc_id, doc_id % 4 + 1 AS k, doc_id % 3 AS m
             FROM documents)
       ORDER BY doc_id"""

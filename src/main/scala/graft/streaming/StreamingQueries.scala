@@ -1000,6 +1000,39 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p196's WordPiece serving AT ingest — greedy longest-match is
+    * per-row kernel work (the vocabulary rides the expression), so a
+    * document's segmentation exists the moment its file lands: zero
+    * state, append mode, the q134 rule. n_pieces derives from the
+    * segmentation scan-stage (split + size — no aggregation, the
+    * stream stays stateless); the dead-end word's [UNK] rides the
+    * same row, so a streaming-side greedy divergence desyncs the
+    * shared oracle.
+    */
+  def wordPieceEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{size => fSize}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val vocab = graft.queries.PipelineQueries.wordPieceTrapVocab
+    val k = (col("doc_id") % 4 + 1).cast("int")
+    val m = (col("doc_id") % 3).cast("int")
+    val dir = graft.sources.Sinks.tempArtifactDir("wordpiece_stream_in")
+    docs.select(col("doc_id"),
+        concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w1"),
+        lit("abc").as("w2"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .select(col("doc_id"),
+          graft.functions.WordPieceEncode(col("w1"), vocab).as("seg"),
+          graft.functions.WordPieceEncode(col("w2"), vocab).as("seg2"))
+        .select(col("doc_id"), col("seg"),
+          fSize(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
+          col("seg2")),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** p170's CDX build AT ingest — a WARC file's index rows exist the
     * moment the file lands (surt key, digest, and byte extents derive
     * from the file alone, so the build is STATELESS: scan-stage parse
