@@ -294,6 +294,9 @@ object SparkEntry {
     ("q142_streaming_wordpiece",
       (s, d) => graft.streaming.StreamingQueries.wordPieceEncodeStream(s, d),
       Some(sharedOracle("p196_wordpiece_encode"))),
+    ("q143_streaming_kn",
+      (s, d) => graft.streaming.StreamingQueries.kneserNeyScoring(s, d),
+      Some(sharedOracle("p201_kn_perplexity"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -6631,7 +6631,78 @@ object PipelineQueries {
       graft.text.WordPiece.saveWordPieceModel(s, wordPieceTrapVocab, dir)
       wordPieceEncodeBody(s, d,
         graft.text.WordPiece.loadWordPieceModel(s, dir))
-    }, Some(wordPieceEncodeOracle)))
+    }, Some(wordPieceEncodeOracle)),
+
+    // Interpolated Kneser–Ney bigram model rendered AS DATA — the
+    // smoothing a production perplexity filter ships (CCNet-family),
+    // gated term by term: bigram count, context total, distinct
+    // continuations per context, per-word continuation count, and the
+    // 9-decimal interpolated probability
+    //   max(c12−D,0)/ctx + D·N1+(w1·)/ctx · N1+(·w2)/N1+(··)
+    // all recomputed independently in SQL off the same token stream.
+    // The continuation counts (bigram TYPES, not tokens) are the
+    // KN-defining terms — an implementation that counted tokens would
+    // agree on c12/ctx and red-row on n1p/p_r9. CorpusOpsSpec pins
+    // that per-context probabilities sum to 1 over the vocabulary.
+    ("p200_kn_bigram_probs", (s, d) => {
+      graft.text.CorpusOps.knBigramProbs(graft.text.CorpusOps.kneserNeyLm(
+          Tables.documents(s, d), col("doc_id"), col("text")))
+        .orderBy(col("w1"), col("w2"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx_total,
+                count(*) AS n1p_left FROM c12 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1p_right FROM c12 GROUP BY 1),
+      v AS (SELECT count(*) AS n_types FROM c12)
+      SELECT w1, w2, c12, ctx_total, n1p_left, n1p_right,
+        round(greatest(c12 - 0.75, 0) / ctx_total
+          + 0.75 * n1p_left / ctx_total
+            * (CAST(n1p_right AS DOUBLE) / n_types), 9) AS p_r9
+      FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2), v
+      ORDER BY w1, w2""")),
+
+    // KN perplexity end to end — p45's add-one scorer upgraded to the
+    // production smoother, same integer micro-nat discipline (−ln P
+    // truncates once per bigram, the per-doc sum is an exact integer
+    // aggregate): train on the corpus snapshot, score every document
+    // against the frozen tables. The oracle recomputes the entire
+    // model AND the scoring chain; a discount slip, a token-counted
+    // continuation, or a float summed before truncation is a red row.
+    ("p201_kn_perplexity", (s, d) => {
+      graft.text.CorpusOps.kneserNeyPerplexity(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some(knPerplexityOracle)))
+
+  private[graft] val knPerplexityOracle: String = s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx_total,
+                count(*) AS n1p_left FROM c12 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1p_right FROM c12 GROUP BY 1),
+      v AS (SELECT count(*) AS n_types FROM c12),
+      sc AS (SELECT doc_id,
+               CAST(round(-ln(greatest(c12 - 0.75, 0) / ctx_total
+                 + 0.75 * n1p_left / ctx_total
+                   * (CAST(n1p_right AS DOUBLE) / n_types)) * 1e6, 0)
+                 AS BIGINT) AS nll_micro
+             FROM bg JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+                     JOIN cont USING (w2), v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
+             round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id"""
 
   /** p191/p195's trap vocabulary — constants shared verbatim with
     * [[unigramViterbiOracle]] (the ByteAlphabet rule): 'ba'/'aba' are

@@ -478,6 +478,25 @@ object StreamingQueries {
     runToMemory(CorpusOps.scoreBigrams(bg, lm)).orderBy(col("doc_id"))
   }
 
+  /** p201's Kneser–Ney perplexity on the streaming engine — the same
+    * model-artifact deployment shape as [[perplexityScoring]]: the KN
+    * count tables train BATCH-side on the corpus snapshot
+    * ([[graft.text.CorpusOps.kneserNeyLm]]) and the document stream
+    * scores against the frozen tables via stream-static joins. Bigram
+    * expansion is the shared [[graft.text.CorpusOps.bigramRows]]
+    * projection and the scorer truncates −ln P to integer micro-nats
+    * per bigram, so streaming scores are batch-identical by
+    * construction — order- and slice-independent state.
+    */
+  def kneserNeyScoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val lm = CorpusOps.kneserNeyLm(
+      graft.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val bg = CorpusOps.bigramRows(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"))
+    runToMemory(CorpusOps.scoreKneserNey(bg, lm)).orderBy(col("doc_id"))
+  }
+
   /** p81's discriminative quality scoring on the streaming engine —
     * the same model-artifact deployment shape as [[perplexityScoring]]:
     * the log-odds weights train BATCH-side on the corpus snapshot

@@ -1201,6 +1201,121 @@ object CorpusOps {
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
 
+  /** The interpolated Kneser–Ney bigram model artifact (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated formulation — the
+    * smoothing a CCNet-style perplexity filter actually ships, where
+    * [[BigramLm]]'s add-one is the didactic baseline):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * with absolute discount D and continuation counts N1+ (distinct
+    * bigram TYPES, the novel-continuation insight that distinguishes
+    * KN from every count-ratio smoother). Four frames: bigram counts,
+    * per-context totals + distinct-continuation counts, per-word
+    * continuation counts, and the one-row type total — all
+    * vocabulary-bounded aggregates, scorable batch-side or
+    * stream-static against the frozen snapshot (the [[BigramLm]]
+    * deployment shape). Every term is a count ratio, so the whole
+    * model is SQL-expressible — p200/p201 recompute it independently
+    * in DuckDB, formula duality for the smoother itself.
+    */
+  final case class KneserNeyLm(c12: DataFrame, ctx: DataFrame,
+                               cont: DataFrame, types: DataFrame,
+                               discount: Double)
+
+  /** Train the KN bigram model: one pass to bigram counts, then three
+    * bounded aggregates OFF the count table (never a second corpus
+    * scan). D must sit in (0, 1) — the standard absolute-discount
+    * range; 0.75 is the textbook default.
+    */
+  def kneserNeyLm(docs: DataFrame, id: Column, text: Column,
+                  discount: Double = 0.75): KneserNeyLm = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyLm: discount must be in (0, 1), got $discount")
+    val c12 = bigramRows(docs, id, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    KneserNeyLm(
+      c12 = c12,
+      // context totals AND distinct continuations in one aggregate:
+      // both are per-w1 reductions of the count table
+      ctx = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("ctx_total"),
+          count(lit(1)).as("n1p_left")),
+      cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_right")),
+      types = c12.agg(count(lit(1)).as("n_types")),
+      discount = discount)
+  }
+
+  /** The per-bigram KN probability table — the model rendered as data
+    * (w1, w2, the four counts, and the 9-decimal probability), the
+    * artifact a serving job would broadcast-join against and the
+    * frame p200 oracle-gates term by term. Per-context probabilities
+    * sum to 1 over the vocabulary (CorpusOpsSpec measures it).
+    */
+  def knBigramProbs(lm: KneserNeyLm): DataFrame = {
+    val d = lm.discount
+    lm.c12
+      .join(lm.ctx, Seq("w1"))
+      .join(lm.cont, Seq("w2"))
+      .crossJoin(broadcast(lm.types))
+      .select(col("w1"), col("w2"), col("c12"), col("ctx_total"),
+        col("n1p_left"), col("n1p_right"),
+        round((greatest(col("c12") - lit(d), lit(0.0)) / col("ctx_total") +
+          lit(d) * col("n1p_left") / col("ctx_total") *
+            (col("n1p_right").cast("double") / col("n_types"))), 9)
+          .as("p_r9"))
+  }
+
+  /** Score bigram rows against a frozen [[KneserNeyLm]] and aggregate
+    * per document — the [[scoreBigrams]] discipline: −ln P truncates
+    * ONCE to integer micro-nats so the per-doc sum is an exact,
+    * order-independent integer aggregate (batch and streaming twins
+    * agree bit-for-bit).
+    *
+    * Unseen events degrade in KN's own terms: an unseen (w1,w2) under
+    * a seen w1 scores the backoff mass λ(w1)·Pcont(w2); an unseen w1
+    * scores Pcont(w2) alone; only the FULL-OOV case (w2 never a
+    * continuation, so every KN term is exactly 0) floors at
+    * 1/(N1+(··)+1) — strictly positive, loud in perplexity, never a
+    * log(0), and never clamping a legitimately tiny seen probability
+    * (the floor fires on p = 0 exactly, not on p < floor).
+    */
+  def scoreKneserNey(bigrams: DataFrame, lm: KneserNeyLm): DataFrame = {
+    val d = lm.discount
+    val pCont = coalesce(col("n1p_right").cast("double"), lit(0.0)) /
+      col("n_types")
+    val floor = lit(1.0) / (col("n_types") + 1)
+    val p = when(col("ctx_total").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)) - lit(d), lit(0.0)) /
+          col("ctx_total") +
+          lit(d) * col("n1p_left") / col("ctx_total") * pCont)
+      .otherwise(pCont)
+    bigrams
+      .join(lm.c12, Seq("w1", "w2"), "left")
+      .join(lm.ctx, Seq("w1"), "left")
+      .join(lm.cont, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.types))
+      .select(col("doc_id"),
+        round(-log(when(p > lit(0.0), p).otherwise(floor)) * 1e6, 0)
+          .cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
+        round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
+  }
+
+  /** [[bigramPerplexity]]'s KN twin: train on the corpus, score the
+    * corpus — the self-corpus entry p201 gates against the full SQL
+    * recomputation.
+    */
+  def kneserNeyPerplexity(docs: DataFrame, id: Column, text: Column,
+                          discount: Double = 0.75): DataFrame =
+    scoreKneserNey(bigramRows(docs, id, text),
+      kneserNeyLm(docs, id, text, discount))
+
   /** The trained discriminative quality model: per-token integer
     * micro-unit log-odds weights as a DataFrame artifact (train once on
     * the corpus snapshot, score batch-side or stream-static forever —

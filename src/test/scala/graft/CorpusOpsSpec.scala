@@ -966,4 +966,72 @@ class CorpusOpsSpec extends AnyFunSuite {
         Seq(1L, 1L))
     }
   }
+
+  test("kneserNeyLm: continuation counts are bigram TYPES and probs match hand values") {
+    import graft.text.CorpusOps
+    // c12: (a,b)=3, (b,a)=1, (b,c)=1 → ctx a: total 3, 1 continuation;
+    // ctx b: total 2, 2 continuations; cont: a=1, b=1, c=1; types=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("id", "text")
+    val lm = CorpusOps.kneserNeyLm(docs, col("id"), col("text"))
+    val probs = CorpusOps.knBigramProbs(lm).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    // P(b|a) = (3−.75)/3 + .75·(1/3)·(1/3) = 0.833333333
+    assert(probs(("a", "b")) == ((3L, 3L, 1L, 1L, 0.833333333)))
+    // P(a|b) = (1−.75)/2 + .75·(2/2)·(1/3) = 0.375
+    assert(probs(("b", "a")) == ((1L, 2L, 2L, 1L, 0.375)))
+    assert(probs(("b", "c")) == ((1L, 2L, 2L, 1L, 0.375)))
+    // the scorer agrees with the table through the micro-nat chain:
+    // doc 2 = one bigram at p=5/6 → −ln = 0.182322; doc 3 at 3/8
+    val out = CorpusOps.kneserNeyPerplexity(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(2L) == ((1L, 0.182322, 1.2)))
+    assert(out(3L) == ((1L, 0.980829, 2.667)))
+    assert(out(1L)._1 == 3L && out(1L)._2 == 0.448491)
+  }
+
+  test("KN probabilities sum to 1 per context over the vocabulary") {
+    import graft.text.CorpusOps
+    val train = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("id", "text")
+    val lm = CorpusOps.kneserNeyLm(train, col("id"), col("text"))
+    // score every (context, vocab-word) pair as its own one-bigram doc
+    // and recover p = exp(−nll): the interpolated mass must close to 1
+    val pairs = for ((w1, i) <- Seq("a", "b").zipWithIndex;
+                     (w2, j) <- Seq("a", "b", "c").zipWithIndex)
+      yield ((i * 3 + j).toLong, s"$w1 $w2", w1)
+    val df = pairs.map { case (id, t, _) => (id, t) }.toDF("id", "text")
+    val scored = CorpusOps.scoreKneserNey(
+        CorpusOps.bigramRows(df, col("id"), col("text")), lm)
+      .collect().map(r => r.getLong(0) -> math.exp(-r.getDouble(2))).toMap
+    for (w1Idx <- 0 to 1) {
+      val sum = (0 to 2).map(j => scored((w1Idx * 3 + j).toLong)).sum
+      assert(math.abs(sum - 1.0) < 1e-4,
+        s"context ${Seq("a", "b")(w1Idx)} mass $sum")
+    }
+  }
+
+  test("frozen-KN scoring degrades in KN terms: backoff, bare Pcont, and the OOV floor") {
+    import graft.text.CorpusOps
+    val train = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("id", "text")
+    val lm = CorpusOps.kneserNeyLm(train, col("id"), col("text"))
+    // (a,c): unseen pair, seen context → λ(a)·Pcont(c) = .75·(1/3)·(1/3)
+    // (z,b): unseen context → Pcont(b) = 1/3
+    // (z,z): full OOV → floor 1/(3+1)
+    val fresh = Seq((10L, "a c"), (11L, "z b"), (12L, "z z"))
+      .toDF("id", "text")
+    val out = CorpusOps.scoreKneserNey(
+        CorpusOps.bigramRows(fresh, col("id"), col("text")), lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 2.484907) // −ln(1/12)
+    assert(out(11L) == 1.098612) // −ln(1/3)
+    assert(out(12L) == 1.386294) // −ln(1/4)
+    intercept[IllegalArgumentException] {
+      CorpusOps.kneserNeyLm(train, col("id"), col("text"), discount = 1.0)
+    }
+  }
 }
