@@ -297,6 +297,9 @@ object SparkEntry {
     ("q143_streaming_kn",
       (s, d) => graft.streaming.StreamingQueries.kneserNeyScoring(s, d),
       Some(sharedOracle("p201_kn_perplexity"))),
+    ("q144_streaming_quality_lr",
+      (s, d) => graft.streaming.StreamingQueries.qualityLrScoring(s, d),
+      Some(sharedOracle("p203_quality_lr_score"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

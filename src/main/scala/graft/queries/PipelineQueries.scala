@@ -6678,7 +6678,103 @@ object PipelineQueries {
       graft.text.CorpusOps.kneserNeyPerplexity(
           Tables.documents(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
-    }, Some(knPerplexityOracle)))
+    }, Some(knPerplexityOracle)),
+
+    // Quality-classifier TRAINING, oracle-gated end to end — two
+    // full-batch logistic-regression GD iterations over hashed
+    // token-count features ([[graft.text.QualityLr]]), the
+    // fastText-style quality-filter trainer. The micro-unit
+    // discipline makes TRAINING ITSELF gatable (no float ever
+    // accumulates across rows: margins are exact integer dot
+    // products, residuals truncate once per doc, updates round once
+    // per iteration — and `round` is half-away-from-zero on both
+    // engines): iteration 1 is closed form (w₀=0 ⇒ σ=½ ⇒ residual
+    // ±500000), iteration 2 runs through σ, and the oracle replays
+    // both as chained CTEs off the same hash40-bucketed features.
+    // The output is the weight table — a single weight off by one
+    // micro-unit anywhere in the chain is a red row.
+    ("p202_quality_lr_train", (s, d) => {
+      graft.text.QualityLr.trainLr(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang") === "en",
+          dim = 16, iters = 2, lr = 0.5)
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      $qualityLrChain
+      SELECT * FROM (
+        SELECT CAST(-1 AS BIGINT) AS bucket, w_micro FROM w2b
+        UNION ALL SELECT bucket, w_micro FROM w2)
+      ORDER BY bucket""")),
+
+    // The trained classifier SERVING — score every document against
+    // the frozen weight table: exact integer margin, 6-decimal
+    // probability, sign decision. The oracle extends p202's CTE chain
+    // by one scoring join, so a serving-side drift (a bucket hashed
+    // differently, a bias dropped, a margin overflow) desyncs even
+    // when training agreed.
+    ("p203_quality_lr_score", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = graft.text.QualityLr.trainLr(docs, col("doc_id"),
+        col("text"), col("lang") === "en", dim = 16, iters = 2, lr = 0.5)
+      graft.text.QualityLr.scoreLr(docs, col("doc_id"), col("text"), w,
+          dim = 16)
+        .orderBy(col("doc_id"))
+    }, Some(qualityLrScoreOracle)))
+
+  /** The shared CTE chain of p202/p203's oracles: hash40-bucketed
+    * token-count features, labels, and TWO logistic GD iterations in
+    * closed form — iteration 1 from w₀ = 0 (residual = 500000 −
+    * 1000000·y exactly), iteration 2 through σ with the same one-
+    * truncation-per-doc micro discipline as
+    * [[graft.text.QualityLr.trainLr]].
+    */
+  private val qualityLrChain: String = s"""
+      WITH toks AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
+                    FROM documents),
+      feat AS (SELECT doc_id, CAST(${sqlHash40("tok")} % 16 AS BIGINT)
+                 AS bucket, count(*) AS x
+               FROM toks GROUP BY 1, 2),
+      lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+      nn AS (SELECT count(*) AS n FROM lab),
+      r1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS r
+             FROM lab),
+      g1 AS (SELECT bucket, sum(r * x) AS g
+             FROM feat JOIN r1 USING (doc_id) GROUP BY 1),
+      w1 AS (SELECT bucket, CAST(0 - round(0.5 * g / n, 0) AS BIGINT) AS w
+             FROM g1, nn),
+      w1b AS (SELECT CAST(0 - round(0.5 * (SELECT sum(r) FROM r1) / n, 0)
+                AS BIGINT) AS w FROM nn),
+      m2 AS (SELECT l.doc_id, l.y,
+               (SELECT w FROM w1b) + coalesce(s.s, 0) AS m
+             FROM lab l LEFT JOIN (
+               SELECT f.doc_id, sum(w * x) AS s
+               FROM feat f JOIN w1 USING (bucket) GROUP BY 1) s
+               ON s.doc_id = l.doc_id),
+      r2 AS (SELECT doc_id,
+               CAST(round((1.0 / (1.0 + exp(-(m / 1e6))) - y) * 1e6, 0)
+                 AS BIGINT) AS r
+             FROM m2),
+      g2 AS (SELECT bucket, sum(r * x) AS g
+             FROM feat JOIN r2 USING (doc_id) GROUP BY 1),
+      w2 AS (SELECT bucket,
+               CAST(w - round(0.5 * g / n, 0) AS BIGINT) AS w_micro
+             FROM w1 JOIN g2 USING (bucket), nn),
+      w2b AS (SELECT CAST((SELECT w FROM w1b)
+                 - round(0.5 * (SELECT sum(r) FROM r2) / n, 0)
+                 AS BIGINT) AS w_micro FROM nn)"""
+
+  private[graft] val qualityLrScoreOracle: String = s"""
+      $qualityLrChain,
+      m3 AS (SELECT l.doc_id,
+               (SELECT w_micro FROM w2b) + coalesce(s.s, 0) AS m_micro
+             FROM lab l LEFT JOIN (
+               SELECT f.doc_id, sum(w_micro * x) AS s
+               FROM feat f JOIN w2 USING (bucket) GROUP BY 1) s
+               ON s.doc_id = l.doc_id)
+      SELECT doc_id, CAST(m_micro AS BIGINT) AS m_micro,
+             round(1.0 / (1.0 + exp(-(m_micro / 1e6))), 6) AS p_r6,
+             m_micro > 0 AS good_pred
+      FROM m3 ORDER BY doc_id"""
 
   private[graft] val knPerplexityOracle: String = s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),

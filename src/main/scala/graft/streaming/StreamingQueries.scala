@@ -497,6 +497,28 @@ object StreamingQueries {
     runToMemory(CorpusOps.scoreKneserNey(bg, lm)).orderBy(col("doc_id"))
   }
 
+  /** p203's logistic-regression quality scoring on the streaming
+    * engine — weights train BATCH-side on the corpus snapshot
+    * ([[graft.text.QualityLr.trainLr]]) and the document stream
+    * scores through the SAME [[graft.text.QualityLr.scoreTokens]]
+    * path as batch (shared token-bucket projection, shared sigmoid
+    * spelling), a stream-static broadcast join + ONE integer-sum
+    * aggregate per doc (token-level scoring keeps the stream to a
+    * single stateful operator; Σ_tokens w[bucket] ≡ Σ_buckets w·x
+    * exactly) — order- and slice-independent because the margin is an
+    * exact integer dot product.
+    */
+  def qualityLrScoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.QualityLr
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = QualityLr.trainLr(docs, col("doc_id"), col("text"),
+      col("lang") === "en", dim = 16, iters = 2, lr = 0.5)
+      .localCheckpoint()
+    val toks = QualityLr.tokenBucketRows(documentsStream(spark, sfDir),
+      col("doc_id"), col("text"), dim = 16)
+    runToMemory(QualityLr.scoreTokens(toks, w)).orderBy(col("doc_id"))
+  }
+
   /** p81's discriminative quality scoring on the streaming engine —
     * the same model-artifact deployment shape as [[perplexityScoring]]:
     * the log-odds weights train BATCH-side on the corpus snapshot
