@@ -300,6 +300,9 @@ object SparkEntry {
     ("q144_streaming_quality_lr",
       (s, d) => graft.streaming.StreamingQueries.qualityLrScoring(s, d),
       Some(sharedOracle("p203_quality_lr_score"))),
+    ("q145_streaming_robots_wild",
+      (s, d) => graft.streaming.StreamingQueries.robotsWildcardStream(s, d),
+      Some(sharedOracle("p204_robots_wildcards"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -426,6 +426,32 @@ object LinkGraph {
     * KiB-sized by construction.
     */
   def parseRobots(df: DataFrame, family: Column, txt: Column): DataFrame =
+    parseRobotsWith(df, family, txt, "prefix", """
+      if(regexp_replace(x.v, '\\*$', '') rlike '[*$]',
+        cast(raise_error(concat(
+          'parseRobots: RFC 9309 wildcard pattern "', x.v,
+          '" is not expressible as a prefix rule — a ',
+          'literal match would silently FAIL OPEN; use ',
+          'parseRobotsPatterns + robotsFilterWildcard for this file'))
+          as string),
+        regexp_replace(x.v, '\\*$', ''))""")
+
+  /** [[parseRobots]] for the FULL RFC 9309 pattern grammar: rule
+    * values keep their `*` wildcards and `$` anchors VERBATIM (the
+    * [[robotsFilterWildcard]] matcher consumes them), so no file is
+    * refused. Same group grammar, same fold — the two parses share
+    * one implementation and differ only in the rule-value projection.
+    * Output: (family, rule_idx, pattern, allow).
+    */
+  def parseRobotsPatterns(df: DataFrame, family: Column, txt: Column): DataFrame =
+    parseRobotsWith(df, family, txt, "pattern", "x.v")
+
+  /** The shared robots.txt group fold (doc on [[parseRobots]]);
+    * `pExpr` is the SQL projection of a kept rule's value (the one
+    * point the prefix and wildcard tiers differ on).
+    */
+  private def parseRobotsWith(df: DataFrame, family: Column, txt: Column,
+                              ruleCol: String, pExpr: String): DataFrame =
     df.select(family.as("family"),
         // real-world robots.txt: CRLF line endings and a UTF-8 BOM are
         // the norm, and trim() strips neither — un-handled, the
@@ -451,21 +477,15 @@ object LinkGraph {
             then named_struct('h', false, 'a', acc.a,
               'r', if(acc.a,
                 concat(acc.r, array(named_struct(
-                  'p', if(regexp_replace(x.v, '\\*$', '') rlike '[*$]',
-                    cast(raise_error(concat(
-                      'parseRobots: RFC 9309 wildcard pattern "', x.v,
-                      '" is not expressible as a prefix rule — a ',
-                      'literal match would silently FAIL OPEN; handle ',
-                      'this file out of band')) as string),
-                    regexp_replace(x.v, '\\*$', '')),
+                  'p', __P_EXPR__,
                   'al', x.d = 'allow'))),
                 acc.r))
             else named_struct('h', false, 'a', acc.a, 'r', acc.r)
-          end).r"""))
+          end).r""".replace("__P_EXPR__", pExpr)))
       .select(col("family"),
         posexplode(col("__r")).as(Seq("__i", "__x")))
       .select(col("family"), col("__i").cast("long").as("rule_idx"),
-        col("__x.p").as("prefix"), col("__x.al").as("allow"))
+        col("__x.p").as(ruleCol), col("__x.al").as("allow"))
 
   /** sitemap.xml PARSING — the third discovery input beside the
     * outlink harvest and the robots gate: raw per-family sitemap text
@@ -741,6 +761,48 @@ object LinkGraph {
       .select(col("canonical"), col("dst_family"),
         coalesce(col("__m.allow"), lit(true)).as("allowed"),
         coalesce(col("__m.prefix"), lit("")).as("rule_prefix"))
+  }
+
+  /** The robots gate under the FULL RFC 9309 pattern grammar — what
+    * the prefix tiers ([[robotsFilter]]/[[robotsFilterScan]]) loudly
+    * refuse: `*` anywhere, trailing `$` anchors, matched by the
+    * codegen'd [[graft.functions.RobotsMatch]] kernel. Precedence is
+    * §2.2.2's most-specific-match: the matching rule with the LONGEST
+    * pattern wins (length of the raw pattern string, wildcards and
+    * anchor included — one definition, shared verbatim with the p204
+    * oracle), ties break to `allow` (the least-restrictive RFC rule),
+    * no match defaults to allowed.
+    *
+    * Scale shape — [[robotsFilterScan]]'s: rules collapse to a
+    * per-family broadcast array and the election is a per-row
+    * scan-stage fold (stateless, so the streaming twin runs it at
+    * ingest with ZERO state rows), never a urls×rules shuffle.
+    */
+  def robotsFilterWildcard(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val r = rules.groupBy(col("family"))
+      .agg(collect_list(struct(col("pattern"), col("allow"))).as("__rules"))
+    val accType = "struct<l:int, allow:boolean, pattern:string>"
+    urls.select(col("canonical"), col("dst_family"))
+      .withColumn("path",
+        regexp_replace(col("canonical"), "^[a-z][a-z0-9+.-]*://[^/]*", ""))
+      .join(broadcast(r), col("dst_family") === col("family"), "left")
+      // a family with no rules rides __rules = null straight through
+      // the null-safe HOFs to the default-allow coalesce
+      .withColumn("__m", aggregate(
+        filter(col("__rules"),
+          rr => graft.functions.RobotsMatch(col("path"),
+            rr.getField("pattern"))),
+        lit(null).cast(accType),
+        (acc, rr) => {
+          val cand = struct(
+            length(rr.getField("pattern")).as("l"),
+            rr.getField("allow").as("allow"),
+            rr.getField("pattern").as("pattern"))
+          when(acc.isNull || cand > acc, cand).otherwise(acc)
+        }))
+      .select(col("canonical"), col("dst_family"),
+        coalesce(col("__m.allow"), lit(true)).as("allowed"),
+        coalesce(col("__m.pattern"), lit("")).as("rule_pattern"))
   }
 
   def pageRank(edges: DataFrame, iters: Int = 5,

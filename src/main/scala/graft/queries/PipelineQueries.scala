@@ -6718,7 +6718,74 @@ object PipelineQueries {
       graft.text.QualityLr.scoreLr(docs, col("doc_id"), col("text"), w,
           dim = 16)
         .orderBy(col("doc_id"))
-    }, Some(qualityLrScoreOracle)))
+    }, Some(qualityLrScoreOracle)),
+
+    // The robots gate under the FULL RFC 9309 wildcard grammar — the
+    // tier the prefix parse loudly refuses: `*` anywhere, trailing
+    // `$` anchors, most-specific-match precedence (longest pattern,
+    // ties to allow), default allow. The fixture robots.txt parses
+    // through [[graft.graph.LinkGraph.parseRobotsPatterns]] (a decoy
+    // `User-agent: bot / Disallow: /` group pins group selection —
+    // mis-applied, every no-match row flips), and the path family
+    // exercises every clause: the Allow/Disallow LENGTH TIE on
+    // /p/fish/salmon, the anchor beating the allow on /p/fish.php
+    // (9 > 8), the anchor NOT over-matching /p/cat.php?x=1, and the
+    // interior `*` spanning /p/deep/cat.php. The oracle recomputes
+    // matching AND election with a completely different matcher —
+    // LIKE translation + packed arg_max — formula duality for the
+    // gate itself.
+    ("p204_robots_wildcards", (s, d) => {
+      import s.implicits._
+      val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+        Seq(("x.com", robotsWildcardTxt)).toDF("family", "txt"),
+        col("family"), col("txt"))
+      val urls = Tables.documents(s, d).select(
+        concat(lit("https://x.com"),
+          element_at(array(robotsWildcardPaths.map(lit): _*),
+            (col("doc_id") % 8).cast("int") + 1)).as("canonical"),
+        lit("x.com").as("dst_family"))
+      graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
+        .select(col("canonical"), col("allowed"), col("rule_pattern"))
+        .orderBy(col("canonical"))
+    }, Some(s"""
+      WITH u AS (SELECT doc_id,
+          CASE CAST(doc_id % 8 AS INT)
+            ${robotsWildcardPaths.zipWithIndex.map { case (p, i) =>
+              s"WHEN $i THEN '$p'" }.mkString(" ")}
+          END AS path FROM documents),
+      r(pattern, allow) AS (VALUES
+        ('/p/fish*', CAST(1 AS BOOLEAN)), ('/p/fish/', CAST(0 AS BOOLEAN)),
+        ('/p/*.php$$', CAST(0 AS BOOLEAN))),
+      m AS (SELECT doc_id, path, pattern, allow,
+              length(pattern) AS l
+            FROM u JOIN r ON
+              CASE WHEN pattern LIKE '%$$'
+                   THEN path LIKE replace(rtrim(pattern, '$$'), '*', '%')
+                   ELSE path LIKE replace(pattern, '*', '%') || '%' END),
+      best AS (SELECT doc_id,
+                 max(l * 2 + CAST(allow AS INT)) AS k,
+                 arg_max(pattern, l * 2 + CAST(allow AS INT)) AS rule
+               FROM m GROUP BY 1)
+      SELECT 'https://x.com' || u.path AS canonical,
+             coalesce(k % 2 = 1, CAST(1 AS BOOLEAN)) AS allowed,
+             coalesce(rule, '') AS rule_pattern
+      FROM u LEFT JOIN best USING (doc_id)
+      ORDER BY canonical""")))
+
+  /** p204/q145's fixture paths, one per doc_id residue — constants
+    * shared verbatim with the oracle's CASE (the ByteAlphabet rule).
+    */
+  private[graft] val robotsWildcardPaths: Seq[String] = Seq(
+    "/p/fish", "/p/fish/salmon", "/p/cat.php", "/p/cat.php?x=1",
+    "/p/fish.php", "/q/other", "/p/fishheads/x", "/p/deep/cat.php")
+
+  /** p204/q145's fixture robots.txt — the wildcard group the oracle's
+    * VALUES mirrors, plus a decoy non-`*` group that must NOT apply.
+    */
+  private[graft] val robotsWildcardTxt: String =
+    "User-agent: bot\nDisallow: /\n\n" +
+      "User-agent: *\nAllow: /p/fish*\nDisallow: /p/fish/\n" +
+      "Disallow: /p/*.php$\n"
 
   /** The shared CTE chain of p202/p203's oracles: hash40-bucketed
     * token-count features, labels, and TWO logistic GD iterations in

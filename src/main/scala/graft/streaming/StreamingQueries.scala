@@ -691,6 +691,35 @@ object StreamingQueries {
       .orderBy(col("canonical"))
   }
 
+  /** p204's RFC 9309 wildcard robots gate AT ingest — the gate is a
+    * pure function of the URL once the rule table is parsed (rules
+    * collapse to a per-family broadcast array; the match + election
+    * is a scan-stage fold over the codegen'd
+    * [[graft.functions.RobotsMatch]] kernel), so a discovered URL's
+    * verdict exists the moment its row lands: stream-static left
+    * join, ZERO state rows, append mode — the q134 rule applied to
+    * the crawl's trust boundary.
+    */
+  def robotsWildcardStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+        Seq(("x.com", graft.queries.PipelineQueries.robotsWildcardTxt))
+          .toDF("family", "txt"),
+        col("family"), col("txt"))
+      .localCheckpoint()
+    val paths = graft.queries.PipelineQueries.robotsWildcardPaths
+    val urls = documentsStream(spark, sfDir).select(
+      concat(lit("https://x.com"),
+        element_at(array(paths.map(lit): _*),
+          (col("doc_id") % 8).cast("int") + 1)).as("canonical"),
+      lit("x.com").as("dst_family"))
+    runToMemory(
+      graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
+        .select(col("canonical"), col("allowed"), col("rule_pattern")),
+      mode = "append")
+      .orderBy(col("canonical"))
+  }
+
   /** p142's crawler-trap detection on the streaming engine — the
     * frontier guard runs WHILE the crawl fetches, not in a post-hoc
     * batch audit: the fetch log folds cross-batch to its DISTINCT

@@ -830,4 +830,96 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxIters"))
   }
+
+  test("RobotsMatchUtil: RFC 9309 wildcard grammar — anchors, interior stars, prefix semantics") {
+    import graft.functions.RobotsMatchUtil.{matches => m}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // unanchored pattern matches any PREFIX of the path
+    assert(m(u("/p/fish/salmon"), u("/p/fish")))
+    assert(!m(u("/p/fis"), u("/p/fish")))
+    // trailing * is redundant under prefix semantics but legal
+    assert(m(u("/p/fishheads/x"), u("/p/fish*")))
+    // interior * spans any byte run, including /
+    assert(m(u("/p/deep/cat.php"), u("/p/*.php")))
+    assert(m(u("/p/a/b/c.php?x"), u("/p/*.php")))
+    // $ anchors: the whole path must be consumed
+    assert(m(u("/p/cat.php"), u("/p/*.php$")))
+    assert(!m(u("/p/cat.php?x=1"), u("/p/*.php$")))
+    // terminal *$ absorbs the remainder
+    assert(m(u("/p/anything"), u("/p/*$")))
+    // two stars backtrack independently
+    assert(m(u("/a/xx/b/yy.html"), u("/a/*/b/*.html$")))
+    assert(!m(u("/a/xx/c/yy.html"), u("/a/*/b/*.html$")))
+    // empty pattern matches everything; bare $ only the empty path
+    assert(m(u("/q"), u("")))
+    assert(m(u(""), u("$")) && !m(u("/q"), u("$")))
+  }
+
+  test("RobotsMatchUtil agrees with a regex reference on random pattern/path pairs") {
+    import graft.functions.RobotsMatchUtil.{matches => m}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(42)
+    val chars = "ab/."
+    def randStr(n: Int) = (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val rawPat = (0 until rnd.nextInt(6)).map(_ =>
+        if (rnd.nextInt(4) == 0) "*" else chars(rnd.nextInt(chars.length)).toString).mkString
+      val anchored = rnd.nextBoolean()
+      val pat = rawPat + (if (anchored) "$" else "")
+      val path = randStr(rnd.nextInt(8))
+      val rx = rawPat.map {
+        case '*' => ".*"
+        case c if "./".contains(c) => "\\" + c
+        case c => c.toString
+      }.mkString
+      val expected =
+        if (anchored) path.matches(rx)
+        else path.matches(rx + ".*")
+      assert(m(u(path), u(pat)) == expected, s"path='$path' pat='$pat'")
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
+  test("parseRobotsPatterns keeps wildcards verbatim where parseRobots refuses") {
+    import spark.implicits._
+    val txt = "User-agent: bot\nDisallow: /\n\n" +
+      "User-agent: *\nAllow: /p/fish*\nDisallow: /p/*.php$\nDisallow:\n"
+    val df = Seq(("x", txt)).toDF("family", "txt")
+    val rules = LinkGraph.parseRobotsPatterns(df, col("family"), col("txt"))
+      .orderBy(col("rule_idx"))
+      .collect().map(r => (r.getString(2), r.getBoolean(3))).toSeq
+    // decoy group dropped, empty Disallow dropped, patterns verbatim
+    assert(rules == Seq(("/p/fish*", true), ("/p/*.php$", false)))
+    val e = intercept[Exception] {
+      LinkGraph.parseRobots(df, col("family"), col("txt")).collect()
+    }
+    assert(e.getMessage.contains("wildcard pattern"))
+  }
+
+  test("robotsFilterWildcard: longest pattern wins, ties go to allow, no match allows") {
+    import spark.implicits._
+    val rules = Seq(
+      ("x", "/p/fish*", true), ("x", "/p/fish/", false),
+      ("x", "/p/*.php$", false))
+      .toDF("family", "pattern", "allow")
+    val urls = Seq(
+      "https://x.com/p/fish/salmon", // 8-char tie -> allow
+      "https://x.com/p/fish.php",    // 9 beats 8 -> disallow
+      "https://x.com/p/cat.php?x=1", // anchor does not over-match -> default
+      "https://x.com/q/other")       // no match -> default allow
+      .map((_, "x")).toDF("canonical", "dst_family")
+    val out = LinkGraph.robotsFilterWildcard(urls, rules)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out("https://x.com/p/fish/salmon") == ((true, "/p/fish*")))
+    assert(out("https://x.com/p/fish.php") == ((false, "/p/*.php$")))
+    assert(out("https://x.com/p/cat.php?x=1") == ((true, "")))
+    assert(out("https://x.com/q/other") == ((true, "")))
+    // a family with no rules at all rides the null path to default
+    val noRules = LinkGraph.robotsFilterWildcard(
+      Seq(("https://y.com/a", "y")).toDF("canonical", "dst_family"), rules)
+      .collect().head
+    assert(noRules.getBoolean(2) && noRules.getString(3) == "")
+  }
 }
