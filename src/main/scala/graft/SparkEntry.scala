@@ -445,5 +445,12 @@ object SparkEntry {
     // sniff kernel + splitHttp in one scan chain) and unigram-LM
     // training + Viterbi serving on the corpus (seed → EM → encode —
     // the tokenizer-training cost class beside p58's BPE)
-    "p188_mime_route", "p193_unigram_train")
+    "p188_mime_route", "p193_unigram_train",
+    // round-10 continued: WordPiece training + greedy serving (the
+    // likelihood-merge member of the tokenizer-training class), KN
+    // perplexity end to end (count-table train + four-join micro-nat
+    // scoring — the model-eval class beside p45's add-one), and two
+    // GD iterations of the logistic quality classifier (iterative
+    // corpus passes with dim-sized driver state)
+    "p198_wordpiece_train", "p201_kn_perplexity", "p202_quality_lr_train")
 }
