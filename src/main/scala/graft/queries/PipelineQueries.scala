@@ -6742,8 +6742,13 @@ object PipelineQueries {
       val urls = Tables.documents(s, d).select(
         concat(lit("https://x.com"),
           element_at(array(robotsWildcardPaths.map(lit): _*),
-            (col("doc_id") % 8).cast("int") + 1)).as("canonical"),
-        lit("x.com").as("dst_family"))
+            (col("doc_id") % 8).cast("int") + 1)).as("canonical"))
+        // family from the URL, as production would — a literal family
+        // would constant-fold out of the join's equi-key and demote
+        // the broadcast HASH join to a nested-loop one
+        .select(col("canonical"),
+          regexp_extract(col("canonical"), "^https?://([^/]*)", 1)
+            .as("dst_family"))
       graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
         .select(col("canonical"), col("allowed"), col("rule_pattern"))
         .orderBy(col("canonical"))

@@ -709,10 +709,14 @@ object StreamingQueries {
       .localCheckpoint()
     val paths = graft.queries.PipelineQueries.robotsWildcardPaths
     val urls = documentsStream(spark, sfDir).select(
-      concat(lit("https://x.com"),
-        element_at(array(paths.map(lit): _*),
-          (col("doc_id") % 8).cast("int") + 1)).as("canonical"),
-      lit("x.com").as("dst_family"))
+        concat(lit("https://x.com"),
+          element_at(array(paths.map(lit): _*),
+            (col("doc_id") % 8).cast("int") + 1)).as("canonical"))
+      // family from the URL (the batch twin's rule): a literal family
+      // constant-folds out of the equi-key and demotes the hash join
+      .select(col("canonical"),
+        regexp_extract(col("canonical"), "^https?://([^/]*)", 1)
+          .as("dst_family"))
     runToMemory(
       graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
         .select(col("canonical"), col("allowed"), col("rule_pattern")),
