@@ -303,6 +303,9 @@ object SparkEntry {
     ("q145_streaming_robots_wild",
       (s, d) => graft.streaming.StreamingQueries.robotsWildcardStream(s, d),
       Some(sharedOracle("p204_robots_wildcards"))),
+    ("q146_streaming_kn3",
+      (s, d) => graft.streaming.StreamingQueries.kneserNey3Scoring(s, d),
+      Some(sharedOracle("p205_kn_trigram_ppl"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -6775,7 +6775,79 @@ object PipelineQueries {
              coalesce(k % 2 = 1, CAST(1 AS BOOLEAN)) AS allowed,
              coalesce(rule, '') AS rule_pattern
       FROM u LEFT JOIN best USING (doc_id)
-      ORDER BY canonical""")))
+      ORDER BY canonical""")),
+
+    // TRIGRAM interpolated Kneser–Ney — the recursion p200/p201's
+    // bigram model bottoms out (Chen & Goodman 1999): the top level
+    // discounts raw trigram counts, the MIDDLE level discounts
+    // CONTINUATION counts (distinct preceding words of each bigram —
+    // the level a raw-count backoff implementation gets wrong and
+    // red-rows), the bottom is the bigram-type Pcont. Every level is
+    // a count ratio off the trigram/bigram type tables; the oracle
+    // recomputes the whole recursion and the micro-nat scoring chain.
+    // CorpusOpsSpec pins hand-computed probabilities, per-context
+    // mass closing to 1, and the three-deep degradation chain.
+    ("p205_kn_trigram_ppl", (s, d) => {
+      graft.text.CorpusOps.kneserNey3Perplexity(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }, Some(kn3PerplexityOracle)))
+
+  /** p205/q146's oracle: the full trigram-KN recursion recomputed in
+    * SQL — trigram counts, context totals, middle-level CONTINUATION
+    * counts (distinct preceding words, the level where a raw-count
+    * implementation red-rows), the bigram-type bottom level, and the
+    * same one-truncation-per-trigram micro-nat chain. The count CTEs
+    * are MATERIALIZED and the scoring joins carry explicit ON
+    * conditions: DuckDB's join-order optimizer turns the inlined
+    * 6-way USING chain into CROSS_PRODUCTs (measured: 90 GB of spill
+    * at sf0.01); the fences keep every join the keyed hash join it
+    * is.
+    */
+  private[graft] val kn3PerplexityOracle: String = s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      tg AS MATERIALIZED (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS u
+               FROM t3)),
+      c123 AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123
+               FROM tg GROUP BY 1, 2, 3),
+      ctx12 AS MATERIALIZED (SELECT w1, w2,
+                  CAST(sum(c123) AS BIGINT) AS ctx_total,
+                  count(*) AS n1p_ctx FROM c123 GROUP BY 1, 2),
+      midc AS MATERIALIZED (SELECT w2, w3, count(*) AS n1p_mid
+               FROM c123 GROUP BY 1, 2),
+      midx AS MATERIALIZED (SELECT w2,
+                 CAST(sum(n1p_mid) AS BIGINT) AS mid_total,
+                 count(*) AS n1p_w2 FROM midc GROUP BY 1),
+      t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t2)),
+      c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      cont AS MATERIALIZED (SELECT w2 AS w3, count(*) AS n1p_right
+               FROM c12 GROUP BY 1),
+      v AS MATERIALIZED (SELECT count(*) AS n_types FROM c12),
+      sc AS (SELECT tg.doc_id,
+               CAST(round(-ln(greatest(c123.c123 - 0.75, 0) / ctx12.ctx_total
+                 + 0.75 * ctx12.n1p_ctx / ctx12.ctx_total
+                   * (greatest(midc.n1p_mid - 0.75, 0) / midx.mid_total
+                      + 0.75 * midx.n1p_w2 / midx.mid_total
+                        * (CAST(cont.n1p_right AS DOUBLE) / v.n_types))) * 1e6, 0)
+                 AS BIGINT) AS nll_micro
+             FROM tg
+             JOIN c123 ON c123.w1 = tg.w1 AND c123.w2 = tg.w2
+                      AND c123.w3 = tg.w3
+             JOIN ctx12 ON ctx12.w1 = tg.w1 AND ctx12.w2 = tg.w2
+             JOIN midc ON midc.w2 = tg.w2 AND midc.w3 = tg.w3
+             JOIN midx ON midx.w2 = tg.w2
+             JOIN cont ON cont.w3 = tg.w3, v)
+      SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
+             round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id"""
 
   /** p204/q145's fixture paths, one per doc_id residue — constants
     * shared verbatim with the oracle's CASE (the ByteAlphabet rule).

@@ -519,6 +519,23 @@ object StreamingQueries {
     runToMemory(QualityLr.scoreTokens(toks, w)).orderBy(col("doc_id"))
   }
 
+  /** p205's trigram-KN perplexity on the streaming engine — the
+    * [[kneserNeyScoring]] deployment shape one order higher: six
+    * frozen count tables train batch-side
+    * ([[graft.text.CorpusOps.kneserNey3Lm]]), the stream expands to
+    * trigrams through the shared [[graft.text.CorpusOps.trigramRows]]
+    * projection, and the scorer's per-trigram micro-nat truncation
+    * keeps the per-doc aggregate slice-independent.
+    */
+  def kneserNey3Scoring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.CorpusOps
+    val lm = CorpusOps.kneserNey3Lm(
+      graft.Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val tg = CorpusOps.trigramRows(
+      documentsStream(spark, sfDir), col("doc_id"), col("text"))
+    runToMemory(CorpusOps.scoreKneserNey3(tg, lm)).orderBy(col("doc_id"))
+  }
+
   /** p81's discriminative quality scoring on the streaming engine —
     * the same model-artifact deployment shape as [[perplexityScoring]]:
     * the log-odds weights train BATCH-side on the corpus snapshot

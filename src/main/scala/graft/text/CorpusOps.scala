@@ -1316,6 +1316,119 @@ object CorpusOps {
     scoreKneserNey(bigramRows(docs, id, text),
       kneserNeyLm(docs, id, text, discount))
 
+  /** The TRIGRAM interpolated KN model (Chen & Goodman 1999's
+    * recursive formulation — the recursion [[KneserNeyLm]] bottoms
+    * out): the HIGHEST level discounts raw counts, every LOWER level
+    * discounts CONTINUATION counts —
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *              + D·N1+(w1w2·)/c(w1w2·) · P₂(w3|w2)
+    *   P₂(w3|w2)  = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *              + D·N1+(w2·)ᵗ/N1+(·w2·) · Pcont(w3)
+    *   Pcont(w3)  = N1+(·w3)/N1+(··)
+    *
+    * where N1+(·w2w3) counts distinct PRECEDING words of the bigram
+    * (trigram types), N1+(·w2·) sums them over w3, N1+(w2·)ᵗ counts
+    * distinct continuations in the middle distribution, and the
+    * bottom level is [[KneserNeyLm]]'s bigram-type Pcont. Six count
+    * frames, all aggregates of the trigram/bigram type tables — the
+    * whole recursion stays SQL-expressible (p205 recomputes every
+    * level).
+    */
+  final case class KneserNey3Lm(c123: DataFrame, ctx12: DataFrame,
+                                midCont: DataFrame, midCtx: DataFrame,
+                                cont: DataFrame, types: DataFrame,
+                                discount: Double)
+
+  /** Map-side trigram formation — [[bigramRows]]' 3-gram sibling,
+    * SHARED by the batch scorer and the streaming twin.
+    */
+  private[graft] def trigramRows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"),
+            element_at(col("toks"), i + 2).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** Train the trigram KN model: one pass to trigram counts, one to
+    * bigram counts, then bounded aggregates off the two type tables.
+    */
+  def kneserNey3Lm(docs: DataFrame, id: Column, text: Column,
+                   discount: Double = 0.75): KneserNey3Lm = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNey3Lm: discount must be in (0, 1), got $discount")
+    val c123 = trigramRows(docs, id, text)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val midCont = c123.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1p_mid"))
+    val c12 = bigramRows(docs, id, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    KneserNey3Lm(
+      c123 = c123,
+      ctx12 = c123.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c123")).as("ctx_total"),
+          count(lit(1)).as("n1p_ctx")),
+      midCont = midCont,
+      midCtx = midCont.groupBy(col("w2"))
+        .agg(sum(col("n1p_mid")).as("mid_total"),
+          count(lit(1)).as("n1p_w2")),
+      cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_right"))
+        .withColumnRenamed("w2", "w3"),
+      types = c12.agg(count(lit(1)).as("n_types")),
+      discount = discount)
+  }
+
+  /** Score trigram rows against a frozen [[KneserNey3Lm]] — the
+    * [[scoreKneserNey]] discipline (one micro-nat truncation per
+    * trigram, exact integer per-doc sums) with the degradation chain
+    * one level deeper: an unseen trigram under a seen context backs
+    * off to the middle distribution, an unseen (w1,w2) context to
+    * P₂(w3|w2), an unseen w2 to Pcont(w3), and only the full-OOV
+    * exact zero floors at 1/(N1+(··)+1).
+    */
+  def scoreKneserNey3(trigrams: DataFrame, lm: KneserNey3Lm): DataFrame = {
+    val d = lm.discount
+    val pCont = coalesce(col("n1p_right").cast("double"), lit(0.0)) /
+      col("n_types")
+    val p2 = when(col("mid_total").isNotNull,
+        greatest(coalesce(col("n1p_mid"), lit(0L)) - lit(d), lit(0.0)) /
+          col("mid_total") +
+          lit(d) * col("n1p_w2") / col("mid_total") * pCont)
+      .otherwise(pCont)
+    val p = when(col("ctx_total").isNotNull,
+        greatest(coalesce(col("c123"), lit(0L)) - lit(d), lit(0.0)) /
+          col("ctx_total") +
+          lit(d) * col("n1p_ctx") / col("ctx_total") * p2)
+      .otherwise(p2)
+    val floor = lit(1.0) / (col("n_types") + 1)
+    trigrams
+      .join(lm.c123, Seq("w1", "w2", "w3"), "left")
+      .join(lm.ctx12, Seq("w1", "w2"), "left")
+      .join(lm.midCont, Seq("w2", "w3"), "left")
+      .join(lm.midCtx, Seq("w2"), "left")
+      .join(lm.cont, Seq("w3"), "left")
+      .crossJoin(broadcast(lm.types))
+      .select(col("doc_id"),
+        round(-log(when(p > lit(0.0), p).otherwise(floor)) * 1e6, 0)
+          .cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("s") / col("n_trigrams") / 1e6, 6).as("nll"),
+        round(exp(col("s") / col("n_trigrams") / lit(1e6)), 3).as("ppl"))
+  }
+
+  /** [[kneserNeyPerplexity]]'s trigram sibling — p205's entry body. */
+  def kneserNey3Perplexity(docs: DataFrame, id: Column, text: Column,
+                           discount: Double = 0.75): DataFrame =
+    scoreKneserNey3(trigramRows(docs, id, text),
+      kneserNey3Lm(docs, id, text, discount))
+
   /** The trained discriminative quality model: per-token integer
     * micro-unit log-odds weights as a DataFrame artifact (train once on
     * the corpus snapshot, score batch-side or stream-static forever —

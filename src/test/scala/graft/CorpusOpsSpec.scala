@@ -1034,4 +1034,67 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.kneserNeyLm(train, col("id"), col("text"), discount = 1.0)
     }
   }
+
+  // trigram-KN fixture: c123 (a,b,c)=2 (a,b,d)=1; ctx (a,b): 3 total,
+  // 2 continuations; midc (b,c)=1 (b,d)=1; midx b: 2, 2; bigram types
+  // (a,b) (b,c) (b,d) → cont b=1 c=1 d=1, 3 types
+  private def kn3Train = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+    .toDF("id", "text")
+
+  private def kn3P(c123: Long, ctxTotal: Long, n1pCtx: Long, n1pMid: Long,
+                   midTotal: Long, n1pW2: Long, n1pRight: Long,
+                   nTypes: Long): Double = {
+    val d = 0.75
+    val p2 = math.max(n1pMid - d, 0.0) / midTotal +
+      d * n1pW2 / midTotal * (n1pRight.toDouble / nTypes)
+    math.max(c123 - d, 0.0) / ctxTotal + d * n1pCtx / ctxTotal * p2
+  }
+
+  private def microNll(p: Double): Double =
+    java.math.BigDecimal.valueOf(-math.log(p) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+
+  test("kneserNey3: the full recursion matches a scalar recomputation") {
+    import graft.text.CorpusOps
+    val out = CorpusOps.kneserNey3Perplexity(kn3Train, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val pC = kn3P(2, 3, 2, 1, 2, 2, 1, 3) // P(c|a,b)
+    val pD = kn3P(1, 3, 2, 1, 2, 2, 1, 3) // P(d|a,b)
+    assert(out(1L) == ((1L, microNll(pC))))
+    assert(out(2L) == ((1L, microNll(pD))))
+    assert(out(3L) == out(1L))
+  }
+
+  test("trigram-KN mass closes to 1 per context over the continuation vocabulary") {
+    import graft.text.CorpusOps
+    val lm = CorpusOps.kneserNey3Lm(kn3Train, col("id"), col("text"))
+    // the KN event space is words-that-continue: {b, c, d} ('a' never
+    // follows anything, so Pcont(a) = 0 — outside the support)
+    val probes = Seq("b", "c", "d").zipWithIndex
+      .map { case (w3, i) => (i.toLong, s"a b $w3") }
+      .toDF("id", "text")
+    val scored = CorpusOps.scoreKneserNey3(
+        CorpusOps.trigramRows(probes, col("id"), col("text")), lm)
+      .collect().map(r => math.exp(-r.getDouble(2))).sum
+    assert(math.abs(scored - 1.0) < 1e-4, s"context (a,b) mass $scored")
+  }
+
+  test("frozen trigram-KN degrades level by level: mid backoff, context backoff, Pcont, floor") {
+    import graft.text.CorpusOps
+    val lm = CorpusOps.kneserNey3Lm(kn3Train, col("id"), col("text"))
+    val fresh = Seq(
+      (10L, "a b b"),  // seen ctx, unseen mid: λ·λ₂·Pcont(b) = 1/8
+      (11L, "q b c"),  // unseen ctx, seen mid: P₂(c|b) = 0.375
+      (12L, "x y c"),  // unseen w2: Pcont(c) = 1/3
+      (13L, "x y zz")) // full OOV: floor 1/(3+1)
+      .toDF("id", "text")
+    val out = CorpusOps.scoreKneserNey3(
+        CorpusOps.trigramRows(fresh, col("id"), col("text")), lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 2.079442) // −ln(1/8)
+    assert(out(11L) == 0.980829) // −ln(0.375)
+    assert(out(12L) == 1.098612) // −ln(1/3)
+    assert(out(13L) == 1.386294) // −ln(1/4)
+  }
 }
