@@ -299,7 +299,9 @@ object SparkEntry {
       Some(sharedOracle("p201_kn_perplexity"))),
     ("q144_streaming_quality_lr",
       (s, d) => graft.streaming.StreamingQueries.qualityLrScoring(s, d),
-      Some(sharedOracle("p203_quality_lr_score"))),
+      // p203's chain restricted to tokenful docs — the twin's actual
+      // domain (token-level scoring has no row for a tokenless doc)
+      Some(PipelineQueries.qualityLrScoreTokenfulOracle)),
     ("q145_streaming_robots_wild",
       (s, d) => graft.streaming.StreamingQueries.robotsWildcardStream(s, d),
       Some(sharedOracle("p204_robots_wildcards"))),

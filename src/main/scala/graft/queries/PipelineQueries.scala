@@ -6605,11 +6605,15 @@ object PipelineQueries {
     // closed-form gate; merge-state internals are WordPieceSpec's.
     ("p198_wordpiece_train", (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.text.WordPiece.wordPieceTrain(docs, col("text"),
-        numMerges = 150)
-      val vocab = graft.text.WordPiece.trainedVocab(docs, col("text"), merges)
+      val (merges, vocab) = graft.text.WordPiece.wordPieceTrainAndVocab(
+        docs, col("text"), numMerges = 150)
+      // serve with the long-word guard lifted past any corpus token:
+      // the guard [UNK]s words over maxWordCp code points BEFORE the
+      // vocabulary is consulted, and this entry's oracle asserts the
+      // round-trip unconditionally
       docs.select(col("doc_id"),
-          graft.functions.WordPieceEncode(col("text"), vocab).as("seg"),
+          graft.functions.WordPieceEncode(col("text"), vocab, "[UNK]",
+            "|", maxWordCp = 1 << 20).as("seg"),
           TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           (regexp_replace(col("seg"), "\\|(##)?", "") ===
@@ -6739,17 +6743,8 @@ object PipelineQueries {
       val rules = graft.graph.LinkGraph.parseRobotsPatterns(
         Seq(("x.com", robotsWildcardTxt)).toDF("family", "txt"),
         col("family"), col("txt"))
-      val urls = Tables.documents(s, d).select(
-        concat(lit("https://x.com"),
-          element_at(array(robotsWildcardPaths.map(lit): _*),
-            (col("doc_id") % 8).cast("int") + 1)).as("canonical"))
-        // family from the URL, as production would — a literal family
-        // would constant-fold out of the join's equi-key and demote
-        // the broadcast HASH join to a nested-loop one
-        .select(col("canonical"),
-          regexp_extract(col("canonical"), "^https?://([^/]*)", 1)
-            .as("dst_family"))
-      graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
+      graft.graph.LinkGraph.robotsFilterWildcard(
+          robotsWildcardUrls(Tables.documents(s, d)), rules)
         .select(col("canonical"), col("allowed"), col("rule_pattern"))
         .orderBy(col("canonical"))
     }, Some(s"""
@@ -6856,6 +6851,20 @@ object PipelineQueries {
     "/p/fish", "/p/fish/salmon", "/p/cat.php", "/p/cat.php?x=1",
     "/p/fish.php", "/q/other", "/p/fishheads/x", "/p/deep/cat.php")
 
+  /** The fixture-URL projection p204 and q145 share (one definition,
+    * batch and stream). Family derives FROM the URL, as production
+    * would — a literal family would constant-fold out of the rules
+    * join's equi-key and demote the broadcast hash join to a
+    * nested-loop one.
+    */
+  private[graft] def robotsWildcardUrls(df: DataFrame): DataFrame =
+    df.select(concat(lit("https://x.com"),
+        element_at(array(robotsWildcardPaths.map(lit): _*),
+          (col("doc_id") % 8).cast("int") + 1)).as("canonical"))
+      .select(col("canonical"),
+        regexp_extract(col("canonical"), "^https?://([^/]*)", 1)
+          .as("dst_family"))
+
   /** p204/q145's fixture robots.txt — the wildcard group the oracle's
     * VALUES mirrors, plus a decoy non-`*` group that must NOT apply.
     */
@@ -6915,6 +6924,26 @@ object PipelineQueries {
                SELECT f.doc_id, sum(w_micro * x) AS s
                FROM feat f JOIN w2 USING (bucket) GROUP BY 1) s
                ON s.doc_id = l.doc_id)
+      SELECT doc_id, CAST(m_micro AS BIGINT) AS m_micro,
+             round(1.0 / (1.0 + exp(-(m_micro / 1e6))), 6) AS p_r6,
+             m_micro > 0 AS good_pred
+      FROM m3 ORDER BY doc_id"""
+
+  /** q144's oracle: p203's scoring chain restricted to documents WITH
+    * tokens — the streaming twin scores token-level off the stream
+    * (one stateful aggregate), so a tokenless document has no row to
+    * aggregate; the batch entry's LEFT-JOIN bias rows exist only
+    * batch-side where the doc spine is a static frame. The corpora
+    * here have no tokenless docs, but the oracle states the twin's
+    * actual domain rather than borrowing one it only accidentally
+    * matches.
+    */
+  private[graft] val qualityLrScoreTokenfulOracle: String = s"""
+      $qualityLrChain,
+      m3 AS (SELECT s.doc_id,
+               (SELECT w_micro FROM w2b) + s.s AS m_micro
+             FROM (SELECT f.doc_id, sum(w_micro * x) AS s
+                   FROM feat f JOIN w2 USING (bucket) GROUP BY 1) s)
       SELECT doc_id, CAST(m_micro AS BIGINT) AS m_micro,
              round(1.0 / (1.0 + exp(-(m_micro / 1e6))), 6) AS p_r6,
              m_micro > 0 AS good_pred
@@ -7001,27 +7030,37 @@ object PipelineQueries {
   private[graft] val wordPieceTrapVocab: Seq[String] =
     Seq("a", "ab", "##a", "##ab", "##bc")
 
-  /** The greedy serving body p196, p199, and q142 share: segment the
-    * (ab)^k a^m fixture words plus the constant dead-end word 'abc';
-    * n_pieces derives from the SEGMENTATION (split + size), never
-    * from kernel internals.
+  /** The fixture-word projection p196/p199/q142 ALL read (batch and
+    * stream run one definition, so the words cannot drift from the
+    * oracle's k/m arithmetic): (ab)^k a^m plus the constant dead-end
+    * word 'abc'.
     */
-  private[graft] def wordPieceEncodeBody(s: SparkSession, d: String,
-                                         vocab: Seq[String]): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def wordPieceFixtureWords(df: DataFrame): DataFrame = {
     val k = (col("doc_id") % 4 + 1).cast("int")
     val m = (col("doc_id") % 3).cast("int")
-    docs.select(col("doc_id"),
-        concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w1"),
-        lit("abc").as("w2"))
-      .select(col("doc_id"),
+    df.select(col("doc_id"),
+      concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w1"),
+      lit("abc").as("w2"))
+  }
+
+  /** The shared serving projection over [[wordPieceFixtureWords]]:
+    * n_pieces derives from the SEGMENTATION (split + size), never
+    * from kernel internals. No sort — streams order at the sink.
+    */
+  private[graft] def wordPieceSegCols(words: DataFrame,
+                                      vocab: Seq[String]): DataFrame =
+    words.select(col("doc_id"),
         graft.functions.WordPieceEncode(col("w1"), vocab).as("seg"),
         graft.functions.WordPieceEncode(col("w2"), vocab).as("seg2"))
       .select(col("doc_id"), col("seg"),
         size(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
         col("seg2"))
+
+  /** The greedy serving body p196 and p199 share. */
+  private[graft] def wordPieceEncodeBody(s: SparkSession, d: String,
+                                         vocab: Seq[String]): DataFrame =
+    wordPieceSegCols(wordPieceFixtureWords(Tables.documents(s, d)), vocab)
       .orderBy(col("doc_id"))
-  }
 
   private[graft] val wordPieceEncodeOracle: String = """
       SELECT doc_id,

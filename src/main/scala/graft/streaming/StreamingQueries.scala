@@ -724,16 +724,8 @@ object StreamingQueries {
           .toDF("family", "txt"),
         col("family"), col("txt"))
       .localCheckpoint()
-    val paths = graft.queries.PipelineQueries.robotsWildcardPaths
-    val urls = documentsStream(spark, sfDir).select(
-        concat(lit("https://x.com"),
-          element_at(array(paths.map(lit): _*),
-            (col("doc_id") % 8).cast("int") + 1)).as("canonical"))
-      // family from the URL (the batch twin's rule): a literal family
-      // constant-folds out of the equi-key and demotes the hash join
-      .select(col("canonical"),
-        regexp_extract(col("canonical"), "^https?://([^/]*)", 1)
-          .as("dst_family"))
+    val urls = graft.queries.PipelineQueries.robotsWildcardUrls(
+      documentsStream(spark, sfDir))
     runToMemory(
       graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
         .select(col("canonical"), col("allowed"), col("rule_pattern")),
@@ -1101,25 +1093,14 @@ object StreamingQueries {
     * shared oracle.
     */
   def wordPieceEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{size => fSize}
+    import graft.queries.PipelineQueries.{wordPieceFixtureWords, wordPieceSegCols, wordPieceTrapVocab}
     val docs = graft.Tables.documents(spark, sfDir)
-    val vocab = graft.queries.PipelineQueries.wordPieceTrapVocab
-    val k = (col("doc_id") % 4 + 1).cast("int")
-    val m = (col("doc_id") % 3).cast("int")
     val dir = graft.sources.Sinks.tempArtifactDir("wordpiece_stream_in")
-    docs.select(col("doc_id"),
-        concat(repeat(lit("ab"), k), repeat(lit("a"), m)).as("w1"),
-        lit("abc").as("w2"))
-      .write.mode("overwrite").parquet(dir)
+    wordPieceFixtureWords(docs).write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     runToMemory(
-      spark.readStream.schema(schema).parquet(dir)
-        .select(col("doc_id"),
-          graft.functions.WordPieceEncode(col("w1"), vocab).as("seg"),
-          graft.functions.WordPieceEncode(col("w2"), vocab).as("seg2"))
-        .select(col("doc_id"), col("seg"),
-          fSize(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
-          col("seg2")),
+      wordPieceSegCols(spark.readStream.schema(schema).parquet(dir),
+        wordPieceTrapVocab),
       mode = "append")
       .orderBy(col("doc_id"))
   }

@@ -1285,8 +1285,8 @@ object CorpusOps {
   def scoreKneserNey(bigrams: DataFrame, lm: KneserNeyLm): DataFrame = {
     val d = lm.discount
     val pCont = coalesce(col("n1p_right").cast("double"), lit(0.0)) /
-      col("n_types")
-    val floor = lit(1.0) / (col("n_types") + 1)
+      knTypesGuard
+    val floor = lit(1.0) / (knTypesGuard + 1)
     val p = when(col("ctx_total").isNotNull,
         greatest(coalesce(col("c12"), lit(0L)) - lit(d), lit(0.0)) /
           col("ctx_total") +
@@ -1306,6 +1306,25 @@ object CorpusOps {
         round(col("s") / col("n_bigrams") / 1e6, 6).as("nll"),
         round(exp(col("s") / col("n_bigrams") / lit(1e6)), 3).as("ppl"))
   }
+
+  /** The empty-model guard both KN scorers share, wrapping every
+    * n_types consumption: with ZERO bigram types the Pcont division
+    * is x/0 — under ANSI (Spark 4's default) that raises an OPAQUE
+    * DIVIDE_BY_ZERO mid-plan, and under non-ANSI it is null, every
+    * row routes to an unguarded floor 1/(0+1) = 1.0, and the whole
+    * stream silently scores at perplexity 1 (a quality filter fed
+    * that model passes everything). Either way the right failure is
+    * the CONTRACT one: scan-stage, no extra job, CaseWhen
+    * short-circuits so healthy models never evaluate the error
+    * branch — the unigramTrain "an empty corpus cannot train a
+    * tokenizer" rule.
+    */
+  private def knTypesGuard: Column =
+    when(col("n_types") > 0, col("n_types"))
+      .otherwise(raise_error(lit("scoreKneserNey: the model holds zero " +
+        "bigram types — an empty corpus cannot train an LM, and the OOV " +
+        "floor would silently score everything at perplexity 1"))
+        .cast("long"))
 
   /** [[bigramPerplexity]]'s KN twin: train on the corpus, score the
     * corpus — the self-corpus entry p201 gates against the full SQL
@@ -1394,7 +1413,7 @@ object CorpusOps {
   def scoreKneserNey3(trigrams: DataFrame, lm: KneserNey3Lm): DataFrame = {
     val d = lm.discount
     val pCont = coalesce(col("n1p_right").cast("double"), lit(0.0)) /
-      col("n_types")
+      knTypesGuard
     val p2 = when(col("mid_total").isNotNull,
         greatest(coalesce(col("n1p_mid"), lit(0L)) - lit(d), lit(0.0)) /
           col("mid_total") +
@@ -1405,7 +1424,7 @@ object CorpusOps {
           col("ctx_total") +
           lit(d) * col("n1p_ctx") / col("ctx_total") * p2)
       .otherwise(p2)
-    val floor = lit(1.0) / (col("n_types") + 1)
+    val floor = lit(1.0) / (knTypesGuard + 1)
     trigrams
       .join(lm.c123, Seq("w1", "w2", "w3"), "left")
       .join(lm.ctx12, Seq("w1", "w2"), "left")

@@ -151,14 +151,22 @@ object QualityLr {
     * token rows are absent here; [[scoreLr]] rides them at the bare
     * bias.
     */
-  def scoreTokens(toks: DataFrame, weights: DataFrame): DataFrame = {
-    val bias = weights.filter(col("bucket") === -1L)
+  def scoreTokens(toks: DataFrame, weights: DataFrame): DataFrame =
+    decorate(tokenMargins(toks, weights, readBias(weights)))
+
+  /** The one bias read a scoring call pays (bucket −1 of the
+    * [[trainLr]] artifact).
+    */
+  private def readBias(weights: DataFrame): Long =
+    weights.filter(col("bucket") === -1L)
       .select(col("w_micro")).head().getLong(0)
-    val wDf = weights.filter(col("bucket") =!= -1L)
-    decorate(toks.join(broadcast(wDf), Seq("bucket"))
+
+  private def tokenMargins(toks: DataFrame, weights: DataFrame,
+                           bias: Long): DataFrame =
+    toks.join(broadcast(weights.filter(col("bucket") =!= -1L)),
+        Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg((lit(bias) + sum(col("w_micro"))).as("m_micro")))
-  }
+      .agg((lit(bias) + sum(col("w_micro"))).as("m_micro"))
 
   private def decorate(marginsDf: DataFrame): DataFrame =
     marginsDf.select(col("doc_id"), col("m_micro"),
@@ -174,12 +182,11 @@ object QualityLr {
     */
   def scoreLr(docs: DataFrame, id: Column, text: Column,
               weights: DataFrame, dim: Int): DataFrame = {
-    val bias = weights.filter(col("bucket") === -1L)
-      .select(col("w_micro")).head().getLong(0)
-    val scored = scoreTokens(tokenBucketRows(docs, id, text, dim), weights)
+    val bias = readBias(weights)
+    val margins = tokenMargins(tokenBucketRows(docs, id, text, dim),
+      weights, bias)
     decorate(docs.select(id.as("doc_id"))
-      .join(scored.select(col("doc_id"), col("m_micro")),
-        Seq("doc_id"), "left")
+      .join(margins, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("m_micro"), lit(bias)).as("m_micro")))
   }

@@ -67,14 +67,22 @@ object WordPiece {
     * `unk` on the training corpus (the round-trip identity p198 gates).
     */
   def wordPieceTrain(docs: DataFrame, text: Column, numMerges: Int,
-                     maxVocab: Int = 1000000): DataFrame = {
+                     maxVocab: Int = 1000000): DataFrame =
+    wordPieceTrainFromWords(
+      UnigramLm.wordFreqs(docs, text).localCheckpoint(), numMerges, maxVocab)
+
+  /** [[wordPieceTrain]] off an already-reduced (word, freq) frame —
+    * the caller owns the frame's lifetime, so train + vocab pay ONE
+    * corpus reduction between them ([[wordPieceTrainAndVocab]]).
+    */
+  def wordPieceTrainFromWords(words: DataFrame, numMerges: Int,
+                              maxVocab: Int = 1000000): DataFrame = {
     require(numMerges > 0, s"wordPieceTrain: numMerges must be positive, got $numMerges")
-    val words = UnigramLm.wordFreqs(docs, text)
     val n = words.count()
     require(n <= maxVocab,
       s"wordPieceTrain: vocabulary $n exceeds maxVocab $maxVocab — raise " +
         "the cap explicitly if the corpus genuinely has this many distinct words")
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
     val vocab = words.select(col("word"), col("freq").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -118,15 +126,23 @@ object WordPiece {
   /** The SERVING vocabulary a merge table implies on a corpus: every
     * seed symbol the corpus contains (first-bare + `##`-continued
     * single code points — total coverage, so greedy never dead-ends on
-    * training data) plus every merged symbol, rank order irrelevant
+    * training data; note the encoder's separate `maxWordCp` long-word
+    * guard still [UNK]s over-long words BEFORE the vocabulary is
+    * consulted — lift it when the round-trip must be unconditional,
+    * as p198 does) plus every merged symbol, rank order irrelevant
     * (greedy probes a SET — unlike BPE, the merge table is training
     * state, not the serving artifact). The seed alphabet derives
     * distributed off the word frame; only the alphabet-sized result
     * collects, capped loudly.
     */
   def trainedVocab(docs: DataFrame, text: Column, mergesDf: DataFrame,
-                   maxAlphabet: Int = 1 << 16): Seq[String] = {
-    val words = UnigramLm.wordFreqs(docs, text)
+                   maxAlphabet: Int = 1 << 16): Seq[String] =
+    trainedVocabFromWords(UnigramLm.wordFreqs(docs, text), mergesDf,
+      maxAlphabet)
+
+  /** [[trainedVocab]] off an already-reduced (word, freq) frame. */
+  def trainedVocabFromWords(words: DataFrame, mergesDf: DataFrame,
+                            maxAlphabet: Int = 1 << 16): Seq[String] = {
     val seeds = seedSymbolRows(words).select(col("sym")).distinct()
       .limit(maxAlphabet + 1).collect().map(_.getString(0))
     require(seeds.length <= maxAlphabet,
@@ -135,6 +151,20 @@ object WordPiece {
     val merged = mergesDf.orderBy(col("rank")).select(col("merged"))
       .collect().map(_.getString(0))
     (seeds ++ merged).distinct.sorted
+  }
+
+  /** Train + derive the serving vocabulary off ONE corpus reduction:
+    * the (word, freq) frame checkpoints once and feeds both the merge
+    * loop and the seed-alphabet derivation — the p198 path, which
+    * would otherwise pay three tokenize+aggregate corpus scans
+    * (count, collect, vocab).
+    */
+  def wordPieceTrainAndVocab(docs: DataFrame, text: Column, numMerges: Int,
+                             maxVocab: Int = 1000000,
+                             maxAlphabet: Int = 1 << 16): (DataFrame, Seq[String]) = {
+    val words = UnigramLm.wordFreqs(docs, text).localCheckpoint()
+    val merges = wordPieceTrainFromWords(words, numMerges, maxVocab)
+    (merges, trainedVocabFromWords(words, merges, maxAlphabet))
   }
 
   /** Seed-symbol rows of a (word, freq) frame: one row per code-point
@@ -185,9 +215,14 @@ object WordPiece {
         .withColumnRenamed("cnt", "cnt_right")), Seq("pair_right"))
       .select(col("pair_left"), col("pair_right"), col("pair_cnt"),
         col("cnt_left"), col("cnt_right"),
+        // each count casts to double BEFORE the product: a Long·Long
+        // product wraps past 2^63 at corpus scale (the driver-side
+        // election uses BigInt for exactly this reason), while the
+        // double product rounds the true value once — bit-identical
+        // to the oracle's exact-integer-product-to-double conversion
         round(col("pair_cnt").cast("double") /
-          (col("cnt_left") * col("cnt_right")).cast("double"), 9)
-          .as("score_r9"))
+          (col("cnt_left").cast("double") * col("cnt_right").cast("double")),
+          9).as("score_r9"))
   }
 
   /** Persist the SERVING artifact (the piece vocabulary) — train

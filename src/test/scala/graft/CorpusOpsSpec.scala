@@ -1035,6 +1035,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty KN model (zero bigram types) raises instead of scoring everything at ppl 1") {
+    import graft.text.CorpusOps
+    // every doc has < 2 tokens → zero bigrams → n_types = 0; unguarded,
+    // every probability is null, every row hits the floor 1/(0+1) = 1,
+    // and the scorer would silently report perfect perplexity
+    val empty = Seq((1L, "solo"), (2L, "")).toDF("id", "text")
+    val lm = CorpusOps.kneserNeyLm(empty, col("id"), col("text"))
+    val fresh = Seq((10L, "a b")).toDF("id", "text")
+    val e = intercept[Exception] {
+      CorpusOps.scoreKneserNey(
+        CorpusOps.bigramRows(fresh, col("id"), col("text")), lm).collect()
+    }
+    assert(e.getMessage.contains("zero bigram types") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero bigram types")))
+  }
+
   // trigram-KN fixture: c123 (a,b,c)=2 (a,b,d)=1; ctx (a,b): 3 total,
   // 2 continuations; midc (b,c)=1 (b,d)=1; midx b: 2, 2; bigram types
   // (a,b) (b,c) (b,d) → cont b=1 c=1 d=1, 3 types
