@@ -142,6 +142,18 @@ object Implicits {
     def bigramPerplexity(id: Column, text: Column): DataFrame =
       graft.text.CorpusOps.bigramPerplexity(df, id, text)
 
+    def kneserNeyPerplexity(id: Column, text: Column,
+                            discount: Double = 0.75): DataFrame =
+      graft.text.CorpusOps.kneserNeyPerplexity(df, id, text, discount)
+
+    def kneserNey3Perplexity(id: Column, text: Column,
+                             discount: Double = 0.75): DataFrame =
+      graft.text.CorpusOps.kneserNey3Perplexity(df, id, text, discount)
+
+    def qualityLrScore(id: Column, text: Column, weights: DataFrame,
+                       dim: Int): DataFrame =
+      graft.text.QualityLr.scoreLr(df, id, text, weights, dim)
+
     def sampleExactPerGroup(group: Column, key: Column, k: Int): DataFrame =
       graft.curation.Curation.sampleExactPerGroup(df, group, key, k)
 
