@@ -308,6 +308,9 @@ object SparkEntry {
     ("q146_streaming_kn3",
       (s, d) => graft.streaming.StreamingQueries.kneserNey3Scoring(s, d),
       Some(sharedOracle("p205_kn_trigram_ppl"))),
+    ("q147_streaming_wordpiece_train",
+      (s, d) => graft.streaming.StreamingQueries.wordPieceTrainStream(s, d),
+      Some(sharedOracle("p198_wordpiece_train"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

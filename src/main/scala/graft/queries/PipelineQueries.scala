@@ -6605,23 +6605,10 @@ object PipelineQueries {
     // closed-form gate; merge-state internals are WordPieceSpec's.
     ("p198_wordpiece_train", (s, d) => {
       val docs = Tables.documents(s, d)
-      val (merges, vocab) = graft.text.WordPiece.wordPieceTrainAndVocab(
+      val (_, vocab) = graft.text.WordPiece.wordPieceTrainAndVocab(
         docs, col("text"), numMerges = 150)
-      // serve with the long-word guard lifted past any corpus token:
-      // the guard [UNK]s words over maxWordCp code points BEFORE the
-      // vocabulary is consulted, and this entry's oracle asserts the
-      // round-trip unconditionally
-      docs.select(col("doc_id"),
-          graft.functions.WordPieceEncode(col("text"), vocab, "[UNK]",
-            "|", maxWordCp = 1 << 20).as("seg"),
-          TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          (regexp_replace(col("seg"), "\\|(##)?", "") ===
-            array_join(col("toks"), "")).as("ok"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id, CAST(1 AS BOOLEAN) AS ok
-      FROM documents ORDER BY doc_id""")),
+      wordPieceRoundTrip(docs, vocab)
+    }, Some(wordPieceRoundTripOracle)),
 
     // The WordPiece MODEL lifecycle — train rarely, encode forever
     // (p195's story for the greedy tokenizer): the piece-vocabulary
@@ -6786,7 +6773,73 @@ object PipelineQueries {
       graft.text.CorpusOps.kneserNey3Perplexity(
           Tables.documents(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
-    }, Some(kn3PerplexityOracle)))
+    }, Some(kn3PerplexityOracle)),
+
+    // HELD-OUT KN scoring — the deployment shape that p201's
+    // self-corpus entry cannot gate: train on the even documents,
+    // score the odd ones, so UNSEEN events flow through the LEFT-join
+    // degradation chain under the oracle (unseen pair → backoff mass
+    // λ(w1)·Pcont, unseen context → bare Pcont, and any exact-zero
+    // full-OOV → the 1/(N1+(··)+1) floor). The oracle recomputes the
+    // train-slice model AND the whole CASE/coalesce chain — a scorer
+    // that add-one-smooths unseen events, drops them, or floors
+    // anything but the exact zero is a red row.
+    ("p206_kn_heldout", (s, d) => {
+      import graft.text.CorpusOps
+      val docs = Tables.documents(s, d)
+      val lm = CorpusOps.kneserNeyLm(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"))
+      CorpusOps.scoreKneserNey(
+          CorpusOps.bigramRows(docs.filter(col("doc_id") % 2 === 1),
+            col("doc_id"), col("text")), lm)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tr AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+                  WHERE doc_id % 2 = 0),
+      tr2 AS (SELECT doc_id, toks FROM tr WHERE len(toks) >= 2),
+      bgt AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM tr2)),
+      c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12
+              FROM bgt GROUP BY 1, 2),
+      ctx AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx_total,
+                count(*) AS n1p_left FROM c12 GROUP BY 1),
+      cont AS MATERIALIZED (SELECT w2, count(*) AS n1p_right
+               FROM c12 GROUP BY 1),
+      v AS MATERIALIZED (SELECT count(*) AS n_types FROM c12),
+      ho AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+             WHERE doc_id % 2 = 1),
+      ho2 AS (SELECT doc_id, toks FROM ho WHERE len(toks) >= 2),
+      bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM ho2)),
+      raw AS (SELECT bg.doc_id, c12.c12 AS c12, ctx.ctx_total,
+                ctx.n1p_left, cont.n1p_right, v.n_types
+              FROM bg
+              LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+              LEFT JOIN ctx ON ctx.w1 = bg.w1
+              LEFT JOIN cont ON cont.w2 = bg.w2, v),
+      pr AS (SELECT doc_id,
+               CASE WHEN ctx_total IS NOT NULL
+                    THEN greatest(coalesce(c12, 0) - 0.75, 0) / ctx_total
+                       + 0.75 * n1p_left / ctx_total
+                         * (coalesce(CAST(n1p_right AS DOUBLE), 0.0)
+                            / n_types)
+                    ELSE coalesce(CAST(n1p_right AS DOUBLE), 0.0) / n_types
+               END AS p,
+               n_types
+             FROM raw),
+      sc AS (SELECT doc_id,
+               CAST(round(-ln(CASE WHEN p > 0 THEN p
+                                   ELSE 1.0 / (n_types + 1) END) * 1e6, 0)
+                 AS BIGINT) AS nll_micro
+             FROM pr)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
+             round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -7029,6 +7082,29 @@ object PipelineQueries {
     */
   private[graft] val wordPieceTrapVocab: Seq[String] =
     Seq("a", "ab", "##a", "##ab", "##bc")
+
+  /** The round-trip gate p198 and q147 share: segment every corpus
+    * document with the trained vocabulary and reassemble (strip each
+    * piece boundary's separator plus the injected ## prefix; the
+    * corpus is #-free, so the strip is unambiguous). Served with the
+    * long-word guard lifted past any corpus token — the guard [UNK]s
+    * words over maxWordCp code points BEFORE the vocabulary is
+    * consulted, and the oracle asserts the round-trip unconditionally.
+    */
+  private[graft] def wordPieceRoundTrip(docs: DataFrame,
+                                        vocab: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.WordPieceEncode(col("text"), vocab, "[UNK]",
+          "|", maxWordCp = 1 << 20).as("seg"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (regexp_replace(col("seg"), "\\|(##)?", "") ===
+          array_join(col("toks"), "")).as("ok"))
+      .orderBy(col("doc_id"))
+
+  private[graft] val wordPieceRoundTripOracle: String = """
+      SELECT doc_id, CAST(1 AS BOOLEAN) AS ok
+      FROM documents ORDER BY doc_id"""
 
   /** The fixture-word projection p196/p199/q142 ALL read (batch and
     * stream run one definition, so the words cannot drift from the

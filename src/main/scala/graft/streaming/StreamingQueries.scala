@@ -919,6 +919,28 @@ object StreamingQueries {
       .orderBy(col("rank"))
   }
 
+  /** p198's WordPiece training with the vocabulary folded from the
+    * stream — q131's split applied to the likelihood trainer: the
+    * (word, freq) table is the ONE streaming aggregation (the shared
+    * [[graft.text.UnigramLm.wordFreqs]] projection), the merge rounds
+    * and seed-alphabet derivation run driver-side on the bounded
+    * artifact through the SAME
+    * [[graft.text.WordPiece.wordPieceTrainFromWords]] /
+    * `trainedVocabFromWords` pair (single maxVocab site, single
+    * seeding code path — batch-identical by shared definition), and
+    * the epoch-boundary serve runs p198's round-trip gate verbatim.
+    */
+  def wordPieceTrainStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.WordPiece
+    val words = runToMemory(graft.text.UnigramLm.wordFreqs(
+        documentsStream(spark, sfDir), col("text")))
+      .localCheckpoint()
+    val merges = WordPiece.wordPieceTrainFromWords(words, numMerges = 150)
+    val vocab = WordPiece.trainedVocabFromWords(words, merges)
+    graft.queries.PipelineQueries.wordPieceRoundTrip(
+      graft.Tables.documents(spark, sfDir), vocab)
+  }
+
   /** p159's byte-level encoding on the streaming engine — q73's
     * frozen-model deploy shape with byte seeding: the byte-level
     * merge table is trained batch-side, rides the plan as expression

@@ -64,9 +64,10 @@ import org.apache.spark.sql.SparkSession
   *  - p189 SortAggregate: conditionalRequests' latest-stored-record
   *    election is a max(struct) carrying the validator payload —
   *    q20's accepted shape, one row per URL per partition.
-  *  - p200/p201/p205 NestedLoop: the Kneser–Ney one-row N1+(··)
+  *  - p200/p201/p205/p206 NestedLoop: the Kneser–Ney one-row N1+(··)
   *    type-total scalar rides a broadcast cross join — p45's accepted
-  *    one-row shape (q143/q146 run the same scorers stream-static).
+  *    one-row shape (q143/q146 run the same scorers stream-static;
+  *    p206 scores held-out docs against the even-slice model).
   *  - round-10: p183 runs p174's serve shapes (assignShards' one-row
   *    broadcast cross join; cdxClusterIndex's min(first_key)
   *    SortAggregate) inside compactCdxShards and the serve — accepted
