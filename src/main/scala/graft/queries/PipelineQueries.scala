@@ -6839,7 +6839,44 @@ object PipelineQueries {
       SELECT doc_id, count(*) AS n_bigrams,
              round(sum(nll_micro) / count(*) / 1e6, 6) AS nll,
              round(exp(sum(nll_micro) / count(*) / 1e6), 3) AS ppl
-      FROM sc GROUP BY 1 ORDER BY doc_id""")))
+      FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // HELD-OUT quality-classifier scoring — the frozen-classifier
+    // deploy shape (train on the labeled snapshot, score the
+    // firehose): two GD iterations on the EVEN documents, every ODD
+    // document scored against the frozen weight table. Tokens hashing
+    // to buckets the training slice never saw contribute exactly 0
+    // (an untrained weight IS 0 — the scorer's inner join and the
+    // oracle's agree by the same argument), and a held-out doc with
+    // no trained-bucket tokens rides at the bare bias. The oracle
+    // replays training on the even slice and scoring on the odd one.
+    ("p207_quality_lr_heldout", (s, d) => {
+      import graft.text.QualityLr
+      val docs = Tables.documents(s, d)
+      val w = QualityLr.trainLr(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), col("lang") === "en",
+        dim = 16, iters = 2, lr = 0.5)
+      QualityLr.scoreLr(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), w, dim = 16)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      ${qualityLrChainFor("WHERE doc_id % 2 = 0")},
+      toksH AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
+                FROM documents WHERE doc_id % 2 = 1),
+      featH AS (SELECT doc_id, CAST(${sqlHash40("tok")} % 16 AS BIGINT)
+                  AS bucket, count(*) AS x
+                FROM toksH GROUP BY 1, 2),
+      m3 AS (SELECT h.doc_id,
+               (SELECT w_micro FROM w2b) + coalesce(s.s, 0) AS m_micro
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) h
+             LEFT JOIN (SELECT f.doc_id, sum(w_micro * x) AS s
+                        FROM featH f JOIN w2 USING (bucket)
+                        GROUP BY 1) s
+               ON s.doc_id = h.doc_id)
+      SELECT doc_id, CAST(m_micro AS BIGINT) AS m_micro,
+             round(1.0 / (1.0 + exp(-(m_micro / 1e6))), 6) AS p_r6,
+             m_micro > 0 AS good_pred
+      FROM m3 ORDER BY doc_id""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -6926,21 +6963,22 @@ object PipelineQueries {
       "User-agent: *\nAllow: /p/fish*\nDisallow: /p/fish/\n" +
       "Disallow: /p/*.php$\n"
 
-  /** The shared CTE chain of p202/p203's oracles: hash40-bucketed
-    * token-count features, labels, and TWO logistic GD iterations in
-    * closed form — iteration 1 from w₀ = 0 (residual = 500000 −
-    * 1000000·y exactly), iteration 2 through σ with the same one-
-    * truncation-per-doc micro discipline as
-    * [[graft.text.QualityLr.trainLr]].
+  /** The shared CTE chain of p202/p203/p207's oracles: hash40-
+    * bucketed token-count features, labels, and TWO logistic GD
+    * iterations in closed form — iteration 1 from w₀ = 0 (residual =
+    * 500000 − 1000000·y exactly), iteration 2 through σ with the same
+    * one-truncation-per-doc micro discipline as
+    * [[graft.text.QualityLr.trainLr]]. `where` restricts the TRAINING
+    * slice (p207 trains on the even documents).
     */
-  private val qualityLrChain: String = s"""
+  private def qualityLrChainFor(where: String): String = s"""
       WITH toks AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
-                    FROM documents),
+                    FROM documents $where),
       feat AS (SELECT doc_id, CAST(${sqlHash40("tok")} % 16 AS BIGINT)
                  AS bucket, count(*) AS x
                FROM toks GROUP BY 1, 2),
       lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-              FROM documents),
+              FROM documents $where),
       nn AS (SELECT count(*) AS n FROM lab),
       r1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS r
              FROM lab),
@@ -6968,6 +7006,8 @@ object PipelineQueries {
       w2b AS (SELECT CAST((SELECT w FROM w1b)
                  - round(0.5 * (SELECT sum(r) FROM r2) / n, 0)
                  AS BIGINT) AS w_micro FROM nn)"""
+
+  private val qualityLrChain: String = qualityLrChainFor("")
 
   private[graft] val qualityLrScoreOracle: String = s"""
       $qualityLrChain,
