@@ -922,4 +922,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().head
     assert(noRules.getBoolean(2) && noRules.getString(3) == "")
   }
+
+  test("RobotsMatchUtil: a non-terminal dollar is a literal octet, not an anchor") {
+    import graft.functions.RobotsMatchUtil.{matches => m}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // '$' only anchors at the very end (the reference parser
+    // convention); anywhere else it must match a literal '$' byte
+    assert(m(u("/a$b/c"), u("/a$b")))
+    assert(!m(u("/ab/c"), u("/a$b")))
+    // terminal anchor after a literal dollar: '/a$$' = literal '/a$'
+    // anchored
+    assert(m(u("/a$"), u("/a$$")))
+    assert(!m(u("/a$x"), u("/a$$")))
+    // '*$' on the empty path: star spans zero bytes
+    assert(m(u(""), u("*$")))
+  }
 }

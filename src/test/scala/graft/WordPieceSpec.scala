@@ -164,4 +164,25 @@ class WordPieceSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("duplicate piece"))
   }
+
+  test("astral-plane text encodes on code-point boundaries through the column expression") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val vocab = Seq("a", "##a", emoji, "##" + emoji, "a" + emoji)
+    val rows = Seq(s"a$emoji$emoji a${emoji}a").toDF("t")
+    val out = rows.select(WordPieceEncode(col("t"), vocab).as("e"))
+      .collect().head.getString(0)
+    // greedy: 'a😀' (longest, 2 cp) then '##😀'; second word
+    // 'a😀a' → 'a😀' + '##a' — never a lone surrogate
+    assert(out == s"a$emoji|##$emoji|a$emoji|##a")
+  }
+
+  test("a greedy match never splits inside a surrogate pair even under maxPieceCp pressure") {
+    val emoji = new String(Character.toChars(0x1F680))
+    val m = new WordPieceModel(Array("x", "##" + emoji, "##x"), "[UNK]", "|", 200)
+    assert(greedy(m, "x" + emoji + "x") ==
+      Seq("x", "##" + emoji, "##x"))
+    // the piece-length bound counts code points, not chars: '##🚀'
+    // has body length 1 cp (2 UTF-16 chars)
+    assert(m.maxPieceCp == 1)
+  }
 }
