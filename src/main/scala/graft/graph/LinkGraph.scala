@@ -768,10 +768,14 @@ object LinkGraph {
     * refuse: `*` anywhere, trailing `$` anchors, matched by the
     * codegen'd [[graft.functions.RobotsMatch]] kernel. Precedence is
     * §2.2.2's most-specific-match: the matching rule with the LONGEST
-    * pattern wins (length of the raw pattern string, wildcards and
-    * anchor included — one definition, shared verbatim with the p204
+    * pattern wins (OCTET length of the raw pattern string, wildcards
+    * and anchor included — RFC 9309 matches octets and the reference
+    * parsers elect by byte count, so a multi-byte UTF-8 pattern keeps
+    * its full weight; one definition, shared verbatim with the p204
     * oracle), ties break to `allow` (the least-restrictive RFC rule),
-    * no match defaults to allowed.
+    * then to the lexicographically greatest pattern (a fixed total
+    * order, shared with the oracle, so a full tie cannot desync the
+    * reported rule).
     *
     * Scale shape — [[robotsFilterScan]]'s: rules collapse to a
     * per-family broadcast array and the election is a per-row
@@ -794,8 +798,13 @@ object LinkGraph {
             rr.getField("pattern"))),
         lit(null).cast(accType),
         (acc, rr) => {
+          // specificity is the OCTET length of the raw pattern —
+          // RFC 9309 matches octets, and the reference parsers elect
+          // by byte count, so a multi-byte UTF-8 pattern must not
+          // lose precedence to a shorter-in-bytes ASCII one the way
+          // a code-point length() election would rank it
           val cand = struct(
-            length(rr.getField("pattern")).as("l"),
+            octet_length(rr.getField("pattern")).as("l"),
             rr.getField("allow").as("allow"),
             rr.getField("pattern").as("pattern"))
           when(acc.isNull || cand > acc, cand).otherwise(acc)

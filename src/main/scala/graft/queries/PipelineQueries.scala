@@ -6744,14 +6744,16 @@ object PipelineQueries {
         ('/p/fish*', CAST(1 AS BOOLEAN)), ('/p/fish/', CAST(0 AS BOOLEAN)),
         ('/p/*.php$$', CAST(0 AS BOOLEAN))),
       m AS (SELECT doc_id, path, pattern, allow,
-              length(pattern) AS l
+              strlen(pattern) AS l
             FROM u JOIN r ON
               CASE WHEN pattern LIKE '%$$'
                    THEN path LIKE replace(rtrim(pattern, '$$'), '*', '%')
                    ELSE path LIKE replace(pattern, '*', '%') || '%' END),
       best AS (SELECT doc_id,
                  max(l * 2 + CAST(allow AS INT)) AS k,
-                 arg_max(pattern, l * 2 + CAST(allow AS INT)) AS rule
+                 arg_max(pattern,
+                   printf('%08d', l * 2 + CAST(allow AS INT)) || pattern)
+                   AS rule
                FROM m GROUP BY 1)
       SELECT 'https://x.com' || u.path AS canonical,
              coalesce(k % 2 = 1, CAST(1 AS BOOLEAN)) AS allowed,

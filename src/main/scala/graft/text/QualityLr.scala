@@ -200,8 +200,14 @@ object QualityLr {
     val scored = scoreLr(docs, id, text, weights, dim)
     val lab = labelRows(docs, id, isGood)
     scored.join(lab, Seq("doc_id"))
-      .select(round(-log(when(col("y") === 1, sigmoid(col("m_micro")))
-          .otherwise(lit(1.0) - sigmoid(col("m_micro")))) * 1e6, 0)
+      // the probability clamps to the smallest positive double before
+      // the log: a margin past ~±37e6 saturates the sigmoid to exactly
+      // 0.0, whose -log is null — and avg() would silently DROP the
+      // saturated doc from the mean instead of charging it a large loss
+      .select(round(-log(greatest(
+          when(col("y") === 1, sigmoid(col("m_micro")))
+            .otherwise(lit(1.0) - sigmoid(col("m_micro"))),
+          lit(java.lang.Double.MIN_VALUE))) * 1e6, 0)
         .cast("long").as("nll"))
       .agg(avg(col("nll") / 1e6)).head().getDouble(0)
   }

@@ -249,6 +249,12 @@ object WordPiece {
     require(rows.length <= maxPieces,
       s"loadWordPieceModel: $dir holds more than $maxPieces pieces — not " +
         "a WordPiece model artifact")
+    // a null piece row is a corrupt artifact — fail HERE with the
+    // loader's loud error, not later with an NPE inside the encode
+    // kernel's piece-bound scan
+    require(rows.forall(!_.isNullAt(0)),
+      s"loadWordPieceModel: $dir contains a null piece row — not a " +
+        "WordPiece model artifact")
     rows.map(_.getString(0)).sorted.toSeq
   }
 }

@@ -923,6 +923,19 @@ class GraphSpec extends AnyFunSuite {
     assert(noRules.getBoolean(2) && noRules.getString(3) == "")
   }
 
+  test("robotsFilterWildcard elects by OCTET length: a multi-byte pattern keeps its byte weight") {
+    import spark.implicits._
+    // path /€ab: '/€' is 2 code points but 4 BYTES (disallow), '*ab'
+    // is 3 of both (allow). Code-point election would rank 3 > 2 and
+    // ALLOW; RFC 9309's octet election ranks 4 > 3 and disallows —
+    // the byte-wise answer the reference parsers give
+    val rules = Seq(("x", "/€", false), ("x", "*ab", true))
+      .toDF("family", "pattern", "allow")
+    val urls = Seq(("https://x.com/€ab", "x")).toDF("canonical", "dst_family")
+    val out = LinkGraph.robotsFilterWildcard(urls, rules).collect().head
+    assert(!out.getBoolean(2) && out.getString(3) == "/€")
+  }
+
   test("RobotsMatchUtil: a non-terminal dollar is a literal octet, not an anchor") {
     import graft.functions.RobotsMatchUtil.{matches => m}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}

@@ -105,6 +105,21 @@ class QualityLrSpec extends AnyFunSuite {
     assert(w3 == wRef)
   }
 
+  test("logLoss charges a saturated-sigmoid doc instead of dropping it") {
+    // a weight big enough that the margin drives sigma to exactly 0.0
+    // in double: every token of doc 1 lands in SOME bucket, so give
+    // every bucket (and the bias) a huge positive weight; the one
+    // mislabeled doc must CONTRIBUTE a large loss, not null out of avg
+    val huge = 100_000_000_000_000L // margin 1e8 nats: exp overflows
+    val w = ((-1L to 7L)).map(b => (b, huge)).toDF("bucket", "w_micro")
+    val one = Seq((1L, "good nice", "de")).toDF("doc_id", "text", "lang")
+    val loss = QualityLr.logLoss(one, col("doc_id"), col("text"),
+      col("lang") === "en", w, dim = 8)
+    // -ln(Double.MIN_VALUE) = 744.44; an avg that skipped the null
+    // row would return NaN (empty mean) here
+    assert(!loss.isNaN && loss > 700.0 && loss < 800.0)
+  }
+
   test("loud caps: dim, iters, lr") {
     intercept[IllegalArgumentException] {
       QualityLr.trainLr(docs, col("doc_id"), col("text"),

@@ -145,6 +145,17 @@ class WordPieceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a null piece row fails loudly at load time, not with an NPE at serve") {
+    import spark.implicits._
+    val dir = graft.sources.Sinks.tempArtifactDir("wordpiece_spec_null")
+    Seq(Some("ab"), None, Some("##c")).toDF("piece")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.loadWordPieceModel(spark, dir)
+    }
+    assert(e.getMessage.contains("null piece"))
+  }
+
   test("pairScores matches a hand-computed first-iteration table") {
     // corpus: 'ab' ×2, 'ba' ×1 → seed symbols a,##b (×2) and b,##a
     val docs = Seq("ab ab ba").toDF("text")
