@@ -4314,26 +4314,36 @@ object PipelineQueries {
       ORDER BY rank_micro DESC, node""")),
 
     // Robots-rule gate over the harvested frontier — the step a crawl
-    // legally cannot skip, with RFC 9309's match semantics: longest
-    // matching path-prefix wins, an exact-length tie resolves to
-    // allow, no match means allowed. The rule fixture makes every
-    // branch bind: src0.com disallows '/' but allows the LONGER
-    // '/hub' (override), example.com blocks everything, src1.com
-    // blocks its content pages, src2.co.uk carries a contradictory
-    // same-length pair (the tie → allow rule). Rules broadcast at
-    // domain cardinality; election = one max(struct) on the deduped
-    // URL key.
+    // legally cannot skip, under the FULL RFC 9309 grammar (real
+    // robots.txt almost always carry wildcards, so the composed front
+    // gates through the pattern tier, not the prefix sub-grammar):
+    // most-specific match by OCTET length, ties to allow, no match
+    // allows. The rule fixture makes every branch bind: src0.com
+    // disallows '/' but allows the LONGER '/hub' (override) and its
+    // interior-star '*?id=*' out-elects the bare '/' on content URLs,
+    // example.com blocks everything, src1.com blocks its content
+    // pages EXCEPT the one URL its anchored '/p?id=8$' re-allows (a
+    // verdict no prefix rule can express), src2.co.uk carries a
+    // contradictory same-length pair (the tie → allow rule). The rule
+    // table is parseRobotsPatterns output over the raw fixture FILES
+    // — the text-to-verdict chain, not a pre-parsed table. Rules
+    // broadcast at domain cardinality; the election is a scan-stage
+    // fold over the codegen'd RobotsMatch kernel on the deduped URL
+    // key.
     ("p138_robots_filter", (s, d) => {
       import s.implicits._
       val urls = graft.graph.LinkGraph.linkRows(htmlPages(s, d),
         col("page_url"), col("html"))
-      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
-      graft.graph.LinkGraph.robotsFilter(urls, rules)
+        .select(col("canonical"), col("dst_family")).distinct()
+      val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+        robotsWildTxtFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
         .orderBy(col("canonical"))
     }, Some(s"""
       WITH $outlinkCtesSql,
       $robotsCtesSql
-      SELECT canonical, dst_family, allowed, rule_prefix FROM gate
+      SELECT canonical, dst_family, allowed, rule_pattern FROM gate
       ORDER BY canonical""")),
 
     // The composed CRAWL SCHEDULE — rank, gate, then spend: p132's
@@ -4350,8 +4360,11 @@ object PipelineQueries {
       val pages = htmlPages(s, d)
       val urls = graft.graph.LinkGraph.linkRows(pages,
         col("page_url"), col("html"))
-      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
-      val allowedCounts = graft.graph.LinkGraph.robotsFilter(urls, rules)
+      val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+        robotsWildTxtFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      val allowedCounts = graft.graph.LinkGraph.robotsFilterWildcard(
+          urls.select(col("canonical"), col("dst_family")).distinct(), rules)
         .filter(col("allowed"))
         .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
       val edges = graft.graph.LinkGraph.linkRows(pages,
@@ -5062,11 +5075,7 @@ object PipelineQueries {
         .select(col("canonical"), col("family").as("dst_family"))
       val unioned = links.select(col("canonical"), col("dst_family"))
         .union(sm)
-      val rules = robotsRulesFixture.toDF("family", "prefix", "allow")
-      val allowed = graft.graph.LinkGraph.robotsFilter(unioned, rules)
-        .filter(col("allowed"))
-        .select(col("canonical"), col("dst_family"))
-        .localCheckpoint(eager = false)
+      val allowed = gateAllowedOf(s, unioned)
       graft.graph.CrawlOps.crawlWorklist(allowed,
           crawlScheduleOf(links, allowed))
         .orderBy(col("dst_family"), col("pos"))
@@ -7403,8 +7412,11 @@ object PipelineQueries {
                                    links: DataFrame): DataFrame = {
     import s.implicits._
     graft.graph.LinkGraph
-      .robotsFilter(links, robotsRulesFixture.toDF("family", "prefix",
-        "allow"))
+      .robotsFilterWildcard(
+        links.select(col("canonical"), col("dst_family")).distinct(),
+        graft.graph.LinkGraph.parseRobotsPatterns(
+          robotsWildTxtFixture.toDF("family", "txt"),
+          col("family"), col("txt")))
       .filter(col("allowed"))
       .select(col("canonical"), col("dst_family"))
       .localCheckpoint(eager = false)
@@ -7628,15 +7640,69 @@ object PipelineQueries {
              GROUP BY 1) s ON nd.node = s.node)"""
     }.mkString(",\n      ")
 
-  /** The robots rule fixture — ONE Scala definition for p138, p139,
-    * and the q120 streaming twin (the scriptFixtureText rule: the
-    * three executions of [[robotsCtesSql]]'s VALUES must gate against
-    * the same rules, so the Scala side cannot be pasted thrice).
+  /** The PREFIX robots rule fixture — the sub-grammar form p154's
+    * parse entry pins and the both-tiers-agree spec replays (the
+    * crawl front itself gates through [[robotsPatternRulesFixture]]'s
+    * full RFC 9309 grammar — real robots.txt carry wildcards, so the
+    * composed chain cannot run on a parser that refuses them).
     */
   private[graft] val robotsRulesFixture: Seq[(String, String, Boolean)] =
     Seq(("src0.com", "/", false), ("src0.com", "/hub", true),
       ("example.com", "/", false), ("src1.com", "/p", false),
       ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+
+  /** The crawl front's robots rules under the FULL RFC 9309 pattern
+    * grammar — ONE Scala definition for p138, p139, and the q120/q126
+    * streaming twins (the scriptFixtureText rule: every execution of
+    * [[robotsCtesSql]]'s VALUES must gate against the same rules).
+    * The wildcard additions BIND on the harvested frontier: src0's
+    * interior-star `*?id=*` elects over its bare `/` on every content
+    * URL (same verdict, new winning rule — visible in rule_pattern),
+    * and src1's anchored `/p?id=8$` re-ALLOWS exactly one URL out of
+    * its `/p` disallow (a verdict the prefix tier cannot express).
+    * This is [[robotsWildTxtFixture]] parsed — spec-pinned equal to
+    * `parseRobotsPatterns` over the text form.
+    */
+  private[graft] val robotsPatternRulesFixture: Seq[(String, String, Boolean)] =
+    Seq(("src0.com", "/", false), ("src0.com", "/hub", true),
+      ("src0.com", "*?id=*", false),
+      ("example.com", "/", false),
+      ("src1.com", "/p", false), ("src1.com", "/p?id=8$", true),
+      ("src2.co.uk", "/", true), ("src2.co.uk", "/", false))
+
+  /** [[robotsPatternRulesFixture]] as the raw robots.txt TEXT the
+    * crawl front actually ingests — [[robotsTxtFixture]]'s hazard set
+    * (foreign-agent groups, case variants, comments, blank-line-split
+    * headers, empty Disallow) plus the wildcard rules the prefix
+    * parser loudly refuses; the sitemap/delay directives stay so the
+    * p161-165 politeness family reads wildcard-bearing files too.
+    */
+  private[graft] val robotsWildTxtFixture: Seq[(String, String)] = Seq(
+    ("src0.com",
+      "# src0 crawl policy\n" +
+        "User-agent: megabot\n" +
+        "Disallow: /no-mega*\n" +
+        "User-agent: *\n" +
+        "Disallow: /\n" +
+        "Allow: /hub\n" +
+        "Disallow: *?id=*\n" +
+        "Crawl-delay: 5\n" +
+        "Disallow:\n"),
+    ("example.com",
+      "User-Agent: graftbot\n" +
+        "\n" +
+        "user-agent: *\n" +
+        "disallow: / # everything\n"),
+    ("src1.com",
+      "User-agent: *\n" +
+        "Disallow: /p\n" +
+        "Allow: /p?id=8$\n" +
+        "User-agent: otherbot\n" +
+        "Disallow: /secret\n"),
+    ("src2.co.uk",
+      "User-agent: *\n" +
+        "Allow: /\n" +
+        "Disallow: /\n"))
 
   /** p156's sitemap.xml fixture — the hazards planted: an XML
     * declaration and namespace, whitespace-padded multi-line `<loc>`
@@ -7696,8 +7762,10 @@ object PipelineQueries {
         "Allow: /\n" +
         "Disallow: /\n"))
 
-  /** p161/p162/p163's robots fixture: the shared [[robotsTxtFixture]]
-    * families plus the directive hazards those entries gate — a
+  /** p161/p162/p163's robots fixture: the shared
+    * [[robotsWildTxtFixture]] families (WILDCARD-bearing, like real
+    * robots.txt — the directive folds must read past rules the prefix
+    * grammar refuses) plus the directive hazards those entries gate — a
     * `Sitemap:` line standing alone (group-independent), a BOM+CRLF
     * file with a fractional delay AND a second wildcard group whose
     * larger delay must win (MAX), a messy-cased sitemap URL that must
@@ -7707,7 +7775,7 @@ object PipelineQueries {
     * silently skip — the fetch ledger owns that gap).
     */
   private[graft] lazy val robotsMetaFixture: Seq[(String, String)] =
-    robotsTxtFixture ++ Seq(
+    robotsWildTxtFixture ++ Seq(
       ("src0.com", "Sitemap: https://src0.com/smidx.xml\n"),
       ("polite.net",
         "﻿User-agent: *\r\n" +
@@ -7759,7 +7827,7 @@ object PipelineQueries {
         "<lastmod>2026-07-30</lastmod></url></urlset>\n"))
 
   /** p138's robots gate as shared CTEs ending in `gate` (canonical,
-    * dst_family, allowed, rule_prefix) — reused verbatim by p139's
+    * dst_family, allowed, rule_pattern) — reused verbatim by p139's
     * composed schedule so the two executions of the rule fixture
     * cannot drift (the sharedOracle rule, at the SQL level).
     */
@@ -7770,25 +7838,35 @@ object PipelineQueries {
   /** The gate chain AFTER the `u` frontier CTE — split out so p157's
     * unioned frontier (links ∪ sitemap) can redefine `u` and reuse the
     * identical gate arithmetic (the sharedOracle rule at SQL level).
+    * The matcher is the p204 LIKE translation of the RFC 9309 pattern
+    * grammar (a different matcher from the engine's byte-walk kernel
+    * — formula duality for the gate itself), the election the octet-
+    * length/allow/pattern total order [[graft.graph.LinkGraph
+    * .robotsFilterWildcard]] shares.
     */
   private lazy val robotsGateAfterUSql: String = """
       up AS (SELECT canonical, dst_family,
                regexp_replace(canonical, '^[a-z][a-z0-9+.-]*://[^/]*', '')
                  AS path
              FROM u),
-      rules(family, prefix, allow) AS (VALUES
+      rules(family, pattern, allow) AS (VALUES
         ('src0.com', '/', false), ('src0.com', '/hub', true),
-        ('example.com', '/', false), ('src1.com', '/p', false),
+        ('src0.com', '*?id=*', false),
+        ('example.com', '/', false),
+        ('src1.com', '/p', false), ('src1.com', '/p?id=8$', true),
         ('src2.co.uk', '/', true), ('src2.co.uk', '/', false)),
-      m AS (SELECT canonical, prefix, allow,
+      m AS (SELECT canonical, pattern, allow,
               row_number() OVER (PARTITION BY canonical
-                ORDER BY len(prefix) DESC, allow DESC) AS rn
+                ORDER BY strlen(pattern) DESC, allow DESC, pattern DESC)
+                AS rn
             FROM up JOIN rules ON dst_family = family
-              AND starts_with(path, prefix)),
+              AND CASE WHEN pattern LIKE '%$'
+                       THEN path LIKE replace(rtrim(pattern, '$'), '*', '%')
+                       ELSE path LIKE replace(pattern, '*', '%') || '%' END),
       gate AS (SELECT up.canonical, up.dst_family,
                  coalesce(m.allow, true) AS allowed,
-                 coalesce(m.prefix, '') AS rule_prefix
-               FROM up LEFT JOIN (SELECT canonical, prefix, allow FROM m
+                 coalesce(m.pattern, '') AS rule_pattern
+               FROM up LEFT JOIN (SELECT canonical, pattern, allow FROM m
                                   WHERE rn = 1) m USING (canonical))"""
 
   /** p135's oracle iterations: `a1/h1..ak/hk` chained CTEs, one

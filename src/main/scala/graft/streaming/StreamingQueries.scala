@@ -685,11 +685,13 @@ object StreamingQueries {
     * state = the frontier seen-set (streaming `dropDuplicates` on the
     * canonical key — exactly the q31 incremental-dedup state shape),
     * and the rule election runs through the SAME
-    * [[graft.graph.LinkGraph.robotsFilter]] as the batch entry at the
-    * epoch boundary (its internal distinct is idempotent on the
-    * deduped sink; the gate itself is stateless — rules broadcast, a
-    * pure function of the URL). Dedup-then-gate is slice-independent
-    * because the gate is per-row deterministic.
+    * [[graft.graph.LinkGraph.robotsFilterWildcard]] as the batch
+    * entry — the full RFC 9309 pattern tier, a stateless scan-stage
+    * fold over the broadcast rule arrays (parsed once, batch-side,
+    * from the same wildcard-bearing fixture files), so it could
+    * equally run per-row at ingest; here it runs at the epoch
+    * boundary over the deduped frontier. Dedup-then-gate is
+    * slice-independent because the gate is per-row deterministic.
     */
   def robotsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -702,9 +704,11 @@ object StreamingQueries {
       .select(col("canonical"), col("dst_family"))
       .dropDuplicates("canonical")
     val seen = runToMemory(urls, mode = "append")
-    val rules = graft.queries.PipelineQueries.robotsRulesFixture
-      .toDF("family", "prefix", "allow")
-    graft.graph.LinkGraph.robotsFilter(seen, rules)
+    val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+      graft.queries.PipelineQueries.robotsWildTxtFixture
+        .toDF("family", "txt"),
+      col("family"), col("txt"))
+    graft.graph.LinkGraph.robotsFilterWildcard(seen, rules)
       .orderBy(col("canonical"))
   }
 
@@ -829,12 +833,12 @@ object StreamingQueries {
     * .frontierTopK]]) IS the cross-batch state — associative,
     * deduping, ≤k per domain regardless of how many batches or how
     * often a URL is rediscovered. The robots gate runs per-row in the
-    * scan stage ([[graft.graph.LinkGraph.robotsFilterScan]] — the
-    * longest-match as a higher-order fold over a broadcast rule
-    * array, because a streaming query gets ONE stateful aggregation
-    * and the frontier needs it), and the spend-selection finalize is
-    * the SAME [[graft.graph.CrawlOps.worklistSelect]] half as the
-    * batch entry.
+    * scan stage ([[graft.graph.LinkGraph.robotsFilterWildcard]] — the
+    * full RFC 9309 pattern election as a higher-order fold over a
+    * broadcast rule array through the codegen'd RobotsMatch kernel,
+    * because a streaming query gets ONE stateful aggregation and the
+    * frontier needs it), and the spend-selection finalize is the SAME
+    * [[graft.graph.CrawlOps.worklistSelect]] half as the batch entry.
     */
   def crawlWorklistStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -844,9 +848,12 @@ object StreamingQueries {
         graft.queries.PipelineQueries.htmlFixtureText.as("html"))
     val urls = graft.graph.LinkGraph.linkRows(pages, col("page_url"),
       col("html"))
-    val rules = graft.queries.PipelineQueries.robotsRulesFixture
-      .toDF("family", "prefix", "allow")
-    val allowed = graft.graph.LinkGraph.robotsFilterScan(urls, rules)
+    val rules = graft.graph.LinkGraph.parseRobotsPatterns(
+        graft.queries.PipelineQueries.robotsWildTxtFixture
+          .toDF("family", "txt"),
+        col("family"), col("txt"))
+      .localCheckpoint()
+    val allowed = graft.graph.LinkGraph.robotsFilterWildcard(urls, rules)
       .filter(col("allowed"))
       .select(col("canonical"), col("dst_family"))
     val frontier = graft.graph.CrawlOps.frontierTopK(allowed,

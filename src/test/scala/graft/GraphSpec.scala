@@ -481,6 +481,48 @@ class GraphSpec extends AnyFunSuite {
       col("f"), col("t")).count() == 0)
   }
 
+  test("the crawl front's wildcard fixture parses to its pinned rule table") {
+    import graft.queries.PipelineQueries
+    val parsed = LinkGraph.parseRobotsPatterns(
+        PipelineQueries.robotsWildTxtFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      .as[(String, Long, String, Boolean)].collect()
+    // the authored wildcard-bearing files parse to EXACTLY the rules
+    // the gate oracle's VALUES carry (the sharedOracle rule: the text
+    // form and the table form cannot drift)
+    assert(parsed.map(r => (r._1, r._3, r._4)).toSet ==
+      PipelineQueries.robotsPatternRulesFixture.toSet)
+    assert(parsed.length == PipelineQueries.robotsPatternRulesFixture.length)
+  }
+
+  test("prefix-only robots files gate identically through both tiers") {
+    import graft.queries.PipelineQueries
+    // the prefix grammar is a SUB-grammar of the pattern grammar: on
+    // a wildcard-free file, parse+gate through either tier must agree
+    // verdict-for-verdict and rule-for-rule — the pin that makes the
+    // wildcard tier a safe drop-in for the whole crawl front
+    val txts = PipelineQueries.robotsTxtFixture.toDF("family", "txt")
+    val urls = Seq(
+      ("https://src0.com/hub?a=1", "src0.com"),
+      ("https://src0.com/p?id=3", "src0.com"),
+      ("https://src0.com/", "src0.com"),
+      ("https://src1.com/p?id=8", "src1.com"),
+      ("https://src1.com/hub", "src1.com"),
+      ("https://example.com/x", "example.com"),
+      ("https://src2.co.uk/", "src2.co.uk"),
+      ("https://nowhere.net/a", "nowhere.net"))
+      .toDF("canonical", "dst_family")
+    val viaPrefix = LinkGraph.robotsFilter(urls,
+        LinkGraph.parseRobots(txts, col("family"), col("txt"))
+          .select(col("family"), col("prefix"), col("allow")))
+      .as[(String, String, Boolean, String)].collect().toSet
+    val viaWild = LinkGraph.robotsFilterWildcard(urls,
+        LinkGraph.parseRobotsPatterns(txts, col("family"), col("txt"))
+          .select(col("family"), col("pattern"), col("allow")))
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(viaPrefix == viaWild)
+  }
+
   test("parseRobots: CRLF and BOM files parse identically; wildcard patterns raise") {
     // the real-world norm: CRLF endings and a UTF-8 BOM - either one,
     // unhandled, breaks every directive match and fails the gate OPEN
