@@ -311,6 +311,9 @@ object SparkEntry {
     ("q147_streaming_wordpiece_train",
       (s, d) => graft.streaming.StreamingQueries.wordPieceTrainStream(s, d),
       Some(sharedOracle("p198_wordpiece_train"))),
+    ("q148_streaming_paced_worklist",
+      (s, d) => graft.streaming.StreamingQueries.pacedWorklistStream(s, d),
+      Some(PipelineQueries.pacedWorklistOracle)),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

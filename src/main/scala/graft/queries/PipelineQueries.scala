@@ -4402,10 +4402,7 @@ object PipelineQueries {
     // entire harvest → gate → rank → spend → select chain through the
     // SAME shared CTEs as p139 (the sharedOracle rule at SQL level).
     ("p145_crawl_worklist", (s, d) => {
-      val links = crawlLinksFixture(s, d)
-      val allowed = gateAllowedOf(s, links)
-      graft.graph.CrawlOps.crawlWorklist(allowed,
-          crawlScheduleOf(links, allowed))
+      crawlWorklistFixture(s, d)
         .orderBy(col("dst_family"), col("pos"))
     }, Some(s"""
       WITH $outlinkCtesSql,
@@ -7455,6 +7452,48 @@ object PipelineQueries {
     val links = crawlLinksFixture(s, d)
     crawlScheduleOf(links, gateAllowedOf(s, links))
   }
+
+  /** p145's worklist as ONE shared definition — the (canonical,
+    * dst_family, pos) frame a fetcher consumes this round, reused by
+    * the q148 paced-release twin so the pacer's input cannot drift
+    * from the audited worklist (the sharedOracle rule in Scala).
+    */
+  private[graft] def crawlWorklistFixture(s: SparkSession,
+                                          d: String): DataFrame = {
+    val links = crawlLinksFixture(s, d)
+    val allowed = gateAllowedOf(s, links)
+    graft.graph.CrawlOps.crawlWorklist(allowed,
+      crawlScheduleOf(links, allowed))
+  }
+
+  /** q148's oracle: the ENTIRE harvest → wildcard gate → schedule →
+    * worklist chain (the shared CTEs), then the pacing arithmetic —
+    * each domain releases at `greatest(1, trigger div crawl_delay)`
+    * per round (delays are p161's generative VALUES — the published
+    * Crawl-delay table of the wildcard-bearing fixture files),
+    * un-delayed domains at the default burst 4, so item `pos` of a
+    * domain's md5-ordered worklist releases in round
+    * `ceil(pos / rate)`. The pacer's micro-batch release SCHEDULE is
+    * itself the gated output, not just the delay table feeding it.
+    */
+  private[graft] lazy val pacedWorklistOracle: String = s"""
+      WITH $outlinkCtesSql,
+      $robotsCtesSql,
+      $crawlScheduleCtesSql,
+      wl AS (SELECT g.canonical, g.dst_family, c.n_requests,
+               row_number() OVER (PARTITION BY g.dst_family
+                 ORDER BY md5(g.canonical), g.canonical) AS pos
+             FROM gate g JOIN c ON g.dst_family = c.node
+             WHERE g.allowed),
+      sel AS (SELECT canonical, dst_family, CAST(pos AS BIGINT) AS pos
+              FROM wl WHERE pos <= n_requests),
+      delays(family, ms) AS (VALUES
+        ('src0.com', 5000), ('polite.net', 10000)),
+      rr AS (SELECT s.*, greatest(1, coalesce(10000 // d.ms, 4)) AS rate
+             FROM sel s LEFT JOIN delays d ON s.dst_family = d.family)
+      SELECT canonical, dst_family, pos,
+             CAST((pos + rate - 1) // rate AS BIGINT) AS round
+      FROM rr ORDER BY dst_family, pos"""
 
   /** p148's extracted-page fixture: each doc's text as a body line
     * under three planted chrome lines — a global nav line (every doc:

@@ -97,6 +97,37 @@ object StreamingQueries {
     df.sparkSession.table(name)
   }
 
+  /** Like [[runToMemoryPolling]] but keeps the query alive until the
+    * sink holds `expectedRows` — for TIMER-driven operators
+    * ([[StatefulOps.paceByKeyRates]]'s backlog drain). It POLLS the
+    * sink rather than calling `processAllAvailable`: under
+    * `ProcessingTimeTimeout` the engine's shouldRunAnotherBatch is
+    * permanently true (processing time always advances, so a timer
+    * could always fire), the no-new-data signal never latches, and
+    * `processAllAvailable` blocks FOREVER even after the state store
+    * has fully drained. Times out LOUDLY — a drain that never
+    * completes is an under-provisioned rate, not an empty result.
+    */
+  def runToMemoryUntil(df: DataFrame, expectedRows: Long,
+                       timeoutMs: Long = 120000L): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(10))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis + timeoutMs
+      def n() = df.sparkSession.table(name).count()
+      while (n() < expectedRows && System.currentTimeMillis < deadline) {
+        q.exception.foreach(e => throw e)
+        Thread.sleep(100)
+      }
+      require(n() >= expectedRows,
+        s"runToMemoryUntil: timed out with ${n()} of $expectedRows rows — " +
+          "the pacer's backlog never drained")
+    } finally q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** q21's tumbling-window aggregation, executed via Structured
     * Streaming. Oracle: identical SQL to q21.
     */
@@ -902,6 +933,60 @@ object StreamingQueries {
     graft.graph.CrawlOps.worklistSelect(
         graft.graph.CrawlOps.frontierTopK(survivors, maxPerDomain = 100),
         sched)
+      .orderBy(col("dst_family"), col("pos"))
+  }
+
+  /** The p145 worklist RELEASED at each domain's published robots
+    * cadence — the politeness UNIFICATION: parsed `Crawl-delay` from
+    * the same wildcard-bearing fixture files
+    * ([[graft.graph.LinkGraph.robotsCrawlDelay]]) becomes each
+    * family's per-trigger release rate (`trigger div crawl_delay_ms`
+    * floored at 1 — [[graft.graph.LinkGraph.crawlDelayCaps]]'
+    * arithmetic at trigger grain; un-delayed domains release at the
+    * default burst), and the frozen worklist drains through
+    * [[StatefulOps.paceByKeyRates]]' per-key state-store queue. The
+    * release ROUND is deterministic — item `pos` of a domain's
+    * md5-ordered list releases in round `ceil(pos / rate)` — so the
+    * pacing SCHEDULE itself is oracle-gated (the q135 rule pushed one
+    * level further: not just the delay table, the schedule it
+    * produces). The rate table rides the closure at domain
+    * cardinality (the bounded-model rule); the worklist input is ONE
+    * file → one micro-batch, so every key's queue forms in its first
+    * invocation and drains on processing-time timers.
+    */
+  def pacedWorklistStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val wl = PipelineQueries.crawlWorklistFixture(spark, sfDir)
+      .localCheckpoint()
+    val fams = wl.select(col("dst_family")).distinct()
+      .orderBy(col("dst_family")).collect().map(_.getString(0))
+    val famsDf = fams.zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toSeq.toDF("key", "dst_family")
+    val delays = graft.graph.LinkGraph.robotsCrawlDelay(
+        PipelineQueries.robotsMetaFixture.toDF("family", "txt"),
+        col("family"), col("txt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val triggerMs = 10000L
+    val defaultRate = 4
+    val rates: Long => Int = id =>
+      delays.get(fams(id.toInt))
+        .map(ms => math.max(1L, triggerMs / ms).toInt)
+        .getOrElse(defaultRate)
+    val keyed = wl.join(broadcast(famsDf), Seq("dst_family"))
+      .select(col("key"), col("pos").as("seq"),
+        col("canonical").as("property"), lit(0.0).as("payload"))
+    val dir = graft.sources.Sinks.tempArtifactDir("paced_worklist_in")
+    keyed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(keyed.schema).parquet(dir)
+      .as[StatefulOps.KeyedElement]
+    val released = StatefulOps.paceByKeyRates(stream, rates,
+      maxBuffer = 1000, drainIntervalMs = 50)
+    runToMemoryUntil(released.toDF(), wl.count())
+      .select(col("key"), col("seq").as("pos"), col("round"))
+      .join(broadcast(famsDf), Seq("key"))
+      .join(wl, Seq("dst_family", "pos"))
+      .select(col("canonical"), col("dst_family"), col("pos"), col("round"))
       .orderBy(col("dst_family"), col("pos"))
   }
 
