@@ -314,6 +314,9 @@ object SparkEntry {
     ("q148_streaming_paced_worklist",
       (s, d) => graft.streaming.StreamingQueries.pacedWorklistStream(s, d),
       Some(PipelineQueries.pacedWorklistOracle)),
+    ("q149_streaming_nfc_dedup",
+      (s, d) => graft.streaming.StreamingQueries.nfcDedupStream(s, d),
+      Some(sharedOracle("p208_unicode_nfc"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -6884,7 +6884,42 @@ object PipelineQueries {
       SELECT doc_id, CAST(m_micro AS BIGINT) AS m_micro,
              round(1.0 / (1.0 + exp(-(m_micro / 1e6))), 6) AS p_r6,
              m_micro > 0 AS good_pred
-      FROM m3 ORDER BY doc_id""")))
+      FROM m3 ORDER BY doc_id""")),
+
+    // Unicode NFC normalization feeding exact dedup — the collapse a
+    // multilingual corpus needs before ANY byte-keyed operator: the
+    // fixture plants composed/decomposed TWIN pairs (U+00E9 vs
+    // e+U+0301 — same visible text, different bytes) and a singleton
+    // carrying U+212B (the Angstrom sign, whose NFC form is the
+    // DIFFERENT code point U+00C5), over an otherwise-ASCII corpus.
+    // Under graft.functions.UnicodeNormalize (codegen'd JDK
+    // Normalizer, identity-returning on already-normalized input)
+    // each twin pair collapses to ONE dedup group, the Angstrom
+    // singleton's key carries the composed bytes, and every ASCII doc
+    // passes through BYTE-IDENTICAL — all three facts oracle-checked
+    // against DuckDB's independent nfc_normalize, including the
+    // normalized STRING itself and its whitespace tokenization (the
+    // tokens downstream seeding consumes). Pure scan-stage
+    // projection; the dedup election is the p01 hash-groupBy.
+    ("p208_unicode_nfc", (s, d) => {
+      import graft.functions.UnicodeNormalize
+      Tables.documents(s, d)
+        .select(col("doc_id"), nfcFixtureText.as("raw"))
+        .select(col("doc_id"), UnicodeNormalize.nfc(col("raw")).as("norm"))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("keeper_doc"),
+          count(lit(1)).as("n_docs"))
+        .select(col("keeper_doc"), col("n_docs"), col("norm"),
+          array_join(graft.functions.TextFunctions.tokens(col("norm")),
+            "|").as("toks"))
+        .orderBy(col("keeper_doc"))
+    }, Some(s"""
+      WITH raw AS (SELECT doc_id, $nfcFixtureSql AS raw FROM documents),
+      n AS (SELECT doc_id, nfc_normalize(raw) AS norm FROM raw)
+      SELECT min(doc_id) AS keeper_doc,
+             CAST(count(*) AS BIGINT) AS n_docs, norm,
+             array_to_string(${sqlToks("norm")}, '|') AS toks
+      FROM n GROUP BY norm ORDER BY keeper_doc""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -7941,6 +7976,36 @@ object PipelineQueries {
   private[graft] val cyrillicFixture = "привет мир данные корпус очистка текст"
   private[graft] val hanFixture = "数据 质量 清洗 语料 去重 文本处理 训练集"
   private[graft] val greekFixture = "δεδομένα ποιότητα καθαρισμός κείμενο"
+
+  /** p208's Unicode fixture — composed/decomposed twin PAIRS (docs
+    * 4k+1 and 4k+2 render the same text, one precomposed U+00E9/…,
+    * one with combining marks U+0301/U+0308), a per-pair suffix so
+    * the pairs collapse pairwise (not into one giant group), a
+    * singleton whose U+212B Angstrom sign NFC-composes to the
+    * DIFFERENT code point U+00C5, and the base ASCII text everywhere
+    * else (the unchanged-bytes pin). Shared Scala/SQL synthesis (the
+    * scriptFixtureText rule).
+    */
+  private[graft] def nfcFixtureText: Column =
+    when(col("doc_id") % 4 === 1,
+      concat(lit("café résumé naïve pair "),
+        expr("cast(doc_id div 4 as string)")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("café résumé naïve pair "),
+          expr("cast(doc_id div 4 as string)")))
+      .when(col("doc_id") % 4 === 3,
+        concat(lit("Ångström singleton "), expr("cast(doc_id div 4 as string)")))
+      .otherwise(col("text"))
+
+  private[graft] val nfcFixtureSql: String =
+    "CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 1 THEN 'café résumé naïve pair ' || " +
+      "CAST(doc_id // 4 AS VARCHAR) " +
+      "WHEN 2 THEN 'café résumé naïve pair ' || " +
+      "CAST(doc_id // 4 AS VARCHAR) " +
+      "WHEN 3 THEN 'Ångström singleton ' || " +
+      "CAST(doc_id // 4 AS VARCHAR) " +
+      "ELSE text END"
 
   /** The p128 fixture SYNTHESIS (not just the strings) — shared with
     * the q117 ingest twin so the modulo routing cannot drift between

@@ -990,6 +990,32 @@ object StreamingQueries {
       .orderBy(col("dst_family"), col("pos"))
   }
 
+  /** p208's NFC-normalized exact dedup AT ingest — where the
+    * normalization projection actually belongs (every byte keyed
+    * downstream hashes what THIS step emits): the codegen'd
+    * [[graft.functions.UnicodeNormalize]] runs map-side (stateless,
+    * identity-returning on already-normalized text — the ASCII
+    * firehose pays only the quick check), and the dedup election is
+    * the ONE streaming aggregation; composed/decomposed twins landing
+    * in different micro-batches still collapse, because the state key
+    * is the normalized form.
+    */
+  def nfcDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.nfcFixtureText.as("raw"))
+      .select(col("doc_id"),
+        graft.functions.UnicodeNormalize.nfc(col("raw")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keeper_doc"),
+        count(lit(1)).as("n_docs"))
+    runToMemory(agg)
+      .select(col("keeper_doc"), col("n_docs"), col("norm"),
+        array_join(graft.functions.TextFunctions.tokens(col("norm")),
+          "|").as("toks"))
+      .orderBy(col("keeper_doc"))
+  }
+
   /** p158's byte-level BPE training with the vocabulary folded from
     * the stream — q70's split at byte level: the (word, count) table
     * is the ONE streaming aggregation, the byte-seeded merge rounds

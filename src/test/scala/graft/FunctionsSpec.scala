@@ -555,4 +555,63 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MultiMatchCounts(col("t"), Seq("a", "a")))
   }
+
+  test("UnicodeNormalize: NFC collapses decomposed twins and composes singletons") {
+    import TestSpark.spark.implicits._
+    import graft.functions.UnicodeNormalize
+    val composed = "café résumé naïve"
+    val decomposed = "café résumé naïve"
+    val rows = Seq(composed, decomposed, "Ångström").toDF("t")
+      .select(UnicodeNormalize.nfc(col("t")).as("n"))
+      .as[String].collect()
+    assert(rows(0) == composed && rows(1) == composed)
+    // the Angstrom SIGN U+212B composes to the letter U+00C5
+    assert(rows(2) == "Ångström")
+    // downstream keying collapses: dedup hash, shingles, tokenizer
+    // word seeding all read the SAME bytes after the projection
+    val twins = Seq((1L, composed + " x y z"), (2L, decomposed + " x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), UnicodeNormalize.nfc(col("text")).as("norm"))
+    assert(twins.select(md5(col("norm"))).distinct().count() == 1)
+    assert(twins.select(TextFunctions.shingles(col("norm"), 3))
+      .distinct().count() == 1)
+    val enc = twins.select(graft.functions.WordPieceEncode(col("norm"),
+      Seq("caf", "##é", "##é", "x", "y", "z")).as("e"))
+      .as[String].collect()
+    assert(enc(0) == enc(1))
+  }
+
+  test("UnicodeNormalize: ASCII fast path returns the input unchanged, allocation-free") {
+    import graft.functions.UnicodeNormalizeUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString("plain ascii text 123")
+    val out = UnicodeNormalizeUtil.normalize(u, java.text.Normalizer.Form.NFC,
+      casefold = false)
+    assert(out eq u) // identity, not an equal copy
+    // and over a frame: un-normalized paths unchanged for ASCII
+    import TestSpark.spark.implicits._
+    import graft.functions.UnicodeNormalize
+    val docs = Tables.documents(spark, TestSpark.sf)
+    assert(docs.filter(UnicodeNormalize.nfc(col("text")) =!= col("text"))
+      .isEmpty)
+  }
+
+  test("UnicodeNormalize: NFKC folds compatibility forms; casefold stacks for keying") {
+    import TestSpark.spark.implicits._
+    import graft.functions.UnicodeNormalize
+    val rows = Seq("ﬁle №4 ＡBC").toDF("t")
+      .select(UnicodeNormalize.nfkc(col("t")).as("n"),
+        UnicodeNormalize.nfkcCasefold(col("t")).as("cf"))
+      .as[(String, String)].collect().head
+    assert(rows._1 == "file №4 ABC" ||
+      rows._1 == "file No4 ABC") // U+2116 folds to 'No' under NFKC
+    assert(rows._2 == rows._1.toLowerCase(java.util.Locale.ROOT))
+    // NFC must NOT fold compatibility characters (display-safe)
+    val nfc = Seq("ﬁle").toDF("t")
+      .select(UnicodeNormalize.nfc(col("t"))).as[String].collect().head
+    assert(nfc == "ﬁle")
+    // an unknown form name is a loud construction error
+    intercept[IllegalArgumentException](
+      UnicodeNormalize(col("t"), "NFX", casefold = false))
+  }
 }
