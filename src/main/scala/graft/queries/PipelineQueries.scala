@@ -5829,14 +5829,21 @@ object PipelineQueries {
     // Transfer/content encodings as a real crawl stores them — the
     // fetched representation rides the WARC block VERBATIM, so the
     // split must undo `Transfer-Encoding: chunked` (hex-size framing)
-    // and `Content-Encoding: gzip` (bounded inflate) before any text
-    // work. One fixture, three encodings by doc_id % 3 (identity /
-    // gzip / chunked), one oracle: the decoded text equals the
-    // authored document byte-for-byte whichever wire form it rode.
+    // and `Content-Encoding: gzip`/`deflate` (bounded inflate; the
+    // deflate sniff accepts BOTH the zlib-wrapped form RFC 9110 means
+    // and the raw RFC 1951 stream misbehaving servers send) before
+    // any text work. One fixture, five encodings by doc_id % 5
+    // (identity / gzip / chunked / deflate-zlib / deflate-raw), one
+    // oracle: the decoded text equals the authored document
+    // byte-for-byte whichever wire form it rode.
     ("p180_http_encodings", (s, d) => {
       val docs = Tables.documents(s, d)
-      val v = col("doc_id") % 3
+      val v = col("doc_id") % 5
       val gz = graft.functions.GzipBytes(encode(col("text"), "UTF-8"))
+      val defZ = graft.functions.DeflateBytes(encode(col("text"), "UTF-8"),
+        raw = false)
+      val defR = graft.functions.DeflateBytes(encode(col("text"), "UTF-8"),
+        raw = true)
       val n = octet_length(col("text"))
       val lastChunk = floor((n - 1) / lit(100)).cast("int")
       val chunked = concat(
@@ -5853,6 +5860,15 @@ object PipelineQueries {
         .when(v === 1, concat(
           cast_bin(head(lit("\r\nContent-Encoding: gzip"),
             octet_length(gz))), gz))
+        // deflate in BOTH wire forms: zlib-wrapped (what RFC 9110
+        // means) and the raw stream misbehaving servers send — the
+        // read-side sniff must decode both to the same oracle text
+        .when(v === 3, concat(
+          cast_bin(head(lit("\r\nContent-Encoding: deflate"),
+            octet_length(defZ))), defZ))
+        .when(v === 4, concat(
+          cast_bin(head(lit("\r\nContent-Encoding: deflate"),
+            octet_length(defR))), defR))
         .otherwise(cast_bin(concat(
           head(lit("\r\nTransfer-Encoding: chunked"),
             octet_length(chunked)), chunked)))

@@ -146,10 +146,12 @@ object HttpMessage {
     * order: `Transfer-Encoding: chunked` first (the message framing),
     * then `Content-Encoding: gzip`/`x-gzip` (the representation
     * coding, through the bounded loud member walk — the WARC payload
-    * bound, since the payload rode a WARC record to get here).
-    * `identity` and absent encodings pass bytes verbatim; any OTHER
-    * token raises — silently returning still-encoded bytes would feed
-    * deflate garbage to the extract chain.
+    * bound, since the payload rode a WARC record to get here) or
+    * `deflate` (both zlib-wrapped and raw wire forms, sniffed —
+    * [[graft.functions.GunzipUtil.inflate]]). `identity` and absent
+    * encodings pass bytes verbatim; any OTHER token (br, zstd)
+    * raises — silently returning still-encoded bytes would feed
+    * compressed garbage to the extract chain.
     */
   def decodeBody(b: Array[Byte], head: Head, label: String): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(b, head.payloadStart, b.length)
@@ -172,10 +174,15 @@ object HttpMessage {
       case Seq("gzip") | Seq("x-gzip") =>
         graft.functions.GunzipUtil.gunzip(deChunked,
           graft.functions.GunzipUtil.MaxWarcOut)
+      case Seq("deflate") =>
+        // both wire forms (zlib-wrapped per RFC 9110, raw per the
+        // servers that ship RFC 1951 bare) — GunzipUtil.inflate sniffs
+        graft.functions.GunzipUtil.inflate(deChunked,
+          graft.functions.GunzipUtil.MaxWarcOut, label)
       case other => throw new IllegalArgumentException(
         s"$label: unsupported Content-Encoding '${other.mkString(", ")}'" +
-          " — gzip/identity are in scope; undecoded bytes must not reach " +
-          "the text projection")
+          " — gzip/deflate/identity are in scope; undecoded bytes must " +
+          "not reach the text projection (br/zstd are not implemented)")
     }
   }
 

@@ -332,4 +332,55 @@ class HttpSpec extends AnyFunSuite {
     assert(got == Seq((4L, true), (2L, false), (1L, false), (1L, false),
       (2L, false), (3L, true)))
   }
+
+  test("inflate decodes both deflate wire forms and fails loudly on the rest") {
+    import graft.functions.{DeflateBytes, GunzipUtil}
+    val text = ("café résumé " * 50).getBytes("UTF-8")
+    val zlib = DeflateBytes.deflate(text, raw = false)
+    val raw = DeflateBytes.deflate(text, raw = true)
+    // the two wire forms differ on the wire but sniff-decode alike
+    assert(!java.util.Arrays.equals(zlib, raw))
+    assert(java.util.Arrays.equals(
+      GunzipUtil.inflate(zlib, 1 << 20, "t"), text))
+    assert(java.util.Arrays.equals(
+      GunzipUtil.inflate(raw, 1 << 20, "t"), text))
+    // truncated stream: loud, with input context
+    val e1 = intercept[IllegalArgumentException](
+      GunzipUtil.inflate(java.util.Arrays.copyOf(zlib, zlib.length - 4),
+        1 << 20, "t"))
+    assert(e1.getMessage.contains("truncated"))
+    // trailing garbage after the stream end: loud, never silently kept
+    val e2 = intercept[IllegalArgumentException](
+      GunzipUtil.inflate(zlib ++ Array[Byte](1, 2, 3), 1 << 20, "t"))
+    assert(e2.getMessage.contains("trailing"))
+    // output bound: loud overflow, not a truncated document
+    val e3 = intercept[IllegalArgumentException](
+      GunzipUtil.inflate(zlib, 16, "t"))
+    assert(e3.getMessage.contains("bound"))
+    // corrupt bytes that sniff as NEITHER form still fail with context
+    val e4 = intercept[IllegalArgumentException](
+      GunzipUtil.inflate(Array[Byte](0x78, 0x01.toByte, 99, 98, 97),
+        1 << 20, "t"))
+    assert(e4.getMessage.contains("deflate"))
+  }
+
+  test("decodeBody routes Content-Encoding: deflate; br still raises") {
+    import graft.functions.DeflateBytes
+    import graft.sources.HttpMessage
+    val body = "hello deflate body".getBytes("UTF-8")
+    def msg(enc: String, payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: $enc\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload
+    for (raw <- Seq(false, true)) {
+      val m = msg("deflate", DeflateBytes.deflate(body, raw))
+      val head = HttpMessage.parseHead(m, "t")
+      assert(java.util.Arrays.equals(
+        HttpMessage.decodeBody(m, head, "t"), body))
+    }
+    val br = msg("br", Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException](
+      HttpMessage.decodeBody(br, HttpMessage.parseHead(br, "t"), "t"))
+    assert(e.getMessage.contains("unsupported Content-Encoding"))
+  }
 }
