@@ -2404,36 +2404,21 @@ object CorpusOps {
     // seeding + merge application MUST be the encoder's own kernels
     // (graft.functions.BpeKernel / graft.functions.ByteAlphabet) — the
     // round-trip bit-identity the spec pins is a property of sharing
-    // one implementation; byte-level differs ONLY in the seeding
-    var seqs: Array[(Array[String], Long)] =
+    // one implementation; byte-level differs ONLY in the seeding.
+    // Elections run through [[MergeTrainer]]'s incremental pair-count
+    // maintenance (same total order, bit-identical table — the specs
+    // pin it against a naive recount), so round cost scales with the
+    // sequences the merge TOUCHES, not the whole vocabulary.
+    val seqs: Array[(Array[String], Long)] =
       vocab.map { case (w, c) =>
         (if (byteLevel) graft.functions.ByteAlphabet.seed(w)
          else graft.functions.BpeKernel.seed(w), c)
       }
-    val merges = Seq.newBuilder[BpeMerge]
-    var r = 1
-    var exhausted = false
-    while (r <= numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      seqs.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + c)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((l, rg), total) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        merges += BpeMerge(r.toLong, l, rg, l + rg, total)
-        seqs = seqs.map { case (syms, c) =>
-          (graft.functions.BpeKernel.mergePass(syms, l, rg), c)
-        }
-        r += 1
-      }
-    }
-    merges.result().toDF()
+    MergeTrainer.train(seqs, numMerges, likelihood = false,
+        (l, r) => l + r,
+        (syms, l, r, _) => graft.functions.BpeKernel.mergePass(syms, l, r))
+      .map(e => BpeMerge(e.rank.toLong, e.l, e.r, e.merged, e.pairCnt))
+      .toDF()
   }
 
   /** Collect a [[bpeTrainMerges]] output into the rank-ordered

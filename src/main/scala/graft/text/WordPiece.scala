@@ -48,8 +48,12 @@ object WordPiece {
     * product). Ties: higher pair_count, then (left, right) ascending —
     * a total order because pair keys are unique.
     */
-  private def better(a: ((String, String), (Long, Long, Long)),
-                     b: ((String, String), (Long, Long, Long))): Boolean = {
+  /** The reference likelihood comparison — [[MergeTrainer]]'s heap
+    * order must agree with it exactly (the naive-recount equivalence
+    * spec replays elections through this).
+    */
+  private[graft] def better(a: ((String, String), (Long, Long, Long)),
+                            b: ((String, String), (Long, Long, Long))): Boolean = {
     val ((al, ar), (ap, acl, acr)) = a
     val ((bl, br), (bp, bcl, bcr)) = b
     val cross = BigInt(ap) * BigInt(bcl) * BigInt(bcr) -
@@ -86,41 +90,18 @@ object WordPiece {
     import spark.implicits._
     val vocab = words.select(col("word"), col("freq").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var seqs: Array[(Array[String], Long)] =
+    val seqs: Array[(Array[String], Long)] =
       vocab.map { case (w, c) => (WordPieceKernel.seed(w), c) }
-    val merges = Seq.newBuilder[WordPieceMerge]
-    var rank = 1
-    var exhausted = false
-    while (rank <= numMerges && !exhausted) {
-      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
-      seqs.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length) {
-          symCnt.update(syms(i), symCnt.getOrElse(syms(i), 0L) + c)
-          if (i < syms.length - 1) {
-            val k = (syms(i), syms(i + 1))
-            pairCnt.update(k, pairCnt.getOrElse(k, 0L) + c)
-          }
-          i += 1
-        }
-      }
-      if (pairCnt.isEmpty) exhausted = true
-      else {
-        val scored = pairCnt.iterator.map { case ((l, r), p) =>
-          ((l, r), (p, symCnt(l), symCnt(r)))
-        }
-        val best = scored.reduce((a, b) => if (better(a, b)) a else b)
-        val ((l, r), (p, cl, cr)) = best
-        val m = WordPieceKernel.mergedSymbol(l, r)
-        merges += WordPieceMerge(rank.toLong, l, r, m, p, cl, cr)
-        seqs = seqs.map { case (syms, c) =>
-          (WordPieceKernel.mergePass(syms, l, r, m), c)
-        }
-        rank += 1
-      }
-    }
-    merges.result().toDF()
+    // incremental pair/symbol-count maintenance + lazy-deletion heap
+    // ([[MergeTrainer]]): the likelihood total order is [[better]]'s
+    // exact cross-multiplied compare, so the merge table is
+    // bit-identical to the naive per-round recount (spec-pinned)
+    MergeTrainer.train(seqs, numMerges, likelihood = true,
+        WordPieceKernel.mergedSymbol,
+        (syms, l, r, m) => WordPieceKernel.mergePass(syms, l, r, m))
+      .map(e => WordPieceMerge(e.rank.toLong, e.l, e.r, e.merged,
+        e.pairCnt, e.cntL, e.cntR))
+      .toDF()
   }
 
   /** The SERVING vocabulary a merge table implies on a corpus: every
