@@ -317,6 +317,9 @@ object SparkEntry {
     ("q149_streaming_nfc_dedup",
       (s, d) => graft.streaming.StreamingQueries.nfcDedupStream(s, d),
       Some(sharedOracle("p208_unicode_nfc"))),
+    ("q150_streaming_unigram_train",
+      (s, d) => graft.streaming.StreamingQueries.unigramTrainStream(s, d),
+      Some(sharedOracle("p193_unigram_train"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -1059,6 +1059,33 @@ object StreamingQueries {
       graft.Tables.documents(spark, sfDir), vocab)
   }
 
+  /** p193's unigram-LM TRAINING with the word table folded from the
+    * stream — q147's split applied to the EM trainer: the ONE
+    * corpus-sized aggregation is the streaming (word, freq) fold; the
+    * EM rounds (E-step likelihood, re-estimate, prune) run
+    * driver-side against that bounded artifact through the SAME
+    * [[graft.text.UnigramLm.unigramTrainFromWords]] as the batch
+    * entry (single seeding and election code path — batch-identical
+    * by shared definition), and the trained pieces serve p191's
+    * round-trip gate over the corpus.
+    */
+  def unigramTrainStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val words = runToMemory(graft.text.UnigramLm.wordFreqs(
+        documentsStream(spark, sfDir), col("text")))
+      .localCheckpoint()
+    val (vocab, _) = graft.text.UnigramLm.unigramTrainFromWords(words,
+      vocabTarget = 400, seedMaxLen = 4, seedSize = 1500, iters = 2)
+    val pieces = graft.text.UnigramLm.toMicro(vocab)
+    graft.Tables.documents(spark, sfDir).select(col("doc_id"),
+        graft.functions.UnigramEncode(col("text"), pieces).as("seg"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (regexp_replace(col("seg"), "\\|", "") ===
+          array_join(col("toks"), "")).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p159's byte-level encoding on the streaming engine — q73's
     * frozen-model deploy shape with byte seeding: the byte-level
     * merge table is trained batch-side, rides the plan as expression

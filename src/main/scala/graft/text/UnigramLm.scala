@@ -161,14 +161,27 @@ object UnigramLm {
   def unigramTrain(docs: DataFrame, text: Column, vocabTarget: Int,
                    seedMaxLen: Int = 4, seedSize: Int = 2000,
                    iters: Int = 3, pruneFrac: Double = 0.25,
-                   unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) = {
+                   unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) =
+    unigramTrainFromWords(wordFreqs(docs, text).localCheckpoint(),
+      vocabTarget, seedMaxLen, seedSize, iters, pruneFrac, unkLogp)
+
+  /** [[unigramTrain]] off an already-reduced (word, freq) frame — the
+    * caller owns the frame's lifetime (the wordPieceTrainFromWords
+    * split): the ONE corpus-sized aggregation happens wherever the
+    * words come from (batch reduction, or a streaming fold — the q150
+    * twin), and the EM rounds run driver-side against the bounded
+    * artifact either way.
+    */
+  def unigramTrainFromWords(words: DataFrame, vocabTarget: Int,
+                            seedMaxLen: Int = 4, seedSize: Int = 2000,
+                            iters: Int = 3, pruneFrac: Double = 0.25,
+                            unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) = {
     require(vocabTarget >= 1, s"unigramTrain: vocabTarget must be >= 1")
     require(iters >= 1 && iters <= 64,
       s"unigramTrain: iters must be in [1, 64], got $iters — EM is a " +
         "bounded driver loop")
     require(pruneFrac > 0.0 && pruneFrac < 1.0,
       s"unigramTrain: pruneFrac must be in (0, 1), got $pruneFrac")
-    val words = wordFreqs(docs, text).localCheckpoint()
     var vocab = seedVocab(words, seedMaxLen, seedSize)
     val liks = Vector.newBuilder[Double]
     var i = 0
