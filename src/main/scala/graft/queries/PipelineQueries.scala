@@ -6935,7 +6935,68 @@ object PipelineQueries {
       SELECT min(doc_id) AS keeper_doc,
              CAST(count(*) AS BIGINT) AS n_docs, norm,
              array_to_string(${sqlToks("norm")}, '|') AS toks
-      FROM n GROUP BY norm ORDER BY keeper_doc""")))
+      FROM n GROUP BY norm ORDER BY keeper_doc""")),
+
+    // Shard COALESCE closing the CDX maintenance triple (append-
+    // compact p183, split, now merge): a TAKEDOWN tombstones every
+    // src10..src19 record out of the index — a contiguous middle of
+    // the surt key space (com,src1 < com,src10..19 < com,src2), so
+    // the compaction leaves a run of undersized/empty shard
+    // directories between adequate neighbors — and coalesceCdxShards
+    // merges those runs into fresh sorted shards: cost proportional
+    // to the MERGED rows only, untouched shards never move (spec
+    // pins them byte-identical), the cluster index re-derives. The
+    // gate is the p174 pruned serve run AGAINST the coalesced
+    // layout: surviving panel keys route through the re-derived
+    // index to their merged-or-original shards and fetch exact
+    // payload bytes; the oracle is the generative surviving-slice
+    // expectation.
+    ("p209_cdx_coalesce", (s, d) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" page "),
+          col("doc_id").cast("string")).as("text"))
+      val warcs = warcFixtureFrom(docs).localCheckpoint()
+      val cdx = Warc.cdxIndex(
+          Warc.parseWarc(warcs, col("file_id"), col("payload")))
+        .localCheckpoint()
+      val dir = graft.sources.Sinks.tempArtifactDir("cdx_coalesce")
+      Warc.writeCdxShards(cdx, dir, numShards = 16)
+      val did = regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+        .cast("long")
+      // partial takedown: 4 of every 5 records of the src10..19
+      // families leave — the middle shards SHRINK (to ~a fifth)
+      // rather than vanish, so coalesce faces a genuine undersized
+      // RUN, not a hole of deleted directories
+      Warc.compactCdxShards(dir, cdx.filter(lit(false)),
+        tombstones = Some(cdx.filter(did % 20 >= 10 && did % 5 =!= 0)
+          .select(col("file_id"), col("offset"))))
+      val total = s.read.parquet(dir).count()
+      Warc.coalesceCdxShards(dir, minRows = math.max(2L, total / 12))
+      val shards = s.read.parquet(dir)
+      val cluster = Warc.cdxClusterIndex(shards)
+      val panel = docs
+        .filter(col("doc_id") % 43 === 0 && col("doc_id") % 20 < 10)
+        .select(concat(lit("https://www.src"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url"))
+          .as("surt_key"))
+      val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+      val ids = assigned.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val hits = shards.filter(col("shard").isin(ids: _*))
+        .join(broadcast(assigned), Seq("shard", "surt_key"))
+      Warc.fetchRecords(warcs, col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text || ' page ' || CAST(doc_id AS VARCHAR) AS body
+      FROM documents WHERE doc_id % 43 = 0 AND doc_id % 20 < 10
+      ORDER BY doc_id""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION

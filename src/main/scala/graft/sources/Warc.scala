@@ -749,6 +749,81 @@ object Warc {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Merge runs of UNDERSIZED adjacent shards — the inverse of
+    * [[splitCdxShard]], and the other half of shard maintenance:
+    * tombstone-heavy compactions ([[compactCdxShards]]) shrink shards
+    * in place, and a layout that only ever splits degrades into a
+    * long tail of near-empty directories whose per-shard overhead
+    * (open, footer, cluster-index row) dominates the serve. A shard
+    * is undersized below `minRows`; CONSECUTIVE undersized shards (in
+    * surt-key order — adjacency is key adjacency, so merging them
+    * preserves the one-contiguous-disjoint-range-per-shard invariant)
+    * group greedily, each group closing once it reaches `minRows`,
+    * and each group of two or more rewrites as ONE fresh sorted shard
+    * (new id above the current max — ids are names; the serve-time
+    * cluster index re-derives the order from first keys).
+    *
+    * Cost ∝ the merged shards ONLY: adequate shards are never read
+    * beyond the config-sized stats pass and never written — their
+    * directories stay byte-identical (spec-pinned). A LONE undersized
+    * shard between two adequate neighbors stays: merging it would
+    * rewrite an adequate neighbor, making cost ∝ neighbor size — the
+    * caller who wants it gone can split the neighbor first. Publish
+    * is the same driver-side directory swap as compaction/split.
+    */
+  def coalesceCdxShards(dir: String, minRows: Long): Unit = {
+    require(minRows >= 1, s"coalesceCdxShards: minRows must be >= 1, got $minRows")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val current = spark.read.parquet(dir)
+    require(current.columns.contains("shard"),
+      s"coalesceCdxShards: $dir is not a writeCdxShards layout (no shard column)")
+    // (shard, first_key, rows) in key order — config-sized collect
+    val stats = current.groupBy(col("shard"))
+      .agg(min(col("surt_key")).as("first_key"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._2)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[(Int, Long)]]
+    var cur = Vector.empty[(Int, Long)]
+    def close(): Unit = { if (cur.size >= 2) groups += cur; cur = Vector.empty }
+    stats.foreach { case (sh, _, n) =>
+      if (n >= minRows) close() // adequate: never joins a group
+      else {
+        cur = cur :+ ((sh, n))
+        if (cur.map(_._2).sum >= minRows) close()
+      }
+    }
+    close()
+    if (groups.isEmpty) return
+    val nextId = stats.map(_._1).max + 1
+    // old shard id -> its group's fresh output id
+    val mapping = groups.zipWithIndex.flatMap { case (g, gi) =>
+      g.map { case (sh, _) => (sh, nextId + gi) }
+    }.toMap
+    val mapExpr = mapping.foldLeft(lit(-1)) { case (acc, (from, to)) =>
+      when(col("shard") === from, lit(to)).otherwise(acc)
+    }
+    val tmp = dir + ".coalesce-tmp"
+    current.filter(col("shard").isin(mapping.keys.toSeq.map(Int.box): _*))
+      .withColumn("shard", mapExpr)
+      .repartition(groups.length, col("shard"))
+      .sortWithinPartitions(col("shard"), col("surt_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"shard=${nextId + gi}")
+      val dst = new org.apache.hadoop.fs.Path(dir, s"shard=${nextId + gi}")
+      fs.delete(dst, true)
+      if (!fs.rename(src, dst)) throw new java.io.IOException(
+        s"coalesceCdxShards: failed to publish $src -> $dst")
+      g.foreach { case (sh, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"shard=$sh"), true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Revisit detection — the archive-level exact dedup every public
     * web archive runs at ingest: a record whose content DIGEST was
     * already stored becomes a `revisit` pointer to the first-stored

@@ -652,4 +652,84 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("Warc: coalesceCdxShards merges undersized adjacent runs only — adequate and lone-undersized shards never move") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.Warc
+    val cdx = (10 until 50).map(i => (f"com,s$i%02d)/p", i.toLong,
+        i.toLong * 100, 50L, s"d$i"))
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
+    def listing(sh: Int): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(dir, s"shard=$sh")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length(), f.lastModified())).sorted
+    }
+    try {
+      Warc.writeCdxShards(cdx, dir, numShards = 8) // 5 rows per shard
+      val before = (0 until 8).map(listing)
+      // every shard adequate: a full no-op — nothing moves at all
+      Warc.coalesceCdxShards(dir, minRows = 4)
+      assert((0 until 8).map(listing) == before, "adequate layout rewrote")
+      // tombstone the MIDDLE shards (2..5) down to one row each: a
+      // four-shard undersized run between adequate neighbors
+      val mid = spark.read.parquet(dir)
+        .filter(col("shard").between(2, 5))
+      val keepOne = mid.groupBy(col("shard"))
+        .agg(org.apache.spark.sql.functions.min(col("surt_key")).as("k"))
+        .select(col("k")).collect().map(_.getString(0)).toSet
+      val tomb = mid.filter(!col("surt_key").isin(keepOne.toSeq: _*))
+        .select(col("file_id"), col("offset"))
+      Warc.compactCdxShards(dir, cdx.filter(lit(false)),
+        tombstones = Some(tomb))
+      val beforeCoal = (0 until 8).map(listing)
+      Warc.coalesceCdxShards(dir, minRows = 4)
+      val after = spark.read.parquet(dir)
+      // the run merged into ONE fresh shard (4 x 1 row reaches minRows)
+      val ids = after.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(ids == Set(0, 1, 6, 7, 8), ids)
+      assert(after.filter(col("shard") === 8).count() == 4)
+      // untouched shards byte-identical, mtimes and all
+      Seq(0, 1, 6, 7).foreach { sh =>
+        assert(listing(sh) == beforeCoal(sh), s"shard $sh moved")
+      }
+      // the merged shard is one contiguous sorted range and the
+      // re-derived cluster index still routes every key correctly
+      val keys = after.filter(col("shard") === 8)
+        .select(col("surt_key")).collect().map(_.getString(0))
+      assert(keys.sameElements(keys.sorted))
+      val routed = Warc.assignShards(
+          after.select(col("surt_key")).distinct(), col("surt_key"),
+          Warc.cdxClusterIndex(after))
+        .withColumnRenamed("shard", "routed")
+        .join(after, Seq("surt_key"))
+      assert(routed.filter(col("routed") =!= col("shard")).isEmpty,
+        "cluster index mis-routes after coalesce")
+      // a LONE undersized shard between adequate neighbors stays: drop
+      // shard 6 to one row, coalesce — nothing merges (cost would be
+      // proportional to an adequate neighbor, not the undersized tail)
+      val six = spark.read.parquet(dir).filter(col("shard") === 6)
+      val keep6 = six.agg(org.apache.spark.sql.functions.min(col("surt_key")))
+        .collect().head.getString(0)
+      Warc.compactCdxShards(dir, cdx.filter(lit(false)),
+        tombstones = Some(six.filter(col("surt_key") =!= keep6)
+          .select(col("file_id"), col("offset"))))
+      val beforeLone = spark.read.parquet(dir)
+        .select(col("shard"), col("surt_key")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      Warc.coalesceCdxShards(dir, minRows = 4)
+      val afterLone = spark.read.parquet(dir)
+        .select(col("shard"), col("surt_key")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(afterLone == beforeLone, "lone undersized shard must stay")
+      // loud guards
+      intercept[IllegalArgumentException](
+        Warc.coalesceCdxShards(dir, minRows = 0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
