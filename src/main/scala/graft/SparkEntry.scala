@@ -320,6 +320,9 @@ object SparkEntry {
     ("q150_streaming_unigram_train",
       (s, d) => graft.streaming.StreamingQueries.unigramTrainStream(s, d),
       Some(sharedOracle("p193_unigram_train"))),
+    ("q151_streaming_wat",
+      (s, d) => graft.streaming.StreamingQueries.watMetadataStream(s, d),
+      Some(sharedOracle("p186_wat_metadata"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -1126,6 +1126,55 @@ object StreamingQueries {
       .orderBy(col("file_id"), col("record_idx"))
   }
 
+  /** p186's WAT derivation with the response ARCHIVE streamed — the
+    * metadata sibling completing the WARC (q134) / WET-path HTTP
+    * split (q140) / WAT triple on the streaming engine: response
+    * files land in a directory as fetches complete, each file parses
+    * and HTTP-splits STATELESSLY in the scan stage, and the per-record
+    * metadata JSON (url, status, mime, title, outlink count) is a
+    * pure projection — so the metadata rows materialize at ingest
+    * with ZERO state (append mode). The WAT FILE assembly (per-file
+    * record fold) and the gate's full re-parse run batch-side at the
+    * epoch boundary through the SAME
+    * [[graft.sources.Warc.writeWarc]]/parseWarc as p186 — shared
+    * definition, shared oracle.
+    */
+  def watMetadataStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.documents(spark, sfDir)
+    val page = graft.queries.PipelineQueries.htmlFixtureText
+    val msg = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+        "\r\nContent-Length: "), octet_length(page).cast("string"),
+      lit("\r\n\r\n"), page).cast("binary")
+    val dir = graft.sources.Sinks.tempArtifactDir("wat_stream_in")
+    graft.queries.PipelineQueries.httpResponseWarcFrom(
+        docs.select(col("doc_id"), msg.as("msg")))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val split = graft.sources.Warc.splitHttp(
+      graft.sources.Warc.parseWarcBinary(
+        spark.readStream.schema(schema).parquet(dir),
+        col("file_id"), col("payload")))
+    val meta = split.select(col("file_id"), col("record_idx"),
+      lit("metadata").as("t"), col("target_uri"),
+      to_json(struct(col("target_uri").as("url"),
+        col("http_status").as("status"),
+        col("mime_type").as("mime"),
+        TextFunctions.htmlTitle(col("text")).as("title"),
+        size(TextFunctions.extractHrefs(col("text"))).as("n_links")))
+        .as("b"))
+    val rows = runToMemory(meta, mode = "append")
+    val wat = graft.sources.Warc.writeWarc(rows,
+      col("file_id"), col("record_idx"), col("t"), col("target_uri"),
+      col("b"), contentType = lit("application/json"))
+    graft.sources.Warc.parseWarc(wat, col("file_id"), col("payload"))
+      .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("warc_type"), col("content_type"), col("body"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the
