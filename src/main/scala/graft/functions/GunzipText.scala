@@ -62,6 +62,44 @@ object GunzipUtil {
     */
   val MaxWarcOut: Int = 1 << 30
 
+  /** Bounded `Content-Encoding: zstd` decode (RFC 8878) through the
+    * zstd-jni streaming decompressor Spark itself ships for parquet.
+    * Same loudness discipline as [[gunzip]]/[[inflate]]: corrupt or
+    * truncated frames raise with context (zstd-jni's error message
+    * carries the frame diagnostics), and output past `maxOut` raises
+    * instead of truncating. Concatenated frames decode in sequence
+    * (the frame-append convention, like gzip members).
+    */
+  def zstdInflate(b: Array[Byte], maxOut: Int, label: String): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$label: $msg")
+    if (b.length < 4) fail(s"zstd stream of ${b.length} bytes")
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b))
+    in.setContinuous(false)
+    try {
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = 0
+      while (n >= 0) {
+        n = try in.read(buf)
+        catch { case e: java.io.IOException =>
+          fail(s"corrupt or truncated zstd stream: ${e.getMessage}")
+        }
+        if (n > 0) {
+          total += n
+          if (total > maxOut)
+            fail(s"zstd output exceeds the $maxOut-byte bound — split " +
+              "the input instead of buffering it in one task")
+          out.write(buf, 0, n)
+        }
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Bounded `Content-Encoding: deflate` decode — BOTH wire forms,
     * because real servers send both: RFC 9110 says deflate is the
     * zlib-wrapped format (RFC 1950), but a large minority of servers

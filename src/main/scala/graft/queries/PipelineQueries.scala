@@ -5829,21 +5829,23 @@ object PipelineQueries {
     // Transfer/content encodings as a real crawl stores them — the
     // fetched representation rides the WARC block VERBATIM, so the
     // split must undo `Transfer-Encoding: chunked` (hex-size framing)
-    // and `Content-Encoding: gzip`/`deflate` (bounded inflate; the
-    // deflate sniff accepts BOTH the zlib-wrapped form RFC 9110 means
-    // and the raw RFC 1951 stream misbehaving servers send) before
-    // any text work. One fixture, five encodings by doc_id % 5
-    // (identity / gzip / chunked / deflate-zlib / deflate-raw), one
+    // and `Content-Encoding: gzip`/`deflate`/`zstd` (bounded
+    // inflates; the deflate sniff accepts BOTH the zlib-wrapped form
+    // RFC 9110 means and the raw RFC 1951 stream misbehaving servers
+    // send; zstd rides the zstd-jni Spark itself ships) before any
+    // text work. One fixture, six encodings by doc_id % 6 (identity
+    // / gzip / chunked / deflate-zlib / deflate-raw / zstd), one
     // oracle: the decoded text equals the authored document
     // byte-for-byte whichever wire form it rode.
     ("p180_http_encodings", (s, d) => {
       val docs = Tables.documents(s, d)
-      val v = col("doc_id") % 5
+      val v = col("doc_id") % 6
       val gz = graft.functions.GzipBytes(encode(col("text"), "UTF-8"))
       val defZ = graft.functions.DeflateBytes(encode(col("text"), "UTF-8"),
         raw = false)
       val defR = graft.functions.DeflateBytes(encode(col("text"), "UTF-8"),
         raw = true)
+      val zst = graft.functions.ZstdBytes(encode(col("text"), "UTF-8"))
       val n = octet_length(col("text"))
       val lastChunk = floor((n - 1) / lit(100)).cast("int")
       val chunked = concat(
@@ -5869,6 +5871,9 @@ object PipelineQueries {
         .when(v === 4, concat(
           cast_bin(head(lit("\r\nContent-Encoding: deflate"),
             octet_length(defR))), defR))
+        .when(v === 5, concat(
+          cast_bin(head(lit("\r\nContent-Encoding: zstd"),
+            octet_length(zst))), zst))
         .otherwise(cast_bin(concat(
           head(lit("\r\nTransfer-Encoding: chunked"),
             octet_length(chunked)), chunked)))

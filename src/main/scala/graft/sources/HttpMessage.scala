@@ -148,10 +148,11 @@ object HttpMessage {
     * coding, through the bounded loud member walk — the WARC payload
     * bound, since the payload rode a WARC record to get here) or
     * `deflate` (both zlib-wrapped and raw wire forms, sniffed —
-    * [[graft.functions.GunzipUtil.inflate]]). `identity` and absent
-    * encodings pass bytes verbatim; any OTHER token (br, zstd)
-    * raises — silently returning still-encoded bytes would feed
-    * compressed garbage to the extract chain.
+    * [[graft.functions.GunzipUtil.inflate]]) or `zstd` (RFC 8878 via
+    * the zstd-jni Spark ships). `identity` and absent encodings pass
+    * bytes verbatim; any OTHER token (br) raises — silently
+    * returning still-encoded bytes would feed compressed garbage to
+    * the extract chain.
     */
   def decodeBody(b: Array[Byte], head: Head, label: String): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(b, head.payloadStart, b.length)
@@ -179,10 +180,13 @@ object HttpMessage {
         // servers that ship RFC 1951 bare) — GunzipUtil.inflate sniffs
         graft.functions.GunzipUtil.inflate(deChunked,
           graft.functions.GunzipUtil.MaxWarcOut, label)
+      case Seq("zstd") =>
+        graft.functions.GunzipUtil.zstdInflate(deChunked,
+          graft.functions.GunzipUtil.MaxWarcOut, label)
       case other => throw new IllegalArgumentException(
         s"$label: unsupported Content-Encoding '${other.mkString(", ")}'" +
-          " — gzip/deflate/identity are in scope; undecoded bytes must " +
-          "not reach the text projection (br/zstd are not implemented)")
+          " — gzip/deflate/zstd/identity are in scope; undecoded bytes " +
+          "must not reach the text projection (br is not implemented)")
     }
   }
 

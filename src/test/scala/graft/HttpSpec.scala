@@ -364,7 +364,29 @@ class HttpSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("deflate"))
   }
 
-  test("decodeBody routes Content-Encoding: deflate; br still raises") {
+  test("zstdInflate round-trips, stays bounded, and fails loudly on corruption") {
+    import graft.functions.{GunzipUtil, ZstdBytes}
+    val text = ("zstd body κείμενο " * 40).getBytes("UTF-8")
+    val z = ZstdBytes.zstd(text)
+    assert(java.util.Arrays.equals(
+      GunzipUtil.zstdInflate(z, 1 << 20, "t"), text))
+    // concatenated frames decode in sequence (the gzip-member rule)
+    assert(java.util.Arrays.equals(
+      GunzipUtil.zstdInflate(z ++ z, 1 << 20, "t"), text ++ text))
+    val eb = intercept[IllegalArgumentException](
+      GunzipUtil.zstdInflate(z, 16, "t"))
+    assert(eb.getMessage.contains("bound"))
+    val ec = intercept[IllegalArgumentException](
+      GunzipUtil.zstdInflate("not a zstd frame at all".getBytes, 1 << 20,
+        "t"))
+    assert(ec.getMessage.contains("zstd"))
+    val et = intercept[IllegalArgumentException](
+      GunzipUtil.zstdInflate(java.util.Arrays.copyOf(z, z.length - 3),
+        1 << 20, "t"))
+    assert(et.getMessage.contains("zstd"))
+  }
+
+  test("decodeBody routes Content-Encoding: deflate and zstd; br still raises") {
     import graft.functions.DeflateBytes
     import graft.sources.HttpMessage
     val body = "hello deflate body".getBytes("UTF-8")
@@ -378,6 +400,9 @@ class HttpSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(
         HttpMessage.decodeBody(m, head, "t"), body))
     }
+    val mz = msg("zstd", graft.functions.ZstdBytes.zstd(body))
+    assert(java.util.Arrays.equals(
+      HttpMessage.decodeBody(mz, HttpMessage.parseHead(mz, "t"), "t"), body))
     val br = msg("br", Array[Byte](1, 2, 3))
     val e = intercept[IllegalArgumentException](
       HttpMessage.decodeBody(br, HttpMessage.parseHead(br, "t"), "t"))
