@@ -7001,7 +7001,95 @@ object PipelineQueries {
     }, Some("""
       SELECT doc_id, text || ' page ' || CAST(doc_id AS VARCHAR) AS body
       FROM documents WHERE doc_id % 43 = 0 AND doc_id % 20 < 10
-      ORDER BY doc_id""")))
+      ORDER BY doc_id""")),
+
+    // INT8 scalar quantization (SQ8) recall — the memory knob an
+    // embedding store turns before any index change: per-dimension
+    // min/max over the corpus is the quantizer MODEL (a 64-row
+    // artifact, legitimately collected — the bounded-model rule),
+    // each component codes to floor((x−lo)·255/(hi−lo)+0.5) — the
+    // floor(+0.5) spelling because floor agrees across engines where
+    // round's half-rule does not — and serving ranks on the
+    // RECONSTRUCTED vectors (lo + code·(hi−lo)/255 — what an SQ8
+    // store actually computes against). The audit is p155's harness:
+    // recall@5 of quantized-serve against full-precision truth, in
+    // integer micro-units; the oracle recomputes the min/max model,
+    // the code arithmetic (identical operation order, so the doubles
+    // are bit-equal), both rankings, and the hit count. 4 bytes/dim →
+    // 1 byte/dim is the difference between an in-memory and a
+    // spilled ANN tier at 100 TB.
+    ("p210_sq8_recall", (s, d) => {
+      import graft.similarity.SimilaritySearch
+      val e = Tables.embeddings(s, d)
+      val st = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(min(col("v").cast("double")).as("lo"),
+          max(col("v").cast("double")).as("hi"))
+        .orderBy(col("dim"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      val loC = typedlit(st.map(_._1).toSeq)
+      val hiC = typedlit(st.map(_._2).toSeq)
+      def dequant(c: Column): Column =
+        transform(c, (x, i) => {
+          val l = element_at(loC, i + 1)
+          val h = element_at(hiC, i + 1)
+          when(h === l, l).otherwise(
+            l + floor((x.cast("double") - l) * lit(255.0) / (h - l)
+              + lit(0.5)) * (h - l) / lit(255.0))
+        })
+      val q = e.filter(col("vec_id") < 20)
+      val full = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+          col("embedding"), q, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = false)
+      val sq = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+          dequant(col("embedding")), q, col("vec_id"),
+          dequant(col("embedding")), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = sq.join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val denom = full.agg(count(lit(1)).as("n_truth"))
+      hits.crossJoin(broadcast(denom))
+        .select(col("n_hits"), col("n_truth"),
+          expr("n_hits * 1000000 div n_truth").as("recall_micro"))
+    }, Some("""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      st AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+             FROM c, generate_series(1, 64) t(i) GROUP BY 1),
+      m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+            FROM st),
+      dq AS (SELECT vec_id, list_transform(v, (x, i) ->
+               CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+                    ELSE m.lo[i] + floor((x - m.lo[i]) * 255.0
+                           / (m.hi[i] - m.lo[i]) + 0.5)
+                         * (m.hi[i] - m.lo[i]) / 255.0 END) AS v
+             FROM c, m),
+      qf AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 20),
+      fs AS (SELECT query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(c.v, qv) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM c, qf WHERE c.vec_id <> query_id),
+      truth AS (SELECT query_id, neighbor_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM fs)
+                WHERE rank <= 5),
+      qd AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 20),
+      ds AS (SELECT query_id, dq.vec_id AS neighbor_id,
+               round(list_dot_product(dq.v, qv) /
+                     (sqrt(list_dot_product(dq.v, dq.v)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM dq, qd WHERE dq.vec_id <> query_id),
+      sq AS (SELECT query_id, neighbor_id FROM
+              (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank FROM ds)
+             WHERE rank <= 5),
+      h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+            FROM sq JOIN truth USING (query_id, neighbor_id)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT n_hits, n_truth,
+             CAST(n_hits * 1000000 // n_truth AS BIGINT) AS recall_micro
+      FROM h, tot""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
