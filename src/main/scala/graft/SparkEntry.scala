@@ -472,5 +472,12 @@ object SparkEntry {
     // scoring — the model-eval class beside p45's add-one), and two
     // GD iterations of the logistic quality classifier (iterative
     // corpus passes with dim-sized driver state)
-    "p198_wordpiece_train", "p201_kn_perplexity", "p202_quality_lr_train")
+    "p198_wordpiece_train", "p201_kn_perplexity", "p202_quality_lr_train",
+    // round-11: the NFC-normalized exact dedup (the codegen'd
+    // Normalizer projection + corpus-wide election), the CDX shard
+    // coalesce lifecycle (takedown compaction + undersized-run merge
+    // + pruned serve — the maintenance cost story beside p183), and
+    // the SQ8 quantize-serve recall audit (two brute-force rankings
+    // over the dequantized store)
+    "p208_unicode_nfc", "p209_cdx_coalesce", "p210_sq8_recall")
 }

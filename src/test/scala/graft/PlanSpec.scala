@@ -616,6 +616,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("robotsFilterWildcard: rules broadcast, the match+election fold runs scan-stage — no sort-merge join, no extra exchange") {
+    import graft.graph.LinkGraph
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Tables.documents(spark, TestSpark.sf)
+      .select(concat(lit("https://x.com/p?id="),
+        col("doc_id").cast("string")).as("canonical"),
+        // a REAL (non-literal) family column — a constant would fold
+        // the equi-join condition away and change the join strategy
+        concat(lit("x"), (col("doc_id") % 2).cast("string"), lit(".com"))
+          .as("dst_family"))
+    val rules = Seq(("x0.com", "/p*", false), ("x1.com", "/p?id=1$", true))
+      .toDF("family", "pattern", "allow")
+    val plan = LinkGraph.robotsFilterWildcard(urls, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-family rule arrays must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a urls-side shuffle would make the gate cost a corpus exchange:\n$plan")
+    // exactly the rule-collapse exchange (domain cardinality), never
+    // one on the frontier side
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "family"),
+      s"only the rule table may shuffle (family key), got $exchanges:\n$plan")
+  }
+
+  test("p210 SQ8 serve: both rankings broadcast the query side — no cartesian sort-merge") {
+    val plan = graft.SparkEntry.queries("p210_sq8_recall")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the panel side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("Cartesian"),
+      s"a corpus-side exchange per ranking is the wrong shape:\n$plan")
+  }
+
   test("compactCdxShards reads only the affected shard partitions (partition-pruned merge scan)") {
     import graft.sources.Warc
     val spark2 = spark
