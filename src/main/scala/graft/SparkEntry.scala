@@ -323,6 +323,9 @@ object SparkEntry {
     ("q151_streaming_wat",
       (s, d) => graft.streaming.StreamingQueries.watMetadataStream(s, d),
       Some(sharedOracle("p186_wat_metadata"))),
+    ("q152_streaming_meta_robots",
+      (s, d) => graft.streaming.StreamingQueries.metaRobotsStream(s, d),
+      Some(sharedOracle("p211_meta_robots"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -185,15 +185,13 @@ object TextFunctions {
     * bytes unless ingest canonicalizes first. `java.text.Normalizer`
     * implements the same Unicode normalization the oracle's
     * `nfc_normalize` (utf8proc) does, so the canonical form is
-    * engine-portable. A JVM UDF (no `functions._` equivalent — the
-    * exact-set-probe rule); nulls pass through.
+    * engine-portable. Delegates to the codegen'd
+    * [[UnicodeNormalize]] expression (one code path with the NFKC /
+    * casefold variants; identity-returning on already-normalized
+    * input, so the ASCII firehose allocates nothing); nulls pass
+    * through.
     */
-  def nfcNormalize(text: Column): Column = {
-    val f = udf((s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    f(text)
-  }
+  def nfcNormalize(text: Column): Column = UnicodeNormalize.nfc(text)
 
   /** HTML boilerplate EXTRACTION — the first transform of every crawl
     * pipeline (the WET step: raw fetch → training text). In order:
@@ -261,6 +259,49 @@ object TextFunctions {
       regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
     }
     regexp_extract_all(live, lit("(?i)(?<![-\\w])href=\"([^\"]*)\""), lit(1))
+  }
+
+  /** `<meta name="robots">` directive tokens — the PAGE half of the
+    * indexing-directives gate (the robots.txt gate controls FETCH;
+    * these control what a fetched page may feed: `noindex` bars the
+    * retrieval index, `nofollow` bars the outlink harvest, `none` is
+    * both). Case-insensitive, attribute-order-free (`content` before
+    * `name` parses the same), several robots metas fold, tokens split
+    * on commas and trim/lowercase; a `name="description"` meta whose
+    * content happens to contain the words does NOT bind. Pure
+    * codegen'd regex chain over the raw page.
+    */
+  def metaRobots(html: Column): Column = {
+    val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    val robots = filter(metas,
+      m => m.rlike("(?i)\\bname\\s*=\\s*\"robots\""))
+    val toks = flatten(transform(robots, m =>
+      transform(
+        split(regexp_extract(m, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1),
+          ","),
+        t => lower(trim(t)))))
+    array_distinct(filter(toks, t => t =!= ""))
+  }
+
+  /** [[extractHrefs]] restricted to FOLLOWED anchors — the harvest a
+    * ranking crawl actually runs: hrefs come from `<a>` tags only,
+    * and an anchor whose `rel` carries any of the no-weight tokens
+    * (`nofollow`, `sponsored`, `ugc` — the Google triple, matched as
+    * whole tokens inside the attribute value) contributes nothing.
+    * `rel="noopener"` and friends pass. Same comment/script/style
+    * stripping as the full harvest.
+    */
+  def extractFollowHrefs(html: Column): Column = {
+    val live = Seq("script", "style").foldLeft(
+        regexp_replace(html, "(?s)<!--.*?-->", " ")) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
+    }
+    val anchors = regexp_extract_all(live, lit("(?is)<a\\b[^>]*>"), lit(0))
+    val followed = filter(anchors, a => !a.rlike(
+      "(?i)\\brel\\s*=\\s*\"[^\"]*\\b(nofollow|sponsored|ugc)\\b[^\"]*\""))
+    filter(transform(followed, a =>
+        regexp_extract(a, "(?i)(?<![-\\w])href=\"([^\"]*)\"", 1)),
+      h => h =!= "")
   }
 
   /** Accent folding: NFD-decompose, drop combining marks, NFC-compose

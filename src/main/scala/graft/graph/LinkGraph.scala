@@ -65,12 +65,56 @@ object LinkGraph {
     * that would mint a garbage frontier node.
     */
   def linkRows(pages: DataFrame, provenanceUrl: Column,
-               html: Column): DataFrame = {
+               html: Column): DataFrame =
+    linkRowsOf(pages, provenanceUrl, TextFunctions.extractHrefs(html))
+
+  /** [[linkRows]] under the page's INDEXING DIRECTIVES — the harvest
+    * a ranking crawl runs: a page whose `<meta name="robots">`
+    * carries `nofollow` (or `none`) contributes NO edges at all, and
+    * within a followed page only anchors without no-weight `rel`
+    * tokens survive ([[TextFunctions.extractFollowHrefs]] —
+    * nofollow/sponsored/ugc). Same canonicalization chain, same
+    * scan-stage shape: both gates are pure per-row projections on the
+    * html the harvest already reads, so the follow harvest costs
+    * exactly what the full harvest does.
+    */
+  def linkRowsFollow(pages: DataFrame, provenanceUrl: Column,
+                     html: Column): DataFrame = {
+    val pageToks = TextFunctions.metaRobots(html)
+    linkRowsOf(
+      pages.filter(!array_contains(pageToks, "nofollow") &&
+        !array_contains(pageToks, "none")),
+      provenanceUrl, TextFunctions.extractFollowHrefs(html))
+  }
+
+  /** Indexing-directive flags for one fetched page: `<meta
+    * name="robots">` tokens ([[TextFunctions.metaRobots]]) unioned
+    * with the `X-Robots-Tag` response-header tokens (the HTTP half —
+    * RFC 9309's sibling convention; same comma grammar), most
+    * restrictive wins, `none` = both. Output struct(noindex,
+    * nofollow) — the two gates an index build and a link harvest
+    * consume.
+    */
+  def robotsDirectiveFlags(metaToks: Column, headerVal: Column): Column = {
+    val headerToks = filter(
+      transform(split(coalesce(headerVal, lit("")), ","),
+        t => lower(trim(t))),
+      t => t =!= "")
+    val all = array_union(metaToks, headerToks)
+    struct(
+      (array_contains(all, "noindex") || array_contains(all, "none"))
+        .as("noindex"),
+      (array_contains(all, "nofollow") || array_contains(all, "none"))
+        .as("nofollow"))
+  }
+
+  private def linkRowsOf(pages: DataFrame, provenanceUrl: Column,
+                         hrefs: Column): DataFrame = {
     val scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     pages
       .select(SourceFamily.familyOf(provenanceUrl).as("src_family"),
         provenanceUrl.as("__page"),
-        explode(TextFunctions.extractHrefs(html)).as("href"))
+        explode(hrefs).as("href"))
       .withColumn("__abs",
         when(col("href").rlike(s"^$scheme://"), col("href"))
           .when(col("href").startsWith("//"),

@@ -7089,7 +7089,69 @@ object PipelineQueries {
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
       SELECT n_hits, n_truth,
              CAST(n_hits * 1000000 // n_truth AS BIGINT) AS recall_micro
-      FROM h, tot""")))
+      FROM h, tot""")),
+
+    // Page-level indexing directives — the gate BESIDE robots.txt
+    // (which controls FETCH; these control what a fetched page may
+    // feed): `<meta name="robots">` tokens from the page unioned with
+    // the `X-Robots-Tag` response header, most restrictive wins,
+    // `none` = noindex+nofollow. The fixture binds every clause:
+    // case-variant metas with padded content, TWO metas folding, the
+    // attribute order reversed (content before name), a
+    // `name="description"` decoy whose content says "noindex,
+    // nofollow" on EVERY page (must never bind), and a header-only
+    // noindex on the %7 stripe so the union is visible where the meta
+    // said nothing. Runs through the real HTTP path (header map from
+    // splitHttp), flags are one codegen'd regex/HOF chain per row.
+    ("p211_meta_robots", (s, d) => {
+      directiveFlagsOf(graft.sources.Warc.splitHttp(
+          graft.sources.Warc.parseWarcBinary(
+            metaRobotsWarcFixture(Tables.documents(s, d)),
+            col("file_id"), col("payload"))))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(doc_id % 5 AS INT) IN (1, 3, 4) OR doc_id % 7 = 0
+               AS noindex,
+             CAST(doc_id % 5 AS INT) IN (2, 3, 4) AS nofollow
+      FROM documents ORDER BY doc_id""")),
+
+    // The FOLLOW harvest — p131's outlink extraction under indexing
+    // directives, the edge set a ranking crawl actually builds: a
+    // page-level `<meta name="robots" nofollow>` drops the whole
+    // page's edges, and per-anchor `rel` no-weight tokens (nofollow /
+    // sponsored / the multi-token "ugc me") drop single anchors;
+    // `rel="noopener"` is a planted decoy that must keep its edge,
+    // and the description-meta decoy from p211 rides every page. Same
+    // canonicalization chain as the full harvest — the oracle writes
+    // the surviving canonical edges down from the fixture arithmetic
+    // and aggregates.
+    ("p212_follow_harvest", (s, d) => {
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        messyUrlFixture.as("page_url"), nofollowHtmlFixture.as("html"))
+      graft.graph.LinkGraph.linkRowsFollow(pages, col("page_url"),
+          col("html"))
+        .groupBy(col("src_family"), col("dst_family"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("src_family"), col("dst_family"))
+    }, Some("""
+      WITH base AS (SELECT doc_id, source || '.com' AS sf FROM documents
+                    WHERE doc_id % 9 <> 1),
+      flk AS (
+        SELECT sf AS src_family, 'src0.com' AS dst_family FROM base
+        UNION ALL
+        SELECT sf, 'src' || (doc_id * 7 % 20) || '.com' FROM base
+        WHERE doc_id % 2 <> 1
+        UNION ALL
+        SELECT sf, 'src' || (doc_id % 7) || '.com' FROM base
+        WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT sf, 'src' || (doc_id % 4) || '.co.uk' FROM base
+        WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT sf, 'example.com' FROM base)
+      SELECT src_family, dst_family, CAST(count(*) AS BIGINT) AS n_links
+      FROM flk GROUP BY 1, 2 ORDER BY 1, 2""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -8176,6 +8238,85 @@ object PipelineQueries {
       "WHEN 3 THEN 'Ångström singleton ' || " +
       "CAST(doc_id // 4 AS VARCHAR) " +
       "ELSE text END"
+
+  /** p211's directive-bearing response ARCHIVE — meta variants by
+    * doc_id%5 (case/padding, two folding metas, reversed attribute
+    * order, `none`), the description-meta decoy on every page, and a
+    * header-only `X-Robots-Tag: noindex` on the %7 stripe. ONE
+    * definition for the batch entry and the q152 ingest twin (the
+    * scriptFixtureText rule).
+    */
+  private[graft] def metaRobotsWarcFixture(docs: DataFrame): DataFrame = {
+    val m5 = col("doc_id") % 5
+    val metaPart = when(m5 === 1,
+        lit("<meta name=\"robots\" content=\"noindex\">"))
+      .when(m5 === 2, lit("<META NAME=\"ROBOTS\" CONTENT=\" NoFollow \">"))
+      .when(m5 === 3, lit("<meta name=\"robots\" content=\"noindex\">" +
+        "<meta content=\"nofollow\" name=\"robots\">"))
+      .when(m5 === 4, lit("<meta name=\"robots\" content=\"none\">"))
+      .otherwise(lit(""))
+    val page = concat(lit("<html><head>"), metaPart,
+      lit("<meta name=\"description\" content=\"noindex, nofollow\">" +
+        "</head><body><p>"), col("text"), lit("</p></body></html>"))
+    val xrobots = when(col("doc_id") % 7 === 0,
+      lit("\r\nX-Robots-Tag: noindex")).otherwise(lit(""))
+    val msg = cast_bin(concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"),
+      xrobots, lit("\r\nContent-Length: "),
+      octet_length(page).cast("string"), lit("\r\n\r\n"), page))
+    httpResponseWarcFrom(docs.select(col("doc_id"), msg.as("msg")))
+  }
+
+  /** The flag projection off a [[graft.sources.Warc.splitHttp]] frame
+    * — shared by p211 and its ingest twin: meta tokens from the page
+    * text unioned with the X-Robots-Tag header through
+    * [[graft.graph.LinkGraph.robotsDirectiveFlags]].
+    */
+  private[graft] def directiveFlagsOf(split: DataFrame): DataFrame =
+    split.select(
+        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        graft.graph.LinkGraph.robotsDirectiveFlags(
+          graft.functions.TextFunctions.metaRobots(col("text")),
+          element_at(col("http_headers"), "x-robots-tag")).as("f"))
+      .select(col("doc_id"), col("f.noindex").as("noindex"),
+        col("f.nofollow").as("nofollow"))
+
+  /** p212's rel-decorated page fixture — [[htmlFixtureText]]'s five
+    * anchors with indexing-directive hazards planted: href0 carries
+    * `rel="nofollow"` on odd docs, href1 `REL="sponsored"` (case) on
+    * the %3 stripe, href2 the multi-token `rel="ugc me"` on the %5
+    * stripe, the footer anchor a `rel="noopener"` DECOY that must
+    * keep its edge, a page-level robots-meta `nofollow` on the %9≡1
+    * stripe dropping the whole page, and p211's description-meta
+    * decoy on every page.
+    */
+  private[graft] def nofollowHtmlFixture: Column = {
+    val id = col("doc_id").cast("string")
+    val k0 = (col("doc_id") * 7 % 20).cast("string")
+    val k1 = (col("doc_id") % 7).cast("string")
+    val k2 = (col("doc_id") % 4).cast("string")
+    val rel0 = when(col("doc_id") % 2 === 1, lit(" rel=\"nofollow\""))
+      .otherwise(lit(""))
+    val rel1 = when(col("doc_id") % 3 === 0, lit(" REL=\"sponsored\""))
+      .otherwise(lit(""))
+    val rel2 = when(col("doc_id") % 5 === 0, lit(" rel=\"ugc me\""))
+      .otherwise(lit(""))
+    val meta = when(col("doc_id") % 9 === 1,
+      lit("<meta name=\"robots\" content=\"nofollow\">")).otherwise(lit(""))
+    concat(
+      lit("<html><head>"), meta,
+      lit("<meta name=\"description\" content=\"noindex, nofollow\">" +
+        "</head><body>\n" +
+        "<nav><a href=\"https://www.src0.com/\">home</a></nav>\n<a"),
+      rel0, lit(" href=\"https://WWW.Src"), k0,
+      lit(".COM:443/hub?b=2&a=1&utm_source=feed#top\">A</a>\n<a"),
+      rel1, lit(" href=\"http://cdn3.src"), k1, lit(".com:80/p?id="), id,
+      lit("&fbclid=x\">B</a>\n<a"),
+      rel2, lit(" href=\"https://src"), k2, lit(".co.uk/\">more</a>\n" +
+        "<footer><a rel=\"noopener\" href=\"" +
+        "https://tracker.example.com/\">hub</a></footer>\n</body></html>"))
+  }
 
   /** The p128 fixture SYNTHESIS (not just the strings) — shared with
     * the q117 ingest twin so the modulo routing cannot drift between

@@ -1175,6 +1175,30 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p211's indexing-directive gate AT ingest — where a crawl
+    * actually decides what a fetched page may feed: the directive-
+    * bearing response archive streams as files, each record parses,
+    * HTTP-splits, and projects its meta + X-Robots-Tag flags
+    * STATELESSLY in the scan stage (one codegen'd regex/HOF chain per
+    * row — append mode, zero state), through the SAME shared fixture
+    * and flag projection as the batch entry.
+    */
+  def metaRobotsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Sinks.tempArtifactDir("meta_robots_in")
+    graft.queries.PipelineQueries.metaRobotsWarcFixture(
+        graft.Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(
+      graft.queries.PipelineQueries.directiveFlagsOf(
+        graft.sources.Warc.splitHttp(
+          graft.sources.Warc.parseWarcBinary(
+            spark.readStream.schema(schema).parquet(dir),
+            col("file_id"), col("payload")))),
+      mode = "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the

@@ -556,6 +556,48 @@ class FunctionsSpec extends AnyFunSuite {
       MultiMatchCounts(col("t"), Seq("a", "a")))
   }
 
+  test("metaRobots: case/order/fold/decoy; extractFollowHrefs drops no-weight rels only") {
+    import TestSpark.spark.implicits._
+    val html =
+      "<html><head>" +
+        "<META CONTENT=\" NoIndex , noFollow \" NAME=\"robots\">" + // reversed order, case, padding
+        "<meta name=\"robots\" content=\"noarchive\">" +            // second meta folds
+        "<meta name=\"description\" content=\"noindex\">" +         // decoy: name != robots
+        "</head><body>" +
+        "<a href=\"https://a.com/1\">x</a>" +
+        "<a rel=\"nofollow\" href=\"https://a.com/2\">x</a>" +
+        "<a rel=\"noopener SPONSORED\" href=\"https://a.com/3\">x</a>" +
+        "<a rel=\"ugc\" href=\"https://a.com/4\">x</a>" +
+        "<a rel=\"noopener\" href=\"https://a.com/5\">x</a>" +      // decoy rel: keeps
+        "<a rel=\"nofollowed\" href=\"https://a.com/6\">x</a>" +    // token boundary: keeps
+        "<!-- <a href=\"https://a.com/7\">commented out</a> -->" +
+        "</body></html>"
+    val row = Seq(html).toDF("h").select(
+      TextFunctions.metaRobots(col("h")).as("m"),
+      TextFunctions.extractFollowHrefs(col("h")).as("f"),
+      TextFunctions.extractHrefs(col("h")).as("all"))
+      .as[(Seq[String], Seq[String], Seq[String])].collect().head
+    assert(row._1.toSet == Set("noindex", "nofollow", "noarchive"))
+    assert(row._2 == Seq("https://a.com/1", "https://a.com/5",
+      "https://a.com/6"))
+    // the full harvest keeps every live href (6 anchors, comment dead)
+    assert(row._3.size == 6)
+    // no robots meta at all: empty tokens, default-permissive flags
+    val none = Seq("<html><body>plain</body></html>").toDF("h")
+      .select(graft.graph.LinkGraph.robotsDirectiveFlags(
+        TextFunctions.metaRobots(col("h")), lit(null).cast("string")).as("f"))
+      .select(col("f.noindex"), col("f.nofollow"))
+      .as[(Boolean, Boolean)].collect().head
+    assert(none == ((false, false)))
+    // header-only directives bind; 'none' means both
+    val hdr = Seq("<html></html>").toDF("h")
+      .select(graft.graph.LinkGraph.robotsDirectiveFlags(
+        TextFunctions.metaRobots(col("h")), lit(" NONE ")).as("f"))
+      .select(col("f.noindex"), col("f.nofollow"))
+      .as[(Boolean, Boolean)].collect().head
+    assert(hdr == ((true, true)))
+  }
+
   test("UnicodeNormalize: NFC collapses decomposed twins and composes singletons") {
     import TestSpark.spark.implicits._
     import graft.functions.UnicodeNormalize
