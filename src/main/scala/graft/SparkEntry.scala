@@ -326,6 +326,12 @@ object SparkEntry {
     ("q152_streaming_meta_robots",
       (s, d) => graft.streaming.StreamingQueries.metaRobotsStream(s, d),
       Some(sharedOracle("p211_meta_robots"))),
+    ("q153_streaming_follow_harvest",
+      (s, d) => graft.streaming.StreamingQueries.followHarvestStream(s, d),
+      Some(sharedOracle("p212_follow_harvest"))),
+    ("q154_streaming_entropy",
+      (s, d) => graft.streaming.StreamingQueries.tokenEntropyStream(s, d),
+      Some(sharedOracle("p213_token_entropy"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

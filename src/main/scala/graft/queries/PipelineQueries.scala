@@ -7151,7 +7151,48 @@ object PipelineQueries {
         UNION ALL
         SELECT sf, 'example.com' FROM base)
       SELECT src_family, dst_family, CAST(count(*) AS BIGINT) AS n_links
-      FROM flk GROUP BY 1, 2 ORDER BY 1, 2""")))
+      FROM flk GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Token-distribution ENTROPY + type/token ratio + top-token share
+    // — the information-theoretic quality triple (the CCNet/
+    // RefinedWeb-family signal beside p04's surface ratios): gibberish
+    // and template spam sit at the entropy extremes, a low TTR or a
+    // dominant top token flags boilerplate/repetition. Integer
+    // micro-nat discipline (the p45 rule): each distinct token's
+    // c·ln(N/c) term rounds ONCE to micro-nats, the per-doc sum is an
+    // exact integer aggregate, ratios are integer div — so the whole
+    // column is engine-portable and oracle-gated. Two aggregations on
+    // the SAME doc_id key (Catalyst reuses the exchange); tokenless
+    // docs report zeros, never nulls.
+    ("p213_token_entropy", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnt = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      tokenEntropyFromCounts(docs.select(col("doc_id")), cnt)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${sqlToks("text")}) AS t
+                    FROM documents),
+      cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(max(c) AS BIGINT) AS top_c
+              FROM cnt GROUP BY 1),
+      h AS (SELECT cnt.doc_id,
+              sum(CAST(round(c * ln(CAST(n_tokens AS DOUBLE) / c) * 1e6, 0)
+                AS BIGINT)) AS hsum
+            FROM cnt JOIN per USING (doc_id) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(n_tokens, 0) AS n_tokens,
+             coalesce(n_types, 0) AS n_types,
+             CAST(coalesce(n_types * 1000000 // n_tokens, 0) AS BIGINT)
+               AS ttr_micro,
+             CAST(coalesce(top_c * 1000000 // n_tokens, 0) AS BIGINT)
+               AS top_tok_micro,
+             CAST(coalesce(hsum // n_tokens, 0) AS BIGINT) AS entropy_micro
+      FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN h USING (doc_id)
+      ORDER BY d.doc_id""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -8238,6 +8279,40 @@ object PipelineQueries {
       "WHEN 3 THEN 'Ångström singleton ' || " +
       "CAST(doc_id // 4 AS VARCHAR) " +
       "ELSE text END"
+
+  /** p213's finalize off the (doc_id, token, c) count table — the
+    * micro-nat entropy, TTR, and top-token share, with tokenless docs
+    * at zeros. SHARED by the batch entry and the q154 streaming twin
+    * (whose cross-batch state IS the count table — the finest-grain
+    * fold, the q119 rule); `docIds` supplies the doc universe.
+    */
+  private[graft] def tokenEntropyFromCounts(docIds: DataFrame,
+                                            cnt: DataFrame): DataFrame = {
+    // the count table joins BACK to its own aggregate — fresh aliases
+    // on one side keep the self-join resolvable when `cnt` is a
+    // memory-sink view whose attribute ids appear on both sides (the
+    // q154 twin's shape)
+    val per = cnt.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      max(col("c")).as("top_c"))
+    val h = cnt.select(col("doc_id").as("__hd"), col("c").as("__hc"))
+      .join(per, col("__hd") === per("doc_id"))
+      .select(col("__hd"),
+        round(col("__hc") * log(col("n_tokens").cast("double")
+          / col("__hc")) * lit(1e6), 0).cast("long").as("term"))
+      .groupBy(col("__hd")).agg(sum(col("term")).as("hsum"))
+    docIds.join(per, Seq("doc_id"), "left")
+      .join(h, col("doc_id") === col("__hd"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(expr("n_types * 1000000 div n_tokens"), lit(0L))
+          .as("ttr_micro"),
+        coalesce(expr("top_c * 1000000 div n_tokens"), lit(0L))
+          .as("top_tok_micro"),
+        coalesce(expr("hsum div n_tokens"), lit(0L)).as("entropy_micro"))
+  }
 
   /** p211's directive-bearing response ARCHIVE — meta variants by
     * doc_id%5 (case/padding, two folding metas, reversed attribute

@@ -1199,6 +1199,46 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p212's FOLLOW harvest AT ingest — both directive gates are pure
+    * per-row projections on the page (the meta scan and the rel
+    * filter run inside [[graft.graph.LinkGraph.linkRowsFollow]]'s
+    * scan stage), so discovered edges materialize the moment a page
+    * lands; the (src_family, dst_family) count is the ONE streaming
+    * aggregation.
+    */
+  def followHarvestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
+        graft.queries.PipelineQueries.nofollowHtmlFixture.as("html"))
+    val agg = graft.graph.LinkGraph.linkRowsFollow(pages, col("page_url"),
+        col("html"))
+      .groupBy(col("src_family"), col("dst_family"))
+      .agg(count(lit(1)).as("n_links"))
+    runToMemory(agg).orderBy(col("src_family"), col("dst_family"))
+  }
+
+  /** p213's entropy triple with the count table folded from the
+    * stream — the q119 finest-grain-fold rule at document grain: the
+    * cross-batch state is the (doc_id, token, c) table itself (what
+    * the metric is DEFINED over — no coarser state computes an exact
+    * entropy), and the micro-nat finalize runs batch-side at the
+    * epoch boundary through the SAME
+    * [[graft.queries.PipelineQueries.tokenEntropyFromCounts]] as the
+    * batch entry.
+    */
+  def tokenEntropyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val cnt = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    graft.queries.PipelineQueries.tokenEntropyFromCounts(
+        graft.Tables.documents(spark, sfDir).select(col("doc_id")),
+        runToMemory(cnt))
+      .orderBy(col("doc_id"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the
