@@ -7192,7 +7192,54 @@ object PipelineQueries {
                AS top_tok_micro,
              CAST(coalesce(hsum // n_tokens, 0) AS BIGINT) AS entropy_micro
       FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN h USING (doc_id)
-      ORDER BY d.doc_id""")))
+      ORDER BY d.doc_id""")),
+
+    // NFKC + casefold as the aggressive DEDUP KEY — what p208's
+    // canonical NFC deliberately does not do: compatibility folding
+    // (the ligature ﬁ, the fullwidth forms, the № sign) plus
+    // root-locale case folding collapse visually-equivalent spam
+    // variants that NFC keeps distinct. DuckDB has no NFKC, so the
+    // oracle is GENERATIVE (the p154 rule): the fixture routes five
+    // authored variants of the same logical text by doc_id%6 — NFC
+    // twins, a ligature form, a fullwidth+case form, a №-sign form —
+    // and the oracle writes down the expected per-pair collapse
+    // (every variant of pair k in ONE group of its expected size)
+    // while the NFC key from the same rows keeps the compatibility
+    // variants apart (both keyings emitted — the collapse DELTA is
+    // the gated fact).
+    ("p214_nfkc_keys", (s, d) => {
+      import graft.functions.UnicodeNormalize
+      Tables.documents(s, d)
+        .select(col("doc_id"), nfkcFixtureText.as("raw"))
+        .select(col("doc_id"),
+          UnicodeNormalize.nfkcCasefold(col("raw")).as("k_nfkc"),
+          UnicodeNormalize.nfc(col("raw")).as("k_nfc"))
+        .groupBy((col("doc_id") % 6 === 0).as("is_base"),
+          expr("doc_id div 6").as("pair"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("k_nfkc")).as("n_nfkc_keys"),
+          countDistinct(col("k_nfc")).as("n_nfc_keys"))
+        .filter(!col("is_base"))
+        .select(col("pair"), col("n_docs"), col("n_nfkc_keys"),
+          col("n_nfc_keys"))
+        .orderBy(col("pair"))
+    }, Some("""
+      WITH v AS (SELECT doc_id // 6 AS pair,
+                   CAST(doc_id % 6 AS INT) AS m
+                 FROM documents WHERE doc_id % 6 <> 0),
+      g AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_docs,
+              -- all five variants fold to ONE nfkc+casefold key;
+              -- under bare NFC the ligature, fullwidth, and sign
+              -- variants stay distinct from the two NFC twins:
+              -- variants present = m in 1..5, nfc keys =
+              -- {twin(1,2 collapse), 3, 4, 5} sized by presence
+              CAST(1 AS BIGINT) AS n_nfkc_keys,
+              CAST(count(DISTINCT CASE WHEN m <= 2 THEN 0
+                                       ELSE m END) AS BIGINT)
+                AS n_nfc_keys
+            FROM v GROUP BY 1)
+      SELECT pair, n_docs, n_nfkc_keys, n_nfc_keys
+      FROM g ORDER BY pair""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -8391,6 +8438,24 @@ object PipelineQueries {
       rel2, lit(" href=\"https://src"), k2, lit(".co.uk/\">more</a>\n" +
         "<footer><a rel=\"noopener\" href=\"" +
         "https://tracker.example.com/\">hub</a></footer>\n</body></html>"))
+  }
+
+  /** p214's compatibility-variant fixture — five spellings of the
+    * same logical text per pair (doc_id div 6), all folding to ONE
+    * NFKC+casefold key while bare NFC keeps the compatibility forms
+    * apart: an NFC composed/decomposed twin (m=1/2), the ﬁ ligature
+    * U+FB01 (m=3), the № sign U+2116 (m=4), and fullwidth OFFICE
+    * (m=5); m=0 keeps the base ASCII text.
+    */
+  private[graft] def nfkcFixtureText: Column = {
+    val k = expr("cast(doc_id div 6 as string)")
+    val m = col("doc_id") % 6
+    when(m === 1, concat(lit("fiancé No5 office pair "), k))
+      .when(m === 2, concat(lit("fiancé No5 office pair "), k))
+      .when(m === 3, concat(lit("ﬁancé No5 office pair "), k))
+      .when(m === 4, concat(lit("fiancé №5 office pair "), k))
+      .when(m === 5, concat(lit("fiancé No5 ＯＦＦＩＣＥ pair "), k))
+      .otherwise(col("text"))
   }
 
   /** The p128 fixture SYNTHESIS (not just the strings) — shared with
