@@ -824,7 +824,13 @@ object LinkGraph {
     * Scale shape — [[robotsFilterScan]]'s: rules collapse to a
     * per-family broadcast array and the election is a per-row
     * scan-stage fold (stateless, so the streaming twin runs it at
-    * ingest with ZERO state rows), never a urls×rules shuffle.
+    * ingest with ZERO state rows), never a urls×rules shuffle. The
+    * broadcast hint is sized to the operating contract: the rule
+    * table is a per-crawl-round snapshot (the domains the ROUND
+    * touches — politeness metadata, not corpus), exactly like the
+    * prefix tier's. A caller holding a full 10⁸-domain rule ARCHIVE
+    * should pre-filter it to the frontier's families (one semi-join)
+    * before gating — the filter is the same family key the join uses.
     */
   def robotsFilterWildcard(urls: DataFrame, rules: DataFrame): DataFrame = {
     val r = rules.groupBy(col("family"))
