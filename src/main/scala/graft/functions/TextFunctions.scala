@@ -272,13 +272,16 @@ object TextFunctions {
     * codegen'd regex chain over the raw page.
     */
   def metaRobots(html: Column): Column = {
+    // (?<![-\w]) guards, not \b: '-' IS a word boundary, so \bname
+    // would match data-name="robots" and falsely gate the page (the
+    // same reason extractHrefs guards href=)
     val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
     val robots = filter(metas,
-      m => m.rlike("(?i)\\bname\\s*=\\s*\"robots\""))
+      m => m.rlike("(?i)(?<![-\\w])name\\s*=\\s*\"robots\""))
     val toks = flatten(transform(robots, m =>
       transform(
-        split(regexp_extract(m, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1),
-          ","),
+        split(regexp_extract(m,
+          "(?i)(?<![-\\w])content\\s*=\\s*\"([^\"]*)\"", 1), ","),
         t => lower(trim(t)))))
     array_distinct(filter(toks, t => t =!= ""))
   }
@@ -297,8 +300,10 @@ object TextFunctions {
       regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
     }
     val anchors = regexp_extract_all(live, lit("(?is)<a\\b[^>]*>"), lit(0))
+    // (?<![-\w])rel, not \brel: data-rel="nofollow" must not drop a
+    // followed anchor ('-' is a word boundary)
     val followed = filter(anchors, a => !a.rlike(
-      "(?i)\\brel\\s*=\\s*\"[^\"]*\\b(nofollow|sponsored|ugc)\\b[^\"]*\""))
+      "(?i)(?<![-\\w])rel\\s*=\\s*\"[^\"]*\\b(nofollow|sponsored|ugc)\\b[^\"]*\""))
     filter(transform(followed, a =>
         regexp_extract(a, "(?i)(?<![-\\w])href=\"([^\"]*)\"", 1)),
       h => h =!= "")

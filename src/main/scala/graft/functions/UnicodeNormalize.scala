@@ -26,25 +26,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * either for case-insensitive keying.
   *
   * Scale shape: pure per-row projection, zero shuffle, and the
-  * dominant corpus case (already-normalized text — ALL ASCII is) pays
-  * only the JDK's quick-check scan, allocating nothing: the input
-  * UTF8String is returned as-is unless normalization actually
-  * changes bytes.
+  * dominant corpus case — pure-ASCII text — short-circuits on the
+  * raw UTF8String bytes without ever converting to a java String:
+  * the input object returns as-is (one bounded lowercase copy under
+  * casefolding). Non-ASCII already-normalized text pays one
+  * String conversion + the JDK quick check and returns the input
+  * UTF8String unchanged.
   */
 object UnicodeNormalizeUtil {
 
-  /** Normalize to `form`, optionally casefolding — identity-returning
-    * on already-normalized input so the hot path never copies.
+  /** Normalize to `form`, optionally casefolding. Two hot-path
+    * rules: pure-ASCII input short-circuits on the raw UTF8String
+    * bytes (no String conversion at all — without casefolding the
+    * input returns IDENTICALLY; with it, the ASCII lowercase is one
+    * bounded copy), and non-ASCII already-normalized input returns
+    * the input UTF8String unchanged. Casefolded output RE-NORMALIZES
+    * (the real NFKC_Casefold contract): lowercasing can decompose a
+    * one-code-point uppercase into base+mark with no precomposed
+    * lowercase twin, and returning that un-normalized would give
+    * canonically-equivalent inputs different keys.
     */
   def normalize(s: UTF8String, form: Normalizer.Form,
                 casefold: Boolean): UTF8String = {
-    val str = s.toString
-    val normed =
-      if (Normalizer.isNormalized(str, form)) str
-      else Normalizer.normalize(str, form)
-    val out =
-      if (casefold) normed.toLowerCase(java.util.Locale.ROOT) else normed
-    if (out eq str) s else UTF8String.fromString(out)
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) { ascii = s.getByte(i) >= 0; i += 1 }
+    if (ascii) {
+      if (!casefold) s else s.toLowerCase
+    } else {
+      val str = s.toString
+      val normed =
+        if (Normalizer.isNormalized(str, form)) str
+        else Normalizer.normalize(str, form)
+      val out =
+        if (casefold) {
+          val folded = normed.toLowerCase(java.util.Locale.ROOT)
+          if (Normalizer.isNormalized(folded, form)) folded
+          else Normalizer.normalize(folded, form)
+        } else normed
+      if (out eq str) s else UTF8String.fromString(out)
+    }
   }
 }
 

@@ -100,7 +100,10 @@ object LinkGraph {
       transform(split(coalesce(headerVal, lit("")), ","),
         t => lower(trim(t))),
       t => t =!= "")
-    val all = array_union(metaToks, headerToks)
+    // BOTH sides null-coalesce: a null meta array (null html upstream)
+    // must not null the union and silently swallow a header noindex
+    val all = array_union(
+      coalesce(metaToks, array().cast("array<string>")), headerToks)
     struct(
       (array_contains(all, "noindex") || array_contains(all, "none"))
         .as("noindex"),

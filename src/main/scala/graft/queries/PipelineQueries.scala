@@ -7046,7 +7046,10 @@ object PipelineQueries {
           dequant(col("embedding")), q, col("vec_id"),
           dequant(col("embedding")), k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hits = sq.join(full, Seq("query_id", "neighbor_id"))
+      // both rankings are (panel × k)-sized by construction — the
+      // truth side broadcasts (a checkpointed frame has no stats, so
+      // without the hint this 100-row join plans as a sort-merge)
+      val hits = sq.join(broadcast(full), Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
       val denom = full.agg(count(lit(1)).as("n_truth"))
       hits.crossJoin(broadcast(denom))

@@ -769,11 +769,20 @@ object Warc {
     * shard between two adequate neighbors stays: merging it would
     * rewrite an adequate neighbor, making cost ∝ neighbor size — the
     * caller who wants it gone can split the neighbor first. Publish
-    * is the same driver-side directory swap as compaction/split.
+    * is the directory swap compaction/split use, hardened with a
+    * MANIFEST: each group's (merged shard, source shards) is recorded
+    * before the first rename and removed after the last delete, so a
+    * driver death inside the swap window leaves a repairable layout —
+    * the next call finishes the interrupted publish
+    * ([[repairCoalesce]]) instead of serving duplicate key ranges.
     */
   def coalesceCdxShards(dir: String, minRows: Long): Unit = {
     require(minRows >= 1, s"coalesceCdxShards: minRows must be >= 1, got $minRows")
     val spark = org.apache.spark.sql.SparkSession.active
+    // a previous publish may have died between renaming a merged
+    // shard in and deleting its sources — finish it before reading
+    // the layout, or the duplicate key ranges would corrupt the stats
+    repairCoalesce(spark, dir)
     val current = spark.read.parquet(dir)
     require(current.columns.contains("shard"),
       s"coalesceCdxShards: $dir is not a writeCdxShards layout (no shard column)")
@@ -811,6 +820,17 @@ object Warc {
       .write.mode("overwrite").partitionBy("shard").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    // the publish is a sequence of renames+deletes with a crash window
+    // between a merged shard landing and its sources leaving — the
+    // MANIFEST (written first, deleted last) records every group's
+    // (new shard, source shards) so [[repairCoalesce]] can finish an
+    // interrupted publish instead of serving duplicate key ranges
+    val manifest = groups.zipWithIndex.map { case (g, gi) =>
+      s"${nextId + gi}:${g.map(_._1).mkString(",")}"
+    }.mkString("\n")
+    val mPath = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    val out = fs.create(mPath, true)
+    out.write(manifest.getBytes("UTF-8")); out.close()
     groups.zipWithIndex.foreach { case (g, gi) =>
       val src = new org.apache.hadoop.fs.Path(tmp, s"shard=${nextId + gi}")
       val dst = new org.apache.hadoop.fs.Path(dir, s"shard=${nextId + gi}")
@@ -822,6 +842,39 @@ object Warc {
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(mPath, false)
+  }
+
+  private val ManifestName = "_coalesce_manifest"
+
+  /** Finish an interrupted [[coalesceCdxShards]] publish: the
+    * manifest (underscore-named, so parquet discovery ignores it)
+    * lists each merged shard with its source shards; for every line,
+    * if the merged shard landed, its remaining sources delete (they
+    * are duplicates); if it never landed, its sources are intact and
+    * the aborted output still sits in the tmp dir — dropped here, the
+    * next coalesce pass redoes the group. Idempotent; no-op without a
+    * manifest.
+    */
+  private def repairCoalesce(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mPath = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    val fs = mPath.getFileSystem(conf)
+    if (!fs.exists(mPath)) return
+    val buf = new Array[Byte](fs.getFileStatus(mPath).getLen.toInt)
+    val in = fs.open(mPath)
+    try in.readFully(0, buf) finally in.close()
+    val manifest = new String(buf, "UTF-8")
+    manifest.split("\n").filter(_.nonEmpty).foreach { line =>
+      val Array(newId, olds) = line.split(":", 2)
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, s"shard=$newId")))
+        olds.split(",").filter(_.nonEmpty).foreach { sh =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s"shard=$sh"), true)
+        }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".coalesce-tmp"), true)
+    fs.delete(mPath, false)
   }
 
   /** Revisit detection — the archive-level exact dedup every public

@@ -161,9 +161,23 @@ object UnigramLm {
   def unigramTrain(docs: DataFrame, text: Column, vocabTarget: Int,
                    seedMaxLen: Int = 4, seedSize: Int = 2000,
                    iters: Int = 3, pruneFrac: Double = 0.25,
-                   unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) =
+                   unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) = {
+    // validate BEFORE the eager checkpoint: a bad parameter must fail
+    // instantly, not after a full corpus word-count job
+    requireTrainParams(vocabTarget, iters, pruneFrac)
     unigramTrainFromWords(wordFreqs(docs, text).localCheckpoint(),
       vocabTarget, seedMaxLen, seedSize, iters, pruneFrac, unkLogp)
+  }
+
+  private def requireTrainParams(vocabTarget: Int, iters: Int,
+                                 pruneFrac: Double): Unit = {
+    require(vocabTarget >= 1, s"unigramTrain: vocabTarget must be >= 1")
+    require(iters >= 1 && iters <= 64,
+      s"unigramTrain: iters must be in [1, 64], got $iters — EM is a " +
+        "bounded driver loop")
+    require(pruneFrac > 0.0 && pruneFrac < 1.0,
+      s"unigramTrain: pruneFrac must be in (0, 1), got $pruneFrac")
+  }
 
   /** [[unigramTrain]] off an already-reduced (word, freq) frame — the
     * caller owns the frame's lifetime (the wordPieceTrainFromWords
@@ -176,12 +190,7 @@ object UnigramLm {
                             seedMaxLen: Int = 4, seedSize: Int = 2000,
                             iters: Int = 3, pruneFrac: Double = 0.25,
                             unkLogp: Double = -20.0): (Seq[(String, Double)], Seq[Double]) = {
-    require(vocabTarget >= 1, s"unigramTrain: vocabTarget must be >= 1")
-    require(iters >= 1 && iters <= 64,
-      s"unigramTrain: iters must be in [1, 64], got $iters — EM is a " +
-        "bounded driver loop")
-    require(pruneFrac > 0.0 && pruneFrac < 1.0,
-      s"unigramTrain: pruneFrac must be in (0, 1), got $pruneFrac")
+    requireTrainParams(vocabTarget, iters, pruneFrac)
     var vocab = seedVocab(words, seedMaxLen, seedSize)
     val liks = Vector.newBuilder[Double]
     var i = 0

@@ -656,4 +656,46 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       UnicodeNormalize(col("t"), "NFX", casefold = false))
   }
+
+  test("nfkcCasefold re-normalizes after folding: canonically-equivalent inputs share one key") {
+    import TestSpark.spark.implicits._
+    import graft.functions.UnicodeNormalize
+    // J+combining-caron has NO precomposed form, so it survives NFKC;
+    // lowercasing yields j+caron, which MUST re-compose to U+01F0 (ǰ)
+    // — without the re-normalization pass the two canonically
+    // equivalent spellings get different dedup keys
+    val keys = Seq("J̌", "ǰ").toDF("t")
+      .select(UnicodeNormalize.nfkcCasefold(col("t")).as("k"))
+      .as[String].collect()
+    assert(keys(0) == keys(1) && keys(0) == "ǰ")
+    // ASCII casefold stays the plain lowercase fast path
+    val a = Seq("MiXeD ascii 123").toDF("t")
+      .select(UnicodeNormalize.nfkcCasefold(col("t"))).as[String]
+      .collect().head
+    assert(a == "mixed ascii 123")
+  }
+
+  test("metaRobots/extractFollowHrefs ignore data-name/data-rel attributes; null meta never swallows a header directive") {
+    import TestSpark.spark.implicits._
+    val html =
+      "<html><head><meta data-name=\"robots\" content=\"noindex\"></head>" +
+        "<body><a data-rel=\"nofollow\" href=\"https://a.com/1\">x</a>" +
+        "</body></html>"
+    val row = Seq(html).toDF("h").select(
+      TextFunctions.metaRobots(col("h")).as("m"),
+      TextFunctions.extractFollowHrefs(col("h")).as("f"))
+      .as[(Seq[String], Seq[String])].collect().head
+    // '-' is a \\b word boundary: a \\bname/\\brel match would bind both
+    assert(row._1.isEmpty, s"data-name bound as robots meta: ${row._1}")
+    assert(row._2 == Seq("https://a.com/1"),
+      s"data-rel dropped a followed anchor: ${row._2}")
+    // a NULL meta token array must not null the union: the header
+    // noindex still binds
+    val flags = Seq(Option.empty[Seq[String]]).toDF("m")
+      .select(graft.graph.LinkGraph.robotsDirectiveFlags(
+        col("m").cast("array<string>"), lit("noindex")).as("f"))
+      .select(col("f.noindex"), col("f.nofollow"))
+      .as[(Boolean, Boolean)].collect().head
+    assert(flags == ((true, false)))
+  }
 }

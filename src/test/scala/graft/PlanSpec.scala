@@ -649,7 +649,7 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"),
       s"the panel side must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || !plan.contains("Cartesian"),
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"a corpus-side exchange per ranking is the wrong shape:\n$plan")
   }
 

@@ -732,4 +732,38 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("Warc: an interrupted coalesce publish repairs from the manifest on the next call") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Warc
+    val cdx = (10 until 50).map(i => (f"com,s$i%02d)/p", i.toLong,
+        i.toLong * 100, 50L, s"d$i"))
+      .toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_repair").toString
+    try {
+      Warc.writeCdxShards(cdx, dir, numShards = 4)
+      // simulate a publish that died between renaming merged shard 2
+      // in and deleting its source shard 3: the manifest says 2 was
+      // merged FROM 3, and both directories exist (duplicate ranges)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_coalesce_manifest"),
+        "2:3".getBytes("UTF-8"))
+      val s3 = spark.read.parquet(dir).filter(col("shard") === 3).count()
+      assert(s3 > 0)
+      // minRows=1: nothing is undersized, so the call is PURE repair
+      Warc.coalesceCdxShards(dir, minRows = 1)
+      val after = spark.read.parquet(dir)
+      assert(after.filter(col("shard") === 3).isEmpty,
+        "the interrupted publish's source shard must leave the layout")
+      assert(after.filter(col("shard") === 2).count() > 0)
+      assert(!new java.io.File(dir, "_coalesce_manifest").exists(),
+        "the manifest must clear once the publish is finished")
+      // and a clean layout repairs to a no-op
+      Warc.coalesceCdxShards(dir, minRows = 1)
+      assert(spark.read.parquet(dir).count() == after.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
