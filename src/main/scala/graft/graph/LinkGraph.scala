@@ -111,6 +111,37 @@ object LinkGraph {
         .as("nofollow"))
   }
 
+  /** `<link rel="canonical">` resolution — the dedup signal the page
+    * ITSELF publishes (the CMS knows its URL variants better than any
+    * fingerprint): each page maps to its declared canonical target,
+    * canonicalized through the SAME [[SourceFamily.canonicalizeUrl]]
+    * as every other frontier key so a messy declaration collides with
+    * the clean crawl-discovered form. Semantics: the FIRST canonical
+    * link wins (the browser/search-engine convention when a page
+    * mistakenly carries several), `rel` matching is attribute-guarded
+    * (a stylesheet link or a data-rel can never bind), a missing or
+    * non-absolute declaration means SELF (relative canonical
+    * resolution is out of scope — rare on real pages, and failing to
+    * self is the safe default: no false collapse). Pure scan-stage
+    * projection; output (doc_id passthrough columns ride) with
+    * `canonical_target`.
+    */
+  def relCanonical(pages: DataFrame, provenanceUrl: Column,
+                   html: Column, passthrough: Column*): DataFrame = {
+    val links = regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0))
+    val canons = filter(links,
+      l => l.rlike("(?i)(?<![-\\w])rel\\s*=\\s*\"canonical\""))
+    // try_element_at: a page with NO canonical link has an empty
+    // array, which must read as null (self), not raise
+    val href = regexp_extract(try_element_at(canons, lit(1)),
+      "(?i)(?<![-\\w])href=\"([^\"]*)\"", 1)
+    val target = when(href.rlike("(?i)^https?://"),
+        SourceFamily.canonicalizeUrl(href))
+      .otherwise(SourceFamily.canonicalizeUrl(provenanceUrl))
+    pages.select(passthrough :+
+      provenanceUrl.as("page_url") :+ target.as("canonical_target"): _*)
+  }
+
   private def linkRowsOf(pages: DataFrame, provenanceUrl: Column,
                          hrefs: Column): DataFrame = {
     val scheme = "[A-Za-z][A-Za-z0-9+.-]*"

@@ -7242,7 +7242,59 @@ object PipelineQueries {
                 AS n_nfc_keys
             FROM v GROUP BY 1)
       SELECT pair, n_docs, n_nfkc_keys, n_nfc_keys
-      FROM g ORDER BY pair""")))
+      FROM g ORDER BY pair""")),
+
+    // rel=canonical dedup — the collapse signal the page ITSELF
+    // publishes, one tier above any fingerprint: each 4k+2 page
+    // declares the 4k+1 page as canonical (cross-page pair collapse),
+    // 4k+1 declares its OWN messy variant (case/:443/utm — must
+    // canonicalize to self, pinning the shared URL transform), 4k+3
+    // carries no link element (self by default), and 4k+0 plants the
+    // hazards: a stylesheet <link> decoy, a data-rel decoy, and a
+    // SECOND canonical whose target must lose (first wins — the
+    // browser/search-engine convention). The election is the p01
+    // hash-groupBy on the declared target.
+    ("p215_rel_canonical", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = col("doc_id").cast("string")
+      val url = concat(lit("https://www.src"),
+        (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
+      val m4 = col("doc_id") % 4
+      val canonSelfMessy = concat(
+        lit("<link rel=\"canonical\" href=\"https://WWW.Src"),
+        (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"), k,
+        lit("?utm_source=x\">"))
+      val canonPrev = concat(
+        lit("<link rel=\"canonical\" href=\"https://www.src"),
+        ((col("doc_id") - 1) % 20).cast("string"), lit(".com/p/"),
+        (col("doc_id") - 1).cast("string"), lit("\">"))
+      val head = when(m4 === 1, canonSelfMessy)
+        .when(m4 === 2, canonPrev)
+        .when(m4 === 3, lit(""))
+        .otherwise(concat(
+          lit("<link rel=\"stylesheet\" href=\"https://cdn.example/s.css\">" +
+            "<link data-rel=\"canonical\" href=\"https://evil.example/d\">"),
+          canonSelfMessy,
+          lit("<link rel=\"canonical\" href=\"https://evil.example/x\">")))
+      val pages = docs.select(col("doc_id"), url.as("page_url"),
+        concat(lit("<html><head>"), head, lit("</head><body><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      graft.graph.LinkGraph.relCanonical(pages, col("page_url"),
+          col("html"), col("doc_id"))
+        .groupBy(col("canonical_target"))
+        .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("keeper_doc"))
+        .orderBy(col("canonical_target"))
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          CASE WHEN CAST(doc_id % 4 AS INT) = 2
+               THEN 'https://www.src' || ((doc_id - 1) % 20) || '.com/p/'
+                    || (doc_id - 1)
+               ELSE 'https://www.src' || (doc_id % 20) || '.com/p/'
+                    || doc_id END AS canonical_target
+        FROM documents)
+      SELECT canonical_target, CAST(count(*) AS BIGINT) AS n_pages,
+             min(doc_id) AS keeper_doc
+      FROM t GROUP BY 1 ORDER BY 1""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
