@@ -109,7 +109,7 @@ object StreamingQueries {
     * completes is an under-provisioned rate, not an empty result.
     */
   def runToMemoryUntil(df: DataFrame, expectedRows: Long,
-                       timeoutMs: Long = 120000L): DataFrame = {
+                       timeoutMs: Long = 300000L): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.ProcessingTime(10))
