@@ -80,8 +80,13 @@ import org.apache.spark.sql.SparkSession
   *    p84/p89 (q83's sketch one-row grand-total), p150/p151/q128
   *    (one-row totals for negative pools / vocab coverage),
   *    p155 (p08's broadcast all-pairs recall evaluation over the
-  *    query panel), p138/q120 (robots wildcard-group max-struct fold
-  *    — q20's carry-the-payload SortAggregate).
+  *    query panel), p138/q120 (robots rule-group max-struct fold —
+  *    q20's carry-the-payload SortAggregate; since round 11 the
+  *    crawl front gates through robotsFilterWildcard's scan-stage
+  *    HOF fold, so these no longer print at all).
+  *  - round-11: p210 NestedLoop — p155's broadcast all-pairs recall
+  *    evaluation shape, run twice (full-precision truth + the
+  *    dequantized serve) over the same bounded query panel.
   * Anything NEW this tool prints is a regression to investigate.
   */
 object PlanAudit {
