@@ -332,6 +332,9 @@ object SparkEntry {
     ("q154_streaming_entropy",
       (s, d) => graft.streaming.StreamingQueries.tokenEntropyStream(s, d),
       Some(sharedOracle("p213_token_entropy"))),
+    ("q155_streaming_rel_canonical",
+      (s, d) => graft.streaming.StreamingQueries.relCanonicalStream(s, d),
+      Some(sharedOracle("p215_rel_canonical"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -7255,32 +7255,9 @@ object PipelineQueries {
     // browser/search-engine convention). The election is the p01
     // hash-groupBy on the declared target.
     ("p215_rel_canonical", (s, d) => {
-      val docs = Tables.documents(s, d)
-      val k = col("doc_id").cast("string")
-      val url = concat(lit("https://www.src"),
-        (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
-      val m4 = col("doc_id") % 4
-      val canonSelfMessy = concat(
-        lit("<link rel=\"canonical\" href=\"https://WWW.Src"),
-        (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"), k,
-        lit("?utm_source=x\">"))
-      val canonPrev = concat(
-        lit("<link rel=\"canonical\" href=\"https://www.src"),
-        ((col("doc_id") - 1) % 20).cast("string"), lit(".com/p/"),
-        (col("doc_id") - 1).cast("string"), lit("\">"))
-      val head = when(m4 === 1, canonSelfMessy)
-        .when(m4 === 2, canonPrev)
-        .when(m4 === 3, lit(""))
-        .otherwise(concat(
-          lit("<link rel=\"stylesheet\" href=\"https://cdn.example/s.css\">" +
-            "<link data-rel=\"canonical\" href=\"https://evil.example/d\">"),
-          canonSelfMessy,
-          lit("<link rel=\"canonical\" href=\"https://evil.example/x\">")))
-      val pages = docs.select(col("doc_id"), url.as("page_url"),
-        concat(lit("<html><head>"), head, lit("</head><body><p>"),
-          col("text"), lit("</p></body></html>")).as("html"))
-      graft.graph.LinkGraph.relCanonical(pages, col("page_url"),
-          col("html"), col("doc_id"))
+      graft.graph.LinkGraph.relCanonical(
+          relCanonicalPages(Tables.documents(s, d)),
+          col("page_url"), col("html"), col("doc_id"))
         .groupBy(col("canonical_target"))
         .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("keeper_doc"))
         .orderBy(col("canonical_target"))
@@ -8458,6 +8435,41 @@ object PipelineQueries {
           element_at(col("http_headers"), "x-robots-tag")).as("f"))
       .select(col("doc_id"), col("f.noindex").as("noindex"),
         col("f.nofollow").as("nofollow"))
+
+  /** p215's page fixture over any (doc_id, text) frame (batch or
+    * streaming — the scriptFixtureText sharing rule): per-doc page
+    * URLs with canonical declarations by doc_id%4 — a MESSY
+    * self-declaration (case/:443/utm — pins the shared URL
+    * transform), a cross-page declaration of the previous doc, no
+    * link element (self by default), and the hazard page (stylesheet
+    * link, data-rel decoy, a SECOND canonical that must lose to the
+    * first).
+    */
+  private[graft] def relCanonicalPages(docs: DataFrame): DataFrame = {
+    val k = col("doc_id").cast("string")
+    val url = concat(lit("https://www.src"),
+      (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
+    val m4 = col("doc_id") % 4
+    val canonSelfMessy = concat(
+      lit("<link rel=\"canonical\" href=\"https://WWW.Src"),
+      (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"), k,
+      lit("?utm_source=x\">"))
+    val canonPrev = concat(
+      lit("<link rel=\"canonical\" href=\"https://www.src"),
+      ((col("doc_id") - 1) % 20).cast("string"), lit(".com/p/"),
+      (col("doc_id") - 1).cast("string"), lit("\">"))
+    val head = when(m4 === 1, canonSelfMessy)
+      .when(m4 === 2, canonPrev)
+      .when(m4 === 3, lit(""))
+      .otherwise(concat(
+        lit("<link rel=\"stylesheet\" href=\"https://cdn.example/s.css\">" +
+          "<link data-rel=\"canonical\" href=\"https://evil.example/d\">"),
+        canonSelfMessy,
+        lit("<link rel=\"canonical\" href=\"https://evil.example/x\">")))
+    docs.select(col("doc_id"), url.as("page_url"),
+      concat(lit("<html><head>"), head, lit("</head><body><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+  }
 
   /** p212's rel-decorated page fixture — [[htmlFixtureText]]'s five
     * anchors with indexing-directive hazards planted: href0 carries

@@ -1239,6 +1239,21 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p215's rel=canonical resolution AT ingest — the declared-target
+    * projection is a pure per-row regex/HOF chain, so each page's
+    * canonical mapping exists the moment the page lands; the dedup
+    * election on the target is the ONE streaming aggregation.
+    */
+  def relCanonicalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = graft.graph.LinkGraph.relCanonical(
+        graft.queries.PipelineQueries.relCanonicalPages(
+          documentsStream(spark, sfDir)),
+        col("page_url"), col("html"), col("doc_id"))
+      .groupBy(col("canonical_target"))
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("keeper_doc"))
+    runToMemory(agg).orderBy(col("canonical_target"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the
