@@ -286,6 +286,31 @@ object TextFunctions {
     array_distinct(filter(toks, t => t =!= ""))
   }
 
+  /** `<meta http-equiv="refresh">` parse — the HTML sibling of the
+    * Location header (a zero-delay refresh IS a redirect in every
+    * crawler's book; a long-delay one is a reload hint, not an
+    * edge). Returns struct(delay_s, target) from the FIRST refresh
+    * meta (case/order-free, attribute-guarded like [[metaRobots]]),
+    * null when the page carries none; `target` is null for the
+    * bare-delay reload form ("content=\"30\""), verbatim otherwise
+    * (the consumer canonicalizes). Pure codegen'd regex chain.
+    */
+  def metaRefresh(html: Column): Column = {
+    val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    val refreshes = filter(metas, m =>
+      m.rlike("(?i)(?<![-\\w])http-equiv\\s*=\\s*\"refresh\""))
+    val first = try_element_at(refreshes, lit(1))
+    val content = regexp_extract(first,
+      "(?i)(?<![-\\w])content\\s*=\\s*\"([^\"]*)\"", 1)
+    val delay = regexp_extract(content, "^\\s*([0-9]+)", 1)
+    val target = regexp_extract(content,
+      "(?i);\\s*url\\s*=\\s*['\"]?([^'\" ]+)", 1)
+    when(first.isNotNull && delay =!= "",
+      struct(delay.cast("long").as("delay_s"),
+        when(target =!= "", target).otherwise(lit(null).cast("string"))
+          .as("target")))
+  }
+
   /** [[extractHrefs]] restricted to FOLLOWED anchors — the harvest a
     * ranking crawl actually runs: hrefs come from `<a>` tags only,
     * and an anchor whose `rel` carries any of the no-weight tokens

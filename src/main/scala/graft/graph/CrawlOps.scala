@@ -50,6 +50,32 @@ object CrawlOps {
     * maxDepth⌉ rounds × one self-join each, lineage truncated per
     * round; the map never collects.
     */
+  /** Meta-refresh REDIRECT edges — the HTML half of the redirect map
+    * (p140's header Location rows are the other): pages whose first
+    * `<meta http-equiv="refresh">` declares a target within
+    * `maxDelaySeconds` become (src, dst, delay_s) rows in the SAME
+    * canonical key space as every frontier operator, ready for
+    * [[resolveRedirects]]; bare-delay reloads, slow refreshes, and
+    * non-absolute targets emit nothing (no false edge beats a wrong
+    * one). Scan-stage projection, zero shuffle.
+    */
+  def metaRefreshEdges(pages: DataFrame, url: Column, html: Column,
+                       maxDelaySeconds: Long = 10L): DataFrame = {
+    require(maxDelaySeconds >= 0,
+      s"metaRefreshEdges: maxDelaySeconds must be >= 0, got $maxDelaySeconds")
+    pages.select(
+        graft.functions.SourceFamily.canonicalizeUrl(url).as("src"),
+        graft.functions.TextFunctions.metaRefresh(html).as("__r"))
+      .filter(col("__r").isNotNull &&
+        col("__r.delay_s") <= maxDelaySeconds &&
+        col("__r.target").isNotNull &&
+        col("__r.target").rlike("(?i)^https?://"))
+      .select(col("src"),
+        graft.functions.SourceFamily.canonicalizeUrl(col("__r.target"))
+          .as("dst"),
+        col("__r.delay_s").as("delay_s"))
+  }
+
   def resolveRedirects(redirects: DataFrame, maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 1024,
       s"resolveRedirects: maxDepth must be in [1, 1024], got $maxDepth")

@@ -7271,7 +7271,72 @@ object PipelineQueries {
         FROM documents)
       SELECT canonical_target, CAST(count(*) AS BIGINT) AS n_pages,
              min(doc_id) AS keeper_doc
-      FROM t GROUP BY 1 ORDER BY 1""")))
+      FROM t GROUP BY 1 ORDER BY 1""")),
+
+    // meta-refresh redirects resolved through the SAME pointer-
+    // doubling chain as the header kind (p140) — the HTML redirect a
+    // status-200 page smuggles past any Location-only crawler: every
+    // %5≡1 page zero-refreshes to the NEXT page (messy target — the
+    // canonicalization makes the hop land on the next page's map
+    // key), which being %5≡2 five-second-refreshes (quoted URL form)
+    // to its terminal — so the m1 rows resolve in exactly TWO hops
+    // and the m2 rows in one. The non-edges all bind: a bare-delay
+    // reload (content="30"), a 600 s slow refresh above the redirect
+    // threshold, a Content-Type http-equiv decoy, and pages with no
+    // meta at all. The oracle recomputes extraction, thresholding,
+    // AND both hop counts.
+    ("p216_meta_refresh", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = col("doc_id").cast("string")
+      val url = concat(lit("https://www.src"),
+        (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
+      val m5 = col("doc_id") % 5
+      val head = when(m5 === 1, concat(
+          lit("<meta http-equiv=\"refresh\" content=\"0; url=HTTPS://WWW.Src"),
+          ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
+          (col("doc_id") + 1).cast("string"), lit("?utm_source=r\">")))
+        .when(m5 === 2, concat(
+          lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='https://dst"),
+          (col("doc_id") % 11).cast("string"), lit(".com/t"), k,
+          lit("'\">")))
+        .when(m5 === 3, lit("<meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html\">"))
+        .when(m5 === 4, lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+        .otherwise(lit("<meta http-equiv=\"refresh\" " +
+          "content=\"600; url=https://slow.example/x\">"))
+      val pages = docs.select(col("doc_id"), url.as("page_url"),
+        concat(lit("<html><head>"), head, lit("</head><body><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      graft.graph.CrawlOps.resolveRedirects(
+          graft.graph.CrawlOps.metaRefreshEdges(pages, col("page_url"),
+            col("html"), maxDelaySeconds = 10L),
+          maxDepth = 4)
+        .orderBy(col("url"))
+    }, Some("""
+      WITH m1 AS (SELECT doc_id,
+          'https://www.src' || (doc_id % 20) || '.com/p/' || doc_id AS src,
+          'https://www.src' || ((doc_id + 1) % 20) || '.com/p/'
+            || (doc_id + 1) AS dst
+        FROM documents WHERE doc_id % 5 = 1),
+      m2 AS (SELECT doc_id,
+          'https://www.src' || (doc_id % 20) || '.com/p/' || doc_id AS src,
+          'https://dst' || (doc_id % 11) || '.com/t' || doc_id AS dst
+        FROM documents WHERE doc_id % 5 = 2)
+      SELECT m1.src AS url,
+             -- a boundary m1 doc whose successor page does not exist
+             -- stops at the dead page URL in ONE hop (corpus sizes
+             -- are multiples of 5 so this never binds, but the
+             -- oracle must not ASSUME it)
+             CASE WHEN d2.doc_id IS NULL THEN m1.dst
+                  ELSE 'https://dst' || ((m1.doc_id + 1) % 11)
+                       || '.com/t' || (m1.doc_id + 1) END AS final_url,
+             CAST(CASE WHEN d2.doc_id IS NULL THEN 1 ELSE 2 END
+               AS BIGINT) AS hops,
+             true AS resolved
+      FROM m1 LEFT JOIN documents d2 ON d2.doc_id = m1.doc_id + 1
+      UNION ALL
+      SELECT src, dst, CAST(1 AS BIGINT), true FROM m2
+      ORDER BY url""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
