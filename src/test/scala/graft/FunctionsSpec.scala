@@ -598,6 +598,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hdr == ((true, true)))
   }
 
+  test("metaRefresh: delay/url forms, first wins, decoys and bare reloads distinct") {
+    import TestSpark.spark.implicits._
+    def parse(html: String): Option[(Long, Option[String])] =
+      Seq(html).toDF("h")
+        .select(TextFunctions.metaRefresh(col("h")).as("r"))
+        .select(col("r.delay_s"), col("r.target"))
+        .collect().headOption.flatMap { r =>
+          if (r.isNullAt(0)) None
+          else Some((r.getLong(0), Option(r.getString(1))))
+        }
+    assert(parse("<meta http-equiv=\"refresh\" content=\"0; url=https://a/b\">")
+      == Some((0L, Some("https://a/b"))))
+    // quoted URL, case variants, no space after the semicolon
+    assert(parse("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='https://a/c'\">")
+      == Some((5L, Some("https://a/c"))))
+    // bare delay: a reload hint, not a target
+    assert(parse("<meta http-equiv=\"refresh\" content=\"30\">")
+      == Some((30L, None)))
+    // first refresh wins over a second one
+    assert(parse("<meta http-equiv=\"refresh\" content=\"0; url=https://a/1\">" +
+      "<meta http-equiv=\"refresh\" content=\"0; url=https://a/2\">")
+      == Some((0L, Some("https://a/1"))))
+    // http-equiv decoys and data- attributes never bind
+    assert(parse("<meta http-equiv=\"Content-Type\" content=\"text/html\">")
+      == None)
+    assert(parse("<meta data-http-equiv=\"refresh\" content=\"0; url=https://a/x\">")
+      == None)
+    assert(parse("<html>no meta at all</html>") == None)
+  }
+
+  test("relCanonical: first wins, guarded rel, missing or relative means self") {
+    import TestSpark.spark.implicits._
+    import graft.graph.LinkGraph
+    val pages = Seq(
+      (1L, "https://s.com/p/1",
+        "<link rel=\"canonical\" href=\"https://S.COM:443/p/one?utm_source=z\">"),
+      (2L, "https://s.com/p/2", "<link rel=\"stylesheet\" href=\"https://c/x.css\">"),
+      (3L, "https://s.com/p/3", "<link rel=\"canonical\" href=\"/relative/only\">"),
+      (4L, "https://s.com/p/4",
+        "<link data-rel=\"canonical\" href=\"https://evil/x\">" +
+          "<link rel=\"canonical\" href=\"https://s.com/real\">" +
+          "<link rel=\"canonical\" href=\"https://evil/second\">"))
+      .toDF("doc_id", "page_url", "html")
+    val out = LinkGraph.relCanonical(pages, col("page_url"), col("html"),
+        col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "https://s.com/p/one") // messy declaration canonicalizes
+    assert(out(2L) == "https://s.com/p/2")   // stylesheet decoy -> self
+    assert(out(3L) == "https://s.com/p/3")   // relative -> self (safe default)
+    assert(out(4L) == "https://s.com/real")  // data-rel skipped, first real wins
+  }
+
   test("UnicodeNormalize: NFC collapses decomposed twins and composes singletons") {
     import TestSpark.spark.implicits._
     import graft.functions.UnicodeNormalize
