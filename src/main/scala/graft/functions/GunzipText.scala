@@ -106,47 +106,71 @@ object GunzipUtil {
     * (historically IIS) ship the RAW deflate stream (RFC 1951). The
     * sniff is the standard client move: a zlib stream's first two
     * bytes satisfy `CMF low nibble = 8` and `(CMF·256+FLG) % 31 = 0`;
-    * anything else inflates raw. Same loudness discipline as
-    * [[gunzip]]: overflow past `maxOut`, a corrupt stream, a
-    * truncated stream, and trailing garbage all raise with context —
-    * a silently truncated inflate is a silently truncated document.
+    * anything else inflates raw. The sniff can MISREAAD a raw stream
+    * whose first two bytes coincidentally pass the zlib check (a
+    * stored-block stream starting 0x78 …), so a corrupt-data failure
+    * under the sniffed form retries ONCE under the other form — the
+    * browser fallback — before raising with both diagnoses. Overflow
+    * past `maxOut` never retries (both forms would inflate the same
+    * bytes past the same bound). Same loudness discipline as
+    * [[gunzip]]: a stream corrupt under BOTH forms, a truncated
+    * stream, and trailing garbage all raise with context — a silently
+    * truncated inflate is a silently truncated document.
     */
   def inflate(b: Array[Byte], maxOut: Int, label: String): Array[Byte] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$label: $msg")
     if (b.length < 2) fail(s"deflate stream of ${b.length} bytes")
-    val zlib = (b(0) & 0x0f) == 8 &&
-      (((b(0) & 0xff) * 256 + (b(1) & 0xff)) % 31 == 0)
-    val inf = new java.util.zip.Inflater(!zlib)
-    try {
-      inf.setInput(b)
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!inf.finished()) {
-        val n =
-          try inf.inflate(buf)
-          catch { case e: java.util.zip.DataFormatException =>
-            fail(s"corrupt ${if (zlib) "zlib" else "raw"} deflate " +
-              s"stream at input byte ${inf.getBytesRead}: ${e.getMessage}")
+    // corrupt-data failures carry null output and a message; any other
+    // failure (overflow, truncation, trailing bytes) raises directly
+    def attempt(zlib: Boolean): Either[String, Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(!zlib)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var corrupt: String = null
+        while (corrupt == null && !inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              corrupt = s"corrupt as ${if (zlib) "zlib" else "raw"} " +
+                s"deflate at input byte ${inf.getBytesRead}: ${e.getMessage}"
+              0
+            }
+          if (corrupt == null) {
+            if (n == 0 && !inf.finished()) {
+              if (inf.needsInput() || inf.needsDictionary())
+                fail(s"truncated deflate stream after ${inf.getBytesRead} " +
+                  s"of ${b.length} input bytes")
+            }
+            total += n
+            if (total > maxOut)
+              fail(s"inflated output exceeds the $maxOut-byte bound — " +
+                "split the input instead of buffering it in one task")
+            out.write(buf, 0, n)
           }
-        if (n == 0 && !inf.finished()) {
-          if (inf.needsInput() || inf.needsDictionary())
-            fail(s"truncated deflate stream after ${inf.getBytesRead} " +
-              s"of ${b.length} input bytes")
         }
-        total += n
-        if (total > maxOut)
-          fail(s"inflated output exceeds the $maxOut-byte bound — split " +
-            "the input instead of buffering it in one task")
-        out.write(buf, 0, n)
+        if (corrupt != null) Left(corrupt)
+        else if (inf.getRemaining > 0)
+          fail(s"${inf.getRemaining} trailing bytes after the deflate " +
+            "stream ended — not part of the representation")
+        else Right(out.toByteArray)
+      } finally inf.end()
+    }
+    val sniffZlib = (b(0) & 0x0f) == 8 &&
+      (((b(0) & 0xff) * 256 + (b(1) & 0xff)) % 31 == 0)
+    attempt(sniffZlib) match {
+      case Right(out) => out
+      case Left(first) => attempt(!sniffZlib) match {
+        case Right(out) => out
+        case Left(second) => fail(s"deflate body decodes under neither " +
+          s"wire form — sniffed ${if (sniffZlib) "zlib" else "raw"}: " +
+          s"$first; fallback: $second")
       }
-      if (inf.getRemaining > 0)
-        fail(s"${inf.getRemaining} trailing bytes after the deflate " +
-          "stream ended — not part of the representation")
-      out.toByteArray
-    } finally inf.end()
+    }
   }
 
   def gunzipUtf8(bytes: Array[Byte]): UTF8String =

@@ -240,7 +240,47 @@ object TextFunctions {
   def htmlTitle(html: Column): Column =
     trim(regexp_extract(html, "(?is)<title>(.*?)</title>", 1))
 
-  /** All `href="…"` targets in document order, raw (un-canonicalized —
+  /** The three HTML attribute-value forms real markup carries —
+    * double-quoted, single-quoted, bare — as one alternation group
+    * (first char at the match site picks the branch, so extraction is
+    * deterministic). Real pages mix all three, and an indexing-
+    * directive gate that only reads `attr="…"` fails OPEN on
+    * `<meta name='robots' content='noindex'>`.
+    */
+  private val attrValueAlt: String = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+
+  /** First `attr=…` value inside `tag`, any quote form, quotes
+    * stripped; empty string when the attribute is absent (the
+    * regexp_extract no-match convention callers already filter on).
+    */
+  private[graft] def attrVal(tag: Column, attr: String): Column =
+    regexp_replace(
+      regexp_extract(tag,
+        "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" + attrValueAlt, 1),
+      "^[\"']|[\"']$", "")
+
+  /** Regex (for `rlike`) asserting `attr`'s whole value IS `v`, any
+    * quote form; `v` must be a regex-safe literal. The `(?<![-\\w])`
+    * guard keeps `data-attr` variants from binding.
+    */
+  private[graft] def attrIs(attr: String, v: String): String =
+    "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" +
+      "(\"" + v + "\"|'" + v + "'|" + v + "(?=[\\s/>]|$))"
+
+  /** Regex asserting `attr`'s value CONTAINS `tok` as a whole
+    * space-delimited token (the rel-token grammar), any quote form.
+    * `tok` may be a non-capturing alternation. Boundaries are
+    * space/quote-anchored — `(?<![^\"\\s])`, not `\\b` — because '-'
+    * is a word boundary and `rel="x-nofollow"` must NOT bind (the
+    * same hazard the attribute names guard with `(?<![-\\w])`).
+    */
+  private[graft] def attrHasToken(attr: String, tok: String): String =
+    "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" +
+      "(\"[^\"]*(?<![^\"\\s])" + tok + "(?![^\"\\s])[^\"]*\"" +
+      "|'[^']*(?<![^'\\s])" + tok + "(?![^'\\s])[^']*'" +
+      "|" + tok + "(?=[\\s/>]|$))"
+
+  /** All `href=…` targets in document order, raw (un-canonicalized —
     * the crawl frontier canonicalizes with
     * [[graft.functions.SourceFamily.canonicalizeUrl]] AFTER harvest,
     * so the dedup key policy lives in one place). Harvest runs over
@@ -251,14 +291,18 @@ object TextFunctions {
     * script string or a commented-out block is NOT an edge the page
     * renders. The attribute match requires `href` not preceded by a
     * word/hyphen char, so `data-href`/`xlink:href`-style attributes
-    * don't harvest as false edges.
+    * don't harvest as false edges; values bind in all three quote
+    * forms ([[attrVal]]'s grammar).
     */
   def extractHrefs(html: Column): Column = {
     val live = Seq("script", "style").foldLeft(
         regexp_replace(html, "(?s)<!--.*?-->", " ")) { (c, tag) =>
       regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
     }
-    regexp_extract_all(live, lit("(?i)(?<![-\\w])href=\"([^\"]*)\""), lit(1))
+    transform(
+      regexp_extract_all(live,
+        lit("(?i)(?<![-\\w])href\\s*=\\s*" + attrValueAlt), lit(1)),
+      h => regexp_replace(h, "^[\"']|[\"']$", ""))
   }
 
   /** `<meta name="robots">` directive tokens — the PAGE half of the
@@ -274,14 +318,13 @@ object TextFunctions {
   def metaRobots(html: Column): Column = {
     // (?<![-\w]) guards, not \b: '-' IS a word boundary, so \bname
     // would match data-name="robots" and falsely gate the page (the
-    // same reason extractHrefs guards href=)
+    // same reason extractHrefs guards href=); name/content bind in
+    // all three quote forms (attrIs/attrVal) because a single-quoted
+    // noindex that fails to parse fails OPEN into the index
     val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
-    val robots = filter(metas,
-      m => m.rlike("(?i)(?<![-\\w])name\\s*=\\s*\"robots\""))
+    val robots = filter(metas, m => m.rlike(attrIs("name", "robots")))
     val toks = flatten(transform(robots, m =>
-      transform(
-        split(regexp_extract(m,
-          "(?i)(?<![-\\w])content\\s*=\\s*\"([^\"]*)\"", 1), ","),
+      transform(split(attrVal(m, "content"), ","),
         t => lower(trim(t)))))
     array_distinct(filter(toks, t => t =!= ""))
   }
@@ -297,11 +340,9 @@ object TextFunctions {
     */
   def metaRefresh(html: Column): Column = {
     val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
-    val refreshes = filter(metas, m =>
-      m.rlike("(?i)(?<![-\\w])http-equiv\\s*=\\s*\"refresh\""))
+    val refreshes = filter(metas, m => m.rlike(attrIs("http-equiv", "refresh")))
     val first = try_element_at(refreshes, lit(1))
-    val content = regexp_extract(first,
-      "(?i)(?<![-\\w])content\\s*=\\s*\"([^\"]*)\"", 1)
+    val content = attrVal(first, "content")
     val delay = regexp_extract(content, "^\\s*([0-9]+)", 1)
     val target = regexp_extract(content,
       "(?i);\\s*url\\s*=\\s*['\"]?([^'\" ]+)", 1)
@@ -315,9 +356,11 @@ object TextFunctions {
     * ranking crawl actually runs: hrefs come from `<a>` tags only,
     * and an anchor whose `rel` carries any of the no-weight tokens
     * (`nofollow`, `sponsored`, `ugc` — the Google triple, matched as
-    * whole tokens inside the attribute value) contributes nothing.
-    * `rel="noopener"` and friends pass. Same comment/script/style
-    * stripping as the full harvest.
+    * whole SPACE-DELIMITED tokens inside the attribute value, so a
+    * hyphenated `rel="x-nofollow"` keeps its edge) contributes
+    * nothing. `rel="noopener"` and friends pass; rel and href bind in
+    * all three quote forms. Same comment/script/style stripping as
+    * the full harvest.
     */
   def extractFollowHrefs(html: Column): Column = {
     val live = Seq("script", "style").foldLeft(
@@ -328,10 +371,8 @@ object TextFunctions {
     // (?<![-\w])rel, not \brel: data-rel="nofollow" must not drop a
     // followed anchor ('-' is a word boundary)
     val followed = filter(anchors, a => !a.rlike(
-      "(?i)(?<![-\\w])rel\\s*=\\s*\"[^\"]*\\b(nofollow|sponsored|ugc)\\b[^\"]*\""))
-    filter(transform(followed, a =>
-        regexp_extract(a, "(?i)(?<![-\\w])href=\"([^\"]*)\"", 1)),
-      h => h =!= "")
+      attrHasToken("rel", "(?:nofollow|sponsored|ugc)")))
+    filter(transform(followed, a => attrVal(a, "href")), h => h =!= "")
   }
 
   /** Accent folding: NFD-decompose, drop combining marks, NFC-compose

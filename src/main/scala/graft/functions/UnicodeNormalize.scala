@@ -41,7 +41,9 @@ object UnicodeNormalizeUtil {
     * input returns IDENTICALLY; with it, the ASCII lowercase is one
     * bounded copy), and non-ASCII already-normalized input returns
     * the input UTF8String unchanged. Casefolded output RE-NORMALIZES
-    * (the real NFKC_Casefold contract): lowercasing can decompose a
+    * (as NFKC_Casefold requires — though the fold itself is the
+    * lowercase-based approximation [[UnicodeNormalize.nfkcCasefold]]
+    * documents): lowercasing can decompose a
     * one-code-point uppercase into base+mark with no precomposed
     * lowercase twin, and returning that un-normalized would give
     * canonically-equivalent inputs different keys.
@@ -124,8 +126,17 @@ object UnicodeNormalize {
     */
   def nfkc(text: Column): Column = apply(text, "NFKC", casefold = false)
 
-  /** NFKC + root-locale case folding — the key form for
+  /** NFKC + a LOWERCASE-BASED APPROXIMATION of case folding (JDK
+    * root-locale `toLowerCase`, re-normalized) — the key form for
     * case-insensitive matching (denylists, URL slugs, dedup keys).
+    * This is NOT full Unicode NFKC_Casefold: `toLowerCase` diverges
+    * from UAX case folding on a handful of code points (U+1E9E ẞ
+    * lowercases to ß where the fold is "ss"; U+0130 İ yields
+    * i+U+0307; Greek final sigma folds positionally), so those rare
+    * case variants key apart where true NFKC_CF would collide them.
+    * An ICU-grade fold needs a data table the JDK does not ship;
+    * callers needing exact NFKC_CF fidelity should treat this as the
+    * documented approximation it is.
     */
   def nfkcCasefold(text: Column): Column =
     apply(text, "NFKC", casefold = true)

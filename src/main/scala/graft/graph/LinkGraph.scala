@@ -130,11 +130,10 @@ object LinkGraph {
                    html: Column, passthrough: Column*): DataFrame = {
     val links = regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0))
     val canons = filter(links,
-      l => l.rlike("(?i)(?<![-\\w])rel\\s*=\\s*\"canonical\""))
+      l => l.rlike(TextFunctions.attrHasToken("rel", "canonical")))
     // try_element_at: a page with NO canonical link has an empty
     // array, which must read as null (self), not raise
-    val href = regexp_extract(try_element_at(canons, lit(1)),
-      "(?i)(?<![-\\w])href=\"([^\"]*)\"", 1)
+    val href = TextFunctions.attrVal(try_element_at(canons, lit(1)), "href")
     val target = when(href.rlike("(?i)^https?://"),
         SourceFamily.canonicalizeUrl(href))
       .otherwise(SourceFamily.canonicalizeUrl(provenanceUrl))

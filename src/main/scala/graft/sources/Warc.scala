@@ -828,9 +828,16 @@ object Warc {
     val manifest = groups.zipWithIndex.map { case (g, gi) =>
       s"${nextId + gi}:${g.map(_._1).mkString(",")}"
     }.mkString("\n")
+    // write-temp-then-rename: a reader (or a crash) must see either a
+    // complete manifest or none — a half-written line would make the
+    // repair path delete sources whose merged shard never landed
     val mPath = new org.apache.hadoop.fs.Path(dir, ManifestName)
-    val out = fs.create(mPath, true)
+    val mTmp = new org.apache.hadoop.fs.Path(dir, ManifestName + ".tmp")
+    val out = fs.create(mTmp, true)
     out.write(manifest.getBytes("UTF-8")); out.close()
+    fs.delete(mPath, false)
+    if (!fs.rename(mTmp, mPath)) throw new java.io.IOException(
+      s"coalesceCdxShards: failed to publish manifest $mTmp -> $mPath")
     groups.zipWithIndex.foreach { case (g, gi) =>
       val src = new org.apache.hadoop.fs.Path(tmp, s"shard=${nextId + gi}")
       val dst = new org.apache.hadoop.fs.Path(dir, s"shard=${nextId + gi}")
@@ -867,11 +874,21 @@ object Warc {
     try in.readFully(0, buf) finally in.close()
     val manifest = new String(buf, "UTF-8")
     manifest.split("\n").filter(_.nonEmpty).foreach { line =>
-      val Array(newId, olds) = line.split(":", 2)
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir, s"shard=$newId")))
-        olds.split(",").filter(_.nonEmpty).foreach { sh =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir, s"shard=$sh"), true)
-        }
+      // validate before acting: a malformed line means the manifest is
+      // not ours (or corrupt) — deleting shards on its say-so would
+      // destroy data, so fail with the offending content instead
+      line.split(":", 2) match {
+        case Array(newId, olds)
+            if newId.nonEmpty && newId.forall(_.isDigit) &&
+              olds.split(",").filter(_.nonEmpty).forall(_.forall(_.isDigit)) =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir, s"shard=$newId")))
+            olds.split(",").filter(_.nonEmpty).foreach { sh =>
+              fs.delete(new org.apache.hadoop.fs.Path(dir, s"shard=$sh"), true)
+            }
+        case _ => throw new IllegalStateException(
+          s"repairCoalesce: malformed manifest line '$line' in $mPath — " +
+            "refusing to repair from a manifest this code did not write")
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir + ".coalesce-tmp"), true)
     fs.delete(mPath, false)

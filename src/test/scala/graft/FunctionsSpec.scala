@@ -650,6 +650,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(4L) == "https://s.com/real")  // data-rel skipped, first real wins
   }
 
+  test("attribute grammar: single-quoted and unquoted values bind; hyphenated rel tokens keep edges") {
+    import TestSpark.spark.implicits._
+    import graft.graph.LinkGraph
+    // single-quoted and unquoted meta attributes must gate — an
+    // unparsed noindex fails OPEN into the index (the ADVICE hazard)
+    val metas = Seq(
+      "<meta name='robots' content='noindex'>",
+      "<meta name=robots content=nofollow>",
+      "<meta name='robots' content=\"noarchive\">").map(h =>
+      Seq(h).toDF("h").select(TextFunctions.metaRobots(col("h")).as("m"))
+        .as[Seq[String]].collect().head)
+    assert(metas(0) == Seq("noindex"))
+    assert(metas(1) == Seq("nofollow"))
+    assert(metas(2) == Seq("noarchive"))
+    // rel: quote forms drop; hyphenated token keeps (space-delimited
+    // token boundaries, not \b — '-' is a word boundary)
+    val f = Seq(
+      "<a rel='nofollow' href='https://a/1'>x</a>" +
+        "<a rel=sponsored href=https://a/2>x</a>" +
+        "<a rel=\"x-nofollow\" href=\"https://a/3\">x</a>" +
+        "<a rel='ugc-ish' href='https://a/4'>x</a>" +
+        "<a href=https://a/5>x</a>").toDF("h")
+      .select(TextFunctions.extractFollowHrefs(col("h")).as("f"),
+        TextFunctions.extractHrefs(col("h")).as("all"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(f._1 == Seq("https://a/3", "https://a/4", "https://a/5"))
+    assert(f._2.size == 5)
+    // meta-refresh in single quotes, unquoted content delay
+    val r = Seq(
+      "<meta http-equiv='refresh' content='0; url=https://a/b'>",
+      "<meta http-equiv=refresh content=30>").map(h =>
+      Seq(h).toDF("h")
+        .select(TextFunctions.metaRefresh(col("h")).as("r"))
+        .select(col("r.delay_s"), col("r.target")).collect().head)
+    assert(r(0).getLong(0) == 0L && r(0).getString(1) == "https://a/b")
+    assert(r(1).getLong(0) == 30L && r(1).isNullAt(1))
+    // rel=canonical in single quotes and as a token inside a list
+    val c = Seq(
+      (1L, "https://s.com/p/1",
+        "<link rel='canonical' href='https://s.com/real'>"),
+      (2L, "https://s.com/p/2",
+        "<link rel=\"alternate canonical\" href=\"https://s.com/alt\">"))
+      .toDF("doc_id", "page_url", "html")
+    val got = LinkGraph.relCanonical(c, col("page_url"), col("html"),
+        col("doc_id"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(2)).toMap
+    assert(got(1L) == "https://s.com/real")
+    assert(got(2L) == "https://s.com/alt")
+  }
+
   test("UnicodeNormalize: NFC collapses decomposed twins and composes singletons") {
     import TestSpark.spark.implicits._
     import graft.functions.UnicodeNormalize

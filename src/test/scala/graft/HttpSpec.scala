@@ -364,6 +364,22 @@ class HttpSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("deflate"))
   }
 
+  test("inflate: raw stream whose first bytes coincidentally sniff zlib decodes via the fallback") {
+    import graft.functions.GunzipUtil
+    // hand-built RAW rfc1951 stream: stored block (BFINAL=0, LEN=1,
+    // payload 'A') + empty final fixed-Huffman block. Its first two
+    // bytes are 0x78 0x01 — a byte-valid zlib header (CMF low nibble
+    // 8, (CMF·256+FLG)%31 == 0) — so the sniff commits to zlib, the
+    // zlib inflate hits a DataFormatException, and the browser
+    // fallback must retry raw instead of raising
+    val raw = Array[Byte](0x78, 0x01, 0x00, 0xFE.toByte, 0xFF.toByte,
+      'A'.toByte, 0x03, 0x00)
+    assert((raw(0) & 0x0f) == 8 &&
+      ((raw(0) & 0xff) * 256 + (raw(1) & 0xff)) % 31 == 0) // sniffs zlib
+    assert(java.util.Arrays.equals(
+      GunzipUtil.inflate(raw, 1 << 20, "t"), Array('A'.toByte)))
+  }
+
   test("zstdInflate round-trips, stays bounded, and fails loudly on corruption") {
     import graft.functions.{GunzipUtil, ZstdBytes}
     val text = ("zstd body κείμενο " * 40).getBytes("UTF-8")

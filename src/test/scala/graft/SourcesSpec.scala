@@ -762,6 +762,21 @@ class SourcesSpec extends AnyFunSuite {
       // and a clean layout repairs to a no-op
       Warc.coalesceCdxShards(dir, minRows = 1)
       assert(spark.read.parquet(dir).count() == after.count())
+      // a MALFORMED manifest line (no colon / non-numeric ids) must
+      // refuse loudly with the offending content — deleting shards on
+      // a manifest this code did not write would destroy data
+      for (bad <- Seq("garbage-no-colon", "2:3x", "x2:3")) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "_coalesce_manifest"),
+          bad.getBytes("UTF-8"))
+        val e = intercept[IllegalStateException](
+          Warc.coalesceCdxShards(dir, minRows = 1))
+        assert(e.getMessage.contains(bad))
+        val cnt = spark.read.parquet(dir).count()
+        assert(cnt == after.count(), "refusal must not touch the layout")
+      }
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "_coalesce_manifest"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
