@@ -335,6 +335,9 @@ object SparkEntry {
     ("q155_streaming_rel_canonical",
       (s, d) => graft.streaming.StreamingQueries.relCanonicalStream(s, d),
       Some(sharedOracle("p215_rel_canonical"))),
+    ("q156_streaming_meta_refresh",
+      (s, d) => graft.streaming.StreamingQueries.metaRefreshStream(s, d),
+      Some(sharedOracle("p216_meta_refresh"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -491,5 +494,14 @@ object SparkEntry {
     // + pruned serve — the maintenance cost story beside p183), and
     // the SQ8 quantize-serve recall audit (two brute-force rankings
     // over the dequantized store)
-    "p208_unicode_nfc", "p209_cdx_coalesce", "p210_sq8_recall")
+    "p208_unicode_nfc", "p209_cdx_coalesce", "p210_sq8_recall",
+    // round-12: the directive-gated crawl front (follow harvest +
+    // alias pointer resolution riding the p145 chain), page-level
+    // directive flags under the scoped X-Robots-Tag grammar, the
+    // follow harvest itself, canonical/refresh declaration extraction,
+    // alias-chain resolution, and the SQ8 store lifecycle (two gated
+    // blue/green publishes + the quantized serve)
+    "p211_meta_robots", "p212_follow_harvest", "p213_token_entropy",
+    "p214_nfkc_keys", "p215_rel_canonical", "p216_meta_refresh",
+    "p217_canonical_chains", "p218_sq8_lifecycle")
 }

@@ -76,6 +76,70 @@ object CrawlOps {
         col("__r.delay_s").as("delay_s"))
   }
 
+  /** rel=canonical ALIAS edges — the page-published half of the
+    * redirect map ([[metaRefreshEdges]] is the HTML-redirect half,
+    * p140's Location rows the HTTP one): pages whose first
+    * `<link rel="canonical">` declares a DIFFERENT canonical key
+    * become (src, dst) rows in the shared canonical key space.
+    * Self-declarations (and the missing/relative→self default) emit
+    * nothing — a self-edge in a pointer chain is a 1-cycle that would
+    * read as a redirect loop. Scan-stage projection, zero shuffle.
+    */
+  def canonicalEdges(pages: DataFrame, url: Column, html: Column): DataFrame =
+    LinkGraph.relCanonical(pages, url, html)
+      .select(graft.functions.SourceFamily.canonicalizeUrl(col("page_url"))
+          .as("src"),
+        col("canonical_target").as("dst"))
+      .filter(col("dst") =!= col("src"))
+
+  /** The UNIONED page-published alias map — meta-refresh redirects
+    * plus rel=canonical declarations, both in the shared canonical
+    * key space, ready for ONE [[resolveRedirects]] pass so canonical
+    * CHAINS (A's canonical B itself declares a canonical C) and mixed
+    * chains (a canonical pointing at a meta-refresh page) resolve
+    * through the same pointer doubling as every other redirect.
+    * Precedence when one page declares BOTH: the refresh wins — it is
+    * an actual redirect the browser executes; the canonical is an
+    * advisory the refresh preempts — enforced with an anti-join on
+    * the refresh srcs (same key as the map build's dedup, one
+    * exchange) so the unique-src contract of [[resolveRedirects]]
+    * holds by construction rather than raising on a both-forms page.
+    */
+  def pageAliasEdges(pages: DataFrame, url: Column, html: Column,
+                     maxDelaySeconds: Long = 10L): DataFrame = {
+    val refresh = metaRefreshEdges(pages, url, html, maxDelaySeconds)
+      .select(col("src"), col("dst"))
+    val canon = canonicalEdges(pages, url, html)
+    refresh.unionByName(
+      canon.join(refresh.select(col("src")), Seq("src"), "left_anti"))
+  }
+
+  /** Rewrite a frontier through a RESOLVED alias map
+    * ([[resolveRedirects]] output over [[pageAliasEdges]]): rows whose
+    * `canonical` is a resolved alias src are REWRITTEN to the terminal
+    * key (and their `dst_family` re-derived — a refresh can cross
+    * families); rows whose key sits in an alias LOOP or an over-deep
+    * chain are DROPPED (a frontier must not spend fetches on URLs it
+    * cannot name); everything else passes through untouched. All other
+    * columns ride. The join keys on the same `canonical` the gate and
+    * the frontier dedup key on, so the exchange is reused downstream;
+    * callers needing distinct keys dedup AFTER the rewrite (two
+    * frontier rows can legitimately collapse into one terminal).
+    */
+  def resolveFrontierAliases(rows: DataFrame, resolved: DataFrame): DataFrame = {
+    val r = resolved.select(col("url").as("__asrc"),
+      col("final_url").as("__afin"), col("resolved").as("__aok"))
+    val passthrough = rows.columns.filterNot(_ == "dst_family")
+      .map(c => col(c)).toSeq
+    rows.join(r, col("canonical") === col("__asrc"), "left")
+      .filter(col("__aok").isNull || col("__aok"))
+      .withColumn("canonical",
+        when(col("__aok"), col("__afin")).otherwise(col("canonical")))
+      .withColumn("dst_family",
+        graft.functions.SourceFamily.familyOf(col("canonical")))
+      .select(passthrough :+ col("dst_family"): _*)
+  }
+
   def resolveRedirects(redirects: DataFrame, maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 1024,
       s"resolveRedirects: maxDepth must be in [1, 1024], got $maxDepth")

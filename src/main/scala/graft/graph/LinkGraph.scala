@@ -111,6 +111,87 @@ object LinkGraph {
         .as("nofollow"))
   }
 
+  /** The X-Robots-Tag directive names that take a VALUE after a
+    * colon — anything else before a leading colon is a USER-AGENT
+    * scope (the published header grammar: `X-Robots-Tag: googlebot:
+    * noindex` binds only googlebot; `X-Robots-Tag: unavailable_after:
+    * 2026-01-01` is a dated directive, not a scope).
+    */
+  private val XRobotsValueDirectives: Seq[String] = Seq(
+    "unavailable_after", "max-snippet", "max-image-preview",
+    "max-video-preview")
+
+  /** Parse one `X-Robots-Tag` header VALUE into the directive tokens
+    * binding for `agent` as of `asofDate` — the real header grammar
+    * p211's flat comma-split used to flatten:
+    *
+    *   - an UNSCOPED header (`noindex, nofollow`) binds every agent;
+    *   - a SCOPED header (`googlebot: noindex, nofollow`) binds ONLY
+    *     the named agent — the scope is the text before the first
+    *     colon when that text is not a value-taking directive, and it
+    *     covers every directive in the header (the published
+    *     convention: one header, one optional agent);
+    *   - `unavailable_after: <ISO date>` binds as `noindex` once
+    *     `asofDate` reaches the date (the page declared its own
+    *     expiry), and as nothing before it — a crawl must pass its
+    *     OWN clock in, never read the machine's (retry
+    *     reproducibility);
+    *   - an unparseable date nulls through `try_to_date` → the dated
+    *     directive is dropped, never a silent noindex (fail-open on
+    *     the DATED directive only — the page stays governed by its
+    *     other signals; ANSI mode would otherwise fail the whole scan
+    *     on one malformed header).
+    *
+    * Matching is case-insensitive throughout; output tokens are
+    * trimmed/lowercased like [[TextFunctions.metaRobots]]'s. Pure
+    * codegen'd column program.
+    */
+  def xRobotsTokens(headerVal: Column, agent: String,
+                    asofDate: Column): Column = {
+    require(agent.nonEmpty && !agent.contains(":") && !agent.contains(","),
+      s"xRobotsTokens: '$agent' is not a header agent name")
+    val v = trim(coalesce(headerVal, lit("")))
+    val segs = transform(split(v, ","), t => trim(t))
+    val fname = lower(trim(regexp_extract(element_at(segs, 1),
+      "^([^:]+):", 1)))
+    val valueDirs = array(XRobotsValueDirectives.map(lit): _*)
+    val scoped = fname =!= "" && !array_contains(valueDirs, fname)
+    val applies = !scoped || fname === lit(agent.toLowerCase)
+    // the scope prefix rides the FIRST comma segment only
+    val unprefixed = when(scoped,
+        transform(segs, (t, i) => when(i === 0,
+            trim(regexp_replace(t, "^[^:]+:", ""))).otherwise(t)))
+      .otherwise(segs)
+    val toks = transform(unprefixed, t => {
+      val lt = lower(t)
+      when(lt.rlike("^unavailable_after\\s*:"),
+        when(try_to_date(
+            trim(regexp_replace(t, "(?i)^unavailable_after\\s*:", "")))
+            <= asofDate, lit("noindex"))
+          .otherwise(lit("")))
+        .otherwise(lt)
+    })
+    when(applies, array_distinct(filter(toks, t => t =!= "")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[robotsDirectiveFlags]] under the FULL X-Robots-Tag grammar —
+    * meta tokens unioned with [[xRobotsTokens]]' scoped/dated parse
+    * instead of the flat comma split. Same struct(noindex, nofollow)
+    * output, most restrictive wins.
+    */
+  def robotsDirectiveFlagsScoped(metaToks: Column, headerVal: Column,
+                                 agent: String, asofDate: Column): Column = {
+    val all = array_union(
+      coalesce(metaToks, array().cast("array<string>")),
+      xRobotsTokens(headerVal, agent, asofDate))
+    struct(
+      (array_contains(all, "noindex") || array_contains(all, "none"))
+        .as("noindex"),
+      (array_contains(all, "nofollow") || array_contains(all, "none"))
+        .as("nofollow"))
+  }
+
   /** `<link rel="canonical">` resolution — the dedup signal the page
     * ITSELF publishes (the CMS knows its URL variants better than any
     * fingerprint): each page maps to its declared canonical target,
@@ -623,6 +704,23 @@ object LinkGraph {
     * Scale shape: SHUFFLE-FREE — one higher-order line fold per
     * (family, text) row, like [[parseRobots]].
     */
+  /** Restrict a per-family politeness artifact (crawl-delay table,
+    * parsed rule set, sitemap directives) to the families actually
+    * present in a frontier — the semi-join every driver-side snapshot
+    * must pass through BEFORE it collects: at a 10⁸-domain archive
+    * the artifact is archive-sized, but a crawl ROUND's frontier is
+    * round-sized, and the snapshot a pacer or gate closure carries
+    * must be bounded by the round, not the archive (the operating
+    * contract documented at [[robotsFilterWildcard]], packaged).
+    * `frontier` is any frame with a `dst_family` column; one
+    * left-semi hash join on the family key, nothing collected here.
+    */
+  def restrictToFrontier(artifact: DataFrame, familyCol: Column,
+                         frontier: DataFrame): DataFrame =
+    artifact.join(
+      frontier.select(col("dst_family").as("__frontier_fam")).distinct(),
+      familyCol === col("__frontier_fam"), "left_semi")
+
   def robotsCrawlDelay(df: DataFrame, family: Column, txt: Column): DataFrame =
     df.select(family.as("family"),
         regexp_replace(txt, "\\uFEFF", "").as("__txt"))

@@ -958,13 +958,15 @@ object PipelineQueries {
       FROM idx ORDER BY media_id, frame_idx""")),
 
     // THE end-to-end batch corpus build, composed as ONE declarative
-    // plan: exact dedup (keep min-id) -> repetition + length gates ->
-    // deterministic stratified sample by language -> per-source token
-    // budget. Every stage is an existing operator; Catalyst optimizes
-    // across their boundaries (this is the composability the library
-    // exists for).
+    // plan: page-level noindex gate (the round-12 composition — a
+    // noindex'd or X-Robots-Tag'd page never feeds the corpus, gated
+    // through the real meta/header extraction) -> exact dedup (keep
+    // min-id) -> repetition + length gates -> deterministic
+    // stratified sample by language -> per-source token budget. Every
+    // stage is an existing operator; Catalyst optimizes across their
+    // boundaries (this is the composability the library exists for).
     ("p30_corpus_build", (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = noindexGate(Tables.documents(s, d))
       val deduped = Dedup.dropExactDuplicates(docs, col("doc_id"), col("text"))
       val rep = graft.text.CorpusOps.repetitionStats(deduped, col("doc_id"), col("text"))
       val gated = deduped
@@ -985,7 +987,7 @@ object PipelineQueries {
       WITH f AS (SELECT doc_id, lang, source,
                         md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp,
                         ${sqlToks("text")} AS t
-                 FROM documents),
+                 FROM documents WHERE $noindexKeepSql),
       keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY 1),
       dd AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.k),
       sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
@@ -1443,7 +1445,10 @@ object PipelineQueries {
     // (nll ≤ 3.41 ≈ corpus median — LM trained on the FULL corpus, the
     // CCNet shape) → exactly-15-per-language reservoir quota.
     ("p47_corpus_build2", (s, d) => {
-      val docs = Tables.documents(s, d)
+      // the noindex gate runs FIRST (the p30 composition): a gated
+      // page neither survives dedup nor contributes to the LM counts
+      // the perplexity gate is scored against
+      val docs = noindexGate(Tables.documents(s, d))
       val surv = Dedup.fuzzyDedup(docs, col("doc_id"), col("text"),
         threshold = 0.5, shingleN = 3, numBands = 4, rowsPerBand = 2)
       val ppl = graft.text.CorpusOps.bigramPerplexity(
@@ -1454,8 +1459,9 @@ object PipelineQueries {
           gated, col("lang"), col("doc_id"), k = 15)
         .orderBy(col("group"), col("rank"))
     }, Some(s"""
-      WITH sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM documents
-                   WHERE len($sqlShingles) >= 1),
+      WITH dcs AS (SELECT * FROM documents WHERE $noindexKeepSql),
+      sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM dcs
+              WHERE len($sqlShingles) >= 1),
       sig AS (
         SELECT doc_id, list_transform(generate_series(0, 7),
                  i -> list_min(list_transform(shingles,
@@ -1484,7 +1490,7 @@ object PipelineQueries {
               JOIN sizes na ON c.id_a = na.doc_id
               JOIN sizes nb ON c.id_b = nb.doc_id),
       dropids AS (SELECT DISTINCT id_b FROM ver WHERE j >= 0.5),
-      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM dcs),
       t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
       bgr AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
                SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -1500,7 +1506,7 @@ object PipelineQueries {
              FROM bgr JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
       nll AS (SELECT doc_id, round(sum(nll_micro) / count(*) / 1e6, 6) AS nll
               FROM sc GROUP BY 1),
-      keep AS (SELECT doc_id, lang FROM documents
+      keep AS (SELECT doc_id, lang FROM dcs
                WHERE doc_id NOT IN (SELECT id_b FROM dropids)
                  AND doc_id IN (SELECT doc_id FROM nll WHERE nll.nll <= 3.41)),
       r AS (SELECT lang, doc_id,
@@ -3937,21 +3943,25 @@ object PipelineQueries {
     // removing nothing reports 0. The numbers a pipeline owner reads
     // before choosing which tiers to pay for at 100 TB.
     ("p125_dedup_ablation", (s, d) => {
-      Dedup.dedupAblation(Tables.documents(s, d), col("doc_id"),
+      // the ablation reads the noindex-gated corpus (the p30
+      // composition): a policy-dropped page is not a dedup casualty,
+      // so its tokens must not inflate any tier's removal count
+      Dedup.dedupAblation(noindexGate(Tables.documents(s, d)), col("doc_id"),
           col("text"), graft.functions.SourceFamily
             .canonicalizeUrl(messyUrlFixture))
         .orderBy(col("tier"))
     }, Some(s"""
-      WITH $selfDedupCtes,
+      WITH dcs AS (SELECT * FROM documents WHERE $noindexKeepSql),
+      ${selfDedupCtesFrom("dcs")},
       ntk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok FROM toks),
       fpx AS (SELECT doc_id,
                 md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS f
-              FROM documents),
+              FROM dcs),
       eg AS (SELECT f, min(doc_id) AS k FROM fpx GROUP BY 1),
       ex AS (SELECT fpx.doc_id FROM fpx JOIN eg USING (f) WHERE doc_id <> k),
       u AS (SELECT doc_id,
               'https://www.' || source || '.com/a/b?x=1&y=2' AS cu
-            FROM documents),
+            FROM dcs),
       ug AS (SELECT cu, min(doc_id) AS k FROM u GROUP BY 1),
       ur AS (SELECT u.doc_id FROM u JOIN ug USING (cu) WHERE doc_id <> k),
       chz AS (SELECT doc_id,
@@ -4346,29 +4356,28 @@ object PipelineQueries {
       SELECT canonical, dst_family, allowed, rule_pattern FROM gate
       ORDER BY canonical""")),
 
-    // The composed CRAWL SCHEDULE — rank, gate, then spend: p132's
-    // ranks allocated by p133's integer-exact largest-remainder pass,
-    // but each domain's cap is what binds TIGHTER of the politeness
-    // constant and its p138-allowed distinct URL count (a domain with
-    // rank but zero fetchable pages gets cap 0, never a politeness
-    // default — src1.com's content pages are robots-blocked, so its
-    // cap collapses to its one hub URL). This is the closing
-    // composition of the crawl arc: every upstream operator's output
-    // feeds the allocation, and the oracle recomputes the whole chain.
+    // The composed CRAWL SCHEDULE — harvest under the page-level
+    // gates, alias-resolve, gate, rank, then spend: edges come from
+    // the FOLLOW harvest (a nofollow'd page or anchor never mints an
+    // edge — p212's gate IN the chain, not beside it), the frontier is
+    // rewritten through the page-published alias map (meta-refresh +
+    // rel=canonical through ONE pointer chain: collapsed keys merge
+    // BEFORE the gate counts them, a collapse into a robots-blocked
+    // root gates out, loop keys leave the frontier), and each
+    // domain's cap is the TIGHTER of the politeness constant and its
+    // gate-allowed distinct key count. Every signal changes the
+    // answer: the nofollow stripes shift PageRank mass, the src12
+    // loop empties a family's frontier, src8's collapse moves its
+    // hub's count into a blocked key. The oracle recomputes the whole
+    // chain from the fixture arithmetic plus the written-down alias
+    // resolution.
     ("p139_crawl_schedule", (s, d) => {
       import s.implicits._
-      val pages = htmlPages(s, d)
-      val urls = graft.graph.LinkGraph.linkRows(pages,
-        col("page_url"), col("html"))
-      val rules = graft.graph.LinkGraph.parseRobotsPatterns(
-        robotsWildTxtFixture.toDF("family", "txt"),
-        col("family"), col("txt"))
-      val allowedCounts = graft.graph.LinkGraph.robotsFilterWildcard(
-          urls.select(col("canonical"), col("dst_family")).distinct(), rules)
-        .filter(col("allowed"))
+      val links = crawlLinksFixture(s, d)
+      val allowed = gateAllowedOf(s, links)
+      val allowedCounts = allowed
         .groupBy(col("dst_family")).agg(count(lit(1)).as("n_allowed"))
-      val edges = graft.graph.LinkGraph.linkRows(pages,
-          col("page_url"), col("html"))
+      val edges = links
         .select(col("src_family").as("src"), col("dst_family").as("dst"))
       val ranks = graft.graph.LinkGraph.pageRank(edges, iters = 5)
       val withCaps = ranks
@@ -4379,7 +4388,7 @@ object PipelineQueries {
       graft.graph.LinkGraph.crawlBudgetWithCaps(withCaps, budget = 200L)
         .orderBy(col("node"))
     }, Some(s"""
-      WITH $outlinkCtesSql,
+      WITH $followLkCtesSql,
       $robotsCtesSql,
       $crawlScheduleCtesSql
       SELECT * FROM (
@@ -4392,20 +4401,24 @@ object PipelineQueries {
 
     // The fetch WORKLIST — the crawl arc's LAST materialization: the
     // p139 schedule's per-domain request counts turned into the URL
-    // list a fetcher consumes this round. Per-domain priority is
-    // md5(canonical) — engine-portable, retry-reproducible, and free
-    // of path-order bias (lexicographic order would crawl /a/*
-    // before /z/* forever); each domain takes its first n_requests
-    // gate-allowed URLs in that order. Because p139 builds caps from
-    // the allowed-URL counts, n_requests ≤ n_allowed — the worklist
-    // spends EXACTLY the scheduled budget. The oracle recomputes the
-    // entire harvest → gate → rank → spend → select chain through the
-    // SAME shared CTEs as p139 (the sharedOracle rule at SQL level).
+    // list a fetcher consumes this round, over the SAME gated chain
+    // (follow harvest → alias resolution → robots gate → rank →
+    // spend): a collapsed frontier key appears ONCE under its
+    // terminal form (the fetcher never spends two requests on URLs
+    // the pages themselves declared identical), and a loop key never
+    // appears. Per-domain priority is md5(canonical) —
+    // engine-portable, retry-reproducible, and free of path-order
+    // bias; each domain takes its first n_requests gate-allowed URLs
+    // in that order. Because p139 builds caps from the allowed-key
+    // counts, n_requests ≤ n_allowed — the worklist spends EXACTLY
+    // the scheduled budget. The oracle recomputes the entire chain
+    // through the SAME shared CTEs as p139 (the sharedOracle rule at
+    // SQL level).
     ("p145_crawl_worklist", (s, d) => {
       crawlWorklistFixture(s, d)
         .orderBy(col("dst_family"), col("pos"))
     }, Some(s"""
-      WITH $outlinkCtesSql,
+      WITH $followLkCtesSql,
       $robotsCtesSql,
       $crawlScheduleCtesSql,
       wl AS (SELECT g.canonical, g.dst_family, c.n_requests,
@@ -5065,11 +5078,18 @@ object PipelineQueries {
     // reuses the identical gate + schedule CTE chains.
     ("p157_frontier_worklist", (s, d) => {
       import s.implicits._
+      // links are already follow-harvested and alias-resolved (the
+      // composed chain); sitemap keys join the union through the SAME
+      // alias rewrite — a no-op on keys no page re-declares, and
+      // idempotent on the already-resolved link rows (a resolved
+      // terminal is never itself an alias src)
       val links = crawlLinksFixture(s, d)
-      val sm = graft.graph.LinkGraph.parseSitemap(
-          sitemapXmlFixture.toDF("family", "xml"),
-          col("family"), col("xml"))
-        .select(col("canonical"), col("family").as("dst_family"))
+      val sm = graft.graph.CrawlOps.resolveFrontierAliases(
+        graft.graph.LinkGraph.parseSitemap(
+            sitemapXmlFixture.toDF("family", "xml"),
+            col("family"), col("xml"))
+          .select(col("canonical"), col("family").as("dst_family")),
+        frontierAliasResolved(s))
       val unioned = links.select(col("canonical"), col("dst_family"))
         .union(sm)
       val allowed = gateAllowedOf(s, unioned)
@@ -5077,7 +5097,7 @@ object PipelineQueries {
           crawlScheduleOf(links, allowed))
         .orderBy(col("dst_family"), col("pos"))
     }, Some(s"""
-      WITH $outlinkCtesSql,
+      WITH $followLkCtesSql,
       sm(canonical, dst_family) AS (VALUES
         ('https://www.src0.com/hub?a=1&b=2', 'src0.com'),
         ('https://src0.com/fresh', 'src0.com'),
@@ -7115,6 +7135,7 @@ object PipelineQueries {
     }, Some("""
       SELECT doc_id,
              CAST(doc_id % 5 AS INT) IN (1, 3, 4) OR doc_id % 7 = 0
+               OR (doc_id % 7 <> 0 AND CAST(doc_id % 19 AS INT) IN (4, 12))
                AS noindex,
              CAST(doc_id % 5 AS INT) IN (2, 3, 4) AS nofollow
       FROM documents ORDER BY doc_id""")),
@@ -7286,29 +7307,9 @@ object PipelineQueries {
     // meta at all. The oracle recomputes extraction, thresholding,
     // AND both hop counts.
     ("p216_meta_refresh", (s, d) => {
-      val docs = Tables.documents(s, d)
-      val k = col("doc_id").cast("string")
-      val url = concat(lit("https://www.src"),
-        (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
-      val m5 = col("doc_id") % 5
-      val head = when(m5 === 1, concat(
-          lit("<meta http-equiv=\"refresh\" content=\"0; url=HTTPS://WWW.Src"),
-          ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
-          (col("doc_id") + 1).cast("string"), lit("?utm_source=r\">")))
-        .when(m5 === 2, concat(
-          lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='https://dst"),
-          (col("doc_id") % 11).cast("string"), lit(".com/t"), k,
-          lit("'\">")))
-        .when(m5 === 3, lit("<meta http-equiv=\"Content-Type\" " +
-          "content=\"text/html\">"))
-        .when(m5 === 4, lit("<meta http-equiv=\"refresh\" content=\"30\">"))
-        .otherwise(lit("<meta http-equiv=\"refresh\" " +
-          "content=\"600; url=https://slow.example/x\">"))
-      val pages = docs.select(col("doc_id"), url.as("page_url"),
-        concat(lit("<html><head>"), head, lit("</head><body><p>"),
-          col("text"), lit("</p></body></html>")).as("html"))
       graft.graph.CrawlOps.resolveRedirects(
-          graft.graph.CrawlOps.metaRefreshEdges(pages, col("page_url"),
+          graft.graph.CrawlOps.metaRefreshEdges(
+            metaRefreshPages(Tables.documents(s, d)), col("page_url"),
             col("html"), maxDelaySeconds = 10L),
           maxDepth = 4)
         .orderBy(col("url"))
@@ -7336,7 +7337,121 @@ object PipelineQueries {
       FROM m1 LEFT JOIN documents d2 ON d2.doc_id = m1.doc_id + 1
       UNION ALL
       SELECT src, dst, CAST(1 AS BIGINT), true FROM m2
-      ORDER BY url""")))
+      ORDER BY url""")),
+
+    // rel=canonical CHAINS through the shared pointer chain — the
+    // round-11 gap closed: a canonical pointing at a page that itself
+    // declares a canonical (routine when a CMS migrates twice), and a
+    // canonical pointing at a META-REFRESH page, both resolve through
+    // ONE resolveRedirects pass over the UNIONED alias map
+    // (pageAliasEdges). The fixture builds 3-hop canonical chains
+    // (m6=1 → m6=2 → m6=3 → terminal), canonical→refresh mixes
+    // (m6=4 → m6=5's zero-refresh → terminal), single declarations
+    // that stay 1-hop, a both-forms page whose canonical must LOSE to
+    // its refresh (precedence), and a slow-refresh decoy beside a
+    // binding canonical; quote forms vary (single-quoted link/meta on
+    // two stripes) so the widened attribute grammar is oracle-gated.
+    // Corpus-boundary successors (doc_id+1 past the last doc) stop
+    // the chain early — the oracle derives hops from successor
+    // EXISTENCE, never from an assumed corpus size.
+    ("p217_canonical_chains", (s, d) => {
+      val pages = canonicalChainPages(Tables.documents(s, d))
+      graft.graph.CrawlOps.resolveRedirects(
+          graft.graph.CrawlOps.pageAliasEdges(pages, col("page_url"),
+            col("html"), maxDelaySeconds = 10L),
+          maxDepth = 4)
+        .orderBy(col("url"))
+    }, Some("""
+      WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+      b AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m,
+              'https://www.src' || (doc_id % 20) || '.com/c/' || doc_id AS u
+            FROM documents)
+      SELECT u AS url,
+             CASE
+               WHEN m = 1 AND doc_id + 1 > md THEN
+                 'https://www.src' || ((doc_id + 1) % 20) || '.com/c/'
+                   || (doc_id + 1)
+               WHEN m = 1 AND doc_id + 2 > md THEN
+                 'https://www.src' || ((doc_id + 2) % 20) || '.com/c/'
+                   || (doc_id + 2)
+               WHEN m = 1 THEN 'https://t.example.com/x' || (doc_id + 2)
+               WHEN m = 2 AND doc_id + 1 > md THEN
+                 'https://www.src' || ((doc_id + 1) % 20) || '.com/c/'
+                   || (doc_id + 1)
+               WHEN m = 2 THEN 'https://t.example.com/x' || (doc_id + 1)
+               WHEN m = 3 THEN 'https://t.example.com/x' || doc_id
+               WHEN m = 4 AND doc_id + 1 > md THEN
+                 'https://www.src' || ((doc_id + 1) % 20) || '.com/c/'
+                   || (doc_id + 1)
+               WHEN m = 4 THEN 'https://final.example.com/f' || (doc_id + 1)
+               ELSE 'https://final.example.com/f' || doc_id
+             END AS final_url,
+             CAST(CASE
+               WHEN m = 1 AND doc_id + 1 > md THEN 1
+               WHEN m = 1 AND doc_id + 2 > md THEN 2
+               WHEN m = 1 THEN 3
+               WHEN m IN (2, 4) AND doc_id + 1 > md THEN 1
+               WHEN m IN (2, 4) THEN 2
+               ELSE 1
+             END AS BIGINT) AS hops,
+             true AS resolved
+      FROM b, mx WHERE m IN (1, 2, 3, 4, 5)
+      ORDER BY url""")),
+
+    // The SQ8 SERVING tier through the blue/green lifecycle — p210's
+    // memory knob promoted from an audit to a store: v1 publishes
+    // model + codes built on an 80% slice, v2 RETRAINS on the full
+    // corpus (new per-dim min/max, every code re-minted — the
+    // codes-invalidate-on-retrain rule), each publish gated on
+    // recall@5 vs full-precision truth BEFORE its .complete marker
+    // lands (a below-floor quantizer never reaches readers — the
+    // refusal path is spec-pinned in SimilaritySpec), and the served
+    // ranking comes from the CURRENT version's store artifact: codes
+    // read back from parquet, reconstructed lo + code·(hi−lo)/255,
+    // queries through the SAME stored model (symmetric). The oracle
+    // recomputes v2's model, the quantize-reconstruct arithmetic
+    // (identical operation order — bit-equal doubles), and the full
+    // ranking.
+    ("p218_sq8_lifecycle", (s, d) => {
+      import graft.similarity.SimilaritySearch
+      val e = Tables.embeddings(s, d)
+      val base = graft.sources.Sinks.tempArtifactDir("sq8_store")
+      val panel = e.filter(col("vec_id") < 20).localCheckpoint(eager = false)
+      SimilaritySearch.publishSq8Store(s, base,
+        e.filter(col("vec_id") % 5 =!= 4), col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 5,
+        recallFloorMicro = 500000L)
+      SimilaritySearch.publishSq8Store(s, base,
+        e, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 5,
+        recallFloorMicro = 500000L)
+      SimilaritySearch.sq8TopKCurrent(s, base, panel, col("vec_id"),
+          col("embedding"), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      st AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+             FROM c, generate_series(1, 64) t(i) GROUP BY 1),
+      m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+            FROM st),
+      dq AS (SELECT vec_id, list_transform(v, (x, i) ->
+               CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+                    ELSE m.lo[i] + floor((x - m.lo[i]) * 255.0
+                           / (m.hi[i] - m.lo[i]) + 0.5)
+                         * (m.hi[i] - m.lo[i]) / 255.0 END) AS v
+             FROM c, m),
+      qd AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 20),
+      ds AS (SELECT query_id, dq.vec_id AS neighbor_id,
+               round(list_dot_product(dq.v, qv) /
+                     (sqrt(list_dot_product(dq.v, dq.v)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM dq, qd WHERE dq.vec_id <> query_id),
+      sq AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+             FROM ds)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM sq WHERE rank <= 5 ORDER BY query_id, rank""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -7840,16 +7955,145 @@ object PipelineQueries {
     Tables.documents(s, d).select(col("doc_id"),
       messyUrlFixture.as("page_url"), htmlFixtureText.as("html"))
 
-  /** The harvested link rows of the fixture pages, lineage-truncated
-    * (the LinkGraph rule): the regex harvest + canonicalize chain is
-    * the expensive scan-stage pass, and the worklist composition
-    * consumes it THREE ways (the gate, the gate's counts, the rank
-    * edges) — one checkpoint makes those three consumers one pass.
+  /** The composed crawl front's DIRECTIVE-DECORATED pages: provenance
+    * from the p63 messy-URL fixture, markup from p212's
+    * [[nofollowHtmlFixture]] (per-anchor rel no-weight tokens on
+    * three stripes, a page-level robots-meta nofollow on the %9≡1
+    * stripe, the noopener and description-meta decoys). The crawl
+    * front harvests THESE — real pages carry directives, and a
+    * schedule built from a harvest that ignores them spends budget on
+    * edges a ranking crawl must not count. p130/p131/p132 keep the
+    * undecorated [[htmlFixtureText]]: they pin the RAW-harvest
+    * semantics (extraction, every-href edges) that the follow harvest
+    * is defined against.
+    */
+  private[graft] def directiveCrawlPages(s: SparkSession,
+                                         d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      messyUrlFixture.as("page_url"), nofollowHtmlFixture.as("html"))
+
+  /** The page-level NOINDEX gate over the corpus — what a corpus
+    * build must drop BEFORE any dedup/quality/sampling stage reads a
+    * byte (a noindex'd page feeding a training corpus is the same
+    * policy violation as feeding a search index): each doc's fetched
+    * page carries a `<meta name="robots">` (single-quoted on the
+    * %11≡3 stripe — the widened attribute grammar rides the corpus
+    * gate), a `none` meta on %17≡5, an `X-Robots-Tag: noindex`
+    * response header on %13≡2 (the header-only side of the union),
+    * and the description-meta decoy everywhere; the flags run through
+    * the REAL extraction ([[graft.functions.TextFunctions.metaRobots]]
+    * → [[graft.graph.LinkGraph.robotsDirectiveFlags]]) — the oracle
+    * keeps [[noindexKeepSql]]'s written-down arithmetic. Scan-stage
+    * projection + filter: the gate costs one regex chain per row,
+    * never a shuffle. Directive-free corpora pass untouched
+    * (robotsDirectiveFlags defaults false/false — spec-pinned).
+    */
+  private[graft] def noindexGate(docs: DataFrame): DataFrame = {
+    val meta = when(col("doc_id") % 11 === 3,
+        lit("<meta name='robots' content='noindex'>"))
+      .when(col("doc_id") % 17 === 5,
+        lit("<meta name=\"robots\" content=\"none\">"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), meta,
+      lit("<meta name=\"description\" content=\"noindex\"></head><body>"),
+      col("text"), lit("</body></html>"))
+    val hdr = when(col("doc_id") % 13 === 2, lit("noindex"))
+      .otherwise(lit(null).cast("string"))
+    docs.withColumn("__flags",
+        graft.graph.LinkGraph.robotsDirectiveFlags(
+          graft.functions.TextFunctions.metaRobots(html), hdr))
+      .filter(!col("__flags.noindex")).drop("__flags")
+  }
+
+  /** [[noindexGate]]'s keep-condition, written down from the fixture
+    * arithmetic — the generative-oracle side of the gate.
+    */
+  private[graft] val noindexKeepSql: String =
+    "NOT (doc_id % 11 = 3 OR doc_id % 17 = 5 OR doc_id % 13 = 2)"
+
+  /** The crawl front's page-published ALIAS declarations — hub pages
+    * fetched in an earlier round whose markup declares rel=canonical
+    * or meta-refresh, authored so every alias behavior binds on the
+    * harvested frontier: a hub collapsing to its own root (src4, a
+    * NEW frontier key), a CROSS-family collapse into the nav root
+    * (src8 → src0's robots-BLOCKED root: the collapse must gate OUT),
+    * a refresh merging into another EXISTING frontier key (src6 →
+    * src14's hub), a 2-hop refresh→canonical chain (src2 hub → moved
+    * → final), a refresh LOOP whose hub must drop from the frontier
+    * (src12), a both-forms page whose canonical loses to its refresh
+    * (src16), and a MESSY self-declaration that must canonicalize to
+    * self and emit no edge (src18). At 100 TB this map is the
+    * archive's declaration table — corpus-sized, resolved once per
+    * crawl round by [[graft.graph.CrawlOps.resolveRedirects]]'s
+    * pointer doubling and hash-joined against the frontier; here it
+    * is authored and bounded.
+    */
+  private[graft] val frontierAliasPagesFixture: Seq[(String, String)] = Seq(
+    ("https://www.src4.com/hub?a=1&b=2",
+      "<html><head><link rel=\"canonical\" " +
+        "href=\"https://www.src4.com/\"></head></html>"),
+    ("https://www.src8.com/hub?a=1&b=2",
+      "<html><head><link rel='canonical' " +
+        "href='https://www.src0.com/'></head></html>"),
+    ("https://www.src6.com/hub?a=1&b=2",
+      "<html><head><meta http-equiv=\"refresh\" " +
+        "content=\"0; url=https://www.src14.com/hub?a=1&b=2\">" +
+        "</head></html>"),
+    ("https://www.src2.com/hub?a=1&b=2",
+      "<html><head><meta http-equiv=\"refresh\" " +
+        "content=\"3;URL='https://www.src2.com/moved'\"></head></html>"),
+    ("https://www.src2.com/moved",
+      "<html><head><link rel=\"canonical\" " +
+        "href=\"https://www.src2.com/final\"></head></html>"),
+    ("https://www.src12.com/hub?a=1&b=2",
+      "<html><head><meta http-equiv=\"refresh\" " +
+        "content=\"0; url=https://www.src12.com/loop1\"></head></html>"),
+    ("https://www.src12.com/loop1",
+      "<html><head><meta http-equiv=\"refresh\" " +
+        "content=\"0; url=https://www.src12.com/hub?a=1&b=2\">" +
+        "</head></html>"),
+    ("https://www.src16.com/hub?a=1&b=2",
+      "<html><head><link rel=\"canonical\" " +
+        "href=\"https://evil.example/never\">" +
+        "<meta http-equiv=\"refresh\" " +
+        "content=\"0; url=https://www.src16.com/hub2\"></head></html>"),
+    ("https://www.src18.com/hub?a=1&b=2",
+      "<html><head><link rel=\"canonical\" " +
+        "href=\"https://WWW.Src18.COM:443/hub?b=2&a=1&utm_source=x\">" +
+        "</head></html>"))
+
+  /** [[frontierAliasPagesFixture]] parsed and pointer-resolved — the
+    * (url, final_url, hops, resolved) table the frontier rewrite
+    * consumes, checkpointed because three compositions read it.
+    */
+  private[graft] def frontierAliasResolved(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.graph.CrawlOps.resolveRedirects(
+        graft.graph.CrawlOps.pageAliasEdges(
+          frontierAliasPagesFixture.toDF("page_url", "html"),
+          col("page_url"), col("html"), maxDelaySeconds = 10L),
+        maxDepth = 8)
+      .localCheckpoint(eager = false)
+  }
+
+  /** The composed crawl front's link rows — the FOLLOW harvest over
+    * the directive-decorated pages, rewritten through the resolved
+    * alias map (meta-refresh + rel=canonical, refresh precedence),
+    * lineage-truncated (the LinkGraph rule): the regex harvest +
+    * canonicalize chain is the expensive scan-stage pass, and the
+    * worklist composition consumes it THREE ways (the gate, the
+    * gate's counts, the rank edges) — one checkpoint makes those
+    * three consumers one pass. This is where the round-11 page-level
+    * gates COMPOSE: nofollow'd anchors and nofollow'd pages never
+    * mint edges, collapsed/redirected frontier keys merge before the
+    * gate counts them, loop keys leave the frontier entirely.
     */
   private[graft] def crawlLinksFixture(s: SparkSession,
                                        d: String): DataFrame =
-    graft.graph.LinkGraph.linkRows(htmlPages(s, d),
-        col("page_url"), col("html"))
+    graft.graph.CrawlOps.resolveFrontierAliases(
+        graft.graph.LinkGraph.linkRowsFollow(directiveCrawlPages(s, d),
+          col("page_url"), col("html")),
+        frontierAliasResolved(s))
       .localCheckpoint(eager = false)
 
   /** The robots-gate's ALLOWED slice — (canonical, dst_family) —
@@ -7929,7 +8173,7 @@ object PipelineQueries {
     * itself the gated output, not just the delay table feeding it.
     */
   private[graft] lazy val pacedWorklistOracle: String = s"""
-      WITH $outlinkCtesSql,
+      WITH $followLkCtesSql,
       $robotsCtesSql,
       $crawlScheduleCtesSql,
       wl AS (SELECT g.canonical, g.dst_family, c.n_requests,
@@ -8111,6 +8355,55 @@ object PipelineQueries {
         UNION ALL
         SELECT source || '.com', 'example.com',
                'https://tracker.example.com/' FROM documents)"""
+
+  /** The COMPOSED crawl front's link rows as shared CTEs ending in
+    * `lk` (src_family, dst_family, cu) — the FOLLOW harvest over the
+    * directive-decorated pages ([[nofollowHtmlFixture]]'s arithmetic:
+    * the %9≡1 page-level nofollow drops whole pages, the odd/%3/%5
+    * rel stripes drop single anchors), REWRITTEN through the alias
+    * map's written-down resolution (`al`): collapsed keys replace cu
+    * and dst_family, loop keys (ok=false) drop. Shared by p139, p145,
+    * p157, the q126/q148 streaming twins — the sharedOracle rule at
+    * SQL level, the Scala side being [[crawlLinksFixture]].
+    */
+  private lazy val followLkCtesSql: String = """
+      lk0 AS (
+        SELECT source || '.com' AS src_family, 'src0.com' AS dst_family,
+               'https://www.src0.com/' AS cu FROM documents
+        WHERE doc_id % 9 <> 1
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id * 7 % 20) || '.com',
+               'https://www.src' || (doc_id * 7 % 20) || '.com/hub?a=1&b=2'
+        FROM documents WHERE doc_id % 9 <> 1 AND doc_id % 2 <> 1
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id % 7) || '.com',
+               'http://cdn3.src' || (doc_id % 7) || '.com/p?id=' || doc_id
+        FROM documents WHERE doc_id % 9 <> 1 AND doc_id % 3 <> 0
+        UNION ALL
+        SELECT source || '.com', 'src' || (doc_id % 4) || '.co.uk',
+               'https://src' || (doc_id % 4) || '.co.uk/' FROM documents
+        WHERE doc_id % 9 <> 1 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT source || '.com', 'example.com',
+               'https://tracker.example.com/' FROM documents
+        WHERE doc_id % 9 <> 1),
+      al(asrc, fin, fam, ok) AS (VALUES
+        ('https://www.src4.com/hub?a=1&b=2',
+         'https://www.src4.com/', 'src4.com', true),
+        ('https://www.src8.com/hub?a=1&b=2',
+         'https://www.src0.com/', 'src0.com', true),
+        ('https://www.src6.com/hub?a=1&b=2',
+         'https://www.src14.com/hub?a=1&b=2', 'src14.com', true),
+        ('https://www.src2.com/hub?a=1&b=2',
+         'https://www.src2.com/final', 'src2.com', true),
+        ('https://www.src12.com/hub?a=1&b=2', NULL, NULL, false),
+        ('https://www.src16.com/hub?a=1&b=2',
+         'https://www.src16.com/hub2', 'src16.com', true)),
+      lk AS (SELECT src_family,
+               coalesce(al.fam, lk0.dst_family) AS dst_family,
+               coalesce(al.fin, lk0.cu) AS cu
+             FROM lk0 LEFT JOIN al ON lk0.cu = al.asrc
+             WHERE al.ok IS NULL OR al.ok)"""
 
   /** p132's oracle iterations: `r1..rk` chained CTEs, each one
     * integer-PageRank round over `e`/`nd`/`od`/`r{i-1}` (the p58
@@ -8460,10 +8753,14 @@ object PipelineQueries {
 
   /** p211's directive-bearing response ARCHIVE — meta variants by
     * doc_id%5 (case/padding, two folding metas, reversed attribute
-    * order, `none`), the description-meta decoy on every page, and a
-    * header-only `X-Robots-Tag: noindex` on the %7 stripe. ONE
-    * definition for the batch entry and the q152 ingest twin (the
-    * scriptFixtureText rule).
+    * order, `none`), the description-meta decoy on every page, and
+    * the X-Robots-Tag grammar by stripe: a flat `noindex` on %7≡0, a
+    * header SCOPED to our agent on %19≡4 (binds), one scoped to a
+    * foreign agent on %19≡8 (must NOT bind — including its nofollow),
+    * an `unavailable_after` already past on %19≡12 (binds as
+    * noindex), and one still in the future on %19≡16 (must not
+    * bind). ONE definition for the batch entry and the q152 ingest
+    * twin (the scriptFixtureText rule).
     */
   private[graft] def metaRobotsWarcFixture(docs: DataFrame): DataFrame = {
     val m5 = col("doc_id") % 5
@@ -8477,8 +8774,16 @@ object PipelineQueries {
     val page = concat(lit("<html><head>"), metaPart,
       lit("<meta name=\"description\" content=\"noindex, nofollow\">" +
         "</head><body><p>"), col("text"), lit("</p></body></html>"))
+    val m19 = col("doc_id") % 19
     val xrobots = when(col("doc_id") % 7 === 0,
-      lit("\r\nX-Robots-Tag: noindex")).otherwise(lit(""))
+        lit("\r\nX-Robots-Tag: noindex"))
+      .when(m19 === 4, lit("\r\nX-Robots-Tag: Graftbot: NoIndex"))
+      .when(m19 === 8, lit("\r\nX-Robots-Tag: megabot: noindex, nofollow"))
+      .when(m19 === 12,
+        lit("\r\nX-Robots-Tag: unavailable_after: 2026-01-15"))
+      .when(m19 === 16,
+        lit("\r\nX-Robots-Tag: unavailable_after: 2099-01-01"))
+      .otherwise(lit(""))
     val msg = cast_bin(concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"),
       xrobots, lit("\r\nContent-Length: "),
@@ -8488,16 +8793,21 @@ object PipelineQueries {
 
   /** The flag projection off a [[graft.sources.Warc.splitHttp]] frame
     * — shared by p211 and its ingest twin: meta tokens from the page
-    * text unioned with the X-Robots-Tag header through
-    * [[graft.graph.LinkGraph.robotsDirectiveFlags]].
+    * text unioned with the X-Robots-Tag header through the SCOPED
+    * grammar ([[graft.graph.LinkGraph.robotsDirectiveFlagsScoped]]
+    * — per-agent scopes and dated `unavailable_after`, our agent
+    * "graftbot", the crawl's own clock as a FIXED asof date: retry
+    * reproducibility forbids reading the machine clock in a gate).
     */
   private[graft] def directiveFlagsOf(split: DataFrame): DataFrame =
     split.select(
         regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
           .cast("long").as("doc_id"),
-        graft.graph.LinkGraph.robotsDirectiveFlags(
+        graft.graph.LinkGraph.robotsDirectiveFlagsScoped(
           graft.functions.TextFunctions.metaRobots(col("text")),
-          element_at(col("http_headers"), "x-robots-tag")).as("f"))
+          element_at(col("http_headers"), "x-robots-tag"),
+          agent = "graftbot",
+          asofDate = lit("2026-08-01").cast("date")).as("f"))
       .select(col("doc_id"), col("f.noindex").as("noindex"),
         col("f.nofollow").as("nofollow"))
 
@@ -8532,6 +8842,77 @@ object PipelineQueries {
         canonSelfMessy,
         lit("<link rel=\"canonical\" href=\"https://evil.example/x\">")))
     docs.select(col("doc_id"), url.as("page_url"),
+      concat(lit("<html><head>"), head, lit("</head><body><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+  }
+
+  /** p216's refresh fixture over any (doc_id, text) frame (batch or
+    * streaming — the scriptFixtureText sharing rule): %5≡1 pages
+    * zero-refresh to the NEXT page (messy target — canonicalization
+    * lands the hop on the next page's map key), %5≡2 five-second-
+    * refresh (quoted URL form) to their terminals, and the non-edges
+    * all planted: a bare-delay reload, a 600 s slow refresh, a
+    * Content-Type http-equiv decoy.
+    */
+  private[graft] def metaRefreshPages(docs: DataFrame): DataFrame = {
+    val k = col("doc_id").cast("string")
+    val url = concat(lit("https://www.src"),
+      (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
+    val m5 = col("doc_id") % 5
+    val head = when(m5 === 1, concat(
+        lit("<meta http-equiv=\"refresh\" content=\"0; url=HTTPS://WWW.Src"),
+        ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
+        (col("doc_id") + 1).cast("string"), lit("?utm_source=r\">")))
+      .when(m5 === 2, concat(
+        lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='https://dst"),
+        (col("doc_id") % 11).cast("string"), lit(".com/t"), k,
+        lit("'\">")))
+      .when(m5 === 3, lit("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html\">"))
+      .when(m5 === 4, lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+      .otherwise(lit("<meta http-equiv=\"refresh\" " +
+        "content=\"600; url=https://slow.example/x\">"))
+    docs.select(col("doc_id"), url.as("page_url"),
+      concat(lit("<html><head>"), head, lit("</head><body><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+  }
+
+  /** p217's chain fixture over any (doc_id, text) frame: page m6=1
+    * declares page m6=2 canonical, which declares m6=3, which declares
+    * a unique terminal — a 3-hop canonical chain; m6=4 declares the
+    * m6=5 page, which ZERO-REFRESHES to its terminal — the
+    * canonical→refresh mix; m6=5 also carries a canonical that must
+    * lose to its refresh (precedence) and m6=3 a 600 s slow-refresh
+    * decoy beside its binding canonical. m6=2's link and m6=5's meta
+    * use SINGLE quotes — the widened attribute grammar rides the
+    * oracle gate.
+    */
+  private[graft] def canonicalChainPages(docs: DataFrame): DataFrame = {
+    val k = col("doc_id").cast("string")
+    def u(i: Column) = concat(lit("https://www.src"),
+      (i % 20).cast("string"), lit(".com/c/"), i.cast("string"))
+    val m = col("doc_id") % 6
+    val head = when(m === 1, concat(
+        lit("<link rel=\"canonical\" href=\""), u(col("doc_id") + 1),
+        lit("\">")))
+      .when(m === 2, concat(
+        lit("<link rel='canonical' href='"), u(col("doc_id") + 1),
+        lit("'>")))
+      .when(m === 3, concat(
+        lit("<meta http-equiv=\"refresh\" " +
+          "content=\"600; url=https://slow.example/s\">" +
+          "<link rel=\"canonical\" href=\"https://t.example.com/x"), k,
+        lit("\">")))
+      .when(m === 4, concat(
+        lit("<link rel=\"canonical\" href=\""), u(col("doc_id") + 1),
+        lit("\">")))
+      .when(m === 5, concat(
+        lit("<link rel=\"canonical\" href=\"https://evil.example/c"), k,
+        lit("\">" +
+          "<meta http-equiv='refresh' " +
+          "content='0; url=https://final.example.com/f"), k, lit("'>")))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"), u(col("doc_id")).as("page_url"),
       concat(lit("<html><head>"), head, lit("</head><body><p>"),
         col("text"), lit("</p></body></html>")).as("html"))
   }
@@ -8636,10 +9017,14 @@ object PipelineQueries {
       FROM dr $finalWhere GROUP BY doc_id ORDER BY doc_id"""
 
   /** The CTE chain of [[selfDedupOracle]] up to `dr` (per-token drop
-    * verdicts) — shared with the ablation report's span tier.
+    * verdicts) — shared with the ablation report's span tier, which
+    * runs it over the noindex-gated corpus (`docsRel` = the gated
+    * CTE; p114/p121 keep the raw table).
     */
-  private lazy val selfDedupCtes: String = s"""
-      toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+  private lazy val selfDedupCtes: String = selfDedupCtesFrom("documents")
+
+  private def selfDedupCtesFrom(docsRel: String): String = s"""
+      toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM $docsRel),
       sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
                THEN generate_series(1, len(t)-7) ELSE [] END) AS i, t
              FROM toks),

@@ -987,6 +987,165 @@ object SimilaritySearch {
     }
   }
 
+  /** The SQ8 quantizer MODEL: per-dimension (dim, lo, hi) over the
+    * build corpus — a dim-sized artifact (the bounded-model rule: 64
+    * rows for the embeddings table, collected once per build, never
+    * per row). This is the model p210's recall audit measures; here
+    * it becomes a SERVING tier artifact the blue/green lifecycle
+    * versions alongside the codes it defines (codes are meaningless
+    * without the exact model that minted them — the same
+    * codes-invalidate-on-retrain rule as [[publishIndexVersion]]
+    * documents for PQ).
+    */
+  def sq8TrainModel(vectors: DataFrame, vec: Column): DataFrame =
+    vectors.select(posexplode(vec).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+
+  /** (lo, hi) literal arrays of a stored SQ8 model — the broadcast
+    * form every encode/reconstruct projection closes over.
+    */
+  private def sq8ModelArrays(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Column, Column, Int) = {
+    val st = spark.read.parquet(s"$dir/model").orderBy(col("dim"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    (typedlit(st.map(_._1).toSeq), typedlit(st.map(_._2).toSeq), st.length)
+  }
+
+  /** Quantize-then-reconstruct against a stored model — the double
+    * each component serves as: `lo + floor((x−lo)·255/(hi−lo)+0.5)
+    * ·(hi−lo)/255` (floor(+0.5), the engine-portable rounding p210
+    * pins), a degenerate dimension (hi = lo) serving its constant.
+    * Applied SYMMETRICALLY to stored codes and to queries, so the
+    * ranking is a pure function of the model — what an SQ8 store
+    * computes against.
+    */
+  private def sq8Dequant(vec: Column, lo: Column, hi: Column): Column =
+    transform(vec, (x, i) => {
+      val l = element_at(lo, i + 1)
+      val h = element_at(hi, i + 1)
+      when(h === l, l).otherwise(
+        l + floor((x.cast("double") - l) * lit(255.0) / (h - l)
+          + lit(0.5)) * (h - l) / lit(255.0))
+    })
+
+  /** Build a complete SQ8 store under `dir`: `model/` (the per-dim
+    * quantizer) + `codes/` (one int8-range code per component — the
+    * 4 bytes/dim → 1 byte/dim memory knob; stored as int array for
+    * parquet simplicity, the byte packing being a physical-layout
+    * choice this layer does not gate on). Codes are minted against
+    * THIS directory's model — the pairing the version directory
+    * exists to keep atomic.
+    */
+  def buildSq8Store(spark: org.apache.spark.sql.SparkSession,
+                    vectors: DataFrame, id: Column, vec: Column,
+                    dir: String): Unit = {
+    val src = vectors.select(id.cast("long").as("vec_id"), vec.as("__v"))
+      .localCheckpoint(eager = false)
+    sq8TrainModel(src, col("__v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    src.select(col("vec_id"),
+        transform(col("__v"), (x, i) => {
+          val l = element_at(lo, i + 1)
+          val h = element_at(hi, i + 1)
+          when(h === l, lit(0))
+            .otherwise(floor((x.cast("double") - l) * lit(255.0) / (h - l)
+              + lit(0.5)).cast("int"))
+        }).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The RECONSTRUCTED store of an SQ8 version directory — (vec_id,
+    * vec) doubles rebuilt from codes: `lo + code·(hi−lo)/255`, bit-
+    * equal to [[sq8Dequant]] of the raw vector because the code is
+    * exactly the floor the dequant takes (spec-pinned).
+    */
+  def sq8Reconstructed(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"),
+        transform(col("codes"), (c, i) => {
+          val l = element_at(lo, i + 1)
+          val h = element_at(hi, i + 1)
+          when(h === l, l)
+            .otherwise(l + c.cast("double") * (h - l) / lit(255.0))
+        }).as("vec"))
+  }
+
+  /** Serve top-k from the CURRENT SQ8 store version: queries pass
+    * through the SAME stored model (quantize-then-reconstruct — the
+    * symmetric protocol, so ranking is a pure function of the model
+    * artifact) and rank against the reconstructed store. One
+    * broadcast of the query panel, the usual bounded TopK — the
+    * brute-force scan an SQ8 tier affords at 1/4 the bytes of the
+    * full-precision store.
+    */
+  def sq8TopKCurrent(spark: org.apache.spark.sql.SparkSession,
+                     baseDir: String, queries: DataFrame,
+                     queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    val dir = currentIndexDir(spark, baseDir)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    bruteForceTopK(sq8Reconstructed(spark, dir), col("vec_id"), col("vec"),
+      queries, queryId, sq8Dequant(queryVec, lo, hi), k)
+  }
+
+  /** Recall@k of a directory's quantized serve against full-precision
+    * truth over a bounded query panel, in integer micro-units —
+    * p210's audit run against a STORE ARTIFACT instead of an inline
+    * projection (the store round-trip is the point: this is the
+    * number the publish gate reads).
+    */
+  def sq8RecallMicro(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     vectors: DataFrame, id: Column, vec: Column,
+                     panel: DataFrame, panelId: Column, panelVec: Column,
+                     k: Int): Long = {
+    val truth = bruteForceTopK(vectors, id, vec, panel, panelId, panelVec, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val served = bruteForceTopK(sq8Reconstructed(spark, dir),
+        col("vec_id"), col("vec"),
+        panel, panelId, sq8Dequant(panelVec, lo, hi), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nHits = served.join(broadcast(truth),
+      Seq("query_id", "neighbor_id")).count()
+    val nTruth = truth.count()
+    require(nTruth > 0, "sq8RecallMicro: empty truth panel")
+    nHits * 1000000L / nTruth
+  }
+
+  /** Blue/green SQ8 publish WITH the recall gate carried through: the
+    * next version builds its model + codes, then must prove its
+    * quantized serve still reaches `recallFloorMicro` against the
+    * full-precision truth on the query panel BEFORE the `.complete`
+    * marker lands — a below-floor build throws, leaving reservation
+    * debris [[gcIndexVersions]] sweeps, and CURRENT keeps serving the
+    * old version (the refusal IS the serve-continuity guarantee: a
+    * quantizer degraded by a corrupted or skewed build can never
+    * reach readers). Returns the published version name.
+    */
+  def publishSq8Store(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String,
+                      vectors: DataFrame, id: Column, vec: Column,
+                      panel: DataFrame, panelId: Column, panelVec: Column,
+                      k: Int, recallFloorMicro: Long): String = {
+    require(recallFloorMicro >= 0 && recallFloorMicro <= 1000000L,
+      s"publishSq8Store: recallFloorMicro must be in [0, 1e6], got " +
+        s"$recallFloorMicro")
+    publishIndexVersion(spark, baseDir) { dir =>
+      buildSq8Store(spark, vectors, id, vec, dir)
+      val recall = sq8RecallMicro(spark, dir, vectors, id, vec,
+        panel, panelId, panelVec, k)
+      if (recall < recallFloorMicro) throw new IllegalStateException(
+        s"publishSq8Store: recall@$k ${recall}µ below the " +
+          s"${recallFloorMicro}µ floor — refusing to publish a degraded " +
+          "quantizer (CURRENT keeps serving the previous version)")
+    }
+  }
+
   /** Version garbage collection for a [[publishIndexVersion]] base dir:
     * drop failed-build reservation debris — a version carrying the
     * `.reserved` marker but never the `.complete` one (the build threw

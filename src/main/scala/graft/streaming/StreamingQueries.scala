@@ -876,9 +876,16 @@ object StreamingQueries {
     val pages = documentsStream(spark, sfDir)
       .select(col("doc_id"),
         graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
-        graft.queries.PipelineQueries.htmlFixtureText.as("html"))
-    val urls = graft.graph.LinkGraph.linkRows(pages, col("page_url"),
-      col("html"))
+        graft.queries.PipelineQueries.nofollowHtmlFixture.as("html"))
+    // the page-level gates run map-side at ingest (follow harvest is
+    // a per-row projection), and the alias rewrite is a STREAM-STATIC
+    // left join against the batch-resolved pointer table — stateless,
+    // so a discovered key collapses to its terminal form the moment
+    // its row lands, before it ever touches the frontier state
+    val urls = graft.graph.CrawlOps.resolveFrontierAliases(
+      graft.graph.LinkGraph.linkRowsFollow(pages, col("page_url"),
+        col("html")),
+      graft.queries.PipelineQueries.frontierAliasResolved(spark))
     val rules = graft.graph.LinkGraph.parseRobotsPatterns(
         graft.queries.PipelineQueries.robotsWildTxtFixture
           .toDF("family", "txt"),
@@ -963,9 +970,16 @@ object StreamingQueries {
       .orderBy(col("dst_family")).collect().map(_.getString(0))
     val famsDf = fams.zipWithIndex
       .map { case (f, i) => (i.toLong, f) }.toSeq.toDF("key", "dst_family")
-    val delays = graft.graph.LinkGraph.robotsCrawlDelay(
-        PipelineQueries.robotsMetaFixture.toDF("family", "txt"),
-        col("family"), col("txt"))
+    // the delay snapshot the rate closure carries is pre-filtered to
+    // THIS round's worklist families (LinkGraph.restrictToFrontier —
+    // the semi-join that keeps the driver-side map round-sized at a
+    // 10⁸-domain archive; the fixture table is authored-small, but
+    // the wiring is the production shape)
+    val delays = graft.graph.LinkGraph.restrictToFrontier(
+        graft.graph.LinkGraph.robotsCrawlDelay(
+          PipelineQueries.robotsMetaFixture.toDF("family", "txt"),
+          col("family"), col("txt")),
+        col("family"), wl.select(col("dst_family")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val triggerMs = 10000L
     val defaultRate = 4
@@ -1252,6 +1266,27 @@ object StreamingQueries {
       .groupBy(col("canonical_target"))
       .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("keeper_doc"))
     runToMemory(agg).orderBy(col("canonical_target"))
+  }
+
+  /** p216's meta-refresh resolution with EXTRACTION at ingest — the
+    * q151 split: the refresh-edge projection
+    * ([[graft.graph.CrawlOps.metaRefreshEdges]] — first-refresh
+    * parse, delay threshold, canonicalized src/dst) is a stateless
+    * per-row program, so each page's redirect edge exists the moment
+    * the page lands (append mode, zero state rows); the pointer-
+    * doubling CHAIN resolution — inherently a corpus-wide iterated
+    * self-join — runs batch-side at the epoch boundary through the
+    * SAME [[graft.graph.CrawlOps.resolveRedirects]] as p216, so the
+    * twins cannot drift.
+    */
+  def metaRefreshStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graft.graph.CrawlOps.metaRefreshEdges(
+      graft.queries.PipelineQueries.metaRefreshPages(
+        documentsStream(spark, sfDir)),
+      col("page_url"), col("html"), maxDelaySeconds = 10L)
+    graft.graph.CrawlOps.resolveRedirects(
+        runToMemory(edges, mode = "append"), maxDepth = 4)
+      .orderBy(col("url"))
   }
 
   /** p174's two-level CDX serve AT stream time — lookup batches

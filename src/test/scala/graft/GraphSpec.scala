@@ -978,6 +978,130 @@ class GraphSpec extends AnyFunSuite {
     assert(!out.getBoolean(2) && out.getString(3) == "/€")
   }
 
+  test("pageAliasEdges: refresh beats canonical on a both-forms page; self-declarations emit nothing") {
+    import spark.implicits._
+    import graft.graph.CrawlOps
+    val pages = Seq(
+      // both forms: the refresh must win (it is the executed redirect)
+      (1L, "https://s.com/a",
+        "<link rel=\"canonical\" href=\"https://s.com/canon-loser\">" +
+          "<meta http-equiv=\"refresh\" content=\"0; url=https://s.com/r\">"),
+      // canonical only
+      (2L, "https://s.com/b",
+        "<link rel=\"canonical\" href=\"https://s.com/target\">"),
+      // SELF canonical: a 1-cycle must not enter the pointer chain
+      (3L, "https://s.com/c",
+        "<link rel=\"canonical\" href=\"https://s.com/c\">"),
+      // slow refresh beside a canonical: only the canonical edges
+      (4L, "https://s.com/d",
+        "<meta http-equiv=\"refresh\" content=\"600; url=https://s.com/slow\">" +
+          "<link rel=\"canonical\" href=\"https://s.com/e\">"),
+      // no declarations at all
+      (5L, "https://s.com/f", "<html><body>plain</body></html>"))
+      .toDF("doc_id", "page_url", "html")
+    val edges = CrawlOps.pageAliasEdges(pages, col("page_url"), col("html"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(edges == Map(
+      "https://s.com/a" -> "https://s.com/r",
+      "https://s.com/b" -> "https://s.com/target",
+      "https://s.com/d" -> "https://s.com/e"))
+  }
+
+  test("resolveFrontierAliases: rewrites resolved keys, drops loop keys, passes the rest; families re-derive") {
+    import spark.implicits._
+    import graft.graph.CrawlOps
+    val aliases = Seq(
+      ("https://a.com/old", "https://b.com/mid"),
+      ("https://b.com/mid", "https://b.com/new"),
+      ("https://l.com/x", "https://l.com/y"),
+      ("https://l.com/y", "https://l.com/x")) // 2-cycle
+      .toDF("src", "dst")
+    val resolved = CrawlOps.resolveRedirects(aliases, maxDepth = 4)
+    val frontier = Seq(
+      ("https://a.com/old", "a.com", "f1"),  // 2-hop rewrite, family moves
+      ("https://l.com/x", "l.com", "f2"),    // loop: dropped
+      ("https://c.com/keep", "c.com", "f3")) // untouched passthrough
+      .toDF("canonical", "dst_family", "tag")
+    // output column order: passthrough (canonical, tag) then the
+    // re-derived dst_family appended last
+    val out = CrawlOps.resolveFrontierAliases(frontier, resolved)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("https://b.com/new", "f1", "b.com"),
+      ("https://c.com/keep", "f3", "c.com")))
+  }
+
+  test("xRobotsTokens: agent scoping, unavailable_after dating, fail-open on bad dates") {
+    import spark.implicits._
+    val asof = lit("2026-08-01").cast("date")
+    def toks(h: String, agent: String = "graftbot"): Seq[String] =
+      Seq(h).toDF("h")
+        .select(LinkGraph.xRobotsTokens(col("h"), agent, asof).as("t"))
+        .as[Seq[String]].collect().head
+    // unscoped binds every agent; tokens trim/lower/dedupe
+    assert(toks("NoIndex, nofollow , noindex") == Seq("noindex", "nofollow"))
+    // scoped to us binds; scope matching is case-insensitive
+    assert(toks("Graftbot: noindex, nofollow") == Seq("noindex", "nofollow"))
+    // scoped to a FOREIGN agent binds nothing — including the
+    // directives after the comma (one header, one scope)
+    assert(toks("megabot: noindex, nofollow") == Seq())
+    // a dated expiry binds as noindex once asof reaches it
+    assert(toks("unavailable_after: 2026-01-15") == Seq("noindex"))
+    assert(toks("unavailable_after: 2099-01-01") == Seq())
+    // scope + dated directive in one header
+    assert(toks("graftbot: unavailable_after: 2026-01-15") == Seq("noindex"))
+    assert(toks("megabot: unavailable_after: 2026-01-15") == Seq())
+    // unparseable date: the DATED directive drops (loud null from
+    // to_date), the other directives still bind
+    assert(toks("unavailable_after: not-a-date, nofollow") == Seq("nofollow"))
+    // null header: empty
+    val n = Seq(Option.empty[String]).toDF("h")
+      .select(LinkGraph.xRobotsTokens(col("h"), "graftbot", asof).as("t"))
+      .as[Seq[String]].collect().head
+    assert(n == Seq())
+    intercept[IllegalArgumentException](
+      LinkGraph.xRobotsTokens(lit("x"), "bad:agent", asof))
+  }
+
+  test("restrictToFrontier: politeness artifacts shrink to the round's families before any collect") {
+    import spark.implicits._
+    val artifact = Seq(("a.com", 5000L), ("b.com", 1000L), ("z.com", 9L))
+      .toDF("family", "ms")
+    val frontier = Seq(("https://a.com/x", "a.com"),
+      ("https://b.com/y", "b.com")).toDF("canonical", "dst_family")
+    val got = LinkGraph.restrictToFrontier(artifact, col("family"), frontier)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a.com" -> 5000L, "b.com" -> 1000L))
+  }
+
+  test("directive-free pages compose identically: follow harvest == full harvest, empty alias map == identity") {
+    import spark.implicits._
+    import graft.graph.CrawlOps
+    import graft.queries.PipelineQueries
+    // the gated chain must be a strict generalization: on pages with
+    // no rel tokens, no robots meta, and no alias declarations, the
+    // follow harvest and the alias rewrite are both no-ops, so the
+    // composed crawl front degenerates to the round-10 ungated one
+    val docs = spark.range(0, 60).toDF("doc_id")
+      .withColumn("source", concat(lit("src"),
+        (col("doc_id") % 20).cast("string")))
+      .withColumn("text", lit("plain body text"))
+    val pages = docs.select(col("doc_id"),
+      PipelineQueries.messyUrlFixture.as("page_url"),
+      PipelineQueries.htmlFixtureText.as("html"))
+    val full = LinkGraph.linkRows(pages, col("page_url"), col("html"))
+    val follow = LinkGraph.linkRowsFollow(pages, col("page_url"), col("html"))
+    assert(full.exceptAll(follow).isEmpty && follow.exceptAll(full).isEmpty)
+    // an alias map with no hits leaves every row byte-identical
+    val emptyResolved = CrawlOps.resolveRedirects(
+      Seq(("https://nowhere.example/a", "https://nowhere.example/b"))
+        .toDF("src", "dst"))
+    val rewritten = CrawlOps.resolveFrontierAliases(follow, emptyResolved)
+    assert(follow.exceptAll(rewritten).isEmpty &&
+      rewritten.exceptAll(follow).isEmpty)
+  }
+
   test("RobotsMatchUtil: a non-terminal dollar is a literal octet, not an anchor") {
     import graft.functions.RobotsMatchUtil.{matches => m}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}

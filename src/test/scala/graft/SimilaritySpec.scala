@@ -785,4 +785,82 @@ class SimilaritySpec extends AnyFunSuite {
         pos, col("query_id"), col("neighbor_id"), k = 1, skip = -1)
     }
   }
+
+  test("SQ8 store: reconstruction is bit-equal to direct dequant; recall floor holds at the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    try {
+      val e = embeddings.filter(col("vec_id") < 120).localCheckpoint()
+      SimilaritySearch.buildSq8Store(spark, e, col("vec_id"),
+        col("embedding"), dir)
+      // store round-trip (codes → lo + code·(hi−lo)/255) must equal
+      // the inline quantize-reconstruct of the raw vectors: the code
+      // IS the floor the dequant takes, so the doubles are identical
+      val recon = SimilaritySearch.sq8Reconstructed(spark, dir)
+      val model = spark.read.parquet(s"$dir/model").orderBy(col("dim"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      assert(model.length == 64)
+      val lo = typedlit(model.map(_._1).toSeq)
+      val hi = typedlit(model.map(_._2).toSeq)
+      val direct = e.select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val l = element_at(lo, i + 1)
+          val h = element_at(hi, i + 1)
+          when(h === l, l).otherwise(
+            l + floor((x.cast("double") - l) * lit(255.0) / (h - l)
+              + lit(0.5)) * (h - l) / lit(255.0))
+        }).as("vec"))
+      assert(recon.exceptAll(direct).isEmpty &&
+        direct.exceptAll(recon).isEmpty)
+      // the fixture's quantized serve clears the lifecycle floor
+      val recall = SimilaritySearch.sq8RecallMicro(spark, dir,
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+      assert(recall >= 500000L, s"recall@5 $recall below the 500000 floor")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("publishSq8Store: a below-floor quantizer never reaches CURRENT; the old version keeps serving") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_bg").toString
+    try {
+      // well-conditioned corpus: v1 publishes
+      val good = (0L until 40L).map(i =>
+        (i, Array.tabulate(4)(j => (math.sin(i * 3 + j) * 10).toFloat)))
+        .toDF("vec_id", "embedding")
+      val panel = good.filter(col("vec_id") < 8)
+      val v1 = SimilaritySearch.publishSq8Store(spark, base,
+        good, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 3,
+        recallFloorMicro = 500000L)
+      assert(v1 == "v1")
+      val served1 = SimilaritySearch.sq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 3).count()
+      assert(served1 == 8 * 3)
+      // adversarial corpus: one huge outlier stretches every dim's
+      // range so the near-cluster collapses to one code point —
+      // quantized ranking degenerates to id order, recall < 1.0 —
+      // and a floor of 1.0 must REFUSE the publish
+      val poisoned = ((0L until 40L).map(i =>
+        (i, Array.tabulate(4)(j => (math.sin(i * 3 + j) * 0.001).toFloat)))
+        :+ ((99L, Array.tabulate(4)(j => 50000f * (j + 1)))))
+        .toDF("vec_id", "embedding")
+      val e = intercept[IllegalStateException] {
+        SimilaritySearch.publishSq8Store(spark, base,
+          poisoned, col("vec_id"), col("embedding"),
+          poisoned.filter(col("vec_id") < 8), col("vec_id"),
+          col("embedding"), k = 3, recallFloorMicro = 1000000L)
+      }
+      assert(e.getMessage.contains("below the"))
+      // CURRENT still points at v1 and still serves; the failed
+      // build's debris is reservation-only and GC sweeps it
+      assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("v1"))
+      assert(SimilaritySearch.sq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 3).count() == 8 * 3)
+      val dropped = SimilaritySearch.gcIndexVersions(spark, base, keep = 1)
+      assert(dropped == Seq("v2"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
