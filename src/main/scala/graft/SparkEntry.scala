@@ -338,6 +338,9 @@ object SparkEntry {
     ("q156_streaming_meta_refresh",
       (s, d) => graft.streaming.StreamingQueries.metaRefreshStream(s, d),
       Some(sharedOracle("p216_meta_refresh"))),
+    ("q157_streaming_alias_chains",
+      (s, d) => graft.streaming.StreamingQueries.aliasChainsStream(s, d),
+      Some(sharedOracle("p217_canonical_chains"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -503,5 +506,9 @@ object SparkEntry {
     // blue/green publishes + the quantized serve)
     "p211_meta_robots", "p212_follow_harvest", "p213_token_entropy",
     "p214_nfkc_keys", "p215_rel_canonical", "p216_meta_refresh",
-    "p217_canonical_chains", "p218_sq8_lifecycle")
+    "p217_canonical_chains", "p218_sq8_lifecycle",
+    // the interleaved LSM maintenance history (build → append →
+    // split → takedown → coalesce → pruned serve) and the complete
+    // three-kind alias union (Location ∪ refresh ∪ canonical)
+    "p219_cdx_history", "p220_full_alias_frontier")
 }

@@ -114,6 +114,28 @@ object CrawlOps {
       canon.join(refresh.select(col("src")), Seq("src"), "left_anti"))
   }
 
+  /** The COMPLETE alias map a real archive holds — HTTP Location
+    * redirects (the 3xx rows p140's ledger carries) ∪ the
+    * page-published pair ([[pageAliasEdges]]: meta-refresh ∪
+    * rel=canonical), with PROTOCOL precedence: a header redirect is
+    * the transport's own verdict and preempts anything the body
+    * declares (a 3xx body is boilerplate no browser renders), and
+    * within the body the refresh preempts the canonical (the
+    * [[pageAliasEdges]] rule). Same anti-join-on-src enforcement, so
+    * [[resolveRedirects]]' unique-src contract holds across all
+    * three kinds and chains CROSS layers (a header redirect landing
+    * on a canonical-declaring page resolves through both in one
+    * pointer pass).
+    */
+  def fullAliasEdges(headerRedirects: DataFrame,
+                     pages: DataFrame, url: Column, html: Column,
+                     maxDelaySeconds: Long = 10L): DataFrame = {
+    val hdr = headerRedirects.select(col("src"), col("dst"))
+    val page = pageAliasEdges(pages, url, html, maxDelaySeconds)
+    hdr.unionByName(
+      page.join(hdr.select(col("src")), Seq("src"), "left_anti"))
+  }
+
   /** Rewrite a frontier through a RESOLVED alias map
     * ([[resolveRedirects]] output over [[pageAliasEdges]]): rows whose
     * `canonical` is a resolved alias src are REWRITTEN to the terminal

@@ -7451,7 +7451,135 @@ object PipelineQueries {
                  ORDER BY cos DESC, neighbor_id) AS rank
              FROM ds)
       SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
-      FROM sq WHERE rank <= 5 ORDER BY query_id, rank""")))
+      FROM sq WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // The COMPLETE alias union — all THREE redirect kinds an archive
+    // holds (HTTP Location, meta-refresh, rel=canonical) through ONE
+    // pointer chain with protocol precedence: the header beats both
+    // body declarations (m7=4 carries all three — the evil body
+    // targets must never appear), the refresh beats the canonical
+    // (m7=5), and chains CROSS layers (m7=6's header redirect lands
+    // on the m7=3 canonical-declaring page of its own group — two
+    // hops through two different protocol layers in one resolution).
+    // The oracle writes the full resolution down from the stripe
+    // arithmetic.
+    ("p220_full_alias_frontier", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = col("doc_id").cast("string")
+      def u(i: Column) = concat(lit("https://www.src"),
+        (i % 20).cast("string"), lit(".com/f/"), i.cast("string"))
+      val m7 = col("doc_id") % 7
+      val head = when(m7 === 2, concat(
+          lit("<meta http-equiv=\"refresh\" " +
+            "content=\"0; url=https://r.example.com/t"), k, lit("\">")))
+        .when(m7 === 4, concat(
+          lit("<meta http-equiv=\"refresh\" " +
+            "content=\"0; url=https://evil.example/r"), k,
+          lit("\"><link rel=\"canonical\" href=\"https://evil.example/c"),
+          k, lit("\">")))
+        .when(m7 === 3, concat(
+          lit("<link rel=\"canonical\" href=\"https://c.example.com/t"),
+          k, lit("\">")))
+        .when(m7 === 5, concat(
+          lit("<meta http-equiv=\"refresh\" " +
+            "content=\"0;url=https://r.example.com/w"), k,
+          lit("\"><link rel=\"canonical\" href=\"https://evil.example/c"),
+          k, lit("\">")))
+        .otherwise(lit(""))
+      val pages = docs.select(col("doc_id"), u(col("doc_id")).as("page_url"),
+        concat(lit("<html><head>"), head, lit("</head><body><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      val hdr = docs.filter(m7.isin(1L, 4L, 6L))
+        .select(u(col("doc_id")).as("src"),
+          when(m7 === 1, concat(lit("https://h.example.com/t"), k))
+            .when(m7 === 4, concat(lit("https://h.example.com/w"), k))
+            .otherwise(u(col("doc_id") - 3)).as("dst"))
+      graft.graph.CrawlOps.resolveRedirects(
+          graft.graph.CrawlOps.fullAliasEdges(hdr, pages, col("page_url"),
+            col("html"), maxDelaySeconds = 10L),
+          maxDepth = 4)
+        .orderBy(col("url"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS m,
+              'https://www.src' || (doc_id % 20) || '.com/f/' || doc_id AS u
+            FROM documents)
+      SELECT u AS url,
+             CASE m
+               WHEN 1 THEN 'https://h.example.com/t' || doc_id
+               WHEN 2 THEN 'https://r.example.com/t' || doc_id
+               WHEN 3 THEN 'https://c.example.com/t' || doc_id
+               WHEN 4 THEN 'https://h.example.com/w' || doc_id
+               WHEN 5 THEN 'https://r.example.com/w' || doc_id
+               ELSE 'https://c.example.com/t' || (doc_id - 3)
+             END AS final_url,
+             CAST(CASE WHEN m = 6 THEN 2 ELSE 1 END AS BIGINT) AS hops,
+             true AS resolved
+      FROM b WHERE m IN (1, 2, 3, 4, 5, 6)
+      ORDER BY url""")),
+
+    // ONE maintenance HISTORY interleaving the whole LSM triple —
+    // build on half the archive, the other half arrives as an append
+    // batch (compact), the hottest shard SPLITS, a takedown
+    // tombstones the src10..19 middle (compact again), the resulting
+    // undersized run COALESCES — and the p174 pruned serve against
+    // the final layout returns exactly the surviving slice,
+    // byte-exact. The gated fact is history-independence: the serve
+    // expectation is written down from the LOGICAL deltas alone
+    // (which docs exist, which were taken down), never from the
+    // maintenance order — the SourcesSpec order-idempotence pin
+    // proves three different op orders end in the same logical
+    // table; this entry gates one full interleaving end-to-end
+    // against DuckDB. Every step's cost stays ∝ its delta (append
+    // routes via the broadcast cluster index, split moves one
+    // shard, coalesce rewrites only the undersized run).
+    ("p219_cdx_history", (s, d) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" hist "),
+          col("doc_id").cast("string")).as("text"))
+      val warcs = warcFixtureFrom(docs).localCheckpoint()
+      val cdx = Warc.cdxIndex(
+          Warc.parseWarc(warcs, col("file_id"), col("payload")))
+        .localCheckpoint()
+      val did = regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+        .cast("long")
+      val dir = graft.sources.Sinks.tempArtifactDir("cdx_history")
+      Warc.writeCdxShards(cdx.filter(did % 2 === 0), dir, numShards = 8)
+      Warc.compactCdxShards(dir, cdx.filter(did % 2 === 1))
+      val hottest = s.read.parquet(dir).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shard")).collect().head.getInt(0)
+      Warc.splitCdxShard(dir, hottest, n = 3)
+      Warc.compactCdxShards(dir, cdx.filter(lit(false)),
+        tombstones = Some(cdx.filter(did % 20 >= 10 && did % 5 =!= 0)
+          .select(col("file_id"), col("offset"))))
+      val total = s.read.parquet(dir).count()
+      Warc.coalesceCdxShards(dir, minRows = math.max(2L, total / 10))
+      val shards = s.read.parquet(dir)
+      val cluster = Warc.cdxClusterIndex(shards)
+      val panel = docs.filter(col("doc_id") % 37 === 0 &&
+          (col("doc_id") % 20 < 10 || col("doc_id") % 5 === 0))
+        .select(concat(lit("https://www.src"),
+          (col("doc_id") % 20).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"))
+        .select(graft.functions.SourceFamily.surtKey(col("url"))
+          .as("surt_key"))
+      val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+      val ids = assigned.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val hits = shards.filter(col("shard").isin(ids: _*))
+        .join(broadcast(assigned), Seq("shard", "surt_key"))
+      Warc.fetchRecords(warcs, col("file_id"), col("payload"),
+          hits.select(col("file_id"), col("record_idx"), col("offset"),
+            col("record_bytes")))
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text || ' hist ' || CAST(doc_id AS VARCHAR) AS body
+      FROM documents
+      WHERE doc_id % 37 = 0 AND (doc_id % 20 < 10 OR doc_id % 5 = 0)
+      ORDER BY doc_id""")))
 
   /** p205/q146's oracle: the full trigram-KN recursion recomputed in
     * SQL — trigram counts, context totals, middle-level CONTINUATION
@@ -8064,16 +8192,23 @@ object PipelineQueries {
 
   /** [[frontierAliasPagesFixture]] parsed and pointer-resolved — the
     * (url, final_url, hops, resolved) table the frontier rewrite
-    * consumes, checkpointed because three compositions read it.
+    * consumes, checkpointed because three compositions read it, and
+    * BROADCAST-hinted: the authored map is rows-countable-on-one-hand
+    * small, but a checkpointed frame carries no stats, so without the
+    * hint the rewrite join plans as a SortMergeJoin that shuffles the
+    * whole harvest against nine rows (the p210 stats-less-checkpoint
+    * hazard). The hint is FIXTURE knowledge — resolveFrontierAliases
+    * itself stays strategy-neutral because at 100 TB the alias map is
+    * archive-sized and the hash join is the right plan.
     */
   private[graft] def frontierAliasResolved(s: SparkSession): DataFrame = {
     import s.implicits._
-    graft.graph.CrawlOps.resolveRedirects(
+    broadcast(graft.graph.CrawlOps.resolveRedirects(
         graft.graph.CrawlOps.pageAliasEdges(
           frontierAliasPagesFixture.toDF("page_url", "html"),
           col("page_url"), col("html"), maxDelaySeconds = 10L),
         maxDepth = 8)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
   }
 
   /** The composed crawl front's link rows — the FOLLOW harvest over

@@ -153,6 +153,21 @@ object HttpMessage {
     * bytes verbatim; any OTHER token (br) raises — silently
     * returning still-encoded bytes would feed compressed garbage to
     * the extract chain.
+    *
+    * DECISION (round 12, recorded): brotli stays a loud refusal. The
+    * JDK ships no RFC 7932 codec and Spark's classpath carries none;
+    * a from-scratch pure-Java decoder means the full bit-level format
+    * — context-modeled Huffman trees, a 120 KiB static dictionary
+    * with 121 word transforms, sliding-window backrefs — an
+    * error-prone ~2k-line codec whose miscoded corner silently
+    * corrupts documents (the worst failure class this module exists
+    * to prevent). Against that, br is rare on ARCHIVED wire payloads
+    * (Common Crawl stores identity/gzip bodies; br appears on live
+    * CDN fetches, where the fetcher can send `Accept-Encoding:
+    * gzip`). If the dependency policy ever admits a vetted decoder
+    * (e.g. the Brotli org's pure-Java artifact), route it through
+    * this same case arm with the same loud bound; until then the
+    * refusal names the gap at the exact row that hits it.
     */
   def decodeBody(b: Array[Byte], head: Head, label: String): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(b, head.payloadStart, b.length)

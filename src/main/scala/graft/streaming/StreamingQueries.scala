@@ -1289,6 +1289,32 @@ object StreamingQueries {
       .orderBy(col("url"))
   }
 
+  /** p217's alias-chain resolution with the UNIONED edge extraction
+    * at ingest — one step past q156: BOTH declaration kinds
+    * (rel=canonical and meta-refresh) project statelessly per row,
+    * but the refresh-beats-canonical precedence is an anti-join on
+    * the refresh srcs, which in a streaming world is epoch-boundary
+    * work (a canonical edge cannot know a later batch won't bring a
+    * refresh for the same page), so extraction streams per KIND and
+    * precedence + pointer doubling run batch-side through the SAME
+    * [[graft.graph.CrawlOps]] halves as p217 — the q151 split, with
+    * the precedence seam placed where its cross-batch dependency
+    * actually lives.
+    */
+  def aliasChainsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.CrawlOps
+    val pages = graft.queries.PipelineQueries.canonicalChainPages(
+      documentsStream(spark, sfDir))
+    val refresh = CrawlOps.metaRefreshEdges(pages, col("page_url"),
+      col("html"), maxDelaySeconds = 10L).select(col("src"), col("dst"))
+    val canon = CrawlOps.canonicalEdges(pages, col("page_url"), col("html"))
+    val r = runToMemory(refresh, mode = "append")
+    val c = runToMemory(canon, mode = "append")
+    val unioned = r.unionByName(
+      c.join(r.select(col("src")), Seq("src"), "left_anti"))
+    CrawlOps.resolveRedirects(unioned, maxDepth = 4).orderBy(col("url"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the

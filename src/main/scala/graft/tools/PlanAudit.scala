@@ -44,7 +44,10 @@ import org.apache.spark.sql.SparkSession
   *  (p59 NestedLoop left this list in round 6: the probe table is now
   *  a collected driver-local bounded DataFrame, so the postings join
   *  plans as a broadcast HASH equi-join.)
-  *  - q40 globalWindow: global lead/ntile demo semantics.
+  *  - q40 NestedLoop: the global ntile was rebuilt on GlobalIndex +
+  *    a ONE-ROW broadcast count (no single-partition window remains),
+  *    and that count rides p45's accepted one-row cross-join shape —
+  *    the globalWindow flag this list used to carry is gone.
   *  - round-8 entries inheriting the accepted one-row broadcast
   *    cross-join shape (a config-sized or one-row scalar riding
   *    BuildRight): p106 (corpus-stats scalar), p108 (p94's stats),
@@ -87,6 +90,13 @@ import org.apache.spark.sql.SparkSession
   *  - round-11: p210 NestedLoop — p155's broadcast all-pairs recall
   *    evaluation shape, run twice (full-precision truth + the
   *    dequantized serve) over the same bounded query panel.
+  *  - round-12: p218 NestedLoop — the SQ8 lifecycle serves through
+  *    the same bruteForceTopK broadcast all-pairs shape as p210 (the
+  *    store side reconstructs from codes; the panel broadcasts).
+  *    The gated crawl front (p139/p145/p157/p217/p219 and the alias
+  *    rewrite inside them) prints NOTHING: the alias map join is a
+  *    hash join on the canonical key, the follow harvest is
+  *    scan-stage, and the election folds are hash aggregates.
   * Anything NEW this tool prints is a regression to investigate.
   */
 object PlanAudit {

@@ -653,6 +653,27 @@ class PlanSpec extends AnyFunSuite {
       s"a corpus-side exchange per ranking is the wrong shape:\n$plan")
   }
 
+  test("alias rewrite in the gated crawl front: the fixture map broadcasts — no harvest-side sort-merge") {
+    // the composed chain's checkpointed fixtures truncate the FINAL
+    // plans, so pin the rewrite join at its own seam: follow harvest
+    // ⋈ the authored alias map must be a BroadcastHashJoin (a
+    // stats-less checkpoint would otherwise plan a SortMergeJoin that
+    // shuffles the whole harvest against nine rows — the p210 hazard)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val pages = docs.select(col("doc_id"),
+      graft.queries.PipelineQueries.messyUrlFixture.as("page_url"),
+      graft.queries.PipelineQueries.nofollowHtmlFixture.as("html"))
+    val links = graft.graph.LinkGraph.linkRowsFollow(pages,
+      col("page_url"), col("html"))
+    val out = graft.graph.CrawlOps.resolveFrontierAliases(links,
+      graft.queries.PipelineQueries.frontierAliasResolved(spark))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the alias map must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a harvest-side exchange against a nine-row map is the wrong shape:\n$p")
+  }
+
   test("compactCdxShards reads only the affected shard partitions (partition-pruned merge scan)") {
     import graft.sources.Warc
     val spark2 = spark

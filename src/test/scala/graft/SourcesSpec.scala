@@ -781,4 +781,67 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("CDX maintenance triple is order-idempotent: three histories, one logical table") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Warc
+    // same base layout + same LOGICAL deltas (append the odd half,
+    // tombstone a middle slice) under three different interleavings
+    // of split/compact/coalesce must end in the SAME logical table —
+    // shard ids may differ, content must not — and every final
+    // layout must still be sorted disjoint ranges
+    val cdx = (0 until 120).map { i =>
+      (f"com,s${i % 40}%02d)/p/$i", i.toLong, i.toLong * 100, 50L, s"d$i")
+    }.toDF("surt_key", "file_id", "offset", "record_bytes", "digest")
+      .withColumn("target_uri", col("surt_key"))
+      .localCheckpoint()
+    val even = cdx.filter(col("file_id") % 2 === 0)
+    val odd = cdx.filter(col("file_id") % 2 === 1)
+    val doomed = cdx.filter(col("file_id") % 40 >= 20)
+      .select(col("file_id"), col("offset"))
+    def history(ops: Seq[String]): (Seq[(String, Long)], Boolean) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+      try {
+        Warc.writeCdxShards(even, dir, numShards = 5)
+        ops.foreach {
+          case "append" => Warc.compactCdxShards(dir, odd)
+          case "tomb" => Warc.compactCdxShards(dir, cdx.filter(lit(false)),
+            tombstones = Some(doomed))
+          case "split" =>
+            val hot = spark.read.parquet(dir).groupBy(col("shard"))
+              .agg(count(lit(1)).as("n"))
+              .orderBy(col("n").desc, col("shard")).collect().head.getInt(0)
+            Warc.splitCdxShard(dir, hot, n = 2)
+          case "coalesce" => Warc.coalesceCdxShards(dir, minRows = 8)
+        }
+        val after = spark.read.parquet(dir)
+        val content = after.select(col("surt_key"), col("file_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+        // layout invariant: shard ranges disjoint and in-file sorted
+        val byShard = after.select(col("shard"), col("surt_key")).collect()
+          .map(r => (r.getInt(0), r.getString(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSeq).toMap
+        val sortedOk = byShard.values.forall(ks => ks == ks.sorted)
+        val ranges = byShard.values.map(ks => (ks.min, ks.max)).toSeq
+          .sortBy(_._1)
+        val disjoint = ranges.zip(ranges.drop(1)).forall {
+          case ((_, hi), (lo2, _)) => hi <= lo2
+        }
+        (content, sortedOk && disjoint)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+    // tombstones always follow the append that lands their targets —
+    // delete-before-insert is a DIFFERENT logical history, not a
+    // reordering of this one
+    val a = history(Seq("append", "tomb", "split", "coalesce"))
+    val b = history(Seq("append", "split", "tomb", "coalesce"))
+    val c = history(Seq("append", "tomb", "coalesce", "split"))
+    assert(a._2 && b._2 && c._2, "a final layout lost sortedness/disjointness")
+    val expect = (0 until 120).filter(i => i % 40 < 20)
+      .map(i => (f"com,s${i % 40}%02d)/p/$i", i.toLong)).sorted
+    assert(a._1 == expect)
+    assert(b._1 == expect && c._1 == expect)
+  }
 }
