@@ -341,6 +341,9 @@ object SparkEntry {
     ("q157_streaming_alias_chains",
       (s, d) => graft.streaming.StreamingQueries.aliasChainsStream(s, d),
       Some(sharedOracle("p217_canonical_chains"))),
+    ("q158_streaming_gif_frames",
+      (s, d) => graft.streaming.StreamingQueries.gifFramesStream(s, d),
+      Some(sharedOracle("p221_gif_frames"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -510,5 +513,9 @@ object SparkEntry {
     // the interleaved LSM maintenance history (build → append →
     // split → takedown → coalesce → pruned serve) and the complete
     // three-kind alias union (Location ∪ refresh ∪ canonical)
-    "p219_cdx_history", "p220_full_alias_frontier")
+    "p219_cdx_history", "p220_full_alias_frontier",
+    // real compressed-animation decode (animated GIF through the JDK
+    // LZW codec — structure scan + sampled-frame-only inflate) and the
+    // mixed WAV/AIFF archive statistics (container auto-detect)
+    "p221_gif_frames", "p222_mixed_audio_stats")
 }

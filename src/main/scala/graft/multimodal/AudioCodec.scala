@@ -93,6 +93,134 @@ object AudioCodec {
     }
   }
 
+  /** Hand-rolled AIFF (IFF FORM/AIFF, PCM s16 BIG-endian mono) codec —
+    * the other classic uncompressed container (Apple's, still what
+    * `afconvert`/pro-audio interchange emits): same chunk-walk
+    * discipline as [[Wav]], with AIFF's two quirks handled exactly —
+    * the COMM chunk's sample rate is an 80-bit IEEE 754 EXTENDED
+    * float (sign + 15-bit exponent biased 16383 + explicit-leading-1
+    * 64-bit mantissa; encoded/decoded here for exact integer rates,
+    * loud on anything else), and samples are big-endian where RIFF is
+    * little. Zero new dependencies.
+    */
+  object Aiff {
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    /** Positive integer → 80-bit extended float (big-endian). */
+    private[graft] def ext80(v: Int): Array[Byte] = {
+      require(v > 0, s"ext80: rate must be positive, got $v")
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
+      val mant = v.toLong << (63 - e)
+      val exp = 16383 + e
+      be16(exp) ++ (7 to 0 by -1).map(i => ((mant >>> (i * 8)) & 0xff).toByte)
+    }
+
+    /** 80-bit extended float → exact positive integer; loud when the
+      * value is not an exact integer in range (a fractional archive
+      * rate should never silently truncate into a statistic).
+      */
+    private[graft] def unext80(b: Array[Byte], o: Int): Int = {
+      val exp = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      require((exp & 0x8000) == 0, "unext80: negative sample rate")
+      var mant = 0L
+      var i = 0
+      while (i < 8) { mant = (mant << 8) | (b(o + 2 + i) & 0xffL); i += 1 }
+      val e = exp - 16383
+      require(e >= 0 && e < 31, s"unext80: exponent $e out of integer range")
+      val shift = 63 - e
+      require(shift >= 0 && (mant << (64 - shift)) == 0L || shift == 0,
+        "unext80: fractional sample rate")
+      (mant >>> shift).toInt
+    }
+
+    def encodeS16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream(54 + dataLen)
+      out.write("FORM".getBytes("US-ASCII"))
+      out.write(be32(4 + 26 + 16 + dataLen)) // AIFF + COMM(8+18) + SSND(8+8+data)
+      out.write("AIFF".getBytes("US-ASCII"))
+      out.write("COMM".getBytes("US-ASCII")); out.write(be32(18))
+      out.write(be16(1))                  // mono
+      out.write(be32(samples.length))     // numSampleFrames
+      out.write(be16(16))                 // bits per sample
+      out.write(ext80(sampleRate))
+      out.write("SSND".getBytes("US-ASCII")); out.write(be32(8 + dataLen))
+      out.write(be32(0)); out.write(be32(0)) // offset, blockSize
+      samples.foreach(s => out.write(be16(s & 0xffff)))
+      out.toByteArray
+    }
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** Returns (sampleRate, samples); loud on anything that is not
+      * mono PCM s16 AIFF, and on COMM/SSND disagreement.
+      */
+    def decodeS16(bytes: Array[Byte]): (Int, Array[Short]) = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "FORM" &&
+        tag(bytes, 8) == "AIFF", "Aiff.decodeS16: not a FORM/AIFF payload")
+      var off = 12
+      var rate = -1
+      var nFrames = -1L
+      var data: Array[Short] = null
+      while (off + 8 <= bytes.length) {
+        val id = tag(bytes, off)
+        val len = u32(bytes, off + 4).toInt
+        val body = off + 8
+        id match {
+          case "COMM" =>
+            require(len >= 18, "Aiff.decodeS16: truncated COMM chunk")
+            require(u16(bytes, body) == 1, "Aiff.decodeS16: not mono")
+            nFrames = u32(bytes, body + 2)
+            require(u16(bytes, body + 6) == 16, "Aiff.decodeS16: not 16-bit")
+            rate = unext80(bytes, body + 8)
+          case "SSND" =>
+            val skip = u32(bytes, body).toInt
+            val start = body + 8 + skip
+            val dataLen = len - 8 - skip
+            require(dataLen >= 0 && start + dataLen <= bytes.length,
+              "Aiff.decodeS16: truncated SSND chunk")
+            data = Array.tabulate(dataLen / 2)(i =>
+              u16(bytes, start + i * 2).toShort)
+          case _ => () // NAME/ANNO/etc: skip
+        }
+        off = body + len + (len & 1) // IFF chunks are word-aligned
+      }
+      require(rate > 0 && data != null,
+        "Aiff.decodeS16: missing COMM or SSND chunk")
+      require(nFrames == data.length,
+        s"Aiff.decodeS16: COMM declares $nFrames frames, SSND carries " +
+          s"${data.length} — refusing a self-inconsistent container")
+      (rate, data)
+    }
+  }
+
+  /** Container auto-detect by magic — "RIFF" → WAV, "FORM" → AIFF —
+    * so every audio operator takes MIXED payload columns unchanged
+    * (the [[ImageCodec.Codec.decodeGray]] convention); anything else
+    * refuses loudly.
+    */
+  def decodeS16Any(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 4, s"decodeS16Any: ${bytes.length}-byte payload")
+    new String(bytes, 0, 4, "US-ASCII") match {
+      case "RIFF" => Wav.decodeS16(bytes)
+      case "FORM" => Aiff.decodeS16(bytes)
+      case m => throw new IllegalArgumentException(
+        s"decodeS16Any: unknown container magic '$m' — RIFF/WAVE and " +
+          "FORM/AIFF are the real-decode tier; compressed audio stays " +
+          "behind requireRealDecode")
+    }
+  }
+
   /** Deterministic synthetic-audio fixture: mono 8 kHz clips whose s16
     * samples follow
     *   sample(seed, k) = (((seed·31 + k·17) % 4001) − 2000) · 8
@@ -121,6 +249,28 @@ object AudioCodec {
         .toDF("media_id", "payload")
     }
 
+    /** The SAME clips with the CONTAINER decided by media parity —
+      * even ids ship RIFF/WAVE, odd ids FORM/AIFF (big-endian s16,
+      * 80-bit-extended rate) — so a mixed-archive operator run gates
+      * that the statistics come from the DECODE, not the container
+      * (the GIF/PNG rule applied to audio).
+      */
+    def mixedFixture(docs: DataFrame, id: Column): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(id.cast("long").as("media_id")).as[Long]
+        .map { mid =>
+          val seed = seedOf(mid)
+          val samples = Array.tabulate(nSamplesOf(seed))(k =>
+            sampleAt(seed, k).toShort)
+          val bytes =
+            if (mid % 2 == 0) Wav.encodeS16(sampleRate, samples)
+            else Aiff.encodeS16(sampleRate, samples)
+          (mid, bytes)
+        }
+        .toDF("media_id", "payload")
+    }
+
     /** The shared oracle prelude: per-doc seed + sample list from the
       * formula — interpolated from the SAME constants the fixture
       * reads, so widening the fixture cannot desynchronize oracles.
@@ -142,7 +292,7 @@ object AudioCodec {
     df.select(id.cast("long").as("media_id"), payload.cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .map { case (mid, bytes) =>
-        val (rate, samples) = Wav.decodeS16(bytes)
+        val (rate, samples) = decodeS16Any(bytes)
         (mid, rate.toLong, samples.map(_.toInt))
       }
       .toDF("media_id", "sample_rate", "samples")

@@ -107,6 +107,96 @@ object ImageCodec {
       encodeBuf.toByteArray
     }
 
+    // exact 256-entry grayscale palette: GIF is palette-indexed, and
+    // encoding through an EXPLICIT gray palette (index == luminance)
+    // keeps the round trip lossless by construction — handing the
+    // writer a non-indexed image would leave palette quantization to
+    // its discretion
+    private val grayPalette = {
+      val ramp = Array.tabulate(256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Encode an ANIMATED GIF — a real compressed container (LZW
+      * per frame, palette-indexed) through the JDK's own GIF writer:
+      * the first standards-track compressed ANIMATION format the
+      * video path decodes for real (PNG-in-custom-container p29
+      * exercises container parsing; this exercises an actual wire
+      * format). Frames are full images (no inter-frame disposal
+      * deltas), so each decodes independently.
+      */
+    def encodeGrayGif(w: Int, h: Int, nFrames: Int,
+                      pix: (Int, Int) => Int): Array[Byte] = {
+      require(nFrames >= 1, s"encodeGrayGif: nFrames must be >= 1, got $nFrames")
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      encodeBuf.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(encodeBuf)
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        // interlace OFF: the JDK writer defaults to interlaced GIF and
+        // its interlaced row ordering does not survive its own reader
+        // (rows come back permuted with the last pass dropped) —
+        // sequential row order is also what a streaming decoder wants
+        val p = wr.getDefaultWriteParam
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val r = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              r.setSample(x, y, 0, pix(f, y * w + x) & 0xff); x += 1
+            }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+          f += 1
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      encodeBuf.toByteArray
+    }
+
+    /** Frame count + SELECTED frame decodes of a GIF animation in one
+      * reader pass: `getNumImages` walks the container structure
+      * without inflating frames, then ONLY the requested indices LZW-
+      * decode — a 500-frame animation sampled at 3 pays 3 decodes
+      * (our frames are full images, so no disposal compositing is
+      * needed; a delta-frame GIF would require walking priors).
+      * Returns (n_frames, requested (idx, image) pairs).
+      */
+    def decodeGifSampled(bytes: Array[Byte],
+                         pick: Int => Seq[Int]): (Int, Seq[(Int, DecodedImage)]) = {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        rd.setInput(iis, false, true)
+        val n = rd.getNumImages(true)
+        require(n >= 1, "decodeGifSampled: payload has no GIF frames")
+        val frames = pick(n).map { fi =>
+          require(fi >= 0 && fi < n,
+            s"decodeGifSampled: frame $fi out of [0, $n)")
+          val src = rd.read(fi)
+          val w = src.getWidth
+          val h = src.getHeight
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = src.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          (fi, DecodedImage(w, h, px))
+        }
+        (n, frames)
+      } finally { rd.dispose(); iis.close() }
+    }
+
     /** Decode PNG/BMP/JPEG bytes to gray pixels (ImageIO auto-detects
       * the container). Non-gray inputs fold to luminance via the first
       * raster band of the gray-converted image.
@@ -274,6 +364,28 @@ object ImageCodec {
         .toDF()
     }
 
+    /** The SAME synthetic animation as [[containerFixture]] encoded as
+      * a real ANIMATED GIF (LZW-compressed frames over the exact
+      * 256-gray palette — lossless by construction), so the GIF
+      * sampler's oracle is the identical pixel formula: one fixture
+      * intent, two wire containers.
+      */
+    def gifFixture(docs: DataFrame, id: Column): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(id.cast("long").as("media_id")).as[Long]
+        .mapPartitions { ids =>
+          val codec = new Codec
+          ids.map { mid =>
+            val seed = SyntheticImages.seedOf(mid)
+            MediaPng(mid, codec.encodeGrayGif(
+              SyntheticImages.widthOf(seed), SyntheticImages.heightOf(seed),
+              nFramesOf(seed), (f, k) => framePixelAt(seed, k, f)))
+          }
+        }
+        .toDF()
+    }
+
     /** Split a container payload into its frames' PNG byte blocks. */
     private[multimodal] def splitFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -313,6 +425,35 @@ object ImageCodec {
         (0 until s).iterator.map { t =>
           val fi = t * n / s
           val im = codec.decodeGray(frames(fi))
+          var sum = 0L
+          var i = 0
+          while (i < im.pixels.length) { sum += im.pixels(i); i += 1 }
+          FrameMeta(mid, fi.toLong, im.width.toLong, im.height.toLong, sum)
+        }
+      }
+    }.toDF()
+  }
+
+  /** [[sampleFrames]] over a REAL animated GIF — same sampling
+    * semantics (`s = min(n, maxFrames)` evenly spaced, `idx = t·n/s`),
+    * but the container walk and the per-frame decode are the JDK GIF
+    * reader's: structure scan first (no frame inflates), then ONLY
+    * the sampled frames LZW-decode. Bounded fan-out, one codec per
+    * partition, fixed-size stats out — pixels never shuffle.
+    */
+  def sampleGifFrames(df: DataFrame, id: Column, payload: Column,
+                      maxFrames: Int): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    asMedia(df, id, payload).mapPartitions { rows =>
+      val codec = new Codec
+      rows.flatMap { case (mid, bytes) =>
+        val (_, picked) = codec.decodeGifSampled(bytes, n => {
+          val s = math.min(n, maxFrames)
+          (0 until s).map(t => t * n / s)
+        })
+        picked.iterator.map { case (fi, im) =>
           var sum = 0L
           var i = 0
           while (i < im.pixels.length) { sum += im.pixels(i); i += 1 }

@@ -7517,6 +7517,77 @@ object PipelineQueries {
       FROM b WHERE m IN (1, 2, 3, 4, 5, 6)
       ORDER BY url""")),
 
+    // MIXED-container audio statistics — p110's integer DSP over an
+    // archive whose even clips ship RIFF/WAVE (little-endian) and odd
+    // clips FORM/AIFF (big-endian s16, the 80-bit-extended sample
+    // rate decoded exactly): the operator auto-detects by container
+    // magic (decodeS16Any), the samples follow ONE formula, and the
+    // oracle is p110's verbatim — container-independent by
+    // construction, so agreement pins that every statistic comes from
+    // the DECODE (a byte-order slip on the AIFF side would flip every
+    // odd clip's samples and hash-fail instantly).
+    ("p222_mixed_audio_stats", (s, d) => {
+      import graft.multimodal.AudioCodec
+      AudioCodec.audioStats(
+          AudioCodec.SyntheticAudio.mixedFixture(Tables.documents(s, d),
+            col("doc_id")),
+          col("media_id"), col("payload"))
+        .orderBy(col("media_id"))
+    }, Some(s"""
+      WITH ${graft.multimodal.AudioCodec.SyntheticAudio.oracleClips},
+      u AS (SELECT media_id, n, unnest(sm) AS s,
+              unnest(generate_series(0, CAST(n - 1 AS INT))) AS k
+            FROM clips),
+      g AS (SELECT media_id, count(*) AS n_samples,
+              CAST(max(abs(s)) AS BIGINT) AS peak,
+              CAST(sum(s * s) AS BIGINT) AS energy,
+              CAST(sum(CASE WHEN abs(s) >= 15000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+              min(CASE WHEN abs(s) > 1600 THEN k END) AS fl,
+              max(CASE WHEN abs(s) > 1600 THEN k END) AS ll
+            FROM u GROUP BY 1)
+      SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, n_samples,
+             peak, energy, n_clipped,
+             CAST(coalesce(fl, n_samples) AS BIGINT) AS lead_silence,
+             CAST(CASE WHEN fl IS NULL THEN 0
+                       ELSE n_samples - 1 - ll END AS BIGINT) AS trail_silence
+      FROM g ORDER BY media_id""")),
+
+    // REAL compressed-ANIMATION decode — the video path's first
+    // standards-track wire format: the p29 synthetic animation
+    // re-encoded as an animated GIF (LZW-compressed frames over an
+    // exact 256-gray palette, so the round trip is lossless by
+    // construction), sampled through the JDK GIF reader with a
+    // structure-only scan first and ONLY the sampled frames
+    // LZW-decoding. Same pixel formula, same sampling arithmetic,
+    // same oracle as p29 — one fixture intent, two containers, which
+    // pins that the sampler's numbers come from the DECODE, not the
+    // container. Compressed audio/video beyond GIF (H.264, MP3 …)
+    // remain FakeCodec-stubbed behind requireRealDecode — no JDK
+    // codec exists; GIF moves the honest line one real format
+    // forward.
+    ("p221_gif_frames", (s, d) => {
+      import graft.multimodal.ImageCodec
+      ImageCodec.sampleGifFrames(
+          ImageCodec.SyntheticVideos.gifFixture(Tables.documents(s, d),
+            col("doc_id")),
+          col("media_id"), col("payload"), maxFrames = 3)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some(s"""
+      WITH ${graft.multimodal.ImageCodec.SyntheticImages.oracleDims},
+      fr AS (SELECT doc_id, seed, w, h, seed % 3 + 2 AS n,
+                    least(seed % 3 + 2, 3) AS s FROM dims),
+      idx AS (SELECT doc_id, seed, w, h,
+                     unnest(list_transform(generate_series(0, s - 1),
+                       t -> t * n // s)) AS frame_idx
+              FROM fr)
+      SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                    k -> (seed * 31 + k * 7 + frame_idx * 13) % 256)) AS BIGINT)
+               AS pix_sum
+      FROM idx ORDER BY media_id, frame_idx""")),
+
     // ONE maintenance HISTORY interleaving the whole LSM triple —
     // build on half the archive, the other half arrives as an append
     // batch (compact), the hottest shard SPLITS, a takedown

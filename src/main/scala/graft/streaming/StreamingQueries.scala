@@ -2881,21 +2881,41 @@ object StreamingQueries {
     out.orderBy(col("doc_id"))
   }
 
-  /** p110's audio statistics on the streaming engine: the WAV encode /
+  /** p110's audio statistics on the streaming engine: the encode /
     * decode pair is map-side (dataset maps, no state), and the per-clip
     * statistics fold is ONE media-keyed aggregation — state is a single
     * stats row per clip, slice-independent because counts, extrema, and
     * Σs² all merge. A live media-ingest pipeline computes clip hygiene
-    * exactly this way, as bytes land. Shares p110's oracle.
+    * exactly this way, as bytes land — on MIXED containers (even clips
+    * RIFF/WAVE, odd clips FORM/AIFF, p222's fixture: the magic
+    * auto-detect runs per row at ingest). Shares p110's
+    * container-independent oracle.
     */
   def audioStatsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.multimodal.AudioCodec
     runToMemory(
       AudioCodec.audioStats(
-        AudioCodec.SyntheticAudio.wavFixture(
+        AudioCodec.SyntheticAudio.mixedFixture(
           documentsStream(spark, sfDir), col("doc_id")),
         col("media_id"), col("payload")))
       .orderBy(col("media_id"))
+  }
+
+  /** p221's GIF frame sampling AT ingest — the q138 rule applied to a
+    * real COMPRESSED container: structure scan + sampled-frame LZW
+    * decode are both per-row scan-stage programs, zero state, append
+    * mode; a landed animation's sampled frames exist the moment its
+    * row arrives. Shares p221's formula oracle.
+    */
+  def gifFramesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.ImageCodec
+    runToMemory(
+      ImageCodec.sampleGifFrames(
+        ImageCodec.SyntheticVideos.gifFixture(
+          documentsStream(spark, sfDir), col("doc_id")),
+        col("media_id"), col("payload"), maxFrames = 3),
+      mode = "append")
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** p109's PII redaction at INGEST — the scrub is a pure scan-stage

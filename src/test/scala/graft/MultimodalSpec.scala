@@ -435,4 +435,79 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(metaRows.length == 1 && metaRows(0).getLong(1) == 4L)
   }
+
+  test("animated GIF: lossless frame round trip, selective decode, sampler equality with the PNG container") {
+    import graft.multimodal.ImageCodec
+    val codec = new ImageCodec.Codec
+    def pix(f: Int, k: Int): Int = (k * 7 + f * 13 + 5) % 256
+    // every frame decodes back pixel-exact through the explicit
+    // 256-gray palette (interlace is OFF — the JDK writer's interlaced
+    // rows do not survive its own reader, pinned here: a regression
+    // re-enabling it scrambles rows and this assert catches it)
+    val gif = codec.encodeGrayGif(6, 5, 4, pix)
+    val (n, all) = codec.decodeGifSampled(gif, m => 0 until m)
+    assert(n == 4)
+    all.foreach { case (fi, im) =>
+      assert(im.width == 6 && im.height == 5)
+      (0 until 30).foreach(k => assert(im.pixels(k) == pix(fi, k),
+        s"frame $fi pixel $k"))
+    }
+    // selective decode returns exactly the asked frames
+    val (_, picked) = codec.decodeGifSampled(gif, _ => Seq(0, 3))
+    assert(picked.map(_._1) == Seq(0, 3))
+    // the GIF sampler and the PNG-container sampler agree row-for-row
+    // on the same synthetic animation — one fixture intent, two wire
+    // containers, so agreement pins that the numbers come from the
+    // DECODE, not the container
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val viaGif = ImageCodec.sampleGifFrames(
+      ImageCodec.SyntheticVideos.gifFixture(docs, col("doc_id")),
+      col("media_id"), col("payload"), maxFrames = 3)
+    val viaPng = ImageCodec.sampleFrames(
+      ImageCodec.SyntheticVideos.containerFixture(docs, col("doc_id")),
+      col("media_id"), col("payload"), maxFrames = 3)
+    assert(viaGif.exceptAll(viaPng).isEmpty && viaPng.exceptAll(viaGif).isEmpty)
+    // loud contracts
+    intercept[IllegalArgumentException](codec.encodeGrayGif(2, 2, 0, pix))
+    intercept[IllegalArgumentException](
+      codec.decodeGifSampled(gif, _ => Seq(9)))
+  }
+
+  test("AIFF: 80-bit-extended rate round trip, big-endian samples exact, auto-detect, loud contracts") {
+    import graft.multimodal.AudioCodec
+    import graft.multimodal.AudioCodec.{Aiff, Wav}
+    // the 80-bit extended sample-rate field round-trips exactly for
+    // the rates archives actually carry
+    for (rate <- Seq(1, 8000, 16000, 22050, 44100, 48000, 96000)) {
+      val b = Aiff.ext80(rate)
+      assert(Aiff.unext80(b, 0) == rate, s"rate $rate")
+    }
+    intercept[IllegalArgumentException](Aiff.ext80(0))
+    // samples survive byte-for-byte, including negatives and extremes
+    val samples = Array[Short](0, 1, -1, 255, -256, 32767, -32768, 12345)
+    val aiff = Aiff.encodeS16(8000, samples)
+    val (r, back) = Aiff.decodeS16(aiff)
+    assert(r == 8000 && back.sameElements(samples))
+    // magic auto-detect routes both containers; garbage refuses
+    assert(AudioCodec.decodeS16Any(aiff)._2.sameElements(samples))
+    assert(AudioCodec.decodeS16Any(Wav.encodeS16(8000, samples))
+      ._2.sameElements(samples))
+    val e = intercept[IllegalArgumentException](
+      AudioCodec.decodeS16Any("OggS garbage".getBytes("US-ASCII")))
+    assert(e.getMessage.contains("OggS"))
+    // COMM/SSND disagreement refuses: truncate the SSND data by one
+    // sample but leave COMM's frame count — self-inconsistent
+    val cut = java.util.Arrays.copyOf(aiff, aiff.length - 2)
+    // fix the outer FORM and SSND lengths so only the COUNT disagrees
+    def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+      b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+    }
+    putBe32(cut, 4, cut.length - 8)
+    putBe32(cut, 42, 8 + samples.length * 2 - 2)
+    val e2 = intercept[IllegalArgumentException](Aiff.decodeS16(cut))
+    assert(e2.getMessage.contains("self-inconsistent"))
+  }
 }
