@@ -106,24 +106,29 @@ object GunzipUtil {
     * (historically IIS) ship the RAW deflate stream (RFC 1951). The
     * sniff is the standard client move: a zlib stream's first two
     * bytes satisfy `CMF low nibble = 8` and `(CMF·256+FLG) % 31 = 0`;
-    * anything else inflates raw. The sniff can MISREAAD a raw stream
+    * anything else inflates raw. The sniff can MISREAD a raw stream
     * whose first two bytes coincidentally pass the zlib check (a
-    * stored-block stream starting 0x78 …), so a corrupt-data failure
-    * under the sniffed form retries ONCE under the other form — the
-    * browser fallback — before raising with both diagnoses. Overflow
-    * past `maxOut` never retries (both forms would inflate the same
-    * bytes past the same bound). Same loudness discipline as
-    * [[gunzip]]: a stream corrupt under BOTH forms, a truncated
-    * stream, and trailing garbage all raise with context — a silently
-    * truncated inflate is a silently truncated document.
+    * stored-block stream starting 0x78 …), and a misread can surface
+    * as ANY decode symptom — corrupt data, apparent truncation, or
+    * apparent trailing bytes — so any of the three under the sniffed
+    * form retries ONCE under the other form (which must decode FULLY
+    * and cleanly to win) before raising with both diagnoses. Overflow
+    * past `maxOut` never retries: both forms would inflate the same
+    * bytes past the same bound, and retrying a bound violation only
+    * doubles the work. Same loudness discipline as [[gunzip]]: a
+    * stream that decodes under NEITHER form raises with both
+    * diagnoses — a silently truncated inflate is a silently truncated
+    * document.
     */
   def inflate(b: Array[Byte], maxOut: Int, label: String): Array[Byte] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$label: $msg")
     if (b.length < 2) fail(s"deflate stream of ${b.length} bytes")
-    // corrupt-data failures carry null output and a message; any other
-    // failure (overflow, truncation, trailing bytes) raises directly
+    // decode-shaped failures (corrupt/truncated/trailing) carry a
+    // message and allow the other-form retry; only the output BOUND
+    // raises directly (form-independent)
     def attempt(zlib: Boolean): Either[String, Array[Byte]] = {
+      val form = if (zlib) "zlib" else "raw"
       val inf = new java.util.zip.Inflater(!zlib)
       try {
         inf.setInput(b)
@@ -131,20 +136,20 @@ object GunzipUtil {
           math.min(math.max(b.length * 4, 1 << 12), 1 << 16))
         val buf = new Array[Byte](8192)
         var total = 0L
-        var corrupt: String = null
-        while (corrupt == null && !inf.finished()) {
+        var bad: String = null
+        while (bad == null && !inf.finished()) {
           val n =
             try inf.inflate(buf)
             catch { case e: java.util.zip.DataFormatException =>
-              corrupt = s"corrupt as ${if (zlib) "zlib" else "raw"} " +
-                s"deflate at input byte ${inf.getBytesRead}: ${e.getMessage}"
+              bad = s"corrupt as $form deflate at input byte " +
+                s"${inf.getBytesRead}: ${e.getMessage}"
               0
             }
-          if (corrupt == null) {
+          if (bad == null) {
             if (n == 0 && !inf.finished()) {
               if (inf.needsInput() || inf.needsDictionary())
-                fail(s"truncated deflate stream after ${inf.getBytesRead} " +
-                  s"of ${b.length} input bytes")
+                bad = s"truncated as $form deflate after " +
+                  s"${inf.getBytesRead} of ${b.length} input bytes"
             }
             total += n
             if (total > maxOut)
@@ -153,10 +158,10 @@ object GunzipUtil {
             out.write(buf, 0, n)
           }
         }
-        if (corrupt != null) Left(corrupt)
+        if (bad != null) Left(bad)
         else if (inf.getRemaining > 0)
-          fail(s"${inf.getRemaining} trailing bytes after the deflate " +
-            "stream ended — not part of the representation")
+          Left(s"${inf.getRemaining} trailing bytes as $form deflate " +
+            "after the stream ended — not part of the representation")
         else Right(out.toByteArray)
       } finally inf.end()
     }

@@ -249,6 +249,18 @@ object TextFunctions {
     */
   private val attrValueAlt: String = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
 
+  /** The attribute-NAME guard: a real attribute is preceded by
+    * whitespace (after the tag name or the previous attribute) or by
+    * the previous attribute's closing quote (`href="x"rel=…` — the
+    * no-space form browsers accept). This is STRICTER than the old
+    * `(?<![-\\w])`: with unquoted values in the grammar, `attr=tok`
+    * TEXT inside another attribute's bare value
+    * (`href=https://e.com/a?rel=nofollow` — '?' passed the old
+    * guard) must not bind as an attribute, and it also subsumes the
+    * data-/xlink:-prefix guard ('-' and ':' are not in the class).
+    */
+  private val attrNameGuard: String = "(?<=[\\s\"'])"
+
   /** First `attr=…` value inside `tag`, any quote form, quotes
     * stripped; empty string when the attribute is absent (the
     * regexp_extract no-match convention callers already filter on).
@@ -256,26 +268,24 @@ object TextFunctions {
   private[graft] def attrVal(tag: Column, attr: String): Column =
     regexp_replace(
       regexp_extract(tag,
-        "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" + attrValueAlt, 1),
+        "(?i)" + attrNameGuard + attr + "\\s*=\\s*" + attrValueAlt, 1),
       "^[\"']|[\"']$", "")
 
   /** Regex (for `rlike`) asserting `attr`'s whole value IS `v`, any
-    * quote form; `v` must be a regex-safe literal. The `(?<![-\\w])`
-    * guard keeps `data-attr` variants from binding.
+    * quote form; `v` must be a regex-safe literal.
     */
   private[graft] def attrIs(attr: String, v: String): String =
-    "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" +
+    "(?i)" + attrNameGuard + attr + "\\s*=\\s*" +
       "(\"" + v + "\"|'" + v + "'|" + v + "(?=[\\s/>]|$))"
 
   /** Regex asserting `attr`'s value CONTAINS `tok` as a whole
     * space-delimited token (the rel-token grammar), any quote form.
     * `tok` may be a non-capturing alternation. Boundaries are
     * space/quote-anchored — `(?<![^\"\\s])`, not `\\b` — because '-'
-    * is a word boundary and `rel="x-nofollow"` must NOT bind (the
-    * same hazard the attribute names guard with `(?<![-\\w])`).
+    * is a word boundary and `rel="x-nofollow"` must NOT bind.
     */
   private[graft] def attrHasToken(attr: String, tok: String): String =
-    "(?i)(?<![-\\w])" + attr + "\\s*=\\s*" +
+    "(?i)" + attrNameGuard + attr + "\\s*=\\s*" +
       "(\"[^\"]*(?<![^\"\\s])" + tok + "(?![^\"\\s])[^\"]*\"" +
       "|'[^']*(?<![^'\\s])" + tok + "(?![^'\\s])[^']*'" +
       "|" + tok + "(?=[\\s/>]|$))"
@@ -301,7 +311,7 @@ object TextFunctions {
     }
     transform(
       regexp_extract_all(live,
-        lit("(?i)(?<![-\\w])href\\s*=\\s*" + attrValueAlt), lit(1)),
+        lit("(?i)" + attrNameGuard + "href\\s*=\\s*" + attrValueAlt), lit(1)),
       h => regexp_replace(h, "^[\"']|[\"']$", ""))
   }
 
@@ -316,10 +326,10 @@ object TextFunctions {
     * codegen'd regex chain over the raw page.
     */
   def metaRobots(html: Column): Column = {
-    // (?<![-\w]) guards, not \b: '-' IS a word boundary, so \bname
-    // would match data-name="robots" and falsely gate the page (the
-    // same reason extractHrefs guards href=); name/content bind in
-    // all three quote forms (attrIs/attrVal) because a single-quoted
+    // attrNameGuard, not \b: '-' IS a word boundary, so \bname would
+    // match data-name="robots" and falsely gate the page (the same
+    // reason extractHrefs guards href=); name/content bind in all
+    // three quote forms (attrIs/attrVal) because a single-quoted
     // noindex that fails to parse fails OPEN into the index
     val metas = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
     val robots = filter(metas, m => m.rlike(attrIs("name", "robots")))
@@ -368,8 +378,9 @@ object TextFunctions {
       regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
     }
     val anchors = regexp_extract_all(live, lit("(?is)<a\\b[^>]*>"), lit(0))
-    // (?<![-\w])rel, not \brel: data-rel="nofollow" must not drop a
-    // followed anchor ('-' is a word boundary)
+    // attrNameGuard, not \brel: data-rel="nofollow" must not drop a
+    // followed anchor ('-' is a word boundary), and rel=… text inside
+    // another attribute's bare value must not bind at all
     val followed = filter(anchors, a => !a.rlike(
       attrHasToken("rel", "(?:nofollow|sponsored|ugc)")))
     filter(transform(followed, a => attrVal(a, "href")), h => h =!= "")

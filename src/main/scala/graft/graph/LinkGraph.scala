@@ -96,8 +96,10 @@ object LinkGraph {
     * consume.
     */
   def robotsDirectiveFlags(metaToks: Column, headerVal: Column): Column = {
+    // ',' splits tokens within a line; '\n' splits the repeated-header
+    // lines splitHttp's map joins with
     val headerToks = filter(
-      transform(split(coalesce(headerVal, lit("")), ","),
+      transform(split(coalesce(headerVal, lit("")), "[,\n]"),
         t => lower(trim(t))),
       t => t =!= "")
     // BOTH sides null-coalesce: a null meta array (null html upstream)
@@ -150,29 +152,38 @@ object LinkGraph {
                     asofDate: Column): Column = {
     require(agent.nonEmpty && !agent.contains(":") && !agent.contains(","),
       s"xRobotsTokens: '$agent' is not a header agent name")
-    val v = trim(coalesce(headerVal, lit("")))
-    val segs = transform(split(v, ","), t => trim(t))
-    val fname = lower(trim(regexp_extract(element_at(segs, 1),
-      "^([^:]+):", 1)))
-    val valueDirs = array(XRobotsValueDirectives.map(lit): _*)
-    val scoped = fname =!= "" && !array_contains(valueDirs, fname)
-    val applies = !scoped || fname === lit(agent.toLowerCase)
-    // the scope prefix rides the FIRST comma segment only
-    val unprefixed = when(scoped,
-        transform(segs, (t, i) => when(i === 0,
-            trim(regexp_replace(t, "^[^:]+:", ""))).otherwise(t)))
-      .otherwise(segs)
-    val toks = transform(unprefixed, t => {
-      val lt = lower(t)
-      when(lt.rlike("^unavailable_after\\s*:"),
-        when(try_to_date(
-            trim(regexp_replace(t, "(?i)^unavailable_after\\s*:", "")))
-            <= asofDate, lit("noindex"))
-          .otherwise(lit("")))
-        .otherwise(lt)
-    })
-    when(applies, array_distinct(filter(toks, t => t =!= "")))
-      .otherwise(array().cast("array<string>"))
+    // one PHYSICAL header line at a time: splitHttp joins repeated
+    // X-Robots-Tag lines with '\n' (a byte no parsed value carries),
+    // and a scope covers exactly ITS line — parsing the joined value
+    // flat would let a scoped first line swallow an unscoped second
+    // one (`googlebot: noindex` + `noindex` must still bind everyone)
+    def lineTokens(line: Column): Column = {
+      val v = trim(line)
+      val segs = transform(split(v, ","), t => trim(t))
+      val fname = lower(trim(regexp_extract(element_at(segs, 1),
+        "^([^:]+):", 1)))
+      val valueDirs = array(XRobotsValueDirectives.map(lit): _*)
+      val scoped = fname =!= "" && !array_contains(valueDirs, fname)
+      val applies = !scoped || fname === lit(agent.toLowerCase)
+      // the scope prefix rides the FIRST comma segment only
+      val unprefixed = when(scoped,
+          transform(segs, (t, i) => when(i === 0,
+              trim(regexp_replace(t, "^[^:]+:", ""))).otherwise(t)))
+        .otherwise(segs)
+      val toks = transform(unprefixed, t => {
+        val lt = lower(t)
+        when(lt.rlike("^unavailable_after\\s*:"),
+          when(try_to_date(
+              trim(regexp_replace(t, "(?i)^unavailable_after\\s*:", "")))
+              <= asofDate, lit("noindex"))
+            .otherwise(lit("")))
+          .otherwise(lt)
+      })
+      when(applies, filter(toks, t => t =!= ""))
+        .otherwise(array().cast("array<string>"))
+    }
+    array_distinct(flatten(transform(
+      split(coalesce(headerVal, lit("")), "\n"), l => lineTokens(l))))
   }
 
   /** [[robotsDirectiveFlags]] under the FULL X-Robots-Tag grammar —

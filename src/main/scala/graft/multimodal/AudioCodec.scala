@@ -74,6 +74,11 @@ object AudioCodec {
         val id = tag(bytes, off)
         val len = u32(bytes, off + 4).toInt
         val body = off + 8
+        // a hostile/corrupt length would stall the walk (len = -8 makes
+        // off stop advancing) or run it backwards off the array — the
+        // loud-failure contract wants the offset and value named
+        require(len >= 0 && body + len <= bytes.length,
+          s"decodeS16: corrupt chunk length $len ('$id' at offset $off)")
         id match {
           case "fmt " =>
             require(len >= 16, "decodeS16: truncated fmt chunk")
@@ -176,6 +181,9 @@ object AudioCodec {
         val id = tag(bytes, off)
         val len = u32(bytes, off + 4).toInt
         val body = off + 8
+        // same stall/backwards-walk guard as Wav.decodeS16
+        require(len >= 0 && body + len <= bytes.length,
+          s"Aiff.decodeS16: corrupt chunk length $len ('$id' at offset $off)")
         id match {
           case "COMM" =>
             require(len >= 18, "Aiff.decodeS16: truncated COMM chunk")

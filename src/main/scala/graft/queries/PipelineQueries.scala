@@ -7137,7 +7137,8 @@ object PipelineQueries {
              CAST(doc_id % 5 AS INT) IN (1, 3, 4) OR doc_id % 7 = 0
                OR (doc_id % 7 <> 0 AND CAST(doc_id % 19 AS INT) IN (4, 12))
                AS noindex,
-             CAST(doc_id % 5 AS INT) IN (2, 3, 4) AS nofollow
+             CAST(doc_id % 5 AS INT) IN (2, 3, 4)
+               OR (doc_id % 7 <> 0 AND doc_id % 19 = 2) AS nofollow
       FROM documents ORDER BY doc_id""")),
 
     // The FOLLOW harvest — p131's outlink extraction under indexing
@@ -8272,15 +8273,22 @@ object PipelineQueries {
     * itself stays strategy-neutral because at 100 TB the alias map is
     * archive-sized and the hash join is the right plan.
     */
-  private[graft] def frontierAliasResolved(s: SparkSession): DataFrame = {
-    import s.implicits._
-    broadcast(graft.graph.CrawlOps.resolveRedirects(
-        graft.graph.CrawlOps.pageAliasEdges(
-          frontierAliasPagesFixture.toDF("page_url", "html"),
-          col("page_url"), col("html"), maxDelaySeconds = 10L),
-        maxDepth = 8)
-      .localCheckpoint(eager = false))
-  }
+  private val aliasResolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private[graft] def frontierAliasResolved(s: SparkSession): DataFrame =
+    // memoized per session so the three compositions (and p157's two
+    // reads) genuinely SHARE one checkpoint instead of re-running the
+    // parse + pointer doubling per call
+    aliasResolvedCache.computeIfAbsent(s, s2 => {
+      import s2.implicits._
+      broadcast(graft.graph.CrawlOps.resolveRedirects(
+          graft.graph.CrawlOps.pageAliasEdges(
+            frontierAliasPagesFixture.toDF("page_url", "html"),
+            col("page_url"), col("html"), maxDelaySeconds = 10L),
+          maxDepth = 8)
+        .localCheckpoint(eager = false))
+    })
 
   /** The composed crawl front's link rows — the FOLLOW harvest over
     * the directive-decorated pages, rewritten through the resolved
@@ -8989,6 +8997,12 @@ object PipelineQueries {
         lit("\r\nX-Robots-Tag: unavailable_after: 2026-01-15"))
       .when(m19 === 16,
         lit("\r\nX-Robots-Tag: unavailable_after: 2099-01-01"))
+      // REPEATED header lines — the documented multi-header form: the
+      // foreign-scoped first line is inert, but the unscoped SECOND
+      // line must still bind (a first-value-wins header map, or a
+      // comma-fold that re-scopes it, both fail OPEN here)
+      .when(m19 === 2, lit("\r\nX-Robots-Tag: megabot: noindex" +
+        "\r\nX-Robots-Tag: nofollow"))
       .otherwise(lit(""))
     val msg = cast_bin(concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"),

@@ -334,15 +334,20 @@ object Warc {
           val charset = HttpMessage.resolveCharset(ct, payload)
           val text = if (mime != null && mime.startsWith("text/"))
             HttpMessage.decodeText(payload, charset, label) else null
-          // the full header map, lowercased names, FIRST value per
-          // name (the typed columns stay the decode authorities — the
-          // map is for the long tail: Location, Last-Modified, ETag,
-          // cache headers — what a crawl scheduler and WAT derivation
-          // read)
+          // the full header map, lowercased names; REPEATED lines
+          // join with '\n' — a byte no parsed header value can carry
+          // (obs-folds already collapsed), so line boundaries survive
+          // losslessly where an RFC 9110 comma-join would be ambiguous
+          // for X-Robots-Tag (an agent scope covers its WHOLE line:
+          // comma-folding a scoped line with an unscoped one would
+          // silently re-scope the unscoped directives — the fail-open
+          // a first-value-wins map had). The typed columns stay the
+          // decode authorities; the map serves Location/ETag/cache
+          // headers and the directive gates.
           val hmap = head.headers.foldLeft(Map.empty[String, String]) {
             case (m, (n, v)) =>
               val k = n.toLowerCase
-              if (m.contains(k)) m else m.updated(k, v)
+              m.updated(k, if (m.contains(k)) m(k) + "\n" + v else v)
           }
           HttpRecord(r.file_id, r.record_idx, r.warc_type, r.target_uri,
             r.offset, r.record_bytes, r.warc_date, r.record_id,

@@ -686,6 +686,17 @@ class FunctionsSpec extends AnyFunSuite {
         .select(col("r.delay_s"), col("r.target")).collect().head)
     assert(r(0).getLong(0) == 0L && r(0).getString(1) == "https://a/b")
     assert(r(1).getLong(0) == 30L && r(1).isNullAt(1))
+    // attr=token TEXT inside another attribute's BARE value must not
+    // bind as an attribute: the anchor keeps its edge, and the full
+    // harvest captures the whole query-bearing URL
+    val bare = Seq(
+      "<a href=https://e.com/out?rel=nofollow>x</a>" +
+        "<meta content=see-name=robots-docs>").toDF("h")
+      .select(TextFunctions.extractFollowHrefs(col("h")).as("f"),
+        TextFunctions.metaRobots(col("h")).as("m"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(bare._1 == Seq("https://e.com/out?rel=nofollow"))
+    assert(bare._2 == Seq())
     // rel=canonical in single quotes and as a token inside a list
     val c = Seq(
       (1L, "https://s.com/p/1",

@@ -1055,6 +1055,13 @@ class GraphSpec extends AnyFunSuite {
     // unparseable date: the DATED directive drops (loud null from
     // to_date), the other directives still bind
     assert(toks("unavailable_after: not-a-date, nofollow") == Seq("nofollow"))
+    // REPEATED header lines arrive '\n'-joined (splitHttp's map): a
+    // scope covers exactly ITS line — the unscoped second line binds
+    // even though the first is foreign-scoped, and a scoped-to-us
+    // line unions with an unscoped one
+    assert(toks("megabot: noindex\nnofollow") == Seq("nofollow"))
+    assert(toks("graftbot: noindex\nnofollow") == Seq("noindex", "nofollow"))
+    assert(toks("noindex\nmegabot: nofollow") == Seq("noindex"))
     // null header: empty
     val n = Seq(Option.empty[String]).toDF("h")
       .select(LinkGraph.xRobotsTokens(col("h"), "graftbot", asof).as("t"))
