@@ -309,10 +309,13 @@ object TextFunctions {
         regexp_replace(html, "(?s)<!--.*?-->", " ")) { (c, tag) =>
       regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
     }
-    transform(
-      regexp_extract_all(live,
-        lit("(?i)" + attrNameGuard + "href\\s*=\\s*" + attrValueAlt), lit(1)),
-      h => regexp_replace(h, "^[\"']|[\"']$", ""))
+    // harvest TAGS first, then the attribute inside each: running the
+    // attribute grammar over the whole live text would let body PROSE
+    // like 'set href=https://example.com/x' mint a false edge now that
+    // bare (unquoted) values are in the grammar — an attribute only
+    // exists inside a tag
+    val tags = regexp_extract_all(live, lit("(?s)<[A-Za-z][^>]*>"), lit(0))
+    filter(transform(tags, t => attrVal(t, "href")), h => h =!= "")
   }
 
   /** `<meta name="robots">` directive tokens — the PAGE half of the

@@ -72,13 +72,16 @@ object AudioCodec {
       var data: Array[Short] = null
       while (off + 8 <= bytes.length) {
         val id = tag(bytes, off)
-        val len = u32(bytes, off + 4).toInt
+        val lenL = u32(bytes, off + 4)
         val body = off + 8
         // a hostile/corrupt length would stall the walk (len = -8 makes
         // off stop advancing) or run it backwards off the array — the
-        // loud-failure contract wants the offset and value named
-        require(len >= 0 && body + len <= bytes.length,
-          s"decodeS16: corrupt chunk length $len ('$id' at offset $off)")
+        // loud-failure contract wants the offset and value named. The
+        // bound check stays in Long: a declared length near 2^31 would
+        // make `body + len` overflow negative in Int and slip past.
+        require(lenL <= bytes.length.toLong - body,
+          s"decodeS16: corrupt chunk length $lenL ('$id' at offset $off)")
+        val len = lenL.toInt
         id match {
           case "fmt " =>
             require(len >= 16, "decodeS16: truncated fmt chunk")
@@ -87,7 +90,6 @@ object AudioCodec {
             require(u16(bytes, body + 14) == 16, "decodeS16: not 16-bit")
             rate = u32(bytes, body + 4).toInt
           case "data" =>
-            require(body + len <= bytes.length, "decodeS16: truncated data chunk")
             data = Array.tabulate(len / 2)(i => u16(bytes, body + i * 2).toShort)
           case _ => () // LIST/fact/etc: skip
         }
@@ -179,11 +181,13 @@ object AudioCodec {
       var data: Array[Short] = null
       while (off + 8 <= bytes.length) {
         val id = tag(bytes, off)
-        val len = u32(bytes, off + 4).toInt
+        val lenL = u32(bytes, off + 4)
         val body = off + 8
-        // same stall/backwards-walk guard as Wav.decodeS16
-        require(len >= 0 && body + len <= bytes.length,
-          s"Aiff.decodeS16: corrupt chunk length $len ('$id' at offset $off)")
+        // same stall/backwards-walk guard as Wav.decodeS16, same
+        // Long-domain bound (an Int `body + len` overflows past it)
+        require(lenL <= bytes.length.toLong - body,
+          s"Aiff.decodeS16: corrupt chunk length $lenL ('$id' at offset $off)")
+        val len = lenL.toInt
         id match {
           case "COMM" =>
             require(len >= 18, "Aiff.decodeS16: truncated COMM chunk")
@@ -192,11 +196,16 @@ object AudioCodec {
             require(u16(bytes, body + 6) == 16, "Aiff.decodeS16: not 16-bit")
             rate = unext80(bytes, body + 8)
           case "SSND" =>
-            val skip = u32(bytes, body).toInt
-            val start = body + 8 + skip
-            val dataLen = len - 8 - skip
-            require(dataLen >= 0 && start + dataLen <= bytes.length,
-              "Aiff.decodeS16: truncated SSND chunk")
+            require(len >= 8, "Aiff.decodeS16: truncated SSND chunk")
+            // the offset field is u32: guard it in Long BEFORE any Int
+            // math — a hostile value near 2^31 becomes a negative Int
+            // `skip` whose start/dataLen errors cancel and index past
+            // the array instead of failing loudly
+            val skipL = u32(bytes, body)
+            require(skipL <= (len - 8).toLong,
+              s"Aiff.decodeS16: corrupt SSND offset $skipL (chunk length $len)")
+            val start = body + 8 + skipL.toInt
+            val dataLen = len - 8 - skipL.toInt
             data = Array.tabulate(dataLen / 2)(i =>
               u16(bytes, start + i * 2).toShort)
           case _ => () // NAME/ANNO/etc: skip

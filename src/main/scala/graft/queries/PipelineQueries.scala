@@ -8276,7 +8276,14 @@ object PipelineQueries {
   private val aliasResolvedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  private[graft] def frontierAliasResolved(s: SparkSession): DataFrame =
+  private[graft] def frontierAliasResolved(s: SparkSession): DataFrame = {
+    // evict entries of STOPPED sessions on access: the cached frame
+    // strongly references its session (so weak keys could never
+    // collect the pair), and without eviction a long-lived JVM that
+    // churns sessions retains every stopped one and its checkpointed
+    // broadcast forever
+    val it = aliasResolvedCache.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     // memoized per session so the three compositions (and p157's two
     // reads) genuinely SHARE one checkpoint instead of re-running the
     // parse + pointer doubling per call
@@ -8289,6 +8296,7 @@ object PipelineQueries {
           maxDepth = 8)
         .localCheckpoint(eager = false))
     })
+  }
 
   /** The composed crawl front's link rows — the FOLLOW harvest over
     * the directive-decorated pages, rewritten through the resolved

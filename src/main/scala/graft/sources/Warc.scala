@@ -316,6 +316,19 @@ object Warc {
     * `content_type` — the mixed-archive filter); a non-HTTP block
     * raises with its record's provenance.
     */
+  /** Headers whose repeated lines are MEANT to accumulate (RFC 9110's
+    * list-valued fields plus the two famous exceptions): these join
+    * with '\n' in [[splitHttp]]'s map so per-line scoping survives;
+    * any header not listed is singleton-semantics and keeps its FIRST
+    * line (duplicate Location/ETag are server bugs, and first-value
+    * is what browsers apply).
+    */
+  private[graft] val ListValuedHeaders: Set[String] = Set(
+    "x-robots-tag", "set-cookie", "vary", "cache-control", "link",
+    "warning", "www-authenticate", "proxy-authenticate", "via",
+    "accept-ranges", "allow", "connection", "content-language",
+    "content-encoding", "transfer-encoding", "upgrade", "trailer")
+
   def splitHttp(records: DataFrame): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -334,20 +347,26 @@ object Warc {
           val charset = HttpMessage.resolveCharset(ct, payload)
           val text = if (mime != null && mime.startsWith("text/"))
             HttpMessage.decodeText(payload, charset, label) else null
-          // the full header map, lowercased names; REPEATED lines
-          // join with '\n' — a byte no parsed header value can carry
-          // (obs-folds already collapsed), so line boundaries survive
-          // losslessly where an RFC 9110 comma-join would be ambiguous
-          // for X-Robots-Tag (an agent scope covers its WHOLE line:
-          // comma-folding a scoped line with an unscoped one would
-          // silently re-scope the unscoped directives — the fail-open
-          // a first-value-wins map had). The typed columns stay the
-          // decode authorities; the map serves Location/ETag/cache
-          // headers and the directive gates.
+          // the full header map, lowercased names. Repetition policy
+          // is PER HEADER CLASS: for the known LIST-VALUED headers
+          // ([[ListValuedHeaders]]) repeated lines join with '\n' — a
+          // byte no parsed header value can carry (obs-folds already
+          // collapsed), so line boundaries survive losslessly where an
+          // RFC 9110 comma-join would be ambiguous for X-Robots-Tag
+          // (an agent scope covers its WHOLE line: comma-folding a
+          // scoped line with an unscoped one would silently re-scope
+          // the unscoped directives). For everything else the FIRST
+          // line wins — a duplicate Location/ETag/Last-Modified is a
+          // server bug, and a multiline value would silently corrupt
+          // surt keys and conditional-fetch comparisons downstream.
+          // The typed columns stay the decode authorities; the map
+          // serves Location/ETag/cache headers and the directive gates.
           val hmap = head.headers.foldLeft(Map.empty[String, String]) {
             case (m, (n, v)) =>
               val k = n.toLowerCase
-              m.updated(k, if (m.contains(k)) m(k) + "\n" + v else v)
+              if (!m.contains(k)) m.updated(k, v)
+              else if (ListValuedHeaders(k)) m.updated(k, m(k) + "\n" + v)
+              else m
           }
           HttpRecord(r.file_id, r.record_idx, r.warc_type, r.target_uri,
             r.offset, r.record_bytes, r.warc_date, r.record_id,

@@ -88,6 +88,16 @@ class FunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.extractHrefs(col("html")).as("h"))
       .as[Seq[String]].head()
     assert(none == Seq("https://real.com/"))
+    // body PROSE mentioning href=… is not a tag attribute: with bare
+    // values in the grammar the harvest is tag-scoped, so visible text
+    // must not mint a false edge
+    val prose = Seq(
+      "<p>to link, set href=https://prose.example/x in the tag</p>" +
+        "<a href=https://real.com/>ok</a>")
+      .toDF("html")
+      .select(TextFunctions.extractHrefs(col("html")).as("h"))
+      .as[Seq[String]].head()
+    assert(prose == Seq("https://real.com/"))
   }
 
   test("HLL distinct estimate tracks exact cardinality within 3 sigma") {

@@ -213,6 +213,36 @@ class HttpSpec extends AnyFunSuite {
       e.getCause.getMessage)
   }
 
+  test("splitHttp header map: repeated list-valued headers '\\n'-join, repeated singleton headers keep the FIRST line") {
+    val body = "ok".getBytes("US-ASCII")
+    val head = "HTTP/1.1 301 Moved\r\n" +
+      "Location: https://good.example/\r\n" +
+      "Location: https://dup.example/\r\n" +           // server bug: first wins
+      "ETag: \"v1\"\r\n" +
+      "ETag: \"v2\"\r\n" +
+      "X-Robots-Tag: googlebot: noindex\r\n" +
+      "X-Robots-Tag: nofollow\r\n" +                   // list-valued: both lines survive
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(msg(head)); bos.write(body)
+    val warcs = Warc.writeWarcBin(
+      Seq((1L, 0L, bos.toByteArray)).toDF("f", "i", "b"),
+      col("f"), col("i"), lit("response"), lit("https://h.com/r"),
+      col("b"), lit(null).cast("string"),
+      lit("application/http; msgtype=response"))
+    val hm = Warc.splitHttp(Warc.parseWarcBinary(warcs, col("file_id"),
+        col("payload")))
+      .select(col("http_headers")).collect()(0)
+      .getAs[Map[String, String]](0)
+    // singleton semantics: a duplicate Location/ETag must not become a
+    // multiline value that corrupts surt keys / conditional fetches
+    assert(hm("location") == "https://good.example/", hm)
+    assert(hm("etag") == "\"v1\"", hm)
+    // list-valued: per-line scoping must survive (a scoped first line
+    // must not swallow an unscoped second one)
+    assert(hm("x-robots-tag") == "googlebot: noindex\nnofollow", hm)
+  }
+
   test("GzipBytes column: gunzip(gzip(x)) is identity, nulls pass through") {
     val df = Seq(Some("round trip payload é"), None).toDF("s")
       .select(col("s"), graft.functions.GzipBytes(encode(col("s"), "UTF-8"))

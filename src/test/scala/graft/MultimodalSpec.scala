@@ -509,5 +509,26 @@ class MultimodalSpec extends AnyFunSuite {
     putBe32(cut, 42, 8 + samples.length * 2 - 2)
     val e2 = intercept[IllegalArgumentException](Aiff.decodeS16(cut))
     assert(e2.getMessage.contains("self-inconsistent"))
+    // HOSTILE lengths refuse with the NAMED error, never an index
+    // error: a chunk length near 2^31 (Int `body+len` would overflow
+    // negative and pass) and an SSND offset near 2^31 (negative Int
+    // `skip` whose start/dataLen errors cancel)
+    val bigLen = aiff.clone()
+    putBe32(bigLen, 16, 0x7ffffff0)              // COMM declared length
+    val e3 = intercept[IllegalArgumentException](Aiff.decodeS16(bigLen))
+    assert(e3.getMessage.contains("corrupt chunk length"), e3.getMessage)
+    val bigSkip = aiff.clone()
+    putBe32(bigSkip, 46, 0x7ffffff0)             // SSND offset field
+    val e4 = intercept[IllegalArgumentException](Aiff.decodeS16(bigSkip))
+    assert(e4.getMessage.contains("corrupt SSND offset"), e4.getMessage)
+    val wavBig = Wav.encodeS16(8000, samples)
+    // 'fmt ' declared length near 2^31 in the RIFF walk
+    def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(wavBig, 16, 0x7ffffff0)
+    val e5 = intercept[IllegalArgumentException](Wav.decodeS16(wavBig))
+    assert(e5.getMessage.contains("corrupt chunk length"), e5.getMessage)
   }
 }
