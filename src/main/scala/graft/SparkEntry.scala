@@ -517,5 +517,7 @@ object SparkEntry {
     // real compressed-animation decode (animated GIF through the JDK
     // LZW codec — structure scan + sampled-frame-only inflate) and the
     // mixed WAV/AIFF archive statistics (container auto-detect)
-    "p221_gif_frames", "p222_mixed_audio_stats")
+    "p221_gif_frames", "p222_mixed_audio_stats",
+    // RFC 3986 path-relative link resolution through the harvest
+    "p223_relative_link_harvest")
 }

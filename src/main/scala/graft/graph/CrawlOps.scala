@@ -55,24 +55,31 @@ object CrawlOps {
     * `<meta http-equiv="refresh">` declares a target within
     * `maxDelaySeconds` become (src, dst, delay_s) rows in the SAME
     * canonical key space as every frontier operator, ready for
-    * [[resolveRedirects]]; bare-delay reloads, slow refreshes, and
-    * non-absolute targets emit nothing (no false edge beats a wrong
-    * one). Scan-stage projection, zero shuffle.
+    * [[resolveRedirects]]. The target resolves through
+    * [[graft.functions.ResolveHref.aliasTarget]]: absolute,
+    * protocol-relative (`//host/x`) and root-relative (`/x`) forms
+    * bind against the declaring page — real pages publish
+    * `url=/new-page` constantly — while bare-delay reloads, slow
+    * refreshes, PATH-relative targets (directory context on an alias
+    * declaration is a collapse gamble) and non-fetchable schemes emit
+    * nothing (no false edge beats a wrong one). Scan-stage
+    * projection, zero shuffle.
     */
   def metaRefreshEdges(pages: DataFrame, url: Column, html: Column,
                        maxDelaySeconds: Long = 10L): DataFrame = {
     require(maxDelaySeconds >= 0,
       s"metaRefreshEdges: maxDelaySeconds must be >= 0, got $maxDelaySeconds")
-    pages.select(
-        graft.functions.SourceFamily.canonicalizeUrl(url).as("src"),
+    pages.select(url.as("__u"),
         graft.functions.TextFunctions.metaRefresh(html).as("__r"))
       .filter(col("__r").isNotNull &&
-        col("__r.delay_s") <= maxDelaySeconds &&
-        col("__r.target").isNotNull &&
-        col("__r.target").rlike("(?i)^https?://"))
-      .select(col("src"),
-        graft.functions.SourceFamily.canonicalizeUrl(col("__r.target"))
-          .as("dst"),
+        col("__r.delay_s") <= maxDelaySeconds)
+      .withColumn("__t",
+        graft.functions.ResolveHref.aliasTarget(col("__u"),
+          col("__r.target")))
+      .filter(col("__t").isNotNull)
+      .select(graft.functions.SourceFamily.canonicalizeUrl(col("__u"))
+          .as("src"),
+        graft.functions.SourceFamily.canonicalizeUrl(col("__t")).as("dst"),
         col("__r.delay_s").as("delay_s"))
   }
 

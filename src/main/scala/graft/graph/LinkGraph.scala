@@ -56,13 +56,16 @@ object LinkGraph {
     * grain.
     *
     * Href RESOLUTION against the linking page (real markup links
-    * mostly relatively): absolute URLs pass through; protocol-
-    * relative `//host/x` inherits the page's scheme; root-relative
-    * `/x` inherits scheme://host. Everything else — path-relative
-    * (`x/y`, RFC 3986 dot-segment merging is out of scope, stated
-    * loudly), `mailto:`, `javascript:`, bare fragments — is DROPPED,
-    * never passed to [[SourceFamily.canonicalizeUrl]] as a non-URL
-    * that would mint a garbage frontier node.
+    * mostly relatively) is the full RFC 3986 §5 rule set
+    * ([[graft.functions.ResolveHref]], a codegen'd expression):
+    * absolute URLs pass through; protocol-relative `//host/x`
+    * inherits the page's scheme; root-relative `/x` inherits
+    * scheme://host; PATH-relative `x/y` / `../y` / `./y` merges with
+    * the page's directory and dot-segment-normalizes — exactly where
+    * a browser would land. Non-fetchable refs — `mailto:`,
+    * `javascript:`, `data:`, bare fragments — are DROPPED, never
+    * passed to [[SourceFamily.canonicalizeUrl]] as a non-URL that
+    * would mint a garbage frontier node.
     */
   def linkRows(pages: DataFrame, provenanceUrl: Column,
                html: Column): DataFrame =
@@ -211,12 +214,16 @@ object LinkGraph {
     * the clean crawl-discovered form. Semantics: the FIRST canonical
     * link wins (the browser/search-engine convention when a page
     * mistakenly carries several), `rel` matching is attribute-guarded
-    * (a stylesheet link or a data-rel can never bind), a missing or
-    * non-absolute declaration means SELF (relative canonical
-    * resolution is out of scope — rare on real pages, and failing to
-    * self is the safe default: no false collapse). Pure scan-stage
-    * projection; output (doc_id passthrough columns ride) with
-    * `canonical_target`.
+    * (a stylesheet link or a data-rel can never bind), and the href
+    * resolves through [[graft.functions.ResolveHref.aliasTarget]]:
+    * absolute, protocol-relative (`//host/x`) and root-relative
+    * (`/x`) declarations bind against the declaring page — CMSes
+    * publish `<link rel=canonical href="/page">` constantly — while a
+    * missing, PATH-relative, or non-fetchable declaration means SELF
+    * (a canonical that needs directory context is a collapse gamble;
+    * failing to self is the safe default: no false collapse). Pure
+    * scan-stage projection; output (doc_id passthrough columns ride)
+    * with `canonical_target`.
     */
   def relCanonical(pages: DataFrame, provenanceUrl: Column,
                    html: Column, passthrough: Column*): DataFrame = {
@@ -226,34 +233,27 @@ object LinkGraph {
     // try_element_at: a page with NO canonical link has an empty
     // array, which must read as null (self), not raise
     val href = TextFunctions.attrVal(try_element_at(canons, lit(1)), "href")
-    val target = when(href.rlike("(?i)^https?://"),
-        SourceFamily.canonicalizeUrl(href))
-      .otherwise(SourceFamily.canonicalizeUrl(provenanceUrl))
+    val resolved = graft.functions.ResolveHref.aliasTarget(
+      provenanceUrl, when(href =!= "", href))
+    val target = SourceFamily.canonicalizeUrl(
+      coalesce(resolved, provenanceUrl))
     pages.select(passthrough :+
       provenanceUrl.as("page_url") :+ target.as("canonical_target"): _*)
   }
 
   private def linkRowsOf(pages: DataFrame, provenanceUrl: Column,
-                         hrefs: Column): DataFrame = {
-    val scheme = "[A-Za-z][A-Za-z0-9+.-]*"
+                         hrefs: Column): DataFrame =
     pages
       .select(SourceFamily.familyOf(provenanceUrl).as("src_family"),
         provenanceUrl.as("__page"),
         explode(hrefs).as("href"))
       .withColumn("__abs",
-        when(col("href").rlike(s"^$scheme://"), col("href"))
-          .when(col("href").startsWith("//"),
-            concat(regexp_extract(col("__page"), s"^($scheme):", 1),
-              lit(":"), col("href")))
-          .when(col("href").startsWith("/"),
-            concat(regexp_extract(col("__page"), s"^($scheme://[^/?#]*)", 1),
-              col("href"))))
+        graft.functions.ResolveHref(col("__page"), col("href")))
       .filter(col("__abs").isNotNull)
       .select(col("src_family"),
         SourceFamily.canonicalizeUrl(col("__abs")).as("canonical"))
       .select(col("src_family"), col("canonical"),
         SourceFamily.familyOf(col("canonical")).as("dst_family"))
-  }
 
   /** Bounded-iteration PageRank in exact integer MICRO-UNITS — the
     * frontier-priority score over [[outlinkEdges]] output (or any

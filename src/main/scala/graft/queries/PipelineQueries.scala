@@ -7285,9 +7285,15 @@ object PipelineQueries {
         .orderBy(col("canonical_target"))
     }, Some("""
       WITH t AS (SELECT doc_id,
-          CASE WHEN CAST(doc_id % 4 AS INT) = 2
+          CASE WHEN CAST(doc_id % 8 AS INT) = 2
                THEN 'https://www.src' || ((doc_id - 1) % 20) || '.com/p/'
                     || (doc_id - 1)
+               WHEN CAST(doc_id % 8 AS INT) = 4
+               THEN 'https://www.src' || (doc_id % 20) || '.com/p/'
+                    || doc_id || 'v2'
+               WHEN CAST(doc_id % 8 AS INT) = 5
+               THEN 'https://www.src' || ((doc_id + 2) % 20) || '.com/p/'
+                    || (doc_id + 2)
                ELSE 'https://www.src' || (doc_id % 20) || '.com/p/'
                     || doc_id END AS canonical_target
         FROM documents)
@@ -7302,11 +7308,16 @@ object PipelineQueries {
     // canonicalization makes the hop land on the next page's map
     // key), which being %5≡2 five-second-refreshes (quoted URL form)
     // to its terminal — so the m1 rows resolve in exactly TWO hops
-    // and the m2 rows in one. The non-edges all bind: a bare-delay
-    // reload (content="30"), a 600 s slow refresh above the redirect
-    // threshold, a Content-Type http-equiv decoy, and pages with no
-    // meta at all. The oracle recomputes extraction, thresholding,
-    // AND both hop counts.
+    // and the m2 rows in one. The m2 TARGET FORM varies by doc_id%4:
+    // absolute / root-relative (binds on the page's authority) /
+    // protocol-relative (inherits the scheme — same resolved value as
+    // absolute) / PATH-relative, which emits NO edge and stops its m1
+    // predecessor at the dead page in ONE hop. The non-edges all
+    // bind: a bare-delay reload (content="30"), a 600 s slow refresh
+    // above the redirect threshold, a Content-Type http-equiv decoy,
+    // and pages with no meta at all. The oracle recomputes
+    // extraction, thresholding, target RESOLUTION, and every hop
+    // count.
     ("p216_meta_refresh", (s, d) => {
       graft.graph.CrawlOps.resolveRedirects(
           graft.graph.CrawlOps.metaRefreshEdges(
@@ -7322,22 +7333,33 @@ object PipelineQueries {
         FROM documents WHERE doc_id % 5 = 1),
       m2 AS (SELECT doc_id,
           'https://www.src' || (doc_id % 20) || '.com/p/' || doc_id AS src,
-          'https://dst' || (doc_id % 11) || '.com/t' || doc_id AS dst
+          -- the target FORM by doc_id%4: root-relative resolves onto
+          -- the page's own authority; protocol-relative onto the
+          -- page's scheme (same value as absolute); path-relative is
+          -- NO edge (NULL here)
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 1 THEN 'https://www.src' || (doc_id % 20) || '.com/t'
+                        || doc_id
+            WHEN 3 THEN NULL
+            ELSE 'https://dst' || (doc_id % 11) || '.com/t' || doc_id
+          END AS dst
         FROM documents WHERE doc_id % 5 = 2)
       SELECT m1.src AS url,
              -- a boundary m1 doc whose successor page does not exist
-             -- stops at the dead page URL in ONE hop (corpus sizes
-             -- are multiples of 5 so this never binds, but the
-             -- oracle must not ASSUME it)
-             CASE WHEN d2.doc_id IS NULL THEN m1.dst
-                  ELSE 'https://dst' || ((m1.doc_id + 1) % 11)
-                       || '.com/t' || (m1.doc_id + 1) END AS final_url,
-             CAST(CASE WHEN d2.doc_id IS NULL THEN 1 ELSE 2 END
-               AS BIGINT) AS hops,
+             -- (corpus sizes are multiples of 5 so this never binds,
+             -- but the oracle must not ASSUME it) — or whose successor
+             -- published only a PATH-relative target (no edge) —
+             -- stops at the dead page URL in ONE hop
+             CASE WHEN d2.doc_id IS NULL OR m2x.dst IS NULL THEN m1.dst
+                  ELSE m2x.dst END AS final_url,
+             CAST(CASE WHEN d2.doc_id IS NULL OR m2x.dst IS NULL THEN 1
+                       ELSE 2 END AS BIGINT) AS hops,
              true AS resolved
       FROM m1 LEFT JOIN documents d2 ON d2.doc_id = m1.doc_id + 1
+              LEFT JOIN m2 m2x ON m2x.doc_id = m1.doc_id + 1
       UNION ALL
       SELECT src, dst, CAST(1 AS BIGINT), true FROM m2
+      WHERE dst IS NOT NULL
       ORDER BY url""")),
 
     // rel=canonical CHAINS through the shared pointer chain — the
@@ -7351,7 +7373,12 @@ object PipelineQueries {
     // that stay 1-hop, a both-forms page whose canonical must LOSE to
     // its refresh (precedence), and a slow-refresh decoy beside a
     // binding canonical; quote forms vary (single-quoted link/meta on
-    // two stripes) so the widened attribute grammar is oracle-gated.
+    // two stripes) so the widened attribute grammar is oracle-gated,
+    // and TARGET forms vary so resolution is too: m6=4 declares
+    // protocol-relatively (the chain only connects if the scheme
+    // inherits), m6=3's terminal is root-relative on the %12=3 half,
+    // and m6=0 declares PATH-relatively — the safe self-default, so
+    // m0 stays absent from the chain output.
     // Corpus-boundary successors (doc_id+1 past the last doc) stop
     // the chain early — the oracle derives hops from successor
     // EXISTENCE, never from an assumed corpus size.
@@ -7375,11 +7402,22 @@ object PipelineQueries {
                WHEN m = 1 AND doc_id + 2 > md THEN
                  'https://www.src' || ((doc_id + 2) % 20) || '.com/c/'
                    || (doc_id + 2)
+               -- the chain-end m3 terminal: root-relative on the
+               -- %12=3 half (resolves onto the declaring page's own
+               -- authority), absolute on the rest
+               WHEN m = 1 AND (doc_id + 2) % 12 = 3 THEN
+                 'https://www.src' || ((doc_id + 2) % 20) || '.com/x'
+                   || (doc_id + 2)
                WHEN m = 1 THEN 'https://t.example.com/x' || (doc_id + 2)
                WHEN m = 2 AND doc_id + 1 > md THEN
                  'https://www.src' || ((doc_id + 1) % 20) || '.com/c/'
                    || (doc_id + 1)
+               WHEN m = 2 AND (doc_id + 1) % 12 = 3 THEN
+                 'https://www.src' || ((doc_id + 1) % 20) || '.com/x'
+                   || (doc_id + 1)
                WHEN m = 2 THEN 'https://t.example.com/x' || (doc_id + 1)
+               WHEN m = 3 AND doc_id % 12 = 3 THEN
+                 'https://www.src' || (doc_id % 20) || '.com/x' || doc_id
                WHEN m = 3 THEN 'https://t.example.com/x' || doc_id
                WHEN m = 4 AND doc_id + 1 > md THEN
                  'https://www.src' || ((doc_id + 1) % 20) || '.com/c/'
@@ -7553,6 +7591,44 @@ object PipelineQueries {
              CAST(CASE WHEN fl IS NULL THEN 0
                        ELSE n_samples - 1 - ll END AS BIGINT) AS trail_silence
       FROM g ORDER BY media_id""")),
+
+    // PATH-relative link RESOLUTION through the harvest — real markup
+    // links mostly relatively, and the RFC 3986 resolver
+    // (ResolveHref: directory merge + dot-segment removal, codegen'd)
+    // is what turns `x/y` / `../y` / `./y` into frontier keys a crawl
+    // can fetch. Every doc's page sits at depth-2 (/a/b/page{id}) and
+    // links all seven resolvable forms — descend, ascend, same-dir,
+    // root-relative, protocol-relative, query-only (the pagination
+    // link), and an EXCESS-dotdot that must clamp at the root — plus
+    // the three non-edges (javascript:, bare fragment, mailto:) that
+    // must keep dropping. The oracle writes every resolved URL down
+    // from the fixture arithmetic — the resolver is recomputed by
+    // hand, never by the engine.
+    ("p223_relative_link_harvest", (s, d) => {
+      graft.graph.LinkGraph.linkRows(
+          relativeHrefPages(Tables.documents(s, d)),
+          col("page_url"), col("html"))
+        .orderBy(col("canonical"))
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+          'src' || (doc_id % 20) || '.com' AS fam,
+          'https://www.src' || (doc_id % 20) || '.com' AS h
+        FROM documents),
+      e AS (
+        SELECT fam AS src_family, h || '/a/b/x/' || doc_id AS canonical,
+               fam AS dst_family FROM f
+        UNION ALL SELECT fam, h || '/a/up' || doc_id, fam FROM f
+        UNION ALL SELECT fam, h || '/a/b/same/' || doc_id, fam FROM f
+        UNION ALL SELECT fam, h || '/root' || doc_id, fam FROM f
+        UNION ALL SELECT fam,
+          'https://cdn.src' || (doc_id % 20) || '.com/c' || doc_id, fam
+          FROM f
+        UNION ALL SELECT fam,
+          h || '/a/b/page' || doc_id || '?page=' || (doc_id % 5), fam
+          FROM f
+        UNION ALL SELECT fam, h || '/deep' || doc_id, fam FROM f)
+      SELECT src_family, canonical, dst_family FROM e
+      ORDER BY canonical""")),
 
     // REAL compressed-ANIMATION decode — the video path's first
     // standards-track wire format: the p29 synthetic animation
@@ -9041,18 +9117,21 @@ object PipelineQueries {
 
   /** p215's page fixture over any (doc_id, text) frame (batch or
     * streaming — the scriptFixtureText sharing rule): per-doc page
-    * URLs with canonical declarations by doc_id%4 — a MESSY
+    * URLs with canonical declarations by doc_id%8 — a MESSY
     * self-declaration (case/:443/utm — pins the shared URL
     * transform), a cross-page declaration of the previous doc, no
-    * link element (self by default), and the hazard page (stylesheet
-    * link, data-rel decoy, a SECOND canonical that must lose to the
-    * first).
+    * link element (self by default), a ROOT-relative declaration that
+    * must bind against the page's authority, a PROTOCOL-relative one
+    * that must inherit the page's scheme, a PATH-relative one that
+    * must still safely default to self (directory-context aliasing is
+    * a collapse gamble), and the hazard page (stylesheet link,
+    * data-rel decoy, a SECOND canonical that must lose to the first).
     */
   private[graft] def relCanonicalPages(docs: DataFrame): DataFrame = {
     val k = col("doc_id").cast("string")
     val url = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
-    val m4 = col("doc_id") % 4
+    val m8 = col("doc_id") % 8
     val canonSelfMessy = concat(
       lit("<link rel=\"canonical\" href=\"https://WWW.Src"),
       (col("doc_id") % 20).cast("string"), lit(".COM:443/p/"), k,
@@ -9061,9 +9140,17 @@ object PipelineQueries {
       lit("<link rel=\"canonical\" href=\"https://www.src"),
       ((col("doc_id") - 1) % 20).cast("string"), lit(".com/p/"),
       (col("doc_id") - 1).cast("string"), lit("\">"))
-    val head = when(m4 === 1, canonSelfMessy)
-      .when(m4 === 2, canonPrev)
-      .when(m4 === 3, lit(""))
+    val head = when(m8 === 1, canonSelfMessy)
+      .when(m8 === 2, canonPrev)
+      .when(m8 === 3 || m8 === 7, lit(""))
+      .when(m8 === 4, concat(
+        lit("<link rel=\"canonical\" href=\"/p/"), k, lit("v2\">")))
+      .when(m8 === 5, concat(
+        lit("<link rel=\"canonical\" href=\"//www.src"),
+        ((col("doc_id") + 2) % 20).cast("string"), lit(".com/p/"),
+        (col("doc_id") + 2).cast("string"), lit("\">")))
+      .when(m8 === 6, concat(
+        lit("<link rel=\"canonical\" href=\"alt/"), k, lit("\">")))
       .otherwise(concat(
         lit("<link rel=\"stylesheet\" href=\"https://cdn.example/s.css\">" +
           "<link data-rel=\"canonical\" href=\"https://evil.example/d\">"),
@@ -9078,22 +9165,34 @@ object PipelineQueries {
     * streaming — the scriptFixtureText sharing rule): %5≡1 pages
     * zero-refresh to the NEXT page (messy target — canonicalization
     * lands the hop on the next page's map key), %5≡2 five-second-
-    * refresh (quoted URL form) to their terminals, and the non-edges
-    * all planted: a bare-delay reload, a 600 s slow refresh, a
-    * Content-Type http-equiv decoy.
+    * refresh (quoted URL form) to their terminals with the TARGET
+    * FORM varied by doc_id%4 — absolute, ROOT-relative `/t{id}`
+    * (binds against the page's authority), PROTOCOL-relative
+    * `//dst…` (inherits the scheme — resolves to the SAME value as
+    * the absolute form), and PATH-relative `t/{id}` which emits NO
+    * edge (the alias-declaration safe default), leaving its %5≡1
+    * predecessor to stop at the dead page in ONE hop — and the
+    * non-edges all planted: a bare-delay reload, a 600 s slow
+    * refresh, a Content-Type http-equiv decoy.
     */
   private[graft] def metaRefreshPages(docs: DataFrame): DataFrame = {
     val k = col("doc_id").cast("string")
     val url = concat(lit("https://www.src"),
       (col("doc_id") % 20).cast("string"), lit(".com/p/"), k)
     val m5 = col("doc_id") % 5
+    val m4 = col("doc_id") % 4
+    val m2target = when(m4 === 1, concat(lit("/t"), k))
+      .when(m4 === 2, concat(lit("//dst"),
+        (col("doc_id") % 11).cast("string"), lit(".com/t"), k))
+      .when(m4 === 3, concat(lit("t/"), k))
+      .otherwise(concat(lit("https://dst"),
+        (col("doc_id") % 11).cast("string"), lit(".com/t"), k))
     val head = when(m5 === 1, concat(
         lit("<meta http-equiv=\"refresh\" content=\"0; url=HTTPS://WWW.Src"),
         ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
         (col("doc_id") + 1).cast("string"), lit("?utm_source=r\">")))
       .when(m5 === 2, concat(
-        lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='https://dst"),
-        (col("doc_id") % 11).cast("string"), lit(".com/t"), k,
+        lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='"), m2target,
         lit("'\">")))
       .when(m5 === 3, lit("<meta http-equiv=\"Content-Type\" " +
         "content=\"text/html\">"))
@@ -9108,18 +9207,27 @@ object PipelineQueries {
   /** p217's chain fixture over any (doc_id, text) frame: page m6=1
     * declares page m6=2 canonical, which declares m6=3, which declares
     * a unique terminal — a 3-hop canonical chain; m6=4 declares the
-    * m6=5 page, which ZERO-REFRESHES to its terminal — the
-    * canonical→refresh mix; m6=5 also carries a canonical that must
-    * lose to its refresh (precedence) and m6=3 a 600 s slow-refresh
-    * decoy beside its binding canonical. m6=2's link and m6=5's meta
-    * use SINGLE quotes — the widened attribute grammar rides the
-    * oracle gate.
+    * m6=5 page PROTOCOL-relatively (`//host/c/…` — the resolver must
+    * inherit the scheme for the chain to connect at all), which
+    * ZERO-REFRESHES to its terminal — the canonical→refresh mix;
+    * m6=5 also carries a canonical that must lose to its refresh
+    * (precedence) and m6=3 a 600 s slow-refresh decoy beside its
+    * binding canonical. m6=3's terminal declaration is ROOT-relative
+    * (`/x{id}`, resolving onto the page's own authority) on the
+    * doc_id%12=3 half and absolute on the rest — both forms feed the
+    * same chain; m6=0 pages declare a PATH-relative canonical that
+    * must safely default to self (no edge — the m0 rows stay absent).
+    * m6=2's link and m6=5's meta use SINGLE quotes — the widened
+    * attribute grammar rides the oracle gate.
     */
   private[graft] def canonicalChainPages(docs: DataFrame): DataFrame = {
     val k = col("doc_id").cast("string")
     def u(i: Column) = concat(lit("https://www.src"),
       (i % 20).cast("string"), lit(".com/c/"), i.cast("string"))
     val m = col("doc_id") % 6
+    val m3target = when(col("doc_id") % 12 === 3,
+        concat(lit("/x"), k))
+      .otherwise(concat(lit("https://t.example.com/x"), k))
     val head = when(m === 1, concat(
         lit("<link rel=\"canonical\" href=\""), u(col("doc_id") + 1),
         lit("\">")))
@@ -9129,20 +9237,50 @@ object PipelineQueries {
       .when(m === 3, concat(
         lit("<meta http-equiv=\"refresh\" " +
           "content=\"600; url=https://slow.example/s\">" +
-          "<link rel=\"canonical\" href=\"https://t.example.com/x"), k,
+          "<link rel=\"canonical\" href=\""), m3target,
         lit("\">")))
       .when(m === 4, concat(
-        lit("<link rel=\"canonical\" href=\""), u(col("doc_id") + 1),
+        lit("<link rel=\"canonical\" href=\"//www.src"),
+        ((col("doc_id") + 1) % 20).cast("string"), lit(".com/c/"),
+        (col("doc_id") + 1).cast("string"),
         lit("\">")))
       .when(m === 5, concat(
         lit("<link rel=\"canonical\" href=\"https://evil.example/c"), k,
         lit("\">" +
           "<meta http-equiv='refresh' " +
           "content='0; url=https://final.example.com/f"), k, lit("'>")))
-      .otherwise(lit(""))
+      .otherwise(concat(
+        lit("<link rel=\"canonical\" href=\"rel/x"), k, lit("\">")))
     docs.select(col("doc_id"), u(col("doc_id")).as("page_url"),
       concat(lit("<html><head>"), head, lit("</head><body><p>"),
         col("text"), lit("</p></body></html>")).as("html"))
+  }
+
+  /** p223's page fixture: every doc a depth-2 page
+    * (`/a/b/page{id}`) linking the seven resolvable href forms
+    * (descend `x/{id}`, ascend `../up{id}`, same-dir `./same/{id}`,
+    * root `/root{id}`, protocol `//cdn…`, query-only `?page=…`, and
+    * an excess-dotdot `../../../deep{id}` that must clamp at the
+    * root) plus the three classic non-edges (javascript:, bare
+    * fragment, mailto:) — so the RFC 3986 resolver's whole rule table
+    * binds on one page.
+    */
+  private[graft] def relativeHrefPages(docs: DataFrame): DataFrame = {
+    val k = (col("doc_id") % 20).cast("string")
+    val id = col("doc_id").cast("string")
+    val url = concat(lit("https://www.src"), k, lit(".com/a/b/page"), id)
+    val html = concat(
+      lit("<html><body><a href=\"x/"), id,
+      lit("\">1</a><a href=\"../up"), id,
+      lit("\">2</a><a href=\"./same/"), id,
+      lit("\">3</a><a href=\"/root"), id,
+      lit("\">4</a><a href=\"//cdn.src"), k, lit(".com/c"), id,
+      lit("\">5</a><a href=\"?page="), (col("doc_id") % 5).cast("string"),
+      lit("\">6</a><a href=\"../../../deep"), id,
+      lit("\">7</a><a href=\"javascript:void(0)\">j</a>" +
+        "<a href=\"#frag\">f</a>" +
+        "<a href=\"mailto:x@y.example\">m</a></body></html>"))
+    docs.select(col("doc_id"), url.as("page_url"), html.as("html"))
   }
 
   /** p212's rel-decorated page fixture — [[htmlFixtureText]]'s five

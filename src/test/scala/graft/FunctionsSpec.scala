@@ -638,26 +638,87 @@ class FunctionsSpec extends AnyFunSuite {
     assert(parse("<html>no meta at all</html>") == None)
   }
 
-  test("relCanonical: first wins, guarded rel, missing or relative means self") {
+  test("relCanonical: first wins, guarded rel; root/protocol-relative bind, path-relative means self") {
     import TestSpark.spark.implicits._
     import graft.graph.LinkGraph
     val pages = Seq(
       (1L, "https://s.com/p/1",
         "<link rel=\"canonical\" href=\"https://S.COM:443/p/one?utm_source=z\">"),
       (2L, "https://s.com/p/2", "<link rel=\"stylesheet\" href=\"https://c/x.css\">"),
-      (3L, "https://s.com/p/3", "<link rel=\"canonical\" href=\"/relative/only\">"),
+      (3L, "https://s.com/p/3", "<link rel=\"canonical\" href=\"page/only\">"),
       (4L, "https://s.com/p/4",
         "<link data-rel=\"canonical\" href=\"https://evil/x\">" +
           "<link rel=\"canonical\" href=\"https://s.com/real\">" +
-          "<link rel=\"canonical\" href=\"https://evil/second\">"))
+          "<link rel=\"canonical\" href=\"https://evil/second\">"),
+      (5L, "https://s.com/p/5",
+        "<link rel=\"canonical\" href=\"/clean/five\">"),
+      (6L, "https://s.com/p/6",
+        "<link rel=\"canonical\" href=\"//t.com/six\">"),
+      (7L, "https://s.com/p/7",
+        "<link rel=\"canonical\" href=\"javascript:void(0)\">"))
       .toDF("doc_id", "page_url", "html")
     val out = LinkGraph.relCanonical(pages, col("page_url"), col("html"),
         col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out(1L) == "https://s.com/p/one") // messy declaration canonicalizes
     assert(out(2L) == "https://s.com/p/2")   // stylesheet decoy -> self
-    assert(out(3L) == "https://s.com/p/3")   // relative -> self (safe default)
+    assert(out(3L) == "https://s.com/p/3")   // PATH-relative -> self (safe default)
     assert(out(4L) == "https://s.com/real")  // data-rel skipped, first real wins
+    assert(out(5L) == "https://s.com/clean/five") // root-relative binds
+    assert(out(6L) == "https://t.com/six")        // protocol-relative binds
+    assert(out(7L) == "https://s.com/p/7")   // non-fetchable scheme -> self
+  }
+
+  test("ResolveHref: RFC 3986 resolution — scheme/protocol/root/path-relative, dot segments, drops") {
+    import graft.functions.ResolveHrefUtil.{removeDotSegments, resolve}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def r(base: String, ref: String, pathRel: Boolean = true): String = {
+      val out = resolve(u(base), u(ref), pathRel)
+      if (out == null) null else out.toString
+    }
+    val base = "https://h.com/a/b/page?q=1#top"
+    // absolute passes verbatim; non-hierarchical schemes drop
+    assert(r(base, "HTTP://X.com/Y") == "HTTP://X.com/Y")
+    assert(r(base, "mailto:x@y.com") == null)
+    assert(r(base, "javascript:void(0)") == null)
+    assert(r(base, "data:text/plain,hi") == null)
+    assert(r(base, "tel:+155501") == null)
+    // protocol-relative inherits the scheme; root-relative the authority
+    assert(r(base, "//cdn.com/z") == "https://cdn.com/z")
+    assert(r("http://h.com/p", "//cdn.com/z") == "http://cdn.com/z")
+    assert(r(base, "/x/y") == "https://h.com/x/y")
+    assert(r(base, "/x/../y") == "https://h.com/y")
+    // query-only replaces the query, keeps the path (pagination links)
+    assert(r(base, "?page=2") == "https://h.com/a/b/page?page=2")
+    // fragment-only is a self-reference, not an edge
+    assert(r(base, "#sec") == null)
+    // path-relative merges with the base DIRECTORY + dot-removal
+    assert(r(base, "x/y") == "https://h.com/a/b/x/y")
+    assert(r(base, "./x") == "https://h.com/a/b/x")
+    assert(r(base, "../y") == "https://h.com/a/y")
+    assert(r(base, "../../y") == "https://h.com/y")
+    assert(r(base, "../../../y") == "https://h.com/y") // excess .. -> root
+    assert(r(base, "x/../y/./z") == "https://h.com/a/b/y/z")
+    assert(r(base, "x?k=2#f") == "https://h.com/a/b/x?k=2#f")
+    // authority-only base: directory is '/'
+    assert(r("https://h.com", "x") == "https://h.com/x")
+    assert(r("https://h.com", "/x") == "https://h.com/x")
+    // alias-target mode: path-relative declines instead of guessing
+    assert(r(base, "x/y", pathRel = false) == null)
+    assert(r(base, "/x/y", pathRel = false) == "https://h.com/x/y")
+    assert(r(base, "//t.com/x", pathRel = false) == "https://t.com/x")
+    // a base that is not hierarchical cannot anchor anything
+    assert(r("mailto:x@y.com", "/x") == null)
+    assert(r("not a url", "x") == null)
+    assert(resolve(null, u("x"), true) == null)
+    assert(r(base, "   ") == null)
+    // removeDotSegments is the RFC algorithm exactly
+    assert(removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(removeDotSegments("/a/..") == "/")
+    assert(removeDotSegments("/a/.") == "/a/")
+    assert(removeDotSegments("/./") == "/")
+    assert(removeDotSegments("/../a") == "/a")
+    assert(removeDotSegments("mid/content=5/../6") == "mid/6")
   }
 
   test("attribute grammar: single-quoted and unquoted values bind; hyphenated rel tokens keep edges") {

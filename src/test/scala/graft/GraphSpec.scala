@@ -288,13 +288,14 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Set(("me.com", "x.com", 3L, 2L)))
   }
 
-  test("linkRows resolves root- and protocol-relative hrefs against the page; drops the rest") {
+  test("linkRows resolves root-/protocol-/path-relative hrefs against the page; drops non-edges") {
     val pages = Seq(
       ("https://www.me.com:443/section/page?x=1",
         "<a href=\"/about\">a</a>" +          // root-relative
           "<a href=\"//cdn.x.com/lib\">b</a>" + // protocol-relative
           "<a href=\"https://abs.com/p\">c</a>" +
-          "<a href=\"docs/intro\">d</a>" +    // path-relative: dropped
+          "<a href=\"docs/intro\">d</a>" +    // path-relative: dir merge
+          "<a href=\"../up\">g</a>" +         // dot segments resolve
           "<a href=\"mailto:a@b.com\">e</a>" +
           "<a href=\"#top\">f</a>"))
       .toDF("page_url", "html")
@@ -302,11 +303,15 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, String, String)].collect().toSet
     // /about inherits scheme://host (canonicalization then drops the
     // default :443); //cdn.x.com inherits the scheme and the cdn
-    // label rolls up to x.com
+    // label rolls up to x.com; docs/intro merges with the page's
+    // /section/ directory; ../up climbs out of it (note the page's
+    // :443 rides the authority until canonicalization strips it)
     assert(out == Set(
       ("me.com", "https://www.me.com/about", "me.com"),
       ("me.com", "https://cdn.x.com/lib", "x.com"),
-      ("me.com", "https://abs.com/p", "abs.com")))
+      ("me.com", "https://abs.com/p", "abs.com"),
+      ("me.com", "https://www.me.com/section/docs/intro", "me.com"),
+      ("me.com", "https://www.me.com/up", "me.com")))
   }
 
   test("resolveRedirects: exact hops, loop/self/deep unresolved, depth boundary") {
