@@ -8297,12 +8297,16 @@ object PipelineQueries {
     * src14's hub), a 2-hop refresh→canonical chain (src2 hub → moved
     * → final), a refresh LOOP whose hub must drop from the frontier
     * (src12), a both-forms page whose canonical loses to its refresh
-    * (src16), and a MESSY self-declaration that must canonicalize to
-    * self and emit no edge (src18). At 100 TB this map is the
-    * archive's declaration table — corpus-sized, resolved once per
-    * crawl round by [[graft.graph.CrawlOps.resolveRedirects]]'s
-    * pointer doubling and hash-joined against the frontier; here it
-    * is authored and bounded.
+    * (src16 — whose refresh in turn loses to its
+    * [[frontierHeaderRedirectsFixture]] HTTP redirect: the full
+    * precedence ladder on one page), and a MESSY self-declaration
+    * that must canonicalize to self and emit no edge (src18 — whose
+    * header redirect then chains it CROSS-LAYER into src2's
+    * refresh→canonical tail). At 100 TB this map is the archive's
+    * declaration table — corpus-sized, resolved once per crawl round
+    * by [[graft.graph.CrawlOps.resolveRedirects]]'s pointer doubling
+    * and hash-joined against the frontier; here it is authored and
+    * bounded.
     */
   private[graft] val frontierAliasPagesFixture: Seq[(String, String)] = Seq(
     ("https://www.src4.com/hub?a=1&b=2",
@@ -8338,8 +8342,32 @@ object PipelineQueries {
         "href=\"https://WWW.Src18.COM:443/hub?b=2&a=1&utm_source=x\">" +
         "</head></html>"))
 
-  /** [[frontierAliasPagesFixture]] parsed and pointer-resolved — the
-    * (url, final_url, hops, resolved) table the frontier rewrite
+  /** The HTTP half of the composed alias map — the 3xx rows the
+    * archive's ledger holds for frontier keys, authored so the HEADER
+    * layer changes the worklist in every way it can: a 301 rewriting
+    * a hub to a NEW frontier key (src10 — no page-published alias at
+    * all, so only the header layer explains the rewrite), a header
+    * redirect on the BOTH-FORMS page (src16 — the header must beat
+    * the refresh that itself beats the canonical: protocol
+    * precedence, visibly), and a CROSS-LAYER chain head (src18's
+    * header lands on src2's hub, whose refresh lands on a
+    * canonical-declaring page — three hops through three different
+    * protocol layers; src18's own messy self-canonical must lose to
+    * the header). (src, dst) in the shared canonical key space, like
+    * p140's ledger rows.
+    */
+  private[graft] val frontierHeaderRedirectsFixture: Seq[(String, String)] =
+    Seq(
+      ("https://www.src10.com/hub?a=1&b=2", "https://www.src10.com/moved"),
+      ("https://www.src16.com/hub?a=1&b=2", "https://www.src16.com/hdr"),
+      ("https://www.src18.com/hub?a=1&b=2",
+        "https://www.src2.com/hub?a=1&b=2"))
+
+  /** The COMPLETE alias map — [[frontierHeaderRedirectsFixture]]'s
+    * HTTP layer ∪ [[frontierAliasPagesFixture]]'s page-published
+    * pair, protocol precedence via [[graft.graph.CrawlOps
+    * .fullAliasEdges]] — parsed and pointer-resolved: the (url,
+    * final_url, hops, resolved) table the frontier rewrite
     * consumes, checkpointed because three compositions read it, and
     * BROADCAST-hinted: the authored map is rows-countable-on-one-hand
     * small, but a checkpointed frame carries no stats, so without the
@@ -8366,7 +8394,8 @@ object PipelineQueries {
     aliasResolvedCache.computeIfAbsent(s, s2 => {
       import s2.implicits._
       broadcast(graft.graph.CrawlOps.resolveRedirects(
-          graft.graph.CrawlOps.pageAliasEdges(
+          graft.graph.CrawlOps.fullAliasEdges(
+            frontierHeaderRedirectsFixture.toDF("src", "dst"),
             frontierAliasPagesFixture.toDF("page_url", "html"),
             col("page_url"), col("html"), maxDelaySeconds = 10L),
           maxDepth = 8)
@@ -8695,8 +8724,16 @@ object PipelineQueries {
         ('https://www.src2.com/hub?a=1&b=2',
          'https://www.src2.com/final', 'src2.com', true),
         ('https://www.src12.com/hub?a=1&b=2', NULL, NULL, false),
+        -- header beats refresh beats canonical on the all-forms page
         ('https://www.src16.com/hub?a=1&b=2',
-         'https://www.src16.com/hub2', 'src16.com', true)),
+         'https://www.src16.com/hdr', 'src16.com', true),
+        -- header-only rewrite: no page-published alias explains it
+        ('https://www.src10.com/hub?a=1&b=2',
+         'https://www.src10.com/moved', 'src10.com', true),
+        -- cross-layer chain: header -> src2 hub's refresh -> moved
+        -- page's canonical (3 hops through 3 protocol layers)
+        ('https://www.src18.com/hub?a=1&b=2',
+         'https://www.src2.com/final', 'src2.com', true)),
       lk AS (SELECT src_family,
                coalesce(al.fam, lk0.dst_family) AS dst_family,
                coalesce(al.fin, lk0.cu) AS cu

@@ -1012,6 +1012,40 @@ class GraphSpec extends AnyFunSuite {
       "https://s.com/d" -> "https://s.com/e"))
   }
 
+  test("fullAliasEdges: header beats both body kinds; EMPTY header map is identical to pageAliasEdges") {
+    import spark.implicits._
+    import graft.graph.CrawlOps
+    val pages = Seq(
+      // all three forms on one page: the header must win over the
+      // refresh, which itself wins over the canonical
+      (1L, "https://s.com/a",
+        "<link rel=\"canonical\" href=\"https://s.com/canon-loser\">" +
+          "<meta http-equiv=\"refresh\" content=\"0; url=https://s.com/r\">"),
+      // body declarations on a page the header map does NOT name ride
+      (2L, "https://s.com/b",
+        "<link rel=\"canonical\" href=\"https://s.com/target\">"))
+      .toDF("doc_id", "page_url", "html")
+    val hdr = Seq(("https://s.com/a", "https://s.com/hdr"))
+      .toDF("src", "dst")
+    val full = CrawlOps.fullAliasEdges(hdr, pages, col("page_url"),
+        col("html"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full == Map(
+      "https://s.com/a" -> "https://s.com/hdr",
+      "https://s.com/b" -> "https://s.com/target"))
+    // directive-free identity: with an EMPTY header map the union IS
+    // pageAliasEdges, row for row
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val viaFull = CrawlOps.fullAliasEdges(empty, pages, col("page_url"),
+        col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaPage = CrawlOps.pageAliasEdges(pages, col("page_url"),
+        col("html"))
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaFull == viaPage && viaFull.nonEmpty)
+  }
+
   test("resolveFrontierAliases: rewrites resolved keys, drops loop keys, passes the rest; families re-derive") {
     import spark.implicits._
     import graft.graph.CrawlOps
