@@ -960,13 +960,16 @@ object PipelineQueries {
     // THE end-to-end batch corpus build, composed as ONE declarative
     // plan: page-level noindex gate (the round-12 composition — a
     // noindex'd or X-Robots-Tag'd page never feeds the corpus, gated
-    // through the real meta/header extraction) -> exact dedup (keep
-    // min-id) -> repetition + length gates -> deterministic
-    // stratified sample by language -> per-source token budget. Every
-    // stage is an existing operator; Catalyst optimizes across their
-    // boundaries (this is the composability the library exists for).
+    // through the real meta/header extraction) -> soft-404 gate (the
+    // round-13 composition — a 200-status error page vanishes through
+    // the real title/body scoring while a long page merely MENTIONING
+    // an error-404 phrase survives) -> exact dedup (keep min-id) ->
+    // repetition + length gates -> deterministic stratified sample by
+    // language -> per-source token budget. Every stage is an existing
+    // operator; Catalyst optimizes across their boundaries (this is
+    // the composability the library exists for).
     ("p30_corpus_build", (s, d) => {
-      val docs = noindexGate(Tables.documents(s, d))
+      val docs = soft404Gate(noindexGate(Tables.documents(s, d)))
       val deduped = Dedup.dropExactDuplicates(docs, col("doc_id"), col("text"))
       val rep = graft.text.CorpusOps.repetitionStats(deduped, col("doc_id"), col("text"))
       val gated = deduped
@@ -987,7 +990,7 @@ object PipelineQueries {
       WITH f AS (SELECT doc_id, lang, source,
                         md5(array_to_string(${sqlToks("lower(text)")}, ' ')) AS fp,
                         ${sqlToks("text")} AS t
-                 FROM documents WHERE $noindexKeepSql),
+                 FROM documents WHERE $noindexKeepSql AND $soft404KeepSql),
       keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY 1),
       dd AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.k),
       sh AS (SELECT doc_id, CASE WHEN len(t) >= 2
@@ -1445,10 +1448,11 @@ object PipelineQueries {
     // (nll ≤ 3.41 ≈ corpus median — LM trained on the FULL corpus, the
     // CCNet shape) → exactly-15-per-language reservoir quota.
     ("p47_corpus_build2", (s, d) => {
-      // the noindex gate runs FIRST (the p30 composition): a gated
-      // page neither survives dedup nor contributes to the LM counts
-      // the perplexity gate is scored against
-      val docs = noindexGate(Tables.documents(s, d))
+      // the page-level gates run FIRST (the p30 composition — noindex
+      // then soft-404): a gated page neither survives dedup nor
+      // contributes to the LM counts the perplexity gate is scored
+      // against
+      val docs = soft404Gate(noindexGate(Tables.documents(s, d)))
       val surv = Dedup.fuzzyDedup(docs, col("doc_id"), col("text"),
         threshold = 0.5, shingleN = 3, numBands = 4, rowsPerBand = 2)
       val ppl = graft.text.CorpusOps.bigramPerplexity(
@@ -1459,7 +1463,8 @@ object PipelineQueries {
           gated, col("lang"), col("doc_id"), k = 15)
         .orderBy(col("group"), col("rank"))
     }, Some(s"""
-      WITH dcs AS (SELECT * FROM documents WHERE $noindexKeepSql),
+      WITH dcs AS (SELECT * FROM documents
+                   WHERE $noindexKeepSql AND $soft404KeepSql),
       sh0 AS (SELECT doc_id, $sqlShingles AS shingles FROM dcs
               WHERE len($sqlShingles) >= 1),
       sig AS (
@@ -8286,6 +8291,53 @@ object PipelineQueries {
     */
   private[graft] val noindexKeepSql: String =
     "NOT (doc_id % 11 = 3 OR doc_id % 17 = 5 OR doc_id % 13 = 2)"
+
+  /** The SOFT-404 gate over the corpus — the second page-level drop a
+    * corpus build runs beside [[noindexGate]]: a 200-status error
+    * page (misconfigured servers answer "Page Not Found" with status
+    * 200, so the HTTP layer never catches it) must not feed dedup,
+    * LM counts, or sampling. Each doc's fetched page is synthesized
+    * so both outcomes bind through the REAL chain
+    * ([[graft.functions.TextFunctions.htmlTitle]] /
+    * [[graft.functions.TextFunctions.htmlExtract]] →
+    * [[graft.graph.CrawlOps.soft404Score]]): the %19≡7 stripe is a
+    * planted error page (marker title ×2 + marker body + thin body =
+    * score 4 — DROPPED), the %23≡11 stripe is a LEGITIMATE long page
+    * whose body merely mentions an error-404 phrase (score 1 —
+    * survives: one weak signal never kills a page), everything else
+    * carries a clean "Doc {id}" title, so even a corpus text that
+    * happens to contain a marker phrase AND run thin tops out at
+    * 2 < [[graft.graph.CrawlOps.Soft404Threshold]] — the keep
+    * condition is exactly [[soft404KeepSql]]'s arithmetic by
+    * construction, title control, not text luck. Scan-stage
+    * projection + filter, zero shuffle, same cost shape as
+    * [[noindexGate]].
+    */
+  private[graft] def soft404Gate(docs: DataFrame): DataFrame = {
+    val isErr = col("doc_id") % 19 === 7
+    val mentions = col("doc_id") % 23 === 11
+    val page = when(isErr,
+        lit("<html><head><title>Oops — Page Not Found</title></head>" +
+          "<body><p>Error 404. It does not exist.</p></body></html>"))
+      .otherwise(concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p>"),
+        when(mentions, lit("A long guide discussing how to build a " +
+          "helpful error 404 page for readers who land on a missing " +
+          "resource; ")).otherwise(lit("")),
+        col("text"), lit("</p></body></html>")))
+    docs.withColumn("__s404",
+        graft.graph.CrawlOps.soft404Score(
+          graft.functions.TextFunctions.htmlTitle(page),
+          graft.functions.TextFunctions.htmlExtract(page)))
+      .filter(col("__s404") < graft.graph.CrawlOps.Soft404Threshold)
+      .drop("__s404")
+  }
+
+  /** [[soft404Gate]]'s keep-condition — fixture arithmetic, exact by
+    * the title-control argument in the gate's doc.
+    */
+  private[graft] val soft404KeepSql: String = "doc_id % 19 <> 7"
 
   /** The crawl front's page-published ALIAS declarations — hub pages
     * fetched in an earlier round whose markup declares rel=canonical

@@ -1148,6 +1148,31 @@ class GraphSpec extends AnyFunSuite {
       rewritten.exceptAll(follow).isEmpty)
   }
 
+  test("soft404Gate: the planted error page vanishes, a marker-mentioning long page survives, clean corpora pass untouched") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // ids chosen so every stripe binds at least once: 7 and 26 are
+    // %19==7 (error pages), 11 and 34 are %23==11 (legit mentioners),
+    // the rest are plain — including 0, whose text is deliberately a
+    // THIN marker-phrase body (the worst a clean-titled page can do
+    // is score 2, still under the threshold)
+    val docs = Seq(
+      (0L, "this page was not found sorry"),
+      (1L, "plain body text that goes on for long enough " * 3),
+      (7L, "whatever the corpus text says the title decides"),
+      (11L, "a genuine article " * 10),
+      (26L, "second error page body"),
+      (34L, "another genuine article " * 10))
+      .toDF("doc_id", "text")
+    val kept = PipelineQueries.soft404Gate(docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 11L, 34L))
+    // identity: a frame with no error-page stripe passes row-for-row
+    val clean = docs.filter(col("doc_id") % 19 =!= 7)
+    val out = PipelineQueries.soft404Gate(clean)
+    assert(clean.exceptAll(out).isEmpty && out.exceptAll(clean).isEmpty)
+  }
+
   test("RobotsMatchUtil: a non-terminal dollar is a literal octet, not an anchor") {
     import graft.functions.RobotsMatchUtil.{matches => m}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
