@@ -518,6 +518,7 @@ object SparkEntry {
     // LZW codec — structure scan + sampled-frame-only inflate) and the
     // mixed WAV/AIFF archive statistics (container auto-detect)
     "p221_gif_frames", "p222_mixed_audio_stats",
-    // RFC 3986 path-relative link resolution through the harvest
-    "p223_relative_link_harvest")
+    // RFC 3986 path-relative link resolution through the harvest, and
+    // script-routed language ID composed with the quality gate
+    "p223_relative_link_harvest", "p224_langid_script")
 }

@@ -113,6 +113,37 @@ object TextFunctions {
     greatest(scored: _*).getField("code")
   }
 
+  /** Script-aware language ID — the multilingual widening of
+    * [[langId]]: a non-Latin page matches ZERO stopwords of every
+    * Latin-script list, so the stopword argmax scores it as noise;
+    * the SCRIPT says what it is without any vocabulary. Code-point
+    * ranges route first (dominant non-Latin script wins over latin by
+    * count, fixed tie priority cyrillic > han > arabic > greek —
+    * deterministic on any engine, [[scriptMix]]'s convention), mapped
+    * to each script's dominant language (ru/zh/ar/el — honest
+    * first-pass ROUTING, not lang-id within a script family: a
+    * downstream per-script classifier refines); Latin-dominant text
+    * falls back to [[langId]]'s stopword argmax; text with no letters
+    * of any tracked script (digits, punctuation) reports 'und' —
+    * never a fake language. Pure codegen'd regex-count chain, same
+    * scan-stage cost shape as [[scriptMix]].
+    */
+  def langIdScript(text: Column): Column = {
+    val lat = scriptCount(text, "IsLatin")
+    val cyr = scriptCount(text, "IsCyrillic")
+    val han = scriptCount(text, "IsHan")
+    val gre = scriptCount(text, "IsGreek")
+    val ara = scriptCount(text, "IsArabic")
+    when(lat === 0 && cyr === 0 && han === 0 && gre === 0 && ara === 0,
+        "und")
+      .when(lat >= cyr && lat >= han && lat >= gre && lat >= ara,
+        langId(text))
+      .when(cyr >= han && cyr >= gre && cyr >= ara, "ru")
+      .when(han >= gre && han >= ara, "zh")
+      .when(ara >= gre, "ar")
+      .otherwise("el")
+  }
+
   /** Quality score in [0,1]: blends length, mean token length, stopword
     * ratio and non-alphanumeric ratio — the usual cheap quality gates for
     * web-scale corpus filtering.

@@ -7635,6 +7635,81 @@ object PipelineQueries {
       SELECT src_family, canonical, dst_family FROM e
       ORDER BY canonical""")),
 
+    // Script-aware language ID composed with the quality gate — the
+    // multilingual routing fix: the stopword argmax scores every
+    // non-Latin page as noise (zero hits on every Latin list), and
+    // the English-centric quality gate would then drop exactly the
+    // pages a multilingual corpus wants. langIdScript routes by
+    // code-point ranges first (cyrillic/han/arabic/greek -> ru/zh/ar/
+    // el), falls back to the stopword argmax for Latin text (en/fr/
+    // es/de stripes that only the stopwords can tell apart), and
+    // reports 'und' for letterless junk; the composed gate then
+    // BYPASSES the English-centric quality score for routed non-Latin
+    // docs (their per-script quality models live downstream) while
+    // latin and 'und' docs still face it — the junk stripe drops, the
+    // Cyrillic stripe survives. Oracle: langs from the stripe
+    // arithmetic, quality recomputed via the p04 dual over the same
+    // fixture text.
+    ("p224_langid_script", (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), langScriptFixtureText.as("text"))
+      docs.select(col("doc_id"),
+          TextFunctions.langIdScript(col("text")).as("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("gate_keep",
+          !col("lang").isin("en", "fr", "es", "de", "und") ||
+            col("quality") >= 0.3)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val en = TextFunctions.langStopwords("en")
+        .map(w => s"CAST(len(list_filter(ltoks, t -> t = '$w')) AS BIGINT)")
+        .mkString(" + ")
+      s"""
+      WITH fx AS (SELECT doc_id,
+          CASE CAST(doc_id % 9 AS INT)
+            WHEN 1 THEN '$cyrillicFixture'
+            WHEN 2 THEN '$hanFixture'
+            WHEN 3 THEN '$greekFixture'
+            WHEN 4 THEN '$arabicFixture'
+            WHEN 5 THEN '$frenchFixture'
+            WHEN 6 THEN '$spanishFixture'
+            WHEN 7 THEN '$germanFixture'
+            WHEN 8 THEN '$undFixture'
+            ELSE '$englishFixture' END AS text,
+          CASE CAST(doc_id % 9 AS INT)
+            WHEN 1 THEN 'ru' WHEN 2 THEN 'zh' WHEN 3 THEN 'el'
+            WHEN 4 THEN 'ar' WHEN 5 THEN 'fr' WHEN 6 THEN 'es'
+            WHEN 7 THEN 'de' WHEN 8 THEN 'und'
+            ELSE 'en' END AS lang
+        FROM documents),
+      base AS (SELECT doc_id, lang,
+          CAST(len(${sqlToks("text")}) AS DOUBLE) AS n_tok,
+          CAST(length(text) AS DOUBLE) AS n_char,
+          CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+            AS DOUBLE) AS alnum,
+          ${sqlToks("lower(text)")} AS ltoks
+        FROM fx),
+      m AS (SELECT doc_id, lang, n_tok, n_char, alnum,
+          CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0.0 END
+            AS mean_tok_len,
+          CASE WHEN n_tok > 0 THEN CAST($en AS DOUBLE) / n_tok
+            ELSE 0.0 END AS stop_ratio,
+          CASE WHEN n_char > 0 THEN (n_char - alnum) / n_char
+            ELSE 0.0 END AS punct_ratio
+        FROM base),
+      q AS (SELECT doc_id, lang, round(least(greatest(
+          least(n_tok / 100.0, 1.0) * 0.4 +
+          (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
+            THEN 1.0 ELSE 0.5 END) * 0.2 +
+          stop_ratio * 0.2 + (1.0 - punct_ratio) * 0.2,
+          0.0), 1.0), 4) AS quality
+        FROM m)
+      SELECT doc_id, lang, quality,
+             lang NOT IN ('en', 'fr', 'es', 'de', 'und')
+               OR quality >= 0.3 AS gate_keep
+      FROM q ORDER BY doc_id"""
+    }),
+
     // REAL compressed-ANIMATION decode — the video path's first
     // standards-track wire format: the p29 synthetic animation
     // re-encoded as an animated GIF (LZW-compressed frames over an
@@ -9073,6 +9148,34 @@ object PipelineQueries {
   private[graft] val cyrillicFixture = "привет мир данные корпус очистка текст"
   private[graft] val hanFixture = "数据 质量 清洗 语料 去重 文本处理 训练集"
   private[graft] val greekFixture = "δεδομένα ποιότητα καθαρισμός κείμενο"
+  private[graft] val arabicFixture = "بيانات جودة تنظيف نص تدريب لغة"
+
+  /** p224's fixture texts, one per doc_id%9 stripe: the four
+    * non-Latin scripts (routed by code-point range), three
+    * Latin-script languages the stopword argmax must tell apart, an
+    * UNDETERMINED digits/punctuation doc, and a fixed English
+    * sentence on the default stripe — every stripe's expected lang is
+    * decidable from the arithmetic alone, which is what makes the
+    * oracle generative.
+    */
+  private[graft] val frenchFixture = "le chat et la mer de paris un jour"
+  private[graft] val spanishFixture = "el perro y el gato de madrid un dia"
+  private[graft] val germanFixture = "der hund und die katze das haus ein tag"
+  private[graft] val englishFixture = "the cat and the dog of the house to a tree"
+  private[graft] val undFixture = "!!!! ???? %%%% ^^^^"
+
+  private[graft] def langScriptFixtureText: Column = {
+    val m9 = col("doc_id") % 9
+    when(m9 === 1, lit(cyrillicFixture))
+      .when(m9 === 2, lit(hanFixture))
+      .when(m9 === 3, lit(greekFixture))
+      .when(m9 === 4, lit(arabicFixture))
+      .when(m9 === 5, lit(frenchFixture))
+      .when(m9 === 6, lit(spanishFixture))
+      .when(m9 === 7, lit(germanFixture))
+      .when(m9 === 8, lit(undFixture))
+      .otherwise(lit(englishFixture))
+  }
 
   /** p208's Unicode fixture — composed/decomposed twin PAIRS (docs
     * 4k+1 and 4k+2 render the same text, one precomposed U+00E9/…,

@@ -100,6 +100,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(prose == Seq("https://real.com/"))
   }
 
+  test("langIdScript: script ranges route non-Latin, stopwords split Latin, letterless is 'und'") {
+    val cases = Seq(
+      "привет мир данные" -> "ru",
+      "数据 质量 清洗" -> "zh",
+      "بيانات جودة" -> "ar",
+      "δεδομένα ποιότητα" -> "el",
+      "the cat and the dog of a house" -> "en",
+      "le chat et la mer de paris un jour" -> "fr",
+      "el perro y el gato de madrid un dia" -> "es",
+      "der hund und die katze das haus" -> "de",
+      "12345 !!! ???" -> "und",
+      // MIXED: a mostly-English page quoting a Cyrillic phrase stays
+      // latin-routed (majority by code points)
+      "the quick brown fox of the данные and the lazy dog to a tree" -> "en",
+      // mostly-Cyrillic with a latin brand name routes cyrillic
+      "привет мир данные корпус очистка Spark" -> "ru")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextFunctions.langIdScript(col("t")).as("l"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2), out.zip(cases).toString)
+  }
+
   test("HLL distinct estimate tracks exact cardinality within 3 sigma") {
     import graft.functions.Hll
     // m = 64 registers → standard error ~1.04/sqrt(64) = 13%
