@@ -344,6 +344,9 @@ object SparkEntry {
     ("q158_streaming_gif_frames",
       (s, d) => graft.streaming.StreamingQueries.gifFramesStream(s, d),
       Some(sharedOracle("p221_gif_frames"))),
+    ("q159_streaming_sq8_serve",
+      (s, d) => graft.streaming.StreamingQueries.sq8ServeStream(s, d),
+      Some(sharedOracle("p218_sq8_lifecycle"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(
@@ -518,7 +521,8 @@ object SparkEntry {
     // LZW codec — structure scan + sampled-frame-only inflate) and the
     // mixed WAV/AIFF archive statistics (container auto-detect)
     "p221_gif_frames", "p222_mixed_audio_stats",
-    // RFC 3986 path-relative link resolution through the harvest, and
-    // script-routed language ID composed with the quality gate
-    "p223_relative_link_harvest", "p224_langid_script")
+    // RFC 3986 path-relative link resolution through the harvest,
+    // script-routed language ID composed with the quality gate, and
+    // the IVF-SQ8 composition over the packed-codes store
+    "p223_relative_link_harvest", "p224_langid_script", "p225_ivf_sq8")
 }

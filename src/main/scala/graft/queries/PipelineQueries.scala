@@ -7710,6 +7710,78 @@ object PipelineQueries {
       FROM q ORDER BY doc_id"""
     }),
 
+    // IVF-SQ8 — the production vector-store shape (FAISS `IVF…,SQ8`):
+    // the SQ8 serving tier composed UNDER coarse pruning, from a
+    // PUBLISHED store whose codes live as packed bytes (1 byte/dim on
+    // disk). The oracle recomputes the whole composition: the
+    // quantizer model, the quantize-reconstruct arithmetic (identical
+    // operation order — bit-equal doubles), the stride coarse
+    // quantizer OVER THE RECONSTRUCTED store, per-query probe lists,
+    // and the pruned ranking — p12's IVF chain run on p218's
+    // dequantized vectors. The full-nprobe equality to the brute SQ8
+    // serve is spec-pinned (pruning may remove candidates, never
+    // change a score).
+    ("p225_ivf_sq8", (s, d) => {
+      import graft.similarity.SimilaritySearch
+      val e = Tables.embeddings(s, d)
+      val base = graft.sources.Sinks.tempArtifactDir("ivf_sq8_store")
+      val panel = e.filter(col("vec_id") < 20).localCheckpoint(eager = false)
+      SimilaritySearch.publishSq8Store(s, base,
+        e, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 5,
+        recallFloorMicro = 500000L)
+      SimilaritySearch.ivfSq8TopKCurrent(s, base, panel, col("vec_id"),
+          col("embedding"), k = 5, centroidStride = 25, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      st AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+             FROM c, generate_series(1, 64) t(i) GROUP BY 1),
+      m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+            FROM st),
+      dq AS (SELECT vec_id, list_transform(v, (x, i) ->
+               CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+                    ELSE m.lo[i] + floor((x - m.lo[i]) * 255.0
+                           / (m.hi[i] - m.lo[i]) + 0.5)
+                         * (m.hi[i] - m.lo[i]) / 255.0 END) AS v
+             FROM c, m),
+      cent AS (SELECT vec_id AS centroid_id, v AS cv FROM dq
+               WHERE vec_id % 25 = 0),
+      asg0 AS (SELECT dq.vec_id, centroid_id,
+                      round(list_dot_product(dq.v, cv) /
+                            (sqrt(list_dot_product(dq.v, dq.v)) *
+                             sqrt(list_dot_product(cv, cv))), 6) AS ccos
+               FROM dq CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, centroid_id) AS rn FROM asg0)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 20),
+      probe0 AS (SELECT query_id, centroid_id,
+                        round(list_dot_product(qv, cv) /
+                              (sqrt(list_dot_product(qv, qv)) *
+                               sqrt(list_dot_product(cv, cv))), 6) AS ccos
+                 FROM q CROSS JOIN cent),
+      probes AS (SELECT query_id, centroid_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY ccos DESC, centroid_id) AS rn FROM probe0)
+                 WHERE rn <= 2),
+      scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+                        round(list_dot_product(dv.v, qv) /
+                              (sqrt(list_dot_product(dv.v, dv.v)) *
+                               sqrt(list_dot_product(qv, qv))), 6) AS cos
+                 FROM probes p
+                 JOIN asg a ON p.centroid_id = a.centroid_id
+                 JOIN dq dv ON a.vec_id = dv.vec_id
+                 JOIN q USING (query_id)
+                 WHERE a.vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                        AS rank
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // REAL compressed-ANIMATION decode — the video path's first
     // standards-track wire format: the p29 synthetic animation
     // re-encoded as an animated GIF (LZW-compressed frames over an

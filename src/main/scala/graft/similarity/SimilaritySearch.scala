@@ -1031,12 +1031,12 @@ object SimilaritySearch {
     })
 
   /** Build a complete SQ8 store under `dir`: `model/` (the per-dim
-    * quantizer) + `codes/` (one int8-range code per component — the
-    * 4 bytes/dim → 1 byte/dim memory knob; stored as int array for
-    * parquet simplicity, the byte packing being a physical-layout
-    * choice this layer does not gate on). Codes are minted against
-    * THIS directory's model — the pairing the version directory
-    * exists to keep atomic.
+    * quantizer) + `codes/` (one u8 code per component, PACKED into a
+    * BinaryType cell — [[graft.functions.ByteCodes.packU8]] — so the
+    * 4 bytes/dim → 1 byte/dim memory knob is physically real on disk
+    * and in the scan, the FAISS SQ8 layout; the spec asserts the
+    * bytes). Codes are minted against THIS directory's model — the
+    * pairing the version directory exists to keep atomic.
     */
   def buildSq8Store(spark: org.apache.spark.sql.SparkSession,
                     vectors: DataFrame, id: Column, vec: Column,
@@ -1047,32 +1047,63 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     val (lo, hi, _) = sq8ModelArrays(spark, dir)
     src.select(col("vec_id"),
-        transform(col("__v"), (x, i) => {
-          val l = element_at(lo, i + 1)
-          val h = element_at(hi, i + 1)
-          when(h === l, lit(0))
-            .otherwise(floor((x.cast("double") - l) * lit(255.0) / (h - l)
-              + lit(0.5)).cast("int"))
-        }).as("codes"))
+        graft.functions.ByteCodes.packU8(
+          transform(col("__v"), (x, i) => {
+            val l = element_at(lo, i + 1)
+            val h = element_at(hi, i + 1)
+            when(h === l, lit(0))
+              .otherwise(floor((x.cast("double") - l) * lit(255.0) / (h - l)
+                + lit(0.5)).cast("int"))
+          })).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
   /** The RECONSTRUCTED store of an SQ8 version directory — (vec_id,
-    * vec) doubles rebuilt from codes: `lo + code·(hi−lo)/255`, bit-
-    * equal to [[sq8Dequant]] of the raw vector because the code is
-    * exactly the floor the dequant takes (spec-pinned).
+    * vec) doubles rebuilt from the packed codes: `lo + code·(hi−lo)
+    * /255`, bit-equal to [[sq8Dequant]] of the raw vector because the
+    * code is exactly the floor the dequant takes (spec-pinned).
     */
   def sq8Reconstructed(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
     val (lo, hi, _) = sq8ModelArrays(spark, dir)
     spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"),
-        transform(col("codes"), (c, i) => {
-          val l = element_at(lo, i + 1)
-          val h = element_at(hi, i + 1)
-          when(h === l, l)
-            .otherwise(l + c.cast("double") * (h - l) / lit(255.0))
-        }).as("vec"))
+        transform(graft.functions.ByteCodes.unpackU8(col("codes")),
+          (c, i) => {
+            val l = element_at(lo, i + 1)
+            val h = element_at(hi, i + 1)
+            when(h === l, l)
+              .otherwise(l + c.cast("double") * (h - l) / lit(255.0))
+          }).as("vec"))
+  }
+
+  /** IVF-SQ8 — the SQ8 codes composed UNDER coarse pruning (FAISS's
+    * default production shape, `IVF…,SQ8`): the serve reconstructs
+    * the CURRENT version's store from its packed codes, derives the
+    * coarse quantizer from the reconstructed store (the same
+    * stride-sample rule as [[ivfTopK]] — build and serve see one
+    * geometry), and scans only the `nprobe` probed cells per query,
+    * with queries passing through the stored model symmetrically.
+    * At `nprobe` ≥ the centroid count every cell is probed and the
+    * result EQUALS [[sq8TopKCurrent]] row for row (spec-pinned — the
+    * p34 composition rule: pruning may only ever remove candidates,
+    * never change a score). Scale shape: the store never re-reads
+    * raw vectors (codes are 1/4 the bytes), the centroid set is
+    * stride-bounded and broadcast, and per-query work is the probed
+    * cells' rows — the IVF candidate cut on top of the SQ8 byte cut.
+    */
+  def ivfSq8TopKCurrent(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String, queries: DataFrame,
+                        queryId: Column, queryVec: Column, k: Int,
+                        centroidStride: Int = 25,
+                        nprobe: Int = 2): DataFrame = {
+    val dir = currentIndexDir(spark, baseDir)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val store = sq8Reconstructed(spark, dir)
+    val cent = store.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
+    ivfTopKWith(store, col("vec_id"), col("vec"),
+      queries, queryId, sq8Dequant(queryVec, lo, hi), cent, k, nprobe)
   }
 
   /** Serve top-k from the CURRENT SQ8 store version: queries pass
@@ -1090,6 +1121,33 @@ object SimilaritySearch {
     val (lo, hi, _) = sq8ModelArrays(spark, dir)
     bruteForceTopK(sq8Reconstructed(spark, dir), col("vec_id"), col("vec"),
       queries, queryId, sq8Dequant(queryVec, lo, hi), k)
+  }
+
+  /** The SCORED serve frame of the CURRENT SQ8 store for an ARRIVING
+    * query frame — the streaming-twin half of [[sq8TopKCurrent]]
+    * (which broadcasts a bounded panel instead): each query dequants
+    * MAP-SIDE through the stored model (literal arrays riding the
+    * projection — no join for the model) and scores against the
+    * static reconstructed store, so with a streaming `queries` input
+    * this is one stream-static join per micro-batch and the bounded
+    * per-query TopK the caller ranks with is the ONLY state. Batch
+    * and stream inputs share this definition (the chunkRows rule).
+    * Scale note: the full-store scan per batch is the brute
+    * baseline; a 100 TB store serves through [[ivfSq8TopKCurrent]]'s
+    * coarse pruning instead.
+    */
+  def sq8ServeScored(spark: org.apache.spark.sql.SparkSession,
+                     baseDir: String, queries: DataFrame,
+                     queryId: Column, queryVec: Column): DataFrame = {
+    val dir = currentIndexDir(spark, baseDir)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val store = sq8Reconstructed(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("cv"))
+    queries.select(queryId.as("query_id"),
+        sq8Dequant(queryVec, lo, hi).as("qv"))
+      .crossJoin(store)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
   }
 
   /** Recall@k of a directory's quantized serve against full-precision

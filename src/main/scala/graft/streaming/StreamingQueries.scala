@@ -1315,6 +1315,41 @@ object StreamingQueries {
     CrawlOps.resolveRedirects(unioned, maxDepth = 4).orderBy(col("url"))
   }
 
+  /** p218's SQ8 serving tier AT stream time — the q60 frozen-artifact
+    * shape for vector serving: the store (model + packed codes) is a
+    * PUBLISHED artifact generation (the same blue/green lifecycle as
+    * the batch entry — v1 on the 80% slice, v2 full retrain, each
+    * recall-gated), and queries ARRIVE as a stream. Each micro-batch
+    * dequants map-side through the stored model (literal arrays in
+    * the projection — no model join) and scores against the static
+    * reconstructed store via one stream-static join
+    * ([[graft.similarity.SimilaritySearch.sq8ServeScored]] — shared
+    * with the batch serve, so the twins cannot drift); the bounded
+    * per-query TopK is the ONLY streaming state. At 100 TB the
+    * full-store scan per batch gives way to IVF-SQ8 probing
+    * (ivfSq8TopKCurrent) — documented, the brute serve is the
+    * recall-exact baseline.
+    */
+  def sq8ServeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.SimilaritySearch
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val base = graft.sources.Sinks.tempArtifactDir("sq8_serve_stream")
+    val panel = e.filter(col("vec_id") < 20).localCheckpoint(eager = false)
+    SimilaritySearch.publishSq8Store(spark, base,
+      e.filter(col("vec_id") % 5 =!= 4), col("vec_id"), col("embedding"),
+      panel, col("vec_id"), col("embedding"), k = 5,
+      recallFloorMicro = 500000L)
+    SimilaritySearch.publishSq8Store(spark, base,
+      e, col("vec_id"), col("embedding"),
+      panel, col("vec_id"), col("embedding"), k = 5,
+      recallFloorMicro = 500000L)
+    val qs = embeddingsStream(spark, sfDir).filter(col("vec_id") < 20)
+    val scored = SimilaritySearch.sq8ServeScored(spark, base, qs,
+      col("vec_id"), col("embedding"))
+    runToMemory(SimilaritySearch.rankTopK(scored, 5))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the

@@ -816,8 +816,65 @@ class SimilaritySpec extends AnyFunSuite {
         e, col("vec_id"), col("embedding"),
         e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
       assert(recall >= 500000L, s"recall@5 $recall below the 500000 floor")
+      // BYTES ON DISK: the codes column is BinaryType and each cell is
+      // exactly dims bytes — the 4 -> 1 bytes/dim knob is physical,
+      // not an int array wearing a quantized name
+      val codes = spark.read.parquet(s"$dir/codes")
+      assert(codes.schema("codes").dataType ==
+        org.apache.spark.sql.types.BinaryType, codes.schema.treeString)
+      val lens = codes.select(length(col("codes"))).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(lens == Seq(64), s"packed code lengths: $lens")
+      // u8 pack/unpack round-trips exactly; out-of-range refuses loudly
+      import graft.functions.ByteCodes
+      val rt = Seq(Seq(0, 1, 127, 128, 255)).toDF("a")
+        .select(ByteCodes.unpackU8(ByteCodes.packU8(col("a"))).as("b"))
+        .as[Seq[Int]].collect().head
+      assert(rt == Seq(0, 1, 127, 128, 255))
+      // (constant-folds on the driver, so the error arrives unwrapped)
+      val bad = intercept[IllegalArgumentException](
+        Seq(Seq(256)).toDF("a").select(ByteCodes.packU8(col("a")))
+          .collect())
+      assert(bad.getMessage.contains("outside [0, 255]"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("IVF-SQ8: full-nprobe equals the brute SQ8 serve; pruned serve only removes candidates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfsq8").toString
+    try {
+      val e = embeddings.filter(col("vec_id") < 120).localCheckpoint()
+      val panel = e.filter(col("vec_id") < 10).localCheckpoint()
+      SimilaritySearch.publishSq8Store(spark, base,
+        e, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 5,
+        recallFloorMicro = 500000L)
+      // stride 25 over 120 ids -> 5 centroids; nprobe 5 probes all of
+      // them, so pruning removes nothing and the ranking must equal
+      // the brute quantized serve row for row (the p34 rule)
+      val full = SimilaritySearch.ivfSq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 5, centroidStride = 25,
+        nprobe = 5)
+      val brute = SimilaritySearch.sq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 5)
+      assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+      // a pruned serve still fills k rows per query, and pruning can
+      // only ever REMOVE candidates: every (query, neighbor, cos) it
+      // serves must appear in the all-candidates quantized scoring
+      // (k = store size, so nothing is cut by rank)
+      val pruned = SimilaritySearch.ivfSq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 5, centroidStride = 25,
+        nprobe = 1)
+      assert(pruned.count() == 10 * 5)
+      val allScores = SimilaritySearch.ivfSq8TopKCurrent(spark, base,
+          panel, col("vec_id"), col("embedding"), k = 120,
+          centroidStride = 25, nprobe = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      assert(pruned.select(col("query_id"), col("neighbor_id"), col("cos"))
+        .exceptAll(allScores).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
 
