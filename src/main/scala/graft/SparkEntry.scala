@@ -522,7 +522,9 @@ object SparkEntry {
     // mixed WAV/AIFF archive statistics (container auto-detect)
     "p221_gif_frames", "p222_mixed_audio_stats",
     // RFC 3986 path-relative link resolution through the harvest,
-    // script-routed language ID composed with the quality gate, and
-    // the IVF-SQ8 composition over the packed-codes store
-    "p223_relative_link_harvest", "p224_langid_script", "p225_ivf_sq8")
+    // script-routed language ID composed with the quality gate, the
+    // IVF-SQ8 composition over the packed-codes store, and the
+    // delta-frame GIF compositing sampler
+    "p223_relative_link_harvest", "p224_langid_script", "p225_ivf_sq8",
+    "p226_gif_delta_frames")
 }

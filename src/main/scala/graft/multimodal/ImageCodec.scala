@@ -38,6 +38,14 @@ object ImageCodec {
   /** One decoded gray image: row-major pixels, 0..255. */
   final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
 
+  /** One PARTIAL frame of a delta-coded GIF: a `fw`×`fh` rect drawn
+    * at (left, top) on the logical screen, with its GIF disposal
+    * method (`none` / `doNotDispose` / `restoreToBackgroundColor` /
+    * `restoreToPrevious`). `pix(x, y)` is in LOCAL rect coordinates.
+    */
+  final case class GifFrame(left: Int, top: Int, fw: Int, fh: Int,
+                            disposal: String, pix: (Int, Int) => Int)
+
   /** Per-partition codec instance. Construction is the "expensive native
     * init" slot (counted via [[Multimodal.codecInits]] so specs pin the
     * once-per-partition contract); methods are allocation-light per row.
@@ -161,13 +169,166 @@ object ImageCodec {
       encodeBuf.toByteArray
     }
 
+    /** Encode an animated GIF whose frames after the first are
+      * PARTIAL delta rects — the wire shape real-world animations
+      * actually use (re-sending a full canvas per frame defeats the
+      * format). The FIRST frame must cover the full canvas (the
+      * universal keyframe convention — and what lets the logical
+      * screen descriptor derive from it); later frames draw their
+      * rect at its offset with their disposal method, both carried in
+      * the per-frame GIF metadata (GraphicControlExtension +
+      * ImageDescriptor). Interlace stays OFF ([[encodeGrayGif]]'s
+      * JDK round-trip rule).
+      */
+    def encodeGrayGifDelta(frames: Seq[GifFrame]): Array[Byte] = {
+      require(frames.nonEmpty, "encodeGrayGifDelta: no frames")
+      val head = frames.head
+      require(head.left == 0 && head.top == 0,
+        "encodeGrayGifDelta: the first frame must be a full-canvas " +
+          "keyframe at (0, 0)")
+      frames.foreach { f =>
+        require(f.left >= 0 && f.top >= 0 &&
+          f.left + f.fw <= head.fw && f.top + f.fh <= head.fh,
+          s"encodeGrayGifDelta: rect (${f.left},${f.top},${f.fw},${f.fh}) " +
+            s"outside the ${head.fw}x${head.fh} canvas")
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      encodeBuf.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(encodeBuf)
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        val p = wr.getDefaultWriteParam
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        frames.foreach { f =>
+          val img = new java.awt.image.BufferedImage(f.fw, f.fh,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val r = img.getRaster
+          var y = 0
+          while (y < f.fh) {
+            var x = 0
+            while (x < f.fw) { r.setSample(x, y, 0, f.pix(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          val md = wr.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), p)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = md.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val desc = metaChild(root, "ImageDescriptor")
+          desc.setAttribute("imageLeftPosition", f.left.toString)
+          desc.setAttribute("imageTopPosition", f.top.toString)
+          desc.setAttribute("imageWidth", f.fw.toString)
+          desc.setAttribute("imageHeight", f.fh.toString)
+          desc.setAttribute("interlaceFlag", "FALSE")
+          val gce = metaChild(root, "GraphicControlExtension")
+          gce.setAttribute("disposalMethod", f.disposal)
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          md.setFromTree(fmt, root)
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      encodeBuf.toByteArray
+    }
+
+    /** Find-or-append a named child of a GIF metadata tree node. The
+      * native GIF format enforces child ORDER on setFromTree;
+      * ImageDescriptor is always present in the default tree, so an
+      * appended GraphicControlExtension lands after it — the order
+      * the format requires.
+      */
+    private def metaChild(root: javax.imageio.metadata.IIOMetadataNode,
+                          name: String): javax.imageio.metadata.IIOMetadataNode = {
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        if (kids.item(i).getNodeName == name)
+          return kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        i += 1
+      }
+      val n = new javax.imageio.metadata.IIOMetadataNode(name)
+      root.appendChild(n)
+      n
+    }
+
+    /** Per-frame structure metadata: (left, top, fw, fh, disposal,
+      * transparent) — a descriptor walk, no LZW inflate.
+      */
+    private def gifFrameMeta(rd: javax.imageio.ImageReader,
+                             i: Int): (Int, Int, Int, Int, String, Boolean) = {
+      val root = rd.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      var left = 0; var top = 0; var fw = -1; var fh = -1
+      var disposal = "none"; var transparent = false
+      val kids = root.getChildNodes
+      var c = 0
+      while (c < kids.getLength) {
+        val node = kids.item(c)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        node.getNodeName match {
+          case "ImageDescriptor" =>
+            left = node.getAttribute("imageLeftPosition").toInt
+            top = node.getAttribute("imageTopPosition").toInt
+            fw = node.getAttribute("imageWidth").toInt
+            fh = node.getAttribute("imageHeight").toInt
+          case "GraphicControlExtension" =>
+            disposal = node.getAttribute("disposalMethod")
+            transparent =
+              node.getAttribute("transparentColorFlag")
+                .equalsIgnoreCase("TRUE")
+          case _ => ()
+        }
+        c += 1
+      }
+      require(fw > 0 && fh > 0,
+        s"decodeGifSampled: frame $i has no ImageDescriptor")
+      (left, top, fw, fh, disposal, transparent)
+    }
+
+    /** The logical screen (W, H) and background color index. */
+    private def gifScreen(rd: javax.imageio.ImageReader): (Int, Int, Int) = {
+      val root = rd.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      var w = -1; var h = -1; var bg = 0
+      val kids = root.getChildNodes
+      var c = 0
+      while (c < kids.getLength) {
+        val node = kids.item(c)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        node.getNodeName match {
+          case "LogicalScreenDescriptor" =>
+            w = node.getAttribute("logicalScreenWidth").toInt
+            h = node.getAttribute("logicalScreenHeight").toInt
+          case "GlobalColorTable" =>
+            val a = node.getAttribute("backgroundColorIndex")
+            if (a.nonEmpty) bg = a.toInt
+          case _ => ()
+        }
+        c += 1
+      }
+      require(w > 0 && h > 0, "decodeGifSampled: no LogicalScreenDescriptor")
+      (w, h, bg)
+    }
+
     /** Frame count + SELECTED frame decodes of a GIF animation in one
-      * reader pass: `getNumImages` walks the container structure
-      * without inflating frames, then ONLY the requested indices LZW-
-      * decode — a 500-frame animation sampled at 3 pays 3 decodes
-      * (our frames are full images, so no disposal compositing is
-      * needed; a delta-frame GIF would require walking priors).
-      * Returns (n_frames, requested (idx, image) pairs).
+      * reader pass, with real-world DELTA COMPOSITING: `getNumImages`
+      * walks the container structure without inflating frames, then
+      * each requested index composites per the GIF89a model — partial
+      * rects draw at their offsets over the persisting canvas, the
+      * four disposal methods honored (`restoreToBackgroundColor`
+      * clears the frame's rect to the background color index after
+      * display; `restoreToPrevious` reverts the canvas; transparent
+      * pixels never overwrite). The walk starts at the most recent
+      * FULL-CANVAS opaque keyframe at or before the target (whose
+      * draw makes the canvas independent of everything earlier), so a
+      * full-frame animation still pays exactly one LZW decode per
+      * sampled frame — the structure-only scan stays the fast path,
+      * and a delta chain inflates only its own keyframe window.
+      * Returns (n_frames, requested (idx, composited image) pairs).
       */
     def decodeGifSampled(bytes: Array[Byte],
                          pick: Int => Seq[Int]): (Int, Seq[(Int, DecodedImage)]) = {
@@ -175,23 +336,57 @@ object ImageCodec {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        rd.setInput(iis, false, true)
+        rd.setInput(iis, false, false)
         val n = rd.getNumImages(true)
         require(n >= 1, "decodeGifSampled: payload has no GIF frames")
+        val (sw, sh, bg) = gifScreen(rd)
+        val metaCache = new java.util.HashMap[Integer, (Int, Int, Int, Int, String, Boolean)]()
+        def meta(i: Int) = metaCache.computeIfAbsent(i, j => gifFrameMeta(rd, j))
         val frames = pick(n).map { fi =>
           require(fi >= 0 && fi < n,
             s"decodeGifSampled: frame $fi out of [0, $n)")
-          val src = rd.read(fi)
-          val w = src.getWidth
-          val h = src.getHeight
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { px(y * w + x) = src.getRGB(x, y) & 0xff; x += 1 }
-            y += 1
+          // keyframe window: the latest full-canvas opaque frame whose
+          // disposal cannot make a later frame depend on what preceded it
+          val start = (fi to 0 by -1).find { j =>
+            val (l, t, fw, fh, disp, tr) = meta(j)
+            l == 0 && t == 0 && fw == sw && fh == sh && !tr &&
+              (j == fi || disp != "restoreToPrevious")
+          }.getOrElse(0)
+          val canvas = Array.fill(sw * sh)(bg)
+          var saved: Array[Int] = null
+          var j = start
+          while (j <= fi) {
+            val (l, t, fw, fh, disp, _) = meta(j)
+            if (disp == "restoreToPrevious") saved = canvas.clone()
+            val src = rd.read(j)
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val rgb = src.getRGB(x, y)
+                if ((rgb >>> 24) != 0)
+                  canvas((t + y) * sw + (l + x)) = rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            if (j < fi) disp match {
+              case "restoreToBackgroundColor" =>
+                var yy = 0
+                while (yy < fh) {
+                  var xx = 0
+                  while (xx < fw) {
+                    canvas((t + yy) * sw + (l + xx)) = bg; xx += 1
+                  }
+                  yy += 1
+                }
+              case "restoreToPrevious" =>
+                System.arraycopy(saved, 0, canvas, 0, canvas.length)
+              case _ => ()
+            }
+            j += 1
           }
-          (fi, DecodedImage(w, h, px))
+          (fi, DecodedImage(sw, sh, canvas))
         }
         (n, frames)
       } finally { rd.dispose(); iis.close() }
@@ -381,6 +576,48 @@ object ImageCodec {
             MediaPng(mid, codec.encodeGrayGif(
               SyntheticImages.widthOf(seed), SyntheticImages.heightOf(seed),
               nFramesOf(seed), (f, k) => framePixelAt(seed, k, f)))
+          }
+        }
+        .toDF()
+    }
+
+    /** DELTA-coded animation constants — shared by the fixture and
+      * the oracle interpolation (the oracleClips rule): a fixed
+      * [[deltaW]]×[[deltaH]] canvas, a full base keyframe, then per
+      * frame f ≥ 1 a two-row band at rows [2f, 2f+2) carrying the
+      * delta formula — bands are DISJOINT across frames, so the
+      * composited frame F shows each band's own f and the base
+      * everywhere else, and the expected pixel sum is pure
+      * arithmetic.
+      */
+    val deltaW = 16
+    val deltaH = 12
+    def deltaBaseAt(seed: Long, k: Long): Int =
+      ((seed * 31 + k * 7) % 256).toInt
+    def deltaBandAt(seed: Long, k: Long, f: Long): Int =
+      ((seed * 17 + k * 5 + f * 29) % 256).toInt
+
+    /** The delta animation as REAL GIF bytes: full keyframe + partial
+      * two-row delta rects with `doNotDispose` — the wire shape
+      * real-world animations use, so the sampler's compositing is
+      * what the oracle gates.
+      */
+    def gifDeltaFixture(docs: DataFrame, id: Column): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(id.cast("long").as("media_id")).as[Long]
+        .mapPartitions { ids =>
+          val codec = new Codec
+          ids.map { mid =>
+            val seed = SyntheticImages.seedOf(mid)
+            val (w, h) = (deltaW, deltaH)
+            val frames = GifFrame(0, 0, w, h, "doNotDispose",
+                (x, y) => deltaBaseAt(seed, y.toLong * w + x)) +:
+              (1 until nFramesOf(seed)).map(f =>
+                GifFrame(0, 2 * f, w, 2, "doNotDispose",
+                  (x, yl) => deltaBandAt(seed,
+                    (2L * f + yl) * w + x, f.toLong)))
+            MediaPng(mid, codec.encodeGrayGifDelta(frames))
           }
         }
         .toDF()

@@ -7817,6 +7817,52 @@ object PipelineQueries {
                AS pix_sum
       FROM idx ORDER BY media_id, frame_idx""")),
 
+    // DELTA-coded animated GIF — the wire shape real-world animations
+    // actually use (a full canvas per frame defeats the format):
+    // frame 0 is a full keyframe, every later frame a PARTIAL
+    // two-row rect drawn at its offset under doNotDispose, so the
+    // sampler must COMPOSITE per the GIF89a model to see the right
+    // pixels (reading frame f's rect alone would miss the base and
+    // every other band). Bands are disjoint across frames, so the
+    // composited frame F is pure arithmetic — base everywhere, each
+    // band showing its own f's formula — and the oracle writes the
+    // per-frame pixel sums down from that arithmetic. A wrong
+    // disposal walk, offset, or keyframe-window cut changes every
+    // sampled sum.
+    ("p226_gif_delta_frames", (s, d) => {
+      import graft.multimodal.ImageCodec
+      ImageCodec.sampleGifFrames(
+          ImageCodec.SyntheticVideos.gifDeltaFixture(Tables.documents(s, d),
+            col("doc_id")),
+          col("media_id"), col("payload"), maxFrames = 3)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some {
+      val w = graft.multimodal.ImageCodec.SyntheticVideos.deltaW
+      val h = graft.multimodal.ImageCodec.SyntheticVideos.deltaH
+      val di = graft.multimodal.ImageCodec.SyntheticImages.distinctImages
+      s"""
+      WITH fr AS (SELECT doc_id, doc_id % $di AS seed,
+                         CAST(doc_id % $di AS INT) % 3 + 2 AS n
+                  FROM documents),
+      fx AS (SELECT doc_id, seed, n, least(n, 3) AS s FROM fr),
+      idx AS (SELECT doc_id, seed,
+                     unnest(list_transform(generate_series(0, s - 1),
+                       t -> t * n // s)) AS fi
+              FROM fx),
+      px AS (SELECT doc_id, seed, fi,
+                    unnest(generate_series(0, ${w * h - 1})) AS k
+             FROM idx),
+      v AS (SELECT doc_id, fi, k,
+              CASE WHEN k // $w >= 2 AND k // $w < 2 * fi + 2
+                   THEN (seed * 17 + k * 5 + (k // $w // 2) * 29) % 256
+                   ELSE (seed * 31 + k * 7) % 256 END AS pv
+            FROM px)
+      SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+             CAST($w AS BIGINT) AS width, CAST($h AS BIGINT) AS height,
+             CAST(sum(pv) AS BIGINT) AS pix_sum
+      FROM v GROUP BY 1, 2 ORDER BY 1, 2"""
+    }),
+
     // ONE maintenance HISTORY interleaving the whole LSM triple —
     // build on half the archive, the other half arrives as an append
     // batch (compact), the hottest shard SPLITS, a takedown

@@ -475,6 +475,61 @@ class MultimodalSpec extends AnyFunSuite {
       codec.decodeGifSampled(gif, _ => Seq(9)))
   }
 
+  test("GIF delta compositing: partial rects overlay, all four disposal methods honored, keyframe window cuts the walk") {
+    import graft.multimodal.ImageCodec
+    import graft.multimodal.ImageCodec.GifFrame
+    val codec = new ImageCodec.Codec
+    // 4x4 canvas: keyframe all 10s; f1 draws a 2x2 rect of 20s at
+    // (1,1) under doNotDispose; f2 draws a 1x1 of 30 at (0,0) under
+    // restoreToBackgroundColor; f3 draws 2x1 of 40s at (2,3) under
+    // restoreToPrevious; f4 draws 1x1 of 50 at (3,0)
+    val frames = Seq(
+      GifFrame(0, 0, 4, 4, "doNotDispose", (_, _) => 10),
+      GifFrame(1, 1, 2, 2, "doNotDispose", (_, _) => 20),
+      GifFrame(0, 0, 1, 1, "restoreToBackgroundColor", (_, _) => 30),
+      GifFrame(2, 3, 2, 1, "restoreToPrevious", (_, _) => 40),
+      GifFrame(3, 0, 1, 1, "none", (_, _) => 50))
+    val gif = codec.encodeGrayGifDelta(frames)
+    val (n, all) = codec.decodeGifSampled(gif, m => 0 until m)
+    assert(n == 5)
+    val px = all.map { case (fi, im) =>
+      assert(im.width == 4 && im.height == 4, s"frame $fi dims")
+      fi -> im.pixels.toSeq
+    }.toMap
+    def at(f: Int, x: Int, y: Int) = px(f)(y * 4 + x)
+    // frame 0: the keyframe alone
+    assert(px(0).forall(_ == 10))
+    // frame 1: the 2x2 rect rides over the persisting canvas
+    assert(at(1, 1, 1) == 20 && at(1, 2, 2) == 20 && at(1, 0, 0) == 10 &&
+      at(1, 3, 3) == 10)
+    // frame 2: f1 persisted (doNotDispose), plus the 30 at (0,0)
+    assert(at(2, 0, 0) == 30 && at(2, 1, 1) == 20 && at(2, 3, 0) == 10)
+    // frame 3: f2's rect was RESTORED TO BACKGROUND after display —
+    // (0,0) is the background index (0), not 30 and not 10 — and f3's
+    // 40s land at (2,3)-(3,3)
+    assert(at(3, 0, 0) == 0, s"bg restore, got ${at(3, 0, 0)}")
+    assert(at(3, 2, 3) == 40 && at(3, 3, 3) == 40 && at(3, 1, 1) == 20)
+    // frame 4: f3 was RESTORED TO PREVIOUS — its 40s vanish, the
+    // pre-f3 canvas returns, and the 50 lands at (3,0)
+    assert(at(4, 2, 3) == 10 && at(4, 3, 3) == 10, "restoreToPrevious")
+    assert(at(4, 3, 0) == 50 && at(4, 0, 0) == 0 && at(4, 1, 1) == 20)
+    // keyframe window: a mid-stream FULL keyframe makes later frames
+    // independent of everything before it — same composited pixels
+    // as the step-by-step walk
+    val reKey = Seq(
+      GifFrame(0, 0, 3, 3, "doNotDispose", (_, _) => 7),
+      GifFrame(0, 0, 1, 1, "doNotDispose", (_, _) => 8),
+      GifFrame(0, 0, 3, 3, "doNotDispose", (_, _) => 9),  // keyframe
+      GifFrame(1, 0, 1, 1, "doNotDispose", (_, _) => 11))
+    val (_, k3) = codec.decodeGifSampled(codec.encodeGrayGifDelta(reKey),
+      _ => Seq(3))
+    assert(k3.head._2.pixels.toSeq ==
+      Seq(9, 11, 9, 9, 9, 9, 9, 9, 9))
+    // loud contract: a partial FIRST frame refuses
+    intercept[IllegalArgumentException](codec.encodeGrayGifDelta(Seq(
+      GifFrame(1, 0, 2, 2, "none", (_, _) => 1))))
+  }
+
   test("AIFF: 80-bit-extended rate round trip, big-endian samples exact, auto-detect, loud contracts") {
     import graft.multimodal.AudioCodec
     import graft.multimodal.AudioCodec.{Aiff, Wav}
