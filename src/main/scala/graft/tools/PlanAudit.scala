@@ -97,6 +97,14 @@ import org.apache.spark.sql.SparkSession
   *    rewrite inside them) prints NOTHING: the alias map join is a
   *    hash join on the canonical key, the follow harvest is
   *    scan-stage, and the election folds are hash aggregates.
+  *  - round-13: p225 NestedLoop — IVF-SQ8 inherits p12's broadcast
+  *    centroid-assignment joins (coarse assign + per-query probes are
+  *    non-equi broadcast joins over the stride-bounded centroid set)
+  *    plus the recall gate inside publishSq8Store (p218's accepted
+  *    all-pairs panel shape). p223 (harvest resolution), p224
+  *    (lang-id routing), p226 (GIF compositing), and the composed
+  *    soft-404 gate print NOTHING: all are scan-stage projections or
+  *    mapPartitions codecs feeding hash aggregates.
   * Anything NEW this tool prints is a regression to investigate.
   */
 object PlanAudit {
