@@ -134,7 +134,11 @@ object TextFunctions {
     val han = scriptCount(text, "IsHan")
     val gre = scriptCount(text, "IsGreek")
     val ara = scriptCount(text, "IsArabic")
-    when(lat === 0 && cyr === 0 && han === 0 && gre === 0 && ara === 0,
+    // null-in-null-out FIRST: null counts would skip every `when` and
+    // fall through to the 'el' default — a null document must never
+    // classify as Greek
+    when(text.isNull, lit(null).cast("string"))
+      .when(lat === 0 && cyr === 0 && han === 0 && gre === 0 && ara === 0,
         "und")
       .when(lat >= cyr && lat >= han && lat >= gre && lat >= ara,
         langId(text))

@@ -120,6 +120,10 @@ class FunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.langIdScript(col("t")).as("l"))
       .as[String].collect().toSeq
     assert(out == cases.map(_._2), out.zip(cases).toString)
+    // null in, null out — never a fake language
+    val nul = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.langIdScript(col("t")).as("l")).collect().head
+    assert(nul.isNullAt(0))
   }
 
   test("HLL distinct estimate tracks exact cardinality within 3 sigma") {
