@@ -348,9 +348,35 @@ object TextFunctions {
     // attribute grammar over the whole live text would let body PROSE
     // like 'set href=https://example.com/x' mint a false edge now that
     // bare (unquoted) values are in the grammar — an attribute only
-    // exists inside a tag
-    val tags = regexp_extract_all(live, lit("(?s)<[A-Za-z][^>]*>"), lit(0))
+    // exists inside a tag. <base> is excluded: its href is the page's
+    // resolution DIRECTIVE ([[baseHref]]), not a link a browser
+    // navigates — an edge minted from it would be a phantom
+    val tags = filter(
+      regexp_extract_all(live, lit("(?s)<[A-Za-z][^>]*>"), lit(0)),
+      t => !t.rlike("(?is)^<base\\b"))
     filter(transform(tags, t => attrVal(t, "href")), h => h =!= "")
+  }
+
+  /** The document's `<base href>` — the HTML mechanism that rebases
+    * every relative reference on the page (templated sites emit it
+    * constantly, and a harvest that ignores it resolves their
+    * relative links against the WRONG directory). First base wins
+    * (the HTML spec's rule for the pathological multi-base page);
+    * matching runs over the live text (comments/script/style payloads
+    * stripped — a commented-out base must not rebase the page) with
+    * the attribute-guarded grammar; null when the page carries none
+    * (the try_element_at convention — consumers coalesce to the
+    * document URL). The base
+    * value may itself be relative — callers resolve it against the
+    * document URL first (RFC 3986 §5.1.1).
+    */
+  def baseHref(html: Column): Column = {
+    val live = Seq("script", "style").foldLeft(
+        regexp_replace(html, "(?s)<!--.*?-->", " ")) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", " ")
+    }
+    val bases = regexp_extract_all(live, lit("(?is)<base\\b[^>]*>"), lit(0))
+    attrVal(try_element_at(bases, lit(1)), "href")
   }
 
   /** `<meta name="robots">` directive tokens — the PAGE half of the

@@ -62,14 +62,19 @@ object LinkGraph {
     * inherits the page's scheme; root-relative `/x` inherits
     * scheme://host; PATH-relative `x/y` / `../y` / `./y` merges with
     * the page's directory and dot-segment-normalizes — exactly where
-    * a browser would land. Non-fetchable refs — `mailto:`,
-    * `javascript:`, `data:`, bare fragments — are DROPPED, never
-    * passed to [[SourceFamily.canonicalizeUrl]] as a non-URL that
-    * would mint a garbage frontier node.
+    * a browser would land. A `<base href>` REBASES the page first
+    * (§5.1.1: the base itself resolves against the document URL, any
+    * relative form; an unresolvable base falls back to the document
+    * URL — never a silent wrong directory), so templated sites'
+    * relative links land where the browser puts them. Non-fetchable
+    * refs — `mailto:`, `javascript:`, `data:`, bare fragments — are
+    * DROPPED, never passed to [[SourceFamily.canonicalizeUrl]] as a
+    * non-URL that would mint a garbage frontier node.
     */
   def linkRows(pages: DataFrame, provenanceUrl: Column,
                html: Column): DataFrame =
-    linkRowsOf(pages, provenanceUrl, TextFunctions.extractHrefs(html))
+    linkRowsOf(pages, provenanceUrl, TextFunctions.extractHrefs(html),
+      TextFunctions.baseHref(html))
 
   /** [[linkRows]] under the page's INDEXING DIRECTIVES — the harvest
     * a ranking crawl runs: a page whose `<meta name="robots">`
@@ -87,7 +92,8 @@ object LinkGraph {
     linkRowsOf(
       pages.filter(!array_contains(pageToks, "nofollow") &&
         !array_contains(pageToks, "none")),
-      provenanceUrl, TextFunctions.extractFollowHrefs(html))
+      provenanceUrl, TextFunctions.extractFollowHrefs(html),
+      TextFunctions.baseHref(html))
   }
 
   /** Indexing-directive flags for one fetched page: `<meta
@@ -242,10 +248,15 @@ object LinkGraph {
   }
 
   private def linkRowsOf(pages: DataFrame, provenanceUrl: Column,
-                         hrefs: Column): DataFrame =
+                         hrefs: Column, baseRef: Column): DataFrame =
     pages
       .select(SourceFamily.familyOf(provenanceUrl).as("src_family"),
-        provenanceUrl.as("__page"),
+        // the page's effective base: its <base href> resolved against
+        // the document URL (any relative form), the document URL when
+        // absent or unresolvable
+        coalesce(graft.functions.ResolveHref(provenanceUrl,
+            when(baseRef =!= "", baseRef)),
+          provenanceUrl).as("__page"),
         explode(hrefs).as("href"))
       .withColumn("__abs",
         graft.functions.ResolveHref(col("__page"), col("href")))

@@ -7606,9 +7606,12 @@ object PipelineQueries {
     // root-relative, protocol-relative, query-only (the pagination
     // link), and an EXCESS-dotdot that must clamp at the root — plus
     // the three non-edges (javascript:, bare fragment, mailto:) that
-    // must keep dropping. The oracle writes every resolved URL down
-    // from the fixture arithmetic — the resolver is recomputed by
-    // hand, never by the engine.
+    // must keep dropping. ODD pages carry a <base href="/b/"> that
+    // REBASES the relative forms (with a commented-out base and a
+    // losing second base as hazards) — the HTML mechanism templated
+    // sites use, resolved per RFC 3986 §5.1.1. The oracle writes
+    // every resolved URL down from the fixture arithmetic — the
+    // resolver is recomputed by hand, never by the engine.
     ("p223_relative_link_harvest", (s, d) => {
       graft.graph.LinkGraph.linkRows(
           relativeHrefPages(Tables.documents(s, d)),
@@ -7617,19 +7620,24 @@ object PipelineQueries {
     }, Some("""
       WITH f AS (SELECT doc_id,
           'src' || (doc_id % 20) || '.com' AS fam,
-          'https://www.src' || (doc_id % 20) || '.com' AS h
+          'https://www.src' || (doc_id % 20) || '.com' AS h,
+          -- odd docs are REBASED by their <base href="/b/">
+          CASE WHEN doc_id % 2 = 1 THEN '/b/' ELSE '/a/b/' END AS dir,
+          CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '/a/' END AS up
         FROM documents),
       e AS (
-        SELECT fam AS src_family, h || '/a/b/x/' || doc_id AS canonical,
+        SELECT fam AS src_family, h || dir || 'x/' || doc_id AS canonical,
                fam AS dst_family FROM f
-        UNION ALL SELECT fam, h || '/a/up' || doc_id, fam FROM f
-        UNION ALL SELECT fam, h || '/a/b/same/' || doc_id, fam FROM f
+        UNION ALL SELECT fam, h || up || 'up' || doc_id, fam FROM f
+        UNION ALL SELECT fam, h || dir || 'same/' || doc_id, fam FROM f
         UNION ALL SELECT fam, h || '/root' || doc_id, fam FROM f
         UNION ALL SELECT fam,
           'https://cdn.src' || (doc_id % 20) || '.com/c' || doc_id, fam
           FROM f
         UNION ALL SELECT fam,
-          h || '/a/b/page' || doc_id || '?page=' || (doc_id % 5), fam
+          CASE WHEN doc_id % 2 = 1 THEN h || '/b/?page=' || (doc_id % 5)
+               ELSE h || '/a/b/page' || doc_id || '?page=' || (doc_id % 5)
+          END, fam
           FROM f
         UNION ALL SELECT fam, h || '/deep' || doc_id, fam FROM f)
       SELECT src_family, canonical, dst_family FROM e
@@ -9579,8 +9587,16 @@ object PipelineQueries {
     val k = (col("doc_id") % 20).cast("string")
     val id = col("doc_id").cast("string")
     val url = concat(lit("https://www.src"), k, lit(".com/a/b/page"), id)
+    // ODD docs carry a <base href="/b/"> that REBASES every relative
+    // link (plus the two hazards: a commented-out base that must not
+    // bind and a second live base that must lose to the first)
+    val head = when(col("doc_id") % 2 === 1,
+        lit("<head><!-- <base href=\"/dead/\"> --><base href=\"/b/\">" +
+          "<base href=\"/evil/\"></head>"))
+      .otherwise(lit(""))
     val html = concat(
-      lit("<html><body><a href=\"x/"), id,
+      lit("<html>"), head,
+      lit("<body><a href=\"x/"), id,
       lit("\">1</a><a href=\"../up"), id,
       lit("\">2</a><a href=\"./same/"), id,
       lit("\">3</a><a href=\"/root"), id,

@@ -738,6 +738,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r("not a url", "x") == null)
     assert(resolve(null, u("x"), true) == null)
     assert(r(base, "   ") == null)
+    // <base href> extraction: first LIVE base wins; comments and a
+    // second base never bind; absent means empty
+    val bh = Seq(
+      "<html><head><!-- <base href=\"/dead/\"> --><base href=\"/b/\">" +
+        "<base href=\"/evil/\"></head><body></body></html>",
+      "<html><body>no base</body></html>",
+      "<base href=https://cdn.example/root/>")
+      .toDF("h")
+      .select(TextFunctions.baseHref(col("h")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(bh == Seq("/b/", null, "https://cdn.example/root/"))
     // removeDotSegments is the RFC algorithm exactly
     assert(removeDotSegments("/a/b/c/./../../g") == "/a/g")
     assert(removeDotSegments("/a/..") == "/")
