@@ -347,6 +347,9 @@ object SparkEntry {
     ("q159_streaming_sq8_serve",
       (s, d) => graft.streaming.StreamingQueries.sq8ServeStream(s, d),
       Some(sharedOracle("p218_sq8_lifecycle"))),
+    ("q160_streaming_ivf_sq8",
+      (s, d) => graft.streaming.StreamingQueries.ivfSq8ServeStream(s, d),
+      Some(sharedOracle("p225_ivf_sq8"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

@@ -1150,6 +1150,107 @@ object SimilaritySearch {
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
   }
 
+  /** The IVF-SQ8 serve for ARRIVING queries — [[ivfSq8TopKCurrent]]'s
+    * streaming-ready half, with the probe computation MAP-SIDE: the
+    * stride-bounded centroid set rides the projection as literal
+    * arrays (the bounded-model rule — the same artifact-sized collect
+    * as the model's lo/hi), each query scores all centroids in one
+    * codegen'd HOF pass and keeps its `nprobe` best (cos DESC,
+    * centroid_id ASC — [[probeCentroids]]' exact ordering, so batch
+    * and stream rank identically), and candidates arrive through ONE
+    * stream-static EQUI-join on centroid_id against the store's
+    * materialized coarse assignment. This is the scale-right
+    * streaming serve: per micro-batch work is the probed cells' rows,
+    * never the store (the brute twin's per-batch full scan), and the
+    * only state is the caller's bounded per-query TopK.
+    */
+  def ivfSq8ServeScored(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String, queries: DataFrame,
+                        queryId: Column, queryVec: Column,
+                        centroidStride: Int = 25,
+                        nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"ivfSq8ServeScored: nprobe must be >= 1, got $nprobe")
+    val dir = currentIndexDir(spark, baseDir)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val store = sq8Reconstructed(spark, dir)
+    val cent = store.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
+    // static side: the store's coarse assignment, materialized once
+    // per artifact generation (at 100 TB this is the index build's
+    // output, not per-query work)
+    val e = store.select(col("vec_id").as("neighbor_id"), col("vec").as("cv"))
+    val assigned = e.join(coarseAssign(e, cent), Seq("neighbor_id"))
+      .localCheckpoint(eager = false)
+    // centroids as literals: stride-bounded (the bounded-model rule)
+    val centRows = cent.orderBy(col("centroid_id")).collect()
+    val ids = typedlit(centRows.map(_.getLong(0)).toSeq)
+    val vecs = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
+    val nCent = centRows.length
+    require(nCent >= 1, "ivfSq8ServeScored: store has no centroids")
+    val qv = sq8Dequant(queryVec, lo, hi)
+    // per-query probe list, pure map-side: score every centroid, sort
+    // by (cos, -id) asc, take the tail nprobe, re-reverse — cos DESC
+    // with centroid_id ASC tiebreak, probeCentroids' exact order
+    val scoredCents = transform(sequence(lit(1), lit(nCent)), i =>
+      struct(round(VectorFunctions.cosine(element_at(vecs, i), qv), 6)
+          .as("c"),
+        (lit(0L) - element_at(ids, i)).as("nid")))
+    val probes = transform(
+      slice(reverse(array_sort(scoredCents)), 1, math.min(nprobe, nCent)),
+      s => lit(0L) - s.getField("nid"))
+    queries.select(queryId.as("query_id"), qv.as("qv"),
+        explode(probes).as("centroid_id"))
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+  }
+
+  /** [[publishSq8Store]] with the recall gate measured through the
+    * IVF-SQ8 serve AT ITS OPERATING POINT (the stride/nprobe the tier
+    * will actually run) instead of the brute quantized serve: a store
+    * whose brute recall clears the floor but whose probed recall does
+    * not is exactly the degraded artifact this gate exists to refuse
+    * — coarse pruning loses MORE recall when quantization distorts
+    * the geometry, and the gate must measure what readers will see.
+    * Same blue/green contract: a below-floor build throws before
+    * `.complete` lands, CURRENT keeps serving.
+    */
+  def publishIvfSq8Store(spark: org.apache.spark.sql.SparkSession,
+                         baseDir: String,
+                         vectors: DataFrame, id: Column, vec: Column,
+                         panel: DataFrame, panelId: Column, panelVec: Column,
+                         k: Int, recallFloorMicro: Long,
+                         centroidStride: Int = 25,
+                         nprobe: Int = 2): String = {
+    require(recallFloorMicro >= 0 && recallFloorMicro <= 1000000L,
+      s"publishIvfSq8Store: recallFloorMicro must be in [0, 1e6], got " +
+        s"$recallFloorMicro")
+    publishIndexVersion(spark, baseDir) { dir =>
+      buildSq8Store(spark, vectors, id, vec, dir)
+      val truth = bruteForceTopK(vectors, id, vec, panel, panelId, panelVec,
+          k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = false)
+      val (lo, hi, _) = sq8ModelArrays(spark, dir)
+      val store = sq8Reconstructed(spark, dir)
+      val cent = store.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
+      val served = ivfTopKWith(store, col("vec_id"), col("vec"),
+          panel, panelId, sq8Dequant(panelVec, lo, hi), cent, k, nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      val nHits = served.join(broadcast(truth),
+        Seq("query_id", "neighbor_id")).count()
+      val nTruth = truth.count()
+      require(nTruth > 0, "publishIvfSq8Store: empty truth panel")
+      val recall = nHits * 1000000L / nTruth
+      if (recall < recallFloorMicro) throw new IllegalStateException(
+        s"publishIvfSq8Store: probed recall@$k ${recall}µ below the " +
+          s"${recallFloorMicro}µ floor at nprobe=$nprobe — refusing to " +
+          "publish a quantizer degraded at its operating point (CURRENT " +
+          "keeps serving the previous version)")
+    }
+  }
+
   /** Recall@k of a directory's quantized serve against full-precision
     * truth over a bounded query panel, in integer micro-units —
     * p210's audit run against a STORE ARTIFACT instead of an inline

@@ -1350,6 +1350,32 @@ object StreamingQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** p225's IVF-SQ8 serve AT stream time — the scale-right streaming
+    * vector serve (q159's brute twin scans the whole store per batch;
+    * this one does not): probes compute MAP-SIDE against the
+    * stride-bounded centroid literals, candidates arrive through ONE
+    * stream-static EQUI-join on centroid_id against the store's
+    * materialized coarse assignment
+    * ([[graft.similarity.SimilaritySearch.ivfSq8ServeScored]] —
+    * shared with the batch serve, spec-pinned equal), and the bounded
+    * per-query TopK is the only state. Shares p225's oracle.
+    */
+  def ivfSq8ServeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.SimilaritySearch
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val base = graft.sources.Sinks.tempArtifactDir("ivf_sq8_stream")
+    val panel = e.filter(col("vec_id") < 20).localCheckpoint(eager = false)
+    SimilaritySearch.publishSq8Store(spark, base,
+      e, col("vec_id"), col("embedding"),
+      panel, col("vec_id"), col("embedding"), k = 5,
+      recallFloorMicro = 500000L)
+    val qs = embeddingsStream(spark, sfDir).filter(col("vec_id") < 20)
+    val scored = SimilaritySearch.ivfSq8ServeScored(spark, base, qs,
+      col("vec_id"), col("embedding"), centroidStride = 25, nprobe = 2)
+    runToMemory(SimilaritySearch.rankTopK(scored, 5))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** p174's two-level CDX serve AT stream time — lookup batches
     * arrive as a stream against a FROZEN shard layout (the q113
     * frozen-artifact shape: the sorted shards + cluster index are the

@@ -873,6 +873,51 @@ class SimilaritySpec extends AnyFunSuite {
         .select(col("query_id"), col("neighbor_id"), col("cos"))
       assert(pruned.select(col("query_id"), col("neighbor_id"), col("cos"))
         .exceptAll(allScores).isEmpty)
+      // the map-side-probe serve (the streaming twin's shared half)
+      // ranks IDENTICALLY to the batch probe at the same operating
+      // point — batch-identical by shared definition, pinned
+      val viaServe = SimilaritySearch.rankTopK(
+        SimilaritySearch.ivfSq8ServeScored(spark, base, panel,
+          col("vec_id"), col("embedding"), centroidStride = 25,
+          nprobe = 2), 5)
+      val viaBatch = SimilaritySearch.ivfSq8TopKCurrent(spark, base, panel,
+        col("vec_id"), col("embedding"), k = 5, centroidStride = 25,
+        nprobe = 2)
+      assert(viaServe.exceptAll(viaBatch).isEmpty &&
+        viaBatch.exceptAll(viaServe).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("publishIvfSq8Store: the recall gate measures the PROBED serve; a store degraded at its operating point refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfsq8_pub").toString
+    try {
+      val good = (0L until 40L).map(i =>
+        (i, Array.tabulate(4)(j => (math.sin(i * 3 + j) * 10).toFloat)))
+        .toDF("vec_id", "embedding")
+      val panel = good.filter(col("vec_id") < 8)
+      // generous floor at full probing: publishes
+      val v1 = SimilaritySearch.publishIvfSq8Store(spark, base,
+        good, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 3,
+        recallFloorMicro = 500000L, centroidStride = 10, nprobe = 4)
+      assert(v1 == "v1")
+      // a poisoned corpus that collapses quantized geometry must
+      // refuse at a perfect-recall floor measured through the probes
+      val poisoned = ((0L until 40L).map(i =>
+        (i, Array.tabulate(4)(j => (math.sin(i * 3 + j) * 0.001).toFloat)))
+        :+ ((99L, Array.tabulate(4)(j => 50000f * (j + 1)))))
+        .toDF("vec_id", "embedding")
+      val e = intercept[IllegalStateException] {
+        SimilaritySearch.publishIvfSq8Store(spark, base,
+          poisoned, col("vec_id"), col("embedding"),
+          poisoned.filter(col("vec_id") < 8), col("vec_id"),
+          col("embedding"), k = 3, recallFloorMicro = 1000000L,
+          centroidStride = 10, nprobe = 1)
+      }
+      assert(e.getMessage.contains("probed recall"), e.getMessage)
+      assert(SimilaritySearch.currentIndexDir(spark, base).endsWith("v1"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
