@@ -70,11 +70,14 @@ object CrawlOps {
     require(maxDelaySeconds >= 0,
       s"metaRefreshEdges: maxDelaySeconds must be >= 0, got $maxDelaySeconds")
     pages.select(url.as("__u"),
+        // a <base href> rebases the refresh target exactly as it
+        // rebases links (LinkGraph.effectiveBase — one base per page)
+        LinkGraph.effectiveBase(url, html).as("__b"),
         graft.functions.TextFunctions.metaRefresh(html).as("__r"))
       .filter(col("__r").isNotNull &&
         col("__r.delay_s") <= maxDelaySeconds)
       .withColumn("__t",
-        graft.functions.ResolveHref.aliasTarget(col("__u"),
+        graft.functions.ResolveHref.aliasTarget(col("__b"),
           col("__r.target")))
       .filter(col("__t").isNotNull)
       .select(graft.functions.SourceFamily.canonicalizeUrl(col("__u"))

@@ -239,13 +239,30 @@ object LinkGraph {
     // try_element_at: a page with NO canonical link has an empty
     // array, which must read as null (self), not raise
     val href = TextFunctions.attrVal(try_element_at(canons, lit(1)), "href")
+    // declarations resolve against the page's EFFECTIVE base — a
+    // <base href> rebases rel=canonical exactly as it rebases links
+    // (what browsers and search engines do)
     val resolved = graft.functions.ResolveHref.aliasTarget(
-      provenanceUrl, when(href =!= "", href))
+      effectiveBase(provenanceUrl, html), when(href =!= "", href))
     val target = SourceFamily.canonicalizeUrl(
       coalesce(resolved, provenanceUrl))
     pages.select(passthrough :+
       provenanceUrl.as("page_url") :+ target.as("canonical_target"): _*)
   }
+
+  /** The page's EFFECTIVE resolution base (RFC 3986 §5.1.1): its
+    * `<base href>` resolved against the document URL (any relative
+    * form), the document URL itself when absent or unresolvable —
+    * never a silent wrong directory. Shared by the link harvest and
+    * the alias-declaration extractors, so every relative reference on
+    * a page resolves against ONE base.
+    */
+  private[graft] def effectiveBase(documentUrl: Column,
+                                   html: Column): Column =
+    coalesce(graft.functions.ResolveHref(documentUrl,
+        when(TextFunctions.baseHref(html) =!= "",
+          TextFunctions.baseHref(html))),
+      documentUrl)
 
   private def linkRowsOf(pages: DataFrame, provenanceUrl: Column,
                          hrefs: Column, baseRef: Column): DataFrame =

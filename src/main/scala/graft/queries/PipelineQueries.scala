@@ -7293,6 +7293,9 @@ object PipelineQueries {
           CASE WHEN CAST(doc_id % 8 AS INT) = 2
                THEN 'https://www.src' || ((doc_id - 1) % 20) || '.com/p/'
                     || (doc_id - 1)
+               WHEN CAST(doc_id % 16 AS INT) = 12
+               THEN 'https://alt.src' || (doc_id % 20) || '.com/p/'
+                    || doc_id || 'v2'
                WHEN CAST(doc_id % 8 AS INT) = 4
                THEN 'https://www.src' || (doc_id % 20) || '.com/p/'
                     || doc_id || 'v2'
@@ -7342,11 +7345,13 @@ object PipelineQueries {
           -- the page's own authority; protocol-relative onto the
           -- page's scheme (same value as absolute); path-relative is
           -- NO edge (NULL here)
-          CASE CAST(doc_id % 4 AS INT)
-            WHEN 1 THEN 'https://www.src' || (doc_id % 20) || '.com/t'
-                        || doc_id
-            WHEN 3 THEN NULL
-            ELSE 'https://dst' || (doc_id % 11) || '.com/t' || doc_id
+          CASE WHEN doc_id % 4 = 1 AND doc_id % 3 = 0
+               THEN 'https://b.dst' || (doc_id % 11) || '.com/t' || doc_id
+               WHEN doc_id % 4 = 1
+               THEN 'https://www.src' || (doc_id % 20) || '.com/t'
+                    || doc_id
+               WHEN doc_id % 4 = 3 THEN NULL
+               ELSE 'https://dst' || (doc_id % 11) || '.com/t' || doc_id
           END AS dst
         FROM documents WHERE doc_id % 5 = 2)
       SELECT m1.src AS url,
@@ -9462,6 +9467,10 @@ object PipelineQueries {
       .when(m8 === 2, canonPrev)
       .when(m8 === 3 || m8 === 7, lit(""))
       .when(m8 === 4, concat(
+        when(col("doc_id") % 16 === 12, concat(
+            lit("<base href=\"https://alt.src"),
+            (col("doc_id") % 20).cast("string"), lit(".com/\">")))
+          .otherwise(lit("")),
         lit("<link rel=\"canonical\" href=\"/p/"), k, lit("v2\">")))
       .when(m8 === 5, concat(
         lit("<link rel=\"canonical\" href=\"//www.src"),
@@ -9510,6 +9519,10 @@ object PipelineQueries {
         ((col("doc_id") + 1) % 20).cast("string"), lit(".COM:443/p/"),
         (col("doc_id") + 1).cast("string"), lit("?utm_source=r\">")))
       .when(m5 === 2, concat(
+        when(m4 === 1 && col("doc_id") % 3 === 0, concat(
+            lit("<base href=\"https://b.dst"),
+            (col("doc_id") % 11).cast("string"), lit(".com/\">")))
+          .otherwise(lit("")),
         lit("<META HTTP-EQUIV=\"Refresh\" CONTENT=\"5;URL='"), m2target,
         lit("'\">")))
       .when(m5 === 3, lit("<meta http-equiv=\"Content-Type\" " +
