@@ -42,9 +42,14 @@ object ImageCodec {
     * at (left, top) on the logical screen, with its GIF disposal
     * method (`none` / `doNotDispose` / `restoreToBackgroundColor` /
     * `restoreToPrevious`). `pix(x, y)` is in LOCAL rect coordinates.
+    * `transparent` (a palette index, -1 = opaque frame) makes pixels
+    * of that value HOLES the prior canvas shows through — the GIF89a
+    * transparency real delta animations lean on (a delta rect
+    * usually changes only part of its own bounding box).
     */
   final case class GifFrame(left: Int, top: Int, fw: Int, fh: Int,
-                            disposal: String, pix: (Int, Int) => Int)
+                            disposal: String, pix: (Int, Int) => Int,
+                            transparent: Int = -1)
 
   /** Per-partition codec instance. Construction is the "expensive native
     * init" slot (counted via [[Multimodal.codecInits]] so specs pin the
@@ -224,9 +229,11 @@ object ImageCodec {
           val gce = metaChild(root, "GraphicControlExtension")
           gce.setAttribute("disposalMethod", f.disposal)
           gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag",
+            if (f.transparent >= 0) "TRUE" else "FALSE")
           gce.setAttribute("delayTime", "10")
-          gce.setAttribute("transparentColorIndex", "0")
+          gce.setAttribute("transparentColorIndex",
+            math.max(f.transparent, 0).toString)
           md.setFromTree(fmt, root)
           wr.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
         }

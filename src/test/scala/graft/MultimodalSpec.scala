@@ -528,6 +528,25 @@ class MultimodalSpec extends AnyFunSuite {
     // loud contract: a partial FIRST frame refuses
     intercept[IllegalArgumentException](codec.encodeGrayGifDelta(Seq(
       GifFrame(1, 0, 2, 2, "none", (_, _) => 1))))
+    // TRANSPARENT pixels are holes the prior canvas shows through —
+    // the GIF89a transparency real delta rects lean on: the f1 rect
+    // writes 20s only on its main diagonal, palette index 77 marks
+    // the rest transparent, so off-diagonal keeps the keyframe's 10s
+    val trans = Seq(
+      GifFrame(0, 0, 3, 3, "doNotDispose", (_, _) => 10),
+      GifFrame(0, 0, 3, 3, "none",
+        (x, y) => if (x == y) 20 else 77, transparent = 77))
+    val (_, t1) = codec.decodeGifSampled(codec.encodeGrayGifDelta(trans),
+      _ => Seq(1))
+    assert(t1.head._2.pixels.toSeq ==
+      Seq(20, 10, 10, 10, 20, 10, 10, 10, 20))
+    // the keyframe-window scan must NOT cut at a transparent full
+    // frame (it does not cover the canvas opaquely): same animation
+    // sampled at 1 composites through frame 0
+    val (_, t1b) = codec.decodeGifSampled(codec.encodeGrayGifDelta(
+      trans :+ GifFrame(0, 0, 1, 1, "none", (_, _) => 30)), _ => Seq(2))
+    assert(t1b.head._2.pixels.toSeq ==
+      Seq(30, 10, 10, 10, 20, 10, 10, 10, 20))
   }
 
   test("AIFF: 80-bit-extended rate round trip, big-endian samples exact, auto-detect, loud contracts") {
