@@ -529,5 +529,7 @@ object SparkEntry {
     // IVF-SQ8 composition over the packed-codes store, and the
     // delta-frame GIF compositing sampler
     "p223_relative_link_harvest", "p224_langid_script", "p225_ivf_sq8",
-    "p226_gif_delta_frames")
+    "p226_gif_delta_frames",
+    // sentence-budget RAG chunking
+    "p227_sentence_chunks")
 }

@@ -7876,6 +7876,58 @@ object PipelineQueries {
       FROM v GROUP BY 1, 2 ORDER BY 1, 2"""
     }),
 
+    // SENTENCE-budget RAG chunking — p60's retrieval-quality sibling:
+    // rule-based sentence segmentation (abbreviation + single-initial
+    // periods never split — the Dr./J./Fig. hazard stripe pins it
+    // through the oracle gate), then greedy packing of CONSECUTIVE
+    // sentences into <= 10-token chunks, never splitting a sentence.
+    // The formulaic stripes make the greedy boundaries pure
+    // arithmetic (all of a doc's sentences share one token count, so
+    // chunks are fixed-size groups); the hazard stripe's expected
+    // rows are written down by hand from the splitter's stated rules.
+    ("p227_sentence_chunks", (s, d) => {
+      graft.text.CorpusOps.chunkBySentence(
+          Tables.documents(s, d)
+            .select(col("doc_id"), sentenceFixtureText.as("text")),
+          col("doc_id"), col("text"), maxTokens = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some("""
+      WITH base AS (SELECT doc_id, CAST(doc_id % 3 + 3 AS BIGINT) AS s,
+                           CAST(doc_id % 5 + 2 AS BIGINT) AS n,
+                           CASE CAST(doc_id % 3 AS INT)
+                             WHEN 0 THEN ' f1 f2'
+                             WHEN 1 THEN ' f1 f2 f3'
+                             ELSE ' f1 f2 f3 f4' END AS fil
+                    FROM documents WHERE doc_id % 7 <> 3),
+      k AS (SELECT *, 10 // s AS k FROM base),
+      c AS (SELECT doc_id, s, n, fil, k,
+                   unnest(generate_series(0,
+                     CAST((n + k - 1) // k - 1 AS INT))) AS ci
+            FROM k),
+      r AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                   array_to_string(list_transform(
+                     generate_series(CAST(ci * k AS INT),
+                       CAST(least(n, (ci + 1) * k) - 1 AS INT)),
+                     j -> 'd' || doc_id || 's' || j || fil || '.'),
+                     ' ') AS chunk_text,
+                   least(n, (ci + 1) * k) - ci * k AS n_sentences,
+                   (least(n, (ci + 1) * k) - ci * k) * s AS n_tokens
+            FROM c),
+      hz AS (SELECT d.doc_id, t.chunk_idx, t.chunk_text, t.n_sentences,
+                    t.n_tokens
+             FROM (VALUES
+               (CAST(0 AS BIGINT),
+                'Dr. Smith met J. Jones today. It was fine.',
+                CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
+               (CAST(1 AS BIGINT), 'See Fig. 2 now.',
+                CAST(1 AS BIGINT), CAST(4 AS BIGINT)))
+               t(chunk_idx, chunk_text, n_sentences, n_tokens),
+             (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d)
+      SELECT doc_id, chunk_idx, chunk_text, n_sentences, n_tokens FROM r
+      UNION ALL
+      SELECT doc_id, chunk_idx, chunk_text, n_sentences, n_tokens FROM hz
+      ORDER BY doc_id, chunk_idx""")),
+
     // ONE maintenance HISTORY interleaving the whole LSM triple —
     // build on half the archive, the other half arrives as an append
     // batch (compact), the hottest shard SPLITS, a takedown
@@ -9620,6 +9672,29 @@ object PipelineQueries {
         "<a href=\"#frag\">f</a>" +
         "<a href=\"mailto:x@y.example\">m</a></body></html>"))
     docs.select(col("doc_id"), url.as("page_url"), html.as("html"))
+  }
+
+  /** p227's sentence fixture: per doc, `n = doc_id%5+2` sentences of
+    * `s = doc_id%3+3` whitespace tokens each (sentence j =
+    * `d{i}s{j} f1 …` with the period attached to the last filler), so
+    * the greedy 10-token chunking packs exactly `10 div s` sentences
+    * per chunk — boundaries pure arithmetic; the %7≡3 stripe is the
+    * splitter-hazard text (Dr./single-initial/Fig. periods that must
+    * NOT split) whose expected chunks are written down by hand.
+    */
+  private[graft] def sentenceFixtureText: Column = {
+    val i = col("doc_id")
+    val n = i % 5 + 2
+    val fillers = when(i % 3 === 0, lit(" f1 f2"))
+      .when(i % 3 === 1, lit(" f1 f2 f3"))
+      .otherwise(lit(" f1 f2 f3 f4"))
+    val formulaic = array_join(
+      transform(sequence(lit(0L), n - 1), j =>
+        concat(lit("d"), i.cast("string"), lit("s"), j.cast("string"),
+          fillers, lit("."))), " ")
+    when(i % 7 === 3,
+        lit("Dr. Smith met J. Jones today. It was fine. See Fig. 2 now."))
+      .otherwise(formulaic)
   }
 
   /** p212's rel-decorated page fixture — [[htmlFixtureText]]'s five

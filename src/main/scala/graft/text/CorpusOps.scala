@@ -2337,6 +2337,82 @@ object CorpusOps {
           .cast("long").as("n_tokens"))
   }
 
+  /** Abbreviations whose trailing period never ends a sentence (the
+    * standard short list every rule-based splitter carries). Escaped
+    * regex fragments — `e\.g` matches the literal "e.g" before the
+    * final period of "e.g.".
+    */
+  val SentenceAbbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "vs", "etc",
+    "Fig", "No", "al", "e\\.g", "i\\.e")
+
+  /** SENTENCE segmentation — the rule-based splitter RAG pipelines run
+    * before chunking (a chunk that cuts mid-sentence retrieves worse
+    * than one that cuts between them): a sentence ends at `.`/`!`/`?`
+    * followed by whitespace, EXCEPT when the period terminates a known
+    * abbreviation ([[SentenceAbbrevs]]) or a single-capital initial
+    * ("J. Smith"). Decimal points never match (no whitespace follows).
+    * Heuristic limits stated loudly: a sentence genuinely ending in a
+    * bare capital ("plan B.") or in "etc." does not split — the
+    * standard rule-splitter trade, refined by a model downstream. The
+    * boundary marker is U+0001 (a byte no corpus text carries).
+    * Implemented with Java-regex lookbehinds (engine-side only —
+    * oracles for consumers are generative, so no RE2 dual is needed);
+    * pure codegen'd regex chain + HOF trim, scan-stage.
+    */
+  def sentences(text: Column): Column = {
+    val guard = SentenceAbbrevs.map(a => s"(?<!\\b$a)").mkString
+    val marked = regexp_replace(text,
+      guard + "(?<![A-Z])([.!?])\\s+", "$1\u0001")
+    filter(transform(split(marked, "\u0001"), t => trim(t)), t => t =!= "")
+  }
+
+  /** Sentence-BUDGET chunking — [[chunkForRag]]'s retrieval-quality
+    * sibling: pack CONSECUTIVE sentences greedily into chunks of at
+    * most `maxTokens` whitespace tokens, never splitting a sentence
+    * (an over-budget sentence gets its own chunk — dropped text is
+    * data loss, a mid-sentence cut is the thing this operator
+    * exists to avoid). Output one row per chunk: (doc_id, chunk_idx,
+    * chunk_text, n_sentences, n_tokens), chunks in document order,
+    * sentence-less documents contributing no rows.
+    *
+    * Scale shape: the greedy fold is INHERENTLY sequential per
+    * document, so it runs as one per-row HOF `aggregate` over the
+    * sentence array (bounded by document length; interpreted like the
+    * shingles HOF — correctness layer, the packer stays map-side with
+    * zero shuffle) followed by one posexplode. Nothing but fixed-size
+    * chunk rows ever leaves the scan stage.
+    */
+  def chunkBySentence(docs: DataFrame, id: Column, text: Column,
+                      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1,
+      s"chunkBySentence: maxTokens must be >= 1, got $maxTokens")
+    val chunkType = "array<struct<text:string,ns:bigint,nt:bigint>>"
+    val folded = aggregate(
+      sentences(text),
+      array().cast(chunkType),
+      (out, s) => {
+        val n = size(filter(split(s, "\\s+"), t => t =!= lit("")))
+          .cast("long")
+        val last = element_at(out, -1)
+        when(size(out) === 0 || last.getField("nt") + n > maxTokens,
+          array_append(out,
+            struct(s.as("text"), lit(1L).as("ns"), n.as("nt"))))
+          .otherwise(concat(slice(out, lit(1), size(out) - 1),
+            array(struct(
+              concat(last.getField("text"), lit(" "), s).as("text"),
+              (last.getField("ns") + 1).as("ns"),
+              (last.getField("nt") + n).as("nt")))))
+      })
+    docs
+      .select(id.cast("long").as("doc_id"), folded.as("__chunks"))
+      .select(col("doc_id"),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.text").as("chunk_text"),
+        col("c.ns").as("n_sentences"), col("c.nt").as("n_tokens"))
+  }
+
   /** One learned BPE merge: `rank`-th most frequent adjacent symbol
     * pair at the time it was learned (weighted by word frequency).
     */

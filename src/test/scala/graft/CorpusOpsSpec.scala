@@ -1113,4 +1113,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(12L) == 1.098612) // −ln(1/3)
     assert(out(13L) == 1.386294) // −ln(1/4)
   }
+
+  test("sentences + chunkBySentence: abbreviation/initial guards, greedy budget, over-budget sentence alone, !? boundaries") {
+    import graft.text.CorpusOps
+    def sents(t: String): Seq[String] = Seq(t).toDF("t")
+      .select(CorpusOps.sentences(col("t")).as("s"))
+      .as[Seq[String]].collect().head
+    // the three terminators split; abbreviations and initials do not
+    assert(sents("One here. Two there! Three maybe? Four.") ==
+      Seq("One here.", "Two there!", "Three maybe?", "Four."))
+    assert(sents("Dr. Smith met J. Jones. See e.g. Fig. 2. Done.") ==
+      Seq("Dr. Smith met J. Jones.", "See e.g. Fig. 2.", "Done."))
+    // decimals never split (no whitespace after the point)
+    assert(sents("Pi is 3.14 here. Next.") == Seq("Pi is 3.14 here.", "Next."))
+    assert(sents("") == Seq())
+    // greedy chunking: never splits a sentence; an over-budget
+    // sentence gets its OWN chunk; sentence-less docs emit nothing
+    val docs = Seq(
+      (1L, "a b. c d. e f. g h."),                 // 2-token sentences
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11."), // 11 > budget: alone
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkBySentence(docs, col("doc_id"), col("text"),
+        maxTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq.sorted == Seq(
+      (1L, 0L, "a b. c d.", 2L, 4L),
+      (1L, 1L, "e f. g h.", 2L, 4L),
+      (2L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11.", 1L, 11L)))
+  }
 }
