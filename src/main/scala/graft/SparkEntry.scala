@@ -350,6 +350,9 @@ object SparkEntry {
     ("q160_streaming_ivf_sq8",
       (s, d) => graft.streaming.StreamingQueries.ivfSq8ServeStream(s, d),
       Some(sharedOracle("p225_ivf_sq8"))),
+    ("q161_streaming_sentence_chunks",
+      (s, d) => graft.streaming.StreamingQueries.sentenceChunksStream(s, d),
+      Some(sharedOracle("p227_sentence_chunks"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

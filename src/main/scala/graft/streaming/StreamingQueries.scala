@@ -1315,6 +1315,22 @@ object StreamingQueries {
     CrawlOps.resolveRedirects(unioned, maxDepth = 4).orderBy(col("url"))
   }
 
+  /** p227's sentence chunking AT ingest — the splitter and the greedy
+    * per-document pack are one per-row HOF program (the fold is
+    * sequential WITHIN a document, and a document arrives whole), so
+    * chunks exist the moment a page lands: append mode, zero state
+    * rows — the q138 stateless-at-ingest rule.
+    */
+  def sentenceChunksStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = graft.text.CorpusOps.chunkBySentence(
+      documentsStream(spark, sfDir)
+        .select(col("doc_id"),
+          graft.queries.PipelineQueries.sentenceFixtureText.as("text")),
+      col("doc_id"), col("text"), maxTokens = 10)
+    runToMemory(chunks, mode = "append")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** p218's SQ8 serving tier AT stream time — the q60 frozen-artifact
     * shape for vector serving: the store (model + packed codes) is a
     * PUBLISHED artifact generation (the same blue/green lifecycle as
