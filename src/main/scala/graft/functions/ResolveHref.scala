@@ -120,7 +120,18 @@ object ResolveHrefUtil {
     val b = base.toString.trim
     val bc = schemeColon(b)
     if (bc < 0 || !b.regionMatches(bc + 1, "//", 0, 2)) return null
-    if (r.startsWith("//")) return UTF8String.fromString(b.substring(0, bc + 1) + r)
+    if (r.startsWith("//")) {
+      // network-path reference: inherit the scheme, dot-normalize the
+      // ref's own path (§5.3 applies remove_dot_segments to every
+      // reference that carries an authority)
+      var k = 2
+      while (k < r.length && r.charAt(k) != '/' && r.charAt(k) != '?' &&
+        r.charAt(k) != '#') k += 1
+      val (p, tail) = splitPath(r.substring(k))
+      return UTF8String.fromString(
+        b.substring(0, bc + 1) + r.substring(0, k) + removeDotSegments(p) +
+          tail)
+    }
     // authority end: first of '/', '?', '#' after "scheme://"
     var ae = bc + 3
     while (ae < b.length && b.charAt(ae) != '/' && b.charAt(ae) != '?' &&

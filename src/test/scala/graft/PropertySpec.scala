@@ -296,4 +296,78 @@ class PropertySpec extends AnyFunSuite {
       lensOk && tileOk
     })
   }
+
+  test("ResolveHrefUtil never throws; output is null or a hierarchical URL; dot segments never survive") {
+    import graft.functions.ResolveHrefUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val piece = Gen.oneOf("a", "..", ".", "x/y", "/", "//", "https://h.com",
+      "http://", "h.com", "?q=1", "#f", "mailto:x@y", "javascript:void(0)",
+      ":", "%2e", "é😀", " ", "\t", "a:b", "..//..", "http://h.com/a/b?x#y")
+    val junkGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 6)
+      ps <- Gen.listOfN(n, piece)
+    } yield ps.mkString
+    val baseGen: Gen[String] = Gen.oneOf(
+      junkGen,
+      junkGen.map(j => "https://host.example" + j),
+      junkGen.map(j => "http://h.com:8080/a/b/" + j))
+    check(Prop.forAll(baseGen, junkGen, Gen.oneOf(true, false)) {
+      (base, ref, pathRel) =>
+        val out = ResolveHrefUtil.resolve(
+          UTF8String.fromString(base), UTF8String.fromString(ref), pathRel)
+        // total: never throws; null or a scheme'd hierarchical URL
+        val wellFormed = out == null || {
+          val o = out.toString
+          val c = o.indexOf("://")
+          c > 0 && o.take(c).forall(ch => ch.isLetterOrDigit ||
+            ch == '+' || ch == '-' || ch == '.')
+        }
+        // resolution output never carries live dot segments in its
+        // PATH for the forms that RESOLVE a path (protocol-/root-/
+        // path-relative); absolute refs pass through verbatim (the
+        // canonicalizer's documented no-touch) and query-only refs
+        // keep the base path verbatim (§5.3 — the base is presumed
+        // already normalized)
+        val rt = ref.trim
+        val refAbs = rt.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+        val refQueryOrFrag = rt.startsWith("?") || rt.startsWith("#")
+        val noDots = out == null || refAbs || refQueryOrFrag || {
+          val o = out.toString
+          val auth = o.indexOf("://") + 3
+          val pathStart = o.indexOf('/', auth)
+          val qs = Seq(o.indexOf('?'), o.indexOf('#'), o.length)
+            .filter(_ >= 0).min
+          pathStart < 0 || pathStart > qs || {
+            val path = o.substring(pathStart, qs)
+            !path.split("/", -1).exists(seg => seg == "." || seg == "..")
+          }
+        }
+        wellFormed && noDots
+    })
+  }
+
+  test("audio decoders are total on hostile bytes: IllegalArgumentException or success, never an index error") {
+    import graft.multimodal.AudioCodec
+    val magic = Gen.oneOf("RIFF", "FORM", "OggS", "")
+    val bytesGen: Gen[Array[Byte]] = for {
+      m <- magic
+      n <- Gen.chooseNum(0, 120)
+      body <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield m.getBytes("US-ASCII") ++ body.toArray
+    // seed a few VALID prefixes mutated at one position, the worst case
+    val valid = AudioCodec.Wav.encodeS16(8000, Array[Short](1, -2, 300))
+    val validA = AudioCodec.Aiff.encodeS16(8000, Array[Short](5, -6))
+    val mutatedGen: Gen[Array[Byte]] = for {
+      src <- Gen.oneOf(valid, validA)
+      i <- Gen.chooseNum(0, src.length - 1)
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield { val c = src.clone(); c(i) = b; c }
+    check(Prop.forAll(Gen.oneOf(bytesGen, mutatedGen)) { bytes =>
+      try { AudioCodec.decodeS16Any(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    })
+  }
 }
