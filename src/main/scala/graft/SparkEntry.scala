@@ -353,6 +353,9 @@ object SparkEntry {
     ("q161_streaming_sentence_chunks",
       (s, d) => graft.streaming.StreamingQueries.sentenceChunksStream(s, d),
       Some(sharedOracle("p227_sentence_chunks"))),
+    ("q162_streaming_langid_script",
+      (s, d) => graft.streaming.StreamingQueries.langIdScriptStream(s, d),
+      Some(sharedOracle("p224_langid_script"))),
     ("q139_streaming_cdx_serve",
       (s, d) => graft.streaming.StreamingQueries.cdxServeStream(s, d),
       Some(PipelineQueries.warcFixtureOracleSqlFrom(

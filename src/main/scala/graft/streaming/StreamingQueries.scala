@@ -1315,6 +1315,25 @@ object StreamingQueries {
     CrawlOps.resolveRedirects(unioned, maxDepth = 4).orderBy(col("url"))
   }
 
+  /** p224's script-routed language ID AT ingest — classification,
+    * quality scoring, and the routed gate are pure per-row column
+    * programs, so every arriving page is routed the moment it lands:
+    * append mode, zero state rows.
+    */
+  def langIdScriptStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = documentsStream(spark, sfDir)
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.langScriptFixtureText.as("text"))
+    val routed = docs.select(col("doc_id"),
+        TextFunctions.langIdScript(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("gate_keep",
+        !col("lang").isin("en", "fr", "es", "de", "und") ||
+          col("quality") >= 0.3)
+    runToMemory(routed, mode = "append").orderBy(col("doc_id"))
+  }
+
   /** p227's sentence chunking AT ingest — the splitter and the greedy
     * per-document pack are one per-row HOF program (the fold is
     * sequential WITHIN a document, and a document arrives whole), so
