@@ -536,6 +536,6 @@ object SparkEntry {
     // delta-frame GIF compositing sampler
     "p223_relative_link_harvest", "p224_langid_script", "p225_ivf_sq8",
     "p226_gif_delta_frames",
-    // sentence-budget RAG chunking
-    "p227_sentence_chunks")
+    // sentence-budget RAG chunking; SQ8 frozen-model append lifecycle
+    "p227_sentence_chunks", "p228_sq8_append")
 }

@@ -7876,6 +7876,65 @@ object PipelineQueries {
       FROM v GROUP BY 1, 2 ORDER BY 1, 2"""
     }),
 
+    // SQ8 store APPEND — the serving tier's ingest path: the store
+    // publishes on the EVEN half (whose min/max define the model),
+    // then the odd half appends with codes minted against the FROZEN
+    // model — components outside the build range CLAMP to the
+    // boundary code (the FAISS convention; odd vectors routinely
+    // exceed an even-only min/max, so the clamp genuinely bites).
+    // The served ranking over the merged store is the gated output:
+    // the oracle recomputes the even-only model, the CLAMPED encode
+    // arithmetic for every stored vector (identity for the in-range
+    // build half), the unclamped query dequant, and the full ranking
+    // — a model leak from the appended half (retraining on append)
+    // or a missing clamp flips scores and hash-fails.
+    ("p228_sq8_append", (s, d) => {
+      import graft.similarity.SimilaritySearch
+      val e = Tables.embeddings(s, d)
+      val base = graft.sources.Sinks.tempArtifactDir("sq8_append")
+      val build = e.filter(col("vec_id") % 2 === 0)
+      val panel = e.filter(col("vec_id") < 20).localCheckpoint(eager = false)
+      SimilaritySearch.publishSq8Store(s, base,
+        build, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 5,
+        recallFloorMicro = 500000L)
+      SimilaritySearch.appendToSq8Store(s, base,
+        e.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"))
+      SimilaritySearch.sq8TopKCurrent(s, base, panel, col("vec_id"),
+          col("embedding"), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+      st AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+             FROM b, generate_series(1, 64) t(i) GROUP BY 1),
+      m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+            FROM st),
+      dq AS (SELECT vec_id, list_transform(v, (x, i) ->
+               CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+                    ELSE m.lo[i] + floor(
+                           (least(m.hi[i], greatest(m.lo[i], x)) - m.lo[i])
+                           * 255.0 / (m.hi[i] - m.lo[i]) + 0.5)
+                         * (m.hi[i] - m.lo[i]) / 255.0 END) AS v
+             FROM c, m),
+      qd AS (SELECT vec_id AS query_id, list_transform(v, (x, i) ->
+               CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+                    ELSE m.lo[i] + floor((x - m.lo[i]) * 255.0
+                           / (m.hi[i] - m.lo[i]) + 0.5)
+                         * (m.hi[i] - m.lo[i]) / 255.0 END) AS qv
+             FROM c, m WHERE vec_id < 20),
+      ds AS (SELECT query_id, dq.vec_id AS neighbor_id,
+               round(list_dot_product(dq.v, qv) /
+                     (sqrt(list_dot_product(dq.v, dq.v)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cos
+             FROM dq, qd WHERE dq.vec_id <> query_id),
+      sq AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+             FROM ds)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM sq WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // SENTENCE-budget RAG chunking — p60's retrieval-quality sibling:
     // rule-based sentence segmentation (abbreviation + single-initial
     // periods never split — the Dr./J./Fig. hazard stripe pins it

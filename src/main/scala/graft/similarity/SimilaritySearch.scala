@@ -1047,15 +1047,100 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     val (lo, hi, _) = sq8ModelArrays(spark, dir)
     src.select(col("vec_id"),
-        graft.functions.ByteCodes.packU8(
-          transform(col("__v"), (x, i) => {
-            val l = element_at(lo, i + 1)
-            val h = element_at(hi, i + 1)
-            when(h === l, lit(0))
-              .otherwise(floor((x.cast("double") - l) * lit(255.0) / (h - l)
-                + lit(0.5)).cast("int"))
-          })).as("codes"))
+        sq8EncodePacked(col("__v"), lo, hi, clamp = false).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    // the build-time size snapshot the drift monitor reads (the
+    // ivfPqIndexDrift convention: one row, written once per build)
+    src.agg(count(lit(1)).as("n_base"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The packed-code encode projection against a model's (lo, hi)
+    * literal arrays. The BUILD never clamps (the model IS the build
+    * corpus's min/max, so nothing is out of range); APPENDS clamp
+    * out-of-range components to the boundary code (the FAISS
+    * convention — the information loss is the monitored drift
+    * signal, never a silent wraparound).
+    */
+  private def sq8EncodePacked(vec: Column, lo: Column, hi: Column,
+                              clamp: Boolean): Column =
+    graft.functions.ByteCodes.packU8(
+      transform(vec, (x, i) => {
+        val l = element_at(lo, i + 1)
+        val h = element_at(hi, i + 1)
+        val xd = x.cast("double")
+        val xc = if (clamp) least(h, greatest(l, xd)) else xd
+        when(h === l, lit(0))
+          .otherwise(floor((xc - l) * lit(255.0) / (h - l) + lit(0.5))
+            .cast("int"))
+      }))
+
+  /** Append NEW vectors to the CURRENT SQ8 store — the ingest path of
+    * the serving tier: codes mint against the FROZEN model (codes are
+    * only comparable under one model — the codes-invalidate-on-retrain
+    * rule's flip side: an append NEVER retrains), written as new
+    * parquet segments into the version's codes dir. Components
+    * OUTSIDE the model's [lo, hi] range CLAMP to the boundary code;
+    * the clamped-component count returns to the caller so ingest
+    * policy can gate on it, and [[sq8StoreDrift]] turns the appended
+    * fraction into the retrain-advised flag. An appended id colliding
+    * with a stored one RAISES before any write (a double-served
+    * vector is a ranking bug, not an append).
+    */
+  def appendToSq8Store(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String,
+                       newVectors: DataFrame, id: Column,
+                       vec: Column): Long = {
+    val dir = currentIndexDir(spark, baseDir)
+    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val src = newVectors.select(id.cast("long").as("vec_id"), vec.as("__v"))
+      .localCheckpoint(eager = false)
+    val collisions = src.join(
+      spark.read.parquet(s"$dir/codes").select(col("vec_id")),
+      Seq("vec_id"), "left_semi").count()
+    require(collisions == 0,
+      s"appendToSq8Store: $collisions appended ids already in the store " +
+        "— refusing a double-served vector")
+    val perRow = aggregate(
+      transform(col("__v"), (x, i) =>
+        when(x.cast("double") < element_at(lo, i + 1) ||
+          x.cast("double") > element_at(hi, i + 1), 1L).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+    val nClamped = src.agg(coalesce(sum(perRow), lit(0L))).collect()(0)
+      .getLong(0)
+    src.select(col("vec_id"),
+        sq8EncodePacked(col("__v"), lo, hi, clamp = true).as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+    nClamped
+  }
+
+  /** The SQ8 retrain monitor — [[ivfPqIndexDrift]]'s sibling for the
+    * scalar tier: codes now vs the build snapshot, the appended
+    * fraction in micro-units, and `retrain_advised` once it reaches
+    * `retrainFracMicro` (appends encode through a model that never
+    * saw them — recall decays with the appended share, and the
+    * answer is a blue/green retrain publish, never an in-place model
+    * edit). One driver-sized row.
+    */
+  def sq8StoreDrift(spark: org.apache.spark.sql.SparkSession,
+                    baseDir: String,
+                    retrainFracMicro: Long = 200000L): DataFrame = {
+    require(retrainFracMicro > 0,
+      s"sq8StoreDrift: retrainFracMicro must be positive, got " +
+        s"$retrainFracMicro")
+    val dir = currentIndexDir(spark, baseDir)
+    val nBase = spark.read.parquet(s"$dir/meta")
+      .select(col("n_base")).collect()(0).getLong(0)
+    require(nBase > 0, "sq8StoreDrift: empty build snapshot")
+    spark.read.parquet(s"$dir/codes")
+      .agg(count(lit(1)).as("n_now"))
+      .select(lit(nBase).as("n_base"), col("n_now"),
+        // integer micro-units (the p81 engine-portability rule; `/` on
+        // longs would be double division)
+        expr(s"(n_now - $nBase) * 1000000 div $nBase")
+          .as("appended_frac_micro"))
+      .withColumn("retrain_advised",
+        col("appended_frac_micro") >= retrainFracMicro)
   }
 
   /** The RECONSTRUCTED store of an SQ8 version directory — (vec_id,

@@ -97,6 +97,10 @@ import org.apache.spark.sql.SparkSession
   *    rewrite inside them) prints NOTHING: the alias map join is a
   *    hash join on the canonical key, the follow harvest is
   *    scan-stage, and the election folds are hash aggregates.
+  *  - round-13: p228 NestedLoop — the SQ8 append entry publishes
+  *    through publishSq8Store (the p218 recall-gate all-pairs panel
+  *    shape) and serves through sq8TopKCurrent's broadcast all-pairs
+  *    scan — both accepted shapes, inherited verbatim.
   *  - round-13: p225 NestedLoop — IVF-SQ8 inherits p12's broadcast
   *    centroid-assignment joins (coarse assign + per-query probes are
   *    non-equi broadcast joins over the stride-bounded centroid set)

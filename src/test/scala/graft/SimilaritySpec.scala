@@ -890,6 +890,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("appendToSq8Store: frozen-model clamp counted, id collisions refuse, drift flags at the threshold") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+    try {
+      // model from a [0, 10]-ish corpus; appends stray outside it
+      val build = (0L until 20L).map(i =>
+        (i, Array.tabulate(4)(j => ((i + j) % 11).toFloat)))
+        .toDF("vec_id", "embedding")
+      val panel = build.filter(col("vec_id") < 5)
+      SimilaritySearch.publishSq8Store(spark, base,
+        build, col("vec_id"), col("embedding"),
+        panel, col("vec_id"), col("embedding"), k = 3,
+        recallFloorMicro = 500000L)
+      // two appended vectors: one fully in range (0 clamps), one with
+      // exactly two out-of-range components (-5 and 99)
+      val appended = Seq(
+        (100L, Array(1f, 2f, 3f, 4f)),
+        (101L, Array(-5f, 2f, 99f, 4f)))
+        .toDF("vec_id", "embedding")
+      val nClamped = SimilaritySearch.appendToSq8Store(spark, base,
+        appended, col("vec_id"), col("embedding"))
+      assert(nClamped == 2L, s"clamped count $nClamped")
+      // the clamped vector serves at the BOUNDARY reconstruction: its
+      // stored code row exists and reconstructs inside [lo, hi]
+      val dir = SimilaritySearch.currentIndexDir(spark, base)
+      val rec = SimilaritySearch.sq8Reconstructed(spark, dir)
+        .filter(col("vec_id") === 101L)
+        .select(col("vec")).as[Seq[Double]].collect().head
+      assert(rec(0) == 0.0 && rec(2) == 10.0, rec.toString)
+      // drift: 2 appended over 20 base = 100000µ — flags at a 100000µ
+      // threshold, not below it
+      val drift = SimilaritySearch.sq8StoreDrift(spark, base,
+        retrainFracMicro = 100000L).collect().head
+      assert(drift.getLong(0) == 20L && drift.getLong(1) == 22L)
+      assert(drift.getLong(2) == 100000L && drift.getBoolean(3))
+      assert(!SimilaritySearch.sq8StoreDrift(spark, base,
+        retrainFracMicro = 100001L).collect().head.getBoolean(3))
+      // a colliding id refuses BEFORE any write
+      val e = intercept[IllegalArgumentException](
+        SimilaritySearch.appendToSq8Store(spark, base,
+          Seq((100L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding"),
+          col("vec_id"), col("embedding")))
+      assert(e.getMessage.contains("double-served"), e.getMessage)
+      assert(SimilaritySearch.sq8Reconstructed(spark, dir).count() == 22L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("publishIvfSq8Store: the recall gate measures the PROBED serve; a store degraded at its operating point refuses") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivfsq8_pub").toString
     try {
