@@ -29,6 +29,47 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Elementwise (lo, hi) buffer over fixed-dim vectors. */
+  case class VecMinMaxBuf(lo: Seq[Double], hi: Seq[Double])
+
+  /** Elementwise min/max over a vector column in ONE map-side pass —
+    * the SQ8 model fold ([[graft.similarity.SimilaritySearch]] trains
+    * per-dim (lo, hi) with it), replacing the posexplode + groupBy(dim)
+    * shuffle of 64× the rows with a dim-sized buffer per partition.
+    * Order-insensitive merge (min/max are commutative), so results are
+    * deterministic under any shuffle order — and exactly equal to the
+    * exploded form's min/max per dim.
+    */
+  object VecMinMax extends Aggregator[Seq[Double], VecMinMaxBuf, VecMinMaxBuf] {
+    private def fold(b: VecMinMaxBuf, lo2: Seq[Double],
+                     hi2: Seq[Double]): VecMinMaxBuf =
+      if (b.lo.isEmpty) VecMinMaxBuf(lo2, hi2)
+      else {
+        require(b.lo.length == lo2.length,
+          s"VecMinMax: mixed dims ${b.lo.length} vs ${lo2.length}")
+        val lo = new Array[Double](b.lo.length)
+        val hi = new Array[Double](b.lo.length)
+        var i = 0
+        while (i < lo.length) {
+          lo(i) = math.min(b.lo(i), lo2(i))
+          hi(i) = math.max(b.hi(i), hi2(i))
+          i += 1
+        }
+        VecMinMaxBuf(lo.toSeq, hi.toSeq)
+      }
+
+    override def zero: VecMinMaxBuf = VecMinMaxBuf(Seq.empty, Seq.empty)
+    override def reduce(b: VecMinMaxBuf, a: Seq[Double]): VecMinMaxBuf =
+      if (a == null) b else fold(b, a, a)
+    override def merge(b1: VecMinMaxBuf, b2: VecMinMaxBuf): VecMinMaxBuf =
+      if (b2.lo.isEmpty) b1 else fold(b1, b2.lo, b2.hi)
+    override def finish(r: VecMinMaxBuf): VecMinMaxBuf = r
+    override def bufferEncoder: Encoder[VecMinMaxBuf] =
+      Encoders.product[VecMinMaxBuf]
+    override def outputEncoder: Encoder[VecMinMaxBuf] =
+      Encoders.product[VecMinMaxBuf]
+  }
+
   /** One prioritized URL for bounded smallest-k selection. */
   case class PUrl(prio: String, url: String)
 

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** FUSED SQ8 quantizer kernels — the codegen replacement for the
+  * interpreted `transform(vec, (x, i) => …element_at(lo, i+1)…)` chains
+  * the SQ8 tier originally rode (Catalyst higher-order functions are
+  * CodegenFallback: every row paid interpreted expression dispatch per
+  * DIMENSION, 64 closures + 128 `element_at` probes per vector, and the
+  * projection fell out of whole-stage codegen). Each kernel here is one
+  * tight primitive loop over the model's (lo, hi) double arrays held as
+  * plain JVM references, riding inside whole-stage codegen like
+  * [[PackU8]].
+  *
+  * ARITHMETIC IS BIT-IDENTICAL to the transform forms (pinned by
+  * SimilaritySpec's reconstruction-equals-direct-dequant test and the
+  * shared p218/p225/p228 oracles): the same IEEE-754 double ops in the
+  * same order — `lo + floor((x−lo)·255/(hi−lo)+0.5)·(hi−lo)/255`, the
+  * degenerate hi=lo dimension serving its constant, encode clamping to
+  * the boundary code only when asked (appends), never silently
+  * wrapping.
+  *
+  * The model rides the EXPRESSION, not child literals: (lo, hi) are
+  * dim-sized driver arrays (the bounded-model rule), referenced once
+  * per task instead of re-probed per element.
+  */
+object Sq8CodecUtil {
+
+  private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  /** quantize-then-reconstruct of a raw vector (the symmetric query
+    * protocol): bit-equal to dequant(encode(x)) by construction.
+    */
+  def roundTrip(vec: ArrayData, et: DataType,
+                lo: Array[Double], hi: Array[Double]): ArrayData = {
+    val n = vec.numElements()
+    require(n == lo.length,
+      s"sq8_round_trip: vector has $n dims, model has ${lo.length}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo(i); val h = hi(i)
+      out(i) =
+        if (h == l) l
+        else {
+          val x = elemAt(vec, et, i)
+          l + Math.floor((x - l) * 255.0 / (h - l) + 0.5) * (h - l) / 255.0
+        }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** packed codes → reconstructed doubles: `lo + code·(hi−lo)/255`. */
+  def decode(codes: Array[Byte],
+             lo: Array[Double], hi: Array[Double]): ArrayData = {
+    val n = codes.length
+    require(n == lo.length,
+      s"sq8_decode: cell has $n bytes, model has ${lo.length} dims")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo(i); val h = hi(i)
+      out(i) =
+        if (h == l) l
+        else l + (codes(i) & 0xff) * (h - l) / 255.0
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** raw vector → packed u8 codes (fused quantize + pack): degenerate
+    * dims mint code 0; `clamp` bounds out-of-range components to the
+    * boundary code (the append convention); a code outside [0, 255]
+    * without clamp is a quantizer bug and refuses loudly (the
+    * [[ByteCodesUtil.pack]] contract).
+    */
+  def encode(vec: ArrayData, et: DataType,
+             lo: Array[Double], hi: Array[Double],
+             clamp: Boolean): Array[Byte] = {
+    val n = vec.numElements()
+    require(n == lo.length,
+      s"sq8_encode: vector has $n dims, model has ${lo.length}")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val l = lo(i); val h = hi(i)
+      val code =
+        if (h == l) 0
+        else {
+          val xd = elemAt(vec, et, i)
+          val xc = if (clamp) { if (xd < l) l else if (xd > h) h else xd }
+            else xd
+          Math.floor((xc - l) * 255.0 / (h - l) + 0.5).toInt
+        }
+      if (code < 0 || code > 255) throw new IllegalArgumentException(
+        s"sq8_encode: code $code at dim $i outside [0, 255] — refusing a " +
+          "silent byte wrap")
+      out(i) = code.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** count of components OUTSIDE the model's [lo, hi] — the clamp
+    * accounting an append returns (one long per row, summed by the
+    * caller's observe aggregate on the write pass itself).
+    */
+  def outOfRange(vec: ArrayData, et: DataType,
+                 lo: Array[Double], hi: Array[Double]): Long = {
+    val n = vec.numElements()
+    require(n == lo.length,
+      s"sq8_out_of_range: vector has $n dims, model has ${lo.length}")
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      val x = elemAt(vec, et, i)
+      if (x < lo(i) || x > hi(i)) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
+private[functions] trait Sq8VecInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} expects array<float|double>, got ${t.simpleString}")
+  }
+  protected lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** raw vector → quantize-then-reconstruct doubles against (lo, hi). */
+case class Sq8RoundTrip(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression with Sq8VecInput {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_round_trip"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Sq8CodecUtil.roundTrip(input.asInstanceOf[ArrayData], elemType, lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val etRef = ctx.addReferenceObj("et", elemType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8CodecUtil.roundTrip($c, $etRef, $loRef, $hiRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** packed binary codes → reconstructed doubles against (lo, hi). */
+case class Sq8Decode(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq8_decode expects binary, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    Sq8CodecUtil.decode(input.asInstanceOf[Array[Byte]], lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8CodecUtil.decode($c, $loRef, $hiRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** raw vector → packed u8 codes (fused quantize + pack). */
+case class Sq8Encode(child: Expression, lo: Array[Double], hi: Array[Double],
+                     clamp: Boolean)
+    extends UnaryExpression with Sq8VecInput {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Sq8CodecUtil.encode(input.asInstanceOf[ArrayData], elemType, lo, hi, clamp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val etRef = ctx.addReferenceObj("et", elemType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8CodecUtil.encode($c, $etRef, $loRef, $hiRef, $clamp)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** raw vector → count of out-of-model-range components (clamp
+  * accounting for appends).
+  */
+case class Sq8OutOfRange(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression with Sq8VecInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq8_out_of_range"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Sq8CodecUtil.outOfRange(input.asInstanceOf[ArrayData], elemType, lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val etRef = ctx.addReferenceObj("et", elemType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sq8CodecUtil.outOfRange($c, $etRef, $loRef, $hiRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Sq8Codec {
+  def roundTrip(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec), lo, hi))
+  def decode(codes: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(Sq8Decode(ColumnBridge.expression(codes), lo, hi))
+  def encode(vec: Column, lo: Array[Double], hi: Array[Double],
+             clamp: Boolean): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), lo, hi, clamp))
+  def outOfRange(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(Sq8OutOfRange(ColumnBridge.expression(vec), lo, hi))
+}

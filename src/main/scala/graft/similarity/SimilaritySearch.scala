@@ -1003,14 +1003,32 @@ object SimilaritySearch {
       .agg(min(col("v").cast("double")).as("lo"),
         max(col("v").cast("double")).as("hi"))
 
+  /** The (n_rows, lo[], hi[]) of a vector frame in ONE aggregation pass
+    * — [[sq8TrainModel]]'s per-dim min/max plus the build-size snapshot
+    * folded into a single map-side HashAggregate over the raw rows,
+    * instead of the explode (64× the rows through a shuffle) + a
+    * separate count pass the store build originally paid. Values are
+    * identical to [[sq8TrainModel]]'s: elementwise min/max of the
+    * double-cast components.
+    */
+  private def sq8ModelOnePass(src: DataFrame,
+                              vec: Column): (Long, Array[Double], Array[Double]) = {
+    val mm = udaf(Aggregators.VecMinMax)
+    val row = src.agg(count(lit(1)).as("n"),
+      mm(vec.cast("array<double>")).as("mm")).collect()(0)
+    val n = row.getLong(0)
+    val m = row.getStruct(1)
+    (n, m.getSeq[Double](0).toArray, m.getSeq[Double](1).toArray)
+  }
+
   /** (lo, hi) literal arrays of a stored SQ8 model — the broadcast
     * form every encode/reconstruct projection closes over.
     */
   private def sq8ModelArrays(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): (Column, Column, Int) = {
+                             dir: String): (Array[Double], Array[Double]) = {
     val st = spark.read.parquet(s"$dir/model").orderBy(col("dim"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
-    (typedlit(st.map(_._1).toSeq), typedlit(st.map(_._2).toSeq), st.length)
+    (st.map(_._1), st.map(_._2))
   }
 
   /** Quantize-then-reconstruct against a stored model — the double
@@ -1021,14 +1039,9 @@ object SimilaritySearch {
     * ranking is a pure function of the model — what an SQ8 store
     * computes against.
     */
-  private def sq8Dequant(vec: Column, lo: Column, hi: Column): Column =
-    transform(vec, (x, i) => {
-      val l = element_at(lo, i + 1)
-      val h = element_at(hi, i + 1)
-      when(h === l, l).otherwise(
-        l + floor((x.cast("double") - l) * lit(255.0) / (h - l)
-          + lit(0.5)) * (h - l) / lit(255.0))
-    })
+  private def sq8Dequant(vec: Column, lo: Array[Double],
+                         hi: Array[Double]): Column =
+    graft.functions.Sq8Codec.roundTrip(vec, lo, hi)
 
   /** Build a complete SQ8 store under `dir`: `model/` (the per-dim
     * quantizer) + `codes/` (one u8 code per component, PACKED into a
@@ -1040,19 +1053,25 @@ object SimilaritySearch {
     */
   def buildSq8Store(spark: org.apache.spark.sql.SparkSession,
                     vectors: DataFrame, id: Column, vec: Column,
-                    dir: String): Unit = {
+                    dir: String): (Array[Double], Array[Double]) = {
+    import spark.implicits._
     val src = vectors.select(id.cast("long").as("vec_id"), vec.as("__v"))
       .localCheckpoint(eager = false)
-    sq8TrainModel(src, col("__v"))
+    // ONE corpus pass computes the model AND the size snapshot (the
+    // explode-shuffle train + separate count the build used to pay are
+    // folded into a single map-side aggregate); the dim-sized artifacts
+    // then write from driver-local frames — no second corpus scan
+    val (nBase, lo, hi) = sq8ModelOnePass(src, col("__v"))
+    lo.indices.map(i => (i, lo(i), hi(i))).toDF("dim", "lo", "hi")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
     src.select(col("vec_id"),
         sq8EncodePacked(col("__v"), lo, hi, clamp = false).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     // the build-time size snapshot the drift monitor reads (the
     // ivfPqIndexDrift convention: one row, written once per build)
-    src.agg(count(lit(1)).as("n_base"))
+    Seq(nBase).toDF("n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    (lo, hi)
   }
 
   /** The packed-code encode projection against a model's (lo, hi)
@@ -1062,18 +1081,9 @@ object SimilaritySearch {
     * convention — the information loss is the monitored drift
     * signal, never a silent wraparound).
     */
-  private def sq8EncodePacked(vec: Column, lo: Column, hi: Column,
-                              clamp: Boolean): Column =
-    graft.functions.ByteCodes.packU8(
-      transform(vec, (x, i) => {
-        val l = element_at(lo, i + 1)
-        val h = element_at(hi, i + 1)
-        val xd = x.cast("double")
-        val xc = if (clamp) least(h, greatest(l, xd)) else xd
-        when(h === l, lit(0))
-          .otherwise(floor((xc - l) * lit(255.0) / (h - l) + lit(0.5))
-            .cast("int"))
-      }))
+  private def sq8EncodePacked(vec: Column, lo: Array[Double],
+                              hi: Array[Double], clamp: Boolean): Column =
+    graft.functions.Sq8Codec.encode(vec, lo, hi, clamp)
 
   /** Append NEW vectors to the CURRENT SQ8 store — the ingest path of
     * the serving tier: codes mint against the FROZEN model (codes are
@@ -1092,7 +1102,7 @@ object SimilaritySearch {
                        newVectors: DataFrame, id: Column,
                        vec: Column): Long = {
     val dir = currentIndexDir(spark, baseDir)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val (lo, hi) = sq8ModelArrays(spark, dir)
     val src = newVectors.select(id.cast("long").as("vec_id"), vec.as("__v"))
       .localCheckpoint(eager = false)
     val collisions = src.join(
@@ -1101,17 +1111,17 @@ object SimilaritySearch {
     require(collisions == 0,
       s"appendToSq8Store: $collisions appended ids already in the store " +
         "— refusing a double-served vector")
-    val perRow = aggregate(
-      transform(col("__v"), (x, i) =>
-        when(x.cast("double") < element_at(lo, i + 1) ||
-          x.cast("double") > element_at(hi, i + 1), 1L).otherwise(0L)),
-      lit(0L), (a, b) => a + b)
-    val nClamped = src.agg(coalesce(sum(perRow), lit(0L))).collect()(0)
-      .getLong(0)
-    src.select(col("vec_id"),
+    // clamp accounting rides the WRITE pass as an observed metric
+    // (exactly-once CollectMetrics semantics) instead of a separate
+    // aggregation scan over the appended vectors
+    val obs = org.apache.spark.sql.Observation()
+    src.observe(obs, coalesce(sum(
+          graft.functions.Sq8Codec.outOfRange(col("__v"), lo, hi)), lit(0L))
+        .as("n_clamped"))
+      .select(col("vec_id"),
         sq8EncodePacked(col("__v"), lo, hi, clamp = true).as("codes"))
       .write.mode("append").parquet(s"$dir/codes")
-    nClamped
+    obs.get("n_clamped").asInstanceOf[Long]
   }
 
   /** The SQ8 retrain monitor — [[ivfPqIndexDrift]]'s sibling for the
@@ -1150,17 +1160,20 @@ object SimilaritySearch {
     */
   def sq8Reconstructed(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    sq8ReconstructedWith(spark, dir, lo, hi)
+  }
+
+  /** [[sq8Reconstructed]] against an already-collected model — the
+    * serve paths read the dim-sized model ONCE and thread it here, so
+    * one serve costs one model collect, not one per sub-frame.
+    */
+  private def sq8ReconstructedWith(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, lo: Array[Double],
+                                   hi: Array[Double]): DataFrame =
     spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"),
-        transform(graft.functions.ByteCodes.unpackU8(col("codes")),
-          (c, i) => {
-            val l = element_at(lo, i + 1)
-            val h = element_at(hi, i + 1)
-            when(h === l, l)
-              .otherwise(l + c.cast("double") * (h - l) / lit(255.0))
-          }).as("vec"))
-  }
+        graft.functions.Sq8Codec.decode(col("codes"), lo, hi).as("vec"))
 
   /** IVF-SQ8 — the SQ8 codes composed UNDER coarse pruning (FAISS's
     * default production shape, `IVF…,SQ8`): the serve reconstructs
@@ -1183,8 +1196,8 @@ object SimilaritySearch {
                         centroidStride: Int = 25,
                         nprobe: Int = 2): DataFrame = {
     val dir = currentIndexDir(spark, baseDir)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
-    val store = sq8Reconstructed(spark, dir)
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    val store = sq8ReconstructedWith(spark, dir, lo, hi)
     val cent = store.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
     ivfTopKWith(store, col("vec_id"), col("vec"),
@@ -1203,8 +1216,9 @@ object SimilaritySearch {
                      baseDir: String, queries: DataFrame,
                      queryId: Column, queryVec: Column, k: Int): DataFrame = {
     val dir = currentIndexDir(spark, baseDir)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
-    bruteForceTopK(sq8Reconstructed(spark, dir), col("vec_id"), col("vec"),
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    bruteForceTopK(sq8ReconstructedWith(spark, dir, lo, hi),
+      col("vec_id"), col("vec"),
       queries, queryId, sq8Dequant(queryVec, lo, hi), k)
   }
 
@@ -1225,8 +1239,8 @@ object SimilaritySearch {
                      baseDir: String, queries: DataFrame,
                      queryId: Column, queryVec: Column): DataFrame = {
     val dir = currentIndexDir(spark, baseDir)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
-    val store = sq8Reconstructed(spark, dir)
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    val store = sq8ReconstructedWith(spark, dir, lo, hi)
       .select(col("vec_id").as("neighbor_id"), col("vec").as("cv"))
     queries.select(queryId.as("query_id"),
         sq8Dequant(queryVec, lo, hi).as("qv"))
@@ -1256,8 +1270,8 @@ object SimilaritySearch {
                         nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"ivfSq8ServeScored: nprobe must be >= 1, got $nprobe")
     val dir = currentIndexDir(spark, baseDir)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
-    val store = sq8Reconstructed(spark, dir)
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    val store = sq8ReconstructedWith(spark, dir, lo, hi)
     val cent = store.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
     // static side: the store's coarse assignment, materialized once
@@ -1311,21 +1325,17 @@ object SimilaritySearch {
       s"publishIvfSq8Store: recallFloorMicro must be in [0, 1e6], got " +
         s"$recallFloorMicro")
     publishIndexVersion(spark, baseDir) { dir =>
-      buildSq8Store(spark, vectors, id, vec, dir)
-      val truth = bruteForceTopK(vectors, id, vec, panel, panelId, panelVec,
-          k)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(eager = false)
-      val (lo, hi, _) = sq8ModelArrays(spark, dir)
-      val store = sq8Reconstructed(spark, dir)
+      val (lo, hi) = buildSq8Store(spark, vectors, id, vec, dir)
+      val truth = collectPairs(
+        bruteForceTopK(vectors, id, vec, panel, panelId, panelVec, k))
+      val store = sq8ReconstructedWith(spark, dir, lo, hi)
       val cent = store.filter(col("vec_id") % centroidStride === 0)
         .select(col("vec_id").as("centroid_id"), col("vec").as("centv"))
-      val served = ivfTopKWith(store, col("vec_id"), col("vec"),
-          panel, panelId, sq8Dequant(panelVec, lo, hi), cent, k, nprobe)
-        .select(col("query_id"), col("neighbor_id"))
-      val nHits = served.join(broadcast(truth),
-        Seq("query_id", "neighbor_id")).count()
-      val nTruth = truth.count()
+      val served = collectPairs(
+        ivfTopKWith(store, col("vec_id"), col("vec"),
+          panel, panelId, sq8Dequant(panelVec, lo, hi), cent, k, nprobe))
+      val nHits = served.count(truth.contains)
+      val nTruth = truth.size.toLong
       require(nTruth > 0, "publishIvfSq8Store: empty truth panel")
       val recall = nHits * 1000000L / nTruth
       if (recall < recallFloorMicro) throw new IllegalStateException(
@@ -1346,17 +1356,35 @@ object SimilaritySearch {
                      vectors: DataFrame, id: Column, vec: Column,
                      panel: DataFrame, panelId: Column, panelVec: Column,
                      k: Int): Long = {
-    val truth = bruteForceTopK(vectors, id, vec, panel, panelId, panelVec, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(eager = false)
-    val (lo, hi, _) = sq8ModelArrays(spark, dir)
-    val served = bruteForceTopK(sq8Reconstructed(spark, dir),
+    val (lo, hi) = sq8ModelArrays(spark, dir)
+    sq8RecallMicroWith(spark, dir, lo, hi, vectors, id, vec,
+      panel, panelId, panelVec, k)
+  }
+
+  /** A ranked top-k frame's (query_id, neighbor_id) pairs, collected —
+    * bounded at panel × k rows by contract (the bounded-model rule), so
+    * the recall comparison is ONE collect per side and a driver-side
+    * set intersection instead of a checkpoint + join + two count jobs.
+    */
+  private def collectPairs(topk: DataFrame): Set[(Long, Long)] =
+    topk.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def sq8RecallMicroWith(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 lo: Array[Double], hi: Array[Double],
+                                 vectors: DataFrame, id: Column, vec: Column,
+                                 panel: DataFrame, panelId: Column,
+                                 panelVec: Column, k: Int): Long = {
+    val truth = collectPairs(
+      bruteForceTopK(vectors, id, vec, panel, panelId, panelVec, k))
+    val served = collectPairs(
+      bruteForceTopK(sq8ReconstructedWith(spark, dir, lo, hi),
         col("vec_id"), col("vec"),
-        panel, panelId, sq8Dequant(panelVec, lo, hi), k)
-      .select(col("query_id"), col("neighbor_id"))
-    val nHits = served.join(broadcast(truth),
-      Seq("query_id", "neighbor_id")).count()
-    val nTruth = truth.count()
+        panel, panelId, sq8Dequant(panelVec, lo, hi), k))
+    val nHits = served.count(truth.contains)
+    val nTruth = truth.size.toLong
     require(nTruth > 0, "sq8RecallMicro: empty truth panel")
     nHits * 1000000L / nTruth
   }
@@ -1380,8 +1408,8 @@ object SimilaritySearch {
       s"publishSq8Store: recallFloorMicro must be in [0, 1e6], got " +
         s"$recallFloorMicro")
     publishIndexVersion(spark, baseDir) { dir =>
-      buildSq8Store(spark, vectors, id, vec, dir)
-      val recall = sq8RecallMicro(spark, dir, vectors, id, vec,
+      val (lo, hi) = buildSq8Store(spark, vectors, id, vec, dir)
+      val recall = sq8RecallMicroWith(spark, dir, lo, hi, vectors, id, vec,
         panel, panelId, panelVec, k)
       if (recall < recallFloorMicro) throw new IllegalStateException(
         s"publishSq8Store: recall@$k ${recall}µ below the " +
