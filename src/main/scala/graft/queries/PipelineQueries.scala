@@ -6058,7 +6058,9 @@ object PipelineQueries {
       val dir = graft.sources.Sinks.tempArtifactDir("cdx_lsm")
       Warc.writeCdxShards(cdxOf(w1), dir, numShards = 8)
       Warc.compactCdxShards(dir, cdxOf(w2))
-      val seg3 = cdxOf(w3)
+      // delta-sized by the segment contract; consumed by the revisit
+      // election AND the compaction — index the batch-3 parse once
+      val seg3 = cdxOf(w3).localCheckpoint(eager = false)
       val tomb = Warc.cdxRevisits(
           s.read.parquet(dir).drop("shard").unionByName(seg3))
         .filter(col("is_revisit"))
@@ -6072,7 +6074,9 @@ object PipelineQueries {
           col("doc_id").cast("string")).as("url"))
         .select(graft.functions.SourceFamily.surtKey(col("url"))
           .as("surt_key"))
+      // lookup-batch-sized; consumed by the prune collect AND the join
       val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+        .localCheckpoint(eager = false)
       val ids = assigned.select(col("shard")).distinct()
         .collect().map(_.getInt(0)).sorted
       val hits = shards.filter(col("shard").isin(ids: _*))
@@ -7012,7 +7016,9 @@ object PipelineQueries {
           col("doc_id").cast("string")).as("url"))
         .select(graft.functions.SourceFamily.surtKey(col("url"))
           .as("surt_key"))
+      // lookup-batch-sized; consumed by the prune collect AND the join
       val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+        .localCheckpoint(eager = false)
       val ids = assigned.select(col("shard")).distinct()
         .collect().map(_.getInt(0)).sorted
       val hits = shards.filter(col("shard").isin(ids: _*))
@@ -7046,22 +7052,17 @@ object PipelineQueries {
     ("p210_sq8_recall", (s, d) => {
       import graft.similarity.SimilaritySearch
       val e = Tables.embeddings(s, d)
-      val st = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("dim"))
-        .agg(min(col("v").cast("double")).as("lo"),
-          max(col("v").cast("double")).as("hi"))
-        .orderBy(col("dim"))
-        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
-      val loC = typedlit(st.map(_._1).toSeq)
-      val hiC = typedlit(st.map(_._2).toSeq)
+      // the model in ONE map-side aggregate (VecMinMax — identical
+      // per-dim min/max to the exploded form, without the 64× explode
+      // shuffle), served through the fused codegen round-trip kernel
+      // (bit-identical arithmetic, pinned in SimilaritySpec)
+      val mm = udaf(graft.functions.Aggregators.VecMinMax)
+      val st = e.agg(mm(col("embedding").cast("array<double>")))
+        .collect()(0).getStruct(0)
+      val lo = st.getSeq[Double](0).toArray
+      val hi = st.getSeq[Double](1).toArray
       def dequant(c: Column): Column =
-        transform(c, (x, i) => {
-          val l = element_at(loC, i + 1)
-          val h = element_at(hiC, i + 1)
-          when(h === l, l).otherwise(
-            l + floor((x.cast("double") - l) * lit(255.0) / (h - l)
-              + lit(0.5)) * (h - l) / lit(255.0))
-        })
+        graft.functions.Sq8Codec.roundTrip(c, lo, hi)
       val q = e.filter(col("vec_id") < 20)
       val full = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
           col("embedding"), q, col("vec_id"), col("embedding"), k = 5)
@@ -8034,7 +8035,9 @@ object PipelineQueries {
           col("doc_id").cast("string")).as("url"))
         .select(graft.functions.SourceFamily.surtKey(col("url"))
           .as("surt_key"))
+      // lookup-batch-sized; consumed by the prune collect AND the join
       val assigned = Warc.assignShards(panel, col("surt_key"), cluster)
+        .localCheckpoint(eager = false)
       val ids = assigned.select(col("shard")).distinct()
         .collect().map(_.getInt(0)).sorted
       val hits = shards.filter(col("shard").isin(ids: _*))

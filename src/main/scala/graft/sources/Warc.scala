@@ -561,7 +561,14 @@ object Warc {
     * knows its shard reads ONE directory and nothing else.
     */
   def writeCdxShards(cdx: DataFrame, dir: String, numShards: Int): Unit =
-    cdx.repartitionByRange(numShards, col("surt_key"))
+    // the range exchange SAMPLES its input to pick boundaries, then
+    // reads it again to place rows — without materializing the index
+    // frame first, the whole upstream plan (typically a full WARC
+    // parse) runs twice per build. The checkpoint holds index ROWS
+    // only (header projections — tiny next to the archive), exactly
+    // what the build is about to write anyway.
+    cdx.localCheckpoint(eager = false)
+      .repartitionByRange(numShards, col("surt_key"))
       .withColumn("shard", spark_partition_id())
       // the range exchange places rows, it does not order them — the
       // in-file sort is the other half of "sorted shards" (what a
@@ -648,16 +655,25 @@ object Warc {
     require(current.columns.contains("shard"),
       s"compactCdxShards: $dir is not a writeCdxShards layout (no shard column)")
     val cluster = cdxClusterIndex(current)
+    // the routed delta is consumed twice (the affected-shard collect
+    // below and the merge write) and is delta-sized BY CONTRACT —
+    // checkpoint it so the segment's plan (typically a parse + index
+    // projection) runs once, not once per consumer
     val assigned = assignShards(segments, col("surt_key"), cluster,
-      clampFloor = true)
+      clampFloor = true).localCheckpoint(eager = false)
     // both collects are config-sized: shard ids, bounded by the layout's
     // shard count
     val segShards = assigned.select(col("shard")).distinct()
       .collect().map(_.getInt(0))
-    val tombShards = tombstones.map { t =>
-      current.join(
-          broadcast(t.select(col("file_id"), col("offset")).distinct()),
-          Seq("file_id", "offset"))
+    // the tombstone ledger is likewise consumed twice (the affected-
+    // shard probe and the merge anti-join) and takedown-batch-sized by
+    // contract — its plan (often a revisit election over an index
+    // union) runs once
+    val tombKeys = tombstones.map(
+      _.select(col("file_id"), col("offset")).distinct()
+        .localCheckpoint(eager = false))
+    val tombShards = tombKeys.map { t =>
+      current.join(broadcast(t), Seq("file_id", "offset"))
         .select(col("shard")).distinct().collect().map(_.getInt(0))
     }.getOrElse(Array.empty[Int])
     val affected = (segShards ++ tombShards).distinct.sorted
@@ -665,9 +681,8 @@ object Warc {
     val cols = current.columns.map(col)
     val keep = current.filter(col("shard").isin(affected.map(Int.box): _*))
       .unionByName(assigned.select(cols: _*))
-    val merged = tombstones.fold(keep) { t =>
-      keep.join(broadcast(t.select(col("file_id"), col("offset")).distinct()),
-        Seq("file_id", "offset"), "left_anti")
+    val merged = tombKeys.fold(keep) { t =>
+      keep.join(broadcast(t), Seq("file_id", "offset"), "left_anti")
     }
     val tmp = dir + ".compact-tmp"
     merged.repartition(affected.length, col("shard"))
@@ -714,8 +729,10 @@ object Warc {
     */
   def serveCdxWithTail(shards: DataFrame, clusterIndex: DataFrame,
                        tail: DataFrame, keys: DataFrame): DataFrame = {
+    // lookup-batch-sized by contract; consumed by the prune collect
+    // AND the shard join — route once
     val assigned = assignShards(keys, col("surt_key"), clusterIndex,
-      clampFloor = true)
+      clampFloor = true).localCheckpoint(eager = false)
     val ids = assigned.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cols = Seq("surt_key", "target_uri", "warc_date", "file_id",
