@@ -51,6 +51,31 @@ object ImageCodec {
                             disposal: String, pix: (Int, Int) => Int,
                             transparent: Int = -1)
 
+  /** Content-addressed key for per-partition decode memoization:
+    * byte-identical payloads decode once per task. Bounded LRU, built
+    * fresh inside each mapPartitions closure (task-lifetime only —
+    * nothing survives a run), sized so memory stays a constant factor
+    * of one payload. Exact-duplicate payloads are the normal case in
+    * a web archive (re-uploads, mirrored assets — the fixture models
+    * this deliberately: 16 distinct images under thousands of ids),
+    * and decode is the expensive kernel, so dedup-before-decode is
+    * the same move as p56's code-level-first election, applied inside
+    * the scan task.
+    */
+  private final class BytesKey(val b: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(b, k.b)
+      case _ => false
+    }
+  }
+
+  private final class Lru[V](maxEntries: Int)
+      extends java.util.LinkedHashMap[BytesKey, V](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[BytesKey, V]): Boolean = size() > maxEntries
+  }
+
   /** Per-partition codec instance. Construction is the "expensive native
     * init" slot (counted via [[Multimodal.codecInits]] so specs pin the
     * once-per-partition contract); methods are allocation-light per row.
@@ -399,11 +424,24 @@ object ImageCodec {
       } finally { rd.dispose(); iis.close() }
     }
 
+    // byte-identical payloads decode once per task (see [[BytesKey]]);
+    // 64 entries bounds resident pixels at a constant factor of one
+    // image while covering any realistic duplicate working set
+    private val grayMemo = new Lru[DecodedImage](64)
+
     /** Decode PNG/BMP/JPEG bytes to gray pixels (ImageIO auto-detects
-      * the container). Non-gray inputs fold to luminance via the first
-      * raster band of the gray-converted image.
+      * the container), memoized per byte-identical payload within the
+      * task. Callers treat the returned pixels as read-only (every
+      * kernel here does — transforms allocate fresh arrays).
       */
     def decodeGray(bytes: Array[Byte]): DecodedImage = {
+      val k = new BytesKey(bytes)
+      val hit = grayMemo.get(k)
+      if (hit != null) hit
+      else { val im = decodeGrayUncached(bytes); grayMemo.put(k, im); im }
+    }
+
+    private def decodeGrayUncached(bytes: Array[Byte]): DecodedImage = {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(src != null, "imageio could not decode payload")
       val img =
@@ -502,10 +540,15 @@ object ImageCodec {
       docs.select(id.cast("long").as("media_id")).as[Long]
         .mapPartitions { ids =>
           val codec = new Codec
+          // payload bytes are a pure function of the seed (and there
+          // are distinctImages of them by construction) — encode each
+          // distinct image once per task, not once per id
+          val bySeed = new java.util.HashMap[Long, Array[Byte]]()
           ids.map { mid =>
             val seed = seedOf(mid)
-            MediaPng(mid, codec.encodeGrayPng(
-              widthOf(seed), heightOf(seed), k => pixelAt(seed, k)))
+            MediaPng(mid, bySeed.computeIfAbsent(seed, s =>
+              codec.encodeGrayPng(
+                widthOf(s), heightOf(s), k => pixelAt(s, k))))
           }
         }
         .toDF()
@@ -546,21 +589,27 @@ object ImageCodec {
       docs.select(id.cast("long").as("media_id")).as[Long]
         .mapPartitions { ids =>
           val codec = new Codec
+          // container bytes are a pure function of the seed — encode
+          // each distinct clip once per task (the pngFixture rule)
+          val bySeed = new java.util.HashMap[Long, Array[Byte]]()
           ids.map { mid =>
             val seed = SyntheticImages.seedOf(mid)
-            val w = SyntheticImages.widthOf(seed)
-            val h = SyntheticImages.heightOf(seed)
-            val bos = new java.io.ByteArrayOutputStream()
-            val dos = new java.io.DataOutputStream(bos)
-            var f = 0
-            while (f < nFramesOf(seed)) {
-              val png = codec.encodeGrayPng(w, h, k => framePixelAt(seed, k, f))
-              dos.writeInt(png.length)
-              dos.write(png)
-              f += 1
-            }
-            dos.flush()
-            MediaPng(mid, bos.toByteArray)
+            MediaPng(mid, bySeed.computeIfAbsent(seed, sd => {
+              val w = SyntheticImages.widthOf(sd)
+              val h = SyntheticImages.heightOf(sd)
+              val bos = new java.io.ByteArrayOutputStream()
+              val dos = new java.io.DataOutputStream(bos)
+              var f = 0
+              while (f < nFramesOf(sd)) {
+                val png = codec.encodeGrayPng(w, h,
+                  k => framePixelAt(sd, k, f))
+                dos.writeInt(png.length)
+                dos.write(png)
+                f += 1
+              }
+              dos.flush()
+              bos.toByteArray
+            }))
           }
         }
         .toDF()
@@ -578,11 +627,13 @@ object ImageCodec {
       docs.select(id.cast("long").as("media_id")).as[Long]
         .mapPartitions { ids =>
           val codec = new Codec
+          val bySeed = new java.util.HashMap[Long, Array[Byte]]()
           ids.map { mid =>
             val seed = SyntheticImages.seedOf(mid)
-            MediaPng(mid, codec.encodeGrayGif(
-              SyntheticImages.widthOf(seed), SyntheticImages.heightOf(seed),
-              nFramesOf(seed), (f, k) => framePixelAt(seed, k, f)))
+            MediaPng(mid, bySeed.computeIfAbsent(seed, sd =>
+              codec.encodeGrayGif(
+                SyntheticImages.widthOf(sd), SyntheticImages.heightOf(sd),
+                nFramesOf(sd), (f, k) => framePixelAt(sd, k, f))))
           }
         }
         .toDF()
@@ -615,16 +666,19 @@ object ImageCodec {
       docs.select(id.cast("long").as("media_id")).as[Long]
         .mapPartitions { ids =>
           val codec = new Codec
+          val bySeed = new java.util.HashMap[Long, Array[Byte]]()
           ids.map { mid =>
             val seed = SyntheticImages.seedOf(mid)
-            val (w, h) = (deltaW, deltaH)
-            val frames = GifFrame(0, 0, w, h, "doNotDispose",
-                (x, y) => deltaBaseAt(seed, y.toLong * w + x)) +:
-              (1 until nFramesOf(seed)).map(f =>
-                GifFrame(0, 2 * f, w, 2, "doNotDispose",
-                  (x, yl) => deltaBandAt(seed,
-                    (2L * f + yl) * w + x, f.toLong)))
-            MediaPng(mid, codec.encodeGrayGifDelta(frames))
+            MediaPng(mid, bySeed.computeIfAbsent(seed, sd => {
+              val (w, h) = (deltaW, deltaH)
+              val frames = GifFrame(0, 0, w, h, "doNotDispose",
+                  (x, y) => deltaBaseAt(sd, y.toLong * w + x)) +:
+                (1 until nFramesOf(sd)).map(f =>
+                  GifFrame(0, 2 * f, w, 2, "doNotDispose",
+                    (x, yl) => deltaBandAt(sd,
+                      (2L * f + yl) * w + x, f.toLong)))
+              codec.encodeGrayGifDelta(frames)
+            }))
           }
         }
         .toDF()
@@ -692,16 +746,28 @@ object ImageCodec {
     import spark.implicits._
     asMedia(df, id, payload).mapPartitions { rows =>
       val codec = new Codec
+      // the sampled-frame stats are a pure function of the payload
+      // bytes under a fixed maxFrames — byte-identical animations
+      // (the archive's duplicate structure) composite once per task
+      val memo = new Lru[Seq[(Long, Long, Long, Long)]](64)
       rows.flatMap { case (mid, bytes) =>
-        val (_, picked) = codec.decodeGifSampled(bytes, n => {
-          val s = math.min(n, maxFrames)
-          (0 until s).map(t => t * n / s)
-        })
-        picked.iterator.map { case (fi, im) =>
-          var sum = 0L
-          var i = 0
-          while (i < im.pixels.length) { sum += im.pixels(i); i += 1 }
-          FrameMeta(mid, fi.toLong, im.width.toLong, im.height.toLong, sum)
+        val k = new BytesKey(bytes)
+        var stats = memo.get(k)
+        if (stats == null) {
+          val (_, picked) = codec.decodeGifSampled(bytes, n => {
+            val s = math.min(n, maxFrames)
+            (0 until s).map(t => t * n / s)
+          })
+          stats = picked.map { case (fi, im) =>
+            var sum = 0L
+            var i = 0
+            while (i < im.pixels.length) { sum += im.pixels(i); i += 1 }
+            (fi.toLong, im.width.toLong, im.height.toLong, sum)
+          }
+          memo.put(k, stats)
+        }
+        stats.iterator.map { case (fi, w, h, sum) =>
+          FrameMeta(mid, fi, w, h, sum)
         }
       }
     }.toDF()

@@ -475,6 +475,39 @@ class MultimodalSpec extends AnyFunSuite {
       codec.decodeGifSampled(gif, _ => Seq(9)))
   }
 
+  test("per-task decode memo is content-addressed: duplicates in ONE task match isolated decodes; distinct payloads never collide") {
+    import graft.multimodal.ImageCodec
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 ids over 16 distinct payloads, forced into ONE partition so
+    // every duplicate hits the same task's memo; rows must equal the
+    // fully-spread run (one id per task ≈ no memo hits) row for row
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val one = ImageCodec.sampleGifFrames(
+      ImageCodec.SyntheticVideos.gifFixture(docs, col("doc_id"))
+        .coalesce(1),
+      col("media_id"), col("payload"), maxFrames = 3)
+    val spread = ImageCodec.sampleGifFrames(
+      ImageCodec.SyntheticVideos.gifFixture(docs, col("doc_id"))
+        .repartition(40),
+      col("media_id"), col("payload"), maxFrames = 3)
+    assert(one.exceptAll(spread).isEmpty && spread.exceptAll(one).isEmpty)
+    // distinct payloads through one task's decodeGray memo stay distinct
+    val metas = ImageCodec.decodeMeta(
+      ImageCodec.SyntheticImages.pngFixture(
+        spark.range(0, 16).toDF("doc_id"), col("doc_id")).coalesce(1),
+      col("media_id"), col("payload"))
+      .select(col("media_id"), col("pix_sum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 16L).foreach { s =>
+      val w = ImageCodec.SyntheticImages.widthOf(s)
+      val h = ImageCodec.SyntheticImages.heightOf(s)
+      val expect = (0L until (w * h).toLong)
+        .map(ImageCodec.SyntheticImages.pixelAt(s, _).toLong).sum
+      assert(metas(s) == expect, s"seed $s pix_sum")
+    }
+  }
+
   test("GIF delta compositing: partial rects overlay, all four disposal methods honored, keyframe window cuts the walk") {
     import graft.multimodal.ImageCodec
     import graft.multimodal.ImageCodec.GifFrame
