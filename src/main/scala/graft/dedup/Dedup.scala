@@ -1128,7 +1128,14 @@ object Dedup {
                     canonicalUrl: Column, chunkTokens: Int = 8,
                     spanN: Int = 8): DataFrame = {
     import graft.functions.TextFunctions
-    val base = docs.select(id.cast("long").as("doc_id"),
+    // NOTE (r14): snapshotting the input once for the four tier
+    // subplans (localCheckpoint) was MEASURED a wash at best — the
+    // corpus-sized cache write/read costs what the recomputed scans
+    // cost, and it blocks whole-stage pipelining. Recompute-per-tier
+    // stays the shape (and the only one that scales: a 100 TB ablation
+    // cannot cache its corpus).
+    val snap = docs
+    val base = snap.select(id.cast("long").as("doc_id"),
       text.as("__text"), TextFunctions.tokenCount(text).as("__ntok"),
       canonicalUrl.as("__cu"))
     def tier(name: String, rm: DataFrame, docCol: Column,
@@ -1149,7 +1156,7 @@ object Dedup {
           Seq("__cu"))
         .filter(col("doc_id") =!= col("k")),
       col("doc_id"), col("__ntok"))
-    val cr = chunkRows(docs, id, text, chunkTokens)
+    val cr = chunkRows(snap, id, text, chunkTokens)
     val nonKept = cr
       .join(cr.groupBy(col("f")).agg(min(col("packed")).as("p")), Seq("f"))
       .filter(col("packed") =!= col("p"))
@@ -1160,7 +1167,7 @@ object Dedup {
       .select(lit("chunk").as("tier"), col("docs_affected"),
         col("tokens_removed"))
     val span = tier("span",
-      graft.text.CorpusOps.selfDedupSpans(docs, id, text, spanN)
+      graft.text.CorpusOps.selfDedupSpans(snap, id, text, spanN)
         .filter(col("n_dropped") > 0),
       col("doc_id"), col("n_dropped"))
     exact.unionByName(url).unionByName(chunk).unionByName(span)

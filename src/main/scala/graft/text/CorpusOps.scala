@@ -401,12 +401,19 @@ object CorpusOps {
   def selfDedupSpans(docs: DataFrame, id: Column, text: Column,
                      n: Int = 8): DataFrame = {
     require(n >= 2, s"selfDedupSpans: n must be >= 2, got $n")
-    val firsts = packedSpanShingles(docs, id, text, n)
+    // NOTE (r14): materializing the shingle frame once for its two
+    // consumers (localCheckpoint) was MEASURED SLOWER than recomputing
+    // the tokenize+hash pass — the cache write/read of the wide
+    // (doc_id, pos, h, __k) rows costs more than the codegen'd
+    // recompute, and the checkpoint boundary blocks whole-stage
+    // pipelining. Recompute-per-consumer is the faster shape here.
+    val sh = packedSpanShingles(docs, id, text, n)
+    val firsts = sh
       .groupBy(col("h"))
       .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select(col("h"), col("__w"))
-    scrubSelfHits(docs, id, text, firsts, n)
+    scrubSelfHitsFrom(sh, docs, id, text, firsts, n)
   }
 
   /** Positional n-gram shingles of `docs` with the packed
@@ -444,9 +451,18 @@ object CorpusOps {
     * ride the doc_id partitioning ([[scrubSpans]]'s exact shape).
     */
   private[graft] def scrubSelfHits(docs: DataFrame, id: Column, text: Column,
-                                   firsts: DataFrame, n: Int): DataFrame = {
+                                   firsts: DataFrame, n: Int): DataFrame =
+    scrubSelfHitsFrom(packedSpanShingles(docs, id, text, n),
+      docs, id, text, firsts, n)
+
+  /** [[scrubSelfHits]] over an already-built shingle frame — so a
+    * caller that ALSO elected from that frame shares one pass.
+    */
+  private def scrubSelfHitsFrom(sh: DataFrame,
+                                docs: DataFrame, id: Column, text: Column,
+                                firsts: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = packedSpanShingles(docs, id, text, n).join(firsts, Seq("h"))
+    val hits = sh.join(firsts, Seq("h"))
       .filter(col("__k") =!= col("__w"))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
     // islands + scrub: scrubSpans' exact shape over the self-hits
