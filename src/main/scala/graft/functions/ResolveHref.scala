@@ -183,17 +183,41 @@ case class ResolveHref(base: Expression, ref: Expression,
           s"(${base.dataType.simpleString}, ${ref.dataType.simpleString})")
     else TypeCheckResult.TypeCheckSuccess
 
-  protected override def nullSafeEval(b: Any, r: Any): Any =
-    ResolveHrefUtil.resolve(b.asInstanceOf[UTF8String],
-      r.asInstanceOf[UTF8String], allowPathRelative)
+  // NOT nullSafeEval: BinaryExpression null-propagation would null the
+  // result whenever BASE is null, but the rule table resolves a
+  // scheme'd absolute ref WITHOUT consulting the base (the util's
+  // scheme check runs first) — a null page_url must not lose absolute
+  // edges. Only a null REF short-circuits; a null base passes through
+  // to the util, which applies the documented base rules itself.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = ref.eval(input)
+    if (r == null) null
+    else {
+      val b = base.eval(input)
+      ResolveHrefUtil.resolve(
+        if (b == null) null else b.asInstanceOf[UTF8String],
+        r.asInstanceOf[UTF8String], allowPathRelative)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, r) => s"""
-      ${ev.value} = graft.functions.ResolveHrefUtil.resolve($b, $r,
-        $allowPathRelative);
-      if (${ev.value} == null) { ${ev.isNull} = true; }
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bGen = base.genCode(ctx)
+    val rGen = ref.genCode(ctx)
+    ev.copy(code = code"""
+      ${rGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${rGen.isNull}) {
+        ${bGen.code}
+        ${ev.value} = graft.functions.ResolveHrefUtil.resolve(
+          ${bGen.isNull} ? null : ${bGen.value}, ${rGen.value},
+          $allowPathRelative);
+        ${ev.isNull} = (${ev.value} == null);
+      }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

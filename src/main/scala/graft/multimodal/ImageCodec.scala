@@ -389,6 +389,13 @@ object ImageCodec {
           var j = start
           while (j <= fi) {
             val (l, t, fw, fh, disp, _) = meta(j)
+            // hostile-payload guard (the audio decoders' loud-length
+            // rule): a frame rect outside the logical screen would
+            // either index out of bounds or silently WRAP pixels onto
+            // the next canvas row when the flattened index stays legal
+            require(l >= 0 && t >= 0 && l + fw <= sw && t + fh <= sh,
+              s"decodeGifSampled: frame $j rect ($l,$t,${fw}x$fh) outside " +
+                s"the ${sw}x$sh logical screen — refusing a malformed GIF")
             if (disp == "restoreToPrevious") saved = canvas.clone()
             val src = rd.read(j)
             var y = 0

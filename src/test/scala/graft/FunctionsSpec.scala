@@ -819,6 +819,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2L) == "https://s.com/alt")
   }
 
+  test("ResolveHref COLUMN path: a null base keeps absolute edges (no BinaryExpression null-propagation)") {
+    // the util resolves a scheme'd ref BEFORE consulting the base, so
+    // the Column/codegen form must too — a null page_url row loses its
+    // relative edges (no anchor) but NEVER its absolute ones
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (null.asInstanceOf[String], "https://abs.com/x"), // absolute survives
+      (null.asInstanceOf[String], "//cdn.com/z"),       // no scheme to inherit
+      (null.asInstanceOf[String], "/root"),             // no authority
+      (null.asInstanceOf[String], "rel/x"),             // no directory
+      (null.asInstanceOf[String], "mailto:x@y"),        // non-hierarchical
+      ("https://h.com/a/", null.asInstanceOf[String]))  // null ref drops
+      .toDF("base", "ref")
+    val out = df.select(
+        graft.functions.ResolveHref(col("base"), col("ref")).as("r"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(out == Seq("https://abs.com/x", null, null, null, null, null))
+    // interpreted eval path (no codegen) agrees with the util
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = graft.functions.ResolveHref(
+      Literal.create(null, StringType),
+      Literal(UTF8String.fromString("https://abs.com/x"), StringType),
+      allowPathRelative = true)
+    assert(e.eval(null) == UTF8String.fromString("https://abs.com/x"))
+    assert(graft.functions.ResolveHref(
+      Literal.create(null, StringType),
+      Literal.create(null, StringType), allowPathRelative = true)
+      .eval(null) == null)
+  }
+
   test("UnicodeNormalize: NFC collapses decomposed twins and composes singletons") {
     import TestSpark.spark.implicits._
     import graft.functions.UnicodeNormalize

@@ -475,6 +475,32 @@ class MultimodalSpec extends AnyFunSuite {
       codec.decodeGifSampled(gif, _ => Seq(9)))
   }
 
+  test("decodeGifSampled refuses a frame rect outside the logical screen (hostile-payload guard)") {
+    import graft.multimodal.ImageCodec
+    import graft.multimodal.ImageCodec.GifFrame
+    val codec = new ImageCodec.Codec
+    val gif = codec.encodeGrayGifDelta(Seq(
+      GifFrame(0, 0, 8, 6, "doNotDispose", (x, y) => (x + y) % 256)))
+    // walk the container to the first ImageDescriptor (0x2C at a BLOCK
+    // boundary — scanning for the byte would hit gray palette entries)
+    // and push imageLeftPosition past the screen width
+    val bad = gif.clone()
+    var pos = 6 + 7 + 768 // header + LSD + 256-entry GCT
+    while ((bad(pos) & 0xff) == 0x21) { // extension: intro+label+subblocks
+      pos += 2
+      while (bad(pos) != 0) pos += 1 + (bad(pos) & 0xff)
+      pos += 1
+    }
+    assert((bad(pos) & 0xff) == 0x2c, "expected an image separator")
+    bad(pos + 1) = 0xff.toByte // left = 255 (little-endian low byte)
+    bad(pos + 2) = 0x00
+    val e = intercept[IllegalArgumentException](
+      codec.decodeGifSampled(bad, _ => Seq(0)))
+    assert(e.getMessage.contains("outside the 8x6 logical screen"))
+    // the untouched payload still decodes
+    assert(codec.decodeGifSampled(gif, _ => Seq(0))._1 == 1)
+  }
+
   test("per-task decode memo is content-addressed: duplicates in ONE task match isolated decodes; distinct payloads never collide") {
     import graft.multimodal.ImageCodec
     val spark2 = spark
