@@ -1158,19 +1158,20 @@ object LinkGraph {
     }
 
   private def prRound(g: PrGraph, ranks: DataFrame,
-                      dampPermille: Int): DataFrame = {
+                      dampPermille: Int,
+                      truncate: Boolean = true): DataFrame = {
     val base = (1000L - dampPermille) * 1000L
     val contrib = g.ew
       .join(ranks, g.ew("src") === ranks("node"))
       .select(g.ew("dst").as("node"),
         expr("rank_micro div deg").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-    g.nodes.join(contrib, Seq("node"), "left")
+    val next = g.nodes.join(contrib, Seq("node"), "left")
       .select(col("node"),
         (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
           expr(s"($dampPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
           .as("rank_micro"))
-      .localCheckpoint(eager = false)
+    if (truncate) next.localCheckpoint(eager = false) else next
   }
 
   private def pageRankImpl(edges: DataFrame, iters: Int,
@@ -1183,7 +1184,13 @@ object LinkGraph {
       s"pageRank: dampPermille must be in [0, 1000], got $dampPermille")
     val g = prSetup(edges, seeds)
     var ranks = prInit(g, init)
-    for (_ <- 1 to iters) ranks = prRound(g, ranks, dampPermille)
+    // lineage truncation every FOURTH round (and on the last): each
+    // checkpoint is a cache write + read of the rank frame whose only
+    // consumer is the next round — per-round truncation paid that
+    // round-trip 5× per rank call for plans that stay tiny at depth 4
+    for (i <- 1 to iters)
+      ranks = prRound(g, ranks, dampPermille,
+        truncate = i % 4 == 0 || i == iters)
     ranks
   }
 }
