@@ -1381,9 +1381,15 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, source: Column, id: Column, text: Column,
                     shingleN: Int = 3,
                     maxSourceFreq: Option[Int] = None): DataFrame = {
+    // h is a purely INTERNAL distinct-shingle proxy (never surfaced,
+    // unlike the span index's served md5 keys) — xxhash64 keeps the
+    // one corpus shuffle's key at 8 bytes instead of a 32-char hex
+    // string and hashes cheaper (the same choice Spark's runtime
+    // bloom filters make); the oracle counts distinct shingles
+    // through its own proxy, so any injective-in-practice hash agrees
     val sh = TextFunctions.explodedShingles(
         docs, struct(id.as("i"), source.as("s")), text, shingleN)
-      .select(col("doc_id.s").as("source"), md5(col("sh")).as("h"))
+      .select(col("doc_id.s").as("source"), xxhash64(col("sh")).as("h"))
     // ONE corpus-sized shuffle: per-shingle DISTINCT source sets
     // (collect_set dedups inside the aggregate — no separate distinct
     // pass). Every downstream branch (per-source sizes, the pair
