@@ -210,6 +210,7 @@ object PipelineQueries {
 
     ("p06_simhash", (s, d) => {
       Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"), bits = 16)
+        .localCheckpoint(eager = false) // one-shot: the sort samples then re-runs its child
         .orderBy(col("doc_id"))
     }, Some {
       val sums = (0 until 16).map { b =>
@@ -4054,6 +4055,7 @@ object PipelineQueries {
           TextFunctions.htmlExtract(col("html")).as("text"),
           size(TextFunctions.extractHrefs(col("html"))).cast("long")
             .as("n_links"))
+        .localCheckpoint(eager = false) // one-shot: the sort samples then re-runs its child
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, 'Doc ' || doc_id AS title,
@@ -4448,6 +4450,7 @@ object PipelineQueries {
       graft.text.CorpusOps.snippets(Tables.documents(s, d),
           col("doc_id"), col("text"),
           queries = graft.text.CorpusOps.bm25DemoQueries, window = 8)
+        .localCheckpoint(eager = false) // one-shot: the sort samples then re-runs its child
         .orderBy(col("qid"), col("doc_id"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
@@ -7619,9 +7622,14 @@ object PipelineQueries {
     // every resolved URL down from the fixture arithmetic — the
     // resolver is recomputed by hand, never by the engine.
     ("p223_relative_link_harvest", (s, d) => {
+      // the final global sort's range exchange SAMPLES its child for
+      // boundaries and then runs it again to place rows — with the
+      // harvest directly under the sort, the whole regex+resolve
+      // kernel executed twice. Materialize the narrow edge rows once.
       graft.graph.LinkGraph.linkRows(
           relativeHrefPages(Tables.documents(s, d)),
           col("page_url"), col("html"))
+        .localCheckpoint(eager = false)
         .orderBy(col("canonical"))
     }, Some("""
       WITH f AS (SELECT doc_id,
@@ -7950,6 +7958,7 @@ object PipelineQueries {
           Tables.documents(s, d)
             .select(col("doc_id"), sentenceFixtureText.as("text")),
           col("doc_id"), col("text"), maxTokens = 10)
+        .localCheckpoint(eager = false) // one-shot: the sort samples then re-runs its child
         .orderBy(col("doc_id"), col("chunk_idx"))
     }, Some("""
       WITH base AS (SELECT doc_id, CAST(doc_id % 3 + 3 AS BIGINT) AS s,
