@@ -128,9 +128,18 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${Jsons.obj(errors)},"sf":"$sfDir"}"""
+    // The stdout line lands in a log TAIL the driver regex-mines, and
+    // the tail window is ~2 KB: the full 90-query map (~2.5 KB) arrives
+    // front-truncated and parses as nothing, so per-query timings have
+    // been invisible to the driver since the suite outgrew the window.
+    // Print the full line first (human/log record, methodology and
+    // per-query numbers unchanged), then a compact headline line LAST
+    // so a complete JSON object always sits inside the tail window; the
+    // full per-query map stays machine-readable in the sidecar file.
     println(json)
-    // the stdout line lands in a log tail the driver has to regex-mine;
-    // a sidecar file carries the same JSON machine-readably
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}"""
+    println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1381,15 +1381,22 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, source: Column, id: Column, text: Column,
                     shingleN: Int = 3,
                     maxSourceFreq: Option[Int] = None): DataFrame = {
-    // h is a purely INTERNAL distinct-shingle proxy (never surfaced,
-    // unlike the span index's served md5 keys) — xxhash64 keeps the
-    // one corpus shuffle's key at 8 bytes instead of a 32-char hex
-    // string and hashes cheaper (the same choice Spark's runtime
-    // bloom filters make); the oracle counts distinct shingles
-    // through its own proxy, so any injective-in-practice hash agrees
+    // (h1, h2) is a purely INTERNAL distinct-shingle proxy (never
+    // surfaced, unlike the span index's served md5 keys) — two
+    // independently-seeded xxhash64 longs keep the one corpus
+    // shuffle's key at 16 fixed bytes instead of a 32-char hex string
+    // and hash cheaper (the same choice Spark's runtime bloom filters
+    // make per long). ONE long is not enough at scale: the proxy
+    // feeds a distinct-shingle count, and 64-bit birthday collisions
+    // become expected around 2^32 distinct shingles — realistic at
+    // 100 TB — each silently undercounting overlap by one. The
+    // 128-bit pair puts collisions back at md5's unreachable odds;
+    // the oracle counts distinct shingles through its own proxy, so
+    // any collision-free-in-practice key agrees.
     val sh = TextFunctions.explodedShingles(
         docs, struct(id.as("i"), source.as("s")), text, shingleN)
-      .select(col("doc_id.s").as("source"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id.s").as("source"), xxhash64(col("sh")).as("h1"),
+        xxhash64(lit("graft:sourceOverlap:salt"), col("sh")).as("h2"))
     // ONE corpus-sized shuffle: per-shingle DISTINCT source sets
     // (collect_set dedups inside the aggregate — no separate distinct
     // pass). Every downstream branch (per-source sizes, the pair
@@ -1397,7 +1404,7 @@ object Dedup {
     // scan+shingle exchange is planned once and REUSED, not recomputed
     // per branch — the derived aggregates shuffle only (source|pair,
     // count) rows.
-    val buckets = sh.groupBy(col("h"))
+    val buckets = sh.groupBy(col("h1"), col("h2"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
     val kept = maxSourceFreq match {
       case None => buckets

@@ -38,7 +38,11 @@ object Aggregators {
     * shuffle of 64× the rows with a dim-sized buffer per partition.
     * Order-insensitive merge (min/max are commutative), so results are
     * deterministic under any shuffle order — and exactly equal to the
-    * exploded form's min/max per dim.
+    * exploded form's min/max per dim, INCLUDING NaN components: the
+    * fold orders NaN as the largest double (java.lang.Double.compare,
+    * Spark's min/max aggregate ordering), so a NaN never becomes a
+    * dim's lo while any non-NaN value exists — math.min/max would
+    * propagate one NaN into both bounds and silently poison the model.
     */
   object VecMinMax extends Aggregator[Seq[Double], VecMinMaxBuf, VecMinMaxBuf] {
     private def fold(b: VecMinMaxBuf, lo2: Seq[Double],
@@ -51,8 +55,10 @@ object Aggregators {
         val hi = new Array[Double](b.lo.length)
         var i = 0
         while (i < lo.length) {
-          lo(i) = math.min(b.lo(i), lo2(i))
-          hi(i) = math.max(b.hi(i), hi2(i))
+          lo(i) = if (java.lang.Double.compare(lo2(i), b.lo(i)) < 0) lo2(i)
+            else b.lo(i)
+          hi(i) = if (java.lang.Double.compare(hi2(i), b.hi(i)) > 0) hi2(i)
+            else b.hi(i)
           i += 1
         }
         VecMinMaxBuf(lo.toSeq, hi.toSeq)

@@ -18,13 +18,21 @@ import org.apache.spark.sql.types._
   * plain JVM references, riding inside whole-stage codegen like
   * [[PackU8]].
   *
-  * ARITHMETIC IS BIT-IDENTICAL to the transform forms (pinned by
-  * SimilaritySpec's reconstruction-equals-direct-dequant test and the
-  * shared p218/p225/p228 oracles): the same IEEE-754 double ops in the
-  * same order — `lo + floor((x−lo)·255/(hi−lo)+0.5)·(hi−lo)/255`, the
-  * degenerate hi=lo dimension serving its constant, encode clamping to
-  * the boundary code only when asked (appends), never silently
-  * wrapping.
+  * ARITHMETIC IS BIT-IDENTICAL to the transform forms FOR FINITE
+  * INPUTS (pinned by SimilaritySpec's reconstruction-equals-direct-
+  * dequant test and the shared p218/p225/p228 oracles): the same
+  * IEEE-754 double ops in the same order —
+  * `lo + floor((x−lo)·255/(hi−lo)+0.5)·(hi−lo)/255`, the degenerate
+  * hi=lo dimension serving its constant, encode clamping to the
+  * boundary code only when asked (appends), never silently wrapping.
+  * NaN components are handled EXPLICITLY (Java comparisons are all
+  * false on NaN, so without this the clamp would pass NaN through and
+  * `Math.floor(NaN).toInt` would mint code 0 without tripping the
+  * byte-wrap guard): clamped encodes map NaN to the hi boundary — the
+  * replaced least/greatest Column form's behavior, since Spark orders
+  * NaN as the largest double — unclamped encodes refuse it loudly, and
+  * [[Sq8CodecUtil.outOfRange]] counts it as out of range (matching the
+  * replaced `x < lo OR x > hi` predicate under Spark's NaN ordering).
   *
   * The model rides the EXPRESSION, not child literals: (lo, hi) are
   * dim-sized driver arrays (the bounded-model rule), referenced once
@@ -98,8 +106,14 @@ object Sq8CodecUtil {
         if (h == l) 0
         else {
           val xd = elemAt(vec, et, i)
-          val xc = if (clamp) { if (xd < l) l else if (xd > h) h else xd }
-            else xd
+          if (xd.isNaN && !clamp) throw new IllegalArgumentException(
+            s"sq8_encode: NaN component at dim $i — refusing a silent code " +
+              "(clamped appends map NaN to the hi boundary)")
+          // NaN clamps to hi: Spark's least/greatest (the replaced
+          // Column form) order NaN as the largest double
+          val xc = if (clamp) {
+            if (xd.isNaN || xd > h) h else if (xd < l) l else xd
+          } else xd
           Math.floor((xc - l) * 255.0 / (h - l) + 0.5).toInt
         }
       if (code < 0 || code > 255) throw new IllegalArgumentException(
@@ -124,7 +138,10 @@ object Sq8CodecUtil {
     var i = 0
     while (i < n) {
       val x = elemAt(vec, et, i)
-      if (x < lo(i) || x > hi(i)) c += 1L
+      // NaN is out of range: Spark's `x < lo OR x > hi` (the replaced
+      // predicate) is TRUE for NaN under its NaN-largest ordering,
+      // while Java's comparisons are all false — count it explicitly
+      if (x.isNaN || x < lo(i) || x > hi(i)) c += 1L
       i += 1
     }
     c
@@ -142,17 +159,25 @@ private[functions] trait Sq8VecInput { self: UnaryExpression =>
 }
 
 /** raw vector → quantize-then-reconstruct doubles against (lo, hi). */
-case class Sq8RoundTrip(child: Expression, lo: Array[Double], hi: Array[Double])
+case class Sq8RoundTrip(child: Expression, lo: IndexedSeq[Double],
+                        hi: IndexedSeq[Double])
     extends UnaryExpression with Sq8VecInput {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq8_round_trip"
 
+  // IndexedSeq params give the case class structural equality (plan
+  // canonicalization / subexpression elimination / exchange reuse all
+  // compare expressions; Array params made every instance unique);
+  // the kernels run over these one-time Array views
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val hiArr: Array[Double] = hi.toArray
+
   protected override def nullSafeEval(input: Any): Any =
-    Sq8CodecUtil.roundTrip(input.asInstanceOf[ArrayData], elemType, lo, hi)
+    Sq8CodecUtil.roundTrip(input.asInstanceOf[ArrayData], elemType, loArr, hiArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
-    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
     val etRef = ctx.addReferenceObj("et", elemType,
       "org.apache.spark.sql.types.DataType")
     defineCodeGen(ctx, ev, c =>
@@ -163,10 +188,18 @@ case class Sq8RoundTrip(child: Expression, lo: Array[Double], hi: Array[Double])
 }
 
 /** packed binary codes → reconstructed doubles against (lo, hi). */
-case class Sq8Decode(child: Expression, lo: Array[Double], hi: Array[Double])
+case class Sq8Decode(child: Expression, lo: IndexedSeq[Double],
+                     hi: IndexedSeq[Double])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq8_decode"
+
+  // IndexedSeq params give the case class structural equality (plan
+  // canonicalization / subexpression elimination / exchange reuse all
+  // compare expressions; Array params made every instance unique);
+  // the kernels run over these one-time Array views
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val hiArr: Array[Double] = hi.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -175,11 +208,11 @@ case class Sq8Decode(child: Expression, lo: Array[Double], hi: Array[Double])
   }
 
   protected override def nullSafeEval(input: Any): Any =
-    Sq8CodecUtil.decode(input.asInstanceOf[Array[Byte]], lo, hi)
+    Sq8CodecUtil.decode(input.asInstanceOf[Array[Byte]], loArr, hiArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
-    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Sq8CodecUtil.decode($c, $loRef, $hiRef)")
   }
@@ -188,18 +221,25 @@ case class Sq8Decode(child: Expression, lo: Array[Double], hi: Array[Double])
 }
 
 /** raw vector → packed u8 codes (fused quantize + pack). */
-case class Sq8Encode(child: Expression, lo: Array[Double], hi: Array[Double],
-                     clamp: Boolean)
+case class Sq8Encode(child: Expression, lo: IndexedSeq[Double],
+                     hi: IndexedSeq[Double], clamp: Boolean)
     extends UnaryExpression with Sq8VecInput {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq8_encode"
 
+  // IndexedSeq params give the case class structural equality (plan
+  // canonicalization / subexpression elimination / exchange reuse all
+  // compare expressions; Array params made every instance unique);
+  // the kernels run over these one-time Array views
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val hiArr: Array[Double] = hi.toArray
+
   protected override def nullSafeEval(input: Any): Any =
-    Sq8CodecUtil.encode(input.asInstanceOf[ArrayData], elemType, lo, hi, clamp)
+    Sq8CodecUtil.encode(input.asInstanceOf[ArrayData], elemType, loArr, hiArr, clamp)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
-    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
     val etRef = ctx.addReferenceObj("et", elemType,
       "org.apache.spark.sql.types.DataType")
     defineCodeGen(ctx, ev, c =>
@@ -212,17 +252,25 @@ case class Sq8Encode(child: Expression, lo: Array[Double], hi: Array[Double],
 /** raw vector → count of out-of-model-range components (clamp
   * accounting for appends).
   */
-case class Sq8OutOfRange(child: Expression, lo: Array[Double], hi: Array[Double])
+case class Sq8OutOfRange(child: Expression, lo: IndexedSeq[Double],
+                         hi: IndexedSeq[Double])
     extends UnaryExpression with Sq8VecInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "sq8_out_of_range"
 
+  // IndexedSeq params give the case class structural equality (plan
+  // canonicalization / subexpression elimination / exchange reuse all
+  // compare expressions; Array params made every instance unique);
+  // the kernels run over these one-time Array views
+  private lazy val loArr: Array[Double] = lo.toArray
+  private lazy val hiArr: Array[Double] = hi.toArray
+
   protected override def nullSafeEval(input: Any): Any =
-    Sq8CodecUtil.outOfRange(input.asInstanceOf[ArrayData], elemType, lo, hi)
+    Sq8CodecUtil.outOfRange(input.asInstanceOf[ArrayData], elemType, loArr, hiArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val loRef = ctx.addReferenceObj("lo", lo, "double[]")
-    val hiRef = ctx.addReferenceObj("hi", hi, "double[]")
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
     val etRef = ctx.addReferenceObj("et", elemType,
       "org.apache.spark.sql.types.DataType")
     defineCodeGen(ctx, ev, c =>
@@ -234,12 +282,16 @@ case class Sq8OutOfRange(child: Expression, lo: Array[Double], hi: Array[Double]
 
 object Sq8Codec {
   def roundTrip(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec), lo, hi))
+    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec),
+      lo.toIndexedSeq, hi.toIndexedSeq))
   def decode(codes: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8Decode(ColumnBridge.expression(codes), lo, hi))
+    ColumnBridge.column(Sq8Decode(ColumnBridge.expression(codes),
+      lo.toIndexedSeq, hi.toIndexedSeq))
   def encode(vec: Column, lo: Array[Double], hi: Array[Double],
              clamp: Boolean): Column =
-    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), lo, hi, clamp))
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec),
+      lo.toIndexedSeq, hi.toIndexedSeq, clamp))
   def outOfRange(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8OutOfRange(ColumnBridge.expression(vec), lo, hi))
+    ColumnBridge.column(Sq8OutOfRange(ColumnBridge.expression(vec),
+      lo.toIndexedSeq, hi.toIndexedSeq))
 }

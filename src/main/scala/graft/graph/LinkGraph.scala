@@ -1158,8 +1158,7 @@ object LinkGraph {
     }
 
   private def prRound(g: PrGraph, ranks: DataFrame,
-                      dampPermille: Int,
-                      truncate: Boolean = true): DataFrame = {
+                      dampPermille: Int): DataFrame = {
     val base = (1000L - dampPermille) * 1000L
     val contrib = g.ew
       .join(ranks, g.ew("src") === ranks("node"))
@@ -1171,7 +1170,12 @@ object LinkGraph {
         (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
           expr(s"($dampPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
           .as("rank_micro"))
-    if (truncate) next.localCheckpoint(eager = false) else next
+    // per-round lineage truncation: the every-4th-round experiment
+    // (r14) measured SLOWER on the driver's conditions (+29%) and the
+    // r15 A/B confirmed every-round is the faster cadence (min-of-6
+    // 1.89 s vs 2.03-2.06 s) — 4-deep un-truncated plans re-plan per
+    // AQE round and cost more than the cache round-trip they save
+    next.localCheckpoint(eager = false)
   }
 
   private def pageRankImpl(edges: DataFrame, iters: Int,
@@ -1184,13 +1188,8 @@ object LinkGraph {
       s"pageRank: dampPermille must be in [0, 1000], got $dampPermille")
     val g = prSetup(edges, seeds)
     var ranks = prInit(g, init)
-    // lineage truncation every FOURTH round (and on the last): each
-    // checkpoint is a cache write + read of the rank frame whose only
-    // consumer is the next round — per-round truncation paid that
-    // round-trip 5× per rank call for plans that stay tiny at depth 4
-    for (i <- 1 to iters)
-      ranks = prRound(g, ranks, dampPermille,
-        truncate = i % 4 == 0 || i == iters)
+    for (_ <- 1 to iters)
+      ranks = prRound(g, ranks, dampPermille)
     ranks
   }
 }

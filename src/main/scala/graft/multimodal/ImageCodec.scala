@@ -35,7 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object ImageCodec {
 
-  /** One decoded gray image: row-major pixels, 0..255. */
+  /** One decoded gray image: row-major pixels, 0..255.
+    *
+    * READ-ONLY CONTRACT on `pixels`: [[Codec.decodeGray]] may return a
+    * memoized instance shared by every byte-identical payload decoded
+    * in the same task, so callers must never mutate the array — a
+    * mutation would corrupt the decode of later duplicates. All current
+    * callers (decodeMeta, luminanceHistogram, resizeNearest, aHash64,
+    * the GIF sampler) only read; a future transform that wants to write
+    * must copy `pixels` first.
+    */
   final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
 
   /** One PARTIAL frame of a delta-coded GIF: a `fw`×`fh` rect drawn

@@ -16,23 +16,25 @@ object MiniBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_MINI_REPS", "3").toInt
-    // config experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    // config experiments: SPARK_GRAFT_MINI_CONF="k=v;k=v" — applied
+    // LAST so an experiment on a key the harness also sets (e.g.
+    // spark.sql.adaptive.enabled=false) wins over the defaults
     val extra = sys.env.getOrElse("SPARK_GRAFT_MINI_CONF", "")
       .split(";").filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
     val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)) {
-        case (b, (k, v)) => b.config(k, v)
-      }
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.files.maxPartitionBytes", (512L << 10).toString)
-      .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
+      .config("spark.sql.files.openCostInBytes", (64L << 10).toString)) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
