@@ -1128,49 +1128,134 @@ object Dedup {
                     canonicalUrl: Column, chunkTokens: Int = 8,
                     spanN: Int = 8): DataFrame = {
     import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
     // NOTE (r14): snapshotting the input once for the four tier
     // subplans (localCheckpoint) was MEASURED a wash at best — the
     // corpus-sized cache write/read costs what the recomputed scans
-    // cost, and it blocks whole-stage pipelining. Recompute-per-tier
-    // stays the shape (and the only one that scales: a 100 TB ablation
-    // cannot cache its corpus).
-    val snap = docs
-    val base = snap.select(id.cast("long").as("doc_id"),
-      text.as("__text"), TextFunctions.tokenCount(text).as("__ntok"),
-      canonicalUrl.as("__cu"))
-    def tier(name: String, rm: DataFrame, docCol: Column,
-             tokCol: Column): DataFrame =
-      rm.agg(
-          coalesce(count(docCol), lit(0L)).as("docs_affected"),
-          coalesce(sum(tokCol), lit(0L)).as("tokens_removed"))
-        .select(lit(name).as("tier"), col("docs_affected"),
-          col("tokens_removed"))
-    val fp = base.select(col("doc_id"), col("__ntok"),
-      TextFunctions.fingerprint(col("__text")).as("f"))
-    val exact = tier("exact",
-      fp.join(fp.groupBy(col("f")).agg(min(col("doc_id")).as("k")), Seq("f"))
-        .filter(col("doc_id") =!= col("k")),
-      col("doc_id"), col("__ntok"))
-    val url = tier("url",
-      base.join(base.groupBy(col("__cu")).agg(min(col("doc_id")).as("k")),
-          Seq("__cu"))
-        .filter(col("doc_id") =!= col("k")),
-      col("doc_id"), col("__ntok"))
-    val cr = chunkRows(snap, id, text, chunkTokens)
-    val nonKept = cr
-      .join(cr.groupBy(col("f")).agg(min(col("packed")).as("p")), Seq("f"))
-      .filter(col("packed") =!= col("p"))
-    val chunk = nonKept
+    // cost, and it blocks whole-stage pipelining. The r15 restructure
+    // shares the pass a different way (and the only one that scales —
+    // a 100 TB ablation cannot cache its corpus): every tier's
+    // election is "first occurrence by packed key wins within a
+    // duplicate group", so ONE unified (tier, key, election-key,
+    // weight) frame feeds all four tiers through ONE hash exchange.
+    // The old shape ran each tier as its own groupBy + join-back over
+    // its own scans — 9 corpus passes (18 scan nodes) for 4 tiers.
+    // Here: one doc-grain pass (fingerprint + canonical URL + fixed
+    // chunks — the chunkRows expressions inline over one tokens
+    // array) unioned with one shingle pass (packedSpanShingles' own
+    // window-lead shape), repartitioned by (tier, key) ONCE; the
+    // exact/url tiers reduce to pure per-key aggregates (count-1
+    // losers, sum minus the winner's weight — no join-back at all),
+    // and the chunk/span tiers mark losers with a window min over the
+    // SAME reused exchange. Loser rows are duplicate-mass-sized, so
+    // everything after the one exchange is small.
+    val ch = chunkTokens
+    val doc = docs.select(id.cast("long").as("doc_id"),
+        TextFunctions.fingerprint(text).as("__f"),
+        canonicalUrl.as("__cu"), TextFunctions.tokens(text).as("t"))
+      .withColumn("__ntok", size(col("t")).cast("long"))
+      // per-chunk structs via chunkRows' exact expressions: 1-based
+      // sequence index i → 0-based chunk idx (posexplode parity)
+      .withColumn("__chunks", when(size(col("t")) >= 1, expr(
+        s"""transform(sequence(1, cast((size(t) + ${ch - 1}) div $ch as int)),
+            i -> named_struct(
+              'key', md5(cast(array_join(slice(t, (i - 1) * $ch + 1, $ch), ' ') as binary)),
+              'idx', cast(i - 1 as bigint),
+              'w', cast(size(filter(split(array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '), '\\\\s+'), x -> x != '')) as bigint)))"""))
+        .otherwise(expr("array()").cast(
+          "array<struct<key:string,idx:bigint,w:bigint>>")))
+    // the chunkRows packed-position contract, verbatim (loud bounds)
+    def packed(idx: Column): Column =
+      when(col("doc_id").isNull, lit(null).cast("long"))
+        .when(idx < lit(1L << 20) &&
+            col("doc_id").between(0L, (1L << 43) - 1),
+          col("doc_id") * lit(1L << 20) + idx)
+        .otherwise(raise_error(concat(
+          lit("chunkRows: packed-position bounds exceeded (doc_id "),
+          coalesce(col("doc_id").cast("string"), lit("null")),
+          lit(", chunk idx "), idx.cast("string"),
+          lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
+          .cast("long"))
+    // doc-grain rows: one 'e' + one 'u' element per doc, plus chunks.
+    // `pos` is NULL on every non-span row — the span branch selects on
+    // pos.isNotNull (NOT on kind) because kind is the shared window's
+    // partition column: a kind predicate would push below the window
+    // and the repartition, specializing each consumer's union branches
+    // and killing the exchange reuse this shape exists for.
+    val docKeys = doc.select(col("doc_id"), col("__ntok"), explode(concat(
+        expr("array(named_struct('kind', 'e', 'key', __f, 'idx', cast(0 as bigint), 'w', __ntok), " +
+          "named_struct('kind', 'u', 'key', __cu, 'idx', cast(0 as bigint), 'w', __ntok))"),
+        expr("transform(__chunks, c -> named_struct('kind', 'c', 'key', c.key, 'idx', c.idx, 'w', c.w))")))
+        .as("kv"))
+      .select(col("kv.kind").as("kind"), col("kv.key").as("key"),
+        when(col("kv.kind") === "c", packed(col("kv.idx")))
+          .otherwise(col("doc_id")).as("pk"),
+        col("kv.w").as("w"), col("doc_id"),
+        lit(null).cast("long").as("pos"))
+    // shingle-grain rows: the selfDedupSpans building block unchanged
+    val spanKeys = graft.text.CorpusOps
+      .packedSpanShingles(docs, id, text, spanN)
+      .select(lit("s").as("kind"), col("h").as("key"),
+        col("__k").as("pk"), lit(0L).as("w"), col("doc_id"),
+        col("pos").cast("long").as("pos"))
+    // THE one corpus exchange. Its two consumers (the scalar-tier
+    // aggregate and the span island pass) filter only on window
+    // outputs / non-partition columns, so both plan the IDENTICAL
+    // exchange subtree and ReuseExchange runs the scan+explode once.
+    val keyed = docKeys.unionByName(spanKeys)
+      .filter(col("pk").isNotNull && col("key").isNotNull)
+      .repartition(col("kind"), col("key"))
+    val wk = Window.partitionBy(col("kind"), col("key"))
+    // one-shot materialization of the LOSER rows for the two consumers
+    // below (the scalar aggregate and the span island pass): without
+    // it each consumer re-plans the scan+explode+exchange+window, and
+    // column pruning specializes the two copies (one needs `pos`, one
+    // does not) so even ReuseExchange cannot dedup them. The frame is
+    // duplicate-OCCURRENCE-sized — the report's own evidence mass,
+    // never the corpus: a loser row exists only where a key repeats.
+    val losers = keyed
+      .withColumn("__min_pk", min(col("pk")).over(wk))
+      .filter(col("pk") =!= col("__min_pk"))
+      .localCheckpoint(eager = false)
+    // exact / url / chunk in ONE conditional aggregate over all loser
+    // rows (span rows fall through every `when`): losers are exactly
+    // the old join-back non-keepers — n-1 rows per key, their own w
+    val scalarTiers = losers.agg(
+        coalesce(sum(when(col("kind") === "e", 1L)), lit(0L)).as("__ed"),
+        coalesce(sum(when(col("kind") === "e", col("w"))), lit(0L)).as("__et"),
+        coalesce(sum(when(col("kind") === "u", 1L)), lit(0L)).as("__ud"),
+        coalesce(sum(when(col("kind") === "u", col("w"))), lit(0L)).as("__ut"),
+        coalesce(count_distinct(when(col("kind") === "c", col("doc_id"))),
+          lit(0L)).as("__cd"),
+        coalesce(sum(when(col("kind") === "c", col("w"))), lit(0L)).as("__ct"))
+      .select(explode(expr(
+        """array(named_struct('tier', 'exact', 'docs_affected', __ed, 'tokens_removed', __et),
+                 named_struct('tier', 'url', 'docs_affected', __ud, 'tokens_removed', __ut),
+                 named_struct('tier', 'chunk', 'docs_affected', __cd, 'tokens_removed', __ct))"""))
+        .as("r"))
+      .select(col("r.tier").as("tier"), col("r.docs_affected"),
+        col("r.tokens_removed"))
+    // span islands: merged covered extents per doc (scrubSelfHits'
+    // exact merge rule), covered-token total = Σ island lengths
+    // (islands are disjoint by the pos > prev_end + 1 split rule)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wd.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = losers.filter(col("pos").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(spanN - 1)).as("end"))
+      .withColumn("__prev_end", max(col("end")).over(wPrev))
+      .withColumn("__new_span",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__span_id", sum(col("__new_span")).over(wd))
+      .groupBy(col("doc_id"), col("__span_id"))
+      .agg((max(col("end")) - min(col("pos")) + 1).as("__len"))
+    val span = islands
       .agg(coalesce(count_distinct(col("doc_id")), lit(0L)).as("docs_affected"),
-        coalesce(sum(size(TextFunctions.tokens(col("chunk"))).cast("long")),
-          lit(0L)).as("tokens_removed"))
-      .select(lit("chunk").as("tier"), col("docs_affected"),
+        coalesce(sum(col("__len")), lit(0L)).as("tokens_removed"))
+      .select(lit("span").as("tier"), col("docs_affected"),
         col("tokens_removed"))
-    val span = tier("span",
-      graft.text.CorpusOps.selfDedupSpans(snap, id, text, spanN)
-        .filter(col("n_dropped") > 0),
-      col("doc_id"), col("n_dropped"))
-    exact.unionByName(url).unionByName(chunk).unionByName(span)
+    scalarTiers.unionByName(span)
   }
 
   /** LSH recall S-curve — "measure, don't guess" for the DEDUP stack

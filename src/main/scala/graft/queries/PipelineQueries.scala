@@ -6049,13 +6049,19 @@ object PipelineQueries {
       // (index build, segment cut, tombstone derivation, the fetch's
       // prune collect AND its join) — checkpoint the FILE-cardinality
       // frames (8 rows each; the "sub-corpus-cardinality only" rule)
-      // so the per-file assembly aggregation runs once, not five times
-      val w1 = warcFixtureFrom(docs.filter(col("doc_id") % 5 =!= 0))
+      // so the per-file assembly aggregation runs once, not five times.
+      // ONE checkpoint for all three fetch batches (disjoint file_id
+      // ranges tell them apart): three eager checkpoints paid three
+      // jobs' planning/commit latency to materialize 24 rows
+      val wAll = warcFixtureFrom(docs.filter(col("doc_id") % 5 =!= 0))
+        .unionByName(warcFixtureFrom(docs.filter(col("doc_id") % 5 === 0),
+          fileBase = 8L))
+        .unionByName(warcFixtureFrom(docs.filter(col("doc_id") % 10 === 0),
+          fileBase = 16L))
         .localCheckpoint()
-      val w2 = warcFixtureFrom(docs.filter(col("doc_id") % 5 === 0),
-        fileBase = 8L).localCheckpoint()
-      val w3 = warcFixtureFrom(docs.filter(col("doc_id") % 10 === 0),
-        fileBase = 16L).localCheckpoint()
+      val w1 = wAll.filter(col("file_id") < 8L)
+      val w2 = wAll.filter(col("file_id") >= 8L && col("file_id") < 16L)
+      val w3 = wAll.filter(col("file_id") >= 16L)
       def cdxOf(w: DataFrame) = Warc.cdxIndex(
         Warc.parseWarc(w, col("file_id"), col("payload")))
       val dir = graft.sources.Sinks.tempArtifactDir("cdx_lsm")
@@ -6069,7 +6075,9 @@ object PipelineQueries {
         .filter(col("is_revisit"))
         .select(col("file_id"), col("offset"))
       Warc.compactCdxShards(dir, seg3, tombstones = Some(tomb))
-      val shards = s.read.parquet(dir)
+      // layout schema is fixed by the write contract: read it given,
+      // not inferred (skips the per-open driver footer pass)
+      val shards = Warc.readCdxShards(s, dir, seg3.schema)
       val cluster = Warc.cdxClusterIndex(shards)
       val panel = docs.filter(col("doc_id") % 97 === 0)
         .select(concat(lit("https://www.src"),
@@ -6084,8 +6092,7 @@ object PipelineQueries {
         .collect().map(_.getInt(0)).sorted
       val hits = shards.filter(col("shard").isin(ids: _*))
         .join(broadcast(assigned), Seq("shard", "surt_key"))
-      val files = w1.unionByName(w2).unionByName(w3)
-      Warc.fetchRecords(files, col("file_id"), col("payload"),
+      Warc.fetchRecords(wAll, col("file_id"), col("payload"),
           hits.select(col("file_id"), col("record_idx"), col("offset"),
             col("record_bytes")))
         .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
@@ -7008,9 +7015,11 @@ object PipelineQueries {
       Warc.compactCdxShards(dir, cdx.filter(lit(false)),
         tombstones = Some(cdx.filter(did % 20 >= 10 && did % 5 =!= 0)
           .select(col("file_id"), col("offset"))))
-      val total = s.read.parquet(dir).count()
+      val total = Warc.readCdxShards(s, dir, cdx.schema).count()
       Warc.coalesceCdxShards(dir, minRows = math.max(2L, total / 12))
-      val shards = s.read.parquet(dir)
+      // layout schema is fixed by the write contract: read it given,
+      // not inferred (skips the per-open driver footer pass)
+      val shards = Warc.readCdxShards(s, dir, cdx.schema)
       val cluster = Warc.cdxClusterIndex(shards)
       val panel = docs
         .filter(col("doc_id") % 43 === 0 && col("doc_id") % 20 < 10)
@@ -8026,16 +8035,18 @@ object PipelineQueries {
       val dir = graft.sources.Sinks.tempArtifactDir("cdx_history")
       Warc.writeCdxShards(cdx.filter(did % 2 === 0), dir, numShards = 8)
       Warc.compactCdxShards(dir, cdx.filter(did % 2 === 1))
-      val hottest = s.read.parquet(dir).groupBy(col("shard"))
+      val hottest = Warc.readCdxShards(s, dir, cdx.schema).groupBy(col("shard"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("shard")).collect().head.getInt(0)
       Warc.splitCdxShard(dir, hottest, n = 3)
       Warc.compactCdxShards(dir, cdx.filter(lit(false)),
         tombstones = Some(cdx.filter(did % 20 >= 10 && did % 5 =!= 0)
           .select(col("file_id"), col("offset"))))
-      val total = s.read.parquet(dir).count()
+      val total = Warc.readCdxShards(s, dir, cdx.schema).count()
       Warc.coalesceCdxShards(dir, minRows = math.max(2L, total / 10))
-      val shards = s.read.parquet(dir)
+      // layout schema is fixed by the write contract: read it given,
+      // not inferred (skips the per-open driver footer pass)
+      val shards = Warc.readCdxShards(s, dir, cdx.schema)
       val cluster = Warc.cdxClusterIndex(shards)
       val panel = docs.filter(col("doc_id") % 37 === 0 &&
           (col("doc_id") % 20 < 10 || col("doc_id") % 5 === 0))

@@ -585,6 +585,18 @@ object Warc {
   def cdxClusterIndex(shards: DataFrame): DataFrame =
     shards.groupBy(col("shard")).agg(min(col("surt_key")).as("first_key"))
 
+  /** Read a [[writeCdxShards]] layout with its schema GIVEN (the index
+    * row schema plus the `shard` partition column) instead of inferred:
+    * the layout's schema is fixed by the write contract, and inference
+    * re-reads parquet footers on the driver per open — pure per-action
+    * driver latency for a lifecycle that opens the layout several
+    * times between maintenance steps.
+    */
+  def readCdxShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    indexSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(indexSchema.add("shard",
+        org.apache.spark.sql.types.IntegerType)).parquet(dir)
+
   /** Route lookup keys to their shard: the sorted (first_key, shard)
     * array rides a one-row broadcast (the documented broadcast-scalar
     * pattern — the cluster index is shard-count-sized by
@@ -651,7 +663,9 @@ object Warc {
   def compactCdxShards(dir: String, segments: DataFrame,
                        tombstones: Option[DataFrame] = None): Unit = {
     val spark = segments.sparkSession
-    val current = spark.read.parquet(dir)
+    // the layout's schema is the segment schema + shard by the write
+    // contract — read it GIVEN rather than inferred (no footer pass)
+    val current = readCdxShards(spark, dir, segments.schema)
     require(current.columns.contains("shard"),
       s"compactCdxShards: $dir is not a writeCdxShards layout (no shard column)")
     val cluster = cdxClusterIndex(current)
@@ -661,22 +675,21 @@ object Warc {
     // projection) runs once, not once per consumer
     val assigned = assignShards(segments, col("surt_key"), cluster,
       clampFloor = true).localCheckpoint(eager = false)
-    // both collects are config-sized: shard ids, bounded by the layout's
-    // shard count
-    val segShards = assigned.select(col("shard")).distinct()
-      .collect().map(_.getInt(0))
-    // the tombstone ledger is likewise consumed twice (the affected-
-    // shard probe and the merge anti-join) and takedown-batch-sized by
-    // contract — its plan (often a revisit election over an index
-    // union) runs once
+    // the tombstone ledger is consumed twice (the affected-shard probe
+    // and the merge anti-join) and takedown-batch-sized by contract —
+    // its plan (often a revisit election over an index union) runs once
     val tombKeys = tombstones.map(
       _.select(col("file_id"), col("offset")).distinct()
         .localCheckpoint(eager = false))
-    val tombShards = tombKeys.map { t =>
-      current.join(broadcast(t), Seq("file_id", "offset"))
-        .select(col("shard")).distinct().collect().map(_.getInt(0))
-    }.getOrElse(Array.empty[Int])
-    val affected = (segShards ++ tombShards).distinct.sorted
+    // ONE config-sized collect (shard ids, bounded by the layout's
+    // shard count) covering both the segment routes and the tombstone
+    // probe: two separate collects paid a second job's planning/commit
+    // latency for rows that union into the same driver array anyway
+    val segShardIds = assigned.select(col("shard"))
+    val affected = tombKeys.fold(segShardIds) { t =>
+      segShardIds.unionByName(current.join(broadcast(t),
+        Seq("file_id", "offset")).select(col("shard")))
+    }.distinct().collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return
     val cols = current.columns.map(col)
     val keep = current.filter(col("shard").isin(affected.map(Int.box): _*))
