@@ -488,11 +488,19 @@ object Extended {
     // single task. Sessionization itself is one user_id exchange.
     ("q96_peak_concurrency", (s, d) => {
       import graft.operators.{Sessionize, Sweep}
+      // one-shot: the sweep consumes the session frame twice (the
+      // day-totals collect and the endpoint window) and each copy
+      // re-ran the sessionize window over the full event stream —
+      // materialize the (user, session, st, en) rows once. Trade
+      // named: the frame is session-cardinality (sub-event but
+      // corpus-order at 100 TB) and a localCheckpoint is
+      // non-replayable on executor loss.
       val sess = Sessionize.byGap(Tables.events(s, d),
           Seq(col("user_id")), col("ts"), col("event_id"),
           gapMicros = 1800000000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .localCheckpoint(eager = false)
       Sweep.concurrency(sess, col("st"), col("en"), col("user_id"))
         .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
           .as("hour_idx"))

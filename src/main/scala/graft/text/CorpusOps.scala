@@ -902,13 +902,18 @@ object CorpusOps {
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val spark = docs.sparkSession
     import spark.implicits._
     val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
+    // df rides a per-term window over the ONE (doc, term) aggregate —
+    // the old dfreq groupBy + broadcast join-back re-evaluated the
+    // whole corpus explode for the broadcast side (column pruning
+    // specializes the copy, so ReuseExchange never deduplicates it);
+    // the window's exchange is query-vocab-filtered rows only
     val contrib = tf
-      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
@@ -958,8 +963,10 @@ object CorpusOps {
     * checkpointed or cached: a pinned doc-cardinality frame (the old
     * `lens.localCheckpoint`) costs executor memory/disk at corpus
     * scale and is not fault-tolerant — two pruned scans beat it at
-    * 100 TB, and the shared (doc, term) aggregate is deduplicated by
-    * ReuseExchange, not by pinning. Rule of thumb this codifies:
+    * 100 TB, and df rides a per-term WINDOW over the one (doc, term)
+    * aggregate (a dfreq broadcast join-back re-evaluated the whole
+    * subtree: column pruning specializes the broadcast's copy, so
+    * ReuseExchange never deduplicates it). Rule of thumb this codifies:
     * checkpoint only sub-corpus-cardinality frames (see
     * [[graft.graph.LinkGraph]] — domain-cardinality rank iterates are
     * fine; corpus-cardinality projections are not).
@@ -1009,15 +1016,19 @@ object CorpusOps {
     val cmb = raw.groupBy(col("doc_id"), col("term"))
       .agg(sum(col("tfb")).as("tfb"), sum(col("tfa")).as("tfa"),
         max(col("dlb")).as("dlb"), max(col("fk")).as("fk"))
-    val dfreq = cmb.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val spark = docs.sparkSession
     import spark.implicits._
     val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
+    // df via a per-term window over the ONE (doc, term) aggregate (see
+    // bm25TopK): the dfreq broadcast's copy of cmb re-ran the corpus
+    // explode AND the anchor join — the costliest repeated subtree in
+    // the p136 plan
     val contrib = cmb
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(anDl), Seq("fk"), "left")
       .withColumn("dla", coalesce(col("dla"), lit(0L)))
-      .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
