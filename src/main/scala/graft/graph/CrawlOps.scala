@@ -117,8 +117,14 @@ object CrawlOps {
     */
   def pageAliasEdges(pages: DataFrame, url: Column, html: Column,
                      maxDelaySeconds: Long = 10L): DataFrame = {
+    // the refresh side is consumed twice (the union and the
+    // precedence anti-join's build side) and each copy re-ran the
+    // corpus HTML parse — materialize the EDGE LIST once (alias-map-
+    // sized, the same cardinality class as resolveRedirects' already-
+    // checkpointed pointer map; never the corpus)
     val refresh = metaRefreshEdges(pages, url, html, maxDelaySeconds)
       .select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
     val canon = canonicalEdges(pages, url, html)
     refresh.unionByName(
       canon.join(refresh.select(col("src")), Seq("src"), "left_anti"))
@@ -141,7 +147,11 @@ object CrawlOps {
                      pages: DataFrame, url: Column, html: Column,
                      maxDelaySeconds: Long = 10L): DataFrame = {
     val hdr = headerRedirects.select(col("src"), col("dst"))
+    // same trade as pageAliasEdges: the page map is consumed twice
+    // (union + precedence anti-join) and each copy re-parsed the
+    // corpus; one edge-list checkpoint runs the parse once
     val page = pageAliasEdges(pages, url, html, maxDelaySeconds)
+      .localCheckpoint(eager = false)
     hdr.unionByName(
       page.join(hdr.select(col("src")), Seq("src"), "left_anti"))
   }
