@@ -406,14 +406,21 @@ object CorpusOps {
     // the tokenize+hash pass — the cache write/read of the wide
     // (doc_id, pos, h, __k) rows costs more than the codegen'd
     // recompute, and the checkpoint boundary blocks whole-stage
-    // pipelining. Recompute-per-consumer is the faster shape here.
+    // pipelining. r15: the second consumer is gone instead — the
+    // election and the hit selection fold into ONE window min over a
+    // single h-keyed exchange (a non-winning occurrence is exactly a
+    // row whose __k is not its hash's minimum; packed keys are unique,
+    // so "duplicated hash" needs no separate count), so the
+    // tokenize+hash pass runs once with no cache at all. The join form
+    // stays in [[scrubSelfHits]] for the streaming twin, whose firsts
+    // come from a state table, not this frame.
     val sh = packedSpanShingles(docs, id, text, n)
-    val firsts = sh
-      .groupBy(col("h"))
-      .agg(min(col("__k")).as("__w"), count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("h"), col("__w"))
-    scrubSelfHitsFrom(sh, docs, id, text, firsts, n)
+    val hits = sh
+      .withColumn("__w", min(col("__k")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("__k") =!= col("__w"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
+    scrubFromHits(hits, docs, id, text)
   }
 
   /** Positional n-gram shingles of `docs` with the packed
@@ -460,11 +467,21 @@ object CorpusOps {
     */
   private def scrubSelfHitsFrom(sh: DataFrame,
                                 docs: DataFrame, id: Column, text: Column,
-                                firsts: DataFrame, n: Int): DataFrame = {
+                                firsts: DataFrame, n: Int): DataFrame =
+    scrubFromHits(
+      sh.join(firsts, Seq("h"))
+        .filter(col("__k") =!= col("__w"))
+        .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end")),
+      docs, id, text)
+
+  /** The island-merge + ordered-reassembly tail shared by the batch
+    * window election and the firsts-join form: `hits` is
+    * (doc_id, pos, end) non-winning span occurrences.
+    */
+  private def scrubFromHits(hits: DataFrame,
+                            docs: DataFrame, id: Column,
+                            text: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = sh.join(firsts, Seq("h"))
-      .filter(col("__k") =!= col("__w"))
-      .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
     // islands + scrub: scrubSpans' exact shape over the self-hits
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
