@@ -1143,12 +1143,11 @@ object Dedup {
     // Here: one doc-grain pass (fingerprint + canonical URL + fixed
     // chunks — the chunkRows expressions inline over one tokens
     // array) unioned with one shingle pass (packedSpanShingles' own
-    // window-lead shape), repartitioned by (tier, key) ONCE; the
-    // exact/url tiers reduce to pure per-key aggregates (count-1
-    // losers, sum minus the winner's weight — no join-back at all),
-    // and the chunk/span tiers mark losers with a window min over the
-    // SAME reused exchange. Loser rows are duplicate-mass-sized, so
-    // everything after the one exchange is small.
+    // window-lead shape), repartitioned by (kind, key) ONCE; a window
+    // min over that exchange marks every tier's LOSER rows, and the
+    // report is one conditional aggregate over them (exact/url/chunk)
+    // plus the span island merge. Loser rows are duplicate-mass-sized,
+    // so everything after the one exchange is small.
     val ch = chunkTokens
     val doc = docs.select(id.cast("long").as("doc_id"),
         TextFunctions.fingerprint(text).as("__f"),
