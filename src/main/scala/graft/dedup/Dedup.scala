@@ -877,21 +877,26 @@ object Dedup {
         .as(Seq("idx", "chunk")))
       .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
         md5(col("chunk").cast("binary")).as("f"))
-      .withColumn("packed",
-        // null ids propagate as null (min ignores them — the old
-        // arithmetic's behavior); only genuinely out-of-bounds values
-        // fail, and the message coalesces so it is never itself null
-        when(col("doc_id").isNull, lit(null).cast("long"))
-          .when(col("idx") < lit(1L << 20) &&
-              col("doc_id").between(0L, (1L << 43) - 1),
-            col("doc_id") * lit(1L << 20) + col("idx"))
-          .otherwise(raise_error(concat(
-            lit("chunkRows: packed-position bounds exceeded (doc_id "),
-            coalesce(col("doc_id").cast("string"), lit("null")),
-            lit(", chunk idx "), col("idx").cast("string"),
-            lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
-            .cast("long")))
+      .withColumn("packed", chunkPackedKey(col("doc_id"), col("idx")))
   }
+
+  /** The packed chunk-position election key `doc_id·2²⁰ + idx` with its
+    * loud bounds contract — ONE definition shared by [[chunkRows]] and
+    * the ablation report so the two can never desynchronize. Null ids
+    * propagate as null (min ignores them — the old arithmetic's
+    * behavior); only genuinely out-of-bounds values fail, and the
+    * message coalesces so it is never itself null.
+    */
+  private[graft] def chunkPackedKey(docId: Column, idx: Column): Column =
+    when(docId.isNull, lit(null).cast("long"))
+      .when(idx < lit(1L << 20) && docId.between(0L, (1L << 43) - 1),
+        docId * lit(1L << 20) + idx)
+      .otherwise(raise_error(concat(
+        lit("chunkRows: packed-position bounds exceeded (doc_id "),
+        coalesce(docId.cast("string"), lit("null")),
+        lit(", chunk idx "), idx.cast("string"),
+        lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
+        .cast("long"))
 
   /** CONTENT-DEFINED chunking (CDC) — the boundary-stable complement of
     * the fixed-token chunker ([[chunkRows]]): a chunk boundary falls
@@ -1160,21 +1165,9 @@ object Dedup {
             i -> named_struct(
               'key', md5(cast(array_join(slice(t, (i - 1) * $ch + 1, $ch), ' ') as binary)),
               'idx', cast(i - 1 as bigint),
-              'w', cast(size(filter(split(array_join(slice(t, (i - 1) * $ch + 1, $ch), ' '), '\\\\s+'), x -> x != '')) as bigint)))"""))
+              'w', cast(size(slice(t, (i - 1) * $ch + 1, $ch)) as bigint)))"""))
         .otherwise(expr("array()").cast(
           "array<struct<key:string,idx:bigint,w:bigint>>")))
-    // the chunkRows packed-position contract, verbatim (loud bounds)
-    def packed(idx: Column): Column =
-      when(col("doc_id").isNull, lit(null).cast("long"))
-        .when(idx < lit(1L << 20) &&
-            col("doc_id").between(0L, (1L << 43) - 1),
-          col("doc_id") * lit(1L << 20) + idx)
-        .otherwise(raise_error(concat(
-          lit("chunkRows: packed-position bounds exceeded (doc_id "),
-          coalesce(col("doc_id").cast("string"), lit("null")),
-          lit(", chunk idx "), idx.cast("string"),
-          lit(") — need idx < 2^20 and 0 <= doc_id < 2^43")))
-          .cast("long"))
     // doc-grain rows: one 'e' + one 'u' element per doc, plus chunks.
     // `pos` is NULL on every non-span row — the span branch selects on
     // pos.isNotNull (NOT on kind) because kind is the shared window's
@@ -1187,7 +1180,7 @@ object Dedup {
         expr("transform(__chunks, c -> named_struct('kind', 'c', 'key', c.key, 'idx', c.idx, 'w', c.w))")))
         .as("kv"))
       .select(col("kv.kind").as("kind"), col("kv.key").as("key"),
-        when(col("kv.kind") === "c", packed(col("kv.idx")))
+        when(col("kv.kind") === "c", chunkPackedKey(col("doc_id"), col("kv.idx")))
           .otherwise(col("doc_id")).as("pk"),
         col("kv.w").as("w"), col("doc_id"),
         lit(null).cast("long").as("pos"))
@@ -1209,9 +1202,14 @@ object Dedup {
     // below (the scalar aggregate and the span island pass): without
     // it each consumer re-plans the scan+explode+exchange+window, and
     // column pruning specializes the two copies (one needs `pos`, one
-    // does not) so even ReuseExchange cannot dedup them. The frame is
-    // duplicate-OCCURRENCE-sized — the report's own evidence mass,
-    // never the corpus: a loser row exists only where a key repeats.
+    // does not) so even ReuseExchange cannot dedup them. Trade named:
+    // the frame is duplicate-OCCURRENCE-sized — bounded by the
+    // duplicate mass, which on a heavily-mirrored corpus approaches
+    // corpus order (one span row per duplicated-shingle occurrence) —
+    // and a localCheckpoint is non-replayable on executor loss. The
+    // alternative is a SECOND full scan+explode+shuffle+window pass,
+    // which always costs at least as many bytes as the checkpoint
+    // holds; recompute-on-loss is the only thing given up.
     val losers = keyed
       .withColumn("__min_pk", min(col("pk")).over(wk))
       .filter(col("pk") =!= col("__min_pk"))

@@ -281,17 +281,40 @@ case class Sq8OutOfRange(child: Expression, lo: IndexedSeq[Double],
 }
 
 object Sq8Codec {
+  // A NaN that reaches the MODEL (one NaN component in the build
+  // corpus makes that dim's max NaN under Spark's NaN-largest
+  // ordering) would make every per-element guard useless: h == l is
+  // false for NaN, every comparison against NaN is false, and
+  // Math.floor(NaN).toInt mints code 0 for EVERY vector at that dim.
+  // Refuse the model once at expression construction — zero hot-path
+  // cost — so a poisoned train fails loudly at build time.
+  private def requireFinite(name: String, a: Array[Double]): Unit = {
+    var i = 0
+    while (i < a.length) {
+      if (java.lang.Double.isNaN(a(i))) throw new IllegalArgumentException(
+        s"Sq8Codec: model $name has NaN at dim $i — a NaN component in " +
+          "the build corpus poisoned the min/max train; refusing a model " +
+          "that would silently mint code 0 at that dim")
+      i += 1
+    }
+  }
+  private def checked(lo: Array[Double],
+                      hi: Array[Double]): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    requireFinite("lo", lo); requireFinite("hi", hi)
+    (lo.toIndexedSeq, hi.toIndexedSeq)
+  }
+
   def roundTrip(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec),
-      lo.toIndexedSeq, hi.toIndexedSeq))
+    { val (l, h) = checked(lo, hi)
+      ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec), l, h)) }
   def decode(codes: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8Decode(ColumnBridge.expression(codes),
-      lo.toIndexedSeq, hi.toIndexedSeq))
+    { val (l, h) = checked(lo, hi)
+      ColumnBridge.column(Sq8Decode(ColumnBridge.expression(codes), l, h)) }
   def encode(vec: Column, lo: Array[Double], hi: Array[Double],
              clamp: Boolean): Column =
-    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec),
-      lo.toIndexedSeq, hi.toIndexedSeq, clamp))
+    { val (l, h) = checked(lo, hi)
+      ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), l, h, clamp)) }
   def outOfRange(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(Sq8OutOfRange(ColumnBridge.expression(vec),
-      lo.toIndexedSeq, hi.toIndexedSeq))
+    { val (l, h) = checked(lo, hi)
+      ColumnBridge.column(Sq8OutOfRange(ColumnBridge.expression(vec), l, h)) }
 }

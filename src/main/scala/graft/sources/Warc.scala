@@ -664,10 +664,18 @@ object Warc {
                        tombstones: Option[DataFrame] = None): Unit = {
     val spark = segments.sparkSession
     // the layout's schema is the segment schema + shard by the write
-    // contract — read it GIVEN rather than inferred (no footer pass)
+    // contract — read it GIVEN rather than inferred (no footer pass).
+    // With a given schema the old "no shard column" require can never
+    // fire (the schema always carries it), so the layout guard is an
+    // FS-level one instead: a writeCdxShards dir holds shard=<id>
+    // partition directories
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(dirFs.exists(dirPath) && dirFs.listStatus(dirPath)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("shard=")),
+      s"compactCdxShards: $dir is not a writeCdxShards layout " +
+        "(no shard=<id> partition directories)")
     val current = readCdxShards(spark, dir, segments.schema)
-    require(current.columns.contains("shard"),
-      s"compactCdxShards: $dir is not a writeCdxShards layout (no shard column)")
     val cluster = cdxClusterIndex(current)
     // the routed delta is consumed twice (the affected-shard collect
     // below and the merge write) and is delta-sized BY CONTRACT —

@@ -52,18 +52,22 @@ object JobTimes {
           jobCount.incrementAndGet()
         }
     })
+    // failure-honest like Bench: one bad name or throwing query must
+    // not lose the whole report — it appears with wall = -1
     val rows = names.map { n =>
       jobMillis.set(0L); jobCount.set(0L)
       val t0 = System.nanoTime()
-      materialize(graft.SparkEntry.queries(n)(spark, benchDir))
-      val wall = (System.nanoTime() - t0) / 1e9
+      val ok = try { materialize(graft.SparkEntry.queries(n)(spark, benchDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[jobtimes] $n FAILED: ${e.getMessage}"); false }
+      val wall = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Thread.sleep(50) // let the last JobEnd event drain
       (n, wall, jobMillis.get() / 1e3, jobCount.get())
     }
     val body = rows.map { case (n, w, j, c) =>
       f"""\"$n\":{\"wall\":$w%.3f,\"in_jobs\":$j%.3f,\"n_jobs\":$c}"""
     }.mkString("{", ",", "}")
-    val totalWall = rows.map(_._2).sum
+    val totalWall = rows.filter(_._2 >= 0).map(_._2).sum
     val totalJobs = rows.map(_._3).sum
     val json = f"""{"metric":"jobtime","wall_total":$totalWall%.3f,"in_jobs_total":$totalJobs%.3f,"cpus":$cpus,"sf":"$sfDir","queries":$body}"""
     println(json)
